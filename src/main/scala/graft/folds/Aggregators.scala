@@ -1,0 +1,98 @@
+package graft.folds
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** The typed-fold escape hatch: the reference accepts ANY
+  * `Control.Foldl.Fold x b` as a per-group aggregation
+  * (`foldAndAddKey`, reference `src/Frames/MapReduce.hs:162-167`), and
+  * derives folds from monoids (`foldAllMonoid` / `monoidWrapperToFold`,
+  * reference `src/Frames/Folds.hs:230-249`). Spark's mergeable-buffer
+  * contract for distributed aggregation is `Aggregator[IN, BUF, OUT]` —
+  * `zero`/`reduce`/`merge` are exactly the monoid laws the reference relies
+  * on, which is what makes these folds correct under partial aggregation
+  * (map-side combine) and, later, streaming state merges.
+  */
+object Aggregators {
+
+  /** A fold in the reference's step/extract shape
+    * (`Control.Foldl.Fold`): initial state, step, merge, extract.
+    * `merge` is required (the reference gets it for free only for monoid
+    * folds; on a cluster every fold must merge partial states). */
+  def fold[IN, BUF, OUT](
+      zeroV: BUF,
+      step: (BUF, IN) => BUF,
+      mergeV: (BUF, BUF) => BUF,
+      extract: BUF => OUT)(
+      implicit bufEnc: Encoder[BUF], outEnc: Encoder[OUT]): Aggregator[IN, BUF, OUT] =
+    new Aggregator[IN, BUF, OUT] {
+      def zero: BUF = zeroV
+      def reduce(b: BUF, a: IN): BUF = step(b, a)
+      def merge(a: BUF, b: BUF): BUF = mergeV(a, b)
+      def finish(b: BUF): OUT = extract(b)
+      def bufferEncoder: Encoder[BUF] = bufEnc
+      def outputEncoder: Encoder[OUT] = outEnc
+    }
+
+  /** ≙ `monoidWrapperToFold` (reference `src/Frames/Folds.hs:230-233`):
+    * an aggregator from (mempty, <>). */
+  def monoidFold[A](empty: A, combine: (A, A) => A)(
+      implicit enc: Encoder[A]): Aggregator[A, A, A] =
+    fold[A, A, A](empty, combine, combine, identity)(enc, enc)
+
+  /** Null-skipping wrapper ≙ `filteredFold` (reference
+    * `src/Frames/Folds/General.hs:110-112`): lift a fold over `A` to a fold
+    * over nullable `A` that ignores nulls — the semantics Spark built-in
+    * aggregates already have; this exists for custom folds. */
+  def skipNulls[A >: Null, BUF, OUT](agg: Aggregator[A, BUF, OUT]): Aggregator[A, BUF, OUT] =
+    new Aggregator[A, BUF, OUT] {
+      def zero: BUF = agg.zero
+      def reduce(b: BUF, a: A): BUF = if (a == null) b else agg.reduce(b, a)
+      def merge(a: BUF, b: BUF): BUF = agg.merge(a, b)
+      def finish(b: BUF): OUT = agg.finish(b)
+      def bufferEncoder: Encoder[BUF] = agg.bufferEncoder
+      def outputEncoder: Encoder[OUT] = agg.outputEncoder
+    }
+
+  /** Null-poisoning sum — the canonical NON-default null semantics the
+    * reference supports via `functorFoldAllConstrained`
+    * (`src/Frames/Folds/General.hs:260-273`): any null in the group makes
+    * the result null. Demonstrates user-controlled null behavior inside the
+    * fold (Spark's built-ins can't express this directly). */
+  def nullPoisoningSum: Aggregator[java.lang.Double, (Double, Boolean), java.lang.Double] =
+    new Aggregator[java.lang.Double, (Double, Boolean), java.lang.Double] {
+      def zero: (Double, Boolean) = (0.0, false)
+      def reduce(b: (Double, Boolean), a: java.lang.Double): (Double, Boolean) =
+        if (a == null) (b._1, true) else (b._1 + a, b._2)
+      def merge(a: (Double, Boolean), b: (Double, Boolean)): (Double, Boolean) =
+        (a._1 + b._1, a._2 || b._2)
+      def finish(b: (Double, Boolean)): java.lang.Double =
+        if (b._2) null else java.lang.Double.valueOf(b._1)
+      def bufferEncoder: Encoder[(Double, Boolean)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaBoolean)
+      def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+    }
+
+  /** Weighted mean sum(x*y)/sum(y) as a typed fold — the reference example's
+    * flagship composed fold (`examples/AddRowsByLabel.hs:61-69`). Also
+    * expressible natively as `sum(x*y)/sum(y)`; tests assert both agree
+    * (SURVEY §7.2). IN = (x, weight). */
+  def weightedMean: Aggregator[(Double, Double), (Double, Double), Double] =
+    new Aggregator[(Double, Double), (Double, Double), Double] {
+      def zero: (Double, Double) = (0.0, 0.0)
+      def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) =
+        (b._1 + a._1 * a._2, b._2 + a._2)
+      def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
+        (a._1 + b._1, a._2 + b._2)
+      def finish(b: (Double, Double)): Double = if (b._2 == 0.0) Double.NaN else b._1 / b._2
+      def bufferEncoder: Encoder[(Double, Double)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+
+  /** Register a typed aggregator as an untyped DataFrame aggregate column —
+    * the bridge that lets custom folds participate in the single-pass
+    * multi-aggregate `agg(...)` alongside built-ins. */
+  def asColumn[IN, BUF, OUT](agg: Aggregator[IN, BUF, OUT], inputs: Column*)(
+      implicit inEnc: Encoder[IN]): Column =
+    udaf(agg, inEnc).apply(inputs: _*)
+}
