@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ParityQueries, Q}
+import graft.queries.{ExtensionQueries, ParityQueries, Q}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries are registered in `graft.queries.*` (one per operator family
@@ -11,7 +11,7 @@ import graft.queries.{ParityQueries, Q}
   */
 object SparkEntry {
 
-  private def registry: Seq[Q] = ParityQueries.all
+  private def registry: Seq[Q] = ParityQueries.all ++ ExtensionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own flagship (`Readme.md:104-117`): filter → group →

@@ -1,0 +1,150 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions._
+
+/** Deduplication operators for training-data pipelines (driver extension
+  * surface; the reference has no dedup — `/root/reference` SURVEY §2.12).
+  *
+  * Scale design (the point of this module): never materialize the O(n²)
+  * pair space. Every near-dup variant is
+  *   signature → explode to (bucket_key, id) → shuffle on bucket_key →
+  *   within-bucket self-join → verify exact similarity on survivors.
+  * The only shuffles are on bucket keys (uniform by construction — they're
+  * hashes), the self-join is an equi-join Catalyst executes as a shuffled
+  * hash join on the small exploded relation, and the expensive exact
+  * verification runs only on candidate pairs. At 100 TB the bucket-key
+  * cardinality scales with the corpus, so partitions stay bounded; a
+  * pathological bucket (e.g. the empty document) is a salting candidate —
+  * callers can pre-filter degenerate docs.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one hash-aggregate (single shuffle on
+    * md5(text), uniformly distributed). Returns one row per distinct
+    * content with the canonical (minimum) id and the multiplicity. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** One row per (doc, shingle): the exploded relational form all the
+    * shingle-based dedup variants build on. Shingles are per-doc distinct
+    * (set semantics). */
+  private def shingleRows(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= shingleN)
+      .select(col(idCol), explode(wordShingles(col("ws"), shingleN)).as("shingle"))
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * Pipeline: word `shingleN`-gram shingles → `k`-seed MinHash signature →
+    * `bands`×`rows` LSH band keys → bucket-join candidates → exact shingle
+    * Jaccard ≥ `threshold` verification. Docs with fewer than `shingleN`
+    * tokens are excluded (no shingle). Returns (id_a, id_b, jaccard).
+    *
+    * Deliberately relational, not expression-nested: signatures come from
+    * explode → two hash aggregates (min per (doc, seed), then band keys
+    * per (doc, band)) rather than one nested higher-order-function
+    * projection. HOFs are interpreted (no codegen) and multiply-referenced
+    * array exprs can be re-evaluated per reference — the aggregate
+    * formulation measured ~300× faster at sf0.1 and is also the shape that
+    * distributes: every step is a codegen'd partial-aggregate shuffle on
+    * uniform hash keys, never a per-row mega-expression. */
+  def minhashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 4, rows: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(bands * rows == k, s"minhashLsh: bands*rows must equal k ($bands*$rows != $k)")
+    val sh = shingleRows(df, idCol, textCol, shingleN)
+    val mh = sh
+      .select(col(idCol), col("shingle"), explode(sequence(lit(0), lit(k - 1))).as("seed"))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(seededHash(col("shingle"), col("seed"))).as("mh"))
+    val bandKeys = mh
+      .groupBy(col(idCol), expr(s"seed div $rows").as("band"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("mh")))), x => x.getField("mh")),
+        "|")).as("band_key"))
+    val a = bandKeys.select(col("band"), col("band_key"), col(idCol).as("id_a"))
+    val b = bandKeys.select(col("band"), col("band_key"), col(idCol).as("id_b"))
+    val cand = a.join(b, Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val sets = sh.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("shingles"))
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sa")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-duplicate pairs: `bits`-bit fingerprint over word
+    * `shingleN`-gram features per doc; two docs are candidates when the
+    * fingerprints agree on a prefix block of `blockBits` bits; near-dups
+    * have Hamming distance ≤ `maxHamming`. Docs with fewer than `shingleN`
+    * tokens are excluded. Returns (id_a, id_b, fp_a, fp_b, hamming). */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
+      bits: Int = 32, blockBits: Int = 16, maxHamming: Int = 3): DataFrame = {
+    require(bits >= 1 && bits <= 32 && blockBits <= bits, "simhashPairs: need 1 <= blockBits <= bits <= 32")
+    // Same relational formulation as minhashLsh (see its scaladoc): one
+    // row per (doc, feature, bit), ±1 vote, two partial-agg shuffles.
+    val hiHex = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit)
+    val votes = shingleRows(df, idCol, textCol, shingleN)
+      .select(col(idCol), md5(col("shingle")).as("h"))
+      .select(col(idCol), explode(sequence(lit(1), lit(bits))).as("i"), col("h"))
+      .select(col(idCol), col("i"),
+        when(col("h").substr(col("i"), lit(1)).isin(hiHex: _*), 1).otherwise(-1).as("vote"))
+      .groupBy(col(idCol), col("i"))
+      .agg(sum(col("vote")).as("v"))
+    val fps = votes
+      .groupBy(col(idCol))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(cast(1 as bigint), i - 1)"))
+        .otherwise(lit(0L))).as("fp"))
+      .withColumn("block", shiftright(col("fp"), bits - blockBits))
+    val a = fps.select(col("block"), col(idCol).as("id_a"), col("fp").as("fp_a"))
+    val b = fps.select(col("block"), col(idCol).as("id_b"), col("fp").as("fp_b"))
+    a.join(b, "block")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "fp_a", "fp_b", "hamming")
+  }
+
+  /** Token-set (word 1-gram) Jaccard near-dup pairs within blocking-key
+    * groups — the exact-similarity baseline the probabilistic variants are
+    * judged against. O(block²), so `blockCols` must bound block sizes;
+    * use [[minhashLsh]] when no natural blocking exists. */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    val t = df.select((col(idCol) +: blockCols.map(col)) :+
+      distinctTokens(col(textCol)).as("toks"): _*)
+    val a = t.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col("toks").as("toks_a"): _*)
+    val b = t.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ col("toks").as("toks_b"): _*)
+    a.join(b, blockCols)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Embedding cosine near-dup pairs within blocking-key groups (brute
+    * force within block; for unblocked corpora use the hyperplane-LSH
+    * bucketing in [[graft.similarity.Similarity]]). */
+  def embeddingCosinePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    val t = df.select(col(idCol) +: col(vecCol) +: blockCols.map(col): _*)
+    val a = t.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col(vecCol).as("v_a"): _*)
+    val b = t.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ col(vecCol).as("v_b"): _*)
+    a.join(b, blockCols)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.similarity.Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus decode / feature-extract / frame-sample
+  * plumbing (driver extension surface).
+  *
+  * Design for 100 TB: the binary payload is carried in ONE column and
+  * never shuffled — metadata extraction is a narrow projection; decode is
+  * `mapPartitions` over batches so a real decoder would amortize model /
+  * codec initialization per partition, not per row; frame sampling emits
+  * (media_id, frame_idx) rows via `explode` so downstream ops never touch
+  * the payload. Partitioning: payload tables should be written with small
+  * `files.maxPartitionBytes` so a partition of ~100 MB of media fits
+  * executor memory during decode.
+  *
+  * The byte-level DECODE STEP IS A DETERMINISTIC STUB (this container has
+  * no image/audio codecs): `fakeDecode` derives dimensions/frames/signal
+  * from the payload length alone, by formulas an external oracle can
+  * replicate. The Spark-side plumbing — schema, encoders, batching,
+  * partitioning, UDF signature — is real and is what's under test.
+  */
+object Multimodal {
+
+  /** Raw media row: opaque payload + mime tag. */
+  final case class MediaRecord(media_id: Long, content: Array[Byte], mime: String)
+
+  /** Decoded media features. A real decoder fills these from the codec;
+    * the stub derives them deterministically from the payload. */
+  final case class DecodedMedia(
+      media_id: Long, byte_len: Long, content_hash: String,
+      width: Int, height: Int, n_frames: Int, mean_px: Double)
+
+  /** Batch size for the decode stage — a real decoder would hand each
+    * batch to a vectorized codec / model runtime in one call. */
+  val decodeBatchSize = 32
+
+  /** Ingest: text column → opaque binary payload + typed metadata struct.
+    * (Test corpus has no real media; UTF-8 bytes of `textCol` stand in as
+    * the payload. With real data this is `spark.read.format("binaryFile")`
+    * or a parquet binary column — same downstream shape.) */
+  def ingestFromText(df: DataFrame, idCol: String, textCol: String, mime: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(textCol), "UTF-8").as("content"),
+      lit(mime).as("mime"))
+      .withColumn("meta", struct(
+        length(col("content")).cast("long").as("byte_len"),
+        md5(col("content")).as("content_hash"),
+        col("mime").as("mime")))
+
+  /** THE STUB: deterministic fake decode from payload bytes. A real
+    * implementation would replace the body with a codec call; everything
+    * around it (batching, encoders, schema) is the production shape. */
+  private def fakeDecode(m: MediaRecord): DecodedMedia = {
+    val len = m.content.length.toLong
+    val digest = MessageDigest.getInstance("MD5")
+    val hash = digest.digest(m.content).map("%02x".format(_)).mkString
+    DecodedMedia(
+      media_id = m.media_id,
+      byte_len = len,
+      content_hash = hash,
+      width = (16 + len % 64).toInt,
+      height = (16 + (len * 7) % 64).toInt,
+      n_frames = (1 + len % 8).toInt,
+      mean_px = ((len * 2654435761L) % 256).toDouble / 255.0)
+  }
+
+  /** Decode stage: typed `mapPartitions` over payload batches. */
+  def decode(media: DataFrame)(implicit spark: SparkSession): Dataset[DecodedMedia] = {
+    val in = media.select("media_id", "content", "mime").as(Encoders.product[MediaRecord])
+    in.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        // real impl: codec.decodeBatch(batch) — amortized per batch
+        batch.map(fakeDecode)
+      }
+    }(Encoders.product[DecodedMedia])
+  }
+
+  /** Frame sampling: every `stride`-th frame of each decoded media item,
+    * one output row per sampled frame — payload-free, so downstream
+    * video-frame pipelines shuffle only (media_id, frame_idx). */
+  def sampleFrames(decoded: Dataset[DecodedMedia], stride: Int): DataFrame =
+    decoded.toDF()
+      .select(col("media_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+}

@@ -1,0 +1,341 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.streaming.Streaming
+import graft.text.{TextAnalysis, TextFunctions}
+
+/** The beyond-reference extension surface (SURVEY §7.6 / driver brief):
+  * dedup, similarity search, text analysis, multimodal plumbing, streaming
+  * semantics, joins — each a first-class operator with a DuckDB oracle.
+  *
+  * Oracle strategy: every probabilistic operator (MinHash, SimHash,
+  * hyperplane LSH, fingerprinting) is built on md5-derived hashes and
+  * deterministic double arithmetic, so the oracle SQL replicates the
+  * ALGORITHM, not just its contract — the hash-compare verifies bucketing,
+  * banding and verification end to end.
+  *
+  * The near-dup queries union the corpus with deterministically mutated
+  * copies (`doc_id % 5 == 0` docs re-appear as `doc_id + 1000000` with the
+  * first word dropped), so true near-duplicates exist at every scale
+  * factor and the result demonstrably finds them.
+  */
+object ExtensionQueries {
+  import Q.table
+
+  /** documents ∪ mutated copies — shared by d3/d4. */
+  private def mutatedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select("doc_id", "text")
+    d.unionAll(d.where(col("doc_id") % 5 === 0).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
+  }
+
+  private val corpusSql = """corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '^[^ ]+ ', '') AS text
+      FROM documents WHERE doc_id % 5 = 0)"""
+
+  // ---------------------------------------------------------------- dedup
+
+  private def d1(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
+
+  private def d2(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      table(s, dir, "documents").withColumn("len_band", expr("n_chars div 64")),
+      "doc_id", "text", blockCols = Seq("lang", "len_band"), threshold = 0.9)
+      .select("id_a", "id_b", "jaccard")
+
+  private def d3(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(mutatedCorpus(s, dir), "doc_id", "text",
+      shingleN = 3, k = 12, bands = 4, rows = 3, threshold = 0.5)
+
+  private def d4(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(mutatedCorpus(s, dir), "doc_id", "text",
+      shingleN = 3, bits = 32, blockBits = 16, maxHamming = 3)
+
+  private def d5(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(table(s, dir, "embeddings"),
+      "vec_id", "embedding", blockCols = Seq("label"), threshold = 0.4)
+
+  // ---------------------------------------------------- similarity search
+
+  private def s1(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.where(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", k = 5)
+  }
+
+  private def s2(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.where(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", k = 3, planes = 6, dims = 64)
+  }
+
+  // --------------------------------------------------------- text analysis
+
+  private def t1(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(table(s, dir, "documents"), "text")
+      .select("doc_id", "en_hits", "de_hits", "fr_hits", "es_hits", "predicted_lang")
+
+  private def t2(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(table(s, dir, "documents"), "text")
+      .select("doc_id", "n_tokens", "mean_tok_len", "stopword_ratio", "punct_ratio", "quality")
+
+  private def t3(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(table(s, dir, "documents"), "text")
+      .select("doc_id", "ws_tokens", "bpe_tokens", "distinct_tokens")
+
+  private def t4(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(table(s, dir, "documents"), "text", window = 16)
+      .select("doc_id", "fingerprint", "n_windows")
+
+  // ------------------------------------------------------------ multimodal
+
+  private def m1(s: SparkSession, dir: String): DataFrame =
+    Multimodal.ingestFromText(table(s, dir, "documents"), "doc_id", "text", "text/plain")
+      .select(col("media_id"), col("meta.byte_len").as("byte_len"),
+        col("meta.content_hash").as("content_hash"), col("meta.mime").as("mime"))
+
+  private def m2(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    Multimodal.decode(
+      Multimodal.ingestFromText(table(s, dir, "documents"), "doc_id", "text", "text/plain"))
+      .toDF()
+  }
+
+  private def m3(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    Multimodal.sampleFrames(
+      Multimodal.decode(
+        Multimodal.ingestFromText(table(s, dir, "documents"), "doc_id", "text", "text/plain")),
+      stride = 2)
+  }
+
+  // ---------------------------------------------------- streaming (batch)
+
+  /** Same code path the streaming tests run over a MemoryStream —
+    * executed in batch mode for the oracle. */
+  private def st1(s: SparkSession, dir: String): DataFrame =
+    Streaming.windowedEventAgg(table(s, dir, "events"), "1 hour", "10 minutes")
+
+  // ----------------------------------------------------------------- joins
+
+  /** Broadcast star join (dimension tables broadcast, fact table never
+    * shuffled for the join — only for the final aggregation). */
+  private def x1(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+    val c = table(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val n = table(s, dir, "nation").select("n_nationkey", "n_name")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("sum_price"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  private val hiHex = "('8','9','a','b','c','d','e','f')"
+  private val oddHex = "('1','3','5','7','9','b','d','f')"
+
+  /** Explicit double-precision cosine between two list columns, matching
+    * [[Similarity.cosine]]'s accumulation order. */
+  private def cosSql(a: String, b: String) =
+    s"""list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
+          * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))"""
+
+  /** Hyperplane-LSH bucket matching [[Similarity.hyperplaneBucket]]. */
+  private def bucketSql(v: String) =
+    s"""list_sum(list_transform(range(0, 6), p ->
+         CASE WHEN list_sum(list_transform(range(1, 65), d ->
+                $v[d]::DOUBLE * (CASE WHEN substr(md5(p::VARCHAR || '_' || (d-1)::VARCHAR), 1, 1)
+                                      IN $oddHex THEN 1.0 ELSE -1.0 END))) > 0
+              THEN 1 << p ELSE 0 END))"""
+
+  def all: Seq[Q] = Seq(
+    Q("d1_dedup_exact", d1, Some("""
+      SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY 1""")),
+
+    Q("d2_dedup_ngram_jaccard", d2, Some("""
+      WITH t AS (SELECT doc_id, lang, n_chars // 64 AS len_band,
+                   list_distinct(string_split(text, ' ')) AS toks
+                 FROM documents)
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          len(list_intersect(a.toks, b.toks))::DOUBLE
+            / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.9""")),
+
+    Q("d3_dedup_minhash_lsh", d3, Some(s"""
+      WITH $corpusSql,
+      docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+             FROM docs WHERE len(ws) >= 3),
+      ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      mh AS (SELECT doc_id, seed, min(md5(shingle || '#' || seed::VARCHAR)) AS mh
+             FROM ex, (SELECT unnest(range(12)) AS seed)
+             GROUP BY doc_id, seed),
+      bands AS (SELECT doc_id, seed // 3 AS band,
+                  md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+                FROM mh GROUP BY doc_id, seed // 3),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT c.id_a, c.id_b,
+          len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b)
+      WHERE jaccard >= 0.5""")),
+
+    Q("d4_dedup_simhash", d4, Some(s"""
+      WITH $corpusSql,
+      docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+      hs AS (SELECT doc_id,
+               list_transform(list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])), sh -> md5(sh)) AS hashes
+             FROM docs WHERE len(ws) >= 3),
+      fps AS (SELECT doc_id,
+                list_sum(list_transform(range(1, 33), i ->
+                  CASE WHEN list_sum(list_transform(hashes, h ->
+                         CASE WHEN substr(h, i, 1) IN $hiHex THEN 1 ELSE -1 END)) > 0
+                       THEN 1::BIGINT << (i - 1) ELSE 0 END)) AS fp
+              FROM hs)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b,
+        bit_count(xor(a.fp, b.fp)) AS hamming
+      FROM fps a JOIN fps b
+        ON a.fp >> 16 = b.fp >> 16 AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 3""")),
+
+    Q("d5_dedup_embedding_cosine", d5, Some(s"""
+      SELECT id_a, id_b, cosine FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ${cosSql("a.embedding", "b.embedding")} AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id)
+      WHERE cosine >= 0.4""")),
+
+    Q("s1_ann_bruteforce_topk", s1, Some(s"""
+      SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          ${cosSql("q.embedding", "e.embedding")} AS cosine,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+        FROM embeddings e
+        JOIN (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+          ON e.vec_id <> q.vec_id)
+      WHERE rank <= 5""")),
+
+    Q("s2_ann_lsh_topk", s2, Some(s"""
+      WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
+      SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          ${cosSql("q.embedding", "e.embedding")} AS cosine,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+        FROM b e
+        JOIN (SELECT * FROM b WHERE vec_id % 100 = 0) q
+          ON e.bucket = q.bucket AND e.vec_id <> q.vec_id)
+      WHERE rank <= 3""")),
+
+    Q("t1_language_id", t1, Some("""
+      SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+        CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+             WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+             WHEN fr_hits >= es_hits THEN 'fr'
+             ELSE 'es' END AS predicted_lang
+      FROM (
+        SELECT doc_id,
+          len(list_filter(string_split(text, ' '), t ->
+            list_contains(['the','a','of','and','to','in','is'], t))) AS en_hits,
+          len(list_filter(string_split(text, ' '), t ->
+            list_contains(['der','die','das','und','ist','ein'], t))) AS de_hits,
+          len(list_filter(string_split(text, ' '), t ->
+            list_contains(['le','la','les','et','est','un'], t))) AS fr_hits,
+          len(list_filter(string_split(text, ' '), t ->
+            list_contains(['el','la','los','y','es','un'], t))) AS es_hits
+        FROM documents)""")),
+
+    Q("t2_quality_score", t2, Some("""
+      SELECT doc_id, n_tokens, mean_tok_len, stopword_ratio, punct_ratio,
+        0.4 * least(stopword_ratio * 5.0, 1.0)
+          + 0.3 * (1.0 - punct_ratio)
+          + 0.3 * least(n_tokens / 100.0, 1.0) AS quality
+      FROM (
+        SELECT doc_id,
+          len(string_split(text, ' '))::BIGINT AS n_tokens,
+          list_sum(list_transform(string_split(text, ' '), t -> length(t)))::DOUBLE
+            / len(string_split(text, ' ')) AS mean_tok_len,
+          len(list_filter(string_split(text, ' '), t ->
+            list_contains(['the','a','of','and','to','in','is'], t)))::DOUBLE
+            / len(string_split(text, ' ')) AS stopword_ratio,
+          length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+            / length(text) AS punct_ratio
+        FROM documents)""")),
+
+    Q("t3_token_counts", t3, Some("""
+      SELECT doc_id,
+        len(string_split(text, ' '))::BIGINT AS ws_tokens,
+        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS bpe_tokens,
+        len(list_distinct(string_split(text, ' ')))::BIGINT AS distinct_tokens
+      FROM documents""")),
+
+    Q("t4_fingerprint", t4, Some("""
+      SELECT doc_id,
+        list_aggregate(list_transform(range(1, length(text) - 14),
+          i -> md5(substr(text, i, 16))), 'min') AS fingerprint,
+        (length(text) - 15)::BIGINT AS n_windows
+      FROM documents WHERE length(text) >= 16""")),
+
+    Q("m1_multimodal_ingest", m1, Some("""
+      SELECT doc_id AS media_id,
+        octet_length(encode(text))::BIGINT AS byte_len,
+        md5(text) AS content_hash,
+        'text/plain' AS mime
+      FROM documents""")),
+
+    Q("m2_multimodal_decode", m2, Some("""
+      SELECT media_id, byte_len, content_hash,
+        16 + byte_len % 64 AS width,
+        16 + (byte_len * 7) % 64 AS height,
+        1 + byte_len % 8 AS n_frames,
+        ((byte_len * 2654435761) % 256) / 255.0 AS mean_px
+      FROM (
+        SELECT doc_id AS media_id,
+          octet_length(encode(text))::BIGINT AS byte_len,
+          md5(text) AS content_hash
+        FROM documents)""")),
+
+    Q("m3_frame_sample", m3, Some("""
+      SELECT media_id, n_frames, unnest(range(0, n_frames, 2)) AS frame_idx
+      FROM (
+        SELECT doc_id AS media_id,
+          1 + octet_length(encode(text))::BIGINT % 8 AS n_frames
+        FROM documents)""")),
+
+    Q("st1_windowed_events", st1, Some("""
+      SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS window_start_s,
+        event_type, count(*) AS n_events, sum(value) AS sum_value
+      FROM events GROUP BY 1, 2""")),
+
+    Q("x1_star_join", x1, Some("""
+      SELECT n_name, count(*) AS n_orders, sum(o_totalprice) AS sum_price
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name"""))
+  )
+}

@@ -1,0 +1,108 @@
+package graft.similarity
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`) — driver
+  * extension surface (the reference has no vector ops, SURVEY §2.12).
+  *
+  * Two paths, mirroring how ANN is actually deployed:
+  *  - [[bruteForceTopK]]: exact top-k via a broadcast join of the (small)
+  *    query set against the (huge) corpus — the correctness baseline. The
+  *    corpus is never shuffled: queries broadcast to every executor, the
+  *    per-partition top-k is taken before the final k·|queries|-row
+  *    aggregation, so the reduction is tiny.
+  *  - [[withHyperplaneBuckets]] + [[lshTopK]]: random-hyperplane LSH. Sign
+  *    bits of dot products with `planes` fixed pseudo-random hyperplanes
+  *    give a bucket id; search only within the query's bucket. At 100 TB
+  *    the bucketed corpus is written partitioned by bucket, so a query
+  *    touches 1/2^planes of the data (partition pruning on the bucket
+  *    column does this for free).
+  *
+  * All arithmetic is double-precision in deterministic index order, so an
+  * external oracle (DuckDB) reproduces results bit-for-bit.
+  */
+object Similarity {
+
+  /** Elementwise dot product in index order: Σ a[i]·b[i], double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, explicit double-precision formula (not a library
+    * intrinsic — identical accumulation order everywhere). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Deterministic pseudo-random hyperplanes: weight(p, d) = ±1 from the
+    * parity of the first hex char of md5("p_d"). Computed at PLAN TIME and
+    * embedded as literal arrays — per-row cost is a 64-term dot product in
+    * codegen, zero hashing. Any engine can regenerate the same planes. */
+  def hyperplaneWeights(planes: Int, dims: Int): Array[Array[Double]] = {
+    val digest = MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dims) { (p, d) =>
+      val hex = digest.digest(s"${p}_$d".getBytes(StandardCharsets.UTF_8))
+      val firstHexChar = (hex(0) >> 4) & 0xf
+      if (firstHexChar % 2 == 1) 1.0 else -1.0
+    }
+  }
+
+  /** Bucket id in [0, 2^planes): bit p set iff dot(v, plane_p) > 0. */
+  def hyperplaneBucket(vec: Column, weights: Array[Array[Double]]): Column =
+    weights.zipWithIndex.map { case (w, p) =>
+      val proj = aggregate(
+        zip_with(vec, typedlit(w.toSeq), (x, wi) => x.cast("double") * wi),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def withHyperplaneBuckets(
+      df: DataFrame, vecCol: String, planes: Int, dims: Int): DataFrame =
+    df.withColumn("bucket", hyperplaneBucket(col(vecCol), hyperplaneWeights(planes, dims)))
+
+  /** Exact top-k cosine neighbors for each query vector. `queries` must be
+    * broadcast-small (it is hinted); `corpus` is scanned once, never
+    * shuffled beyond the k-row-per-query window. Self-matches excluded.
+    * Ties broken by corpus id for determinism. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Approximate top-k: as [[bruteForceTopK]] but candidates restricted to
+    * the query's hyperplane-LSH bucket (the scale path: the equi-join on
+    * `bucket` prunes the corpus scan instead of broadcasting against all
+    * of it). */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int, dims: Int): DataFrame = {
+    val cb = withHyperplaneBuckets(corpus, vecCol, planes, dims)
+      .select(col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    val qb = withHyperplaneBuckets(queries, vecCol, planes, dims)
+      .select(col("bucket"), col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = cb.join(broadcast(qb), "bucket")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

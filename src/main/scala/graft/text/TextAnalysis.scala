@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Document-level text analysis operators (language-ID, quality scoring,
+  * token counting, fingerprinting) — driver extension surface. All pure
+  * `Column` expressions over one narrow projection: per-document work is
+  * embarrassingly parallel, no shuffle anywhere, and the scan reads only
+  * (id, text) thanks to column pruning.
+  */
+object TextAnalysis {
+
+  /** Stopword-hit language ID. Scores each candidate language by hit count
+    * of its stopword list; predicted = argmax with a fixed priority order
+    * (first in `langs` wins ties). Adds `<lang>_hits` per language and
+    * `predicted_lang`. */
+  def languageId(df: DataFrame, textCol: String,
+      langs: Seq[String] = Seq("en", "de", "fr", "es")): DataFrame = {
+    require(langs.nonEmpty && langs.forall(stopwords.contains),
+      s"languageId: langs must be among ${stopwords.keys.mkString(",")}")
+    val toks = tokens(col(textCol))
+    val scored = langs.foldLeft(df)((d, l) =>
+      d.withColumn(s"${l}_hits", wordListHits(toks, stopwords(l))))
+    // argmax with priority order: lang i wins iff its score >= all later ones
+    val predicted = langs.zipWithIndex.init.foldRight(lit(langs.last)) {
+      case ((l, i), elseCol) =>
+        val beatsRest = langs.drop(i + 1)
+          .map(m => col(s"${l}_hits") >= col(s"${m}_hits"))
+          .reduce(_ && _)
+        when(beatsRest, lit(l)).otherwise(elseCol)
+    }
+    scored.withColumn("predicted_lang", predicted)
+  }
+
+  /** Quality features + a composite score in [0,1]: length signal, token
+    * count, mean token length, stopword ratio, punctuation ratio. The
+    * formula is deliberately simple arithmetic — deterministic and
+    * reproducible by the oracle; swap in a learned scorer via the same
+    * column shape. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nToks = size(toks).cast("double")
+    val sumTokLen = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
+    val punct = length(regexp_replace(col(textCol), "[a-z0-9 ]", "")).cast("double")
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("mean_tok_len", sumTokLen / nToks)
+      .withColumn("stopword_ratio",
+        wordListHits(toks, stopwords("en")).cast("double") / nToks)
+      .withColumn("punct_ratio", punct / length(col(textCol)).cast("double"))
+      .withColumn("quality",
+        lit(0.4) * least(col("stopword_ratio") * 5.0, lit(1.0))
+          + lit(0.3) * (lit(1.0) - col("punct_ratio"))
+          + lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+  }
+
+  /** Token counting three ways: whitespace tokens, BPE-ish regex tokens,
+    * distinct whitespace tokens. */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("bpe_tokens", bpeTokenCount(col(textCol)).cast("long"))
+      .withColumn("distinct_tokens", size(distinctTokens(col(textCol))).cast("long"))
+
+  /** Rolling-hash fingerprint (window-char minimum hash) + window count.
+    * Rows shorter than `window` chars are dropped (no fingerprint). */
+  def fingerprint(df: DataFrame, textCol: String, window: Int = 16): DataFrame =
+    df.where(length(col(textCol)) >= window)
+      .withColumn("fingerprint", minHashFingerprint(col(textCol), window))
+      .withColumn("n_windows", (length(col(textCol)) - lit(window - 1)).cast("long"))
+}
