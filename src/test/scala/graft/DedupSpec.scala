@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+
+/** Dedup operator specs: recall on planted near-duplicates, precision on
+  * unrelated docs. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 0/1: exact dups. 2/3: near-dups (one word changed). 4,5: unrelated.
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (2L, "pack my box with five dozen liquor jugs before the long winter storm arrives"),
+    (3L, "pack my box with five dozen liquor jugs before the cold winter storm arrives"),
+    (4L, "sphinx of black quartz judge my vow while wizards jump quickly at dawn"),
+    (5L, "completely different text about spark engines aggregating massive document corpora daily")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: duplicate content collapses to min id with count") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == 2L) // docs 0 and 1 share a hash, keep 0
+    assert(out.size == 5)
+  }
+
+  test("minhashLsh finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair must be found")
+    assert(pairs.contains((2L, 3L)), "near dup pair must be found")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "unrelated doc must not pair")
+  }
+
+  test("minhash jaccard values: 1.0 for identical docs, high for near dups") {
+    val j = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((2L, 3L)) > 0.5 && j((2L, 3L)) < 1.0)
+  }
+
+  test("simhashPairs: identical docs at hamming 0; near dups within budget; unrelated out") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(4))).toMap
+    assert(pairs.get((0L, 1L)).contains(0), "identical docs must have hamming 0")
+    pairs.get((2L, 3L)).foreach(h => assert(h <= 16))
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("ngramJaccardPairs with blocking") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val pairs = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", Seq("blk"), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("embeddingCosinePairs finds the planted near-identical vector pair") {
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (1L, 0, Array(0.99f, 0.01f, 0.0f)),
+      (2L, 0, Array(0.0f, 1.0f, 0.0f)),
+      (3L, 1, Array(1.0f, 0.0f, 0.0f)) // same vec, different block: must not pair
+    ).toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", Seq("label"), 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

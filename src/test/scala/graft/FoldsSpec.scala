@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.folds.{Aggregators, Folds, NamedAgg}
+import graft.mapreduce.{Assign, MapReduce, Reduce, Unpack}
+
+/** Fold-algebra specs (reference `Frames.Folds`; SURVEY §2.3.2) including
+  * the reference's one deterministic golden test and the distributed-fold
+  * laws (partition invariance = Aggregator merge correctness). */
+class FoldsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("reference golden fixture: null-skipping sums (AddRowsByLabel.hs:122-131,146-155)") {
+    // rows one..four with "NaN"/"lol" parse failures -> null cells
+    val rows = Seq[(String, java.lang.Double, java.lang.Double)](
+      ("A", 1.0, 2.0), ("Z", null, 3.0), ("A", 4.0, null), ("Z", 5.0, 6.0)
+    ).toDF("label", "x", "y")
+    val out = MapReduce(rows, Unpack.NoOp, Assign.SplitOnKeys(Seq("label")),
+      Reduce.FoldAndAddKey(Seq(
+        NamedAgg("x", sum(col("x"))), NamedAgg("y", sum(col("y"))))))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    // golden: {A, x 5.0, y 2.0}, {Z, x 5.0, y 9.0}
+    assert(out == Set(("A", 5.0, 2.0), ("Z", 5.0, 9.0)))
+  }
+
+  test("foldAllNumeric aggregates exactly the numeric columns (Folds.hs:219-225)") {
+    val df = Seq(("A", 1L, 2.0, true)).toDF("s", "l", "d", "b")
+    val aggs = Folds.foldAllNumeric(df.schema, sum, exclude = Nil)
+    assert(aggs.map(_.name) == Seq("l", "d"))
+  }
+
+  test("sequenceRecFold: multi-agg is one pass / one Aggregate node (Folds.hs:149-154)") {
+    val df = Seq(("A", 1.0), ("A", 3.0)).toDF("k", "v")
+    val out = MapReduce(df, Unpack.NoOp, Assign.SplitOnKeys(Seq("k")),
+      Reduce.FoldAndAddKey(Seq(
+        NamedAgg("s", sum(col("v"))), NamedAgg("m", max(col("v"))),
+        Folds.recFieldF("s2", sum, col("v") * col("v")))))
+    val plan = out.queryExecution.optimizedPlan.toString()
+    assert(plan.linesIterator.count(_.trim.startsWith("Aggregate")) == 1)
+    assert(out.collect().head.toSeq.tail == Seq(4.0, 3.0, 10.0))
+  }
+
+  test("Aggregator folds are partition-invariant (monoid merge law, Folds.hs:230-249)") {
+    val data = (1 to 100).map(i => (i % 7, i.toDouble, (i % 3 + 1).toDouble))
+    def run(parts: Int) = {
+      val df = data.toDF("k", "x", "w").repartition(parts)
+      val wm = Aggregators.asColumn(Aggregators.weightedMean, col("x"), col("w"))(
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+      df.groupBy("k").agg(wm.as("wm")).collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    }
+    val one = run(1)
+    val many = run(13)
+    assert(one.keySet == many.keySet)
+    one.foreach { case (k, v) => assert(math.abs(v - many(k)) < 1e-9) }
+  }
+
+  test("Aggregator weighted mean == native sum(x*w)/sum(w) (SURVEY §7.2)") {
+    val df = Seq((1, 2.0, 1.0), (1, 4.0, 3.0)).toDF("k", "x", "w")
+    val wm = Aggregators.asColumn(Aggregators.weightedMean, col("x"), col("w"))(
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+    val both = df.groupBy("k").agg(
+      wm.as("agg"), (sum(col("x") * col("w")) / sum(col("w"))).as("native")).collect().head
+    assert(math.abs(both.getDouble(1) - both.getDouble(2)) < 1e-12)
+  }
+
+  test("nullPoisoningSum: any null poisons the group (Folds/General.hs:260-273 semantics)") {
+    val df = Seq[(String, java.lang.Double)](
+      ("A", 1.0), ("A", null), ("B", 2.0), ("B", 3.0)).toDF("k", "v")
+    val ps = Aggregators.asColumn(Aggregators.nullPoisoningSum, col("v"))(Encoders.DOUBLE)
+    val out = df.groupBy("k").agg(ps.as("s")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("A").isEmpty)
+    assert(out("B").contains(5.0))
+  }
+
+  test("skipNulls lifts a fold over nullable input (filteredFold, Folds/General.hs:110-112)") {
+    val agg = Aggregators.skipNulls(Aggregators.monoidFold[java.lang.Double](
+      0.0, (a, b) => java.lang.Double.valueOf(a + b))(Encoders.DOUBLE))
+    val df = Seq[(String, java.lang.Double)](("A", 1.0), ("A", null), ("A", 2.0)).toDF("k", "v")
+    val out = df.groupBy("k")
+      .agg(Aggregators.asColumn(agg, col("v"))(Encoders.DOUBLE).as("s")).collect().head
+    assert(out.getDouble(1) == 3.0)
+  }
+
+  test("foldFrame: global aggregate without grouping") {
+    val df = Seq(1.0, 2.0, 3.0).toDF("v")
+    val out = Folds.foldFrame(df, Seq(NamedAgg("s", sum(col("v"))), NamedAgg("n", count(lit(1)))))
+    assert(out.collect().head.toSeq == Seq(6.0, 3L))
+  }
+}

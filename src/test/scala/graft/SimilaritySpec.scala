@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (4L, Array(1.0f, 0.05f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical=1, orthogonal=0") {
+    val out = vecs.as("a").join(vecs.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(out((0L, 0L)) - 1.0) < 1e-12)
+    assert(math.abs(out((0L, 2L))) < 1e-12)
+  }
+
+  test("bruteForceTopK: nearest neighbor of vec 0 is vec 4, then 1; self excluded") {
+    val queries = vecs.where(col("vec_id") === 0)
+    val out = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(4L, 1L))
+    assert(out.forall(_.getLong(0) == 0L))
+  }
+
+  test("hyperplane buckets: identical vectors share a bucket; weights are ±1") {
+    val w = Similarity.hyperplaneWeights(8, 4)
+    assert(w.flatten.forall(x => x == 1.0 || x == -1.0))
+    val dupes = Seq((0L, Array(0.5f, -0.2f, 0.9f, 0.1f)), (1L, Array(0.5f, -0.2f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val buckets = Similarity.withHyperplaneBuckets(dupes, "embedding", 8, 4)
+      .select("bucket").collect().map(_.getLong(0)).toSet
+    assert(buckets.size == 1)
+  }
+
+  test("lshTopK returns only same-bucket neighbors, ranked by cosine") {
+    val queries = vecs.where(col("vec_id") === 0)
+    val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(vecs, queries, "vec_id", "embedding", 4, planes = 4, dims = 4)
+      .collect()
+    // approximate: every returned neighbor must carry its exact cosine
+    lsh.foreach(r => assert(math.abs(r.getDouble(2) - brute(r.getLong(1))) < 1e-12))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streaming
+
+/** The batch-defined transforms running in true streaming execution
+  * (MemoryStream source, memory sink, watermarked state). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy implicit val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def ns(sec: Long): Long = sec * 1000000000L
+
+  test("windowedEventAgg over a stream: windows close when the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[(Long, String, Double)]
+    val events = source.toDF().toDF("ts", "event_type", "value")
+    val agg = Streaming.windowedEventAgg(events, "10 minutes", "5 minutes")
+
+    val q = agg.writeStream.format("memory").queryName("win_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData((ns(10), "click", 1.0), (ns(20), "click", 2.0), (ns(30), "view", 5.0))
+      q.processAllAvailable()
+      // advance event time far past watermark so the first window closes
+      source.addData((ns(7200), "click", 9.0))
+      q.processAllAvailable()
+      val closed = spark.table("win_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(closed == Set((0L, "click", 2L, 3.0), (0L, "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("windowedEventAgg: same definition gives same answer in batch mode") {
+    val batch = Seq((ns(10), "click", 1.0), (ns(20), "click", 2.0), (ns(700), "click", 7.0))
+      .toDF("ts", "event_type", "value")
+    val out = Streaming.windowedEventAgg(batch, "10 minutes", "5 minutes")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set((0L, 2L, 3.0), (600L, 1L, 7.0)))
+  }
+
+  test("streamingDedup drops in-stream duplicates within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, String, Double)]
+    val events = source.toDF().toDF("ts", "event_id", "event_type", "value")
+    val dedup = Streaming.streamingDedup(events, "10 minutes", Seq("event_id"))
+
+    val q = dedup.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData((ns(10), 1L, "click", 1.0), (ns(10), 1L, "click", 1.0), (ns(20), 2L, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 2)
+    } finally q.stop()
+  }
+
+  test("sessionize: per-user state machine (batch execution of mapGroupsWithState)") {
+    val events = Seq(
+      Streaming.SessionInput(1L, 100L, 1.0),
+      Streaming.SessionInput(1L, 160L, 2.0),
+      Streaming.SessionInput(2L, 100L, 5.0)).toDS()
+    val out = Streaming.sessionize(events, gapSeconds = 300)
+      .collect().map(s => s.user_id -> s).toMap
+    assert(out(1L).n_events == 2 && out(1L).sum_value == 3.0 && out(1L).span_s == 60L)
+    assert(out(2L).n_events == 1 && out(2L).span_s == 0L)
+  }
+}

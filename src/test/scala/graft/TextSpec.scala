@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.{TextAnalysis, TextFunctions}
+
+class TextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("wordShingles: n-grams of a token list") {
+    val out = Seq("a b c d").toDF("text")
+      .select(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(out == Seq("a b c", "b c d"))
+  }
+
+  test("jaccard: identical sets = 1.0, disjoint = 0.0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("c", "d"))).toDF("x", "y", "z")
+    val r = df.select(
+      TextFunctions.jaccard(col("x"), col("y")),
+      TextFunctions.jaccard(col("x"), col("z"))).collect().head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("minhashSignature is deterministic and k-long") {
+    val df = Seq("spark scala engine").toDF("text")
+    val sig = df.select(TextFunctions.minhashSignature(
+      TextFunctions.tokens(col("text")), 8).as("sig")).collect().head.getSeq[String](0)
+    assert(sig.length == 8)
+    assert(sig.forall(_.matches("[0-9a-f]{32}")))
+  }
+
+  test("simhash: equal inputs equal fingerprints; bits bounded") {
+    val df = Seq(("a b c a", "a b c a"), ("x y z w", "a b c a")).toDF("t1", "t2")
+    val rows = df.select(
+      TextFunctions.simhash(TextFunctions.tokens(col("t1")), 16),
+      TextFunctions.simhash(TextFunctions.tokens(col("t2")), 16)).collect()
+    assert(rows(0).getLong(0) == rows(0).getLong(1))
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < (1L << 16)))
+  }
+
+  test("languageId picks the language with most stopword hits") {
+    val out = TextAnalysis.languageId(
+      Seq((1L, "the cat and the dog of the house"),
+          (2L, "der hund und die katze ist ein tier")).toDF("doc_id", "text"), "text")
+      .select("doc_id", "predicted_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "de")
+  }
+
+  test("qualityScore produces bounded score and sane features") {
+    val out = TextAnalysis.qualityScore(
+      Seq((1L, "the quick brown fox is on a hill")).toDF("doc_id", "text"), "text")
+      .select("n_tokens", "mean_tok_len", "quality").collect().head
+    assert(out.getLong(0) == 8L)
+    assert(out.getDouble(1) == 25.0 / 8)
+    assert(out.getDouble(2) >= 0.0 && out.getDouble(2) <= 1.0)
+  }
+
+  test("tokenCounts: whitespace vs BPE-ish vs distinct") {
+    val out = TextAnalysis.tokenCounts(
+      Seq((1L, "hello world hello x9 !")).toDF("doc_id", "text"), "text").collect().head
+    assert(out.getAs[Long]("ws_tokens") == 5L)
+    // hello, world, hello, x, 9, ! -> 6 BPE-ish tokens
+    assert(out.getAs[Long]("bpe_tokens") == 6L)
+    assert(out.getAs[Long]("distinct_tokens") == 4L)
+  }
+
+  test("fingerprint: equal for equal text, different for different text") {
+    val out = TextAnalysis.fingerprint(
+      Seq((1L, "abcdefghijklmnopqrstuvwxyz"), (2L, "abcdefghijklmnopqrstuvwxyz"),
+          (3L, "zyxwvutsrqponmlkjihgfedcba")).toDF("doc_id", "text"), "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+}
