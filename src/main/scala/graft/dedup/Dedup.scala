@@ -59,15 +59,16 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(bands * rows == k, s"minhashLsh: bands*rows must equal k ($bands*$rows != $k)")
     val sh = shingleRows(df, idCol, textCol, shingleN)
-    val mh = sh
-      .select(col(idCol), col("shingle"), explode(sequence(lit(0), lit(k - 1))).as("seed"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(seededHash(col("shingle"), col("seed"))).as("mh"))
-    val bandKeys = mh
-      .groupBy(col(idCol), expr(s"seed div $rows").as("band"))
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("mh")))), x => x.getField("mh")),
-        "|")).as("band_key"))
+    // All k minhashes as parallel aggregates of ONE groupBy — a single
+    // partial-agg shuffle on doc id, no per-seed row explosion.
+    val sigCols = (0 until k).map(s =>
+      min(seededHash(col("shingle"), lit(s))).as(s"mh$s"))
+    val sig = sh.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    // Band keys as static column expressions (band b = seeds [b*rows, (b+1)*rows))
+    val bandKeyCols = (0 until bands).map(b =>
+      md5(concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)))
+    val bandKeys = sig.select(
+      col(idCol), posexplode(array(bandKeyCols: _*)).as(Seq("band", "band_key")))
     val a = bandKeys.select(col("band"), col("band_key"), col(idCol).as("id_a"))
     val b = bandKeys.select(col("band"), col("band_key"), col(idCol).as("id_b"))
     val cand = a.join(b, Seq("band", "band_key"))
@@ -91,20 +92,19 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
       bits: Int = 32, blockBits: Int = 16, maxHamming: Int = 3): DataFrame = {
     require(bits >= 1 && bits <= 32 && blockBits <= bits, "simhashPairs: need 1 <= blockBits <= bits <= 32")
-    // Same relational formulation as minhashLsh (see its scaladoc): one
-    // row per (doc, feature, bit), ±1 vote, two partial-agg shuffles.
+    // All per-bit ±1 vote sums as parallel aggregates of ONE groupBy on doc
+    // id (single partial-agg shuffle; the feature md5 is projected once
+    // before the aggregate so the 32 vote expressions share it).
     val hiHex = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit)
-    val votes = shingleRows(df, idCol, textCol, shingleN)
+    val voteCols = (1 to bits).map(i =>
+      sum(when(substring(col("h"), i, 1).isin(hiHex: _*), 1).otherwise(-1)).as(s"v$i"))
+    val fps = shingleRows(df, idCol, textCol, shingleN)
       .select(col(idCol), md5(col("shingle")).as("h"))
-      .select(col(idCol), explode(sequence(lit(1), lit(bits))).as("i"), col("h"))
-      .select(col(idCol), col("i"),
-        when(col("h").substr(col("i"), lit(1)).isin(hiHex: _*), 1).otherwise(-1).as("vote"))
-      .groupBy(col(idCol), col("i"))
-      .agg(sum(col("vote")).as("v"))
-    val fps = votes
       .groupBy(col(idCol))
-      .agg(sum(when(col("v") > 0, expr("shiftleft(cast(1 as bigint), i - 1)"))
-        .otherwise(lit(0L))).as("fp"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col(idCol),
+        (1 to bits).map(i => when(col(s"v$i") > 0, lit(1L << (i - 1))).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
       .withColumn("block", shiftright(col("fp"), bits - blockBits))
     val a = fps.select(col("block"), col(idCol).as("id_a"), col("fp").as("fp_a"))
     val b = fps.select(col("block"), col(idCol).as("id_b"), col("fp").as("fp_b"))
@@ -138,13 +138,18 @@ object Dedup {
   def embeddingCosinePairs(
       df: DataFrame, idCol: String, vecCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
-    val t = df.select(col(idCol) +: col(vecCol) +: blockCols.map(col): _*)
-    val a = t.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col(vecCol).as("v_a"): _*)
-    val b = t.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ col(vecCol).as("v_b"): _*)
+    import graft.similarity.Similarity.{dot, l2Norm}
+    // norms once per vector before the pairwise join, not once per pair
+    val t = df.select(col(idCol) +: col(vecCol) +: l2Norm(col(vecCol)).as("nrm") +:
+      blockCols.map(col): _*)
+    val a = t.select(blockCols.map(col) :+ col(idCol).as("id_a")
+      :+ col(vecCol).as("v_a") :+ col("nrm").as("nrm_a"): _*)
+    val b = t.select(blockCols.map(col) :+ col(idCol).as("id_b")
+      :+ col(vecCol).as("v_b") :+ col("nrm").as("nrm_b"): _*)
     a.join(b, blockCols)
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        graft.similarity.Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+        (dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

@@ -28,10 +28,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product in index order: Σ a[i]·b[i], double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Elementwise dot product in index order: Σ a[i]·b[i], double — a
+    * codegen'd native expression ([[graft.functions.DotProduct]]), not an
+    * interpreted higher-order function: it sits inside pairwise joins. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -55,10 +55,7 @@ object Similarity {
   /** Bucket id in [0, 2^planes): bit p set iff dot(v, plane_p) > 0. */
   def hyperplaneBucket(vec: Column, weights: Array[Array[Double]]): Column =
     weights.zipWithIndex.map { case (w, p) =>
-      val proj = aggregate(
-        zip_with(vec, typedlit(w.toSeq), (x, wi) => x.cast("double") * wi),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(vec, typedlit(w.toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   def withHyperplaneBuckets(
@@ -72,11 +69,14 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    // norms once per vector BEFORE the pairwise join, not once per pair
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+      l2Norm(col(vecCol)).as("n_norm"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_vec"), col("n_vec")).as("cosine"))
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -92,13 +92,15 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int, dims: Int): DataFrame = {
     val cb = withHyperplaneBuckets(corpus, vecCol, planes, dims)
-      .select(col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+      .select(col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+        l2Norm(col(vecCol)).as("n_norm"))
     val qb = withHyperplaneBuckets(queries, vecCol, planes, dims)
-      .select(col("bucket"), col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .select(col("bucket"), col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        l2Norm(col(vecCol)).as("q_norm"))
     val scored = cb.join(broadcast(qb), "bucket")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_vec"), col("n_vec")).as("cosine"))
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
