@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType, StructType}
+
+/** Sources/sinks. The reference's only ingestion path is CSV parsing where
+  * a cell that fails to parse becomes a null (`F.readRec`,
+  * `/root/reference/examples/AddRowsByLabel.hs:146-155`: `"NaN"` and
+  * `"lol"` both fail `Double` parsing and become `Nothing`). Everything
+  * else here is the Spark-native source/sink surface the engine runs on.
+  */
+object Sources {
+
+  /** CSV with the reference's bad-cell semantics: PERMISSIVE mode turns
+    * malformed cells into nulls, and (by default) IEEE sentinels
+    * "NaN"/"Infinity" also become null — Haskell's `read @Double` rejects
+    * them, which is what the reference's golden fixture pins ("NaN" →
+    * `Nothing`). Java's `parseDouble` accepts them, so the strict variant
+    * nulls non-finite values after the parse (a codegen'd projection, not
+    * a per-cell UDF). Set `ieeeSpecials = true` for Spark-native behavior. */
+  def readCsvNullable(
+      spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = false, ieeeSpecials: Boolean = false): DataFrame = {
+    val parsed = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("header", header.toString)
+      .csv(path)
+    if (ieeeSpecials) parsed
+    else {
+      def finiteOrNull(c: Column) =
+        when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity,
+          lit(null)).otherwise(c)
+      val cols = schema.fields.toIndexedSeq.map { f =>
+        f.dataType match {
+          case DoubleType | FloatType => finiteOrNull(col(f.name)).as(f.name)
+          case _ => col(f.name)
+        }
+      }
+      parsed.select(cols: _*)
+    }
+  }
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Partitioned parquet sink — the layout that makes downstream reads
+    * prune partitions (`PartitionFilters` in the scan) at 100 TB. */
+  def writePartitioned(
+      df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** Bucketed table sink: pre-shuffles by `bucketCols` so equi-joins and
+    * aggregations on those keys skip their shuffle entirely (the
+    * co-located-join strategy for repeated 100 TB joins). Requires a
+    * table name (bucketing metadata lives in the catalog). */
+  def writeBucketed(
+      df: DataFrame, table: String, buckets: Int, bucketCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+}

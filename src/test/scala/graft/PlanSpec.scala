@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{ExtensionQueries, ParityQueries}
+
+/** Physical-plan assertions — the "would this survive 100 TB" properties,
+  * checked mechanically: filters reach the parquet scan, scans read only
+  * referenced columns, dimension joins broadcast, nothing degenerates to a
+  * cartesian product, the hot aggregations stay in whole-stage codegen. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String): DataFrame = {
+    val all = (ParityQueries.all ++ ExtensionQueries.all).map(x => x.name -> x.fn).toMap
+    all(name)(spark, sf)
+  }
+  /** Executes the frame first so AQE finalizes stage plans — codegen
+    * stages then appear as `*(n)` markers in the tree string. Keeps only
+    * the final plan (the adaptive tree string repeats the initial one). */
+  private def plan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString().split("== Initial Plan ==").head
+  }
+
+  test("q1 flagship: filter pushed down to the parquet scan") {
+    val p = plan(q("q1_flagship"))
+    assert(p.contains("PushedFilters: [In(l_returnflag"), s"missing pushdown:\n$p")
+  }
+
+  test("q1 flagship: scan reads only referenced columns (column pruning)") {
+    val p = plan(q("q1_flagship"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_orderkey"),
+      s"scan reads unreferenced columns: $readSchema")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_discount"))
+  }
+
+  test("q1 flagship: partial aggregation before the shuffle (two HashAggregates)") {
+    val p = plan(q("q1_flagship"))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) == 2, p)
+    assert(p.contains("*("), s"no whole-stage codegen stage in plan:\n$p")
+  }
+
+  test("multi-agg queries compile to a single Aggregate (one shuffle, one pass)") {
+    for (name <- Seq("q2_weighted_mean", "q4_fold_all_numeric", "q14_merge_data_folds")) {
+      val exchanges = plan(q(name)).linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 2, s"$name shuffles more than once (AQE stages: $exchanges)")
+    }
+  }
+
+  test("x1 star join: dimensions broadcast, fact side never shuffled for the join") {
+    val p = plan(q("x1_star_join"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dimension join degenerated to SMJ:\n$p")
+  }
+
+  test("s1 brute-force topk: query side broadcast, no cartesian product") {
+    val p = plan(q("s1_ann_bruteforce_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), s"ANN degenerated to cartesian:\n$p")
+  }
+
+  test("dedup candidate joins are equi-joins on bucket keys, never cartesian") {
+    for (name <- Seq("d3_dedup_minhash_lsh", "d4_dedup_simhash", "d2_dedup_ngram_jaccard")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$name pair join is not an equi-join:\n$p")
+    }
+  }
+
+  test("st1 windowed events: aggregation is partial (map-side combine) on nanos source") {
+    val p = plan(q("st1_windowed_events"))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
+  test("custom DotProduct participates in whole-stage codegen") {
+    val p = plan(q("d5_dedup_embedding_cosine"))
+    assert(p.contains("graft_dot") || p.contains("DotProduct"), p)
+    assert(p.contains("*("), s"no whole-stage codegen stage in plan:\n$p")
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.folds.NamedAgg
+import graft.mapreduce.{Assign, MapReduce, Reduce, Unpack}
+import graft.sources.Sources
+
+/** The reference's end-to-end golden example, from raw CSV text to the
+  * published output (`AddRowsByLabel.hs:122-131` nullable rows): bad cells
+  * parse to null, sums skip them. */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("label", StringType), StructField("x", DoubleType),
+    StructField("y", DoubleType)))
+
+  private def writeCsv(rows: String): String = {
+    val dir = Files.createTempDirectory("graft_csv")
+    Files.writeString(dir.resolve("data.csv"), rows)
+    dir.toString
+  }
+
+  test("golden end-to-end: CSV bad cells -> null -> null-skipping group sums") {
+    // the reference fixture verbatim (AddRowsByLabel.hs:146-155)
+    val path = writeCsv("A,1,2\nZ,NaN,3\nA,4,lol\nZ,5,6\n")
+    val df = Sources.readCsvNullable(spark, path, schema)
+    val out = MapReduce(df, Unpack.NoOp, Assign.SplitOnKeys(Seq("label")),
+      Reduce.FoldAndAddKey(Seq(NamedAgg("x", sum(col("x"))), NamedAgg("y", sum(col("y"))))))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    // golden output: {A, x 5.0, y 2.0}, {Z, x 5.0, y 9.0}
+    assert(out == Set(("A", 5.0, 2.0), ("Z", 5.0, 9.0)))
+  }
+
+  test("ieeeSpecials flag restores Spark's native NaN parsing") {
+    val path = writeCsv("A,NaN,1\n")
+    val strict = Sources.readCsvNullable(spark, path, schema).collect().head
+    assert(strict.isNullAt(1))
+    val ieee = Sources.readCsvNullable(spark, path, schema, ieeeSpecials = true).collect().head
+    assert(ieee.getDouble(1).isNaN)
+  }
+
+  test("partitioned parquet sink enables partition pruning on read") {
+    val dir = Files.createTempDirectory("graft_parq").toString + "/t"
+    import spark.implicits._
+    Sources.writePartitioned(
+      Seq(("A", 1.0), ("B", 2.0), ("A", 3.0)).toDF("k", "v"), dir, Seq("k"))
+    val pruned = Sources.readParquet(spark, dir).where(col("k") === "A")
+    val scan = pruned.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters") && scan.contains("isnotnull(k"))
+    assert(pruned.count() == 2)
+  }
+}
