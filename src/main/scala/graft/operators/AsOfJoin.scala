@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of (point-in-time) join — the canonical "operator Spark
+  * lacks", composed from built-ins (preference order (a) of the build
+  * brief): for every left row, attach the latest right row with the same
+  * key whose time is ≤ the left row's time. The backbone of
+  * feature-generation pipelines ("state of the account when the event
+  * happened").
+  *
+  * Algorithm (the scalable formulation — NOT a range join, which explodes
+  * to |left|·|right-per-key| intermediates):
+  *   1. tag both sides and union them on (key, time, side);
+  *   2. one shuffle on key, one in-partition sort by (time, side, tie);
+  *   3. running `last(payload, ignoreNulls)` carries the most recent
+  *      right payload forward; right rows sort before left rows at equal
+  *      times (side 0 < 1) so "≤" is inclusive;
+  *   4. keep left rows.
+  * Cost: one shuffle per side + a linear window pass — the same plan
+  * shape at 100 TB, with skewed keys handled by AQE or pre-salting.
+  */
+object AsOfJoin {
+
+  /** @param left        event/probe side (all its columns are kept)
+    * @param right       state/quote side
+    * @param leftKey     equality key column on `left`
+    * @param rightKey    equality key column on `right`
+    * @param leftTime    epoch-comparable time column on `left`
+    * @param rightTime   epoch-comparable time column on `right`
+    * @param rightPayload right columns to attach (must not collide with
+    *                    left column names)
+    * @param rightTieBreak orders right rows sharing (key, time); the LAST
+    *                    by this ordering wins (deterministic results)
+    */
+  def backward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String], rightTieBreak: Seq[String] = Nil): DataFrame = {
+    require(rightPayload.nonEmpty, "asOf: need at least one right payload column")
+    val collisions = rightPayload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"asOf: right payload collides with left columns: $collisions")
+
+    val rightTypes = right.schema
+    val tieCols = rightTieBreak.map(c => s"__tie_$c")
+
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime).cast("double"))
+      .withColumn("__side", lit(1))
+    val lPadded = (rightPayload.map(c => c -> rightTypes(c)) ++
+      rightTieBreak.map(c => s"__tie_$c" -> rightTypes(c)))
+      .foldLeft(l) { case (df, (name, f)) =>
+        df.withColumn(name, lit(null).cast(f.dataType))
+      }
+
+    val r = right.select(
+      col(rightKey).as("__k") +:
+        col(rightTime).cast("double").as("__t") +:
+        lit(0).as("__side") +:
+        rightPayload.map(col) ++:
+        rightTieBreak.map(c => col(c).as(s"__tie_$c")): _*)
+    val rPadded = left.columns.foldLeft(r)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    val unioned = lPadded.unionByName(rPadded)
+    val w = Window.partitionBy("__k")
+      .orderBy((col("__t").asc +: col("__side").asc +: tieCols.map(col(_).asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightPayload.foldLeft(unioned)((df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+
+    carried
+      .where(col("__side") === 1)
+      .drop("__k", "__t", "__side")
+      .drop(tieCols: _*)
+  }
+}

@@ -3,8 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
+import graft.operators.AsOfJoin
 import graft.similarity.Similarity
 import graft.streaming.Streaming
 import graft.text.{TextAnalysis, TextFunctions}
@@ -137,6 +140,37 @@ object ExtensionQueries {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** As-of join: each event picks up the latest order of the same
+    * customer at or before the event time (point-in-time features). */
+  private def x2(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000000000").as("event_s"))
+    val o = table(s, dir, "orders")
+      .select(col("o_custkey"), unix_timestamp(col("o_orderdate")).as("order_s"),
+        col("o_orderkey"), col("o_totalprice"))
+    AsOfJoin.backward(e, o, "user_id", "o_custkey", "event_s", "order_s",
+      rightPayload = Seq("o_orderkey", "o_totalprice"), rightTieBreak = Seq("o_orderkey"))
+      .select("event_id", "user_id", "event_s", "o_orderkey", "o_totalprice")
+  }
+
+  /** Hierarchical subtotals via rollup (grouping sets). */
+  private def x3(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Window analytics: per-customer running spend + order sequence. */
+  private def x4(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    table(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(col("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("running_spend"),
+      row_number().over(w).as("order_seq"))
   }
 
   // ---------------------------------------------------------------- oracle
@@ -336,6 +370,32 @@ object ExtensionQueries {
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
-      GROUP BY n_name"""))
+      GROUP BY n_name""")),
+
+    Q("x2_asof_join", x2, Some("""
+      SELECT event_id, user_id, event_s, o_orderkey, o_totalprice FROM (
+        SELECT e.event_id, e.user_id,
+          epoch_ns(e.ts) // 1000000000 AS event_s,
+          o.o_orderkey, o.o_totalprice,
+          row_number() OVER (PARTITION BY e.event_id
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e LEFT JOIN orders o
+          ON e.user_id = o.o_custkey
+          AND epoch(o.o_orderdate) <= epoch_ns(e.ts) // 1000000000)
+      WHERE rn = 1""")),
+
+    Q("x3_rollup", x3, Some("""
+      SELECT l_returnflag, l_linestatus,
+        sum(l_quantity) AS sum_qty, count(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    Q("x4_window_running", x4, Some("""
+      SELECT o_custkey, o_orderkey,
+        sum(o_totalprice) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey) AS order_seq
+      FROM orders"""))
   )
 }
