@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up probe (dev tool, not part of the driver contract): replicates
+  * the sf0.1 tables 10× into /tmp with shifted keys/mutated text, then
+  * times headline operators at 1× and 10× to expose super-linear behavior
+  * before it bites at 100 TB. Run: `sbt "runMain graft.ScaleProbe"`. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val big = "/tmp/graft_sf1"
+
+    def replicate(table: String, idCols: Seq[String], textCol: Option[String]): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val copies = (0 until 10).map { i =>
+        val shifted = idCols.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(i * 10000000L)))
+        textCol.fold(shifted)(t =>
+          shifted.withColumn(t, concat(col(t), lit(s" copytag$i"))))
+      }
+      copies.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$big/$table.parquet")
+    }
+    replicate("lineitem", Seq("l_orderkey"), None)
+    replicate("orders", Seq("o_orderkey"), None)
+    replicate("documents", Seq("doc_id"), Some("text"))
+    replicate("embeddings", Seq("vec_id"), None)
+    spark.read.parquet(s"$src/customer.parquet").write.mode("overwrite")
+      .parquet(s"$big/customer.parquet")
+    spark.read.parquet(s"$src/nation.parquet").write.mode("overwrite")
+      .parquet(s"$big/nation.parquet")
+    spark.read.parquet(s"$src/events.parquet").write.mode("overwrite")
+      .parquet(s"$big/events.parquet")
+
+    val probes = Seq("q1_flagship", "d1_dedup_exact", "d3_dedup_minhash_lsh",
+      "d4_dedup_simhash", "s1_ann_bruteforce_topk", "x1_star_join", "x4_window_running")
+    def time(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    probes.foreach(n => time(src, n))
+    println(f"${"query"}%-26s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
+    probes.foreach { n =>
+      val t1 = time(src, n)
+      val t10 = time(big, n)
+      println(f"PROBE $n%-26s $t1%8.2f $t10%8.2f ${t10 / t1}%6.1f")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,33 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProduct
+
+/** `SparkSessionExtensions` entry point: registers graft's custom Catalyst
+  * expressions with the SQL function registry, so `spark.sql(...)` and
+  * `expr(...)` callers get them too (not just the Column API).
+  *
+  * Activate per session with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  *
+  * Note on custom logical plans/strategies: the build deliberately ships
+  * NONE — SURVEY §7.3/§4.2 found every reference operator and every
+  * extension expressible through built-in operators (composition first,
+  * custom `Expression` second). This class is the hook where a
+  * `Rule[LogicalPlan]` or `SparkStrategy` would be injected if a future
+  * operator genuinely needed one. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_dot takes 2 arguments, got ${args.length}")
+        DotProduct(args.head, args(1))
+      }))
+  }
+}

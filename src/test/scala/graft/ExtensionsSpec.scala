@@ -1,0 +1,23 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("graft_dot is callable from SQL via SparkSessionExtensions") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("graft_dot null propagation and length mismatch (min length) semantics") {
+    val rows = spark.sql(
+      "SELECT graft_dot(CAST(NULL AS array<double>), array(1.0d)) AS n, " +
+        "graft_dot(array(1.0d, 2.0d), array(3.0d)) AS short")
+      .collect().head
+    assert(rows.isNullAt(0))
+    assert(rows.getDouble(1) == 3.0)
+  }
+}
