@@ -173,6 +173,20 @@ object ExtensionQueries {
       row_number().over(w).as("order_seq"))
   }
 
+  /** End-to-end pipeline composition: quality-score → filter → language-ID
+    * → per-language corpus stats. One narrow projection chain + one
+    * aggregation; demonstrates that the operator surfaces compose into a
+    * curation pipeline without materialization barriers. */
+  private def p1(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScore(table(s, dir, "documents"), "text")
+    val kept = scored.where(col("quality") >= 0.55)
+    TextAnalysis.languageId(kept, "text")
+      .groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("quality")).as("avg_quality"),
+        sum(col("n_tokens")).as("sum_tokens"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val hiHex = "('8','9','a','b','c','d','e','f')"
@@ -388,6 +402,39 @@ object ExtensionQueries {
       SELECT l_returnflag, l_linestatus,
         sum(l_quantity) AS sum_qty, count(*) AS n
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    Q("p1_curation_pipeline", p1, Some("""
+      WITH scored AS (
+        SELECT doc_id, text,
+          len(string_split(text, ' '))::BIGINT AS n_tokens,
+          0.4 * least((len(list_filter(string_split(text, ' '), t ->
+              list_contains(['the','a','of','and','to','in','is'], t)))::DOUBLE
+              / len(string_split(text, ' '))) * 5.0, 1.0)
+            + 0.3 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+              / length(text))
+            + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0) AS quality
+        FROM documents),
+      kept AS (SELECT * FROM scored WHERE quality >= 0.55),
+      langed AS (
+        SELECT *,
+          CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+               WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+               WHEN fr_hits >= es_hits THEN 'fr'
+               ELSE 'es' END AS predicted_lang
+        FROM (
+          SELECT doc_id, n_tokens, quality,
+            len(list_filter(string_split(text, ' '), t ->
+              list_contains(['the','a','of','and','to','in','is'], t))) AS en_hits,
+            len(list_filter(string_split(text, ' '), t ->
+              list_contains(['der','die','das','und','ist','ein'], t))) AS de_hits,
+            len(list_filter(string_split(text, ' '), t ->
+              list_contains(['le','la','les','et','est','un'], t))) AS fr_hits,
+            len(list_filter(string_split(text, ' '), t ->
+              list_contains(['el','la','los','y','es','un'], t))) AS es_hits
+          FROM kept))
+      SELECT predicted_lang, count(*) AS n_docs,
+        avg(quality) AS avg_quality, sum(n_tokens) AS sum_tokens
+      FROM langed GROUP BY predicted_lang""")),
 
     Q("x4_window_running", x4, Some("""
       SELECT o_custkey, o_orderkey,

@@ -250,6 +250,18 @@ object ParityQueries {
       .agg(poisoned.as("sum_poisoned"), count(lit(1)).as("n_rows"))
   }
 
+  /** q18: foldAll — one unconstrained endo-fold applied to EVERY data
+    * column, keeping names (reference `src/Frames/Folds.hs:198-206`; the
+    * docs' canonical example is a last/max-style fold). Exercises mixed
+    * types: longs, doubles, timestamp, string. */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+    val assign = Assign.SplitOnKeys(Seq("o_orderstatus"))
+    val (_, data) = assign.resolve(o.schema)
+    MapReduce(o, Unpack.NoOp, assign,
+      Reduce.FoldAndAddKey(Folds.foldAll(StructType(data.map(o.schema(_))), max)))
+  }
+
   def all: Seq[Q] = Seq(
     Q("q1_flagship", q1, Some("""
       SELECT l_returnflag, l_linestatus,
@@ -349,6 +361,14 @@ object ParityQueries {
         CASE WHEN count(*) = count(CASE WHEN value < 20.0 THEN NULL ELSE value END)
              THEN sum(value) ELSE NULL END AS sum_poisoned,
         count(*) AS n_rows
-      FROM events GROUP BY event_type"""))
+      FROM events GROUP BY event_type""")),
+    Q("q18_fold_all", q18, Some("""
+      SELECT o_orderstatus,
+        max(o_orderkey) AS o_orderkey,
+        max(o_custkey) AS o_custkey,
+        max(o_totalprice) AS o_totalprice,
+        max(o_orderdate) AS o_orderdate,
+        max(o_orderpriority) AS o_orderpriority
+      FROM orders GROUP BY o_orderstatus"""))
   )
 }
