@@ -42,8 +42,10 @@ object ScaleProbe {
     spark.read.parquet(s"$src/events.parquet").write.mode("overwrite")
       .parquet(s"$big/events.parquet")
 
-    val probes = Seq("q1_flagship", "d1_dedup_exact", "d3_dedup_minhash_lsh",
-      "d4_dedup_simhash", "s1_ann_bruteforce_topk", "x1_star_join", "x4_window_running")
+    val probes = Seq("q1_flagship", "d1_dedup_exact", "d2_dedup_ngram_jaccard",
+      "d3_dedup_minhash_lsh", "d4_dedup_simhash", "d5_dedup_embedding_cosine",
+      "s1_ann_bruteforce_topk", "s2_ann_lsh_topk", "x1_star_join",
+      "x2_asof_join", "x4_window_running")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()

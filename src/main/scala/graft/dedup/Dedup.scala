@@ -116,18 +116,45 @@ object Dedup {
   }
 
   /** Token-set (word 1-gram) Jaccard near-dup pairs within blocking-key
-    * groups — the exact-similarity baseline the probabilistic variants are
-    * judged against. O(block²), so `blockCols` must bound block sizes;
-    * use [[minhashLsh]] when no natural blocking exists. */
+    * groups, EXACT result, via prefix filtering (the AllPairs/PPJoin
+    * family, public literature): two sets with Jaccard ≥ t must share at
+    * least one of the first `|x| - ⌈t·|x|⌉ + 1` tokens when every set is
+    * sorted by a global token order (rarest first). So candidates are
+    * generated by an equi-join on (block, prefix-token) — an inverted
+    * index over prefixes only — instead of the O(block²) cross product,
+    * and survivors are verified with the exact Jaccard. Same result set
+    * as the naive blocked pairwise join (the driver oracle pins that),
+    * linear-ish candidates at scale.
+    *
+    * Rarest-first ordering makes prefixes maximally selective: the global
+    * frequency pass is one aggregate + one join, both on the uniform
+    * token key. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
-    val t = df.select((col(idCol) +: blockCols.map(col)) :+
+    val base = df.select((col(idCol) +: blockCols.map(col)) :+
       distinctTokens(col(textCol)).as("toks"): _*)
-    val a = t.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col("toks").as("toks_a"): _*)
-    val b = t.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ col("toks").as("toks_b"): _*)
-    a.join(b, blockCols)
+    val tokRows = base.select(col(idCol) +: blockCols.map(col) :+
+      explode(col("toks")).as("tok"): _*)
+    val freq = tokRows.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    // per-doc tokens sorted rarest-first (freq asc, token asc for determinism)
+    val sorted = tokRows.join(freq, "tok")
+      .groupBy(col(idCol) +: blockCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("freq"), col("tok")))).as("ft"))
+      .select(col(idCol) +: blockCols.map(col) :+
+        transform(col("ft"), x => x.getField("tok")).as("toks") :+
+        size(col("ft")).as("n"): _*)
+    // prefix length |x| - ceil(t*|x|) + 1
+    val prefLen = (col("n") - ceil(col("n") * lit(threshold)) + lit(1)).cast("int")
+    val prefixes = sorted.select(col(idCol) +: blockCols.map(col) :+ col("toks") :+
+      explode(slice(col("toks"), lit(1), prefLen)).as("ptok"): _*)
+    val joinKeys = blockCols :+ "ptok"
+    val a = prefixes.select(joinKeys.map(col) :+ col(idCol).as("id_a") :+ col("toks").as("toks_a"): _*)
+    val b = prefixes.select(joinKeys.map(col) :+ col(idCol).as("id_b") :+ col("toks").as("toks_b"): _*)
+    a.join(b, joinKeys)
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("toks_a"), col("toks_b"))
+      .distinct()
       .select(col("id_a"), col("id_b"), jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
