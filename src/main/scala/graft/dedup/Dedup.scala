@@ -146,15 +146,21 @@ object Dedup {
         size(col("ft")).as("n"): _*)
     // prefix length |x| - ceil(t*|x|) + 1
     val prefLen = (col("n") - ceil(col("n") * lit(threshold)) + lit(1)).cast("int")
-    val prefixes = sorted.select(col(idCol) +: blockCols.map(col) :+ col("toks") :+
+    val prefixes = sorted.select(col(idCol) +: blockCols.map(col) :+
       explode(slice(col("toks"), lit(1), prefLen)).as("ptok"): _*)
     val joinKeys = blockCols :+ "ptok"
-    val a = prefixes.select(joinKeys.map(col) :+ col(idCol).as("id_a") :+ col("toks").as("toks_a"): _*)
-    val b = prefixes.select(joinKeys.map(col) :+ col(idCol).as("id_b") :+ col("toks").as("toks_b"): _*)
-    a.join(b, joinKeys)
+    val a = prefixes.select(joinKeys.map(col) :+ col(idCol).as("id_a"): _*)
+    val b = prefixes.select(joinKeys.map(col) :+ col(idCol).as("id_b"): _*)
+    // distinct bare id pairs, then attach token sets for verification —
+    // token arrays never ride through the candidate join/distinct
+    val cand = a.join(b, joinKeys)
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("toks_a"), col("toks_b"))
+      .select("id_a", "id_b")
       .distinct()
+    val sets = sorted.select(col(idCol), col("toks"))
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
