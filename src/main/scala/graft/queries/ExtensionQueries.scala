@@ -187,6 +187,30 @@ object ExtensionQueries {
         sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  /** Exact interpolated percentiles per group (corpus statistics for
+    * pipeline monitoring) — `percentile` is Spark's exact variant, so the
+    * oracle (`quantile_cont`) matches to float tolerance. At 100 TB switch
+    * to `percentile_approx` (t-digest, mergeable, one pass). */
+  private def t5(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"))
+
+  /** Anti join: customers with no high-value order (set difference by
+    * key; the filter is pushed below the join build side). */
+  private def x5(s: SparkSession, dir: String): DataFrame = {
+    val c = table(s, dir, "customer")
+    val o = table(s, dir, "orders")
+      .where(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_never_ordered"), min(col("c_custkey")).as("min_custkey"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val hiHex = "('8','9','a','b','c','d','e','f')"
@@ -385,6 +409,19 @@ object ExtensionQueries {
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name""")),
+
+    Q("t5_percentiles", t5, Some("""
+      SELECT event_type, count(*) AS n,
+        quantile_cont(value, 0.5) AS p50,
+        quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type""")),
+
+    Q("x5_anti_join", x5, Some("""
+      SELECT c_mktsegment, count(*) AS n_never_ordered, min(c_custkey) AS min_custkey
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      GROUP BY c_mktsegment""")),
 
     Q("x2_asof_join", x2, Some("""
       SELECT event_id, user_id, event_s, o_orderkey, o_totalprice FROM (

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.operators.AsOfJoin
+
+/** Randomized equivalence: the distributed as-of join must agree with a
+  * per-row brute-force reference on arbitrary data (keys, times, ties). */
+object AsOfJoinProps extends Properties("AsOfJoin") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private val keyGen = Gen.oneOf("A", "B", "C")
+  private val leftGen = Gen.nonEmptyListOf(Gen.zip(keyGen, Gen.choose(0L, 30L)))
+  private val rightGen = Gen.nonEmptyListOf(
+    Gen.zip(keyGen, Gen.choose(0L, 30L), Gen.choose(0L, 99L)))
+
+  property("backward as-of == brute-force latest-at-or-before with max-ref tie-break") =
+    Prop.forAll(leftGen, rightGen) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("event_id", "k", "t")
+      val right = rs.toDF("rk", "rt", "ref")
+      val got = AsOfJoin.backward(left, right, "k", "rk", "t", "rt",
+        rightPayload = Seq("ref"), rightTieBreak = Seq("ref"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val matches = rs.filter(r => r._1 == k && r._2 <= t)
+        i.toLong -> (if (matches.isEmpty) None
+                     else Some(matches.map(r => (r._2, r._3)).max._2))
+      }.toMap
+      got == want
+    }
+}
