@@ -165,6 +165,48 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Duplicate-cluster canonicalization: given near-dup PAIRS, compute
+    * connected components and label every member with the minimum id of
+    * its cluster — the id to keep. Standard min-label propagation: each
+    * iteration is one equi-join + one min-aggregate, labels converge in
+    * O(log diameter) rounds (near-dup graphs are shallow). Lineage is
+    * truncated per round (`localCheckpoint`) so plans stay bounded; data
+    * never leaves the cluster, the driver only orchestrates rounds.
+    * Returns (id, canonical_id) for every id appearing in `pairs`. */
+  def canonicalize(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val next = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("lab"))
+        .unionAll(labels)
+        .groupBy("id").agg(min("lab").as("lab"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lab", "old"), "id")
+        .where(col("lab") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("lab").as("canonical_id"))
+  }
+
+  /** The dedup endgame: drop every row whose id is a non-canonical member
+    * of a near-dup cluster (keep the minimum id per cluster; rows not in
+    * any pair are kept). */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = canonicalize(pairs)
+      .where(col("id") =!= col("canonical_id"))
+      .select(col("id").as("__loser"))
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
   /** Embedding cosine near-dup pairs within blocking-key groups (brute
     * force within block; for unblocked corpora use the hyperplane-LSH
     * bucketing in [[graft.similarity.Similarity]]). */

@@ -63,6 +63,12 @@ object ExtensionQueries {
     Dedup.simhashPairs(mutatedCorpus(s, dir), "doc_id", "text",
       shingleN = 3, bits = 32, blockBits = 16, maxHamming = 3)
 
+  /** Pairs → duplicate clusters → canonical (keep) id per member. */
+  private def d6(s: SparkSession, dir: String): DataFrame =
+    Dedup.canonicalize(
+      Dedup.minhashLsh(mutatedCorpus(s, dir), "doc_id", "text",
+        shingleN = 3, k = 12, bands = 4, rows = 3, threshold = 0.5))
+
   private def d5(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(table(s, dir, "embeddings"),
       "vec_id", "embedding", blockCols = Seq("label"), threshold = 0.4)
@@ -291,6 +297,39 @@ object ExtensionQueries {
       FROM fps a JOIN fps b
         ON a.fp >> 16 = b.fp >> 16 AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.fp, b.fp)) <= 3""")),
+
+    Q("d6_dedup_clusters", d6, Some(s"""
+      WITH RECURSIVE $corpusSql,
+      docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+             FROM docs WHERE len(ws) >= 3),
+      ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      mh AS (SELECT doc_id, seed, min(md5(shingle || '#' || seed::VARCHAR)) AS mh
+             FROM ex, (SELECT unnest(range(12)) AS seed)
+             GROUP BY doc_id, seed),
+      bands AS (SELECT doc_id, seed // 3 AS band,
+                  md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+                FROM mh GROUP BY doc_id, seed // 3),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT id_a, id_b FROM (
+          SELECT c.id_a, c.id_b,
+            len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b)
+        WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      walk AS (
+        SELECT src AS id, src AS lab FROM edges
+        UNION
+        SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id)
+      SELECT id, min(lab) AS canonical_id FROM walk GROUP BY id""")),
 
     Q("d5_dedup_embedding_cosine", d5, Some(s"""
       SELECT id_a, id_b, cosine FROM (
