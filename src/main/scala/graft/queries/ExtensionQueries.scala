@@ -217,6 +217,30 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_never_ordered"), min(col("c_custkey")).as("min_custkey"))
   }
 
+  /** Deterministic stratified sampling: n rows per group, selected by a
+    * content hash order (reproducible across runs/engines — the property
+    * that matters for training-data subsampling audits). */
+  private def x6(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+    table(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .drop("rn")
+  }
+
+  /** Corpus vocabulary: token document-frequency and collection-frequency
+    * — the first pass of any tokenizer/vocab build. Top tokens by
+    * collection frequency with deterministic tie-break. */
+  private def t6(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("cf").desc, col("tok"))
+      .limit(20)
+
   // ---------------------------------------------------------------- oracle
 
   private val hiHex = "('8','9','a','b','c','d','e','f')"
@@ -461,6 +485,21 @@ object ExtensionQueries {
       WHERE NOT EXISTS (SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
       GROUP BY c_mktsegment""")),
+
+    Q("x6_stratified_sample", x6, Some("""
+      SELECT event_id, event_type, value FROM (
+        SELECT event_id, event_type, value,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY md5(event_id::VARCHAR), event_id) AS rn
+        FROM events)
+      WHERE rn <= 3""")),
+
+    Q("t6_vocabulary", t6, Some("""
+      SELECT tok, count(*) AS cf, count(DISTINCT doc_id) AS df
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+      ORDER BY cf DESC, tok
+      LIMIT 20""")),
 
     Q("x2_asof_join", x2, Some("""
       SELECT event_id, user_id, event_s, o_orderkey, o_totalprice FROM (
