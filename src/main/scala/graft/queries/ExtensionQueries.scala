@@ -241,6 +241,29 @@ object ExtensionQueries {
       .orderBy(col("cf").desc, col("tok"))
       .limit(20)
 
+  /** The 100 TB statistics path: sketch-based approximate aggregates
+    * (HLL++ distinct counts, t-digest percentiles) — mergeable one-pass
+    * state, unlike their exact counterparts (t5). No SQL oracle: sketch
+    * implementations differ across engines (driver records rows-only). */
+  private def a1(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_approx"))
+
+  /** Custom per-key state machine run in batch (same code streams with
+    * timeouts — StreamingSpec): per-user session summaries. Rows-only
+    * check (mapGroupsWithState has no SQL equivalent). */
+  private def st2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = table(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000000").as("ts_s"), col("value"))
+      .as[Streaming.SessionInput]
+    Streaming.sessionize(events, gapSeconds = 3600).toDF()
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val hiHex = "('8','9','a','b','c','d','e','f')"
@@ -500,6 +523,9 @@ object ExtensionQueries {
       GROUP BY tok
       ORDER BY cf DESC, tok
       LIMIT 20""")),
+
+    Q("a1_approx_stats", a1, None),
+    Q("st2_sessionize", st2, None),
 
     Q("x2_asof_join", x2, Some("""
       SELECT event_id, user_id, event_s, o_orderkey, o_totalprice FROM (
