@@ -56,6 +56,7 @@ object Aggregation {
     SchemaOps.requireSubset(df.schema, recode.consumed, "aggregateAllFold(recode)")
     require(dataAggs.nonEmpty, "aggregateAllFold: need at least one aggregate")
     val keep = SchemaOps.complement(df.schema, recode.consumed)
+    SchemaOps.requireDisjoint(recode.producedNames, keep, "aggregateAllFold(produced vs kept)")
     val projected = df.select(recode.produced.map { case (n, e) => e.as(n) } ++ keep.map(col): _*)
     projected
       .groupBy(recode.producedNames.map(col): _*)

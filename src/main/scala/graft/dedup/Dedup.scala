@@ -91,7 +91,8 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
       bits: Int = 32, blockBits: Int = 16, maxHamming: Int = 3): DataFrame = {
-    require(bits >= 1 && bits <= 32 && blockBits <= bits, "simhashPairs: need 1 <= blockBits <= bits <= 32")
+    require(bits >= 1 && bits <= 32 && blockBits >= 1 && blockBits <= bits,
+      "simhashPairs: need 1 <= blockBits <= bits <= 32")
     // All per-bit ±1 vote sums as parallel aggregates of ONE groupBy on doc
     // id (single partial-agg shuffle; the feature md5 is projected once
     // before the aggregate so the 32 vote expressions share it).

@@ -198,13 +198,17 @@ object MapReduce {
   private def grouped(
       df: DataFrame, keys: Seq[String], data: Seq[String], outSchema: StructType)(
       f: Iterator[Row] => Iterator[Seq[Any]]): DataFrame = {
-    val dataCols = data.filterNot(keys.contains)
-    val projected = df.select((keys ++ dataCols).map(col): _*)
+    // Physical projection carries each column once; the reducer's data rows
+    // follow `data` EXACTLY as Assign resolved it (keys included when the
+    // Assign variant includes them, e.g. Assign.Keys) — fieldIndex maps a
+    // key-named data column back to the single physical copy.
+    val extraCols = data.filterNot(keys.contains)
+    val projected = df.select((keys ++ extraCols).map(col): _*)
     val keySchema = StructType(keys.map(projected.schema(_)))
     val fullSchema = StructType(keySchema.fields ++ outSchema.fields)
     val keyIdx = keys.map(projected.schema.fieldIndex).toArray
-    val dataIdx = dataCols.map(projected.schema.fieldIndex).toArray
-    val dataSchema = StructType(dataCols.map(projected.schema(_)))
+    val dataIdx = data.map(projected.schema.fieldIndex).toArray
+    val dataSchema = StructType(data.map(projected.schema(_)))
 
     val keyEnc = Encoders.row(keySchema)
     val outEnc = Encoders.row(fullSchema)

@@ -46,23 +46,32 @@ object AsOfJoin {
 
     val rightTypes = right.schema
     val tieCols = rightTieBreak.map(c => s"__tie_$c")
+    // The payload travels as ONE struct so the carry-forward is whole-row:
+    // per-column carries would stitch together fields from different right
+    // rows whenever a payload value is legitimately null.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => rightTypes(c)))
 
-    val l = left
-      .withColumn("__k", col(leftKey))
-      .withColumn("__t", col(leftTime).cast("double"))
-      .withColumn("__side", lit(1))
-    val lPadded = (rightPayload.map(c => c -> rightTypes(c)) ++
-      rightTieBreak.map(c => s"__tie_$c" -> rightTypes(c)))
-      .foldLeft(l) { case (df, (name, f)) =>
-        df.withColumn(name, lit(null).cast(f.dataType))
+    val lPadded = rightTieBreak
+      .foldLeft(
+        left
+          .withColumn("__k", col(leftKey))
+          .withColumn("__t", col(leftTime).cast("double"))
+          .withColumn("__side", lit(1))
+          .withColumn("__r", lit(null).cast(payloadType))) { (df, c) =>
+        df.withColumn(s"__tie_$c", lit(null).cast(rightTypes(c).dataType))
       }
 
-    val r = right.select(
-      col(rightKey).as("__k") +:
-        col(rightTime).cast("double").as("__t") +:
-        lit(0).as("__side") +:
-        rightPayload.map(col) ++:
-        rightTieBreak.map(c => col(c).as(s"__tie_$c")): _*)
+    // SQL join semantics: a null key never matches — drop null-key right
+    // rows (left null-key rows then see no candidates and keep nulls).
+    val r = right
+      .where(col(rightKey).isNotNull)
+      .select(
+        col(rightKey).as("__k") +:
+          col(rightTime).cast("double").as("__t") +:
+          lit(0).as("__side") +:
+          struct(rightPayload.map(col): _*).as("__r") +:
+          rightTieBreak.map(c => col(c).as(s"__tie_$c")): _*)
     val rPadded = left.columns.foldLeft(r)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
@@ -70,12 +79,13 @@ object AsOfJoin {
     val w = Window.partitionBy("__k")
       .orderBy((col("__t").asc +: col("__side").asc +: tieCols.map(col(_).asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val carried = unioned.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
 
-    carried
+    val withPayload = rightPayload.foldLeft(carried)((df, c) =>
+      df.withColumn(c, col("__r").getField(c)))
+    withPayload
       .where(col("__side") === 1)
-      .drop("__k", "__t", "__side")
+      .drop("__k", "__t", "__side", "__r")
       .drop(tieCols: _*)
   }
 }

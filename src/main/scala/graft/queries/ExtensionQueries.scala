@@ -440,7 +440,7 @@ object ExtensionQueries {
           len(list_filter(string_split(text, ' '), t ->
             list_contains(['the','a','of','and','to','in','is'], t)))::DOUBLE
             / len(string_split(text, ' ')) AS stopword_ratio,
-          length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+          length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
             / length(text) AS punct_ratio
         FROM documents)""")),
 
@@ -551,7 +551,7 @@ object ExtensionQueries {
           0.4 * least((len(list_filter(string_split(text, ' '), t ->
               list_contains(['the','a','of','and','to','in','is'], t)))::DOUBLE
               / len(string_split(text, ' '))) * 5.0, 1.0)
-            + 0.3 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+            + 0.3 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
               / length(text))
             + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0) AS quality
         FROM documents),

@@ -37,13 +37,15 @@ object Streaming {
         col("event_type"), col("n_events"), col("sum_value"))
 
   /** Streaming dedup: first occurrence per key within the watermark bound —
-    * the streaming face of exact dedup (state store keyed by `keyCols`,
-    * expired by the watermark). */
+    * the streaming face of exact dedup. `dropDuplicatesWithinWatermark`
+    * keys the state store by `keyCols` alone (a re-delivered event with a
+    * slightly different timestamp — the normal at-least-once duplicate —
+    * is still dropped) and expires state by the watermark. */
   def streamingDedup(events: DataFrame, watermark: String, keyCols: Seq[String]): DataFrame =
     events
       .withColumn("event_time", nanosToTimestamp("ts"))
       .withWatermark("event_time", watermark)
-      .dropDuplicates(keyCols :+ "event_time")
+      .dropDuplicatesWithinWatermark(keyCols)
 
   final case class SessionInput(user_id: Long, ts_s: Long, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long, sum_value: Double, span_s: Long)

@@ -44,7 +44,7 @@ object TextAnalysis {
     val toks = tokens(col(textCol))
     val nToks = size(toks).cast("double")
     val sumTokLen = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
-    val punct = length(regexp_replace(col(textCol), "[a-z0-9 ]", "")).cast("double")
+    val punct = length(regexp_replace(col(textCol), "[a-zA-Z0-9 ]", "")).cast("double")
     df.withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("mean_tok_len", sumTokLen / nToks)
       .withColumn("stopword_ratio",

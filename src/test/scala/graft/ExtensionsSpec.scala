@@ -12,12 +12,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r == 32.0)
   }
 
-  test("graft_dot null propagation and length mismatch (min length) semantics") {
+  test("graft_dot null propagation; dimension mismatch yields null, not a truncated dot") {
     val rows = spark.sql(
       "SELECT graft_dot(CAST(NULL AS array<double>), array(1.0d)) AS n, " +
-        "graft_dot(array(1.0d, 2.0d), array(3.0d)) AS short")
+        "graft_dot(array(1.0d, 2.0d), array(3.0d)) AS mismatched")
       .collect().head
     assert(rows.isNullAt(0))
-    assert(rows.getDouble(1) == 3.0)
+    assert(rows.isNullAt(1))
   }
 }
