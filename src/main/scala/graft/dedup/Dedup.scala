@@ -129,7 +129,12 @@ object Dedup {
     *
     * Rarest-first ordering makes prefixes maximally selective: the global
     * frequency pass is one aggregate + one join, both on the uniform
-    * token key. */
+    * token key.
+    *
+    * All `ceil(t·n)` bounds subtract a 1e-9 epsilon before rounding: in
+    * doubles `10 * 0.9 == 9.000000000000002`, and a naive ceil would
+    * shorten the prefix / tighten a bound and silently drop a borderline
+    * pair whose Jaccard is exactly the threshold. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
@@ -145,17 +150,30 @@ object Dedup {
       .select(col(idCol) +: blockCols.map(col) :+
         transform(col("ft"), x => x.getField("tok")).as("toks") :+
         size(col("ft")).as("n"): _*)
+    def ceilT(x: Column): Column = ceil(x * lit(threshold) - lit(1e-9))
     // prefix length |x| - ceil(t*|x|) + 1
-    val prefLen = (col("n") - ceil(col("n") * lit(threshold)) + lit(1)).cast("int")
+    val prefLen = (col("n") - ceilT(col("n")) + lit(1)).cast("int")
     val prefixes = sorted.select(col(idCol) +: blockCols.map(col) :+
-      explode(slice(col("toks"), lit(1), prefLen)).as("ptok"): _*)
+      col("n") :+ (posexplode(slice(col("toks"), lit(1), prefLen))).as(Seq("pos", "ptok")): _*)
     val joinKeys = blockCols :+ "ptok"
-    val a = prefixes.select(joinKeys.map(col) :+ col(idCol).as("id_a"): _*)
-    val b = prefixes.select(joinKeys.map(col) :+ col(idCol).as("id_b"): _*)
-    // distinct bare id pairs, then attach token sets for verification —
-    // token arrays never ride through the candidate join/distinct
+    val a = prefixes.select(joinKeys.map(col) :+ col(idCol).as("id_a")
+      :+ col("n").as("n_a") :+ col("pos").as("pos_a"): _*)
+    val b = prefixes.select(joinKeys.map(col) :+ col(idCol).as("id_b")
+      :+ col("n").as("n_b") :+ col("pos").as("pos_b"): _*)
+    // PPJoin candidate pruning (both implied by Jaccard ≥ t, so the result
+    // set is unchanged — the oracle pins that):
+    //  · length filter: min(n_a,n_b) ≥ ceil(t·max(n_a,n_b))
+    //  · positional filter: overlap ≤ min(pos_a,pos_b) shared-before-match
+    //    + 1 + min(suffix_a,suffix_b) shared-after, which must reach
+    //    α = ceil(t/(1+t)·(n_a+n_b)); the bound holds for EVERY shared
+    //    token row, so every true pair keeps at least its generated rows
+    val alpha = ceil((col("n_a") + col("n_b")) * lit(threshold / (1.0 + threshold)) - lit(1e-9))
+    val upperBound = least(col("pos_a"), col("pos_b")) + lit(1) +
+      least(col("n_a") - col("pos_a") - 1, col("n_b") - col("pos_b") - 1)
     val cand = a.join(b, joinKeys)
-      .where(col("id_a") < col("id_b"))
+      .where(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")) >= ceilT(greatest(col("n_a"), col("n_b"))) &&
+        upperBound >= alpha)
       .select("id_a", "id_b")
       .distinct()
     val sets = sorted.select(col(idCol), col("toks"))
@@ -182,16 +200,24 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
       .localCheckpoint()
+    // Labels only ever DECREASE under min-propagation, so Σlab (exact, as
+    // decimal — no overflow at any corpus size) strictly decreases iff any
+    // label changed: convergence is one cheap aggregate per round instead
+    // of a join + count against the previous labels.
+    def labSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lab").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labSum(labels)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       val next = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("lab"))
         .unionAll(labels)
         .groupBy("id").agg(min("lab").as("lab"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lab", "old"), "id")
-        .where(col("lab") =!= col("old")).count()
+      val nextSum = labSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, SaltedAgg}
 import graft.similarity.Similarity
 import graft.streaming.Streaming
 import graft.text.{TextAnalysis, TextFunctions}
@@ -252,6 +252,42 @@ object ExtensionQueries {
         approx_count_distinct(col("user_id")).as("approx_users"),
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
         percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_approx"))
+
+  /** Skew-resistant exact distinct count: value-hash salt splits each hot
+    * key's distinct-set state across 32 buckets (two uniform shuffles);
+    * l_returnflag has only 3 values, so every key IS a hot key here. */
+  private def x7(s: SparkSession, dir: String): DataFrame =
+    SaltedAgg.distinctAgg(table(s, dir, "lineitem"),
+      keys = Seq("l_returnflag"), valueCol = "l_partkey", saltBuckets = 32,
+      distinctOut = "distinct_parts",
+      companions = Seq(SaltedAgg.Sum("l_quantity", "sum_qty")))
+
+  /** Full cube (all grouping-set combinations) over two dimensions. */
+  private def x8(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+
+  /** Offset window functions: previous/next order price per customer and
+    * the delta — the lag/lead face of the window surface (x4 covers
+    * running aggregates + rank). */
+  private def x9(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    table(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta_prev"))
+  }
+
+  /** IVF inverted-file ANN (the FAISS-style index structure; s2 is the
+    * hyperplane-LSH alternative). */
+  private def s3(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.where(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
+  }
 
   /** Custom per-key state machine run in batch (same code streams with
     * timeouts — StreamingSpec): per-user session summaries. Rows-only
@@ -584,6 +620,44 @@ object ExtensionQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
         row_number() OVER (PARTITION BY o_custkey
           ORDER BY o_orderdate, o_orderkey) AS order_seq
-      FROM orders"""))
+      FROM orders""")),
+
+    Q("x7_salted_distinct", x7, Some("""
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+        sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_returnflag""")),
+
+    Q("x8_cube", x8, Some("""
+      SELECT l_returnflag, l_linestatus,
+        sum(l_extendedprice) AS sum_price, count(*) AS n
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
+    Q("x9_window_lag", x9, Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        lag(o_totalprice, 1) OVER w AS prev_price,
+        lead(o_totalprice, 1) OVER w AS next_price,
+        o_totalprice - lag(o_totalprice, 1) OVER w AS delta_prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    Q("s3_ann_ivf", s3, Some(s"""
+      WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+                     FROM embeddings ORDER BY vec_id LIMIT 8),
+      ranked AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid DESC) AS rn
+        FROM embeddings e CROSS JOIN cents c),
+      assign AS (SELECT vec_id, embedding, cid AS list_id FROM ranked WHERE rn = 1),
+      probes AS (SELECT vec_id, embedding, cid AS list_id FROM ranked
+                 WHERE vec_id % 100 = 0 AND rn <= 2)
+      SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          ${cosSql("q.embedding", "e.embedding")} AS cosine,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+        FROM assign e JOIN probes q
+          ON e.list_id = q.list_id AND e.vec_id <> q.vec_id)
+      WHERE rank <= 3"""))
   )
 }

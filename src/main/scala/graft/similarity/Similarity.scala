@@ -84,6 +84,63 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path next to hyperplane LSH.
+    *
+    * Index structure: a coarse quantizer of `nlist` centroids; every corpus
+    * vector is assigned to its nearest centroid ("list"); a query probes its
+    * `nprobe` nearest centroids and scores only vectors in those lists.
+    *
+    * Scale shape: the quantizer is driver-small by construction (nlist ≪
+    * corpus — FAISS keeps it in RAM on every node for the same reason), so
+    * centroids are collected once and embedded as plan-time literals. List
+    * assignment is then a pure codegen'd projection — the corpus is NEVER
+    * shuffled; probes broadcast; per-query candidates reduce through one
+    * small window. At 100 TB the assigned corpus would be written
+    * partitioned by `list_id` so a probe is a partition-pruned scan.
+    *
+    * Centroid choice is deterministic (the `nlist` smallest-id corpus
+    * vectors) rather than k-means: Lloyd refinement averages vectors in
+    * shuffle order, which is float-nondeterministic across runs/engines,
+    * and the index's *structure* — not the quality of its centroids — is
+    * what this operator contributes. Ties on cosine break toward the
+    * larger centroid id (max struct semantics), mirrored in the oracle. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, s"ivfTopK: need 1 <= nprobe <= nlist")
+    val cents: Array[(Long, Array[Double])] = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol))
+      .limit(nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // (cosine, centroid id) per centroid, as one literal-array projection
+    def centScores(vec: Column): Column = array(cents.map { case (cid, cvec) =>
+      val cnorm = math.sqrt(cvec.foldLeft(0.0)((s, x) => s + x * x))
+      struct((dot(vec, typedlit(cvec.toSeq)) / (l2Norm(vec) * lit(cnorm))).as("cos"),
+        lit(cid).as("cid"))
+    }: _*)
+
+    val assigned = corpus.select(
+      array_max(centScores(col(vecCol))).getField("cid").as("list_id"),
+      col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+      l2Norm(col(vecCol)).as("n_norm"))
+    val probes = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"), l2Norm(col(vecCol)).as("q_norm"),
+      explode(transform(slice(reverse(array_sort(centScores(col(vecCol)))), 1, nprobe),
+        s => s.getField("cid"))).as("list_id"))
+    val scored = assigned.join(broadcast(probes), "list_id")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Approximate top-k: as [[bruteForceTopK]] but candidates restricted to
     * the query's hyperplane-LSH bucket (the scale path: the equi-join on
     * `bucket` prunes the corpus scan instead of broadcasting against all

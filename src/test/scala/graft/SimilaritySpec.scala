@@ -44,6 +44,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(buckets.size == 1)
   }
 
+  test("ivfTopK: with nprobe=nlist the result equals brute force") {
+    val queries = vecs.where(col("vec_id") === 0)
+    val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val ivf = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, nlist = 2, nprobe = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(ivf == brute)
+  }
+
+  test("ivfTopK: nprobe<nlist returns a subset of brute-force candidates with exact cosines") {
+    val queries = vecs.where(col("vec_id") === 0)
+    val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+      k = 4, nlist = 4, nprobe = 1).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach(r => assert(math.abs(r.getDouble(2) - brute(r.getLong(1))) < 1e-12))
+  }
+
   test("lshTopK returns only same-bucket neighbors, ranked by cosine") {
     val queries = vecs.where(col("vec_id") === 0)
     val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 4)
