@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, SaltedAgg}
+import graft.operators.{AsOfJoin, RangeJoin, SaltedAgg}
 import graft.similarity.Similarity
 import graft.streaming.Streaming
 import graft.text.{TextAnalysis, TextFunctions}
@@ -279,6 +279,23 @@ object ExtensionQueries {
       lag(col("o_totalprice"), 1).over(w).as("prev_price"),
       lead(col("o_totalprice"), 1).over(w).as("next_price"),
       (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta_prev"))
+  }
+
+  /** Banded interval join, no equi key: lineitems shipped within the day
+    * after any high-value order was placed (pure temporal containment —
+    * the band equi-join replaces a nested-loop cross product). */
+  private def x10(s: SparkSession, dir: String): DataFrame = {
+    val iv = table(s, dir, "orders")
+      .where(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("start_s"),
+        (unix_timestamp(col("o_orderdate")) + 86400L).as("end_s"))
+    val pts = table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        unix_timestamp(col("l_shipdate")).as("ship_s"))
+    RangeJoin.pointInInterval(pts, "ship_s", iv, "start_s", "end_s", bucketWidth = 86400L)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped"), min(col("ship_s")).as("first_ship_s"))
   }
 
   /** IVF inverted-file ANN (the FAISS-style index structure; s2 is the
@@ -639,6 +656,14 @@ object ExtensionQueries {
         o_totalprice - lag(o_totalprice, 1) OVER w AS delta_prev
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    Q("x10_range_join", x10, Some("""
+      SELECT o_orderkey, count(*) AS n_shipped, min(ship_s) AS first_ship_s
+      FROM (SELECT o_orderkey, epoch(o_orderdate)::BIGINT AS start_s
+            FROM orders WHERE o_totalprice > 450000) o
+      JOIN (SELECT epoch(l_shipdate)::BIGINT AS ship_s FROM lineitem) l
+        ON l.ship_s >= o.start_s AND l.ship_s < o.start_s + 86400
+      GROUP BY o_orderkey""")),
 
     Q("s3_ann_ivf", s3, Some(s"""
       WITH cents AS (SELECT vec_id AS cid, embedding AS cvec

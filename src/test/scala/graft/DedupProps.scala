@@ -1,0 +1,40 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.dedup.Dedup
+
+/** Randomized equivalence: the prefix-filtered similarity join (PPJoin
+  * length + positional candidate pruning) must return EXACTLY the pairs the
+  * naive all-pairs Jaccard finds — the pruning is only sound if it never
+  * drops a qualifying pair, including threshold-boundary ones. */
+object DedupProps extends Properties("Dedup") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  // small vocabulary forces heavy token overlap → many near-threshold pairs
+  private val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+  private val docGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, wordGen))
+  private val corpusGen = Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n, docGen))
+  private val thresholdGen = Gen.oneOf(0.3, 0.5, 2.0 / 3.0, 0.75, 0.9, 1.0)
+
+  property("ngramJaccardPairs == brute-force all-pairs Jaccard at the same threshold") =
+    Prop.forAll(corpusGen, thresholdGen) { (docs, t) =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+        .withColumn("blk", org.apache.spark.sql.functions.lit(0))
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq("blk"), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = docs.map(_.toSet).zipWithIndex
+      val want = (for {
+        (sa, ia) <- sets; (sb, ib) <- sets if ia < ib
+        j = (sa & sb).size.toDouble / (sa | sb).size
+        if j >= t
+      } yield (ia.toLong, ib.toLong)).toSet
+      Prop(got == want) :| s"got=$got want=$want docs=$docs t=$t"
+    }
+}
