@@ -44,8 +44,9 @@ object ScaleProbe {
 
     val probes = Seq("q1_flagship", "d1_dedup_exact", "d2_dedup_ngram_jaccard",
       "d3_dedup_minhash_lsh", "d4_dedup_simhash", "d5_dedup_embedding_cosine",
-      "s1_ann_bruteforce_topk", "s2_ann_lsh_topk", "x1_star_join",
-      "x2_asof_join", "x4_window_running")
+      "d6_dedup_clusters", "s1_ann_bruteforce_topk", "s2_ann_lsh_topk",
+      "s3_ann_ivf", "x1_star_join", "x2_asof_join", "x4_window_running",
+      "x7_salted_distinct", "x10_range_join")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()

@@ -59,15 +59,22 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(bands * rows == k, s"minhashLsh: bands*rows must equal k ($bands*$rows != $k)")
     val sh = shingleRows(df, idCol, textCol, shingleN)
-    // All k minhashes as parallel aggregates of ONE groupBy — a single
-    // partial-agg shuffle on doc id, no per-seed row explosion.
+    // All k minhashes AND the verification shingle set as parallel
+    // aggregates of ONE groupBy — a single partial-agg shuffle over the
+    // exploded shingle rows. The per-doc result is persisted
+    // (memory-and-disk, spillable) because two downstream branches read it
+    // — band keys and verification sets — and Spark does not share plan
+    // subtrees across a self-join: without the persist the whole shingle
+    // explode + shuffle would run twice.
     val sigCols = (0 until k).map(s =>
       min(seededHash(col("shingle"), lit(s))).as(s"mh$s"))
-    val sig = sh.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    val docAgg = sh.groupBy(col(idCol))
+      .agg(sigCols.head, sigCols.tail :+ collect_set(col("shingle")).as("shingles"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band keys as static column expressions (band b = seeds [b*rows, (b+1)*rows))
     val bandKeyCols = (0 until bands).map(b =>
       md5(concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)))
-    val bandKeys = sig.select(
+    val bandKeys = docAgg.select(
       col(idCol), posexplode(array(bandKeyCols: _*)).as(Seq("band", "band_key")))
     val a = bandKeys.select(col("band"), col("band_key"), col(idCol).as("id_a"))
     val b = bandKeys.select(col("band"), col("band_key"), col(idCol).as("id_b"))
@@ -75,7 +82,7 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val sets = sh.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("shingles"))
+    val sets = docAgg.select(col(idCol), col("shingles"))
     cand
       .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sa")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sb")), "id_b")
@@ -107,6 +114,9 @@ object Dedup {
         (1 to bits).map(i => when(col(s"v$i") > 0, lit(1L << (i - 1))).otherwise(lit(0L)))
           .reduce(_ + _).as("fp"))
       .withColumn("block", shiftright(col("fp"), bits - blockBits))
+      // both sides of the self-join read the fingerprints; the per-doc
+      // relation is tiny (id, fp, block) and the vote aggregation is not
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = fps.select(col("block"), col(idCol).as("id_a"), col("fp").as("fp_a"))
     val b = fps.select(col("block"), col(idCol).as("id_b"), col("fp").as("fp_b"))
     a.join(b, "block")
@@ -144,12 +154,15 @@ object Dedup {
       explode(col("toks")).as("tok"): _*)
     val freq = tokRows.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
     // per-doc tokens sorted rarest-first (freq asc, token asc for determinism)
+    // persisted: both the prefix branch and the verification branch read
+    // it, and recomputing means a second tokenize + freq join + shuffle
     val sorted = tokRows.join(freq, "tok")
       .groupBy(col(idCol) +: blockCols.map(col): _*)
       .agg(array_sort(collect_list(struct(col("freq"), col("tok")))).as("ft"))
       .select(col(idCol) +: blockCols.map(col) :+
         transform(col("ft"), x => x.getField("tok")).as("toks") :+
         size(col("ft")).as("n"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def ceilT(x: Column): Column = ceil(x * lit(threshold) - lit(1e-9))
     // prefix length |x| - ceil(t*|x|) + 1
     val prefLen = (col("n") - ceilT(col("n")) + lit(1)).cast("int")

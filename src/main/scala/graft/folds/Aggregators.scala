@@ -89,6 +89,33 @@ object Aggregators {
       def outputEncoder: Encoder[Double] = Encoders.scalaDouble
     }
 
+  /** Bounded per-group top-k as a mergeable fold: the buffer holds at most
+    * k (score, id) pairs, so map-side partial aggregation ships at most k
+    * entries per group per partition through the shuffle — the scale
+    * alternative to the window `row_number` pattern, which shuffles and
+    * sorts EVERY row of every group. Bounded mergeable state also makes it
+    * streaming-legal. Largest score first; ties break toward the smaller
+    * id (deterministic). */
+  def topK(k: Int): Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] = {
+    require(k >= 1, "topK: k must be >= 1")
+    new Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+      private def key(e: (Double, Long)): (Double, Long) = (-e._1, e._2)
+      private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+        s.sortBy(key).take(k)
+      def zero: Seq[(Double, Long)] = Nil
+      def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+        if (b.size >= k && Ordering[(Double, Long)].gteq(key(a), key(b.last))) b
+        else trim(b :+ a)
+      def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+        trim(a ++ b)
+      def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+      def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+      def outputEncoder: Encoder[Seq[(Double, Long)]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    }
+  }
+
   /** Register a typed aggregator as an untyped DataFrame aggregate column —
     * the bridge that lets custom folds participate in the single-pass
     * multi-aggregate `agg(...)` alongside built-ins. */

@@ -298,6 +298,23 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_shipped"), min(col("ship_s")).as("first_ship_s"))
   }
 
+  /** Per-group top-k via the mergeable bounded-buffer Aggregator (at most
+    * k entries per group per partition cross the shuffle — contrast the
+    * window row_number pattern in x6, which shuffles every row). */
+  private def x11(s: SparkSession, dir: String): DataFrame = {
+    val top = graft.folds.Aggregators.asColumn(
+      graft.folds.Aggregators.topK(3),
+      col("value"), col("event_id"))(
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(top.as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("event_type"), (col("i") + 1).as("rank"),
+        col("e._1").as("value"), col("e._2").as("event_id"))
+  }
+
   /** IVF inverted-file ANN (the FAISS-style index structure; s2 is the
     * hyperplane-LSH alternative). */
   private def s3(s: SparkSession, dir: String): DataFrame = {
@@ -656,6 +673,14 @@ object ExtensionQueries {
         o_totalprice - lag(o_totalprice, 1) OVER w AS delta_prev
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    Q("x11_topk_agg", x11, Some("""
+      SELECT event_type, rn AS rank, value, event_id FROM (
+        SELECT event_type, value, event_id,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY value DESC, event_id) AS rn
+        FROM events)
+      WHERE rn <= 3""")),
 
     Q("x10_range_join", x10, Some("""
       SELECT o_orderkey, count(*) AS n_shipped, min(ship_s) AS first_ship_s

@@ -59,6 +59,26 @@ class FoldsSpec extends AnyFunSuite {
     one.foreach { case (k, v) => assert(math.abs(v - many(k)) < 1e-9) }
   }
 
+  test("topK aggregator == window row_number top-k, and is partition-invariant") {
+    val data = (1 to 200).map(i => (i % 5, (i % 23).toDouble, i.toLong))
+    def run(parts: Int) = {
+      val df = data.toDF("k", "score", "id").repartition(parts)
+      val top = Aggregators.asColumn(Aggregators.topK(4), col("score"), col("id"))(
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+      df.groupBy("k").agg(top.as("top")).collect()
+        .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (e.getDouble(0), e.getLong(1)))).toMap
+    }
+    val one = run(1)
+    val many = run(13)
+    assert(one == many, "top-k not merge-invariant")
+    // reference: brute-force per-group sort
+    val want = data.groupBy(_._1).map { case (k, rows) =>
+      k -> rows.map(r => (r._2, r._3)).sortBy { case (s, id) => (-s, id) }.take(4).toSeq
+    }
+    assert(one == want)
+  }
+
   test("Aggregator weighted mean == native sum(x*w)/sum(w) (SURVEY §7.2)") {
     val df = Seq((1, 2.0, 1.0), (1, 4.0, 3.0)).toDF("k", "x", "w")
     val wm = Aggregators.asColumn(Aggregators.weightedMean, col("x"), col("w"))(

@@ -76,6 +76,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
   }
 
+  test("x10 interval join: band equi-join, never a nested-loop cross product") {
+    val p = plan(q("x10_range_join"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"range join degenerated to a nested loop:\n$p")
+  }
+
+  test("s3 IVF: corpus list assignment is shuffle-free (probes broadcast)") {
+    val p = plan(q("s3_ann_ivf"))
+    assert(p.contains("BroadcastHashJoin"), s"probe join did not broadcast:\n$p")
+    // only shuffle allowed: the final per-query top-k window; the corpus
+    // reaches the join through projection + broadcast join only
+    val beforeJoin = p.split("BroadcastHashJoin").last
+    assert(!beforeJoin.contains("Exchange hashpartitioning"),
+      s"corpus shuffled before the probe join:\n$p")
+  }
+
+  test("x7 salted distinct: both stages are hash aggregates with partial agg") {
+    val p = plan(q("x7_salted_distinct"))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p)
+    assert(!p.contains("Expand"), s"salted distinct fell back to Expand rewrite:\n$p")
+  }
+
   test("custom DotProduct participates in whole-stage codegen") {
     val p = plan(q("d5_dedup_embedding_cosine"))
     assert(p.contains("graft_dot") || p.contains("DotProduct"), p)
