@@ -34,12 +34,16 @@ object AsOfJoin {
     *                    left column names)
     * @param rightTieBreak orders right rows sharing (key, time); the LAST
     *                    by this ordering wins (deterministic results)
+    * @param tolerance   max allowed leftTime - rightTime gap (in time-column
+    *                    units); the as-of winner is the CLOSEST candidate,
+    *                    so filtering it is exact, not a fallback search
     */
   def backward(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightPayload: Seq[String], rightTieBreak: Seq[String] = Nil): DataFrame = {
+      rightPayload: Seq[String], rightTieBreak: Seq[String] = Nil,
+      tolerance: Option[Double] = None): DataFrame = {
     require(rightPayload.nonEmpty, "asOf: need at least one right payload column")
     val collisions = rightPayload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"asOf: right payload collides with left columns: $collisions")
@@ -48,9 +52,11 @@ object AsOfJoin {
     val tieCols = rightTieBreak.map(c => s"__tie_$c")
     // The payload travels as ONE struct so the carry-forward is whole-row:
     // per-column carries would stitch together fields from different right
-    // rows whenever a payload value is legitimately null.
+    // rows whenever a payload value is legitimately null. The matched
+    // right time rides along as `__rt` for the tolerance check.
     val payloadType = org.apache.spark.sql.types.StructType(
-      rightPayload.map(c => rightTypes(c)))
+      rightPayload.map(c => rightTypes(c)) :+
+        org.apache.spark.sql.types.StructField("__rt", org.apache.spark.sql.types.DoubleType))
 
     val lPadded = rightTieBreak
       .foldLeft(
@@ -70,7 +76,7 @@ object AsOfJoin {
         col(rightKey).as("__k") +:
           col(rightTime).cast("double").as("__t") +:
           lit(0).as("__side") +:
-          struct(rightPayload.map(col): _*).as("__r") +:
+          struct(rightPayload.map(col) :+ col(rightTime).cast("double").as("__rt"): _*).as("__r") +:
           rightTieBreak.map(c => col(c).as(s"__tie_$c")): _*)
     val rPadded = left.columns.foldLeft(r)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
@@ -81,11 +87,34 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
 
+    val inTolerance = tolerance match {
+      case None      => col("__r").isNotNull
+      case Some(tol) => col("__r").isNotNull &&
+        col("__t") - col("__r").getField("__rt") <= lit(tol)
+    }
     val withPayload = rightPayload.foldLeft(carried)((df, c) =>
-      df.withColumn(c, col("__r").getField(c)))
+      df.withColumn(c, when(inTolerance, col("__r").getField(c))))
     withPayload
       .where(col("__side") === 1)
       .drop("__k", "__t", "__side", "__r")
       .drop(tieCols: _*)
+  }
+
+  /** Forward as-of: for every left row, the EARLIEST right row with the
+    * same key at-or-after the left time (ties: last by `rightTieBreak`
+    * wins, as in [[backward]]). Implemented as [[backward]] over negated
+    * times — same single-shuffle plan. `tolerance` bounds
+    * rightTime - leftTime. */
+  def forward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String], rightTieBreak: Seq[String] = Nil,
+      tolerance: Option[Double] = None): DataFrame = {
+    val lNeg = left.withColumn("__negt", -col(leftTime).cast("double"))
+    val rNeg = right.withColumn("__negt", -col(rightTime).cast("double"))
+    backward(lNeg, rNeg, leftKey, rightKey, "__negt", "__negt",
+      rightPayload, rightTieBreak, tolerance)
+      .drop("__negt")
   }
 }

@@ -323,6 +323,20 @@ object ExtensionQueries {
       "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
   }
 
+  /** The stream-stream interval join run in batch (same definition
+    * streams with bounded state — StreamingSpec): click → purchase of the
+    * same user within the hour. */
+  private def st3(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "events")
+    Streaming.eventIntervalJoin(
+      e.where(col("event_type") === "click"),
+      e.where(col("event_type") === "purchase"),
+      watermark = "1 hour", windowSeconds = 3600L)
+      .select(col("l_event_id"), col("r_event_id"), col("l_user").as("user_id"),
+        unix_timestamp(col("l_time")).as("click_s"),
+        unix_timestamp(col("r_time")).as("purchase_s"))
+  }
+
   /** Custom per-key state machine run in batch (same code streams with
     * timeouts — StreamingSpec): per-user session summaries. Rows-only
     * check (mapGroupsWithState has no SQL equivalent). */
@@ -673,6 +687,16 @@ object ExtensionQueries {
         o_totalprice - lag(o_totalprice, 1) OVER w AS delta_prev
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    Q("st3_stream_interval_join", st3, Some("""
+      SELECT a.event_id AS l_event_id, b.event_id AS r_event_id, a.user_id,
+        epoch_ns(a.ts) // 1000000000 AS click_s,
+        epoch_ns(b.ts) // 1000000000 AS purchase_s
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+        AND a.event_type = 'click' AND b.event_type = 'purchase'
+        AND epoch_ns(b.ts) // 1000000000 >= epoch_ns(a.ts) // 1000000000
+        AND epoch_ns(b.ts) // 1000000000 <= epoch_ns(a.ts) // 1000000000 + 3600""")),
 
     Q("x11_topk_agg", x11, Some("""
       SELECT event_type, rn AS rank, value, event_id FROM (

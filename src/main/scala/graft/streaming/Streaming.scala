@@ -77,6 +77,34 @@ object Streaming {
         })
   }
 
+  /** Watermarked stream-stream interval join: pair each left event with
+    * the right events of the same user landing within `windowSeconds` at
+    * or after it. The time-range join condition plus BOTH watermarks is
+    * what makes the state store bounded in streaming execution: a buffered
+    * right event can be evicted once the left watermark passes
+    * `r_time`, a left event once the right watermark passes
+    * `l_time + windowSeconds`. In batch the same definition is a plain
+    * equi+range join (watermarks are no-ops) — one definition, two
+    * runtimes, like the rest of this module. */
+  def eventIntervalJoin(
+      left: DataFrame, right: DataFrame,
+      watermark: String, windowSeconds: Long): DataFrame = {
+    val l = left
+      .withColumn("l_time", nanosToTimestamp("ts"))
+      .withWatermark("l_time", watermark)
+      .select(col("event_id").as("l_event_id"), col("user_id").as("l_user"),
+        col("l_time"), col("value").as("l_value"))
+    val r = right
+      .withColumn("r_time", nanosToTimestamp("ts"))
+      .withWatermark("r_time", watermark)
+      .select(col("event_id").as("r_event_id"), col("user_id").as("r_user"),
+        col("r_time"), col("value").as("r_value"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_time") >= col("l_time") &&
+        col("r_time") <= col("l_time") + expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
+
   /** Convenience: run a streaming DataFrame to a named in-memory sink and
     * block until the available data is processed (test/dev harness). */
   def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): Unit = {

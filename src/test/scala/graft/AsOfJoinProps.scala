@@ -33,4 +33,38 @@ object AsOfJoinProps extends Properties("AsOfJoin") {
       }.toMap
       got == want
     }
+
+  property("forward as-of == brute-force earliest-at-or-after") =
+    Prop.forAll(leftGen, rightGen) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("event_id", "k", "t")
+      val right = rs.toDF("rk", "rt", "ref")
+      val got = AsOfJoin.forward(left, right, "k", "rk", "t", "rt",
+        rightPayload = Seq("ref"), rightTieBreak = Seq("ref"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val matches = rs.filter(r => r._1 == k && r._2 >= t)
+        // earliest time; ties → max ref (same rule as backward)
+        i.toLong -> (if (matches.isEmpty) None
+                     else Some(matches.map(r => (-r._2, r._3)).max._2))
+      }.toMap
+      got == want
+    }
+
+  property("backward as-of with tolerance == brute force filtered by gap") =
+    Prop.forAll(leftGen, rightGen, Gen.choose(0L, 10L)) { (ls, rs, tol) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("event_id", "k", "t")
+      val right = rs.toDF("rk", "rt", "ref")
+      val got = AsOfJoin.backward(left, right, "k", "rk", "t", "rt",
+        rightPayload = Seq("ref"), rightTieBreak = Seq("ref"),
+        tolerance = Some(tol.toDouble))
+        .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val matches = rs.filter(r => r._1 == k && r._2 <= t && t - r._2 <= tol)
+        i.toLong -> (if (matches.isEmpty) None
+                     else Some(matches.map(r => (r._2, r._3)).max._2))
+      }.toMap
+      got == want
+    }
 }

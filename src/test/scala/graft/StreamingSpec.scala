@@ -59,6 +59,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("eventIntervalJoin: stream-stream join matches the batch definition") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Long, Double)]
+    val buys = MemoryStream[(Long, Long, Long, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "value")
+    val joined = Streaming.eventIntervalJoin(
+      clicks.toDF().toDF(cols: _*), buys.toDF().toDF(cols: _*),
+      watermark = "1 minute", windowSeconds = 60L)
+
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 7: click@10 pairs with buys @30 and @60; buy@100 is outside
+      // the 60 s window; user 8's buy never pairs (no click)
+      clicks.addData((1L, ns(10), 7L, 1.0))
+      buys.addData((2L, ns(30), 7L, 5.0), (3L, ns(60), 7L, 6.0),
+        (4L, ns(100), 7L, 7.0), (5L, ns(30), 8L, 8.0))
+      q.processAllAvailable()
+      val got = spark.table("ssj_test").collect()
+        .map(r => (r.getLong(0), r.getLong(4))).toSet
+      assert(got == Set((1L, 2L), (1L, 3L)))
+
+      // batch execution of the SAME definition agrees
+      val batchClicks = Seq((1L, ns(10), 7L, 1.0)).toDF(cols: _*)
+      val batchBuys = Seq((2L, ns(30), 7L, 5.0), (3L, ns(60), 7L, 6.0),
+        (4L, ns(100), 7L, 7.0), (5L, ns(30), 8L, 8.0)).toDF(cols: _*)
+      val batch = Streaming.eventIntervalJoin(batchClicks, batchBuys, "1 minute", 60L)
+        .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("sessionize: per-user state machine (batch execution of mapGroupsWithState)") {
     val events = Seq(
       Streaming.SessionInput(1L, 100L, 1.0),
