@@ -323,6 +323,12 @@ object ExtensionQueries {
       "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
   }
 
+  /** Schema-driven per-column profiling in one aggregation pass (the
+    * data-quality monitor every curation pipeline runs first). */
+  private def t7(s: SparkSession, dir: String): DataFrame =
+    graft.folds.Profile.profile(table(s, dir, "events"),
+      Seq("event_id", "user_id", "event_type", "value"))
+
   /** The stream-stream interval join run in batch (same definition
     * streams with bounded state — StreamingSpec): click → purchase of the
     * same user within the hour. */
@@ -687,6 +693,18 @@ object ExtensionQueries {
         o_totalprice - lag(o_totalprice, 1) OVER w AS delta_prev
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    Q("t7_profile", t7, Some("""
+      SELECT count(*) AS n_rows,
+        count(event_id) AS event_id_count, count(DISTINCT event_id) AS event_id_distinct,
+        min(event_id) AS event_id_min, max(event_id) AS event_id_max,
+        count(user_id) AS user_id_count, count(DISTINCT user_id) AS user_id_distinct,
+        min(user_id) AS user_id_min, max(user_id) AS user_id_max,
+        count(event_type) AS event_type_count, count(DISTINCT event_type) AS event_type_distinct,
+        min(event_type) AS event_type_min, max(event_type) AS event_type_max,
+        count(value) AS value_count, count(DISTINCT value) AS value_distinct,
+        min(value) AS value_min, max(value) AS value_max
+      FROM events""")),
 
     Q("st3_stream_interval_join", st3, Some("""
       SELECT a.event_id AS l_event_id, b.event_id AS r_event_id, a.user_id,

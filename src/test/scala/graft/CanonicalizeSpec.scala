@@ -24,6 +24,32 @@ class CanonicalizeSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("canonicalize == union-find on random graphs (including long paths)") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30
+      val edges = (1 to 25).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b } ++
+        // a long path stresses the O(log diameter) propagation rounds
+        (50L until 62L).map(i => (i, i + 1))
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = Dedup.canonicalize(pairs, maxIter = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = members.map(m => m -> members.filter(o => find(o) == find(m)).min).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("dropNearDuplicates keeps canonical members and untouched rows") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (9L, "z")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
