@@ -59,6 +59,15 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(bands * rows == k, s"minhashLsh: bands*rows must equal k ($bands*$rows != $k)")
     val sh = shingleRows(df, idCol, textCol, shingleN)
+    // ONE md5 per shingle; the k per-seed hashes are a multiply-mod
+    // universal family over its 32-bit prefix:
+    //   mh_s = (A_s·h32 + B_s) mod P,  P = 4294967291 (largest prime<2^32),
+    //   A_s ∈ [1, 2^31) so A_s·h32 + B_s < 2^63 — no overflow, identical
+    //   wrap-free arithmetic in any engine (the oracle repeats it).
+    // k md5 calls per shingle (the naive seeded-hash scheme) was the
+    // dominant cost of the whole operator at sf0.1.
+    val sh32 = sh.select(col(idCol), col("shingle"),
+      conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h32"))
     // All k minhashes AND the verification shingle set as parallel
     // aggregates of ONE groupBy — a single partial-agg shuffle over the
     // exploded shingle rows. The per-doc result is persisted
@@ -66,9 +75,13 @@ object Dedup {
     // — band keys and verification sets — and Spark does not share plan
     // subtrees across a self-join: without the persist the whole shingle
     // explode + shuffle would run twice.
-    val sigCols = (0 until k).map(s =>
-      min(seededHash(col("shingle"), lit(s))).as(s"mh$s"))
-    val docAgg = sh.groupBy(col(idCol))
+    val P = 4294967291L
+    val sigCols = (0 until k).map { s =>
+      val a = ((s * 2654435761L) % 2147483647L) + 1L
+      val b = (s * 2246822519L) % P
+      min((lit(a) * col("h32") + lit(b)) % lit(P)).as(s"mh$s")
+    }
+    val docAgg = sh32.groupBy(col(idCol))
       .agg(sigCols.head, sigCols.tail :+ collect_set(col("shingle")).as("shingles"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band keys as static column expressions (band b = seeds [b*rows, (b+1)*rows))

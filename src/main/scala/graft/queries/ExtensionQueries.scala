@@ -356,6 +356,21 @@ object ExtensionQueries {
 
   // ---------------------------------------------------------------- oracle
 
+  /** MinHash signature + band-key CTEs (consumed after an `ex(doc_id,
+    * shingle)` CTE) — replicates [[graft.dedup.Dedup.minhashLsh]]'s
+    * universal-hash family: one md5 per shingle, k multiply-mod hashes of
+    * its 32-bit prefix. */
+  private val minhashCtes = """ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      hx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h32 FROM ex),
+      mh AS (SELECT doc_id, seed,
+               min((((seed * 2654435761) % 2147483647 + 1) * h32
+                    + (seed * 2246822519) % 4294967291) % 4294967291) AS mh
+             FROM hx, (SELECT unnest(range(12)) AS seed)
+             GROUP BY doc_id, seed),
+      bands AS (SELECT doc_id, seed // 3 AS band,
+                  md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS band_key
+                FROM mh GROUP BY doc_id, seed // 3)"""
+
   private val hiHex = "('8','9','a','b','c','d','e','f')"
   private val oddHex = "('1','3','5','7','9','b','d','f')"
 
@@ -397,13 +412,7 @@ object ExtensionQueries {
       sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
              FROM docs WHERE len(ws) >= 3),
-      ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-      mh AS (SELECT doc_id, seed, min(md5(shingle || '#' || seed::VARCHAR)) AS mh
-             FROM ex, (SELECT unnest(range(12)) AS seed)
-             GROUP BY doc_id, seed),
-      bands AS (SELECT doc_id, seed // 3 AS band,
-                  md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
-                FROM mh GROUP BY doc_id, seed // 3),
+      $minhashCtes,
       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                FROM bands a JOIN bands b
                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
@@ -441,13 +450,7 @@ object ExtensionQueries {
       sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
              FROM docs WHERE len(ws) >= 3),
-      ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-      mh AS (SELECT doc_id, seed, min(md5(shingle || '#' || seed::VARCHAR)) AS mh
-             FROM ex, (SELECT unnest(range(12)) AS seed)
-             GROUP BY doc_id, seed),
-      bands AS (SELECT doc_id, seed // 3 AS band,
-                  md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
-                FROM mh GROUP BY doc_id, seed // 3),
+      $minhashCtes,
       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                FROM bands a JOIN bands b
                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
