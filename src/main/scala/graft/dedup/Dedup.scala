@@ -114,13 +114,27 @@ object Dedup {
     require(bits >= 1 && bits <= 32 && blockBits >= 1 && blockBits <= bits,
       "simhashPairs: need 1 <= blockBits <= bits <= 32")
     // All per-bit ±1 vote sums as parallel aggregates of ONE groupBy on doc
-    // id (single partial-agg shuffle; the feature md5 is projected once
-    // before the aggregate so the 32 vote expressions share it).
-    val hiHex = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit)
-    val voteCols = (1 to bits).map(i =>
-      sum(when(substring(col("h"), i, 1).isin(hiHex: _*), 1).otherwise(-1)).as(s"v$i"))
-    val fps = shingleRows(df, idCol, textCol, shingleN)
-      .select(col(idCol), md5(col("shingle")).as("h"))
+    // id (single partial-agg shuffle). The md5 is computed once per feature
+    // and its first `bits` hex chars are parsed into 32-bit integer chunks
+    // (8 hex chars each — always in signed-long range, unlike a 16-char
+    // parse); bit i's vote is then an integer shift-and-mask, not a
+    // per-bit substring+set-membership over the hex string. Bit i (1-based)
+    // = high bit of nibble i = bit 4·(8−((i−1) mod 8)−1)+3 of chunk
+    // ⌊(i−1)/8⌋ — the oracle repeats the same arithmetic.
+    val nChunks = (bits + 7) / 8
+    val fpsBase = shingleRows(df, idCol, textCol, shingleN)
+      .select(col(idCol) +: {
+        val h = md5(col("shingle"))
+        (0 until nChunks).map(c =>
+          conv(substring(h, c * 8 + 1, 8), 16, 10).cast("long").as(s"c$c"))
+      }: _*)
+    val voteCols = (1 to bits).map { i =>
+      val chunk = (i - 1) / 8
+      val shift = 4 * (8 - ((i - 1) % 8) - 1) + 3
+      sum(when(shiftright(col(s"c$chunk"), shift).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"v$i")
+    }
+    val fps = fpsBase
       .groupBy(col(idCol))
       .agg(voteCols.head, voteCols.tail: _*)
       .select(col(idCol),
