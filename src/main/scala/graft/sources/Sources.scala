@@ -45,6 +45,27 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSON-lines with an explicit schema and the same null-tolerant stance
+    * as [[readCsvNullable]]: PERMISSIVE mode nulls cells whose JSON type
+    * doesn't match the schema, and whole-record garbage lands in
+    * `_corrupt_record` instead of failing the job — at 100 TB a scrape
+    * always contains malformed lines, and a fail-fast read is unusable.
+    * Schema is REQUIRED: inference is a second full scan of the data. */
+  def readJsonNullable(
+      spark: SparkSession, path: String, schema: StructType,
+      keepCorrupt: Boolean = false): DataFrame = {
+    val withCorrupt = new StructType(
+      (schema.fields.toIndexedSeq :+
+        org.apache.spark.sql.types.StructField(
+          "_corrupt_record", org.apache.spark.sql.types.StringType)).toArray)
+    val parsed = spark.read
+      .schema(if (keepCorrupt) withCorrupt else schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+    parsed
+  }
+
   /** Partitioned parquet sink — the layout that makes downstream reads
     * prune partitions (`PartitionFilters` in the scan) at 100 TB. */
   def writePartitioned(

@@ -45,6 +45,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(ieee.getDouble(1).isNaN)
   }
 
+  test("JSON lines: type-mismatched cells null out, garbage lines captured not fatal") {
+    val dir = Files.createTempDirectory("graft_json")
+    Files.writeString(dir.resolve("data.json"),
+      """{"label":"A","x":1.5,"y":2.0}
+        |{"label":"B","x":"not a number","y":3.0}
+        |this line is not json at all
+        |{"label":"C","x":4.0}
+        |""".stripMargin)
+    val df = Sources.readJsonNullable(spark, dir.toString, schema, keepCorrupt = true)
+    val rows = df.collect()
+    assert(rows.length == 4)
+    val byLabel = rows.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r).toMap
+    assert(byLabel("A").getDouble(1) == 1.5)
+    assert(byLabel("B").isNullAt(1) && byLabel("B").getDouble(2) == 3.0)
+    assert(byLabel("C").getDouble(1) == 4.0 && byLabel("C").isNullAt(2))
+    val corrupt = rows.filter(r => !r.isNullAt(3))
+    assert(corrupt.length >= 1 &&
+      corrupt.exists(_.getString(3).contains("not json at all")))
+  }
+
   test("partitioned parquet sink enables partition pruning on read") {
     val dir = Files.createTempDirectory("graft_parq").toString + "/t"
     import spark.implicits._
