@@ -164,9 +164,18 @@ object Dedup {
     * as the naive blocked pairwise join (the driver oracle pins that),
     * linear-ish candidates at scale.
     *
-    * Rarest-first ordering makes prefixes maximally selective: the global
-    * frequency pass is one aggregate + one join, both on the uniform
-    * token key.
+    * The prefix theorem only needs ONE CONSISTENT global token order, so
+    * the order is a tradeoff exposed as `rarestFirst`:
+    *  - true: rarest-first (the literature's optimal prefix selectivity) —
+    *    costs a global frequency pass: one aggregate + one join on the
+    *    token key, i.e. two extra shuffles of the exploded token rows;
+    *  - false: md5 order — no frequency pass (ONE shuffle over token rows
+    *    total), prefixes are uniform-random tokens; more candidates
+    *    survive to verification, which the length/positional filters then
+    *    bound. Right when tokenization dominates verification.
+    * Measured at 10× sf0.1 (ScaleProbe corpus): rarest-first 22 s vs md5
+    * order 38 s — candidate selectivity beats the saved shuffles once the
+    * corpus is large, hence the default.
     *
     * All `ceil(t·n)` bounds subtract a 1e-9 epsilon before rounding: in
     * doubles `10 * 0.9 == 9.000000000000002`, and a naive ceil would
@@ -174,18 +183,27 @@ object Dedup {
     * pair whose Jaccard is exactly the threshold. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], threshold: Double): DataFrame = {
+      blockCols: Seq[String], threshold: Double,
+      rarestFirst: Boolean = true): DataFrame = {
     val base = df.select((col(idCol) +: blockCols.map(col)) :+
       distinctTokens(col(textCol)).as("toks"): _*)
     val tokRows = base.select(col(idCol) +: blockCols.map(col) :+
       explode(col("toks")).as("tok"): _*)
-    val freq = tokRows.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-    // per-doc tokens sorted rarest-first (freq asc, token asc for determinism)
-    // persisted: both the prefix branch and the verification branch read
-    // it, and recomputing means a second tokenize + freq join + shuffle
-    val sorted = tokRows.join(freq, "tok")
-      .groupBy(col(idCol) +: blockCols.map(col): _*)
-      .agg(array_sort(collect_list(struct(col("freq"), col("tok")))).as("ft"))
+    // per-doc tokens in the global order (persisted: both the prefix
+    // branch and the verification branch read it, and recomputing means a
+    // second tokenize + shuffle)
+    val ordered =
+      if (rarestFirst) {
+        val freq = tokRows.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        tokRows.join(freq, "tok")
+          .groupBy(col(idCol) +: blockCols.map(col): _*)
+          .agg(array_sort(collect_list(struct(col("freq"), col("tok")))).as("ft"))
+      } else {
+        tokRows
+          .groupBy(col(idCol) +: blockCols.map(col): _*)
+          .agg(array_sort(collect_list(struct(md5(col("tok")).as("h"), col("tok")))).as("ft"))
+      }
+    val sorted = ordered
       .select(col(idCol) +: blockCols.map(col) :+
         transform(col("ft"), x => x.getField("tok")).as("toks") :+
         size(col("ft")).as("n"): _*)
