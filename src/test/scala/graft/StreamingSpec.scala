@@ -91,6 +91,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("topK aggregator runs under streaming aggregation (mergeable state across batches)") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[(Long, String, Double, Long)]
+    val events = source.toDF().toDF("ts", "k", "score", "id")
+    val top = graft.folds.Aggregators.asColumn(
+      graft.folds.Aggregators.topK(2), col("score"), col("id"))(
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    val agg = events
+      .withColumn("event_time", Streaming.nanosToTimestamp("ts"))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(col("k"))
+      .agg(top.as("top"))
+
+    val q = agg.writeStream.format("memory").queryName("topk_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // two separate batches: the buffer from batch 1 must MERGE with
+      // batch 2's partial state, not be recomputed from scratch
+      source.addData((ns(10), "a", 1.0, 1L), (ns(11), "a", 5.0, 2L))
+      q.processAllAvailable()
+      source.addData((ns(12), "a", 3.0, 3L), (ns(13), "a", 0.5, 4L))
+      q.processAllAvailable()
+      val rows = spark.table("topk_stream").collect()
+      assert(rows.length == 1)
+      val top2 = rows.head.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getDouble(0), e.getLong(1)))
+      assert(top2 == Seq((5.0, 2L), (3.0, 3L)))
+    } finally q.stop()
+  }
+
   test("sessionize: per-user state machine (batch execution of mapGroupsWithState)") {
     val events = Seq(
       Streaming.SessionInput(1L, 100L, 1.0),
