@@ -323,6 +323,26 @@ object ExtensionQueries {
       "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
   }
 
+  /** Pivot: event_type values become columns (one shuffle; the pivot
+    * values are declared, so no extra distinct-discovery pass). */
+  private def x12(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(sum(col("value")))
+      .select(col("user_id"), col("click").as("click_sum"), col("view").as("view_sum"),
+        col("purchase").as("purchase_sum"), col("signup").as("signup_sum"),
+        col("error").as("error_sum"))
+
+  /** Unpivot (melt): wide per-row measures back to (row, measure, value)
+    * long form — a narrow projection, no shuffle. */
+  private def x13(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        variableColumnName = "measure", valueColumnName = "val")
+
   /** Schema-driven per-column profiling in one aggregation pass (the
     * data-quality monitor every curation pipeline runs first). */
   private def t7(s: SparkSession, dir: String): DataFrame =
@@ -696,6 +716,22 @@ object ExtensionQueries {
         o_totalprice - lag(o_totalprice, 1) OVER w AS delta_prev
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    Q("x12_pivot", x12, Some("""
+      SELECT user_id,
+        sum(value) FILTER (event_type = 'click') AS click_sum,
+        sum(value) FILTER (event_type = 'view') AS view_sum,
+        sum(value) FILTER (event_type = 'purchase') AS purchase_sum,
+        sum(value) FILTER (event_type = 'signup') AS signup_sum,
+        sum(value) FILTER (event_type = 'error') AS error_sum
+      FROM events GROUP BY user_id""")),
+
+    Q("x13_unpivot", x13, Some("""
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""")),
 
     Q("t7_profile", t7, Some("""
       SELECT count(*) AS n_rows,
