@@ -48,11 +48,15 @@ object ScaleProbe {
       "s3_ann_ivf", "x1_star_join", "x2_asof_join", "x4_window_running",
       "x7_salted_distinct", "x10_range_join")
     def time(dir: String, name: String): Double = {
+      // operators persist() shared branches; a prior identical run would
+      // satisfy them from the cache (CacheManager matches canonicalized
+      // plans) and make the measurement warm — clear for a cold run
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    // warmup
+    // warmup (JIT/classloading only; caches cleared per timed run)
     spark.range(1000000).selectExpr("sum(id)").collect()
     probes.foreach(n => time(src, n))
     println(f"${"query"}%-26s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")

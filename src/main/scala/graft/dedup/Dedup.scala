@@ -173,8 +173,8 @@ object Dedup {
     *    total), prefixes are uniform-random tokens; more candidates
     *    survive to verification, which the length/positional filters then
     *    bound. Right when tokenization dominates verification.
-    * Measured at 10× sf0.1 (ScaleProbe corpus): rarest-first 22 s vs md5
-    * order 38 s — candidate selectivity beats the saved shuffles once the
+    * Measured at 10× sf0.1 (ScaleProbe corpus): rarest-first ~24 s vs md5
+    * order ~38 s — candidate selectivity beats the saved shuffles once the
     * corpus is large, hence the default.
     *
     * All `ceil(t·n)` bounds subtract a 1e-9 epsilon before rounding: in
