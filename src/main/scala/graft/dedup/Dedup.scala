@@ -194,6 +194,10 @@ object Dedup {
     // second tokenize + shuffle)
     val ordered =
       if (rarestFirst) {
+        // freq as aggregate + join back — measured FASTER at 10× than the
+        // count-over-window formulation (24 s vs 30 s): WindowExec sorts
+        // every token row within partitions, while the join's exchange is
+        // shared with the aggregate's
         val freq = tokRows.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
         tokRows.join(freq, "tok")
           .groupBy(col(idCol) +: blockCols.map(col): _*)
