@@ -254,14 +254,21 @@ object Dedup {
     * truncated per round (`localCheckpoint`) so plans stay bounded; data
     * never leaves the cluster, the driver only orchestrates rounds.
     * Returns (id, canonical_id) for every id appearing in `pairs`. */
-  def canonicalize(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lab", col("id"))
-      .localCheckpoint()
+  /** @param checkpointer how to truncate lineage each round. The default
+    *   `localCheckpoint` stores blocks on executors — fine in one
+    *   session; a long-lived 100 TB job should pass
+    *   `_.checkpoint()` (with `sparkContext.setCheckpointDir`) so rounds
+    *   survive executor loss. */
+  def canonicalize(
+      pairs: DataFrame, maxIter: Int = 20,
+      checkpointer: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    val edges = checkpointer(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
+    var labels = checkpointer(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("lab", col("id")))
     // Labels only ever DECREASE under min-propagation, so Σlab (exact, as
     // decimal — no overflow at any corpus size) strictly decreases iff any
     // label changed: convergence is one cheap aggregate per round instead
@@ -272,11 +279,11 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("lab"))
-        .unionAll(labels)
-        .groupBy("id").agg(min("lab").as("lab"))
-        .localCheckpoint()
+      val next = checkpointer(
+        edges.join(labels, edges("src") === labels("id"))
+          .select(col("dst").as("id"), col("lab"))
+          .unionAll(labels)
+          .groupBy("id").agg(min("lab").as("lab")))
       val nextSum = labSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

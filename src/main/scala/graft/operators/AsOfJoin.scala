@@ -100,6 +100,83 @@ object AsOfJoin {
       .drop(tieCols: _*)
   }
 
+  /** Nearest as-of: for every left row, the right row with the same key
+    * closest in time, either direction; ties (equal gap) go to the
+    * backward candidate. ONE shuffle and ONE sort: the backward candidate
+    * is running `last(payload) ignoreNulls` over (unbounded preceding,
+    * current) and the forward candidate is `first(payload) ignoreNulls`
+    * over (current, unbounded following) — two frames over the same
+    * sorted partition. (A right row at the left row's exact time sorts
+    * before it, so it is the backward candidate with gap 0 — the minimum
+    * possible — which is also the nearest-tie rule; the forward frame
+    * being strictly-after therefore never loses a match.)
+    * `tolerance` bounds the absolute gap. */
+  def nearest(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String], rightTieBreak: Seq[String] = Nil,
+      tolerance: Option[Double] = None): DataFrame = {
+    require(rightPayload.nonEmpty, "asOf: need at least one right payload column")
+    val collisions = rightPayload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"asOf: right payload collides with left columns: $collisions")
+
+    val rightTypes = right.schema
+    val tieCols = rightTieBreak.map(c => s"__tie_$c")
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => rightTypes(c)) :+
+        org.apache.spark.sql.types.StructField("__rt", org.apache.spark.sql.types.DoubleType))
+
+    val lPadded = rightTieBreak
+      .foldLeft(
+        left
+          .withColumn("__k", col(leftKey))
+          .withColumn("__t", col(leftTime).cast("double"))
+          .withColumn("__side", lit(1))
+          .withColumn("__r", lit(null).cast(payloadType))) { (df, c) =>
+        df.withColumn(s"__tie_$c", lit(null).cast(rightTypes(c).dataType))
+      }
+    val r = right
+      .where(col(rightKey).isNotNull)
+      .select(
+        col(rightKey).as("__k") +:
+          col(rightTime).cast("double").as("__t") +:
+          lit(0).as("__side") +:
+          struct(rightPayload.map(col) :+ col(rightTime).cast("double").as("__rt"): _*).as("__r") +:
+          rightTieBreak.map(c => col(c).as(s"__tie_$c")): _*)
+    val rPadded = left.columns.foldLeft(r)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    val unioned = lPadded.unionByName(rPadded)
+    val w = Window.partitionBy("__k")
+      .orderBy((col("__t").asc +: col("__side").asc +: tieCols.map(col(_).asc)): _*)
+    val back = last(col("__r"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fwd = first(col("__r"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val carried = unioned
+      .withColumn("__rb", back)
+      .withColumn("__rf", fwd)
+
+    def gapOk(gap: Column): Column = tolerance match {
+      case None      => lit(true)
+      case Some(tol) => gap <= lit(tol)
+    }
+    val gb = col("__t") - col("__rb").getField("__rt")
+    val gf = col("__rf").getField("__rt") - col("__t")
+    val backOk = col("__rb").isNotNull && gapOk(gb)
+    val fwdOk = col("__rf").isNotNull && gapOk(gf)
+    val chosen = when(backOk && (!fwdOk || gb <= gf), col("__rb"))
+      .when(fwdOk, col("__rf"))
+    val withChosen = carried.withColumn("__rc", chosen)
+    val withPayload = rightPayload.foldLeft(withChosen)((df, c) =>
+      df.withColumn(c, col("__rc").getField(c)))
+    withPayload
+      .where(col("__side") === 1)
+      .drop("__k", "__t", "__side", "__r", "__rb", "__rf", "__rc")
+      .drop(tieCols: _*)
+  }
+
   /** Forward as-of: for every left row, the EARLIEST right row with the
     * same key at-or-after the left time (ties: last by `rightTieBreak`
     * wins, as in [[backward]]). Implemented as [[backward]] over negated

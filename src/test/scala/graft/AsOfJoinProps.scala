@@ -51,6 +51,30 @@ object AsOfJoinProps extends Properties("AsOfJoin") {
       got == want
     }
 
+  property("nearest as-of == brute force closest-in-time with backward tie rule") =
+    Prop.forAll(leftGen, rightGen, Gen.option(Gen.choose(0L, 10L))) { (ls, rs, tol) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("event_id", "k", "t")
+      val right = rs.toDF("rk", "rt", "ref")
+      val got = AsOfJoin.nearest(left, right, "k", "rk", "t", "rt",
+        rightPayload = Seq("ref"), rightTieBreak = Seq("ref"),
+        tolerance = tol.map(_.toDouble))
+        .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        def ok(gap: Long) = tol.forall(gap <= _)
+        val back = rs.filter(r => r._1 == k && r._2 <= t && ok(t - r._2))
+          .sortBy(r => (r._2, r._3)).lastOption           // latest time, max ref
+        val fwd = rs.filter(r => r._1 == k && r._2 > t && ok(r._2 - t))
+          .sortBy(r => (r._2, r._3)).headOption           // earliest time, min ref
+        val chosen = (back, fwd) match {
+          case (Some(b), Some(f)) => if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+          case (b, f)             => b.orElse(f)
+        }
+        i.toLong -> chosen.map(_._3)
+      }.toMap
+      Prop(got == want) :| s"got=$got want=$want tol=$tol"
+    }
+
   property("backward as-of with tolerance == brute force filtered by gap") =
     Prop.forAll(leftGen, rightGen, Gen.choose(0L, 10L)) { (ls, rs, tol) =>
       val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
