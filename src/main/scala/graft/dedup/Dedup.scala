@@ -273,8 +273,11 @@ object Dedup {
     // decimal — no overflow at any corpus size) strictly decreases iff any
     // label changed: convergence is one cheap aggregate per round instead
     // of a join + count against the previous labels.
-    def labSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lab").cast("decimal(38,0)"))).head.getDecimal(0)
+    def labSum(df: DataFrame): java.math.BigDecimal = {
+      // sum over an empty frame is null → zero (empty graph = converged)
+      val s = df.agg(sum(col("lab").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labSum(labels)
     var iter = 0
     var converged = false

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.operators.{AsOfJoin, RangeJoin, SaltedAgg}
+import graft.similarity.Similarity
+
+/** Degenerate inputs must yield empty/identity results, never crashes —
+  * at 100 TB some partition or filter result is always empty. */
+class EdgeCasesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val docs = Seq((1L, "a b c d"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+
+  test("dedup operators on an empty corpus return empty, not errors") {
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashLsh(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(
+      emptyDocs.withColumn("blk", lit(0)), "doc_id", "text", Seq("blk"), 0.5).count() == 0)
+  }
+
+  test("shingle-based dedup silently excludes too-short and empty documents") {
+    // doc 2 ("") and doc 3 ("x") have < 3 tokens → no shingles → excluded
+    assert(Dedup.minhashLsh(docs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(docs, "doc_id", "text").count() == 0)
+  }
+
+  test("canonicalize of no pairs is empty; dropNearDuplicates keeps everything") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.canonicalize(noPairs).count() == 0)
+    assert(Dedup.dropNearDuplicates(docs, "doc_id", noPairs).count() == docs.count())
+  }
+
+  test("as-of joins with an empty right keep every left row with null payload") {
+    val left = Seq((1L, "k", 5L)).toDF("event_id", "k", "t")
+    val right = Seq.empty[(String, Long, Long)].toDF("rk", "rt", "ref")
+    for (join <- Seq(AsOfJoin.backward _, AsOfJoin.forward _, AsOfJoin.nearest _)) {
+      val out = join(left, right, "k", "rk", "t", "rt", Seq("ref"), Nil, None).collect()
+      assert(out.length == 1 && out.head.isNullAt(3))
+    }
+  }
+
+  test("range join with empty sides is empty") {
+    val pts = Seq((1L, 10L)).toDF("pid", "p")
+    val noPts = Seq.empty[(Long, Long)].toDF("pid", "p")
+    val ivs = Seq((1L, 0L, 20L)).toDF("iid", "s", "e")
+    val noIvs = Seq.empty[(Long, Long, Long)].toDF("iid", "s", "e")
+    assert(RangeJoin.pointInInterval(noPts, "p", ivs, "s", "e", 10L).count() == 0)
+    assert(RangeJoin.pointInInterval(pts, "p", noIvs, "s", "e", 10L).count() == 0)
+    // empty interval [s, s) matches nothing
+    val degenerate = Seq((1L, 10L, 10L)).toDF("iid", "s", "e")
+    assert(RangeJoin.pointInInterval(pts, "p", degenerate, "s", "e", 10L).count() == 0)
+  }
+
+  test("salted aggregation of an empty frame returns no groups") {
+    val empty = Seq.empty[(String, Long, Double)].toDF("k", "v", "x")
+    assert(SaltedAgg.distinctAgg(empty, Seq("k"), "v", 8, "nd").count() == 0)
+    assert(SaltedAgg.groupByAgg(empty, Seq("k"), 8, Seq(SaltedAgg.Sum("x", "s"))).count() == 0)
+  }
+
+  test("ANN with an empty query set is empty; with empty corpus is empty") {
+    val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(vecs, noVecs, "vec_id", "embedding", 2).count() == 0)
+    assert(Similarity.bruteForceTopK(noVecs, vecs, "vec_id", "embedding", 2).count() == 0)
+    assert(Similarity.lshTopK(vecs, noVecs, "vec_id", "embedding", 2, 2, 2).count() == 0)
+  }
+}
