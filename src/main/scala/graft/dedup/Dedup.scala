@@ -184,9 +184,45 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double,
-      rarestFirst: Boolean = true): DataFrame = {
+      rarestFirst: Boolean = true,
+      collapseExactDuplicates: Boolean = false): DataFrame = {
     val base = df.select((col(idCol) +: blockCols.map(col)) :+
       distinctTokens(col(textCol)).as("toks"): _*)
+    if (!collapseExactDuplicates) pairsFromTokenSets(base, idCol, blockCols, threshold, rarestFirst)
+    else {
+      // Real corpora are duplicate-heavy; docs with IDENTICAL token sets
+      // contribute identical prefixes, candidates and verifications. Run
+      // the pairwise machinery once per distinct (block, token-set) class
+      // and expand results losslessly:
+      //  · cross-class member pairs inherit the class pair's jaccard
+      //    (same sets → same value);
+      //  · within-class pairs have jaccard exactly 1.0 ≥ any valid t.
+      val sigd = base.withColumn("__sig", md5(concat_ws(" ", array_sort(col("toks")))))
+      val groups = sigd
+        .groupBy(blockCols.map(col) :+ col("__sig"): _*)
+        .agg(min(col(idCol)).as("__rep"),
+          collect_list(col(idCol)).as("__members"),
+          first(col("toks")).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val reps = groups.select(col("__rep").as(idCol) +: blockCols.map(col) :+ col("toks"): _*)
+      val repPairs = pairsFromTokenSets(reps, idCol, blockCols, threshold, rarestFirst)
+      val ma = groups.select(col("__rep").as("id_a"), explode(col("__members")).as("m_a"))
+      val mb = groups.select(col("__rep").as("id_b"), explode(col("__members")).as("m_b"))
+      val cross = repPairs.join(ma, "id_a").join(mb, "id_b")
+        .select(least(col("m_a"), col("m_b")).as("id_a"),
+          greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
+      val within = groups.where(size(col("__members")) > 1)
+        .select(col("__members"), explode(col("__members")).as("m_a"))
+        .select(col("m_a"), explode(col("__members")).as("m_b"))
+        .where(col("m_a") < col("m_b"))
+        .select(col("m_a").as("id_a"), col("m_b").as("id_b"), lit(1.0).as("jaccard"))
+      if (threshold <= 1.0) cross.unionAll(within) else cross
+    }
+  }
+
+  private def pairsFromTokenSets(
+      base: DataFrame, idCol: String,
+      blockCols: Seq[String], threshold: Double, rarestFirst: Boolean): DataFrame = {
     val tokRows = base.select(col(idCol) +: blockCols.map(col) :+
       explode(col("toks")).as("tok"): _*)
     // per-doc tokens in the global order (persisted: both the prefix

@@ -22,12 +22,15 @@ object DedupProps extends Properties("Dedup") {
   private val thresholdGen = Gen.oneOf(0.3, 0.5, 2.0 / 3.0, 0.75, 0.9, 1.0)
 
   property("ngramJaccardPairs == brute-force all-pairs Jaccard at the same threshold") =
-    Prop.forAll(corpusGen, thresholdGen, org.scalacheck.Gen.oneOf(true, false)) { (docs, t, rarest) =>
+    Prop.forAll(corpusGen, thresholdGen,
+      org.scalacheck.Gen.oneOf(true, false), org.scalacheck.Gen.oneOf(true, false)) {
+      (docs, t, rarest, collapse) =>
       val df = docs.zipWithIndex
         .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
         .toDF("doc_id", "text")
         .withColumn("blk", org.apache.spark.sql.functions.lit(0))
-      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq("blk"), t, rarestFirst = rarest)
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq("blk"), t,
+        rarestFirst = rarest, collapseExactDuplicates = collapse)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val sets = docs.map(_.toSet).zipWithIndex
       val want = (for {
