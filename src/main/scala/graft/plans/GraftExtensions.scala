@@ -29,5 +29,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, s"graft_dot takes 2 arguments, got ${args.length}")
         DotProduct(args.head, args(1))
       }))
+
+    // Composed functions built as catalyst trees directly (a Column
+    // lowered inside a function builder stays unresolved — it never
+    // re-enters analysis), mirroring the Column-API definitions in
+    // Similarity.cosine and TextFunctions.jaccard.
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Divide, Multiply, Sqrt}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+    def two(name: String)(f: (Expression, Expression) => Expression) =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, name),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"$name takes 2 arguments, got ${args.length}")
+          f(args.head, args(1))
+        }))
+
+    two("graft_cosine") { (a0, b0) =>
+      val a = Cast(a0, ArrayType(DoubleType))
+      val b = Cast(b0, ArrayType(DoubleType))
+      Divide(DotProduct(a, b),
+        Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+    }
+
+    two("graft_jaccard") { (a, b) =>
+      import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayIntersect, Size}
+      Divide(
+        Cast(Size(ArrayIntersect(a, b)), DoubleType),
+        Cast(Size(ArrayDistinct(Concat(Seq(a, b)))), DoubleType))
+    }
   }
 }
