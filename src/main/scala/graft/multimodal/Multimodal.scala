@@ -81,6 +81,36 @@ object Multimodal {
     }(Encoders.product[DecodedMedia])
   }
 
+  /** Resized media features. `scale_x`/`scale_y` are what a real resampler
+    * would apply; the payload itself is untouched by the stub. */
+  final case class ResizedMedia(
+      media_id: Long, width: Int, height: Int,
+      src_width: Int, src_height: Int, scale_x: Double, scale_y: Double)
+
+  /** Resize stage: same batched `mapPartitions` shape as [[decode]] — a
+    * real implementation hands each batch to a vectorized resampler; the
+    * stub computes target dims + scale factors from the decoded metadata
+    * (deterministic, oracle-replicable). Aspect-preserving fit into
+    * `maxSide`×`maxSide`: the longer side becomes `maxSide`, never
+    * upscaled. */
+  def resize(decoded: Dataset[DecodedMedia], maxSide: Int)(
+      implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    require(maxSide >= 1, "resize: maxSide must be >= 1")
+    decoded.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        // real impl: resampler.resizeBatch(batch, maxSide)
+        batch.map { m =>
+          val longSide = math.max(m.width, m.height)
+          val scale = if (longSide <= maxSide) 1.0 else maxSide.toDouble / longSide
+          val w = math.max(1, math.round(m.width * scale).toInt)
+          val h = math.max(1, math.round(m.height * scale).toInt)
+          ResizedMedia(m.media_id, w, h, m.width, m.height,
+            w.toDouble / m.width, h.toDouble / m.height)
+        }
+      }
+    }(Encoders.product[ResizedMedia])
+  }
+
   /** Frame sampling: every `stride`-th frame of each decoded media item,
     * one output row per sampled frame — payload-free, so downstream
     * video-frame pipelines shuffle only (media_id, frame_idx). */

@@ -119,6 +119,14 @@ object ExtensionQueries {
       .toDF()
   }
 
+  private def m4(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    Multimodal.resize(
+      Multimodal.decode(
+        Multimodal.ingestFromText(table(s, dir, "documents"), "doc_id", "text", "text/plain")),
+      maxSide = 32).toDF()
+  }
+
   private def m3(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     Multimodal.sampleFrames(
@@ -596,6 +604,23 @@ object ExtensionQueries {
         SELECT doc_id AS media_id,
           1 + octet_length(encode(text))::BIGINT % 8 AS n_frames
         FROM documents)""")),
+
+    Q("m4_resize", m4, Some("""
+      SELECT media_id,
+        greatest(1, round(w0 * s)::INT) AS width,
+        greatest(1, round(h0 * s)::INT) AS height,
+        w0 AS src_width, h0 AS src_height,
+        greatest(1, round(w0 * s)::INT)::DOUBLE / w0 AS scale_x,
+        greatest(1, round(h0 * s)::INT)::DOUBLE / h0 AS scale_y
+      FROM (
+        SELECT media_id, w0, h0,
+          CASE WHEN greatest(w0, h0) <= 32 THEN 1.0
+               ELSE 32.0 / greatest(w0, h0) END AS s
+        FROM (
+          SELECT doc_id AS media_id,
+            (16 + octet_length(encode(text)) % 64)::INT AS w0,
+            (16 + (octet_length(encode(text)) * 7) % 64)::INT AS h0
+          FROM documents))""")),
 
     Q("st1_windowed_events", st1, Some("""
       SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS window_start_s,

@@ -33,6 +33,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d == d2)
   }
 
+  test("resize stub: aspect-preserving fit, never upscales, dims >= 1") {
+    val decoded = Multimodal.decode(Multimodal.ingestFromText(docs, "doc_id", "text", "text/plain"))
+    val src = decoded.collect().map(d => d.media_id -> d).toMap
+    for (maxSide <- Seq(8, 32, 1024)) {
+      Multimodal.resize(decoded, maxSide).collect().foreach { r =>
+        val s = src(r.media_id)
+        assert(r.width >= 1 && r.height >= 1)
+        assert(math.max(r.width, r.height) <= math.max(maxSide, 1))
+        if (math.max(s.width, s.height) <= maxSide) {
+          assert(r.width == s.width && r.height == s.height, "upscaled")
+        } else {
+          // aspect ratio preserved to rounding
+          val srcRatio = s.width.toDouble / s.height
+          val dstRatio = r.width.toDouble / r.height
+          assert(math.abs(srcRatio - dstRatio) < 0.25, s"ratio drifted: $srcRatio vs $dstRatio")
+        }
+      }
+    }
+  }
+
   test("frame sampling: every stride-th frame, payload-free rows") {
     val frames = Multimodal.sampleFrames(
       Multimodal.decode(Multimodal.ingestFromText(docs, "doc_id", "text", "text/plain")),
