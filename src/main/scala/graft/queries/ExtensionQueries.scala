@@ -331,6 +331,40 @@ object ExtensionQueries {
       "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
   }
 
+  /** Batch sessionization as pure window algebra — the scalable form of
+    * st2's state machine (one shuffle + one in-partition sort; a new
+    * session starts after a >1 h gap, session id = running count of
+    * session starts). Unlike mapGroupsWithState this is fully
+    * SQL-expressible, so the oracle checks it exactly. */
+  private def x14(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    table(s, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("ts_s"), col("value"))
+      .withColumn("new_sess",
+        when(col("ts_s") - lag(col("ts_s"), 1).over(w) > 3600L, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"),
+        min(col("ts_s")).as("start_s"), max(col("ts_s")).as("end_s"))
+  }
+
+  /** TF-IDF over the corpus: one token explode, one (doc, term) count, a
+    * document-frequency aggregate joined back, idf = ln(N/df). The
+    * N = corpus size is a scalar subquery-style literal computed once. */
+  private def t8(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val n = docs.count().toDouble
+    val termFreq = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = termFreq.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    termFreq.join(docFreq, "tok")
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        (col("tf") * log(lit(n) / col("df"))).as("tfidf"))
+  }
+
   /** Pivot: event_type values become columns (one shuffle; the pivot
     * values are declared, so no extra distinct-discovery pass). */
   private def x12(s: SparkSession, dir: String): DataFrame =
@@ -741,6 +775,36 @@ object ExtensionQueries {
         o_totalprice - lag(o_totalprice, 1) OVER w AS delta_prev
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    Q("x14_sessionize_batch", x14, Some("""
+      WITH base AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s, value
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, ts_s, value,
+          CASE WHEN ts_s - lag(ts_s) OVER
+            (PARTITION BY user_id ORDER BY ts_s, event_id) > 3600
+            THEN 1 ELSE 0 END AS new_sess
+        FROM base),
+      sessioned AS (
+        SELECT user_id, ts_s, value,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged)
+      SELECT user_id, session_seq, count(*) AS n_events, sum(value) AS sum_value,
+        min(ts_s) AS start_s, max(ts_s) AS end_s
+      FROM sessioned
+      GROUP BY user_id, session_seq""")),
+
+    Q("t8_tfidf", t8, Some("""
+      WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok),
+      df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.df) AS tfidf
+      FROM tf JOIN df ON tf.tok = df.tok""")),
 
     Q("x12_pivot", x12, Some("""
       SELECT user_id,
