@@ -331,6 +331,35 @@ object ExtensionQueries {
       "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
   }
 
+  /** Semi join: customers WITH at least one high-value order (the
+    * membership dual of x5's anti join) — build side filtered and
+    * deduplicated by the join itself, no payload columns move. */
+  private def x15(s: SparkSession, dir: String): DataFrame = {
+    val c = table(s, dir, "customer")
+    val o = table(s, dir, "orders")
+      .where(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_buyers"), max(col("c_acctbal")).as("max_bal"))
+  }
+
+  /** Set operations: nations appearing among customers but not suppliers
+    * (EXCEPT), and in both (INTERSECT) — tagged union so one query
+    * exercises both. */
+  private def x16(s: SparkSession, dir: String): DataFrame = {
+    val cn = table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val sn = table(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    cn.except(sn).withColumn("which", lit("customer_only"))
+      .unionAll(cn.intersect(sn).withColumn("which", lit("both")))
+  }
+
+  /** Distinct on a column subset (dropDuplicates → one hash aggregate). */
+  private def x17(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+
   /** Batch sessionization as pure window algebra — the scalable form of
     * st2's state machine (one shuffle + one in-partition sort; a new
     * session starts after a >1 h gap, session id = running count of
@@ -775,6 +804,27 @@ object ExtensionQueries {
         o_totalprice - lag(o_totalprice, 1) OVER w AS delta_prev
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    Q("x15_semi_join", x15, Some("""
+      SELECT c_mktsegment, count(*) AS n_buyers, max(c_acctbal) AS max_bal
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      GROUP BY c_mktsegment""")),
+
+    Q("x16_set_ops", x16, Some("""
+      SELECT nationkey, 'customer_only' AS which FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT nationkey, 'both' AS which FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier)""")),
+
+    Q("x17_distinct", x17, Some("""
+      SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders""")),
 
     Q("x14_sessionize_batch", x14, Some("""
       WITH base AS (
