@@ -331,6 +331,17 @@ object ExtensionQueries {
       "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
   }
 
+  /** Arbitrary grouping sets (not expressible as rollup/cube): per-flag,
+    * per-status, and grand total in one pass — also exercises the
+    * spark.sql entry path over a registered view. */
+  private def x18(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    s.sql("""SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+             FROM lineitem_gs
+             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+  }
+
   /** Semi join: customers WITH at least one high-value order (the
     * membership dual of x5's anti join) — build side filtered and
     * deduplicated by the join itself, no payload columns move. */
@@ -804,6 +815,12 @@ object ExtensionQueries {
         o_totalprice - lag(o_totalprice, 1) OVER w AS delta_prev
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    Q("x18_grouping_sets", x18, Some("""
+      SELECT l_returnflag, l_linestatus,
+        sum(l_quantity) AS sum_qty, count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")),
 
     Q("x15_semi_join", x15, Some("""
       SELECT c_mktsegment, count(*) AS n_buyers, max(c_acctbal) AS max_bal
