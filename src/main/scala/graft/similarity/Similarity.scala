@@ -62,10 +62,31 @@ object Similarity {
       df: DataFrame, vecCol: String, planes: Int, dims: Int): DataFrame =
     df.withColumn("bucket", hyperplaneBucket(col(vecCol), hyperplaneWeights(planes, dims)))
 
+  /** Per-query top-k reduction via the mergeable bounded-buffer aggregator
+    * ([[graft.folds.Aggregators.topK]]): map-side partial top-k means at
+    * most k (cosine, id) entries per query per partition cross the
+    * shuffle — the window row_number formulation shuffles and sorts EVERY
+    * scored pair. Same ordering contract (cosine desc, id asc on ties).
+    * Ids must be integral (cast to long). */
+  private def topKByQuery(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.folds.Aggregators.asColumn(
+      graft.folds.Aggregators.topK(k),
+      col("cosine"), col("neighbor_id").cast("long"))(
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    scored
+      .where(col("cosine").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(top.as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("query_id"), col("e._2").as("neighbor_id"), col("e._1").as("cosine"),
+        (col("i") + 1).cast("int").as("rank"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector. `queries` must be
-    * broadcast-small (it is hinted); `corpus` is scanned once, never
-    * shuffled beyond the k-row-per-query window. Self-matches excluded.
-    * Ties broken by corpus id for determinism. */
+    * broadcast-small (it is hinted); `corpus` is scanned once and reduced
+    * through the partial top-k aggregation — never shuffled in full.
+    * Self-matches excluded. Ties broken by corpus id for determinism. */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -77,11 +98,7 @@ object Similarity {
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topKByQuery(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k — the other standard ANN scale
@@ -134,11 +151,7 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topKByQuery(scored, k)
   }
 
   /** Approximate top-k: as [[bruteForceTopK]] but candidates restricted to
@@ -158,10 +171,6 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topKByQuery(scored, k)
   }
 }
