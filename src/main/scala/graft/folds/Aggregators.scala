@@ -116,6 +116,31 @@ object Aggregators {
     }
   }
 
+  /** Generalization of [[topK]] to ANY element type with ANY ordering: a
+    * bounded mergeable buffer holding the `k` smallest elements. Ships at
+    * most k elements per group per partition through the shuffle — the
+    * scale-correct replacement for the window `row_number` pattern wherever
+    * the per-group selection key isn't a (Double, Long) score (e.g.
+    * deterministic stratified sampling ordered by a content-hash string).
+    * Smallest-first under `ord`; pass a reversed ordering for largest. */
+  def bottomK[A](k: Int)(
+      implicit ord: Ordering[A],
+      tag: scala.reflect.runtime.universe.TypeTag[Seq[A]]): Aggregator[A, Seq[A], Seq[A]] = {
+    require(k >= 1, "bottomK: k must be >= 1")
+    val enc: Encoder[Seq[A]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[A]]()
+    new Aggregator[A, Seq[A], Seq[A]] {
+      private def trim(s: Seq[A]): Seq[A] = s.sorted(ord).take(k)
+      def zero: Seq[A] = Nil
+      def reduce(b: Seq[A], a: A): Seq[A] =
+        if (b.size >= k && ord.gteq(a, b.last)) b else trim(b :+ a)
+      def merge(a: Seq[A], b: Seq[A]): Seq[A] = trim(a ++ b)
+      def finish(b: Seq[A]): Seq[A] = b
+      def bufferEncoder: Encoder[Seq[A]] = enc
+      def outputEncoder: Encoder[Seq[A]] = enc
+    }
+  }
+
   /** Register a typed aggregator as an untyped DataFrame aggregate column —
     * the bridge that lets custom folds participate in the single-pass
     * multi-aggregate `agg(...)` alongside built-ins. */

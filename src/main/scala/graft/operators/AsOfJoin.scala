@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Distributed as-of (point-in-time) join — the canonical "operator Spark
   * lacks", composed from built-ins (preference order (a) of the build
@@ -21,8 +22,49 @@ import org.apache.spark.sql.functions._
   *   4. keep left rows.
   * Cost: one shuffle per side + a linear window pass — the same plan
   * shape at 100 TB, with skewed keys handled by AQE or pre-salting.
+  *
+  * Precision: the sort key stays in the time column's NATIVE numeric
+  * family — integral times sort as long, timestamps as epoch micros
+  * (long), never as double. A double key would silently merge nanosecond
+  * epochs (~1.7e18 > 2^53, beyond double's 53-bit mantissa): two distinct
+  * times compare equal and the carry-forward picks the wrong row.
   */
 object AsOfJoin {
+
+  /** Normalize a time column to an exactly-ordered sortable key:
+    * integral → long (exact), fractional → double (caller's own
+    * precision), decimal kept, timestamp → epoch micros (long, exact),
+    * date → epoch days (long). */
+  private def timeKey(df: DataFrame, timeCol: String): (Column, DataType) =
+    df.schema(timeCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (col(timeCol).cast(LongType), LongType)
+      case FloatType | DoubleType => (col(timeCol).cast(DoubleType), DoubleType)
+      case d: DecimalType => (col(timeCol), d)
+      case TimestampType => (unix_micros(col(timeCol)), LongType)
+      case DateType => (unix_date(col(timeCol)).cast(LongType), LongType)
+      case other =>
+        throw new IllegalArgumentException(s"asOf: unsupported time type $other for $timeCol")
+    }
+
+  /** Common key type across the two sides. Mixing an integral time with a
+    * fractional one forces double — rejected beyond 2^53 where double
+    * cannot represent the integral side exactly (the caller should align
+    * units instead). */
+  private def widen(lt: DataType, rt: DataType): DataType = (lt, rt) match {
+    case (a, b) if a == b => a
+    case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+    case (a, b) =>
+      throw new IllegalArgumentException(s"asOf: incompatible time types $a / $b")
+  }
+
+  /** Tolerance in the normalized key's units (the time column's own units
+    * for numerics; MICROSECONDS for timestamps, days for dates). For long
+    * keys the comparison casts the tolerance down (truncation = floor for
+    * tol ≥ 0, exact for integral gaps) instead of widening the gap to
+    * double. */
+  private def gapWithin(gap: Column, tol: Double, tt: DataType): Column =
+    gap <= lit(tol).cast(tt)
 
   /** @param left        event/probe side (all its columns are kept)
     * @param right       state/quote side
@@ -34,9 +76,10 @@ object AsOfJoin {
     *                    left column names)
     * @param rightTieBreak orders right rows sharing (key, time); the LAST
     *                    by this ordering wins (deterministic results)
-    * @param tolerance   max allowed leftTime - rightTime gap (in time-column
-    *                    units); the as-of winner is the CLOSEST candidate,
-    *                    so filtering it is exact, not a fallback search
+    * @param tolerance   max allowed leftTime - rightTime gap (in the
+    *                    normalized time units — see [[gapWithin]]); the
+    *                    as-of winner is the CLOSEST candidate, so
+    *                    filtering it is exact, not a fallback search
     */
   def backward(
       left: DataFrame, right: DataFrame,
@@ -50,19 +93,21 @@ object AsOfJoin {
 
     val rightTypes = right.schema
     val tieCols = rightTieBreak.map(c => s"__tie_$c")
+    val (lKey, lt) = timeKey(left, leftTime)
+    val (rKey, rt) = timeKey(right, rightTime)
+    val tt = widen(lt, rt)
     // The payload travels as ONE struct so the carry-forward is whole-row:
     // per-column carries would stitch together fields from different right
     // rows whenever a payload value is legitimately null. The matched
     // right time rides along as `__rt` for the tolerance check.
-    val payloadType = org.apache.spark.sql.types.StructType(
-      rightPayload.map(c => rightTypes(c)) :+
-        org.apache.spark.sql.types.StructField("__rt", org.apache.spark.sql.types.DoubleType))
+    val payloadType = StructType(
+      rightPayload.map(c => rightTypes(c)) :+ StructField("__rt", tt))
 
     val lPadded = rightTieBreak
       .foldLeft(
         left
           .withColumn("__k", col(leftKey))
-          .withColumn("__t", col(leftTime).cast("double"))
+          .withColumn("__t", lKey.cast(tt))
           .withColumn("__side", lit(1))
           .withColumn("__r", lit(null).cast(payloadType))) { (df, c) =>
         df.withColumn(s"__tie_$c", lit(null).cast(rightTypes(c).dataType))
@@ -74,9 +119,9 @@ object AsOfJoin {
       .where(col(rightKey).isNotNull)
       .select(
         col(rightKey).as("__k") +:
-          col(rightTime).cast("double").as("__t") +:
+          rKey.cast(tt).as("__t") +:
           lit(0).as("__side") +:
-          struct(rightPayload.map(col) :+ col(rightTime).cast("double").as("__rt"): _*).as("__r") +:
+          struct(rightPayload.map(col) :+ rKey.cast(tt).as("__rt"): _*).as("__r") +:
           rightTieBreak.map(c => col(c).as(s"__tie_$c")): _*)
     val rPadded = left.columns.foldLeft(r)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
@@ -90,7 +135,7 @@ object AsOfJoin {
     val inTolerance = tolerance match {
       case None      => col("__r").isNotNull
       case Some(tol) => col("__r").isNotNull &&
-        col("__t") - col("__r").getField("__rt") <= lit(tol)
+        gapWithin(col("__t") - col("__r").getField("__rt"), tol, tt)
     }
     val withPayload = rightPayload.foldLeft(carried)((df, c) =>
       df.withColumn(c, when(inTolerance, col("__r").getField(c))))
@@ -110,7 +155,7 @@ object AsOfJoin {
     * before it, so it is the backward candidate with gap 0 — the minimum
     * possible — which is also the nearest-tie rule; the forward frame
     * being strictly-after therefore never loses a match.)
-    * `tolerance` bounds the absolute gap. */
+    * `tolerance` bounds the absolute gap (units per [[gapWithin]]). */
   def nearest(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
@@ -123,15 +168,17 @@ object AsOfJoin {
 
     val rightTypes = right.schema
     val tieCols = rightTieBreak.map(c => s"__tie_$c")
-    val payloadType = org.apache.spark.sql.types.StructType(
-      rightPayload.map(c => rightTypes(c)) :+
-        org.apache.spark.sql.types.StructField("__rt", org.apache.spark.sql.types.DoubleType))
+    val (lKey, lt) = timeKey(left, leftTime)
+    val (rKey, rt) = timeKey(right, rightTime)
+    val tt = widen(lt, rt)
+    val payloadType = StructType(
+      rightPayload.map(c => rightTypes(c)) :+ StructField("__rt", tt))
 
     val lPadded = rightTieBreak
       .foldLeft(
         left
           .withColumn("__k", col(leftKey))
-          .withColumn("__t", col(leftTime).cast("double"))
+          .withColumn("__t", lKey.cast(tt))
           .withColumn("__side", lit(1))
           .withColumn("__r", lit(null).cast(payloadType))) { (df, c) =>
         df.withColumn(s"__tie_$c", lit(null).cast(rightTypes(c).dataType))
@@ -140,9 +187,9 @@ object AsOfJoin {
       .where(col(rightKey).isNotNull)
       .select(
         col(rightKey).as("__k") +:
-          col(rightTime).cast("double").as("__t") +:
+          rKey.cast(tt).as("__t") +:
           lit(0).as("__side") +:
-          struct(rightPayload.map(col) :+ col(rightTime).cast("double").as("__rt"): _*).as("__r") +:
+          struct(rightPayload.map(col) :+ rKey.cast(tt).as("__rt"): _*).as("__r") +:
           rightTieBreak.map(c => col(c).as(s"__tie_$c")): _*)
     val rPadded = left.columns.foldLeft(r)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
@@ -160,7 +207,7 @@ object AsOfJoin {
 
     def gapOk(gap: Column): Column = tolerance match {
       case None      => lit(true)
-      case Some(tol) => gap <= lit(tol)
+      case Some(tol) => gapWithin(gap, tol, tt)
     }
     val gb = col("__t") - col("__rb").getField("__rt")
     val gf = col("__rf").getField("__rt") - col("__t")
@@ -180,7 +227,8 @@ object AsOfJoin {
   /** Forward as-of: for every left row, the EARLIEST right row with the
     * same key at-or-after the left time (ties: last by `rightTieBreak`
     * wins, as in [[backward]]). Implemented as [[backward]] over negated
-    * times — same single-shuffle plan. `tolerance` bounds
+    * normalized times — same single-shuffle plan, same native-type
+    * precision (negating a long stays a long). `tolerance` bounds
     * rightTime - leftTime. */
   def forward(
       left: DataFrame, right: DataFrame,
@@ -188,8 +236,10 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightPayload: Seq[String], rightTieBreak: Seq[String] = Nil,
       tolerance: Option[Double] = None): DataFrame = {
-    val lNeg = left.withColumn("__negt", -col(leftTime).cast("double"))
-    val rNeg = right.withColumn("__negt", -col(rightTime).cast("double"))
+    val (lKey, _) = timeKey(left, leftTime)
+    val (rKey, _) = timeKey(right, rightTime)
+    val lNeg = left.withColumn("__negt", -lKey)
+    val rNeg = right.withColumn("__negt", -rKey)
     backward(lNeg, rNeg, leftKey, rightKey, "__negt", "__negt",
       rightPayload, rightTieBreak, tolerance)
       .drop("__negt")

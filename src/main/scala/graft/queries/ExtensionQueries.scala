@@ -179,10 +179,13 @@ object ExtensionQueries {
   private def x4(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
+    // round(.., 2): DuckDB computes window sums over a segment tree, Spark
+    // sequentially — different association order, last-ULP divergence on
+    // 2-decimal money whose sums are exact at 2 dp anyway
     table(s, dir, "orders").select(
       col("o_custkey"), col("o_orderkey"),
-      sum(col("o_totalprice"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      round(sum(col("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
         .as("running_spend"),
       row_number().over(w).as("order_seq"))
   }
@@ -194,10 +197,14 @@ object ExtensionQueries {
   private def p1(s: SparkSession, dir: String): DataFrame = {
     val scored = TextAnalysis.qualityScore(table(s, dir, "documents"), "text")
     val kept = scored.where(col("quality") >= 0.55)
+    // round(.., 9): double accumulation order differs between engines
+    // (partial-aggregation merge order), so the checked output is rounded
+    // to a fixed precision far above the ULP noise in BOTH engines —
+    // quality ∈ [0,1], so 1e-9 is ~1e8 × the accumulated error.
     TextAnalysis.languageId(kept, "text")
       .groupBy(col("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"),
-        avg(col("quality")).as("avg_quality"),
+        round(avg(col("quality")), 9).as("avg_quality"),
         sum(col("n_tokens")).as("sum_tokens"))
   }
 
@@ -227,15 +234,26 @@ object ExtensionQueries {
 
   /** Deterministic stratified sampling: n rows per group, selected by a
     * content hash order (reproducible across runs/engines — the property
-    * that matters for training-data subsampling audits). */
+    * that matters for training-data subsampling audits). Selection runs
+    * through the mergeable bounded-buffer aggregator
+    * ([[graft.folds.Aggregators.bottomK]]): at most n (hash, id, value)
+    * entries per group per partition cross the shuffle, where the previous
+    * window `row_number` formulation shuffled AND sorted every row. Hash
+    * strings compare bytewise in both engines (lowercase hex), so the
+    * order matches the oracle's `ORDER BY md5(...)` exactly. */
   private def x6(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+    val pick = graft.folds.Aggregators.asColumn(
+      graft.folds.Aggregators.bottomK[(String, Long, Double)](3),
+      md5(col("event_id").cast("string")), col("event_id"), col("value"))(
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
     table(s, dir, "events")
-      .select(col("event_id"), col("event_type"), col("value"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 3)
-      .drop("rn")
+      .groupBy(col("event_type"))
+      .agg(pick.as("picked"))
+      .select(col("event_type"), explode(col("picked")).as("e"))
+      .select(col("e._2").as("event_id"), col("event_type"), col("e._3").as("value"))
   }
 
   /** Corpus vocabulary: token document-frequency and collection-frequency
@@ -324,11 +342,12 @@ object ExtensionQueries {
   }
 
   /** IVF inverted-file ANN (the FAISS-style index structure; s2 is the
-    * hyperplane-LSH alternative). */
+    * hyperplane-LSH alternative). nlist auto-scales ~√corpus so the index
+    * keeps pruning as the corpus grows (the oracle repeats the rule). */
   private def s3(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    Similarity.ivfTopK(emb, emb.where(col("vec_id") % 100 === 0),
-      "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
+    Similarity.ivfTopKAuto(emb, emb.where(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", k = 3, nprobe = 2)
   }
 
   /** Arbitrary grouping sets (not expressible as rollup/cube): per-flag,
@@ -385,24 +404,32 @@ object ExtensionQueries {
       .withColumn("session_seq",
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_seq"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"),
+      // round(.., 9): session sums of 2-decimal doubles differ at ULP level
+      // across accumulation orders; fixed precision in both engines
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 9).as("sum_value"),
         min(col("ts_s")).as("start_s"), max(col("ts_s")).as("end_s"))
   }
 
   /** TF-IDF over the corpus: one token explode, one (doc, term) count, a
     * document-frequency aggregate joined back, idf = ln(N/df). The
-    * N = corpus size is a scalar subquery-style literal computed once. */
+    * N = corpus size is a 1-row aggregate broadcast-cross-joined into the
+    * plan — NOT a driver-side `count()`, which would run a full extra scan
+    * job every time the query is merely constructed. */
   private def t8(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
-    val n = docs.count().toDouble
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
     val termFreq = docs
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val docFreq = termFreq.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // round(.., 6): tf·ln(N/df) is irrational, and the engines' libm ln
+    // implementations may differ in the last ULP — fixed precision on a
+    // ~1e0-magnitude score is safe and lossless for ranking
     termFreq.join(docFreq, "tok")
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
-        (col("tf") * log(lit(n) / col("df"))).as("tfidf"))
+        round(col("tf") * log(col("__n_docs") / col("df")), 6).as("tfidf"))
   }
 
   /** Pivot: event_type values become columns (one shuffle; the pivot
@@ -446,15 +473,12 @@ object ExtensionQueries {
   }
 
   /** Custom per-key state machine run in batch (same code streams with
-    * timeouts — StreamingSpec): per-user session summaries. Rows-only
-    * check (mapGroupsWithState has no SQL equivalent). */
-  private def st2(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val events = table(s, dir, "events")
-      .select(col("user_id"), expr("ts div 1000000000").as("ts_s"), col("value"))
-      .as[Streaming.SessionInput]
-    Streaming.sessionize(events, gapSeconds = 3600).toDF()
-  }
+    * event-time timeouts — StreamingSpec): per-user sessions. Event-time
+    * semantics make it deterministic, so it shares x14's SQL oracle
+    * (hash-checked, not rows-only). */
+  private def st2(s: SparkSession, dir: String): DataFrame =
+    Streaming.sessionizeEventTime(
+      table(s, dir, "events"), gapSeconds = 3600, watermark = "1 hour").toDF()
 
   // ---------------------------------------------------------------- oracle
 
@@ -535,10 +559,13 @@ object ExtensionQueries {
                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])), sh -> md5(sh)) AS hashes
              FROM docs WHERE len(ws) >= 3),
       fps AS (SELECT doc_id,
+                -- ::BIGINT: DuckDB's list_sum over integers yields HUGEINT,
+                -- which round-trips to float64 through Arrow and hash-
+                -- mismatches Spark's LongType even at equal values
                 list_sum(list_transform(range(1, 33), i ->
                   CASE WHEN list_sum(list_transform(hashes, h ->
                          CASE WHEN substr(h, i, 1) IN $hiHex THEN 1 ELSE -1 END)) > 0
-                       THEN 1::BIGINT << (i - 1) ELSE 0 END)) AS fp
+                       THEN 1::BIGINT << (i - 1) ELSE 0 END))::BIGINT AS fp
               FROM hs)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b,
         bit_count(xor(a.fp, b.fp)) AS hamming
@@ -737,7 +764,30 @@ object ExtensionQueries {
       LIMIT 20""")),
 
     Q("a1_approx_stats", a1, None),
-    Q("st2_sessionize", st2, None),
+
+    // Same session semantics as x14 (the batch window formulation), so the
+    // state machine is pinned by the same SQL. session_seq ::BIGINT — a
+    // DuckDB window sum of integers is HUGEINT (see d4's fp cast).
+    Q("st2_sessionize", st2, Some("""
+      WITH base AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s, value
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, ts_s, value,
+          CASE WHEN ts_s - lag(ts_s) OVER
+            (PARTITION BY user_id ORDER BY ts_s, event_id) > 3600
+            THEN 1 ELSE 0 END AS new_sess
+        FROM base),
+      sessioned AS (
+        SELECT user_id, ts_s, value,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq
+        FROM flagged)
+      SELECT user_id, session_seq, count(*) AS n_events,
+        round(sum(value), 9) AS sum_value,
+        min(ts_s) AS start_s, max(ts_s) AS end_s
+      FROM sessioned
+      GROUP BY user_id, session_seq""")),
 
     Q("x2_asof_join", x2, Some("""
       SELECT event_id, user_id, event_s, o_orderkey, o_totalprice FROM (
@@ -786,14 +836,14 @@ object ExtensionQueries {
               list_contains(['el','la','los','y','es','un'], t))) AS es_hits
           FROM kept))
       SELECT predicted_lang, count(*) AS n_docs,
-        avg(quality) AS avg_quality, sum(n_tokens) AS sum_tokens
+        round(avg(quality), 9) AS avg_quality, sum(n_tokens) AS sum_tokens
       FROM langed GROUP BY predicted_lang""")),
 
     Q("x4_window_running", x4, Some("""
       SELECT o_custkey, o_orderkey,
-        sum(o_totalprice) OVER (PARTITION BY o_custkey
+        round(sum(o_totalprice) OVER (PARTITION BY o_custkey
           ORDER BY o_orderdate, o_orderkey
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
         row_number() OVER (PARTITION BY o_custkey
           ORDER BY o_orderdate, o_orderkey) AS order_seq
       FROM orders""")),
@@ -856,9 +906,10 @@ object ExtensionQueries {
       sessioned AS (
         SELECT user_id, ts_s, value,
           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq
         FROM flagged)
-      SELECT user_id, session_seq, count(*) AS n_events, sum(value) AS sum_value,
+      SELECT user_id, session_seq, count(*) AS n_events,
+        round(sum(value), 9) AS sum_value,
         min(ts_s) AS start_s, max(ts_s) AS end_s
       FROM sessioned
       GROUP BY user_id, session_seq""")),
@@ -870,7 +921,7 @@ object ExtensionQueries {
         GROUP BY doc_id, tok),
       df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
       SELECT tf.doc_id, tf.tok, tf.tf, df.df,
-        tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.df) AS tfidf
+        round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.df), 6) AS tfidf
       FROM tf JOIN df ON tf.tok = df.tok""")),
 
     Q("x12_pivot", x12, Some("""
@@ -928,8 +979,13 @@ object ExtensionQueries {
       GROUP BY o_orderkey""")),
 
     Q("s3_ann_ivf", s3, Some(s"""
-      WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
-                     FROM embeddings ORDER BY vec_id LIMIT 8),
+      WITH cents AS (
+        SELECT cid, cvec FROM (
+          SELECT vec_id AS cid, embedding AS cvec,
+            row_number() OVER (ORDER BY vec_id) AS rn_c,
+            greatest(8, ceil(sqrt(count(*) OVER ()))) AS nlist
+          FROM embeddings)
+        WHERE rn_c <= nlist),
       ranked AS (
         SELECT e.vec_id, e.embedding, c.cid,
           row_number() OVER (PARTITION BY e.vec_id

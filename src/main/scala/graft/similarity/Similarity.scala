@@ -122,6 +122,21 @@ object Similarity {
     * and the index's *structure* — not the quality of its centroids — is
     * what this operator contributes. Ties on cosine break toward the
     * larger centroid id (max struct semantics), mirrored in the oracle. */
+  /** [[ivfTopK]] with `nlist` auto-scaled to max(8, ⌈√corpus⌉) — the
+    * standard IVF sizing rule (lists of ~√n vectors balance quantizer cost
+    * against per-probe scan cost). A FIXED nlist stops pruning as the
+    * corpus grows: list sizes grow linearly, so each probe rescans a
+    * constant fraction of the data. The one `count()` action here is
+    * index-BUILD cost, not query cost — the quantizer collect below is
+    * already an action, and both run once per index, not per query. */
+  def ivfTopKAuto(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val n = corpus.count()
+    val nlist = math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+    ivfTopK(corpus, queries, idCol, vecCol, k, nlist, nprobe)
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {

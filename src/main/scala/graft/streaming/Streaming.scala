@@ -47,32 +47,99 @@ object Streaming {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
-  final case class SessionInput(user_id: Long, ts_s: Long, value: Double)
-  final case class SessionSummary(user_id: Long, n_events: Long, sum_value: Double, span_s: Long)
-  private final case class SessionState(n: Long, sum: Double, minTs: Long, maxTs: Long)
+  /** `event_time` duplicates ts_s as a timestamp: the watermark is defined
+    * on it, and the watermark ATTRIBUTE must still be present in the input
+    * of `flatMapGroupsWithState` for event-time timeouts to be legal —
+    * dropping the column would drop the watermark tag with it. */
+  final case class SessionInput(
+      user_id: Long, ts_s: Long, value: Double, event_time: java.sql.Timestamp)
 
-  /** Custom sessionization state machine via `mapGroupsWithState` — the
+  /** One closed session — same shape and column names as the batch window
+    * sessionization (x14), so the two share one oracle. `session_seq`
+    * starts at 0 per user (the running count of gap-triggered session
+    * starts, matching `sum(new_sess)` in the window formulation). */
+  final case class SessionOut(
+      user_id: Long, session_seq: Long, n_events: Long,
+      sum_value: Double, start_s: Long, end_s: Long)
+  /** Internal open-session state (public: the state-store codegen
+    * instantiates it from generated code outside this object). */
+  final case class OpenSession(
+      seq: Long, n: Long, sum: Double, startS: Long, endS: Long)
+
+  /** sum_value rounded exactly like `round(sum(value), 9)` (shortest
+    * decimal repr, HALF_UP) so batch/stream/oracle all hash-agree despite
+    * accumulation-order ULP noise. */
+  private def round9(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Custom sessionization state machine via `flatMapGroupsWithState` — the
     * `KeyValueGroupedDataset` custom-state escape hatch (the streaming
-    * analog of the reference's arbitrary per-group folds). Sessions close
-    * after `gapSeconds` of inactivity (processing-time timeout). */
-  def sessionize(events: Dataset[SessionInput], gapSeconds: Long): Dataset[SessionSummary] = {
-    implicit val stateEnc = Encoders.product[SessionState]
-    implicit val outEnc = Encoders.product[SessionSummary]
-    events
+    * analog of the reference's arbitrary per-group folds). Sessions split
+    * after `gapSeconds` of event-time inactivity.
+    *
+    * DETERMINISTIC, unlike a processing-time formulation: session
+    * boundaries depend only on event times. In streaming execution a
+    * session is emitted when it is CLOSED — either a later event of the
+    * same user arrives past the gap (inline split) or the event-time
+    * watermark passes `end_s + gapSeconds` (`EventTimeTimeout`). In batch
+    * execution the input is complete, so every session is final: the tail
+    * session per user is emitted too, making batch output identical to the
+    * batch window sessionization (x14) — which is the oracle.
+    *
+    * `events` needs (ts: nanos long, user_id: long, value: double). */
+  def sessionizeEventTime(
+      events: DataFrame, gapSeconds: Long, watermark: String): Dataset[SessionOut] = {
+    val isStreaming = events.isStreaming
+    val typed = events
+      .withColumn("event_time", nanosToTimestamp("ts"))
+      .withWatermark("event_time", watermark)
+      .select(col("user_id"), expr("ts div 1000000000").as("ts_s"), col("value"),
+        col("event_time"))
+      .as[SessionInput](Encoders.product[SessionInput])
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[SessionOut]
+    typed
       .groupByKey(_.user_id)(Encoders.scalaLong)
-      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout)(
-        (userId: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) => {
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[SessionInput], state: GroupState[OpenSession]) => {
+          def emit(o: OpenSession): SessionOut =
+            SessionOut(userId, o.seq, o.n, round9(o.sum), o.startS, o.endS)
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            SessionSummary(userId, s.n, s.sum, s.maxTs - s.minTs)
+            Iterator.single(emit(s))
           } else {
-            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MaxValue, Long.MinValue))
-            val next = rows.foldLeft(prev)((s, e) =>
-              SessionState(s.n + 1, s.sum + e.value, math.min(s.minTs, e.ts_s), math.max(s.maxTs, e.ts_s)))
-            state.update(next)
-            state.setTimeoutDuration(gapSeconds * 1000)
-            SessionSummary(userId, next.n, next.sum, next.maxTs - next.minTs)
+            // gap splits depend only on ts_s, and (sum, min, max, count)
+            // are order-invariant within a session up to ULPs round9
+            // absorbs — so the output is deterministic although the
+            // iterator order isn't
+            val sorted = rows.toArray.sortBy(_.ts_s)
+            val closed = Seq.newBuilder[SessionOut]
+            var open = state.getOption
+            for (e <- sorted) {
+              open = open match {
+                case None => Some(OpenSession(0L, 1L, e.value, e.ts_s, e.ts_s))
+                case Some(o) if e.ts_s - o.endS > gapSeconds =>
+                  closed += emit(o)
+                  Some(OpenSession(o.seq + 1, 1L, e.value, e.ts_s, e.ts_s))
+                case Some(o) =>
+                  Some(o.copy(n = o.n + 1, sum = o.sum + e.value,
+                    endS = math.max(o.endS, e.ts_s)))
+              }
+            }
+            open match {
+              case Some(o) if isStreaming =>
+                state.update(o)
+                // close when the watermark passes the gap bound (must stay
+                // strictly above the current watermark)
+                state.setTimeoutTimestamp(
+                  math.max((o.endS + gapSeconds) * 1000L + 1L,
+                    state.getCurrentWatermarkMs() + 1L))
+                closed.result().iterator
+              case Some(o) => // batch: input complete — the tail is final
+                (closed.result() :+ emit(o)).iterator
+              case None => closed.result().iterator
+            }
           }
         })
   }

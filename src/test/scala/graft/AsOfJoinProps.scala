@@ -75,6 +75,30 @@ object AsOfJoinProps extends Properties("AsOfJoin") {
       Prop(got == want) :| s"got=$got want=$want tol=$tol"
     }
 
+  // Nanosecond-epoch regression: ~1.7e18 exceeds double's 53-bit mantissa,
+  // so a double sort key merges adjacent nano timestamps (±1..1024 ns all
+  // round to the same double) and the carry-forward picks the wrong row.
+  // The native long key must keep them distinct.
+  property("backward as-of is exact on nanosecond-epoch longs beyond 2^53") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(-512L, 512L)),
+      Gen.nonEmptyListOf(Gen.choose(-512L, 512L))) { (lOffs, rOffs) =>
+      val base = 1700000000000000000L // ≈ 2026 in epoch nanos, ≫ 2^53
+      val left = lOffs.zipWithIndex.map { case (o, i) => (i.toLong, "K", base + o) }
+        .toDF("event_id", "k", "t")
+      val right = rOffs.zipWithIndex.map { case (o, i) => ("K", base + o, i.toLong) }
+        .toDF("rk", "rt", "ref")
+      val got = AsOfJoin.backward(left, right, "k", "rk", "t", "rt",
+        rightPayload = Seq("ref"), rightTieBreak = Seq("ref"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      val want = lOffs.zipWithIndex.map { case (o, i) =>
+        val matches = rOffs.zipWithIndex.filter { case (ro, _) => ro <= o }
+        i.toLong -> (if (matches.isEmpty) None
+                     else Some(matches.map { case (ro, ri) => (ro, ri.toLong) }.max._2))
+      }.toMap
+      Prop(got == want) :| s"got=$got want=$want"
+    }
+
   property("backward as-of with tolerance == brute force filtered by gap") =
     Prop.forAll(leftGen, rightGen, Gen.choose(0L, 10L)) { (ls, rs, tol) =>
       val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }

@@ -122,14 +122,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("sessionize: per-user state machine (batch execution of mapGroupsWithState)") {
+  test("sessionizeEventTime in batch: gap-splits into x14-equivalent sessions") {
     val events = Seq(
-      Streaming.SessionInput(1L, 100L, 1.0),
-      Streaming.SessionInput(1L, 160L, 2.0),
-      Streaming.SessionInput(2L, 100L, 5.0)).toDS()
-    val out = Streaming.sessionize(events, gapSeconds = 300)
-      .collect().map(s => s.user_id -> s).toMap
-    assert(out(1L).n_events == 2 && out(1L).sum_value == 3.0 && out(1L).span_s == 60L)
-    assert(out(2L).n_events == 1 && out(2L).span_s == 0L)
+      (ns(100), 1L, 1.0), (ns(160), 1L, 2.0),   // session 0 of user 1
+      (ns(1000), 1L, 4.0),                      // gap > 300 → session 1
+      (ns(100), 2L, 5.0))                       // session 0 of user 2
+      .toDF("ts", "user_id", "value")
+    val out = Streaming.sessionizeEventTime(events, gapSeconds = 300, watermark = "5 minutes")
+      .collect().map(s => (s.user_id, s.session_seq) -> s).toMap
+    assert(out.size == 3)
+    assert(out((1L, 0L)).n_events == 2 && out((1L, 0L)).sum_value == 3.0
+      && out((1L, 0L)).start_s == 100L && out((1L, 0L)).end_s == 160L)
+    assert(out((1L, 1L)).n_events == 1 && out((1L, 1L)).sum_value == 4.0)
+    assert(out((2L, 0L)).n_events == 1 && out((2L, 0L)).sum_value == 5.0)
+  }
+
+  test("sessionizeEventTime over a stream: sessions close by gap-split and by event-time timeout") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, Double)]
+    val events = source.toDF().toDF("ts", "user_id", "value")
+    val sessions = Streaming.sessionizeEventTime(events, gapSeconds = 300, watermark = "10 seconds")
+
+    val q = sessions.toDF().writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData((ns(100), 1L, 1.0), (ns(160), 1L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_test").count() == 0) // session still open
+
+      // a later event of the SAME user past the gap closes session 0 inline
+      source.addData((ns(1000), 1L, 4.0))
+      q.processAllAvailable()
+      val afterSplit = spark.table("sess_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(afterSplit == Set((1L, 0L, 2L, 3.0)))
+
+      // another user's far-future events push the watermark past
+      // end_s + gap → user 1's open session times out and is emitted
+      source.addData((ns(100000), 2L, 7.0))
+      q.processAllAvailable()
+      source.addData((ns(100001), 2L, 8.0))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("sess_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(afterTimeout.contains((1L, 1L, 1L, 4.0)))
+
+      // stream-closed sessions match the batch run of the SAME definition
+      // (batch additionally emits each user's final, still-open session)
+      val batch = Streaming.sessionizeEventTime(
+        Seq((ns(100), 1L, 1.0), (ns(160), 1L, 2.0), (ns(1000), 1L, 4.0),
+          (ns(100000), 2L, 7.0), (ns(100001), 2L, 8.0)).toDF("ts", "user_id", "value"),
+        gapSeconds = 300, watermark = "10 seconds")
+        .collect().map(s => (s.user_id, s.session_seq, s.n_events, s.sum_value)).toSet
+      assert(batch == afterTimeout + ((2L, 0L, 2L, 15.0)))
+    } finally q.stop()
   }
 }

@@ -28,9 +28,27 @@ def canon(rows, cols):
     return [c for c in sorted(cols)], sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
+EXACT = False
+
+
 def approx_eq(a, b):
     if a is None or b is None:
         return a is b
+    if EXACT:
+        # replica of the driver's exact-hash gate: canonical string repr,
+        # integer widths normalized (int vs bigint hash the same), floats
+        # compared bit-for-bit via repr
+        def c(x):
+            if isinstance(x, bool):
+                return str(x)
+            if isinstance(x, int):
+                return str(x)
+            if isinstance(x, float):
+                return repr(x)
+            if isinstance(x, list):
+                return "[" + ",".join(c(y) for y in x) + "]"
+            return str(x)
+        return c(a) == c(b)
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
@@ -102,4 +120,7 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
+    if "--exact" in sys.argv:
+        EXACT = True
+        sys.argv.remove("--exact")
     sys.exit(main(sys.argv[1], sys.argv[2]))
