@@ -284,11 +284,16 @@ object Dedup {
 
   /** Duplicate-cluster canonicalization: given near-dup PAIRS, compute
     * connected components and label every member with the minimum id of
-    * its cluster — the id to keep. Standard min-label propagation: each
-    * iteration is one equi-join + one min-aggregate, labels converge in
-    * O(log diameter) rounds (near-dup graphs are shallow). Lineage is
-    * truncated per round (`localCheckpoint`) so plans stay bounded; data
-    * never leaves the cluster, the driver only orchestrates rounds.
+    * its cluster — the id to keep. Min-label propagation WITH pointer
+    * jumping: each round takes the min over (own label, neighbors' labels,
+    * label-of-label). The neighbor step moves a label one hop; the jump
+    * step (`lab → lab(lab)`, path halving from the union-find literature)
+    * lets labels traverse already-labelled chains in one round, so long
+    * chains converge in O(log diameter) rounds instead of O(diameter) —
+    * on a 100 TB corpus each round is a full shuffle, and halving the
+    * round count is the dominant lever. Lineage is truncated per round
+    * (`localCheckpoint`) so plans stay bounded; data never leaves the
+    * cluster, the driver only orchestrates rounds.
     * Returns (id, canonical_id) for every id appearing in `pairs`. */
   /** @param checkpointer how to truncate lineage each round. The default
     *   `localCheckpoint` stores blocks on executors — fine in one
@@ -307,8 +312,9 @@ object Dedup {
         .withColumn("lab", col("id")))
     // Labels only ever DECREASE under min-propagation, so Σlab (exact, as
     // decimal — no overflow at any corpus size) strictly decreases iff any
-    // label changed: convergence is one cheap aggregate per round instead
-    // of a join + count against the previous labels.
+    // label changed: convergence is one cheap aggregate per round — over
+    // blocks the eager checkpoint just materialized, so the check costs a
+    // scan of executor-local cache, not a recompute.
     def labSum(df: DataFrame): java.math.BigDecimal = {
       // sum over an empty frame is null → zero (empty graph = converged)
       val s = df.agg(sum(col("lab").cast("decimal(38,0)"))).head.getDecimal(0)
@@ -318,10 +324,14 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val viaEdges = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("lab"))
+      // pointer jump: id's label re-resolved through its label's label
+      val byId = labels.select(col("id").as("__jid"), col("lab").as("__jlab"))
+      val viaJump = labels.join(byId, labels("lab") === col("__jid"))
+        .select(col("id"), col("__jlab").as("lab"))
       val next = checkpointer(
-        edges.join(labels, edges("src") === labels("id"))
-          .select(col("dst").as("id"), col("lab"))
-          .unionAll(labels)
+        viaEdges.unionAll(viaJump).unionAll(labels)
           .groupBy("id").agg(min("lab").as("lab")))
       val nextSum = labSum(next)
       converged = nextSum.compareTo(prevSum) == 0

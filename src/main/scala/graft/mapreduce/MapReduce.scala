@@ -159,6 +159,33 @@ object Reduce {
     * arbitrary (rows of the group) → MANY result tuples; key columns
     * prepended to each. */
   final case class MakeRecsWithKey(outSchema: StructType, f: Iterator[Row] => Iterator[Seq[Any]]) extends Reduce
+
+  /** ≙ `makeRecsWithKeyM` / `ReduceM` (reference
+    * `src/Frames/MapReduce.hs:183-191`): the monadic reduce. An arbitrary
+    * monad does not distribute — effect ORDER across groups is undefined
+    * on a cluster, which is why no reference call site instantiates one
+    * (SURVEY §3.4). The two monads that DO make distributed sense are
+    * covered:
+    *  - Reader (per-task environment — a codec, model handle, connection):
+    *    THIS variant. `init` builds the environment lazily ONCE per task
+    *    (deserialized closure), every group's reduce reads it — the
+    *    distributed meaning of `ReduceM (Reader env)`.
+    *  - Identity (pure): use [[MakeRecsWithKey]].
+    * True output effects (IO) belong in `df.foreachPartition` AFTER the
+    * query — the documented recipe, not a Reduce. */
+  final case class MakeRecsWithKeyM[C](
+      outSchema: StructType,
+      init: () => C,
+      f: (C, Iterator[Row]) => Iterator[Seq[Any]]) extends Reduce {
+    /** Serializable once-per-task lazy environment. */
+    private class Env extends Serializable {
+      @transient lazy val value: C = init()
+    }
+    private[mapreduce] def run: Iterator[Row] => Iterator[Seq[Any]] = {
+      val env = new Env
+      rows => f(env.value, rows)
+    }
+  }
 }
 
 /** ≙ `mapReduceFold` + `concatFold` + `MR.fold` (reference
@@ -188,6 +215,9 @@ object MapReduce {
 
       case Reduce.MakeRecsWithKey(outSchema, f) =>
         grouped(unpacked, keys, data, outSchema)(f)
+
+      case m @ Reduce.MakeRecsWithKeyM(outSchema, _, _) =>
+        grouped(unpacked, keys, data, outSchema)(m.run)
     }
   }
 

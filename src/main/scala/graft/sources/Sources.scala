@@ -42,6 +42,50 @@ object Sources {
     }
   }
 
+  /** ≙ the reference's generalized cell functor `f` beyond `Maybe` — an
+    * `Either err a` cell that keeps WHY a cell failed to parse
+    * (`/root/reference/Readme.md:19`, the `(forall a. f a -> Maybe a)`
+    * interpreters at `src/Frames/Folds/General.hs:119`). Spark columns are
+    * sum-type-free, so the convention is: the typed column is null on
+    * failure (the `Maybe` interpretation comes free — read the value
+    * column, ignore the rest), and a `<name>__err` side column carries the
+    * raw text that failed to parse (null on success). This is the ingest-
+    * debugging answer to "why did this cell become null": the
+    * `_corrupt_record` path in [[readJsonNullable]] covers whole records,
+    * this covers individual cells.
+    *
+    * Parse semantics match [[readCsvNullable]]'s strict default: IEEE
+    * sentinels ("NaN", "Infinity") on float/double columns are parse
+    * FAILURES, as in the reference's golden fixture. All projections are
+    * codegen'd expressions (try_cast + when), no per-cell UDF. */
+  def readCsvWithCellErrors(
+      spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = false, ieeeSpecials: Boolean = false): DataFrame = {
+    val rawSchema = StructType(schema.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, org.apache.spark.sql.types.StringType,
+        nullable = true)))
+    val raw = spark.read
+      .schema(rawSchema)
+      .option("mode", "PERMISSIVE")
+      .option("header", header.toString)
+      .csv(path)
+    val cols = schema.fields.toIndexedSeq.flatMap { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.StringType => Seq(col(f.name))
+        case dt =>
+          val casted = col(f.name).try_cast(dt)
+          val typed =
+            if (!ieeeSpecials && (dt == DoubleType || dt == FloatType))
+              when(isnan(casted) || casted === Double.PositiveInfinity ||
+                casted === Double.NegativeInfinity, lit(null)).otherwise(casted)
+            else casted
+          Seq(typed.as(f.name),
+            when(col(f.name).isNotNull && typed.isNull, col(f.name)).as(s"${f.name}__err"))
+      }
+    }
+    raw.select(cols: _*)
+  }
+
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -50,6 +50,16 @@ class CanonicalizeSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalize converges in O(log diameter) rounds (pointer jumping)") {
+    // A 200-node path has diameter 199: pure 1-hop min-propagation needs
+    // ~199 rounds, so converging within maxIter = 12 (2^12 ≫ 200 reach
+    // with path halving) proves the jump step works.
+    val pairs = (1000L until 1199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.canonicalize(pairs, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 200 && labels.values.forall(_ == 1000L))
+  }
+
   test("dropNearDuplicates keeps canonical members and untouched rows") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (9L, "z")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")

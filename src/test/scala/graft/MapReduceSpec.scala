@@ -80,6 +80,23 @@ class MapReduceSpec extends AnyFunSuite {
     assert(out.where(col("label") === "A").collect().map(_.getDouble(1)).toSet == Set(2.0, 4.0))
   }
 
+  test("makeRecsWithKeyM: Reader-style env built once per task, read per group (MapReduce.hs:183-191)") {
+    MapReduceSpec.envInits.set(0)
+    // 20 groups over 4 shuffle partitions: a per-GROUP init would count 20,
+    // a once-per-TASK (Reader) init counts at most 4
+    val wide = (0 until 20).map(g => (s"g$g", g.toDouble)).toDF("label", "x")
+    val out = MapReduce(wide, Unpack.NoOp,
+      Assign.KeysAndData(Seq("label"), Seq("x")),
+      Reduce.MakeRecsWithKeyM[Double](
+        StructType(Seq(StructField("scaled", DoubleType))),
+        () => { MapReduceSpec.envInits.incrementAndGet(); 10.0 },
+        (scale, rows) => rows.map(r => Seq[Any](r.getDouble(0) * scale))))
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ==
+      (0 until 20).map(g => (s"g$g", g * 10.0)).toSet)
+    val inits = MapReduceSpec.envInits.get()
+    assert(inits >= 1 && inits <= 4, s"env inits = $inits (expected once per task)")
+  }
+
   test("unpack Transform chains as a category (flatMap unpack, Aggregation.hs:116-118)") {
     val u = Unpack.FilterRow(col("x") > 1.0)
       .andThen(Unpack.Transform(_.withColumn("x2", col("x") * 2)))
@@ -95,4 +112,9 @@ class MapReduceSpec extends AnyFunSuite {
     val nullGroup = out.where(col("k").isNull).collect()
     assert(nullGroup.length == 1 && nullGroup.head.getDouble(1) == 3.0)
   }
+}
+
+object MapReduceSpec {
+  /** Shared with executor-side closures (local mode = same JVM). */
+  val envInits = new java.util.concurrent.atomic.AtomicInteger(0)
 }

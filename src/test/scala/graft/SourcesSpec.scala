@@ -37,6 +37,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(out == Set(("A", 5.0, 2.0), ("Z", 5.0, 9.0)))
   }
 
+  test("cell-error columns: the Either functor convention keeps WHY a cell failed (Readme.md:19)") {
+    // same reference fixture: "NaN" and "lol" fail Double parsing — the
+    // Maybe interpretation (value column) is null, the error side column
+    // carries the offending raw text; good cells carry no error
+    val path = writeCsv("A,1,2\nZ,NaN,3\nA,4,lol\nZ,5,6\n")
+    val df = Sources.readCsvWithCellErrors(spark, path, schema)
+    assert(df.columns.toSeq == Seq("label", "x", "x__err", "y", "y__err"))
+    val rows = df.collect().map(r => r.getString(0) -> r).toSeq
+    val nanRow = rows.collectFirst { case ("Z", r) if r.isNullAt(1) => r }.get
+    assert(nanRow.getString(2) == "NaN" && nanRow.getDouble(3) == 3.0 && nanRow.isNullAt(4))
+    val lolRow = rows.collectFirst { case ("A", r) if r.isNullAt(3) => r }.get
+    assert(lolRow.getDouble(1) == 4.0 && lolRow.isNullAt(2) && lolRow.getString(4) == "lol")
+    // fully-parsed rows have null error columns
+    val good = rows.collectFirst { case ("A", r) if !r.isNullAt(1) && !r.isNullAt(3) => r }.get
+    assert(good.isNullAt(2) && good.isNullAt(4))
+    // the Maybe interpretation is "drop the err columns" — and it agrees
+    // with readCsvNullable exactly
+    val asMaybe = df.select("label", "x", "y").collect().map(_.toSeq).toSet
+    val nullable = Sources.readCsvNullable(spark, path, schema).collect().map(_.toSeq).toSet
+    assert(asMaybe == nullable)
+  }
+
   test("ieeeSpecials flag restores Spark's native NaN parsing") {
     val path = writeCsv("A,NaN,1\n")
     val strict = Sources.readCsvNullable(spark, path, schema).collect().head
