@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   * `files.maxPartitionBytes` so a partition of ~100 MB of media fits
   * executor memory during decode.
   *
-  * The byte-level DECODE STEP IS A DETERMINISTIC STUB (this container has
-  * no image/audio codecs): `fakeDecode` derives dimensions/frames/signal
-  * from the payload length alone, by formulas an external oracle can
-  * replicate. The Spark-side plumbing — schema, encoders, batching,
-  * partitioning, UDF signature — is real and is what's under test.
+  * Decode dispatches on the mime tag: `image/...` payloads run a REAL
+  * pure-JVM codec (`javax.imageio` — PNG/JPEG/BMP/GIF, deterministic,
+  * tested on generated fixtures in MultimodalSpec); other mimes fall to a
+  * DETERMINISTIC STUB (this container ships no audio/video codecs):
+  * `fakeDecode` derives dimensions/frames/signal from the payload length
+  * alone, by formulas an external oracle can replicate. The Spark-side
+  * plumbing — schema, encoders, batching, partitioning, UDF signature —
+  * is identical for both paths.
   */
 object Multimodal {
 
@@ -53,9 +56,43 @@ object Multimodal {
         md5(col("content")).as("content_hash"),
         col("mime").as("mime")))
 
-  /** THE STUB: deterministic fake decode from payload bytes. A real
+  /** Real JVM-native image decode for `image/...` payloads via
+    * `javax.imageio` (PNG/JPEG/BMP/GIF — pure JVM, deterministic, no
+    * native codecs required): real width/height, n_frames = 1 (stills),
+    * mean_px = mean sRGB luminance over all pixels in row-major order /
+    * 255. A payload that fails to decode yields the all-zero metadata row
+    * (the media-pipeline analog of the cell-error convention: the value
+    * is degenerate and the content hash still identifies the bad blob). */
+  private def imageDecode(m: MediaRecord): DecodedMedia = {
+    val len = m.content.length.toLong
+    val digest = MessageDigest.getInstance("MD5")
+    val hash = digest.digest(m.content).map("%02x".format(_)).mkString
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+      catch { case _: java.io.IOException => null }
+    if (img == null) DecodedMedia(m.media_id, len, hash, 0, 0, 0, 0.0)
+    else {
+      var sum = 0.0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+          x += 1
+        }
+        y += 1
+      }
+      val meanPx = sum / (img.getWidth.toLong * img.getHeight) / 255.0
+      DecodedMedia(m.media_id, len, hash, img.getWidth, img.getHeight, 1, meanPx)
+    }
+  }
+
+  /** THE STUB for non-image payloads: deterministic fake decode from
+    * payload bytes (this container has no audio/video codecs). A real
     * implementation would replace the body with a codec call; everything
-    * around it (batching, encoders, schema) is the production shape. */
+    * around it (batching, encoders, schema) is the production shape and
+    * is shared with the REAL image path above. */
   private def fakeDecode(m: MediaRecord): DecodedMedia = {
     val len = m.content.length.toLong
     val digest = MessageDigest.getInstance("MD5")
@@ -70,13 +107,18 @@ object Multimodal {
       mean_px = ((len * 2654435761L) % 256).toDouble / 255.0)
   }
 
-  /** Decode stage: typed `mapPartitions` over payload batches. */
+  /** Decode stage: typed `mapPartitions` over payload batches, dispatched
+    * on the mime tag — `image/...` runs the REAL javax.imageio codec, other
+    * mimes the deterministic stub. */
   def decode(media: DataFrame)(implicit spark: SparkSession): Dataset[DecodedMedia] = {
     val in = media.select("media_id", "content", "mime").as(Encoders.product[MediaRecord])
     in.mapPartitions { it =>
       it.grouped(decodeBatchSize).flatMap { batch =>
-        // real impl: codec.decodeBatch(batch) — amortized per batch
-        batch.map(fakeDecode)
+        // real impl for audio/video: codec.decodeBatch(batch) — amortized
+        // per batch
+        batch.map(m =>
+          if (m.mime != null && m.mime.startsWith("image/")) imageDecode(m)
+          else fakeDecode(m))
       }
     }(Encoders.product[DecodedMedia])
   }

@@ -63,4 +63,39 @@ class MultimodalSpec extends AnyFunSuite {
       assert(rows.map(_.getInt(2)).sorted.toSeq == (0 until n by 2).toSeq)
     }
   }
+
+  test("image decode: real javax.imageio codec on generated PNG fixtures") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, png(5, 3, 0x000000), "image/png"),          // black 5x3
+      (2L, png(2, 7, 0xffffff), "image/png"),          // white 2x7
+      (3L, png(4, 4, 0x808080), "image/png"),          // mid gray 4x4
+      (4L, "not an image".getBytes("UTF-8"), "image/png"), // undecodable
+      (5L, "plain text".getBytes("UTF-8"), "text/plain"))  // stub path
+      .toDF("media_id", "content", "mime")
+    val out = Multimodal.decode(media).collect().map(d => d.media_id -> d).toMap
+    assert(out(1L).width == 5 && out(1L).height == 3 && out(1L).n_frames == 1
+      && out(1L).mean_px == 0.0)
+    assert(out(2L).width == 2 && out(2L).height == 7 && out(2L).mean_px == 1.0)
+    assert(out(3L).width == 4 && out(3L).height == 4
+      && math.abs(out(3L).mean_px - 128.0 / 255.0) < 1e-12)
+    // failed decode: degenerate all-zero metadata, content hash intact
+    assert(out(4L).width == 0 && out(4L).height == 0 && out(4L).n_frames == 0
+      && out(4L).byte_len == 12L)
+    // non-image mime still routes through the deterministic stub
+    assert(out(5L).width == (16 + 10 % 64) && out(5L).n_frames == (1 + 10 % 8))
+
+    // real dims flow into the resize stage unchanged
+    val resized = Multimodal.resize(Multimodal.decode(media.where($"media_id" === 1L)), maxSide = 2)
+      .collect().head
+    assert(resized.src_width == 5 && resized.src_height == 3
+      && resized.width == 2 && resized.height == 1)
+  }
 }
