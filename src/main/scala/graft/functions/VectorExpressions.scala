@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the embedding hot path.
   *
@@ -76,6 +76,106 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Top-`k` nearest centroids of a vector by cosine, as ONE expression node.
+  *
+  * The naive formulation — an `array(...)` of `nlist` literal structs, each
+  * wrapping a [[DotProduct]] against a `typedlit` centroid, then
+  * `array_max`/`array_sort` — builds an expression tree that grows with
+  * `nlist` (= ⌈√corpus⌉ under auto-sizing). Past a few dozen centroids the
+  * generated Janino method blows the JVM's method-size limits, codegen
+  * falls back to interpreted evaluation, and analysis/optimization of the
+  * huge tree dominates query time (measured: 5.4 s at sf0.1 where the data
+  * work is ~6 M flops). Holding the centroid matrix as a reference object
+  * and looping inside one compiled method keeps the plan O(1) in `nlist`
+  * and stays inside whole-stage codegen (one virtual call per row).
+  *
+  * Semantics (bit-identical to the unrolled form and the DuckDB oracle):
+  * cos(c) = Σ v[i]·c[i] / (‖v‖·‖c‖), all sums sequential in index order,
+  * double precision; result ids ordered by (cos DESC, cid DESC) — the
+  * `array_max`-over-`struct(cos, cid)` tie rule. Null vector or dimension
+  * mismatch → null.
+  */
+case class NearestCentroids(
+    child: Expression,
+    cids: Array[Long],
+    cvecs: Array[Array[Double]],
+    k: Int) extends UnaryExpression {
+
+  require(cids.nonEmpty && cids.length == cvecs.length && k >= 1,
+    "NearestCentroids: need >=1 centroid, matching ids, k >= 1")
+
+  // ‖c‖ once per centroid at plan time, index-order accumulation
+  private lazy val cnorms: Array[Double] = cvecs.map { cv =>
+    var s = 0.0; var i = 0
+    while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_centroids"
+
+  /** Called from both interpreted eval and generated code. Returns the
+    * top-k centroid ids by (cos desc, cid desc), or null on dim mismatch. */
+  def topIds(a: ArrayData): ArrayData = {
+    val dim = cvecs(0).length
+    if (a.numElements() != dim) return null
+    var sq = 0.0
+    var i = 0
+    while (i < dim) { val x = a.getDouble(i); sq += x * x; i += 1 }
+    val qn = math.sqrt(sq)
+    val m = cids.length
+    val kk = math.min(k, m)
+    val topCos = new Array[Double](kk)
+    val topCid = new Array[Long](kk)
+    var filled = 0
+    var c = 0
+    while (c < m) {
+      val cv = cvecs(c)
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += a.getDouble(j) * cv(j); j += 1 }
+      val cos = s / (qn * cnorms(c))
+      val cid = cids(c)
+      // insertion position in the (cos desc, cid desc)-sorted buffer
+      var p = filled
+      while (p > 0 && (cos > topCos(p - 1) ||
+        (cos == topCos(p - 1) && cid > topCid(p - 1)))) p -= 1
+      if (p < kk) {
+        val last = math.min(filled, kk - 1)
+        var q = last
+        while (q > p) { topCos(q) = topCos(q - 1); topCid(q) = topCid(q - 1); q -= 1 }
+        topCos(p) = cos
+        topCid(p) = cid
+        if (filled < kk) filled += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(topCid, filled))
+  }
+
+  override protected def nullSafeEval(a: Any): Any = topIds(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroids", this, classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = $ref.topIds($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Codegen'd Σ a[i]·b[i] over two array columns (any numeric element
@@ -85,4 +185,11 @@ object VectorFunctions {
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a.cast("array<double>")),
       ColumnBridge.expression(b.cast("array<double>"))))
+
+  /** Top-`k` centroid ids nearest to `vec` by cosine, (cos desc, cid desc)
+    * order — one plan node regardless of centroid count. */
+  def nearestCentroids(
+      vec: Column, cids: Array[Long], cvecs: Array[Array[Double]], k: Int): Column =
+    ColumnBridge.column(NearestCentroids(
+      ColumnBridge.expression(vec.cast("array<double>")), cids, cvecs, k))
 }

@@ -110,8 +110,9 @@ object Similarity {
     *
     * Scale shape: the quantizer is driver-small by construction (nlist ≪
     * corpus — FAISS keeps it in RAM on every node for the same reason), so
-    * centroids are collected once and embedded as plan-time literals. List
-    * assignment is then a pure codegen'd projection — the corpus is NEVER
+    * centroids are collected once and held by a single native expression
+    * ([[graft.functions.NearestCentroids]]).
+    * List assignment is then a pure codegen'd projection — the corpus is NEVER
     * shuffled; probes broadcast; per-query candidates reduce through one
     * small window. At 100 TB the assigned corpus would be written
     * partitioned by `list_id` so a probe is a partition-pruned scan.
@@ -147,21 +148,23 @@ object Similarity {
       .limit(nlist)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    // (cosine, centroid id) per centroid, as one literal-array projection
-    def centScores(vec: Column): Column = array(cents.map { case (cid, cvec) =>
-      val cnorm = math.sqrt(cvec.foldLeft(0.0)((s, x) => s + x * x))
-      struct((dot(vec, typedlit(cvec.toSeq)) / (l2Norm(vec) * lit(cnorm))).as("cos"),
-        lit(cid).as("cid"))
-    }: _*)
+    val cids = cents.map(_._1)
+    val cvecs = cents.map(_._2)
+    // Nearest-centroid scoring is ONE expression node holding the quantizer
+    // as a reference object (graft.functions.NearestCentroids) — an
+    // unrolled literal-array formulation grows the plan with nlist (=√n
+    // under auto-sizing) and falls out of codegen past a few dozen
+    // centroids. Ordering contract unchanged: (cos desc, cid desc).
+    def nearest(vec: Column, k: Int): Column =
+      graft.functions.VectorFunctions.nearestCentroids(vec, cids, cvecs, k)
 
     val assigned = corpus.select(
-      array_max(centScores(col(vecCol))).getField("cid").as("list_id"),
+      element_at(nearest(col(vecCol), 1), 1).as("list_id"),
       col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
       l2Norm(col(vecCol)).as("n_norm"))
     val probes = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("q_vec"), l2Norm(col(vecCol)).as("q_norm"),
-      explode(transform(slice(reverse(array_sort(centScores(col(vecCol)))), 1, nprobe),
-        s => s.getField("cid"))).as("list_id"))
+      explode(nearest(col(vecCol), nprobe)).as("list_id"))
     val scored = assigned.join(broadcast(probes), "list_id")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -79,6 +79,28 @@ class SimilaritySpec extends AnyFunSuite {
       s"probe read did not prune partitions:\n$plan")
   }
 
+  test("NearestCentroids expression: (cos desc, cid desc) order, ties to larger cid, dim mismatch null") {
+    import graft.functions.VectorFunctions
+    // centroids 10 and 11 are IDENTICAL vectors: the tie must resolve to
+    // the larger cid (array_max-over-struct semantics the oracle mirrors)
+    val cids = Array(10L, 11L, 12L)
+    val cvecs = Array(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0))
+    val out = vecs
+      .select(col("vec_id"),
+        VectorFunctions.nearestCentroids(col("embedding"), cids, cvecs, 3).as("near"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(out(0L) == Seq(11L, 10L, 12L)) // x-axis: tie 10/11 -> 11 first
+    assert(out(2L).head == 12L)           // y-axis: centroid 12 wins
+    // dim mismatch -> null, never a truncated score
+    val bad = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(VectorFunctions.nearestCentroids(col("embedding"), cids, cvecs, 1).as("near"))
+      .collect()
+    assert(bad.head.isNullAt(0))
+  }
+
   test("lshTopK returns only same-bucket neighbors, ranked by cosine") {
     val queries = vecs.where(col("vec_id") === 0)
     val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 4)
