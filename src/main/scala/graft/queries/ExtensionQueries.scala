@@ -10,7 +10,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RangeJoin, SaltedAgg}
 import graft.similarity.Similarity
 import graft.streaming.Streaming
-import graft.text.{TextAnalysis, TextFunctions}
+import graft.text.{Curation, TextAnalysis, TextFunctions}
 
 /** The beyond-reference extension surface (SURVEY §7.6 / driver brief):
   * dedup, similarity search, text analysis, multimodal plumbing, streaming
@@ -104,6 +104,49 @@ object ExtensionQueries {
   private def t4(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(table(s, dir, "documents"), "text", window = 16)
       .select("doc_id", "fingerprint", "n_windows")
+
+  // ------------------------------------------------------ corpus curation
+
+  private def t9(s: SparkSession, dir: String): DataFrame =
+    Curation.repetitionStats(table(s, dir, "documents").select("doc_id", "text"), "text")
+      .select("doc_id", "n_ngrams", "dup_ngram_frac", "top_token_frac")
+
+  private def t10(s: SparkSession, dir: String): DataFrame =
+    Curation.heuristicFilters(table(s, dir, "documents").select("doc_id", "text"), "text")
+      .select("doc_id", "flag_too_few_tokens", "flag_tok_len", "flag_dup_ngrams",
+        "flag_top_token", "flag_no_stopword", "keep")
+
+  /** documents with deterministic PII injected into every 7th row — both
+    * engines construct the identical string, so redaction provably fires. */
+  private def piiCorpus(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" at 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string")))
+        .otherwise(col("text")).as("text"))
+
+  private def t11(s: SparkSession, dir: String): DataFrame =
+    Curation.redactPii(piiCorpus(s, dir), "text")
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        // hash the redacted text so the checked output stays narrow; the
+        // oracle md5s its own redaction, so the compare still pins every byte
+        md5(col("redacted")).as("redacted_hash"))
+
+  /** Benchmark = every doc_id % 5 == 0 original; corpus = mutatedCorpus
+    * minus the benchmark docs themselves — the mutated copies (ids ≥ 1e6)
+    * are true contamination: they share nearly all their 5-grams with a
+    * benchmark doc. */
+  private def t12(s: SparkSession, dir: String): DataFrame = {
+    val corpus = mutatedCorpus(s, dir)
+      .where(col("doc_id") >= 1000000L || col("doc_id") % 5 =!= 0)
+    val bench = table(s, dir, "documents")
+      .where(col("doc_id") % 5 === 0).select("doc_id", "text")
+    Curation.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+  }
 
   // ------------------------------------------------------------ multimodal
 
@@ -672,6 +715,78 @@ object ExtensionQueries {
         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS bpe_tokens,
         len(list_distinct(string_split(text, ' ')))::BIGINT AS distinct_tokens
       FROM documents""")),
+
+    Q("t9_repetition", t9, Some("""
+      SELECT doc_id,
+        (len(ws) - 1)::BIGINT AS n_ngrams,
+        1 - len(list_distinct(ng))::DOUBLE / (len(ws) - 1) AS dup_ngram_frac,
+        list_max(list_transform(list_distinct(ws), u ->
+          len(list_filter(ws, x -> x = u))))::DOUBLE / len(ws) AS top_token_frac
+      FROM (
+        SELECT doc_id, ws,
+          list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS ng
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        WHERE len(ws) >= 2)""")),
+
+    Q("t10_heuristic_filter", t10, Some("""
+      SELECT doc_id,
+        n_toks < 25 AS flag_too_few_tokens,
+        mean_len < 2.5 OR mean_len > 9.5 AS flag_tok_len,
+        dup2 > 0.10 AS flag_dup_ngrams,
+        topfrac > 0.15 AS flag_top_token,
+        stophits = 0 AS flag_no_stopword,
+        NOT (n_toks < 25 OR mean_len < 2.5 OR mean_len > 9.5 OR dup2 > 0.10
+             OR topfrac > 0.15 OR stophits = 0) AS keep
+      FROM (
+        SELECT doc_id, len(ws) AS n_toks,
+          list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS mean_len,
+          1 - len(list_distinct(list_transform(range(1, len(ws)),
+            i -> ws[i] || ' ' || ws[i+1])))::DOUBLE / (len(ws) - 1) AS dup2,
+          list_max(list_transform(list_distinct(ws), u ->
+            len(list_filter(ws, x -> x = u))))::DOUBLE / len(ws) AS topfrac,
+          len(list_filter(ws, w ->
+            list_contains(['the','a','of','and','to','in','is'], w))) AS stophits
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        WHERE len(ws) >= 2)""")),
+
+    Q("t11_pii_redaction", t11, Some("""
+      WITH pii AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN
+            text || ' contact user' || doc_id::VARCHAR
+              || '@example.com or 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              || ' at 10.0.' || (doc_id % 256)::VARCHAR || '.' || (doc_id % 100)::VARCHAR
+          ELSE text END AS text
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        len(regexp_extract_all(text,
+          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::BIGINT AS n_ips,
+        len(regexp_extract_all(text, '555-[0-9]{4}'))::BIGINT AS n_phones,
+        md5(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+          '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_hash
+      FROM pii""")),
+
+    Q("t12_decontamination", t12, Some(s"""
+      WITH $corpusSql,
+      scan AS (SELECT doc_id, ws
+               FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)
+               WHERE (doc_id >= 1000000 OR doc_id % 5 <> 0) AND len(ws) >= 5),
+      dg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+               i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                        || ws[i+3] || ' ' || ws[i+4])))) AS ng
+             FROM scan),
+      bg AS (SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 3),
+               i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                        || ws[i+3] || ' ' || ws[i+4]))) AS ng
+             FROM (SELECT string_split(text, ' ') AS ws FROM documents
+                   WHERE doc_id % 5 = 0)
+             WHERE len(ws) >= 5)
+      SELECT doc_id, count(*) AS n_overlap
+      FROM dg JOIN bg USING (ng) GROUP BY doc_id""")),
 
     Q("t4_fingerprint", t4, Some("""
       SELECT doc_id,

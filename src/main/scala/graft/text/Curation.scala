@@ -1,0 +1,130 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Corpus-curation operators for training-data pipelines: repetition
+  * statistics (Gopher-style), heuristic quality filters (C4/Gopher-style),
+  * PII redaction, and benchmark decontamination. Driver extension surface —
+  * the reference has no string operators (SURVEY §2.12).
+  *
+  * Everything except [[decontaminate]] is a pure per-document `Column`
+  * expression: embarrassingly parallel, no shuffle, whole-stage codegen,
+  * and the scan reads only (id, text) under column pruning — the shape
+  * that holds at 100 TB. [[decontaminate]] joins corpus n-grams against a
+  * benchmark set; the benchmark side is broadcast (eval benchmarks are
+  * MBs, corpora are TBs), so the corpus is never shuffled either.
+  *
+  * Rates are single IEEE divisions of per-document integer counts —
+  * deterministic and bit-identical in any engine (no accumulation-order
+  * noise), so the DuckDB oracle checks them without rounding.
+  */
+object Curation {
+
+  /** Non-distinct word n-grams — total occurrence counts matter here,
+    * unlike [[TextFunctions.wordShingles]] which dedups for MinHash. */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    val idx = sequence(lit(1), size(toks) - lit(n - 1))
+    transform(idx, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
+  }
+
+  /** Gopher-style repetition statistics (Rae et al. 2021 §A1.1 use the
+    * same family: duplicate n-gram fraction, most-common-token fraction):
+    *
+    *  - `n_ngrams`      — total word `n`-gram occurrences
+    *  - `dup_ngram_frac`— 1 − distinct/total n-grams: mass of repeated
+    *                      n-grams (0 = no repetition)
+    *  - `top_token_frac`— occurrences of the most frequent token / total
+    *                      tokens (boilerplate/spam indicator)
+    *
+    * Rows with fewer than `n` tokens are dropped (no n-gram exists).
+    * Per-token counting is O(distinct·tokens) per document inside codegen —
+    * linear shuffle-free scan overall. */
+  def repetitionStats(df: DataFrame, textCol: String, n: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val ngrams = wordNgrams(toks, n)
+    val nTotal = size(ngrams).cast("double")
+    val topCount = array_max(transform(array_distinct(toks), u =>
+      size(filter(toks, x => x === u))))
+    df.where(size(toks) >= n)
+      .withColumn("n_ngrams", size(ngrams).cast("long"))
+      .withColumn("dup_ngram_frac",
+        lit(1.0) - size(array_distinct(ngrams)).cast("double") / nTotal)
+      .withColumn("top_token_frac", topCount.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Heuristic quality filters in the C4/Gopher style: one boolean flag
+    * column per rule plus the conjunction `keep`. Flags (not a silent
+    * filter) so a pipeline can audit WHY each document was dropped —
+    * the curation analog of the cell-error side-column convention. */
+  def heuristicFilters(
+      df: DataFrame, textCol: String,
+      minTokens: Int = 25,
+      meanTokLenRange: (Double, Double) = (2.5, 9.5),
+      maxDupNgramFrac: Double = 0.10,
+      maxTopTokenFrac: Double = 0.15,
+      stopwordList: Seq[String] = stopwords("en")): DataFrame = {
+    val withStats = repetitionStats(df, textCol, n = 2)
+    val toks = tokens(col(textCol))
+    val meanTokLen = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
+      size(toks).cast("double")
+    withStats
+      .withColumn("flag_too_few_tokens", size(toks) < minTokens)
+      .withColumn("flag_tok_len",
+        meanTokLen < meanTokLenRange._1 || meanTokLen > meanTokLenRange._2)
+      .withColumn("flag_dup_ngrams", col("dup_ngram_frac") > maxDupNgramFrac)
+      .withColumn("flag_top_token", col("top_token_frac") > maxTopTokenFrac)
+      .withColumn("flag_no_stopword", wordListHits(toks, stopwordList) === 0)
+      .withColumn("keep",
+        !col("flag_too_few_tokens") && !col("flag_tok_len") &&
+          !col("flag_dup_ngrams") && !col("flag_top_token") &&
+          !col("flag_no_stopword"))
+  }
+
+  /** PII patterns — deliberately simple, valid in both Java regex and RE2
+    * (the oracle's engine): no backrefs, no lookaround. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipPattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val phonePattern = "555-[0-9]{4}"
+
+  /** PII scrub: count then redact emails, IPv4 addresses, and (toy) phone
+    * numbers. Counts are taken on the ORIGINAL text; redaction replaces
+    * email → `<EMAIL>` first (so a dotted mail domain is never re-matched
+    * as an IP), then IP → `<IP>`, then phone → `<PHONE>`. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(emailPattern)).cast("long"))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(ipPattern)).cast("long"))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(phonePattern)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+            ipPattern, "<IP>"),
+          phonePattern, "<PHONE>"))
+
+  /** Benchmark decontamination: for each corpus document, the number of
+    * distinct word `n`-grams it shares with the benchmark set (eval
+    * contamination detection à la GPT-3 §C / PaLM). N-grams travel as md5
+    * hashes (fixed-width join keys). The benchmark n-gram set is DISTINCT
+    * and broadcast — benchmarks are tiny next to a 100 TB corpus — so the
+    * corpus side is scanned once, never shuffled; the per-doc count is one
+    * partial-aggregated groupBy of the (sparse) match stream. */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    def grams(df: DataFrame, cols: Column*) = {
+      val toks = tokens(col(textCol))
+      df.where(size(toks) >= n)
+        .select((cols :+ explode(array_distinct(wordNgrams(toks, n))).as("ng")): _*)
+        .withColumn("ng", md5(col("ng")))
+    }
+    val bench = grams(benchmark).select("ng").distinct()
+    grams(corpus, col(idCol))
+      .join(broadcast(bench), "ng")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.Curation
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("repetitionStats: duplicate-bigram and top-token fractions on crafted docs") {
+    val docs = Seq(
+      (1L, "a a a a"),         // bigrams: [a a, a a, a a] -> dup 2/3; top token 4/4
+      (2L, "a b c d"),         // all bigrams distinct; top token 1/4
+      (3L, "x")                // < 2 tokens: dropped
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionStats(docs, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L))
+    assert(out(1L).getLong(2) == 3L)
+    assert(math.abs(out(1L).getDouble(3) - 2.0 / 3.0) < 1e-15)
+    assert(out(1L).getDouble(4) == 1.0)
+    assert(out(2L).getDouble(3) == 0.0)
+    assert(out(2L).getDouble(4) == 0.25)
+  }
+
+  test("heuristicFilters: each flag fires on its pathological doc, clean doc kept") {
+    // 51 tokens, all distinct but one stopword: every rate stays under its cap
+    val clean = ((1 to 50).map(i => s"word$i") :+ "the").mkString(" ")
+    val docs = Seq(
+      (1L, clean),
+      (2L, "the a of"),                                   // too few tokens
+      (3L, Seq.fill(30)("the spark").mkString(" ")),      // dup bigrams + top token
+      (4L, (1 to 30).map(i => s"antidisestablishment$i the").mkString(" ")) // long toks
+    ).toDF("doc_id", "text")
+    val out = Curation.heuristicFilters(docs, "text")
+      .select("doc_id", "flag_too_few_tokens", "flag_dup_ngrams", "flag_tok_len", "keep")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(4))
+    assert(out(2L).getBoolean(1) && !out(2L).getBoolean(4))
+    assert(out(3L).getBoolean(2) && !out(3L).getBoolean(4))
+    assert(out(4L).getBoolean(3) && !out(4L).getBoolean(4))
+  }
+
+  test("redactPii: counts on original text, ordered replacement") {
+    val docs = Seq(
+      (1L, "mail bob.smith@corp.example.org or 555-0199 from 192.168.1.77 twice 555-1234"),
+      (2L, "no pii here")
+    ).toDF("doc_id", "text")
+    val out = Curation.redactPii(docs, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 1L) // n_emails
+    assert(out(1L).getLong(3) == 1L) // n_ips
+    assert(out(1L).getLong(4) == 2L) // n_phones
+    assert(out(1L).getString(5) ==
+      "mail <EMAIL> or <PHONE> from <IP> twice <PHONE>")
+    assert(out(2L).getString(5) == "no pii here")
+  }
+
+  test("decontaminate: mutated copy overlaps its benchmark source, unrelated doc does not") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "beta gamma delta epsilon zeta eta"), // shares 1 distinct 5-gram
+      (2L, "one two three four five six seven")  // none
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L))
+  }
+}
