@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators: deterministic global shuffle +
+  * sharding, sequence packing, and weighted mixture sampling — the last
+  * mile between a curated corpus and a training loader. Driver extension
+  * surface (the reference has no notion of any of this, SURVEY §2.12).
+  *
+  * Everything is keyed on md5-derived uniform hashes, so results are
+  * reproducible across runs, engines, and cluster sizes — the property
+  * that makes a training run auditable ("which exact documents were in
+  * shard 17 of run 42?"). No randomness, no `rand()`: `rand(seed)` is
+  * partitioning-dependent in Spark, a silent reproducibility killer.
+  *
+  * Scale shape: the only shuffle in this module is the per-shard window
+  * (and the tiny per-source aggregate in sampling). Shard count is the
+  * parallelism knob — at 100 TB pick nShards so one shard (corpus/nShards)
+  * fits an executor's sort budget; the shard hash is uniform so skew is
+  * bounded by the birthday inequality, not by data distribution.
+  */
+object TrainingPrep {
+
+  /** First 32 bits of md5 as a non-negative long — the engine-portable
+    * uniform hash (any engine: parse 8 hex chars). 8 hex chars stay well
+    * inside a signed 64-bit parse (NOTES: 16 would overflow). */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic uniform [0,1) from a key and a salt: hash32 / 2^32.
+    * One IEEE division of an exact integer — bit-identical everywhere. */
+  def uniform01(c: Column, salt: String): Column =
+    hash32(concat(c.cast("string"), lit("#" + salt))) / lit(4294967296.0)
+
+  /** Deterministic global shuffle + fixed-count sharding:
+    *  - `shard` = hash32(id) mod nShards — uniform, data-independent
+    *  - `pos`   = rank of md5(id) within the shard (id tie-break)
+    * A training reader consumes shards independently; within-shard md5
+    * order IS the shuffle (documents that were adjacent in the source are
+    * scattered across shards and positions). The window sorts one shard
+    * per task — nShards is the scale knob, not the corpus size. */
+  def shuffleShard(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, "shuffleShard: nShards >= 1")
+    val byHash = Window.partitionBy(col("shard"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("shard", pmod(hash32(col(idCol)), lit(nShards)).cast("int"))
+      .withColumn("pos", row_number().over(byHash).cast("long"))
+  }
+
+  /** Offset-bucket sequence packing: documents (already sharded) are laid
+    * out in shuffle order; each document's `start_offset` is the running
+    * token count before it, and `example_id` = start_offset div seqLen —
+    * i.e. examples are fixed `seqLen`-token windows over the concatenated
+    * shard stream (the standard "pack then split" training layout; a doc
+    * spanning a boundary is attributed to the example it starts in).
+    * Integer window arithmetic only — no float accumulation anywhere. */
+  def packSequences(
+      df: DataFrame, idCol: String, tokenCol: String, shardCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen >= 1, "packSequences: seqLen >= 1")
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("start_offset", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("example_id",
+        floor(col("start_offset") / lit(seqLen.toDouble)).cast("long"))
+  }
+
+  /** Weighted mixture sampling: keep a row iff its salted uniform hash is
+    * under `weight` (a per-row Column in [0,1], typically derived from the
+    * source). Adds `u` and boolean `sampled` rather than filtering, so a
+    * pipeline can audit the decision; filter on `sampled` to apply it.
+    * Exactly reproducible: the same document survives in every run. */
+  def mixtureSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
+    df.withColumn("u", uniform01(col(idCol), "mix"))
+      .withColumn("sampled", col("u") < weight)
+}

@@ -251,6 +251,33 @@ object ExtensionQueries {
         sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  // ---------------------------------------------------- training-data prep
+
+  private def p2(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TrainingPrep.shuffleShard(
+      table(s, dir, "documents").select("doc_id"), "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos")
+
+  private def p3(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val sharded = graft.pipeline.TrainingPrep.shuffleShard(docs, "doc_id", nShards = 8)
+    graft.pipeline.TrainingPrep.packSequences(sharded, "doc_id", "n_toks", "shard", seqLen = 512)
+      .groupBy(col("shard"), col("example_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_tokens"))
+  }
+
+  private def p4(s: SparkSession, dir: String): DataFrame = {
+    // per-source mixture weight: quarter steps by source number, so every
+    // weight (0.25/0.5/0.75/1.0) is exact in binary in both engines
+    val weight = (lit(1) + substring(col("source"), 4, 10).cast("int") % 4) / lit(4.0)
+    graft.pipeline.TrainingPrep.mixtureSample(
+      table(s, dir, "documents").select("doc_id", "source"), "doc_id", weight)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** Exact interpolated percentiles per group (corpus statistics for
     * pipeline monitoring) — `percentile` is Spark's exact variant, so the
     * oracle (`quantile_cont`) matches to float tolerance. At 100 TB switch
@@ -953,6 +980,39 @@ object ExtensionQueries {
       SELECT predicted_lang, count(*) AS n_docs,
         round(avg(quality), 9) AS avg_quality, sum(n_tokens) AS sum_tokens
       FROM langed GROUP BY predicted_lang""")),
+
+    Q("p2_shuffle_shard", p2, Some("""
+      SELECT doc_id, shard,
+        row_number() OVER (PARTITION BY shard
+          ORDER BY md5(doc_id::VARCHAR), doc_id) AS pos
+      FROM (
+        SELECT doc_id,
+          (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8)::INT AS shard
+        FROM documents)""")),
+
+    Q("p3_pack_sequences", p3, Some("""
+      WITH t AS (
+        SELECT doc_id,
+          len(string_split(text, ' '))::BIGINT AS n_toks,
+          (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8)::INT AS shard,
+          md5(doc_id::VARCHAR) AS h
+        FROM documents),
+      o AS (
+        SELECT shard, n_toks,
+          coalesce(sum(n_toks) OVER (PARTITION BY shard ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        FROM t)
+      SELECT shard, (start_offset // 512)::BIGINT AS example_id,
+        count(*) AS n_docs, sum(n_toks)::BIGINT AS sum_tokens
+      FROM o GROUP BY shard, start_offset // 512""")),
+
+    Q("p4_mixture_sample", p4, Some("""
+      SELECT source, count(*) AS n_docs,
+        sum(CASE WHEN
+          ('0x' || substr(md5(doc_id::VARCHAR || '#mix'), 1, 8))::BIGINT / 4294967296.0
+            < (1 + substr(source, 4)::INT % 4) / 4.0
+          THEN 1 ELSE 0 END)::BIGINT AS n_kept
+      FROM documents GROUP BY source""")),
 
     Q("x4_window_running", x4, Some("""
       SELECT o_custkey, o_orderkey,

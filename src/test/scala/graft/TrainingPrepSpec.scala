@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.TrainingPrep
+
+class TrainingPrepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ids(n: Int) = (0L until n.toLong).toDF("doc_id")
+
+  test("shuffleShard: partition of the input, dense positions, deterministic") {
+    val out = TrainingPrep.shuffleShard(ids(500), "doc_id", nShards = 8).collect()
+    assert(out.length == 500)
+    assert(out.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 8))
+    // positions are dense 1..|shard| within each shard
+    out.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // deterministic: a second run yields the identical assignment
+    val again = TrainingPrep.shuffleShard(ids(500), "doc_id", nShards = 8).collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq ==
+      again.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq)
+    // and it actually shuffles: within-shard id order differs from pos order
+    val byShard = out.groupBy(_.getInt(1)).values
+    assert(byShard.exists(rows =>
+      rows.sortBy(_.getLong(2)).map(_.getLong(0)).toSeq !=
+        rows.map(_.getLong(0)).sorted.toSeq))
+  }
+
+  test("packSequences: integer offsets, fixed-window example ids") {
+    // single shard, known order: force shard 0 and md5 order by using the
+    // real operator end-to-end, then check the invariants instead of the
+    // exact layout (the order is the md5 shuffle, not insertion order)
+    val docs = ids(100).withColumn("n_toks", lit(10L))
+    val sharded = TrainingPrep.shuffleShard(docs, "doc_id", nShards = 4)
+    val packed = TrainingPrep.packSequences(sharded, "doc_id", "n_toks", "shard", seqLen = 64)
+      .select("shard", "pos", "start_offset", "example_id").collect()
+    packed.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(_.getLong(1))
+      // offsets are the exact running token count: pos k -> (k-1)*10
+      inOrder.foreach(r => assert(r.getLong(2) == (r.getLong(1) - 1) * 10))
+      // example_id is the start_offset window index
+      inOrder.foreach(r => assert(r.getLong(3) == r.getLong(2) / 64))
+    }
+  }
+
+  test("mixtureSample: weight bounds, determinism, approximate rate") {
+    val df = ids(1000)
+    val all = TrainingPrep.mixtureSample(df, "doc_id", lit(1.0))
+    assert(all.where(!col("sampled")).count() == 0)
+    val none = TrainingPrep.mixtureSample(df, "doc_id", lit(0.0))
+    assert(none.where(col("sampled")).count() == 0)
+    val half = TrainingPrep.mixtureSample(df, "doc_id", lit(0.5))
+    val kept = half.where(col("sampled")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.size > 400 && kept.size < 600) // uniform hash, n=1000
+    val keptAgain = TrainingPrep.mixtureSample(df, "doc_id", lit(0.5))
+      .where(col("sampled")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == keptAgain)
+  }
+}
