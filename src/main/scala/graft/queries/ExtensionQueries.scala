@@ -185,6 +185,12 @@ object ExtensionQueries {
   private def st1(s: SparkSession, dir: String): DataFrame =
     Streaming.windowedEventAgg(table(s, dir, "events"), "1 hour", "10 minutes")
 
+  /** Batch face of the streaming minhash-LSH band registry (same d3
+    * parameters, same oracle CTEs); StreamingSpec runs the stream face. */
+  private def st4(s: SparkSession, dir: String): DataFrame =
+    Streaming.minhashBandRegistry(mutatedCorpus(s, dir), "doc_id", "text",
+      shingleN = 3, k = 12, bands = 4, rows = 3)
+
   // ----------------------------------------------------------------- joins
 
   /** Broadcast star join (dimension tables broadcast, fact table never
@@ -864,6 +870,15 @@ object ExtensionQueries {
             (16 + octet_length(encode(text)) % 64)::INT AS w0,
             (16 + (octet_length(encode(text)) * 7) % 64)::INT AS h0
           FROM documents))""")),
+
+    Q("st4_minhash_band_registry", st4, Some(s"""
+      WITH $corpusSql,
+      docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+             FROM docs WHERE len(ws) >= 3),
+      $minhashCtes
+      SELECT band_key, min(doc_id) AS keep_id FROM bands GROUP BY band_key""")),
 
     Q("st1_windowed_events", st1, Some("""
       SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS window_start_s,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -170,6 +170,64 @@ object Streaming {
       col("l_user") === col("r_user") &&
         col("r_time") >= col("l_time") &&
         col("r_time") <= col("l_time") + expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
+
+  /** Streaming NEAR-dup detection: the minhash-LSH band registry.
+    *
+    * Each document's LSH band keys ([[graft.text.TextFunctions]] minhash
+    * machinery — same family as batch d3) are exploded; the registry maps
+    * every band key to the document that claimed it first. An incoming
+    * document is a near-duplicate candidate iff it claims NO new band key,
+    * i.e. its id never appears as a `keep_id` — which a downstream
+    * consumer checks with an anti join against its own batch.
+    *
+    * Two runtimes, one band computation:
+    *  - STREAMING: `dropDuplicatesWithinWatermark("band_key")` — state is
+    *    one row per band key inside the watermark horizon (bounded), and
+    *    "first" means first ARRIVAL — the real semantics of an append-only
+    *    ingest stream. Caller must have a watermark on `events` already.
+    *  - BATCH (complete input): "first" = smallest id — deterministic and
+    *    order-independent, which is what a backfill needs (and what the
+    *    DuckDB oracle replicates). Identical to the streaming answer
+    *    whenever arrival order follows id order.
+    *
+    * At scale the registry state/shuffle is keyed by band_key (md5 —
+    * uniform, no skew); each doc contributes `bands` rows, so state is
+    * `bands ×` the within-watermark doc count, independent of corpus size.
+    */
+  def minhashBandRegistry(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, rows: Int): DataFrame = {
+    import graft.text.TextFunctions._
+    require(bands * rows == k, "minhashBandRegistry: bands*rows must equal k")
+    // Band keys computed PER ROW with higher-order functions (the batch
+    // d3 operator aggregates signatures across exploded shingle rows
+    // instead — fine there, but here it would add a second stateful
+    // stage to the streaming query). Same hash family as d3, so the
+    // same oracle CTEs verify it: one md5 per shingle, k multiply-mod
+    // minhashes over its 32-bit prefix, band key = md5 of the band's
+    // joined signature slice.
+    val P = 4294967291L
+    val toks = tokens(col(textCol))
+    val withH32 = docs
+      .where(size(toks) >= shingleN)
+      .withColumn("h32s", transform(wordShingles(toks, shingleN), sh =>
+        conv(substring(md5(sh), 1, 8), 16, 10).cast("long")))
+    def mh(s: Int): Column = {
+      val a = ((s * 2654435761L) % 2147483647L) + 1L
+      val b = (s * 2246822519L) % P
+      array_min(transform(col("h32s"), h => (lit(a) * h + lit(b)) % lit(P)))
+    }
+    val bandKeyCols = (0 until bands).map(b =>
+      md5(concat_ws("|", (b * rows until (b + 1) * rows).map(mh): _*)))
+    val exploded = withH32
+      .withColumn("band_key", explode(array(bandKeyCols: _*)))
+    if (docs.isStreaming)
+      exploded
+        .dropDuplicatesWithinWatermark(Seq("band_key"))
+        .select(col("band_key"), col(idCol).as("keep_id"))
+    else
+      exploded.groupBy(col("band_key")).agg(min(col(idCol)).as("keep_id"))
   }
 
   /** Convenience: run a streaming DataFrame to a named in-memory sink and

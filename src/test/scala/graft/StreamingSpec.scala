@@ -44,6 +44,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set((0L, 2L, 3.0), (600L, 1L, 7.0)))
   }
 
+  test("minhashBandRegistry: stream equals batch when arrival follows id order") {
+    implicit val ctx = spark.sqlContext
+    val docs = Seq(
+      (1L, ns(10), "alpha beta gamma delta epsilon zeta"),
+      (2L, ns(20), "alpha beta gamma delta epsilon zeta"),   // exact dup of 1
+      (3L, ns(30), "one two three four five six seven"),
+      (4L, ns(40), "beta gamma delta epsilon zeta eta"),     // near dup of 1
+      (5L, ns(50), "totally different words appear here now"))
+    val source = MemoryStream[(Long, Long, String)]
+    val stream = source.toDF().toDF("doc_id", "ts", "text")
+      .withColumn("event_time", Streaming.nanosToTimestamp("ts"))
+      .withWatermark("event_time", "10 minutes")
+    val reg = Streaming.minhashBandRegistry(stream, "doc_id", "text",
+      shingleN = 3, k = 12, bands = 4, rows = 3)
+    val q = reg.writeStream.format("memory").queryName("band_reg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(docs.take(2).map(d => (d._1, d._2, d._3)): _*)
+      q.processAllAvailable()
+      source.addData(docs.drop(2).map(d => (d._1, d._2, d._3)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("band_reg").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val batch = Streaming.minhashBandRegistry(
+        docs.toDF("doc_id", "ts", "text"), "doc_id", "text",
+        shingleN = 3, k = 12, bands = 4, rows = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      // the exact duplicate claimed no band key; every other doc claimed some
+      val keepers = streamed.map(_._2)
+      assert(!keepers.contains(2L))
+      assert(Set(1L, 3L, 5L).subsetOf(keepers))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops in-stream duplicates within the watermark") {
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[(Long, Long, String, Double)]
