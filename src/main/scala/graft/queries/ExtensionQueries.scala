@@ -426,6 +426,18 @@ object ExtensionQueries {
       "vec_id", "embedding", k = 3, nprobe = 2)
   }
 
+  /** IVF with k-means-trained centroids — the quality path next to s3's
+    * deterministic quantizer. Rows-only check: Lloyd's double sums follow
+    * shuffle order, so centroid values (hence list boundaries) are not
+    * bit-reproducible by an external engine; SimilaritySpec pins
+    * convergence and recall instead. */
+  private def s4(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val nlist = math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    Similarity.ivfTopKKmeans(emb, emb.where(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", k = 3, nlist = nlist, nprobe = 2, iters = 3)
+  }
+
   /** Arbitrary grouping sets (not expressible as rollup/cube): per-flag,
     * per-status, and grand total in one pass — also exercises the
     * spark.sql entry path over a registered view. */
@@ -921,6 +933,7 @@ object ExtensionQueries {
       LIMIT 20""")),
 
     Q("a1_approx_stats", a1, None),
+    Q("s4_ann_ivf_kmeans", s4, None),
 
     // Same session semantics as x14 (the batch window formulation), so the
     // state machine is pinned by the same SQL. session_seq ::BIGINT — a

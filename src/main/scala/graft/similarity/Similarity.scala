@@ -148,8 +148,74 @@ object Similarity {
       .limit(nlist)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val cids = cents.map(_._1)
-    val cvecs = cents.map(_._2)
+    ivfWithCentroids(corpus, queries, idCol, vecCol, k, nprobe,
+      cents.map(_._1), cents.map(_._2))
+  }
+
+  /** Distributed Lloyd k-means for IVF centroid training — the quality
+    * upgrade over the deterministic smallest-id quantizer: data-driven
+    * centroids track the corpus distribution, so lists are balanced and a
+    * probe's nearest lists actually contain the query's neighborhood.
+    *
+    * FAISS-shaped at scale: assignment is the shuffle-free
+    * [[graft.functions.NearestCentroids]] projection over the full corpus;
+    * the update step is ONE partial-aggregated shuffle of (list, dim)
+    * cells, and only the nlist×dim centroid matrix (KBs–MBs; nlist ≪
+    * corpus) ever reaches the driver — per iteration, exactly like FAISS
+    * trains its coarse quantizer in RAM. Init = smallest-id vectors
+    * (deterministic); an emptied list keeps its previous centroid.
+    *
+    * Centroid VALUES are reproducible only up to accumulation order
+    * (double sums in shuffle order) — which is why the oracle-checked s3
+    * query keeps the deterministic quantizer, and this trainer is spec-
+    * verified (convergence + recall) instead. */
+  def kmeansCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): (Array[Long], Array[Array[Double]]) = {
+    require(iters >= 0, "kmeansCentroids: iters >= 0")
+    val cids = Array.tabulate(nlist)(_.toLong)
+    var cvecs: Array[Array[Double]] = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = corpus.select(
+        element_at(graft.functions.VectorFunctions.nearestCentroids(
+          col(vecCol), cids, cvecs, 1), 1).as("list_id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      val cells = assigned
+        .groupBy(col("list_id"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cvecs.map(_.clone())
+      cells.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      cvecs = next
+      it += 1
+    }
+    (cids, cvecs)
+  }
+
+  /** [[ivfTopK]] with k-means-trained centroids (see [[kmeansCentroids]]).
+    * Same index structure and probe plan; only the quantizer differs. */
+  def ivfTopKKmeans(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nlist: Int, nprobe: Int,
+      iters: Int = 5): DataFrame = {
+    val (cids, cvecs) = kmeansCentroids(corpus, idCol, vecCol, nlist, iters)
+    ivfWithCentroids(corpus, queries, idCol, vecCol, k, nprobe, cids, cvecs)
+  }
+
+  private def ivfWithCentroids(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      cids: Array[Long], cvecs: Array[Array[Double]]): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cids.length,
+      "ivfWithCentroids: need 1 <= nprobe <= nlist")
     // Nearest-centroid scoring is ONE expression node holding the quantizer
     // as a reference object (graft.functions.NearestCentroids) — an
     // unrolled literal-array formulation grows the plan with nlist (=√n

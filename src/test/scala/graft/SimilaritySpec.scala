@@ -101,6 +101,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bad.head.isNullAt(0))
   }
 
+  test("kmeansCentroids: Lloyd converges to cluster means; IVF on them reaches exact recall") {
+    // 3 well-separated clusters, one seed id in each (ids 0,1,2) so the
+    // smallest-id init starts with one centroid per cluster; Lloyd must
+    // then converge to the exact cluster means
+    def jitter(base: Array[Float], eps: Float, i: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, d) => if (d == i % 4) x + eps else x }
+    val a = Array(10.0f, 0.0f, 0.0f, 0.0f)
+    val b = Array(0.0f, 10.0f, 0.0f, 0.0f)
+    val c = Array(0.0f, 0.0f, 10.0f, 0.0f)
+    val pts = Seq(
+      0L -> a, 1L -> b, 2L -> c,
+      3L -> jitter(a, 0.2f, 1), 4L -> jitter(a, -0.2f, 2),
+      5L -> jitter(b, 0.2f, 2), 6L -> jitter(b, -0.2f, 3),
+      7L -> jitter(c, 0.2f, 3), 8L -> jitter(c, -0.2f, 1))
+    val df = pts.toDF("vec_id", "embedding")
+    val (cidsK, cvecsK) = Similarity.kmeansCentroids(df, "vec_id", "embedding", nlist = 3, iters = 5)
+    assert(cidsK.toSeq == Seq(0L, 1L, 2L))
+    def mean(ids: Seq[Long]): Array[Double] = {
+      val vs = pts.filter(p => ids.contains(p._1)).map(_._2.map(_.toDouble))
+      Array.tabulate(4)(d => vs.map(_(d)).sum / vs.length)
+    }
+    val expected = Seq(mean(Seq(0L, 3L, 4L)), mean(Seq(1L, 5L, 6L)), mean(Seq(2L, 7L, 8L)))
+    // centroid i stays on cluster i (init was one per cluster)
+    expected.zip(cvecsK).foreach { case (e, got) =>
+      e.zip(got).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+    // with trained centroids and nprobe=1, IVF matches brute force: every
+    // point's true neighbors live in its own (now correctly centered) list
+    val brute = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val ivfK = Similarity.ivfTopKKmeans(df, df, "vec_id", "embedding",
+      k = 2, nlist = 3, nprobe = 1, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(ivfK == brute)
+  }
+
   test("lshTopK returns only same-bucket neighbors, ranked by cosine") {
     val queries = vecs.where(col("vec_id") === 0)
     val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 4)
