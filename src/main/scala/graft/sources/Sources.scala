@@ -119,6 +119,24 @@ object Sources {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Training-shard sink: the storage layout for
+    * [[graft.pipeline.TrainingPrep.shuffleShard]] output. One parquet
+    * partition directory per shard, rows physically ordered by `pos`
+    * inside it — so a training reader maps one shard to one sequential
+    * scan (no sort, no shuffle at read time) and partition pruning gives
+    * it exactly its shard's files. `repartition(shard)` puts each shard
+    * in one task before the sort, so files per shard = 1 (plus Spark's
+    * task retry suffixing), not one per upstream partition. */
+  def writeTrainingShards(
+      df: DataFrame, path: String,
+      shardCol: String = "shard", posCol: String = "pos",
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(posCol))
+      .write.mode(mode)
+      .partitionBy(shardCol)
+      .parquet(path)
+
   /** Bucketed table sink: pre-shuffles by `bucketCols` so equi-joins and
     * aggregations on those keys skip their shuffle entirely (the
     * co-located-join strategy for repeated 100 TB joins). Requires a

@@ -97,4 +97,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters") && scan.contains("isnotnull(k"))
     assert(pruned.count() == 2)
   }
+
+  test("training-shard sink: one file per shard, pos-ordered within it, prunable") {
+    val dir = Files.createTempDirectory("graft_shards").toString + "/t"
+    import spark.implicits._
+    val sharded = graft.pipeline.TrainingPrep.shuffleShard(
+      (0L until 200L).toDF("doc_id"), "doc_id", nShards = 4)
+    Sources.writeTrainingShards(sharded, dir)
+    // one data file per shard directory (a reader's sequential scan)
+    (0 until 4).foreach { sh =>
+      val files = new java.io.File(s"$dir/shard=$sh")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $sh has ${files.length} files")
+      // rows inside the file are physically in pos order: a single-file
+      // read with no shuffle preserves storage order
+      val pos = spark.read.parquet(files.head.getPath).select("pos")
+        .collect().map(_.getLong(0)).toSeq
+      assert(pos == pos.sorted && pos.nonEmpty)
+    }
+    // read of one shard prunes the others
+    val one = Sources.readParquet(spark, dir).where(col("shard") === 2)
+    assert(one.queryExecution.executedPlan.toString().contains("PartitionFilters"))
+    assert(one.count() == sharded.where(col("shard") === 2).count())
+  }
 }
