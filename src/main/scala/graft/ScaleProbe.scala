@@ -45,8 +45,11 @@ object ScaleProbe {
     val probes = Seq("q1_flagship", "d1_dedup_exact", "d2_dedup_ngram_jaccard",
       "d3_dedup_minhash_lsh", "d4_dedup_simhash", "d5_dedup_embedding_cosine",
       "d6_dedup_clusters", "s1_ann_bruteforce_topk", "s2_ann_lsh_topk",
-      "s3_ann_ivf", "x1_star_join", "x2_asof_join", "x4_window_running",
-      "x7_salted_distinct", "x10_range_join")
+      "s3_ann_ivf", "s4_ann_ivf_kmeans", "x1_star_join", "x2_asof_join",
+      "x4_window_running", "x7_salted_distinct", "x10_range_join",
+      "t9_repetition", "t10_heuristic_filter", "t11_pii_redaction",
+      "t12_decontamination", "p2_shuffle_shard", "p3_pack_sequences",
+      "p4_mixture_sample", "st4_minhash_band_registry")
     def time(dir: String, name: String): Double = {
       // operators persist() shared branches; a prior identical run would
       // satisfy them from the cache (CacheManager matches canonicalized

@@ -141,6 +141,70 @@ object Aggregators {
     }
   }
 
+  /** Space-Saving heavy hitters (Metwally et al. 2005) as a mergeable
+    * bounded fold — the one-pass scale path for top-k frequent items: an
+    * exact top-k over 100 TB of tokens must shuffle every (group, token)
+    * pair, while this ships at most `capacity` (item, count, err) entries
+    * per group per partition. Merge is the Misra-Gries/Space-Saving
+    * summary merge (Agarwal et al., "Mergeable Summaries"): keys absent
+    * from a full sketch contribute that sketch's minimum count, then the
+    * union is trimmed back to `capacity` by count.
+    *
+    * Guarantees: `count` overestimates the true frequency by at most
+    * `err` (count − err ≤ true ≤ count), any item with true frequency
+    * > n/capacity is present, and — the property the oracle checks —
+    * when `capacity` ≥ the group's distinct-item count nothing is ever
+    * evicted, so every count is EXACT and every err is 0.
+    *
+    * Output: the `topN` entries by (count desc, item asc). */
+  def spaceSaving(capacity: Int, topN: Int): Aggregator[
+      String, Seq[(String, Long, Long)], Seq[(String, Long, Long)]] = {
+    require(capacity >= 1 && topN >= 1 && topN <= capacity,
+      "spaceSaving: need 1 <= topN <= capacity")
+    type E = (String, Long, Long)
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long, Long)]]()
+    new Aggregator[String, Seq[E], Seq[E]] {
+      def zero: Seq[E] = Vector.empty
+      def reduce(b: Seq[E], a: String): Seq[E] = {
+        val i = b.indexWhere(_._1 == a)
+        if (i >= 0) b.updated(i, (a, b(i)._2 + 1, b(i)._3))
+        else if (b.size < capacity) b :+ ((a, 1L, 0L))
+        else {
+          // evict the minimum-count entry (ties: largest item string —
+          // deterministic); the newcomer inherits its count as error
+          var mi = 0
+          var m = b.head
+          var j = 1
+          while (j < b.size) {
+            val e = b(j)
+            if (e._2 < m._2 || (e._2 == m._2 && e._1 > m._1)) { m = e; mi = j }
+            j += 1
+          }
+          b.updated(mi, (a, m._2 + 1L, m._2))
+        }
+      }
+      def merge(x: Seq[E], y: Seq[E]): Seq[E] = {
+        if (x.isEmpty) y
+        else if (y.isEmpty) x
+        else {
+          val mx = if (x.size < capacity) 0L else x.iterator.map(_._2).min
+          val my = if (y.size < capacity) 0L else y.iterator.map(_._2).min
+          val xm = x.iterator.map(e => e._1 -> e).toMap
+          val ym = y.iterator.map(e => e._1 -> e).toMap
+          val merged = (xm.keySet ++ ym.keySet).iterator.map { k =>
+            val (cx, ex) = xm.get(k).map(e => (e._2, e._3)).getOrElse((mx, mx))
+            val (cy, ey) = ym.get(k).map(e => (e._2, e._3)).getOrElse((my, my))
+            (k, cx + cy, ex + ey)
+          }.toVector
+          merged.sortBy(e => (-e._2, e._1)).take(capacity)
+        }
+      }
+      def finish(b: Seq[E]): Seq[E] = b.sortBy(e => (-e._2, e._1)).take(topN)
+      def bufferEncoder: Encoder[Seq[E]] = enc
+      def outputEncoder: Encoder[Seq[E]] = enc
+    }
+  }
+
   /** Register a typed aggregator as an untyped DataFrame aggregate column —
     * the bridge that lets custom folds participate in the single-pass
     * multi-aggregate `agg(...)` alongside built-ins. */

@@ -105,6 +105,24 @@ object ExtensionQueries {
     TextAnalysis.fingerprint(table(s, dir, "documents"), "text", window = 16)
       .select("doc_id", "fingerprint", "n_windows")
 
+  /** Per-language heavy hitters through the Space-Saving sketch. Capacity
+    * 64 exceeds the corpus vocabulary, so the sketch is provably EXACT
+    * here (no eviction ever fires) and the oracle checks true counts with
+    * err = 0; at 100 TB the same query ships ≤ 64 entries per language
+    * per partition instead of shuffling every token occurrence. */
+  private def t13(s: SparkSession, dir: String): DataFrame = {
+    val hh = graft.folds.Aggregators.asColumn(
+      graft.folds.Aggregators.spaceSaving(capacity = 64, topN = 10), col("token"))(
+      org.apache.spark.sql.Encoders.STRING)
+    table(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("lang"))
+      .agg(hh.as("hh"))
+      .select(col("lang"), explode(col("hh")).as("e"))
+      .select(col("lang"), col("e._1").as("token"),
+        col("e._2").as("est_count"), col("e._3").as("err"))
+  }
+
   // ------------------------------------------------------ corpus curation
 
   private def t9(s: SparkSession, dir: String): DataFrame =
@@ -760,6 +778,14 @@ object ExtensionQueries {
         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS bpe_tokens,
         len(list_distinct(string_split(text, ' ')))::BIGINT AS distinct_tokens
       FROM documents""")),
+
+    Q("t13_heavy_hitters", t13, Some("""
+      SELECT lang, token, est_count, 0::BIGINT AS err FROM (
+        SELECT lang, token, count(*)::BIGINT AS est_count,
+          row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS rn
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY lang, token)
+      WHERE rn <= 10""")),
 
     Q("t9_repetition", t9, Some("""
       SELECT doc_id,
