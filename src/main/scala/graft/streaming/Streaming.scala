@@ -208,10 +208,12 @@ object Streaming {
     // minhashes over its 32-bit prefix, band key = md5 of the band's
     // joined signature slice.
     val P = 4294967291L
-    val toks = tokens(col(textCol))
+    // tokens as a real column: element_at inside the shingle lambda would
+    // otherwise re-evaluate split() once per element access
     val withH32 = docs
-      .where(size(toks) >= shingleN)
-      .withColumn("h32s", transform(wordShingles(toks, shingleN), sh =>
+      .withColumn("__toks", tokens(col(textCol)))
+      .where(size(col("__toks")) >= shingleN)
+      .withColumn("h32s", transform(wordShingles(col("__toks"), shingleN), sh =>
         conv(substring(md5(sh), 1, 8), 16, 10).cast("long")))
     def mh(s: Int): Column = {
       val a = ((s * 2654435761L) % 2147483647L) + 1L

@@ -44,16 +44,22 @@ object Curation {
     * Per-token counting is O(distinct·tokens) per document inside codegen —
     * linear shuffle-free scan overall. */
   def repetitionStats(df: DataFrame, textCol: String, n: Int = 2): DataFrame = {
-    val toks = tokens(col(textCol))
+    // tokens materialized as a real column: `element_at` inside the n-gram
+    // lambda and the nested `filter(toks, ...)` inside the per-token count
+    // lambda are interpreted per element — an inline split() there would
+    // re-tokenize the document once per element access
+    val toks = col("__toks")
     val ngrams = wordNgrams(toks, n)
     val nTotal = size(ngrams).cast("double")
     val topCount = array_max(transform(array_distinct(toks), u =>
       size(filter(toks, x => x === u))))
-    df.where(size(toks) >= n)
+    df.withColumn("__toks", tokens(col(textCol)))
+      .where(size(toks) >= n)
       .withColumn("n_ngrams", size(ngrams).cast("long"))
       .withColumn("dup_ngram_frac",
         lit(1.0) - size(array_distinct(ngrams)).cast("double") / nTotal)
       .withColumn("top_token_frac", topCount.cast("double") / size(toks).cast("double"))
+      .drop("__toks")
   }
 
   /** Heuristic quality filters in the C4/Gopher style: one boolean flag
@@ -68,7 +74,8 @@ object Curation {
       maxTopTokenFrac: Double = 0.15,
       stopwordList: Seq[String] = stopwords("en")): DataFrame = {
     val withStats = repetitionStats(df, textCol, n = 2)
-    val toks = tokens(col(textCol))
+      .withColumn("__toks", tokens(col(textCol)))
+    val toks = col("__toks")
     val meanTokLen = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
       size(toks).cast("double")
     withStats
@@ -82,6 +89,7 @@ object Curation {
         !col("flag_too_few_tokens") && !col("flag_tok_len") &&
           !col("flag_dup_ngrams") && !col("flag_top_token") &&
           !col("flag_no_stopword"))
+      .drop("__toks")
   }
 
   /** PII patterns — deliberately simple, valid in both Java regex and RE2
@@ -116,9 +124,12 @@ object Curation {
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 5): DataFrame = {
     def grams(df: DataFrame, cols: Column*) = {
-      val toks = tokens(col(textCol))
-      df.where(size(toks) >= n)
-        .select((cols :+ explode(array_distinct(wordNgrams(toks, n))).as("ng")): _*)
+      // tokens materialized as a real column: element_at inside the n-gram
+      // lambda would otherwise re-evaluate split() once PER ELEMENT ACCESS
+      // (lambda bodies are interpreted per element, no subexpression reuse)
+      df.withColumn("__toks", tokens(col(textCol)))
+        .where(size(col("__toks")) >= n)
+        .select((cols :+ explode(array_distinct(wordNgrams(col("__toks"), n))).as("ng")): _*)
         .withColumn("ng", md5(col("ng")))
     }
     val bench = grams(benchmark).select("ng").distinct()
