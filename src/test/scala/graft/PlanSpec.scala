@@ -103,4 +103,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("graft_dot") || p.contains("DotProduct"), p)
     assert(p.contains("*("), s"no whole-stage codegen stage in plan:\n$p")
   }
+
+  test("t9/t10 curation stats are shuffle-free single-pass projections") {
+    for (name <- Seq("t9_repetition", "t10_heuristic_filter")) {
+      val p = plan(q(name))
+      assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+      assert(!p.contains("Window"), s"$name sorts under a window:\n$p")
+    }
+  }
+
+  test("t12 decontamination: benchmark side broadcast, corpus never shuffled for the join") {
+    val p = plan(q("t12_decontamination"))
+    assert(p.contains("BroadcastHashJoin"), s"benchmark join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the only Exchange is the final per-doc count aggregation (+AQE reads)
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) <= 2, s"extra shuffles:\n$p")
+  }
+
+  test("p2 shuffle-shard: window partitioned by shard, never a single global sort") {
+    val p = plan(q("p2_shuffle_shard"))
+    assert(p.contains("hashpartitioning(shard"), s"window not per-shard:\n$p")
+    assert(!p.contains("SinglePartition") && !p.contains("rangepartitioning"),
+      s"global sort/single partition in plan:\n$p")
+  }
+
+  test("t13 heavy hitters: sketch aggregation is partial (map-side combine)") {
+    val p = plan(q("t13_heavy_hitters"))
+    // typed Aggregator -> ObjectHashAggregate, partial + final
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) == 2, p)
+  }
+
+  test("st4 band registry: one hash-agg shuffle keyed by band_key, no window, no join") {
+    val p = plan(q("st4_minhash_band_registry"))
+    assert(p.contains("hashpartitioning(band_key"), p)
+    assert(!p.contains("Window") && !p.contains("Join"), s"unexpected operator:\n$p")
+  }
 }
