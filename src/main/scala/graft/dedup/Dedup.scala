@@ -355,6 +355,34 @@ object Dedup {
   /** Embedding cosine near-dup pairs within blocking-key groups (brute
     * force within block; for unblocked corpora use the hyperplane-LSH
     * bucketing in [[graft.similarity.Similarity]]). */
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with a coarse quantizer, then find exact
+    * cosine near-dup pairs WITHIN each cluster — the published recipe for
+    * semantic (not lexical) duplicate pruning of web-scale corpora, and
+    * the principled source of blocking keys when no natural ones exist.
+    *
+    * The quantizer is the deterministic smallest-id one (s3's — collected
+    * once, nlist ≪ corpus, held by a single [[graft.functions.NearestCentroids]]
+    * expression), so cluster assignment is a shuffle-free projection and
+    * the whole result is bit-reproducible by an external oracle. Cluster
+    * count trades recall for cost: pairs crossing a cluster boundary are
+    * missed (the SemDeDup approximation), pair work is quadratic only
+    * within clusters. */
+  def semanticDedupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, threshold: Double): DataFrame = {
+    val cents = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol))
+      .limit(nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val clustered = df.withColumn("cluster",
+      element_at(graft.functions.VectorFunctions.nearestCentroids(
+        col(vecCol), cents.map(_._1), cents.map(_._2), 1), 1))
+    embeddingCosinePairs(clustered, idCol, vecCol, Seq("cluster"), threshold)
+  }
+
   def embeddingCosinePairs(
       df: DataFrame, idCol: String, vecCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {

@@ -73,6 +73,12 @@ object ExtensionQueries {
     Dedup.embeddingCosinePairs(table(s, dir, "embeddings"),
       "vec_id", "embedding", blockCols = Seq("label"), threshold = 0.4)
 
+  /** SemDeDup: clusters from the deterministic quantizer replace d5's
+    * natural label blocks — semantic dedup with NO pre-existing key. */
+  private def d7(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedupPairs(table(s, dir, "embeddings"),
+      "vec_id", "embedding", nlist = 8, threshold = 0.4)
+
   // ---------------------------------------------------- similarity search
 
   private def s1(s: SparkSession, dir: String): DataFrame = {
@@ -712,6 +718,23 @@ object ExtensionQueries {
           ${cosSql("a.embedding", "b.embedding")} AS cosine
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id)
+      WHERE cosine >= 0.4""")),
+
+    Q("d7_semantic_dedup", d7, Some(s"""
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+      ranked AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid DESC) AS rn
+        FROM embeddings e CROSS JOIN cents c),
+      assign AS (SELECT vec_id, embedding, cid AS cluster FROM ranked WHERE rn = 1)
+      SELECT id_a, id_b, cosine FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ${cosSql("a.embedding", "b.embedding")} AS cosine
+        FROM assign a JOIN assign b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
       WHERE cosine >= 0.4""")),
 
     Q("s1_ann_bruteforce_topk", s1, Some(s"""

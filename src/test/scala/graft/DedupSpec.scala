@@ -71,4 +71,22 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("semanticDedupPairs: near-dups pair within their quantizer cluster, no blocking key needed") {
+    // ids 0,1 seed two orthogonal clusters (nlist=2 -> they ARE the
+    // centroids); 2,3 are near-dups of cluster 0; 4 is a near-dup of
+    // cluster 1; 5 sits in cluster 0 but far from everything
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(0.99f, 0.0f, 0.01f, 0.0f)),
+      (4L, Array(0.0f, 0.99f, 0.01f, 0.0f)),
+      (5L, Array(0.7f, 0.0f, 0.71f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDedupPairs(vecs, "vec_id", "embedding", nlist = 2, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // within-cluster near-dups found; 5 pairs with nothing; no cross-cluster pair
+    assert(pairs == Set((0L, 2L), (0L, 3L), (2L, 3L), (1L, 4L)))
+  }
 }
