@@ -106,6 +106,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN ingest: embeddings stream into the bucketed at-rest layout, probes prune") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ann").toString
+    val source = MemoryStream[(Long, Array[Float])]
+    val bucketed = graft.similarity.Similarity.withHyperplaneBuckets(
+      source.toDF().toDF("vec_id", "embedding"), "embedding", planes = 2, dims = 4)
+    val q = bucketed.writeStream.format("parquet")
+      .partitionBy("bucket")
+      .option("path", s"$dir/index")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData((1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
+      q.processAllAvailable()
+      source.addData((3L, Array(1f, 0.1f, 0f, 0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val index = spark.read.parquet(s"$dir/index")
+    assert(index.count() == 3)
+    // a probe reads only its own bucket's partitions — the same pruning
+    // the batch at-rest layout test pins, now over a streamed index
+    // partition-column inference types `bucket` as int on read-back
+    val probeBucket = index.where(col("vec_id") === 1L)
+      .select("bucket").head.getAs[Number](0).longValue
+    val probed = index.where(col("bucket") === probeBucket)
+    val plan = probed.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    // identical vectors land in the same bucket whether batched or streamed
+    assert(probed.collect().map(_.getLong(0)).toSet.contains(3L))
+  }
+
   test("streamingDedup drops in-stream duplicates within the watermark") {
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[(Long, Long, String, Double)]
