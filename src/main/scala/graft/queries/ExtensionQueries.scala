@@ -281,6 +281,10 @@ object ExtensionQueries {
         sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  private def t14(s: SparkSession, dir: String): DataFrame =
+    Curation.hashedLinearScore(table(s, dir, "documents").select("doc_id", "text"), "text")
+      .select("doc_id", "logit", "model_keep")
+
   // ---------------------------------------------------- training-data prep
 
   private def p2(s: SparkSession, dir: String): DataFrame =
@@ -809,6 +813,15 @@ object ExtensionQueries {
         FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
         GROUP BY lang, token)
       WHERE rn <= 10""")),
+
+    Q("t14_model_filter", t14, Some(s"""
+      SELECT doc_id, logit, logit > 0.0 AS model_keep FROM (
+        SELECT doc_id,
+          round(list_sum(list_transform(string_split(text, ' '), t ->
+            wl[(('0x' || substr(md5(t), 1, 8))::BIGINT % 64) + 1])), 9) + 0.0 AS logit
+        FROM (SELECT doc_id, text,
+          ${Curation.hashedWeights(64, "w").mkString("[", ", ", "]")}::DOUBLE[] AS wl
+          FROM documents))""")),
 
     Q("t9_repetition", t9, Some("""
       SELECT doc_id,

@@ -113,6 +113,42 @@ object Curation {
             ipPattern, "<IP>"),
           phonePattern, "<PHONE>"))
 
+  /** Deterministic pseudo-random weight vector for [[hashedLinearScore]]:
+    * w[d] ∈ [-1, 1] from the first hex nibble of md5("seed_d") — any
+    * engine regenerates the same weights; a trained model would ship its
+    * real weights through the identical plumbing. */
+  def hashedWeights(dims: Int, seed: String): Array[Double] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dims) { d =>
+      val h = digest.digest(s"${seed}_$d".getBytes("UTF-8"))
+      (((h(0) >> 4) & 0xf) - 7.5) / 7.5
+    }
+  }
+
+  /** Feature-hashed linear scorer (the hashing trick, Weinberger et al.
+    * 2009 — the fastText-style model-based quality filter of C4/CCNet
+    * pipelines, with a deterministic stand-in weight vector): logit =
+    * bias + Σ_token w[h32(token) mod dims], one pass over the tokens per
+    * document, weights as a plan-time literal array. Pure Column exprs,
+    * shuffle-free, linear in corpus size. Emits `logit` (rounded to 9 dp
+    * so engine-side accumulation-order ULPs can't flip a hash compare)
+    * and the `model_keep` decision at threshold 0. */
+  def hashedLinearScore(
+      df: DataFrame, textCol: String, dims: Int = 64,
+      bias: Double = 0.0, seed: String = "w"): DataFrame = {
+    val w = hashedWeights(dims, seed)
+    val wLit = typedlit(w.toSeq)
+    val toks = col("__toks")
+    // `+ 0.0` collapses IEEE -0.0 to 0.0 so both engines agree bit-for-bit
+    val logit = round(aggregate(toks, lit(bias), (acc, t) =>
+      acc + element_at(wLit,
+        (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dims + 1).cast("int"))), 9) + lit(0.0)
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("logit", logit)
+      .withColumn("model_keep", col("logit") > 0.0)
+      .drop("__toks")
+  }
+
   /** Benchmark decontamination: for each corpus document, the number of
     * distinct word `n`-grams it shares with the benchmark set (eval
     * contamination detection à la GPT-3 §C / PaLM). N-grams travel as md5

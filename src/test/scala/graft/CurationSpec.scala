@@ -58,6 +58,26 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L).getString(5) == "no pii here")
   }
 
+  test("hashedLinearScore: logit is the exact sum of hashed-bucket weights, deterministic") {
+    val w = Curation.hashedWeights(64, "w")
+    assert(w.length == 64 && w.forall(x => x >= -1.0 && x <= 1.0))
+    // recompute the expected logit for a known doc by the same rule
+    def h32(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val text = "spark dedup filter spark"
+    val expected = BigDecimal(
+      text.split(" ").foldLeft(0.0)((acc, t) => acc + w((h32(t) % 64).toInt)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Curation.hashedLinearScore(
+      Seq((1L, text)).toDF("doc_id", "text"), "text")
+      .select("logit", "model_keep").head
+    assert(out.getDouble(0) == expected)
+    assert(out.getBoolean(1) == (expected > 0.0))
+  }
+
   test("decontaminate: mutated copy overlaps its benchmark source, unrelated doc does not") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corpus = Seq(
