@@ -68,6 +68,30 @@ object TrainingPrep {
         floor(col("start_offset") / lit(seqLen.toDouble)).cast("long"))
   }
 
+  /** Curriculum staging: assign each row to one of `nStages` stages by
+    * exact score quantiles — stage 1 holds the lowest-scoring quartile (at
+    * nStages = 4) and so on; a loader then feeds stages in order
+    * (easy→hard or low→high quality, Bengio et al. 2009). Boundaries are
+    * the interpolated percentiles at j/nStages; a score EQUAL to a
+    * boundary stays in the lower stage (strict > moves it up).
+    *
+    * Scale shape: ONE aggregate produces the (nStages−1)-element threshold
+    * array, re-joined as a broadcast single row inside the same plan (no
+    * driver-side action — the t8 lesson); assignment is then a pure
+    * projection. The exact `percentile` sort-based agg is the sf-test
+    * form; at 100 TB swap in `percentile_approx` (t-digest, mergeable,
+    * one pass) — the assignment side is unchanged. */
+  def curriculum(df: DataFrame, scoreCol: String, nStages: Int): DataFrame = {
+    require(nStages >= 1, "curriculum: nStages >= 1")
+    if (nStages == 1) return df.withColumn("stage", lit(1))
+    val fracs = (1 until nStages).map(j => j.toDouble / nStages).mkString(", ")
+    val thrs = df.agg(expr(s"percentile($scoreCol, array($fracs))").as("__thr"))
+    df.crossJoin(broadcast(thrs))
+      .withColumn("stage", (lit(1) + aggregate(col("__thr"), lit(0),
+        (acc, t) => acc + when(col(scoreCol) > t, 1).otherwise(0))).cast("int"))
+      .drop("__thr")
+  }
+
   /** Weighted mixture sampling: keep a row iff its salted uniform hash is
     * under `weight` (a per-row Column in [0,1], typically derived from the
     * source). Adds `u` and boolean `sampled` rather than filtering, so a

@@ -165,12 +165,24 @@ object ExtensionQueries {
     * are true contamination: they share nearly all their 5-grams with a
     * benchmark doc. */
   private def t12(s: SparkSession, dir: String): DataFrame = {
-    val corpus = mutatedCorpus(s, dir)
-      .where(col("doc_id") >= 1000000L || col("doc_id") % 5 =!= 0)
-    val bench = table(s, dir, "documents")
-      .where(col("doc_id") % 5 === 0).select("doc_id", "text")
+    val (corpus, bench) = decontamInputs(s, dir)
     Curation.decontaminate(corpus, bench, "doc_id", "text", n = 5)
   }
+
+  /** t12 through the Bloom-prefiltered scale path — identical semantics
+    * (the sketch has no false negatives and the confirm join removes its
+    * false positives), so it shares t12's oracle verbatim; only the plan
+    * differs: probe-filter before the join, confirm join left to AQE. */
+  private def t15(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, bench) = decontamInputs(s, dir)
+    Curation.decontaminateBloom(corpus, bench, "doc_id", "text", n = 5)
+  }
+
+  private def decontamInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = (
+    mutatedCorpus(s, dir)
+      .where(col("doc_id") >= 1000000L || col("doc_id") % 5 =!= 0),
+    table(s, dir, "documents")
+      .where(col("doc_id") % 5 === 0).select("doc_id", "text"))
 
   // ------------------------------------------------------------ multimodal
 
@@ -311,6 +323,15 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("sampled"), 1L).otherwise(0L)).as("n_kept"))
   }
+
+  /** Curriculum staging over the t2 quality score: quartile thresholds →
+    * 4 stages, lowest-quality quartile = stage 1. */
+  private def p5(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TrainingPrep.curriculum(
+      TextAnalysis.qualityScore(table(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("quality")),
+      "quality", nStages = 4)
+      .select("doc_id", "quality", "stage")
 
   /** Exact interpolated percentiles per group (corpus statistics for
     * pipeline monitoring) — `percentile` is Spark's exact variant, so the
@@ -464,6 +485,15 @@ object ExtensionQueries {
     val nlist = math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
     Similarity.ivfTopKKmeans(emb, emb.where(col("vec_id") % 100 === 0),
       "vec_id", "embedding", k = 3, nlist = nlist, nprobe = 2, iters = 3)
+  }
+
+  /** SQ8 compressed ANN — corpus quantized to one byte per dimension
+    * against a per-dimension min/max codebook, decoded at scan time and
+    * scored asymmetrically against full-precision queries. */
+  private def s5(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.sq8TopK(emb, emb.where(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", k = 3, dims = 64)
   }
 
   /** Arbitrary grouping sets (not expressible as rollup/cube): per-flag,
@@ -631,6 +661,24 @@ object ExtensionQueries {
                                       IN $oddHex THEN 1.0 ELSE -1.0 END))) > 0
               THEN 1 << p ELSE 0 END))"""
 
+  private val decontamOracle = s"""
+      WITH $corpusSql,
+      scan AS (SELECT doc_id, ws
+               FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)
+               WHERE (doc_id >= 1000000 OR doc_id % 5 <> 0) AND len(ws) >= 5),
+      dg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+               i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                        || ws[i+3] || ' ' || ws[i+4])))) AS ng
+             FROM scan),
+      bg AS (SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 3),
+               i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                        || ws[i+3] || ' ' || ws[i+4]))) AS ng
+             FROM (SELECT string_split(text, ' ') AS ws FROM documents
+                   WHERE doc_id % 5 = 0)
+             WHERE len(ws) >= 5)
+      SELECT doc_id, count(*) AS n_overlap
+      FROM dg JOIN bg USING (ng) GROUP BY doc_id"""
+
   def all: Seq[Q] = Seq(
     Q("d1_dedup_exact", d1, Some("""
       SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -751,6 +799,27 @@ object ExtensionQueries {
         JOIN (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
           ON e.vec_id <> q.vec_id)
       WHERE rank <= 5""")),
+
+    Q("s5_ann_sq8", s5, Some(s"""
+      WITH cells AS (
+        SELECT i, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+      mnx AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM cells),
+      dqc AS (SELECT vec_id,
+        list_transform(range(1, 65), i ->
+          mn[i] + (CASE WHEN mx[i] = mn[i] THEN 0.0
+                   ELSE floor((embedding[i]::DOUBLE - mn[i]) / (mx[i] - mn[i]) * 255.0 + 0.5)
+                   END) / 255.0 * (mx[i] - mn[i])) AS dq
+        FROM embeddings CROSS JOIN mnx)
+      SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          ${cosSql("q.embedding", "e.dq")} AS cosine,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${cosSql("q.embedding", "e.dq")} DESC, e.vec_id) AS rank
+        FROM dqc e
+        JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q
+          ON e.vec_id <> q.vec_id)
+      WHERE rank <= 3""")),
 
     Q("s2_ann_lsh_topk", s2, Some(s"""
       WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
@@ -877,23 +946,11 @@ object ExtensionQueries {
           '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_hash
       FROM pii""")),
 
-    Q("t12_decontamination", t12, Some(s"""
-      WITH $corpusSql,
-      scan AS (SELECT doc_id, ws
-               FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)
-               WHERE (doc_id >= 1000000 OR doc_id % 5 <> 0) AND len(ws) >= 5),
-      dg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
-               i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
-                        || ws[i+3] || ' ' || ws[i+4])))) AS ng
-             FROM scan),
-      bg AS (SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 3),
-               i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
-                        || ws[i+3] || ' ' || ws[i+4]))) AS ng
-             FROM (SELECT string_split(text, ' ') AS ws FROM documents
-                   WHERE doc_id % 5 = 0)
-             WHERE len(ws) >= 5)
-      SELECT doc_id, count(*) AS n_overlap
-      FROM dg JOIN bg USING (ng) GROUP BY doc_id""")),
+    Q("t12_decontamination", t12, Some(decontamOracle)),
+
+    // same semantics as t12 by construction (bloom prefilter + exact
+    // confirm) — the shared oracle IS the claim being checked
+    Q("t15_decontamination_bloom", t15, Some(decontamOracle)),
 
     Q("t4_fingerprint", t4, Some("""
       SELECT doc_id,
@@ -1103,6 +1160,26 @@ object ExtensionQueries {
             < (1 + substr(source, 4)::INT % 4) / 4.0
           THEN 1 ELSE 0 END)::BIGINT AS n_kept
       FROM documents GROUP BY source""")),
+
+    Q("p5_curriculum", p5, Some("""
+      WITH q AS (
+        SELECT doc_id,
+          0.4 * least(stopword_ratio * 5.0, 1.0)
+            + 0.3 * (1.0 - punct_ratio)
+            + 0.3 * least(n_tokens / 100.0, 1.0) AS quality
+        FROM (
+          SELECT doc_id,
+            len(string_split(text, ' '))::BIGINT AS n_tokens,
+            len(list_filter(string_split(text, ' '), t ->
+              list_contains(['the','a','of','and','to','in','is'], t)))::DOUBLE
+              / len(string_split(text, ' ')) AS stopword_ratio,
+            length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+              / length(text) AS punct_ratio
+          FROM documents)),
+      thr AS (SELECT quantile_cont(quality, [0.25, 0.5, 0.75]) AS t FROM q)
+      SELECT doc_id, quality,
+        (1 + len(list_filter(t, x -> quality > x)))::INT AS stage
+      FROM q CROSS JOIN thr""")),
 
     Q("x4_window_running", x4, Some("""
       SELECT o_custkey, o_orderkey,

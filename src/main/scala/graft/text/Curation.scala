@@ -159,18 +159,56 @@ object Curation {
   def decontaminate(
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 5): DataFrame = {
-    def grams(df: DataFrame, cols: Column*) = {
-      // tokens materialized as a real column: element_at inside the n-gram
-      // lambda would otherwise re-evaluate split() once PER ELEMENT ACCESS
-      // (lambda bodies are interpreted per element, no subexpression reuse)
-      df.withColumn("__toks", tokens(col(textCol)))
-        .where(size(col("__toks")) >= n)
-        .select((cols :+ explode(array_distinct(wordNgrams(col("__toks"), n))).as("ng")): _*)
-        .withColumn("ng", md5(col("ng")))
-    }
-    val bench = grams(benchmark).select("ng").distinct()
-    grams(corpus, col(idCol))
+    val bench = distinctNgramHashes(benchmark, textCol, n).select("ng").distinct()
+    distinctNgramHashes(corpus, textCol, n, col(idCol))
       .join(broadcast(bench), "ng")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** Distinct word-`n`-gram md5 hashes per row, exploded. Tokens are
+    * materialized as a real column: `element_at` inside the n-gram lambda
+    * would otherwise re-evaluate split() once PER ELEMENT ACCESS (lambda
+    * bodies are interpreted per element, no subexpression reuse). */
+  private def distinctNgramHashes(
+      df: DataFrame, textCol: String, n: Int, cols: Column*): DataFrame =
+    df.withColumn("__toks", tokens(col(textCol)))
+      .where(size(col("__toks")) >= n)
+      .select((cols :+ explode(array_distinct(wordNgrams(col("__toks"), n))).as("ng")): _*)
+      .withColumn("ng", md5(col("ng")))
+
+  /** [[decontaminate]] with a Bloom prefilter on the corpus n-gram stream —
+    * the 100 TB formulation. Result is EXACTLY [[decontaminate]]'s (same
+    * oracle): the filter has no false negatives and its false positives are
+    * removed by the exact confirm join, so the sketch never changes
+    * semantics, only the amount of data that reaches the join.
+    *
+    * Why it matters at scale: a real benchmark suite can hold ~10⁹ distinct
+    * n-grams (tens of GB as join keys) — too big to broadcast per-task, so
+    * the exact join must shuffle BOTH sides, including every n-gram of a
+    * 100 TB corpus (quadrillions of rows). The Bloom filter over the same
+    * keys is ~1.2 GB at fpp 1% — broadcast once per executor, probed at one
+    * compiled call per n-gram ([[graft.functions.BloomMightContain]]) — and
+    * drops the corpus stream to true matches + fpp before the shuffle. The
+    * filter build aggregates partial filters (tree-merged bitsets), one
+    * pass over the benchmark; its `count()` sizes the filter — index-build
+    * cost, same justification as the IVF quantizer.
+    *
+    * `broadcastConfirm = false` (default) leaves the confirm-join strategy
+    * to Catalyst/AQE — at real benchmark sizes it shuffles, which is the
+    * honest scale shape; `true` forces the sf-test shape where the
+    * benchmark side still fits in a broadcast. */
+  def decontaminateBloom(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5, fpp: Double = 0.01,
+      broadcastConfirm: Boolean = false): DataFrame = {
+    val bench = distinctNgramHashes(benchmark, textCol, n)
+      .select("ng").distinct().persist()
+    val bf = bench.stat.bloomFilter(col("ng"), math.max(bench.count(), 1L), fpp)
+    val confirm = if (broadcastConfirm) broadcast(bench) else bench
+    distinctNgramHashes(corpus, textCol, n, col(idCol))
+      .where(graft.functions.SketchFunctions.bloomMightContain(col("ng"), bf))
+      .join(confirm, "ng")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
   }

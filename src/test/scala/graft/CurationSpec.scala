@@ -88,4 +88,19 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L))
   }
+
+  test("decontaminateBloom: identical result to exact decontaminate; probe is in the plan") {
+    // enough docs that random 5-gram collisions in the bloom would surface
+    // as extra rows if the confirm join were missing
+    val bench = (0 until 40).map(i =>
+      (100L + i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i")).toDF("doc_id", "text")
+    val corpus = ((0 until 40).map(i =>
+      (i.toLong, s"beta$i gamma$i delta$i epsilon$i zeta$i eta$i")) ++ Seq(
+      (900L, "one two three four five six seven"))).toDF("doc_id", "text")
+    val exact = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+    val bloom = Curation.decontaminateBloom(corpus, bench, "doc_id", "text", n = 5)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+    assert(bloom.queryExecution.executedPlan.toString.contains("graft_bloom_might_contain"),
+      "bloom probe must prefilter the corpus n-gram stream")
+  }
 }

@@ -146,4 +146,25 @@ class SimilaritySpec extends AnyFunSuite {
     // approximate: every returned neighbor must carry its exact cosine
     lsh.foreach(r => assert(math.abs(r.getDouble(2) - brute(r.getLong(1))) < 1e-12))
   }
+
+  test("sqTrain: per-dimension min/max codebook; constant dim allowed") {
+    val (mn, mx) = Similarity.sqTrain(vecs, "embedding", dims = 4)
+    assert(mn.toSeq == Seq(0.0, 0.0, 0.0, 0.0))
+    assert(mx(0) == 1.0 && mx(3) == 0.0) // dim 3 is constant-zero
+  }
+
+  test("sq8TopK: quantization error within half a step; ranking matches brute force here") {
+    // max reconstruction error per dim is (mx-mn)/255/2; with ranges <= 1.0
+    // every decoded cosine sits within ~2e-3 of the exact one, and on this
+    // well-separated fixture the neighbor ORDER is unchanged
+    val queries = vecs.where(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 4).collect()
+    val sq = Similarity.sq8TopK(vecs, queries, "vec_id", "embedding", 4, dims = 4).collect()
+    assert(sq.map(_.getLong(1)).toSeq == exact.map(_.getLong(1)).toSeq)
+    exact.zip(sq).foreach { case (e, s) =>
+      assert(math.abs(e.getDouble(2) - s.getDouble(2)) < 5e-3)
+    }
+    // constant dimension decodes to its min exactly: no NaN from the 0/0 guard
+    assert(sq.forall(r => !r.getDouble(2).isNaN))
+  }
 }

@@ -60,4 +60,19 @@ class TrainingPrepSpec extends AnyFunSuite {
       .where(col("sampled")).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == keptAgain)
   }
+
+  test("curriculum: quartile stages are balanced and ordered by score; boundary stays low") {
+    import spark.implicits._
+    // scores 1..100: quartile thresholds 25.75/50.5/75.25 → 4 stages of 25
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val out = TrainingPrep.curriculum(df, "score", nStages = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert((1 to 100).forall(i => out(i.toLong) == 1 + (i - 1) / 25))
+    // every doc in a lower stage scores <= every doc in a higher one
+    assert(out.groupBy(_._2).view.mapValues(_.keys.max).toMap
+      .toSeq.sortBy(_._1).map(_._2) == Seq(25L, 50L, 75L, 100L))
+    // nStages=1 degenerates to a single stage, no percentile agg
+    val one = TrainingPrep.curriculum(df, "score", nStages = 1)
+    assert(one.select("stage").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
 }
