@@ -79,6 +79,14 @@ object ExtensionQueries {
     Dedup.semanticDedupPairs(table(s, dir, "embeddings"),
       "vec_id", "embedding", nlist = 8, threshold = 0.4)
 
+  /** Exact-substring duplicate pairs (Lee et al. 2022 semantics through
+    * winnowing): the mutated copies share almost every 27+-char span with
+    * their sources, so they must surface; minShared=2 drops incidental
+    * single-window boilerplate matches. */
+  private def d8(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupPairs(mutatedCorpus(s, dir), "doc_id", "text",
+      kgram = 20, window = 8, minShared = 2)
+
   // ---------------------------------------------------- similarity search
 
   private def s1(s: SparkSession, dir: String): DataFrame = {
@@ -788,6 +796,21 @@ object ExtensionQueries {
         FROM assign a JOIN assign b
           ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
       WHERE cosine >= 0.4""")),
+
+    Q("d8_dedup_substring", d8, Some(s"""
+      WITH $corpusSql,
+      kh AS (SELECT doc_id,
+               list_transform(range(1, length(text) - 18),
+                 i -> md5(substr(text, i, 20))) AS kh
+             FROM corpus WHERE length(text) >= 27),
+      fp AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(kh) - 6),
+               i -> list_aggregate(kh[i:i+7], 'min')))) AS fp
+             FROM kh)
+      SELECT id_a, id_b, n_shared_fps FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared_fps
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      WHERE n_shared_fps >= 2""")),
 
     Q("s1_ann_bruteforce_topk", s1, Some(s"""
       SELECT query_id, neighbor_id, cosine, rank FROM (

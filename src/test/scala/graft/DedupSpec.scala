@@ -89,4 +89,22 @@ class DedupSpec extends AnyFunSuite {
     // within-cluster near-dups found; 5 pairs with nothing; no cross-cluster pair
     assert(pairs == Set((0L, 2L), (0L, 3L), (2L, 3L), (1L, 4L)))
   }
+
+  test("substringDupPairs: winnowing guarantee — any shared span >= kgram+window-1 is found") {
+    // kgram=20, window=8: guarantee threshold 27 chars
+    val shared = "the quick brown fox jumps over the lazy dog tonight" // 51 chars
+    val docs = Seq(
+      (1L, s"AAA $shared AAA padding padding padding"),
+      (2L, s"completely different prefix $shared suffix here"),
+      (3L, "no overlap with anything else at all, not one bit of it, nothing shared here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupPairs(docs, "doc_id", "text", kgram = 20, window = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set((1L, 2L)))
+    assert(out((1L, 2L)) >= 1L) // at least one fingerprint from the shared span
+    // determinism: same input, same counts
+    val again = Dedup.substringDupPairs(docs, "doc_id", "text", kgram = 20, window = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == again)
+  }
 }
