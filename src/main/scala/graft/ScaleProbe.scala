@@ -49,7 +49,9 @@ object ScaleProbe {
       "x4_window_running", "x7_salted_distinct", "x10_range_join",
       "t9_repetition", "t10_heuristic_filter", "t11_pii_redaction",
       "t12_decontamination", "p2_shuffle_shard", "p3_pack_sequences",
-      "p4_mixture_sample", "st4_minhash_band_registry")
+      "p4_mixture_sample", "st4_minhash_band_registry",
+      "d8_dedup_substring", "s5_ann_sq8", "t14_model_filter",
+      "t15_decontamination_bloom", "p5_curriculum")
     def time(dir: String, name: String): Double = {
       // operators persist() shared branches; a prior identical run would
       // satisfy them from the cache (CacheManager matches canonicalized

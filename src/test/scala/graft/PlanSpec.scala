@@ -139,4 +139,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(band_key"), p)
     assert(!p.contains("Window") && !p.contains("Join"), s"unexpected operator:\n$p")
   }
+
+  test("d8 substring dedup: fingerprint pair join is an equi-join, winnow is one native node") {
+    val p = plan(q("d8_dedup_substring"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"d8 pair join is not an equi-join:\n$p")
+    assert(p.contains("graft_winnow_fingerprints"), s"missing native winnow node:\n$p")
+  }
+
+  test("s5 SQ8: decode is one native node on the corpus side, queries broadcast") {
+    val p = plan(q("s5_ann_sq8"))
+    assert(p.contains("graft_sq_dequantize"), s"missing fused SQ8 decode:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), s"SQ8 scoring degenerated to cartesian:\n$p")
+  }
+
+  test("t15 bloom decontamination: probe filters the corpus stream below the confirm join") {
+    val p = plan(q("t15_decontamination_bloom"))
+    val probeLine = p.linesIterator.indexWhere(_.contains("graft_bloom_might_contain"))
+    assert(probeLine >= 0, s"missing bloom probe:\n$p")
+    // the probe must sit in a Filter, not in the join output projection
+    assert(p.linesIterator.toSeq(probeLine).contains("Filter"), s"probe not a filter:\n$p")
+  }
+
+  test("t14 model filter: shuffle-free single-pass projection") {
+    val p = plan(q("t14_model_filter"))
+    assert(!p.contains("Exchange"), s"t14 should not shuffle:\n$p")
+  }
+
+  test("p5 curriculum: threshold side broadcast, no global sort of the corpus") {
+    val p = plan(q("p5_curriculum"))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"thresholds not broadcast:\n$p")
+    // the only sort allowed is inside the percentile aggregate, not a SortExec over docs
+    assert(!p.contains("Window"), s"curriculum must not window-sort the corpus:\n$p")
+  }
 }
