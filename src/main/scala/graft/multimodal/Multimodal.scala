@@ -123,6 +123,125 @@ object Multimodal {
     }(Encoders.product[DecodedMedia])
   }
 
+  /** 8×8 luminance grid of a media payload, row-major, values in [0, 1] —
+    * the input of average-hash ([[perceptualHashPairs]]) and any
+    * downstream visual featurization. */
+  final case class MediaGrid(media_id: Long, byte_len: Long, gray: Array[Double])
+
+  /** Luminance-grid extraction, same batched `mapPartitions` dispatch as
+    * [[decode]]: `image/...` payloads run the REAL `javax.imageio` codec
+    * (cell value = mean sRGB luminance of the cell's pixel block / 255;
+    * undecodable → all-zero grid, the degenerate-value convention);
+    * other mimes take the DETERMINISTIC STUB grid
+    * `gray[j] = ((byte_len · (j+1) · 2654435761) mod 256) / 255` — the
+    * same formula family as [[fakeDecode]]'s `mean_px`, replicable by an
+    * external oracle. (Stub assumes byte_len < ~5·10⁷ so the product
+    * stays in signed-64 range — same regime as `fakeDecode`.) */
+  def luminanceGrid(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaGrid] = {
+    val in = media.select("media_id", "content", "mime").as(Encoders.product[MediaRecord])
+    in.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        batch.map { m =>
+          if (m.mime != null && m.mime.startsWith("image/")) imageGrid(m)
+          else MediaGrid(m.media_id, m.content.length.toLong,
+            Array.tabulate(64)(j =>
+              ((m.content.length.toLong * (j + 1) * 2654435761L) % 256).toDouble / 255.0))
+        }
+      }
+    }(Encoders.product[MediaGrid])
+  }
+
+  private def imageGrid(m: MediaRecord): MediaGrid = {
+    val len = m.content.length.toLong
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+      catch { case _: java.io.IOException => null }
+    if (img == null) MediaGrid(m.media_id, len, Array.fill(64)(0.0))
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val gray = new Array[Double](64)
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          val x0 = c * w / 8
+          val x1 = math.max(x0 + 1, (c + 1) * w / 8)
+          val y0 = r * h / 8
+          val y1 = math.max(y0 + 1, (r + 1) * h / 8)
+          var sum = 0.0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+              x += 1
+            }
+            y += 1
+          }
+          gray(r * 8 + c) = sum / ((x1 - x0).toLong * (y1 - y0)) / 255.0
+          c += 1
+        }
+        r += 1
+      }
+      MediaGrid(m.media_id, len, gray)
+    }
+  }
+
+  /** Perceptual near-duplicate pairs by average hash (aHash — the classic
+    * pHash-family baseline): bit j of the 64-bit fingerprint is set iff
+    * grid cell j is brighter than the grid mean; two images within
+    * `maxHamming` differing bits are near-duplicates (re-encodes, small
+    * crops, watermarks). The image-dedup step of a multimodal pipeline.
+    *
+    * Same scale shape as SimHash text dedup ([[graft.dedup.Dedup
+    * .simhashPairs]]): the fingerprint is stored as two 32-bit halves
+    * (`hi`, `lo` — avoids 1<<63 sign traps in external engines), split
+    * into four 16-bit blocks; by pigeonhole any pair within hamming
+    * distance ≤ 3 shares at least one block, so candidates come from an
+    * equi-join on (block_idx, block_value) — never all-pairs — and the
+    * exact hamming check runs on candidates only. Works on REAL image
+    * grids and stub grids identically. */
+  def perceptualHashPairs(grids: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "perceptualHashPairs: 4×16-bit blocking is valid for maxHamming in [0, 3]")
+    val g = col("gray")
+    // mean materialized as a real column: it is a 64-term sum referenced
+    // by all 64 bit tests — inlining would square the expression tree
+    val mean = (1 to 64).map(j => element_at(g, j)).reduce(_ + _) / lit(64.0)
+    def pack(lo: Int, hi: Int): org.apache.spark.sql.Column =
+      (lo to hi).map(j =>
+        when(element_at(g, j) > col("__mean"), lit(1L << (j - lo))).otherwise(lit(0L)))
+        .reduce(_ + _)
+    val hashes = grids
+      .withColumn("__mean", mean)
+      .select(col("media_id"), pack(1, 32).as("hi"), pack(33, 64).as("lo"))
+      .persist() // all four block branches and both join sides read this
+    val blk = Seq(
+      (0, col("hi").bitwiseAND(lit(65535L))),
+      (1, shiftright(col("hi"), 16).bitwiseAND(lit(65535L))),
+      (2, col("lo").bitwiseAND(lit(65535L))),
+      (3, shiftright(col("lo"), 16).bitwiseAND(lit(65535L))))
+      .map { case (i, bv) =>
+        hashes.select(col("media_id"), col("hi"), col("lo"),
+          lit(i).as("bi"), bv.as("bv"))
+      }
+      .reduce(_ unionAll _)
+    val a = blk.select(col("bi"), col("bv"), col("media_id").as("id_a"),
+      col("hi").as("hi_a"), col("lo").as("lo_a"))
+    val b = blk.select(col("bi"), col("bv"), col("media_id").as("id_b"),
+      col("hi").as("hi_b"), col("lo").as("lo_b"))
+    a.join(b, Seq("bi", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Resized media features. `scale_x`/`scale_y` are what a real resampler
     * would apply; the payload itself is untouched by the stub. */
   final case class ResizedMedia(

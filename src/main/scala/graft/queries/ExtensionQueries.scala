@@ -214,6 +214,18 @@ object ExtensionQueries {
       maxSide = 32).toDF()
   }
 
+  /** Perceptual (average-hash) image near-dup over the stub luminance
+    * grids: documents with equal byte length share a grid → hamming 0;
+    * the oracle replicates grid, hash packing, blocking and verification. */
+  private def m5(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    Multimodal.perceptualHashPairs(
+      Multimodal.luminanceGrid(
+        Multimodal.ingestFromText(table(s, dir, "documents"), "doc_id", "text", "text/plain"))
+        .toDF(),
+      maxHamming = 3)
+  }
+
   private def m3(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     Multimodal.sampleFrames(
@@ -1000,6 +1012,33 @@ object ExtensionQueries {
           octet_length(encode(text))::BIGINT AS byte_len,
           md5(text) AS content_hash
         FROM documents)""")),
+
+    Q("m5_perceptual_dedup", m5, Some("""
+      WITH m AS (SELECT doc_id AS media_id,
+                   octet_length(encode(text))::BIGINT AS byte_len
+                 FROM documents),
+      g AS (SELECT media_id,
+              list_transform(range(1, 65), j ->
+                ((byte_len * j * 2654435761) % 256) / 255.0) AS gray
+            FROM m),
+      h AS (SELECT media_id,
+              list_sum(list_transform(range(1, 33), j ->
+                CASE WHEN gray[j] > mean THEN 1::BIGINT << (j - 1) ELSE 0 END))::BIGINT AS hi,
+              list_sum(list_transform(range(33, 65), j ->
+                CASE WHEN gray[j] > mean THEN 1::BIGINT << (j - 33) ELSE 0 END))::BIGINT AS lo
+            FROM (SELECT media_id, gray, list_sum(gray) / 64.0 AS mean FROM g)),
+      blk AS (SELECT media_id, hi, lo, 0 AS bi, hi & 65535 AS bv FROM h
+              UNION ALL SELECT media_id, hi, lo, 1, (hi >> 16) & 65535 FROM h
+              UNION ALL SELECT media_id, hi, lo, 2, lo & 65535 FROM h
+              UNION ALL SELECT media_id, hi, lo, 3, (lo >> 16) & 65535 FROM h),
+      cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                 a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+               FROM blk a JOIN blk b
+                 ON a.bi = b.bi AND a.bv = b.bv AND a.media_id < b.media_id)
+      SELECT id_a, id_b, hi_a, lo_a, hi_b, lo_b,
+        (bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)))::BIGINT AS hamming
+      FROM cand
+      WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3""")),
 
     Q("m3_frame_sample", m3, Some("""
       SELECT media_id, n_frames, unnest(range(0, n_frames, 2)) AS frame_idx

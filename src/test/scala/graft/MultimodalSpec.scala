@@ -98,4 +98,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized.src_width == 5 && resized.src_height == 3
       && resized.width == 2 && resized.height == 1)
   }
+
+  test("perceptual hash: re-encoded image pairs at hamming 0; perturbed within 3; distinct far") {
+    import spark.implicits._
+    // 16x16 half-dark/half-bright base; aHash = stable bright-half pattern
+    def img(perturb: Boolean, bright: Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        im.setRGB(x, y, if (x < 8) 0x101010 else bright)
+      if (perturb) im.setRGB(0, 0, 0xf0f0f0) // one bright pixel flips ≤1 grid cell
+      im
+    }
+    def bytes(im: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, bytes(img(perturb = false, 0xe0e0e0), "png"), "image/png"),
+      (2L, bytes(img(perturb = false, 0xe0e0e0), "bmp"), "image/bmp"), // re-encode of 1
+      (3L, bytes(img(perturb = true, 0xe0e0e0), "png"), "image/png"),  // near-dup of 1
+      (4L, { // inverted layout: far from everything
+        val im = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 16; x <- 0 until 16) im.setRGB(x, y, if (x < 8) 0xe0e0e0 else 0x101010)
+        bytes(im, "png")
+      }, "image/png"))
+      .toDF("media_id", "content", "mime")
+    val grids = Multimodal.luminanceGrid(media).toDF()
+    val pairs = Multimodal.perceptualHashPairs(grids, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(6)).toMap
+    assert(pairs((1L, 2L)) == 0L) // identical pixels, different container format
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 3L)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("luminanceGrid: stub formula for non-image mimes; undecodable image is all-zero") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "plain text!".getBytes("UTF-8"), "text/plain"),     // 11 bytes → stub
+      (2L, "not an image".getBytes("UTF-8"), "image/png"))     // undecodable
+      .toDF("media_id", "content", "mime")
+    val out = Multimodal.luminanceGrid(media).collect().map(g => g.media_id -> g).toMap
+    val expected = Array.tabulate(64)(j => ((11L * (j + 1) * 2654435761L) % 256).toDouble / 255.0)
+    assert(out(1L).gray.toSeq == expected.toSeq && out(1L).byte_len == 11L)
+    assert(out(2L).gray.forall(_ == 0.0))
+  }
 }
