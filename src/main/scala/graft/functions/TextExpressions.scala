@@ -45,43 +45,60 @@ case class WinnowFingerprints(child: Expression, kgram: Int, window: Int)
 
   /** Called from both interpreted eval and generated code. Returns null
     * (not an empty array) when the text is shorter than one k-gram, so
-    * the too-short case is distinguishable from no-fingerprints. */
+    * the too-short case is distinguishable from no-fingerprints.
+    *
+    * Hashes are compared as raw digest bytes (unsigned byte order ==
+    * lexicographic order of the lowercase-hex rendering, each byte maps
+    * to two ordered hex chars) and rendered to hex only when a window's
+    * minimum CHANGES — the classic winnowing record-on-change rule: the
+    * same minimum survives ~`window` consecutive windows, so only
+    * ~2/(window+1) of positions pay the hex conversion. ASCII payloads
+    * (byte count == char count) hash straight from the underlying bytes
+    * with no per-position substring allocation. */
   def fingerprints(t: UTF8String): ArrayData = {
     val nChars = t.numChars()
     val nGrams = nChars - kgram + 1
     if (nGrams < 1) return null
     val md = MessageDigest.getInstance("MD5")
-    val khashes = new Array[String](nGrams)
+    val ascii = t.numBytes() == nChars
+    val bytes = if (ascii) t.getBytes else null
+    val khashes = new Array[Array[Byte]](nGrams)
     var i = 0
     while (i < nGrams) {
-      val digest = md.digest(t.substring(i, i + kgram).getBytes)
-      val hex = new Array[Char](32)
-      var j = 0
-      while (j < 16) {
-        hex(2 * j) = hexDigits((digest(j) >> 4) & 0xf)
-        hex(2 * j + 1) = hexDigits(digest(j) & 0xf)
-        j += 1
-      }
-      khashes(i) = new String(hex)
+      if (ascii) md.update(bytes, i, kgram)
+      else md.update(t.substring(i, i + kgram).getBytes)
+      khashes(i) = md.digest()
       i += 1
     }
     val nWins = nGrams - window + 1
-    val seen = new java.util.LinkedHashSet[String]()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var prev: Array[Byte] = null
     var w = 0
     while (w < math.max(nWins, 0)) {
       var min = khashes(w)
       var j = w + 1
       while (j < w + window) {
-        if (khashes(j).compareTo(min) < 0) min = khashes(j)
+        if (java.util.Arrays.compareUnsigned(khashes(j), min) < 0) min = khashes(j)
         j += 1
       }
-      seen.add(min)
+      // same array object as the previous window's min → already recorded
+      if (min ne prev) {
+        val hex = new Array[Byte](32)
+        var b = 0
+        while (b < 16) {
+          hex(2 * b) = hexDigits((min(b) >> 4) & 0xf).toByte
+          hex(2 * b + 1) = hexDigits(min(b) & 0xf).toByte
+          b += 1
+        }
+        seen.add(UTF8String.fromBytes(hex))
+        prev = min
+      }
       w += 1
     }
     val out = new Array[AnyRef](seen.size)
     val it = seen.iterator()
     var k = 0
-    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
   }
 
