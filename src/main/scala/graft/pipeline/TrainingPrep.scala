@@ -68,6 +68,43 @@ object TrainingPrep {
         floor(col("start_offset") / lit(seqLen.toDouble)).cast("long"))
   }
 
+  /** Frequency vocabulary: the `size` highest-document-frequency tokens,
+    * with dense ids 1..size assigned by (df DESC, token ASC) — fully
+    * deterministic, no hash collisions, reproducible by any engine. The
+    * ranking window runs over the AGGREGATED (token, df) relation, which
+    * is vocabulary-sized (bounded by design, like every real tokenizer
+    * vocab), not corpus-sized — the corpus itself only flows through one
+    * partial-aggregated distinct + count shuffle. */
+  def buildVocab(df: DataFrame, textCol: String, size: Int): DataFrame = {
+    require(size >= 1, "buildVocab: size >= 1")
+    val byDf = Window.orderBy(col("df").desc, col("tok"))
+    df.select(explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("id", row_number().over(byDf).cast("long"))
+      .where(col("id") <= size)
+  }
+
+  /** Vocabulary application: token → dense id per position, the
+    * id-ification step between curation and [[packSequences]]. The
+    * vocabulary is broadcast (vocabularies are ~10⁵ entries; corpora are
+    * TBs) and joined against the exploded (doc, pos, token) stream;
+    * per-document id arrays are reassembled POSITION-SORTED inside the
+    * aggregate — `collect_list` alone is shuffle-order-nondeterministic,
+    * which would silently scramble training text. Out-of-vocabulary
+    * tokens map to `unkId`. Output: (id, n_toks, ids). */
+  def tokenizeToIds(
+      df: DataFrame, idCol: String, textCol: String, vocab: DataFrame,
+      unkId: Long = 0L): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .join(broadcast(vocab.select(col("tok"), col("id"))), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        array_sort(collect_list(struct(col("pos"),
+          coalesce(col("id"), lit(unkId)).as("id")))).as("pi"))
+      .select(col(idCol), col("n_toks"),
+        transform(col("pi"), x => x.getField("id")).as("ids"))
+
   /** Curriculum staging: assign each row to one of `nStages` stages by
     * exact score quantiles — stage 1 holds the lowest-scoring quartile (at
     * nStages = 4) and so on; a loader then feeds stages in order

@@ -344,6 +344,16 @@ object ExtensionQueries {
         sum(when(col("sampled"), 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** Token id-ification against a 16-entry frequency vocabulary built
+    * in-plan — small enough that OOV tokens exist and exercise the unk
+    * path at every SF. */
+  private def p6(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select("doc_id", "text")
+    graft.pipeline.TrainingPrep.tokenizeToIds(
+      docs, "doc_id", "text",
+      graft.pipeline.TrainingPrep.buildVocab(docs, "text", size = 16))
+  }
+
   /** Curriculum staging over the t2 quality score: quartile thresholds →
     * 4 stages, lowest-quality quartile = stage 1. */
   private def p5(s: SparkSession, dir: String): DataFrame =
@@ -1222,6 +1232,21 @@ object ExtensionQueries {
             < (1 + substr(source, 4)::INT % 4) / 4.0
           THEN 1 ELSE 0 END)::BIGINT AS n_kept
       FROM documents GROUP BY source""")),
+
+    Q("p6_tokenize_ids", p6, Some("""
+      WITH tokpos AS (
+        SELECT doc_id, pos, ws[pos] AS tok
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+      vocab AS (
+        SELECT tok, id FROM (
+          SELECT tok, row_number() OVER (ORDER BY df DESC, tok) AS id
+          FROM (SELECT tok, count(DISTINCT doc_id) AS df FROM tokpos GROUP BY tok))
+        WHERE id <= 16)
+      SELECT doc_id, count(*)::BIGINT AS n_toks,
+        list(coalesce(v.id, 0) ORDER BY pos) AS ids
+      FROM tokpos t LEFT JOIN vocab v USING (tok)
+      GROUP BY doc_id""")),
 
     Q("p5_curriculum", p5, Some("""
       WITH q AS (

@@ -61,6 +61,25 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(kept == keptAgain)
   }
 
+  test("buildVocab + tokenizeToIds: df-ranked dense ids, OOV -> unk, position order preserved") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the dog sat"),
+      (3L, "the cat ran rare1")).toDF("doc_id", "text")
+    // df: the=3, cat=2, sat=2, dog=1, ran=1, rare1=1 → ids by (df desc, tok):
+    // the=1, cat=2, sat=3, dog=4, ran=5, rare1=6
+    val vocab = TrainingPrep.buildVocab(docs, "text", size = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(vocab == Map("the" -> 1L, "cat" -> 2L, "sat" -> 3L, "dog" -> 4L))
+    val out = TrainingPrep.tokenizeToIds(docs, "doc_id", "text",
+      TrainingPrep.buildVocab(docs, "text", size = 4))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2).toSeq)).toMap
+    assert(out(1L) == ((3L, Seq(1L, 2L, 3L))))
+    assert(out(2L) == ((3L, Seq(1L, 4L, 3L))))
+    assert(out(3L) == ((4L, Seq(1L, 2L, 0L, 0L)))) // ran + rare1 are OOV at size=4
+  }
+
   test("curriculum: quartile stages are balanced and ordered by score; boundary stays low") {
     import spark.implicits._
     // scores 1..100: quartile thresholds 25.75/50.5/75.25 → 4 stages of 25
