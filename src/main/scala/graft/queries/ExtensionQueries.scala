@@ -434,6 +434,28 @@ object ExtensionQueries {
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
         percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_approx"))
 
+  /** Mergeable HLL distinct-count sketches (Apache DataSketches via
+    * Spark's `hll_sketch_agg` family) — the at-rest pre-aggregation
+    * pattern for 100 TB distinct counts: per-source sketches are built
+    * once (one partial-agg shuffle), stored as bytes, and ANY grouping of
+    * sources is answered later by unioning sketches instead of rescanning
+    * the corpus. Emits one row per source plus the `__all__` union row.
+    * Rows-only check (estimates are library-implementation-defined, not
+    * reproducible by DuckDB); FoldsSpec pins the merge law — union of
+    * partial sketches ≡ sketch of the whole — and the estimate's accuracy
+    * against the exact distinct count. */
+  private def a2(s: SparkSession, dir: String): DataFrame = {
+    val toks = table(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val perSource = toks.groupBy(col("source"))
+      .agg(expr("hll_sketch_agg(tok)").as("sk"))
+    perSource
+      .select(col("source"), expr("hll_sketch_estimate(sk)").as("est_distinct_tokens"))
+      .unionAll(perSource
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct_tokens"))
+        .select(lit("__all__").as("source"), col("est_distinct_tokens")))
+  }
+
   /** Skew-resistant exact distinct count: value-hash salt splits each hot
     * key's distinct-set state across 32 buckets (two uniform shuffles);
     * l_returnflag has only 3 values, so every key IS a hot key here. */
@@ -1124,6 +1146,7 @@ object ExtensionQueries {
       LIMIT 20""")),
 
     Q("a1_approx_stats", a1, None),
+    Q("a2_hll_union", a2, None),
     Q("s4_ann_ivf_kmeans", s4, None),
 
     // Same session semantics as x14 (the batch window formulation), so the

@@ -112,4 +112,20 @@ class FoldsSpec extends AnyFunSuite {
     val out = Folds.foldFrame(df, Seq(NamedAgg("s", sum(col("v"))), NamedAgg("n", count(lit(1)))))
     assert(out.collect().head.toSeq == Seq(6.0, 3L))
   }
+
+  test("HLL sketches: union of partial sketches equals the whole-data sketch; estimate near exact") {
+    // the mergeability law behind sketch-at-rest pre-aggregation: build
+    // per-group sketches, union later, never rescan
+    val df = spark.range(20000).selectExpr("id % 7 AS g", "concat('tok', id % 2500) AS tok")
+    df.createOrReplaceTempView("hll_t")
+    val unioned = spark.sql(
+      """SELECT hll_sketch_estimate(hll_union_agg(s)) FROM
+           (SELECT g, hll_sketch_agg(tok) AS s FROM hll_t GROUP BY g)""")
+      .collect().head.getLong(0)
+    val direct = spark.sql("SELECT hll_sketch_estimate(hll_sketch_agg(tok)) FROM hll_t")
+      .collect().head.getLong(0)
+    assert(unioned == direct, "sketch union must be exactly order/partition-insensitive")
+    val exact = 2500.0
+    assert(math.abs(unioned - exact) / exact < 0.05, s"estimate $unioned vs exact $exact")
+  }
 }
