@@ -484,6 +484,23 @@ object ExtensionQueries {
       (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta_prev"))
   }
 
+  /** Rank-family windows with REAL tie semantics: rank/dense_rank/
+    * percent_rank/cume_dist rank over the coarse key floor(value) — many
+    * ties, and all four are functions of the row's key alone, so the
+    * result is deterministic despite them; ntile depends on the arbitrary
+    * within-tie order, so it ranks over the total key (value, event_id). */
+  private def x19(s: SparkSession, dir: String): DataFrame = {
+    val wCoarse = Window.partitionBy(col("event_type")).orderBy(floor(col("value")))
+    val wTotal = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    table(s, dir, "events").select(
+      col("event_id"), col("event_type"),
+      rank().over(wCoarse).as("rnk"),
+      dense_rank().over(wCoarse).as("drnk"),
+      percent_rank().over(wCoarse).as("prank"),
+      cume_dist().over(wCoarse).as("cdist"),
+      ntile(4).over(wTotal).as("quartile"))
+  }
+
   /** Banded interval join, no equi key: lineitems shipped within the day
     * after any high-value order was placed (pure temporal containment —
     * the band equi-join replaces a nested-loop cross product). */
@@ -1317,6 +1334,17 @@ object ExtensionQueries {
         o_totalprice - lag(o_totalprice, 1) OVER w AS delta_prev
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    Q("x19_rank_family", x19, Some("""
+      SELECT event_id, event_type,
+        rank() OVER wc AS rnk,
+        dense_rank() OVER wc AS drnk,
+        percent_rank() OVER wc AS prank,
+        cume_dist() OVER wc AS cdist,
+        ntile(4) OVER wt AS quartile
+      FROM events
+      WINDOW wc AS (PARTITION BY event_type ORDER BY floor(value)),
+             wt AS (PARTITION BY event_type ORDER BY value, event_id)""")),
 
     Q("x18_grouping_sets", x18, Some("""
       SELECT l_returnflag, l_linestatus,

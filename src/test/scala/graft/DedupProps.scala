@@ -40,4 +40,43 @@ object DedupProps extends Properties("Dedup") {
       } yield (ia.toLong, ib.toLong)).toSet
       Prop(got == want) :| s"got=$got want=$want docs=$docs t=$t"
     }
+
+  // --- winnowed exact-substring dedup (d8) ---
+  // tiny alphabet → real k-gram collisions across random docs
+  private val charGen = Gen.oneOf('a', 'b', 'c')
+  private val textGen = Gen.chooseNum(6, 30).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+  private val kgram = 4
+  private val window = 3
+
+  /** Local replication of hash → winnow → distinct, hex-string compares. */
+  private def localFps(t: String): Set[String] =
+    if (t.length < kgram + window - 1) Set.empty
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val kh = (0 to t.length - kgram).map(i =>
+        md.digest(t.substring(i, i + kgram).getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      (0 to kh.length - window).map(i => kh.slice(i, i + window).min).toSet
+    }
+
+  property("substringDupPairs == local winnow replication (ids AND intersection counts)") =
+    Prop.forAll(Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, textGen))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.substringDupPairs(df, "doc_id", "text", kgram, window, minShared = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val sets = texts.map(localFps).zipWithIndex
+      val want = (for {
+        (sa, ia) <- sets; (sb, ib) <- sets if ia < ib
+        n = (sa & sb).size if n >= 1
+      } yield (ia.toLong, ib.toLong) -> n.toLong).toMap
+      Prop(got == want) :| s"got=$got want=$want texts=$texts"
+    }
+
+  property("winnowing guarantee: a planted shared span of kgram+window-1 chars is always found") =
+    Prop.forAll(textGen, textGen, Gen.listOfN(kgram + window - 1, charGen).map(_.mkString)) {
+      (a, b, span) =>
+        val df = Seq((1L, a + span), (2L, span + b)).toDF("doc_id", "text")
+        val got = Dedup.substringDupPairs(df, "doc_id", "text", kgram, window, minShared = 1)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        Prop(got.contains((1L, 2L))) :| s"span=$span a=$a b=$b got=$got"
+    }
 }
