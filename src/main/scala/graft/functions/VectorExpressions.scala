@@ -177,9 +177,12 @@ case class NearestCentroids(
 }
 
 /** Fused SQ8 quantize→dequantize against a per-dimension (min, max)
-  * codebook, as ONE codegen'd expression: out[i] = mn[i] + floor((v[i] −
-  * mn[i]) / (mx[i] − mn[i]) · 255 + 0.5) / 255 · (mx[i] − mn[i]), with a
-  * zero code when the dimension is constant. This is the value a scored
+  * codebook, as ONE codegen'd expression: out[i] = mn[i] + clamp₀²⁵⁵(
+  * floor((v[i] − mn[i]) / (mx[i] − mn[i]) · 255 + 0.5)) / 255 · (mx[i] −
+  * mn[i]), with a zero code when the dimension is constant. The clamp
+  * matters when the codebook was trained on a sample or snapshot and a
+  * later-ingested vector falls outside [mn, mx]: its stored byte would
+  * saturate, so the decode must too. This is the value a scored
   * SQ8 corpus vector reconstructs to — computing it fused means the query
   * path never materializes byte codes, and computing it NATIVELY means one
   * compiled loop per row: the higher-order-function formulation is
@@ -214,8 +217,13 @@ case class SqDequantize(child: Expression, mn: Array[Double], mx: Array[Double])
     while (i < n) {
       val lo = mn(i)
       val hi = mx(i)
+      // clamp to [0, 255]: a vector OUTSIDE the trained codebook range
+      // (codebook from a sample/snapshot, vector ingested later) must
+      // decode to what its stored byte would — the saturated endpoint —
+      // not to an impossible out-of-range reconstruction
       val code = if (hi == lo) 0.0
-      else math.floor((a.getDouble(i) - lo) / (hi - lo) * 255.0 + 0.5)
+      else math.min(255.0, math.max(0.0,
+        math.floor((a.getDouble(i) - lo) / (hi - lo) * 255.0 + 0.5)))
       out(i) = lo + code / 255.0 * (hi - lo)
       i += 1
     }

@@ -67,9 +67,13 @@ object Multimodal {
     val len = m.content.length.toLong
     val digest = MessageDigest.getInstance("MD5")
     val hash = digest.digest(m.content).map("%02x".format(_)).mkString
+    // NonFatal, not just IOException: ImageIO plugins throw runtime
+    // exceptions (IllegalArgument, CMM, index bounds...) on malformed
+    // payloads, and a corrupt blob must degrade to metadata, not kill
+    // the job
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) DecodedMedia(m.media_id, len, hash, 0, 0, 0, 0.0)
     else {
       var sum = 0.0
@@ -153,9 +157,11 @@ object Multimodal {
 
   private def imageGrid(m: MediaRecord): MediaGrid = {
     val len = m.content.length.toLong
+    // NonFatal for the same reason as imageDecode: malformed payloads
+    // must degrade, not abort the task
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) MediaGrid(m.media_id, len, Array.fill(64)(0.0))
     else {
       val w = img.getWidth
@@ -217,6 +223,13 @@ object Multimodal {
     val hashes = grids
       .withColumn("__mean", mean)
       .select(col("media_id"), pack(1, 32).as("hi"), pack(33, 64).as("lo"))
+      // hash 0 ⟺ no cell brighter than the mean ⟺ a CONSTANT grid: every
+      // undecodable payload (all-zero grid) and every solid-color image.
+      // aHash cannot distinguish these from each other — keeping them
+      // would pair all of them pairwise (a false-positive N² blowup and
+      // an N-hot blocking key), so degenerate grids are excluded; route
+      // corrupt payloads through content_hash dedup instead.
+      .where(col("hi") =!= 0L || col("lo") =!= 0L)
       .persist() // all four block branches and both join sides read this
     val blk = Seq(
       (0, col("hi").bitwiseAND(lit(65535L))),

@@ -70,19 +70,26 @@ object TrainingPrep {
 
   /** Frequency vocabulary: the `size` highest-document-frequency tokens,
     * with dense ids 1..size assigned by (df DESC, token ASC) — fully
-    * deterministic, no hash collisions, reproducible by any engine. The
-    * ranking window runs over the AGGREGATED (token, df) relation, which
-    * is vocabulary-sized (bounded by design, like every real tokenizer
-    * vocab), not corpus-sized — the corpus itself only flows through one
-    * partial-aggregated distinct + count shuffle. */
+    * deterministic, no hash collisions, reproducible by any engine.
+    *
+    * The distinct-token relation of a web corpus is NOT small (typos,
+    * URLs, ids — billions of rows), so the top-`size` selection is
+    * `orderBy().limit()` — Spark's distributed TakeOrdered: each
+    * partition ships only its local top `size`, nothing global is
+    * sorted. Only the ≤ size survivors pass through the single-partition
+    * ranking window that assigns dense ids; (df, tok) is a total order,
+    * so limit-then-rank picks exactly the rows a global rank-then-filter
+    * would. The corpus itself flows through one partial-aggregated
+    * distinct + count shuffle. */
   def buildVocab(df: DataFrame, textCol: String, size: Int): DataFrame = {
     require(size >= 1, "buildVocab: size >= 1")
     val byDf = Window.orderBy(col("df").desc, col("tok"))
     df.select(explode(array_distinct(split(col(textCol), " "))).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(size)
       .withColumn("id", row_number().over(byDf).cast("long"))
-      .where(col("id") <= size)
   }
 
   /** Vocabulary application: token → dense id per position, the

@@ -447,8 +447,12 @@ object ExtensionQueries {
   private def a2(s: SparkSession, dir: String): DataFrame = {
     val toks = table(s, dir, "documents")
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    // persisted: the per-source branch and the union branch both read the
+    // sketch relation, and Spark does not share subtrees across a union —
+    // without this the scan + explode + sketch aggregation runs twice
     val perSource = toks.groupBy(col("source"))
       .agg(expr("hll_sketch_agg(tok)").as("sk"))
+      .persist()
     perSource
       .select(col("source"), expr("hll_sketch_estimate(sk)").as("est_distinct_tokens"))
       .unionAll(perSource
@@ -892,7 +896,8 @@ object ExtensionQueries {
       dqc AS (SELECT vec_id,
         list_transform(range(1, 65), i ->
           mn[i] + (CASE WHEN mx[i] = mn[i] THEN 0.0
-                   ELSE floor((embedding[i]::DOUBLE - mn[i]) / (mx[i] - mn[i]) * 255.0 + 0.5)
+                   ELSE least(255.0, greatest(0.0,
+                     floor((embedding[i]::DOUBLE - mn[i]) / (mx[i] - mn[i]) * 255.0 + 0.5)))
                    END) / 255.0 * (mx[i] - mn[i])) AS dq
         FROM embeddings CROSS JOIN mnx)
       SELECT query_id, neighbor_id, cosine, rank FROM (
@@ -1076,10 +1081,11 @@ object ExtensionQueries {
               list_sum(list_transform(range(33, 65), j ->
                 CASE WHEN gray[j] > mean THEN 1::BIGINT << (j - 33) ELSE 0 END))::BIGINT AS lo
             FROM (SELECT media_id, gray, list_sum(gray) / 64.0 AS mean FROM g)),
-      blk AS (SELECT media_id, hi, lo, 0 AS bi, hi & 65535 AS bv FROM h
-              UNION ALL SELECT media_id, hi, lo, 1, (hi >> 16) & 65535 FROM h
-              UNION ALL SELECT media_id, hi, lo, 2, lo & 65535 FROM h
-              UNION ALL SELECT media_id, hi, lo, 3, (lo >> 16) & 65535 FROM h),
+      hnz AS (SELECT * FROM h WHERE hi <> 0 OR lo <> 0),
+      blk AS (SELECT media_id, hi, lo, 0 AS bi, hi & 65535 AS bv FROM hnz
+              UNION ALL SELECT media_id, hi, lo, 1, (hi >> 16) & 65535 FROM hnz
+              UNION ALL SELECT media_id, hi, lo, 2, lo & 65535 FROM hnz
+              UNION ALL SELECT media_id, hi, lo, 3, (lo >> 16) & 65535 FROM hnz),
       cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
                  a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
                FROM blk a JOIN blk b

@@ -143,4 +143,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L).gray.toSeq == expected.toSeq && out(1L).byte_len == 11L)
     assert(out(2L).gray.forall(_ == 0.0))
   }
+
+  test("perceptual hash: degenerate (constant/undecodable) grids never pair with each other") {
+    import spark.implicits._
+    def solid(rgb: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) im.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    // two corrupt payloads + a solid-black and a solid-white image: all
+    // four have the degenerate hash 0 and would otherwise emit 6 false
+    // hamming-0 pairs (black "equals" white under aHash)
+    val media = Seq(
+      (1L, "garbage one".getBytes("UTF-8"), "image/png"),
+      (2L, "garbage two".getBytes("UTF-8"), "image/png"),
+      (3L, solid(0x000000), "image/png"),
+      (4L, solid(0xffffff), "image/png"))
+      .toDF("media_id", "content", "mime")
+    val pairs = Multimodal.perceptualHashPairs(
+      Multimodal.luminanceGrid(media).toDF(), maxHamming = 3).collect()
+    assert(pairs.isEmpty)
+  }
 }

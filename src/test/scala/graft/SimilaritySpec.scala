@@ -167,4 +167,18 @@ class SimilaritySpec extends AnyFunSuite {
     // constant dimension decodes to its min exactly: no NaN from the 0/0 guard
     assert(sq.forall(r => !r.getDouble(2).isNaN))
   }
+
+  test("SqDequantize: out-of-codebook values saturate to the endpoint byte, in-range roundtrip") {
+    import org.apache.spark.sql.functions.col
+    // codebook [0, 1] per dim; vector 2.0 is outside → code clamps to 255 → decodes to 1.0
+    val out = Seq((1L, Array(2.0, -1.0, 0.5, 1.0)))
+      .toDF("id", "v")
+      .select(graft.functions.VectorFunctions.sqDequantize(
+        col("v"), Array(0.0, 0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0, 1.0)).as("dq"))
+      .head.getSeq[Double](0)
+    assert(out(0) == 1.0) // above max → saturates, not an impossible >max reconstruction
+    assert(out(1) == 0.0) // below min → saturates to min
+    assert(math.abs(out(2) - 0.5) < 1.0 / 255)
+    assert(out(3) == 1.0)
+  }
 }
