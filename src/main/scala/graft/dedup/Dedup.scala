@@ -104,15 +104,21 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: `bits`-bit fingerprint over word
-    * `shingleN`-gram features per doc; two docs are candidates when the
-    * fingerprints agree on a prefix block of `blockBits` bits; near-dups
-    * have Hamming distance ≤ `maxHamming`. Docs with fewer than `shingleN`
-    * tokens are excluded. Returns (id_a, id_b, fp_a, fp_b, hamming). */
+    * `shingleN`-gram features per doc; near-dups have Hamming distance ≤
+    * `maxHamming`. Candidate generation is COMPLETE: the fingerprint is
+    * split into `maxHamming + 1` contiguous blocks and candidates share
+    * at least one (block index, block value) — by pigeonhole, ≤
+    * maxHamming differing bits cannot touch all maxHamming + 1 blocks
+    * (Manku et al. 2007's multi-block scheme; a single prefix block
+    * would silently miss every pair whose differing bits fall in the
+    * prefix — only (1/2)^h of hamming-h pairs survive that). Docs with
+    * fewer than `shingleN` tokens are excluded. Returns
+    * (id_a, id_b, fp_a, fp_b, hamming). */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
-      bits: Int = 32, blockBits: Int = 16, maxHamming: Int = 3): DataFrame = {
-    require(bits >= 1 && bits <= 32 && blockBits >= 1 && blockBits <= bits,
-      "simhashPairs: need 1 <= blockBits <= bits <= 32")
+      bits: Int = 32, maxHamming: Int = 3): DataFrame = {
+    require(bits >= 1 && bits <= 32 && maxHamming >= 0 && maxHamming + 1 <= bits,
+      "simhashPairs: need 1 <= maxHamming + 1 <= bits <= 32")
     // All per-bit ±1 vote sums as parallel aggregates of ONE groupBy on doc
     // id (single partial-agg shuffle). The md5 is computed once per feature
     // and its first `bits` hex chars are parsed into 32-bit integer chunks
@@ -140,17 +146,27 @@ object Dedup {
       .select(col(idCol),
         (1 to bits).map(i => when(col(s"v$i") > 0, lit(1L << (i - 1))).otherwise(lit(0L)))
           .reduce(_ + _).as("fp"))
-      .withColumn("block", shiftright(col("fp"), bits - blockBits))
       // both sides of the self-join read the fingerprints; the per-doc
-      // relation is tiny (id, fp, block) and the vote aggregation is not
+      // relation is tiny (id, fp) and the vote aggregation is not
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = fps.select(col("block"), col(idCol).as("id_a"), col("fp").as("fp_a"))
-    val b = fps.select(col("block"), col(idCol).as("id_b"), col("fp").as("fp_b"))
-    a.join(b, "block")
+    // pigeonhole blocks: maxHamming+1 contiguous bit ranges, widths as
+    // even as possible; any pair within maxHamming shares >= 1 block
+    val nBlocks = maxHamming + 1
+    val bounds = (0 to nBlocks).map(b => b * bits / nBlocks)
+    val blk = (0 until nBlocks).map { b =>
+      val lo = bounds(b)
+      val width = bounds(b + 1) - lo
+      fps.select(col(idCol), col("fp"), lit(b).as("bi"),
+        shiftright(col("fp"), lo).bitwiseAND(lit((1L << width) - 1)).as("bv"))
+    }.reduce(_ unionAll _)
+    val a = blk.select(col("bi"), col("bv"), col(idCol).as("id_a"), col("fp").as("fp_a"))
+    val b = blk.select(col("bi"), col("bv"), col(idCol).as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("bi", "bv"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b")
+      .distinct()
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "fp_a", "fp_b", "hamming")
   }
 
   /** Token-set (word 1-gram) Jaccard near-dup pairs within blocking-key
@@ -440,6 +456,9 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine"))
-      .where(col("cosine") >= threshold)
+      // !isnan: a zero-norm vector gives 0/0 = NaN; IEEE NaN >= t is
+      // false in Spark but engines with total-order comparisons would
+      // keep it — exclude explicitly so the contract is engine-free
+      .where(!isnan(col("cosine")) && col("cosine") >= threshold)
   }
 }

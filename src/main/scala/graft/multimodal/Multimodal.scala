@@ -278,12 +278,18 @@ object Multimodal {
       it.grouped(decodeBatchSize).flatMap { batch =>
         // real impl: resampler.resizeBatch(batch, maxSide)
         batch.map { m =>
-          val longSide = math.max(m.width, m.height)
-          val scale = if (longSide <= maxSide) 1.0 else maxSide.toDouble / longSide
-          val w = math.max(1, math.round(m.width * scale).toInt)
-          val h = math.max(1, math.round(m.height * scale).toInt)
-          ResizedMedia(m.media_id, w, h, m.width, m.height,
-            w.toDouble / m.width, h.toDouble / m.height)
+          if (m.width <= 0 || m.height <= 0)
+            // failed decode (0×0): propagate the degenerate row rather
+            // than fabricating a 1×1 image with Infinity scale factors
+            ResizedMedia(m.media_id, 0, 0, m.width, m.height, 1.0, 1.0)
+          else {
+            val longSide = math.max(m.width, m.height)
+            val scale = if (longSide <= maxSide) 1.0 else maxSide.toDouble / longSide
+            val w = math.max(1, math.round(m.width * scale).toInt)
+            val h = math.max(1, math.round(m.height * scale).toInt)
+            ResizedMedia(m.media_id, w, h, m.width, m.height,
+              w.toDouble / m.width, h.toDouble / m.height)
+          }
         }
       }
     }(Encoders.product[ResizedMedia])
@@ -294,6 +300,9 @@ object Multimodal {
     * video-frame pipelines shuffle only (media_id, frame_idx). */
   def sampleFrames(decoded: Dataset[DecodedMedia], stride: Int): DataFrame =
     decoded.toDF()
+      // failed decodes carry n_frames = 0; sequence(0, -1, stride) THROWS,
+      // so zero-frame media must emit no rows (degrade, don't abort)
+      .where(col("n_frames") > 0)
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 }

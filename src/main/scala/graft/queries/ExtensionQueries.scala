@@ -61,7 +61,7 @@ object ExtensionQueries {
 
   private def d4(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(mutatedCorpus(s, dir), "doc_id", "text",
-      shingleN = 3, bits = 32, blockBits = 16, maxHamming = 3)
+      shingleN = 3, bits = 32, maxHamming = 3)
 
   /** Pairs → duplicate clusters → canonical (keep) id per member. */
   private def d6(s: SparkSession, dir: String): DataFrame =
@@ -803,12 +803,17 @@ object ExtensionQueries {
                   CASE WHEN list_sum(list_transform(hashes, h ->
                          CASE WHEN substr(h, i, 1) IN $hiHex THEN 1 ELSE -1 END)) > 0
                        THEN 1::BIGINT << (i - 1) ELSE 0 END))::BIGINT AS fp
-              FROM hs)
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b,
-        bit_count(xor(a.fp, b.fp)) AS hamming
-      FROM fps a JOIN fps b
-        ON a.fp >> 16 = b.fp >> 16 AND a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.fp, b.fp)) <= 3""")),
+              FROM hs),
+      blk AS (SELECT doc_id, fp, 0 AS bi, fp & 255 AS bv FROM fps
+              UNION ALL SELECT doc_id, fp, 1, (fp >> 8) & 255 FROM fps
+              UNION ALL SELECT doc_id, fp, 2, (fp >> 16) & 255 FROM fps
+              UNION ALL SELECT doc_id, fp, 3, (fp >> 24) & 255 FROM fps),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.fp AS fp_a, b.fp AS fp_b
+               FROM blk a JOIN blk b
+                 ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, fp_a, fp_b, bit_count(xor(fp_a, fp_b)) AS hamming
+      FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3""")),
 
     Q("d6_dedup_clusters", d6, Some(s"""
       WITH RECURSIVE $corpusSql,
@@ -1005,14 +1010,15 @@ object ExtensionQueries {
       FROM (
         SELECT doc_id, len(ws) AS n_toks,
           list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS mean_len,
-          1 - len(list_distinct(list_transform(range(1, len(ws)),
-            i -> ws[i] || ' ' || ws[i+1])))::DOUBLE / (len(ws) - 1) AS dup2,
+          CASE WHEN len(ws) >= 2 THEN
+            1 - len(list_distinct(list_transform(range(1, len(ws)),
+              i -> ws[i] || ' ' || ws[i+1])))::DOUBLE / (len(ws) - 1)
+          ELSE 0.0 END AS dup2,
           list_max(list_transform(list_distinct(ws), u ->
             len(list_filter(ws, x -> x = u))))::DOUBLE / len(ws) AS topfrac,
           len(list_filter(ws, w ->
             list_contains(['the','a','of','and','to','in','is'], w))) AS stophits
-        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-        WHERE len(ws) >= 2)""")),
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))""")),
 
     Q("t11_pii_redaction", t11, Some("""
       WITH pii AS (

@@ -75,7 +75,10 @@ object Similarity {
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
     scored
-      .where(col("cosine").isNotNull)
+      // NaN (a zero-norm vector: 0/0) as well as null is excluded —
+      // cosine is undefined there, and engines disagree on NaN ordering
+      // (Spark's total order ranks NaN last, DuckDB's first)
+      .where(col("cosine").isNotNull && !isnan(col("cosine")))
       .groupBy(col("query_id"))
       .agg(top.as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))

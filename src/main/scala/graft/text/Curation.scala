@@ -24,11 +24,16 @@ import TextFunctions._
 object Curation {
 
   /** Non-distinct word n-grams — total occurrence counts matter here,
-    * unlike [[TextFunctions.wordShingles]] which dedups for MinHash. */
+    * unlike [[TextFunctions.wordShingles]] which dedups for MinHash.
+    * Guarded: fewer than `n` tokens yields an EMPTY array — without the
+    * guard, `sequence(1, size-n+1)` runs DESCENDING when size < n
+    * (NOTES gotcha) and `element_at(toks, 0)` throws. */
   def wordNgrams(toks: Column, n: Int): Column = {
     val idx = sequence(lit(1), size(toks) - lit(n - 1))
-    transform(idx, i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
+    when(size(toks) >= n,
+      transform(idx, i =>
+        concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Gopher-style repetition statistics (Rae et al. 2021 §A1.1 use the
@@ -43,29 +48,42 @@ object Curation {
     * Rows with fewer than `n` tokens are dropped (no n-gram exists).
     * Per-token counting is O(distinct·tokens) per document inside codegen —
     * linear shuffle-free scan overall. */
-  def repetitionStats(df: DataFrame, textCol: String, n: Int = 2): DataFrame = {
-    // tokens materialized as a real column: `element_at` inside the n-gram
-    // lambda and the nested `filter(toks, ...)` inside the per-token count
-    // lambda are interpreted per element — an inline split() there would
-    // re-tokenize the document once per element access
+  def repetitionStats(df: DataFrame, textCol: String, n: Int = 2): DataFrame =
+    repetitionStatsKeepToks(df, textCol, n)
+      .where(size(col("__toks")) >= n)
+      .drop("__toks")
+
+  /** [[repetitionStats]] over EVERY row (documents shorter than `n`
+    * tokens get zero n-gram stats instead of vanishing) with the token
+    * array kept as `__toks` — the building block [[heuristicFilters]]
+    * needs: it must FLAG short documents, not silently drop them, and it
+    * reuses the tokens rather than re-running split() per document.
+    * Tokens are materialized as a real column: `element_at` inside the
+    * n-gram lambda and the nested `filter(toks, ...)` inside the
+    * per-token count lambda are interpreted per element — an inline
+    * split() there would re-tokenize the document once per access. */
+  private def repetitionStatsKeepToks(df: DataFrame, textCol: String, n: Int): DataFrame = {
     val toks = col("__toks")
     val ngrams = wordNgrams(toks, n)
     val nTotal = size(ngrams).cast("double")
     val topCount = array_max(transform(array_distinct(toks), u =>
       size(filter(toks, x => x === u))))
     df.withColumn("__toks", tokens(col(textCol)))
-      .where(size(toks) >= n)
       .withColumn("n_ngrams", size(ngrams).cast("long"))
       .withColumn("dup_ngram_frac",
-        lit(1.0) - size(array_distinct(ngrams)).cast("double") / nTotal)
+        when(size(toks) >= n,
+          lit(1.0) - size(array_distinct(ngrams)).cast("double") / nTotal)
+          .otherwise(lit(0.0)))
       .withColumn("top_token_frac", topCount.cast("double") / size(toks).cast("double"))
-      .drop("__toks")
   }
 
   /** Heuristic quality filters in the C4/Gopher style: one boolean flag
     * column per rule plus the conjunction `keep`. Flags (not a silent
     * filter) so a pipeline can audit WHY each document was dropped —
-    * the curation analog of the cell-error side-column convention. */
+    * the curation analog of the cell-error side-column convention.
+    * EVERY input row appears in the output: a one-token document is the
+    * clearest `flag_too_few_tokens` case and must be flagged, not lost
+    * (its n-gram stats are zero — no n-gram exists to repeat). */
   def heuristicFilters(
       df: DataFrame, textCol: String,
       minTokens: Int = 25,
@@ -73,8 +91,7 @@ object Curation {
       maxDupNgramFrac: Double = 0.10,
       maxTopTokenFrac: Double = 0.15,
       stopwordList: Seq[String] = stopwords("en")): DataFrame = {
-    val withStats = repetitionStats(df, textCol, n = 2)
-      .withColumn("__toks", tokens(col(textCol)))
+    val withStats = repetitionStatsKeepToks(df, textCol, n = 2)
     val toks = col("__toks")
     val meanTokLen = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
       size(toks).cast("double")

@@ -32,7 +32,8 @@ class CurationSpec extends AnyFunSuite {
       (1L, clean),
       (2L, "the a of"),                                   // too few tokens
       (3L, Seq.fill(30)("the spark").mkString(" ")),      // dup bigrams + top token
-      (4L, (1 to 30).map(i => s"antidisestablishment$i the").mkString(" ")) // long toks
+      (4L, (1 to 30).map(i => s"antidisestablishment$i the").mkString(" ")), // long toks
+      (5L, "solitary")                                    // ONE token: flagged, not dropped
     ).toDF("doc_id", "text")
     val out = Curation.heuristicFilters(docs, "text")
       .select("doc_id", "flag_too_few_tokens", "flag_dup_ngrams", "flag_tok_len", "keep")
@@ -41,6 +42,9 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L).getBoolean(1) && !out(2L).getBoolean(4))
     assert(out(3L).getBoolean(2) && !out(3L).getBoolean(4))
     assert(out(4L).getBoolean(3) && !out(4L).getBoolean(4))
+    // flags-not-a-silent-filter: the sub-bigram doc is present and flagged
+    assert(out.contains(5L))
+    assert(out(5L).getBoolean(1) && !out(5L).getBoolean(2) && !out(5L).getBoolean(4))
   }
 
   test("redactPii: counts on original text, ordered replacement") {

@@ -44,11 +44,15 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhashPairs: identical docs at hamming 0; near dups within budget; unrelated out") {
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+    // fixture distances: (0,1)=0, (2,3)=6, every unrelated pair >= 11 —
+    // budget 8 separates cleanly. With complete pigeonhole candidates the
+    // exclusion is BY DISTANCE, not by blocking luck (the old
+    // single-prefix-block scheme happened to hide some close pairs).
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(4))).toMap
     assert(pairs.get((0L, 1L)).contains(0), "identical docs must have hamming 0")
-    pairs.get((2L, 3L)).foreach(h => assert(h <= 16))
-    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+    assert(pairs((2L, 3L)) == 6)
+    assert(pairs.keySet == Set((0L, 1L), (2L, 3L)))
   }
 
   test("ngramJaccardPairs with blocking") {

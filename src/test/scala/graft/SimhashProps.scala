@@ -8,9 +8,13 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 import graft.dedup.Dedup
 
 /** Randomized equivalence: the distributed SimHash pipeline (explode →
-  * one vote aggregation → block equi-join → hamming filter) must agree
-  * with a direct single-machine replication of the same algorithm —
-  * md5-hex feature hashes, per-bit ±1 votes, block prefix, hamming bound. */
+  * one vote aggregation → pigeonhole block equi-join → hamming filter)
+  * must agree with a direct single-machine all-pairs replication of the
+  * same algorithm — md5-hex feature hashes, per-bit ±1 votes, hamming
+  * bound. The local side deliberately uses NO blocking: with complete
+  * pigeonhole candidate generation, the blocked distributed result must
+  * equal the unblocked truth (the old single-prefix-block scheme fails
+  * this property — it missed pairs differing in the prefix). */
 object SimhashProps extends Properties("Simhash") {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -19,7 +23,6 @@ object SimhashProps extends Properties("Simhash") {
     p.withMinSuccessfulTests(6)
 
   private val bits = 32
-  private val blockBits = 16
   private val maxHamming = 3
   private val shingleN = 3
 
@@ -46,14 +49,13 @@ object SimhashProps extends Properties("Simhash") {
     Prop.forAll(corpusGen) { docs =>
       val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
         .toDF("doc_id", "text")
-      val got = Dedup.simhashPairs(df, "doc_id", "text", shingleN, bits, blockBits, maxHamming)
+      val got = Dedup.simhashPairs(df, "doc_id", "text", shingleN, bits, maxHamming)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
       val fps = docs.zipWithIndex.collect {
         case (ws, i) if ws.length >= shingleN => (i.toLong, fingerprint(ws))
       }
       val want = (for {
         (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
-        if (fa >> (bits - blockBits)) == (fb >> (bits - blockBits))
         h = java.lang.Long.bitCount(fa ^ fb)
         if h <= maxHamming
       } yield (ia, ib, h)).toSet
