@@ -251,6 +251,7 @@ object Similarity {
       .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
       .groupBy(col("pos")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
       .collect()
+    require(cells.nonEmpty, "sqTrain: cannot train a codebook on an empty corpus")
     require(cells.length == dims, s"sqTrain: corpus vectors must all have $dims dims")
     val mn = new Array[Double](dims)
     val mx = new Array[Double](dims)

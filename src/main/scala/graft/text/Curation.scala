@@ -211,6 +211,9 @@ object Curation {
     * pass over the benchmark; its `count()` sizes the filter — index-build
     * cost, same justification as the IVF quantizer.
     *
+    * An EMPTY benchmark short-circuits to the exact path (zero overlaps):
+    * Spark's `stat.bloomFilter` NPEs on an empty relation.
+    *
     * `broadcastConfirm = false` (default) leaves the confirm-join strategy
     * to Catalyst/AQE — at real benchmark sizes it shuffles, which is the
     * honest scale shape; `true` forces the sf-test shape where the
@@ -221,7 +224,12 @@ object Curation {
       broadcastConfirm: Boolean = false): DataFrame = {
     val bench = distinctNgramHashes(benchmark, textCol, n)
       .select("ng").distinct().persist()
-    val bf = bench.stat.bloomFilter(col("ng"), math.max(bench.count(), 1L), fpp)
+    val nKeys = bench.count()
+    // Spark's stat.bloomFilter NPEs on an empty relation (the aggregated
+    // sketch is null); an empty benchmark means zero overlaps — route
+    // through the exact path, whose empty join produces the same schema
+    if (nKeys == 0) return decontaminate(corpus, benchmark, idCol, textCol, n)
+    val bf = bench.stat.bloomFilter(col("ng"), nKeys, fpp)
     val confirm = if (broadcastConfirm) broadcast(bench) else bench
     distinctNgramHashes(corpus, textCol, n, col(idCol))
       .where(graft.functions.SketchFunctions.bloomMightContain(col("ng"), bf))

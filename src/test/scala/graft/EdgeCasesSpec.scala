@@ -70,4 +70,34 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Similarity.bruteForceTopK(noVecs, vecs, "vec_id", "embedding", 2).count() == 0)
     assert(Similarity.lshTopK(vecs, noVecs, "vec_id", "embedding", 2, 2, 2).count() == 0)
   }
+
+  test("round-2 operators on degenerate inputs: empty results or a clear error, never a crash") {
+    import graft.pipeline.TrainingPrep
+    import graft.text.Curation
+    // substring dedup: empty corpus and all-too-short corpus → empty
+    assert(Dedup.substringDupPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.substringDupPairs(docs, "doc_id", "text").count() == 0) // all < 27 chars
+    // decontamination (exact + bloom): empty benchmark → zero overlaps
+    assert(Curation.decontaminate(docs, emptyDocs, "doc_id", "text").count() == 0)
+    assert(Curation.decontaminateBloom(docs, emptyDocs, "doc_id", "text").count() == 0)
+    // curation flags: empty corpus flows through; short docs are flagged, never dropped
+    assert(Curation.heuristicFilters(emptyDocs, "text").count() == 0)
+    assert(Curation.heuristicFilters(docs, "text").count() == docs.count())
+    // vocab/ids: empty corpus → empty vocab; ids against an empty vocab are all unk
+    val vocabOfNothing = TrainingPrep.buildVocab(emptyDocs, "text", 4)
+    assert(vocabOfNothing.count() == 0)
+    val allUnk = TrainingPrep.tokenizeToIds(docs, "doc_id", "text", vocabOfNothing)
+      .collect().flatMap(_.getSeq[Long](2))
+    assert(allUnk.nonEmpty && allUnk.forall(_ == 0L))
+    // curriculum: empty input → empty output (thresholds of nothing never evaluated per row)
+    assert(TrainingPrep.curriculum(
+      Seq.empty[(Long, Double)].toDF("id", "score"), "score", 4).count() == 0)
+    // SQ8: training on an empty corpus must fail FAST with a clear message,
+    // not a confusing dims mismatch deep in the plan
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.sqTrain(noVecs, "embedding", dims = 2)
+    }
+    assert(err.getMessage.contains("empty"))
+  }
 }
