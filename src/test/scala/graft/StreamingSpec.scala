@@ -52,24 +52,29 @@ class StreamingSpec extends AnyFunSuite {
       (3L, "mail bob@example.org or 555-0199 plus " +
         ((1 to 40).map(i => s"tok$i") :+ "the").mkString(" ")))
     val source = MemoryStream[(Long, String)]
-    val streamed = graft.text.Curation.hashedLinearScore(
-      graft.text.Curation.redactPii(
-        graft.text.Curation.heuristicFilters(
-          source.toDF().toDF("doc_id", "text"), "text"), "text"), "text")
+    val streamed = graft.pipeline.TrainingPrep.mixtureSample(
+      graft.text.Curation.hashedLinearScore(
+        graft.text.Curation.redactPii(
+          graft.text.Curation.heuristicFilters(
+            source.toDF().toDF("doc_id", "text"), "text"), "text"), "text"),
+      "doc_id", org.apache.spark.sql.functions.lit(0.5))
     val q = streamed.writeStream.format("memory").queryName("cur_stream")
       .outputMode(OutputMode.Append()).start()
     try {
       source.addData(docs: _*)
       q.processAllAvailable()
       def shape(df: org.apache.spark.sql.DataFrame) = df
-        .select("doc_id", "keep", "n_emails", "n_phones", "redacted", "logit", "model_keep")
+        .select("doc_id", "keep", "n_emails", "n_phones", "redacted", "logit", "model_keep",
+          "sampled")
         .collect().map(r =>
           (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3), r.getString(4),
-            r.getDouble(5), r.getBoolean(6))).toSet
-      val batch = graft.text.Curation.hashedLinearScore(
-        graft.text.Curation.redactPii(
-          graft.text.Curation.heuristicFilters(docs.toDF("doc_id", "text"), "text"),
-          "text"), "text")
+            r.getDouble(5), r.getBoolean(6), r.getBoolean(7))).toSet
+      val batch = graft.pipeline.TrainingPrep.mixtureSample(
+        graft.text.Curation.hashedLinearScore(
+          graft.text.Curation.redactPii(
+            graft.text.Curation.heuristicFilters(docs.toDF("doc_id", "text"), "text"),
+            "text"), "text"),
+        "doc_id", org.apache.spark.sql.functions.lit(0.5))
       assert(shape(spark.table("cur_stream")) == shape(batch))
       assert(shape(batch).exists(t => t._5.contains("<EMAIL>") && t._5.contains("<PHONE>")))
     } finally q.stop()
