@@ -317,6 +317,9 @@ object ExtensionQueries {
     Curation.hashedLinearScore(table(s, dir, "documents").select("doc_id", "text"), "text")
       .select("doc_id", "logit", "model_keep")
 
+  private def t16(s: SparkSession, dir: String): DataFrame =
+    Curation.lmPerplexity(table(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+
   // ---------------------------------------------------- training-data prep
 
   private def p2(s: SparkSession, dir: String): DataFrame =
@@ -976,6 +979,22 @@ object ExtensionQueries {
         FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
         GROUP BY lang, token)
       WHERE rn <= 10""")),
+
+    Q("t16_lm_perplexity", t16, Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+             FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                   FROM toks WHERE len(ws) >= 2)),
+      cb AS (SELECT w1, w2, count(*)::DOUBLE AS cb FROM bg GROUP BY 1, 2),
+      un AS (SELECT w1, count(*)::DOUBLE AS cu
+             FROM (SELECT doc_id, ws[i] AS w1
+                   FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM toks))
+             GROUP BY 1),
+      v AS (SELECT count(*)::DOUBLE AS v FROM un)
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        round(avg(ln((cb + 0.1) / (cu + 0.1 * v))), 9) AS avg_logp
+      FROM bg JOIN cb USING (w1, w2) JOIN un USING (w1) CROSS JOIN v
+      GROUP BY doc_id""")),
 
     Q("t14_model_filter", t14, Some(s"""
       SELECT doc_id, logit, logit > 0.0 AS model_keep FROM (

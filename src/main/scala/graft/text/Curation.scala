@@ -166,6 +166,52 @@ object Curation {
       .drop("__toks")
   }
 
+  /** Corpus-trained bigram language-model score per document — the CCNet
+    * perplexity-filtering signal (Wenzek et al. 2020 train KenLM on a
+    * clean corpus and bucket documents by perplexity; here the corpus
+    * itself trains an add-α bigram model, the same smoothing family):
+    *
+    *   P(w₂|w₁) = (C(w₁w₂) + α) / (C(w₁) + α·V),  V = distinct unigrams
+    *   avg_logp(doc) = mean over the doc's bigram OCCURRENCES of ln P
+    *
+    * Low (very negative) avg_logp = improbable text under the corpus
+    * model (gibberish, boilerplate soup) — the filterable tail.
+    *
+    * Scale shape: counts are two partial-aggregated shuffles (bigrams,
+    * unigrams); V rides along as a broadcast one-row cross join (no
+    * driver action — the t8 lesson); scoring joins the doc's bigram
+    * stream against the count relations on uniform token keys (shuffle
+    * joins — at 100 TB the model tables are themselves large) and
+    * reduces per document with one aggregate. avg_logp is rounded to
+    * 9 dp: partial-sum accumulation order and the last ulp of ln differ
+    * across engines. Documents with fewer than 2 tokens are dropped (no
+    * bigram — the model is undefined). Returns (id, n_bigrams,
+    * avg_logp). */
+  def lmPerplexity(
+      df: DataFrame, idCol: String, textCol: String, alpha: Double = 0.1): DataFrame = {
+    val toks = col("__toks")
+    // bigram OCCURRENCES (non-distinct) with their context word
+    val bg = df.withColumn("__toks", tokens(col(textCol)))
+      .where(size(toks) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2")))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist() // model training AND scoring read the bigram stream
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast("double").as("cb"))
+    val un = df.withColumn("__toks", tokens(col(textCol)))
+      .select(explode(toks).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).cast("double").as("cu"))
+      .persist() // read twice: unigram join and the V count
+    val v = un.agg(count(lit(1)).cast("double").as("__v"))
+    bg.join(cb, Seq("w1", "w2"))
+      .join(un, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("cb") + lit(alpha)) / (col("cu") + lit(alpha) * col("__v")))), 9)
+          .as("avg_logp"))
+  }
+
   /** Benchmark decontamination: for each corpus document, the number of
     * distinct word `n`-grams it shares with the benchmark set (eval
     * contamination detection à la GPT-3 §C / PaLM). N-grams travel as md5

@@ -93,6 +93,26 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L))
   }
 
+  test("lmPerplexity: add-alpha bigram log-probs match a hand computation; repeated text scores higher") {
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: (a,b) x2, (b,a) x1
+      (2L, "a b c")      // bigrams: (a,b), (b,c)
+    ).toDF("doc_id", "text")
+    // corpus counts: C(a,b)=3, C(b,a)=1, C(b,c)=1; C(a)=3, C(b)=3, C(c)=1; V=3
+    val a = 0.1
+    def p(cb: Double, cu: Double) = (cb + a) / (cu + a * 3)
+    val exp1 = BigDecimal((2 * math.log(p(3, 3)) + math.log(p(1, 3))) / 3)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = BigDecimal((math.log(p(3, 3)) + math.log(p(1, 3))) / 2)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Curation.lmPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - exp1) < 1e-9)
+    assert(out(2L)._1 == 2L && math.abs(out(2L)._2 - exp2) < 1e-9)
+    // the doc made of the corpus's dominant bigram is MORE probable
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
   test("decontaminateBloom: identical result to exact decontaminate; probe is in the plan") {
     // enough docs that random 5-gram collisions in the bloom would surface
     // as extra rows if the confirm join were missing
