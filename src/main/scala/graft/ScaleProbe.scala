@@ -52,7 +52,7 @@ object ScaleProbe {
       "p4_mixture_sample", "st4_minhash_band_registry",
       "d8_dedup_substring", "s5_ann_sq8", "t14_model_filter",
       "t15_decontamination_bloom", "p5_curriculum", "m5_perceptual_dedup",
-      "p6_tokenize_ids", "a2_hll_union", "x19_rank_family")
+      "p6_tokenize_ids", "a2_hll_union", "x19_rank_family", "t16_lm_perplexity")
     def time(dir: String, name: String): Double = {
       // operators persist() shared branches; a prior identical run would
       // satisfy them from the cache (CacheManager matches canonicalized
