@@ -461,4 +461,50 @@ object Dedup {
       // keep it — exclude explicitly so the contract is engine-free
       .where(!isnan(col("cosine")) && col("cosine") >= threshold)
   }
+
+  /** Line-level exact dedup with document reassembly — the
+    * RefinedWeb/MassiveText formulation (Penedo et al. 2023 §3.3 dedup
+    * boilerplate lines; Rae et al. 2021 §A1.2): a line that has already
+    * appeared anywhere in the corpus is removed from every LATER
+    * document; the first occurrence (smallest (id, position)) keeps it.
+    * Navigation chrome, cookie banners and share buttons repeat across
+    * millions of pages — removing repeated lines, not whole documents,
+    * is what makes this distinct from [[exact]].
+    *
+    * Pipeline: posexplode lines → md5 line key → one hash-aggregate
+    * claiming each key's minimum (id, pos) — a `min(struct)` so partial
+    * aggregation ships ONE candidate per key per partition — → equi-join
+    * the claim back onto the line stream → per-document position-sorted
+    * reassembly (`collect_list` alone is shuffle-order-nondeterministic;
+    * the sort inside the aggregate restores author order). Shuffles are
+    * all on uniform hash or id keys; nothing is ever quadratic. The
+    * line-key relation at 100 TB is large but uniform — the same shape
+    * as [[exact]]'s content-hash aggregate.
+    *
+    * Output: one row per document that RETAINS at least one line —
+    * (idCol, n_lines, n_kept, text_clean). A document whose every line
+    * was claimed earlier (a fully-duplicated page) disappears, which is
+    * precisely the degenerate case where line dedup subsumes [[exact]].
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = df
+      .select(col(idCol), size(split(col(textCol), sep)).as("n_lines"),
+        posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
+      .select(col(idCol), col("n_lines"), col("pos"), col("line"),
+        md5(col("line")).as("lk"))
+    val firstClaim = lines
+      .groupBy(col("lk"))
+      .agg(min(struct(col(idCol).as("id"), col("pos").as("pos"))).as("first"))
+    lines
+      .join(firstClaim, "lk")
+      .where(col(idCol) === col("first.id") && col("pos") === col("first.pos"))
+      .groupBy(col(idCol))
+      .agg(
+        min(col("n_lines")).cast("long").as("n_lines"), // constant per doc
+        count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("pos"), col("line")))).as("pl"))
+      .select(col(idCol), col("n_lines"), col("n_kept"),
+        concat_ws(sep, transform(col("pl"), x => x.getField("line"))).as("text_clean"))
+  }
 }

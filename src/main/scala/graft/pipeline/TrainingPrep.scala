@@ -144,4 +144,31 @@ object TrainingPrep {
   def mixtureSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
     df.withColumn("u", uniform01(col(idCol), "mix"))
       .withColumn("sampled", col("u") < weight)
+
+  /** Per-group quota: cap any one group's contribution at `quota` rows —
+    * the domain/source cap of web-corpus curation (no single site may
+    * dominate the training mix). Deterministic: the kept rows are the
+    * `quota` smallest by (md5(id), id) within each group, so the same
+    * documents survive in every run, on any cluster, in any engine.
+    *
+    * Selection runs through the bounded mergeable buffer
+    * ([[graft.folds.Aggregators.bottomK]]): at most `quota` (hash, id)
+    * entries per group per partition cross the shuffle. The window
+    * `row_number` formulation would shuffle AND sort every row of every
+    * group — at 100 TB a hot domain IS the skew case this operator
+    * exists for, and the bounded buffer caps exactly that hot key's
+    * shuffle volume. Output: (idCol, groupCol), kept rows only. */
+  def groupQuota(df: DataFrame, idCol: String, groupCol: String, quota: Int): DataFrame = {
+    require(quota >= 1, "groupQuota: quota >= 1")
+    val pick = graft.folds.Aggregators.asColumn(
+      graft.folds.Aggregators.bottomK[(String, Long)](quota),
+      md5(col(idCol).cast("string")), col(idCol))(
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong))
+    df.groupBy(col(groupCol))
+      .agg(pick.as("__picked"))
+      .select(col(groupCol), explode(col("__picked")).as("__e"))
+      .select(col("__e._2").as(idCol), col(groupCol))
+  }
 }

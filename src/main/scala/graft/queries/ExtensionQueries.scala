@@ -87,6 +87,24 @@ object ExtensionQueries {
     Dedup.substringDupPairs(mutatedCorpus(s, dir), "doc_id", "text",
       kgram = 20, window = 8, minShared = 2)
 
+  /** Line-level exact dedup with reassembly (RefinedWeb-style) over
+    * synthesized multi-line pages: ~5 documents concatenated per page,
+    * with every doc_id % 5 == 0 document re-appearing VERBATIM on a
+    * later page (doc_id + 1000000 lands in the page-200000+ range), so
+    * cross-page duplicate lines exist at every SF and line dedup must
+    * strip exactly those lines from the later pages. */
+  private def d9(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select("doc_id", "text")
+    val base = d.unionAll(d.where(col("doc_id") % 5 === 0).select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val pages = base
+      .groupBy(expr("doc_id div 5").as("page_id"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("text")))).as("dt"))
+      .select(col("page_id"),
+        concat_ws("\n", transform(col("dt"), x => x.getField("text"))).as("text"))
+    Dedup.lineDedup(pages, "page_id", "text")
+  }
+
   // ---------------------------------------------------- similarity search
 
   private def s1(s: SparkSession, dir: String): DataFrame = {
@@ -357,6 +375,15 @@ object ExtensionQueries {
       graft.pipeline.TrainingPrep.buildVocab(docs, "text", size = 16))
   }
 
+  /** Per-source quota (domain cap): at most 10 documents per source,
+    * deterministically the 10 smallest by (md5(doc_id), doc_id) — the
+    * hot-domain cap of web curation, through the bounded bottomK buffer
+    * so the hot source's shuffle volume is capped too. */
+  private def p7(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TrainingPrep.groupQuota(
+      table(s, dir, "documents").select("doc_id", "source"),
+      "doc_id", "source", quota = 10)
+
   /** Curriculum staging over the t2 quality score: quartile thresholds →
     * 4 stages, lowest-quality quartile = stage 1. */
   private def p5(s: SparkSession, dir: String): DataFrame =
@@ -463,6 +490,14 @@ object ExtensionQueries {
         .select(lit("__all__").as("source"), col("est_distinct_tokens")))
   }
 
+  /** KLL quantile sketches per event_type (p50/p95 estimates + exact n)
+    * — the sketch-at-rest quantile path next to a2's HLL distinct counts
+    * and t5's exact percentiles. Rows-only: KLL compaction flips coins
+    * (FoldsSpec pins the rank-error bound and the merge law instead). */
+  private def a3(s: SparkSession, dir: String): DataFrame =
+    graft.folds.KllQuantiles.quantilesByKey(
+      table(s, dir, "events"), "event_type", "value", ranks = Seq(0.5, 0.95))
+
   /** Skew-resistant exact distinct count: value-hash salt splits each hot
     * key's distinct-set state across 32 buckets (two uniform shuffles);
     * l_returnflag has only 3 values, so every key IS a hot key here. */
@@ -471,6 +506,21 @@ object ExtensionQueries {
       keys = Seq("l_returnflag"), valueCol = "l_partkey", saltBuckets = 32,
       distinctOut = "distinct_parts",
       companions = Seq(SaltedAgg.Sum("l_quantity", "sum_qty")))
+
+  /** Skew-salted shuffle join: lineitem ⋈ orders on orderkey, salted 4
+    * ways (probe rows spread by row hash, build rows replicated), then
+    * aggregated. Result is identical to the plain join — the oracle IS
+    * the plain join — while no task sees more than ~1/4 of any hot key.
+    * sum_qty sums integral doubles: exact in IEEE, order-independent. */
+  private def x20(s: SparkSession, dir: String): DataFrame = {
+    val l = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("orderkey"), col("l_quantity"))
+    val o = table(s, dir, "orders")
+      .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+    graft.operators.SkewJoin.salted(l, o, Seq("orderkey"), nSalts = 4)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+  }
 
   /** Full cube (all grouping-set combinations) over two dimensions. */
   private def x8(s: SparkSession, dir: String): DataFrame =
@@ -549,6 +599,18 @@ object ExtensionQueries {
     val emb = table(s, dir, "embeddings")
     Similarity.ivfTopKAuto(emb, emb.where(col("vec_id") % 100 === 0),
       "vec_id", "embedding", k = 3, nprobe = 2)
+  }
+
+  /** Recall@3 of the s3 IVF result against the exact top-3 — the ANN
+    * tuning loop as a first-class operator. Per-query n_matched and
+    * recall; the oracle recomputes both result sets independently. */
+  private def s6(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") % 100 === 0)
+    Similarity.recallAtK(
+      Similarity.ivfTopKAuto(emb, q, "vec_id", "embedding", k = 3, nprobe = 2),
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3),
+      k = 3)
   }
 
   /** IVF with k-means-trained centroids — the quality path next to s3's
@@ -1196,6 +1258,89 @@ object ExtensionQueries {
     Q("a1_approx_stats", a1, None),
     Q("a2_hll_union", a2, None),
     Q("s4_ann_ivf_kmeans", s4, None),
+    Q("a3_kll_quantiles", a3, None),
+
+    // Pages = ~5 docs concatenated in doc_id order; doc_id%5==0 docs
+    // reappear verbatim on later pages, so their lines dedup away there.
+    // The oracle's 1-based pos vs Spark's 0-based is order-only (not
+    // emitted); n_kept/count are BIGINT in both engines.
+    Q("d9_line_dedup", d9, Some("""
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      pages AS (
+        SELECT doc_id // 5 AS page_id,
+          string_agg(text, chr(10) ORDER BY doc_id) AS text
+        FROM base GROUP BY 1),
+      lines AS (
+        SELECT page_id,
+          unnest(string_split(text, chr(10))) AS line,
+          generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+          len(string_split(text, chr(10)))::BIGINT AS n_lines
+        FROM pages),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY line ORDER BY page_id, pos) AS rn
+        FROM lines),
+      kept AS (SELECT * FROM ranked WHERE rn = 1)
+      SELECT page_id, min(n_lines) AS n_lines, count(*) AS n_kept,
+        string_agg(line, chr(10) ORDER BY pos) AS text_clean
+      FROM kept GROUP BY page_id""")),
+
+    Q("p7_source_quota", p7, Some("""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source
+            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 10""")),
+
+    Q("x20_skew_join", x20, Some("""
+      SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority""")),
+
+    // Approx side = s3's IVF CTEs verbatim; exact side = brute-force
+    // top-3; recall joins them per query. count(a.neighbor_id) counts
+    // matches (nulls from the left join don't count).
+    Q("s6_ann_recall", s6, Some(s"""
+      WITH cents AS (
+        SELECT cid, cvec FROM (
+          SELECT vec_id AS cid, embedding AS cvec,
+            row_number() OVER (ORDER BY vec_id) AS rn_c,
+            greatest(8, ceil(sqrt(count(*) OVER ()))) AS nlist
+          FROM embeddings)
+        WHERE rn_c <= nlist),
+      ranked AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid DESC) AS rn
+        FROM embeddings e CROSS JOIN cents c),
+      assign AS (SELECT vec_id, embedding, cid AS list_id FROM ranked WHERE rn = 1),
+      probes AS (SELECT vec_id, embedding, cid AS list_id FROM ranked
+                 WHERE vec_id % 100 = 0 AND rn <= 2),
+      approx AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+          FROM assign e JOIN probes q
+            ON e.list_id = q.list_id AND e.vec_id <> q.vec_id)
+        WHERE rank <= 3),
+      exact AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+          FROM embeddings e
+          JOIN (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+            ON e.vec_id <> q.vec_id)
+        WHERE rank <= 3)
+      SELECT e.query_id, count(a.neighbor_id)::BIGINT AS n_matched,
+        count(a.neighbor_id) / 3.0 AS recall
+      FROM exact e LEFT JOIN approx a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id""")),
 
     // Same session semantics as x14 (the batch window formulation), so the
     // state machine is pinned by the same SQL. session_seq ::BIGINT — a

@@ -315,4 +315,28 @@ object Similarity {
         (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
     topKByQuery(scored, k)
   }
+
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * evaluation loop every ANN deployment needs (tune nlist/nprobe/planes
+    * until recall clears the bar, then ship). Both inputs are top-k
+    * result sets in this module's (query_id, neighbor_id, ...) shape;
+    * `k` is the exact side's k.
+    *
+    * Per query: `n_matched` = |approx ∩ exact top-k| via one equi-join on
+    * (query, neighbor), `recall` = n_matched / k (one IEEE division —
+    * deterministic in any engine). Every exact-side query appears, 0.0
+    * recall included (left join, not semi). Query result sets are k rows
+    * each — both sides of the join are already reduced relations, so this
+    * costs one shuffle of top-k rows regardless of corpus size. */
+  def recallAtK(
+      approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "recallAtK: k must be >= 1")
+    val hits = approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__m"))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(hits, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("__m")).as("n_matched"))
+      .select(col("query_id"), col("n_matched"),
+        (col("n_matched") / lit(k.toDouble)).as("recall"))
+  }
 }

@@ -111,4 +111,37 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(out == again)
   }
+
+  test("lineDedup: repeated lines stripped from later docs, first doc keeps them, order preserved") {
+    val pages = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),   // beta first appeared in page 1
+      (3L, "gamma\nalpha"))  // fully duplicated page — must disappear
+      .toDF("page_id", "text")
+    val out = Dedup.lineDedup(pages, "page_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 3L, "alpha\nbeta\ngamma")))
+    assert(out(2L) == ((2L, 1L, "delta")))
+    assert(!out.contains(3L), "a page whose every line is claimed earlier disappears")
+  }
+
+  test("lineDedup: a line repeated INSIDE one document keeps only its first position") {
+    val pages = Seq((5L, "x\ny\nx\nz")).toDF("page_id", "text")
+    val out = Dedup.lineDedup(pages, "page_id", "text").collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getString(3)) == ((4L, 3L, "x\ny\nz")))
+  }
+
+  test("lineDedup is partition-invariant (first claim is by (id, pos), not arrival order)") {
+    val pages = (0L to 40L).map(i => (i, s"common header\nbody $i\ncommon footer"))
+      .toDF("page_id", "text")
+    val a = Dedup.lineDedup(pages, "page_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    val b = Dedup.lineDedup(pages.repartition(7), "page_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(a == b)
+    // only page 0 keeps the boilerplate lines
+    assert(a.contains((0L, 3L, "common header\nbody 0\ncommon footer")))
+    assert(a.contains((1L, 1L, "body 1")))
+  }
 }

@@ -128,4 +128,32 @@ class FoldsSpec extends AnyFunSuite {
     val exact = 2500.0
     assert(math.abs(unioned - exact) / exact < 0.05, s"estimate $unioned vs exact $exact")
   }
+
+  test("KLL quantiles: per-key estimates within the rank-error bound; n exact") {
+    // uniform 0..9999 per key → true quantile at rank r is ~ r*10000.
+    // KLL k=200 guarantees ~1.65% rank error (99% conf); assert 3%.
+    val df = spark.range(20000).selectExpr("id % 2 AS g", "(id / 2) AS v")
+    val out = graft.folds.KllQuantiles.quantilesByKey(df, "g", "v", Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set("0", "1"))
+    for ((_, (n, p50, p95)) <- out) {
+      assert(n == 10000L, "sketch n is exact, not estimated")
+      assert(math.abs(p50 - 5000.0) < 300.0, s"p50=$p50 outside rank-error bound")
+      assert(math.abs(p95 - 9500.0) < 300.0, s"p95=$p95 outside rank-error bound")
+    }
+  }
+
+  test("KLL merge law: merged partition partials give the same guarantee as one pass") {
+    // estimates aren't bit-reproducible (compaction flips coins) — the
+    // merge LAW is that the merged sketch keeps n exact and the rank
+    // guarantee, whatever the partitioning
+    val df = spark.range(10000).selectExpr("'a' AS g", "CAST(id AS DOUBLE) AS v")
+    for (parts <- Seq(1, 7)) {
+      val out = graft.folds.KllQuantiles
+        .quantilesByKey(df.repartition(parts), "g", "v", Seq(0.5))
+        .collect().head
+      assert(out.getLong(1) == 10000L)
+      assert(math.abs(out.getDouble(2) - 5000.0) < 300.0)
+    }
+  }
 }

@@ -173,4 +173,24 @@ class PlanSpec extends AnyFunSuite {
     // the only sort allowed is inside the percentile aggregate, not a SortExec over docs
     assert(!p.contains("Window"), s"curriculum must not window-sort the corpus:\n$p")
   }
+
+  test("x20 skew join: shuffle join keyed by (orderkey, salt), never a broadcast") {
+    val p = plan(q("x20_skew_join"))
+    assert(p.contains("ShuffledHashJoin"), s"salt targets shuffle joins:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"a broadcast would make salting overhead:\n$p")
+    assert(p.contains("__salt"), s"salt missing from the join keys:\n$p")
+  }
+
+  test("p7 source quota: bounded aggregator, no window sort of the corpus") {
+    val p = plan(q("p7_source_quota"))
+    assert(!p.contains("Window"), s"quota must ship <=q rows/group/partition, not sort:\n$p")
+    // partial (ObjectHashAggregate) before the exchange — the bounded buffer merges
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, p)
+  }
+
+  test("d9 line dedup: claim join is an equi-join on the line hash, no cartesian") {
+    val p = plan(q("d9_line_dedup"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("lk"), s"join not keyed on the line hash:\n$p")
+  }
 }

@@ -181,4 +181,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(out(2) - 0.5) < 1.0 / 255)
     assert(out(3) == 1.0)
   }
+
+  test("recallAtK: per-query match counts, zero-recall queries kept, exact divisions") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L),
+      (3L, 30L), (3L, 31L), (3L, 32L)).toDF("query_id", "neighbor_id")
+    // q1: all 3 found; q2: 1 of 3 (plus a non-top-3 extra that must not
+    // count); q3: nothing found — must still appear at recall 0
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 99L), (2L, 98L)).toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(approx, exact, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((3L, 1.0)))
+    assert(out(2L) == ((1L, 1.0 / 3.0)))
+    assert(out(3L) == ((0L, 0.0)))
+  }
 }

@@ -94,4 +94,26 @@ class TrainingPrepSpec extends AnyFunSuite {
     val one = TrainingPrep.curriculum(df, "score", nStages = 1)
     assert(one.select("stage").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
   }
+
+  test("groupQuota: caps each group, equals the window formulation, partition-invariant") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val out = TrainingPrep.groupQuota(df, "id", "grp", quota = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.size == 15)
+    assert(out.groupBy(_._2).forall(_._2.size == 5))
+    // selection is exactly the window row_number <= quota formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(md5(col("id").cast("string")), col("id"))
+    val expect = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == expect)
+    // partition layout must not change the kept set
+    val again = TrainingPrep.groupQuota(df.repartition(7), "id", "grp", quota = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == out)
+    // quota >= group size keeps every row
+    val all = TrainingPrep.groupQuota(df, "id", "grp", quota = 50)
+    assert(all.count() == 100)
+  }
 }
