@@ -52,7 +52,9 @@ object ScaleProbe {
       "p4_mixture_sample", "st4_minhash_band_registry",
       "d8_dedup_substring", "s5_ann_sq8", "t14_model_filter",
       "t15_decontamination_bloom", "p5_curriculum", "m5_perceptual_dedup",
-      "p6_tokenize_ids", "a2_hll_union", "x19_rank_family", "t16_lm_perplexity")
+      "p6_tokenize_ids", "a2_hll_union", "x19_rank_family", "t16_lm_perplexity",
+      "d9_line_dedup", "p7_source_quota", "x20_skew_join", "a3_kll_quantiles",
+      "s6_ann_recall", "t17_normalize_dedup")
     def time(dir: String, name: String): Double = {
       // operators persist() shared branches; a prior identical run would
       // satisfy them from the cache (CacheManager matches canonicalized

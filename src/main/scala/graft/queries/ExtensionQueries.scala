@@ -338,6 +338,21 @@ object ExtensionQueries {
   private def t16(s: SparkSession, dir: String): DataFrame =
     Curation.lmPerplexity(table(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
 
+  /** Normalized exact dedup (CCNet preprocessing): every doc_id % 5 == 0
+    * document re-appears uppercased with punctuation injected — raw exact
+    * dedup ([[Dedup.exact]]/d1) cannot pair it with its source; dedup over
+    * [[Curation.normalizeForDedup]] must (n_copies = 2, keep_id = the
+    * original). */
+  private def t17(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select("doc_id", "text")
+    val corpus = d.unionAll(d.where(col("doc_id") % 5 === 0).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(upper(col("text")), lit(" !!!")).as("text")))
+    Dedup.exact(
+      corpus.withColumn("text", Curation.normalizeForDedup(col("text"))),
+      "doc_id", "text")
+  }
+
   // ---------------------------------------------------- training-data prep
 
   private def p2(s: SparkSession, dir: String): DataFrame =
@@ -1286,6 +1301,22 @@ object ExtensionQueries {
       SELECT page_id, min(n_lines) AS n_lines, count(*) AS n_kept,
         string_agg(line, chr(10) ORDER BY pos) AS text_clean
       FROM kept GROUP BY page_id""")),
+
+    Q("t17_normalize_dedup", t17, Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, upper(text) || ' !!!' AS text
+        FROM documents WHERE doc_id % 5 = 0),
+      norm AS (
+        SELECT doc_id,
+          trim(regexp_replace(regexp_replace(regexp_replace(
+            translate(lower(text),
+              'áàâäãåéèêëíìîïóòôöõúùûüçñýÿ', 'aaaaaaeeeeiiiiooooouuuucnyy'),
+            '\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS ntext
+        FROM corpus)
+      SELECT md5(ntext) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM norm GROUP BY 1""")),
 
     Q("p7_source_quota", p7, Some("""
       SELECT doc_id, source FROM (

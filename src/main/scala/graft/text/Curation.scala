@@ -240,6 +240,26 @@ object Curation {
       .select((cols :+ explode(array_distinct(wordNgrams(col("__toks"), n))).as("ng")): _*)
       .withColumn("ng", md5(col("ng")))
 
+  /** Dedup normalization (the CCNet/Wenzek et al. 2020 preprocessing:
+    * dedup is run over NORMALIZED text so that case, accent and
+    * punctuation variants of the same content collapse): lowercase →
+    * strip Latin-1 accents (explicit `translate` table — locale-free,
+    * identical in any engine; `java.text.Normalizer` would be
+    * JVM-locale-adjacent and has no DuckDB equivalent) → drop everything
+    * outside [a-z0-9 ] → collapse whitespace runs → trim. Pure Column
+    * expression: shuffle-free, codegen'd, linear. Idempotent:
+    * normalize(normalize(x)) == normalize(x). */
+  val accentFrom = "áàâäãåéèêëíìîïóòôöõúùûüçñýÿ"
+  val accentTo = "aaaaaaeeeeiiiiooooouuuucnyy"
+  def normalizeForDedup(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        // any whitespace becomes a space FIRST, so a tab/newline between
+        // words stays a separator instead of vanishing with the symbols
+        regexp_replace(translate(lower(c), accentFrom, accentTo), "\\s+", " "),
+        "[^a-z0-9 ]", ""),
+      " +", " "))
+
   /** [[decontaminate]] with a Bloom prefilter on the corpus n-gram stream —
     * the 100 TB formulation. Result is EXACTLY [[decontaminate]]'s (same
     * oracle): the filter has no false negatives and its false positives are

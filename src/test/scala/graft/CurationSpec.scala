@@ -127,4 +127,29 @@ class CurationSpec extends AnyFunSuite {
     assert(bloom.queryExecution.executedPlan.toString.contains("graft_bloom_might_contain"),
       "bloom probe must prefilter the corpus n-gram stream")
   }
+
+  test("normalizeForDedup: case/accents/punctuation/whitespace collapse; idempotent") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "The Quick, Brown FOX!!"),
+      (2L, "the   quick brown fox"),
+      (3L, "thé qüîck brôwn fóx"),     // accent variants of the same words
+      (4L, "completely different"),
+      (5L, "  Padded — with em-dash\tand tab  "))
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        Curation.normalizeForDedup(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "the quick brown fox")
+    assert(out(2L) == "the quick brown fox")
+    assert(out(3L) == "the quick brown fox")
+    assert(out(4L) == "completely different")
+    assert(out(5L) == "padded with emdash and tab")
+    // idempotence: a second normalize is a no-op
+    val twice = rows.select(
+        Curation.normalizeForDedup(Curation.normalizeForDedup(col("text"))).as("n2"),
+        Curation.normalizeForDedup(col("text")).as("n1"))
+      .collect()
+    assert(twice.forall(r => r.getString(0) == r.getString(1)))
+  }
 }

@@ -120,4 +120,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(one.queryExecution.executedPlan.toString().contains("PartitionFilters"))
     assert(one.count() == sharded.where(col("shard") === 2).count())
   }
+
+  test("bucketed tables: equi-join on the bucket key runs with NO shuffle on either side") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the join to show its shuffle needs
+    try {
+      val fact = (0L until 1000L).map(i => (i % 50, i)).toDF("k", "fv")
+      val dim = (0L until 50L).map(k => (k, s"d$k")).toDF("k", "dv")
+      Sources.writeBucketed(fact, "graft_bkt_fact", buckets = 4, bucketCols = Seq("k"))
+      Sources.writeBucketed(dim, "graft_bkt_dim", buckets = 4, bucketCols = Seq("k"))
+      val joined = spark.table("graft_bkt_fact").join(spark.table("graft_bkt_dim"), "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"bucketed co-located join must not shuffle:\n$plan")
+      assert(joined.count() == 1000L)
+      // same result as the unbucketed join
+      assert(joined.groupBy("k").count().collect().forall(_.getLong(1) == 20L))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_fact")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_dim")
+    }
+  }
 }

@@ -279,4 +279,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch == afterTimeout + ((2L, 0L, 2L, 15.0)))
     } finally q.stop()
   }
+
+  test("decontamination is stream-transparent: stream-static broadcast join ≡ batch") {
+    implicit val ctx = spark.sqlContext
+    // benchmark is STATIC (the realistic shape: eval sets don't stream);
+    // the corpus streams through the same one definition as t12
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon eta theta"),   // one shared 5-gram
+      (2L, "alpha beta gamma delta epsilon zeta iota"),   // two shared 5-grams
+      (3L, "nothing in common with the benchmark at all none"))
+    val source = MemoryStream[(Long, String)]
+    val streamed = graft.text.Curation.decontaminate(
+      source.toDF().toDF("doc_id", "text"), bench, "doc_id", "text", n = 5)
+    val q = streamed.writeStream.format("memory").queryName("decon_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      source.addData(docs: _*)
+      q.processAllAvailable()
+      val stream = spark.table("decon_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.text.Curation.decontaminate(
+        docs.toDF("doc_id", "text"), bench, "doc_id", "text", n = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stream == batch)
+      assert(batch == Set((1L, 1L), (2L, 2L)))
+    } finally q.stop()
+  }
 }
