@@ -20,12 +20,13 @@ import org.apache.spark.sql.functions._
   *
   * Decode dispatches on the mime tag: `image/...` payloads run a REAL
   * pure-JVM codec (`javax.imageio` — PNG/JPEG/BMP/GIF, deterministic,
-  * tested on generated fixtures in MultimodalSpec); other mimes fall to a
-  * DETERMINISTIC STUB (this container ships no audio/video codecs):
-  * `fakeDecode` derives dimensions/frames/signal from the payload length
-  * alone, by formulas an external oracle can replicate. The Spark-side
-  * plumbing — schema, encoders, batching, partitioning, UDF signature —
-  * is identical for both paths.
+  * tested on generated fixtures in MultimodalSpec); `audio/...` payloads
+  * run the REAL JDK PCM codec (`javax.sound.sampled` — WAV/AIFF/AU, also
+  * fixture-tested); video mimes fall to a DETERMINISTIC STUB (no pure-JVM
+  * video codec exists): `fakeDecode` derives dimensions/frames/signal from
+  * the payload length alone, by formulas an external oracle can replicate.
+  * The Spark-side plumbing — schema, encoders, batching, partitioning,
+  * UDF signature — is identical for all paths.
   */
 object Multimodal {
 
@@ -92,11 +93,68 @@ object Multimodal {
     }
   }
 
-  /** THE STUB for non-image payloads: deterministic fake decode from
-    * payload bytes (this container has no audio/video codecs). A real
+  /** Real JVM-native audio decode for `audio/...` payloads via
+    * `javax.sound.sampled` (WAV/AIFF/AU PCM — the codecs the JDK ships;
+    * pure JVM, deterministic). Field mapping into the shared
+    * [[DecodedMedia]] schema, documented here once:
+    *   width    = sample rate (Hz)
+    *   height   = channel count
+    *   n_frames = audio frame count (clamped to Int.MaxValue)
+    *   mean_px  = mean |amplitude| over all samples, normalized to [0, 1]
+    *              (16-bit signed and 8-bit unsigned PCM; other encodings
+    *              decode format metadata with mean 0.0)
+    * Undecodable payloads degrade to the all-zero row, same convention
+    * as [[imageDecode]]. */
+  private def audioDecode(m: MediaRecord): DecodedMedia = {
+    val len = m.content.length.toLong
+    val digest = MessageDigest.getInstance("MD5")
+    val hash = digest.digest(m.content).map("%02x".format(_)).mkString
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (ais == null) DecodedMedia(m.media_id, len, hash, 0, 0, 0, 0.0)
+    else
+      try {
+        val fmt = ais.getFormat
+        val frames = math.min(math.max(ais.getFrameLength, 0L), Int.MaxValue.toLong).toInt
+        val pcm = ais.readAllBytes()
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        var sum = 0.0
+        var n = 0L
+        if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16) {
+          var i = 0
+          while (i + 1 < pcm.length) {
+            val s =
+              if (fmt.isBigEndian) ((pcm(i) << 8) | (pcm(i + 1) & 0xff)).toShort
+              else ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort
+            sum += math.abs(s.toDouble) / 32768.0
+            n += 1
+            i += 2
+          }
+        } else if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8) {
+          var i = 0
+          while (i < pcm.length) {
+            sum += math.abs((pcm(i) & 0xff) - 128).toDouble / 128.0
+            n += 1
+            i += 1
+          }
+        }
+        DecodedMedia(m.media_id, len, hash,
+          math.round(fmt.getSampleRate).toInt, fmt.getChannels, frames,
+          if (n == 0) 0.0 else sum / n)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          DecodedMedia(m.media_id, len, hash, 0, 0, 0, 0.0)
+      } finally ais.close()
+  }
+
+  /** THE STUB for non-image, non-audio payloads: deterministic fake decode
+    * from payload bytes (this container has no video codecs). A real
     * implementation would replace the body with a codec call; everything
     * around it (batching, encoders, schema) is the production shape and
-    * is shared with the REAL image path above. */
+    * is shared with the REAL image and audio paths above. */
   private def fakeDecode(m: MediaRecord): DecodedMedia = {
     val len = m.content.length.toLong
     val digest = MessageDigest.getInstance("MD5")
@@ -122,6 +180,7 @@ object Multimodal {
         // per batch
         batch.map(m =>
           if (m.mime != null && m.mime.startsWith("image/")) imageDecode(m)
+          else if (m.mime != null && m.mime.startsWith("audio/")) audioDecode(m)
           else fakeDecode(m))
       }
     }(Encoders.product[DecodedMedia])

@@ -166,4 +166,44 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.luminanceGrid(media).toDF(), maxHamming = 3).collect()
     assert(pairs.isEmpty)
   }
+
+  test("audio decode: real javax.sound.sampled codec on generated WAV fixtures") {
+    import spark.implicits._
+    // full-scale/2 square wave: every sample is ±16384 → mean |amp| is
+    // EXACTLY 0.5; 8000 Hz mono, 2000 frames
+    def wav(frames: Int, rate: Float, channels: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * 2 * channels)
+      var i = 0
+      while (i < pcm.length) {
+        val s: Short = if ((i / (2 * channels)) % 2 == 0) 16384 else -16384
+        pcm(i) = (s & 0xff).toByte
+        pcm(i + 1) = ((s >> 8) & 0xff).toByte
+        i += 2
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, wav(2000, 8000f, 1), "audio/wav"),
+      (2L, wav(300, 44100f, 2), "audio/wav"),
+      (3L, "definitely not audio".getBytes("UTF-8"), "audio/wav"), // undecodable
+      (4L, wav(100, 8000f, 1), "video/mp4")) // video mime stays on the stub
+      .toDF("media_id", "content", "mime")
+    val out = Multimodal.decode(media).collect().map(d => d.media_id -> d).toMap
+    // width = sample rate, height = channels, n_frames = audio frames
+    assert(out(1L).width == 8000 && out(1L).height == 1 && out(1L).n_frames == 2000)
+    assert(out(1L).mean_px == 0.5)
+    assert(out(2L).width == 44100 && out(2L).height == 2 && out(2L).n_frames == 300)
+    assert(out(2L).mean_px == 0.5)
+    // undecodable audio degrades to the all-zero row, hash intact
+    assert(out(3L).width == 0 && out(3L).n_frames == 0 && out(3L).byte_len == 20L)
+    // video mime is still the honest stub (length-derived fields)
+    val vLen = out(4L).byte_len
+    assert(out(4L).width == (16 + vLen % 64).toInt)
+  }
 }
