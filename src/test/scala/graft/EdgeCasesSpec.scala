@@ -100,4 +100,39 @@ class EdgeCasesSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("empty"))
   }
+
+  test("round-3 operators on degenerate inputs: empty results or identity, never a crash") {
+    import graft.operators.SkewJoin
+    import graft.pipeline.TrainingPrep
+    // line dedup: empty corpus → empty; empty-string text is ONE empty
+    // line — it dedups across docs like any other line content
+    assert(Dedup.lineDedup(emptyDocs, "doc_id", "text").count() == 0)
+    val emptyLine = Dedup.lineDedup(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(emptyLine(2L) == "") // doc 2 IS the first empty line
+    // quota: empty input → empty; single-row groups unaffected
+    assert(TrainingPrep.groupQuota(
+      Seq.empty[(Long, String)].toDF("id", "grp"), "id", "grp", 3).count() == 0)
+    // skew join: either side empty → empty, any salt count
+    val l = Seq((1L, 2)).toDF("k", "pv")
+    val noL = Seq.empty[(Long, Int)].toDF("k", "pv")
+    val r = Seq((1L, "x")).toDF("k", "bv")
+    val noR = Seq.empty[(Long, String)].toDF("k", "bv")
+    assert(SkewJoin.salted(noL, r, Seq("k"), 4).count() == 0)
+    assert(SkewJoin.salted(l, noR, Seq("k"), 4).count() == 0)
+    // KLL: empty input → no keys, no sketch rows
+    assert(graft.folds.KllQuantiles.quantilesByKey(
+      Seq.empty[(String, Double)].toDF("g", "v"), "g", "v", Seq(0.5)).count() == 0)
+    // recall: empty approx → every exact query at recall 0, not dropped
+    val exact = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "neighbor_id")
+    val noApprox = Seq.empty[(Long, Long)].toDF("query_id", "neighbor_id")
+    val rec = Similarity.recallAtK(noApprox, exact, k = 2).collect()
+    assert(rec.length == 1 && rec.head.getLong(1) == 0L && rec.head.getDouble(2) == 0.0)
+    // normalize: empty string stays empty; symbols-only collapses to empty
+    val n = Seq((1L, ""), (2L, "!!! ??? ..."), (3L, "ok"))
+      .toDF("id", "t")
+      .select(graft.text.Curation.normalizeForDedup(col("t")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(n == Seq("", "", "ok"))
+  }
 }
