@@ -488,6 +488,10 @@ object Dedup {
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
+    // `split` treats sep as a REGEX, `concat_ws` as a literal — identical
+    // for the default "\n"; a caller passing a metacharacter separator
+    // must escape it for the split side
+    require(sep.nonEmpty, "lineDedup: sep must be non-empty")
     val lines = df
       .select(col(idCol), size(split(col(textCol), sep)).as("n_lines"),
         posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))

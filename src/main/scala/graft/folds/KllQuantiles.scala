@@ -44,6 +44,10 @@ object KllQuantiles {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      // null values carry no rank information and would NPE the typed
+      // encoder (non-nullable Double field) — skip them, like every
+      // built-in aggregate does
+      .where(col(valueCol).isNotNull)
       .as[(String, Double)]
       .mapPartitions { rows =>
         val sketches = scala.collection.mutable.HashMap.empty[String, KllDoublesSketch]

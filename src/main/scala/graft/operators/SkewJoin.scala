@@ -43,6 +43,8 @@ object SkewJoin {
       probe: DataFrame, build: DataFrame, keys: Seq[String],
       nSalts: Int): DataFrame = {
     require(nSalts >= 1, "SkewJoin.salted: nSalts must be >= 1")
+    require(!probe.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "SkewJoin.salted: inputs must not already carry a __salt column")
     val salted = probe.withColumn("__salt",
       pmod(hash(probe.columns.map(col): _*), lit(nSalts)))
     val replicated = build.withColumn("__salt",

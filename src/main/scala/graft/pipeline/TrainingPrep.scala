@@ -166,7 +166,10 @@ object TrainingPrep {
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.scalaLong))
-    df.groupBy(col(groupCol))
+    // a null id has no deterministic order position (and would NPE the
+    // buffer ordering) — excluded, like null keys in any selection op
+    df.where(col(idCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(pick.as("__picked"))
       .select(col(groupCol), explode(col("__picked")).as("__e"))
       .select(col("__e._2").as(idCol), col(groupCol))

@@ -327,7 +327,9 @@ object Similarity {
     * deterministic in any engine). Every exact-side query appears, 0.0
     * recall included (left join, not semi). Query result sets are k rows
     * each — both sides of the join are already reduced relations, so this
-    * costs one shuffle of top-k rows regardless of corpus size. */
+    * costs one shuffle of top-k rows regardless of corpus size.
+    * Assumes (query_id, neighbor_id) is unique on each side — true of any
+    * top-k result; duplicated pairs would double-count. */
   def recallAtK(
       approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "recallAtK: k must be >= 1")

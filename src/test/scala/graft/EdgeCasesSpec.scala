@@ -123,6 +123,16 @@ class EdgeCasesSpec extends AnyFunSuite {
     // KLL: empty input → no keys, no sketch rows
     assert(graft.folds.KllQuantiles.quantilesByKey(
       Seq.empty[(String, Double)].toDF("g", "v"), "g", "v", Seq(0.5)).count() == 0)
+    // KLL: null values are skipped (not an encoder NPE), n counts the rest
+    val withNulls = Seq(("a", java.lang.Double.valueOf(1.0)), ("a", null),
+      ("a", java.lang.Double.valueOf(3.0))).toDF("g", "v")
+    val kOut = graft.folds.KllQuantiles.quantilesByKey(withNulls, "g", "v", Seq(0.5))
+      .collect().head
+    assert(kOut.getLong(1) == 2L)
+    // quota: null ids are excluded, never an ordering NPE
+    val withNullIds = Seq((java.lang.Long.valueOf(1L), "g"), (null.asInstanceOf[java.lang.Long], "g"))
+      .toDF("id", "grp")
+    assert(TrainingPrep.groupQuota(withNullIds, "id", "grp", 5).count() == 1)
     // recall: empty approx → every exact query at recall 0, not dropped
     val exact = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "neighbor_id")
     val noApprox = Seq.empty[(Long, Long)].toDF("query_id", "neighbor_id")
