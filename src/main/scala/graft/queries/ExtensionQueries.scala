@@ -399,6 +399,27 @@ object ExtensionQueries {
       table(s, dir, "documents").select("doc_id", "source"),
       "doc_id", "source", quota = 10)
 
+  /** Distributed BPE training (Sennrich et al. 2016) on the documents
+    * corpus — 20 merges, returned as the ranked merge table. Rows-only:
+    * the iterative argmax loop has no SQL analog; determinism (count
+    * DESC, pair ASC tie-break) and reference equivalence are pinned by
+    * BpeSpec instead. Training actions at query construction are
+    * index-build cost, same justification as the IVF quantizer. */
+  private def p8(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Bpe.mergesDF(s,
+      graft.pipeline.Bpe.trainMerges(
+        table(s, dir, "documents").select("text"), "text", nMerges = 20))
+
+  /** BPE encode of the corpus with the p8-trained merges: broadcast merge
+    * table, one narrow mapPartitions, no shuffle. Rows-only (same reason
+    * as p8); per-doc token counts are deterministic. */
+  private def p9(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    graft.pipeline.Bpe.encode(docs, "doc_id", "text",
+      graft.pipeline.Bpe.trainMerges(docs.select("text"), "text", nMerges = 20))
+      .select(col("doc_id"), col("n_bpe"))
+  }
+
   /** Curriculum staging over the t2 quality score: quartile thresholds →
     * 4 stages, lowest-quality quartile = stage 1. */
   private def p5(s: SparkSession, dir: String): DataFrame =
@@ -1274,6 +1295,8 @@ object ExtensionQueries {
     Q("a2_hll_union", a2, None),
     Q("s4_ann_ivf_kmeans", s4, None),
     Q("a3_kll_quantiles", a3, None),
+    Q("p8_bpe_train", p8, None),
+    Q("p9_bpe_encode", p9, None),
 
     // Pages = ~5 docs concatenated in doc_id order; doc_id%5==0 docs
     // reappear verbatim on later pages, so their lines dedup away there.

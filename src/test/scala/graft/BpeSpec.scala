@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Bpe
+
+/** Distributed BPE vs a transparent single-machine reference
+  * implementation — merge lists must be bit-identical (deterministic
+  * tie-break), independent of partitioning; encoding must replay
+  * training exactly on seen words and degrade to chars on unseen ones. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference BPE trainer: the textbook in-memory loop. */
+  private def refTrain(corpus: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    var words: Map[Seq[String], Long] = corpus
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        ((w.map(_.toString) :+ Bpe.EOW), ws.size.toLong) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.size < nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, n) <- words; p <- syms.sliding(2) if p.length == 2)
+        counts((p.head, p(1))) = counts.getOrElse((p.head, p(1)), 0L) + n
+      if (counts.isEmpty) continue = false
+      else {
+        val (pair, _) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += pair
+        words = words.map { case (syms, n) =>
+          (Bpe.mergeOnce(syms, pair._1, pair._2), n) }
+          .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }
+      }
+    }
+    merges.toSeq
+  }
+
+  // the classic Sennrich-style fixture: suffix regularities to discover
+  private val corpus = Seq(
+    "low low low lower lower lowest",
+    "newer newer newer newest wider wider",
+    "low newer lowest widest")
+
+  test("distributed BPE training equals the reference, regardless of partitioning") {
+    val df = corpus.toDF("text")
+    val expect = refTrain(corpus, 15)
+    assert(expect.size == 15, "fixture must support 15 merges")
+    assert(Bpe.trainMerges(df, "text", 15, checkpointEvery = 4) == expect)
+    assert(Bpe.trainMerges(df.repartition(5), "text", 15) == expect)
+  }
+
+  test("training stops early when no adjacent pairs remain") {
+    // single-char words + EOW: one merge each, then nothing left
+    val merges = Bpe.trainMerges(Seq("a b a").toDF("text"), "text", 50)
+    assert(merges.size < 50 && merges.nonEmpty)
+    assert(merges.contains(("a", Bpe.EOW)))
+  }
+
+  test("encode replays training on seen words; unseen words degrade to chars+known merges") {
+    val df = corpus.toDF("text")
+    val merges = Bpe.trainMerges(df, "text", 15)
+    // replay: encoding each distinct training word reproduces the final
+    // training-state symbols (computed via the reference)
+    var words: Map[Seq[String], Long] = corpus
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        ((w.map(_.toString) :+ Bpe.EOW), ws.size.toLong) }
+    for ((a, b) <- merges)
+      words = words.map { case (syms, n) => (Bpe.mergeOnce(syms, a, b), n) }
+        .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }
+    val finalSyms = words.keySet
+    val distinctWords = corpus.flatMap(_.split(" ")).filter(_.nonEmpty).distinct
+    val encoded = Bpe.encode(
+      distinctWords.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text"),
+      "id", "text", merges)
+      .collect().map(r => r.getSeq[String](1)).toSet
+    assert(encoded == finalSyms)
+    // unseen word: valid segmentation (concatenation restores word+EOW),
+    // using only trained symbols or single chars
+    val oov = Bpe.encode(Seq((1L, "lownew")).toDF("id", "text"), "id", "text", merges)
+      .collect().head.getSeq[String](1)
+    assert(oov.mkString == "lownew" + Bpe.EOW)
+    assert(oov.length > 1) // not fully merged: "lownew</w>" was never a word
+  }
+
+  test("encode with no merges is characters + end-of-word marker") {
+    val out = Bpe.encode(Seq((1L, "ab c")).toDF("id", "text"), "id", "text", Nil)
+      .collect().head
+    assert(out.getSeq[String](1) == Seq("a", "b", Bpe.EOW, "c", Bpe.EOW))
+    assert(out.getLong(2) == 5L)
+  }
+}
