@@ -543,6 +543,20 @@ object ExtensionQueries {
     graft.folds.KllQuantiles.quantilesByKey(
       table(s, dir, "events"), "event_type", "value", ranks = Seq(0.5, 0.95))
 
+  /** Count-min point-frequency probes. CMS is LINEAR (counters add), so
+    * the merged sketch ≡ the whole-data sketch bitwise and, at width 256
+    * ≫ the 31-token vocabulary with no full-depth collision (spec'd),
+    * estimates EQUAL exact counts — so this sketch query gets a real
+    * exact-count oracle (zero-count probes kept via the scaffold join).
+    * The estimate ≥ exact bound when collisions do occur is CmsSpec's. */
+  private val a4Probes = Seq("data", "join", "query", "hash", "stream", "vector")
+  private def a4(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+    graft.folds.CmsFrequency.frequenciesByKey(
+      docs, "source", "tok", a4Probes)
+  }
+
   /** Skew-resistant exact distinct count: value-hash salt splits each hot
     * key's distinct-set state across 32 buckets (two uniform shuffles);
     * l_returnflag has only 3 values, so every key IS a hot key here. */
@@ -1317,6 +1331,21 @@ object ExtensionQueries {
     Q("a2_hll_union", a2, None),
     Q("s4_ann_ivf_kmeans", s4, None),
     Q("a3_kll_quantiles", a3, None),
+
+    // CMS estimates ≡ exact counts in the no-collision regime (width 256
+    // ≫ 31-token vocab, spec'd) — scaffold keeps zero-count probes.
+    Q("a4_cms_frequency", a4, Some(s"""
+      WITH probes AS (
+        SELECT unnest([${a4Probes.map("'" + _ + "'").mkString(",")}]) AS tok),
+      counts AS (
+        SELECT source, tok, count(*) AS n
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1, 2),
+      scaffold AS (
+        SELECT DISTINCT d.source, p.tok FROM documents d CROSS JOIN probes p)
+      SELECT s.source, s.tok, coalesce(c.n, 0)::BIGINT AS est
+      FROM scaffold s LEFT JOIN counts c
+        ON s.source = c.source AND s.tok = c.tok""")),
     Q("p8_bpe_train", p8, None),
     Q("p9_bpe_encode", p9, None),
 
