@@ -53,42 +53,53 @@ object Dedup {
     * formulation measured ~300× faster at sf0.1 and is also the shape that
     * distributes: every step is a codegen'd partial-aggregate shuffle on
     * uniform hash keys, never a per-row mega-expression. */
-  def minhashLsh(
+  /** Per-doc MinHash signature (mh0..mh{k-1}) + verification shingle set,
+    * as ONE partial-agg shuffle over the exploded shingle rows. ONE md5
+    * per shingle; the k per-seed hashes are a multiply-mod universal
+    * family over its 32-bit prefix:
+    *   mh_s = (A_s·h32 + B_s) mod P,  P = 4294967291 (largest prime<2^32),
+    *   A_s ∈ [1, 2^31) so A_s·h32 + B_s < 2^63 — no overflow, identical
+    *   wrap-free arithmetic in any engine (the oracle repeats it).
+    * k md5 calls per shingle (the naive seeded-hash scheme) was the
+    * dominant cost of the whole operator at sf0.1.
+    *
+    * The result is persisted (memory-and-disk, spillable) because every
+    * caller reads it from two downstream branches — band keys and
+    * verification sets — and Spark does not share plan subtrees across a
+    * self-join: without the persist the whole shingle explode + shuffle
+    * would run twice. Shared by [[minhashLsh]] (within-corpus pairs) and
+    * [[graft.text.Curation.decontaminateFuzzy]] (cross-relation). */
+  private[graft] def minhashDocAgg(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 12, bands: Int = 4, rows: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    require(bands * rows == k, s"minhashLsh: bands*rows must equal k ($bands*$rows != $k)")
+      shingleN: Int, k: Int): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, shingleN)
-    // ONE md5 per shingle; the k per-seed hashes are a multiply-mod
-    // universal family over its 32-bit prefix:
-    //   mh_s = (A_s·h32 + B_s) mod P,  P = 4294967291 (largest prime<2^32),
-    //   A_s ∈ [1, 2^31) so A_s·h32 + B_s < 2^63 — no overflow, identical
-    //   wrap-free arithmetic in any engine (the oracle repeats it).
-    // k md5 calls per shingle (the naive seeded-hash scheme) was the
-    // dominant cost of the whole operator at sf0.1.
     val sh32 = sh.select(col(idCol), col("shingle"),
       conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h32"))
-    // All k minhashes AND the verification shingle set as parallel
-    // aggregates of ONE groupBy — a single partial-agg shuffle over the
-    // exploded shingle rows. The per-doc result is persisted
-    // (memory-and-disk, spillable) because two downstream branches read it
-    // — band keys and verification sets — and Spark does not share plan
-    // subtrees across a self-join: without the persist the whole shingle
-    // explode + shuffle would run twice.
     val P = 4294967291L
     val sigCols = (0 until k).map { s =>
       val a = ((s * 2654435761L) % 2147483647L) + 1L
       val b = (s * 2246822519L) % P
       min((lit(a) * col("h32") + lit(b)) % lit(P)).as(s"mh$s")
     }
-    val docAgg = sh32.groupBy(col(idCol))
+    sh32.groupBy(col(idCol))
       .agg(sigCols.head, sigCols.tail :+ collect_set(col("shingle")).as("shingles"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Band keys as static column expressions (band b = seeds [b*rows, (b+1)*rows))
-    val bandKeyCols = (0 until bands).map(b =>
+  }
+
+  /** LSH band keys (band b = seeds [b*rows, (b+1)*rows)) as static column
+    * expressions over a [[minhashDocAgg]] row. */
+  private[graft] def bandKeyCols(bands: Int, rows: Int): Seq[Column] =
+    (0 until bands).map(b =>
       md5(concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)))
+
+  def minhashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 4, rows: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(bands * rows == k, s"minhashLsh: bands*rows must equal k ($bands*$rows != $k)")
+    val docAgg = minhashDocAgg(df, idCol, textCol, shingleN, k)
     val bandKeys = docAgg.select(
-      col(idCol), posexplode(array(bandKeyCols: _*)).as(Seq("band", "band_key")))
+      col(idCol), posexplode(array(bandKeyCols(bands, rows): _*)).as(Seq("band", "band_key")))
     val a = bandKeys.select(col("band"), col("band_key"), col(idCol).as("id_a"))
     val b = bandKeys.select(col("band"), col("band_key"), col(idCol).as("id_b"))
     val cand = a.join(b, Seq("band", "band_key"))

@@ -195,6 +195,15 @@ object ExtensionQueries {
     Curation.decontaminate(corpus, bench, "doc_id", "text", n = 5)
   }
 
+  /** Fuzzy decontamination over the same corpus/benchmark split as t12:
+    * MinHash-LSH candidates (d3's signature family, cross-relation) +
+    * exact Jaccard ≥ 0.5 verify — catches the mutated benchmark copies
+    * as NEAR duplicates rather than counting raw n-gram overlap. */
+  private def t18(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, bench) = decontamInputs(s, dir)
+    Curation.decontaminateFuzzy(corpus, bench, "doc_id", "text")
+  }
+
   /** t12 through the Bloom-prefiltered scale path — identical semantics
     * (the sketch has no false negatives and the confirm join removes its
     * false positives), so it shares t12's oracle verbatim; only the plan
@@ -842,16 +851,21 @@ object ExtensionQueries {
     * shingle)` CTE) — replicates [[graft.dedup.Dedup.minhashLsh]]'s
     * universal-hash family: one md5 per shingle, k multiply-mod hashes of
     * its 32-bit prefix. */
-  private val minhashCtes = """ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-      hx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h32 FROM ex),
-      mh AS (SELECT doc_id, seed,
+  /** Same CTE chain with every name prefixed — lets one query carry the
+    * signature pipeline for TWO relations (t18's corpus + benchmark). */
+  private def minhashCtesFor(shSrc: String, p: String) =
+    s"""${p}ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM $shSrc),
+      ${p}hx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h32 FROM ${p}ex),
+      ${p}mh AS (SELECT doc_id, seed,
                min((((seed * 2654435761) % 2147483647 + 1) * h32
                     + (seed * 2246822519) % 4294967291) % 4294967291) AS mh
-             FROM hx, (SELECT unnest(range(12)) AS seed)
+             FROM ${p}hx, (SELECT unnest(range(12)) AS seed)
              GROUP BY doc_id, seed),
-      bands AS (SELECT doc_id, seed // 3 AS band,
+      ${p}bands AS (SELECT doc_id, seed // 3 AS band,
                   md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS band_key
-                FROM mh GROUP BY doc_id, seed // 3)"""
+                FROM ${p}mh GROUP BY doc_id, seed // 3)"""
+
+  private val minhashCtes = minhashCtesFor("sh", "")
 
   private val hiHex = "('8','9','a','b','c','d','e','f')"
   private val oddHex = "('1','3','5','7','9','b','d','f')"
@@ -1199,6 +1213,35 @@ object ExtensionQueries {
     // same semantics as t12 by construction (bloom prefilter + exact
     // confirm) — the shared oracle IS the claim being checked
     Q("t15_decontamination_bloom", t15, Some(decontamOracle)),
+
+    // cross-relation LSH: d3's signature CTEs instantiated twice (c/b
+    // prefixes), band-join across them, exact-Jaccard verify at 0.5
+    Q("t18_decontamination_fuzzy", t18, Some(s"""
+      WITH $corpusSql,
+      csh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus
+                    WHERE doc_id >= 1000000 OR doc_id % 5 <> 0)
+              WHERE len(ws) >= 3),
+      bsh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                    WHERE doc_id % 5 = 0)
+              WHERE len(ws) >= 3),
+      ${minhashCtesFor("csh", "c")},
+      ${minhashCtesFor("bsh", "b")},
+      cand AS (SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+               FROM cbands c JOIN bbands b
+                 ON c.band = b.band AND c.band_key = b.band_key),
+      ver AS (SELECT cand.doc_id,
+                len(list_intersect(sc.shingles, sb.shingles))::DOUBLE
+                  / len(list_distinct(list_concat(sc.shingles, sb.shingles))) AS jaccard
+              FROM cand
+              JOIN csh sc ON sc.doc_id = cand.doc_id
+              JOIN bsh sb ON sb.doc_id = cand.bench_id)
+      SELECT doc_id, count(*) AS n_bench_matches, max(jaccard) AS max_jaccard
+      FROM ver WHERE jaccard >= 0.5
+      GROUP BY doc_id""")),
 
     Q("t4_fingerprint", t4, Some("""
       SELECT doc_id,

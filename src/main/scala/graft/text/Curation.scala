@@ -229,6 +229,48 @@ object Curation {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Fuzzy (MinHash-LSH) benchmark decontamination — catches NEAR
+    * duplicates of benchmark items that exact n-gram overlap ([[
+    * decontaminate]]) undercounts when the contamination is lightly
+    * edited (the Lee et al. 2022 / GPT-3 appendix-C observation: test
+    * data leaks in mutated, not verbatim). Same signature family and
+    * band scheme as [[graft.dedup.Dedup.minhashLsh]], applied CROSS-
+    * relation: corpus and benchmark docs get signatures from one shared
+    * code path, candidates share an LSH band, and survivors are verified
+    * with exact shingle Jaccard ≥ `threshold`.
+    *
+    * Scale shape: the benchmark's band keys AND verification shingle
+    * sets are broadcast (benchmarks are MBs, corpora TBs), so the corpus
+    * is scanned once for signatures — one partial-agg shuffle of shingle
+    * rows — and never shuffled for the join. Returns one row per
+    * contaminated corpus doc: (idCol, n_bench_matches, max_jaccard). */
+  def decontaminateFuzzy(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 4, rows: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(bands * rows == k,
+      s"decontaminateFuzzy: bands*rows must equal k ($bands*$rows != $k)")
+    import graft.dedup.Dedup.{bandKeyCols, minhashDocAgg}
+    val ca = minhashDocAgg(corpus, idCol, textCol, shingleN, k)
+    val ba = minhashDocAgg(benchmark, idCol, textCol, shingleN, k)
+    val bandCols = bandKeyCols(bands, rows)
+    val cBands = ca.select(
+      col(idCol), posexplode(array(bandCols: _*)).as(Seq("band", "band_key")))
+    val bBands = ba.select(
+      col(idCol).as("bench_id"), posexplode(array(bandCols: _*)).as(Seq("band", "band_key")))
+    val cand = cBands.join(broadcast(bBands), Seq("band", "band_key"))
+      .select(col(idCol), col("bench_id"))
+      .distinct()
+    cand
+      .join(ca.select(col(idCol), col("shingles").as("sc")), idCol)
+      .join(broadcast(ba.select(col(idCol).as("bench_id"), col("shingles").as("sb"))), "bench_id")
+      .select(col(idCol), jaccard(col("sc"), col("sb")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bench_matches"), max(col("jaccard")).as("max_jaccard"))
+  }
+
   /** Distinct word-`n`-gram md5 hashes per row, exploded. Tokens are
     * materialized as a real column: `element_at` inside the n-gram lambda
     * would otherwise re-evaluate split() once PER ELEMENT ACCESS (lambda

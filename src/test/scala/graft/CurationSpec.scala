@@ -93,6 +93,24 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L))
   }
 
+  test("decontaminateFuzzy: near-copy of a benchmark doc flagged, exact copy at jaccard 1.0, distinct text clean") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "uno dos tres cuatro cinco seis siete ocho")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // lightly edited copy of 100: one word appended → high Jaccard, < 1
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      // verbatim copy of 101
+      (2L, "uno dos tres cuatro cinco seis siete ocho"),
+      // unrelated
+      (3L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val out = Curation.decontaminateFuzzy(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L), s"flagged ${out.keySet}")
+    assert(out(2L)._1 == 1L && out(2L)._2 == 1.0)
+    assert(out(1L)._1 == 1L && out(1L)._2 > 0.5 && out(1L)._2 < 1.0)
+  }
+
   test("lmPerplexity: add-alpha bigram log-probs match a hand computation; repeated text scores higher") {
     val docs = Seq(
       (1L, "a b a b"),   // bigrams: (a,b) x2, (b,a) x1

@@ -121,6 +121,12 @@ class PlanSpec extends AnyFunSuite {
       l.contains("Exchange hashpartitioning")) <= 2, s"extra shuffles:\n$p")
   }
 
+  test("t18 fuzzy decontamination: benchmark bands and sets broadcast, no cartesian") {
+    val p = plan(q("t18_decontamination_fuzzy"))
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("p2 shuffle-shard: window partitioned by shard, never a single global sort") {
     val p = plan(q("p2_shuffle_shard"))
     assert(p.contains("hashpartitioning(shard"), s"window not per-shard:\n$p")
