@@ -456,9 +456,14 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
     import graft.similarity.Similarity.{dot, l2Norm}
-    // norms once per vector before the pairwise join, not once per pair
+    // norms once per vector before the pairwise join, not once per pair;
+    // persisted because the self-join reads it twice and Spark does not
+    // share plan subtrees across a self-join — without this the scan,
+    // block assignment (d7: the quantizer projection) and norm all run
+    // twice (the minhashLsh lesson applied here)
     val t = df.select(col(idCol) +: col(vecCol) +: l2Norm(col(vecCol)).as("nrm") +:
       blockCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = t.select(blockCols.map(col) :+ col(idCol).as("id_a")
       :+ col(vecCol).as("v_a") :+ col("nrm").as("nrm_a"): _*)
     val b = t.select(blockCols.map(col) :+ col(idCol).as("id_b")

@@ -459,6 +459,36 @@ object ExtensionQueries {
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.95)").as("p95"))
 
+  /** Full outer join with real null-extension on BOTH sides: nations with
+    * rich customers vs nations with rich suppliers (the > 9000 filters
+    * leave each side holding nations the other lacks), keys coalesced,
+    * absent counts surfaced as 0. */
+  private def x22(s: SparkSession, dir: String): DataFrame = {
+    val c = table(s, dir, "customer").where(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_rich_customers"))
+    val sup = table(s, dir, "supplier").where(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_rich_suppliers"))
+    c.join(sup, c("c_nationkey") === sup("s_nationkey"), "full_outer")
+      .select(
+        coalesce(c("c_nationkey"), sup("s_nationkey")).as("nationkey"),
+        coalesce(col("n_rich_customers"), lit(0L)).as("n_rich_customers"),
+        coalesce(col("n_rich_suppliers"), lit(0L)).as("n_rich_suppliers"))
+  }
+
+  /** Bivariate statistics per group: Pearson correlation, sample
+    * covariance, sample stddev — the stats-aggregate face of the OLAP
+    * surface. round(): accumulation order differs between engines;
+    * corr ∈ [-1,1] is rounded at 9 dp, covar/stddev (magnitude ~1e4)
+    * at 6 dp — both far above the last-ULP noise. */
+  private def x23(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 9).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("covar_qty_price"),
+        round(stddev_samp(col("l_extendedprice")), 6).as("sd_price"))
+
   /** Anti join: customers with no high-value order (set difference by
     * key; the filter is pushed below the join build side). */
   private def x5(s: SparkSession, dir: String): DataFrame = {
@@ -1354,6 +1384,23 @@ object ExtensionQueries {
       WHERE NOT EXISTS (SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
       GROUP BY c_mktsegment""")),
+
+    Q("x22_outer_join", x22, Some("""
+      SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+        coalesce(c.n, 0)::BIGINT AS n_rich_customers,
+        coalesce(s.n, 0)::BIGINT AS n_rich_suppliers
+      FROM (SELECT c_nationkey, count(*) AS n FROM customer
+            WHERE c_acctbal > 9000 GROUP BY 1) c
+      FULL JOIN (SELECT s_nationkey, count(*) AS n FROM supplier
+                 WHERE s_acctbal > 9000 GROUP BY 1) s
+        ON c.c_nationkey = s.s_nationkey""")),
+
+    Q("x23_stats_corr", x23, Some("""
+      SELECT l_returnflag, count(*) AS n,
+        round(corr(l_quantity, l_extendedprice), 9) AS corr_qty_price,
+        round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+        round(stddev_samp(l_extendedprice), 6) AS sd_price
+      FROM lineitem GROUP BY l_returnflag""")),
 
     Q("x6_stratified_sample", x6, Some("""
       SELECT event_id, event_type, value FROM (
