@@ -30,6 +30,44 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Dedup.simhashPairs(docs, "doc_id", "text").count() == 0)
   }
 
+  test("fuzzy decontamination: empty benchmark or empty corpus flags nothing") {
+    import graft.text.Curation
+    assert(Curation.decontaminateFuzzy(docs, emptyDocs, "doc_id", "text").count() == 0)
+    assert(Curation.decontaminateFuzzy(emptyDocs, docs, "doc_id", "text").count() == 0)
+  }
+
+  test("CMS on an empty frame yields no rows; single-row frame estimates exactly 1") {
+    import graft.folds.CmsFrequency
+    val empty = Seq.empty[(String, String)].toDF("key", "item")
+    assert(CmsFrequency.frequenciesByKey(empty, "key", "item", Seq("x")).count() == 0)
+    val one = Seq(("k", "x")).toDF("key", "item")
+    val got = CmsFrequency.frequenciesByKey(one, "key", "item", Seq("x", "y"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("x" -> 1L, "y" -> 0L))
+  }
+
+  test("z-order: single column interleave is the identity; constant column buckets to 0") {
+    import graft.sources.ZOrder
+    val vals = Seq(0L, 1L, 37L, 255L).toDF("v")
+      .select(col("v"), ZOrder.interleaveBits(Seq(col("v")), bits = 8).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(vals.forall { case (v, z) => v == z })
+    // degenerate domain (min == max): every row lands in bucket 0, no div-by-zero
+    val const = Seq((5L, 1L), (5L, 2L)).toDF("x", "y")
+    val z = ZOrder.zOrderFrame(const, Seq("x", "y"), bits = 4)
+      .select("__zval").collect().map(_.getLong(0))
+    // x contributes bucket 0 everywhere; y spans {1,2} -> distinct curve cells
+    assert(z.length == 2 && z.forall(_ >= 0))
+  }
+
+  test("BPE: empty corpus trains zero merges; encode with empty merges is char-level") {
+    import graft.pipeline.Bpe
+    assert(Bpe.trainMerges(emptyDocs.select("text"), "text", nMerges = 5).isEmpty)
+    val enc = Bpe.encode(Seq((1L, "ab")).toDF("doc_id", "text"), "doc_id", "text", Nil)
+      .select("n_bpe").collect().head.getLong(0)
+    assert(enc == 3L) // 'a', 'b', EOW
+  }
+
   test("canonicalize of no pairs is empty; dropNearDuplicates keeps everything") {
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.canonicalize(noPairs).count() == 0)
