@@ -268,6 +268,15 @@ object ExtensionQueries {
   private def st1(s: SparkSession, dir: String): DataFrame =
     Streaming.windowedEventAgg(table(s, dir, "events"), "1 hour", "10 minutes")
 
+  /** Sliding-window face of st1: 1-hour windows every 15 minutes — each
+    * event lands in 4 overlapping windows. round(.., 9): overlapping
+    * windows re-sum the same doubles in different orders. */
+  private def st5(s: SparkSession, dir: String): DataFrame =
+    Streaming.windowedEventAgg(table(s, dir, "events"), "1 hour", "10 minutes",
+        slide = Some("15 minutes"))
+      .select(col("window_start_s"), col("event_type"), col("n_events"),
+        round(col("sum_value"), 9).as("sum_value"))
+
   /** Batch face of the streaming minhash-LSH band registry (same d3
     * parameters, same oracle CTEs); StreamingSpec runs the stream face. */
   private def st4(s: SparkSession, dir: String): DataFrame =
@@ -488,6 +497,23 @@ object ExtensionQueries {
         round(corr(col("l_quantity"), col("l_extendedprice")), 9).as("corr_qty_price"),
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("covar_qty_price"),
         round(stddev_samp(col("l_extendedprice")), 6).as("sd_price"))
+
+  /** Time-interval (RANGE-frame) window: trailing-hour event count and
+    * value sum per event — the value-range frame face of the window
+    * surface (x4/x14 cover ROWS frames). RANGE frames are defined by the
+    * ORDER-BY value, so peers (equal timestamps) get identical results in
+    * any engine — no tie-break column needed, deterministic by
+    * construction. */
+  private def x24(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(-3600L, 0L)
+    table(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("ts_s"), col("value"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_trailing_hr"),
+        round(sum(col("value")).over(w), 9).as("sum_trailing_hr"))
+  }
 
   /** Anti join: customers with no high-value order (set difference by
     * key; the filter is pushed below the join build side). */
@@ -1365,6 +1391,17 @@ object ExtensionQueries {
         event_type, count(*) AS n_events, sum(value) AS sum_value
       FROM events GROUP BY 1, 2""")),
 
+    // every event belongs to window starts in
+    // ((ts_s - 3600)//900 + 1 .. ts_s//900) × 900 — len/slide = 4 windows
+    Q("st5_sliding_windows", st5, Some("""
+      SELECT ws * 900 AS window_start_s, event_type,
+        count(*) AS n_events, round(sum(value), 9) AS sum_value
+      FROM (SELECT event_type, value,
+              unnest(range((ts_s - 3600) // 900 + 1, ts_s // 900 + 1)) AS ws
+            FROM (SELECT epoch_ns(ts) // 1000000000 AS ts_s, event_type, value
+                  FROM events))
+      GROUP BY 1, 2""")),
+
     Q("x1_star_join", x1, Some("""
       SELECT n_name, count(*) AS n_orders, sum(o_totalprice) AS sum_price
       FROM orders
@@ -1384,6 +1421,15 @@ object ExtensionQueries {
       WHERE NOT EXISTS (SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
       GROUP BY c_mktsegment""")),
+
+    Q("x24_range_frame_window", x24, Some("""
+      SELECT event_id, user_id,
+        count(*) OVER w AS n_trailing_hr,
+        round(sum(value) OVER w, 9) AS sum_trailing_hr
+      FROM (SELECT event_id, user_id,
+              epoch_ns(ts) // 1000000000 AS ts_s, value FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""")),
 
     Q("x22_outer_join", x22, Some("""
       SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,

@@ -23,14 +23,22 @@ object Streaming {
   def nanosToTimestamp(tsNanos: String): org.apache.spark.sql.Column =
     timestamp_seconds(expr(s"$tsNanos div 1000000000"))
 
-  /** Tumbling event-time window aggregation with a watermark: count + sum
-    * per (window, event_type). Emits `window_start_s` as epoch seconds (a
-    * timezone-free representation for cross-engine comparison). */
-  def windowedEventAgg(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+  /** Tumbling or sliding event-time window aggregation with a watermark:
+    * count + sum per (window, event_type). `slide` = None tumbles; Some
+    * overlaps — each event lands in len/slide windows (Spark's window()
+    * assigns them all at once; state per open window, expired by the
+    * watermark). Emits `window_start_s` as epoch seconds (a timezone-free
+    * representation for cross-engine comparison). */
+  def windowedEventAgg(
+      events: DataFrame, windowLen: String, watermark: String,
+      slide: Option[String] = None): DataFrame =
     events
       .withColumn("event_time", nanosToTimestamp("ts"))
       .withWatermark("event_time", watermark)
-      .groupBy(window(col("event_time"), windowLen).as("w"), col("event_type"))
+      .groupBy(
+        slide.fold(window(col("event_time"), windowLen))(
+          s => window(col("event_time"), windowLen, s)).as("w"),
+        col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(
         unix_timestamp(col("w.start")).as("window_start_s"),

@@ -36,6 +36,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windowedEventAgg: each event lands in len/slide windows, stream ≡ batch") {
+    implicit val ctx = spark.sqlContext
+    // 10-minute windows sliding by 5: an event at t=310s belongs to the
+    // windows starting at -300 (clipped to ...) and 0 and 300? No: starts
+    // 0 and 300 — exactly len/slide = 2 windows
+    val rows = Seq((ns(310), "click", 1.0), (ns(620), "click", 2.0))
+    val batch = rows.toDF("ts", "event_type", "value")
+    val expect = Streaming.windowedEventAgg(batch, "10 minutes", "5 minutes",
+        slide = Some("5 minutes"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // event 310 → windows 0, 300; event 620 → windows 300, 600
+    assert(expect == Set(
+      (0L, "click", 1L, 1.0), (300L, "click", 2L, 3.0), (600L, "click", 1L, 2.0)))
+
+    val source = MemoryStream[(Long, String, Double)]
+    val agg = Streaming.windowedEventAgg(source.toDF().toDF("ts", "event_type", "value"),
+      "10 minutes", "5 minutes", slide = Some("5 minutes"))
+    val q = agg.writeStream.format("memory").queryName("slide_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(rows: _*)
+      q.processAllAvailable()
+      source.addData((ns(7200), "click", 9.0)) // push watermark far past
+      q.processAllAvailable()
+      val closed = spark.table("slide_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(closed == expect)
+    } finally q.stop()
+  }
+
   test("windowedEventAgg: same definition gives same answer in batch mode") {
     val batch = Seq((ns(10), "click", 1.0), (ns(20), "click", 2.0), (ns(700), "click", 7.0))
       .toDF("ts", "event_type", "value")
