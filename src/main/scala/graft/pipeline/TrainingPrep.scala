@@ -68,6 +68,37 @@ object TrainingPrep {
         floor(col("start_offset") / lit(seqLen.toDouble)).cast("long"))
   }
 
+  /** Fixed-token-window document chunking with overlap — the context-
+    * window prep step (pretraining max-seq-len splitting, RAG chunking):
+    * token windows of `chunkTokens` starting every `chunkTokens -
+    * overlap` tokens, so consecutive chunks share `overlap` tokens and
+    * no token is dropped. Pure Column expressions over a MATERIALIZED
+    * token array (the HOF lesson: `slice` over a recomputed `split`
+    * re-tokenizes per chunk): shuffle-free, linear, one output row per
+    * chunk. The trailing chunk may be short; a doc shorter than one
+    * chunk yields exactly one chunk. Output: (idCol, chunk_id,
+    * chunk_text, n_chunk_tokens). */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      s"chunkDocuments: need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      // starts 0, stride, 2*stride, ... while start < n (sequence is
+      // inclusive of the bound, so bound = n-1; __n >= 1 always: even
+      // split("") is [""])
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), col("__n") - 1, lit(stride))).as("__s"))
+      .select(
+        col(idCol),
+        (col("__s") / stride).cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"), col("__s") + 1, lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens.toLong), col("__n") - col("__s")).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
   /** Frequency vocabulary: the `size` highest-document-frequency tokens,
     * with dense ids 1..size assigned by (df DESC, token ASC) — fully
     * deterministic, no hash collisions, reproducible by any engine.

@@ -387,6 +387,12 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_tokens"))
   }
 
+  /** Context-window chunking: 24-token chunks every 16 tokens (8-token
+    * overlap) over the documents corpus. */
+  private def p10(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TrainingPrep.chunkDocuments(
+      table(s, dir, "documents"), "doc_id", "text", chunkTokens = 24, overlap = 8)
+
   private def p4(s: SparkSession, dir: String): DataFrame = {
     // per-source mixture weight: quarter steps by source number, so every
     // weight (0.25/0.5/0.75/1.0) is exact in binary in both engines
@@ -1484,6 +1490,16 @@ object ExtensionQueries {
         ON s.source = c.source AND s.tok = c.tok""")),
     Q("p8_bpe_train", p8, None),
     Q("p9_bpe_encode", p9, None),
+
+    // starts = range(0, n, 16); DuckDB list slice ws[a:b] is 1-based
+    // inclusive, matching Spark's slice(toks, s+1, 24)
+    Q("p10_chunk_docs", p10, Some("""
+      SELECT doc_id, s // 16 AS chunk_id,
+        array_to_string(ws[s + 1 : s + 24], ' ') AS chunk_text,
+        least(24, n - s)::BIGINT AS n_chunk_tokens
+      FROM (SELECT doc_id, ws, len(ws) AS n,
+              unnest(range(0, len(ws), 16)) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))""")),
 
     // Pages = ~5 docs concatenated in doc_id order; doc_id%5==0 docs
     // reappear verbatim on later pages, so their lines dedup away there.

@@ -95,6 +95,26 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(one.select("stage").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("chunkDocuments: stride windows with overlap, no token dropped, short doc = one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map("w" + _).mkString(" ")), // 10 tokens
+      (2L, "a b"),                                 // shorter than one chunk
+      (3L, "")                                     // split("") = [""]
+    ).toDF("doc_id", "text")
+    val out = TrainingPrep.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,2,4,6,8 → 5 chunks; consecutive chunks share 2 tokens
+    assert(d1.map(_._3).toSeq == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10", "w9 w10"))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L, 4L, 2L))
+    // every source token appears in some chunk (no token dropped)
+    assert((1 to 10).forall(i => d1.exists(_._3.split(" ").contains("w" + i))))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b", 2L)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "", 1L)))
+  }
+
   test("groupQuota: caps each group, equals the window formulation, partition-invariant") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
