@@ -54,12 +54,16 @@ object ScaleProbe {
       "t15_decontamination_bloom", "p5_curriculum", "m5_perceptual_dedup",
       "p6_tokenize_ids", "a2_hll_union", "x19_rank_family", "t16_lm_perplexity",
       "d9_line_dedup", "p7_source_quota", "x20_skew_join", "a3_kll_quantiles",
-      "s6_ann_recall", "t17_normalize_dedup")
+      "s6_ann_recall", "t17_normalize_dedup",
+      "p8_bpe_train", "t18_decontamination_fuzzy", "a4_cms_frequency",
+      "p10_chunk_docs", "x21_zorder_interleave", "x24_range_frame_window",
+      "st5_sliding_windows", "x23_stats_corr")
     def time(dir: String, name: String): Double = {
       // operators persist() shared branches; a prior identical run would
       // satisfy them from the cache (CacheManager matches canonicalized
       // plans) and make the measurement warm — clear for a cold run
       spark.catalog.clearCache()
+      graft.queries.ExtensionQueries.clearArtifactCaches()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9

@@ -429,6 +429,9 @@ object ExtensionQueries {
     * semantically invisible. */
   private val bpeMergeCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(String, String)]]
+  /** Dev hook (ScaleProbe): drop memoized artifacts so a timed run pays
+    * full cost — mirrors `spark.catalog.clearCache()` for persist(). */
+  private[graft] def clearArtifactCaches(): Unit = bpeMergeCache.clear()
   private def bpeMerges(s: SparkSession, dir: String, nMerges: Int): Seq[(String, String)] =
     bpeMergeCache.getOrElseUpdate((dir, nMerges),
       graft.pipeline.Bpe.trainMerges(
