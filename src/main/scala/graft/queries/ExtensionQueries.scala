@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, RangeJoin, SaltedAgg}
+import graft.operators.{AsOfJoin, CdcMerge, RangeJoin, SaltedAgg}
 import graft.similarity.Similarity
 import graft.streaming.Streaming
 import graft.text.{Curation, TextAnalysis, TextFunctions}
@@ -522,6 +522,68 @@ object ExtensionQueries {
       .select(col("event_id"), col("user_id"),
         count(lit(1)).over(w).as("n_trailing_hr"),
         round(sum(col("value")).over(w), 9).as("sum_trailing_hr"))
+  }
+
+  /** Time-series gap fill: hourly event counts per type with EVERY hour
+    * in the corpus span present (missing hours = 0) — the resampling
+    * scaffold join. Bounds travel via a broadcast 1-row cross join (no
+    * driver action); the scaffold is types × hours, tiny next to the
+    * event stream. */
+  private def x25(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .select(col("event_type"), expr("ts div 1000000000 div 3600").as("h"))
+    val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val scaffold = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val counts = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    scaffold.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), (col("h") * 3600).as("hour_s"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
+  /** CDC merge: a deterministic changeset over orders (every 10th key
+    * upserted with +1000 price, every 17th deleted, every 50th inserted
+    * as a new key) applied to the snapshot, then aggregated. Exercises
+    * all three MERGE INTO outcomes in one hash-checked result. */
+  private def x26(s: SparkSession, dir: String): DataFrame = {
+    val snap = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val updates = snap.where(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("op", lit(CdcMerge.Upsert))
+    val deletes = snap.where(col("o_orderkey") % 17 === 0)
+      .withColumn("op", lit(CdcMerge.Delete))
+    val inserts = snap.where(col("o_orderkey") % 50 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 5000000L)
+      .withColumn("op", lit(CdcMerge.Upsert))
+    // deletes win over updates on overlapping keys (10 and 17 share
+    // multiples): keep the delete row, drop the update — one row per key
+    val changes = updates.unionByName(deletes).unionByName(inserts)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("o_orderkey"))
+          .orderBy(when(col("op") === CdcMerge.Delete, 0).otherwise(1))))
+      .where(col("__rk") === 1).drop("__rk")
+    CdcMerge(snap, changes, Seq("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+  }
+
+  /** Equal-width histogram: 10 buckets over the global [min, max] of
+    * value per event type (bounds via broadcast 1-row cross join). The
+    * bucket arithmetic is identical IEEE ops on identical operands in
+    * both engines — deterministic without rounding. */
+  private def x27(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events").select(col("event_type"), col("value"))
+    val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        least(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 10)
+          .cast("long"), lit(9L)).as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** Anti join: customers with no high-value order (set difference by
@@ -1439,6 +1501,53 @@ object ExtensionQueries {
               epoch_ns(ts) // 1000000000 AS ts_s, value FROM events)
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""")),
+
+    Q("x25_gap_fill", x25, Some("""
+      WITH ev AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS h
+                  FROM events),
+      b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+      scaffold AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h
+                   FROM (SELECT DISTINCT event_type FROM ev), b),
+      counts AS (SELECT event_type, h, count(*) AS n FROM ev GROUP BY 1, 2)
+      SELECT s.event_type, s.h * 3600 AS hour_s, coalesce(c.n, 0)::BIGINT AS n_events
+      FROM scaffold s LEFT JOIN counts c
+        ON s.event_type = c.event_type AND s.h = c.h""")),
+
+    // MERGE INTO semantics: deletes vanish, updates replace, inserts
+    // append; deletes win over updates on keys hit by both rules
+    Q("x26_cdc_merge", x26, Some("""
+      WITH snap AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+      changes AS (
+        SELECT o_orderkey,
+          arg_min(o_orderpriority, pri) AS o_orderpriority,
+          arg_min(o_totalprice, pri) AS o_totalprice,
+          arg_min(op, pri) AS op
+        FROM (
+          SELECT o_orderkey, o_orderpriority, o_totalprice + 1000.0 AS o_totalprice,
+                 'upsert' AS op, 1 AS pri FROM snap WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey, o_orderpriority, o_totalprice, 'delete', 0
+          FROM snap WHERE o_orderkey % 17 = 0
+          UNION ALL
+          SELECT o_orderkey + 5000000, o_orderpriority, o_totalprice, 'upsert', 1
+          FROM snap WHERE o_orderkey % 50 = 0)
+        GROUP BY o_orderkey),
+      merged AS (
+        SELECT o_orderpriority, o_totalprice FROM snap
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice FROM changes WHERE op = 'upsert')
+      SELECT o_orderpriority, count(*) AS n_orders,
+        round(sum(o_totalprice), 2) AS sum_price
+      FROM merged GROUP BY o_orderpriority""")),
+
+    Q("x27_histogram", x27, Some("""
+      WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+      SELECT event_type,
+        least(floor((value - lo) / (hi - lo) * 10)::BIGINT, 9) AS bucket,
+        count(*) AS n
+      FROM events, b
+      GROUP BY 1, 2""")),
 
     Q("x22_outer_join", x22, Some("""
       SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
