@@ -586,6 +586,41 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Ordered funnel: users who viewed, then clicked AFTER their first
+    * view, then purchased AFTER that click — the classic product-
+    * analytics query. Each stage is one filtered aggregate joined to the
+    * previous stage's timestamps (strictly-after semantics via min-ts
+    * comparison — deterministic regardless of tie order since only the
+    * per-user MINIMUM crosses stages). */
+  private def x28(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000000000").as("ts_s"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t1"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts_s") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t2"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts_s") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t3"))
+    v.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(c.agg(count(lit(1)).as("n_clicked_after")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchased_after")))
+  }
+
+  /** Cohort retention: users bucketed by first-activity week, counted by
+    * weeks-since-cohort offset — the activity matrix behind every
+    * retention curve. Absolute epoch weeks, no corpus-dependent origin. */
+  private def x29(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000000 div 604800").as("week"))
+      .distinct()
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Anti join: customers with no high-value order (set difference by
     * key; the filter is pushed below the join build side). */
   private def x5(s: SparkSession, dir: String): DataFrame = {
@@ -1501,6 +1536,27 @@ object ExtensionQueries {
               epoch_ns(ts) // 1000000000 AS ts_s, value FROM events)
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""")),
+
+    Q("x28_funnel", x28, Some("""
+      WITH ev AS (SELECT user_id, event_type,
+                    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+      v AS (SELECT user_id, min(ts_s) AS t1 FROM ev
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(ts_s) AS t2 FROM ev e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND ts_s > t1 GROUP BY 1),
+      p AS (SELECT e.user_id, min(ts_s) AS t3 FROM ev e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND ts_s > t2 GROUP BY 1)
+      SELECT (SELECT count(*) FROM v) AS n_viewed,
+             (SELECT count(*) FROM c) AS n_clicked_after,
+             (SELECT count(*) FROM p) AS n_purchased_after""")),
+
+    Q("x29_retention", x29, Some("""
+      WITH ev AS (SELECT DISTINCT user_id,
+                    epoch_ns(ts) // 1000000000 // 604800 AS week FROM events),
+      cohort AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1)
+      SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
+      FROM ev JOIN cohort USING (user_id)
+      GROUP BY 1, 2""")),
 
     Q("x25_gap_fill", x25, Some("""
       WITH ev AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS h
