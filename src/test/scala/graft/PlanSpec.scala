@@ -121,6 +121,19 @@ class PlanSpec extends AnyFunSuite {
       l.contains("Exchange hashpartitioning")) <= 2, s"extra shuffles:\n$p")
   }
 
+  test("x26 CDC merge: changeset keys broadcast for the anti join, snapshot never multiplied") {
+    val p = plan(q("x26_cdc_merge"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"anti join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x25 gap fill: bounds travel by broadcast, no cartesian blowup beyond the 1-row join") {
+    val p = plan(q("x25_gap_fill"))
+    assert(p.contains("BroadcastExchange"), s"bounds not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t18 fuzzy decontamination: benchmark bands and sets broadcast, no cartesian") {
     val p = plan(q("t18_decontamination_fuzzy"))
     assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
