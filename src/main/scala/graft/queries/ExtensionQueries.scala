@@ -477,6 +477,24 @@ object ExtensionQueries {
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.95)").as("p95"))
 
+  /** Winsorization (percentile clipping): values clamped to the global
+    * [p01, p99] — the outlier-capping step of feature/score cleaning.
+    * Thresholds via broadcast 1-row cross join (no driver action); the
+    * clamp returns one of {value, p01, p99} verbatim, so no rounding is
+    * needed beyond the percentile interpolation t5 already oracles.
+    * At 100 TB swap `percentile` for `percentile_approx` (t-digest,
+    * mergeable) — same plumbing. */
+  private def t19(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val b = ev.agg(
+      expr("percentile(value, 0.01)").as("p01"),
+      expr("percentile(value, 0.99)").as("p99"))
+    ev.crossJoin(broadcast(b))
+      .select(col("event_id"), col("value"),
+        least(greatest(col("value"), col("p01")), col("p99")).as("value_w"),
+        (col("value") < col("p01") || col("value") > col("p99")).as("clipped"))
+  }
+
   /** Full outer join with real null-extension on BOTH sides: nations with
     * rich customers vs nations with rich suppliers (the > 9000 filters
     * leave each side holding nations the other lacks), keys coalesced,
@@ -1520,6 +1538,14 @@ object ExtensionQueries {
         quantile_cont(value, 0.5) AS p50,
         quantile_cont(value, 0.95) AS p95
       FROM events GROUP BY event_type""")),
+
+    Q("t19_winsorize", t19, Some("""
+      WITH b AS (SELECT quantile_cont(value, 0.01) AS p01,
+                        quantile_cont(value, 0.99) AS p99 FROM events)
+      SELECT event_id, value,
+        least(greatest(value, p01), p99) AS value_w,
+        (value < p01 OR value > p99) AS clipped
+      FROM events, b""")),
 
     Q("x5_anti_join", x5, Some("""
       SELECT c_mktsegment, count(*) AS n_never_ordered, min(c_custkey) AS min_custkey
