@@ -277,6 +277,17 @@ object ExtensionQueries {
       .select(col("window_start_s"), col("event_type"), col("n_events"),
         round(col("sum_value"), 9).as("sum_value"))
 
+  /** Batch face of latest-state-by-key over the events change stream:
+    * the current (last) event per user, ordered by (ts_s, event_id) —
+    * event_id breaks timestamp ties, making the winner total-ordered. */
+  private def st6(s: SparkSession, dir: String): DataFrame =
+    Streaming.latestByKey(
+      table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000000").as("ts_s"),
+          col("event_id"), col("event_type")),
+      keyCols = Seq("user_id"), orderCols = Seq("ts_s", "event_id"),
+      payloadCols = Seq("event_type"))
+
   /** Batch face of the streaming minhash-LSH band registry (same d3
     * parameters, same oracle CTEs); StreamingSpec runs the stream face. */
   private def st4(s: SparkSession, dir: String): DataFrame =
@@ -1517,6 +1528,14 @@ object ExtensionQueries {
 
     // every event belongs to window starts in
     // ((ts_s - 3600)//900 + 1 .. ts_s//900) × 900 — len/slide = 4 windows
+    Q("st6_latest_state", st6, Some("""
+      SELECT user_id, ts_s, event_id, event_type FROM (
+        SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s, event_id, event_type,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY epoch_ns(ts) // 1000000000 DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1""")),
+
     Q("st5_sliding_windows", st5, Some("""
       SELECT ws * 900 AS window_start_s, event_type,
         count(*) AS n_events, round(sum(value), 9) AS sum_value

@@ -240,6 +240,30 @@ object Streaming {
       exploded.groupBy(col("band_key")).agg(min(col(idCol)).as("keep_id"))
   }
 
+  /** Latest-state-by-key: materialize the current row per key from a
+    * (possibly out-of-order) change stream — the streaming face of
+    * [[graft.operators.CdcMerge]]'s upsert half, and the standard CDC
+    * materialized view. One mergeable aggregate: `max(struct(orderCols,
+    * payloadCols))` compares lexicographically on the order columns
+    * first, so the winner per key is deterministic whenever `orderCols`
+    * is a total order within the key (pass a tiebreaker column if the
+    * version alone can collide). Works identically in batch and in
+    * streaming update/complete mode — max satisfies the zero/reduce/
+    * merge contract, so out-of-order and re-delivered changes converge
+    * to the same answer. State is one struct per key, not per change. */
+  def latestByKey(
+      changes: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], payloadCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty,
+      "latestByKey: need key and order columns")
+    val ordered = (orderCols ++ payloadCols).map(col)
+    changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(ordered: _*)).as("__latest"))
+      .select(keyCols.map(col) ++ (orderCols ++ payloadCols).map(c =>
+        col(s"__latest.$c").as(c)): _*)
+  }
+
   /** Convenience: run a streaming DataFrame to a named in-memory sink and
     * block until the available data is processed (test/dev harness). */
   def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): Unit = {

@@ -66,6 +66,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("latestByKey: out-of-order and re-delivered changes converge to the batch answer") {
+    implicit val ctx = spark.sqlContext
+    val changes = Seq( // (user, version, event_id, payload) — out of order
+      (1L, 50L, 3L, "c"), (1L, 10L, 1L, "a"), (1L, 50L, 2L, "b"), // version tie → event_id 3 wins
+      (2L, 20L, 4L, "d"))
+    val batch = Streaming.latestByKey(
+      changes.toDF("user_id", "ts_s", "event_id", "event_type"),
+      Seq("user_id"), Seq("ts_s", "event_id"), Seq("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(batch == Set((1L, 50L, 3L, "c"), (2L, 20L, 4L, "d")))
+
+    val source = MemoryStream[(Long, Long, Long, String)]
+    val latest = Streaming.latestByKey(
+      source.toDF().toDF("user_id", "ts_s", "event_id", "event_type"),
+      Seq("user_id"), Seq("ts_s", "event_id"), Seq("event_type"))
+    val q = latest.writeStream.format("memory").queryName("latest_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      source.addData(changes(0), changes(1))
+      q.processAllAvailable()
+      source.addData(changes(2), changes(3))
+      source.addData(changes(0)) // at-least-once re-delivery
+      q.processAllAvailable()
+      val streamed = spark.table("latest_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("windowedEventAgg: same definition gives same answer in batch mode") {
     val batch = Seq((ns(10), "click", 1.0), (ns(20), "click", 2.0), (ns(700), "click", 7.0))
       .toDF("ts", "event_type", "value")
