@@ -488,6 +488,21 @@ object ExtensionQueries {
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.95)").as("p95"))
 
+  /** Semi-structured extraction: typed field pulled out of the JSON
+    * `props` column with a declared schema (`from_json` — codegen'd
+    * parse, no UDF), then aggregated. Malformed JSON or a missing field
+    * yields null, which the aggregates skip — the PERMISSIVE contract
+    * the sources module establishes, applied per cell. */
+  private def x30(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
   /** Winsorization (percentile clipping): values clamped to the global
     * [p01, p99] — the outlier-capping step of feature/score cleaning.
     * Thresholds via broadcast 1-row cross join (no driver action); the
@@ -1557,6 +1572,14 @@ object ExtensionQueries {
         quantile_cont(value, 0.5) AS p50,
         quantile_cont(value, 0.95) AS p95
       FROM events GROUP BY event_type""")),
+
+    // ::BIGINT on sum: DuckDB sum(BIGINT) yields HUGEINT (the d4 lesson)
+    Q("x30_json_extract", x30, Some("""
+      SELECT event_type,
+        count(k) AS n_with_k, sum(k)::BIGINT AS sum_k,
+        min(k) AS min_k, max(k) AS max_k
+      FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+      GROUP BY event_type""")),
 
     Q("t19_winsorize", t19, Some("""
       WITH b AS (SELECT quantile_cont(value, 0.01) AS p01,
