@@ -488,6 +488,35 @@ object ExtensionQueries {
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.95)").as("p95"))
 
+  /** Calendar decomposition: revenue by (year, month, day-of-week) —
+    * the date/time function surface (year/month/dayofweek over a
+    * timestamp column; the reference has no temporal type at all, SURVEY
+    * §2.12). Sums of 2-decimal money rounded at 2 dp (exact there). */
+  private def x31(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofweek(col("o_orderdate")).as("dow"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+
+  /** Vocabulary typo candidates: adjacent tokens (sorted order) within
+    * Levenshtein distance 2 — the string-distance face of data cleaning,
+    * over the vocabulary-sized aggregate (NOT all token pairs: the sort
+    * puts likely typos next to each other; the full pair space would be
+    * |V|² and is exactly what d2's prefix pruning exists to avoid). */
+  private def t20(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("tok"))
+    table(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "").distinct()
+      .withColumn("prev_tok", lag(col("tok"), 1).over(w))
+      .where(col("prev_tok").isNotNull)
+      .withColumn("dist", levenshtein(col("tok"), col("prev_tok")))
+      .where(col("dist") <= 2)
+      .select(col("prev_tok"), col("tok"), col("dist"))
+  }
+
   /** Semi-structured extraction: typed field pulled out of the JSON
     * `props` column with a declared schema (`from_json` — codegen'd
     * parse, no UDF), then aggregated. Malformed JSON or a missing field
@@ -1572,6 +1601,22 @@ object ExtensionQueries {
         quantile_cont(value, 0.5) AS p50,
         quantile_cont(value, 0.95) AS p95
       FROM events GROUP BY event_type""")),
+
+    // ::INT casts match Spark's IntegerType for year/month/dayofweek;
+    // DuckDB dayofweek is 0-based Sunday, Spark's is 1-based → +1
+    Q("x31_date_parts", x31, Some("""
+      SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
+        (dayofweek(o_orderdate) + 1)::INT AS dow,
+        count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+      FROM orders GROUP BY 1, 2, 3""")),
+
+    Q("t20_typo_candidates", t20, Some("""
+      WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+      l AS (SELECT tok, lag(tok) OVER (ORDER BY tok) AS prev_tok
+            FROM v WHERE tok <> '')
+      SELECT prev_tok, tok, levenshtein(tok, prev_tok)::INT AS dist
+      FROM l WHERE prev_tok IS NOT NULL AND levenshtein(tok, prev_tok) <= 2""")),
 
     // ::BIGINT on sum: DuckDB sum(BIGINT) yields HUGEINT (the d4 lesson)
     Q("x30_json_extract", x30, Some("""
