@@ -68,6 +68,26 @@ object TrainingPrep {
         floor(col("start_offset") / lit(seqLen.toDouble)).cast("long"))
   }
 
+  /** Deterministic train/validation/test split: `u = uniform01(id)`
+    * against cumulative fraction thresholds — reproducible on any
+    * engine/cluster/run (no `rand()`), stable under reprocessing (a doc
+    * keeps its split forever, the property leakage audits depend on).
+    * Fractions must sum to 1; assignment is first-match on the cumulative
+    * boundary. */
+  def hashSplit(
+      df: DataFrame, idCol: String, salt: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"hashSplit: fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val u = uniform01(col(idCol), salt)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val expr0 = fractions.zip(cum).init.foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), bound), rest) =>
+      when(u < bound, name).otherwise(rest)
+    }
+    df.withColumn("split", expr0)
+  }
+
   /** Fixed-token-window document chunking with overlap — the context-
     * window prep step (pretraining max-seq-len splitting, RAG chunking):
     * token windows of `chunkTokens` starting every `chunkTokens -

@@ -398,6 +398,15 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_tokens"))
   }
 
+  /** Deterministic 80/10/10 train/val/test split, counted per (source,
+    * split) — every engine computes the same membership from md5. */
+  private def p11(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TrainingPrep.hashSplit(
+      table(s, dir, "documents"), "doc_id", "split",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+
   /** Context-window chunking: 24-token chunks every 16 tokens (8-token
     * overlap) over the documents corpus. */
   private def p10(s: SparkSession, dir: String): DataFrame =
@@ -1771,6 +1780,17 @@ object ExtensionQueries {
         ON s.source = c.source AND s.tok = c.tok""")),
     Q("p8_bpe_train", p8, None),
     Q("p9_bpe_encode", p9, None),
+
+    // u = md5-hash32 / 2^32 exactly as p2/p4's oracles compute it
+    Q("p11_hash_split", p11, Some("""
+      SELECT source,
+        CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+        count(*) AS n_docs, min(doc_id) AS min_doc
+      FROM (SELECT source, doc_id,
+              ('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 8))::BIGINT
+                / 4294967296.0 AS u
+            FROM documents)
+      GROUP BY 1, 2""")),
 
     // starts = range(0, n, 16); DuckDB list slice ws[a:b] is 1-based
     // inclusive, matching Spark's slice(toks, s+1, 24)

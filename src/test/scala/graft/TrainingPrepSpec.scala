@@ -115,6 +115,23 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "", 1L)))
   }
 
+  test("hashSplit: exhaustive, deterministic, approximately proportioned, bad fractions rejected") {
+    val df = (0L until 1000L).toDF("id")
+    val out = TrainingPrep.hashSplit(df, "id", "s", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 1000 && out.values.toSet == Set("train", "val", "test"))
+    val n = out.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(n("train") > 700 && n("train") < 900, s"train ${n("train")}")
+    assert(n("val") > 50 && n("val") < 160 && n("test") > 50 && n("test") < 160, n.toString)
+    // membership is a pure function of the id — partitioning can't move a doc
+    val again = TrainingPrep.hashSplit(df.repartition(13), "id", "s",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+    intercept[IllegalArgumentException](
+      TrainingPrep.hashSplit(df, "id", "s", Seq("a" -> 0.5, "b" -> 0.4)))
+  }
+
   test("groupQuota: caps each group, equals the window formulation, partition-invariant") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
