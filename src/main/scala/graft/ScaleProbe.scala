@@ -39,8 +39,10 @@ object ScaleProbe {
       .parquet(s"$big/customer.parquet")
     spark.read.parquet(s"$src/nation.parquet").write.mode("overwrite")
       .parquet(s"$big/nation.parquet")
-    spark.read.parquet(s"$src/events.parquet").write.mode("overwrite")
-      .parquet(s"$big/events.parquet")
+    // events replicate with shifted ids but UNSHIFTED timestamps: 10x the
+    // rows land in the same hour/window key space, which is exactly the
+    // claim the window probes (x24/st5/x25) need to test
+    replicate("events", Seq("event_id", "user_id"), None)
 
     val probes = Seq("q1_flagship", "d1_dedup_exact", "d2_dedup_ngram_jaccard",
       "d3_dedup_minhash_lsh", "d4_dedup_simhash", "d5_dedup_embedding_cosine",

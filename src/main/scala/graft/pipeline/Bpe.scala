@@ -41,14 +41,19 @@ object Bpe {
   /** (symbols, frequency) — one row per DISTINCT word. */
   private type WordRow = (Seq[String], Long)
 
+  /** Split a word into per-code-point symbols (surrogate-safe: a
+    * supplementary character is ONE symbol, not two broken halves). */
+  private[pipeline] def charSymbols(w: String): Seq[String] =
+    w.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp)))
+
   private def wordRelation(df: DataFrame, textCol: String): Dataset[WordRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(explode(split(col(textCol), " ")).as("w"))
+    df.select(explode(split(coalesce(col(textCol), lit("")), " ")).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .as[(String, Long)]
-      .map { case (w, n) => (w.map(_.toString) :+ EOW, n) }
+      .map { case (w, n) => (charSymbols(w) :+ EOW, n) }
   }
 
   /** Train `nMerges` merges. Returns the ranked merge list (driver-side:
@@ -57,6 +62,7 @@ object Bpe {
       df: DataFrame, textCol: String, nMerges: Int,
       checkpointEvery: Int = 10): Seq[(String, String)] = {
     require(nMerges >= 0, "Bpe.trainMerges: nMerges must be >= 0")
+    require(checkpointEvery >= 1, "Bpe.trainMerges: checkpointEvery must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     var words = wordRelation(df, textCol).localCheckpoint()
@@ -121,11 +127,15 @@ object Bpe {
     val bc = spark.sparkContext.broadcast(
       merges.zipWithIndex.map { case (p, r) => p -> r }.toMap)
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
-    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)](enc)
+    // null text encodes to zero tokens; a null (or uncastable) id has no
+    // addressable row to return — drop it rather than NPE the encoder
+    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .where(col(idCol).isNotNull)
+      .as[(Long, String)](enc)
       .map { case (id, text) =>
         val ranks = bc.value
         val toks = text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
-          var syms: Seq[String] = w.map(_.toString) :+ EOW
+          var syms: Seq[String] = Bpe.charSymbols(w) :+ EOW
           var done = false
           while (!done) {
             // lowest-rank merge present in this word

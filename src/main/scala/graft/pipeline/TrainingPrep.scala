@@ -73,7 +73,8 @@ object TrainingPrep {
     * engine/cluster/run (no `rand()`), stable under reprocessing (a doc
     * keeps its split forever, the property leakage audits depend on).
     * Fractions must sum to 1; assignment is first-match on the cumulative
-    * boundary. */
+    * boundary. A null id gets a NULL split (surfaced, not silently
+    * classified into the last bucket). */
   def hashSplit(
       df: DataFrame, idCol: String, salt: String,
       fractions: Seq[(String, Double)]): DataFrame = {
@@ -85,7 +86,7 @@ object TrainingPrep {
       lit(fractions.last._1): Column) { case (((name, _), bound), rest) =>
       when(u < bound, name).otherwise(rest)
     }
-    df.withColumn("split", expr0)
+    df.withColumn("split", when(col(idCol).isNotNull, expr0))
   }
 
   /** Fixed-token-window document chunking with overlap — the context-

@@ -637,8 +637,10 @@ object ExtensionQueries {
       .withColumn("op", lit(CdcMerge.Upsert))
     val deletes = snap.where(col("o_orderkey") % 17 === 0)
       .withColumn("op", lit(CdcMerge.Delete))
+    // negated keys: disjoint from the (positive) live key space at ANY
+    // scale factor — an additive offset would collide once keys pass it
     val inserts = snap.where(col("o_orderkey") % 50 === 0)
-      .withColumn("o_orderkey", col("o_orderkey") + 5000000L)
+      .withColumn("o_orderkey", -col("o_orderkey") - 1L)
       .withColumn("op", lit(CdcMerge.Upsert))
     // deletes win over updates on overlapping keys (10 and 17 share
     // multiples): keep the delete row, drop the update — one row per key
@@ -1579,8 +1581,6 @@ object ExtensionQueries {
         event_type, count(*) AS n_events, sum(value) AS sum_value
       FROM events GROUP BY 1, 2""")),
 
-    // every event belongs to window starts in
-    // ((ts_s - 3600)//900 + 1 .. ts_s//900) × 900 — len/slide = 4 windows
     Q("st6_latest_state", st6, Some("""
       SELECT user_id, ts_s, event_id, event_type FROM (
         SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s, event_id, event_type,
@@ -1589,6 +1589,8 @@ object ExtensionQueries {
         FROM events)
       WHERE rn = 1""")),
 
+    // every event belongs to window starts in
+    // ((ts_s - 3600)//900 + 1 .. ts_s//900) × 900 — len/slide = 4 windows
     Q("st5_sliding_windows", st5, Some("""
       SELECT ws * 900 AS window_start_s, event_type,
         count(*) AS n_events, round(sum(value), 9) AS sum_value
@@ -1707,7 +1709,7 @@ object ExtensionQueries {
           SELECT o_orderkey, o_orderpriority, o_totalprice, 'delete', 0
           FROM snap WHERE o_orderkey % 17 = 0
           UNION ALL
-          SELECT o_orderkey + 5000000, o_orderpriority, o_totalprice, 'upsert', 1
+          SELECT -o_orderkey - 1, o_orderpriority, o_totalprice, 'upsert', 1
           FROM snap WHERE o_orderkey % 50 = 0)
         GROUP BY o_orderkey),
       merged AS (

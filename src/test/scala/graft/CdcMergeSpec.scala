@@ -23,6 +23,13 @@ class CdcMergeSpec extends AnyFunSuite {
     assert(out == Set((1L, "a", 10.0), (2L, "b2", 25.0), (4L, "d", 40.0)))
   }
 
+  test("an unknown op value raises instead of silently deleting the row") {
+    val snap = Seq((1L, "a")).toDF("id", "name")
+    val bad = Seq((1L, "a2", "update")).toDF("id", "name", "op") // not 'upsert'
+    val e = intercept[Exception](CdcMerge(snap, bad, Seq("id")).collect())
+    assert(e.getMessage.contains("CdcMerge") || e.getCause != null)
+  }
+
   test("empty changeset is the identity; schema mismatch is rejected eagerly") {
     val snap = Seq((1L, "a")).toDF("id", "name")
     val none = Seq.empty[(Long, String, String)].toDF("id", "name", "op")
