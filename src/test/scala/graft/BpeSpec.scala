@@ -90,4 +90,38 @@ class BpeSpec extends AnyFunSuite {
     assert(out.getSeq[String](1) == Seq("a", "b", Bpe.EOW, "c", Bpe.EOW))
     assert(out.getLong(2) == 5L)
   }
+
+  test("supplementary characters stay whole symbols (no split surrogate pairs)") {
+    val rocket = "🚀" // U+1F680, outside the BMP
+    val text = s"${rocket}x ${rocket}x ${rocket}y"
+    val merges = Bpe.trainMerges(Seq(Tuple1(text)).toDF("text"), "text", nMerges = 1)
+    // the most frequent pair is (rocket, x)? no — (rocket) appears before
+    // x twice and before y once; EOW pairs are each ≤ 2. The winner must
+    // pair the WHOLE rocket, never a lone surrogate half.
+    merges.flatMap(m => Seq(m._1, m._2)).foreach { sym =>
+      sym.toCharArray.foreach { ch =>
+        assert(!Character.isSurrogate(ch) || sym.codePointCount(0, sym.length) * 2 == sym.length,
+          s"lone surrogate leaked into merge symbol: ${sym.toSeq.map(_.toInt)}")
+      }
+    }
+    val enc = Bpe.encode(Seq((1L, text)).toDF("id", "text"), "id", "text", merges)
+      .collect().head.getSeq[String](1)
+    // every emitted token is valid UTF-16 (paired surrogates only)
+    enc.foreach { tok =>
+      var i = 0
+      while (i < tok.length) {
+        val ch = tok.charAt(i)
+        if (Character.isHighSurrogate(ch)) {
+          assert(i + 1 < tok.length && Character.isLowSurrogate(tok.charAt(i + 1)),
+            s"unpaired high surrogate in token ${tok.toSeq.map(_.toInt)}")
+          i += 2
+        } else {
+          assert(!Character.isLowSurrogate(ch),
+            s"unpaired low surrogate in token ${tok.toSeq.map(_.toInt)}")
+          i += 1
+        }
+      }
+    }
+    assert(enc.mkString == text.replace(" ", Bpe.EOW) + Bpe.EOW)
+  }
 }

@@ -115,6 +115,25 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "", 1L)))
   }
 
+  test("chunkDocuments reassembly law: dropping each chunk's overlap prefix reconstructs the doc") {
+    val rng = new scala.util.Random(42)
+    val docs = (1L to 20L).map(i =>
+      (i, Seq.fill(1 + rng.nextInt(40))("t" + rng.nextInt(100)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunkTokens = 7; val overlap = 3
+    val chunks = TrainingPrep.chunkDocuments(docs, "doc_id", "text", chunkTokens, overlap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (id, cs) => id -> cs.sortBy(_._2).map(_._3).toSeq }
+    docs.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val rebuilt = chunks(id).zipWithIndex.flatMap { case (c, i) =>
+        val toks = c.split(" ").toSeq
+        if (i == 0) toks else toks.drop(overlap)
+      }.mkString(" ")
+      assert(rebuilt == text, s"doc $id not reconstructed")
+    }
+  }
+
   test("hashSplit: exhaustive, deterministic, approximately proportioned, bad fractions rejected") {
     val df = (0L until 1000L).toDF("id")
     val out = TrainingPrep.hashSplit(df, "id", "s", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
