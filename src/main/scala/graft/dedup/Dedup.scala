@@ -38,21 +38,6 @@ object Dedup {
       .where(size(col("ws")) >= shingleN)
       .select(col(idCol), explode(wordShingles(col("ws"), shingleN)).as("shingle"))
 
-  /** MinHash + LSH near-duplicate pairs.
-    *
-    * Pipeline: word `shingleN`-gram shingles → `k`-seed MinHash signature →
-    * `bands`×`rows` LSH band keys → bucket-join candidates → exact shingle
-    * Jaccard ≥ `threshold` verification. Docs with fewer than `shingleN`
-    * tokens are excluded (no shingle). Returns (id_a, id_b, jaccard).
-    *
-    * Deliberately relational, not expression-nested: signatures come from
-    * explode → two hash aggregates (min per (doc, seed), then band keys
-    * per (doc, band)) rather than one nested higher-order-function
-    * projection. HOFs are interpreted (no codegen) and multiply-referenced
-    * array exprs can be re-evaluated per reference — the aggregate
-    * formulation measured ~300× faster at sf0.1 and is also the shape that
-    * distributes: every step is a codegen'd partial-aggregate shuffle on
-    * uniform hash keys, never a per-row mega-expression. */
   /** Per-doc MinHash signature (mh0..mh{k-1}) + verification shingle set,
     * as ONE partial-agg shuffle over the exploded shingle rows. ONE md5
     * per shingle; the k per-seed hashes are a multiply-mod universal
@@ -92,6 +77,21 @@ object Dedup {
     (0 until bands).map(b =>
       md5(concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)))
 
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * Pipeline: word `shingleN`-gram shingles → `k`-seed MinHash signature →
+    * `bands`×`rows` LSH band keys → bucket-join candidates → exact shingle
+    * Jaccard ≥ `threshold` verification. Docs with fewer than `shingleN`
+    * tokens are excluded (no shingle). Returns (id_a, id_b, jaccard).
+    *
+    * Deliberately relational, not expression-nested: signatures come from
+    * explode → two hash aggregates (min per (doc, seed), then band keys
+    * per (doc, band)) rather than one nested higher-order-function
+    * projection. HOFs are interpreted (no codegen) and multiply-referenced
+    * array exprs can be re-evaluated per reference — the aggregate
+    * formulation measured ~300× faster at sf0.1 and is also the shape that
+    * distributes: every step is a codegen'd partial-aggregate shuffle on
+    * uniform hash keys, never a per-row mega-expression. */
   def minhashLsh(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 4, rows: Int = 3,
@@ -503,7 +503,7 @@ object Dedup {
     * precisely the degenerate case where line dedup subsumes [[exact]].
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n"): DataFrame = {
+      sep: String = "\n", perDoc: Boolean = false): DataFrame = {
     // `split` treats sep as a REGEX, `concat_ws` as a literal — identical
     // for the default "\n"; a caller passing a metacharacter separator
     // must escape it for the split side
@@ -513,11 +513,15 @@ object Dedup {
         posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
       .select(col(idCol), col("n_lines"), col("pos"), col("line"),
         md5(col("line")).as("lk"))
+    // perDoc scopes the claim to (doc, line): repeated boilerplate inside
+    // one document collapses, while lines shared ACROSS documents survive
+    // (the Dolma within-doc pass; perDoc=false is the RefinedWeb global one)
+    val claimKeys = if (perDoc) Seq(col(idCol), col("lk")) else Seq(col("lk"))
     val firstClaim = lines
-      .groupBy(col("lk"))
+      .groupBy(claimKeys: _*)
       .agg(min(struct(col(idCol).as("id"), col("pos").as("pos"))).as("first"))
     lines
-      .join(firstClaim, "lk")
+      .join(firstClaim, if (perDoc) Seq(idCol, "lk") else Seq("lk"))
       .where(col(idCol) === col("first.id") && col("pos") === col("first.pos"))
       .groupBy(col(idCol))
       .agg(

@@ -105,6 +105,20 @@ object ExtensionQueries {
     Dedup.lineDedup(pages, "page_id", "text")
   }
 
+  /** Within-document line dedup (the Dolma per-doc pass, vs d9's global
+    * RefinedWeb one): pages synthesized with a boilerplate header line
+    * before every constituent doc — within a page only the FIRST header
+    * survives, while content lines shared across pages are untouched. */
+  private def d10(s: SparkSession, dir: String): DataFrame = {
+    val pages = table(s, dir, "documents")
+      .groupBy(expr("doc_id div 5").as("page_id"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("text")))).as("dt"))
+      .select(col("page_id"),
+        concat_ws("\n", transform(col("dt"),
+          x => concat(lit("== boilerplate ==\n"), x.getField("text")))).as("text"))
+    Dedup.lineDedup(pages, "page_id", "text", perDoc = true)
+  }
+
   // ---------------------------------------------------- similarity search
 
   private def s1(s: SparkSession, dir: String): DataFrame = {
@@ -1825,6 +1839,27 @@ object ExtensionQueries {
         FROM pages),
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY line ORDER BY page_id, pos) AS rn
+        FROM lines),
+      kept AS (SELECT * FROM ranked WHERE rn = 1)
+      SELECT page_id, min(n_lines) AS n_lines, count(*) AS n_kept,
+        string_agg(line, chr(10) ORDER BY pos) AS text_clean
+      FROM kept GROUP BY page_id""")),
+
+    // PARTITION BY (page_id, line): the claim is scoped per page
+    Q("d10_line_dedup_within", d10, Some("""
+      WITH pages AS (
+        SELECT doc_id // 5 AS page_id,
+          string_agg('== boilerplate ==' || chr(10) || text, chr(10)
+            ORDER BY doc_id) AS text
+        FROM documents GROUP BY 1),
+      lines AS (
+        SELECT page_id,
+          unnest(string_split(text, chr(10))) AS line,
+          generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+          len(string_split(text, chr(10)))::BIGINT AS n_lines
+        FROM pages),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY page_id, line ORDER BY pos) AS rn
         FROM lines),
       kept AS (SELECT * FROM ranked WHERE rn = 1)
       SELECT page_id, min(n_lines) AS n_lines, count(*) AS n_kept,
