@@ -137,6 +137,41 @@ object Sources {
       .partitionBy(shardCol)
       .parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` files — the operational fix for the many-small-
+    * files problem every incremental/streaming writer creates (each scan
+    * task then reads one well-sized file instead of thousands of tiny
+    * ones; the NameNode/listing side benefits equally). File count is
+    * computed from the directory's actual on-disk bytes; `coalesce`
+    * (narrow, no shuffle) shrinks the partition count — compaction
+    * reduces files, it never needs a shuffle. Writes to `destPath`
+    * (compact-then-swap is the transactional pattern; compacting in
+    * place would race readers). Returns the file count written. */
+  def compact(
+      spark: SparkSession, srcPath: String, destPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, "compact: targetFileBytes must be > 0")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(conf)
+    val bytes = fs.getContentSummary(src).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(srcPath)
+      .coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(destPath)
+    nFiles
+  }
+
+  /** Schema-evolution read: union the schemas of all parquet files under
+    * `path` (columns added over time come back null for files written
+    * before them) — the read side of append-only schema evolution. Plain
+    * `spark.read.parquet` takes one file's schema and silently DROPS
+    * later columns; `mergeSchema` pays one footer-read per file to get
+    * the union, which is why it is an explicit entry point here rather
+    * than a global default. */
+  def readParquetMergeSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Bucketed table sink: pre-shuffles by `bucketCols` so equi-joins and
     * aggregations on those keys skip their shuffle entirely (the
     * co-located-join strategy for repeated 100 TB joins). Requires a

@@ -121,6 +121,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(one.count() == sharded.where(col("shard") === 2).count())
   }
 
+  test("compact: many small files become the computed target count, data identical") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_small").toString
+    val dstDir = java.nio.file.Files.createTempDirectory("graft_compacted").toString
+    val data = (0L until 2000L).map(i => (i, s"row$i")).toDF("id", "v")
+    data.repartition(64).write.mode("overwrite").parquet(srcDir) // 64 tiny files
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(srcDir) == 64)
+    val bytes = new java.io.File(srcDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target = half the total bytes -> expect exactly 2 output files
+    val n = Sources.compact(spark, srcDir, dstDir, targetFileBytes = (bytes + 1) / 2)
+    assert(n == 2 && parquetFiles(dstDir) == 2, s"got $n files, ${parquetFiles(dstDir)} on disk")
+    val back = spark.read.parquet(dstDir)
+    assert(back.count() == 2000L)
+    assert(back.exceptAll(data).isEmpty && data.exceptAll(back).isEmpty)
+  }
+
+  test("readParquetMergeSchema: columns added over time come back, null before they existed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.mode("append").parquet(dir)
+    val merged = Sources.readParquetMergeSchema(spark, dir)
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    val rows = merged.collect().map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", Some(9.5))))
+    // the naive read takes one footer's schema — the documented hazard
+    val naive = spark.read.parquet(dir)
+    assert(naive.columns.length <= 3)
+  }
+
   test("bucketed tables: equi-join on the bucket key runs with NO shuffle on either side") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the join to show its shuffle needs
