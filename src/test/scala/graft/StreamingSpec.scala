@@ -66,6 +66,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming from a real file source: windowedEventAgg over incrementally arriving parquet") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stream_src").toString
+    val schema = "ts LONG, event_type STRING, value DOUBLE"
+    // first micro-batch of files on disk before the stream starts
+    Seq((ns(10), "click", 1.0), (ns(20), "click", 2.0))
+      .toDF("ts", "event_type", "value").write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val agg = Streaming.windowedEventAgg(stream, "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("file_src_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // a second file arrives; its event time closes the first window
+      Seq((ns(7200), "view", 9.0)).toDF("ts", "event_type", "value")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val closed = spark.table("file_src_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(closed == Set((0L, "click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch CDC merge: a change stream maintains a snapshot through CdcMerge") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.CdcMerge
+    var snapshot = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v")
+    val source = MemoryStream[(Long, String, Double, String)]
+    val q = source.toDF().toDF("id", "name", "v", "op").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the standard streaming-merge pattern: each micro-batch is a
+        // compacted changeset applied transactionally to the snapshot
+        snapshot = CdcMerge(snapshot, batch, Seq("id")).localCheckpoint()
+      }.start()
+    try {
+      source.addData((2L, "b2", 25.0, CdcMerge.Upsert), (3L, "c", 30.0, CdcMerge.Upsert))
+      q.processAllAvailable()
+      source.addData((1L, "a", 10.0, CdcMerge.Delete))
+      q.processAllAvailable()
+      val rows = snapshot.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(rows == Set((2L, "b2", 25.0), (3L, "c", 30.0)))
+    } finally q.stop()
+  }
+
   test("latestByKey: out-of-order and re-delivered changes converge to the batch answer") {
     implicit val ctx = spark.sqlContext
     val changes = Seq( // (user, version, event_id, payload) — out of order
