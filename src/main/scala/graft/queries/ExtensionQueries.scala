@@ -669,6 +669,25 @@ object ExtensionQueries {
         round(sum(col("o_totalprice")), 2).as("sum_price"))
   }
 
+  /** Snapshot reconciliation over a deterministic "after" version of
+    * orders (every 7th key re-priced, every 13th dropped, every 31st key
+    * negated in as new): per-status counts + example keys — the data-
+    * diff regression check. */
+  private def x32(s: SparkSession, dir: String): DataFrame = {
+    val before = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val after = before.where(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 5.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(before.where(col("o_orderkey") % 31 === 0)
+        .withColumn("o_orderkey", -col("o_orderkey") - 1L))
+    graft.operators.Reconcile.summary(before, after, Seq("o_orderkey"))
+      // string-join the example list: scalar columns hash identically
+      // across engines without relying on nested-type representation
+      .withColumn("example_keys", concat_ws(",", col("example_keys")))
+  }
+
   /** Equal-width histogram: 10 buckets over the global [min, max] of
     * value per event type (bounds via broadcast 1-row cross join). The
     * bucket arithmetic is identical IEEE ops on identical operands in
@@ -1734,6 +1753,27 @@ object ExtensionQueries {
       SELECT o_orderpriority, count(*) AS n_orders,
         round(sum(o_totalprice), 2) AS sum_price
       FROM merged GROUP BY o_orderpriority""")),
+
+    Q("x32_reconcile", x32, Some("""
+      WITH b AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
+                   o_totalprice AS price FROM orders),
+      a AS (
+        SELECT k, pri,
+          CASE WHEN k % 7 = 0 THEN price + 5.0 ELSE price END AS price
+        FROM b WHERE k % 13 <> 0
+        UNION ALL
+        SELECT -k - 1, pri, price FROM b WHERE k % 31 = 0),
+      d AS (
+        SELECT coalesce(a.k, b.k) AS key,
+          CASE WHEN b.k IS NULL THEN 'added'
+               WHEN a.k IS NULL THEN 'removed'
+               WHEN NOT (b.pri IS NOT DISTINCT FROM a.pri
+                         AND b.price IS NOT DISTINCT FROM a.price)
+                 THEN 'changed' ELSE 'unchanged' END AS status
+        FROM b FULL JOIN a ON b.k = a.k)
+      SELECT status, count(*) AS n,
+        array_to_string(list_sort(list(key))[1:3], ',') AS example_keys
+      FROM d GROUP BY status""")),
 
     Q("x27_histogram", x27, Some("""
       WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
