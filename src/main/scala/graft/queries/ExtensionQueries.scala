@@ -1772,7 +1772,7 @@ object ExtensionQueries {
                  THEN 'changed' ELSE 'unchanged' END AS status
         FROM b FULL JOIN a ON b.k = a.k)
       SELECT status, count(*) AS n,
-        array_to_string(list_sort(list(key))[1:3], ',') AS example_keys
+        array_to_string(list_sort(list(key::VARCHAR))[1:3], ',') AS example_keys
       FROM d GROUP BY status""")),
 
     Q("x27_histogram", x27, Some("""

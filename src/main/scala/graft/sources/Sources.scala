@@ -142,11 +142,19 @@ object Sources {
     * files problem every incremental/streaming writer creates (each scan
     * task then reads one well-sized file instead of thousands of tiny
     * ones; the NameNode/listing side benefits equally). File count is
-    * computed from the directory's actual on-disk bytes; `coalesce`
-    * (narrow, no shuffle) shrinks the partition count — compaction
-    * reduces files, it never needs a shuffle. Writes to `destPath`
-    * (compact-then-swap is the transactional pattern; compacting in
-    * place would race readers). Returns the file count written. */
+    * computed from the directory's actual on-disk bytes. Shrinking the
+    * file count uses `coalesce` (narrow, no shuffle); growing it — the
+    * oversized-file split case — needs `repartition`'s shuffle, since
+    * coalesce cannot increase partition count (it would silently write
+    * fewer files than reported). Reads through [[readParquetMergeSchema]]
+    * so a schema-evolved directory keeps its late-added columns through
+    * the rewrite (a plain read takes one footer's schema and would DROP
+    * them — and incrementally-written directories are exactly the ones
+    * compaction targets). Partition-directory layouts are flattened by
+    * the rewrite; compact partition-by-partition if the layout must
+    * survive. Writes to `destPath` (compact-then-swap is the
+    * transactional pattern; compacting in place would race readers).
+    * Returns the file count written. */
   def compact(
       spark: SparkSession, srcPath: String, destPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
@@ -156,9 +164,11 @@ object Sources {
     val fs = src.getFileSystem(conf)
     val bytes = fs.getContentSummary(src).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    spark.read.parquet(srcPath)
-      .coalesce(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(destPath)
+    val df = readParquetMergeSchema(spark, srcPath)
+    val sized =
+      if (df.rdd.getNumPartitions >= nFiles) df.coalesce(nFiles)
+      else df.repartition(nFiles)
+    sized.write.mode(SaveMode.Overwrite).parquet(destPath)
     nFiles
   }
 

@@ -95,9 +95,11 @@ class BpeSpec extends AnyFunSuite {
     val rocket = "🚀" // U+1F680, outside the BMP
     val text = s"${rocket}x ${rocket}x ${rocket}y"
     val merges = Bpe.trainMerges(Seq(Tuple1(text)).toDF("text"), "text", nMerges = 1)
-    // the most frequent pair is (rocket, x)? no — (rocket) appears before
-    // x twice and before y once; EOW pairs are each ≤ 2. The winner must
-    // pair the WHOLE rocket, never a lone surrogate half.
+    // With whole-code-point symbols the top count is 2, tied between
+    // (rocket, x) and (x, EOW), and the ASC tie-break picks (x, EOW)
+    // ("x" < the rocket's lead unit). A surrogate-SPLITTING impl would
+    // instead see the rocket's (high, low) pair at count 3 and win —
+    // so the symbol scan below fails exactly on the buggy impl.
     merges.flatMap(m => Seq(m._1, m._2)).foreach { sym =>
       sym.toCharArray.foreach { ch =>
         assert(!Character.isSurrogate(ch) || sym.codePointCount(0, sym.length) * 2 == sym.length,

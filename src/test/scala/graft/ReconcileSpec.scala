@@ -42,12 +42,22 @@ class ReconcileSpec extends AnyFunSuite {
 
   test("summary: counts per status with bounded example keys; mismatched schema rejected") {
     val s = Reconcile.summary(before, after, Seq("id"), nExamples = 2)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
-    assert(s("unchanged") == (2L, Seq(1L, 3L)))
-    assert(s("changed") == (1L, Seq(2L)))
-    assert(s("removed") == (1L, Seq(4L)))
-    assert(s("added") == (1L, Seq(5L)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[String](2))).toMap
+    assert(s("unchanged") == (2L, Seq("1", "3")))
+    assert(s("changed") == (1L, Seq("2")))
+    assert(s("removed") == (1L, Seq("4")))
+    assert(s("added") == (1L, Seq("5")))
     intercept[IllegalArgumentException](
       Reconcile.detail(before, after.drop("v"), Seq("id")))
+  }
+
+  test("null key components pair up (null-safe key join), never spurious added+removed") {
+    val b = Seq((Some(1L), "x", 1.0), (None: Option[Long], "y", 2.0)).toDF("id", "name", "v")
+    val a = Seq((Some(1L), "x", 1.0), (None: Option[Long], "y", 9.0)).toDF("id", "name", "v")
+    val d = Reconcile.detail(b, a, Seq("id"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        (r.getString(1), r.getSeq[String](2))).toMap
+    assert(d(Some(1L)) == ("unchanged", Seq()))
+    assert(d(None) == ("changed", Seq("v")), "null key must join to itself, not split")
   }
 }

@@ -150,9 +150,13 @@ class SourcesSpec extends AnyFunSuite {
     val rows = merged.collect().map(r =>
       (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
     assert(rows == Set((1L, "a", None), (2L, "b", Some(9.5))))
-    // the naive read takes one footer's schema — the documented hazard
-    val naive = spark.read.parquet(dir)
-    assert(naive.columns.length <= 3)
+    // the hazard, pinned deterministically: a reader that takes the
+    // FIRST file's schema (what a plain read does when it samples that
+    // footer — which footer wins is nondeterministic, so force it)
+    // silently drops the late-added column
+    val firstSchema = spark.read.schema("id LONG, v STRING").parquet(dir)
+    assert(!firstSchema.columns.contains("score"))
+    assert(firstSchema.count() == 2L) // both files read, score data gone
   }
 
   test("bucketed tables: equi-join on the bucket key runs with NO shuffle on either side") {
