@@ -59,7 +59,10 @@ object ScaleProbe {
       "s6_ann_recall", "t17_normalize_dedup",
       "p8_bpe_train", "t18_decontamination_fuzzy", "a4_cms_frequency",
       "p10_chunk_docs", "x21_zorder_interleave", "x24_range_frame_window",
-      "st5_sliding_windows", "x23_stats_corr")
+      "st5_sliding_windows", "x23_stats_corr",
+      "x25_gap_fill", "x26_cdc_merge", "x28_funnel", "x29_retention",
+      "x32_reconcile", "d10_line_dedup_within", "p11_hash_split",
+      "st6_latest_state", "t19_winsorize")
     def time(dir: String, name: String): Double = {
       // operators persist() shared branches; a prior identical run would
       // satisfy them from the cache (CacheManager matches canonicalized
