@@ -121,6 +121,16 @@ class PlanSpec extends AnyFunSuite {
       l.contains("Exchange hashpartitioning")) <= 2, s"extra shuffles:\n$p")
   }
 
+  test("x32 reconcile: key-equi full outer join, bounded example aggregation, no cartesian") {
+    val p = plan(q("x32_reconcile"))
+    assert(p.contains("FullOuter"), s"diff join not full outer:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // examples come from the bounded bottomK ObjectHashAggregate, which
+    // has a partial (map-side) phase — collect_list would too, but the
+    // bounded buffer is what caps the per-partition state
+    assert(p.contains("ObjectHashAggregate"), s"bounded example agg missing:\n$p")
+  }
+
   test("x26 CDC merge: changeset keys broadcast for the anti join, snapshot never multiplied") {
     val p = plan(q("x26_cdc_merge"))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
