@@ -443,9 +443,13 @@ object ExtensionQueries {
     * path at every SF. */
   private def p6(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents").select("doc_id", "text")
+    // The checked face carries `ids` as a space-joined string: the driver's
+    // pandas canonicalizer cannot sort/hash array cells. Library callers use
+    // tokenizeToIds directly and get the real array<long>.
     graft.pipeline.TrainingPrep.tokenizeToIds(
-      docs, "doc_id", "text",
-      graft.pipeline.TrainingPrep.buildVocab(docs, "text", size = 16))
+        docs, "doc_id", "text",
+        graft.pipeline.TrainingPrep.buildVocab(docs, "text", size = 16))
+      .withColumn("ids", array_join(transform(col("ids"), _.cast("string")), " "))
   }
 
   /** Per-source quota (domain cap): at most 10 documents per source,
@@ -2057,7 +2061,7 @@ object ExtensionQueries {
               list_contains(['el','la','los','y','es','un'], t))) AS es_hits
           FROM kept))
       SELECT predicted_lang, count(*) AS n_docs,
-        round(avg(quality), 9) AS avg_quality, sum(n_tokens) AS sum_tokens
+        round(avg(quality), 9) AS avg_quality, sum(n_tokens)::BIGINT AS sum_tokens
       FROM langed GROUP BY predicted_lang""")),
 
     Q("p2_shuffle_shard", p2, Some("""
@@ -2104,7 +2108,7 @@ object ExtensionQueries {
           FROM (SELECT tok, count(DISTINCT doc_id) AS df FROM tokpos GROUP BY tok))
         WHERE id <= 16)
       SELECT doc_id, count(*)::BIGINT AS n_toks,
-        list(coalesce(v.id, 0) ORDER BY pos) AS ids
+        array_to_string(list(coalesce(v.id, 0) ORDER BY pos), ' ') AS ids
       FROM tokpos t LEFT JOIN vocab v USING (tok)
       GROUP BY doc_id""")),
 

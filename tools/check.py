@@ -31,24 +31,47 @@ def canon(rows, cols):
 EXACT = False
 
 
+def exact_cell(x):
+    """Canonical string for one pandas cell, replicating the driver's view.
+
+    The driver reads both sides into pandas (DuckDB via .df(), Spark via
+    parquet) and hashes stringified values — so DuckDB HUGEINT (e.g. an
+    uncast sum(BIGINT)) arrives as float64 '5.0' while Spark LongType is
+    int64 '5': a hash mismatch AT EQUAL VALUES. This replica must NOT
+    normalize integer-vs-float width — that blindness let p1 stay red for
+    two rounds. Array/struct cells crash the driver's sort_values
+    (unhashable ndarray) and are rejected upstream in exact_frame."""
+    import numpy as np
+    if x is None or (isinstance(x, float) and math.isnan(x)):
+        return "<null>"
+    if isinstance(x, (bool, np.bool_)):
+        return str(bool(x))
+    if isinstance(x, (int, np.integer)):
+        return str(int(x))
+    if isinstance(x, (float, np.floating)):
+        return repr(float(x))
+    return str(x)
+
+
+def exact_frame(name, df):
+    """(cols, rows) for exact compare; raises on driver-unhashable cells."""
+    import numpy as np
+    for col in df.columns:
+        for v in df[col]:
+            if isinstance(v, (list, tuple, dict, np.ndarray)):
+                raise ValueError(
+                    f"{name}.{col} carries array/struct cells — the driver's "
+                    "pandas checker cannot sort/hash these (p6 crash class); "
+                    "stringify the checked face")
+    cols = sorted(df.columns)
+    rows = sorted(tuple(exact_cell(v) for v in row)
+                  for row in df[cols].itertuples(index=False, name=None))
+    return cols, rows
+
+
 def approx_eq(a, b):
     if a is None or b is None:
         return a is b
-    if EXACT:
-        # replica of the driver's exact-hash gate: canonical string repr,
-        # integer widths normalized (int vs bigint hash the same), floats
-        # compared bit-for-bit via repr
-        def c(x):
-            if isinstance(x, bool):
-                return str(x)
-            if isinstance(x, int):
-                return str(x)
-            if isinstance(x, float):
-                return repr(x)
-            if isinstance(x, list):
-                return "[" + ",".join(c(y) for y in x) + "]"
-            return str(x)
-        return c(a) == c(b)
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
@@ -75,18 +98,37 @@ def main(sf_dir, out_dir):
             failures += 1
             continue
         got = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        got_cols = [d[0] for d in got.description]
-        got_rows = got.fetchall()
-        try:
-            want = con.execute(oracle[name])
-        except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            failures += 1
-            continue
-        want_cols = [d[0] for d in want.description]
-        want_rows = want.fetchall()
-        gc, gr = canon(got_rows, got_cols)
-        wc, wr = canon(want_rows, want_cols)
+        if EXACT:
+            # Replicate the driver: both sides through pandas, where DuckDB
+            # HUGEINT → float64 and Spark LongType → int64 — distinguishable
+            # at equal values. No fetchall() (it erases the distinction).
+            got_df = got.df()
+            try:
+                want_df = con.execute(oracle[name]).df()
+            except Exception as e:
+                print(f"FAIL {name}: oracle SQL error: {e}")
+                failures += 1
+                continue
+            try:
+                gc, gr = exact_frame(f"{name}[spark]", got_df)
+                wc, wr = exact_frame(f"{name}[oracle]", want_df)
+            except ValueError as e:
+                print(f"FAIL {name}: {e}")
+                failures += 1
+                continue
+        else:
+            got_cols = [d[0] for d in got.description]
+            got_rows = got.fetchall()
+            try:
+                want = con.execute(oracle[name])
+            except Exception as e:
+                print(f"FAIL {name}: oracle SQL error: {e}")
+                failures += 1
+                continue
+            want_cols = [d[0] for d in want.description]
+            want_rows = want.fetchall()
+            gc, gr = canon(got_rows, got_cols)
+            wc, wr = canon(want_rows, want_cols)
         if gc != wc:
             print(f"FAIL {name}: columns {gc} != oracle {wc}")
             failures += 1
