@@ -67,6 +67,7 @@ object ScaleProbe {
       // operators persist() shared branches; a prior identical run would
       // satisfy them from the cache (CacheManager matches canonicalized
       // plans) and make the measurement warm — clear for a cold run
+      CacheRegistry.unpersistAll() // drain the registry's handle buffer too
       spark.catalog.clearCache()
       graft.queries.ExtensionQueries.clearArtifactCaches()
       val t0 = System.nanoTime()

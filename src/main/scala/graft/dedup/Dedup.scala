@@ -68,7 +68,7 @@ object Dedup {
     }
     sh32.groupBy(col(idCol))
       .agg(sigCols.head, sigCols.tail :+ collect_set(col("shingle")).as("shingles"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.persisted(_))
   }
 
   /** LSH band keys (band b = seeds [b*rows, (b+1)*rows)) as static column
@@ -159,7 +159,7 @@ object Dedup {
           .reduce(_ + _).as("fp"))
       // both sides of the self-join read the fingerprints; the per-doc
       // relation is tiny (id, fp) and the vote aggregation is not
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.persisted(_))
     // pigeonhole blocks: maxHamming+1 contiguous bit ranges, widths as
     // even as possible; any pair within maxHamming shares >= 1 block
     val nBlocks = maxHamming + 1
@@ -230,7 +230,7 @@ object Dedup {
         .agg(min(col(idCol)).as("__rep"),
           collect_list(col(idCol)).as("__members"),
           first(col("toks")).as("toks"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheRegistry.persisted(_))
       val reps = groups.select(col("__rep").as(idCol) +: blockCols.map(col) :+ col("toks"): _*)
       val repPairs = pairsFromTokenSets(reps, idCol, blockCols, threshold, rarestFirst)
       val ma = groups.select(col("__rep").as("id_a"), explode(col("__members")).as("m_a"))
@@ -274,7 +274,7 @@ object Dedup {
       .select(col(idCol) +: blockCols.map(col) :+
         transform(col("ft"), x => x.getField("tok")).as("toks") :+
         size(col("ft")).as("n"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.persisted(_))
     def ceilT(x: Column): Column = ceil(x * lit(threshold) - lit(1e-9))
     // prefix length |x| - ceil(t*|x|) + 1
     val prefLen = (col("n") - ceilT(col("n")) + lit(1)).cast("int")
@@ -360,7 +360,7 @@ object Dedup {
       .select(col(idCol),
         explode(graft.functions.TextExpressionFunctions.winnowFingerprints(
           col(textCol), kgram, window)).as("fp"))
-      .persist() // both sides of the self-join read this branch
+      .transform(graft.CacheRegistry.persisted(_)) // both sides of the self-join read this branch
     fps.as("a")
       .join(fps.as("b"),
         col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
@@ -463,7 +463,7 @@ object Dedup {
     // twice (the minhashLsh lesson applied here)
     val t = df.select(col(idCol) +: col(vecCol) +: l2Norm(col(vecCol)).as("nrm") +:
       blockCols.map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.persisted(_))
     val a = t.select(blockCols.map(col) :+ col(idCol).as("id_a")
       :+ col(vecCol).as("v_a") :+ col("nrm").as("nrm_a"): _*)
     val b = t.select(blockCols.map(col) :+ col(idCol).as("id_b")

@@ -91,8 +91,19 @@ object KllQuantiles {
     val spark = df.sparkSession
     val merge = udaf(mergeAggregator(k), Encoders.BINARY)
     val est = udf((bytes: Array[Byte]) => estimate(bytes, ranks))
-    val qNames = ranks.zipWithIndex.map { case (r, i) =>
-      col("__est._2").getItem(i).as(s"q_${(r * 100).round}")
+    // Integral percents keep the friendly q_50 form; fractional percents
+    // embed the full rank (0.995 -> q_0_995) so distinct ranks can never
+    // collapse onto one column name (0.005 and 0.01 both rounded to q_1).
+    val names = ranks.map { r =>
+      val pct = BigDecimal(r.toString) * 100
+      if (pct.isWhole) s"q_${pct.toBigInt}"
+      else "q_" + BigDecimal(r.toString).underlying.stripTrailingZeros
+        .toPlainString.replace(".", "_")
+    }
+    require(names.distinct.size == names.size,
+      s"quantilesByKey: ranks must be distinct, got column names $names")
+    val qNames = names.zipWithIndex.map { case (n, i) =>
+      col("__est._2").getItem(i).as(n)
     }
     partialsByKey(df, keyCol, valueCol, k)
       .groupBy(col(keyCol))

@@ -292,7 +292,7 @@ object Multimodal {
     val hashes = grids
       .withColumn("__mean", mean)
       .select(col("media_id"), pack(1, 32).as("hi"), pack(33, 64).as("lo"))
-      .persist() // all four block branches and both join sides read this
+      .transform(graft.CacheRegistry.persisted(_)) // all four block branches and both join sides read this
       .where(col("hi") =!= 0L || col("lo") =!= 0L)
     val blk = Seq(
       (0, col("hi").bitwiseAND(lit(65535L))),

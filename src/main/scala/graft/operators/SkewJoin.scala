@@ -33,12 +33,18 @@ object SkewJoin {
 
   /** Inner equi-join of `probe` ⋈ `build` on `keys`, salted `nSalts` ways.
     *
-    * The probe-side salt hashes ALL probe columns (any per-row
-    * discriminator works — the result is salt-invariant; tests assert it),
-    * the build side is replicated via one `explode(sequence(...))` — a
-    * narrow operation, no extra shuffle beyond the join's own. Both sides
-    * shuffle on (keys, salt), which is uniform in the salt dimension by
-    * construction, so no task sees more than ~1/nSalts of any key. */
+    * The probe-side salt is `monotonically_increasing_id() mod nSalts` — a
+    * PER-ROW-unique source, so consecutive rows of a hot key round-robin
+    * across all salt values regardless of their content. (A row-content
+    * hash here would silently degenerate: fully-identical probe rows — or
+    * a probe projected down to just the join keys, the common shape for
+    * the hot-key scenario — all hash to ONE salt and the straggler
+    * returns.) The result is salt-invariant either way; tests assert it,
+    * including on duplicate probe rows. The build side is replicated via
+    * one `explode(sequence(...))` — a narrow operation, no extra shuffle
+    * beyond the join's own. Both sides shuffle on (keys, salt), uniform in
+    * the salt dimension by construction, so no task sees more than
+    * ~1/nSalts of any key. */
   def salted(
       probe: DataFrame, build: DataFrame, keys: Seq[String],
       nSalts: Int): DataFrame = {
@@ -46,7 +52,7 @@ object SkewJoin {
     require(!probe.columns.contains("__salt") && !build.columns.contains("__salt"),
       "SkewJoin.salted: inputs must not already carry a __salt column")
     val salted = probe.withColumn("__salt",
-      pmod(hash(probe.columns.map(col): _*), lit(nSalts)))
+      pmod(monotonically_increasing_id(), lit(nSalts.toLong)).cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     salted

@@ -819,7 +819,7 @@ object ExtensionQueries {
     // without this the scan + explode + sketch aggregation runs twice
     val perSource = toks.groupBy(col("source"))
       .agg(expr("hll_sketch_agg(tok)").as("sk"))
-      .persist()
+      .transform(graft.CacheRegistry.persisted(_))
     perSource
       .select(col("source"), expr("hll_sketch_estimate(sk)").as("est_distinct_tokens"))
       .unionAll(perSource
@@ -1671,7 +1671,7 @@ object ExtensionQueries {
       SELECT event_type,
         count(k) AS n_with_k, sum(k)::BIGINT AS sum_k,
         min(k) AS min_k, max(k) AS max_k
-      FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+      FROM (SELECT event_type, TRY_CAST(props->>'k' AS BIGINT) AS k FROM events)
       GROUP BY event_type""")),
 
     Q("t19_winsorize", t19, Some("""

@@ -5,7 +5,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** One driver-checkable query: a Spark implementation plus (when the
   * semantics are SQL-expressible) the equivalent DuckDB oracle SQL. Column
   * names MUST match between the two — the driver's compare sorts columns by
-  * name before hashing. */
+  * name before hashing.
+  *
+  * ORACLE TYPE CHECKLIST (the driver compares both sides through pandas —
+  * every row below hash-mismatches AT EQUAL VALUES if violated; the p1/d4
+  * bug class). `tools/check.py --exact` enforces all of these:
+  *   - DuckDB `sum(<integer expr>)` → HUGEINT → pandas float64. Cast every
+  *     integer sum that SURFACES in the output: `sum(x)::BIGINT`. Window
+  *     sums (`sum(x) OVER ...`) and `list_sum` over integers promote too.
+  *     Sums over DOUBLE columns are safe.
+  *   - `count(*)` is BIGINT (safe), but ARITHMETIC on counts
+  *     (`count(*) * 2`, `c1 + c2`) can re-promote — cast the result.
+  *   - No array/struct column may surface in a checked output — the
+  *     driver's pandas canonicalizer cannot sort/hash array cells (the p6
+  *     crash class). Stringify: `array_to_string(..., ' ')` / Spark
+  *     `array_join`.
+  *   - Floats are compared bit-for-bit; where engines legitimately differ
+  *     in the last ulp, round BOTH sides identically (`round(x, 9)`).
+  *   - DuckDB `extract(...)` is BIGINT; Spark date functions are INT —
+  *     cast the Spark side to long (x31 precedent). */
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,

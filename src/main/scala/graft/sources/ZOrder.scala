@@ -54,14 +54,21 @@ object ZOrder {
   }
 
   /** Equi-width bucket of `c` into [0, 2^bits) given inclusive min/max
-    * columns (degenerate min==max domain → bucket 0). */
+    * columns (degenerate min==max domain → bucket 0). Null policy: a null
+    * value — or an all-null column whose min/max are null — buckets to 0,
+    * NOT to n-1: `least` skips nulls, so without the coalesce a null floor
+    * would silently land in the TOP bucket and cluster null-heavy columns
+    * at one end of the curve. Layout-only either way (no row is dropped),
+    * but bucket 0 keeps the null cluster where a reader expects it. */
   private def bucket(c: Column, minC: Column, maxC: Column, bits: Int): Column = {
     val n = 1L << bits
     val span = maxC - minC
-    when(span <= lit(0.0), lit(0L))
-      .otherwise(least(
-        floor((c.cast("double") - minC) / (span + lit(1e-12)) * n).cast("long"),
-        lit(n - 1)))
+    coalesce(
+      when(span <= lit(0.0), lit(0L))
+        .otherwise(least(
+          floor((c.cast("double") - minC) / (span + lit(1e-12)) * n).cast("long"),
+          lit(n - 1))),
+      lit(0L))
   }
 
   /** Write `df` parquet, physically clustered on the Morton curve over

@@ -196,12 +196,12 @@ object Curation {
       .select(col(idCol), explode(transform(sequence(lit(1), size(toks) - 1), i =>
         struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2")))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .persist() // model training AND scoring read the bigram stream
+      .transform(graft.CacheRegistry.persisted(_)) // model training AND scoring read the bigram stream
     val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast("double").as("cb"))
     val un = df.withColumn("__toks", tokens(col(textCol)))
       .select(explode(toks).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).cast("double").as("cu"))
-      .persist() // read twice: unigram join and the V count
+      .transform(graft.CacheRegistry.persisted(_)) // read twice: unigram join and the V count
     val v = un.agg(count(lit(1)).cast("double").as("__v"))
     bg.join(cb, Seq("w1", "w2"))
       .join(un, Seq("w1"))
@@ -331,7 +331,7 @@ object Curation {
       idCol: String, textCol: String, n: Int = 5, fpp: Double = 0.01,
       broadcastConfirm: Boolean = false): DataFrame = {
     val bench = distinctNgramHashes(benchmark, textCol, n)
-      .select("ng").distinct().persist()
+      .select("ng").distinct().transform(graft.CacheRegistry.persisted(_))
     val nKeys = bench.count()
     // Spark's stat.bloomFilter NPEs on an empty relation (the aggregated
     // sketch is null); an empty benchmark means zero overlaps — route

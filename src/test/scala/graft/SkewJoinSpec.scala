@@ -35,4 +35,20 @@ class SkewJoinSpec extends AnyFunSuite {
     val out = SkewJoin.salted(probe, build.where(col("k") =!= 7L), Seq("k"), 4)
     assert(!canon(out).exists(_._1 == 7L))
   }
+
+  test("duplicate probe rows spread across salts (content hash would collapse to one)") {
+    // worst case for a content-derived salt: the probe is ONLY the hot join
+    // key, every row identical — a row-hash salt puts all 64 rows on one
+    // task. The id-derived salt must still cover every salt value, and the
+    // join must keep multiplicity (64 copies × 2 build matches).
+    val hot = Seq.fill(64)(Tuple1(7L)).toDF("k").repartition(2)
+    val salts = hot.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(4L)).cast("int"))
+      .select("__salt").distinct().collect().map(_.getInt(0)).toSet
+    assert(salts == Set(0, 1, 2, 3), s"expected all 4 salts covered, got $salts")
+    val out = SkewJoin.salted(hot, build, Seq("k"), 4)
+    assert(out.count() == 64L * 2)
+    assert(out.select("bv").distinct().collect().map(_.getString(0)).toSet ==
+      Set("b7", "b7x"))
+  }
 }
