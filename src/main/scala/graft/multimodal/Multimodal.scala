@@ -318,6 +318,15 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Aspect-preserving fit of (w, h) into maxSide×maxSide: the longer side
+    * becomes maxSide, never upscaled; either dim rounds but never below 1. */
+  def fitDims(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+    val longSide = math.max(w, h)
+    val scale = if (longSide <= maxSide) 1.0 else maxSide.toDouble / longSide
+    (math.max(1, math.round(w * scale).toInt),
+      math.max(1, math.round(h * scale).toInt))
+  }
+
   /** Resized media features. `scale_x`/`scale_y` are what a real resampler
     * would apply; the payload itself is untouched by the stub. */
   final case class ResizedMedia(
@@ -335,23 +344,149 @@ object Multimodal {
     require(maxSide >= 1, "resize: maxSide must be >= 1")
     decoded.mapPartitions { it =>
       it.grouped(decodeBatchSize).flatMap { batch =>
-        // real impl: resampler.resizeBatch(batch, maxSide)
+        // pixel path: [[resizeImages]]; this face is metadata-only for
+        // payloads with no JVM codec (the video stub)
         batch.map { m =>
           if (m.width <= 0 || m.height <= 0)
             // failed decode (0×0): propagate the degenerate row rather
             // than fabricating a 1×1 image with Infinity scale factors
             ResizedMedia(m.media_id, 0, 0, m.width, m.height, 1.0, 1.0)
           else {
-            val longSide = math.max(m.width, m.height)
-            val scale = if (longSide <= maxSide) 1.0 else maxSide.toDouble / longSide
-            val w = math.max(1, math.round(m.width * scale).toInt)
-            val h = math.max(1, math.round(m.height * scale).toInt)
+            val (w, h) = fitDims(m.width, m.height, maxSide)
             ResizedMedia(m.media_id, w, h, m.width, m.height,
               w.toDouble / m.width, h.toDouble / m.height)
           }
         }
       }
     }(Encoders.product[ResizedMedia])
+  }
+
+  /** Fractional-area box filter ("area averaging", OpenCV INTER_AREA): each
+    * output pixel is the coverage-weighted mean of the source box it maps
+    * onto — the correct antialiasing filter for DOWNSCALING (bilinear
+    * undersamples when the scale factor exceeds 2). When the scale factor
+    * is integral the box is exact k×k blocks, so output pixels are exact
+    * block means — which is what the spec fixtures pin. Pure JVM
+    * (`java.awt.image`, headless-safe), deterministic, per-channel sRGB. */
+  private[multimodal] def areaResample(
+      img: java.awt.image.BufferedImage, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val sw = img.getWidth
+    val sh = img.getHeight
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val sx = sw.toDouble / w
+    val sy = sh.toDouble / h
+    var oy = 0
+    while (oy < h) {
+      val y0 = oy * sy
+      val y1 = (oy + 1) * sy
+      val yEnd = math.min(math.ceil(y1).toInt, sh)
+      var ox = 0
+      while (ox < w) {
+        val x0 = ox * sx
+        val x1 = (ox + 1) * sx
+        val xEnd = math.min(math.ceil(x1).toInt, sw)
+        var r = 0.0; var g = 0.0; var b = 0.0; var area = 0.0
+        var yy = y0.toInt
+        while (yy < yEnd) {
+          val fy = math.min(y1, yy + 1.0) - math.max(y0, yy.toDouble)
+          var xx = x0.toInt
+          while (xx < xEnd) {
+            val fx = math.min(x1, xx + 1.0) - math.max(x0, xx.toDouble)
+            val rgb = img.getRGB(xx, yy)
+            val f = fx * fy
+            r += ((rgb >> 16) & 0xff) * f
+            g += ((rgb >> 8) & 0xff) * f
+            b += (rgb & 0xff) * f
+            area += f
+            xx += 1
+          }
+          yy += 1
+        }
+        out.setRGB(ox, oy,
+          (math.round(r / area).toInt << 16) |
+            (math.round(g / area).toInt << 8) |
+            math.round(b / area).toInt)
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  /** Real-pixel resize row: aspect-fit dims, mean luminance of the RESIZED
+    * pixels, and the re-encoded PNG payload. */
+  final case class ResizedImage(
+      media_id: Long, src_width: Int, src_height: Int,
+      width: Int, height: Int, mean_px: Double, content: Array[Byte])
+
+  /** REAL pixel resize for `image/...` payloads: decode (`javax.imageio`),
+    * aspect-fit into maxSide×maxSide ([[fitDims]] — never upscales),
+    * [[areaResample]], PNG re-encode. Same batched `mapPartitions` shape as
+    * [[decode]]; non-image or undecodable payloads degrade to the all-zero
+    * row with an empty payload (the degenerate-value convention). mean_px =
+    * mean sRGB luminance of the OUTPUT pixels / 255 — for a solid input
+    * this equals the input level exactly (a box average of a constant is
+    * the constant), which is what gives the m4 query an exact SQL oracle. */
+  def resizeImages(media: DataFrame, maxSide: Int)(
+      implicit spark: SparkSession): Dataset[ResizedImage] = {
+    require(maxSide >= 1, "resizeImages: maxSide must be >= 1")
+    val in = media.select("media_id", "content", "mime")
+      .as(Encoders.product[MediaRecord])
+    in.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        batch.map { m =>
+          val img =
+            if (m.mime != null && m.mime.startsWith("image/"))
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+              catch { case scala.util.control.NonFatal(_) => null }
+            else null
+          if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+            ResizedImage(m.media_id, 0, 0, 0, 0, 0.0, Array.emptyByteArray)
+          else {
+            val (w, h) = fitDims(img.getWidth, img.getHeight, maxSide)
+            val res =
+              if (w == img.getWidth && h == img.getHeight) img
+              else areaResample(img, w, h)
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = res.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(res, "png", bos)
+            ResizedImage(m.media_id, img.getWidth, img.getHeight, w, h,
+              sum / (w.toLong * h) / 255.0, bos.toByteArray)
+          }
+        }
+      }
+    }(Encoders.product[ResizedImage])
+  }
+
+  /** Deterministic solid-gray PNG payload — the fixture-payload generator
+    * for environments that ship no real media (this container). Production
+    * pipelines feed `binaryFile` payloads through the same operators. */
+  def solidPng(gray: Int, w: Int, h: Int): Array[Byte] = {
+    require(gray >= 0 && gray <= 255 && w >= 1 && h >= 1,
+      "solidPng: gray in [0,255], dims >= 1")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Frame sampling: every `stride`-th frame of each decoded media item,

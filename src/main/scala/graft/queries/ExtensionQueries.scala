@@ -247,12 +247,30 @@ object ExtensionQueries {
       .toDF()
   }
 
+  /** REAL pixel path end-to-end: deterministic solid-gray PNGs built
+    * in-plan from doc_id (this container ships no media), decoded and
+    * area-resampled by [[Multimodal.resizeImages]]. A solid image's mean
+    * luminance is resampler-invariant (a box average of a constant is the
+    * constant), so the oracle replicates dims by the aspect-fit formula
+    * and the mean exactly; gradient fixtures pin the resampler's actual
+    * block means in MultimodalSpec. The metadata-only stub face
+    * ([[Multimodal.resize]]) remains for payloads with no JVM codec. */
   private def m4(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
-    Multimodal.resize(
-      Multimodal.decode(
-        Multimodal.ingestFromText(table(s, dir, "documents"), "doc_id", "text", "text/plain")),
-      maxSide = 32).toDF()
+    import spark.implicits._
+    val media = table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("media_id"),
+        (col("doc_id") % 256).cast("int").as("gray"),
+        (lit(24) + col("doc_id") % 80).cast("int").as("w"),
+        (lit(16) + (col("doc_id") * 7) % 96).cast("int").as("h"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, g, w, h) =>
+        Multimodal.MediaRecord(id, Multimodal.solidPng(g, w, h), "image/png")
+      })
+      .toDF()
+    Multimodal.resizeImages(media, maxSide = 48).toDF()
+      .select(col("media_id"), col("src_width"), col("src_height"),
+        col("width"), col("height"), round(col("mean_px"), 9).as("mean_px"))
   }
 
   /** Perceptual (average-hash) image near-dup over the stub luminance
@@ -1588,20 +1606,18 @@ object ExtensionQueries {
         FROM documents)""")),
 
     Q("m4_resize", m4, Some("""
-      SELECT media_id,
+      SELECT media_id, w0 AS src_width, h0 AS src_height,
         greatest(1, round(w0 * s)::INT) AS width,
         greatest(1, round(h0 * s)::INT) AS height,
-        w0 AS src_width, h0 AS src_height,
-        greatest(1, round(w0 * s)::INT)::DOUBLE / w0 AS scale_x,
-        greatest(1, round(h0 * s)::INT)::DOUBLE / h0 AS scale_y
+        round(gray / 255.0, 9) AS mean_px
       FROM (
-        SELECT media_id, w0, h0,
-          CASE WHEN greatest(w0, h0) <= 32 THEN 1.0
-               ELSE 32.0 / greatest(w0, h0) END AS s
+        SELECT media_id, gray, w0, h0,
+          CASE WHEN greatest(w0, h0) <= 48 THEN 1.0
+               ELSE 48.0 / greatest(w0, h0) END AS s
         FROM (
-          SELECT doc_id AS media_id,
-            (16 + octet_length(encode(text)) % 64)::INT AS w0,
-            (16 + (octet_length(encode(text)) * 7) % 64)::INT AS h0
+          SELECT doc_id AS media_id, (doc_id % 256)::INT AS gray,
+            (24 + doc_id % 80)::INT AS w0,
+            (16 + (doc_id * 7) % 96)::INT AS h0
           FROM documents))""")),
 
     Q("st4_minhash_band_registry", st4, Some(s"""

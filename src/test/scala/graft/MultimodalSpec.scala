@@ -99,6 +99,54 @@ class MultimodalSpec extends AnyFunSuite {
       && resized.width == 2 && resized.height == 1)
   }
 
+  test("resizeImages: gradient downscale by 2 is the exact 2x2 block mean, pixel for pixel") {
+    import spark.implicits._
+    // 8x8 gradient: px(x,y) = 16*(y*8+x) in each channel — every 2x2 block
+    // mean is exactly computable, so the area resampler's output is pinned
+    // exactly (integral scale factor => pure block mean, no fractional
+    // coverage)
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = math.min(255, 16 * (y * 8 + x) % 256)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq((1L, bos.toByteArray, "image/png")).toDF("media_id", "content", "mime")
+    val out = Multimodal.resizeImages(media, maxSide = 4).collect().head
+    assert(out.src_width == 8 && out.src_height == 8 && out.width == 4 && out.height == 4)
+    val res = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.content))
+    assert(res.getWidth == 4 && res.getHeight == 4)
+    for (oy <- 0 until 4; ox <- 0 until 4) {
+      val vals = for (dy <- 0 to 1; dx <- 0 to 1)
+        yield math.min(255, 16 * ((oy * 2 + dy) * 8 + ox * 2 + dx) % 256)
+      val expected = math.round(vals.sum / 4.0).toInt
+      val got = res.getRGB(ox, oy) & 0xff
+      assert(got == expected, s"pixel ($ox,$oy): got $got expected $expected")
+    }
+  }
+
+  test("resizeImages: solid image mean is resampler-invariant; no-downscale passes through") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.solidPng(200, 100, 40), "image/png"), // downscales (long side 100)
+      (2L, Multimodal.solidPng(37, 10, 6), "image/png"),    // fits, no resample
+      (3L, "nope".getBytes("UTF-8"), "image/png"),          // undecodable
+      (4L, Multimodal.solidPng(9, 5, 5), "text/plain"))     // non-image mime
+      .toDF("media_id", "content", "mime")
+    val out = Multimodal.resizeImages(media, maxSide = 48)
+      .collect().map(r => r.media_id -> r).toMap
+    // aspect fit: 100x40 -> 48x19 (40*0.48 = 19.2 -> 19)
+    assert(out(1L).width == 48 && out(1L).height == 19)
+    assert(out(1L).mean_px == 200.0 / 255.0) // exact: box mean of a constant
+    assert(out(2L).width == 10 && out(2L).height == 6 && out(2L).mean_px == 37.0 / 255.0)
+    // the re-encoded payload decodes back to the same solid pixels
+    val re = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(2L).content))
+    assert(re.getWidth == 10 && (re.getRGB(3, 3) & 0xffffff) == 0x252525)
+    assert(out(3L).width == 0 && out(3L).content.isEmpty)
+    assert(out(4L).width == 0 && out(4L).content.isEmpty)
+  }
+
   test("perceptual hash: re-encoded image pairs at hamming 0; perturbed within 3; distinct far") {
     import spark.implicits._
     // 16x16 half-dark/half-bright base; aHash = stable bright-half pattern
