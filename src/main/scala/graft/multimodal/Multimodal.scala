@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a FILE-backed stream cache: every read/write spills
+  // through a temp file — measured 2-3x the whole decode cost on in-memory
+  // payloads. All payloads here are byte arrays; cache in heap instead.
+  // (Class-load time, once per JVM — executors each run this on first use.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Raw media row: opaque payload + mime tag. */
   final case class MediaRecord(media_id: Long, content: Array[Byte], mime: String)
 

@@ -9,15 +9,18 @@ import org.apache.spark.sql.functions._
   * `TextAnalysis.tokenCounts` uses for counting.
   *
   * Training is inherently iterative — merge r+1 depends on the corpus
-  * state after merge r — so the driver LOOPS, but each iteration is a
-  * fixed two-job pipeline over the distributed word relation:
+  * state after merge r — so the driver LOOPS, but each ROUND is a fixed
+  * two-job pipeline over the distributed word relation and commits up to
+  * `batchSize` merges (see [[trainMerges]] for the exactness proof):
   *   1. pair counting: `flatMap` adjacent symbol pairs weighted by word
   *      frequency → one partial-aggregated shuffle (vocabulary-sized, not
   *      corpus-sized);
-  *   2. argmax: `orderBy(count desc, pair asc).limit(1)` — distributed
-  *      TakeOrdered, ships one row per partition; the winning pair (a
-  *      few bytes) is the ONLY data that touches the driver;
-  *   3. merge application: a narrow `map` over word symbol arrays.
+  *   2. candidate selection: `orderBy(count desc, pair asc).limit(m+1)` —
+  *      distributed TakeOrdered, ships ≤ m+1 rows per partition; the
+  *      winning pairs (a few bytes) are the ONLY data that touches the
+  *      driver;
+  *   3. merge application: one narrow `map` over word symbol arrays
+  *      applying the whole batch.
   * The corpus itself is touched ONCE (the initial word-count aggregate);
   * every iteration runs over the word relation, whose size is the
   * DISTINCT vocabulary. Lineage is cut with `localCheckpoint` every
@@ -57,18 +60,52 @@ object Bpe {
   }
 
   /** Train `nMerges` merges. Returns the ranked merge list (driver-side:
-    * a merge table IS driver-sized — ~50k entries in real vocabularies). */
+    * a merge table IS driver-sized — ~50k entries in real vocabularies).
+    *
+    * BATCHED merge selection: each round runs ONE pair-count shuffle and
+    * accepts up to `batchSize` merges from it, cutting the driver-
+    * sequential round count ~batchSize× (a 30k-merge vocabulary is ~1k
+    * rounds at the default instead of 60k jobs) while producing the
+    * EXACT sequential merge list. Why the acceptance rule is exact:
+    *
+    *   1. Candidates are scanned in (count DESC, pair ASC) order; a
+    *      candidate is accepted while it shares NO symbol with any
+    *      already-accepted candidate; the scan STOPS at the first
+    *      conflict (or at the view's end). Hence every pair that shares a
+    *      symbol with an accepted merge ranks AT OR AFTER the stop
+    *      candidate (else it would have been the first conflict itself).
+    *   2. Applying a merge (a,b) can only change counts of pairs
+    *      containing a or b, and every NEWLY CREATED pair (ab,x) / (x,ab)
+    *      is bounded by an ORIGINAL pair sharing b or a (each occurrence
+    *      of (ab,x) was an occurrence of (b,x)). By (1) all of those rank
+    *      at-or-after the stop, so their counts are <= the stop
+    *      candidate's count `bound`.
+    *   3. Therefore each accepted candidate with count STRICTLY > bound
+    *      is still the true argmax at its sequential step: unchanged
+    *      pairs rank after it by the original sort, changed/new pairs are
+    *      <= bound < its count. Accepted candidates at count == bound are
+    *      dropped (a new pair could tie and win the lexicographic
+    *      tie-break); the head (the global argmax) is always exact.
+    *
+    * Worst case (all counts tied) the batch degenerates to one merge per
+    * round — sequential behavior, never divergence. BpeSpec pins
+    * bit-equality against the single-machine reference across batch
+    * sizes and randomized corpora. `checkpointEvery` counts ROUNDS
+    * (lineage grows one map per round). */
   def trainMerges(
       df: DataFrame, textCol: String, nMerges: Int,
-      checkpointEvery: Int = 10): Seq[(String, String)] = {
+      checkpointEvery: Int = 10, batchSize: Int = 32): Seq[(String, String)] = {
     require(nMerges >= 0, "Bpe.trainMerges: nMerges must be >= 0")
     require(checkpointEvery >= 1, "Bpe.trainMerges: checkpointEvery must be >= 1")
+    require(batchSize >= 1, "Bpe.trainMerges: batchSize must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     var words = wordRelation(df, textCol).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var i = 0
-    while (i < nMerges) {
+    var rounds = 0
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val m = math.min(batchSize, nMerges - merges.size)
       val top = words
         .flatMap { case (syms, n) =>
           syms.iterator.sliding(2).withPartial(false)
@@ -78,15 +115,29 @@ object Bpe {
         .mapValues(_._2).reduceGroups(_ + _)
         .map { case (pair, n) => (pair._1, pair._2, n) }
         .orderBy(col("_3").desc, col("_1"), col("_2"))
-        .limit(1)
+        .limit(m + 1) // the (m+1)-th row is the bound when no conflict is in view
         .collect()
-      if (top.isEmpty) i = nMerges // no adjacent pairs left anywhere
+      if (top.isEmpty) exhausted = true // no adjacent pairs left anywhere
       else {
-        val (a, b, _) = top.head
-        merges += ((a, b))
-        words = words.map { case (syms, n) => (mergeOnce(syms, a, b), n) }
-        if ((merges.size % checkpointEvery) == 0) words = words.localCheckpoint()
-        i += 1
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var bound = 0L // stays 0 when the ENTIRE pair table is in view, conflict-free
+        var idx = 0
+        var stopped = false
+        while (idx < top.length && !stopped) {
+          val (a, b, n) = top(idx)
+          if (accepted.size == m || used(a) || used(b)) { bound = n; stopped = true }
+          else { accepted += ((a, b, n)); used += a; used += b }
+          idx += 1
+        }
+        val batch = (accepted.head +: accepted.tail.takeWhile(_._3 > bound).toSeq)
+          .map(t => (t._1, t._2))
+        merges ++= batch
+        words = words.map { case (syms, n) =>
+          (batch.foldLeft(syms) { case (s, (a, b)) => mergeOnce(s, a, b) }, n)
+        }
+        rounds += 1
+        if ((rounds % checkpointEvery) == 0) words = words.localCheckpoint()
       }
     }
     merges.toSeq

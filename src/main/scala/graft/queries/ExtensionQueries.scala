@@ -263,6 +263,12 @@ object ExtensionQueries {
         (col("doc_id") % 256).cast("int").as("gray"),
         (lit(24) + col("doc_id") % 80).cast("int").as("w"),
         (lit(16) + (col("doc_id") * 7) % 96).cast("int").as("h"))
+      // the single-row-group documents scan is one partition (the d2
+      // floor); HERE the repartition is worth it — it moves 4 ints per
+      // row, and the per-row pixel work downstream is the actual cost.
+      // Explicit count: AQE would coalesce a tiny no-arg shuffle back
+      // to one partition and single-thread the codec work again
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Int, Int, Int)]
       .mapPartitions(_.map { case (id, g, w, h) =>
         Multimodal.MediaRecord(id, Multimodal.solidPng(g, w, h), "image/png")

@@ -50,6 +50,29 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.trainMerges(df.repartition(5), "text", 15) == expect)
   }
 
+  test("batched merge selection is exact: every batch size yields the sequential list") {
+    val df = corpus.toDF("text")
+    val expect = refTrain(corpus, 15)
+    for (bs <- Seq(1, 2, 4, 8, 32))
+      assert(Bpe.trainMerges(df, "text", 15, batchSize = bs) == expect,
+        s"batchSize=$bs diverged from the sequential reference")
+  }
+
+  test("batched selection stays exact on randomized corpora (tie-heavy, tiny alphabet)") {
+    // A 3-letter alphabet with short words maximizes count ties and symbol
+    // conflicts — the regime where a naive skip-conflicts batcher diverges
+    // from the sequential list. 8 seeded corpora, full-list equality.
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(30)((0 until (1 + rnd.nextInt(5)))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val text = words.mkString(" ")
+      val expect = refTrain(Seq(text), 12)
+      val got = Bpe.trainMerges(Seq(Tuple1(text)).toDF("text"), "text", 12, batchSize = 8)
+      assert(got == expect, s"seed=$seed: batched $got != sequential $expect")
+    }
+  }
+
   test("training stops early when no adjacent pairs remain") {
     // single-char words + EOW: one merge each, then nothing left
     val merges = Bpe.trainMerges(Seq("a b a").toDF("text"), "text", 50)
