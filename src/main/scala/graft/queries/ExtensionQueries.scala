@@ -402,6 +402,22 @@ object ExtensionQueries {
     Curation.hashedLinearScore(table(s, dir, "documents").select("doc_id", "text"), "text")
       .select("doc_id", "logit", "model_keep")
 
+  /** TRAINED model filter: logistic regression distilled from the
+    * heuristic rule filters (one gradient aggregate per epoch), served
+    * through the same hashed plumbing as t14. Rows-only: the iterative
+    * fit has no SQL analog and gradient float sums are shuffle-order
+    * dependent; CurationSpec pins separation quality on a labeled
+    * fixture. t14 keeps the deterministic stand-in weights so the exact
+    * SQL oracle for the serving path stays. */
+  private def t21(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select("doc_id", "text")
+    val labeled = Curation.heuristicFilters(docs, "text")
+      .select(col("doc_id"), col("text"), col("keep").cast("double").as("y"))
+    val (w, b) = Curation.trainHashedLogistic(labeled, "text", "y", epochs = 10)
+    Curation.hashedLinearScore(docs, "text", bias = b, weights = Some(w))
+      .select(col("doc_id"), col("model_keep"))
+  }
+
   private def t16(s: SparkSession, dir: String): DataFrame =
     Curation.lmPerplexity(table(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
 
@@ -1862,6 +1878,7 @@ object ExtensionQueries {
         ON s.source = c.source AND s.tok = c.tok""")),
     Q("p8_bpe_train", p8, None),
     Q("p9_bpe_encode", p9, None),
+    Q("t21_model_filter_trained", t21, None),
 
     // u = md5-hash32 / 2^32 exactly as p2/p4's oracles compute it
     Q("p11_hash_split", p11, Some("""

@@ -152,8 +152,10 @@ object Curation {
     * and the `model_keep` decision at threshold 0. */
   def hashedLinearScore(
       df: DataFrame, textCol: String, dims: Int = 64,
-      bias: Double = 0.0, seed: String = "w"): DataFrame = {
-    val w = hashedWeights(dims, seed)
+      bias: Double = 0.0, seed: String = "w",
+      weights: Option[Array[Double]] = None): DataFrame = {
+    val w = weights.getOrElse(hashedWeights(dims, seed))
+    require(w.length == dims, s"hashedLinearScore: got ${w.length} weights for $dims dims")
     val wLit = typedlit(w.toSeq)
     val toks = col("__toks")
     // `+ 0.0` collapses IEEE -0.0 to 0.0 so both engines agree bit-for-bit
@@ -164,6 +166,81 @@ object Curation {
       .withColumn("logit", logit)
       .withColumn("model_keep", col("logit") > 0.0)
       .drop("__toks")
+  }
+
+  /** REAL training for the hashed-feature scorer: full-batch logistic
+    * regression by gradient descent, distilling any 0/1 label column into
+    * [[hashedLinearScore]] weights — the fastText-quality-classifier
+    * pattern of CCNet/C4 (train a cheap linear model on labeled examples,
+    * deploy it as a shuffle-free scoring pass). The usual label source is
+    * the rule filters ([[heuristicFilters]]' `keep`), i.e. model
+    * distillation of the rules; any labeled subset works.
+    *
+    * Features are EXACTLY the scorer's, by construction: x_d = number of
+    * token occurrences whose md5-first-8-hex mod `dims` is d (same
+    * tokenizer, same hash, raw counts) — so trained weights serve through
+    * the identical plan-time-literal plumbing, and training/serving skew
+    * is impossible.
+    *
+    * Scale shape: the featurized relation (label, sparse dim-count pairs)
+    * is built in one narrow pass and persisted for the epoch loop; each
+    * epoch is one narrow projection (dot product against the broadcast
+    * weight vector) plus ONE partial-aggregated shuffle of per-dim
+    * gradient contributions; only `dims`+1 doubles reach the driver per
+    * epoch. Returns (weights, bias). Weight values depend on float
+    * accumulation order across partitions (inherent to distributed
+    * gradient sums); CurationSpec asserts separation quality, not bits. */
+  def trainHashedLogistic(
+      df: DataFrame, textCol: String, labelCol: String,
+      dims: Int = 64, epochs: Int = 20, lr: Double = 0.5,
+      l2: Double = 1e-4): (Array[Double], Double) = {
+    require(dims >= 1 && epochs >= 0 && lr > 0.0, "trainHashedLogistic: bad hyperparams")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val feats = df
+      .select(col(labelCol).cast("double").as("y"),
+        coalesce(col(textCol).cast("string"), lit("")).as("t"))
+      .where(col("y").isNotNull)
+      .as[(Double, String)]
+      .map { case (y, text) =>
+        val counts = new Array[Double](dims)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // split(" ", -1): keep empty tokens, matching Spark's split(text," ")
+        text.split(" ", -1).foreach { t =>
+          val h = md.digest(t.getBytes("UTF-8"))
+          val hex = f"${h(0) & 0xff}%02x${h(1) & 0xff}%02x${h(2) & 0xff}%02x${h(3) & 0xff}%02x"
+          counts((java.lang.Long.parseLong(hex, 16) % dims).toInt) += 1.0
+        }
+        (y, counts.zipWithIndex.collect { case (c, d) if c != 0.0 => (d, c) })
+      }
+      .persist()
+    val n = feats.count().toDouble // also materializes the persist
+    require(n > 0, "trainHashedLogistic: no labeled rows")
+    val w = new Array[Double](dims)
+    var b = 0.0
+    var e = 0
+    while (e < epochs) {
+      val bw = spark.sparkContext.broadcast(w.clone())
+      val bb = b
+      // dim -1 carries the bias gradient through the same aggregate
+      val grads = feats.flatMap { case (y, fp) =>
+        var dot = bb
+        fp.foreach { case (d, c) => dot += bw.value(d) * c }
+        val g = 1.0 / (1.0 + math.exp(-dot)) - y
+        fp.iterator.map { case (d, c) => (d, g * c) } ++ Iterator((-1, g))
+      }
+        .groupByKey(_._1)
+        .mapValues(_._2).reduceGroups(_ + _)
+        .collect()
+      grads.foreach { case (d, g) =>
+        if (d < 0) b -= lr * g / n
+        else w(d) -= lr * (g / n + l2 * w(d))
+      }
+      bw.destroy()
+      e += 1
+    }
+    feats.unpersist()
+    (w, b)
   }
 
   /** Corpus-trained bigram language-model score per document — the CCNet

@@ -82,6 +82,34 @@ class CurationSpec extends AnyFunSuite {
     assert(out.getBoolean(1) == (expected > 0.0))
   }
 
+  test("trainHashedLogistic: trained weights separate a labeled fixture; stand-in does not") {
+    // two disjoint vocabularies -> hashed features are (mostly) disjoint
+    // dims, so a linear model must separate them; the stand-in weights
+    // know nothing about the labels and should sit near chance
+    val rnd = new scala.util.Random(7)
+    val cleanVocab = Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy",
+      "dog", "reads", "daily", "news", "with", "coffee", "every", "morning")
+    val junkVocab = Seq("zzqx", "wvvk", "qqpl", "xxro", "kjjh", "vvnm", "ppwe",
+      "rrtu", "yyui", "hhgf", "ddsa", "llkj", "mmnb", "bbvc", "ccxz")
+    def doc(vocab: Seq[String]): String =
+      (0 until 20).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val rows = (1 to 40).map(i => (i.toLong, doc(cleanVocab), 1.0)) ++
+      (41 to 80).map(i => (i.toLong, doc(junkVocab), 0.0))
+    val df = rows.toDF("doc_id", "text", "y")
+    val (w, b) = Curation.trainHashedLogistic(df, "text", "y", epochs = 30)
+    def accuracy(scored: org.apache.spark.sql.DataFrame): Double = {
+      val hits = scored.select("doc_id", "model_keep").collect().count { r =>
+        r.getBoolean(1) == (r.getLong(0) <= 40)
+      }
+      hits / 80.0
+    }
+    val trained = accuracy(
+      Curation.hashedLinearScore(df, "text", bias = b, weights = Some(w)))
+    val standIn = accuracy(Curation.hashedLinearScore(df, "text"))
+    assert(trained >= 0.9, s"trained accuracy $trained below 0.9")
+    assert(trained > standIn, s"trained $trained not better than stand-in $standIn")
+  }
+
   test("decontaminate: mutated copy overlaps its benchmark source, unrelated doc does not") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corpus = Seq(
