@@ -1,0 +1,158 @@
+package graft.multimodal
+
+/** Minimal pure-JVM decoder for UNCOMPRESSED AVI — the one video container
+  * a JVM with no native codecs can honestly decode. Scope (checked, not
+  * assumed): RIFF `AVI ` file, one BI_RGB 24-bit video stream, `##db`/`##dc`
+  * frame chunks carrying bottom-up BGR DIB bitmaps with 4-byte row padding.
+  * Anything else (compressed codecs, other bit depths) returns None and the
+  * caller degrades to the all-zero metadata row — decode never throws on
+  * malformed bytes (every read is bounds-checked; the walk gives up rather
+  * than guessing).
+  *
+  * Container layout parsed here (little-endian throughout):
+  * {{{
+  *   "RIFF" <size> "AVI "
+  *     LIST <size> "hdrl"
+  *       "avih" <56+>  main header: dwTotalFrames@16, dwWidth@32, dwHeight@36
+  *       LIST "strl" -> "strh" (fccType "vids") + "strf" (BITMAPINFOHEADER:
+  *                      biBitCount@14 (u16), biCompression@16 (0 = BI_RGB))
+  *     LIST <size> "movi"
+  *       "00db"/"00dc" <size> <frame DIB>   (repeated)
+  * }}}
+  */
+object AviCodec {
+
+  /** Decoded uncompressed-AVI features: real dimensions, real frame count
+    * (counted from movi chunks), mean sRGB luminance over ALL frames'
+    * pixels normalized to [0, 1]. */
+  final case class AviVideo(width: Int, height: Int, nFrames: Int, meanLuminance: Double)
+
+  /** Encode row-major TOP-DOWN RGB frames (one Array[Int] of packed
+    * 0xRRGGBB per frame) as an uncompressed AVI that [[decode]] — or any
+    * standard AVI reader — accepts: BI_RGB 24-bit, bottom-up DIB rows
+    * padded to 4 bytes. The write-side of the codec; also the fixture
+    * generator for environments that ship no media. */
+  def encode(width: Int, height: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+    require(width >= 1 && height >= 1, "AviCodec.encode: dims must be >= 1")
+    require(frames.forall(_.length == width * height),
+      "AviCodec.encode: every frame must carry width*height pixels")
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data ++ pad
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val avih = le32(40000L) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.size.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(width.toLong) ++ le32(height.toLong) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = "vids".getBytes("US-ASCII") ++ Array.fill(52)(0.toByte)
+    val strf = le32(40) ++ le32(width.toLong) ++ le32(height.toLong) ++
+      le16(1) ++ le16(24) ++ le32(0) ++ Array.fill(20)(0.toByte)
+    val stride = ((width * 3 + 3) / 4) * 4
+    def dib(px: Array[Int]): Array[Byte] = {
+      val d = new Array[Byte](stride * height)
+      var y = 0
+      while (y < height) {
+        val srcRow = (height - 1 - y) * width // bottom-up
+        var x = 0
+        while (x < width) {
+          val rgb = px(srcRow + x)
+          val p = y * stride + x * 3
+          d(p) = (rgb & 0xff).toByte
+          d(p + 1) = ((rgb >> 8) & 0xff).toByte
+          d(p + 2) = ((rgb >> 16) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      d
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00db", dib(f))))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  def decode(bytes: Array[Byte]): Option[AviVideo] =
+    try decodeUnsafe(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeUnsafe(b: Array[Byte]): Option[AviVideo] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+    var width = 0
+    var height = 0
+    var bitCount = -1
+    var compression = -1L
+    var nFrames = 0
+    var lumSum = 0.0
+    var pxCount = 0L
+
+    // walk a chunk range [off, end); lists recurse with their type fourcc
+    def walk(off0: Int, end: Int, inMovi: Boolean): Unit = {
+      var off = off0
+      while (off + 8 <= end) {
+        val id = fourcc(b, off)
+        val size = u32(b, off + 4)
+        if (size < 0 || off + 8 + size > end) return // truncated: stop, keep what we have
+        val dataOff = off + 8
+        val dataEnd = (dataOff + size).toInt
+        if (id == "LIST" && size >= 4) {
+          val listType = fourcc(b, dataOff)
+          walk(dataOff + 4, dataEnd, inMovi = listType == "movi")
+        } else if (id == "avih" && size >= 40) {
+          width = u32(b, dataOff + 32).toInt
+          height = u32(b, dataOff + 36).toInt
+        } else if (id == "strf" && size >= 20 && bitCount < 0) {
+          // first strf wins — single-video-stream scope
+          bitCount = u16(b, dataOff + 14)
+          compression = u32(b, dataOff + 16)
+        } else if (inMovi && id(0).isDigit && id(1).isDigit &&
+          id(2) == 'd' && (id(3) == 'b' || id(3) == 'c')) {
+          nFrames += 1
+          // only BI_RGB 24-bit DIBs contribute pixels; bottom-up rows,
+          // stride padded to 4 bytes (luminance is row-order-invariant,
+          // so the bottom-up order needs no flip here)
+          if (bitCount == 24 && compression == 0L && width > 0 && height > 0) {
+            val stride = ((width * 3 + 3) / 4) * 4
+            if (size >= stride.toLong * height) {
+              var y = 0
+              while (y < height) {
+                val row = dataOff + y * stride
+                var x = 0
+                while (x < width) {
+                  val p = row + x * 3 // B, G, R
+                  lumSum += ((b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)) / 3.0
+                  x += 1
+                }
+                y += 1
+              }
+              pxCount += width.toLong * height
+            }
+          }
+        }
+        off = dataEnd + (size.toInt & 1) // chunks are word-aligned
+      }
+    }
+
+    walk(12, math.min(b.length.toLong, 8L + u32(b, 4)).toInt, inMovi = false)
+    if (width <= 0 || height <= 0 || bitCount != 24 || compression != 0L) None
+    else Some(AviVideo(width, height, nFrames,
+      if (pxCount == 0L) 0.0 else lumSum / pxCount / 255.0))
+  }
+}

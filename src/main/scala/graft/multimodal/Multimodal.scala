@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   * pure-JVM codec (`javax.imageio` — PNG/JPEG/BMP/GIF, deterministic,
   * tested on generated fixtures in MultimodalSpec); `audio/...` payloads
   * run the REAL JDK PCM codec (`javax.sound.sampled` — WAV/AIFF/AU, also
-  * fixture-tested); video mimes fall to a DETERMINISTIC STUB (no pure-JVM
-  * video codec exists): `fakeDecode` derives dimensions/frames/signal from
+  * fixture-tested); `video/...` payloads run the REAL [[AviCodec]] parser
+  * (uncompressed AVI — the one container decodable without native codecs;
+  * compressed codecs degrade to the all-zero row). Other mimes fall to a
+  * DETERMINISTIC STUB: `fakeDecode` derives dimensions/frames/signal from
   * the payload length alone, by formulas an external oracle can replicate.
   * The Spark-side plumbing — schema, encoders, batching, partitioning,
   * UDF signature — is identical for all paths.
@@ -156,11 +158,30 @@ object Multimodal {
       } finally ais.close()
   }
 
-  /** THE STUB for non-image, non-audio payloads: deterministic fake decode
-    * from payload bytes (this container has no video codecs). A real
-    * implementation would replace the body with a codec call; everything
-    * around it (batching, encoders, schema) is the production shape and
-    * is shared with the REAL image and audio paths above. */
+  /** Real decode for `video/...` payloads via [[AviCodec]] — uncompressed
+    * AVI (RIFF, BI_RGB 24-bit DIB frames), the one video container a JVM
+    * with no native codecs can honestly parse. Field mapping: width/height
+    * from the main header, n_frames counted from movi chunks, mean_px =
+    * mean sRGB luminance over all frames' pixels / 255. Compressed codecs
+    * and non-AVI containers degrade to the all-zero row (same convention
+    * as [[imageDecode]]) — THAT residue, not a formula stub, is now the
+    * only limit of the video path. */
+  private def videoDecode(m: MediaRecord): DecodedMedia = {
+    val len = m.content.length.toLong
+    val digest = MessageDigest.getInstance("MD5")
+    val hash = digest.digest(m.content).map("%02x".format(_)).mkString
+    AviCodec.decode(m.content) match {
+      case Some(v) =>
+        DecodedMedia(m.media_id, len, hash, v.width, v.height, v.nFrames, v.meanLuminance)
+      case None => DecodedMedia(m.media_id, len, hash, 0, 0, 0, 0.0)
+    }
+  }
+
+  /** THE STUB for payloads that are none of image/audio/video:
+    * deterministic fake decode from payload bytes. A real implementation
+    * would replace the body with a codec call; everything around it
+    * (batching, encoders, schema) is the production shape and is shared
+    * with the REAL image, audio and video paths above. */
   private def fakeDecode(m: MediaRecord): DecodedMedia = {
     val len = m.content.length.toLong
     val digest = MessageDigest.getInstance("MD5")
@@ -187,6 +208,7 @@ object Multimodal {
         batch.map(m =>
           if (m.mime != null && m.mime.startsWith("image/")) imageDecode(m)
           else if (m.mime != null && m.mime.startsWith("audio/")) audioDecode(m)
+          else if (m.mime != null && m.mime.startsWith("video/")) videoDecode(m)
           else fakeDecode(m))
       }
     }(Encoders.product[DecodedMedia])

@@ -279,6 +279,34 @@ object ExtensionQueries {
         col("width"), col("height"), round(col("mean_px"), 9).as("mean_px"))
   }
 
+  /** REAL video path end-to-end: solid-frame uncompressed AVIs built
+    * in-plan from doc_id via [[AviCodec.encode]] and decoded by the real
+    * [[AviCodec]] RIFF parser. Solid frames make the mean luminance
+    * resampler/orientation-invariant (gray/255 exactly), so the oracle
+    * replicates dims, frame count and mean by formula; independent byte-
+    * level fixtures pin the parser in MultimodalSpec. */
+  private def m6(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    val media = table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("media_id"),
+        (col("doc_id") % 256).cast("int").as("gray"),
+        (lit(8) + col("doc_id") % 24).cast("int").as("w"),
+        (lit(6) + (col("doc_id") * 5) % 18).cast("int").as("h"),
+        (lit(1) + col("doc_id") % 4).cast("int").as("nf"))
+      .repartition(s.sparkContext.defaultParallelism) // the m4 lesson
+      .as[(Long, Int, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, g, w, h, nf) =>
+        val px = Array.fill(w * h)((g << 16) | (g << 8) | g)
+        Multimodal.MediaRecord(id,
+          graft.multimodal.AviCodec.encode(w, h, Seq.fill(nf)(px)), "video/avi")
+      })
+      .toDF()
+    Multimodal.decode(media).toDF()
+      .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+        round(col("mean_px"), 9).as("mean_px"))
+  }
+
   /** Perceptual (average-hash) image near-dup over the stub luminance
     * grids: documents with equal byte length share a grid → hamming 0;
     * the oracle replicates grid, hash packing, blocking and verification. */
@@ -1879,6 +1907,13 @@ object ExtensionQueries {
     Q("p8_bpe_train", p8, None),
     Q("p9_bpe_encode", p9, None),
     Q("t21_model_filter_trained", t21, None),
+    Q("m6_video_decode", m6, Some("""
+      SELECT doc_id AS media_id,
+        (8 + doc_id % 24)::INT AS width,
+        (6 + (doc_id * 5) % 18)::INT AS height,
+        (1 + doc_id % 4)::INT AS n_frames,
+        round((doc_id % 256) / 255.0, 9) AS mean_px
+      FROM documents""")),
 
     // u = md5-hash32 / 2^32 exactly as p2/p4's oracles compute it
     Q("p11_hash_split", p11, Some("""

@@ -99,6 +99,86 @@ class MultimodalSpec extends AnyFunSuite {
       && resized.width == 2 && resized.height == 1)
   }
 
+  /** Minimal uncompressed-AVI writer (independent of the decoder under
+    * test): RIFF/AVI with one BI_RGB 24-bit stream; frames are bottom-up
+    * BGR DIBs, rows padded to 4 bytes. */
+  private def aviBytes(w: Int, h: Int, framesRgb: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val avih = le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(framesRgb.size) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = "vids".getBytes("US-ASCII") ++ Array.fill(52)(0.toByte)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ Array.fill(20)(0.toByte) // biCompression = 0 (BI_RGB)
+    val stride = ((w * 3 + 3) / 4) * 4
+    def frame(rgb: Int): Array[Byte] = {
+      val d = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = y * stride + x * 3
+        d(p) = (rgb & 0xff).toByte            // B
+        d(p + 1) = ((rgb >> 8) & 0xff).toByte // G
+        d(p + 2) = ((rgb >> 16) & 0xff).toByte // R
+      }
+      d
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", framesRgb.toArray.flatMap(c => chunk("00db", frame(c))))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(body.length))
+    out.write(body)
+    out.toByteArray
+  }
+
+  test("video decode: real AVI parser on generated uncompressed fixtures") {
+    import spark.implicits._
+    // 3 frames of solid gray 60, 120, 180 -> mean = 120/255 exactly
+    val good = aviBytes(6, 4, Seq(0x3c3c3c, 0x787878, 0xb4b4b4))
+    val media = Seq(
+      (1L, good, "video/avi"),
+      (2L, good.take(40), "video/avi"),               // truncated
+      (3L, "not a video".getBytes("UTF-8"), "video/mp4"), // wrong container
+      (4L, good, "application/octet-stream"))         // non-media mime -> stub
+      .toDF("media_id", "content", "mime")
+    val out = Multimodal.decode(media).collect().map(d => d.media_id -> d).toMap
+    assert(out(1L).width == 6 && out(1L).height == 4 && out(1L).n_frames == 3)
+    assert(out(1L).mean_px == 120.0 / 255.0,
+      s"mean ${out(1L).mean_px} != ${120.0 / 255.0}")
+    assert(out(2L).width == 0 && out(2L).n_frames == 0) // degrade, don't throw
+    assert(out(3L).width == 0 && out(3L).n_frames == 0)
+    // stub path untouched for non-media mimes (m2/m3 oracle contract)
+    assert(out(4L).width == (16 + good.length % 64))
+
+    // frame sampling now runs off REAL frame counts
+    val sampled = Multimodal.sampleFrames(
+      Multimodal.decode(media.where($"media_id" === 1L)), stride = 2)
+      .select("frame_idx").collect().map(_.getInt(0)).sorted
+    assert(sampled.toSeq == Seq(0, 2))
+  }
+
+  test("AviCodec roundtrip: encode then decode recovers dims, frames, and exact mean") {
+    // non-solid frames so the bottom-up row flip is actually exercised
+    val w = 5; val h = 3
+    val f1 = Array.tabulate(w * h)(i => (i * 17 % 256) * 0x010101)
+    val f2 = Array.tabulate(w * h)(i => ((i * 31 + 7) % 256) * 0x010101)
+    val bytes = graft.multimodal.AviCodec.encode(w, h, Seq(f1, f2))
+    val v = graft.multimodal.AviCodec.decode(bytes).get
+    assert(v.width == w && v.height == h && v.nFrames == 2)
+    val lum = (f1 ++ f2).map(p => ((p >> 16 & 0xff) + (p >> 8 & 0xff) + (p & 0xff)) / 3.0)
+    assert(v.meanLuminance == lum.sum / lum.length / 255.0)
+  }
+
   test("resizeImages: gradient downscale by 2 is the exact 2x2 block mean, pixel for pixel") {
     import spark.implicits._
     // 8x8 gradient: px(x,y) = 16*(y*8+x) in each channel — every 2x2 block
@@ -240,7 +320,7 @@ class MultimodalSpec extends AnyFunSuite {
       (1L, wav(2000, 8000f, 1), "audio/wav"),
       (2L, wav(300, 44100f, 2), "audio/wav"),
       (3L, "definitely not audio".getBytes("UTF-8"), "audio/wav"), // undecodable
-      (4L, wav(100, 8000f, 1), "video/mp4")) // video mime stays on the stub
+      (4L, wav(100, 8000f, 1), "video/mp4")) // video mime, non-AVI payload
       .toDF("media_id", "content", "mime")
     val out = Multimodal.decode(media).collect().map(d => d.media_id -> d).toMap
     // width = sample rate, height = channels, n_frames = audio frames
@@ -250,8 +330,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L).mean_px == 0.5)
     // undecodable audio degrades to the all-zero row, hash intact
     assert(out(3L).width == 0 && out(3L).n_frames == 0 && out(3L).byte_len == 20L)
-    // video mime is still the honest stub (length-derived fields)
-    val vLen = out(4L).byte_len
-    assert(out(4L).width == (16 + vLen % 64).toInt)
+    // video mime now runs the real AVI parser: a WAV payload is not an
+    // uncompressed AVI, so it degrades to the all-zero row
+    assert(out(4L).width == 0 && out(4L).n_frames == 0)
   }
 }
