@@ -439,8 +439,15 @@ object ExtensionQueries {
     * SQL oracle for the serving path stays. */
   private def t21(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents").select("doc_id", "text")
-    val labeled = Curation.heuristicFilters(docs, "text")
-      .select(col("doc_id"), col("text"), col("keep").cast("double").as("y"))
+    // Fan the interpreted rule expressions out of the single-row-group
+    // partition, and persist the labeled face so the trainer's typed
+    // pipeline reads evaluated rows — without the barrier the whole HOF
+    // expression tree re-evaluates inside the deserializer's filter AND
+    // project (measured 7.2 s vs 1.1 s at sf0.1)
+    val labeled = graft.CacheRegistry.persisted(
+      Curation.heuristicFilters(
+          docs.repartition(s.sparkContext.defaultParallelism), "text")
+        .select(col("doc_id"), col("text"), col("keep").cast("double").as("y")))
     val (w, b) = Curation.trainHashedLogistic(labeled, "text", "y", epochs = 10)
     Curation.hashedLinearScore(docs, "text", bias = b, weights = Some(w))
       .select(col("doc_id"), col("model_keep"))

@@ -208,8 +208,11 @@ object Curation {
         // split(" ", -1): keep empty tokens, matching Spark's split(text," ")
         text.split(" ", -1).foreach { t =>
           val h = md.digest(t.getBytes("UTF-8"))
-          val hex = f"${h(0) & 0xff}%02x${h(1) & 0xff}%02x${h(2) & 0xff}%02x${h(3) & 0xff}%02x"
-          counts((java.lang.Long.parseLong(hex, 16) % dims).toInt) += 1.0
+          // first 8 hex chars of md5 = first 4 bytes big-endian, unsigned —
+          // identical to the scorer's conv(substring(md5, 1, 8), 16, 10)
+          val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+          counts((v % dims).toInt) += 1.0
         }
         (y, counts.zipWithIndex.collect { case (c, d) if c != 0.0 => (d, c) })
       }
