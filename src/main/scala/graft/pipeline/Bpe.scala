@@ -165,6 +165,13 @@ object Bpe {
       .toDF("rank", "left", "right")
   }
 
+  /** Load a [[mergesDF]] artifact back into the rank-ordered merge list
+    * for [[encode]] (collect is merge-table-sized — the tokenizer
+    * artifact is driver-sized by design, ~50k rows). */
+  def mergesFromDF(df: DataFrame): Seq[(String, String)] =
+    df.select("rank", "left", "right").collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+
   /** Encode: apply the trained merges to every document — merges applied
     * in RANK order per word (the standard greedy BPE encode; equivalent
     * to replaying training on the word). The merge table is a broadcast

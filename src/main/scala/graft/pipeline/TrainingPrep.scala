@@ -197,6 +197,25 @@ object TrainingPrep {
     df.withColumn("u", uniform01(col(idCol), "mix"))
       .withColumn("sampled", col("u") < weight)
 
+  /** Weighted mixture with UPSAMPLING — the "epochs over source" mixture
+    * of real LLM training recipes (a high-quality source with weight 2.7
+    * appears twice, and a deterministic 70% of its documents a third
+    * time). Emits one row per copy with a 0-based `copy` index so
+    * downstream [[shuffleShard]]/packing keyed by (id, copy) treats
+    * copies as distinct training examples instead of collapsing them.
+    * weight < 1 degrades exactly to [[mixtureSample]]'s keep decision
+    * (same salted hash, same threshold): 0 or 1 copies. Shuffle-free —
+    * floor + explode(sequence) projection; output size is sum(weight),
+    * which is the point. */
+  def mixtureRepeat(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val n = floor(weight).cast("long") +
+      when(uniform01(col(idCol), "mix") < (weight - floor(weight)), 1L).otherwise(0L)
+    df.withColumn("__n", n)
+      .where(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Per-group quota: cap any one group's contribution at `quota` rows —
     * the domain/source cap of web-corpus curation (no single site may
     * dominate the training mix). Deterministic: the kept rows are the

@@ -513,6 +513,17 @@ object ExtensionQueries {
         sum(when(col("sampled"), 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** Upsampling mixture: per-source weights 0.75/1.5/2.25/3.0 (binary-
+    * exact quarter steps, the p4 convention), one output row per
+    * deterministic copy — weights above 1 actually repeat documents,
+    * the "epochs over source" recipe p4's keep/drop form can't express. */
+  private def p12(s: SparkSession, dir: String): DataFrame = {
+    val weight = (lit(1) + substring(col("source"), 4, 10).cast("int") % 4) * lit(0.75)
+    graft.pipeline.TrainingPrep.mixtureRepeat(
+      table(s, dir, "documents").select("doc_id", "source"), "doc_id", weight)
+      .select("doc_id", "source", "copy")
+  }
+
   /** Token id-ification against a 16-entry frequency vocabulary built
     * in-plan — small enough that OOV tokens exist and exercise the unk
     * path at every SF. */
@@ -2177,6 +2188,17 @@ object ExtensionQueries {
             < (1 + substr(source, 4)::INT % 4) / 4.0
           THEN 1 ELSE 0 END)::BIGINT AS n_kept
       FROM documents GROUP BY source""")),
+
+    Q("p12_mixture_upsample", p12, Some("""
+      SELECT doc_id, source, unnest(range(0, n)) AS copy
+      FROM (
+        SELECT doc_id, source,
+          (floor(w)::BIGINT + CASE WHEN
+            ('0x' || substr(md5(doc_id::VARCHAR || '#mix'), 1, 8))::BIGINT / 4294967296.0
+              < w - floor(w) THEN 1 ELSE 0 END) AS n
+        FROM (SELECT doc_id, source,
+                (1 + substr(source, 4)::INT % 4) * 0.75 AS w FROM documents))
+      WHERE n > 0""")),
 
     Q("p6_tokenize_ids", p6, Some("""
       WITH tokpos AS (

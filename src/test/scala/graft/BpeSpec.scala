@@ -107,6 +107,18 @@ class BpeSpec extends AnyFunSuite {
     assert(oov.length > 1) // not fully merged: "lownew</w>" was never a word
   }
 
+  test("mergesDF artifact roundtrips through mergesFromDF, encode unchanged") {
+    val df = corpus.toDF("text")
+    val merges = Bpe.trainMerges(df, "text", 15)
+    val loaded = Bpe.mergesFromDF(Bpe.mergesDF(spark, merges).repartition(3))
+    assert(loaded == merges)
+    val a = Bpe.encode(Seq((1L, "lower widest")).toDF("id", "text"), "id", "text", merges)
+      .collect().head.getSeq[String](1)
+    val b = Bpe.encode(Seq((1L, "lower widest")).toDF("id", "text"), "id", "text", loaded)
+      .collect().head.getSeq[String](1)
+    assert(a == b)
+  }
+
   test("encode with no merges is characters + end-of-word marker") {
     val out = Bpe.encode(Seq((1L, "ab c")).toDF("id", "text"), "id", "text", Nil)
       .collect().head

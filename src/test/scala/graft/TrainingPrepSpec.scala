@@ -61,6 +61,36 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(kept == keptAgain)
   }
 
+  test("mixtureRepeat: integer weights repeat exactly; fractional part matches mixtureSample") {
+    val df = ids(1000)
+    // integer weight: every row exactly w copies, copy = 0..w-1
+    val twice = TrainingPrep.mixtureRepeat(df, "doc_id", lit(2.0))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"),
+        min(col("copy")).as("lo"), max(col("copy")).as("hi"))
+      .collect()
+    assert(twice.length == 1000)
+    twice.foreach(r => assert(r.getLong(1) == 2L && r.getLong(2) == 0L && r.getLong(3) == 1L))
+    // weight 0 emits nothing; weight in (0,1) = mixtureSample's keep set
+    assert(TrainingPrep.mixtureRepeat(df, "doc_id", lit(0.0)).count() == 0)
+    val repeatKept = TrainingPrep.mixtureRepeat(df, "doc_id", lit(0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sampleKept = TrainingPrep.mixtureSample(df, "doc_id", lit(0.5))
+      .where(col("sampled")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repeatKept == sampleKept)
+    // weight 2.5: everyone gets 2, the SAME deterministic half gets 3;
+    // total = 2000 + |kept@0.5|, and the 3-copy ids are exactly that set
+    val mixed = TrainingPrep.mixtureRepeat(df, "doc_id", lit(2.5))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mixed.values.forall(n => n == 2L || n == 3L))
+    assert(mixed.filter(_._2 == 3L).keySet == sampleKept)
+    // partitioning-invariant (hash of id, not row position)
+    val repart = TrainingPrep.mixtureRepeat(df.repartition(7), "doc_id", lit(2.5))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repart == mixed)
+  }
+
   test("buildVocab + tokenizeToIds: df-ranked dense ids, OOV -> unk, position order preserved") {
     import spark.implicits._
     val docs = Seq(
