@@ -396,7 +396,7 @@ object Multimodal {
     * is integral the box is exact k×k blocks, so output pixels are exact
     * block means — which is what the spec fixtures pin. Pure JVM
     * (`java.awt.image`, headless-safe), deterministic, per-channel sRGB. */
-  private[multimodal] def areaResample(
+  private[graft] def areaResample(
       img: java.awt.image.BufferedImage, w: Int, h: Int): java.awt.image.BufferedImage = {
     val sw = img.getWidth
     val sh = img.getHeight

@@ -183,4 +183,31 @@ class EdgeCasesSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(n == Seq("", "", "ok"))
   }
+
+  test("round-3 operators degrade on degenerate inputs, never crash") {
+    import graft.multimodal.{AviCodec, Multimodal}
+    import graft.pipeline.TrainingPrep
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // mixtureRepeat: empty input and empty output shapes
+    assert(TrainingPrep.mixtureRepeat(emptyDocs, "doc_id", lit(3.0)).count() == 0)
+    assert(TrainingPrep.mixtureRepeat(docs, "doc_id", lit(0.0)).count() == 0)
+    // resizeImages: empty relation; 1x1 image at maxSide 1 passes through
+    val emptyMedia = Seq.empty[(Long, Array[Byte], String)].toDF("media_id", "content", "mime")
+    assert(Multimodal.resizeImages(emptyMedia, 1).count() == 0)
+    val one = Seq((1L, Multimodal.solidPng(7, 1, 1), "image/png"))
+      .toDF("media_id", "content", "mime")
+    val r = Multimodal.resizeImages(one, 1).collect().head
+    assert(r.width == 1 && r.height == 1 && r.mean_px == 7.0 / 255.0)
+    // AviCodec: empty/garbage bytes -> None; 1x1 single-frame roundtrip
+    assert(AviCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(AviCodec.decode("RIFFxxxx".getBytes("US-ASCII")).isEmpty)
+    val tiny = AviCodec.decode(AviCodec.encode(1, 1, Seq(Array(0x808080)))).get
+    assert(tiny.width == 1 && tiny.height == 1 && tiny.nFrames == 1
+      && tiny.meanLuminance == 128.0 / 255.0)
+    // trainHashedLogistic: zero labeled rows is a loud error, not a NaN model
+    intercept[IllegalArgumentException] {
+      graft.text.Curation.trainHashedLogistic(
+        emptyDocs.withColumn("y", lit(1.0)), "text", "y", epochs = 1)
+    }
+  }
 }

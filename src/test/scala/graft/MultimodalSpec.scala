@@ -206,6 +206,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("areaResample preserves the global mean on random images (up to per-pixel rounding)") {
+    // the box filter is a weighted average with total weight = area, so the
+    // output's global mean equals the input's exactly before rounding; the
+    // rounding moves each output pixel < 0.5, hence the mean < 0.5/255
+    for (seed <- 0 until 6) {
+      val rnd = new scala.util.Random(seed)
+      val (w, h) = (7 + rnd.nextInt(40), 5 + rnd.nextInt(40))
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = rnd.nextInt(256)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      def mean(im: java.awt.image.BufferedImage): Double = {
+        val vs = for (y <- 0 until im.getHeight; x <- 0 until im.getWidth)
+          yield (im.getRGB(x, y) & 0xff).toDouble
+        vs.sum / vs.size
+      }
+      val (ow, oh) = (1 + rnd.nextInt(w), 1 + rnd.nextInt(h))
+      val out = Multimodal.areaResample(img, ow, oh)
+      assert(out.getWidth == ow && out.getHeight == oh)
+      assert(math.abs(mean(out) - mean(img)) <= 0.5 + 1e-9,
+        s"seed=$seed ${w}x$h->${ow}x$oh mean drifted ${mean(out)} vs ${mean(img)}")
+      for (y <- 0 until oh; x <- 0 until ow) {
+        val p = out.getRGB(x, y)
+        assert(((p >> 16) & 0xff) == (p & 0xff), "gray input must stay gray")
+      }
+    }
+  }
+
   test("resizeImages: solid image mean is resampler-invariant; no-downscale passes through") {
     import spark.implicits._
     val media = Seq(

@@ -222,4 +222,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
     assert(p.contains("lk"), s"join not keyed on the line hash:\n$p")
   }
+
+  test("m4 real resize: codec work fanned out by a pinned round-robin exchange, no join") {
+    val p = plan(q("m4_resize"))
+    // the explicit repartition must survive as a RoundRobinPartitioning
+    // exchange BELOW the payload-generating map (AQE would coalesce a
+    // no-arg one back to a single partition and single-thread the codec)
+    assert(p.contains("RoundRobinPartitioning"), s"fan-out exchange missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+  }
+
+  test("m6 video decode: shuffle-free beyond the fan-out exchange") {
+    val p = plan(q("m6_video_decode"))
+    assert(p.contains("RoundRobinPartitioning"), s"fan-out exchange missing:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+  }
+
+  test("p12 upsampling mixture: shuffle-free projection (floor + explode, no exchange)") {
+    val p = plan(q("p12_mixture_upsample"))
+    assert(!p.contains("Exchange"), s"mixtureRepeat must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"explode missing:\n$p") // sequence explode
+  }
 }
