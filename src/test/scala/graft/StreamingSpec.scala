@@ -185,6 +185,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mixtureRepeat and trained-weight scoring are stream-transparent: batch ≡ stream") {
+    implicit val ctx = spark.sqlContext
+    // train on a static labeled relation (the model is a plan-time
+    // literal), serve over a stream: upsampled copies + scores must
+    // match the batch run row for row
+    val labeled = Seq((1L, "good clean text here", 1.0), (2L, "zz qq xx", 0.0),
+      (3L, "more good clean text", 1.0), (4L, "vv kk jj", 0.0))
+      .toDF("doc_id", "text", "y")
+    val (w, b) = graft.text.Curation.trainHashedLogistic(labeled, "text", "y", epochs = 15)
+    val docs = Seq((10L, "good clean text here"), (11L, "zz qq xx"), (12L, "fresh doc"))
+    def pipe(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TrainingPrep.mixtureRepeat(
+        graft.text.Curation.hashedLinearScore(df, "text", bias = b, weights = Some(w)),
+        "doc_id", org.apache.spark.sql.functions.lit(2.5))
+    val source = MemoryStream[(Long, String)]
+    val q = pipe(source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("mix_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(docs: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "copy", "logit", "model_keep")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+      val streamRows = shape(spark.table("mix_stream"))
+      assert(streamRows == shape(pipe(docs.toDF("doc_id", "text"))))
+      // upsampling actually happened in the stream: weight 2.5 gives every
+      // document at least copies 0 and 1
+      val copiesPerDoc = streamRows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      assert(copiesPerDoc.values.forall(cs => cs.contains(0L) && cs.contains(1L)))
+    } finally q.stop()
+  }
+
   test("minhashBandRegistry: stream equals batch when arrival follows id order") {
     implicit val ctx = spark.sqlContext
     val docs = Seq(
