@@ -31,11 +31,25 @@ object ExtensionQueries {
   import Q.table
 
   /** documents ∪ mutated copies — shared by d3/d4. */
+  /** documents.parquet is ONE row group at every SF (a TESTDATA artifact),
+    * so a plain scan is a single partition and every per-doc kernel
+    * downstream (shingling, regex, winnowing, codecs, BPE) single-threads.
+    * For those queries, fan out first: the text shuffle is one pass over
+    * ~corpus bytes and measured strictly cheaper than the lost parallelism
+    * (d2 12.7->8.7 s, t17 1.6->0.65 s cold at sf0.1; the m4/t21 lesson).
+    * On a real multi-file corpus the file count provides this parallelism
+    * and the repartition is a no-op cost-wise. Explicit count: AQE would
+    * coalesce a small no-arg shuffle back to one partition. Only applied
+    * where results are partitioning-invariant (hash/integer/per-row
+    * arithmetic — NOT t16's accumulated doubles). */
+  private def fanOut(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   private def mutatedCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = table(s, dir, "documents").select("doc_id", "text")
-    d.unionAll(d.where(col("doc_id") % 5 === 0).select(
+    fanOut(s, d.unionAll(d.where(col("doc_id") % 5 === 0).select(
       (col("doc_id") + 1000000L).as("doc_id"),
-      regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
+      regexp_replace(col("text"), "^[^ ]+ ", "").as("text"))))
   }
 
   private val corpusSql = """corpus AS (
@@ -51,6 +65,8 @@ object ExtensionQueries {
 
   private def d2(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
+      // fanOut measured a consistent +0.5 s here: the PPJoin's own
+      // shuffles already parallelize the heavy phase, the prep is cheap
       table(s, dir, "documents").withColumn("len_band", expr("n_chars div 64")),
       "doc_id", "text", blockCols = Seq("lang", "len_band"), threshold = 0.9)
       .select("id_a", "id_b", "jaccard")
@@ -314,7 +330,8 @@ object ExtensionQueries {
     implicit val spark: SparkSession = s
     Multimodal.perceptualHashPairs(
       Multimodal.luminanceGrid(
-        Multimodal.ingestFromText(table(s, dir, "documents"), "doc_id", "text", "text/plain"))
+        Multimodal.ingestFromText(
+          fanOut(s, table(s, dir, "documents")), "doc_id", "text", "text/plain"))
         .toDF(),
       maxHamming = 3)
   }
@@ -467,7 +484,7 @@ object ExtensionQueries {
       (col("doc_id") + 1000000L).as("doc_id"),
       concat(upper(col("text")), lit(" !!!")).as("text")))
     Dedup.exact(
-      corpus.withColumn("text", Curation.normalizeForDedup(col("text"))),
+      fanOut(s, corpus).withColumn("text", Curation.normalizeForDedup(col("text"))),
       "doc_id", "text")
   }
 
