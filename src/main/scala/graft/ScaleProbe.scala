@@ -63,7 +63,8 @@ object ScaleProbe {
       "x25_gap_fill", "x26_cdc_merge", "x28_funnel", "x29_retention",
       "x32_reconcile", "d10_line_dedup_within", "p11_hash_split",
       "st6_latest_state", "t19_winsorize",
-      "m4_resize", "m6_video_decode", "t21_model_filter_trained")
+      "m4_resize", "m6_video_decode", "t21_model_filter_trained",
+      "p12_mixture_upsample")
     def time(dir: String, name: String): Double = {
       // operators persist() shared branches; a prior identical run would
       // satisfy them from the cache (CacheManager matches canonicalized

@@ -102,6 +102,7 @@ object AviCodec {
     var nFrames = 0
     var lumSum = 0.0
     var pxCount = 0L
+    var lastStrhType = "" // guards strf: audio streams carry WAVEFORMATEX there
 
     // walk a chunk range [off, end); lists recurse with their type fourcc
     def walk(off0: Int, end: Int, inMovi: Boolean): Unit = {
@@ -118,8 +119,12 @@ object AviCodec {
         } else if (id == "avih" && size >= 40) {
           width = u32(b, dataOff + 32).toInt
           height = u32(b, dataOff + 36).toInt
-        } else if (id == "strf" && size >= 20 && bitCount < 0) {
-          // first strf wins — single-video-stream scope
+        } else if (id == "strh" && size >= 4) {
+          lastStrhType = fourcc(b, dataOff)
+        } else if (id == "strf" && size >= 20 && bitCount < 0 &&
+          lastStrhType == "vids") {
+          // first VIDEO strf wins — an audio stream's strf is a
+          // WAVEFORMATEX and must not be read as a BITMAPINFOHEADER
           bitCount = u16(b, dataOff + 14)
           compression = u32(b, dataOff + 16)
         } else if (inMovi && id(0).isDigit && id(1).isDigit &&

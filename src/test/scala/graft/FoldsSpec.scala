@@ -143,6 +143,17 @@ class FoldsSpec extends AnyFunSuite {
     }
   }
 
+  test("KLL column names: fractional percents embed the rank; duplicate names rejected") {
+    val df = spark.range(100).selectExpr("'a' AS g", "CAST(id AS DOUBLE) AS v")
+    val cols = graft.folds.KllQuantiles
+      .quantilesByKey(df, "g", "v", Seq(0.005, 0.01, 0.5, 0.995, 1.0)).columns.toSeq
+    // 0.005 and 0.01 used to both round to q_1; 0.995 and 1.0 both to q_100
+    assert(cols == Seq("g", "n", "q_0_005", "q_1", "q_50", "q_0_995", "q_100"))
+    intercept[IllegalArgumentException] {
+      graft.folds.KllQuantiles.quantilesByKey(df, "g", "v", Seq(0.5, 0.5))
+    }
+  }
+
   test("KLL merge law: merged partition partials give the same guarantee as one pass") {
     // estimates aren't bit-reproducible (compaction flips coins) — the
     // merge LAW is that the merged sketch keeps n exact and the rank

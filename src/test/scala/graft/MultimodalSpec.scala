@@ -167,6 +167,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sampled.toSeq == Seq(0, 2))
   }
 
+  test("AviCodec: an audio stream listed BEFORE the video stream does not poison strf parsing") {
+    // hand-build hdrl with an 'auds' strl (strf = fake WAVEFORMATEX whose
+    // bytes at the BITMAPINFOHEADER offsets would read as bitCount=1,
+    // compression=junk) ahead of the real 'vids' strl
+    def le32(v: Long): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(id: String, d: Array[Byte]): Array[Byte] = {
+      val pad = if (d.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(d.length) ++ d ++ pad
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val w = 4; val h = 2
+    val avih = le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(2) ++ le32(0) ++ le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val audStrh = "auds".getBytes("US-ASCII") ++ Array.fill(52)(0.toByte)
+    val audStrf = le16(1) ++ le16(1) ++ le32(8000) ++ le32(8000) ++ le16(1) ++
+      le16(1) ++ Array.fill(8)(0x7f.toByte) // junk at offsets 14/16
+    val vidStrh = "vids".getBytes("US-ASCII") ++ Array.fill(52)(0.toByte)
+    val vidStrf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ Array.fill(20)(0.toByte)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frame = Array.tabulate(stride * h)(i => if (i % stride < w * 3) 100.toByte else 0.toByte)
+    val bytes = {
+      val hdrl = list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", audStrh) ++ chunk("strf", audStrf)) ++
+        list("strl", chunk("strh", vidStrh) ++ chunk("strf", vidStrf)))
+      val movi = list("movi", chunk("00db", frame))
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val v = graft.multimodal.AviCodec.decode(bytes).get
+    assert(v.width == w && v.height == h && v.nFrames == 1)
+    assert(v.meanLuminance == 100.0 / 255.0)
+  }
+
   test("AviCodec roundtrip: encode then decode recovers dims, frames, and exact mean") {
     // non-solid frames so the bottom-up row flip is actually exercised
     val w = 5; val h = 3

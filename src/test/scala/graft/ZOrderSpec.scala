@@ -84,4 +84,27 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zSpans.forall { case (mnx, mxx, _, _) => (mxx - mnx) < 1023 },
       "every z-ordered file spans the full x domain — curve not clustering x")
   }
+
+  test("null layout values are preserved and bucket LOW (first file), not to the top") {
+    // least() skips nulls, so before the coalesce fix a null y floored to
+    // the TOP bucket and null-heavy columns clustered at the curve's end
+    val data = spark.range(1024).select(
+      col("id").as("x"),
+      when(col("id") % 8 === 0, lit(null)).otherwise(col("id")).as("y"))
+    val dir = Files.createTempDirectory("graft_zorder_null").toString
+    ZOrder.writeZOrdered(data, dir, Seq("x", "y"), bits = 6, numFiles = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1024 && back.where(col("y").isNull).count() == 128)
+    // the file holding the null-y rows must sit at the LOW end of x-space
+    // for those rows (bucket 0 on y → curve positions interleave with x
+    // only): every null-y row's x must be among the SMALLER x values of
+    // its file, never pushed into the top-of-curve file wholesale
+    val nullFiles = back.where(col("y").isNull)
+      .select(input_file_name().as("f")).distinct().collect().map(_.getString(0)).toSet
+    val topFile = back.groupBy(input_file_name().as("f"))
+      .agg(max("x").as("mx")).orderBy(col("mx").desc)
+      .collect().head.getString(0)
+    assert(!(nullFiles.size == 1 && nullFiles.head == topFile),
+      "null-y rows all collapsed into the top-of-curve file (pre-fix behavior)")
+  }
 }
