@@ -22,10 +22,13 @@ object Bench {
     // A failed query reports -1 (never a plausible-looking elapsed time)
     // and is excluded from the total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // release the previous query's operator-persisted branches first:
-      // a leaked cache could satisfy a later query's identical subtree
-      // (CacheManager matches canonicalized plans) and flatter its number
+      // release the previous query's operator-persisted branches AND the
+      // memoized artifacts first: a leaked cache could satisfy a later
+      // query's identical subtree (CacheManager matches canonicalized
+      // plans), and p9 would otherwise ride p8's memoized BPE training —
+      // both flatter the later number
       CacheRegistry.unpersistAll()
+      graft.queries.ExtensionQueries.clearArtifactCaches()
       val t0 = System.nanoTime()
       val sec =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

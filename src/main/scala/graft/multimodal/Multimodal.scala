@@ -32,11 +32,30 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  // ImageIO defaults to a FILE-backed stream cache: every read/write spills
-  // through a temp file — measured 2-3x the whole decode cost on in-memory
-  // payloads. All payloads here are byte arrays; cache in heap instead.
-  // (Class-load time, once per JVM — executors each run this on first use.)
-  javax.imageio.ImageIO.setUseCache(false)
+  /** ImageIO defaults to a FILE-backed stream cache — every read/write
+    * spills through a temp file (measured 2-3x the whole decode cost on
+    * in-memory payloads). These wrappers pin a MEMORY-cache stream PER
+    * CALL instead of flipping the process-global `ImageIO.setUseCache`
+    * flag, which would leak into any application embedding this library
+    * (their multi-hundred-MB file reads may need the disk cache). */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    // no finally-close: ImageIO.read(ImageInputStream) closes the stream
+    // itself, and a second close throws IOException("closed") — which the
+    // NonFatal degrade path would silently turn into an all-zero row
+    javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+
+  private def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      try { w.setOutput(out); w.write(img) } finally w.dispose()
+      out.flush()
+    } finally out.close()
+    bos.toByteArray
+  }
 
   /** Raw media row: opaque payload + mime tag. */
   final case class MediaRecord(media_id: Long, content: Array[Byte], mime: String)
@@ -81,7 +100,7 @@ object Multimodal {
     // payloads, and a corrupt blob must degrade to metadata, not kill
     // the job
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+      try readImage(m.content)
       catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) DecodedMedia(m.media_id, len, hash, 0, 0, 0, 0.0)
     else {
@@ -247,7 +266,7 @@ object Multimodal {
     // NonFatal for the same reason as imageDecode: malformed payloads
     // must degrade, not abort the task
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+      try readImage(m.content)
       catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) MediaGrid(m.media_id, len, Array.fill(64)(0.0))
     else {
@@ -466,7 +485,7 @@ object Multimodal {
         batch.map { m =>
           val img =
             if (m.mime != null && m.mime.startsWith("image/"))
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+              try readImage(m.content)
               catch { case scala.util.control.NonFatal(_) => null }
             else null
           if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
@@ -487,10 +506,8 @@ object Multimodal {
               }
               y += 1
             }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(res, "png", bos)
             ResizedImage(m.media_id, img.getWidth, img.getHeight, w, h,
-              sum / (w.toLong * h) / 255.0, bos.toByteArray)
+              sum / (w.toLong * h) / 255.0, writePng(res))
           }
         }
       }
@@ -512,9 +529,7 @@ object Multimodal {
       while (x < w) { img.setRGB(x, y, rgb); x += 1 }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writePng(img)
   }
 
   /** Frame sampling: every `stride`-th frame of each decoded media item,

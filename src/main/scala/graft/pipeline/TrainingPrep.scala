@@ -204,14 +204,18 @@ object TrainingPrep {
     * downstream [[shuffleShard]]/packing keyed by (id, copy) treats
     * copies as distinct training examples instead of collapsing them.
     * weight < 1 degrades exactly to [[mixtureSample]]'s keep decision
-    * (same salted hash, same threshold): 0 or 1 copies. Shuffle-free —
-    * floor + explode(sequence) projection; output size is sum(weight),
-    * which is the point. */
+    * (same salted hash, same threshold): 0 or 1 copies. A null weight
+    * means zero copies — the row is dropped, like weight 0 (callers that
+    * need the keep/drop decision visible per row use [[mixtureSample]]'s
+    * auditable form). Shuffle-free — floor + explode(sequence)
+    * projection; output size is sum(weight), which is the point. */
   def mixtureRepeat(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    require(!df.columns.contains("copy") && !df.columns.contains("__n"),
+      "mixtureRepeat: input must not already carry a copy/__n column")
     val n = floor(weight).cast("long") +
       when(uniform01(col(idCol), "mix") < (weight - floor(weight)), 1L).otherwise(0L)
     df.withColumn("__n", n)
-      .where(col("__n") > 0)
+      .where(col("__n") > 0) // null weight -> null __n -> dropped (0 copies)
       .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1)))
       .drop("__n")
   }

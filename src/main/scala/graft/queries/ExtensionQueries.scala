@@ -30,7 +30,6 @@ import graft.text.{Curation, TextAnalysis, TextFunctions}
 object ExtensionQueries {
   import Q.table
 
-  /** documents ∪ mutated copies — shared by d3/d4. */
   /** documents.parquet is ONE row group at every SF (a TESTDATA artifact),
     * so a plain scan is a single partition and every per-doc kernel
     * downstream (shingling, regex, winnowing, codecs, BPE) single-threads.
@@ -45,6 +44,8 @@ object ExtensionQueries {
   private def fanOut(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
+  /** documents ∪ mutated copies — the shared near-dup corpus for
+    * d3/d4/d6/d8 and the decontamination family. */
   private def mutatedCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = table(s, dir, "documents").select("doc_id", "text")
     fanOut(s, d.unionAll(d.where(col("doc_id") % 5 === 0).select(

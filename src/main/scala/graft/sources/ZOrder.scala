@@ -60,15 +60,18 @@ object ZOrder {
     * would silently land in the TOP bucket and cluster null-heavy columns
     * at one end of the curve. Layout-only either way (no row is dropped),
     * but bucket 0 keeps the null cluster where a reader expects it. */
-  private def bucket(c: Column, minC: Column, maxC: Column, bits: Int): Column = {
+  private[graft] def bucket(c: Column, minC: Column, maxC: Column, bits: Int): Column = {
     val n = 1L << bits
     val span = maxC - minC
-    coalesce(
-      when(span <= lit(0.0), lit(0L))
-        .otherwise(least(
+    // the coalesce must wrap the FLOOR, not the whole expression: least()
+    // SKIPS nulls, so least(null, n-1) = n-1 and an outer coalesce never
+    // sees a null — the exact no-op fix a review round caught live
+    when(span <= lit(0.0), lit(0L))
+      .otherwise(least(
+        coalesce(
           floor((c.cast("double") - minC) / (span + lit(1e-12)) * n).cast("long"),
-          lit(n - 1))),
-      lit(0L))
+          lit(0L)),
+        lit(n - 1)))
   }
 
   /** Write `df` parquet, physically clustered on the Morton curve over

@@ -217,33 +217,35 @@ object Curation {
         (y, counts.zipWithIndex.collect { case (c, d) if c != 0.0 => (d, c) })
       }
       .persist()
-    val n = feats.count().toDouble // also materializes the persist
-    require(n > 0, "trainHashedLogistic: no labeled rows")
-    val w = new Array[Double](dims)
-    var b = 0.0
-    var e = 0
-    while (e < epochs) {
-      val bw = spark.sparkContext.broadcast(w.clone())
-      val bb = b
-      // dim -1 carries the bias gradient through the same aggregate
-      val grads = feats.flatMap { case (y, fp) =>
-        var dot = bb
-        fp.foreach { case (d, c) => dot += bw.value(d) * c }
-        val g = 1.0 / (1.0 + math.exp(-dot)) - y
-        fp.iterator.map { case (d, c) => (d, g * c) } ++ Iterator((-1, g))
+    try {
+      val n = feats.count().toDouble // also materializes the persist
+      require(n > 0, "trainHashedLogistic: no labeled rows")
+      val w = new Array[Double](dims)
+      var b = 0.0
+      var e = 0
+      while (e < epochs) {
+        val bw = spark.sparkContext.broadcast(w.clone())
+        try {
+          val bb = b
+          // dim -1 carries the bias gradient through the same aggregate
+          val grads = feats.flatMap { case (y, fp) =>
+            var dot = bb
+            fp.foreach { case (d, c) => dot += bw.value(d) * c }
+            val g = 1.0 / (1.0 + math.exp(-dot)) - y
+            fp.iterator.map { case (d, c) => (d, g * c) } ++ Iterator((-1, g))
+          }
+            .groupByKey(_._1)
+            .mapValues(_._2).reduceGroups(_ + _)
+            .collect()
+          grads.foreach { case (d, g) =>
+            if (d < 0) b -= lr * g / n
+            else w(d) -= lr * (g / n + l2 * w(d))
+          }
+        } finally bw.destroy()
+        e += 1
       }
-        .groupByKey(_._1)
-        .mapValues(_._2).reduceGroups(_ + _)
-        .collect()
-      grads.foreach { case (d, g) =>
-        if (d < 0) b -= lr * g / n
-        else w(d) -= lr * (g / n + l2 * w(d))
-      }
-      bw.destroy()
-      e += 1
-    }
-    feats.unpersist()
-    (w, b)
+      (w, b)
+    } finally feats.unpersist() // a thrown epoch must not leak the cache
   }
 
   /** Corpus-trained bigram language-model score per document — the CCNet

@@ -85,9 +85,24 @@ class ZOrderSpec extends AnyFunSuite {
       "every z-ordered file spans the full x domain — curve not clustering x")
   }
 
-  test("null layout values are preserved and bucket LOW (first file), not to the top") {
-    // least() skips nulls, so before the coalesce fix a null y floored to
-    // the TOP bucket and null-heavy columns clustered at the curve's end
+  test("null layout values bucket to 0, not the top (least() skips nulls)") {
+    // DIRECT bucket probe — a file-distribution proxy was green under the
+    // broken behavior too (a review round caught the original fix as a
+    // no-op with a live repro: least(null, n-1) = n-1)
+    val df = Seq[(java.lang.Long, java.lang.Long)]((0L, 5L), (1L, null), (2L, 63L))
+      .toDF("x", "y")
+    val buckets = df
+      .withColumn("b", ZOrder.bucket(col("y"), lit(0.0), lit(63.0), bits = 6))
+      .collect().map(r => Option(r.get(1)) -> r.getLong(2)).toMap
+    assert(buckets(Some(5L)) == 5L)
+    assert(buckets(Some(63L)) == 63L)
+    assert(buckets(None) == 0L, s"null must bucket to 0, got ${buckets(None)}")
+    // all-null column: min/max are null -> every row buckets to 0
+    val allNull = df.withColumn("b",
+      ZOrder.bucket(col("y"), lit(null).cast("double"), lit(null).cast("double"), bits = 6))
+      .select("b").collect().map(_.getLong(0)).toSet
+    assert(allNull == Set(0L), s"null min/max must bucket to 0, got $allNull")
+    // end-to-end: null rows are preserved through the layout write
     val data = spark.range(1024).select(
       col("id").as("x"),
       when(col("id") % 8 === 0, lit(null)).otherwise(col("id")).as("y"))
@@ -95,16 +110,5 @@ class ZOrderSpec extends AnyFunSuite {
     ZOrder.writeZOrdered(data, dir, Seq("x", "y"), bits = 6, numFiles = 8)
     val back = spark.read.parquet(dir)
     assert(back.count() == 1024 && back.where(col("y").isNull).count() == 128)
-    // the file holding the null-y rows must sit at the LOW end of x-space
-    // for those rows (bucket 0 on y → curve positions interleave with x
-    // only): every null-y row's x must be among the SMALLER x values of
-    // its file, never pushed into the top-of-curve file wholesale
-    val nullFiles = back.where(col("y").isNull)
-      .select(input_file_name().as("f")).distinct().collect().map(_.getString(0)).toSet
-    val topFile = back.groupBy(input_file_name().as("f"))
-      .agg(max("x").as("mx")).orderBy(col("mx").desc)
-      .collect().head.getString(0)
-    assert(!(nullFiles.size == 1 && nullFiles.head == topFile),
-      "null-y rows all collapsed into the top-of-curve file (pre-fix behavior)")
   }
 }
