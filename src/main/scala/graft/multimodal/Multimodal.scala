@@ -38,13 +38,18 @@ object Multimodal {
     * CALL instead of flipping the process-global `ImageIO.setUseCache`
     * flag, which would leak into any application embedding this library
     * (their multi-hundred-MB file reads may need the disk cache). */
-  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
-    // no finally-close: ImageIO.read(ImageInputStream) closes the stream
-    // itself, and a second close throws IOException("closed") — which the
-    // NonFatal degrade path would silently turn into an all-zero row
-    javax.imageio.ImageIO.read(
-      new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(bytes)))
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    // ImageIO.read(ImageInputStream) closes the stream itself on SUCCESS
+    // (a finally-close would double-close, throw, and the NonFatal
+    // degrade path would zero every image) — but on a null return ("no
+    // reader claims this") the stream is left OPEN, and that is exactly
+    // the corrupt-blob degrade path: close it ourselves only then
+    val img = javax.imageio.ImageIO.read(in)
+    if (img == null) in.close()
+    img
+  }
 
   private def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()

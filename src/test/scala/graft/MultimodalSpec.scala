@@ -99,21 +99,25 @@ class MultimodalSpec extends AnyFunSuite {
       && resized.width == 2 && resized.height == 1)
   }
 
-  /** Minimal uncompressed-AVI writer (independent of the decoder under
-    * test): RIFF/AVI with one BI_RGB 24-bit stream; frames are bottom-up
-    * BGR DIBs, rows padded to 4 bytes. */
+  // ONE set of RIFF framing builders for every AVI fixture in this suite —
+  // deliberately independent of AviCodec.encode (the decoder must not be
+  // tested against its own sibling), but not duplicated per test either
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+  }
+  private def riffList(typ: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", typ.getBytes("US-ASCII") ++ body)
+
   private def aviBytes(w: Int, h: Int, framesRgb: Seq[Int]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    def le32(v: Long): Array[Byte] =
-      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
-      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
-      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
-    }
-    def list(typ: String, body: Array[Byte]): Array[Byte] =
-      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    def chunk(id: String, data: Array[Byte]) = riffChunk(id, data)
+    def list(typ: String, body: Array[Byte]) = riffList(typ, body)
     val avih = le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
       le32(framesRgb.size) ++ le32(0) ++ le32(1) ++ le32(0) ++
       le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
@@ -171,15 +175,8 @@ class MultimodalSpec extends AnyFunSuite {
     // hand-build hdrl with an 'auds' strl (strf = fake WAVEFORMATEX whose
     // bytes at the BITMAPINFOHEADER offsets would read as bitCount=1,
     // compression=junk) ahead of the real 'vids' strl
-    def le32(v: Long): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-    def chunk(id: String, d: Array[Byte]): Array[Byte] = {
-      val pad = if (d.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
-      id.getBytes("US-ASCII") ++ le32(d.length) ++ d ++ pad
-    }
-    def list(typ: String, body: Array[Byte]): Array[Byte] =
-      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    def chunk(id: String, d: Array[Byte]) = riffChunk(id, d)
+    def list(typ: String, body: Array[Byte]) = riffList(typ, body)
     val w = 4; val h = 2
     val avih = le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(0) ++
       le32(2) ++ le32(0) ++ le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
