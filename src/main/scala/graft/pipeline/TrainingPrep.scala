@@ -220,6 +220,26 @@ object TrainingPrep {
       .drop("__n")
   }
 
+  /** Power-of-two length bucketing — the dynamic-batching prep of real
+    * training loaders (batch sequences of similar length together so the
+    * pad-to-longest waste stays bounded) and the padding-waste audit that
+    * justifies it: per bucket, the fraction of a pad-to-cap batch that
+    * would be padding. One shuffle (bucket-count-sized partial agg);
+    * bucket = ceil(log2(n_tokens)), cap = 2^bucket. Empty/whitespace
+    * documents land in bucket 0 (split yields one empty token). */
+  def lengthBuckets(df: DataFrame, textCol: String): DataFrame = {
+    val n = size(split(col(textCol), " ")).cast("long")
+    df.withColumn("__n", n)
+      .withColumn("bucket", ceil(log2(col("__n"))).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("sum_toks"),
+        max(col("__n")).as("max_toks"))
+      .withColumn("cap", pow(lit(2.0), col("bucket")).cast("long"))
+      .withColumn("padding_frac",
+        round(lit(1.0) - col("sum_toks") / (col("n_docs") * col("cap")), 9))
+  }
+
   /** Per-group quota: cap any one group's contribution at `quota` rows —
     * the domain/source cap of web-corpus curation (no single site may
     * dominate the training mix). Deterministic: the kept rows are the

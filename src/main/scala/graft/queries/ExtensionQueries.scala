@@ -542,6 +542,11 @@ object ExtensionQueries {
       .select("doc_id", "source", "copy")
   }
 
+  /** Power-of-two length buckets + padding-waste audit over the corpus. */
+  private def p13(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TrainingPrep.lengthBuckets(
+      table(s, dir, "documents").select("doc_id", "text"), "text")
+
   /** Token id-ification against a 16-entry frequency vocabulary built
     * in-plan — small enough that OOV tokens exist and exercise the unk
     * path at every SF. */
@@ -2217,6 +2222,16 @@ object ExtensionQueries {
         FROM (SELECT doc_id, source,
                 (1 + substr(source, 4)::INT % 4) * 0.75 AS w FROM documents))
       WHERE n > 0""")),
+
+    Q("p13_length_buckets", p13, Some("""
+      SELECT bucket, count(*) AS n_docs, sum(n)::BIGINT AS sum_toks,
+        max(n) AS max_toks, CAST(pow(2, bucket) AS BIGINT) AS cap,
+        round(1.0 - sum(n)::DOUBLE / (count(*) * CAST(pow(2, bucket) AS BIGINT)), 9)
+          AS padding_frac
+      FROM (SELECT ceil(log2(len(string_split(text, ' '))))::INT AS bucket,
+                   len(string_split(text, ' '))::BIGINT AS n
+            FROM documents)
+      GROUP BY bucket""")),
 
     Q("p6_tokenize_ids", p6, Some("""
       WITH tokpos AS (

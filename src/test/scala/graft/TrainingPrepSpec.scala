@@ -91,6 +91,24 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(repart == mixed)
   }
 
+  test("lengthBuckets: power-of-two buckets, exact padding fractions, empty doc in bucket 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a"),                                // 1 tok  -> bucket 0, cap 1
+      (2L, ""),                                 // split("") = 1 empty tok -> bucket 0
+      (3L, (1 to 3).map(_ => "t").mkString(" ")),  // 3 -> bucket 2, cap 4
+      (4L, (1 to 4).map(_ => "t").mkString(" ")),  // 4 -> bucket 2 (log2 exact)
+      (5L, (1 to 5).map(_ => "t").mkString(" ")))  // 5 -> bucket 3, cap 8
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.lengthBuckets(docs, "text")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.keySet == Set(0, 2, 3))
+    assert(out(0) == ((2L, 2L, 1L, 1L, 0.0)))           // two 1-token docs, no padding
+    assert(out(2) == ((2L, 7L, 4L, 4L, 1.0 - 7.0 / 8))) // 3+4 toks in 2x cap-4 slots
+    assert(out(3) == ((1L, 5L, 5L, 8L, 1.0 - 5.0 / 8)))
+  }
+
   test("buildVocab + tokenizeToIds: df-ranked dense ids, OOV -> unk, position order preserved") {
     import spark.implicits._
     val docs = Seq(
