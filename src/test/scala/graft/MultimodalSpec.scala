@@ -201,6 +201,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(v.meanLuminance == 100.0 / 255.0)
   }
 
+  test("AviCodec fuzz: random bytes and corrupted valid files never throw") {
+    // the parser consumes untrusted payloads inside executors — any
+    // uncaught throw is a job-killer, so decode must return None/Some,
+    // never raise. 3000 cases: pure noise, truncations, and single-byte
+    // corruptions of a valid file (the nastiest inputs: almost-valid
+    // headers with poisoned sizes/offsets).
+    val valid = graft.multimodal.AviCodec.encode(
+      6, 4, Seq(Array.fill(24)(0x123456), Array.fill(24)(0x654321)))
+    val rnd = new scala.util.Random(42)
+    for (i <- 0 until 1000) {
+      val junk = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(junk)
+      graft.multimodal.AviCodec.decode(junk) // must not throw
+    }
+    for (_ <- 0 until 1000)
+      graft.multimodal.AviCodec.decode(valid.take(rnd.nextInt(valid.length)))
+    for (_ <- 0 until 1000) {
+      val mutated = valid.clone()
+      mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      graft.multimodal.AviCodec.decode(mutated)
+    }
+    // and the untouched file still decodes after all that
+    assert(graft.multimodal.AviCodec.decode(valid).exists(_.nFrames == 2))
+  }
+
   test("AviCodec roundtrip: encode then decode recovers dims, frames, and exact mean") {
     // non-solid frames so the bottom-up row flip is actually exercised
     val w = 5; val h = 3
