@@ -23,8 +23,8 @@ import org.apache.spark.sql.functions._
   * tested on generated fixtures in MultimodalSpec); `audio/...` payloads
   * run the REAL JDK PCM codec (`javax.sound.sampled` — WAV/AIFF/AU, also
   * fixture-tested); `video/...` payloads run the REAL [[AviCodec]] parser
-  * (uncompressed AVI — the one container decodable without native codecs;
-  * compressed codecs degrade to the all-zero row). Other mimes fall to a
+  * (uncompressed AVI and MJPEG — the two formats decodable without native
+  * codecs; other codecs degrade to the all-zero row). Other mimes fall to a
   * DETERMINISTIC STUB: `fakeDecode` derives dimensions/frames/signal from
   * the payload length alone, by formulas an external oracle can replicate.
   * The Spark-side plumbing — schema, encoders, batching, partitioning,
@@ -38,7 +38,7 @@ object Multimodal {
     * CALL instead of flipping the process-global `ImageIO.setUseCache`
     * flag, which would leak into any application embedding this library
     * (their multi-hundred-MB file reads may need the disk cache). */
-  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+  private[multimodal] def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
     val in = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     // ImageIO.read(ImageInputStream) closes the stream itself on SUCCESS
@@ -57,6 +57,30 @@ object Multimodal {
     try {
       val w = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
       try { w.setOutput(out); w.write(img) } finally w.dispose()
+      out.flush()
+    } finally out.close()
+    bos.toByteArray
+  }
+
+  /** JPEG encode at an explicit quality (same memory-cache-stream shape as
+    * [[writePng]]). Quality 1.0f makes the quantization tables all-ones, so
+    * a SOLID-COLOR frame round-trips bit-exactly (all AC coefficients are
+    * zero and the DC term is unquantized) — the property [[AviCodec]]'s
+    * MJPEG fixtures and their formula oracles rely on; verified for all 256
+    * gray levels in MultimodalSpec. */
+  private[multimodal] def writeJpeg(
+      img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      try {
+        val p = w.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(quality)
+        w.setOutput(out)
+        w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally w.dispose()
       out.flush()
     } finally out.close()
     bos.toByteArray
@@ -183,13 +207,15 @@ object Multimodal {
   }
 
   /** Real decode for `video/...` payloads via [[AviCodec]] — uncompressed
-    * AVI (RIFF, BI_RGB 24-bit DIB frames), the one video container a JVM
-    * with no native codecs can honestly parse. Field mapping: width/height
-    * from the main header, n_frames counted from movi chunks, mean_px =
-    * mean sRGB luminance over all frames' pixels / 255. Compressed codecs
-    * and non-AVI containers degrade to the all-zero row (same convention
-    * as [[imageDecode]]) — THAT residue, not a formula stub, is now the
-    * only limit of the video path. */
+    * AVI (RIFF, BI_RGB 24-bit DIB frames) and MJPEG (one JPEG stream per
+    * frame chunk, decoded by the JDK's own ImageIO reader), the two video
+    * formats a JVM with no native codecs can honestly parse. Field
+    * mapping: width/height from the main header, n_frames counted from
+    * movi chunks, mean_px = mean sRGB luminance over all frames' pixels /
+    * 255. Other codecs (DV, cinepak, H.26x...) and non-AVI containers
+    * degrade to the all-zero row (same convention as [[imageDecode]]) —
+    * THAT residue, not a formula stub, is the remaining limit of the
+    * video path. */
   private def videoDecode(m: MediaRecord): DecodedMedia = {
     val len = m.content.length.toLong
     val digest = MessageDigest.getInstance("MD5")

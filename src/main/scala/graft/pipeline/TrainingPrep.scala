@@ -226,16 +226,27 @@ object TrainingPrep {
     * justifies it: per bucket, the fraction of a pad-to-cap batch that
     * would be padding. One shuffle (bucket-count-sized partial agg);
     * bucket = ceil(log2(n_tokens)), cap = 2^bucket. Empty/whitespace
-    * documents land in bucket 0 (split yields one empty token). */
+    * documents land in bucket 0 (split yields one empty token).
+    *
+    * The bucket is computed INTEGRALLY — bit-width of (n-1), i.e.
+    * `length(bin(n-1))`, with n <= 1 pinned to 0 — never through floating
+    * log2: `ln(x)/ln(2)` can land a hair above an exact integer at
+    * power-of-two inputs (Java log(2^29)/log(2) = 29.000000000000004),
+    * where a different libm (DuckDB's std::log2) is exact, flipping
+    * `ceil` a whole bucket apart on the SAME count. Integer logic is
+    * engine-invariant by construction; the cap is `1 << bucket` for the
+    * same reason. */
   def lengthBuckets(df: DataFrame, textCol: String): DataFrame = {
     val n = size(split(col(textCol), " ")).cast("long")
     df.withColumn("__n", n)
-      .withColumn("bucket", ceil(log2(col("__n"))).cast("int"))
+      .withColumn("bucket",
+        when(col("__n") <= 1L, 0)
+          .otherwise(length(bin(col("__n") - 1L))).cast("int"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__n")).as("sum_toks"),
         max(col("__n")).as("max_toks"))
-      .withColumn("cap", pow(lit(2.0), col("bucket")).cast("long"))
+      .withColumn("cap", expr("shiftleft(1L, bucket)"))
       .withColumn("padding_frac",
         round(lit(1.0) - col("sum_toks") / (col("n_docs") * col("cap")), 9))
   }

@@ -324,6 +324,38 @@ object ExtensionQueries {
         round(col("mean_px"), 9).as("mean_px"))
   }
 
+  /** COMPRESSED video path end-to-end: solid-frame MOTION-JPEG AVIs built
+    * in-plan from doc_id via [[AviCodec.encodeMjpeg]] (JDK ImageIO JPEG
+    * writer, quality 1.0f) and decoded by the real [[AviCodec]] MJPEG path
+    * (per-frame ImageIO JPEG reads). Solid GRAY frames at quality 1.0
+    * round-trip bit-exactly — all-ones quantization tables leave the DC
+    * term unquantized and every AC term is zero (verified for all 256 gray
+    * levels in MultimodalSpec) — so the oracle replicates dims, frame
+    * count and mean luminance by formula, exactly as m6 does for the
+    * uncompressed path. Dims/frame-count formulas differ from m6 so the
+    * two queries can't mask each other. */
+  private def m7(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    val media = table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("media_id"),
+        ((col("doc_id") * 7) % 256).cast("int").as("gray"),
+        (lit(8) + (col("doc_id") * 3) % 24).cast("int").as("w"),
+        (lit(8) + col("doc_id") % 16).cast("int").as("h"),
+        (lit(1) + col("doc_id") % 3).cast("int").as("nf"))
+      .repartition(s.sparkContext.defaultParallelism) // the m4 lesson
+      .as[(Long, Int, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, g, w, h, nf) =>
+        val px = Array.fill(w * h)((g << 16) | (g << 8) | g)
+        Multimodal.MediaRecord(id,
+          graft.multimodal.AviCodec.encodeMjpeg(w, h, Seq.fill(nf)(px)), "video/avi")
+      })
+      .toDF()
+    Multimodal.decode(media).toDF()
+      .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+        round(col("mean_px"), 9).as("mean_px"))
+  }
+
   /** Perceptual (average-hash) image near-dup over the stub luminance
     * grids: documents with equal byte length share a grid → hamming 0;
     * the oracle replicates grid, hash packing, blocking and verification. */
@@ -968,16 +1000,20 @@ object ExtensionQueries {
       companions = Seq(SaltedAgg.Sum("l_quantity", "sum_qty")))
 
   /** Skew-salted shuffle join: lineitem ⋈ orders on orderkey, salted 4
-    * ways (probe rows spread by row hash, build rows replicated), then
-    * aggregated. Result is identical to the plain join — the oracle IS
-    * the plain join — while no task sees more than ~1/4 of any hot key.
+    * ways (probe rows spread by a hash of the table's unique key
+    * (orderkey, linenumber) — deterministic, so retry-safe as a shuffle
+    * partitioning key — build rows replicated), then aggregated. Result is
+    * identical to the plain join — the oracle IS the plain join — while no
+    * task sees more than ~1/4 of any hot key.
     * sum_qty sums integral doubles: exact in IEEE, order-independent. */
   private def x20(s: SparkSession, dir: String): DataFrame = {
     val l = table(s, dir, "lineitem")
-      .select(col("l_orderkey").as("orderkey"), col("l_quantity"))
+      .select(col("l_orderkey").as("orderkey"), col("l_linenumber"),
+        col("l_quantity"))
     val o = table(s, dir, "orders")
       .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
-    graft.operators.SkewJoin.salted(l, o, Seq("orderkey"), nSalts = 4)
+    graft.operators.SkewJoin.salted(l, o, Seq("orderkey"), nSalts = 4,
+        saltFrom = Some(struct(col("orderkey"), col("l_linenumber"))))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
   }
@@ -1955,6 +1991,13 @@ object ExtensionQueries {
         (1 + doc_id % 4)::INT AS n_frames,
         round((doc_id % 256) / 255.0, 9) AS mean_px
       FROM documents""")),
+    Q("m7_video_decode_mjpeg", m7, Some("""
+      SELECT doc_id AS media_id,
+        (8 + (doc_id * 3) % 24)::INT AS width,
+        (8 + doc_id % 16)::INT AS height,
+        (1 + doc_id % 3)::INT AS n_frames,
+        round(((doc_id * 7) % 256) / 255.0, 9) AS mean_px
+      FROM documents""")),
 
     // u = md5-hash32 / 2^32 exactly as p2/p4's oracles compute it
     Q("p11_hash_split", p11, Some("""
@@ -2223,14 +2266,16 @@ object ExtensionQueries {
                 (1 + substr(source, 4)::INT % 4) * 0.75 AS w FROM documents))
       WHERE n > 0""")),
 
+    // bucket: integral bit-width of (n-1), mirroring the Spark side's
+    // length(bin(n-1)) — floating log2 differs between libms at exact
+    // powers of two
     Q("p13_length_buckets", p13, Some("""
       SELECT bucket, count(*) AS n_docs, sum(n)::BIGINT AS sum_toks,
-        max(n) AS max_toks, CAST(pow(2, bucket) AS BIGINT) AS cap,
-        round(1.0 - sum(n)::DOUBLE / (count(*) * CAST(pow(2, bucket) AS BIGINT)), 9)
+        max(n) AS max_toks, (1::BIGINT << bucket) AS cap,
+        round(1.0 - sum(n)::DOUBLE / (count(*) * (1::BIGINT << bucket)), 9)
           AS padding_frac
-      FROM (SELECT ceil(log2(len(string_split(text, ' '))))::INT AS bucket,
-                   len(string_split(text, ' '))::BIGINT AS n
-            FROM documents)
+      FROM (SELECT CASE WHEN n <= 1 THEN 0 ELSE length(bin(n - 1)) END::INT AS bucket, n
+            FROM (SELECT len(string_split(text, ' '))::BIGINT AS n FROM documents))
       GROUP BY bucket""")),
 
     Q("p6_tokenize_ids", p6, Some("""

@@ -238,6 +238,90 @@ class MultimodalSpec extends AnyFunSuite {
     assert(v.meanLuminance == lum.sum / lum.length / 255.0)
   }
 
+  test("AviCodec MJPEG: solid-gray roundtrip is bit-exact for ALL 256 gray levels") {
+    // the m7 oracle's entire premise: quality-1.0 JPEG has all-ones quant
+    // tables, so a solid frame's DC term is unquantized and every AC term
+    // is zero — decode returns exactly the encoded gray. Verify the full
+    // gray range, not a sample: one unrepresentable level anywhere breaks
+    // the formula oracle for some doc_id.
+    for (g <- 0 until 256) {
+      val px = Array.fill(8 * 6)((g << 16) | (g << 8) | g)
+      val bytes = graft.multimodal.AviCodec.encodeMjpeg(8, 6, Seq(px, px))
+      val v = graft.multimodal.AviCodec.decode(bytes).get
+      assert(v.width == 8 && v.height == 6 && v.nFrames == 2)
+      assert(v.meanLuminance == g / 255.0, s"gray $g: ${v.meanLuminance} != ${g / 255.0}")
+    }
+  }
+
+  test("AviCodec MJPEG: non-solid frames decode within JPEG tolerance; corrupt frame degrades") {
+    val w = 16; val h = 8
+    val f = Array.tabulate(w * h)(i => ((i * 13) % 256) * 0x010101)
+    val bytes = graft.multimodal.AviCodec.encodeMjpeg(w, h, Seq(f))
+    val v = graft.multimodal.AviCodec.decode(bytes).get
+    assert(v.width == w && v.height == h && v.nFrames == 1)
+    val trueMean = f.map(p => (p & 0xff).toDouble).sum / f.length / 255.0
+    assert(math.abs(v.meanLuminance - trueMean) < 3.0 / 255.0,
+      s"lossy mean ${v.meanLuminance} too far from $trueMean")
+    // poison every JPEG SOI marker: frames still COUNT (the chunk is a
+    // frame slot) but contribute no pixels — mean degrades to 0, no throw
+    val broken = bytes.clone()
+    var i = 0
+    while (i + 1 < broken.length) {
+      if ((broken(i) & 0xff) == 0xff && (broken(i + 1) & 0xff) == 0xd8) broken(i) = 0
+      i += 1
+    }
+    val bv = graft.multimodal.AviCodec.decode(broken).get
+    assert(bv.nFrames == 1 && bv.meanLuminance == 0.0)
+  }
+
+  test("AviCodec: frames nested in 'rec ' LISTs inside movi are counted (interleaved AVIs)") {
+    // interleaved writers group each interleave unit's chunks in a
+    // LIST('rec ') inside movi; inMovi must propagate through those —
+    // and NOT through unrelated list types
+    def chunk(id: String, d: Array[Byte]) = riffChunk(id, d)
+    def list(typ: String, body: Array[Byte]) = riffList(typ, body)
+    val w = 4; val h = 2
+    val avih = le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(2) ++ le32(0) ++
+      le32(1) ++ le32(0) ++ le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = "vids".getBytes("US-ASCII") ++ Array.fill(52)(0.toByte)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ Array.fill(20)(0.toByte)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frame = Array.tabulate(stride * h)(i => if (i % stride < w * 3) 60.toByte else 0.toByte)
+    def fileWith(movi: Array[Byte]): Array[Byte] = {
+      val hdrl = list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    // both frames inside a rec LIST -> both counted, luminance accumulated
+    val nested = fileWith(list("movi",
+      list("rec ", chunk("00db", frame) ++ chunk("00db", frame))))
+    val v = graft.multimodal.AviCodec.decode(nested).get
+    assert(v.nFrames == 2, s"rec-nested frames not counted: ${v.nFrames}")
+    assert(v.meanLuminance == 60.0 / 255.0)
+    // a NON-rec list inside movi does not leak movi scope into its chunks
+    val stray = fileWith(list("movi",
+      chunk("00db", frame) ++ list("odml", chunk("00db", frame))))
+    assert(graft.multimodal.AviCodec.decode(stray).get.nFrames == 1)
+  }
+
+  test("AviCodec MJPEG fuzz: noise, truncation, corruption never throw") {
+    // same contract as the BI_RGB fuzz, over the MJPEG encoder's output —
+    // the JPEG reader sees poisoned streams and must degrade, not raise
+    val valid = graft.multimodal.AviCodec.encodeMjpeg(
+      8, 6, Seq(Array.fill(48)(0x804020), Array.fill(48)(0x204080)))
+    val rnd = new scala.util.Random(1042)
+    for (_ <- 0 until 500)
+      graft.multimodal.AviCodec.decode(valid.take(rnd.nextInt(valid.length)))
+    for (_ <- 0 until 500) {
+      val mutated = valid.clone()
+      mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      graft.multimodal.AviCodec.decode(mutated)
+    }
+    assert(graft.multimodal.AviCodec.decode(valid).exists(_.nFrames == 2))
+  }
+
   test("resizeImages: gradient downscale by 2 is the exact 2x2 block mean, pixel for pixel") {
     import spark.implicits._
     // 8x8 gradient: px(x,y) = 16*(y*8+x) in each channel — every 2x2 block

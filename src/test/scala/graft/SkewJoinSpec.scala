@@ -36,17 +36,37 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(!canon(out).exists(_._1 == 7L))
   }
 
-  test("duplicate probe rows spread across salts (content hash would collapse to one)") {
-    // worst case for a content-derived salt: the probe is ONLY the hot join
-    // key, every row identical — a row-hash salt puts all 64 rows on one
-    // task. The id-derived salt must still cover every salt value, and the
-    // join must keep multiplicity (64 copies × 2 build matches).
+  test("identical probe rows stay correct under the content-hash fallback") {
+    // worst case for the content-hash fallback: the probe is ONLY the hot
+    // join key, every row identical — all 64 rows land on one salt (the
+    // documented degenerate case). Correctness must be unaffected: the
+    // join keeps multiplicity (64 copies × 2 build matches).
     val hot = Seq.fill(64)(Tuple1(7L)).toDF("k").repartition(2)
-    val salts = hot.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(4L)).cast("int"))
+    val out = SkewJoin.salted(hot, build, Seq("k"), 4)
+    assert(out.count() == 64L * 2)
+    assert(out.select("bv").distinct().collect().map(_.getString(0)).toSet ==
+      Set("b7", "b7x"))
+  }
+
+  test("saltFrom id column spreads identical probe rows across all salts") {
+    // same degenerate probe, but the caller supplies a unique id — the
+    // recommended shape. Every salt value must be covered (no straggler)
+    // AND the salt must be deterministic: recomputing the same rows gives
+    // the same salt (retry safety — contrast monotonically_increasing_id,
+    // whose value depends on row position within a partition).
+    val hot = (0 until 64).map(i => (7L, i)).toDF("k", "id").repartition(2)
+    val saltCol = pmod(hash(col("id")), lit(4)) // mirrors salted()'s internal salt
+    val salts = hot.withColumn("__salt", saltCol)
       .select("__salt").distinct().collect().map(_.getInt(0)).toSet
     assert(salts == Set(0, 1, 2, 3), s"expected all 4 salts covered, got $salts")
-    val out = SkewJoin.salted(hot, build, Seq("k"), 4)
+    // deterministic across recomputation: two independent evaluations agree
+    val a = hot.withColumn("__salt", saltCol).collect()
+      .map(r => (r.getInt(1), r.getInt(2))).toMap
+    val b = hot.withColumn("__salt", saltCol).collect()
+      .map(r => (r.getInt(1), r.getInt(2))).toMap
+    assert(a == b, "salt must not depend on evaluation order")
+    val out = SkewJoin.salted(hot, build, Seq("k"), 4,
+      saltFrom = Some(col("id")))
     assert(out.count() == 64L * 2)
     assert(out.select("bv").distinct().collect().map(_.getString(0)).toSet ==
       Set("b7", "b7x"))

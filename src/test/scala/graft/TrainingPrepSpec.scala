@@ -109,6 +109,25 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(out(3) == ((1L, 5L, 5L, 8L, 1.0 - 5.0 / 8)))
   }
 
+  test("lengthBuckets formula: integral bit-width == ceil(log2) at every power of two") {
+    import spark.implicits._
+    // the reason the bucket is length(bin(n-1)) and not ceil(log2(n)):
+    // Java's ln(x)/ln(2) rounds ABOVE the exact integer at some powers of
+    // two (log2(2^29) = 29.000000000000004), which would flip ceil a whole
+    // bucket. Check the integral formula against exact BigInt math at
+    // every n in [1, 1025] and at the exact powers 2^k for k <= 62 —
+    // counts far beyond any synthesizable text.
+    val ns = (1L to 1025L) ++ (1 to 62).map(k => 1L << k)
+    val got = ns.toDF("n")
+      .select(col("n"),
+        when(col("n") <= 1L, 0)
+          .otherwise(length(bin(col("n") - 1L))).cast("int").as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def ceilLog2(n: Long): Int = if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    for (n <- ns)
+      assert(got(n) == ceilLog2(n), s"n=$n: got ${got(n)}, want ${ceilLog2(n)}")
+  }
+
   test("buildVocab + tokenizeToIds: df-ranked dense ids, OOV -> unk, position order preserved") {
     import spark.implicits._
     val docs = Seq(
