@@ -114,6 +114,137 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------- incremental (band registry)
+
+  /** (id, band, band_key) LSH band rows — the same hash family as
+    * [[minhashDocAgg]] + [[bandKeyCols]] (and so verified by the same
+    * oracle CTEs as d3/st4) but WITHOUT the verification shingle set or
+    * the persist: the registry path never verifies jaccard, so collecting
+    * per-doc shingle sets would be pure shuffle weight. One md5 per
+    * shingle, one partial-agg shuffle for signatures, then `bands` rows
+    * per doc. */
+  private def minhashBandRows(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, rows: Int): DataFrame = {
+    require(bands * rows == k,
+      s"minhashBandRows: bands*rows must equal k ($bands*$rows != $k)")
+    val sh32 = shingleRows(df, idCol, textCol, shingleN)
+      .select(col(idCol),
+        conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h32"))
+    val P = 4294967291L
+    val sigCols = (0 until k).map { s =>
+      val a = ((s * 2654435761L) % 2147483647L) + 1L
+      val b = (s * 2246822519L) % P
+      min((lit(a) * col("h32") + lit(b)) % lit(P)).as(s"mh$s")
+    }
+    sh32.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+      .select(col(idCol),
+        posexplode(array(bandKeyCols(bands, rows): _*)).as(Seq("band", "band_key")))
+  }
+
+  /** Build (or rebuild) the persistent minhash band registry from a full
+    * corpus: one row per band key with the claiming (minimum) doc id,
+    * stored as a BUCKETED table on `band_key` so that every later
+    * [[dedupAgainstRegistry]] increment joins against it with NO shuffle
+    * on the registry side — the accumulated-corpus side, which at 100 TB
+    * is the side that must never be re-shuffled (or re-signatured).
+    *
+    * Same claims as [[graft.streaming.Streaming.minhashBandRegistry]]'s
+    * batch face (spec-asserted equal), computed in the aggregate
+    * formulation that measured ~300× faster than the per-row
+    * higher-order-function form at sf0.1 (see [[minhashDocAgg]]). */
+  def buildBandRegistry(
+      corpus: DataFrame, idCol: String, textCol: String,
+      registryTable: String, buckets: Int,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 4, rows: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    // rebuild-from-scratch semantics must hold across PROCESSES, not just
+    // sessions: the catalog is per-session but the managed warehouse dir
+    // is not, so a location orphaned by a previous process (whose catalog
+    // died with it) would fail CTAS with LOCATION_ALREADY_EXISTS even
+    // after DROP TABLE IF EXISTS. Clear both.
+    spark.sql(s"DROP TABLE IF EXISTS $registryTable")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(registryTable)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val claims = minhashBandRows(corpus, idCol, textCol, shingleN, k, bands, rows)
+      .groupBy(col("band_key")).agg(min(col(idCol)).as("keep_id"))
+    graft.sources.Sources.writeBucketed(
+      claims, registryTable, buckets, Seq("band_key"))
+  }
+
+  /** Incremental near-dup dedup of a NEW batch of documents against the
+    * accumulated corpus — the production ingestion shape: history is never
+    * re-read and never re-signatured; only the increment is signatured,
+    * band-joined against the bucketed registry table, and the registry is
+    * extended with the increment's fresh claims.
+    *
+    * Claim semantics (matches [[graft.streaming.Streaming.minhashBandRegistry]]:
+    * first-writer-wins): a band key already in the registry keeps its
+    * historical `keep_id`; a key new in this increment is claimed by the
+    * increment's minimum id. A document is a near-duplicate candidate iff
+    * at least one of its band keys is claimed by ANOTHER document
+    * (historical or earlier-in-increment). Equal to a full batch re-run
+    * over corpus ∪ increment whenever ids follow arrival order — the same
+    * caveat st4 documents, spec-asserted in DedupSpec.
+    *
+    * Returns one row per increment document:
+    * (idCol, dup_of = min claiming id over colliding bands | null if kept,
+    * n_hits = number of band slots claimed by others). Documents with
+    * fewer than `shingleN` tokens have no signature and are trivially
+    * kept. When `appendRegistry` (default), the fresh claims are appended
+    * to the registry table (same bucketing) BEFORE the returned frame is
+    * evaluated; the result is invariant to that ordering — for a key the
+    * increment itself claimed, the registry row and the in-plan claim
+    * carry the same id, so the coalesce reads the same value either way.
+    * Calling twice with the same increment is idempotent (the anti-join
+    * finds nothing fresh).
+    *
+    * Scale: the increment is signatured once (persisted via
+    * [[graft.CacheRegistry]] — two consumers: claims and hit-join); every
+    * join is an equi-join on `band_key` (md5 — uniform); the registry side
+    * arrives pre-bucketed from disk (no Exchange, PlanSpec-asserted).
+    * Registry size is one row per distinct band key — O(corpus), read but
+    * never shuffled.
+    *
+    * The registry is addressed as a CATALOG table (bucketing metadata
+    * lives there). Under an external metastore the table survives
+    * processes; under the default in-memory catalog a new process must
+    * re-register it ([[buildBandRegistry]] in the first process, or
+    * CREATE TABLE ... USING parquet against the existing location). */
+  def dedupAgainstRegistry(
+      increment: DataFrame, idCol: String, textCol: String,
+      registryTable: String, buckets: Int,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 4, rows: Int = 3,
+      appendRegistry: Boolean = true): DataFrame = {
+    val spark = increment.sparkSession
+    val bandRows = graft.CacheRegistry.persisted(
+      minhashBandRows(increment, idCol, textCol, shingleN, k, bands, rows))
+    val incClaims = bandRows.groupBy(col("band_key"))
+      .agg(min(col(idCol)).as("inc_min"))
+    if (appendRegistry) {
+      val fresh = incClaims
+        .join(spark.table(registryTable), Seq("band_key"), "left_anti")
+        .select(col("band_key"), col("inc_min").as("keep_id"))
+      graft.sources.Sources.writeBucketed(fresh, registryTable, buckets,
+        Seq("band_key"), org.apache.spark.sql.SaveMode.Append)
+    }
+    val finalClaim = incClaims
+      .join(spark.table(registryTable), Seq("band_key"), "left")
+      .select(col("band_key"),
+        coalesce(col("keep_id"), col("inc_min")).as("claim"))
+    val hits = bandRows.join(finalClaim, "band_key")
+      .where(col("claim") =!= col(idCol))
+      .groupBy(col(idCol))
+      .agg(min(col("claim")).as("dup_of"), count(lit(1)).as("n_hits"))
+    increment.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("dup_of"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   /** SimHash near-duplicate pairs: `bits`-bit fingerprint over word
     * `shingleN`-gram features per doc; near-dups have Hamming distance ≤
     * `maxHamming`. Candidate generation is COMPLETE: the fingerprint is

@@ -96,6 +96,27 @@ object ExtensionQueries {
     Dedup.semanticDedupPairs(table(s, dir, "embeddings"),
       "vec_id", "embedding", nlist = 8, threshold = 0.4)
 
+  /** Incremental dedup against a PERSISTED band registry — the 100 TB
+    * ingestion shape: the corpus is signatured once into a bucketed
+    * (band_key → keep_id) table; a new increment (mutated near-copies of
+    * the %5 docs + verbatim copies of the %7 docs, ids above the corpus
+    * range) is signatured alone and band-joined against the registry with
+    * no shuffle on the registry side (PlanSpec). The oracle replicates
+    * registry claims, increment claims, and the first-writer-wins
+    * coalesce in the same minhash CTE family as d3/st4. */
+  private def d11(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select("doc_id", "text")
+    Dedup.buildBandRegistry(fanOut(s, docs), "doc_id", "text",
+      registryTable = "graft_d11_registry", buckets = 32)
+    val increment = docs.where(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+ ", "").as("text"))
+      .unionAll(docs.where(col("doc_id") % 7 === 0).select(
+        (col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    Dedup.dedupAgainstRegistry(fanOut(s, increment), "doc_id", "text",
+      "graft_d11_registry", buckets = 32)
+  }
+
   /** Exact-substring duplicate pairs (Lee et al. 2022 semantics through
     * winnowing): the mutated copies share almost every 27+-char span with
     * their sources, so they must surface; minShared=2 drops incidental
@@ -2067,6 +2088,39 @@ object ExtensionQueries {
       SELECT page_id, min(n_lines) AS n_lines, count(*) AS n_kept,
         string_agg(line, chr(10) ORDER BY pos) AS text_clean
       FROM kept GROUP BY page_id""")),
+
+    // registry claims (corpus min id) win; keys new to the increment are
+    // claimed by the increment min — the same first-writer-wins coalesce
+    // dedupAgainstRegistry evaluates, in the d3/st4 minhash CTE family
+    Q("d11_dedup_incremental_registry", d11, Some(s"""
+      WITH increment AS (
+        SELECT doc_id + 1000000 AS doc_id,
+          regexp_replace(text, '^[^ ]+ ', '') AS text
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text
+        FROM documents WHERE doc_id % 7 = 0),
+      csh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+              WHERE len(ws) >= 3),
+      ish AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM increment)
+              WHERE len(ws) >= 3),
+      ${minhashCtesFor("csh", "c")},
+      ${minhashCtesFor("ish", "i")},
+      registry AS (SELECT band_key, min(doc_id) AS keep_id
+                   FROM cbands GROUP BY band_key),
+      iclaims AS (SELECT band_key, min(doc_id) AS inc_min
+                  FROM ibands GROUP BY band_key),
+      final AS (SELECT band_key, coalesce(r.keep_id, ic.inc_min) AS claim
+                FROM iclaims ic LEFT JOIN registry r USING (band_key)),
+      hits AS (SELECT b.doc_id, min(f.claim) AS dup_of, count(*)::BIGINT AS n_hits
+               FROM ibands b JOIN final f USING (band_key)
+               WHERE f.claim <> b.doc_id GROUP BY b.doc_id)
+      SELECT i.doc_id, h.dup_of, coalesce(h.n_hits, 0)::BIGINT AS n_hits
+      FROM increment i LEFT JOIN hits h USING (doc_id)""")),
 
     Q("t17_normalize_dedup", t17, Some("""
       WITH corpus AS (

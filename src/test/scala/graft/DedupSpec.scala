@@ -94,6 +94,68 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 2L), (0L, 3L), (2L, 3L), (1L, 4L)))
   }
 
+  test("incremental registry: increments accumulate to the full-corpus batch registry") {
+    // corpus = docs 0-3; two successive increments with higher ids. After
+    // both appends, the registry table must equal the batch registry over
+    // everything — the full-rerun equivalence (ids follow arrival order).
+    val corpus = docs.where($"doc_id" <= 3)
+    val inc1 = docs.where($"doc_id" === 4L) // fresh content
+    val inc2 = Seq(
+      (6L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+      (7L, "entirely novel sentence mentioning submarines and accordions in equal measure today")
+    ).toDF("doc_id", "text")
+    try {
+      Dedup.buildBandRegistry(corpus, "doc_id", "text", "graft_test_reg", buckets = 4)
+      Dedup.dedupAgainstRegistry(inc1, "doc_id", "text", "graft_test_reg", buckets = 4).collect()
+      val out2 = Dedup.dedupAgainstRegistry(inc2, "doc_id", "text", "graft_test_reg", buckets = 4)
+        .collect().map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getLong(2))).toMap
+      // doc 6 is a verbatim copy of corpus doc 0 -> every band claimed by 0
+      assert(out2(6L)._1 == 0L && out2(6L)._2 > 0L, s"copy not flagged: ${out2(6L)}")
+      // doc 7 is fresh -> kept
+      assert(out2(7L) == ((-1L, 0L)), s"fresh doc flagged: ${out2(7L)}")
+
+      val accumulated = spark.table("graft_test_reg")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Dedup.buildBandRegistry(docs.where($"doc_id" <= 4).unionAll(inc2), "doc_id", "text",
+        "graft_test_reg_full", buckets = 4)
+      val full = spark.table("graft_test_reg_full")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(accumulated == full,
+        s"incremental registry diverged from batch rerun: ${accumulated.size} vs ${full.size}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_test_reg")
+      spark.sql("DROP TABLE IF EXISTS graft_test_reg_full")
+    }
+  }
+
+  test("incremental registry: claims match the streaming batch face; re-run is idempotent") {
+    try {
+      Dedup.buildBandRegistry(docs, "doc_id", "text", "graft_test_reg2", buckets = 4)
+      val agg = spark.table("graft_test_reg2")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+      // same family, same claims as the streaming operator's batch face
+      val hof = graft.streaming.Streaming.minhashBandRegistry(
+        docs, "doc_id", "text", shingleN = 3, k = 12, bands = 4, rows = 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+      assert(agg == hof, "aggregate claims != HOF batch-face claims")
+
+      // idempotence: same increment twice -> same decisions, no new claims
+      val inc = Seq((9L, "pack my box with five dozen liquor jugs before the long winter storm arrives"))
+        .toDF("doc_id", "text")
+      def run() = Dedup.dedupAgainstRegistry(inc, "doc_id", "text",
+        "graft_test_reg2", buckets = 4)
+        .collect().map(r => (r.getLong(0), r.isNullAt(1), r.getLong(2))).toSet
+      val first = run()
+      val sizeAfterFirst = spark.table("graft_test_reg2").count()
+      assert(run() == first)
+      assert(spark.table("graft_test_reg2").count() == sizeAfterFirst,
+        "second identical increment must append nothing")
+      // doc 9 is a verbatim copy of doc 2 -> flagged against it
+      assert(first.head == ((9L, false, first.head._3)) && first.head._3 > 0)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_test_reg2")
+  }
+
   test("substringDupPairs: winnowing guarantee — any shared span >= kgram+window-1 is found") {
     // kgram=20, window=8: guarantee threshold 27 chars
     val shared = "the quick brown fox jumps over the lazy dog tonight" // 51 chars

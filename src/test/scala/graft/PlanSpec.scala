@@ -243,4 +243,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"mixtureRepeat must not shuffle:\n$p")
     assert(p.contains("Generate"), s"explode missing:\n$p") // sequence explode
   }
+
+  test("d11 incremental dedup: registry scans are bucketed (exchange-free side), no cartesian") {
+    // at test scale AQE (correctly) broadcasts the tiny registry, hiding
+    // the bucketing; disable broadcast to surface the 100 TB shape —
+    // where the registry is far beyond broadcast size and the bucketed
+    // scan is what keeps the accumulated-corpus side shuffle-free
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // NOT the plan() helper: its initial-plan split would cut at the
+      // nested AdaptiveSparkPlan inside the band-rows InMemoryRelation,
+      // dropping the registry branch that comes after it in print order
+      val df = q("d11_dedup_incremental_registry")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString()
+      // every scan of the registry table must EXPLOIT its bucketing — a
+      // "Bucketed: false" scan means Spark re-shuffles the accumulated
+      // corpus side, the thing this operator exists to avoid at 100 TB
+      assert(p.contains("Bucketed: true"), s"registry scan not bucketed:\n$p")
+      assert(!p.contains("Bucketed: false"),
+        s"a registry scan fell back to non-bucketed reading:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_d11_registry")
+    }
+  }
 }
