@@ -227,6 +227,118 @@ object Multimodal {
     }
   }
 
+  /** 16-bit signed little-endian PCM WAV encoder (via the JDK's own
+    * `javax.sound.sampled` writer, so [[decode]]/[[audioSpectral]] read
+    * back exactly what went in — PCM is lossless). Multi-channel input is
+    * frame-interleaved: `samples(frame * channels + ch)`. The write face
+    * of the audio path and the fixture generator for environments that
+    * ship no media (the audio analog of [[AviCodec.encode]]). */
+  def encodeWavPcm16(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(rate >= 1 && channels >= 1 && samples.length % channels == 0,
+      "encodeWavPcm16: rate/channels must be >= 1 and samples a multiple of channels")
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, (samples.length / channels).toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+
+  /** Per-clip spectral features from a real FFT ([[Fft]]) over the decoded
+    * PCM stream — the audio analog of the image luminance features.
+    *
+    * Analysis window: the first `highestOneBit(min(n_samples, 4096))`
+    * samples of CHANNEL 0, i.e. the longest power-of-two prefix the FFT
+    * accepts, capped at 4096 (~0.1-1 s of context at speech/music rates —
+    * a clip-level fingerprint, not a spectrogram). Raw 16-bit sample
+    * values feed the FFT unnormalized; every emitted feature is a RATIO,
+    * so the scale cancels.
+    *
+    * Features over bins k = 0..n/2 (DC through Nyquist), f_k = k·rate/n:
+    *   - spectral_centroid = Σ f_k·|X_k| / Σ |X_k|  (Hz; 0 for silence)
+    *   - e_band0..3 = fraction of Σ|X_k|² in 4 equal bands of [0, Nyquist]
+    *     (band of bin k = clamp(⌊k·4/(n/2)⌋), so DC → band 0, the
+    *     exact-quarter bin n/4 → band 2)
+    *
+    * A clip that fails to decode (or is shorter than 2 samples) degrades
+    * to the all-zero row, same convention as [[decode]]. Shuffle-free:
+    * one batched `mapPartitions`, same shape as the decode stage. */
+  final case class AudioSpectral(
+      media_id: Long, sample_rate: Int, n_window: Int, spectral_centroid: Double,
+      e_band0: Double, e_band1: Double, e_band2: Double, e_band3: Double)
+
+  def audioSpectral(media: DataFrame)(implicit spark: SparkSession): Dataset[AudioSpectral] = {
+    val in = media.select("media_id", "content", "mime").as(Encoders.product[MediaRecord])
+    in.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(_.map(spectralOf))
+    }(Encoders.product[AudioSpectral])
+  }
+
+  private def spectralOf(m: MediaRecord): AudioSpectral = {
+    val zero = AudioSpectral(m.media_id, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (ais == null) zero
+    else
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) zero
+        else {
+          val rate = math.round(fmt.getSampleRate)
+          val channels = fmt.getChannels
+          val pcm = ais.readAllBytes()
+          val frameBytes = 2 * channels
+          val nFrames = pcm.length / frameBytes
+          val nWin = Integer.highestOneBit(math.min(nFrames, 4096))
+          if (nWin < 2) zero
+          else {
+            val window = new Array[Double](nWin)
+            var i = 0
+            while (i < nWin) {
+              val o = i * frameBytes // channel 0 of frame i
+              val s =
+                if (fmt.isBigEndian) ((pcm(o) << 8) | (pcm(o + 1) & 0xff)).toShort
+                else ((pcm(o + 1) << 8) | (pcm(o) & 0xff)).toShort
+              window(i) = s.toDouble
+              i += 1
+            }
+            val mag = Fft.magnitudes(window)
+            var wsum = 0.0
+            var fsum = 0.0
+            val energy = new Array[Double](4)
+            var k = 0
+            while (k < mag.length) {
+              wsum += mag(k)
+              fsum += mag(k) * k * rate.toDouble / nWin
+              val band = math.min(3, k * 4 / (nWin / 2))
+              energy(band) += mag(k) * mag(k)
+              k += 1
+            }
+            val total = energy.sum
+            def frac(b: Int): Double = if (total == 0.0) 0.0 else energy(b) / total
+            AudioSpectral(m.media_id, rate, nWin,
+              if (wsum == 0.0) 0.0 else fsum / wsum,
+              frac(0), frac(1), frac(2), frac(3))
+          }
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => zero
+      } finally ais.close()
+  }
+
   /** THE STUB for payloads that are none of image/audio/video:
     * deterministic fake decode from payload bytes. A real implementation
     * would replace the body with a codec call; everything around it

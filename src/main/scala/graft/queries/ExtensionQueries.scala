@@ -377,6 +377,51 @@ object ExtensionQueries {
         round(col("mean_px"), 9).as("mean_px"))
   }
 
+  /** REAL audio spectral path end-to-end: WAV fixtures built in-plan from
+    * doc_id ([[Multimodal.encodeWavPcm16]]) and analyzed by the real FFT
+    * ([[Multimodal.audioSpectral]]). The fixture signal is dc + A·sin(πi/2)
+    * — period 4, samples [dc, dc+A, dc, dc−A] — chosen because it is
+    * EXACTLY representable in 16-bit PCM (no quantization error) and
+    * concentrates all spectral mass in exactly two bins: DC (X_0 = n·dc,
+    * computed exactly — integer adds only) and the quarter-rate bin n/4
+    * (|X| = A·n/2). The oracle therefore replicates every feature by
+    * closed formula: centroid = (rate/4)·A/(2·dc+A), e_band0 =
+    * 4dc²/(4dc²+A²), e_band2 = A²/(4dc²+A²), e_band1 = e_band3 = 0.
+    * Rounding: centroid to 4 decimals (FFT twiddle noise ~1e-9 Hz abs),
+    * energies to 9 (noise ~1e-19 — X_0 is exact and the ratios are
+    * dominated by it). */
+  private def m8(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    val media = table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("media_id"),
+        (lit(4000) + (col("doc_id") % 32) * 125).cast("int").as("rate"),
+        expr("cast(256 * shiftleft(1, cast(doc_id % 3 as int)) as int)").as("n"),
+        (lit(8000) + (col("doc_id") % 100) * 50).cast("int").as("amp"),
+        (col("doc_id") % 40).cast("int").as("dc"))
+      .repartition(s.sparkContext.defaultParallelism) // the m4 lesson
+      .as[(Long, Int, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, rate, n, amp, dc) =>
+        val samples = Array.tabulate[Short](n) { i =>
+          (i % 4 match {
+            case 1 => dc + amp
+            case 3 => dc - amp
+            case _ => dc
+          }).toShort
+        }
+        Multimodal.MediaRecord(id,
+          Multimodal.encodeWavPcm16(rate, 1, samples), "audio/wav")
+      })
+      .toDF()
+    Multimodal.audioSpectral(media).toDF()
+      .select(col("media_id"), col("sample_rate"), col("n_window"),
+        round(col("spectral_centroid"), 4).as("spectral_centroid"),
+        round(col("e_band0"), 9).as("e_band0"),
+        round(col("e_band1"), 9).as("e_band1"),
+        round(col("e_band2"), 9).as("e_band2"),
+        round(col("e_band3"), 9).as("e_band3"))
+  }
+
   /** Perceptual (average-hash) image near-dup over the stub luminance
     * grids: documents with equal byte length share a grid → hamming 0;
     * the oracle replicates grid, hash packing, blocking and verification. */
@@ -2019,6 +2064,18 @@ object ExtensionQueries {
         (1 + doc_id % 3)::INT AS n_frames,
         round(((doc_id * 7) % 256) / 255.0, 9) AS mean_px
       FROM documents""")),
+    Q("m8_audio_spectral", m8, Some("""
+      SELECT doc_id AS media_id,
+        (4000 + (doc_id % 32) * 125)::INT AS sample_rate,
+        (256 * (1 << (doc_id % 3)))::INT AS n_window,
+        round((4000 + (doc_id % 32) * 125) / 4.0 * amp / (2 * dc + amp), 4)
+          AS spectral_centroid,
+        round(4.0 * dc * dc / (4.0 * dc * dc + amp * amp), 9) AS e_band0,
+        0.0::DOUBLE AS e_band1,
+        round(amp * amp / (4.0 * dc * dc + amp * amp), 9) AS e_band2,
+        0.0::DOUBLE AS e_band3
+      FROM (SELECT doc_id, (8000 + (doc_id % 100) * 50)::DOUBLE AS amp,
+              (doc_id % 40)::DOUBLE AS dc FROM documents)""")),
 
     // u = md5-hash32 / 2^32 exactly as p2/p4's oracles compute it
     Q("p11_hash_split", p11, Some("""

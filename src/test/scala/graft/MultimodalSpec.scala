@@ -506,4 +506,37 @@ class MultimodalSpec extends AnyFunSuite {
     // uncompressed AVI, so it degrades to the all-zero row
     assert(out(4L).width == 0 && out(4L).n_frames == 0)
   }
+
+  test("audioSpectral: quarter-rate tone lands in band 2 at centroid rate/4; channel 0 of stereo") {
+    import spark.implicits._
+    // mono pure tone at rate/4 (the exactly-representable sinusoid):
+    // all energy in band 2, centroid = rate/4 up to FFT twiddle noise
+    def tone(n: Int, amp: Int, dc: Int): Array[Short] =
+      Array.tabulate[Short](n)(i => (i % 4 match {
+        case 1 => dc + amp
+        case 3 => dc - amp
+        case _ => dc
+      }).toShort)
+    val mono = Multimodal.encodeWavPcm16(8000, 1, tone(1024, 12000, 0))
+    // stereo: tone on channel 0, constant junk on channel 1 — analysis
+    // must read channel 0 only, giving the same features as mono
+    val t = tone(1024, 12000, 0)
+    val stereo = Multimodal.encodeWavPcm16(8000, 2,
+      Array.tabulate[Short](2048)(i => if (i % 2 == 0) t(i / 2) else 999))
+    val media = Seq(
+      (1L, mono, "audio/wav"),
+      (2L, stereo, "audio/wav"),
+      (3L, "not audio".getBytes("UTF-8"), "audio/wav"),       // undecodable
+      (4L, Multimodal.encodeWavPcm16(8000, 1, Array[Short](5)), "audio/wav")) // 1 sample
+      .toDF("media_id", "content", "mime")
+    val out = Multimodal.audioSpectral(media).collect().map(a => a.media_id -> a).toMap
+    assert(out(1L).sample_rate == 8000 && out(1L).n_window == 1024)
+    assert(math.abs(out(1L).spectral_centroid - 2000.0) < 1e-6)
+    assert(out(1L).e_band2 > 1.0 - 1e-12 && out(1L).e_band0 < 1e-12)
+    // stereo matches mono except for the junk channel's absence
+    assert(out(2L).n_window == 1024 &&
+      math.abs(out(2L).spectral_centroid - out(1L).spectral_centroid) < 1e-9)
+    assert(out(3L) == Multimodal.AudioSpectral(3L, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    assert(out(4L) == Multimodal.AudioSpectral(4L, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0))
+  }
 }
