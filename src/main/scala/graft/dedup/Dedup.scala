@@ -561,13 +561,19 @@ object Dedup {
     * semantic (not lexical) duplicate pruning of web-scale corpora, and
     * the principled source of blocking keys when no natural ones exist.
     *
-    * The quantizer is the deterministic smallest-id one (s3's — collected
-    * once, nlist ≪ corpus, held by a single [[graft.functions.NearestCentroids]]
-    * expression), so cluster assignment is a shuffle-free projection and
-    * the whole result is bit-reproducible by an external oracle. Cluster
-    * count trades recall for cost: pairs crossing a cluster boundary are
-    * missed (the SemDeDup approximation), pair work is quadratic only
-    * within clusters. */
+    * This face uses the DETERMINISTIC smallest-id quantizer (s3's —
+    * collected once, nlist ≪ corpus, held by a single
+    * [[graft.functions.NearestCentroids]] expression), so cluster
+    * assignment is a shuffle-free projection and the whole result is
+    * bit-reproducible by an external oracle — the reason the d7 gate
+    * query uses it. The smallest-id vectors are ARBITRARY as centroids,
+    * though: for dedup QUALITY (clusters that track the corpus
+    * distribution, fewer boundary-crossing misses), train real centroids
+    * with [[graft.similarity.Similarity.kmeansCentroids]] and pass them
+    * to the pre-trained-centroids overload — one extra call, same plan
+    * shape. Cluster count trades recall for cost: pairs crossing a
+    * cluster boundary are missed (the SemDeDup approximation), pair work
+    * is quadratic only within clusters. */
   def semanticDedupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, threshold: Double): DataFrame = {
@@ -577,9 +583,23 @@ object Dedup {
       .limit(nlist)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    semanticDedupPairs(df, idCol, vecCol, cents.map(_._1), cents.map(_._2), threshold)
+  }
+
+  /** [[semanticDedupPairs]] with PRE-TRAINED centroids — the quality path:
+    * pass [[graft.similarity.Similarity.kmeansCentroids]] output (or any
+    * externally-trained quantizer) and get the same shuffle-free
+    * assignment + within-cluster pair plan with data-driven clusters.
+    * Centroid ids only label the clusters; values drive assignment. */
+  def semanticDedupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroidIds: Array[Long], centroidVecs: Array[Array[Double]],
+      threshold: Double): DataFrame = {
+    require(centroidIds.length == centroidVecs.length && centroidIds.nonEmpty,
+      "semanticDedupPairs: need equal-length, non-empty centroid ids/vectors")
     val clustered = df.withColumn("cluster",
       element_at(graft.functions.VectorFunctions.nearestCentroids(
-        col(vecCol), cents.map(_._1), cents.map(_._2), 1), 1))
+        col(vecCol), centroidIds, centroidVecs, 1), 1))
     embeddingCosinePairs(clustered, idCol, vecCol, Seq("cluster"), threshold)
   }
 

@@ -91,7 +91,12 @@ object Bpe {
     * round — sequential behavior, never divergence. BpeSpec pins
     * bit-equality against the single-machine reference across batch
     * sizes and randomized corpora. `checkpointEvery` counts ROUNDS
-    * (lineage grows one map per round). */
+    * (lineage grows one map per round).
+    *
+    * For REAL vocabulary targets (30k+ merges = hundreds of
+    * driver-sequential rounds even batched), prefer
+    * [[trainMergesLocal]]: same merge list, zero per-round job latency
+    * whenever the distinct-word relation fits the driver. */
   def trainMerges(
       df: DataFrame, textCol: String, nMerges: Int,
       checkpointEvery: Int = 10, batchSize: Int = 32): Seq[(String, String)] = {
@@ -138,6 +143,107 @@ object Bpe {
         }
         rounds += 1
         if ((rounds % checkpointEvery) == 0) words = words.localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Train merges with a DRIVER-LOCAL merge loop when the distinct-word
+    * relation fits a driver bound, else fall back to the distributed
+    * batched loop — the escape hatch for REAL vocabulary sizes.
+    *
+    * Why it exists: [[trainMerges]] is exact and distributed, but BPE is
+    * inherently sequential, so a real 30k-merge vocabulary still means
+    * hundreds of driver-coordinated rounds (each a full Spark job) even
+    * with batching — job-launch latency dominates. The (distinct-word,
+    * count) relation, however, is tiny relative to any corpus that needs
+    * Spark: sampled BPE training corpora (GPT-2 saw ~40 GB) hold a few
+    * million distinct words. So: ONE distributed aggregate builds the
+    * word relation (the corpus is never collected), and if its row count
+    * is within `maxDistinctWords` the merge loop runs entirely in driver
+    * memory with zero job launches — incremental pair counts plus a
+    * priority queue with lazy invalidation, the Sennrich learn_bpe
+    * shape — producing the EXACT same merge list (BpeSpec asserts
+    * local ≡ distributed ≡ reference, including tie-heavy corpora).
+    *
+    * The default bound (4M distinct words): a word row costs roughly
+    * chars + per-object overhead ≈ 100 B, and the pair-count/index maps
+    * another few hundred B per distinct pair (~2× words) — ≈ 1-2 GB at
+    * 4M words, conservative for default driver heaps. Above the bound
+    * the distributed loop takes over (one extra word-relation aggregate
+    * — corpus-touched-twice is the price of not guessing sizes). */
+  def trainMergesLocal(
+      df: DataFrame, textCol: String, nMerges: Int,
+      maxDistinctWords: Long = 4000000L,
+      checkpointEvery: Int = 10, batchSize: Int = 32): Seq[(String, String)] = {
+    require(nMerges >= 0, "Bpe.trainMergesLocal: nMerges must be >= 0")
+    require(maxDistinctWords >= 0, "Bpe.trainMergesLocal: maxDistinctWords must be >= 0")
+    val rel = wordRelation(df, textCol).persist()
+    try {
+      if (rel.count() > maxDistinctWords)
+        trainMerges(df, textCol, nMerges, checkpointEvery, batchSize)
+      else localMergeLoop(rel.collect(), nMerges)
+    } finally rel.unpersist()
+  }
+
+  /** The in-memory merge loop behind [[trainMergesLocal]]: incremental
+    * pair counts, a word index per pair, and a priority queue ordered
+    * (count DESC, pair ASC) with lazy invalidation — a popped entry is
+    * applied only if it matches the pair's CURRENT count (every count
+    * change pushes a fresh entry, so the true argmax is always present).
+    * Identical decisions to the textbook recount-per-step loop, without
+    * its O(vocab · merges) rescan. */
+  private def localMergeLoop(
+      rows: Array[WordRow], nMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val syms: Array[Array[String]] = rows.map(_._1.toArray)
+    val freq: Array[Long] = rows.map(_._2)
+    def pairsOf(s: Array[String]): Iterator[(String, String)] =
+      (0 until s.length - 1).iterator.map(i => (s(i), s(i + 1)))
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    for (i <- syms.indices; p <- pairsOf(syms(i))) {
+      counts(p) = counts.getOrElse(p, 0L) + freq(i)
+      where.getOrElseUpdate(p, mutable.BitSet.empty) += i
+    }
+    val cmp: java.util.Comparator[(Long, String, String)] = (x, y) => {
+      val c = java.lang.Long.compare(y._1, x._1) // count DESC
+      if (c != 0) c
+      else {
+        val ca = x._2.compareTo(y._2) // then pair ASC
+        if (ca != 0) ca else x._3.compareTo(y._3)
+      }
+    }
+    val pq = new java.util.PriorityQueue[(Long, String, String)](
+      math.max(1, counts.size), cmp)
+    counts.foreach { case ((a, b), n) => pq.add((n, a, b)) }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.size < nMerges && !pq.isEmpty) {
+      val (n, a, b) = pq.poll()
+      // lazy invalidation: stale entries (count changed since push) skip
+      if (counts.get((a, b)).contains(n)) {
+        merges += ((a, b))
+        val touched = mutable.Set.empty[(String, String)]
+        for (i <- where.getOrElse((a, b), mutable.BitSet.empty).toArray) {
+          val old = syms(i)
+          pairsOf(old).foreach { p =>
+            counts(p) = counts(p) - freq(i)
+            where.get(p).foreach(_ -= i)
+            touched += p
+          }
+          val nw = mergeOnce(old.toSeq, a, b).toArray
+          syms(i) = nw
+          pairsOf(nw).foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) + freq(i)
+            where.getOrElseUpdate(p, mutable.BitSet.empty) += i
+            touched += p
+          }
+        }
+        touched.foreach { p =>
+          val c = counts.getOrElse(p, 0L)
+          if (c <= 0L) { counts.remove(p); where.remove(p) }
+          else pq.add((c, p._1, p._2))
+        }
       }
     }
     merges.toSeq

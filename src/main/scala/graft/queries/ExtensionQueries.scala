@@ -687,7 +687,10 @@ object ExtensionQueries {
     * the iterative argmax loop has no SQL analog; determinism (count
     * DESC, pair ASC tie-break) and reference equivalence are pinned by
     * BpeSpec instead. Training actions at query construction are
-    * index-build cost, same justification as the IVF quantizer. */
+    * index-build cost, same justification as the IVF quantizer.
+    * Deliberately stays on the DISTRIBUTED [[graft.pipeline.Bpe.trainMerges]]
+    * path so the gate exercises it; real-vocab users call
+    * `trainMergesLocal` (spec-asserted to yield the identical list). */
   private def p8(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Bpe.mergesDF(s, bpeMerges(s, dir, nMerges = 20))
 

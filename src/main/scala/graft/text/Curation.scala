@@ -227,16 +227,22 @@ object Curation {
         val bw = spark.sparkContext.broadcast(w.clone())
         try {
           val bb = b
-          // dim -1 carries the bias gradient through the same aggregate
+          // dim -1 carries the bias gradient through the same aggregate.
+          // The per-row JVM work stays typed (sigmoid over the sparse
+          // pairs), but the aggregation drops to the untyped Column path:
+          // groupBy("dim").agg(sum) is a codegen'd hash aggregate with
+          // map-side partial combine, where groupByKey/reduceGroups
+          // round-trips every (dim, grad) pair through the serde per row
+          // (measured 3.7 -> 3.3 s on t21 at sf0.1; see NOTES.md r4)
           val grads = feats.flatMap { case (y, fp) =>
             var dot = bb
             fp.foreach { case (d, c) => dot += bw.value(d) * c }
             val g = 1.0 / (1.0 + math.exp(-dot)) - y
             fp.iterator.map { case (d, c) => (d, g * c) } ++ Iterator((-1, g))
           }
-            .groupByKey(_._1)
-            .mapValues(_._2).reduceGroups(_ + _)
-            .collect()
+            .toDF("dim", "grad")
+            .groupBy("dim").agg(org.apache.spark.sql.functions.sum("grad").as("g"))
+            .collect().map(r => (r.getInt(0), r.getDouble(1)))
           grads.foreach { case (d, g) =>
             if (d < 0) b -= lr * g / n
             else w(d) -= lr * (g / n + l2 * w(d))

@@ -73,6 +73,29 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("trainMergesLocal: local loop == reference == distributed; tiny bound falls back") {
+    val df = corpus.toDF("text")
+    val expect = refTrain(corpus, 15)
+    assert(Bpe.trainMergesLocal(df, "text", 15) == expect,
+      "local merge loop diverged from the sequential reference")
+    // tie-heavy randomized corpora — the lazy-invalidation PQ must make
+    // exactly the textbook decisions under maximal count ties
+    for (seed <- 0 until 6) {
+      val rnd = new scala.util.Random(100 + seed)
+      val words = Seq.fill(30)((0 until (1 + rnd.nextInt(5)))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val text = words.mkString(" ")
+      val expectR = refTrain(Seq(text), 12)
+      val got = Bpe.trainMergesLocal(Seq(Tuple1(text)).toDF("text"), "text", 12)
+      assert(got == expectR, s"seed=$seed: local $got != sequential $expectR")
+    }
+    // a bound below the vocabulary size must fall back to the
+    // distributed loop — and still produce the same list
+    assert(Bpe.trainMergesLocal(df, "text", 15, maxDistinctWords = 1) == expect)
+    // more merges than the corpus supports: stops at exhaustion like ref
+    assert(Bpe.trainMergesLocal(df, "text", 10000) == refTrain(corpus, 10000))
+  }
+
   test("training stops early when no adjacent pairs remain") {
     // single-char words + EOW: one merge each, then nothing left
     val merges = Bpe.trainMerges(Seq("a b a").toDF("text"), "text", 50)

@@ -92,6 +92,18 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // within-cluster near-dups found; 5 pairs with nothing; no cross-cluster pair
     assert(pairs == Set((0L, 2L), (0L, 3L), (2L, 3L), (1L, 4L)))
+
+    // the QUALITY path: k-means-trained centroids through the pre-trained
+    // overload. Lloyd from smallest-id init converges to the two true
+    // cluster centers here, so the same near-dup pairs surface — and the
+    // plan shape (shuffle-free assignment + within-cluster join) is
+    // identical by construction.
+    val (cids, cvecs) = graft.similarity.Similarity.kmeansCentroids(
+      vecs, "vec_id", "embedding", nlist = 2, iters = 3)
+    val kmPairs = Dedup.semanticDedupPairs(
+      vecs, "vec_id", "embedding", cids, cvecs, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kmPairs == Set((0L, 2L), (0L, 3L), (2L, 3L), (1L, 4L)))
   }
 
   test("incremental registry: increments accumulate to the full-corpus batch registry") {
