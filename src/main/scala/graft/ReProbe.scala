@@ -25,7 +25,15 @@ object ReProbe {
       (System.nanoTime() - t0) / 1e9
     }
     spark.range(1000000).selectExpr("sum(id)").collect()
-    for (n <- args) {
+    // Default probe set: the queries whose driver-tail numbers have
+    // historically spiked under sweep/GC drag (r3 verdict) — re-timing
+    // them on an idle JVM pre-explains phantom regressions in NOTES.md.
+    val probes =
+      if (args.nonEmpty) args.toSeq
+      else Seq("s6_ann_recall", "st1_windowed_events", "st2_sessionize",
+        "st3_stream_interval_join", "st4_minhash_band_registry",
+        "x20_skew_join", "t21_model_filter_trained", "d2_dedup_ngram_jaccard")
+    for (n <- probes) {
       time(src, n) // JIT warm
       val t1 = time(src, n)
       val t10 = time(big, n)
