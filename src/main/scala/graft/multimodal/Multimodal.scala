@@ -165,6 +165,40 @@ object Multimodal {
     val len = m.content.length.toLong
     val digest = MessageDigest.getInstance("MD5")
     val hash = digest.digest(m.content).map("%02x".format(_)).mkString
+    // FAST PATH: plain-PCM WAV through the lock-free [[WavCodec]] —
+    // identical field values to the AudioSystem path below (same frame
+    // count, same |amplitude| normalization over ALL channels' samples),
+    // without the provider-registry contention that serializes a
+    // many-core executor (measured; see WavCodec). AIFF/AU/compressed
+    // fall through to AudioSystem.
+    WavCodec.parse(m.content) match {
+      case Some(w) if w.bitsPerSample == 16 =>
+        var sum = 0.0
+        var n = 0L
+        var o = w.dataOff
+        // complete 2-byte samples only — same bound as the AudioSystem
+        // path's `i + 1 < pcm.length` over the data bytes
+        while (o + 1 < w.dataOff + w.dataLen) {
+          val s = (((w.bytes(o + 1) & 0xff) << 8) | (w.bytes(o) & 0xff)).toShort
+          sum += math.abs(s.toDouble) / 32768.0
+          n += 1
+          o += 2
+        }
+        return DecodedMedia(m.media_id, len, hash, w.rate, w.channels, w.nFrames,
+          if (n == 0) 0.0 else sum / n)
+      case Some(w) if w.bitsPerSample == 8 =>
+        var sum = 0.0
+        var n = 0L
+        var o = w.dataOff
+        while (o < w.dataOff + w.dataLen) {
+          sum += math.abs((w.bytes(o) & 0xff) - 128).toDouble / 128.0
+          n += 1
+          o += 1
+        }
+        return DecodedMedia(m.media_id, len, hash, w.rate, w.channels, w.nFrames,
+          if (n == 0) 0.0 else sum / n)
+      case _ => // not plain PCM WAV: AudioSystem fallback below
+    }
     val ais =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(m.content))
@@ -227,31 +261,17 @@ object Multimodal {
     }
   }
 
-  /** 16-bit signed little-endian PCM WAV encoder (via the JDK's own
-    * `javax.sound.sampled` writer, so [[decode]]/[[audioSpectral]] read
-    * back exactly what went in — PCM is lossless). Multi-channel input is
-    * frame-interleaved: `samples(frame * channels + ch)`. The write face
-    * of the audio path and the fixture generator for environments that
-    * ship no media (the audio analog of [[AviCodec.encode]]). */
-  def encodeWavPcm16(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
-    require(rate >= 1 && channels >= 1 && samples.length % channels == 0,
-      "encodeWavPcm16: rate/channels must be >= 1 and samples a multiple of channels")
-    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels, true, false)
-    val pcm = new Array[Byte](samples.length * 2)
-    var i = 0
-    while (i < samples.length) {
-      pcm(2 * i) = (samples(i) & 0xff).toByte
-      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
-      i += 1
-    }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, (samples.length / channels).toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    try javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    finally ais.close()
-    bos.toByteArray
-  }
+  /** 16-bit signed little-endian PCM WAV encoder — a standard WAV any
+    * reader (including `javax.sound.sampled`, spec-asserted) accepts;
+    * PCM is lossless, so [[decode]]/[[audioSpectral]] read back exactly
+    * what went in. Multi-channel input is frame-interleaved:
+    * `samples(frame * channels + ch)`. The write face of the audio path
+    * and the fixture generator for environments that ship no media (the
+    * audio analog of [[AviCodec.encode]]). Delegates to the lock-free
+    * [[WavCodec]] — the `AudioSystem` writer's global provider registry
+    * measurably CONTENDS across executor threads (see [[WavCodec]]). */
+  def encodeWavPcm16(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] =
+    WavCodec.encodePcm16(rate, channels, samples)
 
   /** Per-clip spectral features from a real FFT ([[Fft]]) over the decoded
     * PCM stream — the audio analog of the image luminance features.
@@ -285,6 +305,19 @@ object Multimodal {
 
   private def spectralOf(m: MediaRecord): AudioSpectral = {
     val zero = AudioSpectral(m.media_id, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    // FAST PATH: plain 16-bit PCM WAV via the lock-free [[WavCodec]]
+    // (the AudioSystem provider registry contends across threads — see
+    // WavCodec); other containers/encodings fall through to AudioSystem.
+    WavCodec.parse(m.content) match {
+      case Some(w) if w.bitsPerSample == 16 =>
+        val nWin = Integer.highestOneBit(math.min(w.nFrames, 4096))
+        if (nWin < 2) return zero
+        val window = new Array[Double](nWin)
+        var i = 0
+        while (i < nWin) { window(i) = w.sample16(i, 0).toDouble; i += 1 }
+        return spectralFeatures(m.media_id, w.rate, nWin, window)
+      case _ =>
+    }
     val ais =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(m.content))
@@ -315,28 +348,35 @@ object Multimodal {
               window(i) = s.toDouble
               i += 1
             }
-            val mag = Fft.magnitudes(window)
-            var wsum = 0.0
-            var fsum = 0.0
-            val energy = new Array[Double](4)
-            var k = 0
-            while (k < mag.length) {
-              wsum += mag(k)
-              fsum += mag(k) * k * rate.toDouble / nWin
-              val band = math.min(3, k * 4 / (nWin / 2))
-              energy(band) += mag(k) * mag(k)
-              k += 1
-            }
-            val total = energy.sum
-            def frac(b: Int): Double = if (total == 0.0) 0.0 else energy(b) / total
-            AudioSpectral(m.media_id, rate, nWin,
-              if (wsum == 0.0) 0.0 else fsum / wsum,
-              frac(0), frac(1), frac(2), frac(3))
+            spectralFeatures(m.media_id, rate, nWin, window)
           }
         }
       } catch {
         case scala.util.control.NonFatal(_) => zero
       } finally ais.close()
+  }
+
+  /** Shared feature computation for both [[spectralOf]] paths — see
+    * [[audioSpectral]] for the feature definitions. */
+  private def spectralFeatures(
+      mediaId: Long, rate: Int, nWin: Int, window: Array[Double]): AudioSpectral = {
+    val mag = Fft.magnitudes(window)
+    var wsum = 0.0
+    var fsum = 0.0
+    val energy = new Array[Double](4)
+    var k = 0
+    while (k < mag.length) {
+      wsum += mag(k)
+      fsum += mag(k) * k * rate.toDouble / nWin
+      val band = math.min(3, k * 4 / (nWin / 2))
+      energy(band) += mag(k) * mag(k)
+      k += 1
+    }
+    val total = energy.sum
+    def frac(b: Int): Double = if (total == 0.0) 0.0 else energy(b) / total
+    AudioSpectral(mediaId, rate, nWin,
+      if (wsum == 0.0) 0.0 else fsum / wsum,
+      frac(0), frac(1), frac(2), frac(3))
   }
 
   /** THE STUB for payloads that are none of image/audio/video:

@@ -507,6 +507,72 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(4L).width == 0 && out(4L).n_frames == 0)
   }
 
+  test("WavCodec: cross-compatible with AudioSystem both directions; AIFF falls back; fuzz-safe") {
+    import spark.implicits._
+    val samples = Array.tabulate[Short](500)(i => ((i * 37) % 20000 - 10000).toShort)
+    // 1) WavCodec's writer is a standard WAV: AudioSystem reads it back
+    //    sample-for-sample
+    val ours = graft.multimodal.WavCodec.encodePcm16(8000, 1, samples)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(ours))
+    assert(ais.getFormat.getSampleRate == 8000f && ais.getFormat.getChannels == 1)
+    val back = ais.readAllBytes()
+    assert(back.length == 1000)
+    for (i <- samples.indices)
+      assert((((back(2 * i + 1) & 0xff) << 8) | (back(2 * i) & 0xff)).toShort == samples(i))
+    // 2) AudioSystem's writer parses through WavCodec with the same fields
+    val fmt = new javax.sound.sampled.AudioFormat(44100f, 16, 2, true, false)
+    val pcm = new Array[Byte](400)
+    new scala.util.Random(5).nextBytes(pcm)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 100),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val parsed = graft.multimodal.WavCodec.parse(bos.toByteArray).get
+    assert(parsed.rate == 44100 && parsed.channels == 2 &&
+      parsed.bitsPerSample == 16 && parsed.nFrames == 100)
+    // 3) an AIFF clip is NOT claimed by WavCodec (parse None) but still
+    //    decodes through the AudioSystem fallback of audioSpectral
+    // quarter-rate tone, big-endian samples (AIFF is BE)
+    val bePcm = Array.tabulate[Byte](2048) { i =>
+      val f = i / 2
+      val s: Short = (f % 4 match {
+        case 1 => 12000
+        case 3 => -12000
+        case _ => 0
+      }).toShort
+      if (i % 2 == 0) ((s >> 8) & 0xff).toByte else (s & 0xff).toByte
+    }
+    val beFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val aiffAis = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bePcm), beFmt, 1024)
+    val aiffBos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(aiffAis,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, aiffBos)
+    val aiff = aiffBos.toByteArray
+    assert(graft.multimodal.WavCodec.parse(aiff).isEmpty, "AIFF must not parse as WAV")
+    val out = Multimodal.audioSpectral(
+      Seq((1L, aiff, "audio/aiff")).toDF("media_id", "content", "mime"))
+      .collect().head
+    assert(out.n_window == 1024 && math.abs(out.spectral_centroid - 2000.0) < 1e-6,
+      s"AIFF fallback broken: $out")
+    // 4) fuzz: noise, truncations, corruptions never throw
+    val rnd = new scala.util.Random(99)
+    for (_ <- 0 until 500) {
+      val junk = new Array[Byte](rnd.nextInt(120))
+      rnd.nextBytes(junk)
+      graft.multimodal.WavCodec.parse(junk)
+    }
+    for (_ <- 0 until 500)
+      graft.multimodal.WavCodec.parse(ours.take(rnd.nextInt(ours.length)))
+    for (_ <- 0 until 500) {
+      val mut = ours.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      graft.multimodal.WavCodec.parse(mut)
+    }
+  }
+
   test("audioSpectral: quarter-rate tone lands in band 2 at centroid rate/4; channel 0 of stereo") {
     import spark.implicits._
     // mono pure tone at rate/4 (the exactly-representable sinusoid):
