@@ -157,22 +157,27 @@ object Dedup {
       corpus: DataFrame, idCol: String, textCol: String,
       registryTable: String, buckets: Int,
       shingleN: Int = 3, k: Int = 12, bands: Int = 4, rows: Int = 3): Unit = {
-    val spark = corpus.sparkSession
-    // rebuild-from-scratch semantics must hold across PROCESSES, not just
-    // sessions: the catalog is per-session but the managed warehouse dir
-    // is not, so a location orphaned by a previous process (whose catalog
-    // died with it) would fail CTAS with LOCATION_ALREADY_EXISTS even
-    // after DROP TABLE IF EXISTS. Clear both.
+    dropRegistry(corpus.sparkSession, registryTable)
+    val claims = minhashBandRows(corpus, idCol, textCol, shingleN, k, bands, rows)
+      .groupBy(col("band_key").as("key")).agg(min(col(idCol)).as("keep_id"))
+    graft.sources.Sources.writeBucketed(
+      claims, registryTable, buckets, Seq("key"))
+  }
+
+  /** Drop a registry table AND its managed location. Rebuild-from-scratch
+    * semantics must hold across PROCESSES, not just sessions: the catalog
+    * is per-session but the managed warehouse dir is not, so a location
+    * orphaned by a previous process (whose catalog died with it) would
+    * fail CTAS with LOCATION_ALREADY_EXISTS even after DROP TABLE IF
+    * EXISTS. Clear both. */
+  private def dropRegistry(
+      spark: org.apache.spark.sql.SparkSession, registryTable: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $registryTable")
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(registryTable)
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    val claims = minhashBandRows(corpus, idCol, textCol, shingleN, k, bands, rows)
-      .groupBy(col("band_key")).agg(min(col(idCol)).as("keep_id"))
-    graft.sources.Sources.writeBucketed(
-      claims, registryTable, buckets, Seq("band_key"))
   }
 
   /** Incremental near-dup dedup of a NEW batch of documents against the
@@ -219,27 +224,70 @@ object Dedup {
       registryTable: String, buckets: Int,
       shingleN: Int = 3, k: Int = 12, bands: Int = 4, rows: Int = 3,
       appendRegistry: Boolean = true): DataFrame = {
-    val spark = increment.sparkSession
-    val bandRows = graft.CacheRegistry.persisted(
-      minhashBandRows(increment, idCol, textCol, shingleN, k, bands, rows))
-    val incClaims = bandRows.groupBy(col("band_key"))
+    val bandRows = minhashBandRows(increment, idCol, textCol, shingleN, k, bands, rows)
+      .select(col(idCol), col("band_key").as("key"))
+    claimAgainstRegistry(bandRows, increment.select(col(idCol)), idCol,
+      registryTable, buckets, appendRegistry)
+  }
+
+  /** Build (or rebuild) a persistent EXACT-dedup registry: one row per
+    * distinct content hash with the claiming (minimum) doc id, bucketed
+    * on the hash — [[exact]]'s relation made incremental the same way
+    * [[buildBandRegistry]] makes [[minhashLsh]]'s band relation
+    * incremental. */
+  def buildExactRegistry(
+      corpus: DataFrame, idCol: String, textCol: String,
+      registryTable: String, buckets: Int): Unit = {
+    dropRegistry(corpus.sparkSession, registryTable)
+    val claims = corpus
+      .groupBy(md5(col(textCol)).as("key"))
+      .agg(min(col(idCol)).as("keep_id"))
+    graft.sources.Sources.writeBucketed(
+      claims, registryTable, buckets, Seq("key"))
+  }
+
+  /** Incremental EXACT dedup of a new batch against the accumulated
+    * corpus — same contract, claim semantics, idempotence, and bucketed
+    * Exchange-free registry join as [[dedupAgainstRegistry]] (shared
+    * machinery), with the single content hash as the key instead of LSH
+    * band keys: `n_hits` is 1 for a verbatim copy, 0 for fresh content. */
+  def exactDedupAgainstRegistry(
+      increment: DataFrame, idCol: String, textCol: String,
+      registryTable: String, buckets: Int,
+      appendRegistry: Boolean = true): DataFrame = {
+    val keyed = increment.select(col(idCol), md5(col(textCol)).as("key"))
+    claimAgainstRegistry(keyed, increment.select(col(idCol)), idCol,
+      registryTable, buckets, appendRegistry)
+  }
+
+  /** Shared incremental-claim machinery behind
+    * [[dedupAgainstRegistry]]/[[exactDedupAgainstRegistry]]: `keyed` is
+    * the increment's exploded (id, key) relation; the registry table maps
+    * key → keep_id, first-writer-wins. See [[dedupAgainstRegistry]] for
+    * the full semantics/scale discussion. */
+  private def claimAgainstRegistry(
+      keyed: DataFrame, allIds: DataFrame, idCol: String,
+      registryTable: String, buckets: Int, appendRegistry: Boolean): DataFrame = {
+    val spark = keyed.sparkSession
+    val rows = graft.CacheRegistry.persisted(keyed)
+    val incClaims = rows.groupBy(col("key"))
       .agg(min(col(idCol)).as("inc_min"))
     if (appendRegistry) {
       val fresh = incClaims
-        .join(spark.table(registryTable), Seq("band_key"), "left_anti")
-        .select(col("band_key"), col("inc_min").as("keep_id"))
+        .join(spark.table(registryTable), Seq("key"), "left_anti")
+        .select(col("key"), col("inc_min").as("keep_id"))
       graft.sources.Sources.writeBucketed(fresh, registryTable, buckets,
-        Seq("band_key"), org.apache.spark.sql.SaveMode.Append)
+        Seq("key"), org.apache.spark.sql.SaveMode.Append)
     }
     val finalClaim = incClaims
-      .join(spark.table(registryTable), Seq("band_key"), "left")
-      .select(col("band_key"),
+      .join(spark.table(registryTable), Seq("key"), "left")
+      .select(col("key"),
         coalesce(col("keep_id"), col("inc_min")).as("claim"))
-    val hits = bandRows.join(finalClaim, "band_key")
+    val hits = rows.join(finalClaim, "key")
       .where(col("claim") =!= col(idCol))
       .groupBy(col(idCol))
       .agg(min(col("claim")).as("dup_of"), count(lit(1)).as("n_hits"))
-    increment.select(col(idCol))
+    allIds
       .join(hits, Seq(idCol), "left")
       .select(col(idCol), col("dup_of"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))

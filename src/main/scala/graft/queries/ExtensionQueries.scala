@@ -117,6 +117,25 @@ object ExtensionQueries {
       "graft_d11_registry", buckets = 32)
   }
 
+  /** Incremental EXACT dedup against a persisted content-hash registry —
+    * d11's machinery with the single md5 as the key: verbatim copies
+    * (the %7 docs) are flagged against their corpus original; mutated
+    * near-copies (the %5 docs) are FRESH to exact dedup (contrast d11,
+    * which catches them) — the two queries together document the
+    * exact-vs-near boundary of the incremental story. */
+  private def d12(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select("doc_id", "text")
+    Dedup.buildExactRegistry(fanOut(s, docs), "doc_id", "text",
+      registryTable = "graft_d12_registry", buckets = 32)
+    val increment = docs.where(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+ ", "").as("text"))
+      .unionAll(docs.where(col("doc_id") % 7 === 0).select(
+        (col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    Dedup.exactDedupAgainstRegistry(fanOut(s, increment), "doc_id", "text",
+      "graft_d12_registry", buckets = 32)
+  }
+
   /** Exact-substring duplicate pairs (Lee et al. 2022 semantics through
     * winnowing): the mutated copies share almost every 27+-char span with
     * their sources, so they must surface; minShared=2 drops incidental
@@ -2179,6 +2198,28 @@ object ExtensionQueries {
       hits AS (SELECT b.doc_id, min(f.claim) AS dup_of, count(*)::BIGINT AS n_hits
                FROM ibands b JOIN final f USING (band_key)
                WHERE f.claim <> b.doc_id GROUP BY b.doc_id)
+      SELECT i.doc_id, h.dup_of, coalesce(h.n_hits, 0)::BIGINT AS n_hits
+      FROM increment i LEFT JOIN hits h USING (doc_id)""")),
+
+    // exact face of the incremental registry: single md5 key, same
+    // first-writer-wins coalesce as d11
+    Q("d12_exact_dedup_incremental", d12, Some("""
+      WITH increment AS (
+        SELECT doc_id + 1000000 AS doc_id,
+          regexp_replace(text, '^[^ ]+ ', '') AS text
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text
+        FROM documents WHERE doc_id % 7 = 0),
+      registry AS (SELECT md5(text) AS key, min(doc_id) AS keep_id
+                   FROM documents GROUP BY 1),
+      ikeys AS (SELECT doc_id, md5(text) AS key FROM increment),
+      iclaims AS (SELECT key, min(doc_id) AS inc_min FROM ikeys GROUP BY 1),
+      final AS (SELECT key, coalesce(r.keep_id, ic.inc_min) AS claim
+                FROM iclaims ic LEFT JOIN registry r USING (key)),
+      hits AS (SELECT k.doc_id, min(f.claim) AS dup_of, count(*)::BIGINT AS n_hits
+               FROM ikeys k JOIN final f USING (key)
+               WHERE f.claim <> k.doc_id GROUP BY k.doc_id)
       SELECT i.doc_id, h.dup_of, coalesce(h.n_hits, 0)::BIGINT AS n_hits
       FROM increment i LEFT JOIN hits h USING (doc_id)""")),
 

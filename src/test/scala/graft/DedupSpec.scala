@@ -168,6 +168,33 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_test_reg2")
   }
 
+  test("incremental EXACT registry: verbatim flagged, near-copy fresh, accumulation == batch") {
+    val corpus = docs.where($"doc_id" <= 3)
+    val inc = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the old river bank today"), // verbatim of 0
+      (11L, "the quick brown fox jumps over the lazy dog near the old river bank NOW")) // near-copy: fresh to EXACT dedup
+      .toDF("doc_id", "text")
+    try {
+      Dedup.buildExactRegistry(corpus, "doc_id", "text", "graft_test_xreg", buckets = 4)
+      val out = Dedup.exactDedupAgainstRegistry(inc, "doc_id", "text",
+        "graft_test_xreg", buckets = 4)
+        .collect().map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getLong(2))).toMap
+      assert(out(10L) == ((0L, 1L)), s"verbatim copy not flagged: ${out(10L)}")
+      assert(out(11L) == ((-1L, 0L)), s"near-copy wrongly flagged by EXACT dedup: ${out(11L)}")
+      val acc = spark.table("graft_test_xreg")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Dedup.buildExactRegistry(corpus.unionAll(inc), "doc_id", "text",
+        "graft_test_xreg_full", buckets = 4)
+      val full = spark.table("graft_test_xreg_full")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(acc == full, "incremental exact registry diverged from batch rerun")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_test_xreg")
+      spark.sql("DROP TABLE IF EXISTS graft_test_xreg_full")
+    }
+  }
+
   test("substringDupPairs: winnowing guarantee — any shared span >= kgram+window-1 is found") {
     // kgram=20, window=8: guarantee threshold 27 chars
     val shared = "the quick brown fox jumps over the lazy dog tonight" // 51 chars
