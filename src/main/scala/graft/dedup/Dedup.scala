@@ -164,6 +164,42 @@ object Dedup {
       claims, registryTable, buckets, Seq("key"))
   }
 
+  /** Compact a registry table in place: every [[dedupAgainstRegistry]]
+    * append writes one file per bucket, so after N increments each bucket
+    * holds N small files and the registry scan pays N× the open/footer
+    * cost. Rewrite into one file per bucket via a temp table + rename
+    * (the registry cannot be overwritten while being read). Claims are
+    * unchanged — row-identical, same bucketing, still Exchange-free
+    * (spec-asserted). Run it every ~dozens of increments, like any
+    * small-file compaction ([[graft.sources.Sources.compact]] is the
+    * unbucketed analog). */
+  def compactRegistry(
+      spark: org.apache.spark.sql.SparkSession,
+      registryTable: String, buckets: Int): Unit = {
+    val tmp = registryTable + "__compact"
+    dropRegistry(spark, tmp)
+    // bucketBy does NOT repartition: each write task emits a file for
+    // every bucket it holds rows of (tasks × buckets files — the exact
+    // fan-out we're here to undo). And a repartition(buckets, key) over
+    // the bucketed table does not survive: the planner prunes it as
+    // redundant against the table's bucketing while AUTO-bucketed
+    // scanning simultaneously declines the bucketed read (no join/agg
+    // wants it), leaving arbitrary file-packed read partitions
+    // (observed: plan = WriteFiles <- Sort <- FileScan, no Exchange,
+    // 3 tasks). Forcing the bucketed scan resolves it exactly: the read
+    // IS one partition per bucket, so the exchange-free write emits
+    // exactly one file per bucket.
+    val autoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(autoScan)
+    spark.conf.set(autoScan, "false")
+    try
+      graft.sources.Sources.writeBucketed(
+        spark.table(registryTable), tmp, buckets, Seq("key"))
+    finally spark.conf.set(autoScan, prev)
+    dropRegistry(spark, registryTable)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $registryTable")
+  }
+
   /** Drop a registry table AND its managed location. Rebuild-from-scratch
     * semantics must hold across PROCESSES, not just sessions: the catalog
     * is per-session but the managed warehouse dir is not, so a location

@@ -195,6 +195,78 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("compactRegistry: N-increment file fan-out collapses to one file per bucket, claims identical") {
+    val corpus = docs.where($"doc_id" <= 3)
+    try {
+      Dedup.buildExactRegistry(corpus, "doc_id", "text", "graft_test_creg", buckets = 2)
+      // three appends -> each bucket accumulates extra files
+      for (i <- 0 until 3) {
+        val inc = Seq((20L + i, s"fresh increment number $i with its own unique content"))
+          .toDF("doc_id", "text")
+        Dedup.exactDedupAgainstRegistry(inc, "doc_id", "text",
+          "graft_test_creg", buckets = 2).collect()
+      }
+      def files(t: String): Int = {
+        val loc = new java.io.File(new java.net.URI(
+          spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(t)).location.toString))
+        loc.listFiles().count(f => f.getName.endsWith(".parquet"))
+      }
+      val before = spark.table("graft_test_creg")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val filesBefore = files("graft_test_creg")
+      assert(filesBefore > 2, s"appends should fan out files, got $filesBefore")
+      Dedup.compactRegistry(spark, "graft_test_creg", buckets = 2)
+      val after = spark.table("graft_test_creg")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(after == before, "compaction changed the claims")
+      assert(files("graft_test_creg") <= 2,
+        s"compaction should leave <= 1 file per bucket, got ${files("graft_test_creg")}")
+      // registry still serves increments (bucket metadata survived the rename)
+      val out = Dedup.exactDedupAgainstRegistry(
+        Seq((30L, "fresh increment number 0 with its own unique content"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", "graft_test_creg", buckets = 2)
+        .collect().head
+      assert(out.getLong(1) == 20L, s"post-compact registry lost a claim: $out")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_test_creg")
+      spark.sql("DROP TABLE IF EXISTS graft_test_creg__compact")
+    }
+  }
+
+  test("registries: empty corpus and empty increments are well-defined") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    try {
+      // empty corpus -> empty registry table with the right schema
+      Dedup.buildExactRegistry(empty, "doc_id", "text", "graft_test_ereg", buckets = 2)
+      assert(spark.table("graft_test_ereg").count() == 0)
+      // a first increment against the empty registry claims everything
+      val out = Dedup.exactDedupAgainstRegistry(
+        docs.where($"doc_id" <= 1), "doc_id", "text", "graft_test_ereg", buckets = 2)
+        .collect().map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getLong(2))).toMap
+      assert(out(0L) == ((-1L, 0L))) // doc 0 claims the shared hash
+      assert(out(1L) == ((0L, 1L))) // its twin is a dup of it
+      // an empty increment is a no-op with an empty decision frame
+      val emptyOut = Dedup.exactDedupAgainstRegistry(
+        empty, "doc_id", "text", "graft_test_ereg", buckets = 2)
+      assert(emptyOut.count() == 0)
+      // same for the minhash face: empty corpus registry, empty increment
+      Dedup.buildBandRegistry(empty, "doc_id", "text", "graft_test_ereg2", buckets = 2)
+      assert(spark.table("graft_test_ereg2").count() == 0)
+      assert(Dedup.dedupAgainstRegistry(empty, "doc_id", "text",
+        "graft_test_ereg2", buckets = 2).count() == 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_test_ereg")
+      spark.sql("DROP TABLE IF EXISTS graft_test_ereg2")
+    }
+  }
+
   test("substringDupPairs: winnowing guarantee — any shared span >= kgram+window-1 is found") {
     // kgram=20, window=8: guarantee threshold 27 chars
     val shared = "the quick brown fox jumps over the lazy dog tonight" // 51 chars
