@@ -131,21 +131,29 @@ object AviCodec {
     try decodeUnsafe(bytes)
     catch { case scala.util.control.NonFatal(_) => None }
 
-  private def decodeUnsafe(b: Array[Byte]): Option[AviVideo] = {
-    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+  /** Parsed header fields, visible to frame visitors (hdrl precedes movi
+    * in the container, so they are set before the first frame arrives). */
+  private final class Hdr {
     var width = 0
     var height = 0
     var bitCount = -1
     var compression = -1L
-    var nFrames = 0
-    var lumSum = 0.0
-    var pxCount = 0L
-    var lastStrhType = "" // guards strf: audio streams carry WAVEFORMATEX there
+    def decodable: Boolean =
+      (bitCount == 24 && compression == 0L) || compression == MjpgFourcc
+  }
 
-    // walk a chunk range [off, end); lists recurse with their type fourcc.
-    // inMovi propagates through the standard 'rec ' LISTs interleaved
-    // writers nest inside movi (frames there are real frames); any OTHER
-    // list type ends the movi scope.
+  /** Shared container walk: parse headers, visit every movi frame chunk
+    * as onFrame(hdr, frameIndex, dataOff, dataEnd). Returns the header, or
+    * None for a non-AVI. Bounds-checked; gives up on truncation (keeping
+    * what was visited) rather than guessing. inMovi propagates through
+    * the standard 'rec ' LISTs interleaved writers nest inside movi; any
+    * OTHER list type ends the movi scope. */
+  private def walkAvi(b: Array[Byte])(
+      onFrame: (Hdr, Int, Int, Int) => Unit): Option[Hdr] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+    val hdr = new Hdr
+    var nFrames = 0
+    var lastStrhType = "" // guards strf: audio streams carry WAVEFORMATEX there
     def walk(off0: Int, end: Int, inMovi: Boolean): Unit = {
       var off = off0
       while (off + 8 <= end) {
@@ -159,70 +167,141 @@ object AviCodec {
           walk(dataOff + 4, dataEnd,
             inMovi = listType == "movi" || (inMovi && listType == "rec "))
         } else if (id == "avih" && size >= 40) {
-          width = u32(b, dataOff + 32).toInt
-          height = u32(b, dataOff + 36).toInt
+          hdr.width = u32(b, dataOff + 32).toInt
+          hdr.height = u32(b, dataOff + 36).toInt
         } else if (id == "strh" && size >= 4) {
           lastStrhType = fourcc(b, dataOff)
-        } else if (id == "strf" && size >= 20 && bitCount < 0 &&
+        } else if (id == "strf" && size >= 20 && hdr.bitCount < 0 &&
           lastStrhType == "vids") {
           // first VIDEO strf wins — an audio stream's strf is a
           // WAVEFORMATEX and must not be read as a BITMAPINFOHEADER
-          bitCount = u16(b, dataOff + 14)
-          compression = u32(b, dataOff + 16)
+          hdr.bitCount = u16(b, dataOff + 14)
+          hdr.compression = u32(b, dataOff + 16)
         } else if (inMovi && id(0).isDigit && id(1).isDigit &&
           id(2) == 'd' && (id(3) == 'b' || id(3) == 'c')) {
+          onFrame(hdr, nFrames, dataOff, dataEnd)
           nFrames += 1
-          if (bitCount == 24 && compression == 0L && width > 0 && height > 0) {
-            // BI_RGB 24-bit DIB: bottom-up rows, stride padded to 4 bytes
-            // (luminance is row-order-invariant, so the bottom-up order
-            // needs no flip here)
-            val stride = ((width * 3 + 3) / 4) * 4
-            if (size >= stride.toLong * height) {
-              var y = 0
-              while (y < height) {
-                val row = dataOff + y * stride
-                var x = 0
-                while (x < width) {
-                  val p = row + x * 3 // B, G, R
-                  lumSum += ((b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)) / 3.0
-                  x += 1
-                }
-                y += 1
-              }
-              pxCount += width.toLong * height
-            }
-          } else if (compression == MjpgFourcc && size >= 2) {
-            // MJPG: the chunk is one complete JPEG stream. A frame the
-            // JPEG reader rejects contributes no pixels but still counts
-            // (the chunk IS a frame slot) — decode stays total.
-            val img =
-              try Multimodal.readImage(java.util.Arrays.copyOfRange(b, dataOff, dataEnd))
-              catch { case scala.util.control.NonFatal(_) => null }
-            if (img != null) {
-              val w = img.getWidth
-              val h = img.getHeight
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  lumSum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
-                  x += 1
-                }
-                y += 1
-              }
-              pxCount += w.toLong * h
-            }
-          }
         }
         off = dataEnd + (size.toInt & 1) // chunks are word-aligned
       }
     }
-
     walk(12, math.min(b.length.toLong, 8L + u32(b, 4)).toInt, inMovi = false)
-    val decodable = (bitCount == 24 && compression == 0L) || compression == MjpgFourcc
-    if (width <= 0 || height <= 0 || !decodable) None
-    else Some(AviVideo(width, height, nFrames,
-      if (pxCount == 0L) 0.0 else lumSum / pxCount / 255.0))
+    Some(hdr)
+  }
+
+  /** Decode one MJPG frame chunk via the JDK JPEG reader; null when the
+    * reader rejects it (the degrade-not-throw contract). */
+  private def mjpgImage(b: Array[Byte], dataOff: Int, dataEnd: Int): java.awt.image.BufferedImage =
+    try Multimodal.readImage(java.util.Arrays.copyOfRange(b, dataOff, dataEnd))
+    catch { case scala.util.control.NonFatal(_) => null }
+
+  private def decodeUnsafe(b: Array[Byte]): Option[AviVideo] = {
+    var nFrames = 0
+    var lumSum = 0.0
+    var pxCount = 0L
+    val hdr = walkAvi(b) { (h, _, dataOff, dataEnd) =>
+      nFrames += 1
+      val size = dataEnd - dataOff
+      if (h.bitCount == 24 && h.compression == 0L && h.width > 0 && h.height > 0) {
+        // BI_RGB 24-bit DIB: bottom-up rows, stride padded to 4 bytes
+        // (luminance is row-order-invariant, so the bottom-up order
+        // needs no flip here)
+        val stride = ((h.width * 3 + 3) / 4) * 4
+        if (size >= stride.toLong * h.height) {
+          var y = 0
+          while (y < h.height) {
+            val row = dataOff + y * stride
+            var x = 0
+            while (x < h.width) {
+              val p = row + x * 3 // B, G, R
+              lumSum += ((b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)) / 3.0
+              x += 1
+            }
+            y += 1
+          }
+          pxCount += h.width.toLong * h.height
+        }
+      } else if (h.compression == MjpgFourcc && size >= 2) {
+        // MJPG: the chunk is one complete JPEG stream. A frame the JPEG
+        // reader rejects contributes no pixels but still counts (the
+        // chunk IS a frame slot) — decode stays total.
+        val img = mjpgImage(b, dataOff, dataEnd)
+        if (img != null) {
+          val w = img.getWidth
+          val ht = img.getHeight
+          var y = 0
+          while (y < ht) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              lumSum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+              x += 1
+            }
+            y += 1
+          }
+          pxCount += w.toLong * ht
+        }
+      }
+    }
+    hdr match {
+      case Some(h) if h.width > 0 && h.height > 0 && h.decodable =>
+        Some(AviVideo(h.width, h.height, nFrames,
+          if (pxCount == 0L) 0.0 else lumSum / pxCount / 255.0))
+      case _ => None
+    }
+  }
+
+  /** One decoded frame: row-major TOP-DOWN packed 0xRRGGBB pixels (the
+    * bottom-up DIB row order is flipped here — unlike the luminance
+    * aggregate, pixel extraction is orientation-sensitive). */
+  final case class AviFrame(index: Int, width: Int, height: Int, rgb: Array[Int])
+
+  /** Decode every `stride`-th frame (index 0, stride, 2·stride...) of a
+    * BI_RGB or MJPEG AVI to pixels — the frame-extraction face behind
+    * [[Multimodal.extractFrames]] (video → per-frame images for vision
+    * training). Returns the decoded frames; empty for non-AVI bytes,
+    * undecodable codecs, or malformed frame chunks (never throws —
+    * [[decode]]'s contract). */
+  def decodeFrames(bytes: Array[Byte], stride: Int = 1): Seq[AviFrame] = {
+    require(stride >= 1, "AviCodec.decodeFrames: stride must be >= 1")
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[AviFrame]
+      walkAvi(bytes) { (h, idx, dataOff, dataEnd) =>
+        if (idx % stride == 0) {
+          val size = dataEnd - dataOff
+          if (h.bitCount == 24 && h.compression == 0L && h.width > 0 && h.height > 0) {
+            val rowBytes = ((h.width * 3 + 3) / 4) * 4
+            if (size >= rowBytes.toLong * h.height) {
+              val px = new Array[Int](h.width * h.height)
+              var y = 0
+              while (y < h.height) {
+                val row = dataOff + (h.height - 1 - y) * rowBytes // flip bottom-up
+                var x = 0
+                while (x < h.width) {
+                  val p = row + x * 3 // B, G, R
+                  px(y * h.width + x) = ((bytes(p + 2) & 0xff) << 16) |
+                    ((bytes(p + 1) & 0xff) << 8) | (bytes(p) & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              out += AviFrame(idx, h.width, h.height, px)
+            }
+          } else if (h.compression == MjpgFourcc && size >= 2) {
+            val img = mjpgImage(bytes, dataOff, dataEnd)
+            if (img != null) {
+              val w = img.getWidth
+              val ht = img.getHeight
+              val px = new Array[Int](w * ht)
+              img.getRGB(0, 0, w, ht, px, 0, w)
+              var i = 0
+              while (i < px.length) { px(i) = px(i) & 0xffffff; i += 1 }
+              out += AviFrame(idx, w, ht, px)
+            }
+          }
+        }
+      }
+      out.toSeq
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
   }
 }

@@ -86,6 +86,48 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Encode packed 0xRRGGBB pixels via the named ImageIO writer
+    * ("png" / "gif" / "bmp"; "jpeg" routes through [[writeJpeg]] at
+    * quality 1) — the fixture face for header-sniff and decode tests. */
+  private[graft] def encodeImage(
+      format: String, width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == width * height, "encodeImage: width*height pixels")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, width, height, rgb, 0, width)
+    if (format == "jpeg") writeJpeg(img, 1.0f)
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        val w = javax.imageio.ImageIO.getImageWritersByFormatName(format).next()
+        try { w.setOutput(out); w.write(img) } finally w.dispose()
+        out.flush()
+      } finally out.close()
+      bos.toByteArray
+    }
+  }
+
+  /** Header-only media metadata ([[MediaSniff]] as the codegen'd
+    * [[graft.functions.SniffMedia]] expression): format + dimensions /
+    * PCM layout / frame count straight from magic bytes, NO decode. The
+    * 100 TB stats pass: runs at scan speed inside whole-stage codegen,
+    * never materializes pixels/samples, and the payload column never
+    * leaves the scan — only the small struct flows on. Unrecognized
+    * payloads yield all-null fields (format included). */
+  def sniffMedia(media: DataFrame): DataFrame = {
+    val s = graft.functions.MediaExpressionFunctions.mediaSniff(col("content"))
+    media.select(
+      col("media_id"),
+      s.getField("format").as("format"),
+      s.getField("width").as("width"),
+      s.getField("height").as("height"),
+      s.getField("bit_depth").as("bit_depth"),
+      s.getField("channels").as("channels"),
+      s.getField("sample_rate").as("sample_rate"),
+      s.getField("n_frames").as("n_frames"))
+  }
+
   /** Raw media row: opaque payload + mime tag. */
   final case class MediaRecord(media_id: Long, content: Array[Byte], mime: String)
 
@@ -377,6 +419,51 @@ object Multimodal {
     AudioSpectral(mediaId, rate, nWin,
       if (wsum == 0.0) 0.0 else fsum / wsum,
       frac(0), frac(1), frac(2), frac(3))
+  }
+
+  /** One extracted video frame: real pixels as a lossless PNG payload +
+    * the metadata/luminance columns an oracle can check (the payload
+    * itself is spec-verified by exact pixel round-trip — binary columns
+    * don't hash-compare). */
+  final case class ExtractedFrame(
+      media_id: Long, frame_idx: Int, width: Int, height: Int,
+      mean_px: Double, frame_png: Array[Byte])
+
+  /** Frame EXTRACTION — the video → vision-training bridge: decode every
+    * `stride`-th frame of each `video/...` payload ([[AviCodec.decodeFrames]]:
+    * BI_RGB and MJPEG, top-down pixel order) and emit one row per frame
+    * with the pixels re-encoded as a lossless PNG payload, ready for the
+    * image operators ([[decode]], [[resizeImages]], [[luminanceGrid]]...).
+    * Contrast [[sampleFrames]], which emits frame INDEX rows only
+    * (payload-free — the cheap path when downstream needs positions, not
+    * pixels). Non-video mimes and undecodable payloads contribute no
+    * rows. Shuffle-free: one batched `mapPartitions`, same shape as the
+    * decode stage — fan the input out first (the m4 lesson) when the
+    * source is a single-partition scan. */
+  def extractFrames(media: DataFrame, stride: Int)(
+      implicit spark: SparkSession): Dataset[ExtractedFrame] = {
+    require(stride >= 1, "extractFrames: stride must be >= 1")
+    val in = media.select("media_id", "content", "mime").as(Encoders.product[MediaRecord])
+    in.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(_.flatMap { m =>
+        if (m.mime == null || !m.mime.startsWith("video/")) Iterator.empty
+        else AviCodec.decodeFrames(m.content, stride).iterator.map { f =>
+          val img = new java.awt.image.BufferedImage(
+            f.width, f.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          img.setRGB(0, 0, f.width, f.height, f.rgb, 0, f.width)
+          var lum = 0.0
+          var i = 0
+          while (i < f.rgb.length) {
+            val p = f.rgb(i)
+            lum += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3.0
+            i += 1
+          }
+          ExtractedFrame(m.media_id, f.index, f.width, f.height,
+            if (f.rgb.isEmpty) 0.0 else lum / f.rgb.length / 255.0,
+            writePng(img))
+        }
+      })
+    }(Encoders.product[ExtractedFrame])
   }
 
   /** THE STUB for payloads that are none of image/audio/video:

@@ -441,6 +441,81 @@ object ExtensionQueries {
         round(col("e_band3"), 9).as("e_band3"))
   }
 
+  /** Frame EXTRACTION end-to-end: solid per-frame-distinct AVIs (BI_RGB
+    * for even ids, MJPEG for odd — both real codecs) built in-plan,
+    * every 2nd frame decoded to pixels and re-encoded as PNG payloads.
+    * gray_f = (id·7 + f·13) % 256 varies per frame, so the oracle checks
+    * that the RIGHT frames (0, 2, 4...) were extracted with the RIGHT
+    * content, by formula — solid frames are exact under both codecs
+    * (MJPEG at quality 1.0, the m7 lemma). Payload pixel-exactness is
+    * spec territory (binary columns don't hash-compare). */
+  private def m9(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    val media = table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("media_id"),
+        (lit(8) + col("doc_id") % 16).cast("int").as("w"),
+        (lit(6) + col("doc_id") % 10).cast("int").as("h"),
+        (lit(1) + col("doc_id") % 5).cast("int").as("nf"))
+      .repartition(s.sparkContext.defaultParallelism) // the m4 lesson
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h, nf) =>
+        val frames = (0 until nf).map { f =>
+          val g = ((id * 7 + f * 13) % 256).toInt
+          Array.fill(w * h)((g << 16) | (g << 8) | g)
+        }
+        val bytes =
+          if (id % 2 == 0) graft.multimodal.AviCodec.encode(w, h, frames)
+          else graft.multimodal.AviCodec.encodeMjpeg(w, h, frames)
+        Multimodal.MediaRecord(id, bytes, "video/avi")
+      })
+      .toDF()
+    Multimodal.extractFrames(media, stride = 2).toDF()
+      .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+        round(col("mean_px"), 9).as("mean_px"))
+  }
+
+  /** Header-only media sniff end-to-end: six REAL encoders (ImageIO
+    * PNG/JPEG/GIF/BMP, WavCodec PCM, AviCodec AVI) build per-doc fixtures
+    * in-plan; [[Multimodal.sniffMedia]] reads format + dimensions / PCM
+    * layout / frame count from the HEADERS alone — the 100 TB stats pass
+    * that routes/filters media without paying a decode. The mime tag is
+    * deliberately octet-stream: sniffing trusts bytes, not labels. Every
+    * output field is a closed-form function of doc_id (dims and layout
+    * are the encoder inputs; bit depths are the format constants the spec
+    * pins: PNG/JPEG 8-bit channels, BMP 24 bpp, PCM 16). */
+  private def m10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("media_id"))
+      .repartition(s.sparkContext.defaultParallelism) // the m4 lesson
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val k = (id % 6).toInt
+        val w = (5 + id % 11).toInt
+        val h = (4 + id % 9).toInt
+        val px = Array.tabulate(w * h)(i => ((id + i) % 256).toInt * 0x010101)
+        val bytes = k match {
+          case 0 => Multimodal.encodeImage("png", w, h, px)
+          case 1 => Multimodal.encodeImage("jpeg", w, h, px)
+          case 2 => Multimodal.encodeImage("gif", w, h, px)
+          case 3 => Multimodal.encodeImage("bmp", w, h, px)
+          case 4 =>
+            val ch = (1 + id % 2).toInt
+            val rate = (8000 + (id % 16) * 250).toInt
+            val nsamp = (50 + id % 100).toInt
+            graft.multimodal.WavCodec.encodePcm16(rate, ch,
+              Array.tabulate[Short](nsamp * ch)(i => ((id * 31 + i * 7) % 2048).toShort))
+          case _ =>
+            val nf = (1 + id % 4).toInt
+            graft.multimodal.AviCodec.encode(w, h, Seq.fill(nf)(px))
+        }
+        Multimodal.MediaRecord(id, bytes, "application/octet-stream")
+      })
+      .toDF()
+    Multimodal.sniffMedia(media)
+  }
+
   /** Perceptual (average-hash) image near-dup over the stub luminance
     * grids: documents with equal byte length share a grid → hamming 0;
     * the oracle replicates grid, hash packing, blocking and verification. */
@@ -2085,6 +2160,27 @@ object ExtensionQueries {
         (8 + doc_id % 16)::INT AS height,
         (1 + doc_id % 3)::INT AS n_frames,
         round(((doc_id * 7) % 256) / 255.0, 9) AS mean_px
+      FROM documents""")),
+    Q("m9_frame_extract", m9, Some("""
+      SELECT doc_id AS media_id, f::INT AS frame_idx,
+        (8 + doc_id % 16)::INT AS width,
+        (6 + doc_id % 10)::INT AS height,
+        round(((doc_id * 7 + f * 13) % 256) / 255.0, 9) AS mean_px
+      FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 5, 2)) AS f
+            FROM documents)""")),
+    Q("m10_media_sniff", m10, Some("""
+      SELECT doc_id AS media_id,
+        CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+          WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' ELSE 'avi' END AS format,
+        (CASE WHEN doc_id % 6 IN (0,1,2,3,5) THEN 5 + doc_id % 11 END)::INT AS width,
+        (CASE WHEN doc_id % 6 IN (0,1,2,3,5) THEN 4 + doc_id % 9 END)::INT AS height,
+        (CASE WHEN doc_id % 6 IN (0,1) THEN 8 WHEN doc_id % 6 = 3 THEN 24
+              WHEN doc_id % 6 = 4 THEN 16 END)::INT AS bit_depth,
+        (CASE WHEN doc_id % 6 = 1 THEN 3
+              WHEN doc_id % 6 = 4 THEN 1 + doc_id % 2 END)::INT AS channels,
+        (CASE WHEN doc_id % 6 = 4 THEN 8000 + (doc_id % 16) * 250 END)::INT AS sample_rate,
+        (CASE WHEN doc_id % 6 = 4 THEN 50 + doc_id % 100
+              WHEN doc_id % 6 = 5 THEN 1 + doc_id % 4 END)::INT AS n_frames
       FROM documents""")),
     Q("m8_audio_spectral", m8, Some("""
       SELECT doc_id AS media_id,

@@ -322,6 +322,111 @@ class MultimodalSpec extends AnyFunSuite {
     assert(graft.multimodal.AviCodec.decode(valid).exists(_.nFrames == 2))
   }
 
+  test("extractFrames: pixel-exact PNG payloads, top-down orientation, stride, both codecs") {
+    import spark.implicits._
+    // NON-solid, vertically-asymmetric frames: if decodeFrames forgot to
+    // flip the bottom-up DIB rows, the pixel compare fails
+    val w = 6; val h = 4
+    def frame(seed: Int): Array[Int] =
+      Array.tabulate(w * h)(i => ((i * 29 + seed * 97) % 256) * 0x010101)
+    val f0 = frame(0); val f1 = frame(1); val f2 = frame(2)
+    val avi = graft.multimodal.AviCodec.encode(w, h, Seq(f0, f1, f2))
+    // solid frames for the MJPEG face (lossy otherwise)
+    val s0 = Array.fill(w * h)(0x404040); val s2 = Array.fill(w * h)(0xb0b0b0)
+    val mjpg = graft.multimodal.AviCodec.encodeMjpeg(w, h, Seq(s0, Array.fill(w * h)(0x808080), s2))
+    val media = Seq(
+      (1L, avi, "video/avi"),
+      (2L, mjpg, "video/avi"),
+      (3L, avi, "text/plain"), // non-video mime: no rows
+      (4L, "junk".getBytes("UTF-8"), "video/avi")) // undecodable: no rows
+      .toDF("media_id", "content", "mime")
+    val out = Multimodal.extractFrames(media, stride = 2).collect()
+      .groupBy(_.media_id)
+    assert(!out.contains(3L) && !out.contains(4L))
+    // stride 2 of 3 frames -> indices 0 and 2
+    val m1 = out(1L).sortBy(_.frame_idx)
+    assert(m1.map(_.frame_idx).toSeq == Seq(0, 2))
+    for ((fr, src) <- m1.zip(Seq(f0, f2))) {
+      assert(fr.width == w && fr.height == h)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr.frame_png))
+      val got = Array.tabulate(w * h)(i => img.getRGB(i % w, i / w) & 0xffffff)
+      assert(got.toSeq == src.toSeq, s"frame ${fr.frame_idx} pixels diverged")
+    }
+    val m2f = out(2L).sortBy(_.frame_idx)
+    assert(m2f.map(_.frame_idx).toSeq == Seq(0, 2))
+    for ((fr, src) <- m2f.zip(Seq(s0, s2))) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr.frame_png))
+      val got = Array.tabulate(w * h)(i => img.getRGB(i % w, i / w) & 0xffffff)
+      assert(got.toSeq == src.toSeq, s"MJPEG solid frame ${fr.frame_idx} not exact")
+    }
+  }
+
+  test("MediaSniff: header-only fields for all six real encoders; truncation/corruption never throws") {
+    import graft.multimodal.{AviCodec, MediaSniff, WavCodec}
+    val px = Array.tabulate(7 * 5)(i => (i * 11 % 256) * 0x010101)
+    assert(MediaSniff.sniff(Multimodal.encodeImage("png", 7, 5, px)) ==
+      MediaSniff.Sniffed("png", 7, 5, 8, -1, -1, -1))
+    assert(MediaSniff.sniff(Multimodal.encodeImage("jpeg", 7, 5, px)) ==
+      MediaSniff.Sniffed("jpeg", 7, 5, 8, 3, -1, -1))
+    assert(MediaSniff.sniff(Multimodal.encodeImage("gif", 7, 5, px)) ==
+      MediaSniff.Sniffed("gif", 7, 5, -1, -1, -1, -1))
+    assert(MediaSniff.sniff(Multimodal.encodeImage("bmp", 7, 5, px)) ==
+      MediaSniff.Sniffed("bmp", 7, 5, 24, -1, -1, -1))
+    assert(MediaSniff.sniff(
+      WavCodec.encodePcm16(11025, 2, Array.tabulate[Short](60)(_.toShort))) ==
+      MediaSniff.Sniffed("wav", -1, -1, 16, 2, 11025, 30))
+    val avi = AviCodec.encode(7, 5, Seq(px, px, px))
+    assert(MediaSniff.sniff(avi) == MediaSniff.Sniffed("avi", 7, 5, -1, -1, -1, 3))
+    assert(MediaSniff.sniff(AviCodec.encodeMjpeg(7, 5, Seq(px))).format == "avi")
+    // header-ONLY: cutting the file at the movi LIST (no frame bytes at
+    // all) sniffs identically — the payload is never read
+    val moviAt = (0 until avi.length - 4).find(i =>
+      avi(i) == 'm' && avi(i + 1) == 'o' && avi(i + 2) == 'v' && avi(i + 3) == 'i').get
+    assert(MediaSniff.sniff(java.util.Arrays.copyOf(avi, moviAt - 8)) ==
+      MediaSniff.Sniffed("avi", 7, 5, -1, -1, -1, 3))
+    // total on garbage: random bytes, every truncation of every fixture,
+    // and random single-byte corruptions — never throws
+    val fixtures = Seq(
+      Multimodal.encodeImage("png", 7, 5, px), Multimodal.encodeImage("jpeg", 7, 5, px),
+      Multimodal.encodeImage("gif", 7, 5, px), Multimodal.encodeImage("bmp", 7, 5, px),
+      WavCodec.encodePcm16(8000, 1, Array.tabulate[Short](40)(_.toShort)), avi)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 500) {
+      val b = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(b)
+      MediaSniff.sniff(b)
+    }
+    for (f <- fixtures) {
+      for (len <- 0 to math.min(f.length, 80)) MediaSniff.sniff(java.util.Arrays.copyOf(f, len))
+      for (_ <- 1 to 200) {
+        val c = f.clone()
+        c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+        MediaSniff.sniff(c)
+      }
+    }
+  }
+
+  test("sniffMedia: codegen'd plan, sentinel->null mapping, unknown bytes -> all-null row") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.encodeImage("png", 3, 2, Array.fill(6)(0x123456)), "application/octet-stream"),
+      (2L, "definitely not media".getBytes("UTF-8"), "application/octet-stream"))
+      .toDF("media_id", "content", "mime")
+    // repartition keeps the local fixture from constant-folding into a
+    // LocalTableScan, so the executed plan actually shows the expression
+    val out = Multimodal.sniffMedia(media.repartition(2))
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    // inspect AFTER the action so AQE's final plan (with codegen spans) prints
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_media_sniff"), "sniff should be a native expression in the plan")
+    // the "*(n)" stage prefix is the whole-stage-codegen marker in this format
+    assert(plan.contains("*(1) Project"), "sniff should run inside whole-stage codegen")
+    val png = rows(1L)
+    assert(png.getString(1) == "png" && png.getInt(2) == 3 && png.getInt(3) == 2 &&
+      png.getInt(4) == 8 && png.isNullAt(5) && png.isNullAt(6) && png.isNullAt(7))
+    val unk = rows(2L)
+    assert((1 to 7).forall(unk.isNullAt), "unknown payload must yield all-null fields")
+  }
+
   test("resizeImages: gradient downscale by 2 is the exact 2x2 block mean, pixel for pixel") {
     import spark.implicits._
     // 8x8 gradient: px(x,y) = 16*(y*8+x) in each channel — every 2x2 block
