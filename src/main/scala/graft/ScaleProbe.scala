@@ -64,7 +64,9 @@ object ScaleProbe {
       "x32_reconcile", "d10_line_dedup_within", "p11_hash_split",
       "st6_latest_state", "t19_winsorize",
       "m4_resize", "m6_video_decode", "t21_model_filter_trained",
-      "p12_mixture_upsample", "p13_length_buckets")
+      "p12_mixture_upsample", "p13_length_buckets",
+      "m9_frame_extract", "m10_media_sniff", "t22_html_extract",
+      "t23_url_features")
     def time(dir: String, name: String): Double = {
       // operators persist() shared branches; a prior identical run would
       // satisfy them from the cache (CacheManager matches canonicalized

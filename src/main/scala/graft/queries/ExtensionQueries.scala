@@ -881,6 +881,51 @@ object ExtensionQueries {
         (col("value") < col("p01") || col("value") > col("p99")).as("clipped"))
   }
 
+  /** HTML → text extraction end-to-end: each document wrapped IN-PLAN in
+    * a realistic page (script whose body contains a bare `<`, style,
+    * comment, headings, entities — a double-encoded one included), then
+    * [[Curation.extractHtmlText]]. The oracle builds the identical page
+    * and replicates the extraction chain in RE2 SQL — exact string
+    * equality, no tolerance (every pattern means the same thing under
+    * Java regex and RE2; that portability is part of the operator's
+    * contract). */
+  private def t22(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>T"), col("doc_id").cast("string"),
+      lit("</title><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+        "<style>p { color: red; }</style></head><body><!-- c --><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><p>"), col("text"),
+      lit(" &amp;amp; entities &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end" +
+        "</p><br/></body></html>"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), Curation.extractHtmlText(html).as("clean_text"))
+      .withColumn("clean_chars", length(col("clean_text")))
+  }
+
+  /** URL features + domain blocklist end-to-end: URLs built IN-PLAN from
+    * source/doc_id, but the operator genuinely PARSES them (`parse_url`
+    * host/path, label regexes, split-depth) — the oracle only knows the
+    * construction formula, so a parse that drifted from it fails. The
+    * one-row blocklist {example.org} broadcasts; every .org URL flags. */
+  private def t23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = element_at(array(lit("www."), lit("blog."), lit("cdn."), lit("")),
+      (col("doc_id") % 4 + 1).cast("int"))
+    val tld = element_at(array(lit(".com"), lit(".org"), lit(".net")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val url = concat(lit("https://"), sub, col("source"), lit(".example"), tld,
+      lit("/p"), (col("doc_id") % 5).cast("string"),
+      lit("/page"), col("doc_id").cast("string"),
+      lit(".html?q="), (col("doc_id") % 7).cast("string"))
+    val blocklist = Seq("example.org").toDF("domain")
+    Curation.urlFeatures(
+      table(s, dir, "documents").select(col("doc_id"), url.as("url")),
+      "url", blocklist)
+      .select(col("doc_id"), col("url_host"), col("url_domain"),
+        col("url_tld"), col("path_depth"), col("is_blocked"))
+  }
+
   /** Full outer join with real null-extension on BOTH sides: nations with
     * rich customers vs nations with rich suppliers (the > 9000 filters
     * leave each side holding nations the other lacks), keys coalesced,
@@ -1980,6 +2025,35 @@ object ExtensionQueries {
       FROM (SELECT event_type, TRY_CAST(props->>'k' AS BIGINT) AS k FROM events)
       GROUP BY event_type""")),
 
+    Q("t22_html_extract", t22, Some("""
+      WITH h AS (
+        SELECT doc_id,
+          '<html><head><title>T' || doc_id || '</title><script type="text/javascript">var x = 1 < 2;</script><style>p { color: red; }</style></head><body><!-- c --><h1>Doc ' || doc_id || '</h1><p>' || text || ' &amp;amp; entities &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p><br/></body></html>' AS html
+        FROM documents),
+      s1 AS (
+        SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '<[^>]*>', ' ', 'g') AS t
+        FROM h),
+      s2 AS (
+        SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+        FROM s1)
+      SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text,
+        length(trim(regexp_replace(t, '\s+', ' ', 'g')))::INT AS clean_chars
+      FROM s2""")),
+    Q("t23_url_features", t23, Some("""
+      SELECT doc_id,
+        (CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.' WHEN 2 THEN 'cdn.' ELSE '' END)
+          || source || '.example'
+          || (CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END) AS url_host,
+        'example' || (CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END) AS url_domain,
+        (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) AS url_tld,
+        2::INT AS path_depth,
+        (doc_id % 3 = 1) AS is_blocked
+      FROM documents""")),
     Q("t19_winsorize", t19, Some("""
       WITH b AS (SELECT quantile_cont(value, 0.01) AS p01,
                         quantile_cont(value, 0.99) AS p99 FROM events)

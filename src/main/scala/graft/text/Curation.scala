@@ -390,6 +390,61 @@ object Curation {
         "[^a-z0-9 ]", ""),
       " +", " "))
 
+  /** HTML → text extraction (the C4/RefinedWeb ingest stage that precedes
+    * every text operator here): drop script/style blocks and comments
+    * wholesale, strip remaining tags, decode the six ubiquitous entities,
+    * collapse whitespace. A pure `Column` expression — shuffle-free,
+    * whole-stage codegen, scan-speed at 100 TB like the rest of this file.
+    *
+    * Semantics chosen for engine-portable exactness (each regex is valid
+    * and identical in meaning under both Java regex and RE2): no
+    * backreferences (RE2 has none — script/style are two separate
+    * patterns), inline `(?is)` flags rather than engine-specific flag
+    * arguments, and entity decoding orders `&amp;` LAST so double-encoded
+    * text (`&amp;lt;`) decodes one level (`&lt;`), not two. Not a browser:
+    * malformed nesting degrades gracefully (an unclosed `<` without `>`
+    * passes through as text), which is the right failure mode for web-
+    * scale garbage. */
+  def extractHtmlText(html: Column): Column = {
+    val noBlocks = Seq(
+      "(?is)<script[^>]*>.*?</script>",
+      "(?is)<style[^>]*>.*?</style>",
+      "(?s)<!--.*?-->",
+      "<[^>]*>").foldLeft(html)((c, p) => regexp_replace(c, p, " "))
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noBlocks) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** URL structure features + domain blocklisting (the C4-style URL
+    * filter): host/path via Spark's `parse_url`, registered domain and
+    * TLD as the last host labels, path depth, and an `is_blocked` flag
+    * from a broadcast join against `blocklist` (one `domain` column).
+    *
+    * Scale shape: URL parsing is per-row expression work; the blocklist —
+    * even a curation-grade list of millions of domains — is MBs against a
+    * TB corpus, so it broadcasts and the corpus never shuffles. Returns
+    * the input columns plus url_host / url_domain / url_tld / path_depth
+    * / is_blocked. */
+  def urlFeatures(urls: DataFrame, urlCol: String, blocklist: DataFrame): DataFrame = {
+    val host = parse_url(col(urlCol), lit("HOST"))
+    val path = parse_url(col(urlCol), lit("PATH"))
+    urls
+      .withColumn("url_host", host)
+      .withColumn("url_domain", regexp_extract(col("url_host"), "([^.]+\\.[^.]+)$", 1))
+      .withColumn("url_tld", regexp_extract(col("url_host"), "\\.([^.]+)$", 1))
+      .withColumn("path_depth",
+        when(path.isNull.or(path === ""), 0)
+          .otherwise(size(split(path, "/")) - 1))
+      .join(
+        broadcast(blocklist.select(col("domain").as("url_domain"),
+          lit(true).as("is_blocked"))),
+        Seq("url_domain"), "left")
+      .withColumn("is_blocked", coalesce(col("is_blocked"), lit(false)))
+  }
+
   /** [[decontaminate]] with a Bloom prefilter on the corpus n-gram stream —
     * the 100 TB formulation. Result is EXACTLY [[decontaminate]]'s (same
     * oracle): the filter has no false negatives and its false positives are

@@ -198,4 +198,52 @@ class CurationSpec extends AnyFunSuite {
       .collect()
     assert(twice.forall(r => r.getString(0) == r.getString(1)))
   }
+
+  test("extractHtmlText: blocks dropped whole, entities decoded once, malformed degrades") {
+    def ext(s: String): String = {
+      val out = Seq(Tuple1(s)).toDF("html")
+        .select(Curation.extractHtmlText(col("html")).as("t")).collect()
+      out(0).getString(0)
+    }
+    // script/style/comment vanish WHOLE (including a bare '<' inside the
+    // script body that tag-stripping alone would mangle); tags become
+    // separators; text survives
+    assert(ext("<html><head><script>if (1 < 2) { x(); }</script><style>p{}</style>" +
+      "</head><body><!-- hidden --><h1>Title</h1><p>Body text</p></body></html>") ==
+      "Title Body text")
+    // entities decode exactly once: double-encoded &amp;lt; -> &lt; (text), not '<'
+    assert(ext("a &lt;tag&gt; &quot;q&quot; &#39;s&#39; b&nbsp;c &amp;lt; d") ==
+      "a <tag> \"q\" 's' b c &lt; d")
+    // multi-line block (dotall) + case-insensitive tag names
+    assert(ext("x<SCRIPT>\nline1\nline2\n</SCRIPT>y") == "x y")
+    // malformed: a '<' with no '>' anywhere after it passes through as
+    // text; a '<'..'>' span IS stripped (naive-stripper semantics — the
+    // tolerated failure mode on tag-like prose)
+    assert(ext("weight < 10 and height big") == "weight < 10 and height big")
+    assert(ext("a < b > c") == "a c")
+    // empty + whitespace-only collapse to empty
+    assert(ext("<p>   </p>") == "")
+  }
+
+  test("urlFeatures: parse matches hand-built URLs; blocklist flags; weird hosts degrade") {
+    val urls = Seq(
+      (1L, "https://www.news.example.com/a/b/c.html?q=1"),
+      (2L, "http://example.org/post"),
+      (3L, "https://single/x"),          // single-label host: no domain/tld labels
+      (4L, "https://cdn.example.net")    // no path at all
+    ).toDF("doc_id", "url")
+    val blocklist = Seq("example.org").toDF("domain")
+    val out = Curation.urlFeatures(urls, "url", blocklist)
+      .select("doc_id", "url_host", "url_domain", "url_tld", "path_depth", "is_blocked")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "www.news.example.com")
+    assert(out(1L).getString(2) == "example.com")
+    assert(out(1L).getString(3) == "com")
+    assert(out(1L).getInt(4) == 3 && !out(1L).getBoolean(5))
+    assert(out(2L).getString(2) == "example.org" && out(2L).getBoolean(5))
+    assert(out(2L).getInt(4) == 1)
+    assert(out(3L).getString(2) == "" && out(3L).getString(3) == "")
+    assert(!out(3L).getBoolean(5))
+    assert(out(4L).getInt(4) == 0 && !out(4L).getBoolean(5))
+  }
 }
