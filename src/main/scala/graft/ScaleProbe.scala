@@ -66,7 +66,9 @@ object ScaleProbe {
       "m4_resize", "m6_video_decode", "t21_model_filter_trained",
       "p12_mixture_upsample", "p13_length_buckets",
       "m9_frame_extract", "m10_media_sniff", "t22_html_extract",
-      "t23_url_features")
+      "t23_url_features", "x33_scd2_history")
+    // optional args = probe-name filter (run a subset while iterating)
+    val selected = if (args.isEmpty) probes else probes.filter(args.toSet)
     def time(dir: String, name: String): Double = {
       // operators persist() shared branches; a prior identical run would
       // satisfy them from the cache (CacheManager matches canonicalized
@@ -80,9 +82,9 @@ object ScaleProbe {
     }
     // warmup (JIT/classloading only; caches cleared per timed run)
     spark.range(1000000).selectExpr("sum(id)").collect()
-    probes.foreach(n => time(src, n))
+    selected.foreach(n => time(src, n))
     println(f"${"query"}%-26s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
-    probes.foreach { n =>
+    selected.foreach { n =>
       val t1 = time(src, n)
       val t10 = time(big, n)
       println(f"PROBE $n%-26s $t1%8.2f $t10%8.2f ${t10 / t1}%6.1f")

@@ -1041,6 +1041,24 @@ object ExtensionQueries {
       .withColumn("example_keys", concat_ws(",", col("example_keys")))
   }
 
+  /** SCD2 build over a real change log: each customer's orders as
+    * versioned "state changes" ([[graft.operators.Scd2.fromChangeLog]]) —
+    * valid_from/valid_to interval chain per customer, same-day ties
+    * resolved by largest order key, open tail flagged current. One key
+    * shuffle + one window pass (PlanSpec-style assertion in Scd2Spec);
+    * the incremental face (applyChanges, history untouched) is
+    * spec-verified equivalent to this full build. */
+  private def x33(s: SparkSession, dir: String): DataFrame = {
+    val changes = table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    graft.operators.Scd2.fromChangeLog(
+      changes, "o_custkey", "o_orderdate", "o_orderkey")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+  }
+
   /** Equal-width histogram: 10 buckets over the global [min, max] of
     * value per event type (bounds via broadcast 1-row cross join). The
     * bucket arithmetic is identical IEEE ops on identical operands in
@@ -2138,6 +2156,17 @@ object ExtensionQueries {
         round(sum(o_totalprice), 2) AS sum_price
       FROM merged GROUP BY o_orderpriority""")),
 
+    Q("x33_scd2_history", x33, Some("""
+      WITH w AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+          lead(o_orderdate) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_ts
+        FROM orders)
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+        o_orderdate AS valid_from, next_ts AS valid_to,
+        (next_ts IS NULL) AS is_current
+      FROM w
+      WHERE next_ts IS NULL OR next_ts <> o_orderdate""")),
     Q("x32_reconcile", x32, Some("""
       WITH b AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
                    o_totalprice AS price FROM orders),
