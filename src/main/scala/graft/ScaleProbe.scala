@@ -67,7 +67,10 @@ object ScaleProbe {
       "p12_mixture_upsample", "p13_length_buckets",
       "m9_frame_extract", "m10_media_sniff", "t22_html_extract",
       "t23_url_features", "x33_scd2_history")
-    // optional args = probe-name filter (run a subset while iterating)
+    // optional args = probe-name filter (run a subset while iterating);
+    // unknown names fail loudly — a typo must not look like a clean run
+    val unknown = args.toSet -- probes.toSet
+    require(unknown.isEmpty, s"ScaleProbe: unknown probe name(s): ${unknown.mkString(", ")}")
     val selected = if (args.isEmpty) probes else probes.filter(args.toSet)
     def time(dir: String, name: String): Double = {
       // operators persist() shared branches; a prior identical run would

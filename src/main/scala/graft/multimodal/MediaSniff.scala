@@ -90,11 +90,17 @@ object MediaSniff {
       return Sniffed("gif", u16le(b, 6), u16le(b, 8), -1, -1, -1, -1)
     // BMP: BITMAPFILEHEADER then a DIB header; only the common
     // BITMAPINFOHEADER(40)-or-later layouts carry the fields we read.
-    if (b(0) == 'B' && b(1) == 'M' && n >= 30) {
-      val dibSize = u32le(b, 14)
-      if (dibSize >= 40 && n >= 30)
+    // (Truncated files keep the format tag with -1 fields, like every
+    // other branch. Height is stored signed — negative means top-down —
+    // so its magnitude goes through the same dim() clamp as width:
+    // abs(Int.MinValue) stays negative in Int space.)
+    // the 2-byte magic alone is noisy on arbitrary bytes; require the
+    // BITMAPFILEHEADER reserved words to be zero, as real parsers do
+    if (b(0) == 'B' && b(1) == 'M' &&
+      b(6) == 0 && b(7) == 0 && b(8) == 0 && b(9) == 0) {
+      if (n >= 30 && u32le(b, 14) >= 40)
         return Sniffed("bmp", dim(s32le(b, 18).toLong),
-          math.abs(s32le(b, 22)), u16le(b, 28), -1, -1, -1)
+          dim(math.abs(s32le(b, 22).toLong)), u16le(b, 28), -1, -1, -1)
       return Sniffed("bmp", -1, -1, -1, -1, -1, -1)
     }
     if (fourcc(b, 0) == "RIFF") {

@@ -117,15 +117,13 @@ object Multimodal {
     * payloads yield all-null fields (format included). */
   def sniffMedia(media: DataFrame): DataFrame = {
     val s = graft.functions.MediaExpressionFunctions.mediaSniff(col("content"))
-    media.select(
-      col("media_id"),
-      s.getField("format").as("format"),
-      s.getField("width").as("width"),
-      s.getField("height").as("height"),
-      s.getField("bit_depth").as("bit_depth"),
-      s.getField("channels").as("channels"),
-      s.getField("sample_rate").as("sample_rate"),
-      s.getField("n_frames").as("n_frames"))
+    // two-step projection: the aliased struct is evaluated ONCE and the
+    // field split reads from it. CollapseProject declines to inline a
+    // non-cheap expression referenced more than once, so this holds even
+    // when whole-stage codegen (whose subexpression elimination would
+    // also dedup the 7-way split) is unavailable.
+    media.select(col("media_id"), s.as("__sniff"))
+      .select("media_id", "__sniff.*")
   }
 
   /** Raw media row: opaque payload + mime tag. */

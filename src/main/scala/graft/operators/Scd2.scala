@@ -37,12 +37,17 @@ object Scd2 {
 
   /** Full build: change log → versioned dimension. Input must carry
     * `keyCol`, `tsCol`, `tieBreakCol`; all other columns ride along as
-    * the version's attributes. */
+    * the version's attributes. Rows with a NULL timestamp are dropped
+    * up front — a change without a time cannot be placed on the version
+    * axis, and leaving it to the window would drop or keep such rows
+    * inconsistently (three-valued logic in the dedup predicate,
+    * position-dependent). */
   def fromChangeLog(
       changes: DataFrame, keyCol: String, tsCol: String,
       tieBreakCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieBreakCol))
     changes
+      .where(col(tsCol).isNotNull)
       .withColumn("__next_ts", lead(col(tsCol), 1).over(w))
       // last row of a same-timestamp run (largest tie-break) is the
       // accepted version; rows whose successor shares their timestamp

@@ -2059,8 +2059,8 @@ object ExtensionQueries {
         SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
         FROM s1)
-      SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text,
-        length(trim(regexp_replace(t, '\s+', ' ', 'g')))::INT AS clean_chars
+      SELECT doc_id, trim(regexp_replace(t, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS clean_text,
+        length(trim(regexp_replace(t, '[ \t\n\x0b\f\r]+', ' ', 'g')))::INT AS clean_chars
       FROM s2""")),
     Q("t23_url_features", t23, Some("""
       SELECT doc_id,

@@ -400,7 +400,9 @@ object Curation {
     * and identical in meaning under both Java regex and RE2): no
     * backreferences (RE2 has none — script/style are two separate
     * patterns), inline `(?is)` flags rather than engine-specific flag
-    * arguments, and entity decoding orders `&amp;` LAST so double-encoded
+    * arguments, an EXPLICIT whitespace class (Java's `\s` includes
+    * vertical tab, RE2's does not — the one place the shorthands
+    * diverge), and entity decoding orders `&amp;` LAST so double-encoded
     * text (`&amp;lt;`) decodes one level (`&lt;`), not two. Not a browser:
     * malformed nesting degrades gracefully (an unclosed `<` without `>`
     * passes through as text), which is the right failure mode for web-
@@ -415,7 +417,7 @@ object Curation {
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noBlocks) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, "[ \\t\\n\\x0b\\f\\r]+", " "))
   }
 
   /** URL structure features + domain blocklisting (the C4-style URL
@@ -439,8 +441,10 @@ object Curation {
         when(path.isNull.or(path === ""), 0)
           .otherwise(size(split(path, "/")) - 1))
       .join(
-        broadcast(blocklist.select(col("domain").as("url_domain"),
-          lit(true).as("is_blocked"))),
+        // distinct: curation blocklists routinely carry duplicates, and a
+        // duplicated domain in a plain left join would MULTIPLY corpus rows
+        broadcast(blocklist.select(col("domain").as("url_domain")).distinct()
+          .withColumn("is_blocked", lit(true))),
         Seq("url_domain"), "left")
       .withColumn("is_blocked", coalesce(col("is_blocked"), lit(false)))
   }

@@ -223,6 +223,10 @@ class CurationSpec extends AnyFunSuite {
     assert(ext("a < b > c") == "a c")
     // empty + whitespace-only collapse to empty
     assert(ext("<p>   </p>") == "")
+    // vertical tab collapses too — via the EXPLICIT class (Java \s
+    // includes \x0B, RE2's does not; relying on \s would silently
+    // diverge from the RE2 oracle)
+    assert(ext("a\u000bb\u000b\u000bc") == "a b c")
   }
 
   test("urlFeatures: parse matches hand-built URLs; blocklist flags; weird hosts degrade") {
@@ -245,5 +249,9 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L).getString(2) == "" && out(3L).getString(3) == "")
     assert(!out(3L).getBoolean(5))
     assert(out(4L).getInt(4) == 0 && !out(4L).getBoolean(5))
+    // a blocklist with duplicate domains must NOT multiply corpus rows
+    val dupBlocklist = Seq("example.org", "example.org").toDF("domain")
+    val dupOut = Curation.urlFeatures(urls, "url", dupBlocklist)
+    assert(dupOut.count() == 4, "duplicate blocklist rows multiplied the corpus")
   }
 }

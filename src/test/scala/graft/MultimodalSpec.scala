@@ -384,6 +384,17 @@ class MultimodalSpec extends AnyFunSuite {
       avi(i) == 'm' && avi(i + 1) == 'o' && avi(i + 2) == 'v' && avi(i + 3) == 'i').get
     assert(MediaSniff.sniff(java.util.Arrays.copyOf(avi, moviAt - 8)) ==
       MediaSniff.Sniffed("avi", 7, 5, -1, -1, -1, 3))
+    // truncated BMP keeps its format tag with -1 fields (consistent with
+    // the other branches); a corrupt sign-extreme biHeight clamps to -1
+    val bmp = Multimodal.encodeImage("bmp", 7, 5, px)
+    assert(MediaSniff.sniff(java.util.Arrays.copyOf(bmp, 20)) ==
+      MediaSniff.Sniffed("bmp", -1, -1, -1, -1, -1, -1))
+    val minHeight = bmp.clone()
+    minHeight(22) = 0; minHeight(23) = 0; minHeight(24) = 0; minHeight(25) = 0x80.toByte
+    assert(MediaSniff.sniff(minHeight).height == -1, "abs(Int.MinValue) must clamp, not leak")
+    // non-zero BITMAPFILEHEADER reserved words: not a BMP
+    val badReserved = bmp.clone(); badReserved(7) = 1
+    assert(MediaSniff.sniff(badReserved).format == null)
     // total on garbage: random bytes, every truncation of every fixture,
     // and random single-byte corruptions — never throws
     val fixtures = Seq(

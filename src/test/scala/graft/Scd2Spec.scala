@@ -37,6 +37,18 @@ class Scd2Spec extends AnyFunSuite {
     assert(Scd2.fromChangeLog(dup, "k", "ts", "seq").count() == 1)
   }
 
+  test("fromChangeLog: null-timestamp rows are dropped up front, position-independent") {
+    // without the explicit filter, three-valued logic in the dedup
+    // predicate would drop a null-ts row mid-run but KEEP one at the end
+    val withNulls = Seq(
+      (1L, Option(10L), 1L, "a"),
+      (1L, Option.empty[Long], 2L, "ghost-mid"),
+      (2L, Option.empty[Long], 3L, "ghost-only")
+    ).toDF("k", "ts", "seq", "attr")
+    val out = Scd2.fromChangeLog(withNulls, "k", "ts", "seq").collect()
+    assert(out.length == 1 && out(0).getString(3) == "a")
+  }
+
   test("applyChanges == full rebuild for every split point of the log") {
     val cols = Seq("k", "ts", "seq", "attr", "valid_from", "valid_to", "is_current")
     val expect = Scd2.fromChangeLog(log, "k", "ts", "seq")
