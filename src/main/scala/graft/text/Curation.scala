@@ -431,8 +431,11 @@ object Curation {
     * the input columns plus url_host / url_domain / url_tld / path_depth
     * / is_blocked. */
   def urlFeatures(urls: DataFrame, urlCol: String, blocklist: DataFrame): DataFrame = {
-    val host = parse_url(col(urlCol), lit("HOST"))
-    val path = parse_url(col(urlCol), lit("PATH"))
+    // try_parse_url, not parse_url: the strict form THROWS on an invalid
+    // URL (ANSI), and at web scale malformed URLs are a certainty — a
+    // garbage row must degrade to null features, not kill the job
+    val host = try_parse_url(col(urlCol), lit("HOST"))
+    val path = try_parse_url(col(urlCol), lit("PATH"))
     urls
       .withColumn("url_host", host)
       .withColumn("url_domain", regexp_extract(col("url_host"), "([^.]+\\.[^.]+)$", 1))

@@ -210,4 +210,40 @@ class EdgeCasesSpec extends AnyFunSuite {
         emptyDocs.withColumn("y", lit(1.0)), "text", "y", epochs = 1)
     }
   }
+
+  test("round-4 operators on degenerate inputs: empty results or identity, never a crash") {
+    import graft.multimodal.Multimodal
+    import graft.operators.Scd2
+    import graft.text.Curation
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val emptyMedia = Seq.empty[(Long, Array[Byte], String)].toDF("media_id", "content", "mime")
+    // extractFrames: empty relation → empty; stride 0 is a loud error
+    assert(Multimodal.extractFrames(emptyMedia, 2).count() == 0)
+    intercept[IllegalArgumentException] { Multimodal.extractFrames(emptyMedia, 0) }
+    // sniffMedia: empty relation → empty; NULL payload → all-null fields
+    assert(Multimodal.sniffMedia(emptyMedia).count() == 0)
+    val nullPayload = Seq((1L, null.asInstanceOf[Array[Byte]], "x"))
+      .toDF("media_id", "content", "mime")
+    val sniffed = Multimodal.sniffMedia(nullPayload).collect().head
+    assert((1 to 7).forall(sniffed.isNullAt))
+    // extractHtmlText: null html stays null (no NPE in the regex chain)
+    val nullHtml = Seq(Tuple1(null.asInstanceOf[String])).toDF("h")
+      .select(Curation.extractHtmlText(col("h")).as("t")).collect().head
+    assert(nullHtml.isNullAt(0))
+    // urlFeatures: empty blocklist → everything unblocked; unparseable
+    // URL → null host, empty labels, still present and unblocked
+    val noList = Seq.empty[Tuple1[String]].toDF("domain")
+    val weird = Seq((1L, "https://ok.example.com/a"), (2L, "not a url at all"))
+      .toDF("doc_id", "url")
+    val uf = Curation.urlFeatures(weird, "url", noList).collect()
+    assert(uf.length == 2 && uf.forall(!_.getAs[Boolean]("is_blocked")))
+    // Scd2: empty log → empty dim; empty increment → dim unchanged
+    val emptyLog = Seq.empty[(Long, Long, Long, String)].toDF("k", "ts", "seq", "attr")
+    assert(Scd2.fromChangeLog(emptyLog, "k", "ts", "seq").count() == 0)
+    val dim = Scd2.fromChangeLog(
+      Seq((1L, 10L, 1L, "a")).toDF("k", "ts", "seq", "attr"), "k", "ts", "seq")
+    val same = Scd2.applyChanges(dim, emptyLog, "k", "ts", "seq")
+      .collect().map(_.toSeq).toSet
+    assert(same == dim.collect().map(_.toSeq).toSet)
+  }
 }
