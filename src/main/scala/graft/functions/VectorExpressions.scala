@@ -246,6 +246,87 @@ case class SqDequantize(child: Expression, mn: Array[Double], mx: Array[Double])
     copy(child = newChild)
 }
 
+/** Fused product-quantization encode→reconstruct (FAISS `IndexPQ`
+  * semantics), as ONE codegen'd expression: the vector is split into
+  * `m` equal subspaces; each subvector is assigned its nearest codebook
+  * centroid by squared L2 distance (index-order summation, ties → the
+  * LOWEST centroid index — both choices an external engine can
+  * replicate), and the output is the concatenation of the assigned
+  * centroids' subvectors — the vector the stored m-byte PQ code decodes
+  * to. Scoring against this reconstruction is asymmetric distance
+  * computation, exactly like [[SqDequantize]]'s path; fusing
+  * encode+decode means byte codes never materialize in the plan and the
+  * whole per-row loop (m · ksub · subdim multiply-adds) is one compiled
+  * call. `codebooks(s)(j)` is centroid `j` of subspace `s`, each of
+  * length dims/m. Dimension mismatch → null. */
+case class PqReconstruct(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "PqReconstruct: need >= 1 subspace, each with >= 1 centroid")
+  private val m = codebooks.length
+  private val subDim = codebooks(0)(0).length
+  require(codebooks.forall(_.forall(_.length == subDim)),
+    "PqReconstruct: every centroid must have dims/m elements")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_reconstruct"
+
+  /** Called from both interpreted eval and generated code. */
+  def reconstruct(a: ArrayData): ArrayData = {
+    if (a.numElements() != m * subDim) return null
+    val out = new Array[Any](m * subDim)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      val cands = codebooks(s)
+      var best = 0
+      var bestDist = Double.PositiveInfinity
+      var j = 0
+      while (j < cands.length) {
+        val cv = cands(j)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = a.getDouble(off + i) - cv(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestDist) { bestDist = d; best = j } // strict <: ties keep lowest j
+        j += 1
+      }
+      val bv = cands(best)
+      var i = 0
+      while (i < subDim) { out(off + i) = bv(i); i += 1 }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    reconstruct(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pq", this, classOf[PqReconstruct].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = $ref.reconstruct($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqReconstruct =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Codegen'd Σ a[i]·b[i] over two array columns (any numeric element
@@ -268,4 +349,10 @@ object VectorFunctions {
   def sqDequantize(vec: Column, mn: Array[Double], mx: Array[Double]): Column =
     ColumnBridge.column(SqDequantize(
       ColumnBridge.expression(vec.cast("array<double>")), mn, mx))
+
+  /** The PQ reconstruction of `vec` under per-subspace codebooks — one
+    * plan node, one compiled loop per row. */
+  def pqReconstruct(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqReconstruct(
+      ColumnBridge.expression(vec.cast("array<double>")), codebooks))
 }

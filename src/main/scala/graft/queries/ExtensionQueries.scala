@@ -1369,6 +1369,19 @@ object ExtensionQueries {
       "vec_id", "embedding", k = 3, dims = 64)
   }
 
+  /** Product-quantized ANN — the high-ratio compression path next to
+    * s5's SQ8: corpus vectors stored as m centroid codes (32× smaller at
+    * dims=64, m=8, ksub=8), queries full-precision against the fused
+    * encode→reconstruct ([[graft.functions.PqReconstruct]]). The
+    * deterministic smallest-ids codebook face makes the whole path —
+    * per-subspace L2 argmin, reconstruction, cosine top-k — SQL-
+    * replicable; per-subspace k-means is the quality path. */
+  private def s7(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.where(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", k = 3, m = 8, ksub = 8, dims = 64)
+  }
+
   /** Arbitrary grouping sets (not expressible as rollup/cube): per-flag,
     * per-status, and grand total in one pass — also exercises the
     * spark.sql entry path over a registered view. */
@@ -1716,6 +1729,34 @@ object ExtensionQueries {
           row_number() OVER (PARTITION BY q.vec_id
             ORDER BY ${cosSql("q.embedding", "e.dq")} DESC, e.vec_id) AS rank
         FROM dqc e
+        JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q
+          ON e.vec_id <> q.vec_id)
+      WHERE rank <= 3""")),
+
+    Q("s7_ann_pq", s7, Some(s"""
+      WITH cb AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+      asg AS (
+        SELECT e.vec_id, sp.s, cb.j, cb.cvec,
+          row_number() OVER (PARTITION BY e.vec_id, sp.s
+            ORDER BY list_sum(list_transform(range(1, 9), i ->
+              (e.embedding[sp.s * 8 + i]::DOUBLE - cb.cvec[sp.s * 8 + i]::DOUBLE)
+              * (e.embedding[sp.s * 8 + i]::DOUBLE - cb.cvec[sp.s * 8 + i]::DOUBLE))) ASC,
+              cb.j ASC) AS rn
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sp
+        CROSS JOIN cb),
+      rec AS (
+        SELECT vec_id,
+          flatten(list(cvec[s * 8 + 1 : s * 8 + 8] ORDER BY s)) AS rvec
+        FROM asg WHERE rn = 1 GROUP BY vec_id)
+      SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          ${cosSql("q.embedding", "e.rvec")} AS cosine,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${cosSql("q.embedding", "e.rvec")} DESC, e.vec_id) AS rank
+        FROM rec e
         JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q
           ON e.vec_id <> q.vec_id)
       WHERE rank <= 3""")),

@@ -316,6 +316,60 @@ object Similarity {
     topKByQuery(scored, k)
   }
 
+  /** Deterministic PQ codebooks: subspace `s`'s centroids are the
+    * corresponding subvectors of the `ksub` SMALLEST-id corpus vectors —
+    * the same oracle-reproducible quantizer face as the IVF default and
+    * `semanticDedupPairs`; k-means per subspace (run [[kmeansCentroids]]
+    * on each subvector projection) is the quality path. Index-build
+    * collect: ksub·dims doubles reach the driver. */
+  def pqTrainDeterministic(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, dims: Int): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dims % m == 0, s"pqTrainDeterministic: m must divide dims=$dims")
+    require(ksub >= 1, "pqTrainDeterministic: ksub must be >= 1")
+    val subDim = dims / m
+    val seed = corpus.select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(ksub).collect()
+    require(seed.nonEmpty, "pqTrainDeterministic: empty corpus")
+    require(seed.forall(_.getSeq[Double](1).length == dims),
+      s"pqTrainDeterministic: corpus vectors must all have $dims dims")
+    Array.tabulate(m) { s =>
+      seed.map(_.getSeq[Double](1).slice(s * subDim, (s + 1) * subDim).toArray)
+    }
+  }
+
+  /** Product-quantized (PQ) approximate top-k — the HIGH-ratio
+    * compression path next to SQ8's 8×: each corpus vector is stored as
+    * `m` centroid indices (m·log2(ksub) bits — dims=64, m=8, ksub=16 is
+    * 64 bytes → 8 bytes, 32×; FAISS `IndexPQ`). Queries stay full
+    * precision and score against the RECONSTRUCTION (the concatenation
+    * of each subspace's assigned centroid) — asymmetric distance, same
+    * shape as [[sq8TopK]]. Encode→reconstruct is ONE fused native
+    * expression ([[graft.functions.PqReconstruct]]), so byte codes never
+    * materialize and the corpus is never shuffled; only per-partition
+    * top-k rows cross the final reduction.
+    *
+    * Assignment is squared-L2 per subspace in index order with
+    * ties → lowest centroid index; scoring is the module's cosine in
+    * index order — every choice an external engine replicates
+    * bit-for-bit. Ordering contract as everywhere: (cosine desc, id
+    * asc). */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, ksub: Int, dims: Int): DataFrame = {
+    val cb = pqTrainDeterministic(corpus, idCol, vecCol, m, ksub, dims)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"),
+        graft.functions.VectorFunctions.pqReconstruct(col(vecCol), cb).as("n_vec"))
+      .withColumn("n_norm", l2Norm(col("n_vec")))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
+    topKByQuery(scored, k)
+  }
+
   /** Recall@k of an approximate top-k result against the exact one — the
     * evaluation loop every ANN deployment needs (tune nlist/nprobe/planes
     * until recall clears the bar, then ship). Both inputs are top-k

@@ -196,4 +196,60 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 1.0 / 3.0)))
     assert(out(3L) == ((0L, 0.0)))
   }
+
+  test("pqTopK == a local reference of the same algorithm on random data") {
+    val rnd = new scala.util.Random(11)
+    val dims = 8; val m = 4; val ksub = 4; val k = 3
+    val data = (0L until 40L).map(i =>
+      i -> Array.fill(dims)(rnd.nextInt(100) / 10.0f)).toMap
+    val corpus = data.toSeq.toDF("vec_id", "embedding")
+    val queries = data.filter(_._1 % 10 == 0).toSeq.toDF("vec_id", "embedding")
+    // local reference: smallest-ksub-id codebooks, per-subspace L2 argmin
+    // (ties -> lowest index), cosine vs reconstruction, (cos desc, id asc)
+    val subDim = dims / m
+    val seeds = data.toSeq.sortBy(_._1).take(ksub).map(_._2.map(_.toDouble))
+    def reconstruct(v: Array[Float]): Array[Double] =
+      (0 until m).flatMap { s =>
+        val off = s * subDim
+        val best = seeds.zipWithIndex.minBy { case (c, j) =>
+          ((0 until subDim).map(i => { val d = v(off + i) - c(off + i); d * d }).sum, j)
+        }._1
+        best.slice(off, off + subDim)
+      }.toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = data.keys.filter(_ % 10 == 0).flatMap { q =>
+      val qv = data(q).map(_.toDouble)
+      data.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, reconstruct(v))) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).zipWithIndex
+        .map { case ((id, c), r) => (q, id, r + 1) }
+    }.toSet
+    val got = Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+      k = k, m = m, ksub = ksub, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == want)
+  }
+
+  test("pqTopK: codebook seed vectors reconstruct to themselves; dim mismatch rows vanish") {
+    // the ksub smallest ids ARE the centroids: their reconstruction is
+    // exact, so their cosine against any query equals the exact cosine
+    val corpus = vecs // 5 vectors, dim 4
+    val q = vecs.where(col("vec_id") === 0L)
+    val pq = Similarity.pqTopK(corpus, q, "vec_id", "embedding",
+      k = 4, m = 2, ksub = 5, dims = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val exact = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", k = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(pq == exact, "ksub=corpus makes PQ exact")
+    // a corpus row with the wrong dimensionality reconstructs to null and
+    // is excluded, not crashed on
+    val mixed = vecs.unionByName(
+      Seq((9L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding"))
+    val out = Similarity.pqTopK(mixed, q, "vec_id", "embedding",
+      k = 10, m = 2, ksub = 5, dims = 4)
+    assert(!out.collect().map(_.getLong(1)).contains(9L))
+  }
 }
