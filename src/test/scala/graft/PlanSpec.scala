@@ -269,4 +269,40 @@ class PlanSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_d11_registry")
     }
   }
+
+  test("t22 html extract: shuffle-free single-pass projection") {
+    val p = plan(q("t22_html_extract"))
+    assert(!p.contains("Exchange"), s"t22 should not shuffle:\n$p")
+  }
+
+  test("t23 url features: blocklist broadcast, corpus never shuffled") {
+    val p = plan(q("t23_url_features"))
+    assert(p.contains("BroadcastHashJoin"), s"blocklist join must broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the corpus must not shuffle for a blocklist flag:\n$p")
+  }
+
+  test("m10 media sniff: ONE native sniff node per row, inside codegen") {
+    val p = plan(q("m10_media_sniff"))
+    // the two-step projection must leave exactly one evaluation site —
+    // a 7-way getField split that re-parsed headers would show 7
+    val evals = "graft_media_sniff".r.findAllIn(p).length
+    assert(evals == 1, s"expected ONE sniff evaluation, got $evals:\n$p")
+    assert(p.contains("*("), s"sniff fell out of whole-stage codegen:\n$p")
+  }
+
+  test("s7 PQ: reconstruction is one native node on the corpus side, queries broadcast") {
+    val p = plan(q("s7_ann_pq"))
+    assert(p.contains("graft_pq_reconstruct"), s"missing fused PQ reconstruct:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), s"PQ scoring degenerated to cartesian:\n$p")
+  }
+
+  test("x33 SCD2: one exchange, sort only within the key partitioning") {
+    val p = plan(q("x33_scd2_history"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"SCD2 build must be a single key shuffle, got $exchanges:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"SCD2 must not globally sort:\n$p")
+  }
 }
