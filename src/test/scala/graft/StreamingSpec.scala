@@ -446,4 +446,56 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch == Set((1L, 1L), (2L, 2L)))
     } finally q.stop()
   }
+
+  test("html extraction + url features + media sniff are stream-transparent: batch ≡ stream") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // the round's stateless operators: pure projections + a broadcast
+    // join, so the SAME definition must run unchanged over a stream
+    val rows = Seq(
+      (1L, "<html><body><h1>T</h1><p>alpha &amp; beta</p></body></html>",
+        "https://www.ok.example.com/a/b"),
+      (2L, "<p>plain</p>", "http://bad.example.org/x"))
+    val blocklist = Seq("example.org").toDF("domain")
+    val source = MemoryStream[(Long, String, String)]
+    val streamed = graft.text.Curation.urlFeatures(
+      source.toDF().toDF("doc_id", "html", "url")
+        .withColumn("clean_text", graft.text.Curation.extractHtmlText(col("html"))),
+      "url", blocklist)
+    val q = streamed.writeStream.format("memory").queryName("t2223_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(rows: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "clean_text", "url_domain", "is_blocked")
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3))).toSet
+      val batch = graft.text.Curation.urlFeatures(
+        rows.toDF("doc_id", "html", "url")
+          .withColumn("clean_text", graft.text.Curation.extractHtmlText(col("html"))),
+        "url", blocklist)
+      assert(shape(spark.table("t2223_stream")) == shape(batch))
+      assert(shape(batch) == Set(
+        (1L, "T alpha & beta", "example.com", false),
+        (2L, "plain", "example.org", true)))
+    } finally q.stop()
+
+    // media sniff over a binary stream: same expression, same rows
+    val media = Seq(
+      (1L, graft.multimodal.Multimodal.solidPng(9, 3, 2)),
+      (2L, "junk".getBytes("UTF-8")))
+    val msrc = MemoryStream[(Long, Array[Byte])]
+    val sniffed = graft.multimodal.Multimodal.sniffMedia(
+      msrc.toDF().toDF("media_id", "content"))
+    val mq = sniffed.writeStream.format("memory").queryName("m10_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      msrc.addData(media: _*)
+      mq.processAllAvailable()
+      val got = spark.table("m10_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "png"), (2L, null)))
+    } finally mq.stop()
+  }
 }
