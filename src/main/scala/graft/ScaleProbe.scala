@@ -66,7 +66,8 @@ object ScaleProbe {
       "m4_resize", "m6_video_decode", "t21_model_filter_trained",
       "p12_mixture_upsample", "p13_length_buckets",
       "m9_frame_extract", "m10_media_sniff", "t22_html_extract",
-      "t23_url_features", "x33_scd2_history", "s7_ann_pq")
+      "t23_url_features", "x33_scd2_history", "s7_ann_pq",
+      "d13_paragraph_near_dedup")
     // optional args = probe-name filter (run a subset while iterating);
     // unknown names fail loudly — a typo must not look like a clean run
     val unknown = args.toSet -- probes.toSet

@@ -766,4 +766,54 @@ object Dedup {
       .select(col(idCol), col("n_lines"), col("n_kept"),
         concat_ws(sep, transform(col("pl"), x => x.getField("line"))).as("text_clean"))
   }
+
+  /** Paragraph-level NEAR-dedup with reassembly — [[lineDedup]]'s fuzzy
+    * sibling: instead of exact line identity, paragraphs are matched by
+    * MinHash-LSH shingle Jaccard (the [[minhashLsh]] machinery at
+    * paragraph granularity — boilerplate survives small edits, which is
+    * why web curation dedups paragraphs fuzzily). Removal rule:
+    * FIRST-OCCURRENCE-WINS, PAIRWISE — a paragraph is dropped iff ANY
+    * verified near-match exists at a strictly smaller (doc, position)
+    * key, whether or not that earlier match itself survived. On a chain
+    * A ≈ B ≈ C (with A and C dissimilar) both B and C are dropped even
+    * though C never matched the surviving A — the pairwise rule can
+    * over-remove relative to cluster-canonical semantics; run
+    * [[canonicalizeClusters]] over the [[minhashLsh]] pair graph when
+    * one-representative-per-cluster is wanted. Paragraphs too
+    * short to shingle (< `shingleN` words) are never matched and always
+    * survive. Docs whose every paragraph is removed vanish from the
+    * output (nothing left to reassemble).
+    *
+    * Returns (id, n_paras, n_kept, text_clean), paragraphs rejoined in
+    * position order. `idCol` must be integral: the per-paragraph key is
+    * `id * maxParasPerDoc + pos`, ordered and collision-free while every
+    * doc has fewer than `maxParasPerDoc` paragraphs.
+    *
+    * Scale shape: exactly d3's — signatures are partial-agg shuffles per
+    * paragraph, candidates band-bucket equi-joins (never all-pairs),
+    * removal one anti join on the paragraph key, reassembly one groupBy.
+    * The paragraph relation is persisted ([[graft.CacheRegistry]]): three
+    * consumers (signatures, removal join, reassembly) would otherwise
+    * re-split every document three times. */
+  def paragraphNearDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 4, rows: Int = 3,
+      threshold: Double = 0.5, sep: String = "\n\n",
+      maxParasPerDoc: Long = 1000000L): DataFrame = {
+    require(sep.nonEmpty, "paragraphNearDedup: sep must be non-empty")
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "para")))
+      .withColumn("pkey", col(idCol).cast("long") * lit(maxParasPerDoc) + col("pos"))
+      .transform(graft.CacheRegistry.persisted(_))
+    val removed = minhashLsh(paras, "pkey", "para", shingleN, k, bands, rows, threshold)
+      .select(col("id_b").as("pkey")).distinct() // id_a < id_b: b is the later occurrence
+    paras
+      .join(removed, Seq("pkey"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("pos"), col("para")))).as("pp"))
+      .join(paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras")), Seq(idCol))
+      .select(col(idCol), col("n_paras"), col("n_kept"),
+        concat_ws(sep, transform(col("pp"), x => x.getField("para"))).as("text_clean"))
+  }
 }

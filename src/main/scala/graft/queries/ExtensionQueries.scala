@@ -136,6 +136,24 @@ object ExtensionQueries {
       "graft_d12_registry", buckets = 32)
   }
 
+  /** Paragraph-level near-dedup with reassembly: pages synthesized from
+    * documents (4 docs per page, duplicated %5 docs appended on far
+    * pages), each document text one paragraph. Near-dup paragraphs
+    * (MinHash-LSH at d3's hash family + exact Jaccard ≥ 0.5 verify) are
+    * removed first-occurrence-wins and the surviving paragraphs rejoined
+    * in position order — the fuzzy sibling of d9's exact line dedup. */
+  private def d13(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select("doc_id", "text")
+    val base = d.unionAll(d.where(col("doc_id") % 5 === 0).select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val pages = base
+      .groupBy(expr("doc_id div 4").as("page_id"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("text")))).as("dt"))
+      .select(col("page_id"),
+        concat_ws("\n\n", transform(col("dt"), x => x.getField("text"))).as("text"))
+    Dedup.paragraphNearDedup(pages, "page_id", "text")
+  }
+
   /** Exact-substring duplicate pairs (Lee et al. 2022 semantics through
     * winnowing): the mutated copies share almost every 27+-char span with
     * their sources, so they must surface; minShared=2 drops incidental
@@ -2443,6 +2461,43 @@ object ExtensionQueries {
 
     // exact face of the incremental registry: single md5 key, same
     // first-writer-wins coalesce as d11
+    Q("d13_paragraph_near_dedup", d13, Some(s"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      pages AS (
+        SELECT doc_id // 4 AS page_id,
+          string_agg(text, chr(10)||chr(10) ORDER BY doc_id) AS text
+        FROM base GROUP BY 1),
+      pk AS (
+        SELECT page_id,
+          unnest(string_split(text, chr(10)||chr(10))) AS para,
+          generate_subscripts(string_split(text, chr(10)||chr(10)), 1) - 1 AS pos,
+          len(string_split(text, chr(10)||chr(10)))::BIGINT AS n_paras
+        FROM pages),
+      pkk AS (SELECT *, page_id * 1000000 + pos AS pkey FROM pk),
+      docs AS (SELECT pkey AS doc_id, string_split(para, ' ') AS ws FROM pkk),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+             FROM docs WHERE len(ws) >= 3),
+      $minhashCtes,
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      removed AS (
+        SELECT DISTINCT c.id_b AS pkey
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+        WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5)
+      SELECT page_id, min(n_paras) AS n_paras, count(*) AS n_kept,
+        string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text_clean
+      FROM pkk
+      WHERE pkey NOT IN (SELECT pkey FROM removed)
+      GROUP BY page_id""")),
+
     Q("d12_exact_dedup_incremental", d12, Some("""
       WITH increment AS (
         SELECT doc_id + 1000000 AS doc_id,

@@ -317,4 +317,60 @@ class DedupSpec extends AnyFunSuite {
     assert(a.contains((0L, 3L, "common header\nbody 0\ncommon footer")))
     assert(a.contains((1L, 1L, "body 1")))
   }
+
+  test("paragraphNearDedup: fuzzy boilerplate removed first-occurrence-wins, short paras survive") {
+    import spark.implicits._
+    // one-word edit at the tail: 17 of 19 shingles shared (jaccard ~0.89,
+    // band-collision probability ~1 - (1 - 0.89^3)^4 ≈ 0.997) — a
+    // borderline 0.5-jaccard pair is DETERMINISTICALLY hit-or-miss under
+    // the fixed band family and makes a flaky-looking (but reproducible)
+    // fixture
+    val boiler = "subscribe to our newsletter today for all the latest updates " +
+      "special offers and exclusive member only content delivered every week"
+    val boilerEdit = "subscribe to our newsletter today for all the latest updates " +
+      "special offers and exclusive member only content delivered every month"
+    val bodyA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val bodyB = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val pages = Seq(
+      (1L, Seq(boiler, bodyA).mkString("\n\n")),
+      (2L, Seq(boilerEdit, bodyB, "hi there").mkString("\n\n")), // edited boilerplate + short para
+      (3L, Seq(boiler).mkString("\n\n"))                        // exact copy only: page vanishes
+    ).toDF("page_id", "text")
+    val out = Dedup.paragraphNearDedup(pages, "page_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // page 1 keeps everything (first occurrence)
+    assert(out(1L) == ((2L, 2L, Seq(boiler, bodyA).mkString("\n\n"))))
+    // page 2: edited boilerplate near-matches page 1's and is removed;
+    // the 2-word paragraph cannot shingle and survives
+    assert(out(2L) == ((3L, 2L, Seq(bodyB, "hi there").mkString("\n\n"))))
+    // page 3 lost its only paragraph: no row
+    assert(!out.contains(3L))
+  }
+
+  test("paragraphNearDedup: within-doc dup collapses; chain over-removal is the documented rule") {
+    import spark.implicits._
+    val p = "one two three four five six seven eight nine ten"
+    // within a single page, a repeated paragraph loses its second copy
+    val within = Seq((1L, Seq(p, "filler words beyond the pair", p).mkString("\n\n")))
+      .toDF("page_id", "text")
+    val w = Dedup.paragraphNearDedup(within, "page_id", "text").collect().head
+    assert(w.getLong(1) == 3L && w.getLong(2) == 2L)
+    assert(w.getString(3) == Seq(p, "filler words beyond the pair").mkString("\n\n"))
+    // chain A ~ B ~ C with A,C dissimilar: B and C BOTH removed (pairwise
+    // first-occurrence rule, not cluster-canonical)
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val b = "w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14"
+    val c = "w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val sim = graft.text.TextFunctions
+    val chain = Seq((1L, a), (2L, b), (3L, c)).toDF("page_id", "text")
+    val got = Dedup.paragraphNearDedup(chain, "page_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    // sanity of the fixture: A~B and B~C are near (>= 0.5), A~C is not
+    def jac(x: String, y: String): Double = {
+      def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      sh(x).intersect(sh(y)).size.toDouble / sh(x).union(sh(y)).size
+    }
+    assert(jac(a, b) >= 0.5 && jac(b, c) >= 0.5 && jac(a, c) < 0.5)
+    assert(got == Set(1L), s"expected only page 1 to survive, got $got")
+  }
 }
