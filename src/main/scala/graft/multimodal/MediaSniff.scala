@@ -13,9 +13,10 @@ package graft.multimodal
   * return [[MediaSniff.unknown]].
   *
   * Formats: PNG (IHDR), JPEG (SOF segment walk), GIF (logical screen
-  * descriptor), BMP (BITMAPINFOHEADER), WAV (fmt + data chunks), AVI
-  * (avih header). Sentinel -1 = "field not applicable / not found";
-  * the [[graft.functions.SniffMedia]] expression renders those as null.
+  * descriptor), BMP (BITMAPINFOHEADER), TIFF (IFD0 walk, both byte
+  * orders), WAV (fmt + data chunks), AVI (avih header). Sentinel -1 =
+  * "field not applicable / not found"; the
+  * [[graft.functions.SniffMedia]] expression renders those as null.
   */
 object MediaSniff {
 
@@ -102,6 +103,45 @@ object MediaSniff {
         return Sniffed("bmp", dim(s32le(b, 18).toLong),
           dim(math.abs(s32le(b, 22).toLong)), u16le(b, 28), -1, -1, -1)
       return Sniffed("bmp", -1, -1, -1, -1, -1, -1)
+    }
+    // TIFF: II*\0 (little-endian) or MM\0* (big-endian); walk IFD0's
+    // fixed-size entries. Inline values are LEFT-JUSTIFIED in the 4-byte
+    // value field (a lone SHORT reads at the field start under either
+    // endianness); BitsPerSample with count > 1 stores an OFFSET to its
+    // shorts instead — followed bounds-checked.
+    val tiffLe = b(0) == 'I' && b(1) == 'I' && b(2) == 0x2a && b(3) == 0
+    val tiffBe = b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 0x2a
+    if (tiffLe || tiffBe) {
+      def e16(o: Int): Int = if (tiffLe) u16le(b, o) else u16be(b, o)
+      def e32(o: Int): Long = if (tiffLe) u32le(b, o) else u32be(b, o)
+      var width = -1; var height = -1; var bits = -1; var channels = -1
+      val ifd = e32(4)
+      if (ifd >= 8 && ifd + 2 <= n) {
+        val entries = e16(ifd.toInt)
+        var i = 0
+        while (i < entries && ifd + 2 + (i + 1) * 12 <= n) {
+          val o = ifd.toInt + 2 + i * 12
+          val tag = e16(o)
+          val typ = e16(o + 2)
+          val c = e32(o + 4)
+          val scalar: Int =
+            if (typ == 3) e16(o + 8)
+            else if (typ == 4) dim(e32(o + 8))
+            else -1
+          if (tag == 256 && c == 1) width = scalar
+          else if (tag == 257 && c == 1) height = scalar
+          else if (tag == 277 && c == 1) channels = scalar
+          else if (tag == 258) {
+            if (c == 1) bits = scalar
+            else if (typ == 3 && c >= 2) {
+              val off = e32(o + 8)
+              if (off >= 0 && off + 2 <= n) bits = e16(off.toInt)
+            }
+          }
+          i += 1
+        }
+      }
+      return Sniffed("tiff", width, height, bits, channels, -1, -1)
     }
     if (fourcc(b, 0) == "RIFF") {
       val riffEnd = math.min(n.toLong, 8L + u32le(b, 4)).toInt

@@ -87,7 +87,7 @@ object Multimodal {
   }
 
   /** Encode packed 0xRRGGBB pixels via the named ImageIO writer
-    * ("png" / "gif" / "bmp"; "jpeg" routes through [[writeJpeg]] at
+    * ("png" / "gif" / "bmp" / "tiff"; "jpeg" routes through [[writeJpeg]] at
     * quality 1) — the fixture face for header-sniff and decode tests. */
   private[graft] def encodeImage(
       format: String, width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {

@@ -493,15 +493,15 @@ object ExtensionQueries {
         round(col("mean_px"), 9).as("mean_px"))
   }
 
-  /** Header-only media sniff end-to-end: six REAL encoders (ImageIO
-    * PNG/JPEG/GIF/BMP, WavCodec PCM, AviCodec AVI) build per-doc fixtures
+  /** Header-only media sniff end-to-end: seven REAL encoders (ImageIO
+    * PNG/JPEG/GIF/BMP/TIFF, WavCodec PCM, AviCodec AVI) build per-doc fixtures
     * in-plan; [[Multimodal.sniffMedia]] reads format + dimensions / PCM
     * layout / frame count from the HEADERS alone — the 100 TB stats pass
     * that routes/filters media without paying a decode. The mime tag is
     * deliberately octet-stream: sniffing trusts bytes, not labels. Every
     * output field is a closed-form function of doc_id (dims and layout
     * are the encoder inputs; bit depths are the format constants the spec
-    * pins: PNG/JPEG 8-bit channels, BMP 24 bpp, PCM 16). */
+    * pins: PNG/JPEG/TIFF 8-bit channels, BMP 24 bpp, PCM 16). */
   private def m10(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = table(s, dir, "documents")
@@ -509,7 +509,7 @@ object ExtensionQueries {
       .repartition(s.sparkContext.defaultParallelism) // the m4 lesson
       .as[Long]
       .mapPartitions(_.map { id =>
-        val k = (id % 6).toInt
+        val k = (id % 7).toInt
         val w = (5 + id % 11).toInt
         val h = (4 + id % 9).toInt
         val px = Array.tabulate(w * h)(i => ((id + i) % 256).toInt * 0x010101)
@@ -524,9 +524,10 @@ object ExtensionQueries {
             val nsamp = (50 + id % 100).toInt
             graft.multimodal.WavCodec.encodePcm16(rate, ch,
               Array.tabulate[Short](nsamp * ch)(i => ((id * 31 + i * 7) % 2048).toShort))
-          case _ =>
+          case 5 =>
             val nf = (1 + id % 4).toInt
             graft.multimodal.AviCodec.encode(w, h, Seq.fill(nf)(px))
+          case _ => Multimodal.encodeImage("tiff", w, h, px)
         }
         Multimodal.MediaRecord(id, bytes, "application/octet-stream")
       })
@@ -2332,17 +2333,18 @@ object ExtensionQueries {
             FROM documents)""")),
     Q("m10_media_sniff", m10, Some("""
       SELECT doc_id AS media_id,
-        CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
-          WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' ELSE 'avi' END AS format,
-        (CASE WHEN doc_id % 6 IN (0,1,2,3,5) THEN 5 + doc_id % 11 END)::INT AS width,
-        (CASE WHEN doc_id % 6 IN (0,1,2,3,5) THEN 4 + doc_id % 9 END)::INT AS height,
-        (CASE WHEN doc_id % 6 IN (0,1) THEN 8 WHEN doc_id % 6 = 3 THEN 24
-              WHEN doc_id % 6 = 4 THEN 16 END)::INT AS bit_depth,
-        (CASE WHEN doc_id % 6 = 1 THEN 3
-              WHEN doc_id % 6 = 4 THEN 1 + doc_id % 2 END)::INT AS channels,
-        (CASE WHEN doc_id % 6 = 4 THEN 8000 + (doc_id % 16) * 250 END)::INT AS sample_rate,
-        (CASE WHEN doc_id % 6 = 4 THEN 50 + doc_id % 100
-              WHEN doc_id % 6 = 5 THEN 1 + doc_id % 4 END)::INT AS n_frames
+        CASE doc_id % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+          WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' WHEN 5 THEN 'avi'
+          ELSE 'tiff' END AS format,
+        (CASE WHEN doc_id % 7 <> 4 THEN 5 + doc_id % 11 END)::INT AS width,
+        (CASE WHEN doc_id % 7 <> 4 THEN 4 + doc_id % 9 END)::INT AS height,
+        (CASE WHEN doc_id % 7 IN (0,1,6) THEN 8 WHEN doc_id % 7 = 3 THEN 24
+              WHEN doc_id % 7 = 4 THEN 16 END)::INT AS bit_depth,
+        (CASE WHEN doc_id % 7 IN (1,6) THEN 3
+              WHEN doc_id % 7 = 4 THEN 1 + doc_id % 2 END)::INT AS channels,
+        (CASE WHEN doc_id % 7 = 4 THEN 8000 + (doc_id % 16) * 250 END)::INT AS sample_rate,
+        (CASE WHEN doc_id % 7 = 4 THEN 50 + doc_id % 100
+              WHEN doc_id % 7 = 5 THEN 1 + doc_id % 4 END)::INT AS n_frames
       FROM documents""")),
     Q("m8_audio_spectral", m8, Some("""
       SELECT doc_id AS media_id,

@@ -361,7 +361,7 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("MediaSniff: header-only fields for all six real encoders; truncation/corruption never throws") {
+  test("MediaSniff: header-only fields for all seven real encoders; truncation/corruption never throws") {
     import graft.multimodal.{AviCodec, MediaSniff, WavCodec}
     val px = Array.tabulate(7 * 5)(i => (i * 11 % 256) * 0x010101)
     assert(MediaSniff.sniff(Multimodal.encodeImage("png", 7, 5, px)) ==
@@ -377,6 +377,18 @@ class MultimodalSpec extends AnyFunSuite {
       MediaSniff.Sniffed("wav", -1, -1, 16, 2, 11025, 30))
     val avi = AviCodec.encode(7, 5, Seq(px, px, px))
     assert(MediaSniff.sniff(avi) == MediaSniff.Sniffed("avi", 7, 5, -1, -1, -1, 3))
+    // TIFF: the JDK writer emits big-endian with BitsPerSample behind an
+    // offset (count 3 > inline capacity) — both paths exercised
+    assert(MediaSniff.sniff(Multimodal.encodeImage("tiff", 7, 5, px)) ==
+      MediaSniff.Sniffed("tiff", 7, 5, 8, 3, -1, -1))
+    // hand-built LITTLE-endian TIFF: II*\0, IFD@8 with inline SHORT
+    // width/height — the other byte order and the inline-value path
+    val leTiff = Array[Byte]('I', 'I', 0x2a, 0, 8, 0, 0, 0, // header, ifd@8
+      2, 0, // 2 entries
+      0, 1, 3, 0, 1, 0, 0, 0, 7, 0, 0, 0, // tag 256 SHORT x1 = 7
+      1, 1, 3, 0, 1, 0, 0, 0, 5, 0, 0, 0, // tag 257 SHORT x1 = 5
+      0, 0, 0, 0) // next-IFD pointer
+    assert(MediaSniff.sniff(leTiff) == MediaSniff.Sniffed("tiff", 7, 5, -1, -1, -1, -1))
     assert(MediaSniff.sniff(AviCodec.encodeMjpeg(7, 5, Seq(px))).format == "avi")
     // header-ONLY: cutting the file at the movi LIST (no frame bytes at
     // all) sniffs identically — the payload is never read
@@ -384,6 +396,27 @@ class MultimodalSpec extends AnyFunSuite {
       avi(i) == 'm' && avi(i + 1) == 'o' && avi(i + 2) == 'v' && avi(i + 3) == 'i').get
     assert(MediaSniff.sniff(java.util.Arrays.copyOf(avi, moviAt - 8)) ==
       MediaSniff.Sniffed("avi", 7, 5, -1, -1, -1, 3))
+    // PROGRESSIVE JPEG (SOF2, preceded by different segment structure):
+    // the marker walk must reach the frame header regardless of which
+    // SOFn variant the encoder emits
+    val pimg = new java.awt.image.BufferedImage(7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    pimg.setRGB(0, 0, 7, 5, px, 0, 7)
+    val pbos = new java.io.ByteArrayOutputStream()
+    val pw = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    try {
+      val p = pw.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val out = new javax.imageio.stream.MemoryCacheImageOutputStream(pbos)
+      pw.setOutput(out)
+      pw.write(null, new javax.imageio.IIOImage(pimg, null, null), p)
+      out.close()
+    } finally pw.dispose()
+    assert(MediaSniff.sniff(pbos.toByteArray) ==
+      MediaSniff.Sniffed("jpeg", 7, 5, 8, 3, -1, -1))
+    // GIF87a (older version tag) sniffs the same as 89a
+    val gif87 = Multimodal.encodeImage("gif", 7, 5, px).clone()
+    gif87(4) = '7'.toByte
+    assert(MediaSniff.sniff(gif87) == MediaSniff.Sniffed("gif", 7, 5, -1, -1, -1, -1))
     // truncated BMP keeps its format tag with -1 fields (consistent with
     // the other branches); a corrupt sign-extreme biHeight clamps to -1
     val bmp = Multimodal.encodeImage("bmp", 7, 5, px)
@@ -400,6 +433,7 @@ class MultimodalSpec extends AnyFunSuite {
     val fixtures = Seq(
       Multimodal.encodeImage("png", 7, 5, px), Multimodal.encodeImage("jpeg", 7, 5, px),
       Multimodal.encodeImage("gif", 7, 5, px), Multimodal.encodeImage("bmp", 7, 5, px),
+      Multimodal.encodeImage("tiff", 7, 5, px),
       WavCodec.encodePcm16(8000, 1, Array.tabulate[Short](40)(_.toShort)), avi)
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 500) {
