@@ -739,13 +739,15 @@ object Dedup {
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n", perDoc: Boolean = false): DataFrame = {
-    // `split` treats sep as a REGEX, `concat_ws` as a literal — identical
-    // for the default "\n"; a caller passing a metacharacter separator
-    // must escape it for the split side
+    // sep is a LITERAL on both faces: `split` gets the quoted form
+    // (Spark's split is regex-based; an unquoted "||" would match the
+    // empty string and shred every character) and `concat_ws` rejoins
+    // with the raw string — so any separator round-trips
     require(sep.nonEmpty, "lineDedup: sep must be non-empty")
+    val sepRe = java.util.regex.Pattern.quote(sep)
     val lines = df
-      .select(col(idCol), size(split(col(textCol), sep)).as("n_lines"),
-        posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
+      .select(col(idCol), size(split(col(textCol), sepRe)).as("n_lines"),
+        posexplode(split(col(textCol), sepRe)).as(Seq("pos", "line")))
       .select(col(idCol), col("n_lines"), col("pos"), col("line"),
         md5(col("line")).as("lk"))
     // perDoc scopes the claim to (doc, line): repeated boilerplate inside
@@ -801,8 +803,12 @@ object Dedup {
       threshold: Double = 0.5, sep: String = "\n\n",
       maxParasPerDoc: Long = 1000000L): DataFrame = {
     require(sep.nonEmpty, "paragraphNearDedup: sep must be non-empty")
+    // sep is a LITERAL on both faces, like [[lineDedup]]: quoted for the
+    // regex-based split, raw for the rejoin
+    val sepRe = java.util.regex.Pattern.quote(sep)
     val paras = df
-      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "para")))
+      .select(col(idCol), size(split(col(textCol), sepRe)).as("n_paras"),
+        posexplode(split(col(textCol), sepRe)).as(Seq("pos", "para")))
       .withColumn("pkey", col(idCol).cast("long") * lit(maxParasPerDoc) + col("pos"))
       .transform(graft.CacheRegistry.persisted(_))
     val removed = minhashLsh(paras, "pkey", "para", shingleN, k, bands, rows, threshold)
@@ -810,9 +816,10 @@ object Dedup {
     paras
       .join(removed, Seq("pkey"), "left_anti")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_kept"),
+      .agg(
+        min(col("n_paras")).cast("long").as("n_paras"), // constant per doc
+        count(lit(1)).as("n_kept"),
         array_sort(collect_list(struct(col("pos"), col("para")))).as("pp"))
-      .join(paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras")), Seq(idCol))
       .select(col(idCol), col("n_paras"), col("n_kept"),
         concat_ws(sep, transform(col("pp"), x => x.getField("para"))).as("text_clean"))
   }

@@ -361,7 +361,6 @@ class DedupSpec extends AnyFunSuite {
     val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
     val b = "w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14"
     val c = "w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
-    val sim = graft.text.TextFunctions
     val chain = Seq((1L, a), (2L, b), (3L, c)).toDF("page_id", "text")
     val got = Dedup.paragraphNearDedup(chain, "page_id", "text")
       .collect().map(_.getLong(0)).toSet

@@ -384,11 +384,14 @@ class MultimodalSpec extends AnyFunSuite {
     // hand-built LITTLE-endian TIFF: II*\0, IFD@8 with inline SHORT
     // width/height — the other byte order and the inline-value path
     val leTiff = Array[Byte]('I', 'I', 0x2a, 0, 8, 0, 0, 0, // header, ifd@8
-      2, 0, // 2 entries
+      3, 0, // 3 entries
       0, 1, 3, 0, 1, 0, 0, 0, 7, 0, 0, 0, // tag 256 SHORT x1 = 7
       1, 1, 3, 0, 1, 0, 0, 0, 5, 0, 0, 0, // tag 257 SHORT x1 = 5
+      2, 1, 3, 0, 2, 0, 0, 0, 8, 0, 8, 0, // tag 258 SHORT x2 = [8,8] INLINE
       0, 0, 0, 0) // next-IFD pointer
-    assert(MediaSniff.sniff(leTiff) == MediaSniff.Sniffed("tiff", 7, 5, -1, -1, -1, -1))
+    // two SHORTs fit the 4-byte value field: TIFF 6.0 inlines them (a
+    // gray+alpha BitsPerSample) — must NOT be chased as an offset
+    assert(MediaSniff.sniff(leTiff) == MediaSniff.Sniffed("tiff", 7, 5, 8, -1, -1, -1))
     assert(MediaSniff.sniff(AviCodec.encodeMjpeg(7, 5, Seq(px))).format == "avi")
     // header-ONLY: cutting the file at the movi LIST (no frame bytes at
     // all) sniffs identically — the payload is never read
