@@ -126,6 +126,55 @@ object Multimodal {
       .select("media_id", "__sniff.*")
   }
 
+  /** One archive member from [[expandZipShards]]. */
+  final case class ArchiveMember(
+      shard_id: Long, member_idx: Int, member_name: String,
+      byte_len: Long, content: Array[Byte])
+
+  /** Archive-shard expansion — the webdataset ingestion shape: training
+    * samples shipped as archive bundles (each member one file of a
+    * sample: image, caption, metadata), expanded to one row per member
+    * for the decode/sniff/curation operators downstream. Pure-JVM
+    * `java.util.zip` streaming read, batched `mapPartitions`, shuffle-
+    * free; member order and 0-based `member_idx` follow the archive's
+    * central order. Degrade contract: a corrupt archive keeps the
+    * members already read and stops (never throws); directory entries
+    * are skipped; a member inflating past `maxMemberBytes` is SKIPPED
+    * whole (decompression-bomb guard — truncating silently would feed
+    * corrupt samples downstream). */
+  def expandZipShards(
+      shards: DataFrame, maxMemberBytes: Int = 1 << 26)(
+      implicit spark: SparkSession): Dataset[ArchiveMember] = {
+    require(maxMemberBytes >= 1, "expandZipShards: maxMemberBytes must be >= 1")
+    import spark.implicits._
+    shards.select(col("shard_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (sid, bytes) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[ArchiveMember]
+        if (bytes != null) {
+          try {
+            val zin = new java.util.zip.ZipInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              var e = zin.getNextEntry
+              var idx = 0
+              while (e != null) {
+                if (!e.isDirectory) {
+                  val buf = zin.readNBytes(maxMemberBytes + 1)
+                  if (buf.length <= maxMemberBytes) {
+                    out += ArchiveMember(sid, idx, e.getName, buf.length.toLong, buf)
+                    idx += 1
+                  }
+                }
+                e = zin.getNextEntry
+              }
+            } finally zin.close()
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+        out
+      })
+  }
+
   /** Raw media row: opaque payload + mime tag. */
   final case class MediaRecord(media_id: Long, content: Array[Byte], mime: String)
 

@@ -535,6 +535,59 @@ object ExtensionQueries {
     Multimodal.sniffMedia(media)
   }
 
+  /** Archive-shard expansion end-to-end (the webdataset ingestion
+    * shape): per-doc zip bundles built in-plan (1 + id%4 members, name
+    * and size by formula), expanded to one row per member. The oracle
+    * knows only the construction formulas — member names, decompressed
+    * lengths, and md5 of the (repeat-'x') content — so the zip walk,
+    * inflation, and ordering are all checked exactly. */
+  private def m11(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    val shards = table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("shard_id"))
+      .repartition(s.sparkContext.defaultParallelism) // the m4 lesson
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.ZipOutputStream(bos)
+        val nm = (1 + id % 4).toInt
+        for (j <- 0 until nm) {
+          z.putNextEntry(new java.util.zip.ZipEntry(s"doc$id/f$j.txt"))
+          z.write(Array.fill[Byte]((10 + (id * 3 + j * 5) % 50).toInt)('x'))
+          z.closeEntry()
+        }
+        z.close()
+        (id, bos.toByteArray)
+      }).toDF("shard_id", "content")
+    Multimodal.expandZipShards(shards).toDF()
+      .select(col("shard_id"), col("member_idx"), col("member_name"),
+        col("byte_len"), md5(col("content")).as("content_hash"))
+  }
+
+  /** Compressed-text-column decode: per-doc gzip payloads built in-plan,
+    * inflated back to text by the codegen'd `graft_gunzip` expression —
+    * the scan-time decode for gzip-at-rest corpora. The oracle is the
+    * ORIGINAL documents table: decompression must be the exact inverse
+    * of compression, byte for byte. */
+  private def t26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(text.getBytes("UTF-8"))
+        g.close()
+        (id, bos.toByteArray)
+      }).toDF("doc_id", "gz")
+      .select(col("doc_id"),
+        graft.functions.CompressionFunctions.gunzipText(col("gz")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   /** Perceptual (average-hash) image near-dup over the stub luminance
     * grids: documents with equal byte length share a grid → hamming 0;
     * the oracle replicates grid, hash packing, blocking and verification. */
@@ -2346,6 +2399,14 @@ object ExtensionQueries {
         (CASE WHEN doc_id % 7 = 4 THEN 50 + doc_id % 100
               WHEN doc_id % 7 = 5 THEN 1 + doc_id % 4 END)::INT AS n_frames
       FROM documents""")),
+    Q("m11_zip_shards", m11, Some("""
+      SELECT doc_id AS shard_id, j::INT AS member_idx,
+        'doc' || doc_id || '/f' || j || '.txt' AS member_name,
+        (10 + (doc_id * 3 + j * 5) % 50)::BIGINT AS byte_len,
+        md5(repeat('x', (10 + (doc_id * 3 + j * 5) % 50)::INT)) AS content_hash
+      FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS j FROM documents)""")),
+    Q("t26_gunzip_text", t26, Some("""
+      SELECT doc_id, text, length(text)::BIGINT AS n_chars FROM documents""")),
     Q("m8_audio_spectral", m8, Some("""
       SELECT doc_id AS media_id,
         (4000 + (doc_id % 32) * 125)::INT AS sample_rate,

@@ -475,6 +475,76 @@ class MultimodalSpec extends AnyFunSuite {
     assert((1 to 7).forall(unk.isNullAt), "unknown payload must yield all-null fields")
   }
 
+  test("expandZipShards: exact member round-trip; dirs skipped; corrupt/oversized degrade") {
+    import spark.implicits._
+    def zip(entries: (String, Array[Byte])*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      for ((name, data) <- entries) {
+        z.putNextEntry(new java.util.zip.ZipEntry(name))
+        z.write(data)
+        z.closeEntry()
+      }
+      z.close()
+      bos.toByteArray
+    }
+    val d1 = Array.tabulate[Byte](100)(i => (i * 7).toByte)
+    val d2 = "caption text".getBytes("UTF-8")
+    val good = zip("s/0.img" -> d1, "s/" -> Array.emptyByteArray, "s/0.txt" -> d2)
+    val shards = Seq(
+      (1L, good),
+      (2L, "definitely not a zip".getBytes("UTF-8")),
+      (3L, zip()), // empty archive
+      (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("shard_id", "content")
+    val out = Multimodal.expandZipShards(shards).collect().groupBy(_.shard_id)
+    val m = out(1L).sortBy(_.member_idx)
+    // directory entry skipped; members in order with exact bytes
+    assert(m.map(x => (x.member_idx, x.member_name, x.byte_len)).toSeq ==
+      Seq((0, "s/0.img", 100L), (1, "s/0.txt", 12L)))
+    assert(m(0).content.toSeq == d1.toSeq && m(1).content.toSeq == d2.toSeq)
+    assert(!out.contains(2L) && !out.contains(3L) && !out.contains(4L))
+    // truncated archive: members before the cut survive, no throw
+    val trunc = Seq((9L, good.take(good.length / 2))).toDF("shard_id", "content")
+    Multimodal.expandZipShards(trunc).collect() // must not throw
+    // oversized member skipped whole under a tiny cap
+    val capped = Multimodal.expandZipShards(
+      Seq((5L, good)).toDF("shard_id", "content"), maxMemberBytes = 50)
+      .collect()
+    assert(capped.map(_.member_name).toSeq == Seq("s/0.txt"),
+      "the 100-byte member must be skipped whole at cap 50")
+  }
+
+  test("GunzipBytes: exact inverse of gzip; corrupt -> null; bomb cap -> null; codegen plan") {
+    import spark.implicits._
+    import graft.functions.CompressionFunctions
+    def gz(data: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(data); g.close()
+      bos.toByteArray
+    }
+    val text = "round trip me exactly, please — naïve UTF-8 too"
+    val rows = Seq(
+      (1L, gz(text.getBytes("UTF-8"))),
+      (2L, "not gzip".getBytes("UTF-8")),
+      (3L, gz(Array.fill[Byte](100)('y'))))
+      .toDF("id", "gz")
+      .repartition(2)
+    val out = rows.select(col("id"), CompressionFunctions.gunzipText(col("gz")).as("t"))
+    val got = out.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).contains(text))
+    assert(got(2L).isEmpty, "non-gzip must degrade to null, not throw")
+    assert(got(3L).contains("y" * 100))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_gunzip"))
+    // cap: the 100-byte payload under maxBytes=50 nulls out (bomb guard)
+    val cappedRow = rows.where(col("id") === 3L)
+      .select(CompressionFunctions.gunzip(col("gz"), maxBytes = 50).as("b"))
+      .collect().head
+    assert(cappedRow.isNullAt(0))
+  }
+
   test("resizeImages: gradient downscale by 2 is the exact 2x2 block mean, pixel for pixel") {
     import spark.implicits._
     // 8x8 gradient: px(x,y) = 16*(y*8+x) in each channel — every 2x2 block
