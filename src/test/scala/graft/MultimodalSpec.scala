@@ -515,6 +515,58 @@ class MultimodalSpec extends AnyFunSuite {
       "the 100-byte member must be skipped whole at cap 50")
   }
 
+  test("zip + gunzip randomized round-trips; corrupted payloads never throw") {
+    import spark.implicits._
+    import graft.functions.CompressionFunctions
+    val rnd = new scala.util.Random(23)
+    // random member sets: names, sizes, binary contents round-trip exactly
+    val shards = (1L to 8L).map { sid =>
+      val members = (0 until 1 + rnd.nextInt(5)).map { j =>
+        val data = new Array[Byte](rnd.nextInt(200))
+        rnd.nextBytes(data)
+        s"s$sid/m$j" -> data
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      for ((n, d) <- members) {
+        z.putNextEntry(new java.util.zip.ZipEntry(n)); z.write(d); z.closeEntry()
+      }
+      z.close()
+      (sid, members, bos.toByteArray)
+    }
+    val out = Multimodal.expandZipShards(
+      shards.map(s => (s._1, s._3)).toDF("shard_id", "content"))
+      .collect().groupBy(_.shard_id)
+    for ((sid, members, _) <- shards) {
+      val got = out(sid).sortBy(_.member_idx)
+      assert(got.map(_.member_name).toSeq == members.map(_._1))
+      assert(got.zip(members).forall { case (g, (_, d)) => g.content.toSeq == d.toSeq })
+    }
+    // gunzip round-trips arbitrary bytes; flipped-byte corruptions only
+    // ever yield null or a value, never an exception
+    for (_ <- 1 to 30) {
+      val data = new Array[Byte](rnd.nextInt(500)); rnd.nextBytes(data)
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos); g.write(data); g.close()
+      val gz = bos.toByteArray
+      val expr = graft.functions.GunzipBytes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(gz)), 1 << 20)
+      assert(expr.gunzip(gz).toSeq == data.toSeq)
+      val bad = gz.clone(); bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
+      expr.gunzip(bad) // null or bytes — never throws
+    }
+    // fully fused check through the Column face too
+    val roundtrip = shards.map { case (sid, _, zipBytes) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos); g.write(zipBytes); g.close()
+      (sid, bos.toByteArray, zipBytes)
+    }
+    val viaCol = roundtrip.map(r => (r._1, r._2)).toDF("id", "gz")
+      .select(col("id"), CompressionFunctions.gunzip(col("gz")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("b")).toMap
+    assert(roundtrip.forall { case (sid, _, orig) => viaCol(sid).toSeq == orig.toSeq })
+  }
+
   test("GunzipBytes: exact inverse of gzip; corrupt -> null; bomb cap -> null; codegen plan") {
     import spark.implicits._
     import graft.functions.CompressionFunctions
