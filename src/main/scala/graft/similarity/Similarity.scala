@@ -354,10 +354,39 @@ object Similarity {
     * index order — every choice an external engine replicates
     * bit-for-bit. Ordering contract as everywhere: (cosine desc, id
     * asc). */
+  /** Per-subspace k-means codebooks — PQ's QUALITY path, mirroring
+    * [[ivfTopKKmeans]]: subspace s's centroids come from
+    * [[kmeansCentroids]] run on the corpus projected to that subvector
+    * range (m independent Lloyd runs, index-build cost). Note the
+    * training assignment is this module's cosine while PQ ENCODING stays
+    * squared-L2 per subspace (FAISS semantics) — spherical-trained
+    * centroids, L2-assigned codes. The deterministic face
+    * ([[pqTrainDeterministic]]) remains the oracle-reproducible
+    * baseline, exactly like IVF's smallest-ids quantizer vs s4. */
+  def pqTrainKmeans(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, dims: Int, iters: Int = 5): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dims % m == 0, s"pqTrainKmeans: m must divide dims=$dims")
+    val subDim = dims / m
+    Array.tabulate(m) { s =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim).as("__sub"))
+      kmeansCentroids(sub, idCol, "__sub", ksub, iters)._2
+    }
+  }
+
   def pqTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, m: Int, ksub: Int, dims: Int): DataFrame = {
-    val cb = pqTrainDeterministic(corpus, idCol, vecCol, m, ksub, dims)
+      idCol: String, vecCol: String, k: Int, m: Int, ksub: Int, dims: Int): DataFrame =
+    pqTopK(corpus, queries, idCol, vecCol, k,
+      pqTrainDeterministic(corpus, idCol, vecCol, m, ksub, dims))
+
+  /** [[pqTopK]] with pre-trained codebooks (e.g. [[pqTrainKmeans]]) —
+    * same fused encode→reconstruct plan, only the quantizer differs. */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       l2Norm(col(vecCol)).as("q_norm"))
     val scored = corpus

@@ -233,6 +233,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("pqTrainKmeans: per-subspace codebooks recover planted subspace clusters; recall >= deterministic") {
+    val rnd = new scala.util.Random(5)
+    val dims = 8; val m = 2; val subDim = 4
+    // two prototypes PER SUBSPACE (5 on coordinate 0 vs coordinate 1);
+    // every vector picks one per subspace independently + small noise
+    val data = (0L until 60L).map { i =>
+      val v = new Array[Float](dims)
+      for (s <- 0 until m) {
+        val pick = rnd.nextInt(2)
+        for (d <- 0 until subDim)
+          v(s * subDim + d) =
+            ((if (d == pick) 5.0 else 0.0) + rnd.nextGaussian() * 0.05).toFloat
+      }
+      (i, v)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrainKmeans(df, "vec_id", "embedding", m, ksub = 2, dims, iters = 4)
+    for (s <- 0 until m) {
+      assert(cb(s).length == 2)
+      for (c <- cb(s)) {
+        val dom = c.indexOf(c.max)
+        assert((dom == 0 || dom == 1) && math.abs(c.max - 5.0) < 0.5,
+          s"subspace $s centroid not near a prototype: ${c.mkString(",")}")
+      }
+      assert(cb(s).map(c => c.indexOf(c.max)).toSet == Set(0, 1),
+        s"subspace $s centroids collapsed onto one prototype")
+    }
+    // end to end: k-means codebooks must not lose to the deterministic
+    // smallest-ids baseline on recall@3 vs exact brute force
+    val queries = df.where(col("vec_id") % 10 === 0)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 3)
+    def rec(cbx: Array[Array[Array[Double]]]): Double =
+      Similarity.recallAtK(
+        Similarity.pqTopK(df, queries, "vec_id", "embedding", 3, cbx), exact, 3)
+        .agg(avg(col("recall"))).collect().head.getDouble(0)
+    val det = Similarity.pqTrainDeterministic(df, "vec_id", "embedding", m, 2, dims)
+    assert(rec(cb) >= rec(det) - 1e-9,
+      s"kmeans codebooks recall ${rec(cb)} below deterministic ${rec(det)}")
+  }
+
   test("pqTopK: codebook seed vectors reconstruct to themselves; dim mismatch rows vanish") {
     // the ksub smallest ids ARE the centroids: their reconstruction is
     // exact, so their cosine against any query equals the exact cosine
