@@ -38,7 +38,10 @@ case class GunzipBytes(child: Expression, maxBytes: Int) extends UnaryExpression
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
-        val out = in.readNBytes(maxBytes + 1)
+        // clamp before +1: maxBytes = Int.MaxValue must mean "no cap",
+        // not an Int overflow that nulls every row
+        val probe = math.min(maxBytes, Int.MaxValue - 1) + 1
+        val out = in.readNBytes(probe)
         // a further successful read means the payload exceeds the cap
         if (out.length > maxBytes) null else out
       } finally in.close()
@@ -68,9 +71,13 @@ object CompressionFunctions {
   def gunzip(content: Column, maxBytes: Int = 1 << 26): Column =
     ColumnBridge.column(GunzipBytes(ColumnBridge.expression(content), maxBytes))
 
-  /** Gzip payload → UTF-8 text (the compressed-text-column decode). */
-  def gunzipText(content: Column, maxBytes: Int = 1 << 26): Column = {
-    import org.apache.spark.sql.functions.decode
-    decode(gunzip(content, maxBytes), "UTF-8")
-  }
+  /** Gzip payload → text (the compressed-text-column decode). The
+    * binary→string CAST, not `decode(..., "UTF-8")`: Spark 4's decode
+    * THROWS on malformed byte sequences (MALFORMED_CHARACTER_CODING) —
+    * one latin-1 document would kill the scan — while the cast wraps the
+    * bytes as Spark's native unvalidated UTF8String, the same semantics
+    * every parquet string column already has (invalid sequences carry
+    * through byte-preserved; nothing throws). */
+  def gunzipText(content: Column, maxBytes: Int = 1 << 26): Column =
+    gunzip(content, maxBytes).cast("string")
 }

@@ -131,15 +131,17 @@ object MediaSniff {
           if (tag == 256 && c == 1) width = scalar
           else if (tag == 257 && c == 1) height = scalar
           else if (tag == 277 && c == 1) channels = scalar
-          else if (tag == 258 && typ == 3) {
+          else if (tag == 258) {
             // TIFF 6.0 inlines values whenever count × typeSize ≤ 4:
             // one or two SHORTs sit in the value field itself; only
-            // three-plus go behind an offset
-            if (c <= 2) bits = e16(o + 8)
-            else {
+            // three-plus go behind an offset. A nonstandard LONG-typed
+            // single value still reads as a scalar; count 0 is
+            // malformed and leaves the sentinel.
+            if (typ == 3 && (c == 1 || c == 2)) bits = e16(o + 8)
+            else if (typ == 3 && c >= 3) {
               val off = e32(o + 8)
               if (off >= 0 && off + 2 <= n) bits = e16(off.toInt)
-            }
+            } else if (typ == 4 && c == 1) bits = dim(e32(o + 8))
           }
           i += 1
         }

@@ -136,17 +136,27 @@ object Multimodal {
     * sample: image, caption, metadata), expanded to one row per member
     * for the decode/sniff/curation operators downstream. Pure-JVM
     * `java.util.zip` streaming read, batched `mapPartitions`, shuffle-
-    * free; member order and 0-based `member_idx` follow the archive's
-    * central order. Degrade contract: a corrupt archive keeps the
-    * members already read and stops (never throws); directory entries
-    * are skipped; a member inflating past `maxMemberBytes` is SKIPPED
-    * whole (decompression-bomb guard — truncating silently would feed
-    * corrupt samples downstream). */
+    * free; 0-based `member_idx` is the member's position among the
+    * archive's FILE entries (directories don't count), so it stays a
+    * stable pairing key for webdataset-style (shard, idx) sample
+    * assembly even when a sibling member is skipped — a skipped member
+    * leaves a GAP, it does not renumber the rest. Degrade contract: a
+    * corrupt archive keeps the members already read and stops (never
+    * throws); a member inflating past `maxMemberBytes` is SKIPPED whole
+    * (truncating silently would feed corrupt samples downstream); and
+    * the shard stops expanding once `maxShardBytes` of inflated data
+    * have been kept — the classic zip bomb is MANY small members, so a
+    * per-member cap alone still OOMs the executor. */
   def expandZipShards(
-      shards: DataFrame, maxMemberBytes: Int = 1 << 26)(
+      shards: DataFrame, maxMemberBytes: Int = 1 << 26,
+      maxShardBytes: Long = 1L << 28)(
       implicit spark: SparkSession): Dataset[ArchiveMember] = {
     require(maxMemberBytes >= 1, "expandZipShards: maxMemberBytes must be >= 1")
+    require(maxShardBytes >= 1, "expandZipShards: maxShardBytes must be >= 1")
     import spark.implicits._
+    // clamp before +1: maxMemberBytes = Int.MaxValue must mean "no
+    // per-member cap", not an Int overflow that empties every shard
+    val probe = math.min(maxMemberBytes, Int.MaxValue - 1) + 1
     shards.select(col("shard_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (sid, bytes) =>
@@ -158,13 +168,15 @@ object Multimodal {
             try {
               var e = zin.getNextEntry
               var idx = 0
-              while (e != null) {
+              var total = 0L
+              while (e != null && total < maxShardBytes) {
                 if (!e.isDirectory) {
-                  val buf = zin.readNBytes(maxMemberBytes + 1)
+                  val buf = zin.readNBytes(probe)
                   if (buf.length <= maxMemberBytes) {
                     out += ArchiveMember(sid, idx, e.getName, buf.length.toLong, buf)
-                    idx += 1
+                    total += buf.length
                   }
+                  idx += 1 // archive position: skipped members leave a gap
                 }
                 e = zin.getNextEntry
               }

@@ -338,6 +338,46 @@ object Similarity {
     }
   }
 
+  /** Per-subspace k-means codebooks — PQ's QUALITY path, mirroring
+    * [[ivfTopKKmeans]]: subspace s's centroids come from
+    * [[kmeansCentroids]] run on the corpus projected to that subvector
+    * range (m independent Lloyd runs, index-build cost; the casted
+    * corpus is persisted once through [[graft.CacheRegistry]] so the
+    * m·iters aggregate jobs hit cache rather than re-scanning raw
+    * input). Note the training assignment is this module's cosine while
+    * PQ ENCODING stays squared-L2 per subspace (FAISS semantics) —
+    * spherical-trained centroids, L2-assigned codes. The deterministic
+    * face ([[pqTrainDeterministic]]) remains the oracle-reproducible
+    * baseline, exactly like IVF's smallest-ids quantizer vs s4. */
+  def pqTrainKmeans(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, dims: Int, iters: Int = 5): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dims % m == 0, s"pqTrainKmeans: m must divide dims=$dims")
+    require(ksub >= 1, "pqTrainKmeans: ksub must be >= 1")
+    val subDim = dims / m
+    val casted = graft.CacheRegistry.persisted(
+      corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v")))
+    // same fail-fast contract as the deterministic face: an empty or
+    // ragged corpus must not train silent-garbage codebooks
+    val seed = casted.orderBy(col(idCol)).limit(ksub).collect()
+    require(seed.nonEmpty, "pqTrainKmeans: empty corpus")
+    require(seed.forall(_.getSeq[Double](1).length == dims),
+      s"pqTrainKmeans: corpus vectors must all have $dims dims")
+    Array.tabulate(m) { s =>
+      val sub = casted.select(col(idCol),
+        slice(col("__v"), s * subDim + 1, subDim).as("__sub"))
+      kmeansCentroids(sub, idCol, "__sub", ksub, iters)._2
+    }
+  }
+
+  /** [[pqTopK]] with the deterministic smallest-ids codebooks — the
+    * oracle-reproducible default face; contract below. */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, ksub: Int, dims: Int): DataFrame =
+    pqTopK(corpus, queries, idCol, vecCol, k,
+      pqTrainDeterministic(corpus, idCol, vecCol, m, ksub, dims))
+
   /** Product-quantized (PQ) approximate top-k — the HIGH-ratio
     * compression path next to SQ8's 8×: each corpus vector is stored as
     * `m` centroid indices (m·log2(ksub) bits — dims=64, m=8, ksub=16 is
@@ -347,42 +387,15 @@ object Similarity {
     * shape as [[sq8TopK]]. Encode→reconstruct is ONE fused native
     * expression ([[graft.functions.PqReconstruct]]), so byte codes never
     * materialize and the corpus is never shuffled; only per-partition
-    * top-k rows cross the final reduction.
+    * top-k rows cross the final reduction. Codebooks come from
+    * [[pqTrainDeterministic]] (oracle face) or [[pqTrainKmeans]]
+    * (quality face) — the plan is identical either way.
     *
     * Assignment is squared-L2 per subspace in index order with
     * ties → lowest centroid index; scoring is the module's cosine in
     * index order — every choice an external engine replicates
     * bit-for-bit. Ordering contract as everywhere: (cosine desc, id
     * asc). */
-  /** Per-subspace k-means codebooks — PQ's QUALITY path, mirroring
-    * [[ivfTopKKmeans]]: subspace s's centroids come from
-    * [[kmeansCentroids]] run on the corpus projected to that subvector
-    * range (m independent Lloyd runs, index-build cost). Note the
-    * training assignment is this module's cosine while PQ ENCODING stays
-    * squared-L2 per subspace (FAISS semantics) — spherical-trained
-    * centroids, L2-assigned codes. The deterministic face
-    * ([[pqTrainDeterministic]]) remains the oracle-reproducible
-    * baseline, exactly like IVF's smallest-ids quantizer vs s4. */
-  def pqTrainKmeans(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int, dims: Int, iters: Int = 5): Array[Array[Array[Double]]] = {
-    require(m >= 1 && dims % m == 0, s"pqTrainKmeans: m must divide dims=$dims")
-    val subDim = dims / m
-    Array.tabulate(m) { s =>
-      val sub = corpus.select(col(idCol),
-        slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim).as("__sub"))
-      kmeansCentroids(sub, idCol, "__sub", ksub, iters)._2
-    }
-  }
-
-  def pqTopK(
-      corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, m: Int, ksub: Int, dims: Int): DataFrame =
-    pqTopK(corpus, queries, idCol, vecCol, k,
-      pqTrainDeterministic(corpus, idCol, vecCol, m, ksub, dims))
-
-  /** [[pqTopK]] with pre-trained codebooks (e.g. [[pqTrainKmeans]]) —
-    * same fused encode→reconstruct plan, only the quantizer differs. */
   def pqTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,

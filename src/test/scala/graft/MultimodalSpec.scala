@@ -392,6 +392,20 @@ class MultimodalSpec extends AnyFunSuite {
     // two SHORTs fit the 4-byte value field: TIFF 6.0 inlines them (a
     // gray+alpha BitsPerSample) — must NOT be chased as an offset
     assert(MediaSniff.sniff(leTiff) == MediaSniff.Sniffed("tiff", 7, 5, 8, -1, -1, -1))
+    // nonstandard LONG-typed single BitsPerSample still reads; a
+    // malformed count-0 entry leaves the sentinel instead of reading
+    // garbage from the value field
+    val leTiff2 = Array[Byte]('I', 'I', 0x2a, 0, 8, 0, 0, 0,
+      2, 0,
+      0, 1, 3, 0, 1, 0, 0, 0, 7, 0, 0, 0, // tag 256 SHORT x1 = 7
+      2, 1, 4, 0, 1, 0, 0, 0, 16, 0, 0, 0, // tag 258 LONG x1 = 16
+      0, 0, 0, 0)
+    assert(MediaSniff.sniff(leTiff2) == MediaSniff.Sniffed("tiff", 7, -1, 16, -1, -1, -1))
+    val leTiff0 = Array[Byte]('I', 'I', 0x2a, 0, 8, 0, 0, 0,
+      1, 0,
+      2, 1, 3, 0, 0, 0, 0, 0, 9, 0, 0, 0, // tag 258 SHORT x0 (malformed)
+      0, 0, 0, 0)
+    assert(MediaSniff.sniff(leTiff0).bitDepth == -1)
     assert(MediaSniff.sniff(AviCodec.encodeMjpeg(7, 5, Seq(px))).format == "avi")
     // header-ONLY: cutting the file at the movi LIST (no frame bytes at
     // all) sniffs identically — the payload is never read
@@ -507,12 +521,27 @@ class MultimodalSpec extends AnyFunSuite {
     // truncated archive: members before the cut survive, no throw
     val trunc = Seq((9L, good.take(good.length / 2))).toDF("shard_id", "content")
     Multimodal.expandZipShards(trunc).collect() // must not throw
-    // oversized member skipped whole under a tiny cap
+    // oversized member skipped whole under a tiny cap — and it leaves an
+    // INDEX GAP: member_idx is archive position, the (shard, idx) pairing
+    // key must not shift when a sibling is dropped
     val capped = Multimodal.expandZipShards(
       Seq((5L, good)).toDF("shard_id", "content"), maxMemberBytes = 50)
       .collect()
-    assert(capped.map(_.member_name).toSeq == Seq("s/0.txt"),
-      "the 100-byte member must be skipped whole at cap 50")
+    assert(capped.map(m => (m.member_name, m.member_idx)).toSeq == Seq(("s/0.txt", 1)),
+      "the 100-byte member must be skipped whole at cap 50, leaving idx 0 vacant")
+    // per-SHARD total cap: the classic zip bomb is many small members —
+    // expansion stops once the kept total reaches the cap (prefix kept)
+    val many = zip((0 until 5).map(j => s"m$j" -> Array.fill[Byte](100)('a')): _*)
+    val totalCapped = Multimodal.expandZipShards(
+      Seq((6L, many)).toDF("shard_id", "content"), maxShardBytes = 150L)
+      .collect()
+    assert(totalCapped.map(_.member_name).toSeq == Seq("m0", "m1"),
+      "expansion must stop at the shard total cap")
+    // "no cap" sentinel: Int.MaxValue must not overflow into zero members
+    val uncapped = Multimodal.expandZipShards(
+      Seq((7L, good)).toDF("shard_id", "content"), maxMemberBytes = Int.MaxValue)
+      .collect()
+    assert(uncapped.length == 2)
   }
 
   test("zip + gunzip randomized round-trips; corrupted payloads never throw") {
@@ -595,6 +624,19 @@ class MultimodalSpec extends AnyFunSuite {
       .select(CompressionFunctions.gunzip(col("gz"), maxBytes = 50).as("b"))
       .collect().head
     assert(cappedRow.isNullAt(0))
+    // "no cap" sentinel: Int.MaxValue must not overflow into all-null
+    val unCapped = rows.where(col("id") === 1L)
+      .select(CompressionFunctions.gunzipText(col("gz"), maxBytes = Int.MaxValue).as("t"))
+      .collect().head
+    assert(unCapped.getString(0) == text)
+    // INVALID UTF-8 inside a valid gzip stream must not kill the scan
+    // (Spark 4's decode() throws MALFORMED_CHARACTER_CODING; the cast
+    // carries the bytes through like any parquet string column)
+    val badUtf8 = Seq(Tuple1(gz(Array(0xc3.toByte, 0x28.toByte, 'o'.toByte, 'k'.toByte))))
+      .toDF("gz")
+      .select(CompressionFunctions.gunzipText(col("gz")).as("t"))
+      .collect().head
+    assert(!badUtf8.isNullAt(0), "latin-1-ish bytes must degrade, not throw or null")
   }
 
   test("resizeImages: gradient downscale by 2 is the exact 2x2 block mean, pixel for pixel") {
