@@ -67,7 +67,8 @@ object ScaleProbe {
       "p12_mixture_upsample", "p13_length_buckets",
       "m9_frame_extract", "m10_media_sniff", "t22_html_extract",
       "t23_url_features", "x33_scd2_history", "s7_ann_pq",
-      "d13_paragraph_near_dedup", "m11_zip_shards", "t26_gunzip_text")
+      "d13_paragraph_near_dedup", "m11_zip_shards", "t26_gunzip_text",
+      "m12_audio_resample", "m13_patchify")
     // optional args = probe-name filter (run a subset while iterating);
     // unknown names fail loudly — a typo must not look like a clean run
     val unknown = args.toSet -- probes.toSet

@@ -126,6 +126,111 @@ object Multimodal {
       .select("media_id", "__sniff.*")
   }
 
+  /** One resampled clip from [[audioResample]]. */
+  final case class ResampledAudio(
+      media_id: Long, src_rate: Int, dst_rate: Int, n_src: Int, n_out: Int,
+      sum_out: Long, content: Array[Byte])
+
+  /** Audio rate conversion — the 16 kHz standardization pass every
+    * speech-model pipeline runs before featurization: channel 0 of each
+    * plain-PCM WAV payload is LINEARLY interpolated onto the target
+    * rate's sample grid (`x_j = j·src/dst`; the last source sample holds
+    * beyond the final interval) and re-encoded as a mono 16-bit WAV.
+    * Values are computed in double as `s0 + (s1 − s0)·frac` in exactly
+    * that order, then `floor(v + 0.5)` (not round — half-away rules
+    * differ across engines) and clamped to int16 — every step an
+    * external oracle replicates bit-for-bit on synthetic ramps.
+    * `sum_out` (the sum of emitted samples) rides along as the cheap
+    * checksum the oracle checks without carrying audio binary. Non-WAV
+    * and non-16-bit payloads contribute no rows; batched
+    * `mapPartitions` via the lock-free [[WavCodec]], shuffle-free. */
+  def audioResample(media: DataFrame, dstRate: Int)(
+      implicit spark: SparkSession): Dataset[ResampledAudio] = {
+    require(dstRate >= 1, "audioResample: dstRate must be >= 1")
+    val in = media.select("media_id", "content", "mime").as(Encoders.product[MediaRecord])
+    in.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(_.flatMap { m =>
+        WavCodec.parse(m.content) match {
+          case Some(w) if w.bitsPerSample == 16 && w.rate >= 1 && w.nFrames >= 1 =>
+            val n = w.nFrames
+            val nOut = (((n - 1).toLong * dstRate) / w.rate).toInt + 1
+            val outS = new Array[Short](nOut)
+            var sum = 0L
+            var j = 0
+            while (j < nOut) {
+              val x = j.toDouble * w.rate / dstRate
+              val i0 = x.toInt
+              val v =
+                if (i0 >= n - 1) w.sample16(n - 1, 0).toDouble
+                else {
+                  val s0 = w.sample16(i0, 0).toDouble
+                  s0 + (w.sample16(i0 + 1, 0).toDouble - s0) * (x - i0)
+                }
+              val r = math.max(-32768.0, math.min(32767.0, math.floor(v + 0.5))).toInt
+              outS(j) = r.toShort
+              sum += r
+              j += 1
+            }
+            Some(ResampledAudio(m.media_id, w.rate, dstRate, n, nOut, sum,
+              WavCodec.encodePcm16(dstRate, 1, outS)))
+          case _ => None
+        }
+      })
+    }(Encoders.product[ResampledAudio])
+  }
+
+  /** One ViT-style patch from [[patchify]]. */
+  final case class ImagePatch(
+      media_id: Long, px: Int, py: Int, patch: Int, mean_lum: Double)
+
+  /** Patch extraction — the ViT preprocessing shape: each decoded image
+    * is cut into a non-overlapping `patch`×`patch` grid (partial edge
+    * blocks DROPPED, the standard convention) and one row per patch
+    * carries its grid position and mean sRGB luminance in [0, 1] — the
+    * per-patch statistic downstream filters sort/threshold on without
+    * touching pixels. Per-pixel luminance is `(r+g+b)/3.0` and the
+    * block mean divides by `patch²` then 255 — fixed order, so gray
+    * fixtures (integer-exact sums) reproduce externally bit-for-bit.
+    * Undecodable payloads and images smaller than one patch contribute
+    * no rows; batched `mapPartitions`, shuffle-free. */
+  def patchify(media: DataFrame, patch: Int)(
+      implicit spark: SparkSession): Dataset[ImagePatch] = {
+    require(patch >= 1, "patchify: patch must be >= 1")
+    val in = media.select("media_id", "content", "mime").as(Encoders.product[MediaRecord])
+    in.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(_.flatMap { m =>
+        val img =
+          if (m.mime != null && m.mime.startsWith("image/"))
+            try readImage(m.content)
+            catch { case scala.util.control.NonFatal(_) => null }
+          else null
+        if (img == null) Iterator.empty
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          for {
+            py <- (0 until h / patch).iterator
+            px <- (0 until w / patch).iterator
+          } yield {
+            var lum = 0.0
+            var dy = 0
+            while (dy < patch) {
+              var dx = 0
+              while (dx < patch) {
+                val rgb = img.getRGB(px * patch + dx, py * patch + dy)
+                lum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+                dx += 1
+              }
+              dy += 1
+            }
+            ImagePatch(m.media_id, px, py, patch,
+              lum / (patch * patch) / 255.0)
+          }
+        }
+      })
+    }(Encoders.product[ImagePatch])
+  }
+
   /** One archive member from [[expandZipShards]]. */
   final case class ArchiveMember(
       shard_id: Long, member_idx: Int, member_name: String,

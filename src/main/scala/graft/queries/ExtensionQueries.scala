@@ -535,6 +535,60 @@ object ExtensionQueries {
     Multimodal.sniffMedia(media)
   }
 
+  /** Audio resample end-to-end: per-doc int16 ramp WAVs (s_i = c + d·i,
+    * exactly representable) linearly interpolated onto a fixed 16 kHz
+    * grid. The oracle replays the interpolation ARITHMETIC — same
+    * operand order, same floor(v+0.5) — over the construction formulas;
+    * sum_out is the binary-free checksum. id%8==0 sources are already
+    * 16 kHz (identity path), others up- or down-sample. */
+  private def m12(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    val media = table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("media_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val src = (8000 + (id % 8) * 1000).toInt
+        val n = (40 + id % 30).toInt
+        val c = (id % 100 - 50).toInt
+        val d = (id % 7 - 3).toInt
+        Multimodal.MediaRecord(id,
+          graft.multimodal.WavCodec.encodePcm16(src, 1,
+            Array.tabulate[Short](n)(i => (c + d * i).toShort)),
+          "audio/wav")
+      })
+      .toDF()
+    Multimodal.audioResample(media, dstRate = 16000).toDF()
+      .select("media_id", "src_rate", "dst_rate", "n_src", "n_out", "sum_out")
+  }
+
+  /** ViT-style patchify end-to-end: gray gradient PNGs (gray = 16x + y,
+    * wrap-free at the chosen dims) cut into 4×4 patches; per-patch mean
+    * luminance is an integer-exact sum both engines replay in the same
+    * order, so the oracle is a closed double formula. */
+  private def m13(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    val media = table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("media_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 8).toInt  // ≤ 15 → 16x + y ≤ 252, no wrap
+        val h = (4 + id % 9).toInt  // ≤ 12
+        val px = Array.tabulate(w * h) { i =>
+          val g = 16 * (i % w) + i / w
+          (g << 16) | (g << 8) | g
+        }
+        Multimodal.MediaRecord(id, Multimodal.encodeImage("png", w, h, px), "image/png")
+      })
+      .toDF()
+    Multimodal.patchify(media, patch = 4).toDF()
+      .select(col("media_id"), col("px"), col("py"),
+        round(col("mean_lum"), 9).as("mean_lum"))
+  }
+
   /** Archive-shard expansion end-to-end (the webdataset ingestion
     * shape): per-doc zip bundles built in-plan (1 + id%4 members, name
     * and size by formula), expanded to one row per member. The oracle
@@ -2399,6 +2453,37 @@ object ExtensionQueries {
         (CASE WHEN doc_id % 7 = 4 THEN 50 + doc_id % 100
               WHEN doc_id % 7 = 5 THEN 1 + doc_id % 4 END)::INT AS n_frames
       FROM documents""")),
+    Q("m12_audio_resample", m12, Some("""
+      WITH p AS (
+        SELECT doc_id,
+          (8000 + (doc_id % 8) * 1000)::INT AS src,
+          (40 + doc_id % 30)::INT AS n,
+          (doc_id % 100 - 50)::INT AS c,
+          (doc_id % 7 - 3)::INT AS d
+        FROM documents),
+      q AS (SELECT *, (((n - 1) * 16000) // src + 1)::INT AS n_out FROM p)
+      SELECT doc_id AS media_id, src AS src_rate, 16000::INT AS dst_rate,
+        n AS n_src, n_out,
+        list_sum(list_transform(range(0, n_out), j ->
+          floor((CASE WHEN floor((j::DOUBLE * src) / 16000) >= n - 1
+                 THEN (c + d * (n - 1))::DOUBLE
+                 ELSE (c + d * floor((j::DOUBLE * src) / 16000))
+                      + ((c + d * (floor((j::DOUBLE * src) / 16000) + 1))
+                         - (c + d * floor((j::DOUBLE * src) / 16000)))
+                        * ((j::DOUBLE * src) / 16000
+                           - floor((j::DOUBLE * src) / 16000))
+                 END) + 0.5)::BIGINT))::BIGINT AS sum_out
+      FROM q""")),
+    Q("m13_patchify", m13, Some("""
+      SELECT a.doc_id AS media_id, px::INT AS px, py::INT AS py,
+        round(list_sum(list_transform(range(0, 16), f ->
+            (16 * (px * 4 + (f % 4)) + (py * 4 + (f // 4)))::DOUBLE))
+          / 16 / 255, 9) AS mean_lum
+      FROM (SELECT doc_id, unnest(range(0, (8 + doc_id % 8) // 4)) AS px
+            FROM documents) a
+      JOIN (SELECT doc_id, unnest(range(0, (4 + doc_id % 9) // 4)) AS py
+            FROM documents) b
+        ON a.doc_id = b.doc_id""")),
     Q("m11_zip_shards", m11, Some("""
       SELECT doc_id AS shard_id, j::INT AS member_idx,
         'doc' || doc_id || '/f' || j || '.txt' AS member_name,

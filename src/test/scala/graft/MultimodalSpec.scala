@@ -489,6 +489,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert((1 to 7).forall(unk.isNullAt), "unknown payload must yield all-null fields")
   }
 
+  test("audioResample: identity rate is lossless; ramps interpolate exactly; output re-parses") {
+    import spark.implicits._
+    import graft.multimodal.WavCodec
+    val ramp = Array.tabulate[Short](50)(i => (-20 + 3 * i).toShort)
+    val media = Seq(
+      (1L, WavCodec.encodePcm16(16000, 1, ramp), "audio/wav"),
+      (2L, WavCodec.encodePcm16(8000, 1, ramp), "audio/wav"),     // upsample 2x
+      (3L, WavCodec.encodePcm16(32000, 1, ramp), "audio/wav"),    // downsample 2x
+      (4L, "not audio".getBytes("UTF-8"), "audio/wav"))           // corrupt: no row
+      .toDF("media_id", "content", "mime")
+    val out = Multimodal.audioResample(media, 16000).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(!out.contains(4L))
+    // identity: same frame count, byte-identical samples
+    val id16 = WavCodec.parse(out(1L).content).get
+    assert(out(1L).n_out == 50 && id16.rate == 16000 && id16.nFrames == 50)
+    assert((0 until 50).forall(i => id16.sample16(i, 0) == ramp(i)))
+    // 2x upsample of a ramp: every midpoint lands exactly between
+    // neighbors (linear of linear), floor(v+0.5) rounds the half up
+    val up = WavCodec.parse(out(2L).content).get
+    assert(out(2L).n_out == 99 && up.rate == 16000)
+    assert((0 until 49).forall { i =>
+      up.sample16(2 * i, 0) == ramp(i) &&
+        up.sample16(2 * i + 1, 0) ==
+          math.floor((ramp(i) + ramp(i + 1)) / 2.0 + 0.5).toInt
+    })
+    // 2x downsample: every other source sample, last included
+    val down = WavCodec.parse(out(3L).content).get
+    assert(out(3L).n_out == 25)
+    assert((0 until 25).forall(i => down.sample16(i, 0) == ramp(2 * i)))
+    assert(out(3L).sum_out == (0 until 25).map(i => ramp(2 * i).toLong).sum)
+  }
+
+  test("patchify: exact block means on a gradient; partial edges dropped; non-images vanish") {
+    import spark.implicits._
+    // 10x6 gradient gray = 16x + y, patch 4: grid is 2x1, the right 2
+    // columns and bottom 2 rows are dropped (the ViT convention)
+    val w = 10; val h = 6
+    val px = Array.tabulate(w * h) { i =>
+      val g = 16 * (i % w) + i / w
+      (g << 16) | (g << 8) | g
+    }
+    val media = Seq(
+      (1L, Multimodal.encodeImage("png", w, h, px), "image/png"),
+      (2L, "junk".getBytes("UTF-8"), "image/png"),
+      (3L, Multimodal.encodeImage("png", w, h, px), "text/plain"))
+      .toDF("media_id", "content", "mime")
+    val out = Multimodal.patchify(media, 4).collect()
+    assert(out.forall(_.media_id == 1L), "only the decodable image yields patches")
+    val byPos = out.map(p => (p.px, p.py) -> p.mean_lum).toMap
+    assert(byPos.keySet == Set((0, 0), (1, 0)))
+    def expected(pxi: Int): Double = {
+      var lum = 0.0
+      for (dy <- 0 until 4; dx <- 0 until 4)
+        lum += 16 * (pxi * 4 + dx) + dy
+      lum / 16 / 255.0
+    }
+    assert(byPos((0, 0)) == expected(0) && byPos((1, 0)) == expected(1))
+    // a patch larger than the image yields nothing rather than a crash
+    assert(Multimodal.patchify(media.where(col("media_id") === 1L), 16).count() == 0)
+  }
+
   test("expandZipShards: exact member round-trip; dirs skipped; corrupt/oversized degrade") {
     import spark.implicits._
     def zip(entries: (String, Array[Byte])*): Array[Byte] = {
