@@ -246,4 +246,35 @@ class EdgeCasesSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(same == dim.collect().map(_.toSeq).toSet)
   }
+
+  test("late round-4 operators on degenerate inputs: empty results or loud errors, never a crash") {
+    import graft.multimodal.Multimodal
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val emptyMedia = Seq.empty[(Long, Array[Byte], String)].toDF("media_id", "content", "mime")
+    // resample / patchify: empty in → empty out; bad params are loud
+    assert(Multimodal.audioResample(emptyMedia, 16000).count() == 0)
+    intercept[IllegalArgumentException] { Multimodal.audioResample(emptyMedia, 0) }
+    assert(Multimodal.patchify(emptyMedia, 4).count() == 0)
+    intercept[IllegalArgumentException] { Multimodal.patchify(emptyMedia, 0) }
+    // single-frame WAV: identity resample emits that one frame
+    val one = Seq((1L, graft.multimodal.WavCodec.encodePcm16(16000, 1, Array[Short](7)),
+      "audio/wav")).toDF("media_id", "content", "mime")
+    val r = Multimodal.audioResample(one, 16000).collect().head
+    assert(r.n_out == 1 && r.sum_out == 7L)
+    // zip expansion: empty relation → empty; zero caps are loud
+    val emptyShards = Seq.empty[(Long, Array[Byte])].toDF("shard_id", "content")
+    assert(Multimodal.expandZipShards(emptyShards).count() == 0)
+    intercept[IllegalArgumentException] { Multimodal.expandZipShards(emptyShards, 0) }
+    // PQ k-means trainer: empty corpus is a loud error, not garbage codebooks
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.similarity.Similarity.pqTrainKmeans(emptyVecs, "vec_id", "embedding", 2, 2, 8)
+    }
+    // ragged corpus: loud error (slice would silently train short centroids)
+    val ragged = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.similarity.Similarity.pqTrainKmeans(ragged, "vec_id", "embedding", 2, 2, 4)
+    }
+  }
 }
