@@ -280,4 +280,38 @@ object TrainingPrep {
       .select(col(groupCol), explode(col("__picked")).as("__e"))
       .select(col("__e._2").as(idCol), col(groupCol))
   }
+
+  /** SENTENCE-AWARE chunking — the RAG/pretraining chunker that never
+    * splits a sentence: documents are segmented
+    * ([[graft.text.TextAnalysis.sentences]]) and each sentence lands in
+    * chunk `floor(chars-before-it / maxChars)` — cumulative-threshold
+    * assignment, so boundaries fall between sentences and a chunk may
+    * overflow `maxChars` by at most one sentence (the documented
+    * approximation; a greedy reset-on-overflow rule needs a sequential
+    * scan no window expresses, and this definition is reproducible as a
+    * plain window in ANY engine). Contrast [[chunkDocs]], which windows
+    * TOKENS exactly but cuts mid-sentence. Chunk text rejoins the
+    * sentences with single spaces (original inter-sentence whitespace
+    * is not preserved).
+    *
+    * One shuffle on the doc key + one in-partition sort (the window),
+    * then the chunk groupBy reuses the same partitioning — the x4/x33
+    * window shape. */
+  def sentenceChunks(
+      df: DataFrame, idCol: String, textCol: String, maxChars: Int): DataFrame = {
+    require(maxChars >= 1, "sentenceChunks: maxChars >= 1")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sent_idx"))
+    df.select(col(idCol),
+        posexplode(graft.text.TextAnalysis.sentences(col(textCol)))
+          .as(Seq("sent_idx", "sentence")))
+      .withColumn("__cum_before",
+        sum(length(col("sentence")).cast("long")).over(w) -
+          length(col("sentence")).cast("long"))
+      .withColumn("chunk_id", expr(s"__cum_before div $maxChars"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        array_sort(collect_list(struct(col("sent_idx"), col("sentence")))).as("ss"))
+      .select(col(idCol), col("chunk_id"), col("n_sentences"),
+        concat_ws(" ", transform(col("ss"), x => x.getField("sentence"))).as("chunk_text"))
+  }
 }

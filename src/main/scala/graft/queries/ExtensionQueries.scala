@@ -535,6 +535,41 @@ object ExtensionQueries {
     Multimodal.sniffMedia(media)
   }
 
+  /** Sentence segmentation end-to-end: punctuated pages built in-plan
+    * (docs joined with '. ', alternating terminators, one trailing
+    * unterminated clause), split by the RE2-portable pattern. The
+    * oracle runs the SAME pattern in DuckDB — exact rows, indexes, and
+    * char counts. */
+  private def t27(s: SparkSession, dir: String): DataFrame = {
+    val pages = sentencePages(s, dir)
+    pages.select(col("page_id"),
+        posexplode(graft.text.TextAnalysis.sentences(col("text")))
+          .as(Seq("sent_idx", "sentence")))
+      .withColumn("n_chars", length(col("sentence")).cast("long"))
+  }
+
+  /** Sentence-aware chunking end-to-end over the same pages: sentences
+    * assigned to chunks at cumulative-char thresholds (never split),
+    * rejoined in order. The oracle replays segmentation + the window
+    * cumulative + integer division. */
+  private def p14(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TrainingPrep.sentenceChunks(
+      sentencePages(s, dir), "page_id", "text", maxChars = 200)
+
+  /** Shared fixture for t27/p14: 5-doc pages, members joined by '. ',
+    * a '!' replacing the joiner every third page, and an unterminated
+    * tail clause — covers terminator variety and the trailing-text
+    * rule. */
+  private def sentencePages(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .groupBy(expr("doc_id div 5").as("page_id"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("text")))).as("dt"))
+      .select(col("page_id"),
+        concat(
+          concat_ws(". ", transform(col("dt"), x => x.getField("text"))),
+          when(col("page_id") % 3 === 0, lit("! final unterminated clause"))
+            .otherwise(lit(". tail sentence?"))).as("text"))
+
   /** Audio resample end-to-end: per-doc int16 ramp WAVs (s_i = c + d·i,
     * exactly representable) linearly interpolated onto a fixed 16 kHz
     * grid. The oracle replays the interpolation ARITHMETIC — same
@@ -2453,6 +2488,56 @@ object ExtensionQueries {
         (CASE WHEN doc_id % 7 = 4 THEN 50 + doc_id % 100
               WHEN doc_id % 7 = 5 THEN 1 + doc_id % 4 END)::INT AS n_frames
       FROM documents""")),
+    Q("t27_sentences", t27, Some("""
+      WITH g AS (SELECT doc_id // 5 AS page_id, doc_id, text FROM documents),
+      pages AS (
+        SELECT page_id,
+          string_agg(text, '. ' ORDER BY doc_id)
+            || (CASE WHEN page_id % 3 = 0 THEN '! final unterminated clause'
+                     ELSE '. tail sentence?' END) AS text
+        FROM g GROUP BY page_id),
+      segs AS (
+        SELECT page_id,
+          list_filter(list_transform(
+            regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)),
+            x -> x <> '') AS ss
+        FROM pages),
+      sents AS (
+        SELECT page_id,
+          generate_subscripts(ss, 1) - 1 AS sent_idx,
+          unnest(ss) AS sentence
+        FROM segs)
+      SELECT page_id, sent_idx, sentence, length(sentence)::BIGINT AS n_chars
+      FROM sents""")),
+    Q("p14_sentence_chunks", p14, Some("""
+      WITH g AS (SELECT doc_id // 5 AS page_id, doc_id, text FROM documents),
+      pages AS (
+        SELECT page_id,
+          string_agg(text, '. ' ORDER BY doc_id)
+            || (CASE WHEN page_id % 3 = 0 THEN '! final unterminated clause'
+                     ELSE '. tail sentence?' END) AS text
+        FROM g GROUP BY page_id),
+      segs AS (
+        SELECT page_id,
+          list_filter(list_transform(
+            regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)),
+            x -> x <> '') AS ss
+        FROM pages),
+      sents AS (
+        SELECT page_id,
+          generate_subscripts(ss, 1) - 1 AS sent_idx,
+          unnest(ss) AS sentence
+        FROM segs),
+      cum AS (
+        SELECT *,
+          sum(length(sentence)) OVER (
+            PARTITION BY page_id ORDER BY sent_idx) - length(sentence) AS cum_before
+        FROM sents)
+      SELECT page_id, (cum_before // 200)::BIGINT AS chunk_id,
+        count(*)::BIGINT AS n_sentences,
+        string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text
+      FROM cum
+      GROUP BY page_id, chunk_id""")),
     Q("m12_audio_resample", m12, Some("""
       WITH p AS (
         SELECT doc_id,

@@ -69,4 +69,18 @@ object TextAnalysis {
     df.where(length(col(textCol)) >= window)
       .withColumn("fingerprint", minHashFingerprint(col(textCol), window))
       .withColumn("n_windows", (length(col(textCol)) - lit(window - 1)).cast("long"))
+
+  /** Sentence segmentation as a pure Column: maximal runs of
+    * non-terminator characters plus their trailing `.`/`!`/`?`
+    * punctuation, trimmed, empties dropped. The pattern deliberately
+    * uses only character classes — no lookbehind (RE2 has none), no
+    * abbreviation heuristics — so any engine reproduces the EXACT same
+    * split; text after a final unterminated sentence is kept as a
+    * sentence of its own. The honest simple splitter: "Dr. Smith"
+    * splits at the period, which is the documented tradeoff of every
+    * rule-free segmenter. */
+  def sentences(c: Column): Column =
+    filter(
+      transform(regexp_extract_all(c, lit("[^.!?]+[.!?]*"), lit(0)), s => trim(s)),
+      s => s =!= "")
 }

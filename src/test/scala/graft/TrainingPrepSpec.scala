@@ -239,4 +239,43 @@ class TrainingPrepSpec extends AnyFunSuite {
     val all = TrainingPrep.groupQuota(df, "id", "grp", quota = 50)
     assert(all.count() == 100)
   }
+
+  test("sentences: terminator variety, trailing clause kept, abbreviation tradeoff pinned") {
+    import spark.implicits._
+    def seg(s: String): Seq[String] =
+      Seq(Tuple1(s)).toDF("t")
+        .select(graft.text.TextAnalysis.sentences(col("t")).as("ss"))
+        .collect().head.getSeq[String](0)
+    assert(seg("One two. Three four! Five six? trailing clause") ==
+      Seq("One two.", "Three four!", "Five six?", "trailing clause"))
+    // consecutive terminators ride with the preceding sentence
+    assert(seg("Wait... what?! ok") == Seq("Wait...", "what?!", "ok"))
+    // the documented rule-free tradeoff: abbreviations split
+    assert(seg("Dr. Smith left.") == Seq("Dr.", "Smith left."))
+    assert(seg("") == Seq.empty)
+    assert(seg("   ") == Seq.empty)
+  }
+
+  test("sentenceChunks: boundaries between sentences, cumulative-threshold assignment, order kept") {
+    import spark.implicits._
+    // sentences of 10 chars each ("aaaaaaaaa." etc): with maxChars 25,
+    // cum_before = 0,10,20,30,40 -> chunks 0,0,0,1,1
+    val text = (1 to 5).map(i => ("x" * 9) + ".").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val out = TrainingPrep.sentenceChunks(df, "doc_id", "text", maxChars = 25)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L)._1 == 3L && out(1L)._1 == 2L)
+    assert(out(0L)._2 == Seq.fill(3)(("x" * 9) + ".").mkString(" "))
+    assert(out(1L)._2 == Seq.fill(2)(("x" * 9) + ".").mkString(" "))
+    // a sentence longer than maxChars still lands whole in one chunk
+    val long = Seq((2L, ("y" * 80) + ". short one.")).toDF("doc_id", "text")
+    val lo = TrainingPrep.sentenceChunks(long, "doc_id", "text", maxChars = 25)
+      .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+    assert(lo(0L) == ("y" * 80) + ".")
+    assert(lo(3L) == "short one.") // cum_before 81 -> chunk 3
+    // empty text -> no rows
+    assert(TrainingPrep.sentenceChunks(
+      Seq((3L, "")).toDF("doc_id", "text"), "doc_id", "text", 25).count() == 0)
+  }
 }
