@@ -769,6 +769,57 @@ object Dedup {
         concat_ws(sep, transform(col("pl"), x => x.getField("line"))).as("text_clean"))
   }
 
+  /** Sentence-level exact dedup with document reassembly — [[lineDedup]]
+    * at sentence granularity: documents are segmented by the RE2-portable
+    * splitter ([[graft.text.TextAnalysis.sentences]] — maximal runs of
+    * non-terminator characters plus trailing `.!?`, trimmed, empties
+    * dropped) instead of a literal separator, and a sentence that has
+    * already appeared anywhere in the corpus is removed from every LATER
+    * document (first occurrence = smallest (id, position) keeps it).
+    * This is the granularity CCNet/RefinedWeb-class pipelines use for
+    * boilerplate that is punctuated prose rather than newline-delimited
+    * chrome ("All rights reserved." repeats across millions of pages with
+    * no surrounding newlines — line dedup never sees it).
+    *
+    * Same plan shape as [[lineDedup]]: posexplode sentences → md5 key →
+    * one `min(struct(id, pos))` hash-aggregate claim (partial aggregation
+    * ships one candidate per key per partition) → equi-join the claim back
+    * → position-sorted reassembly. All shuffles on uniform hash/id keys;
+    * nothing quadratic. Original inter-sentence whitespace is not
+    * recoverable after segmentation, so `text_clean` rejoins survivors
+    * with a single space (the [[graft.pipeline.TrainingPrep.sentenceChunks]]
+    * convention).
+    *
+    * `perDoc = true` scopes the claim to (doc, sentence): repetition
+    * inside one document collapses while cross-document repeats survive
+    * (the Dolma within-doc pass). A document whose every sentence was
+    * claimed earlier disappears from the output.
+    *
+    * Output: (idCol, n_sents, n_kept, text_clean). */
+  def sentenceDedup(df: DataFrame, idCol: String, textCol: String,
+      perDoc: Boolean = false): DataFrame = {
+    val sents = df
+      .select(col(idCol),
+        size(graft.text.TextAnalysis.sentences(col(textCol))).as("n_sents"),
+        posexplode(graft.text.TextAnalysis.sentences(col(textCol)))
+          .as(Seq("pos", "sent")))
+      .withColumn("sk", md5(col("sent")))
+    val claimKeys = if (perDoc) Seq(col(idCol), col("sk")) else Seq(col("sk"))
+    val firstClaim = sents
+      .groupBy(claimKeys: _*)
+      .agg(min(struct(col(idCol).as("id"), col("pos").as("pos"))).as("first"))
+    sents
+      .join(firstClaim, if (perDoc) Seq(idCol, "sk") else Seq("sk"))
+      .where(col(idCol) === col("first.id") && col("pos") === col("first.pos"))
+      .groupBy(col(idCol))
+      .agg(
+        min(col("n_sents")).cast("long").as("n_sents"), // constant per doc
+        count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("pos"), col("sent")))).as("ps"))
+      .select(col(idCol), col("n_sents"), col("n_kept"),
+        concat_ws(" ", transform(col("ps"), x => x.getField("sent"))).as("text_clean"))
+  }
+
   /** Paragraph-level NEAR-dedup with reassembly — [[lineDedup]]'s fuzzy
     * sibling: instead of exact line identity, paragraphs are matched by
     * MinHash-LSH shingle Jaccard (the [[minhashLsh]] machinery at

@@ -180,6 +180,25 @@ object ExtensionQueries {
     Dedup.lineDedup(pages, "page_id", "text")
   }
 
+  /** Sentence-level exact dedup with reassembly over punctuated pages:
+    * the d9 duplicate-injection fixture (every doc_id % 5 == 0 document
+    * re-appears verbatim on a far page) joined with '. ' so each member
+    * doc becomes one sentence — cross-page duplicate SENTENCES exist at
+    * every SF and must be stripped from the later page, first occurrence
+    * wins. The oracle replays segmentation + rank + reassembly. */
+  private def d14(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select("doc_id", "text")
+    val base = d.unionAll(d.where(col("doc_id") % 5 === 0).select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val pages = base
+      .groupBy(expr("doc_id div 5").as("page_id"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("text")))).as("dt"))
+      .select(col("page_id"),
+        concat(concat_ws(". ", transform(col("dt"), x => x.getField("text"))),
+          lit(".")).as("text"))
+    Dedup.sentenceDedup(pages, "page_id", "text")
+  }
+
   /** Within-document line dedup (the Dolma per-doc pass, vs d9's global
     * RefinedWeb one): pages synthesized with a boilerplate header line
     * before every constituent doc — within a page only the FIRST header
@@ -2657,6 +2676,37 @@ object ExtensionQueries {
       kept AS (SELECT * FROM ranked WHERE rn = 1)
       SELECT page_id, min(n_lines) AS n_lines, count(*) AS n_kept,
         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+      FROM kept GROUP BY page_id""")),
+
+    // same segmentation CTE family as t27; rank-by-(page, pos) claim and
+    // space-rejoined reassembly mirror d9's, at sentence granularity
+    Q("d14_sentence_dedup", d14, Some("""
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      pages AS (
+        SELECT doc_id // 5 AS page_id,
+          string_agg(text, '. ' ORDER BY doc_id) || '.' AS text
+        FROM base GROUP BY 1),
+      segs AS (
+        SELECT page_id,
+          list_filter(list_transform(
+            regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)),
+            x -> x <> '') AS ss
+        FROM pages),
+      sents AS (
+        SELECT page_id,
+          generate_subscripts(ss, 1) AS pos,
+          unnest(ss) AS sent,
+          len(ss)::BIGINT AS n_sents
+        FROM segs),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY sent ORDER BY page_id, pos) AS rn
+        FROM sents),
+      kept AS (SELECT * FROM ranked WHERE rn = 1)
+      SELECT page_id, min(n_sents) AS n_sents, count(*) AS n_kept,
+        string_agg(sent, ' ' ORDER BY pos) AS text_clean
       FROM kept GROUP BY page_id""")),
 
     // registry claims (corpus min id) win; keys new to the increment are

@@ -318,6 +318,46 @@ class DedupSpec extends AnyFunSuite {
     assert(a.contains((1L, 1L, "body 1")))
   }
 
+  test("sentenceDedup: repeated sentences stripped from later docs, reassembly space-joined") {
+    val pages = Seq(
+      (1L, "All rights reserved. Alpha body text here! Questions remain?"),
+      (2L, "Beta content is new. All rights reserved."), // boilerplate seen on page 1
+      (3L, "All rights reserved. Questions remain?"))    // fully duplicated page
+      .toDF("page_id", "text")
+    val out = Dedup.sentenceDedup(pages, "page_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 3L,
+      "All rights reserved. Alpha body text here! Questions remain?")))
+    assert(out(2L) == ((2L, 1L, "Beta content is new.")))
+    assert(!out.contains(3L), "a page whose every sentence is claimed earlier disappears")
+  }
+
+  test("sentenceDedup: perDoc scopes the claim; within-doc repeats collapse, cross-doc survive") {
+    val pages = Seq(
+      (1L, "Buy now. Real content one. Buy now."),
+      (2L, "Buy now. Real content two."))
+      .toDF("page_id", "text")
+    val out = Dedup.sentenceDedup(pages, "page_id", "text", perDoc = true)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // page 1 loses only its SECOND "Buy now."; page 2 keeps its own copy
+    assert(out(1L) == ((3L, 2L, "Buy now. Real content one.")))
+    assert(out(2L) == ((2L, 2L, "Buy now. Real content two.")))
+  }
+
+  test("sentenceDedup is partition-invariant and matches the segmentation contract") {
+    val pages = (0L to 40L).map(i =>
+      (i, s"Common header sentence. Body number $i! Common footer sentence?"))
+      .toDF("page_id", "text")
+    val a = Dedup.sentenceDedup(pages, "page_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    val b = Dedup.sentenceDedup(pages.repartition(7), "page_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(a == b)
+    assert(a.contains((0L,
+      3L, "Common header sentence. Body number 0! Common footer sentence?")))
+    assert(a.contains((1L, 1L, "Body number 1!")))
+  }
+
   test("paragraphNearDedup: fuzzy boilerplate removed first-occurrence-wins, short paras survive") {
     import spark.implicits._
     // one-word edit at the tail: 17 of 19 shingles shared (jaccard ~0.89,

@@ -498,4 +498,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Set((1L, "png"), (2L, null)))
     } finally mq.stop()
   }
+
+  test("audio resample + patchify are stream-transparent: batch ≡ stream") {
+    implicit val ctx = spark.sqlContext
+    // both are stateless typed mapPartitions — the SAME definition must
+    // run unchanged over a MemoryStream with identical rows out
+    val M = graft.multimodal.Multimodal
+    val ramp = (0 until 50).map(i => (-100 + 7 * i).toShort).toArray
+    val rows = Seq(
+      (1L, graft.multimodal.WavCodec.encodePcm16(8000, 1, ramp), "audio/wav"),
+      (2L, "junk".getBytes("UTF-8"), "audio/wav"), // undecodable: no rows
+      (3L, M.solidPng(120, 9, 7), "image/png"),    // 2x1 grid of 4x4 patches
+      (4L, Array[Byte](1, 2, 3), "image/png"))     // undecodable: no rows
+    val src = MemoryStream[(Long, Array[Byte], String)]
+    val media = src.toDF().toDF("media_id", "content", "mime")
+
+    val rq = M.audioResample(media, 16000).writeStream.format("memory")
+      .queryName("m12_stream").outputMode(OutputMode.Append()).start()
+    val pq = M.patchify(media, 4).writeStream.format("memory")
+      .queryName("m13_stream").outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(rows: _*)
+      rq.processAllAvailable()
+      pq.processAllAvailable()
+      val batchMedia = rows.toDF("media_id", "content", "mime")
+      def rShape(df: org.apache.spark.sql.DataFrame) = df
+        .select("media_id", "src_rate", "dst_rate", "n_src", "n_out", "sum_out")
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))
+        .toSet
+      assert(rShape(spark.table("m12_stream")) ==
+        rShape(M.audioResample(batchMedia, 16000).toDF()))
+      assert(rShape(spark.table("m12_stream")).map(t => (t._1, t._4, t._5)) ==
+        Set((1L, 50, 99))) // (n-1)*16000/8000 + 1
+      def pShape(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4))).toSet
+      assert(pShape(spark.table("m13_stream")) ==
+        pShape(M.patchify(batchMedia, 4).toDF()))
+      // solid gray 120: every patch mean is exactly 120/255
+      assert(pShape(spark.table("m13_stream")) ==
+        Set((3L, 0, 0, 4, 120.0 / 255.0), (3L, 1, 0, 4, 120.0 / 255.0)))
+    } finally { rq.stop(); pq.stop() }
+  }
 }
