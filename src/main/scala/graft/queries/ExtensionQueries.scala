@@ -736,13 +736,14 @@ object ExtensionQueries {
   /** Batch face of latest-state-by-key over the events change stream:
     * the current (last) event per user, ordered by (ts_s, event_id) —
     * event_id breaks timestamp ties, making the winner total-ordered. */
-  private def st6(s: SparkSession, dir: String): DataFrame =
+  private def st6(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
     Streaming.latestByKey(
-      table(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000000000").as("ts_s"),
-          col("event_id"), col("event_type")),
+      ev.select(col("user_id"), Streaming.epochSeconds(ev).as("ts_s"),
+        col("event_id"), col("event_type")),
       keyCols = Seq("user_id"), orderCols = Seq("ts_s", "event_id"),
       payloadCols = Seq("event_type"))
+  }
 
   /** Batch face of the streaming minhash-LSH band registry (same d3
     * parameters, same oracle CTEs); StreamingSpec runs the stream face. */
@@ -767,8 +768,9 @@ object ExtensionQueries {
   /** As-of join: each event picks up the latest order of the same
     * customer at or before the event time (point-in-time features). */
   private def x2(s: SparkSession, dir: String): DataFrame = {
-    val e = table(s, dir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000000000").as("event_s"))
+    val ev = table(s, dir, "events")
+    val e = ev
+      .select(col("event_id"), col("user_id"), Streaming.epochSeconds(ev).as("event_s"))
     val o = table(s, dir, "orders")
       .select(col("o_custkey"), unix_timestamp(col("o_orderdate")).as("order_s"),
         col("o_orderkey"), col("o_totalprice"))
@@ -1145,9 +1147,10 @@ object ExtensionQueries {
   private def x24(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
       .rangeBetween(-3600L, 0L)
-    table(s, dir, "events")
+    val ev = table(s, dir, "events")
+    ev
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000000000").as("ts_s"), col("value"))
+        Streaming.epochSeconds(ev).as("ts_s"), col("value"))
       .select(col("event_id"), col("user_id"),
         count(lit(1)).over(w).as("n_trailing_hr"),
         round(sum(col("value")).over(w), 9).as("sum_trailing_hr"))
@@ -1159,8 +1162,11 @@ object ExtensionQueries {
     * driver action); the scaffold is types × hours, tiny next to the
     * event stream. */
   private def x25(s: SparkSession, dir: String): DataFrame = {
-    val ev = table(s, dir, "events")
-      .select(col("event_type"), expr("ts div 1000000000 div 3600").as("h"))
+    val evRaw = table(s, dir, "events")
+    // floor(long / 3600) is exact in double here: epoch seconds < 2^53 and a
+    // non-integral quotient is >= 1/3600 away from any integer
+    val ev = evRaw
+      .select(col("event_type"), floor(Streaming.epochSeconds(evRaw) / lit(3600)).as("h"))
     val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val scaffold = ev.select(col("event_type")).distinct()
       .crossJoin(broadcast(bounds))
@@ -1261,8 +1267,9 @@ object ExtensionQueries {
     * comparison — deterministic regardless of tie order since only the
     * per-user MINIMUM crosses stages). */
   private def x28(s: SparkSession, dir: String): DataFrame = {
-    val ev = table(s, dir, "events")
-      .select(col("user_id"), col("event_type"), expr("ts div 1000000000").as("ts_s"))
+    val evRaw = table(s, dir, "events")
+    val ev = evRaw
+      .select(col("user_id"), col("event_type"), Streaming.epochSeconds(evRaw).as("ts_s"))
     val v = ev.where(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts_s")).as("t1"))
     val c = ev.where(col("event_type") === "click")
@@ -1280,8 +1287,10 @@ object ExtensionQueries {
     * weeks-since-cohort offset — the activity matrix behind every
     * retention curve. Absolute epoch weeks, no corpus-dependent origin. */
   private def x29(s: SparkSession, dir: String): DataFrame = {
-    val ev = table(s, dir, "events")
-      .select(col("user_id"), expr("ts div 1000000000 div 604800").as("week"))
+    val evRaw = table(s, dir, "events")
+    val ev = evRaw
+      .select(col("user_id"),
+        floor(Streaming.epochSeconds(evRaw) / lit(604800)).as("week"))
       .distinct()
     val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
     ev.join(cohort, "user_id")
@@ -1609,8 +1618,9 @@ object ExtensionQueries {
     * SQL-expressible, so the oracle checks it exactly. */
   private def x14(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
-    table(s, dir, "events")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("ts_s"), col("value"))
+    val ev = table(s, dir, "events")
+    ev
+      .select(col("user_id"), col("event_id"), Streaming.epochSeconds(ev).as("ts_s"), col("value"))
       .withColumn("new_sess",
         when(col("ts_s") - lag(col("ts_s"), 1).over(w) > 3600L, 1).otherwise(0))
       .withColumn("session_seq",

@@ -31,9 +31,12 @@ final case class Q(
 
 object Q {
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) (TESTDATA is pyarrow-written);
-    // Spark's reader rejects nanos unless they're read back as BIGINT.
+    // events.parquet has carried TIMESTAMP(NANOS) (read back as BIGINT via
+    // the legacy flag) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ) across
+    // driver testdata generations; Streaming.epochSeconds adapts per schema.
+    // Pin UTC so naive timestamps match DuckDB's epoch_ns interpretation.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     s.read.parquet(s"$dir/$name.parquet")
   }
 }

@@ -23,6 +23,26 @@ object Streaming {
   def nanosToTimestamp(tsNanos: String): org.apache.spark.sql.Column =
     timestamp_seconds(expr(s"$tsNanos div 1000000000"))
 
+  /** Epoch seconds from an event-time column, whatever its physical type:
+    * BIGINT nanoseconds (parquet TIMESTAMP(NANOS) read back under
+    * `nanosAsLong` — the original TESTDATA encoding), TIMESTAMP, or
+    * TIMESTAMP_NTZ (naive micros, interpreted in the session time zone —
+    * query sessions pin UTC, matching DuckDB's `epoch_ns` on naive
+    * timestamps). Both paths FLOOR-divide (`unix_seconds` floor-divides
+    * micros), so the two physical encodings of one instant agree exactly. */
+  def epochSeconds(df: DataFrame, tsCol: String = "ts"): Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$tsCol div 1000000000")
+      case _ => unix_seconds(col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+    }
+
+  /** Whole-second event-time column (TimestampType) from `tsCol` —
+    * sub-second precision truncated so batch, streaming, and the
+    * seconds-granularity oracles all agree regardless of the source's
+    * physical encoding. */
+  def eventTime(df: DataFrame, tsCol: String = "ts"): Column =
+    timestamp_seconds(epochSeconds(df, tsCol))
+
   /** Tumbling or sliding event-time window aggregation with a watermark:
     * count + sum per (window, event_type). `slide` = None tumbles; Some
     * overlaps — each event lands in len/slide windows (Spark's window()
@@ -33,7 +53,7 @@ object Streaming {
       events: DataFrame, windowLen: String, watermark: String,
       slide: Option[String] = None): DataFrame =
     events
-      .withColumn("event_time", nanosToTimestamp("ts"))
+      .withColumn("event_time", eventTime(events, "ts"))
       .withWatermark("event_time", watermark)
       .groupBy(
         slide.fold(window(col("event_time"), windowLen))(
@@ -51,7 +71,7 @@ object Streaming {
     * is still dropped) and expires state by the watermark. */
   def streamingDedup(events: DataFrame, watermark: String, keyCols: Seq[String]): DataFrame =
     events
-      .withColumn("event_time", nanosToTimestamp("ts"))
+      .withColumn("event_time", eventTime(events, "ts"))
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
@@ -99,9 +119,9 @@ object Streaming {
       events: DataFrame, gapSeconds: Long, watermark: String): Dataset[SessionOut] = {
     val isStreaming = events.isStreaming
     val typed = events
-      .withColumn("event_time", nanosToTimestamp("ts"))
+      .withColumn("event_time", eventTime(events, "ts"))
       .withWatermark("event_time", watermark)
-      .select(col("user_id"), expr("ts div 1000000000").as("ts_s"), col("value"),
+      .select(col("user_id"), epochSeconds(events, "ts").as("ts_s"), col("value"),
         col("event_time"))
       .as[SessionInput](Encoders.product[SessionInput])
     implicit val stateEnc = Encoders.product[OpenSession]
@@ -165,12 +185,12 @@ object Streaming {
       left: DataFrame, right: DataFrame,
       watermark: String, windowSeconds: Long): DataFrame = {
     val l = left
-      .withColumn("l_time", nanosToTimestamp("ts"))
+      .withColumn("l_time", eventTime(left, "ts"))
       .withWatermark("l_time", watermark)
       .select(col("event_id").as("l_event_id"), col("user_id").as("l_user"),
         col("l_time"), col("value").as("l_value"))
     val r = right
-      .withColumn("r_time", nanosToTimestamp("ts"))
+      .withColumn("r_time", eventTime(right, "ts"))
       .withWatermark("r_time", watermark)
       .select(col("event_id").as("r_event_id"), col("user_id").as("r_user"),
         col("r_time"), col("value").as("r_value"))
