@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query must ANALYZE against the real testdata schema.
+  *
+  * Guards the silent-drop failure class: when a driver testdata
+  * regeneration changes a physical type (events.ts went parquet
+  * TIMESTAMP(NANOS) → TIMESTAMP(MICROS) between rounds 3 and 4), queries
+  * referencing the old type fail analysis inside Verify's per-query
+  * try/catch and simply vanish from the correctness report — 11 queries
+  * disappeared for a full round without any test going red. Forcing
+  * `queryExecution.analyzed` here makes schema drift a loud local failure.
+  *
+  * Analysis only — no job is launched for the query itself (builders that
+  * eagerly train/collect still do their small sf0.001-sized work). */
+class QueryRegistrySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("all registered queries analyze against the sf0.001 schema") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val r =
+        try { fn(spark, dir).queryExecution.analyzed; None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(200)}") }
+      CacheRegistry.unpersistAll()
+      graft.queries.ExtensionQueries.clearArtifactCaches()
+      r
+    }
+    assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
+  }
+
+  test("every query has an oracle or is a documented rows-only exception") {
+    // rows-only queries (no SQL analog) — keep this list in sync with
+    // NOTES.md; growth here needs the same justification the existing
+    // entries carry (iterative/approximate semantics with spec'd laws)
+    val rowsOnly = Set(
+      "a1_approx_stats", "a2_hll_union", "a3_kll_quantiles",
+      "p8_bpe_train", "p9_bpe_encode", "s4_ann_ivf_kmeans",
+      "t21_model_filter_trained")
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == rowsOnly,
+      s"queries without oracle changed: ${(noOracle -- rowsOnly).toSeq.sorted} gained, " +
+        s"${(rowsOnly -- noOracle).toSeq.sorted} stale")
+  }
+}
