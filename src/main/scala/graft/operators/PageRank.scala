@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank power iteration over an edge relation — the link-graph
+  * centrality prior web-scale curation pipelines attach to documents
+  * (host/URL rank as a quality signal; Brin & Page 1998 §2.1).
+  *
+  * Semantics: simple-graph PageRank with uniform teleport and full
+  * dangling-mass redistribution —
+  * {{{
+  *   rank'(v) = (1-d)/N + d * ( Σ_{u→v} rank(u)/outdeg(u) + D/N )
+  * }}}
+  * where D = Σ rank(u) over nodes with no out-edges. A fixed iteration
+  * count (not convergence-tested) keeps the result deterministic and
+  * SQL-replicable; ranks are rounded to 9 dp on OUTPUT only, so
+  * engine-side float accumulation-order ULPs can't flip a hash compare
+  * while iterations still compound at full precision.
+  *
+  * Scale shape (the Pregel/GraphX pattern expressed in DataFrame algebra):
+  * each iteration is ONE join of the edge relation with the nodes-sized
+  * rank relation on `src` (co-partitioned when `edges` is bucketed by
+  * `src` — the 100 TB layout) followed by ONE aggregation shuffle on
+  * `dst`; the edge relation itself is never re-derived. `nodes` and
+  * `outdeg` are computed once and persisted through
+  * [[graft.CacheRegistry]]; per-iteration lineage is cut with
+  * `localCheckpoint` (the iterative-plan lesson from
+  * [[graft.pipeline.Bpe]]) so the plan stays bounded in `iters`. The
+  * teleport constant and dangling mass travel as broadcast 1-row
+  * relations — no driver-side collect anywhere.
+  */
+object PageRank {
+
+  /** @param edges   edge relation; duplicate (src, dst) rows are collapsed
+    *                (simple graph)
+    * @param srcCol  source node id column (integral)
+    * @param dstCol  destination node id column (integral; may overlap
+    *                `srcCol`'s id space — caller namespaces if the two are
+    *                logically distinct entities)
+    * @param iters   fixed power-iteration count
+    * @param damping d in [0, 1]
+    * @param checkpointer applied to the rank relation after every
+    *                iteration to cut lineage; injectable (identity) so
+    *                tests can assert the full multi-iteration plan
+    * @return (node, pagerank) — one row per distinct node, ranks summing
+    *         to ~1, rounded to 9 dp */
+  def run(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, damping: Double = 0.85,
+      checkpointer: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(iters >= 0, s"PageRank: iters must be >= 0, got $iters")
+    require(damping >= 0.0 && damping <= 1.0,
+      s"PageRank: damping must be in [0, 1], got $damping")
+    val e = graft.CacheRegistry.persisted(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .distinct())
+    val nodes = graft.CacheRegistry.persisted(
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
+    val outDeg = graft.CacheRegistry.persisted(
+      e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg")))
+    // node count as a broadcast 1-row relation (no driver action)
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    var ranks = checkpointer(nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank")))
+    var i = 0
+    while (i < iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cin"))
+      val dangling = ranks
+        .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nRow))
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          ((lit(1.0) - damping) / col("n_nodes")
+            + lit(damping) * (coalesce(col("cin"), lit(0.0))
+              + col("dm") / col("n_nodes"))).as("rank"))
+      ranks = checkpointer(ranks)
+      i += 1
+    }
+    // + 0.0 collapses IEEE -0.0 so both engines hash identically
+    ranks.select(col("node"), (round(col("rank"), 9) + lit(0.0)).as("pagerank"))
+  }
+}

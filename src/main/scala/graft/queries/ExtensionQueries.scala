@@ -1571,6 +1571,36 @@ object ExtensionQueries {
       "vec_id", "embedding", k = 3, m = 8, ksub = 8, dims = 64)
   }
 
+  /** Hard-negative mining: per anchor, the top-5 most-similar vectors of a
+    * DIFFERENT label (contrastive-training negatives — DPR §3.2). */
+  private def s8(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.hardNegativeTopK(emb, emb.where(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", "label", k = 5)
+  }
+
+  /** DSIR importance weights: English documents as the trusted target
+    * domain, the whole corpus as raw — the Xie et al. 2023 data-selection
+    * signal over hashed unigram+bigram bags. */
+  private def t28(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    Curation.dsirWeights(docs, docs.where(col("lang") === "en"),
+      "doc_id", "text", dims = 1024)
+  }
+
+  /** PageRank over the customer→supplier purchase graph (supplier ids
+    * namespaced +1,000,000 so the two key spaces can't collide): the
+    * link-graph centrality prior curation pipelines attach to sources.
+    * 3 fixed power iterations, damping 0.85, dangling mass (every
+    * supplier — the bipartite sinks) redistributed uniformly. */
+  private def x34(s: SparkSession, dir: String): DataFrame = {
+    val edges = table(s, dir, "orders")
+      .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+    graft.operators.PageRank.run(edges, "src", "dst", iters = 3, damping = 0.85)
+  }
+
   /** Arbitrary grouping sets (not expressible as rollup/cube): per-flag,
     * per-status, and grand total in one pass — also exercises the
     * spark.sql entry path over a registered view. */
@@ -1733,6 +1763,37 @@ object ExtensionQueries {
     s"""list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
        / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
           * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))"""
+
+  /** x34's oracle: PageRank power iterations unrolled as CTEs (r0 uniform;
+    * each step = contribution aggregate + dangling-mass scalar + rank
+    * recompute — exactly [[graft.operators.PageRank.run]]'s algebra).
+    * `(1.0::DOUBLE - 0.85::DOUBLE)` forces IEEE double subtraction so the
+    * teleport constant is bit-identical to Spark's `lit(1.0) - damping`
+    * (DuckDB would otherwise fold the literals in exact DECIMAL). */
+  private def pageRankOracle(iters: Int): String = {
+    def iter(k: Int): String = s"""
+      c$k AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS cin
+              FROM e JOIN r${k - 1} r ON r.node = e.src
+                     JOIN deg d ON d.src = e.src
+              GROUP BY 1),
+      dm$k AS (SELECT coalesce(sum(r.rank), 0.0::DOUBLE) AS dm
+               FROM r${k - 1} r LEFT JOIN deg d ON d.src = r.node
+               WHERE d.src IS NULL),
+      r$k AS (SELECT n.node,
+                (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+                + 0.85::DOUBLE * (coalesce(c.cin, 0.0::DOUBLE)
+                  + (SELECT dm FROM dm$k) / (SELECT n FROM nn)) AS rank
+              FROM nodes n LEFT JOIN c$k c ON c.node = n.node)"""
+    s"""
+      WITH e AS (SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+      deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY 1),
+      r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),
+      ${(1 to iters).map(iter).mkString(",")}
+      SELECT node, round(rank, 9) + 0.0 AS pagerank FROM r$iters"""
+  }
 
   /** Hyperplane-LSH bucket matching [[Similarity.hyperplaneBucket]]. */
   private def bucketSql(v: String) =
@@ -1950,6 +2011,43 @@ object ExtensionQueries {
         JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q
           ON e.vec_id <> q.vec_id)
       WHERE rank <= 3""")),
+
+    Q("s8_hard_negatives", s8, Some(s"""
+      SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          ${cosSql("q.embedding", "e.embedding")} AS cosine,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+        FROM embeddings e
+        JOIN (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+          ON e.vec_id <> q.vec_id AND e.label <> q.label)
+      WHERE rank <= 5""")),
+
+    Q("t28_dsir", t28, Some("""
+      WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      feats AS (SELECT doc_id, lang, unnest(list_concat(ws,
+                  list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) AS f
+                FROM toks WHERE len(ws) >= 1),
+      docb AS (SELECT doc_id, lang,
+                 ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS bucket,
+                 count(*) AS c
+               FROM feats GROUP BY 1, 2, 3),
+      rawc AS (SELECT bucket, sum(c)::BIGINT AS n FROM docb GROUP BY 1),
+      tgtc AS (SELECT bucket, sum(c)::BIGINT AS n FROM docb WHERE lang = 'en' GROUP BY 1),
+      rtot AS (SELECT coalesce(sum(n), 0)::BIGINT AS t FROM rawc),
+      ttot AS (SELECT coalesce(sum(n), 0)::BIGINT AS t FROM tgtc),
+      grid AS (SELECT range AS bucket FROM range(0, 1024)),
+      llr AS (SELECT g.bucket,
+                ln((coalesce(tc.n, 0) + 1)::DOUBLE / ((SELECT t FROM ttot) + 1024)::DOUBLE)
+              - ln((coalesce(rc.n, 0) + 1)::DOUBLE / ((SELECT t FROM rtot) + 1024)::DOUBLE) AS llr
+              FROM grid g
+              LEFT JOIN tgtc tc ON tc.bucket = g.bucket
+              LEFT JOIN rawc rc ON rc.bucket = g.bucket)
+      SELECT doc_id, dsir_weight, dsir_weight > 0.0 AS dsir_keep FROM (
+        SELECT d.doc_id, round(sum(d.c * l.llr), 9) + 0.0 AS dsir_weight
+        FROM docb d JOIN llr l ON l.bucket = d.bucket GROUP BY 1)""")),
+
+    Q("x34_pagerank", x34, Some(pageRankOracle(iters = 3))),
 
     Q("s2_ann_lsh_topk", s2, Some(s"""
       WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)

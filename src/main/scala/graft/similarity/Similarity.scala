@@ -104,6 +104,33 @@ object Similarity {
     topKByQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive / retrieval training (the
+    * in-batch-negatives upgrade — Karpukhin et al. 2020, DPR §3.2, mine
+    * the highest-scoring NON-matching candidates as training negatives):
+    * for each anchor, the top-k most-cosine-similar corpus vectors with a
+    * DIFFERENT label — the maximally confusing negatives.
+    *
+    * Same scale shape as [[bruteForceTopK]]: anchors broadcast, corpus
+    * scanned once and reduced through the bounded partial top-k
+    * aggregation; the label-mismatch predicate rides the broadcast join
+    * condition, so no extra pass and no full shuffle. For corpora past
+    * brute-force reach, mine within [[ivfTopK]] lists first and feed the
+    * candidates here. */
+  def hardNegativeTopK(
+      corpus: DataFrame, anchors: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = anchors.select(col(idCol).as("query_id"), col(labelCol).as("q_label"),
+      col(vecCol).as("q_vec"), l2Norm(col(vecCol)).as("q_norm"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("n_label"), col(vecCol).as("n_vec"),
+      l2Norm(col(vecCol)).as("n_norm"))
+      .join(broadcast(q),
+        col("neighbor_id") =!= col("query_id") && col("n_label") =!= col("q_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
+    topKByQuery(scored, k)
+  }
+
   /** IVF (inverted-file) approximate top-k — the other standard ANN scale
     * path next to hyperplane LSH.
     *

@@ -495,4 +495,69 @@ object Curation {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" §3): score every raw
+    * document by how much more likely its hashed n-gram bag is under a
+    * TARGET domain's feature distribution than under the raw corpus's
+    * own — the data-selection signal used to pick pretraining data that
+    * resembles a trusted corpus.
+    *
+    * Features are word unigrams + bigrams (the paper's choice), hashed to
+    * `dims` buckets with the library-standard md5-first-8-hex hash
+    * (deterministic and engine-replicable — same family as
+    * [[hashedLinearScore]]). Both bucket distributions are Laplace-
+    * smoothed: p[b] = (count[b] + 1) / (total + dims), so an unseen
+    * bucket never yields log 0. The per-document weight is the bag
+    * log-likelihood ratio
+    * Σ_b c_doc[b] · (ln p_target[b] − ln p_raw[b]),
+    * rounded to 9 dp on output (engine ln implementations differ in the
+    * last ulp; the compounded noise is ≪ 1e-9). `dsir_keep` is the
+    * weight-positive decision; a production resample would instead rank
+    * by weight (+ Gumbel noise for the paper's sampled variant).
+    *
+    * Scale shape: the per-doc bucket relation is built in one narrow pass
+    * plus one (id, bucket) aggregation and persisted
+    * ([[graft.CacheRegistry]]) because the raw distribution AND the
+    * scoring join both read it. Each distribution is a dims-sized
+    * aggregate (partial agg per partition → one tiny shuffle); the
+    * dims-row log-ratio table is broadcast into the scoring join, which
+    * reduces with one per-doc aggregation. Nothing quadratic, nothing
+    * collected: totals travel as broadcast 1-row relations. */
+  def dsirWeights(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      dims: Int = 1024): DataFrame = {
+    require(dims >= 2, s"dsirWeights: dims must be >= 2, got $dims")
+    val spark = raw.sparkSession
+    def bucketCounts(df: DataFrame): DataFrame =
+      df.withColumn("__toks", tokens(col(textCol)))
+        .where(size(col("__toks")) >= 1)
+        .select(col(idCol),
+          explode(concat(col("__toks"), wordNgrams(col("__toks"), 2))).as("f"))
+        .select(col(idCol),
+          (conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % dims)
+            .as("bucket"))
+        .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
+    val docB = graft.CacheRegistry.persisted(bucketCounts(raw))
+    val buckets = spark.range(dims).select(col("id").as("bucket"))
+    def smoothedLogP(bc: DataFrame, name: String): DataFrame = {
+      val perBucket = bc.groupBy(col("bucket")).agg(sum(col("c")).as("n"))
+      val tot = perBucket.agg(coalesce(sum(col("n")), lit(0L)).as("total"))
+      buckets.join(perBucket, Seq("bucket"), "left")
+        .crossJoin(broadcast(tot))
+        // integer adds, then ONE exact int→double conversion each side of
+        // an IEEE division — bit-identical operands in any engine
+        .select(col("bucket"),
+          log((coalesce(col("n"), lit(0L)) + lit(1L)).cast("double")
+            / (col("total") + lit(dims.toLong)).cast("double")).as(name))
+    }
+    val llr = smoothedLogP(bucketCounts(target), "lp_t")
+      .join(smoothedLogP(docB, "lp_r"), "bucket")
+      .select(col("bucket"), (col("lp_t") - col("lp_r")).as("llr"))
+    docB.join(broadcast(llr), "bucket")
+      .groupBy(col(idCol))
+      // + 0.0 collapses IEEE -0.0 so both engines hash identically
+      .agg((round(sum(col("c") * col("llr")), 9) + lit(0.0)).as("dsir_weight"))
+      .withColumn("dsir_keep", col("dsir_weight") > 0.0)
+  }
 }

@@ -305,4 +305,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"),
       s"SCD2 must not globally sort:\n$p")
   }
+
+  test("s8 hard negatives: anchors broadcast, label filter in the join, no cartesian") {
+    val p = plan(q("s8_hard_negatives"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"anchor side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"degenerated to a cartesian:\n$p")
+    CacheRegistry.unpersistAll()
+  }
+
+  test("t28 DSIR: log-ratio table broadcast into the scoring join, corpus never shuffled for it") {
+    val p = plan(q("t28_dsir"))
+    assert(p.contains("BroadcastHashJoin"), s"llr join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    CacheRegistry.unpersistAll()
+  }
+
+  test("x34 PageRank: full iteration plan has no cartesian, hash-aggregated contributions") {
+    // identity checkpointer so the whole 2-iteration plan is visible
+    // (x34 itself checkpoints per iteration, which hides the shape)
+    import spark.implicits._
+    val edges = (1L to 40L).map(i => (i % 7, 100 + i % 11)).toDF("s", "t")
+      .repartition(2)
+    val df = graft.operators.PageRank.run(edges, "s", "t", iters = 2,
+      checkpointer = identity)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+    CacheRegistry.unpersistAll()
+  }
 }
