@@ -1245,6 +1245,31 @@ object ExtensionQueries {
         col("is_current"))
   }
 
+  /** JSONL ingest round trip — the LLM-corpus wire format face of §2.6:
+    * documents serialized to JSON lines with every 10th line TRUNCATED
+    * (a cut-off shard, the standard corruption), read back through the
+    * PERMISSIVE [[graft.sources.Sources.readJsonNullable]] path. Corrupt
+    * lines land whole in `_corrupt_record` with null fields and are
+    * dropped; valid lines round-trip exactly, so the oracle is the
+    * source table minus the corrupted ids. */
+  private def x35(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val payload = struct(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"))
+    val lines = table(s, dir, "documents").select(
+      when(col("doc_id") % 10 === 0, substring(to_json(payload), 1, 20))
+        .otherwise(to_json(payload)).as("value"))
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_x35_${Integer.toHexString(dir.hashCode)}"
+    lines.coalesce(4).write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    graft.sources.Sources.readJsonNullable(s, tmp, schema, keepCorrupt = true)
+      .where(col("_corrupt_record").isNull)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** Equal-width histogram: 10 buckets over the global [min, max] of
     * value per event type (bounds via broadcast 1-row cross join). The
     * bucket arithmetic is identical IEEE ops on identical operands in
@@ -1587,6 +1612,12 @@ object ExtensionQueries {
     Curation.dsirWeights(docs, docs.where(col("lang") === "en"),
       "doc_id", "text", dims = 1024)
   }
+
+  /** Deflate compression ratio per document (rows-only: deflate byte
+    * counts are zlib-implementation-defined; CompressionSpec pins the
+    * laws — repetitive ≪ diverse, determinism, byte accounting). */
+  private def t29(s: SparkSession, dir: String): DataFrame =
+    Curation.compressionRatio(table(s, dir, "documents"), "doc_id", "text")
 
   /** PageRank over the customer→supplier purchase graph (supplier ids
     * namespaced +1,000,000 so the two key spaces can't collide): the
@@ -2048,6 +2079,12 @@ object ExtensionQueries {
         FROM docb d JOIN llr l ON l.bucket = d.bucket GROUP BY 1)""")),
 
     Q("x34_pagerank", x34, Some(pageRankOracle(iters = 3))),
+
+    Q("t29_compression_ratio", t29, None),
+
+    Q("x35_jsonl_roundtrip", x35, Some("""
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 10 <> 0""")),
 
     Q("s2_ann_lsh_topk", s2, Some(s"""
       WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)

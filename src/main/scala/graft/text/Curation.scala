@@ -496,6 +496,42 @@ object Curation {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Per-document deflate compression ratio — the repetitiveness signal
+    * curation pipelines pair with the Gopher heuristics (Dolma's and
+    * RedPajama-v2's quality signal sets both carry a gzip/zlib ratio):
+    * highly compressible text is boilerplate or templating; barely
+    * compressible "text" is often encoded binary or gibberish. Emits
+    * `compression_ratio` = deflated/raw UTF-8 bytes (zlib level 6; empty
+    * text → raw length clamped to 1 so the ratio stays finite) plus both
+    * byte counts.
+    *
+    * No SQL oracle: deflate output size is zlib-implementation-defined,
+    * so the invariant laws are spec'd instead (CompressionSpec) and the
+    * registered query is rows-only. Scale shape: batched `mapPartitions`
+    * with ONE `Deflater` reused across the partition (allocation is
+    * native and expensive, `reset()` is cheap), released at iterator
+    * exhaustion; shuffle-free, linear, no decode. */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val enc = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaLong)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .where(col(textCol).isNotNull)
+      .as[(Long, String)](Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          d.reset(); d.setInput(raw); d.finish()
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          (id, n.toDouble / math.max(1, raw.length), raw.length.toLong, n)
+        } ++ { d.end(); Iterator.empty } // release native memory at exhaustion
+      }(enc)
+      .toDF(idCol, "compression_ratio", "n_bytes", "n_deflate_bytes")
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" §3): score every raw
     * document by how much more likely its hashed n-gram bag is under a

@@ -37,7 +37,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     val rowsOnly = Set(
       "a1_approx_stats", "a2_hll_union", "a3_kll_quantiles",
       "p8_bpe_train", "p9_bpe_encode", "s4_ann_ivf_kmeans",
-      "t21_model_filter_trained")
+      "t21_model_filter_trained",
+      "t29_compression_ratio") // deflate sizes are zlib-implementation-defined
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly,
       s"queries without oracle changed: ${(noOracle -- rowsOnly).toSeq.sorted} gained, " +
