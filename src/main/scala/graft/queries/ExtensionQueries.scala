@@ -1265,7 +1265,12 @@ object ExtensionQueries {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    graft.sources.Sources.readJsonNullable(s, tmp, schema, keepCorrupt = true)
+    // persisted (Spark's documented workaround, SPARK-21610 class): a
+    // downstream count() would prune every column BUT `_corrupt_record`,
+    // and queries whose required schema is ONLY the corrupt column are
+    // disallowed against raw JSON — the cache materializes all columns
+    graft.CacheRegistry.persisted(
+        graft.sources.Sources.readJsonNullable(s, tmp, schema, keepCorrupt = true))
       .where(col("_corrupt_record").isNull)
       .select("doc_id", "text", "lang", "source", "n_chars")
   }

@@ -94,7 +94,14 @@ object Sources {
     * doesn't match the schema, and whole-record garbage lands in
     * `_corrupt_record` instead of failing the job — at 100 TB a scrape
     * always contains malformed lines, and a fail-fast read is unusable.
-    * Schema is REQUIRED: inference is a second full scan of the data. */
+    * Schema is REQUIRED: inference is a second full scan of the data.
+    *
+    * Caveat (SPARK-21610 class): Spark disallows queries whose required
+    * schema is ONLY `_corrupt_record` (e.g. a `count()` after filtering
+    * on it — pruning drops every data column). Callers that filter on
+    * the corrupt column and then aggregate must keep a data column in
+    * the projection or persist the parsed relation first (x35 does the
+    * latter through [[graft.CacheRegistry]]). */
   def readJsonNullable(
       spark: SparkSession, path: String, schema: StructType,
       keepCorrupt: Boolean = false): DataFrame = {

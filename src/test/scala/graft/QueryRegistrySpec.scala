@@ -12,16 +12,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * disappeared for a full round without any test going red. Forcing
   * `queryExecution.analyzed` here makes schema drift a loud local failure.
   *
-  * Analysis only — no job is launched for the query itself (builders that
-  * eagerly train/collect still do their small sf0.001-sized work). */
+  * Executes a `count()` per query, not analysis alone: the x35 lesson —
+  * Spark's corrupt-record-only-projection restriction (and anything else
+  * raised during physical planning under column pruning) only fires when
+  * an action runs, and Bench's `count()` prunes harder than Verify's
+  * full-row write, so the cheapest complete replica of both gates is the
+  * count itself at the smallest SF. */
 class QueryRegistrySpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("all registered queries analyze against the sf0.001 schema") {
+  test("all registered queries execute (count) against the sf0.001 testdata") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val r =
-        try { fn(spark, dir).queryExecution.analyzed; None }
+        try { fn(spark, dir).count(); None }
         catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(200)}") }
       CacheRegistry.unpersistAll()
       graft.queries.ExtensionQueries.clearArtifactCaches()
