@@ -220,6 +220,39 @@ object TrainingPrep {
       .drop("__n")
   }
 
+  /** Temperature-scaled source mixture weights — the multilingual /
+    * multi-source rebalancing rule of mT5 (Xue et al. 2021 §3.1) and the
+    * Gopher/PaLM recipes: sample source i proportionally to p_i^(1/T)
+    * instead of its natural share p_i (T>1 flattens toward uniform, T=1
+    * is natural, T<1 sharpens). Emits one row per source:
+    * `n_docs`, natural share `p`, target share `q = p^(1/T)/Σp^(1/T)`,
+    * and `sample_weight = q·total/n` — the per-row expected copy count
+    * that [[mixtureSample]]/[[mixtureRepeat]] consume directly (join it
+    * back on the source column, broadcast: the table is sources-sized).
+    *
+    * q and sample_weight are rounded to 9 dp (the normalizer Σp^(1/T)
+    * accumulates in engine-dependent order; pow differs in the last
+    * ulp across libms); `p` is a single IEEE division — exact. Scale
+    * shape: one sources-sized count aggregate; totals and the
+    * normalizer travel as broadcast 1-row relations. */
+  def temperatureWeights(
+      df: DataFrame, sourceCol: String, temperature: Double): DataFrame = {
+    require(temperature > 0.0,
+      s"temperatureWeights: temperature must be > 0, got $temperature")
+    val alpha = 1.0 / temperature
+    val c = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum(col("n")).as("total"))
+    val s = c.crossJoin(broadcast(tot))
+      .withColumn("p", col("n").cast("double") / col("total").cast("double"))
+      .withColumn("pa", pow(col("p"), lit(alpha)))
+    val z = s.agg(sum(col("pa")).as("z"))
+    s.crossJoin(broadcast(z))
+      .select(col(sourceCol), col("n").as("n_docs"), col("p"),
+        (round(col("pa") / col("z"), 9) + lit(0.0)).as("q"),
+        (round(col("pa") / col("z") * col("total").cast("double")
+          / col("n").cast("double"), 9) + lit(0.0)).as("sample_weight"))
+  }
+
   /** Power-of-two length bucketing — the dynamic-batching prep of real
     * training loaders (batch sequences of similar length together so the
     * pad-to-longest waste stays bounded) and the padding-waste audit that

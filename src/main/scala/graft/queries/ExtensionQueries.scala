@@ -921,6 +921,12 @@ object ExtensionQueries {
     graft.pipeline.TrainingPrep.lengthBuckets(
       table(s, dir, "documents").select("doc_id", "text"), "text")
 
+  /** Temperature-scaled language mixture (T = 2 flattens the en-heavy
+    * natural shares toward uniform — the mT5 §3.1 rebalancing). */
+  private def p15(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TrainingPrep.temperatureWeights(
+      table(s, dir, "documents"), "lang", temperature = 2.0)
+
   /** Token id-ification against a 16-entry frequency vocabulary built
     * in-plan — small enough that OOV tokens exist and exercise the unk
     * path at every SF. */
@@ -1625,7 +1631,8 @@ object ExtensionQueries {
     Curation.compressionRatio(table(s, dir, "documents"), "doc_id", "text")
 
   /** PageRank over the customer→supplier purchase graph (supplier ids
-    * namespaced +1,000,000 so the two key spaces can't collide): the
+    * namespaced +10^12 so the two key spaces can't collide at any SF —
+    * TPC-H custkey grows ~150k·SF): the
     * link-graph centrality prior curation pipelines attach to sources.
     * 3 fixed power iterations, damping 0.85, dangling mass (every
     * supplier — the bipartite sinks) redistributed uniformly. */
@@ -1633,7 +1640,7 @@ object ExtensionQueries {
     val edges = table(s, dir, "orders")
       .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"),
-        (col("l_suppkey") + lit(1000000L)).as("dst"))
+        (col("l_suppkey") + lit(1000000000000L)).as("dst"))
     graft.operators.PageRank.run(edges, "src", "dst", iters = 3, damping = 0.85)
   }
 
@@ -1821,7 +1828,8 @@ object ExtensionQueries {
                   + (SELECT dm FROM dm$k) / (SELECT n FROM nn)) AS rank
               FROM nodes n LEFT JOIN c$k c ON c.node = n.node)"""
     s"""
-      WITH e AS (SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+      WITH e AS (SELECT DISTINCT o_custkey AS src,
+                   1000000000000 + l_suppkey AS dst
                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
       nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
@@ -3160,6 +3168,20 @@ object ExtensionQueries {
       FROM (SELECT CASE WHEN n <= 1 THEN 0 ELSE length(bin(n - 1)) END::INT AS bucket, n
             FROM (SELECT len(string_split(text, ' '))::BIGINT AS n FROM documents))
       GROUP BY bucket""")),
+
+    Q("p15_temperature_mixture", p15, Some("""
+      WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+      t AS (SELECT sum(n)::BIGINT AS total FROM c),
+      s AS (SELECT lang, n,
+              n::DOUBLE / (SELECT total FROM t)::DOUBLE AS p,
+              pow(n::DOUBLE / (SELECT total FROM t)::DOUBLE, 0.5) AS pa
+            FROM c),
+      z AS (SELECT sum(pa) AS zz FROM s)
+      SELECT lang, n AS n_docs, p,
+        round(pa / (SELECT zz FROM z), 9) + 0.0 AS q,
+        round(pa / (SELECT zz FROM z) * (SELECT total FROM t)::DOUBLE
+          / n::DOUBLE, 9) + 0.0 AS sample_weight
+      FROM s""")),
 
     Q("p6_tokenize_ids", p6, Some("""
       WITH tokpos AS (

@@ -278,4 +278,29 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(TrainingPrep.sentenceChunks(
       Seq((3L, "")).toDF("doc_id", "text"), "doc_id", "text", 25).count() == 0)
   }
+
+  test("temperatureWeights: T=1 is the natural mixture; T>1 flattens toward uniform") {
+    import spark.implicits._
+    // skewed corpus: 8 'en', 2 'de', 1 'fr'
+    val docs = (Seq.fill(8)("en") ++ Seq.fill(2)("de") ++ Seq("fr"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("doc_id", "lang")
+    def weights(t: Double): Map[String, (Long, Double, Double, Double)] =
+      TrainingPrep.temperatureWeights(docs, "lang", t).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val t1 = weights(1.0)
+    for ((_, (_, p, q, w)) <- t1) {
+      assert(math.abs(q - p) < 1e-9, s"T=1 must keep natural shares: $q vs $p")
+      assert(math.abs(w - 1.0) < 1e-9, s"T=1 sample weight must be 1, got $w")
+    }
+    val t2 = weights(2.0)
+    // shares move toward uniform but keep their order
+    assert(t2("en")._3 < t1("en")._3 && t2("fr")._3 > t1("fr")._3)
+    assert(t2("en")._3 > t2("de")._3 && t2("de")._3 > t2("fr")._3)
+    // target shares normalize; expected output mass = q * total
+    assert(math.abs(t2.values.map(_._3).sum - 1.0) < 1e-8)
+    assert(math.abs(t2.values.map { case (n, _, _, w) => n * w }.sum - 11.0) < 1e-6)
+    // minority sources upsample, majority downsample
+    assert(t2("fr")._4 > 1.0 && t2("en")._4 < 1.0)
+  }
 }
