@@ -32,7 +32,8 @@ object ReProbe {
       if (args.nonEmpty) args.toSeq
       else Seq("s6_ann_recall", "st1_windowed_events", "st2_sessionize",
         "st3_stream_interval_join", "st4_minhash_band_registry",
-        "x20_skew_join", "t21_model_filter_trained", "d2_dedup_ngram_jaccard")
+        "x20_skew_join", "t21_model_filter_trained", "d2_dedup_ngram_jaccard",
+        "x34_pagerank") // spiked 12x once in a driver-protocol bench (r5)
     for (n <- probes) {
       time(src, n) // JIT warm
       val t1 = time(src, n)

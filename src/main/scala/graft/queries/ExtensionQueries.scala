@@ -1262,8 +1262,13 @@ object ExtensionQueries {
     import org.apache.spark.sql.types._
     val payload = struct(col("doc_id"), col("text"), col("lang"),
       col("source"), col("n_chars"))
+    // truncate-plus-stray-brace: truncation alone is not GUARANTEED
+    // invalid (to_json omits null fields, so an all-null row serializes
+    // under 20 chars and would survive intact); the appended brace makes
+    // even a complete short object malformed
     val lines = table(s, dir, "documents").select(
-      when(col("doc_id") % 10 === 0, substring(to_json(payload), 1, 20))
+      when(col("doc_id") % 10 === 0,
+        concat(substring(to_json(payload), 1, 20), lit("{")))
         .otherwise(to_json(payload)).as("value"))
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_x35_${Integer.toHexString(dir.hashCode)}"
     lines.coalesce(4).write.mode("overwrite").text(tmp)

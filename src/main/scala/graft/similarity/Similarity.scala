@@ -115,15 +115,23 @@ object Similarity {
     * aggregation; the label-mismatch predicate rides the broadcast join
     * condition, so no extra pass and no full shuffle. For corpora past
     * brute-force reach, mine within [[ivfTopK]] lists first and feed the
-    * candidates here. */
+    * candidates here.
+    *
+    * NULL-labeled rows are excluded on BOTH sides (explicitly, matching
+    * what the null-unsafe `=!=` predicate would do silently): an
+    * unlabeled vector is neither a mineable negative nor an anchor with
+    * well-defined negatives — label the data or filter beforehand if
+    * other semantics are wanted. */
   def hardNegativeTopK(
       corpus: DataFrame, anchors: DataFrame,
       idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
-    val q = anchors.select(col(idCol).as("query_id"), col(labelCol).as("q_label"),
-      col(vecCol).as("q_vec"), l2Norm(col(vecCol)).as("q_norm"))
-    val scored = corpus.select(col(idCol).as("neighbor_id"),
-      col(labelCol).as("n_label"), col(vecCol).as("n_vec"),
-      l2Norm(col(vecCol)).as("n_norm"))
+    val q = anchors.where(col(labelCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(labelCol).as("q_label"),
+        col(vecCol).as("q_vec"), l2Norm(col(vecCol)).as("q_norm"))
+    val scored = corpus.where(col(labelCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("n_label"), col(vecCol).as("n_vec"),
+        l2Norm(col(vecCol)).as("n_norm"))
       .join(broadcast(q),
         col("neighbor_id") =!= col("query_id") && col("n_label") =!= col("q_label"))
       .select(col("query_id"), col("neighbor_id"),

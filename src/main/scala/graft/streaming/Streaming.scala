@@ -32,7 +32,12 @@ object Streaming {
     * micros), so the two physical encodings of one instant agree exactly. */
   def epochSeconds(df: DataFrame, tsCol: String = "ts"): Column =
     df.schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.LongType => expr(s"$tsCol div 1000000000")
+      // (ts - pmod(ts, 1e9)) div 1e9 is floorDiv in pure long arithmetic:
+      // plain `div` truncates toward zero, which disagrees with the
+      // timestamp branch (and DuckDB's epoch_ns floor) on pre-1970
+      // instants; a double division would lose precision past 2^53 ns
+      case org.apache.spark.sql.types.LongType =>
+        expr(s"($tsCol - pmod($tsCol, 1000000000)) div 1000000000")
       case _ => unix_seconds(col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
     }
 

@@ -520,6 +520,12 @@ object Curation {
       .as[(Long, String)](Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater(6)
+        // release the native zlib buffer even when the partition iterator
+        // is short-circuited (limit/take/downstream exception) — the
+        // standard native-resource pattern for mapPartitions; end() is
+        // idempotent, so the exhaustion path below may also run it
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => d.end()))
         val buf = new Array[Byte](8192)
         it.map { case (id, text) =>
           val raw = text.getBytes("UTF-8")
@@ -527,7 +533,7 @@ object Curation {
           var n = 0L
           while (!d.finished()) n += d.deflate(buf)
           (id, n.toDouble / math.max(1, raw.length), raw.length.toLong, n)
-        } ++ { d.end(); Iterator.empty } // release native memory at exhaustion
+        } ++ { d.end(); Iterator.empty } // release at exhaustion (local mode too)
       }(enc)
       .toDF(idCol, "compression_ratio", "n_bytes", "n_deflate_bytes")
   }
