@@ -1620,6 +1620,18 @@ object ExtensionQueries {
       "vec_id", "embedding", "label", k = 5)
   }
 
+  /** IVF index at rest: write the list-partitioned index in-plan, then
+    * answer through the partition-pruned read ([[Similarity.writeIvfIndex]]
+    * / [[Similarity.ivfTopKIndexed]]). Same parameters and quantizer as
+    * s3, so the two share one oracle — the equivalence IS the claim. */
+  private def s9(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_s9_${Integer.toHexString(dir.hashCode)}"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx)
+    Similarity.ivfTopKIndexed(s, idx, emb.where(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", k = 3, nprobe = 2)
+  }
+
   /** DSIR importance weights: English documents as the trusted target
     * domain, the whole corpus as raw — the Xie et al. 2023 data-selection
     * signal over hashed unigram+bigram bags. */
@@ -3373,7 +3385,16 @@ object ExtensionQueries {
         ON l.ship_s >= o.start_s AND l.ship_s < o.start_s + 86400
       GROUP BY o_orderkey""")),
 
-    Q("s3_ann_ivf", s3, Some(s"""
+    Q("s3_ann_ivf", s3, Some(ivfOracle)),
+
+    // same parameters, same deterministic quantizer — the index-at-rest
+    // face must reproduce s3 exactly, so the shared oracle IS the claim
+    Q("s9_ann_ivf_indexed", s9, Some(ivfOracle))
+  )
+
+  /** s3 AND s9's oracle: deterministic smallest-id IVF replicated in SQL
+    * (quantizer, assignment, nprobe=2 probes, top-3). */
+  private def ivfOracle: String = s"""
       WITH cents AS (
         SELECT cid, cvec FROM (
           SELECT vec_id AS cid, embedding AS cvec,
@@ -3396,6 +3417,5 @@ object ExtensionQueries {
             ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
         FROM assign e JOIN probes q
           ON e.list_id = q.list_id AND e.vec_id <> q.vec_id)
-      WHERE rank <= 3"""))
-  )
+      WHERE rank <= 3"""
 }

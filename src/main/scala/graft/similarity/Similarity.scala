@@ -276,6 +276,76 @@ object Similarity {
     topKByQuery(scored, k)
   }
 
+  /** IVF index AT REST — the physical layout the [[ivfTopK]] scaladoc
+    * promises ("the assigned corpus would be written partitioned by
+    * list_id"): every corpus vector lands in a parquet directory per
+    * inverted list (`dir/lists/list_id=N/`), with the deterministic
+    * smallest-id quantizer persisted beside it (`dir/centroids`). Probing
+    * then reads ONLY the probed lists' directories — partition pruning in
+    * the scan, the FAISS-on-disk shape, asserted in PlanSpec.
+    * Index-build cost: the quantizer collect (nlist rows) plus one
+    * assignment pass over the corpus; the write shuffles nothing (the
+    * partitioned sink splits files per task). */
+  def writeIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      nlist: Option[Int] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val nl = nlist.getOrElse(
+      math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt)
+    val cents: Array[(Long, Array[Double])] = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol))
+      .limit(nl)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val nearest1 = graft.functions.VectorFunctions
+      .nearestCentroids(col(vecCol), cents.map(_._1), cents.map(_._2), 1)
+    corpus
+      .select(element_at(nearest1, 1).as("list_id"), col(idCol), col(vecCol))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/lists")
+  }
+
+  /** Query a [[writeIvfIndex]] index without touching unprobed lists: the
+    * probed list-id set is computed from the (broadcast-small, same
+    * contract as the quantizer collect) query set and pushed into the
+    * scan as a PLAN-TIME partition filter, so the read is a
+    * partition-pruned subset of the corpus — at 100 TB, nprobe/nlist of
+    * the data. Result ≡ [[ivfTopK]] with the same parameters (same
+    * quantizer, same ordering contract), which is what the oracle and
+    * spec check. */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents: Array[(Long, Array[Double])] = spark.read
+      .parquet(s"$dir/centroids").orderBy(col("cid"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(nprobe >= 1 && nprobe <= cents.length,
+      "ivfTopKIndexed: need 1 <= nprobe <= nlist")
+    def nearest(vec: Column, m: Int): Column =
+      graft.functions.VectorFunctions.nearestCentroids(
+        vec, cents.map(_._1), cents.map(_._2), m)
+    val probes = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm"),
+      explode(nearest(col(vecCol), nprobe)).as("list_id"))
+    val probedLists = probes.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0))
+    val assigned = spark.read.parquet(s"$dir/lists")
+      .where(col("list_id").isin(probedLists.map(Long.box): _*))
+      .select(col("list_id"), col(idCol).as("neighbor_id"),
+        col(vecCol).as("n_vec"), l2Norm(col(vecCol)).as("n_norm"))
+    val scored = assigned.join(broadcast(probes), "list_id")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
+    topKByQuery(scored, k)
+  }
+
   /** SQ8 codebook: per-dimension (min, max) over the corpus (FAISS
     * `ScalarQuantizer` QT_8bit training). ONE partial-aggregated shuffle of
     * `dims` cells; only 2·dims doubles reach the driver — index-build cost,

@@ -306,6 +306,16 @@ class PlanSpec extends AnyFunSuite {
       s"SCD2 must not globally sort:\n$p")
   }
 
+  test("s9 index-at-rest: probe scan partition-pruned to the probed lists") {
+    val p = plan(q("s9_ann_ivf_indexed"))
+    val listScans = p.linesIterator.filter(l =>
+      l.contains("PartitionFilters") && l.contains("list_id")).toSeq
+    assert(listScans.nonEmpty, s"no partitioned list scan in plan:\n$p")
+    assert(listScans.exists(l => !l.contains("PartitionFilters: []")),
+      s"list scan reads ALL partitions (no pruning):\n${listScans.mkString("\n")}")
+    CacheRegistry.unpersistAll()
+  }
+
   test("s8 hard negatives: anchors broadcast, label filter in the join, no cartesian") {
     val p = plan(q("s8_hard_negatives"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -292,4 +292,18 @@ class SimilaritySpec extends AnyFunSuite {
       k = 10, m = 2, ksub = 5, dims = 4)
     assert(!out.collect().map(_.getLong(1)).contains(9L))
   }
+
+  test("ivfTopKIndexed: index-at-rest result equals the in-memory IVF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Similarity.writeIvfIndex(vecs, "vec_id", "embedding", dir, nlist = Some(3))
+    val queries = vecs.where(col("vec_id") === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq.sortBy(t => (t._1, t._4))
+    val mem = canon(Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, nlist = 3, nprobe = 2))
+    val idx = canon(Similarity.ivfTopKIndexed(spark, dir, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(mem.nonEmpty && idx == mem, s"index-at-rest diverged: $idx vs $mem")
+  }
 }
