@@ -70,7 +70,8 @@ object ScaleProbe {
       "d13_paragraph_near_dedup", "m11_zip_shards", "t26_gunzip_text",
       "m12_audio_resample", "m13_patchify", "t27_sentences", "p14_sentence_chunks",
       "s8_hard_negatives", "t28_dsir", "t29_compression_ratio",
-      "x34_pagerank", "x35_jsonl_roundtrip", "d14_sentence_dedup")
+      "x34_pagerank", "x35_jsonl_roundtrip", "d14_sentence_dedup",
+      "s9_ann_ivf_indexed", "p15_temperature_mixture")
     // optional args = probe-name filter (run a subset while iterating);
     // unknown names fail loudly — a typo must not look like a clean run
     val unknown = args.toSet -- probes.toSet
