@@ -112,6 +112,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch incremental dedup: a doc stream dedups against the accumulated registry") {
+    implicit val ctx = spark.sqlContext
+    import graft.dedup.Dedup
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "completely different text about accordions and submarines in equal measure"))
+      .toDF("doc_id", "text")
+    // buildBandRegistry clears catalog AND location, so re-runs are safe
+    Dedup.buildBandRegistry(base, "doc_id", "text", "graft_stream_reg", buckets = 4)
+    val flagged = scala.collection.mutable.Map[Long, Long]()
+    val source = MemoryStream[(Long, String)]
+    val q = source.toDF().toDF("doc_id", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the production ingestion loop: each micro-batch signatures only
+        // itself, claims against (and appends to) the persistent registry
+        Dedup.dedupAgainstRegistry(batch, "doc_id", "text",
+            "graft_stream_reg", buckets = 4)
+          .collect().foreach(r => flagged(r.getLong(0)) = r.getLong(2))
+      }.start()
+    try {
+      source.addData(
+        (2L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      q.processAllAvailable()
+      source.addData(
+        (3L, "fresh novel content mentioning telescopes and granite all day long"))
+      q.processAllAvailable()
+      source.addData(
+        (4L, "fresh novel content mentioning telescopes and granite all day long"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(flagged(2L) > 0L, "verbatim copy of the pre-stream corpus not flagged")
+    assert(flagged(3L) == 0L, "fresh content wrongly flagged")
+    // the decisive case: duplicate of an EARLIER MICRO-BATCH, caught only
+    // because the registry accumulated across batches
+    assert(flagged(4L) > 0L, "cross-micro-batch duplicate not flagged")
+  }
+
   test("latestByKey: out-of-order and re-delivered changes converge to the batch answer") {
     implicit val ctx = spark.sqlContext
     val changes = Seq( // (user, version, event_id, payload) — out of order
