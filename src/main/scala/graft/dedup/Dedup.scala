@@ -601,7 +601,7 @@ object Dedup {
     // scan of executor-local cache, not a recompute.
     def labSum(df: DataFrame): java.math.BigDecimal = {
       // sum over an empty frame is null → zero (empty graph = converged)
-      val s = df.agg(sum(col("lab").cast("decimal(38,0)"))).head.getDecimal(0)
+      val s = df.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s
     }
     var prevSum = labSum(labels)

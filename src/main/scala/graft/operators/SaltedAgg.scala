@@ -55,7 +55,7 @@ object SaltedAgg {
       df: DataFrame, keys: Seq[String], saltBuckets: Int, aggs: Seq[Alg]): DataFrame = {
     require(saltBuckets >= 1, "groupByAgg: saltBuckets must be >= 1")
     require(aggs.nonEmpty, "groupByAgg: need at least one aggregate")
-    val salt = pmod(hash(df.columns.map(col): _*), lit(saltBuckets)).as("__salt")
+    val salt = pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)).as("__salt")
     val stage1 = aggs.flatMap(partial)
     val stage2 = aggs.map(merge)
     df.groupBy(keys.map(col) :+ salt: _*)

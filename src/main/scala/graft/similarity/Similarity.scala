@@ -288,18 +288,29 @@ object Similarity {
     * partitioned sink splits files per task). */
   def writeIvfIndex(
       corpus: DataFrame, idCol: String, vecCol: String, dir: String,
-      nlist: Option[Int] = None): Unit = {
+      nlist: Option[Int] = None,
+      centroids: Option[(Array[Long], Array[Array[Double]])] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val n = corpus.count()
-    val nl = nlist.getOrElse(
-      math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt)
-    val cents: Array[(Long, Array[Double])] = corpus
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .orderBy(col(idCol))
-      .limit(nl)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // quality path: pre-trained centroids (e.g. [[kmeansCentroids]]) plug
+    // in directly; default = the deterministic smallest-id quantizer (the
+    // s3/s9 oracle contract)
+    val cents: Array[(Long, Array[Double])] = centroids match {
+      case Some((cids, cvecs)) =>
+        require(cids.length == cvecs.length && cids.nonEmpty,
+          "writeIvfIndex: centroid ids and vectors must align and be non-empty")
+        cids.zip(cvecs)
+      case None =>
+        val n = corpus.count()
+        val nl = nlist.getOrElse(
+          math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt)
+        corpus
+          .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+          .orderBy(col(idCol))
+          .limit(nl)
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    }
     cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     val nearest1 = graft.functions.VectorFunctions
@@ -336,7 +347,7 @@ object Similarity {
     val probedLists = probes.select(col("list_id")).distinct()
       .collect().map(_.getLong(0))
     val assigned = spark.read.parquet(s"$dir/lists")
-      .where(col("list_id").isin(probedLists.map(Long.box): _*))
+      .where(col("list_id").isin(probedLists.toIndexedSeq.map(Long.box): _*))
       .select(col("list_id"), col(idCol).as("neighbor_id"),
         col(vecCol).as("n_vec"), l2Norm(col(vecCol)).as("n_norm"))
     val scored = assigned.join(broadcast(probes), "list_id")

@@ -306,4 +306,21 @@ class SimilaritySpec extends AnyFunSuite {
       "vec_id", "embedding", k = 3, nprobe = 2))
     assert(mem.nonEmpty && idx == mem, s"index-at-rest diverged: $idx vs $mem")
   }
+
+  test("writeIvfIndex with k-means centroids: quality path equals the in-memory trained IVF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_km").toString
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      nlist = 3, iters = 2)
+    Similarity.writeIvfIndex(vecs, "vec_id", "embedding", dir,
+      centroids = Some(cents))
+    val queries = vecs.where(col("vec_id") === 0)
+    def canon2(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq.sortBy(t => (t._1, t._4))
+    val mem = canon2(Similarity.ivfTopKKmeans(vecs, queries, "vec_id", "embedding",
+      k = 3, nlist = 3, nprobe = 2, iters = 2))
+    val idx = canon2(Similarity.ivfTopKIndexed(spark, dir, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(mem.nonEmpty && idx == mem, s"k-means index-at-rest diverged: $idx vs $mem")
+  }
 }
