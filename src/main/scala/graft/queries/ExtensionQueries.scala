@@ -1632,6 +1632,17 @@ object ExtensionQueries {
       "vec_id", "embedding", k = 3, nprobe = 2)
   }
 
+  /** LSH index at rest: bucket-partitioned corpus written in-plan, then
+    * queried through the partition-pruned read — same planes and scoring
+    * as s2, so the two share one oracle. */
+  private def s10(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_s10_${Integer.toHexString(dir.hashCode)}"
+    Similarity.writeLshIndex(emb, "vec_id", "embedding", idx, planes = 6, dims = 64)
+    Similarity.lshTopKIndexed(s, idx, emb.where(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", k = 3)
+  }
+
   /** DSIR importance weights: English documents as the trusted target
     * domain, the whole corpus as raw — the Xie et al. 2023 data-selection
     * signal over hashed unigram+bigram bags. */
@@ -2116,17 +2127,11 @@ object ExtensionQueries {
       SELECT doc_id, text, lang, source, n_chars
       FROM documents WHERE doc_id % 10 <> 0""")),
 
-    Q("s2_ann_lsh_topk", s2, Some(s"""
-      WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
-      SELECT query_id, neighbor_id, cosine, rank FROM (
-        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-          ${cosSql("q.embedding", "e.embedding")} AS cosine,
-          row_number() OVER (PARTITION BY q.vec_id
-            ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
-        FROM b e
-        JOIN (SELECT * FROM b WHERE vec_id % 100 = 0) q
-          ON e.bucket = q.bucket AND e.vec_id <> q.vec_id)
-      WHERE rank <= 3""")),
+    Q("s2_ann_lsh_topk", s2, Some(lshOracle)),
+
+    // same planes (deterministic, seed-free), same scoring — the LSH
+    // index-at-rest face must reproduce s2 exactly; shared oracle
+    Q("s10_ann_lsh_indexed", s10, Some(lshOracle)),
 
     Q("t1_language_id", t1, Some("""
       SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
@@ -3391,6 +3396,20 @@ object ExtensionQueries {
     // face must reproduce s3 exactly, so the shared oracle IS the claim
     Q("s9_ann_ivf_indexed", s9, Some(ivfOracle))
   )
+
+  /** s2 AND s10's oracle: deterministic hyperplane-LSH replicated in SQL
+    * (bucket assignment, bucket-equi candidates, top-3). */
+  private def lshOracle: String = s"""
+      WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
+      SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          ${cosSql("q.embedding", "e.embedding")} AS cosine,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+        FROM b e
+        JOIN (SELECT * FROM b WHERE vec_id % 100 = 0) q
+          ON e.bucket = q.bucket AND e.vec_id <> q.vec_id)
+      WHERE rank <= 3"""
 
   /** s3 AND s9's oracle: deterministic smallest-id IVF replicated in SQL
     * (quantizer, assignment, nprobe=2 probes, top-3). */

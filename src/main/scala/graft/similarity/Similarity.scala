@@ -432,6 +432,51 @@ object Similarity {
     topKByQuery(scored, k)
   }
 
+  /** Hyperplane-LSH index AT REST — [[lshTopK]]'s scaladoc promise ("at
+    * 100 TB the bucketed corpus is written partitioned by bucket") made
+    * physical, the same move as [[writeIvfIndex]]: the bucketed corpus
+    * lands as parquet PARTITIONED BY bucket, with (planes, dims) in a
+    * one-row meta table so the reader regenerates the identical
+    * deterministic hyperplanes ([[hyperplaneWeights]] is seed-free).
+    * A query then reads only its own bucket's directory — 1/2^planes of
+    * the corpus via partition pruning. */
+  def writeLshIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      planes: Int, dims: Int): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((planes, dims)).toDF("planes", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    withHyperplaneBuckets(corpus, vecCol, planes, dims)
+      .select(col("bucket"), col(idCol), col(vecCol))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/buckets")
+  }
+
+  /** Query a [[writeLshIndex]] index: query buckets are computed with the
+    * regenerated hyperplanes, the probed bucket set becomes a plan-time
+    * partition filter on the scan, and scoring matches [[lshTopK]]
+    * exactly (same buckets, same ordering contract) — the equivalence is
+    * what the oracle and spec check. */
+  def lshTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (planes, dims) = (meta.getInt(0), meta.getInt(1))
+    val qb = withHyperplaneBuckets(queries, vecCol, planes, dims)
+      .select(col("bucket"), col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        l2Norm(col(vecCol)).as("q_norm"))
+    val probed = qb.select(col("bucket")).distinct().collect().map(_.getLong(0))
+    val cb = spark.read.parquet(s"$dir/buckets")
+      .where(col("bucket").isin(probed.toIndexedSeq.map(Long.box): _*))
+      .select(col("bucket"), col(idCol).as("neighbor_id"),
+        col(vecCol).as("n_vec"), l2Norm(col(vecCol)).as("n_norm"))
+    val scored = cb.join(broadcast(qb), "bucket")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
+    topKByQuery(scored, k)
+  }
+
   /** Deterministic PQ codebooks: subspace `s`'s centroids are the
     * corresponding subvectors of the `ksub` SMALLEST-id corpus vectors —
     * the same oracle-reproducible quantizer face as the IVF default and

@@ -316,6 +316,16 @@ class PlanSpec extends AnyFunSuite {
     CacheRegistry.unpersistAll()
   }
 
+  test("s10 LSH index-at-rest: probe scan partition-pruned to the probed buckets") {
+    val p = plan(q("s10_ann_lsh_indexed"))
+    val bucketScans = p.linesIterator.filter(l =>
+      l.contains("PartitionFilters") && l.contains("bucket")).toSeq
+    assert(bucketScans.nonEmpty, s"no partitioned bucket scan in plan:\n$p")
+    assert(bucketScans.exists(l => !l.contains("PartitionFilters: []")),
+      s"bucket scan reads ALL partitions:\n${bucketScans.mkString("\n")}")
+    CacheRegistry.unpersistAll()
+  }
+
   test("s8 hard negatives: anchors broadcast, label filter in the join, no cartesian") {
     val p = plan(q("s8_hard_negatives"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -323,4 +323,18 @@ class SimilaritySpec extends AnyFunSuite {
       "vec_id", "embedding", k = 3, nprobe = 2))
     assert(mem.nonEmpty && idx == mem, s"k-means index-at-rest diverged: $idx vs $mem")
   }
+
+  test("lshTopKIndexed: bucket-partitioned index equals the in-memory LSH") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    Similarity.writeLshIndex(vecs, "vec_id", "embedding", dir, planes = 4, dims = 4)
+    val queries = vecs.where(col("vec_id") === 0)
+    def canon3(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq.sortBy(t => (t._1, t._4))
+    val mem = canon3(Similarity.lshTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, planes = 4, dims = 4))
+    val idx = canon3(Similarity.lshTopKIndexed(spark, dir, queries,
+      "vec_id", "embedding", k = 3))
+    assert(mem.nonEmpty && idx == mem, s"LSH index-at-rest diverged: $idx vs $mem")
+  }
 }
