@@ -71,7 +71,7 @@ object ScaleProbe {
       "m12_audio_resample", "m13_patchify", "t27_sentences", "p14_sentence_chunks",
       "s8_hard_negatives", "t28_dsir", "t29_compression_ratio",
       "x34_pagerank", "x35_jsonl_roundtrip", "d14_sentence_dedup",
-      "s9_ann_ivf_indexed", "p15_temperature_mixture")
+      "s9_ann_ivf_indexed", "p15_temperature_mixture", "s10_ann_lsh_indexed")
     // optional args = probe-name filter (run a subset while iterating);
     // unknown names fail loudly — a typo must not look like a clean run
     val unknown = args.toSet -- probes.toSet

@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   *    give a bucket id; search only within the query's bucket. At 100 TB
   *    the bucketed corpus is written partitioned by bucket, so a query
   *    touches 1/2^planes of the data (partition pruning on the bucket
-  *    column does this for free).
+  *    column does this for free) — [[writeLshIndex]] / [[lshTopKIndexed]]
+  *    are that physical face.
   *
   * All arithmetic is double-precision in deterministic index order, so an
   * external oracle (DuckDB) reproduces results bit-for-bit.
@@ -152,8 +153,9 @@ object Similarity {
     * ([[graft.functions.NearestCentroids]]).
     * List assignment is then a pure codegen'd projection — the corpus is NEVER
     * shuffled; probes broadcast; per-query candidates reduce through one
-    * small window. At 100 TB the assigned corpus would be written
-    * partitioned by `list_id` so a probe is a partition-pruned scan.
+    * small window. At 100 TB the assigned corpus is written partitioned
+    * by `list_id` so a probe is a partition-pruned scan —
+    * [[writeIvfIndex]] / [[ivfTopKIndexed]] are that physical face.
     *
     * Centroid choice is deterministic (the `nlist` smallest-id corpus
     * vectors) rather than k-means: Lloyd refinement averages vectors in
