@@ -1270,7 +1270,9 @@ object ExtensionQueries {
       when(col("doc_id") % 10 === 0,
         concat(substring(to_json(payload), 1, 20), lit("{")))
         .otherwise(to_json(payload)).as("value"))
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_x35_${Integer.toHexString(dir.hashCode)}"
+    // pid component: two JVMs on the same dataset (sbt test + Bench) must
+    // not race overwrite-vs-read on a shared fixture path
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_x35_${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
     lines.coalesce(4).write.mode("overwrite").text(tmp)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
@@ -1626,7 +1628,7 @@ object ExtensionQueries {
     * s3, so the two share one oracle — the equivalence IS the claim. */
   private def s9(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    val idx = s"${sys.props("java.io.tmpdir")}/graft_s9_${Integer.toHexString(dir.hashCode)}"
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_s9_${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
     Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx)
     Similarity.ivfTopKIndexed(s, idx, emb.where(col("vec_id") % 100 === 0),
       "vec_id", "embedding", k = 3, nprobe = 2)
@@ -1637,7 +1639,7 @@ object ExtensionQueries {
     * as s2, so the two share one oracle. */
   private def s10(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    val idx = s"${sys.props("java.io.tmpdir")}/graft_s10_${Integer.toHexString(dir.hashCode)}"
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_s10_${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
     Similarity.writeLshIndex(emb, "vec_id", "embedding", idx, planes = 6, dims = 64)
     Similarity.lshTopKIndexed(s, idx, emb.where(col("vec_id") % 100 === 0),
       "vec_id", "embedding", k = 3)

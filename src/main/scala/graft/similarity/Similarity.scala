@@ -250,6 +250,16 @@ object Similarity {
     ivfWithCentroids(corpus, queries, idCol, vecCol, k, nprobe, cids, cvecs)
   }
 
+  /** [[ivfTopK]] with caller-supplied centroids — the no-retraining face:
+    * [[kmeansCentroids]] output (or centroids read back from a
+    * [[writeIvfIndex]] directory) plugs in directly, so one training run
+    * can serve many query batches without Lloyd re-running per call. */
+  def ivfTopKWith(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      cids: Array[Long], cvecs: Array[Array[Double]]): DataFrame =
+    ivfWithCentroids(corpus, queries, idCol, vecCol, k, nprobe, cids, cvecs)
+
   private def ivfWithCentroids(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
@@ -303,9 +313,12 @@ object Similarity {
           "writeIvfIndex: centroid ids and vectors must align and be non-empty")
         cids.zip(cvecs)
       case None =>
-        val n = corpus.count()
-        val nl = nlist.getOrElse(
-          math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt)
+        // the corpus count runs ONLY when auto-sizing — an explicit nlist
+        // must not cost a full extra pass at index-build time
+        val nl = nlist.getOrElse {
+          val n = corpus.count()
+          math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+        }
         corpus
           .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
           .orderBy(col(idCol))
@@ -313,6 +326,8 @@ object Similarity {
           .collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     }
+    require(cents.nonEmpty,
+      "writeIvfIndex: empty corpus — refusing to write a partial index")
     cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     val nearest1 = graft.functions.VectorFunctions
@@ -342,10 +357,14 @@ object Similarity {
     def nearest(vec: Column, m: Int): Column =
       graft.functions.VectorFunctions.nearestCentroids(
         vec, cents.map(_._1), cents.map(_._2), m)
-    val probes = queries.select(
+    // persisted: the probe relation is executed TWICE (the partition-id
+    // collect below, then the broadcast join) — without pinning, the
+    // query scan + centroid scoring run twice, and a nondeterministic
+    // query set could probe partitions the collected filter excluded
+    val probes = graft.CacheRegistry.persisted(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       l2Norm(col(vecCol)).as("q_norm"),
-      explode(nearest(col(vecCol), nprobe)).as("list_id"))
+      explode(nearest(col(vecCol), nprobe)).as("list_id")))
     val probedLists = probes.select(col("list_id")).distinct()
       .collect().map(_.getLong(0))
     val assigned = spark.read.parquet(s"$dir/lists")
@@ -463,10 +482,14 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val meta = spark.read.parquet(s"$dir/meta").head()
-    val (planes, dims) = (meta.getInt(0), meta.getInt(1))
-    val qb = withHyperplaneBuckets(queries, vecCol, planes, dims)
-      .select(col("bucket"), col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-        l2Norm(col(vecCol)).as("q_norm"))
+    // by NAME: both fields are Int, so an ordinal read would silently
+    // transpose planes/dims if the writer's column order ever changed
+    val (planes, dims) = (meta.getAs[Int]("planes"), meta.getAs[Int]("dims"))
+    // persisted for the same two-execution reason as ivfTopKIndexed
+    val qb = graft.CacheRegistry.persisted(
+      withHyperplaneBuckets(queries, vecCol, planes, dims)
+        .select(col("bucket"), col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+          l2Norm(col(vecCol)).as("q_norm")))
     val probed = qb.select(col("bucket")).distinct().collect().map(_.getLong(0))
     val cb = spark.read.parquet(s"$dir/buckets")
       .where(col("bucket").isin(probed.toIndexedSeq.map(Long.box): _*))

@@ -293,34 +293,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!out.collect().map(_.getLong(1)).contains(9L))
   }
 
+  private def canonTopK(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sortBy(t => (t._1, t._4))
+
   test("ivfTopKIndexed: index-at-rest result equals the in-memory IVF") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
     Similarity.writeIvfIndex(vecs, "vec_id", "embedding", dir, nlist = Some(3))
     val queries = vecs.where(col("vec_id") === 0)
-    def canon(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
-        .toSeq.sortBy(t => (t._1, t._4))
-    val mem = canon(Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+    val mem = canonTopK(Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
       k = 3, nlist = 3, nprobe = 2))
-    val idx = canon(Similarity.ivfTopKIndexed(spark, dir, queries,
+    val idx = canonTopK(Similarity.ivfTopKIndexed(spark, dir, queries,
       "vec_id", "embedding", k = 3, nprobe = 2))
+    CacheRegistry.unpersistAll()
     assert(mem.nonEmpty && idx == mem, s"index-at-rest diverged: $idx vs $mem")
   }
 
   test("writeIvfIndex with k-means centroids: quality path equals the in-memory trained IVF") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_km").toString
-    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+    // ONE training run serves both faces: Lloyd centroid values are
+    // shuffle-order dependent (the s4 rows-only rationale), so comparing
+    // two independent trainings bit-for-bit would be latently flaky
+    val (cids, cvecs) = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
       nlist = 3, iters = 2)
     Similarity.writeIvfIndex(vecs, "vec_id", "embedding", dir,
-      centroids = Some(cents))
+      centroids = Some((cids, cvecs)))
     val queries = vecs.where(col("vec_id") === 0)
-    def canon2(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
-        .toSeq.sortBy(t => (t._1, t._4))
-    val mem = canon2(Similarity.ivfTopKKmeans(vecs, queries, "vec_id", "embedding",
-      k = 3, nlist = 3, nprobe = 2, iters = 2))
-    val idx = canon2(Similarity.ivfTopKIndexed(spark, dir, queries,
+    val mem = canonTopK(Similarity.ivfTopKWith(vecs, queries, "vec_id", "embedding",
+      k = 3, nprobe = 2, cids = cids, cvecs = cvecs))
+    val idx = canonTopK(Similarity.ivfTopKIndexed(spark, dir, queries,
       "vec_id", "embedding", k = 3, nprobe = 2))
+    CacheRegistry.unpersistAll()
     assert(mem.nonEmpty && idx == mem, s"k-means index-at-rest diverged: $idx vs $mem")
   }
 
@@ -328,13 +331,19 @@ class SimilaritySpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
     Similarity.writeLshIndex(vecs, "vec_id", "embedding", dir, planes = 4, dims = 4)
     val queries = vecs.where(col("vec_id") === 0)
-    def canon3(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
-        .toSeq.sortBy(t => (t._1, t._4))
-    val mem = canon3(Similarity.lshTopK(vecs, queries, "vec_id", "embedding",
+    val mem = canonTopK(Similarity.lshTopK(vecs, queries, "vec_id", "embedding",
       k = 3, planes = 4, dims = 4))
-    val idx = canon3(Similarity.lshTopKIndexed(spark, dir, queries,
+    val idx = canonTopK(Similarity.lshTopKIndexed(spark, dir, queries,
       "vec_id", "embedding", k = 3))
+    CacheRegistry.unpersistAll()
     assert(mem.nonEmpty && idx == mem, s"LSH index-at-rest diverged: $idx vs $mem")
+  }
+
+  test("writeIvfIndex refuses an empty corpus instead of writing a partial index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_empty").toString
+    intercept[IllegalArgumentException] {
+      Similarity.writeIvfIndex(vecs.where(col("vec_id") < 0),
+        "vec_id", "embedding", dir, nlist = Some(3))
+    }
   }
 }
