@@ -337,6 +337,28 @@ object Similarity {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/lists")
   }
 
+  /** Append new vectors to an existing [[writeIvfIndex]] layout — the
+    * incremental-ingest face (the [[graft.dedup.Dedup.dedupAgainstRegistry]]
+    * shape applied to the ANN index): the PERSISTED quantizer is read back
+    * and reused, so new assignments are consistent with the original
+    * build (existing lists never reshuffle), and the new rows land in
+    * their list directories via dynamic-partition append. Equivalence
+    * (spec'd): build(A) then append(B) answers queries identically to
+    * build(A ∪ B) under A's quantizer. */
+  def appendToIvfIndex(
+      newVectors: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cents: Array[(Long, Array[Double])] = spark.read
+      .parquet(s"$dir/centroids").orderBy(col("cid"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty, s"appendToIvfIndex: no centroids under $dir")
+    val nearest1 = graft.functions.VectorFunctions
+      .nearestCentroids(col(vecCol), cents.map(_._1), cents.map(_._2), 1)
+    newVectors
+      .select(element_at(nearest1, 1).as("list_id"), col(idCol), col(vecCol))
+      .write.mode("append").partitionBy("list_id").parquet(s"$dir/lists")
+  }
+
   /** Query a [[writeIvfIndex]] index without touching unprobed lists: the
     * probed list-id set is computed from the (broadcast-small, same
     * contract as the quantizer collect) query set and pushed into the
@@ -471,6 +493,20 @@ object Similarity {
     withHyperplaneBuckets(corpus, vecCol, planes, dims)
       .select(col("bucket"), col(idCol), col(vecCol))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/buckets")
+  }
+
+  /** Append new vectors to an existing [[writeLshIndex]] layout — the
+    * hyperplanes are seed-free deterministic, so consistency with the
+    * original build is automatic; (planes, dims) come from the persisted
+    * meta table. Same equivalence contract as [[appendToIvfIndex]]. */
+  def appendToLshIndex(
+      newVectors: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (planes, dims) = (meta.getAs[Int]("planes"), meta.getAs[Int]("dims"))
+    withHyperplaneBuckets(newVectors, vecCol, planes, dims)
+      .select(col("bucket"), col(idCol), col(vecCol))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/buckets")
   }
 
   /** Query a [[writeLshIndex]] index: query buckets are computed with the

@@ -339,6 +339,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mem.nonEmpty && idx == mem, s"LSH index-at-rest diverged: $idx vs $mem")
   }
 
+  test("appendToIvfIndex: build(A) + append(B) answers like build(A ∪ B) under A's quantizer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val a = vecs.where(col("vec_id") <= 2)
+    val b = vecs.where(col("vec_id") > 2)
+    Similarity.writeIvfIndex(a, "vec_id", "embedding", dir, nlist = Some(2))
+    Similarity.appendToIvfIndex(b, "vec_id", "embedding", dir)
+    // full rebuild under the SAME quantizer (A's persisted centroids)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val full = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    Similarity.writeIvfIndex(vecs, "vec_id", "embedding", full,
+      centroids = Some((cents.map(_._1), cents.map(_._2))))
+    val queries = vecs.where(col("vec_id") === 0)
+    val inc = canonTopK(Similarity.ivfTopKIndexed(spark, dir, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    val ref = canonTopK(Similarity.ivfTopKIndexed(spark, full, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    CacheRegistry.unpersistAll()
+    assert(inc.nonEmpty && inc == ref, s"incremental index diverged: $inc vs $ref")
+  }
+
+  test("appendToLshIndex: incremental build equals the one-shot build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_app").toString
+    Similarity.writeLshIndex(vecs.where(col("vec_id") <= 2), "vec_id", "embedding",
+      dir, planes = 4, dims = 4)
+    Similarity.appendToLshIndex(vecs.where(col("vec_id") > 2), "vec_id", "embedding", dir)
+    val full = java.nio.file.Files.createTempDirectory("graft_lsh_full").toString
+    Similarity.writeLshIndex(vecs, "vec_id", "embedding", full, planes = 4, dims = 4)
+    val queries = vecs.where(col("vec_id") === 0)
+    val inc = canonTopK(Similarity.lshTopKIndexed(spark, dir, queries,
+      "vec_id", "embedding", k = 3))
+    val ref = canonTopK(Similarity.lshTopKIndexed(spark, full, queries,
+      "vec_id", "embedding", k = 3))
+    CacheRegistry.unpersistAll()
+    assert(inc.nonEmpty && inc == ref, s"incremental LSH index diverged: $inc vs $ref")
+  }
+
   test("writeIvfIndex refuses an empty corpus instead of writing a partial index") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_empty").toString
     intercept[IllegalArgumentException] {
