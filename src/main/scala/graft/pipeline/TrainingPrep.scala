@@ -347,4 +347,44 @@ object TrainingPrep {
       .select(col(idCol), col("chunk_id"), col("n_sentences"),
         concat_ws(" ", transform(col("ss"), x => x.getField("sentence"))).as("chunk_text"))
   }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): for a
+    * deterministic 1/`rateDenom` of documents, two character cut points
+    * split the text into prefix/middle/suffix and the document is
+    * re-serialized in PSM order — `‹pre› prefix ‹suf› suffix ‹mid› middle`
+    * — so an autoregressive model learns infilling; the rest pass through
+    * unchanged (the paper trains on a mixture).
+    *
+    * Deterministic and engine-portable: the FIM decision and both cuts
+    * derive from [[hash32]] of the id under distinct salts (mod len+1, so
+    * empty prefix/middle/suffix all occur), making the transform
+    * content-stable across runs and SQL-replicable — pure substring
+    * arithmetic, the split char level like the paper's default. `cut_lo`
+    * / `cut_hi` are surfaced (null when not applied) so downstream loss
+    * masking can find the sentinel spans without re-deriving them.
+    * Shuffle-free projection — scale-trivial. */
+  def fimTransform(
+      df: DataFrame, idCol: String, textCol: String, rateDenom: Int = 2,
+      pre: String = "<PRE>", suf: String = "<SUF>", mid: String = "<MID>"): DataFrame = {
+    require(rateDenom >= 1, "fimTransform: rateDenom >= 1")
+    val text = col(textCol)
+    val len = length(text).cast("long")
+    def salted(salt: String): Column =
+      hash32(concat(col(idCol).cast("string"), lit("#" + salt)))
+    val isFim = pmod(salted("fim"), lit(rateDenom.toLong)) === 0L
+    val c1 = pmod(salted("fim_a"), len + 1L)
+    val c2 = pmod(salted("fim_b"), len + 1L)
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    df.withColumn("fim_applied", isFim)
+      .withColumn("cut_lo", when(isFim, lo))
+      .withColumn("cut_hi", when(isFim, hi))
+      .withColumn("fim_text",
+        when(isFim, concat(
+          lit(pre), text.substr(lit(1L), lo),
+          lit(suf), text.substr(hi + 1L, len),
+          lit(mid), text.substr(lo + 1L, hi - lo)))
+          .otherwise(text))
+  }
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, CdcMerge, RangeJoin, SaltedAgg}
-import graft.similarity.Similarity
+import graft.similarity.{Retrieval, Similarity}
 import graft.streaming.Streaming
 import graft.text.{Curation, TextAnalysis, TextFunctions}
 
@@ -927,6 +927,14 @@ object ExtensionQueries {
     graft.pipeline.TrainingPrep.temperatureWeights(
       table(s, dir, "documents"), "lang", temperature = 2.0)
 
+  /** Fill-in-the-middle over the corpus: half the docs re-serialized in
+    * PSM sentinel order under deterministic hash cuts, the other half
+    * passed through — the infilling-objective prep. */
+  private def p16(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TrainingPrep.fimTransform(
+      table(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "fim_applied", "cut_lo", "cut_hi", "fim_text")
+
   /** Token id-ification against a 16-entry frequency vocabulary built
     * in-plan — small enough that OOV tokens exist and exercise the unk
     * path at every SF. */
@@ -1645,6 +1653,71 @@ object ExtensionQueries {
       "vec_id", "embedding", k = 3)
   }
 
+  /** BM25 lexical retrieval: query docs (every 100th) retrieve their top-5
+    * corpus matches over their first 5 distinct tokens — the sparse twin
+    * of s1's dense brute force ([[graft.similarity.Retrieval]] scaladoc
+    * carries the determinism contract that makes the oracle exact). */
+  private def s11(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    Retrieval.bm25TopK(docs,
+      Retrieval.queryTermsFromText(docs.where(col("doc_id") % 100 === 0),
+        "doc_id", "text", nTerms = 5),
+      "doc_id", "text", k = 5)
+  }
+
+  /** Inverted index at rest: term-bucket-partitioned postings written
+    * in-plan, then queried through the partition-pruned read — same
+    * postings, df, and fold order as s11, so the two share one oracle. */
+  private def s12(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_s12_${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+    Retrieval.writeInvertedIndex(docs, "doc_id", "text", idx, buckets = 16)
+    Retrieval.bm25TopKIndexed(s, idx,
+      Retrieval.queryTermsFromText(docs.where(col("doc_id") % 100 === 0),
+        "doc_id", "text", nTerms = 5),
+      k = 5, buckets = 16)
+  }
+
+  /** s11 AND s12's oracle: the full BM25 pipeline — postings, df, Lucene
+    * idf rounded at 9 dp, per-(query,doc) LEFT FOLD of contributions in
+    * term order (list_reduce ≡ Spark's `aggregate` with 0.0 init since
+    * contributions are positive), rank on the full-precision score. Every
+    * float literal is ::DOUBLE (the DECIMAL-folding gotcha) and composite
+    * constants like k1+1 are spelled as the same IEEE additions the Spark
+    * side performs. */
+  private val bm25Oracle = """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      stats AS (SELECT count(*)::BIGINT AS n_docs,
+                       (sum(len(ws))::BIGINT::DOUBLE / count(*)::DOUBLE) AS avgdl
+                FROM toks),
+      posts AS (SELECT doc_id, len(ws)::BIGINT AS dl, unnest(ws) AS term FROM toks),
+      tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf FROM posts GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      qt AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:5])) AS term
+             FROM toks WHERE doc_id % 100 = 0),
+      contribs AS (
+        SELECT q.query_id, t.doc_id AS neighbor_id, t.term,
+          round(ln((s.n_docs::DOUBLE - d.df::DOUBLE + 0.5::DOUBLE)
+                   / (d.df::DOUBLE + 0.5::DOUBLE) + 1.0::DOUBLE), 9)
+          * ((t.tf::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE)) /
+             (t.tf::DOUBLE + 1.2::DOUBLE *
+               ((1.0::DOUBLE - 0.75::DOUBLE)
+                + 0.75::DOUBLE * (t.dl::DOUBLE / s.avgdl)))) AS contrib
+        FROM tf t
+        JOIN qt q ON q.term = t.term
+        JOIN dfreq d ON d.term = t.term
+        CROSS JOIN stats s),
+      scored AS (
+        SELECT query_id, neighbor_id,
+          list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS score
+        FROM contribs GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, round(score, 9) AS score, rank FROM (
+        SELECT query_id, neighbor_id, score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 5"""
+
   /** DSIR importance weights: English documents as the trusted target
     * domain, the whole corpus as raw — the Xie et al. 2023 data-selection
     * signal over hashed unigram+bigram bags. */
@@ -2134,6 +2207,12 @@ object ExtensionQueries {
     // same planes (deterministic, seed-free), same scoring — the LSH
     // index-at-rest face must reproduce s2 exactly; shared oracle
     Q("s10_ann_lsh_indexed", s10, Some(lshOracle)),
+
+    Q("s11_bm25_topk", s11, Some(bm25Oracle)),
+
+    // same postings/df/fold-order — the inverted-index-at-rest face must
+    // reproduce s11 exactly; shared oracle
+    Q("s12_bm25_indexed", s12, Some(bm25Oracle)),
 
     Q("t1_language_id", t1, Some("""
       SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
@@ -3205,6 +3284,27 @@ object ExtensionQueries {
         round(pa / (SELECT zz FROM z), 9) + 0.0 AS q,
         round(pa / (SELECT zz FROM z) * (SELECT total FROM t)::DOUBLE
           / n::DOUBLE, 9) + 0.0 AS sample_weight
+      FROM s""")),
+
+    Q("p16_fim", p16, Some("""
+      WITH h AS (
+        SELECT doc_id, text, length(text)::BIGINT AS len,
+          ('0x' || substr(md5(doc_id::VARCHAR || '#fim'), 1, 8))::BIGINT % 2 = 0 AS is_fim,
+          ('0x' || substr(md5(doc_id::VARCHAR || '#fim_a'), 1, 8))::BIGINT
+            % (length(text)::BIGINT + 1) AS c1,
+          ('0x' || substr(md5(doc_id::VARCHAR || '#fim_b'), 1, 8))::BIGINT
+            % (length(text)::BIGINT + 1) AS c2
+        FROM documents),
+      s AS (SELECT doc_id, text, len, is_fim,
+              least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM h)
+      SELECT doc_id, is_fim AS fim_applied,
+        CASE WHEN is_fim THEN lo END AS cut_lo,
+        CASE WHEN is_fim THEN hi END AS cut_hi,
+        CASE WHEN is_fim THEN
+          '<PRE>' || substr(text, 1, lo)
+          || '<SUF>' || substr(text, hi + 1, len)
+          || '<MID>' || substr(text, lo + 1, hi - lo)
+        ELSE text END AS fim_text
       FROM s""")),
 
     Q("p6_tokenize_ids", p6, Some("""

@@ -326,6 +326,23 @@ class PlanSpec extends AnyFunSuite {
     CacheRegistry.unpersistAll()
   }
 
+  test("s12 inverted index at rest: postings scan partition-pruned to the probed term buckets") {
+    val p = plan(q("s12_bm25_indexed"))
+    val postScans = p.linesIterator.filter(l =>
+      l.contains("PartitionFilters") && l.contains("term_bucket")).toSeq
+    assert(postScans.nonEmpty, s"no partitioned postings scan in plan:\n$p")
+    assert(postScans.exists(l => !l.contains("PartitionFilters: []")),
+      s"postings scan reads ALL partitions (no pruning):\n${postScans.mkString("\n")}")
+    CacheRegistry.unpersistAll()
+  }
+
+  test("s11 bm25: query terms broadcast into the postings join, no cartesian") {
+    val p = plan(q("s11_bm25_topk"))
+    assert(p.contains("BroadcastHashJoin"), s"query-term join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    CacheRegistry.unpersistAll()
+  }
+
   test("s8 hard negatives: anchors broadcast, label filter in the join, no cartesian") {
     val p = plan(q("s8_hard_negatives"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -303,4 +303,40 @@ class TrainingPrepSpec extends AnyFunSuite {
     // minority sources upsample, majority downsample
     assert(t2("fr")._4 > 1.0 && t2("en")._4 < 1.0)
   }
+
+  test("fimTransform: PSM re-serialization is lossless against the surfaced cuts") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"doc $i " + ("abcdefghij" * (i % 4).toInt)))
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.fimTransform(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getString(5)))
+    assert(out.length == 40)
+    val applied = out.filter(_._3)
+    assert(applied.nonEmpty && applied.length < 40, "rate 1/2 must split the corpus")
+    for ((_, text, _, lo, hi, fim) <- applied) {
+      assert(0 <= lo && lo <= hi && hi <= text.length)
+      val (p, m, s2) = (text.substring(0, lo.toInt),
+        text.substring(lo.toInt, hi.toInt), text.substring(hi.toInt))
+      assert(fim == s"<PRE>$p<SUF>$s2<MID>$m")
+    }
+    for ((_, text, applied2, lo, hi, fim) <- out if !applied2) {
+      assert(fim == text && lo == -1L && hi == -1L)
+    }
+  }
+
+  test("fimTransform: deterministic across invocations; empty text survives") {
+    import spark.implicits._
+    val docs = Seq((7L, ""), (8L, "x")).toDF("doc_id", "text")
+    val a = TrainingPrep.fimTransform(docs, "doc_id", "text", rateDenom = 1)
+      .collect().map(_.toSeq).toSet
+    val b = TrainingPrep.fimTransform(docs, "doc_id", "text", rateDenom = 1)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    // empty doc under FIM: all three segments empty, sentinels remain
+    val empty = TrainingPrep.fimTransform(docs.where($"doc_id" === 7), "doc_id", "text",
+      rateDenom = 1).select("fim_text").head().getString(0)
+    assert(empty == "<PRE><SUF><MID>")
+  }
 }
