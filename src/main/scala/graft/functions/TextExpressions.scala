@@ -119,10 +119,187 @@ case class WinnowFingerprints(child: Expression, kgram: Int, window: Int)
     copy(child = newChild)
 }
 
+/** Aho-Corasick multi-pattern matcher (Aho & Corasick 1975) as ONE
+  * codegen'd expression: count every occurrence of every pattern
+  * (all start positions, overlapping included) in a single pass over the
+  * text, independent of pattern count.
+  *
+  * The 100 TB blocklist shape: content filtering against a term list
+  * (NSFW/spam/PII term screens in the C4/RefinedWeb/Dolma pipelines) is
+  * k `contains()` scans per document the naive way — O(k·n) per doc and
+  * k Column expressions in the plan. This automaton is O(n + matches)
+  * per doc and O(1) plan size: the goto/fail/output tables live in ONE
+  * reference object shared by every task (the [[NearestCentroids]]
+  * lesson: large reference state must not be unrolled into the plan).
+  *
+  * Returns struct(total_hits BIGINT, matched ARRAY<STRING>) with
+  * `matched` the lexicographically sorted distinct patterns that occur —
+  * deterministic, and SQL-replicable per pattern as the count of start
+  * positions `i` where `substr(text, i, len(p)) = p`.
+  */
+case class MultiPatternHits(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "MultiPatternHits: need >= 1 non-empty pattern")
+  require(patterns.distinct == patterns,
+    "MultiPatternHits: duplicate patterns would double-count — deduplicate")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("total_hits",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("matched",
+      ArrayType(StringType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_multi_pattern_hits"
+
+  /** The automaton, fully determinized for the hot path: a dense
+    * `states × 128` int table carries EVERY transition (goto ∪ fail
+    * resolution, computed in BFS order — delta[s][c] = delta[fail(s)][c]
+    * when s has no c-edge) for ASCII chars, so the scan loop is one array
+    * load per char with no boxing and no fail-walking. Non-ASCII pattern
+    * chars go through a per-state HashMap with the classic lazy fail walk
+    * (rare by construction); a text char with no edges anywhere can reach
+    * no pattern state and resets to root. Built once per executor
+    * (transient lazy), never serialized into the plan. Outputs are merged
+    * down the fail chain at build time (a state's fail link is finalized
+    * before the state itself in BFS order). */
+  @transient private lazy val automaton: MultiPatternHits.Automaton = {
+    val gotoMaps = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    val outs = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    for ((p, pid) <- patterns.zipWithIndex) {
+      var s = 0
+      for (c <- p) {
+        val nxt = gotoMaps(s).get(c)
+        if (nxt == null) {
+          gotoMaps += new java.util.HashMap[Character, Integer]()
+          outs += Nil
+          gotoMaps(s).put(c, gotoMaps.size - 1)
+          s = gotoMaps.size - 1
+        } else s = nxt
+      }
+      outs(s) = pid :: outs(s)
+    }
+    val n = gotoMaps.size
+    val fail = new Array[Int](n)
+    val queue = new java.util.ArrayDeque[Int]()
+    gotoMaps(0).forEach { (_, v) => fail(v) = 0; queue.add(v) }
+    val bfs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (!queue.isEmpty) {
+      val u = queue.poll()
+      bfs += u
+      gotoMaps(u).forEach { (c, v) =>
+        queue.add(v)
+        var f = fail(u)
+        while (f != 0 && gotoMaps(f).get(c) == null) f = fail(f)
+        val fv = gotoMaps(f).get(c)
+        fail(v) = if (fv != null && fv.intValue() != v) fv.intValue() else 0
+        outs(v) = outs(v) ++ outs(fail(v))
+      }
+    }
+    // determinize ASCII: root row first, then children inherit their fail
+    // row for absent edges (BFS order guarantees the fail row is final)
+    val delta = Array.fill(n * 128)(0)
+    gotoMaps(0).forEach { (c, v) => if (c < 128) delta(c.charValue()) = v.intValue() }
+    for (u <- bfs if u != 0) {
+      val base = u * 128
+      val failBase = fail(u) * 128
+      var c = 0
+      while (c < 128) { delta(base + c) = delta(failBase + c); c += 1 }
+      gotoMaps(u).forEach { (c, v) => if (c < 128) delta(base + c.charValue()) = v.intValue() }
+    }
+    // keep only non-ASCII edges in the fallback maps
+    val wide = gotoMaps.map { m =>
+      val w = new java.util.HashMap[Character, Integer]()
+      m.forEach { (c, v) => if (c >= 128) w.put(c, v) }
+      if (w.isEmpty) null else w
+    }.toArray
+    val anyWide = wide.exists(_ != null)
+    MultiPatternHits.Automaton(delta, fail, outs.map(_.toArray).toArray, wide, anyWide)
+  }
+
+  @transient private lazy val sortedIdx: Array[Int] =
+    patterns.indices.sortBy(patterns)(implicitly[Ordering[String]]).toArray
+  @transient private lazy val patternUtf8: Array[UTF8String] =
+    patterns.map(UTF8String.fromString).toArray
+
+  /** Called from both interpreted eval and generated code. */
+  def hits(t: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val a = automaton
+    val delta = a.delta
+    val outs = a.outs
+    val counts = new Array[Long](patterns.size)
+    var total = 0L
+    val s = t.toString
+    val len = s.length
+    var state = 0
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c < 128) state = delta(state * 128 + c)
+      else if (!a.anyWide) state = 0
+      else {
+        // lazy fail walk through the sparse non-ASCII edges
+        var st = state
+        var nxt: Integer = if (a.wide(st) == null) null else a.wide(st).get(c)
+        while (nxt == null && st != 0) {
+          st = a.fail(st)
+          nxt = if (a.wide(st) == null) null else a.wide(st).get(c)
+        }
+        state = if (nxt != null) nxt.intValue() else 0
+      }
+      val o = outs(state)
+      if (o.length != 0) {
+        var j = 0
+        while (j < o.length) { counts(o(j)) += 1L; total += 1L; j += 1 }
+      }
+      i += 1
+    }
+    val matched = new scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var k = 0
+    while (k < sortedIdx.length) {
+      if (counts(sortedIdx(k)) > 0L) matched += patternUtf8(sortedIdx(k))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, new GenericArrayData(matched.toArray)))
+  }
+
+  override protected def nullSafeEval(t: Any): Any =
+    hits(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acPatterns", this, classOf[MultiPatternHits].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.hits($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiPatternHits =
+    copy(child = newChild)
+}
+
+object MultiPatternHits {
+  /** Determinized automaton tables — see the `automaton` scaladoc. */
+  final case class Automaton(
+      delta: Array[Int], fail: Array[Int], outs: Array[Array[Int]],
+      wide: Array[java.util.HashMap[Character, Integer]], anyWide: Boolean)
+}
+
 object TextExpressionFunctions {
 
   /** Distinct winnowed k-gram fingerprints of `text` in first-occurrence
     * order; null when shorter than `kgram` chars. */
   def winnowFingerprints(text: Column, kgram: Int, window: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), kgram, window))
+
+  /** struct(total_hits, matched) of Aho-Corasick matches of `patterns`
+    * in `text` — every start position counted, overlapping included. */
+  def multiPatternHits(text: Column, patterns: Seq[String]): Column =
+    ColumnBridge.column(MultiPatternHits(ColumnBridge.expression(text), patterns))
 }

@@ -1733,6 +1733,14 @@ object ExtensionQueries {
   private def t29(s: SparkSession, dir: String): DataFrame =
     Curation.compressionRatio(table(s, dir, "documents"), "doc_id", "text")
 
+  /** Blocklist screen over the corpus: three phrases that occur in the
+    * word-soup text (substring semantics — 'join a' crosses a token
+    * boundary) plus one that never does, in one automaton pass. */
+  private def t30(s: SparkSession, dir: String): DataFrame =
+    Curation.blocklistTag(fanOut(s, table(s, dir, "documents").select("doc_id", "text")),
+      "text", Seq("join a", "filter c", "scan", "zzzq"))
+      .select("doc_id", "blocklist_hits", "blocklist_terms", "blocklist_flag")
+
   /** PageRank over the customer→supplier purchase graph (supplier ids
     * namespaced +10^12 so the two key spaces can't collide at any SF —
     * TPC-H custkey grows ~150k·SF): the
@@ -2197,6 +2205,21 @@ object ExtensionQueries {
     Q("x34_pagerank", x34, Some(pageRankOracle(iters = 3))),
 
     Q("t29_compression_ratio", t29, None),
+
+    Q("t30_blocklist", t30, Some("""
+      WITH pats AS (SELECT unnest(['join a', 'filter c', 'scan', 'zzzq']) AS p),
+      counts AS (
+        SELECT d.doc_id, p.p,
+          coalesce(list_sum(list_transform(
+            range(1, length(d.text) - length(p.p) + 2),
+            i -> CASE WHEN substr(d.text, i, length(p.p)) = p.p
+                 THEN 1 ELSE 0 END)), 0)::BIGINT AS c
+        FROM documents d CROSS JOIN pats p)
+      SELECT doc_id, sum(c)::BIGINT AS blocklist_hits,
+        coalesce(array_to_string(list(p ORDER BY p) FILTER (WHERE c > 0), ' '), '')
+          AS blocklist_terms,
+        sum(c) > 0 AS blocklist_flag
+      FROM counts GROUP BY doc_id""")),
 
     Q("x35_jsonl_roundtrip", x35, Some("""
       SELECT doc_id, text, lang, source, n_chars

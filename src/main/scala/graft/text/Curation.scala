@@ -130,6 +130,32 @@ object Curation {
             ipPattern, "<IP>"),
           phonePattern, "<PHONE>"))
 
+  /** Blocklist term screen via ONE Aho-Corasick pass
+    * ([[graft.functions.MultiPatternHits]]): every occurrence of every
+    * pattern counted (all start positions, overlapping included — NOT
+    * token-anchored, so multi-word phrases and in-word hits both match,
+    * the C4 "bad words" semantics). The naive formulation is k
+    * `contains`/`regexp_count` scans per document — O(k·n) and k plan
+    * expressions; the automaton is O(n + matches) with O(1) plan size,
+    * which is what survives a 10k-term blocklist at 100 TB. Measured at
+    * sf0.1: equal to the contains-chain at 64 patterns (~0.2 s warm,
+    * overhead-bound), while at 512 patterns the naive Column reduce
+    * OVERFLOWS THE STACK converting the plan before a single row is
+    * read — the automaton stays at 0.2 s, independent of pattern count.
+    *
+    * Emits `blocklist_hits` (total occurrences), `blocklist_terms` (the
+    * distinct matching patterns, sorted, space-joined — the checkable
+    * face of the matched set) and `blocklist_flag`. The struct is
+    * computed ONCE: the three projections reference one non-cheap alias,
+    * which CollapseProject keeps materialized (the m10 lesson). */
+  def blocklistTag(df: DataFrame, textCol: String, patterns: Seq[String]): DataFrame =
+    df.withColumn("__bl",
+        graft.functions.TextExpressionFunctions.multiPatternHits(col(textCol), patterns))
+      .withColumn("blocklist_hits", col("__bl.total_hits"))
+      .withColumn("blocklist_terms", array_join(col("__bl.matched"), " "))
+      .withColumn("blocklist_flag", col("__bl.total_hits") > 0L)
+      .drop("__bl")
+
   /** Deterministic pseudo-random weight vector for [[hashedLinearScore]]:
     * w[d] ∈ [-1, 1] from the first hex nibble of md5("seed_d") — any
     * engine regenerates the same weights; a trained model would ship its
