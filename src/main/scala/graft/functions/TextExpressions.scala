@@ -284,6 +284,49 @@ case class MultiPatternHits(child: Expression, patterns: Seq[String])
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (UAX #15 canonical composition) as a
+  * codegen'd expression — the mojibake-hygiene pass every multilingual
+  * corpus needs before exact/near dedup: 'e'+U+0301 and precomposed 'é'
+  * are different byte strings that render identically, so un-normalized
+  * text defeats hash-based dedup and inflates vocabularies. Spark has no
+  * builtin; this wraps `java.text.Normalizer` (the same UAX #15 algorithm
+  * DuckDB's `nfc_normalize` implements, which is what makes the oracle
+  * exact). ASCII fast path: a string whose byte count equals its char
+  * count contains no combining sequences and is returned UNCHANGED
+  * (zero-copy — on a mostly-ASCII corpus the expression is a length
+  * compare per row). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_nfc_normalize"
+
+  def normalize(t: UTF8String): UTF8String = {
+    if (t.numBytes() == t.numChars()) return t // pure ASCII is NFC already
+    val s = t.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) t
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def nullSafeEval(t: Any): Any =
+    normalize(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfc", this, classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.normalize($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 object MultiPatternHits {
   /** Determinized automaton tables — see the `automaton` scaladoc. */
   final case class Automaton(
@@ -302,4 +345,9 @@ object TextExpressionFunctions {
     * in `text` — every start position counted, overlapping included. */
   def multiPatternHits(text: Column, patterns: Seq[String]): Column =
     ColumnBridge.column(MultiPatternHits(ColumnBridge.expression(text), patterns))
+
+  /** Unicode NFC canonical composition; ASCII rows pass through
+    * zero-copy. */
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 }

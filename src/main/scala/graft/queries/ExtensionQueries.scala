@@ -1741,6 +1741,19 @@ object ExtensionQueries {
       "text", Seq("join a", "filter c", "scan", "zzzq"))
       .select("doc_id", "blocklist_hits", "blocklist_terms", "blocklist_flag")
 
+  /** NFC normalization over the corpus with decomposed combining-mark
+    * fixtures injected in-plan (the ASCII word soup is NFC already):
+    * every 10th doc gains ' cafe'+U+0301+' A'+U+030A, which must compose
+    * to 'café Å' — 2 chars shorter. */
+  private def t31(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.normalizeUnicode(
+      table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" cafe\u0301 A\u030A")))
+          .otherwise(col("text")).as("text")),
+      "text")
+      .select("doc_id", "nfc_text", "was_normalized", "n_chars_before", "n_chars_after")
+
   /** PageRank over the customer→supplier purchase graph (supplier ids
     * namespaced +10^12 so the two key spaces can't collide at any SF —
     * TPC-H custkey grows ~150k·SF): the
@@ -2205,6 +2218,19 @@ object ExtensionQueries {
     Q("x34_pagerank", x34, Some(pageRankOracle(iters = 3))),
 
     Q("t29_compression_ratio", t29, None),
+
+    Q("t31_nfc_normalize", t31, Some("""
+      WITH aug AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0
+            THEN text || ' cafe' || chr(769) || ' A' || chr(778)
+            ELSE text END AS text
+        FROM documents)
+      SELECT doc_id, nfc_normalize(text) AS nfc_text,
+        nfc_normalize(text) <> text AS was_normalized,
+        length(text)::BIGINT AS n_chars_before,
+        length(nfc_normalize(text))::BIGINT AS n_chars_after
+      FROM aug""")),
 
     Q("t30_blocklist", t30, Some("""
       WITH pats AS (SELECT unnest(['join a', 'filter c', 'scan', 'zzzq']) AS p),

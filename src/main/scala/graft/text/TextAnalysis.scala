@@ -83,4 +83,19 @@ object TextAnalysis {
     filter(
       transform(regexp_extract_all(c, lit("[^.!?]+[.!?]*"), lit(0)), s => trim(s)),
       s => s =!= "")
+
+  /** Unicode NFC normalization audit face
+    * ([[graft.functions.NfcNormalize]]): canonical composition plus the
+    * columns a curation pipeline wants next to it — whether the row
+    * changed and the before/after code-point counts (combining sequences
+    * shrink; NFC never grows a string's char count for canonical text).
+    * Run BEFORE hash-based dedup: decomposed and precomposed spellings of
+    * the same rendered text otherwise hash apart. Shuffle-free; ASCII
+    * rows pass through zero-copy. */
+  def normalizeUnicode(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("nfc_text",
+        graft.functions.TextExpressionFunctions.nfcNormalize(col(textCol)))
+      .withColumn("was_normalized", col("nfc_text") =!= col(textCol))
+      .withColumn("n_chars_before", length(col(textCol)).cast("long"))
+      .withColumn("n_chars_after", length(col("nfc_text")).cast("long"))
 }

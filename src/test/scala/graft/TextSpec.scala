@@ -68,6 +68,25 @@ class TextSpec extends AnyFunSuite {
     assert(out.getAs[Long]("distinct_tokens") == 4L)
   }
 
+  test("normalizeUnicode: decomposed composes to precomposed; ASCII passes through; idempotent") {
+    val decomposed = "cafe\u0301 A\u030A" // e+COMBINING ACUTE, A+COMBINING RING
+    val precomposed = "caf\u00e9 \u00c5"    // é, Å
+    val rows = Seq((0L, decomposed), (1L, precomposed), (2L, "plain ascii"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeUnicode(rows, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getBoolean(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(0L)._1 == precomposed && out(0L)._2)
+    assert(out(0L)._3 == 8L && out(0L)._4 == 6L) // two combining marks fold in
+    assert(out(1L) == ((precomposed, false, 6L, 6L)))
+    assert(out(2L) == (("plain ascii", false, 11L, 11L)))
+    assert(out(3L) == (("", false, 0L, 0L)))
+    // idempotent: normalizing the output changes nothing
+    val again = TextAnalysis.normalizeUnicode(
+      Seq((0L, out(0L)._1)).toDF("doc_id", "text"), "text").head()
+    assert(!again.getBoolean(3))
+  }
+
   test("fingerprint: equal for equal text, different for different text") {
     val out = TextAnalysis.fingerprint(
       Seq((1L, "abcdefghijklmnopqrstuvwxyz"), (2L, "abcdefghijklmnopqrstuvwxyz"),
