@@ -57,29 +57,36 @@ object PageRank {
           col(dstCol).cast("long").as("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull)
         .distinct())
-    val nodes = graft.CacheRegistry.persisted(
-      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
     val outDeg = graft.CacheRegistry.persisted(
       e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg")))
+    // the dangling flag is a property of the GRAPH, not of an iteration:
+    // computed once here, carried inside the rank relation, so each
+    // iteration's dangling mass is a filtered agg over the checkpointed
+    // ranks instead of a per-iteration anti-join (measured -1 join +
+    // -1 nodes×nodes shuffle per iteration; arithmetic identical — the
+    // same rank values are summed)
+    val nodes = graft.CacheRegistry.persisted(
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
+        .join(outDeg.select(col("src").as("node"), col("deg")), Seq("node"), "left")
+        .select(col("node"), col("deg").isNull.as("is_dangling")))
     // node count as a broadcast 1-row relation (no driver action)
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     var ranks = checkpointer(nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank")))
+      .select(col("node"), col("is_dangling"), (lit(1.0) / col("n_nodes")).as("rank")))
     var i = 0
     while (i < iters) {
       val contrib = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .join(outDeg, "src")
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("cin"))
-      val dangling = ranks
-        .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+      val dangling = ranks.where(col("is_dangling"))
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
       ranks = nodes
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(nRow))
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("is_dangling"),
           ((lit(1.0) - damping) / col("n_nodes")
             + lit(damping) * (coalesce(col("cin"), lit(0.0))
               + col("dm") / col("n_nodes"))).as("rank"))

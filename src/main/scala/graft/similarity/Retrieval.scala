@@ -70,18 +70,23 @@ object Retrieval {
     * on the exact value in every engine. */
   def bm25Scores(
       corpus: DataFrame, queryTerms: DataFrame, idCol: String, textCol: String,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, maxDfFraction: Double = 1.0): DataFrame = {
     val posts = postings(corpus, idCol, textCol)
     val stats = corpusStats(corpus, textCol)
     // df per term from the postings relation (already distinct per doc);
     // idf rounded HERE — see the determinism contract above
-    val df = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val df = pruneByDf(
+      posts.groupBy("term").agg(count(lit(1)).as("df")), stats, maxDfFraction)
     val idf = round(
       log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)) + lit(1.0)), 9).as("idf")
+    // (term, df) restricted to surviving QUERY terms — broadcast-tiny, and
+    // joined BEFORE query ids are attached so pruned/common terms are
+    // dropped before the per-query row multiplication, not after
+    val qdf = df.join(broadcast(queryTerms.select(col("term")).distinct()), "term")
     val scoredTerm = posts
+      .join(broadcast(qdf), "term")
       .join(broadcast(queryTerms.select(col("query_id"), col("term"))), "term")
-      .join(df.select(col("term"), col("df")), "term")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id").as("neighbor_id"), col("term"),
         (idf * ((col("tf").cast("double") * lit(k1 + 1.0)) /
@@ -105,14 +110,34 @@ object Retrieval {
         explode(array_distinct(
           slice(graft.text.TextFunctions.tokens(col(textCol)), 1, nTerms))).as("term"))
 
+  /** Per-query cost is Σ_{t ∈ q} df(t): an ultra-common query term walks
+    * its ENTIRE posting list, which at corpus scale is the whole corpus
+    * (real engines answer with WAND/MaxScore pruning; out of scope here).
+    * `maxDfFraction < 1` is the classic pipeline mitigation — terms in
+    * more than that fraction of documents are dropped from scoring
+    * (an idf floor / stopword prune). Their idf is near zero anyway, so
+    * rankings barely move while the worst-case posting walk disappears.
+    * Exact semantics (the oracle's) at the default 1.0. */
+  private def pruneByDf(df: DataFrame, stats: DataFrame, maxDfFraction: Double): DataFrame = {
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      "maxDfFraction must be in (0, 1]")
+    if (maxDfFraction >= 1.0) df
+    else df.crossJoin(broadcast(stats.select(col("n_docs"))))
+      .where(col("df").cast("double") <=
+        lit(maxDfFraction) * col("n_docs").cast("double"))
+      .select(col("term"), col("df"))
+  }
+
   /** Top-k BM25 retrieval: ranks on the full-precision deterministic score
     * (ties toward the smaller doc id), surfaces it rounded to 9 dp.
     * Queries drawn from the corpus match themselves — retrieval semantics,
-    * unlike the ANN family's self-exclusion. */
+    * unlike the ANN family's self-exclusion. See [[pruneByDf]] for
+    * `maxDfFraction`. */
   def bm25TopK(
       corpus: DataFrame, queryTerms: DataFrame, idCol: String, textCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    topKScored(bm25Scores(corpus, queryTerms, idCol, textCol, k1, b), k)
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFraction: Double = 1.0): DataFrame =
+    topKScored(bm25Scores(corpus, queryTerms, idCol, textCol, k1, b, maxDfFraction), k)
 
   /** Bounded per-query top-k over a (query_id, neighbor_id, score)
     * relation — the [[graft.folds.Aggregators.topK]] shape: at most k
@@ -204,7 +229,8 @@ object Retrieval {
     * same df, same fold order — which is what the shared oracle checks. */
   def bm25TopKIndexed(
       spark: SparkSession, dir: String, queryTerms: DataFrame,
-      k: Int, k1: Double = 1.2, b: Double = 0.75, buckets: Int = 16): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75, buckets: Int = 16,
+      maxDfFraction: Double = 1.0): DataFrame = {
     // persisted: executed twice (bucket collect, then the scoring join)
     val qt = graft.CacheRegistry.persisted(
       queryTerms.select(col("query_id"), col("term")))
@@ -219,13 +245,14 @@ object Retrieval {
     val posts = graft.CacheRegistry.persisted(spark.read.parquet(s"$dir/postings")
       .where(col("term_bucket").isin(probedBuckets.toIndexedSeq.map(Long.box): _*))
       .join(broadcast(qt.select(col("term")).distinct()), "term"))
-    val df = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val df = pruneByDf(
+      posts.groupBy("term").agg(count(lit(1)).as("df")), meta, maxDfFraction)
     val idf = round(
       log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)) + lit(1.0)), 9).as("idf")
     val scoredTerm = posts
+      .join(broadcast(df), "term")
       .join(broadcast(qt), "term")
-      .join(df, "term")
       .crossJoin(broadcast(meta))
       .select(col("query_id"), col("doc_id").as("neighbor_id"), col("term"),
         (idf * ((col("tf").cast("double") * lit(k1 + 1.0)) /

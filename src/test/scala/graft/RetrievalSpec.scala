@@ -142,6 +142,25 @@ class RetrievalSpec extends AnyFunSuite {
     CacheRegistry.unpersistAll()
   }
 
+  test("maxDfFraction prunes common terms from scoring, both faces identically") {
+    // 'the' appears in 3/6 docs (df fraction 0.5) — pruned at 0.4; 'cat'
+    // (2/6) survives. Result must equal the reference scored WITHOUT 'the'.
+    val queryTerms = qt((9L, "the"), (9L, "cat"))
+    val pruned = Retrieval.bm25TopK(corpusDf, queryTerms, "doc_id", "text",
+      k = 10, maxDfFraction = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val ref = referenceScores(corpus, Map(9L -> Seq("cat")))
+    assert(pruned.map(_._2) == ref.keySet.map(_._2))
+    for ((q, d, s, _) <- pruned) assert(s == round9(ref((q, d))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv_prune").toString
+    Retrieval.writeInvertedIndex(corpusDf, "doc_id", "text", dir, buckets = 4)
+    val prunedIdx = Retrieval.bm25TopKIndexed(spark, dir, queryTerms, k = 10,
+      buckets = 4, maxDfFraction = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(prunedIdx == pruned)
+    CacheRegistry.unpersistAll()
+  }
+
   test("termBucket driver-side twin agrees with the Column face") {
     val terms = Seq("cat", "dog", "the", "αβγ", "", "x")
     val fromCol = terms.toDF("term")
