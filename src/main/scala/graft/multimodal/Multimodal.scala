@@ -976,4 +976,38 @@ object Multimodal {
       .where(col("n_frames") > 0)
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Scene-cut detection / keyframe selection over an extracted-frame
+    * relation (the [[extractFrames]] output, or any
+    * (media_id, frame_idx, mean_px) relation): a cut is a frame whose
+    * luminance jumps by at least `threshold` (in [0,1] units) from its
+    * predecessor — the classic intensity-delta shot-boundary detector
+    * (Zhang, Kankanhalli & Smoliar 1993's pairwise-difference family),
+    * the cheap first pass vision-training pipelines use to pick one
+    * keyframe per shot instead of near-identical consecutive frames.
+    *
+    * Emits `delta` (|Δ mean_px|, 0.0 for each video's first frame),
+    * `is_cut` (delta ≥ threshold; never the first frame), `scene_id`
+    * (0-based running cut count — stable shot labels for grouping) and
+    * `is_keyframe` (first frame of each scene: the frame to keep).
+    *
+    * Scale shape: ONE shuffle on media_id with an in-partition frame sort
+    * (the x4/x33 window shape — lag + running sum share one window);
+    * videos are independent, so the window never sees more rows than one
+    * video's frames. Payload-free: operates on the luminance column only. */
+  def sceneCuts(frames: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0, "sceneCuts: threshold must be > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("__prev", lag(col("mean_px"), 1).over(w))
+      .withColumn("delta",
+        when(col("__prev").isNull, lit(0.0))
+          .otherwise(abs(col("mean_px") - col("__prev"))))
+      .withColumn("is_cut", col("__prev").isNotNull && col("delta") >= threshold)
+      .withColumn("scene_id",
+        sum(when(col("is_cut"), 1L).otherwise(0L)).over(w))
+      .withColumn("is_keyframe", col("__prev").isNull || col("is_cut"))
+      .drop("__prev")
+  }
 }

@@ -512,6 +512,40 @@ object ExtensionQueries {
         round(col("mean_px"), 9).as("mean_px"))
   }
 
+  /** Scene cuts / keyframes over decoded video frames: m9's AVI fixtures
+    * at stride 1 (solid gray g = (id·7 + f·13) % 256 per frame — the +13
+    * step is below the 0.1 cut threshold, the mod-256 wrap far above it,
+    * so real shots and real cuts both occur at every SF), then the
+    * windowed intensity-delta detector. */
+  private def m14(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    val media = table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("media_id"),
+        (lit(8) + col("doc_id") % 16).cast("int").as("w"),
+        (lit(6) + col("doc_id") % 10).cast("int").as("h"),
+        (lit(1) + col("doc_id") % 5).cast("int").as("nf"))
+      .repartition(s.sparkContext.defaultParallelism) // the m4 lesson
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h, nf) =>
+        val frames = (0 until nf).map { f =>
+          val g = ((id * 7 + f * 13) % 256).toInt
+          Array.fill(w * h)((g << 16) | (g << 8) | g)
+        }
+        val bytes =
+          if (id % 2 == 0) graft.multimodal.AviCodec.encode(w, h, frames)
+          else graft.multimodal.AviCodec.encodeMjpeg(w, h, frames)
+        Multimodal.MediaRecord(id, bytes, "video/avi")
+      })
+      .toDF()
+    Multimodal.sceneCuts(Multimodal.extractFrames(media, stride = 1).toDF(),
+        threshold = 0.1)
+      .select(col("media_id"), col("frame_idx"),
+        round(col("mean_px"), 9).as("mean_px"),
+        round(col("delta"), 9).as("delta"),
+        col("is_cut"), col("scene_id"), col("is_keyframe"))
+  }
+
   /** Header-only media sniff end-to-end: seven REAL encoders (ImageIO
     * PNG/JPEG/GIF/BMP/TIFF, WavCodec PCM, AviCodec AVI) build per-doc fixtures
     * in-plan; [[Multimodal.sniffMedia]] reads format + dimensions / PCM
@@ -2802,6 +2836,29 @@ object ExtensionQueries {
         round(((doc_id * 7 + f * 13) % 256) / 255.0, 9) AS mean_px
       FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 5, 2)) AS f
             FROM documents)""")),
+    Q("m14_scene_cuts", m14, Some("""
+      WITH fr AS (
+        SELECT doc_id AS media_id, f,
+          ((doc_id * 7 + f * 13) % 256) / 255.0 AS mp
+        FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 5)) AS f
+              FROM documents)),
+      d AS (
+        SELECT media_id, f, mp,
+          lag(mp) OVER (PARTITION BY media_id ORDER BY f) AS pmp
+        FROM fr),
+      e AS (
+        SELECT media_id, f, mp,
+          CASE WHEN pmp IS NULL THEN 0.0 ELSE abs(mp - pmp) END AS delta,
+          (pmp IS NOT NULL AND abs(mp - pmp) >= 0.1::DOUBLE) AS is_cut,
+          (pmp IS NULL) AS first_f
+        FROM d)
+      SELECT media_id, f::INT AS frame_idx, round(mp, 9) AS mean_px,
+        round(delta, 9) AS delta, is_cut,
+        (sum(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER
+          (PARTITION BY media_id ORDER BY f))::BIGINT AS scene_id,
+        (first_f OR is_cut) AS is_keyframe
+      FROM e""")),
+
     Q("m10_media_sniff", m10, Some("""
       SELECT doc_id AS media_id,
         CASE doc_id % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'

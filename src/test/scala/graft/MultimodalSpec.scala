@@ -984,4 +984,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L) == Multimodal.AudioSpectral(3L, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0))
     assert(out(4L) == Multimodal.AudioSpectral(4L, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0))
   }
+
+  test("sceneCuts: intensity-delta shot boundaries, scene ids, keyframes") {
+    val frames = Seq(
+      // video 1: two quiet shots and a final jump — cuts at idx 2 and 4
+      (1L, 0, 0.10), (1L, 1, 0.12), (1L, 2, 0.80), (1L, 3, 0.81), (1L, 4, 0.20),
+      // video 2: single frame — no cut, one scene, keyframe
+      (2L, 0, 0.50),
+      // video 3: monotone — one scene end to end
+      (3L, 0, 0.40), (3L, 1, 0.42), (3L, 2, 0.44))
+      .toDF("media_id", "frame_idx", "mean_px")
+    val out = Multimodal.sceneCuts(frames, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getDouble(3), r.getBoolean(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(out((1L, 0)) == ((0.0, false, 0L, true)))
+    assert(!out((1L, 1))._2 && out((1L, 1))._3 == 0L && !out((1L, 1))._4)
+    assert(out((1L, 2))._2 && out((1L, 2))._3 == 1L && out((1L, 2))._4)
+    assert(!out((1L, 3))._2 && out((1L, 3))._3 == 1L)
+    assert(out((1L, 4))._2 && out((1L, 4))._3 == 2L && out((1L, 4))._4)
+    assert(math.abs(out((1L, 4))._1 - 0.61) < 1e-12)
+    assert(out((2L, 0)) == ((0.0, false, 0L, true)))
+    assert(Seq(0, 1, 2).forall(i => out((3L, i))._3 == 0L))
+    assert(out((3L, 0))._4 && !out((3L, 1))._4 && !out((3L, 2))._4)
+    // empty input → empty output, no window blowup
+    assert(Multimodal.sceneCuts(frames.where($"media_id" < 0), 0.3).count() == 0)
+  }
 }

@@ -223,6 +223,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("blocklist + NFC + FIM surface is stream-transparent: batch ≡ stream") {
+    implicit val ctx = spark.sqlContext
+    val docs = Seq(
+      (0L, "clean words here"),
+      (1L, "a bad phrase crosses here"),
+      (2L, "cafe\u0301 mixed codepoints"),
+      (3L, ""))
+    def pipelineOf(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TrainingPrep.fimTransform(
+        graft.text.TextAnalysis.normalizeUnicode(
+          graft.text.Curation.blocklistTag(df, "text", Seq("bad phrase", "zzz")),
+          "text"),
+        "doc_id", "nfc_text")
+    val source = MemoryStream[(Long, String)]
+    val q = pipelineOf(source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("bl_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(docs: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "blocklist_hits", "blocklist_terms", "was_normalized",
+          "fim_applied", "fim_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getBoolean(3), r.getBoolean(4), r.getString(5))).toSet
+      val batch = shape(pipelineOf(docs.toDF("doc_id", "text")))
+      assert(shape(spark.table("bl_stream")) == batch)
+      assert(batch.exists(_._3 == "bad phrase"))     // blocklist hit flows through
+      assert(batch.exists(t => t._1 == 2L && t._4))  // NFC fired on the stream
+    } finally q.stop()
+  }
+
   test("mixtureRepeat and trained-weight scoring are stream-transparent: batch ≡ stream") {
     implicit val ctx = spark.sqlContext
     // train on a static labeled relation (the model is a plan-time
