@@ -71,7 +71,9 @@ object ScaleProbe {
       "m12_audio_resample", "m13_patchify", "t27_sentences", "p14_sentence_chunks",
       "s8_hard_negatives", "t28_dsir", "t29_compression_ratio",
       "x34_pagerank", "x35_jsonl_roundtrip", "d14_sentence_dedup",
-      "s9_ann_ivf_indexed", "p15_temperature_mixture", "s10_ann_lsh_indexed")
+      "s9_ann_ivf_indexed", "p15_temperature_mixture", "s10_ann_lsh_indexed",
+      "s11_bm25_topk", "s12_bm25_indexed", "p16_fim", "t30_blocklist",
+      "t31_nfc_normalize", "m14_scene_cuts")
     // optional args = probe-name filter (run a subset while iterating);
     // unknown names fail loudly — a typo must not look like a clean run
     val unknown = args.toSet -- probes.toSet
