@@ -1788,6 +1788,36 @@ object ExtensionQueries {
       "text")
       .select("doc_id", "nfc_text", "was_normalized", "n_chars_before", "n_chars_after")
 
+  /** URL canonicalization + canonical-URL dedup over in-plan crawl-style
+    * URL variants: mixed-case scheme/host, `www.` prefixes, default and
+    * non-default ports, duplicate/trailing slashes, shuffled query params
+    * with tracking keys, fragments, and every 7th-with-remainder-6 doc an
+    * unparseable string (excluded by contract). The oracle computes the
+    * EXPECTED canonical per doc_id by construction — a differential test
+    * of [[graft.text.Curation.canonicalizeUrl]]'s general regex logic
+    * against case-specific ground truth (the t23 pattern). */
+  private def t32(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val scheme = when(d % 2 === 0, lit("https")).otherwise(lit("HTTP"))
+    val host = when(d % 3 === 0,
+        concat(lit("WWW.Site"), (d % 10).cast("string"), lit(".Example.COM")))
+      .when(d % 3 === 1,
+        concat(lit("site"), (d % 10).cast("string"), lit(".example.com")))
+      .otherwise(concat(lit("CDN.site"), (d % 10).cast("string"), lit(".example.com")))
+    val port = when(d % 4 === 0, lit(":443")).when(d % 4 === 1, lit(":80"))
+      .when(d % 4 === 2, lit(":8080")).otherwise(lit(""))
+    val path = when(d % 5 === 0, lit("/a//b/")).when(d % 5 === 1, lit(""))
+      .when(d % 5 === 2, lit("/p2")).when(d % 5 === 3, lit("/p3/"))
+      .otherwise(lit("/a/b//c"))
+    val qf = when(d % 3 === 0, lit("?b=2&utm_source=x&a=1#frag"))
+      .when(d % 3 === 1, lit("?a=1&b=2"))
+      .otherwise(lit("?utm_campaign=z&gclid=1#x"))
+    val url = when(d % 7 === 6, lit("not a url"))
+      .otherwise(concat(scheme, lit("://"), host, port, path, qf))
+    Curation.urlDedup(
+      table(s, dir, "documents").select(d, url.as("url")), "doc_id", "url")
+  }
+
   /** PageRank over the customer→supplier purchase graph (supplier ids
     * namespaced +10^12 so the two key spaces can't collide at any SF —
     * TPC-H custkey grows ~150k·SF): the
@@ -2265,6 +2295,25 @@ object ExtensionQueries {
         length(text)::BIGINT AS n_chars_before,
         length(nfc_normalize(text))::BIGINT AS n_chars_after
       FROM aug""")),
+
+    Q("t32_url_dedup", t32, Some("""
+      WITH c AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+          || '://'
+          || (CASE WHEN doc_id % 3 = 2 THEN 'cdn.' ELSE '' END)
+          || 'site' || (doc_id % 10)::VARCHAR || '.example.com'
+          || (CASE
+                WHEN doc_id % 4 = 0 AND doc_id % 2 = 1 THEN ':443'
+                WHEN doc_id % 4 = 1 AND doc_id % 2 = 0 THEN ':80'
+                WHEN doc_id % 4 = 2 THEN ':8080'
+                ELSE '' END)
+          || (CASE doc_id % 5 WHEN 0 THEN '/a/b' WHEN 1 THEN '/' WHEN 2 THEN '/p2'
+              WHEN 3 THEN '/p3' ELSE '/a/b/c' END)
+          || (CASE WHEN doc_id % 3 = 2 THEN '' ELSE '?a=1&b=2' END) AS url_canonical
+        FROM documents WHERE doc_id % 7 <> 6)
+      SELECT url_canonical, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
+      FROM c GROUP BY 1""")),
 
     Q("t30_blocklist", t30, Some("""
       WITH pats AS (SELECT unnest(['join a', 'filter c', 'scan', 'zzzq']) AS p),

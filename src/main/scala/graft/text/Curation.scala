@@ -628,4 +628,61 @@ object Curation {
       .agg((round(sum(col("c") * col("llr")), 9) + lit(0.0)).as("dsir_weight"))
       .withColumn("dsir_keep", col("dsir_weight") > 0.0)
   }
+
+  /** Canonical form of a URL — the CommonCrawl-family URL-dedup key
+    * (crawls see the same page under case variants, default ports,
+    * tracking parameters, fragments, and shuffled query strings):
+    *
+    *  - scheme and host lowercased; a leading `www.` label dropped
+    *  - userinfo (`user:pass@`) dropped; the scheme's DEFAULT port
+    *    (http:80, https:443) dropped, any other explicit port kept
+    *  - path: duplicate `/` collapsed, trailing `/` stripped, empty → `/`
+    *  - query: tracking parameters removed (`utm_*`, `gclid`, `fbclid`,
+    *    `msclkid`, `ref`), the rest SORTED (param order is not
+    *    significant to almost any server, and crawl variants shuffle it),
+    *    empties dropped; an emptied query loses its `?`
+    *  - fragment always dropped (never sent to the server)
+    *
+    * A string without a `scheme://host` shape canonicalizes to NULL —
+    * at web scale malformed URLs are a certainty and must degrade, not
+    * throw (the try_parse_url lesson). Pure `Column` expression work:
+    * shuffle-free, codegen'd, scale-invariant. */
+  def canonicalizeUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
+    val authority = regexp_extract(rest, "^([^/?#]*)", 1)
+    val hostPort = regexp_extract(authority, "^(?:[^@]*@)?([^@]*)$", 1)
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val host = regexp_replace(
+      lower(regexp_replace(hostPort, ":[0-9]+$", "")), "^www\\.", "")
+    val defaultPort = when(scheme === "http", lit("80"))
+      .when(scheme === "https", lit("443")).otherwise(lit(""))
+    val portPart = when(port === "" || port === defaultPort, lit(""))
+      .otherwise(concat(lit(":"), port))
+    val pathTrim = regexp_replace(regexp_replace(
+      regexp_extract(rest, "^[^/?#]*([^?#]*)", 1), "/+", "/"), "/+$", "")
+    val path = when(pathTrim === "", lit("/")).otherwise(pathTrim)
+    val params = array_join(array_sort(filter(
+      split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" &&
+        !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)(=|$)"))), "&")
+    val qPart = when(params === "", lit("")).otherwise(concat(lit("?"), params))
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, qPart))
+  }
+
+  /** URL-level dedup: group by [[canonicalizeUrl]], keep the smallest id
+    * per canonical URL (the deterministic claim every dedup face here
+    * uses). Rows whose URL fails to canonicalize are EXCLUDED — an
+    * unparseable URL supports no dedup claim. One hash-agg shuffle keyed
+    * on the canonical string; at 100 TB this is the same shape as
+    * [[graft.dedup.Dedup]]'s exact dedup, with the canonicalization
+    * riding the scan as codegen'd expression work. */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("__id"),
+        canonicalizeUrl(col(urlCol)).as("url_canonical"))
+      .where(col("url_canonical").isNotNull)
+      .groupBy(col("url_canonical"))
+      .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("n_dups"))
 }
