@@ -1818,6 +1818,21 @@ object ExtensionQueries {
       table(s, dir, "documents").select(d, url.as("url")), "doc_id", "url")
   }
 
+  /** Span-level decontamination over a self-planted benchmark: every 50th
+    * doc contributes its tokens 4..9 as a benchmark item, so the source
+    * doc (and its word-soup near-copies) carries the span verbatim —
+    * [[graft.text.Curation.decontaminateSpans]] must cut exactly those
+    * positions and pass every other doc through untouched. */
+  private def t33(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val toksCol = split(col("text"), " ")
+    val bench = docs
+      .where(col("doc_id") % 50 === 0 && size(toksCol) >= 9)
+      .select(array_join(slice(toksCol, 4, 6), " ").as("text"))
+    Curation.decontaminateSpans(
+      docs.select("doc_id", "text"), bench, "doc_id", "text", n = 5)
+  }
+
   /** PageRank over the customer→supplier purchase graph (supplier ids
     * namespaced +10^12 so the two key spaces can't collide at any SF —
     * TPC-H custkey grows ~150k·SF): the
@@ -2295,6 +2310,34 @@ object ExtensionQueries {
         length(text)::BIGINT AS n_chars_before,
         length(nfc_normalize(text))::BIGINT AS n_chars_after
       FROM aug""")),
+
+    Q("t33_decontaminate_spans", t33, Some("""
+      WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      bench AS (SELECT DISTINCT array_to_string(ws[4:9], ' ') AS btext
+                FROM toks WHERE doc_id % 50 = 0 AND len(ws) >= 9),
+      bg AS (SELECT DISTINCT u.g AS g FROM (
+               SELECT unnest(list_transform(range(1, greatest(len(bws) - 3, 1)),
+                 i -> {'i': i, 'g': array_to_string(bws[i:i+4], ' ')})) AS u
+               FROM (SELECT string_split(btext, ' ') AS bws FROM bench))),
+      g2 AS (SELECT doc_id, u.i AS i, u.g AS g FROM (
+               SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 3, 1)),
+                 i -> {'i': i, 'g': array_to_string(ws[i:i+4], ' ')})) AS u
+               FROM toks)),
+      hits AS (SELECT DISTINCT g2.doc_id, g2.i FROM g2 JOIN bg USING (g)),
+      cov AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(0, 5), o -> i + o)) AS idx FROM hits),
+      covagg AS (SELECT doc_id, count(*)::BIGINT AS n_removed, list(idx) AS cidx
+                 FROM cov GROUP BY 1),
+      clean AS (
+        SELECT t.doc_id, array_to_string(
+          list_transform(list_filter(range(1, len(t.ws) + 1),
+            i -> NOT list_contains(c.cidx, i)), i -> t.ws[i]), ' ') AS ctext
+        FROM toks t JOIN covagg c USING (doc_id))
+      SELECT t.doc_id,
+        CASE WHEN c.doc_id IS NULL THEN t.text ELSE cl.ctext END AS clean_text,
+        coalesce(c.n_removed, 0)::BIGINT AS n_removed,
+        c.doc_id IS NOT NULL AS contaminated
+      FROM toks t LEFT JOIN covagg c USING (doc_id) LEFT JOIN clean cl USING (doc_id)""")),
 
     Q("t32_url_dedup", t32, Some("""
       WITH c AS (

@@ -343,6 +343,56 @@ object Curation {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Span-level decontamination (the Lee et al. 2022 / GPT-3 appendix-C
+    * removal face): instead of dropping a contaminated document whole
+    * ([[decontaminate]] flags it), CUT the contaminated token spans and
+    * keep the clean remainder. A span is the union of every corpus
+    * position covered by an n-gram that also occurs in the benchmark —
+    * overlapping hits merge by construction (coverage is a position SET).
+    *
+    * Returns every corpus row: (idCol, clean_text, n_removed,
+    * contaminated). Untouched documents pass their text through verbatim
+    * (no tokenize→rejoin round trip); contaminated documents are
+    * reassembled from their uncovered tokens in position order, single
+    * space separated (the corpus-wide tokenizer convention). A fully
+    * covered document yields an empty clean_text — the caller's drop
+    * threshold, not ours.
+    *
+    * Scale shape: benchmark n-grams broadcast (benchmarks are MBs);
+    * the corpus gram stream dies at that broadcast join, so only HIT
+    * positions — contamination is sparse by nature — reach the one
+    * per-doc aggregate; the covered-positions relation (one row per
+    * contaminated doc, positions as an array) joins back to the corpus
+    * with AQE free to broadcast it, and the cut itself is pure array
+    * expression work. No hint on that join: contaminated volume is
+    * caller-data-dependent and an oversized forced broadcast OOMs
+    * (NOTES gotcha). */
+  def decontaminateSpans(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(array_distinct(
+        wordNgrams(tokens(col(textCol)), n))).as("g")).distinct()
+    val toks = corpus.select(col(idCol), col(textCol),
+      tokens(col(textCol)).as("__toks"))
+    val covered = toks
+      .select(col(idCol),
+        posexplode(wordNgrams(col("__toks"), n)).as(Seq("pos", "g")))
+      .join(broadcast(benchGrams), "g")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("idx")).as("__cov"))
+    toks
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__cov").isNull, col(textCol)).otherwise(
+          array_join(filter(col("__toks"),
+            (t, i) => !array_contains(col("__cov"), i)), " ")).as("clean_text"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
+        col("__cov").isNotNull.as("contaminated"))
+  }
+
   /** Fuzzy (MinHash-LSH) benchmark decontamination — catches NEAR
     * duplicates of benchmark items that exact n-gram overlap ([[
     * decontaminate]]) undercounts when the contamination is lightly

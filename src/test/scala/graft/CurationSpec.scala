@@ -255,6 +255,26 @@ class CurationSpec extends AnyFunSuite {
     assert(dupOut.count() == 4, "duplicate blocklist rows multiplied the corpus")
   }
 
+  test("decontaminateSpans: cuts covered positions, merges overlaps, passes clean docs verbatim") {
+    val bench = Seq("c d e", "e f g").toDF("text") // 3-grams with n=3
+    val corpus = Seq(
+      // two overlapping hits: c d e @2, (d e f absent from bench), e f g @4
+      // covered = positions 2..6 -> "a b h"
+      (1L, "a b c d e f g h"),
+      (2L, "x y z w"),              // clean: verbatim pass-through
+      (3L, "c d e"),                // fully covered -> empty remainder
+      (4L, "c d"),                  // < n tokens: no grams, untouched
+      (5L, "c d e x c d e")         // same gram twice: both spans cut
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminateSpans(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == (("a b h", 5L, true)))
+    assert(out(2L) == (("x y z w", 0L, false)))
+    assert(out(3L) == (("", 3L, true)))
+    assert(out(4L) == (("c d", 0L, false)))
+    assert(out(5L) == (("x", 6L, true)))
+  }
+
   test("canonicalizeUrl: every rule on its own pathological case") {
     val cases = Seq(
       // lowercase scheme+host, www strip, default https port, fragment
