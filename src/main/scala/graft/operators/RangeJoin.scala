@@ -42,4 +42,28 @@ object RangeJoin {
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__band")
   }
+
+  /** Interval × interval OVERLAP join (the genomics / ad-session shape):
+    * every (left, right) pair whose half-open ranges intersect —
+    * `ls < re && rs < le`. Same banding trick as [[pointInInterval]],
+    * with the classic exactly-once rule for pairs that share SEVERAL
+    * bands: a pair is emitted only in the band holding the overlap's
+    * START, `floor(max(ls, rs) / bucketWidth)` — that band lies inside
+    * both intervals' band spans (max(ls,rs) < min(le,re) when they
+    * overlap), so no match is lost and none duplicates; no post-join
+    * dedup shuffle. Replication stays span/bucketWidth + 1 per row,
+    * the join is a plain band equi-join. Column names must not clash. */
+  def intervalOverlap(
+      left: DataFrame, leftStart: String, leftEnd: String,
+      right: DataFrame, rightStart: String, rightEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "intervalOverlap: bucketWidth must be positive")
+    def banded(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("__band",
+        explode(sequence(floor(col(s) / bucketWidth), floor(col(e) / bucketWidth))))
+    banded(left, leftStart, leftEnd).join(banded(right, rightStart, rightEnd), Seq("__band"))
+      .where(col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd) &&
+        col("__band") === floor(greatest(col(leftStart), col(rightStart)) / bucketWidth))
+      .drop("__band")
+  }
 }

@@ -1584,6 +1584,30 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_shipped"), min(col("ship_s")).as("first_ship_s"))
   }
 
+  /** Interval OVERLAP join (x10's two-sided sibling): high-value orders'
+    * week-long windows against every lineitem's ship→receipt interval,
+    * banded on week buckets with the overlap-start exactly-once rule —
+    * no cross product, no post-join dedup. */
+  private def x36(s: SparkSession, dir: String): DataFrame = {
+    val iv = table(s, dir, "orders")
+      .where(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_start"),
+        (unix_timestamp(col("o_orderdate")) + 604800L).as("o_end"))
+    // receipt = ship + 1..30 days, varied by line number (the testdata
+    // carries no receiptdate; TPC-H's is this distribution)
+    val li = table(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        unix_timestamp(col("l_shipdate")).as("l_start"),
+        (unix_timestamp(col("l_shipdate")) +
+          (lit(1L) + col("l_linenumber") % 30) * 86400L).as("l_end"))
+    RangeJoin.intervalOverlap(iv, "o_start", "o_end",
+        li, "l_start", "l_end", bucketWidth = 604800L)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_overlapping"),
+        min(col("l_orderkey")).as("min_l_orderkey"))
+  }
+
   /** Per-group top-k via the mergeable bounded-buffer Aggregator (at most
     * k entries per group per partition cross the shuffle — contrast the
     * window row_number pattern in x6, which shuffles every row). */
@@ -3689,6 +3713,17 @@ object ExtensionQueries {
       JOIN (SELECT epoch(l_shipdate)::BIGINT AS ship_s FROM lineitem) l
         ON l.ship_s >= o.start_s AND l.ship_s < o.start_s + 86400
       GROUP BY o_orderkey""")),
+
+    Q("x36_interval_overlap", x36, Some("""
+      SELECT o.o_orderkey, count(*) AS n_overlapping, min(l.l_orderkey) AS min_l_orderkey
+      FROM (SELECT o_orderkey, epoch(o_orderdate)::BIGINT AS os,
+              epoch(o_orderdate)::BIGINT + 604800 AS oe
+            FROM orders WHERE o_totalprice > 450000) o
+      JOIN (SELECT l_orderkey, epoch(l_shipdate)::BIGINT AS ls,
+              epoch(l_shipdate)::BIGINT + (1 + l_linenumber % 30) * 86400 AS le
+            FROM lineitem) l
+        ON o.os < l.le AND l.ls < o.oe
+      GROUP BY 1""")),
 
     Q("s3_ann_ivf", s3, Some(ivfOracle)),
 

@@ -33,4 +33,20 @@ object RangeJoinProps extends Properties("RangeJoin") {
       } yield (pi.toLong, ii.toLong)).sorted
       Prop(got == want) :| s"got=$got want=$want width=$width"
     }
+
+  property("intervalOverlap == brute-force intersection, each pair exactly once") =
+    Prop.forAll(intervalsGen, intervalsGen, Gen.oneOf(1L, 7L, 100L)) { (ls, rs, width) =>
+      val left = ls.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("lid", "ls", "le")
+      val right = rs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("rid", "rs", "re")
+      val got = RangeJoin.intervalOverlap(left, "ls", "le", right, "rs", "re", width)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toList.sorted
+      val want = (for {
+        ((s1, e1), li) <- ls.zipWithIndex
+        ((s2, e2), ri) <- rs.zipWithIndex
+        if s1 < e2 && s2 < e1
+      } yield (li.toLong, ri.toLong)).sorted
+      Prop(got == want) :| s"got=$got want=$want width=$width"
+    }
 }
