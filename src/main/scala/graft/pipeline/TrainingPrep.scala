@@ -387,4 +387,43 @@ object TrainingPrep {
           lit(mid), text.substr(lo + 1L, hi - lo)))
           .otherwise(text))
   }
+
+  /** Weighted sampling WITHOUT replacement, n per group — Efraimidis &
+    * Spirakis 2006 (A-ES): each row draws a uniform u and is ranked by
+    * the exponential key −ln(u)/w; the n smallest keys are an exact
+    * weighted sample without replacement. Deterministic like everything
+    * here: u comes from the row id's md5 prefix ((v+1)/(2^32+1) ∈ (0,1)),
+    * not `rand()`, so the same documents are drawn in every run, on any
+    * cluster, in any engine — and an auditor can recompute the draw.
+    * The key is rounded to 9 dp before ranking (ln is the one
+    * libm-vs-JVM divergent op — the t16 lesson) with the id as the tie
+    * break, so selection is engine-reproducible.
+    *
+    * One pass, one per-group aggregate: at most n (key, id) entries per
+    * group per partition cross the shuffle ([[graft.folds.Aggregators
+    * .bottomK]] — the [[groupQuota]] argument: a window `row_number`
+    * would shuffle-and-sort the full corpus). Rows with null ids or
+    * non-positive weights are excluded (no valid draw exists for them).
+    * Output: (groupCol, idCol, sample_rank) with rank 1 = smallest key. */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, groupCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "weightedSample: n >= 1")
+    val v = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val u = (v + lit(1.0)) / lit(4294967297.0)
+    val key = round(-log(u) / col(weightCol).cast("double"), 9)
+    val pick = graft.folds.Aggregators.asColumn(
+      graft.folds.Aggregators.bottomK[(Double, Long)](n),
+      key, col(idCol).cast("long"))(
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    df.where(col(idCol).isNotNull && col(weightCol).cast("double") > 0.0)
+      .groupBy(col(groupCol))
+      .agg(pick.as("__picked"))
+      .select(col(groupCol), posexplode(col("__picked")).as(Seq("__i", "__e")))
+      .select(col(groupCol), col("__e._2").as(idCol),
+        (col("__i") + 1).cast("int").as("sample_rank"))
+  }
 }

@@ -969,6 +969,13 @@ object ExtensionQueries {
       table(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
       .select("doc_id", "fim_applied", "cut_lo", "cut_hi", "fim_text")
 
+  /** Length-weighted sample of 10 docs per source without replacement —
+    * the A-ES draw is fully hash-derived, so the oracle recomputes the
+    * exponential keys and replays the selection exactly. */
+  private def p17(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TrainingPrep.weightedSample(
+      table(s, dir, "documents"), "doc_id", "n_chars", "source", n = 10)
+
   /** Token id-ification against a 16-entry frequency vocabulary built
     * in-plan — small enough that OOV tokens exist and exercise the unk
     * path at every SF. */
@@ -3507,6 +3514,16 @@ object ExtensionQueries {
         round(pa / (SELECT zz FROM z) * (SELECT total FROM t)::DOUBLE
           / n::DOUBLE, 9) + 0.0 AS sample_weight
       FROM s""")),
+
+    Q("p17_weighted_sample", p17, Some("""
+      WITH k AS (SELECT source, doc_id,
+        round(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)::DOUBLE
+                  / 4294967297.0) / n_chars::DOUBLE, 9) AS key
+        FROM documents WHERE n_chars > 0),
+      r AS (SELECT source, doc_id,
+              row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk
+            FROM k)
+      SELECT source, doc_id, rk::INT AS sample_rank FROM r WHERE rk <= 10""")),
 
     Q("p16_fim", p16, Some("""
       WITH h AS (

@@ -339,4 +339,40 @@ class TrainingPrepSpec extends AnyFunSuite {
       rateDenom = 1).select("fim_text").head().getString(0)
     assert(empty == "<PRE><SUF><MID>")
   }
+
+  test("weightedSample: exact A-ES selection vs local replication; heavy weights dominate") {
+    import spark.implicits._
+    val rows = for (g <- 0 until 50; i <- 0 until 20) yield {
+      val id = g * 100L + i
+      (id, if (i == 0) 1000.0 else 1.0, s"g$g") // one heavy item per group
+    }
+    val df = rows.toDF("id", "w", "grp")
+    val got = TrainingPrep.weightedSample(df, "id", "w", "grp", n = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // local replication of the exact key arithmetic
+    def key(id: Long, w: Double): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val v = java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+      val u = (v.toDouble + 1.0) / 4294967297.0
+      BigDecimal(-math.log(u) / w).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = rows.groupBy(_._3).flatMap { case (g, rs) =>
+      rs.map { case (id, w, _) => (key(id, w), id) }.sorted.take(3)
+        .zipWithIndex.map { case ((_, id), i) => (g, id, i + 1) }
+    }.toSet
+    assert(got.toSet == want)
+    assert(got.count(_._3 == 1) == 50 && got.length == 150)
+    // the 1000x-weighted item should win nearly every group's first draw
+    val heavyFirst = got.count { case (_, id, rk) => rk == 1 && id % 100 == 0 }
+    assert(heavyFirst >= 45, s"heavy item ranked first in only $heavyFirst/50 groups")
+    // n > group size degrades to the whole group
+    val all = TrainingPrep.weightedSample(df.where($"grp" === "g0"), "id", "w", "grp", n = 99)
+    assert(all.count() == 20)
+    // null ids and non-positive weights are excluded, not thrown on
+    val dirty = Seq((Some(1L), 1.0, "g"), (None, 1.0, "g"), (Some(2L), 0.0, "g"),
+      (Some(3L), -1.0, "g")).toDF("id", "w", "grp")
+    assert(TrainingPrep.weightedSample(dirty, "id", "w", "grp", n = 9)
+      .select("id").as[Long].collect().toSet == Set(1L))
+  }
 }
