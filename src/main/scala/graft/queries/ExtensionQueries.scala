@@ -1864,6 +1864,24 @@ object ExtensionQueries {
       docs.select("doc_id", "text"), bench, "doc_id", "text", n = 5)
   }
 
+  /** Stupid-backoff trigram scoring of held-out docs (every 5th) under a
+    * model counted from the rest; the held-out docs get token 2 replaced
+    * by an OOV marker (`zz0`..`zz6` — never in the word-soup vocab) so
+    * the oracle exercises every backoff level INCLUDING the Laplace
+    * floor, not just the seen-trigram fast path. */
+  private def t34(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select("doc_id", "text")
+    val train = docs.where(col("doc_id") % 5 =!= 0)
+    val toksCol = split(col("text"), " ")
+    val mutated = docs
+      .where(col("doc_id") % 5 === 0 && size(toksCol) >= 3)
+      .select(col("doc_id"), array_join(concat(
+        slice(toksCol, 1, 1),
+        array(concat(lit("zz"), (col("doc_id") % 7).cast("string"))),
+        slice(toksCol, lit(3), size(toksCol))), " ").as("text"))
+    Curation.stupidBackoff(train, mutated, "doc_id", "text")
+  }
+
   /** PageRank over the customer→supplier purchase graph (supplier ids
     * namespaced +10^12 so the two key spaces can't collide at any SF —
     * TPC-H custkey grows ~150k·SF): the
@@ -2341,6 +2359,40 @@ object ExtensionQueries {
         length(text)::BIGINT AS n_chars_before,
         length(nfc_normalize(text))::BIGINT AS n_chars_after
       FROM aug""")),
+
+    Q("t34_stupid_backoff", t34, Some("""
+      WITH tr AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 5 <> 0),
+      sc AS (SELECT doc_id, ws[1:1] || ['zz' || (doc_id % 7)::VARCHAR] || ws[3:] AS ws
+             FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                   WHERE doc_id % 5 = 0) WHERE len(ws) >= 3),
+      uni AS (SELECT w1, count(*)::BIGINT AS c1
+              FROM (SELECT unnest(ws) AS w1 FROM tr) GROUP BY 1),
+      stats AS (SELECT sum(c1)::BIGINT AS n, count(*)::BIGINT AS v FROM uni),
+      bi AS (SELECT u.w1 AS w1, u.w2 AS w2, count(*)::BIGINT AS c2 FROM (
+               SELECT unnest(list_transform(range(1, len(ws)),
+                 i -> {'w1': ws[i], 'w2': ws[i+1]})) AS u
+               FROM tr WHERE len(ws) >= 2) GROUP BY 1, 2),
+      tri AS (SELECT u.w1 AS w1, u.w2 AS w2, u.w3 AS w3, count(*)::BIGINT AS c3 FROM (
+                SELECT unnest(list_transform(range(1, len(ws) - 1),
+                  i -> {'w1': ws[i], 'w2': ws[i+1], 'w3': ws[i+2]})) AS u
+                FROM tr WHERE len(ws) >= 3) GROUP BY 1, 2, 3),
+      st AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3 FROM (
+               SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                 i -> {'w1': ws[i], 'w2': ws[i+1], 'w3': ws[i+2]})) AS u
+               FROM sc)),
+      j AS (SELECT s.doc_id,
+              CASE WHEN t.c3 IS NOT NULL THEN t.c3::DOUBLE / bc.c2::DOUBLE
+                   WHEN bl.c2 IS NOT NULL THEN 0.4::DOUBLE * bl.c2::DOUBLE / u2.c1::DOUBLE
+                   ELSE 0.4::DOUBLE * 0.4::DOUBLE * (coalesce(u3.c1, 0) + 1)::DOUBLE
+                        / ((SELECT n FROM stats) + (SELECT v FROM stats))::DOUBLE END AS sbv
+            FROM st s
+            LEFT JOIN tri t ON t.w1 = s.w1 AND t.w2 = s.w2 AND t.w3 = s.w3
+            LEFT JOIN bi bc ON bc.w1 = s.w1 AND bc.w2 = s.w2
+            LEFT JOIN bi bl ON bl.w1 = s.w2 AND bl.w2 = s.w3
+            LEFT JOIN uni u2 ON u2.w1 = s.w2
+            LEFT JOIN uni u3 ON u3.w1 = s.w3)
+      SELECT doc_id, count(*)::BIGINT AS n_scored, round(avg(ln(sbv)), 9) AS avg_logp
+      FROM j GROUP BY 1""")),
 
     Q("t33_decontaminate_spans", t33, Some("""
       WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),

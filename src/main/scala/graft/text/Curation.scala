@@ -326,6 +326,70 @@ object Curation {
           .as("avg_logp"))
   }
 
+  /** Stupid-backoff trigram LM scoring (Brants et al. 2007 §4, the
+    * classic distributed n-gram LM — count tables + backoff scoring with
+    * no discounting, built for exactly this MapReduce shape): score each
+    * document of `docs` under a model counted from `train`,
+    *
+    *   S(w3 | w1 w2) = c3(w1w2w3)/c2(w1w2)            if the trigram was seen
+    *                 = α · c2(w2w3)/c1(w2)            else if the bigram was
+    *                 = α² · (c1(w3)+1)/(N+V)          else (Laplace unigram
+    *                                                   floor — keeps S total
+    *                                                   on OOV words, where
+    *                                                   pure stupid backoff
+    *                                                   is undefined)
+    *
+    * with α = 0.4 (the paper's value). Per-doc output: (idCol, n_scored,
+    * avg_logp) — the mean log-score over trigram positions, rounded at
+    * 9 dp (the [[lmPerplexity]] determinism rule). Documents under 3
+    * tokens have no scoreable position and are excluded, like
+    * [[lmPerplexity]] excludes sub-bigram docs.
+    *
+    * Scale shape: the three count relations are token-keyed partial-agg
+    * shuffles of the training corpus (the Brants architecture: n-gram
+    * count tables sharded by gram key); scoring is five hash equi-joins
+    * of the scored trigram stream against them — count tables at corpus
+    * scale are data-sized, so no broadcast is forced (AQE promotes the
+    * small ones; at testdata scale that is all of them). */
+  def stupidBackoff(
+      train: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    def withToks(d: DataFrame) = d.withColumn("__toks", tokens(col(textCol)))
+    val t = col("__toks")
+    def gramStream(d: DataFrame, n: Int, extra: Column*): DataFrame =
+      withToks(d).where(size(t) >= n)
+        .select((extra :+ explode(transform(sequence(lit(1), size(t) - (n - 1)), i =>
+          struct((1 to n).map(o => element_at(t, i + lit(o - 1)).as(s"w$o")): _*)))
+          .as("g")): _*)
+        .select((extra ++ (1 to n).map(o => col(s"g.w$o").as(s"w$o"))): _*)
+    val uni = graft.CacheRegistry.persisted(
+      gramStream(train, 1).groupBy("w1").agg(count(lit(1)).as("c1")))
+    val stats = uni.agg(sum(col("c1")).as("__n"), count(lit(1)).as("__v"))
+    val bi = graft.CacheRegistry.persisted(
+      gramStream(train, 2).groupBy("w1", "w2").agg(count(lit(1)).as("c2")))
+    val tri = gramStream(train, 3).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val a = lit(alpha)
+    val score =
+      when(col("c3").isNotNull,
+        col("c3").cast("double") / col("c2_ctx").cast("double"))
+      .when(col("c2_low").isNotNull,
+        a * col("c2_low").cast("double") / col("c1_w2").cast("double"))
+      .otherwise(a * a * (coalesce(col("c1_w3"), lit(0L)) + lit(1L)).cast("double")
+        / (col("__n") + col("__v")).cast("double"))
+    gramStream(docs, 3, col(idCol))
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1"), col("w2"), col("c2").as("c2_ctx")),
+        Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"), col("c2").as("c2_low")),
+        Seq("w2", "w3"), "left")
+      .join(uni.select(col("w1").as("w2"), col("c1").as("c1_w2")), Seq("w2"), "left")
+      .join(uni.select(col("w1").as("w3"), col("c1").as("c1_w3")), Seq("w3"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"),
+        round(avg(log(score)), 9).as("avg_logp"))
+  }
+
   /** Benchmark decontamination: for each corpus document, the number of
     * distinct word `n`-grams it shares with the benchmark set (eval
     * contamination detection à la GPT-3 §C / PaLM). N-grams travel as md5

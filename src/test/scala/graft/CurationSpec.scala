@@ -275,6 +275,34 @@ class CurationSpec extends AnyFunSuite {
     assert(out(5L) == (("x", 6L, true)))
   }
 
+  test("stupidBackoff: hand-computed score at every backoff level") {
+    // train counts: N=8 tokens, V=5 words
+    // c3("a b c")=1; c2: (a,b)=2 (b,c)=1 (b,d)=1 (d,a)=1 (a,e)=1; c1: a=3 b=2 c=1 d=1 e=1
+    val train = Seq((1L, "a b c"), (2L, "a b d a e")).toDF("doc_id", "text")
+    val a = 0.4
+    val cases = Seq(
+      // "a b c": trigram seen -> c3/c2(a,b) = 1/2
+      (10L, "a b c", math.log(1.0 / 2.0)),
+      // "e a b": trigram unseen, bigram (a,b) seen -> a*c2(a,b)/c1(a) = .4*2/3
+      (11L, "e a b", math.log(a * 2.0 / 3.0)),
+      // "c a e": trigram+bigram (a,e)? (a,e) IS seen -> a*1/3
+      (12L, "c a e", math.log(a * 1.0 / 3.0)),
+      // "b a c": (a,c) unseen -> floor a^2*(c1(c)+1)/(N+V) = .16*2/13
+      (13L, "b a c", math.log(a * a * 2.0 / 13.0)),
+      // "a b zz": OOV w3 -> floor a^2*(0+1)/13
+      (14L, "a b zz", math.log(a * a * 1.0 / 13.0)))
+    val out = Curation.stupidBackoff(train,
+        cases.map(c => (c._1, c._2)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    for ((id, _, want) <- cases) {
+      assert(out(id)._1 == 1L)
+      assert(math.abs(out(id)._2 - want) < 1e-9, s"doc $id: ${out(id)._2} vs $want")
+    }
+    // sub-trigram docs are excluded
+    assert(!Curation.stupidBackoff(train, Seq((20L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(_.getLong(0)).contains(20L))
+  }
+
   test("canonicalizeUrl: every rule on its own pathological case") {
     val cases = Seq(
       // lowercase scheme+host, www strip, default https port, fragment
