@@ -1718,6 +1718,17 @@ object ExtensionQueries {
       "vec_id", "embedding", k = 3)
   }
 
+  /** JL random projection of the embedding corpus 64 → 8 dims, long-form
+    * (vec_id, dim, value) — the array face is the library surface, the
+    * checker face explodes it (array cells can't hash). Every value is
+    * one index-ordered fold + one division, surface-rounded at 9 dp. */
+  private def s13(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(
+      table(s, dir, "embeddings"), "embedding", inDims = 64, outDims = 8)
+      .select(col("vec_id"), posexplode(col("rp")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("int").as("dim"),
+        (round(col("v"), 9) + lit(0.0)).as("value"))
+
   /** BM25 lexical retrieval: query docs (every 100th) retrieve their top-5
     * corpus matches over their first 5 distinct tokens — the sparse twin
     * of s1's dense brute force ([[graft.similarity.Retrieval]] scaladoc
@@ -2465,6 +2476,15 @@ object ExtensionQueries {
     // same planes (deterministic, seed-free), same scoring — the LSH
     // index-at-rest face must reproduce s2 exactly; shared oracle
     Q("s10_ann_lsh_indexed", s10, Some(lshOracle)),
+
+    Q("s13_random_projection", s13, Some("""
+      SELECT e.vec_id, j.j::INT AS dim,
+        round(list_reduce(list_transform(range(1, 65),
+          i -> e.embedding[i]::DOUBLE *
+            (CASE WHEN ('0x' || substr(md5((i-1)::VARCHAR || '_' || j.j::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                  THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)),
+          (a, b) -> a + b) / sqrt(8.0::DOUBLE), 9) + 0.0::DOUBLE AS value
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j""")),
 
     Q("s11_bm25_topk", s11, Some(bm25Oracle)),
 

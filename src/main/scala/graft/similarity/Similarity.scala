@@ -659,4 +659,38 @@ object Similarity {
       .select(col("query_id"), col("n_matched"),
         (col("n_matched") / lit(k.toDouble)).as("recall"))
   }
+
+  /** Johnson–Lindenstrauss random projection with a ±1 sign matrix
+    * (Achlioptas 2003's database-friendly projection): out_j =
+    * Σ_i v_i · s(i,j) / √outDims, where s(i,j) is a deterministic sign
+    * from the md5 parity of "i_j". The matrix is model data: computed
+    * ONCE driver-side into `outDims` ±-strings and shipped as tiny plan
+    * literals — per row the projection is a pure arithmetic fold, no
+    * hashing, no shuffle, codegen-resident; the dimensionality-reduction
+    * front end for the ANN family (shrinks the vectors every downstream
+    * distance touches).
+    *
+    * Determinism: each output is ONE left fold in index order
+    * (`aggregate`, 0.0 init) and one division by the exact √outDims —
+    * bit-reproducible in any engine; callers surface-round. Appends
+    * `rp`: array<double> of length `outDims`. */
+  def randomProjection(
+      df: DataFrame, vecCol: String, inDims: Int, outDims: Int): DataFrame = {
+    require(inDims >= 1 && outDims >= 1, "randomProjection: dims must be >= 1")
+    val signStrings = (0 until outDims).map { j =>
+      (0 until inDims).map { i =>
+        val d = MessageDigest.getInstance("MD5")
+          .digest(s"${i}_$j".getBytes(StandardCharsets.UTF_8))
+        val v = java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+        if (v % 2 == 0) '+' else '-'
+      }.mkString
+    }
+    val scale = lit(math.sqrt(outDims.toDouble))
+    df.withColumn("rp", array(signStrings.map { s =>
+      // '+' = ascii 43, '-' = 45: sign = 44 - ascii(char)
+      aggregate(sequence(lit(1), lit(inDims)), lit(0.0), (acc, i) =>
+        acc + element_at(col(vecCol), i).cast("double") *
+          (lit(44) - ascii(lit(s).substr(i, lit(1)))).cast("double")) / scale
+    }: _*))
+  }
 }

@@ -384,4 +384,37 @@ class SimilaritySpec extends AnyFunSuite {
         "vec_id", "embedding", dir, nlist = Some(3))
     }
   }
+
+  test("randomProjection: exact vs local replication; norms preserved in expectation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 60).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val df = data.toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(df, "embedding", inDims = 64, outDims = 8)
+      .select("vec_id", "rp").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // local replication of the exact fold arithmetic
+    def sign(i: Int, j: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_$j".getBytes("UTF-8"))
+      val v = java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+      if (v % 2 == 0) 1.0 else -1.0
+    }
+    for ((id, vec) <- data) {
+      val want = (0 until 8).map { j =>
+        var acc = 0.0
+        for (i <- 0 until 64) acc += vec(i).toDouble * sign(i, j)
+        acc / math.sqrt(8.0)
+      }
+      assert(got(id) == want, s"vec $id mismatch")
+    }
+    // E[||Rx||^2] = ||x||^2: mean squared-norm ratio near 1 over the batch
+    val ratios = data.map { case (id, vec) =>
+      val n2in = vec.map(v => v.toDouble * v.toDouble).sum
+      val n2out = got(id).map(v => v * v).sum
+      n2out / n2in
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean")
+  }
 }
