@@ -388,6 +388,44 @@ object TrainingPrep {
           .otherwise(text))
   }
 
+  /** SFT chat-template rendering: serialize a conversation — an ordered
+    * `array<struct<role, content>>` column — into training text with
+    * role sentinels, AND emit the loss-mask spans (the detail that makes
+    * SFT data prep subtle: loss is taken only on assistant tokens, so
+    * the renderer must report exactly where assistant content landed).
+    *
+    * Template per turn: `<|role|>\n` + content + `<|end|>\n`. Output
+    * columns: `chat_text`, `n_turns`, `mask_spans` — an array of
+    * (s, e) half-open 0-based CHARACTER offsets covering each assistant
+    * turn's content (headers and sentinels are never loss-bearing).
+    * Null roles/contents render as empty strings (a malformed turn must
+    * not null the whole rendering).
+    *
+    * One `aggregate` fold over the turns array per row — integer length
+    * arithmetic, so offsets are exact and engine-reproducible; pure
+    * expression work, shuffle-free at any scale. */
+  def renderChatTemplate(df: DataFrame, turnsCol: String): DataFrame = {
+    val zero = struct(lit("").as("txt"),
+      array().cast("array<struct<s:long,e:long>>").as("spans"))
+    val folded = aggregate(col(turnsCol), zero, (acc, t) => {
+      val role = coalesce(t.getField("role"), lit(""))
+      val content = coalesce(t.getField("content"), lit(""))
+      val header = concat(lit("<|"), role, lit("|>\n"))
+      val start = (length(acc.getField("txt")) + length(header)).cast("long")
+      val end = start + length(content)
+      val txt2 = concat(acc.getField("txt"), header, content, lit("<|end|>\n"))
+      val spans2 = when(role === "assistant",
+        concat(acc.getField("spans"), array(struct(start.as("s"), end.as("e")))))
+        .otherwise(acc.getField("spans"))
+      struct(txt2.as("txt"), spans2.as("spans"))
+    })
+    df.withColumn("__r", folded)
+      .withColumn("chat_text", col("__r.txt"))
+      .withColumn("n_turns", size(col(turnsCol)))
+      .withColumn("mask_spans", col("__r.spans"))
+      .drop("__r")
+  }
+
   /** Weighted sampling WITHOUT replacement, n per group — Efraimidis &
     * Spirakis 2006 (A-ES): each row draws a uniform u and is ranked by
     * the exponential key −ln(u)/w; the n smallest keys are an exact

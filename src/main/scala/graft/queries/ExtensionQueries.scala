@@ -976,6 +976,31 @@ object ExtensionQueries {
     graft.pipeline.TrainingPrep.weightedSample(
       table(s, dir, "documents"), "doc_id", "n_chars", "source", n = 10)
 
+  /** Chat-template rendering over in-plan conversations: each doc's
+    * tokens split into user/assistant/user/assistant slices (the last
+    * assistant turn takes the tail, possibly empty), rendered with
+    * sentinels + loss-mask char spans. Spans surface as a joined string
+    * (the checker can't hash array cells); the oracle recomputes every
+    * offset from the construction's slice lengths. */
+  private def p18(s: SparkSession, dir: String): DataFrame = {
+    val toksCol = split(col("text"), " ")
+    def turn(role: String, content: org.apache.spark.sql.Column) =
+      struct(lit(role).as("role"), content.as("content"))
+    val turns = array(
+      turn("user", array_join(slice(toksCol, 1, 5), " ")),
+      turn("assistant", array_join(slice(toksCol, 6, 5), " ")),
+      turn("user", array_join(slice(toksCol, 11, 5), " ")),
+      turn("assistant",
+        array_join(slice(toksCol, lit(16), greatest(size(toksCol) - 15, lit(0))), " ")))
+    graft.pipeline.TrainingPrep.renderChatTemplate(
+      table(s, dir, "documents").select(col("doc_id"), turns.as("turns")), "turns")
+      .select(col("doc_id"), col("chat_text"), col("n_turns"),
+        size(col("mask_spans")).as("n_mask_spans"),
+        array_join(transform(col("mask_spans"), sp =>
+          concat(sp.getField("s").cast("string"), lit(":"),
+            sp.getField("e").cast("string"))), " ").as("spans_str"))
+  }
+
   /** Token id-ification against a 16-entry frequency vocabulary built
     * in-plan — small enough that OOV tokens exist and exercise the unk
     * path at every SF. */
@@ -3586,6 +3611,28 @@ object ExtensionQueries {
         round(pa / (SELECT zz FROM z) * (SELECT total FROM t)::DOUBLE
           / n::DOUBLE, 9) + 0.0 AS sample_weight
       FROM s""")),
+
+    Q("p18_chat_template", p18, Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      c AS (SELECT doc_id,
+        -- array_to_string of an EMPTY list is NULL in DuckDB, '' in Spark
+        coalesce(array_to_string(ws[1:5], ' '), '') AS c1,
+        coalesce(array_to_string(ws[6:10], ' '), '') AS c2,
+        coalesce(array_to_string(ws[11:15], ' '), '') AS c3,
+        coalesce(array_to_string(ws[16:], ' '), '') AS c4
+        FROM t)
+      SELECT doc_id,
+        '<|user|>' || chr(10) || c1 || '<|end|>' || chr(10) ||
+        '<|assistant|>' || chr(10) || c2 || '<|end|>' || chr(10) ||
+        '<|user|>' || chr(10) || c3 || '<|end|>' || chr(10) ||
+        '<|assistant|>' || chr(10) || c4 || '<|end|>' || chr(10) AS chat_text,
+        4::INT AS n_turns, 2::INT AS n_mask_spans,
+        (9 + length(c1) + 8 + 14)::VARCHAR || ':' ||
+        (9 + length(c1) + 8 + 14 + length(c2))::VARCHAR || ' ' ||
+        (9 + length(c1) + 8 + 14 + length(c2) + 8 + 9 + length(c3) + 8 + 14)::VARCHAR || ':' ||
+        (9 + length(c1) + 8 + 14 + length(c2) + 8 + 9 + length(c3) + 8 + 14
+         + length(c4))::VARCHAR AS spans_str
+      FROM c""")),
 
     Q("p17_weighted_sample", p17, Some("""
       WITH k AS (SELECT source, doc_id,

@@ -340,6 +340,37 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(empty == "<PRE><SUF><MID>")
   }
 
+  test("renderChatTemplate: offsets land on assistant content; malformed turns degrade") {
+    import spark.implicits._
+    val turns = Seq((1L,
+      Seq(("user", "hi there"), ("assistant", "hello"), ("user", ""), ("assistant", "bye"))))
+      .toDF("conv_id", "raw")
+      .select($"conv_id", transform($"raw", t =>
+        struct(t.getField("_1").as("role"), t.getField("_2").as("content"))).as("turns"))
+    val r = TrainingPrep.renderChatTemplate(turns, "turns")
+      .select("chat_text", "n_turns", "mask_spans").head()
+    val text = r.getString(0)
+    assert(r.getInt(1) == 4)
+    val spans = r.getSeq[org.apache.spark.sql.Row](2).map(s => (s.getLong(0), s.getLong(1)))
+    assert(spans.length == 2)
+    // the spans must slice exactly the assistant contents out of the text
+    assert(spans.map { case (s, e) => text.substring(s.toInt, e.toInt) } == Seq("hello", "bye"))
+    assert(text ==
+      "<|user|>\nhi there<|end|>\n<|assistant|>\nhello<|end|>\n" +
+      "<|user|>\n<|end|>\n<|assistant|>\nbye<|end|>\n")
+    // empty conversation: empty text, no spans; null role/content render empty
+    val weird = Seq(1).toDF("x").select(
+      array().cast("array<struct<role:string,content:string>>").as("turns"))
+    val w = TrainingPrep.renderChatTemplate(weird, "turns")
+      .select("chat_text", "n_turns", "mask_spans").head()
+    assert(w.getString(0) == "" && w.getInt(1) == 0 && w.getSeq[Any](2).isEmpty)
+    val nullTurn = Seq(1).toDF("x").select(
+      array(struct(lit(null).cast("string").as("role"),
+        lit(null).cast("string").as("content"))).as("turns"))
+    assert(TrainingPrep.renderChatTemplate(nullTurn, "turns")
+      .select("chat_text").head().getString(0) == "<||>\n<|end|>\n")
+  }
+
   test("weightedSample: exact A-ES selection vs local replication; heavy weights dominate") {
     import spark.implicits._
     val rows = for (g <- 0 until 50; i <- 0 until 20) yield {
