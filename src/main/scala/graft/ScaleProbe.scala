@@ -73,7 +73,10 @@ object ScaleProbe {
       "x34_pagerank", "x35_jsonl_roundtrip", "d14_sentence_dedup",
       "s9_ann_ivf_indexed", "p15_temperature_mixture", "s10_ann_lsh_indexed",
       "s11_bm25_topk", "s12_bm25_indexed", "p16_fim", "t30_blocklist",
-      "t31_nfc_normalize", "m14_scene_cuts")
+      "t31_nfc_normalize", "m14_scene_cuts",
+      "t32_url_dedup", "t33_decontaminate_spans", "t34_stupid_backoff",
+      "x36_interval_overlap", "p17_weighted_sample", "p18_chat_template",
+      "s13_random_projection")
     // optional args = probe-name filter (run a subset while iterating);
     // unknown names fail loudly — a typo must not look like a clean run
     val unknown = args.toSet -- probes.toSet
