@@ -1,0 +1,242 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer (Kudo 2018, "Subword Regularization";
+  * the SentencePiece unigram model) — the other major tokenizer family
+  * next to [[Bpe]]. Training alternates hard-EM (Viterbi) count
+  * re-estimation with likelihood-ranked pruning of an over-complete seed
+  * vocabulary until the target size is reached.
+  *
+  * DETERMINISM BY CONSTRUCTION (the [[Bpe]] playbook): the E-step counts
+  * are INTEGERS (word count × piece occurrences along the word's single
+  * best segmentation), so distributed partial sums are shuffle-order-
+  * invariant; every float the algorithm consumes (piece log-probs, the
+  * Viterbi DP) is derived from those integers by a fixed sequence of
+  * IEEE ops, and ties in the DP and in pruning break on explicit
+  * deterministic rules. Hence [[train]] (distributed E-step) and
+  * [[trainLocal]] (serial) produce the IDENTICAL model — spec-asserted —
+  * and a rerun on any partitioning reproduces it bit-for-bit.
+  *
+  * Scale shape: like BPE, training runs over the DISTINCT-WORD relation
+  * (vocab-sized, not corpus-sized) — one corpus shuffle builds it, then
+  * each EM round is one broadcast-model `mapPartitions` pass over the
+  * words plus a piece-keyed integer partial-agg; the model itself (seed
+  * vocabulary, ≤ a few 100k pieces) is driver/broadcast-sized, the same
+  * justification as the IVF quantizer and the BPE merge table. Encoding
+  * is a broadcast-model narrow pass, no shuffle.
+  */
+object UnigramLm {
+
+  final case class Piece(piece: String, count: Long, prob: Double)
+
+  /** Best (max log-prob) segmentation of `word` under `logp`. DP ties
+    * break deterministically: equal log-prob → fewer pieces → longer
+    * last piece. A position with NO in-vocab candidate (an OOV character
+    * at encode time — training always keeps every seen character) falls
+    * back to the single character at floor log-prob, so segmentation is
+    * total. */
+  def viterbi(
+      word: String, logp: collection.Map[String, Double], maxPieceLen: Int): List[String] = {
+    val n = word.length
+    if (n == 0) return Nil
+    val floor = -1e9
+    val bestLp = new Array[Double](n + 1)
+    val bestPieces = new Array[Int](n + 1)
+    val bestFrom = new Array[Int](n + 1)
+    java.util.Arrays.fill(bestLp, Double.NegativeInfinity)
+    bestLp(0) = 0.0
+    bestPieces(0) = 0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      var found = false
+      while (j < i) {
+        if (bestLp(j) > Double.NegativeInfinity) {
+          val lpOpt = logp.get(word.substring(j, i))
+          if (lpOpt.isDefined) {
+            found = true
+            val cand = bestLp(j) + lpOpt.get
+            val candPieces = bestPieces(j) + 1
+            val better = cand > bestLp(i) ||
+              (cand == bestLp(i) && (candPieces < bestPieces(i) ||
+                (candPieces == bestPieces(i) && j < bestFrom(i))))
+            if (bestLp(i) == Double.NegativeInfinity || better) {
+              bestLp(i) = cand; bestPieces(i) = candPieces; bestFrom(i) = j
+            }
+          }
+        }
+        j += 1
+      }
+      if (!found) { // OOV char fallback: single char at floor
+        val cand = bestLp(i - 1) + floor
+        bestLp(i) = cand; bestPieces(i) = bestPieces(i - 1) + 1; bestFrom(i) = i - 1
+      }
+      i += 1
+    }
+    var acc: List[String] = Nil
+    var p = n
+    while (p > 0) { val f = bestFrom(p); acc = word.substring(f, p) :: acc; p = f }
+    acc
+  }
+
+  /** Per-word piece counts along the best segmentation, weighted by the
+    * word's corpus count — the hard-EM E-step contribution. INTEGER
+    * counts: summation order can never matter. */
+  private def emContrib(
+      word: String, n: Long, logp: collection.Map[String, Double],
+      maxPieceLen: Int): Iterator[(String, Long)] =
+    viterbi(word, logp, maxPieceLen).iterator.map(p => (p, n))
+
+  /** Driver-side M-step + prune, shared VERBATIM by [[train]] and
+    * [[trainLocal]] so the two faces cannot drift: re-normalize counts to
+    * probs; when above target, keep the `keepFrac` fraction best pieces
+    * by (count desc, piece asc) but never drop a single-character piece
+    * (they guarantee total segmentability). */
+  private def mPrune(
+      counts: Map[String, Long], vocabSize: Int, keepFrac: Double): Map[String, Long] = {
+    if (counts.size <= vocabSize) counts
+    else {
+      val target = math.max(vocabSize, math.ceil(counts.size * keepFrac).toInt)
+      val kept = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(target).toMap
+      kept ++ counts.filter { case (p, _) => p.length == 1 }
+    }
+  }
+
+  private def toLogp(counts: Map[String, Long]): collection.Map[String, Double] = {
+    val total = counts.valuesIterator.sum.toDouble
+    counts.map { case (p, c) =>
+      (p, math.log(math.max(c, 1L).toDouble / total))
+    }
+  }
+
+  private def finish(counts: Map[String, Long]): Seq[Piece] = {
+    val total = counts.valuesIterator.sum.toDouble
+    counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .map { case (p, c) => Piece(p, c, math.max(c, 1L).toDouble / total) }
+  }
+
+  /** Substring seed counts of one word: every occurrence of every
+    * substring up to `maxPieceLen`, weighted by the word count. */
+  private def seedContrib(
+      word: String, n: Long, maxPieceLen: Int): Iterator[(String, Long)] =
+    (for {
+      s <- (0 until word.length).iterator
+      e <- (s + 1) to math.min(s + maxPieceLen, word.length)
+    } yield (word.substring(s, e), n))
+
+  private def seedSelect(
+      counts: Map[String, Long], seedSize: Int): Map[String, Long] = {
+    val top = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(seedSize).toMap
+    top ++ counts.filter { case (p, _) => p.length == 1 }
+  }
+
+  /** The shared training loop over an abstract E-step/seed evaluator —
+    * local and distributed faces differ ONLY in how the integer count
+    * tables are produced. */
+  private def loop(
+      seedCounts: Map[String, Long],
+      eStep: collection.Map[String, Double] => Map[String, Long],
+      vocabSize: Int, maxRounds: Int, emIters: Int, keepFrac: Double): Seq[Piece] = {
+    var counts = seedCounts
+    var rounds = 0
+    while (counts.size > vocabSize && rounds < maxRounds) {
+      var it = 0
+      while (it < emIters) { counts = eStep(toLogp(counts)); it += 1 }
+      counts = mPrune(counts, vocabSize, keepFrac)
+      rounds += 1
+    }
+    finish(eStep(toLogp(counts)))
+  }
+
+  /** Distributed training: the corpus collapses to its distinct-word
+    * relation once; seeding and every E-step are broadcast-model passes
+    * over it with integer partial-agg collects (model-sized). */
+  def train(
+      df: DataFrame, textCol: String, vocabSize: Int,
+      seedSize: Int = 500, maxPieceLen: Int = 8,
+      emIters: Int = 2, keepFrac: Double = 0.75, maxRounds: Int = 50): Seq[Piece] = {
+    require(vocabSize >= 1 && seedSize >= vocabSize,
+      "train: need vocabSize >= 1 and seedSize >= vocabSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words: Dataset[(String, Long)] = df
+      .select(explode(split(coalesce(col(textCol), lit("")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+    val wordsCk = words.toDF().localCheckpoint().as[(String, Long)]
+    def sumCounts(contrib: Dataset[(String, Long)]): Map[String, Long] =
+      contrib.groupBy(col("_1")).agg(sum(col("_2")).as("c"))
+        .as[(String, Long)].collect().toMap
+    val seedCounts = seedSelect(
+      sumCounts(wordsCk.flatMap { case (w, n) => seedContrib(w, n, maxPieceLen) }),
+      seedSize)
+    def eStep(logp: collection.Map[String, Double]): Map[String, Long] = {
+      val b = spark.sparkContext.broadcast(logp)
+      sumCounts(wordsCk.mapPartitions(_.flatMap { case (w, n) =>
+        emContrib(w, n, b.value, maxPieceLen)
+      }))
+    }
+    loop(seedCounts, eStep, vocabSize, maxRounds, emIters, keepFrac)
+  }
+
+  /** Serial reference: the identical loop over a collected word list —
+    * the real-vocab escape hatch (word relations are vocab-sized) and
+    * the spec's ground truth for [[train]]. */
+  def trainLocal(
+      words: Seq[(String, Long)], vocabSize: Int,
+      seedSize: Int = 500, maxPieceLen: Int = 8,
+      emIters: Int = 2, keepFrac: Double = 0.75, maxRounds: Int = 50): Seq[Piece] = {
+    require(vocabSize >= 1 && seedSize >= vocabSize,
+      "trainLocal: need vocabSize >= 1 and seedSize >= vocabSize")
+    def fold(it: Iterator[(String, Long)]): Map[String, Long] =
+      it.foldLeft(Map.empty[String, Long]) { case (m, (p, n)) =>
+        m.updated(p, m.getOrElse(p, 0L) + n)
+      }
+    val seedCounts = seedSelect(
+      fold(words.iterator.flatMap { case (w, n) => seedContrib(w, n, maxPieceLen) }),
+      seedSize)
+    def eStep(logp: collection.Map[String, Double]): Map[String, Long] =
+      fold(words.iterator.flatMap { case (w, n) => emContrib(w, n, logp, maxPieceLen) })
+    loop(seedCounts, eStep, vocabSize, maxRounds, emIters, keepFrac)
+  }
+
+  /** Model as a DataFrame: (rank, piece, count, prob) — rank 1 = most
+    * probable; prob surfaced rounded at 9 dp. */
+  def piecesDF(spark: org.apache.spark.sql.SparkSession, model: Seq[Piece]): DataFrame = {
+    import spark.implicits._
+    model.zipWithIndex
+      .map { case (p, i) =>
+        (i + 1, p.piece, p.count,
+          BigDecimal(p.prob).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("rank", "piece", "count", "prob")
+  }
+
+  /** Viterbi-encode each document under a trained model: broadcast
+    * log-probs, one narrow pass, no shuffle. Output: (idCol, n_pieces,
+    * pieces) with pieces space-joined (word boundaries re-use the same
+    * separator — the corpus tokenizer convention). */
+  def encode(
+      df: DataFrame, idCol: String, textCol: String, model: Seq[Piece],
+      maxPieceLen: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val logp: Map[String, Double] = {
+      val total = model.map(_.count).sum.toDouble
+      model.map(p => (p.piece, math.log(math.max(p.count, 1L).toDouble / total))).toMap
+    }
+    val b = spark.sparkContext.broadcast(logp)
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val pieces = t.split(" ", -1).iterator.filter(_.nonEmpty)
+          .flatMap(w => viterbi(w, b.value, maxPieceLen)).toSeq
+        (id, pieces.length.toLong, pieces.mkString(" "))
+      }
+      .toDF(idCol, "n_pieces", "pieces")
+  }
+}

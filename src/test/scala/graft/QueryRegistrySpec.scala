@@ -42,7 +42,8 @@ class QueryRegistrySpec extends AnyFunSuite {
       "a1_approx_stats", "a2_hll_union", "a3_kll_quantiles",
       "p8_bpe_train", "p9_bpe_encode", "s4_ann_ivf_kmeans",
       "t21_model_filter_trained",
-      "t29_compression_ratio") // deflate sizes are zlib-implementation-defined
+      "t29_compression_ratio", // deflate sizes are zlib-implementation-defined
+      "p19_unigram_train", "p20_unigram_encode") // iterative EM, no SQL analog
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly,
       s"queries without oracle changed: ${(noOracle -- rowsOnly).toSeq.sorted} gained, " +
