@@ -1914,6 +1914,18 @@ object ExtensionQueries {
       table(s, dir, "documents").select(d, url.as("url")), "doc_id", "url")
   }
 
+  /** Readability scoring over in-plan punctuated pages (every 8th token
+    * gains a period — word-soup text has no sentence structure of its
+    * own): sentence/word/syllable counts and both Flesch formulas. */
+  private def t35(s: SparkSession, dir: String): DataFrame = {
+    val toksCol = split(col("text"), " ")
+    val punct = array_join(transform(toksCol, (t, i) =>
+      concat(t, when((i + 1) % 8 === 0, lit(".")).otherwise(lit("")))), " ")
+    TextAnalysis.readability(
+      table(s, dir, "documents").select(col("doc_id"), punct.as("text")), "text")
+      .select("doc_id", "n_sentences", "n_words", "n_syllables", "fre", "fk_grade")
+  }
+
   /** Span-level decontamination over a self-planted benchmark: every 50th
     * doc contributes its tokens 4..9 as a benchmark item, so the source
     * doc (and its word-soup near-copies) carries the span verbatim —
@@ -2428,6 +2440,30 @@ object ExtensionQueries {
         length(text)::BIGINT AS n_chars_before,
         length(nfc_normalize(text))::BIGINT AS n_chars_after
       FROM aug""")),
+
+    Q("t35_readability", t35, Some("""
+      WITH p AS (SELECT doc_id,
+          coalesce(array_to_string(list_transform(range(1, len(ws) + 1),
+            i -> ws[i] || CASE WHEN i % 8 = 0 THEN '.' ELSE '' END), ' '), '') AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      c AS (SELECT doc_id,
+          len(list_filter(string_split_regex(text, '[.!?]+'), s -> trim(s) <> ''))
+            AS n_sentences,
+          list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+            w -> w <> '') AS ws
+        FROM p),
+      sy AS (SELECT doc_id, n_sentences, len(ws)::BIGINT AS n_words,
+          list_sum(list_transform(ws,
+            w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))::BIGINT AS n_syllables
+        FROM c WHERE len(ws) >= 1)
+      SELECT doc_id, n_sentences::BIGINT AS n_sentences, n_words, n_syllables,
+        round(206.835::DOUBLE
+              - 1.015::DOUBLE * (n_words::DOUBLE / greatest(n_sentences, 1)::DOUBLE)
+              - 84.6::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE), 9) AS fre,
+        round(0.39::DOUBLE * (n_words::DOUBLE / greatest(n_sentences, 1)::DOUBLE)
+              + 11.8::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE)
+              - 15.59::DOUBLE, 9) AS fk_grade
+      FROM sy""")),
 
     Q("t34_stupid_backoff", t34, Some("""
       WITH tr AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 5 <> 0),

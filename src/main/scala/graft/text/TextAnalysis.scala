@@ -98,4 +98,42 @@ object TextAnalysis {
       .withColumn("was_normalized", col("nfc_text") =!= col(textCol))
       .withColumn("n_chars_before", length(col(textCol)).cast("long"))
       .withColumn("n_chars_after", length(col("nfc_text")).cast("long"))
+
+  /** Readability scores — Flesch Reading Ease and Flesch–Kincaid grade
+    * (Kincaid et al. 1975), a standard document-quality signal next to
+    * [[qualityScore]]. Counting rules (all deterministic, regex in the
+    * portable Java∩RE2 subset):
+    *   sentences  = runs split on `[.!?]+` with non-blank content (min 1
+    *                in the formulas — a fragment is one sentence)
+    *   words      = tokens after lowercasing and stripping non-[a-z0-9 ]
+    *   syllables  = vowel-group count `[aeiouy]+` per word, min 1
+    * The syllable rule is the classic cheap heuristic (±1 on silent-e
+    * words) — readability filters threshold coarsely, exactness of the
+    * English syllabary is not the point. Pure per-row expression work,
+    * shuffle-free; rows with zero words are dropped (no defined score).
+    * Scores surface rounded at 9 dp. */
+  def readability(df: DataFrame, textCol: String): DataFrame = {
+    val sents = filter(split(col(textCol), "[.!?]+"), s => trim(s) =!= "")
+    val words = filter(
+      split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " "),
+      w => w =!= "")
+    val nS = greatest(size(col("__sents")), lit(1)).cast("double")
+    val nW = size(col("__words")).cast("double")
+    val syl = aggregate(col("__words"), lit(0L), (acc, w) =>
+      acc + greatest(size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))), lit(1))
+        .cast("long"))
+    val wps = nW / nS
+    val spw = col("__syl").cast("double") / nW
+    df.withColumn("__sents", sents).withColumn("__words", words)
+      .where(size(col("__words")) >= 1)
+      .withColumn("__syl", syl)
+      .withColumn("n_sentences", size(col("__sents")).cast("long"))
+      .withColumn("n_words", size(col("__words")).cast("long"))
+      .withColumn("n_syllables", col("__syl"))
+      .withColumn("fre",
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 9))
+      .withColumn("fk_grade",
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 9))
+      .drop("__sents", "__words", "__syl")
+  }
 }

@@ -95,4 +95,27 @@ class TextSpec extends AnyFunSuite {
     assert(out(1L) == out(2L))
     assert(out(1L) != out(3L))
   }
+
+  test("readability: hand-counted sentences/words/syllables and both formulas") {
+    // 2 sentences, 4 words, syllables: the=1, cat=1, sat=1, quietly=3 (uie|e|y... vowel
+    // groups: u-ie? 'quietly' -> uie, y => 2)  -- recount: q(uie)tl(y) = 2 groups
+    val docs = Seq(
+      (1L, "The cat sat. Quietly!"),
+      (2L, "zzz"),          // no vowels: syllable floor 1; fragment: 1 sentence min
+      (3L, "... !!!"),      // zero words after stripping: dropped
+      (4L, "a b")           // 2 words, 2 syllables, no terminator: n_sentences=1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs, "text")
+      .select("doc_id", "n_sentences", "n_words", "n_syllables", "fre", "fk_grade")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(!out.contains(3L))
+    val (s1, w1, sy1, fre1, fk1) = out(1L)
+    assert((s1, w1, sy1) == ((2L, 4L, 5L)))
+    val wps = 4.0 / 2.0; val spw = 5.0 / 4.0
+    assert(math.abs(fre1 - (206.835 - 1.015 * wps - 84.6 * spw)) < 1e-9)
+    assert(math.abs(fk1 - (0.39 * wps + 11.8 * spw - 15.59)) < 1e-9)
+    assert(out(2L)._1 == 1L && out(2L)._2 == 1L && out(2L)._3 == 1L)
+    assert(out(4L)._1 == 1L && out(4L)._2 == 2L && out(4L)._3 == 2L)
+  }
 }
