@@ -611,4 +611,39 @@ class StreamingSpec extends AnyFunSuite {
         Set((3L, 0, 0, 4, 120.0 / 255.0), (3L, 1, 0, 4, 120.0 / 255.0)))
     } finally { rq.stop(); pq.stop() }
   }
+
+  test("URL canonicalization + readability + chat render are stream-transparent: batch ≡ stream") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "HTTP://WWW.A.com:80/x//y/?b=2&utm_source=u&a=1#f", "The cat sat. Quietly!"),
+      (2L, "not a url", "a b c"),
+      (3L, "https://B.org/p", "zzz."))
+    def pipelineOf(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TrainingPrep.renderChatTemplate(
+        graft.text.TextAnalysis.readability(df, "text")
+          .withColumn("url_canonical", graft.text.Curation.canonicalizeUrl(col("url")))
+          .withColumn("turns", array(
+            struct(lit("user").as("role"), col("url").as("content")),
+            struct(lit("assistant").as("role"), col("text").as("content")))),
+        "turns")
+        .select(col("doc_id"), col("url_canonical"), col("n_words"), col("fre"),
+          col("chat_text"),
+          element_at(col("mask_spans"), 1).getField("s").as("span_s"))
+    val source = MemoryStream[(Long, String, String)]
+    val q = pipelineOf(source.toDF().toDF("doc_id", "url", "text"))
+      .writeStream.format("memory").queryName("url_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(rows: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getDouble(3),
+          r.getString(4), r.getLong(5))).toSet
+      val batch = shape(pipelineOf(rows.toDF("doc_id", "url", "text")))
+      assert(shape(spark.table("url_stream")) == batch)
+      assert(batch.exists(t => t._1 == 1L && t._2.contains("http://a.com/x/y?a=1&b=2")))
+      assert(batch.exists(t => t._1 == 2L && t._2.isEmpty)) // invalid URL -> null, stream-safe
+    } finally q.stop()
+  }
 }
