@@ -626,6 +626,28 @@ object Dedup {
     labels.select(col("id"), col("lab").as("canonical_id"))
   }
 
+  /** Quality-aware canonical selection: keep the HIGHEST-quality member
+    * of each near-dup cluster — the FineWeb/Dolma keep-longest policy —
+    * where [[dropNearDuplicates]] keeps the minimum id. `qualityCol` is
+    * numeric; ties break toward the smaller id, so selection is fully
+    * deterministic. Returns one row per (multi-member) cluster:
+    * (canonical_id, keep_id, n_members); rows in no pair keep themselves
+    * trivially and are not emitted.
+    *
+    * The argmax rides ONE mergeable aggregate — max of a (quality, -id)
+    * struct, lexicographic — over the cluster labels, so only one row
+    * per cluster per partition crosses the shuffle; no window sort. */
+  def keepBestPerCluster(
+      df: DataFrame, idCol: String, qualityCol: String, pairs: DataFrame): DataFrame =
+    canonicalize(pairs)
+      .join(df.select(col(idCol).cast("long").as("id"), col(qualityCol).as("__q")),
+        Seq("id"))
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("__q").as("q"), (-col("id")).as("nid"))).as("__best"))
+      .select(col("canonical_id"), (-col("__best.nid")).as("keep_id"),
+        col("n_members"))
+
   /** The dedup endgame: drop every row whose id is a non-canonical member
     * of a near-dup cluster (keep the minimum id per cluster; rows not in
     * any pair are kept). */

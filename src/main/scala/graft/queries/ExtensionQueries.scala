@@ -86,6 +86,17 @@ object ExtensionQueries {
       Dedup.minhashLsh(mutatedCorpus(s, dir), "doc_id", "text",
         shingleN = 3, k = 12, bands = 4, rows = 3, threshold = 0.5))
 
+  /** d6's clusters with the keep-LONGEST policy instead of min-id: the
+    * retained doc per near-dup cluster is the highest-quality member
+    * (quality = text length here), ties toward the smaller id. */
+  private def d15(s: SparkSession, dir: String): DataFrame = {
+    val corpus = mutatedCorpus(s, dir)
+    Dedup.keepBestPerCluster(
+      corpus.withColumn("q", length(col("text")).cast("long")), "doc_id", "q",
+      Dedup.minhashLsh(corpus, "doc_id", "text",
+        shingleN = 3, k = 12, bands = 4, rows = 3, threshold = 0.5))
+  }
+
   private def d5(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(table(s, dir, "embeddings"),
       "vec_id", "embedding", blockCols = Seq("label"), threshold = 0.4)
@@ -2283,6 +2294,40 @@ object ExtensionQueries {
         UNION
         SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id)
       SELECT id, min(lab) AS canonical_id FROM walk GROUP BY id""")),
+
+    // same corpus, same signature family, same CC walk as d6 — plus the
+    // keep-longest selection (list ordered by quality desc, id asc)
+    Q("d15_dedup_keep_best", d15, Some(s"""
+      WITH RECURSIVE $corpusSql,
+      docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+             FROM docs WHERE len(ws) >= 3),
+      $minhashCtes,
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT id_a, id_b FROM (
+          SELECT c.id_a, c.id_b,
+            len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b)
+        WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      walk AS (
+        SELECT src AS id, src AS lab FROM edges
+        UNION
+        SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id),
+      cl AS (SELECT id, min(lab) AS canonical_id FROM walk GROUP BY id)
+      SELECT canonical_id,
+        (list(cl.id ORDER BY length(c.text) DESC, cl.id ASC))[1] AS keep_id,
+        count(*)::BIGINT AS n_members
+      FROM cl JOIN corpus c ON c.doc_id = cl.id
+      GROUP BY canonical_id""")),
 
     Q("d5_dedup_embedding_cosine", d5, Some(s"""
       SELECT id_a, id_b, cosine FROM (

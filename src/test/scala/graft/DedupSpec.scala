@@ -412,4 +412,16 @@ class DedupSpec extends AnyFunSuite {
     assert(jac(a, b) >= 0.5 && jac(b, c) >= 0.5 && jac(a, c) < 0.5)
     assert(got == Set(1L), s"expected only page 1 to survive, got $got")
   }
+
+  test("keepBestPerCluster: highest quality wins, ties to smaller id, singletons absent") {
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L),  // cluster {1,2,3}: q-tie 2 vs 3 -> 2
+      (7L, 5L), (8L, 9L),               // cluster {7,8}: 8 wins outright
+      (9L, 99L)                         // singleton: no pair, not emitted
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestPerCluster(docs, "doc_id", "q", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((2L, 3L)), 7L -> ((8L, 2L))))
+  }
 }
