@@ -231,6 +231,64 @@ object Multimodal {
     }(Encoders.product[ImagePatch])
   }
 
+  final case class ChannelStats(
+      media_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double,
+      std_r: Double, std_g: Double, std_b: Double)
+
+  /** Per-image channel statistics — the normalization-constants pass of
+    * vision training (per-channel mean/std in [0, 1] feeding the input
+    * transform). Pixel sums and sums of squares accumulate as exact
+    * integers (sumsq ≤ 255²·n fits a long below ~10^14 pixels), then
+    * one fixed sequence of IEEE ops: mean₂₅₅ = Σ/n, var₂₅₅ =
+    * max(Σx²/n − mean₂₅₅², 0), outputs divided by 255 — so constructed
+    * fixtures reproduce externally bit-for-bit (the m13 oracle
+    * strategy). Undecodable or zero-pixel payloads contribute no rows;
+    * batched `mapPartitions`, shuffle-free. */
+  def channelStats(media: DataFrame)(
+      implicit spark: SparkSession): Dataset[ChannelStats] = {
+    val in = media.select("media_id", "content", "mime").as(Encoders.product[MediaRecord])
+    in.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(_.flatMap { m =>
+        val img =
+          if (m.mime != null && m.mime.startsWith("image/"))
+            try readImage(m.content)
+            catch { case scala.util.control.NonFatal(_) => null }
+          else null
+        if (img == null || img.getWidth == 0 || img.getHeight == 0) Iterator.empty
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var qr = 0L; var qg = 0L; var qb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              sr += r; sg += g; sb += b
+              qr += r.toLong * r; qg += g.toLong * g; qb += b.toLong * b
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          def mean255(s: Long): Double = s.toDouble / n.toDouble
+          def std01(s: Long, q: Long): Double = {
+            val m = mean255(s)
+            math.sqrt(math.max(q.toDouble / n.toDouble - m * m, 0.0)) / 255.0
+          }
+          Iterator.single(ChannelStats(m.media_id, w, h,
+            mean255(sr) / 255.0, mean255(sg) / 255.0, mean255(sb) / 255.0,
+            std01(sr, qr), std01(sg, qg), std01(sb, qb)))
+        }
+      })
+    }(Encoders.product[ChannelStats])
+  }
+
   /** One archive member from [[expandZipShards]]. */
   final case class ArchiveMember(
       shard_id: Long, member_idx: Int, member_name: String,

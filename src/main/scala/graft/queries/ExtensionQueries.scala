@@ -688,6 +688,36 @@ object ExtensionQueries {
         round(col("mean_lum"), 9).as("mean_lum"))
   }
 
+  /** Per-channel image statistics over RGB gradient fixtures with
+    * closed-form sums: r cycles mod 13 from 100, g mod 7 from 50, b
+    * constant 200 — each channel's Σ and Σx² are integer formulas of
+    * (w, h), so the oracle replays the exact mean/std arithmetic. */
+  private def m15(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    val media = table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("media_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 8).toInt
+        val h = (4 + id % 9).toInt
+        val px = Array.tabulate(w * h) { i =>
+          val r = 100 + i % 13
+          val g = 50 + i % 7
+          (r << 16) | (g << 8) | 200
+        }
+        Multimodal.MediaRecord(id, Multimodal.encodeImage("png", w, h, px), "image/png")
+      })
+      .toDF()
+    Multimodal.channelStats(media).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        round(col("mean_r"), 9).as("mean_r"), round(col("mean_g"), 9).as("mean_g"),
+        round(col("mean_b"), 9).as("mean_b"),
+        round(col("std_r"), 9).as("std_r"), round(col("std_g"), 9).as("std_g"),
+        round(col("std_b"), 9).as("std_b"))
+  }
+
   /** Archive-shard expansion end-to-end (the webdataset ingestion
     * shape): per-doc zip bundles built in-plan (1 + id%4 members, name
     * and size by formula), expanded to one row per member. The oracle
@@ -3170,6 +3200,37 @@ object ExtensionQueries {
         round(((doc_id * 7 + f * 13) % 256) / 255.0, 9) AS mean_px
       FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 5, 2)) AS f
             FROM documents)""")),
+    Q("m15_channel_stats", m15, Some("""
+      WITH d AS (SELECT doc_id AS media_id,
+          (8 + doc_id % 8)::INT AS width, (4 + doc_id % 9)::INT AS height
+        FROM documents),
+      f AS (SELECT media_id, width, height, (width::BIGINT * height) AS n FROM d),
+      g AS (SELECT media_id, width, height, n,
+          n % 13 AS r13, n // 13 AS q13, n % 7 AS r7, n // 7 AS q7 FROM f),
+      s AS (SELECT media_id, width, height, n,
+          100*n + q13*78 + r13*(r13-1)//2 AS sr,
+          10000*n + 200*(q13*78 + r13*(r13-1)//2)
+            + q13*650 + (r13-1)*r13*(2*r13-1)//6 AS qr,
+          50*n + q7*21 + r7*(r7-1)//2 AS sg,
+          2500*n + 100*(q7*21 + r7*(r7-1)//2)
+            + q7*91 + (r7-1)*r7*(2*r7-1)//6 AS qg,
+          200*n AS sb, 40000*n AS qb
+        FROM g)
+      SELECT media_id, width, height,
+        round((sr::DOUBLE / n::DOUBLE) / 255.0::DOUBLE, 9) AS mean_r,
+        round((sg::DOUBLE / n::DOUBLE) / 255.0::DOUBLE, 9) AS mean_g,
+        round((sb::DOUBLE / n::DOUBLE) / 255.0::DOUBLE, 9) AS mean_b,
+        round(sqrt(greatest(qr::DOUBLE / n::DOUBLE
+          - (sr::DOUBLE / n::DOUBLE) * (sr::DOUBLE / n::DOUBLE), 0.0::DOUBLE))
+          / 255.0::DOUBLE, 9) AS std_r,
+        round(sqrt(greatest(qg::DOUBLE / n::DOUBLE
+          - (sg::DOUBLE / n::DOUBLE) * (sg::DOUBLE / n::DOUBLE), 0.0::DOUBLE))
+          / 255.0::DOUBLE, 9) AS std_g,
+        round(sqrt(greatest(qb::DOUBLE / n::DOUBLE
+          - (sb::DOUBLE / n::DOUBLE) * (sb::DOUBLE / n::DOUBLE), 0.0::DOUBLE))
+          / 255.0::DOUBLE, 9) AS std_b
+      FROM s""")),
+
     Q("m14_scene_cuts", m14, Some("""
       WITH fr AS (
         SELECT doc_id AS media_id, f,

@@ -1009,4 +1009,26 @@ class MultimodalSpec extends AnyFunSuite {
     // empty input → empty output, no window blowup
     assert(Multimodal.sceneCuts(frames.where($"media_id" < 0), 0.3).count() == 0)
   }
+
+  test("channelStats: solid color exact, two-value variance exact, corrupt skipped") {
+    import spark.implicits._
+    val solid = Array.fill(6 * 4)((10 << 16) | (20 << 8) | 30)
+    // r alternates 0/2 -> mean255 1.0, var255 1.0, std 1/255
+    val alt = Array.tabulate(6 * 4)(i => ((if (i % 2 == 0) 0 else 2) << 16))
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.encodeImage("png", 6, 4, solid), "image/png"),
+      Multimodal.MediaRecord(2L, Multimodal.encodeImage("png", 6, 4, alt), "image/png"),
+      Multimodal.MediaRecord(3L, Array[Byte](1, 2, 3), "image/png"),
+      Multimodal.MediaRecord(4L, Multimodal.encodeImage("png", 6, 4, solid), "text/plain")
+    ).toDF()
+    val out = Multimodal.channelStats(media).collect().map(c => c.media_id -> c).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val c1 = out(1L)
+    assert((c1.width, c1.height) == ((6, 4)))
+    assert(c1.mean_r == 10.0 / 255.0 && c1.mean_g == 20.0 / 255.0 && c1.mean_b == 30.0 / 255.0)
+    assert(c1.std_r == 0.0 && c1.std_g == 0.0 && c1.std_b == 0.0)
+    val c2 = out(2L)
+    assert(c2.mean_r == 1.0 / 255.0 && c2.std_r == 1.0 / 255.0)
+    assert(c2.mean_g == 0.0 && c2.std_g == 0.0)
+  }
 }
