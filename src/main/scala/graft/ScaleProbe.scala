@@ -76,7 +76,9 @@ object ScaleProbe {
       "t31_nfc_normalize", "m14_scene_cuts",
       "t32_url_dedup", "t33_decontaminate_spans", "t34_stupid_backoff",
       "x36_interval_overlap", "p17_weighted_sample", "p18_chat_template",
-      "s13_random_projection")
+      "s13_random_projection",
+      "t35_readability", "d15_dedup_keep_best", "m15_channel_stats",
+      "p19_unigram_train", "p20_unigram_encode")
     // optional args = probe-name filter (run a subset while iterating);
     // unknown names fail loudly — a typo must not look like a clean run
     val unknown = args.toSet -- probes.toSet
