@@ -1955,6 +1955,21 @@ object ExtensionQueries {
       table(s, dir, "documents").select(d, url.as("url")), "doc_id", "url")
   }
 
+  /** Boilerplate prevalence over d9's page fixture: duplicated docs make
+    * their member lines cross-page-common, so pages assembled from them
+    * score a non-trivial fraction. */
+  private def t36(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select("doc_id", "text")
+    val base = d.unionAll(d.where(col("doc_id") % 5 === 0).select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val pages = base
+      .groupBy(expr("doc_id div 5").as("page_id"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("text")))).as("dt"))
+      .select(col("page_id"),
+        concat_ws("\n", transform(col("dt"), x => x.getField("text"))).as("text"))
+    Curation.linePrevalence(pages, "page_id", "text", minDocs = 2)
+  }
+
   /** Readability scoring over in-plan punctuated pages (every 8th token
     * gains a period — word-soup text has no sentence structure of its
     * own): sentence/word/syllable counts and both Flesch formulas. */
@@ -2515,6 +2530,26 @@ object ExtensionQueries {
         length(text)::BIGINT AS n_chars_before,
         length(nfc_normalize(text))::BIGINT AS n_chars_after
       FROM aug""")),
+
+    Q("t36_line_prevalence", t36, Some("""
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      pages AS (
+        SELECT doc_id // 5 AS page_id,
+          string_agg(text, chr(10) ORDER BY doc_id) AS text
+        FROM base GROUP BY 1),
+      dl AS (SELECT page_id,
+               unnest(list_distinct(list_filter(string_split(text, chr(10)),
+                 l -> l <> ''))) AS line
+             FROM pages),
+      lf AS (SELECT line, count(*)::BIGINT AS line_df FROM dl GROUP BY 1)
+      SELECT page_id, count(*)::BIGINT AS n_lines,
+        sum(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_common,
+        round(sum(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+              / count(*)::DOUBLE, 9) AS boilerplate_frac
+      FROM dl JOIN lf USING (line) GROUP BY 1""")),
 
     Q("t35_readability", t35, Some("""
       WITH p AS (SELECT doc_id,

@@ -743,6 +743,39 @@ object Curation {
       .withColumn("dsir_keep", col("dsir_weight") > 0.0)
   }
 
+  /** Boilerplate line-prevalence signal: per document, how much of it is
+    * made of lines that also appear in ≥ `minDocs` OTHER-or-same distinct
+    * documents — the cheap cross-document boilerplate detector (nav bars,
+    * cookie banners, footers repeat across a site's pages) used to rank
+    * docs for the d9-style line-dedup pass or to drop template-dominated
+    * pages outright. Counts DISTINCT lines per doc (a page repeating its
+    * own banner 50× is within-doc repetition — t9's signal, not this
+    * one); empty lines ignored.
+    *
+    * Shape: one (doc, line-hash) relation (md5 — fixed-width keys, the
+    * line text never shuffles), one line-keyed count agg, one line-keyed
+    * join back, one per-doc agg. The line-frequency relation is
+    * data-sized, so the join shuffles both sides — same class as the
+    * [[stupidBackoff]] count joins. Returns (idCol, n_lines, n_common,
+    * boilerplate_frac round 9). */
+  def linePrevalence(
+      df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 1, "linePrevalence: minDocs >= 1")
+    val docLines = graft.CacheRegistry.persisted(
+      df.select(col(idCol),
+        explode(array_distinct(filter(split(col(textCol), java.util.regex.Pattern.quote(sep)),
+          l => l =!= ""))).as("__line"))
+        .select(col(idCol), md5(col("__line")).as("__lh")))
+    val lineDf = docLines.groupBy(col("__lh")).agg(count(lit(1)).as("__df"))
+    docLines.join(lineDf, Seq("__lh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__df") >= minDocs, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("boilerplate_frac",
+        round(col("n_common").cast("double") / col("n_lines").cast("double"), 9))
+  }
+
   /** Canonical form of a URL — the CommonCrawl-family URL-dedup key
     * (crawls see the same page under case variants, default ports,
     * tracking parameters, fragments, and shuffled query strings):

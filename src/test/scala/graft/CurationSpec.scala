@@ -275,6 +275,19 @@ class CurationSpec extends AnyFunSuite {
     assert(out(5L) == (("x", 6L, true)))
   }
 
+  test("linePrevalence: cross-doc lines counted once per doc, within-doc repeats don't") {
+    val docs = Seq(
+      (1L, "banner\nunique one\nbanner\nbanner"), // banner repeats WITHIN doc: distinct once
+      (2L, "banner\nunique two"),
+      (3L, "alone\n\nalso alone")                 // empty line ignored; nothing shared
+    ).toDF("doc_id", "text")
+    val out = Curation.linePrevalence(docs, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+  }
+
   test("stupidBackoff: hand-computed score at every backoff level") {
     // train counts: N=8 tokens, V=5 words
     // c3("a b c")=1; c2: (a,b)=2 (b,c)=1 (b,d)=1 (d,a)=1 (a,e)=1; c1: a=3 b=2 c=1 d=1 e=1
