@@ -1585,6 +1585,11 @@ object ExtensionQueries {
     * exact-count oracle (zero-count probes kept via the scaffold join).
     * The estimate ≥ exact bound when collisions do occur is CmsSpec's. */
   private val a4Probes = Seq("data", "join", "query", "hash", "stream", "vector")
+  /** Exact pairwise source-vocabulary overlap matrix over the documents
+    * corpus — 20 sources → 190 unordered pairs at every SF. */
+  private def a5(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceOverlap(table(s, dir, "documents"), "source", "text")
+
   private def a4(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
       .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
@@ -3199,6 +3204,22 @@ object ExtensionQueries {
 
     // CMS estimates ≡ exact counts in the no-collision regime (width 256
     // ≫ 31-token vocab, spec'd) — scaffold keeps zero-count probes.
+    Q("a5_source_overlap", a5, Some("""
+      WITH ts AS (SELECT DISTINCT source, tok FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+           WHERE tok <> ''),
+      sc AS (SELECT source, count(*)::BIGINT AS n FROM ts GROUP BY 1),
+      inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                  count(*)::BIGINT AS n_shared_tokens
+                FROM ts a JOIN ts b ON a.tok = b.tok AND a.source < b.source
+                GROUP BY 1, 2)
+      SELECT source_a, source_b, n_shared_tokens,
+        round(n_shared_tokens::DOUBLE / (sa.n + sb.n - n_shared_tokens)::DOUBLE, 9)
+          AS jaccard
+      FROM inter
+      JOIN sc sa ON sa.source = source_a
+      JOIN sc sb ON sb.source = source_b""")),
+
     Q("a4_cms_frequency", a4, Some(s"""
       WITH probes AS (
         SELECT unnest([${a4Probes.map("'" + _ + "'").mkString(",")}]) AS tok),

@@ -99,6 +99,38 @@ object TextAnalysis {
       .withColumn("n_chars_before", length(col(textCol)).cast("long"))
       .withColumn("n_chars_after", length(col("nfc_text")).cast("long"))
 
+  /** Pairwise vocabulary overlap between corpus groups (sources): exact
+    * |distinct_tokens(a) ∩ distinct_tokens(b)| and Jaccard per unordered
+    * pair — the corpus-composition diagnostic (how much does source X's
+    * vocabulary duplicate source Y's) behind mixture and dedup planning.
+    *
+    * Shape: one DISTINCT (group, token) relation (vocab×groups-sized —
+    * at corpus scale this is the vocabulary relation, not the corpus),
+    * one token-keyed self-join producing ≤ groups²/2 pair rows per
+    * token, one pair-keyed count, union sizes via |A|+|B|−|A∩B|. Exact
+    * is right while the group count is small (sources, languages); for
+    * millions of groups the mergeable-sketch family (a2's HLL per
+    * group + inclusion–exclusion, or theta sketches) is the documented
+    * swap. */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val ts = graft.CacheRegistry.persisted(
+      df.select(col(groupCol).as("__g"), explode(tokens(col(textCol))).as("__tok"))
+        .where(col("__tok") =!= "").distinct())
+    val counts = ts.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val inter = ts.select(col("__g").as("source_a"), col("__tok"))
+      .join(ts.select(col("__g").as("source_b"), col("__tok")), Seq("__tok"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_tokens"))
+    inter
+      .join(counts.select(col("__g").as("source_a"), col("__n").as("__na")), Seq("source_a"))
+      .join(counts.select(col("__g").as("source_b"), col("__n").as("__nb")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared_tokens"),
+        round(col("n_shared_tokens").cast("double")
+          / (col("__na") + col("__nb") - col("n_shared_tokens")).cast("double"), 9)
+          .as("jaccard"))
+  }
+
   /** Readability scores — Flesch Reading Ease and Flesch–Kincaid grade
     * (Kincaid et al. 1975), a standard document-quality signal next to
     * [[qualityScore]]. Counting rules (all deterministic, regex in the

@@ -96,6 +96,18 @@ class TextSpec extends AnyFunSuite {
     assert(out(1L) != out(3L))
   }
 
+  test("sourceOverlap: exact intersections and jaccard on a hand-built corpus") {
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "c d", "s1"),    // s1 vocab {a,b,c,d}
+      (3L, "c d e", "s2"),                        // s2 vocab {c,d,e}
+      (4L, "x", "s3")                             // s3 vocab {x}: disjoint, no pair rows
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceOverlap(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(("s1", "s2") -> ((2L, 2.0 / 5.0))))
+  }
+
   test("readability: hand-counted sentences/words/syllables and both formulas") {
     // 2 sentences, 4 words, syllables: the=1, cat=1, sat=1, quietly=3 (uie|e|y... vowel
     // groups: u-ie? 'quietly' -> uie, y => 2)  -- recount: q(uie)tl(y) = 2 groups
