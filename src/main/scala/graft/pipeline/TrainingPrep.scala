@@ -68,6 +68,39 @@ object TrainingPrep {
         floor(col("start_offset") / lit(seqLen.toDouble)).cast("long"))
   }
 
+  /** Document-boundary emission for [[packSequences]]' layout — the
+    * attention-mask detail of packing: a loader that packs documents into
+    * fixed windows needs, PER EXAMPLE, the ordered document segments
+    * inside it (to build block-diagonal attention masks / reset position
+    * ids at boundaries). A doc at running offset S with n tokens spans
+    * examples ⌊S/len⌋..⌊(S+n−1)/len⌋ and contributes the clipped segment
+    * [max(S, e·len), min(S+n, (e+1)·len)) to each, in within-example
+    * coordinates. Zero-token docs contribute nothing (and would run the
+    * `sequence` descending — the NOTES trap). Same window as
+    * [[packSequences]] plus a pure-expression explode: integer
+    * arithmetic only, engine-replicable. Output: (shardCol, example_id,
+    * idCol, seg_start, seg_end); consumers order by (example_id,
+    * seg_start). */
+  def packBoundaries(
+      df: DataFrame, idCol: String, tokenCol: String, shardCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen >= 1, "packBoundaries: seqLen >= 1")
+    val len = lit(seqLen.toLong)
+    val packed = packSequences(df, idCol, tokenCol, shardCol, seqLen)
+      .where(col(tokenCol) > 0)
+    val e0 = floor(col("start_offset") / lit(seqLen.toDouble)).cast("long")
+    val e1 = floor((col("start_offset") + col(tokenCol) - 1) / lit(seqLen.toDouble))
+      .cast("long")
+    packed
+      .select(col(shardCol), col(idCol), col("start_offset"),
+        col(tokenCol).cast("long").as("__n"),
+        explode(sequence(e0, e1)).as("example_id"))
+      .select(col(shardCol), col("example_id"), col(idCol),
+        greatest(col("start_offset") - col("example_id") * len, lit(0L)).as("seg_start"),
+        (least(col("start_offset") + col("__n"), (col("example_id") + 1) * len)
+          - col("example_id") * len).as("seg_end"))
+  }
+
   /** Deterministic train/validation/test split: `u = uniform01(id)`
     * against cumulative fraction thresholds — reproducible on any
     * engine/cluster/run (no `rand()`), stable under reprocessing (a doc

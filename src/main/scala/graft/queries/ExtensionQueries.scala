@@ -954,6 +954,17 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_tokens"))
   }
 
+  /** p3's packing with per-example document boundaries — the segments a
+    * loader turns into block-diagonal attention masks. Same shards, same
+    * window order, seqLen 512. */
+  private def p21(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val sharded = graft.pipeline.TrainingPrep.shuffleShard(docs, "doc_id", nShards = 8)
+    graft.pipeline.TrainingPrep.packBoundaries(
+      sharded, "doc_id", "n_toks", "shard", seqLen = 512)
+  }
+
   /** Deterministic 80/10/10 train/val/test split, counted per (source,
     * split) — every engine computes the same membership from md5. */
   private def p11(s: SparkSession, dir: String): DataFrame =
@@ -3781,6 +3792,27 @@ object ExtensionQueries {
         SELECT doc_id,
           (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8)::INT AS shard
         FROM documents)""")),
+
+    Q("p21_pack_boundaries", p21, Some("""
+      WITH t AS (
+        SELECT doc_id,
+          len(string_split(text, ' '))::BIGINT AS n_toks,
+          (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8)::INT AS shard,
+          md5(doc_id::VARCHAR) AS h
+        FROM documents),
+      o AS (
+        SELECT shard, doc_id, n_toks,
+          coalesce(sum(n_toks) OVER (PARTITION BY shard ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+        FROM t WHERE n_toks > 0),
+      seg AS (
+        SELECT shard, doc_id, s, n_toks,
+          unnest(range(s // 512, (s + n_toks - 1) // 512 + 1)) AS example_id
+        FROM o)
+      SELECT shard, example_id, doc_id,
+        greatest(s - example_id * 512, 0)::BIGINT AS seg_start,
+        (least(s + n_toks, (example_id + 1) * 512) - example_id * 512)::BIGINT AS seg_end
+      FROM seg""")),
 
     Q("p3_pack_sequences", p3, Some("""
       WITH t AS (

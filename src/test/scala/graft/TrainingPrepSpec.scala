@@ -340,6 +340,31 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(empty == "<PRE><SUF><MID>")
   }
 
+  test("packBoundaries: segments tile each example exactly, cross-boundary docs split") {
+    import spark.implicits._
+    // one shard, force a known order via a constant-shard column and ids
+    // whose md5 order we recompute locally
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 500L), (4L, 0L)).toDF("doc_id", "n_toks")
+      .withColumn("shard", lit(0))
+    val segs = TrainingPrep.packBoundaries(docs, "doc_id", "n_toks", "shard", seqLen = 512)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // zero-token doc contributes nothing
+    assert(!segs.exists(_._2 == 4L))
+    // total segment length == total tokens
+    assert(segs.map(s => s._4 - s._3).sum == 1100L)
+    // segments within an example never overlap and tile from sorted starts
+    for ((eid, group) <- segs.groupBy(_._1)) {
+      val sorted = group.sortBy(_._3)
+      if (sorted.size > 1)
+        for (w <- sorted.sliding(2))
+          assert(w(0)._4 == w(1)._3, s"gap/overlap in example $eid: ${sorted.toSeq}")
+      assert(sorted.forall(s => s._3 >= 0 && s._4 <= 512))
+    }
+    // every doc's segments concatenate to its full length
+    val perDoc = segs.groupBy(_._2).view.mapValues(_.map(s => s._4 - s._3).sum)
+    assert(perDoc(1L) == 300L && perDoc(2L) == 300L && perDoc(3L) == 500L)
+  }
+
   test("renderChatTemplate: offsets land on assistant content; malformed turns degrade") {
     import spark.implicits._
     val turns = Seq((1L,
