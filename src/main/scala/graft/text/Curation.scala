@@ -809,8 +809,10 @@ object Curation {
     val pathTrim = regexp_replace(regexp_replace(
       regexp_extract(rest, "^[^/?#]*([^?#]*)", 1), "/+", "/"), "/+$", "")
     val path = when(pathTrim === "", lit("/")).otherwise(pathTrim)
+    // query taken from the pre-fragment part: a '?' INSIDE the fragment
+    // ("#frag?x=1") is fragment content, not a query (review find)
     val params = array_join(array_sort(filter(
-      split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      split(regexp_extract(regexp_extract(u, "^([^#]*)", 1), "\\?(.*)$", 1), "&"),
       p => p =!= "" &&
         !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)(=|$)"))), "&")
     val qPart = when(params === "", lit("")).otherwise(concat(lit("?"), params))

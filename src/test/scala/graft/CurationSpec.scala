@@ -338,7 +338,10 @@ class CurationSpec extends AnyFunSuite {
       "http://example.com/p?xutm_source=1&refer=2" ->
         "http://example.com/p?refer=2&xutm_source=1",
       // www only as a leading label; deeper www kept
-      "http://www.www.example.com/a" -> "http://www.example.com/a")
+      "http://www.www.example.com/a" -> "http://www.example.com/a",
+      // a '?' inside the fragment is NOT a query
+      "http://example.com/p#frag?x=1" -> "http://example.com/p",
+      "http://example.com/p?a=1#frag?x=2" -> "http://example.com/p?a=1")
     val out = cases.map(_._1).toDF("url")
       .select(col("url"), Curation.canonicalizeUrl(col("url")).as("c"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
