@@ -1413,6 +1413,21 @@ object ExtensionQueries {
     * lines land whole in `_corrupt_record` with null fields and are
     * dropped; valid lines round-trip exactly, so the oracle is the
     * source table minus the corrupted ids. */
+  /** ORC round trip with a filtered read-back: the inherited-lake format
+    * face (x35's JSONL sibling). Write is in-plan and idempotent
+    * (overwrite, dir keyed on input path); read must push the predicate
+    * into the ORC scan (PlanSpec) and reproduce the source rows exactly. */
+  private def x37(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_x37_" +
+      s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+    graft.sources.Sources.writeOrc(
+      table(s, dir, "documents").select("doc_id", "text", "lang", "source", "n_chars"),
+      out)
+    graft.sources.Sources.readOrc(s, out)
+      .where(col("n_chars") > 64)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   private def x35(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val payload = struct(col("doc_id"), col("text"), col("lang"),
@@ -2686,6 +2701,10 @@ object ExtensionQueries {
           AS blocklist_terms,
         sum(c) > 0 AS blocklist_flag
       FROM counts GROUP BY doc_id""")),
+
+    Q("x37_orc_roundtrip", x37, Some("""
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents WHERE n_chars > 64""")),
 
     Q("x35_jsonl_roundtrip", x35, Some("""
       SELECT doc_id, text, lang, source, n_chars

@@ -189,6 +189,18 @@ object Sources {
   def readParquetMergeSchema(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** ORC at rest — Spark's second first-class columnar format (the one a
+    * Hive-era lake already holds): same predicate-pushdown and
+    * column-pruning story as parquet (PlanSpec asserts PushedFilters on
+    * the ORC scan), so a pipeline reading inherited ORC pays no plan
+    * penalty next to parquet. Write face overwrites (compact-then-swap
+    * callers decide placement). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Bucketed table sink: pre-shuffles by `bucketCols` so equi-joins and
     * aggregations on those keys skip their shuffle entirely (the
     * co-located-join strategy for repeated 100 TB joins). Requires a

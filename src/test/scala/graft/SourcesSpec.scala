@@ -181,4 +181,20 @@ class SourcesSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_dim")
     }
   }
+
+  test("ORC round trip: rows identical, predicate pushed into the ORC scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val data = (1L to 200L).map(i => (i, s"doc$i", i % 7)).toDF("id", "t", "v")
+    Sources.writeOrc(data, dir)
+    val back = Sources.readOrc(spark, dir)
+    assert(back.collect().map(_.toSeq).toSet == data.collect().map(_.toSeq).toSet)
+    val filtered = back.where($"v" > 3)
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(v,3"),
+      s"ORC scan missing pushdown:\n$plan")
+    assert(filtered.count() == data.where($"v" > 3).count())
+  }
 }
