@@ -78,7 +78,9 @@ object ScaleProbe {
       "x36_interval_overlap", "p17_weighted_sample", "p18_chat_template",
       "s13_random_projection",
       "t35_readability", "d15_dedup_keep_best", "m15_channel_stats",
-      "p19_unigram_train", "p20_unigram_encode")
+      "p19_unigram_train", "p20_unigram_encode",
+      "t36_line_prevalence", "a5_source_overlap", "p21_pack_boundaries",
+      "x37_orc_roundtrip")
     // optional args = probe-name filter (run a subset while iterating);
     // unknown names fail loudly — a typo must not look like a clean run
     val unknown = args.toSet -- probes.toSet
