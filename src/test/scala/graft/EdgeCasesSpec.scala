@@ -277,4 +277,37 @@ class EdgeCasesSpec extends AnyFunSuite {
       graft.similarity.Similarity.pqTrainKmeans(ragged, "vec_id", "embedding", 2, 2, 4)
     }
   }
+
+  test("continuation-session operators degrade on degenerate inputs, never crash") {
+    import graft.text.{Curation, TextAnalysis}
+    import graft.pipeline.{TrainingPrep, UnigramLm}
+    // span decontamination: empty benchmark -> every doc passes through verbatim
+    val spans = Curation.decontaminateSpans(docs, emptyDocs.select(col("text")),
+      "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(3)))).toMap
+    assert(spans(1L) == (("a b c d", false)) && spans(2L) == (("", false)))
+    // empty corpus faces
+    assert(Curation.decontaminateSpans(emptyDocs, docs, "doc_id", "text").count() == 0)
+    assert(Curation.linePrevalence(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Curation.urlDedup(emptyDocs.toDF("doc_id", "url"), "doc_id", "url").count() == 0)
+    assert(TextAnalysis.readability(emptyDocs, "text").count() == 0)
+    assert(TextAnalysis.sourceOverlap(
+      emptyDocs.withColumn("source", lit("s")), "source", "text").count() == 0)
+    assert(TrainingPrep.weightedSample(
+      emptyDocs.withColumn("w", lit(1.0)), "doc_id", "w", "text", 3).count() == 0)
+    assert(TrainingPrep.packBoundaries(
+      emptyDocs.select(col("doc_id"), lit(5L).as("n"), lit(0).as("shard")),
+      "doc_id", "n", "shard", 16).count() == 0)
+    // stupid backoff under an EMPTY training corpus: scores are null, not NaN
+    val sb = Curation.stupidBackoff(emptyDocs, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.isNullAt(2)))
+    assert(sb.nonEmpty && sb.forall(_._2), "empty-train scores must be null")
+    // unigram-LM: empty corpus trains an empty model; encode falls back per char
+    val model = UnigramLm.train(emptyDocs, "text", vocabSize = 4, seedSize = 4)
+    assert(model.isEmpty)
+    val enc = UnigramLm.encode(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(enc(3L) == "x")
+    graft.CacheRegistry.unpersistAll()
+  }
 }
