@@ -80,6 +80,25 @@ object ExtensionQueries {
     Dedup.simhashPairs(mutatedCorpus(s, dir), "doc_id", "text",
       shingleN = 3, bits = 32, maxHamming = 3)
 
+  /** Cross-source duplication matrix — WHERE duplication comes from (two
+    * mirrors of the same site, a source re-crawled under two names):
+    * d3's near-dup pairs over the raw corpus rolled up per unordered
+    * source pair. Pure composition; diagnostics that decide which
+    * sources a dedup pass must co-shuffle. */
+  private def d16(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val pairs = Dedup.minhashLsh(docs.select("doc_id", "text"), "doc_id", "text",
+      shingleN = 3, k = 12, bands = 4, rows = 3, threshold = 0.5)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
   /** Pairs → duplicate clusters → canonical (keep) id per member. */
   private def d6(s: SparkSession, dir: String): DataFrame =
     Dedup.canonicalize(
@@ -2316,6 +2335,32 @@ object ExtensionQueries {
         JOIN sh sa ON sa.doc_id = c.id_a
         JOIN sh sb ON sb.doc_id = c.id_b)
       WHERE jaccard >= 0.5""")),
+
+    Q("d16_dup_source_matrix", d16, Some(s"""
+      WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+             FROM docs WHERE len(ws) >= 3),
+      $minhashCtes,
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT id_a, id_b FROM (
+          SELECT c.id_a, c.id_b,
+            len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b)
+        WHERE jaccard >= 0.5)
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             count(*)::BIGINT AS n_dup_pairs
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b
+      GROUP BY 1, 2""")),
 
     Q("d4_dedup_simhash", d4, Some(s"""
       WITH $corpusSql,
