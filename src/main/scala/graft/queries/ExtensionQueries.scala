@@ -818,6 +818,14 @@ object ExtensionQueries {
   private def st1(s: SparkSession, dir: String): DataFrame =
     Streaming.windowedEventAgg(table(s, dir, "events"), "1 hour", "10 minutes")
 
+  /** Batch face of the streaming windowed heavy hitters: hourly top-5
+    * event types through the Space-Saving state. Capacity 64 ≫ the
+    * event-type alphabet, so counts are exact and the oracle ranks them
+    * directly (t13's argument at window granularity). */
+  private def st7(s: SparkSession, dir: String): DataFrame =
+    Streaming.windowedHeavyHitters(table(s, dir, "events"), "1 hour", "10 minutes",
+      capacity = 64, topN = 5)
+
   /** Sliding-window face of st1: 1-hour windows every 15 minutes — each
     * event lands in 4 overlapping windows. round(.., 9): overlapping
     * windows re-sum the same doubles in different orders. */
@@ -3030,6 +3038,16 @@ object ExtensionQueries {
       SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS window_start_s,
         event_type, count(*) AS n_events, sum(value) AS sum_value
       FROM events GROUP BY 1, 2""")),
+
+    Q("st7_windowed_heavy_hitters", st7, Some("""
+      SELECT window_start_s, rn::INT AS rank, event_type, est_count FROM (
+        SELECT window_start_s, event_type, count(*)::BIGINT AS est_count,
+          row_number() OVER (PARTITION BY window_start_s
+            ORDER BY count(*) DESC, event_type) AS rn
+        FROM (SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS window_start_s,
+                event_type FROM events)
+        GROUP BY 1, 2)
+      WHERE rn <= 5""")),
 
     Q("st6_latest_state", st6, Some("""
       SELECT user_id, ts_s, event_id, event_type FROM (

@@ -69,6 +69,33 @@ object Streaming {
         unix_timestamp(col("w.start")).as("window_start_s"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming heavy hitters per event-time window — the mergeable-sketch
+    * family meets streaming: the Space-Saving summary
+    * ([[graft.folds.Aggregators.spaceSaving]]) as the ONE stateful
+    * aggregation, so state per open window is `capacity` entries no
+    * matter how many events arrive (an exact windowed top-k would hold
+    * every distinct key). Exact — and therefore batch-oracle-checkable —
+    * whenever `capacity` ≥ the window's distinct keys (the t13 regime);
+    * otherwise the documented Space-Saving overestimate bounds apply.
+    * Batch and streaming share this definition (one definition, two
+    * runtimes). Output: (window_start_s, rank, event_type, est_count). */
+  def windowedHeavyHitters(
+      events: DataFrame, windowLen: String, watermark: String,
+      capacity: Int = 64, topN: Int = 5): DataFrame = {
+    val hh = graft.folds.Aggregators.asColumn(
+      graft.folds.Aggregators.spaceSaving(capacity, topN), col("event_type"))(
+      org.apache.spark.sql.Encoders.STRING)
+    events
+      .withColumn("event_time", eventTime(events, "ts"))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen).as("w"))
+      .agg(hh.as("__hh"))
+      .select(unix_timestamp(col("w.start")).as("window_start_s"),
+        posexplode(col("__hh")).as(Seq("__i", "__e")))
+      .select(col("window_start_s"), (col("__i") + 1).cast("int").as("rank"),
+        col("__e._1").as("event_type"), col("__e._2").as("est_count"))
+  }
+
   /** Streaming dedup: first occurrence per key within the watermark bound —
     * the streaming face of exact dedup. `dropDuplicatesWithinWatermark`
     * keys the state store by `keyCols` alone (a re-delivered event with a

@@ -612,6 +612,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally { rq.stop(); pq.stop() }
   }
 
+  test("windowedHeavyHitters: Space-Saving state per window, stream ≡ batch, exact in-capacity") {
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      (ns(10), "click", 1.0), (ns(20), "click", 1.0), (ns(30), "view", 1.0),
+      (ns(40), "view", 1.0), (ns(50), "buy", 1.0), (ns(55), "click", 1.0))
+    val source = MemoryStream[(Long, String, Double)]
+    val q = Streaming.windowedHeavyHitters(
+        source.toDF().toDF("ts", "event_type", "value"), "10 minutes", "5 minutes",
+        capacity = 8, topN = 2)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(rows: _*)
+      q.processAllAvailable()
+      source.addData((ns(7200), "click", 1.0)) // close the first window
+      q.processAllAvailable()
+      val got = spark.table("hh_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      // exact regime: top-2 of {click:3, view:2, buy:1}
+      assert(got == Set((0L, 1, "click", 3L), (0L, 2, "view", 2L)))
+      val batch = Streaming.windowedHeavyHitters(
+          rows.toDF("ts", "event_type", "value"), "10 minutes", "5 minutes",
+          capacity = 8, topN = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("URL canonicalization + readability + chat render are stream-transparent: batch ≡ stream") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions._
