@@ -231,6 +231,55 @@ object Multimodal {
     }(Encoders.product[ImagePatch])
   }
 
+  final case class AudioSegment(
+      media_id: Long, seg_idx: Int, start_frame: Long, end_frame: Long)
+
+  /** Energy-based speech/activity segmentation — the silence-trimming
+    * pass of audio data prep (drop the dead air, keep the utterances):
+    * channel 0 is cut into `frameLen`-sample frames (trailing partial
+    * frame dropped), a frame is ACTIVE when its sum of squared samples
+    * exceeds `threshold` (16-bit sample units²; integer arithmetic, so
+    * activity is exact and engine-reproducible), and maximal runs of
+    * active frames become segments `[start_frame, end_frame)` indexed in
+    * order. Non-PCM/undecodable payloads contribute no rows; a fully
+    * silent clip yields none. Batched `mapPartitions`, shuffle-free —
+    * the [[audioResample]] shape. */
+  def energySegments(media: DataFrame, frameLen: Int, threshold: Long)(
+      implicit spark: SparkSession): Dataset[AudioSegment] = {
+    require(frameLen >= 1 && threshold >= 0, "energySegments: frameLen >= 1, threshold >= 0")
+    val in = media.select("media_id", "content", "mime").as(Encoders.product[MediaRecord])
+    in.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(_.flatMap { m =>
+        WavCodec.parse(m.content) match {
+          case Some(w) if w.bitsPerSample == 16 && w.nFrames >= frameLen =>
+            val nF = w.nFrames / frameLen
+            val segs = scala.collection.mutable.ArrayBuffer.empty[AudioSegment]
+            var segStart = -1L
+            var f = 0
+            while (f < nF) {
+              var e = 0L
+              var i = 0
+              while (i < frameLen) {
+                val s = w.sample16(f * frameLen + i, 0).toLong
+                e += s * s
+                i += 1
+              }
+              val active = e > threshold
+              if (active && segStart < 0) segStart = f
+              if (!active && segStart >= 0) {
+                segs += AudioSegment(m.media_id, segs.size, segStart, f)
+                segStart = -1L
+              }
+              f += 1
+            }
+            if (segStart >= 0) segs += AudioSegment(m.media_id, segs.size, segStart, nF)
+            segs.iterator
+          case _ => Iterator.empty
+        }
+      })
+    }(Encoders.product[AudioSegment])
+  }
+
   final case class ChannelStats(
       media_id: Long, width: Int, height: Int,
       mean_r: Double, mean_g: Double, mean_b: Double,

@@ -707,6 +707,33 @@ object ExtensionQueries {
         round(col("mean_lum"), 9).as("mean_lum"))
   }
 
+  /** Energy segmentation over constructed silence|tone|silence|tone WAVs:
+    * block lengths in whole frames derived from doc_id, tone amplitude
+    * 1000 (frame energy 1.6e8 ≫ the 8e7 threshold), so the two expected
+    * segments per clip are pure id formulas. */
+  private def m16(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    val frameLen = 160
+    val media = table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("media_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val Seq(a, b, c, d) =
+          Seq(1 + id % 3, 1 + id % 4, 1 + id % 2, 1 + id % 5).map(_.toInt)
+        val samples = new Array[Short]((a + b + c + d) * frameLen)
+        def fill(fromFrame: Int, nFrames: Int): Unit =
+          java.util.Arrays.fill(samples, fromFrame * frameLen,
+            (fromFrame + nFrames) * frameLen, 1000.toShort)
+        fill(a, b); fill(a + b + c, d)
+        Multimodal.MediaRecord(id,
+          graft.multimodal.WavCodec.encodePcm16(16000, 1, samples), "audio/wav")
+      })
+      .toDF()
+    Multimodal.energySegments(media, frameLen, threshold = 80000000L).toDF()
+  }
+
   /** Per-channel image statistics over RGB gradient fixtures with
     * closed-form sums: r cycles mod 13 from 100, g mod 7 from 50, b
     * constant 200 — each channel's Σ and Σx² are integer formulas of
@@ -3349,6 +3376,17 @@ object ExtensionQueries {
         round(((doc_id * 7 + f * 13) % 256) / 255.0, 9) AS mean_px
       FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 5, 2)) AS f
             FROM documents)""")),
+    Q("m16_energy_segments", m16, Some("""
+      WITH f AS (SELECT doc_id AS media_id,
+          1 + doc_id % 3 AS a, 1 + doc_id % 4 AS b,
+          1 + doc_id % 2 AS c, 1 + doc_id % 5 AS d
+        FROM documents)
+      SELECT media_id, 0::INT AS seg_idx, a::BIGINT AS start_frame,
+        (a + b)::BIGINT AS end_frame FROM f
+      UNION ALL
+      SELECT media_id, 1::INT AS seg_idx, (a + b + c)::BIGINT AS start_frame,
+        (a + b + c + d)::BIGINT AS end_frame FROM f""")),
+
     Q("m15_channel_stats", m15, Some("""
       WITH d AS (SELECT doc_id AS media_id,
           (8 + doc_id % 8)::INT AS width, (4 + doc_id % 9)::INT AS height

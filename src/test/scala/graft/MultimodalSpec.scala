@@ -1010,6 +1010,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.sceneCuts(frames.where($"media_id" < 0), 0.3).count() == 0)
   }
 
+  test("energySegments: exact islands, threshold boundary, silence and corrupt yield none") {
+    import spark.implicits._
+    val fl = 4
+    def wav(frames: Seq[Short]*): Array[Byte] =
+      graft.multimodal.WavCodec.encodePcm16(8000, 1,
+        frames.flatMap(f => Seq.fill(fl)(f.head)).toArray)
+    // frame energy for constant amplitude A over 4 samples = 4*A^2
+    val loud = Seq(100.toShort)   // 40000
+    val silent = Seq(0.toShort)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, wav(silent, loud, loud, silent, loud), "audio/wav"),
+      Multimodal.MediaRecord(2L, wav(silent, silent), "audio/wav"),
+      Multimodal.MediaRecord(3L, Array[Byte](9, 9), "audio/wav"),
+      // boundary: energy == threshold is NOT active (strict >)
+      Multimodal.MediaRecord(4L, wav(loud), "audio/wav")
+    ).toDF()
+    val segs = Multimodal.energySegments(media, fl, threshold = 39999L)
+      .collect().map(s => (s.media_id, s.seg_idx, s.start_frame, s.end_frame)).toSet
+    assert(segs == Set((1L, 0, 1L, 3L), (1L, 1, 4L, 5L), (4L, 0, 0L, 1L)))
+    assert(Multimodal.energySegments(media, fl, threshold = 40000L)
+      .where(col("media_id") === 4L).count() == 0)
+  }
+
   test("channelStats: solid color exact, two-value variance exact, corrupt skipped") {
     import spark.implicits._
     val solid = Array.fill(6 * 4)((10 << 16) | (20 << 8) | 30)
