@@ -80,7 +80,8 @@ object ScaleProbe {
       "t35_readability", "d15_dedup_keep_best", "m15_channel_stats",
       "p19_unigram_train", "p20_unigram_encode",
       "t36_line_prevalence", "a5_source_overlap", "p21_pack_boundaries",
-      "x37_orc_roundtrip")
+      "x37_orc_roundtrip",
+      "d16_dup_source_matrix", "st7_windowed_heavy_hitters", "m16_energy_segments")
     // optional args = probe-name filter (run a subset while iterating);
     // unknown names fail loudly — a typo must not look like a clean run
     val unknown = args.toSet -- probes.toSet
