@@ -371,4 +371,50 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
     CacheRegistry.unpersistAll()
   }
+
+  test("t33 span decontamination: benchmark grams broadcast, corpus never degenerates") {
+    val p = plan(q("t33_decontaminate_spans"))
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    CacheRegistry.unpersistAll()
+  }
+
+  test("t34 stupid backoff: five count-table joins, no cartesian") {
+    val p = plan(q("t34_stupid_backoff"))
+    // the 1-row (N, V) stats relation rides a broadcast cross join by
+    // design; what must never appear is an unbroadcast cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    CacheRegistry.unpersistAll()
+  }
+
+  test("p17 weighted sample: bounded-buffer aggregation, Window-free") {
+    val p = plan(q("p17_weighted_sample"))
+    assert(!p.contains("Window"), s"A-ES selection fell back to a window sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"bounded buffer not partial-agg:\n$p")
+  }
+
+  test("s13 random projection: shuffle-free scan-side fold") {
+    val p = plan(q("s13_random_projection"))
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+  }
+
+  test("m15/m16 media statistics: only the pinned fan-out exchange, no joins") {
+    for (name <- Seq("m15_channel_stats", "m16_energy_segments")) {
+      val p = plan(q(name))
+      assert(!p.contains("Join"), s"$name: unexpected join\n$p")
+      // exactly the deliberate round-robin fan-out, nothing key-partitioned
+      assert(!p.contains("hashpartitioning"), s"$name: unexpected keyed shuffle\n$p")
+    }
+  }
+
+  test("x36 interval overlap: band equi-join, never a nested loop") {
+    val p = plan(q("x36_interval_overlap"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("t32 URL dedup: canonicalization rides the scan, one aggregation exchange") {
+    val p = plan(q("t32_url_dedup"))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
