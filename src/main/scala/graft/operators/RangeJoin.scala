@@ -25,42 +25,56 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Join each point row to every interval row with
-    * `start <= point < end` (half-open). `pointCol`/`startCol`/`endCol`
-    * are numeric (e.g. epoch seconds); output = point columns ++ interval
-    * columns (names must not clash). */
+    * `start <= point < end` (half-open, INTEGRAL domain — epoch
+    * seconds/ns, genomic coordinates). Because the end is exclusive, an
+    * interval's last member is `end - 1`, so it bands to
+    * `floor((end-1)/bucketWidth)` — banding through `floor(end/
+    * bucketWidth)` would mint a useless extra replica whenever the
+    * endpoint sits exactly on a bucket boundary. Zero-length intervals
+    * `[s, s)` are EMPTY sets and are dropped up front (they can contain
+    * no point). Output = point columns ++ interval columns (names must
+    * not clash). */
   def pointInInterval(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "pointInInterval: bucketWidth must be positive")
     val p = points.withColumn("__band", floor(col(pointCol) / bucketWidth))
-    val iv = intervals.withColumn("__band",
-      explode(sequence(
-        floor(col(startCol) / bucketWidth),
-        floor(col(endCol) / bucketWidth))))
+    val iv = intervals
+      .where(col(startCol) < col(endCol))
+      .withColumn("__band",
+        explode(sequence(
+          floor(col(startCol) / bucketWidth),
+          floor((col(endCol) - 1) / bucketWidth))))
     p.join(iv, Seq("__band"))
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__band")
   }
 
   /** Interval × interval OVERLAP join (the genomics / ad-session shape):
-    * every (left, right) pair whose half-open ranges intersect —
-    * `ls < re && rs < le`. Same banding trick as [[pointInInterval]],
+    * every (left, right) pair whose half-open INTEGRAL ranges truly
+    * intersect. Same banding trick as [[pointInInterval]] — an interval
+    * occupies bands `floor(s/W) .. floor((e-1)/W)` (exclusive endpoint) —
     * with the classic exactly-once rule for pairs that share SEVERAL
     * bands: a pair is emitted only in the band holding the overlap's
-    * START, `floor(max(ls, rs) / bucketWidth)` — that band lies inside
-    * both intervals' band spans (max(ls,rs) < min(le,re) when they
-    * overlap), so no match is lost and none duplicates; no post-join
-    * dedup shuffle. Replication stays span/bucketWidth + 1 per row,
-    * the join is a plain band equi-join. Column names must not clash. */
+    * START, `floor(max(ls, rs) / bucketWidth)`. That band lies inside
+    * both intervals' band spans: overlap implies max(ls,rs) < min(le,re),
+    * hence (integral domain) max(ls,rs) <= le-1 and <= re-1, so no match
+    * is lost and none duplicates; no post-join dedup shuffle. Zero-length
+    * intervals `[s, s)` are empty sets — the bare `ls < re && rs < le`
+    * predicate would wrongly emit one against any interval containing s
+    * (the intersection is empty), so they are dropped up front on BOTH
+    * sides. Replication stays span/bucketWidth + 1 per row, the join is
+    * a plain band equi-join. Column names must not clash. */
   def intervalOverlap(
       left: DataFrame, leftStart: String, leftEnd: String,
       right: DataFrame, rightStart: String, rightEnd: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "intervalOverlap: bucketWidth must be positive")
     def banded(df: DataFrame, s: String, e: String): DataFrame =
-      df.withColumn("__band",
-        explode(sequence(floor(col(s) / bucketWidth), floor(col(e) / bucketWidth))))
+      df.where(col(s) < col(e))
+        .withColumn("__band",
+          explode(sequence(floor(col(s) / bucketWidth), floor((col(e) - 1) / bucketWidth))))
     banded(left, leftStart, leftEnd).join(banded(right, rightStart, rightEnd), Seq("__band"))
       .where(col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd) &&
         col("__band") === floor(greatest(col(leftStart), col(rightStart)) / bucketWidth))

@@ -429,10 +429,16 @@ object TrainingPrep {
     *
     * Template per turn: `<|role|>\n` + content + `<|end|>\n`. Output
     * columns: `chat_text`, `n_turns`, `mask_spans` — an array of
-    * (s, e) half-open 0-based CHARACTER offsets covering each assistant
-    * turn's content (headers and sentinels are never loss-bearing).
-    * Null roles/contents render as empty strings (a malformed turn must
-    * not null the whole rendering).
+    * (s, e) half-open 0-based offsets in UNICODE CODE POINTS (Spark's
+    * `length()` unit) covering each assistant turn's content (headers
+    * and sentinels are never loss-bearing). CODE POINTS, not UTF-16
+    * units or bytes: a consumer slicing with Java/JS `substring` or
+    * Python `str[s:e]`-over-UTF-16 semantics will mis-place masks the
+    * moment a turn contains a non-BMP character (emoji) — slice with
+    * `offsetByCodePoints` (JVM) / native `str` indexing (Python 3),
+    * spec-pinned with an astral-plane case. Null roles/contents render
+    * as empty strings (a malformed turn must not null the whole
+    * rendering).
     *
     * One `aggregate` fold over the turns array per row — integer length
     * arithmetic, so offsets are exact and engine-reproducible; pure

@@ -151,8 +151,14 @@ object UnigramLm {
   }
 
   /** Distributed training: the corpus collapses to its distinct-word
-    * relation once; seeding and every E-step are broadcast-model passes
-    * over it with integer partial-agg collects (model-sized). */
+    * relation once; every collect is MODEL-SIZED. E-step collects emit
+    * only in-model pieces (Viterbi segments under the current vocab), and
+    * the seed step selects its top-`seedSize` pieces DISTRIBUTED — the
+    * substring-count relation (which grows with the corpus's distinct-
+    * substring space and would be a driver OOM at real scale) is
+    * aggregated and truncated cluster-side via `orderBy(count desc,
+    * piece asc).limit(seedSize)` ∪ single-char pieces BEFORE the collect,
+    * with the identical deterministic tie-break as [[seedSelect]]. */
   def train(
       df: DataFrame, textCol: String, vocabSize: Int,
       seedSize: Int = 500, maxPieceLen: Int = 8,
@@ -170,14 +176,30 @@ object UnigramLm {
     def sumCounts(contrib: Dataset[(String, Long)]): Map[String, Long] =
       contrib.groupBy(col("_1")).agg(sum(col("_2")).as("c"))
         .as[(String, Long)].collect().toMap
-    val seedCounts = seedSelect(
-      sumCounts(wordsCk.flatMap { case (w, n) => seedContrib(w, n, maxPieceLen) }),
-      seedSize)
+    // Distributed seed selection: aggregate the (corpus-scale) substring
+    // counts once, take top-seedSize by (count desc, piece asc) — a total
+    // order, pieces being the distinct groupBy key — union ALL single-char
+    // pieces (total-segmentability guarantee), and only then collect.
+    // Semantically identical to seedSelect over the full map (`top ++
+    // singles`: counts agree on shared pieces, so overlay = distinct).
+    val seedCounts: Map[String, Long] = {
+      val substrCounts = wordsCk
+        .flatMap { case (w, n) => seedContrib(w, n, maxPieceLen) }
+        .groupBy(col("_1")).agg(sum(col("_2")).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val top = substrCounts.orderBy(col("c").desc, col("_1").asc).limit(seedSize)
+        val singles = substrCounts.where(length(col("_1")) === 1)
+        top.union(singles).distinct()
+          .as[(String, Long)].collect().toMap
+      } finally substrCounts.unpersist()
+    }
     def eStep(logp: collection.Map[String, Double]): Map[String, Long] = {
       val b = spark.sparkContext.broadcast(logp)
-      sumCounts(wordsCk.mapPartitions(_.flatMap { case (w, n) =>
+      try sumCounts(wordsCk.mapPartitions(_.flatMap { case (w, n) =>
         emContrib(w, n, b.value, maxPieceLen)
       }))
+      finally b.destroy()
     }
     loop(seedCounts, eStep, vocabSize, maxRounds, emIters, keepFrac)
   }

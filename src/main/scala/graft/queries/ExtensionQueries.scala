@@ -2670,7 +2670,8 @@ object ExtensionQueries {
       c AS (SELECT doc_id,
           len(list_filter(string_split_regex(text, '[.!?]+'), s -> trim(s) <> ''))
             AS n_sentences,
-          list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+          list_filter(string_split(regexp_replace(
+              lower(regexp_replace(text, '\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g'), ' '),
             w -> w <> '') AS ws
         FROM p),
       sy AS (SELECT doc_id, n_sentences, len(ws)::BIGINT AS n_words,

@@ -137,7 +137,10 @@ object TextAnalysis {
     * portable Java∩RE2 subset):
     *   sentences  = runs split on `[.!?]+` with non-blank content (min 1
     *                in the formulas — a fragment is one sentence)
-    *   words      = tokens after lowercasing and stripping non-[a-z0-9 ]
+    *   words      = tokens after collapsing ALL whitespace (newlines,
+    *                tabs) to single spaces, lowercasing, and stripping
+    *                non-[a-z0-9 ] — so `foo\nbar` is two words, not a
+    *                fused `foobar`
     *   syllables  = vowel-group count `[aeiouy]+` per word, min 1
     * The syllable rule is the classic cheap heuristic (±1 on silent-e
     * words) — readability filters threshold coarsely, exactness of the
@@ -147,7 +150,8 @@ object TextAnalysis {
   def readability(df: DataFrame, textCol: String): DataFrame = {
     val sents = filter(split(col(textCol), "[.!?]+"), s => trim(s) =!= "")
     val words = filter(
-      split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " "),
+      split(regexp_replace(
+        lower(regexp_replace(col(textCol), "\\s+", " ")), "[^a-z0-9 ]", ""), " "),
       w => w =!= "")
     val nS = greatest(size(col("__sents")), lit(1)).cast("double")
     val nW = size(col("__words")).cast("double")

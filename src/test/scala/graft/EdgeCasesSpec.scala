@@ -93,6 +93,12 @@ class EdgeCasesSpec extends AnyFunSuite {
     // empty interval [s, s) matches nothing
     val degenerate = Seq((1L, 10L, 10L)).toDF("iid", "s", "e")
     assert(RangeJoin.pointInInterval(pts, "p", degenerate, "s", "e", 10L).count() == 0)
+    // ... and overlaps nothing, even when another interval contains its point
+    val containing = Seq((2L, 0L, 20L)).toDF("iid2", "s2", "e2")
+    assert(RangeJoin.intervalOverlap(
+      degenerate, "s", "e", containing, "s2", "e2", 10L).count() == 0)
+    assert(RangeJoin.intervalOverlap(
+      containing, "s2", "e2", degenerate, "s", "e", 10L).count() == 0)
   }
 
   test("salted aggregation of an empty frame returns no groups") {

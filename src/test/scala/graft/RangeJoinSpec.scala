@@ -42,10 +42,13 @@ object RangeJoinProps extends Properties("RangeJoin") {
         .toDF("rid", "rs", "re")
       val got = RangeJoin.intervalOverlap(left, "ls", "le", right, "rs", "re", width)
         .collect().map(r => (r.getLong(0), r.getLong(3))).toList.sorted
+      // true-intersection semantics: [max(s), min(e)) nonempty — a
+      // zero-length [s, s) is an empty set and overlaps NOTHING (the
+      // bare `s1 < e2 && s2 < e1` would wrongly admit it)
       val want = (for {
         ((s1, e1), li) <- ls.zipWithIndex
         ((s2, e2), ri) <- rs.zipWithIndex
-        if s1 < e2 && s2 < e1
+        if math.max(s1, s2) < math.min(e1, e2)
       } yield (li.toLong, ri.toLong)).sorted
       Prop(got == want) :| s"got=$got want=$want width=$width"
     }

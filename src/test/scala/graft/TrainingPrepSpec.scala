@@ -396,6 +396,29 @@ class TrainingPrepSpec extends AnyFunSuite {
       .select("chat_text").head().getString(0) == "<||>\n<|end|>\n")
   }
 
+  test("renderChatTemplate: mask_spans are CODE-POINT offsets (astral-plane pin)") {
+    import spark.implicits._
+    // "😀" (U+1F600) is 1 code point but 2 UTF-16 units: a span after it
+    // only lands on the assistant content when sliced by code points
+    val turns = Seq((1L,
+      Seq(("user", "hi 😀 there"), ("assistant", "ok 🚀"), ("assistant", "bye"))))
+      .toDF("conv_id", "raw")
+      .select($"conv_id", transform($"raw", t =>
+        struct(t.getField("_1").as("role"), t.getField("_2").as("content"))).as("turns"))
+    val r = TrainingPrep.renderChatTemplate(turns, "turns")
+      .select("chat_text", "mask_spans").head()
+    val text = r.getString(0)
+    val spans = r.getSeq[org.apache.spark.sql.Row](1).map(s => (s.getLong(0), s.getLong(1)))
+    def sliceCp(t: String, s: Long, e: Long): String = {
+      val from = t.offsetByCodePoints(0, s.toInt)
+      t.substring(from, t.offsetByCodePoints(from, (e - s).toInt))
+    }
+    assert(spans.map { case (s, e) => sliceCp(text, s, e) } == Seq("ok 🚀", "bye"))
+    // and the naive UTF-16 slice is demonstrably WRONG for the later span
+    val (s2, e2) = spans(1)
+    assert(text.substring(s2.toInt, e2.toInt) != "bye")
+  }
+
   test("weightedSample: exact A-ES selection vs local replication; heavy weights dominate") {
     import spark.implicits._
     val rows = for (g <- 0 until 50; i <- 0 until 20) yield {
