@@ -24,6 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** The banding arithmetic (`floor((end-1)/W)` for the exclusive
+    * endpoint) is exact ONLY on integral domains — on a DOUBLE column
+    * an interval like [0.5, 2.3) would silently never replicate into
+    * its final band and matches would be LOST. Enforce the documented
+    * contract loudly instead: reject non-integral endpoint/point
+    * columns up front. Fractional or timestamp domains must be cast to
+    * long units (epoch seconds/micros) by the caller, which also pins
+    * which granularity the bucketWidth is in. */
+  private def requireIntegral(df: DataFrame, colName: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"$op: column '$colName' must be an integral type for exact banding, found $dt; " +
+          "cast fractional/timestamp domains to long units (e.g. epoch seconds) first")
+    }
+  }
+
   /** Join each point row to every interval row with
     * `start <= point < end` (half-open, INTEGRAL domain — epoch
     * seconds/ns, genomic coordinates). Because the end is exclusive, an
@@ -39,6 +57,9 @@ object RangeJoin {
       intervals: DataFrame, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "pointInInterval: bucketWidth must be positive")
+    requireIntegral(points, pointCol, "pointInInterval")
+    requireIntegral(intervals, startCol, "pointInInterval")
+    requireIntegral(intervals, endCol, "pointInInterval")
     val p = points.withColumn("__band", floor(col(pointCol) / bucketWidth))
     val iv = intervals
       .where(col(startCol) < col(endCol))
@@ -71,6 +92,10 @@ object RangeJoin {
       right: DataFrame, rightStart: String, rightEnd: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "intervalOverlap: bucketWidth must be positive")
+    requireIntegral(left, leftStart, "intervalOverlap")
+    requireIntegral(left, leftEnd, "intervalOverlap")
+    requireIntegral(right, rightStart, "intervalOverlap")
+    requireIntegral(right, rightEnd, "intervalOverlap")
     def banded(df: DataFrame, s: String, e: String): DataFrame =
       df.where(col(s) < col(e))
         .withColumn("__band",

@@ -278,6 +278,24 @@ object Bpe {
     df.select("rank", "left", "right").collect()
       .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
 
+  /** Persist the trained merge table as a parquet tokenizer artifact —
+    * the AT-REST face, mirroring the index-at-rest pattern
+    * (`Similarity.writeIvfIndex` / `Retrieval.writeInvertedIndex`).
+    * Tokenizers train once and ship: a production pipeline loads the
+    * artifact and never re-trains (the real lifecycle; the p8/p9 cache
+    * is the in-session version of the same fact). One file: the
+    * artifact is driver-sized by design (~50k rows at real vocab). */
+  def saveMerges(
+      spark: SparkSession, merges: Seq[(String, String)], path: String): Unit =
+    mergesDF(spark, merges).coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveMerges]] artifact. Rank is persisted, so file and
+    * row order are irrelevant: the loaded list is exactly the saved
+    * sequence, and `encode` under it is bit-identical to the in-memory
+    * model's (BpeSpec pins both). */
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] =
+    mergesFromDF(spark.read.parquet(path))
+
   /** Encode: apply the trained merges to every document — merges applied
     * in RANK order per word (the standard greedy BPE encode; equivalent
     * to replaying training on the word). The merge table is a broadcast

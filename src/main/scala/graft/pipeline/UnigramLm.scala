@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   * IEEE ops, and ties in the DP and in pruning break on explicit
   * deterministic rules. Hence [[train]] (distributed E-step) and
   * [[trainLocal]] (serial) produce the IDENTICAL model — spec-asserted —
-  * and a rerun on any partitioning reproduces it bit-for-bit.
+  * and a rerun on any partitioning reproduces it bit-for-bit. Unicode
+  * contract: pieces are CODE-POINT sequences (`maxPieceLen` counts code
+  * points, a surrogate pair is atomic, "single character" = one code
+  * point, tie-breaks compare code-point order = Spark's UTF-8 binary
+  * order) — so the guarantee holds on astral/emoji corpora too.
   *
   * Scale shape: like BPE, training runs over the DISTINCT-WORD relation
   * (vocab-sized, not corpus-sized) — one corpus shuffle builds it, then
@@ -31,16 +35,63 @@ object UnigramLm {
 
   final case class Piece(piece: String, count: Long, prob: Double)
 
-  /** Best (max log-prob) segmentation of `word` under `logp`. DP ties
-    * break deterministically: equal log-prob → fewer pieces → longer
-    * last piece. A position with NO in-vocab candidate (an OOV character
-    * at encode time — training always keeps every seen character) falls
-    * back to the single character at floor log-prob, so segmentation is
-    * total. */
+  /** True iff `p` is one Unicode CODE POINT (an astral emoji counts as
+    * one). This is the "single character" used by the keep-all-singles
+    * guarantees in seeding and pruning, chosen to match Spark's
+    * `length()` (code points) so the distributed and local faces agree
+    * on non-BMP text. */
+  private def isSingleCodePoint(p: String): Boolean =
+    p.nonEmpty && p.codePointCount(0, p.length) == 1
+
+  /** Code-point string order — the order Spark's UTF-8 binary `orderBy`
+    * uses. Scala/Java `String.compareTo` is UTF-16 code-UNIT order,
+    * which disagrees for supplementary characters (surrogates sort
+    * below U+E000); every driver-side tie-break sorts with THIS so
+    * local selection cuts match the distributed `orderBy(...).limit`
+    * cuts exactly. */
+  private[pipeline] def codePointCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  private val pieceOrd: Ordering[String] =
+    (a: String, b: String) => codePointCompare(a, b)
+
+  /** UTF-16 offsets of every code-point boundary in `word` (0, each
+    * code-point start after the first, word.length). All piece
+    * enumeration walks THESE boundaries, never raw UTF-16 indices, so a
+    * surrogate pair is atomic: no lone-surrogate piece can ever be
+    * minted (lone surrogates are not valid UTF-8, and Spark's UTF-8
+    * string storage would mangle them — the distributed face would
+    * silently diverge from the local one on astral text). For BMP-only
+    * text boundaries == indices, so behavior is unchanged. */
+  private def cpBounds(word: String): Array[Int] = {
+    val b = new Array[Int](word.codePointCount(0, word.length) + 1)
+    var i = 0; var k = 0
+    while (i < word.length) {
+      b(k) = i; k += 1; i += Character.charCount(word.codePointAt(i))
+    }
+    b(k) = word.length
+    b
+  }
+
+  /** Best (max log-prob) segmentation of `word` under `logp`; piece
+    * boundaries and `maxPieceLen` are in CODE POINTS. DP ties break
+    * deterministically: equal log-prob → fewer pieces → longer last
+    * piece. A position with NO in-vocab candidate (an OOV character at
+    * encode time — training always keeps every seen character) falls
+    * back to the single code point at floor log-prob, so segmentation
+    * is total. */
   def viterbi(
       word: String, logp: collection.Map[String, Double], maxPieceLen: Int): List[String] = {
-    val n = word.length
-    if (n == 0) return Nil
+    if (word.isEmpty) return Nil
+    val bounds = cpBounds(word)
+    val n = bounds.length - 1
     val floor = -1e9
     val bestLp = new Array[Double](n + 1)
     val bestPieces = new Array[Int](n + 1)
@@ -54,7 +105,7 @@ object UnigramLm {
       var found = false
       while (j < i) {
         if (bestLp(j) > Double.NegativeInfinity) {
-          val lpOpt = logp.get(word.substring(j, i))
+          val lpOpt = logp.get(word.substring(bounds(j), bounds(i)))
           if (lpOpt.isDefined) {
             found = true
             val cand = bestLp(j) + lpOpt.get
@@ -69,7 +120,7 @@ object UnigramLm {
         }
         j += 1
       }
-      if (!found) { // OOV char fallback: single char at floor
+      if (!found) { // OOV fallback: single code point at floor
         val cand = bestLp(i - 1) + floor
         bestLp(i) = cand; bestPieces(i) = bestPieces(i - 1) + 1; bestFrom(i) = i - 1
       }
@@ -77,7 +128,9 @@ object UnigramLm {
     }
     var acc: List[String] = Nil
     var p = n
-    while (p > 0) { val f = bestFrom(p); acc = word.substring(f, p) :: acc; p = f }
+    while (p > 0) {
+      val f = bestFrom(p); acc = word.substring(bounds(f), bounds(p)) :: acc; p = f
+    }
     acc
   }
 
@@ -92,15 +145,18 @@ object UnigramLm {
   /** Driver-side M-step + prune, shared VERBATIM by [[train]] and
     * [[trainLocal]] so the two faces cannot drift: re-normalize counts to
     * probs; when above target, keep the `keepFrac` fraction best pieces
-    * by (count desc, piece asc) but never drop a single-character piece
-    * (they guarantee total segmentability). */
+    * by (count desc, piece asc in CODE-POINT order) but never drop a
+    * single-code-point piece (they guarantee total segmentability —
+    * including astral characters, which are one code point but two
+    * UTF-16 units). */
   private def mPrune(
       counts: Map[String, Long], vocabSize: Int, keepFrac: Double): Map[String, Long] = {
     if (counts.size <= vocabSize) counts
     else {
       val target = math.max(vocabSize, math.ceil(counts.size * keepFrac).toInt)
-      val kept = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(target).toMap
-      kept ++ counts.filter { case (p, _) => p.length == 1 }
+      val kept = counts.toSeq.sortBy { case (p, c) => (-c, p) }(
+        Ordering.Tuple2(Ordering.Long, pieceOrd)).take(target).toMap
+      kept ++ counts.filter { case (p, _) => isSingleCodePoint(p) }
     }
   }
 
@@ -113,23 +169,29 @@ object UnigramLm {
 
   private def finish(counts: Map[String, Long]): Seq[Piece] = {
     val total = counts.valuesIterator.sum.toDouble
-    counts.toSeq.sortBy { case (p, c) => (-c, p) }
+    counts.toSeq.sortBy { case (p, c) => (-c, p) }(
+        Ordering.Tuple2(Ordering.Long, pieceOrd))
       .map { case (p, c) => Piece(p, c, math.max(c, 1L).toDouble / total) }
   }
 
   /** Substring seed counts of one word: every occurrence of every
-    * substring up to `maxPieceLen`, weighted by the word count. */
+    * code-point-boundary substring up to `maxPieceLen` CODE POINTS,
+    * weighted by the word count. */
   private def seedContrib(
-      word: String, n: Long, maxPieceLen: Int): Iterator[(String, Long)] =
+      word: String, n: Long, maxPieceLen: Int): Iterator[(String, Long)] = {
+    val bounds = cpBounds(word)
+    val cps = bounds.length - 1
     (for {
-      s <- (0 until word.length).iterator
-      e <- (s + 1) to math.min(s + maxPieceLen, word.length)
-    } yield (word.substring(s, e), n))
+      s <- (0 until cps).iterator
+      e <- (s + 1) to math.min(s + maxPieceLen, cps)
+    } yield (word.substring(bounds(s), bounds(e)), n))
+  }
 
   private def seedSelect(
       counts: Map[String, Long], seedSize: Int): Map[String, Long] = {
-    val top = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(seedSize).toMap
-    top ++ counts.filter { case (p, _) => p.length == 1 }
+    val top = counts.toSeq.sortBy { case (p, c) => (-c, p) }(
+      Ordering.Tuple2(Ordering.Long, pieceOrd)).take(seedSize).toMap
+    top ++ counts.filter { case (p, _) => isSingleCodePoint(p) }
   }
 
   /** The shared training loop over an abstract E-step/seed evaluator —
@@ -235,6 +297,34 @@ object UnigramLm {
           BigDecimal(p.prob).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
       .toDF("rank", "piece", "count", "prob")
+  }
+
+  /** Persist a trained model as a parquet tokenizer artifact — the
+    * AT-REST face of [[piecesDF]], mirroring the index-at-rest pattern
+    * (train once, ship, load in any later session — a production
+    * pipeline never re-trains per run). The integer COUNTS are the
+    * source of truth: `prob` in the file is the 9-dp display rounding,
+    * and [[loadModel]] recomputes exact probs from the persisted counts
+    * with the same IEEE ops [[train]]'s finish step uses (exact Long
+    * sum → one division), so the loaded model is BIT-IDENTICAL to the
+    * in-memory one — spec-pinned. One file: models are driver-sized by
+    * design (≤ a few 100k pieces). */
+  def saveModel(
+      spark: org.apache.spark.sql.SparkSession, model: Seq[Piece], path: String): Unit =
+    piecesDF(spark, model).coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveModel]] artifact back into the ranked piece list for
+    * [[encode]]. Rank is persisted, so file/row order is irrelevant;
+    * probs are recomputed from counts (see [[saveModel]]). */
+  def loadModel(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[Piece] = {
+    val rows = spark.read.parquet(path).select("rank", "piece", "count")
+      .collect().sortBy(_.getInt(0))
+    val total = rows.iterator.map(_.getLong(2)).sum.toDouble
+    rows.map { r =>
+      val c = r.getLong(2)
+      Piece(r.getString(1), c, math.max(c, 1L).toDouble / total)
+    }.toSeq
   }
 
   /** Viterbi-encode each document under a trained model: broadcast

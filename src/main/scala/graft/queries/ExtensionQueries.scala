@@ -1195,6 +1195,60 @@ object ExtensionQueries {
       table(s, dir, "documents"), "doc_id", "text", unigramModel(s, dir, vocabSize = 40))
       .select("doc_id", "n_pieces")
 
+  /** Tokenizer-artifact round trip (BPE): save the p8-trained merge
+    * table to parquet ([[graft.pipeline.Bpe.saveMerges]] — the at-rest
+    * face mirroring the s9/s10/s12 index-at-rest pattern), load it
+    * back, and encode the corpus under BOTH the loaded and the
+    * in-memory model. The output is the differential summary
+    * (n_docs, n_mismatched, model_roundtrip), which gives the LOADED
+    * face a FULL oracle even though BPE itself has no SQL analog: the
+    * oracle independently pins "every document encodes identically and
+    * the artifact survives the round trip byte-for-byte", so any
+    * save/load corruption (schema drift, rank disorder, string
+    * mangling) turns the row red. Scale shape: two broadcast-model
+    * narrow encode passes, one doc_id equi-join, a single-row agg. */
+  private def p22(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(s, dir, nMerges = 20)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_p22_${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+    graft.pipeline.Bpe.saveMerges(s, merges, path)
+    val loaded = graft.pipeline.Bpe.loadMerges(s, path)
+    val docs = table(s, dir, "documents")
+    val mem = graft.pipeline.Bpe.encode(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("bpe_tokens").as("mem_tokens"))
+    val ld = graft.pipeline.Bpe.encode(docs, "doc_id", "text", loaded)
+      .select(col("doc_id"), col("bpe_tokens").as("ld_tokens"))
+    mem.join(ld, "doc_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("mem_tokens") =!= col("ld_tokens"), 1L).otherwise(0L))
+          .as("n_mismatched"))
+      .withColumn("model_roundtrip", lit(loaded == merges))
+  }
+
+  /** Tokenizer-artifact round trip (unigram LM): [[graft.pipeline.UnigramLm.saveModel]]
+    * → [[graft.pipeline.UnigramLm.loadModel]] → encode under both
+    * models, same differential-summary design (and justification) as
+    * p22. `model_roundtrip` compares the full `Piece` lists including
+    * the recomputed probs, so it also certifies the counts-are-source-
+    * of-truth reconstruction is bit-exact. */
+  private def p23(s: SparkSession, dir: String): DataFrame = {
+    val model = unigramModel(s, dir, vocabSize = 40)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_p23_${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+    graft.pipeline.UnigramLm.saveModel(s, model, path)
+    val loaded = graft.pipeline.UnigramLm.loadModel(s, path)
+    val docs = table(s, dir, "documents")
+    val mem = graft.pipeline.UnigramLm.encode(docs, "doc_id", "text", model)
+      .select(col("doc_id"), col("pieces").as("mem_pieces"))
+    val ld = graft.pipeline.UnigramLm.encode(docs, "doc_id", "text", loaded)
+      .select(col("doc_id"), col("pieces").as("ld_pieces"))
+    mem.join(ld, "doc_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("mem_pieces") =!= col("ld_pieces"), 1L).otherwise(0L))
+          .as("n_mismatched"))
+      .withColumn("model_roundtrip", lit(loaded == model))
+  }
+
   /** Curriculum staging over the t2 quality score: quartile thresholds →
     * 4 stages, lowest-quality quartile = stage 1. */
   private def p5(s: SparkSession, dir: String): DataFrame =
@@ -2629,6 +2683,16 @@ object ExtensionQueries {
 
     Q("p20_unigram_encode", p20, None),
 
+    Q("p22_bpe_artifact_roundtrip", p22, Some("""
+      SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS n_mismatched,
+        true AS model_roundtrip
+      FROM documents""")),
+
+    Q("p23_unigram_artifact_roundtrip", p23, Some("""
+      SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS n_mismatched,
+        true AS model_roundtrip
+      FROM documents""")),
+
     Q("t31_nfc_normalize", t31, Some("""
       WITH aug AS (
         SELECT doc_id,
@@ -2671,7 +2735,7 @@ object ExtensionQueries {
           len(list_filter(string_split_regex(text, '[.!?]+'), s -> trim(s) <> ''))
             AS n_sentences,
           list_filter(string_split(regexp_replace(
-              lower(regexp_replace(text, '\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g'), ' '),
+              lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')), '[^a-z0-9 ]', '', 'g'), ' '),
             w -> w <> '') AS ws
         FROM p),
       sy AS (SELECT doc_id, n_sentences, len(ws)::BIGINT AS n_words,
@@ -2850,7 +2914,7 @@ object ExtensionQueries {
     Q("t3_token_counts", t3, Some("""
       SELECT doc_id,
         len(string_split(text, ' '))::BIGINT AS ws_tokens,
-        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS bpe_tokens,
+        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]'))::BIGINT AS bpe_tokens,
         len(list_distinct(string_split(text, ' ')))::BIGINT AS distinct_tokens
       FROM documents""")),
 
@@ -3762,7 +3826,7 @@ object ExtensionQueries {
           trim(regexp_replace(regexp_replace(regexp_replace(
             translate(lower(text),
               'áàâäãåéèêëíìîïóòôöõúùûüçñýÿ', 'aaaaaaeeeeiiiiooooouuuucnyy'),
-            '\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS ntext
+            '[ \t\n\x0B\f\r]+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS ntext
         FROM corpus)
       SELECT md5(ntext) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
       FROM norm GROUP BY 1""")),

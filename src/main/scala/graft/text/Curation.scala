@@ -526,7 +526,7 @@ object Curation {
       regexp_replace(
         // any whitespace becomes a space FIRST, so a tab/newline between
         // words stays a separator instead of vanishing with the symbols
-        regexp_replace(translate(lower(c), accentFrom, accentTo), "\\s+", " "),
+        regexp_replace(translate(lower(c), accentFrom, accentTo), "[ \\t\\n\\x0B\\f\\r]+", " "),
         "[^a-z0-9 ]", ""),
       " +", " "))
 

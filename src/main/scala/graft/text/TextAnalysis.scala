@@ -151,7 +151,7 @@ object TextAnalysis {
     val sents = filter(split(col(textCol), "[.!?]+"), s => trim(s) =!= "")
     val words = filter(
       split(regexp_replace(
-        lower(regexp_replace(col(textCol), "\\s+", " ")), "[^a-z0-9 ]", ""), " "),
+        lower(regexp_replace(col(textCol), "[ \\t\\n\\x0B\\f\\r]+", " ")), "[^a-z0-9 ]", ""), " "),
       w => w =!= "")
     val nS = greatest(size(col("__sents")), lit(1)).cast("double")
     val nW = size(col("__words")).cast("double")

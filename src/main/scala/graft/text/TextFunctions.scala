@@ -92,8 +92,11 @@ object TextFunctions {
   )
 
   /** Token-count via a BPE-ish regex: runs of letters, runs of digits, or
-    * any single non-space symbol count as one token each. */
-  val bpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    * any single non-space symbol count as one token each. Whitespace is
+    * the EXPLICIT class (= Java's `\s`): RE2's `\s` omits vertical tab
+    * \x0B, so the shorthand would diverge between Spark and the DuckDB
+    * oracle on documents containing one. */
+  val bpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]"
 
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))

@@ -142,6 +142,21 @@ class BpeSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("saveMerges/loadMerges parquet artifact: loaded model == in-memory, encode identical") {
+    val df = corpus.toDF("text")
+    val merges = Bpe.trainMerges(df, "text", 15)
+    val path = java.nio.file.Files.createTempDirectory("bpe_artifact").toString + "/merges"
+    Bpe.saveMerges(spark, merges, path)
+    val loaded = Bpe.loadMerges(spark, path)
+    assert(loaded == merges)
+    val docs = Seq((1L, "lower widest"), (2L, "unseen zz")).toDF("id", "text")
+    val a = Bpe.encode(docs, "id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val b = Bpe.encode(docs, "id", "text", loaded)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(a == b)
+  }
+
   test("encode with no merges is characters + end-of-word marker") {
     val out = Bpe.encode(Seq((1L, "ab c")).toDF("id", "text"), "id", "text", Nil)
       .collect().head

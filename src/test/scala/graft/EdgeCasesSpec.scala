@@ -101,6 +101,30 @@ class EdgeCasesSpec extends AnyFunSuite {
       containing, "s2", "e2", degenerate, "s", "e", 10L).count() == 0)
   }
 
+  test("range join rejects fractional endpoint columns loudly (banding is integral-only)") {
+    // [0.5, 2.3) with width 1 would never band into bucket 2 under the
+    // exclusive-endpoint floor((e-1)/W) — silent lost matches. The
+    // contract check turns that into an immediate error instead.
+    val pts = Seq((1L, 2L)).toDF("pid", "p")
+    val fracIvs = Seq((1L, 0.5, 2.3)).toDF("iid", "s", "e")
+    val e1 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, "p", fracIvs, "s", "e", 1L)
+    }
+    assert(e1.getMessage.contains("integral"))
+    val fracPts = Seq((1L, 2.0)).toDF("pid", "p")
+    val ivs = Seq((1L, 0L, 20L)).toDF("iid", "s", "e")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(fracPts, "p", ivs, "s", "e", 1L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(fracIvs, "s", "e", ivs, "s", "e", 1L)
+    }
+    // integer (not just long) columns remain accepted
+    val intPts = Seq((1, 10)).toDF("pid", "p")
+    val intIvs = Seq((1, 0, 20)).toDF("iid", "s", "e")
+    assert(RangeJoin.pointInInterval(intPts, "p", intIvs, "s", "e", 10L).count() == 1)
+  }
+
   test("salted aggregation of an empty frame returns no groups") {
     val empty = Seq.empty[(String, Long, Double)].toDF("k", "v", "x")
     assert(SaltedAgg.distinctAgg(empty, Seq("k"), "v", 8, "nd").count() == 0)
