@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * {{{
   *   rank'(v) = (1-d)/N + d * ( Σ_{u→v} rank(u)/outdeg(u) + D/N )
   * }}}
-  * where D = Σ rank(u) over nodes with no out-edges. A fixed iteration
+  * where D = Σ rank(u) over nodes with no out-edges — computed as
+  * 1 − Σ cin (mass not emitted through an edge IS the dangling mass),
+  * so no per-iteration pass over the rank relation. A fixed iteration
   * count (not convergence-tested) keeps the result deterministic and
   * SQL-replicable; ranks are rounded to 9 dp on OUTPUT only, so
   * engine-side float accumulation-order ULPs can't flip a hash compare
@@ -69,36 +71,41 @@ object PageRank {
         .distinct())
     val outDeg = graft.CacheRegistry.persisted(
       e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg")))
-    // the dangling flag is a property of the GRAPH, not of an iteration:
-    // computed once here, carried inside the rank relation, so each
-    // iteration's dangling mass is a filtered agg over the checkpointed
-    // ranks instead of a per-iteration anti-join (measured -1 join +
-    // -1 nodes×nodes shuffle per iteration; arithmetic identical — the
-    // same rank values are summed)
     val nodes = graft.CacheRegistry.persisted(
-      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
-        .join(outDeg.select(col("src").as("node"), col("deg")), Seq("node"), "left")
-        .select(col("node"), col("deg").isNull.as("is_dangling")))
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
     // node count as a broadcast 1-row relation (no driver action)
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     // no initial checkpoint: the seed's lineage is just the persisted
     // `nodes` relation plus a broadcast, already a cut point
     var ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), col("is_dangling"), (lit(1.0) / col("n_nodes")).as("rank"))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
     var i = 0
     while (i < iters) {
-      val contrib = e
+      // dangling mass DERIVED, not measured: each non-dangling u emits
+      // exactly rank(u)/deg(u) x deg(u) = rank(u) into the contribution
+      // relation, so D = total mass - Σcin = 1 - Σcin. This removes the
+      // per-iteration scan of the rank relation (which, between
+      // checkpoints, re-executed the previous join+agg lineage — Spark
+      // shares no plan subtrees) and the is_dangling bookkeeping
+      // entirely. `contrib` is persisted because two consumers read it
+      // (the 1-row dm agg and the rank recompute join); it is
+      // nodes-sized, registered in CacheRegistry (released by
+      // unpersistAll, the operator-persist lifecycle). Float note: 1 -
+      // Σcin differs from the measured dangling sum by the iteration's
+      // total-mass drift (~1 ulp); the oracle derives dm identically,
+      // and output rounds at 9 dp.
+      val contrib = graft.CacheRegistry.persisted(e
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .join(outDeg, "src")
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("cin"))
-      val dangling = ranks.where(col("is_dangling"))
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cin")))
+      val dangling = contrib
+        .agg((lit(1.0) - coalesce(sum(col("cin")), lit(0.0))).as("dm"))
       ranks = nodes
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(nRow))
         .crossJoin(broadcast(dangling))
-        .select(col("node"), col("is_dangling"),
+        .select(col("node"),
           ((lit(1.0) - damping) / col("n_nodes")
             + lit(damping) * (coalesce(col("cin"), lit(0.0))
               + col("dm") / col("n_nodes"))).as("rank"))

@@ -2333,7 +2333,10 @@ object ExtensionQueries {
 
   /** x34's oracle: PageRank power iterations unrolled as CTEs (r0 uniform;
     * each step = contribution aggregate + dangling-mass scalar + rank
-    * recompute — exactly [[graft.operators.PageRank.run]]'s algebra).
+    * recompute — exactly [[graft.operators.PageRank.run]]'s algebra,
+    * including the DERIVED dangling mass dm = 1 − Σcin: mass not
+    * emitted through an edge is the dangling mass, mirrored here so
+    * both engines carry the identical ~1-ulp total-mass drift).
     * `(1.0::DOUBLE - 0.85::DOUBLE)` forces IEEE double subtraction so the
     * teleport constant is bit-identical to Spark's `lit(1.0) - damping`
     * (DuckDB would otherwise fold the literals in exact DECIMAL). */
@@ -2343,9 +2346,8 @@ object ExtensionQueries {
               FROM e JOIN r${k - 1} r ON r.node = e.src
                      JOIN deg d ON d.src = e.src
               GROUP BY 1),
-      dm$k AS (SELECT coalesce(sum(r.rank), 0.0::DOUBLE) AS dm
-               FROM r${k - 1} r LEFT JOIN deg d ON d.src = r.node
-               WHERE d.src IS NULL),
+      dm$k AS (SELECT 1.0::DOUBLE - coalesce(sum(cin), 0.0::DOUBLE) AS dm
+               FROM c$k),
       r$k AS (SELECT n.node,
                 (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
                 + 0.85::DOUBLE * (coalesce(c.cin, 0.0::DOUBLE)
