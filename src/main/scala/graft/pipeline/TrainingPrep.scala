@@ -428,40 +428,56 @@ object TrainingPrep {
     * the renderer must report exactly where assistant content landed).
     *
     * Template per turn: `<|role|>\n` + content + `<|end|>\n`. Output
-    * columns: `chat_text`, `n_turns`, `mask_spans` — an array of
-    * (s, e) half-open 0-based offsets in UNICODE CODE POINTS (Spark's
-    * `length()` unit) covering each assistant turn's content (headers
-    * and sentinels are never loss-bearing). CODE POINTS, not UTF-16
-    * units or bytes: a consumer slicing with Java/JS `substring` or
-    * Python `str[s:e]`-over-UTF-16 semantics will mis-place masks the
-    * moment a turn contains a non-BMP character (emoji) — slice with
-    * `offsetByCodePoints` (JVM) / native `str` indexing (Python 3),
-    * spec-pinned with an astral-plane case. Null roles/contents render
-    * as empty strings (a malformed turn must not null the whole
-    * rendering).
+    * columns: `chat_text`, `n_turns`, `mask_spans`, `mask_spans_bytes`
+    * — arrays of (s, e) half-open 0-based offsets covering each
+    * assistant turn's content (headers and sentinels are never
+    * loss-bearing), in TWO unit systems because consumers genuinely
+    * split on this:
+    *   - `mask_spans`: UNICODE CODE POINTS (Spark's `length()` unit) —
+    *     slice with `offsetByCodePoints` (JVM) / native `str` indexing
+    *     (Python 3). NOT UTF-16 units: Java/JS `substring` semantics
+    *     mis-place masks the moment a turn contains a non-BMP
+    *     character (emoji) — spec-pinned with an astral-plane case.
+    *   - `mask_spans_bytes`: UTF-8 BYTES (`octet_length` unit) — most
+    *     training stacks tokenize raw UTF-8 and slice `bytes` objects;
+    *     spec-pinned against byte-slicing the UTF-8 encoding directly.
+    * Null roles/contents render as empty strings (a malformed turn
+    * must not null the whole rendering).
     *
     * One `aggregate` fold over the turns array per row — integer length
-    * arithmetic, so offsets are exact and engine-reproducible; pure
-    * expression work, shuffle-free at any scale. */
+    * arithmetic in both units, so offsets are exact and
+    * engine-reproducible; pure expression work, shuffle-free at any
+    * scale. */
   def renderChatTemplate(df: DataFrame, turnsCol: String): DataFrame = {
     val zero = struct(lit("").as("txt"),
-      array().cast("array<struct<s:long,e:long>>").as("spans"))
+      array().cast("array<struct<s:long,e:long>>").as("spans"),
+      lit(0L).as("blen"),
+      array().cast("array<struct<s:long,e:long>>").as("bspans"))
     val folded = aggregate(col(turnsCol), zero, (acc, t) => {
       val role = coalesce(t.getField("role"), lit(""))
       val content = coalesce(t.getField("content"), lit(""))
       val header = concat(lit("<|"), role, lit("|>\n"))
       val start = (length(acc.getField("txt")) + length(header)).cast("long")
       val end = start + length(content)
+      val bstart = acc.getField("blen") + octet_length(header).cast("long")
+      val bend = bstart + octet_length(content).cast("long")
       val txt2 = concat(acc.getField("txt"), header, content, lit("<|end|>\n"))
-      val spans2 = when(role === "assistant",
+      val blen2 = bend + octet_length(lit("<|end|>\n")).cast("long")
+      val isAssistant = role === "assistant"
+      val spans2 = when(isAssistant,
         concat(acc.getField("spans"), array(struct(start.as("s"), end.as("e")))))
         .otherwise(acc.getField("spans"))
-      struct(txt2.as("txt"), spans2.as("spans"))
+      val bspans2 = when(isAssistant,
+        concat(acc.getField("bspans"), array(struct(bstart.as("s"), bend.as("e")))))
+        .otherwise(acc.getField("bspans"))
+      struct(txt2.as("txt"), spans2.as("spans"),
+        blen2.as("blen"), bspans2.as("bspans"))
     })
     df.withColumn("__r", folded)
       .withColumn("chat_text", col("__r.txt"))
       .withColumn("n_turns", size(col(turnsCol)))
       .withColumn("mask_spans", col("__r.spans"))
+      .withColumn("mask_spans_bytes", col("__r.bspans"))
       .drop("__r")
   }
 

@@ -1104,7 +1104,10 @@ object ExtensionQueries {
         size(col("mask_spans")).as("n_mask_spans"),
         array_join(transform(col("mask_spans"), sp =>
           concat(sp.getField("s").cast("string"), lit(":"),
-            sp.getField("e").cast("string"))), " ").as("spans_str"))
+            sp.getField("e").cast("string"))), " ").as("spans_str"),
+        array_join(transform(col("mask_spans_bytes"), sp =>
+          concat(sp.getField("s").cast("string"), lit(":"),
+            sp.getField("e").cast("string"))), " ").as("bspans_str"))
   }
 
   /** Token id-ification against a 16-entry frequency vocabulary built
@@ -4081,7 +4084,14 @@ object ExtensionQueries {
         (9 + length(c1) + 8 + 14 + length(c2))::VARCHAR || ' ' ||
         (9 + length(c1) + 8 + 14 + length(c2) + 8 + 9 + length(c3) + 8 + 14)::VARCHAR || ':' ||
         (9 + length(c1) + 8 + 14 + length(c2) + 8 + 9 + length(c3) + 8 + 14
-         + length(c4))::VARCHAR AS spans_str
+         + length(c4))::VARCHAR AS spans_str,
+        -- byte-unit spans: strlen() = UTF-8 bytes (sentinels are ASCII,
+        -- so the header/footer constants are the same in both units)
+        (9 + strlen(c1) + 8 + 14)::VARCHAR || ':' ||
+        (9 + strlen(c1) + 8 + 14 + strlen(c2))::VARCHAR || ' ' ||
+        (9 + strlen(c1) + 8 + 14 + strlen(c2) + 8 + 9 + strlen(c3) + 8 + 14)::VARCHAR || ':' ||
+        (9 + strlen(c1) + 8 + 14 + strlen(c2) + 8 + 9 + strlen(c3) + 8 + 14
+         + strlen(c4))::VARCHAR AS bspans_str
       FROM c""")),
 
     Q("p17_weighted_sample", p17, Some("""

@@ -419,6 +419,26 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(text.substring(s2.toInt, e2.toInt) != "bye")
   }
 
+  test("renderChatTemplate: mask_spans_bytes slice the raw UTF-8 encoding (byte consumer pin)") {
+    import spark.implicits._
+    // the unit most training stacks actually slice: raw UTF-8 bytes.
+    // "😀"/"🚀" are 4 bytes, "é" is 2 — all three span kinds (1-, 2-,
+    // 4-byte code points) appear before and inside assistant content
+    val turns = Seq((1L,
+      Seq(("user", "hi 😀 é there"), ("assistant", "ok 🚀é"), ("assistant", "bye"))))
+      .toDF("conv_id", "raw")
+      .select($"conv_id", transform($"raw", t =>
+        struct(t.getField("_1").as("role"), t.getField("_2").as("content"))).as("turns"))
+    val r = TrainingPrep.renderChatTemplate(turns, "turns")
+      .select("chat_text", "mask_spans_bytes").head()
+    val bytes = r.getString(0).getBytes("UTF-8")
+    val bspans = r.getSeq[org.apache.spark.sql.Row](1).map(s => (s.getLong(0), s.getLong(1)))
+    val sliced = bspans.map { case (s, e) =>
+      new String(java.util.Arrays.copyOfRange(bytes, s.toInt, e.toInt), "UTF-8")
+    }
+    assert(sliced == Seq("ok 🚀é", "bye"))
+  }
+
   test("weightedSample: exact A-ES selection vs local replication; heavy weights dominate") {
     import spark.implicits._
     val rows = for (g <- 0 until 50; i <- 0 until 20) yield {
