@@ -21,6 +21,18 @@ object ScaleProbe {
     val src = "/root/testdata/sf0.1"
     val big = "/tmp/graft_sf1"
 
+    def time(dir: String, name: String): Double = {
+      // operators persist() shared branches; a prior identical run would
+      // satisfy them from the cache (CacheManager matches canonicalized
+      // plans) and make the measurement warm — clear for a cold run
+      CacheRegistry.unpersistAll() // drain the registry's handle buffer too
+      spark.catalog.clearCache()
+      graft.queries.ExtensionQueries.clearArtifactCaches()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     def replicate(table: String, idCols: Seq[String], textCol: Option[String]): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
       val copies = (0 until 10).map { i =>
@@ -31,18 +43,84 @@ object ScaleProbe {
       }
       copies.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$big/$table.parquet")
     }
-    replicate("lineitem", Seq("l_orderkey"), None)
-    replicate("orders", Seq("o_orderkey"), None)
-    replicate("documents", Seq("doc_id"), Some("text"))
-    replicate("embeddings", Seq("vec_id"), None)
-    spark.read.parquet(s"$src/customer.parquet").write.mode("overwrite")
-      .parquet(s"$big/customer.parquet")
-    spark.read.parquet(s"$src/nation.parquet").write.mode("overwrite")
-      .parquet(s"$big/nation.parquet")
-    // events replicate with shifted ids but UNSHIFTED timestamps: 10x the
-    // rows land in the same hour/window key space, which is exactly the
-    // claim the window probes (x24/st5/x25) need to test
-    replicate("events", Seq("event_id", "user_id"), None)
+    if (!args.headOption.contains("cd")) {
+      replicate("lineitem", Seq("l_orderkey"), None)
+      replicate("orders", Seq("o_orderkey"), None)
+      replicate("documents", Seq("doc_id"), Some("text"))
+      replicate("embeddings", Seq("vec_id"), None)
+      spark.read.parquet(s"$src/customer.parquet").write.mode("overwrite")
+        .parquet(s"$big/customer.parquet")
+      spark.read.parquet(s"$src/nation.parquet").write.mode("overwrite")
+        .parquet(s"$big/nation.parquet")
+      // events replicate with shifted ids but UNSHIFTED timestamps: 10x the
+      // rows land in the same hour/window key space, which is exactly the
+      // claim the window probes (x24/st5/x25) need to test
+      replicate("events", Seq("event_id", "user_id"), None)
+    }
+
+    // ---------------------------------------------- constant-density mode
+    // `runMain graft.ScaleProbe cd` — the 10x fixtures above clone every
+    // table over the SAME key/time/term space, so pair-emitting operators
+    // (near-dup, interval overlap, retrieval) see their OUTPUT grow
+    // ~quadratically: a probe ARTIFACT, not how corpora really grow. Real
+    // growth adds new documents/time at roughly constant duplicate/overlap
+    // density. This mode builds fixtures that grow that way — each copy's
+    // tokens are salted (disjoint shingle/term spaces across copies) and
+    // each copy's time range is shifted past the previous one (disjoint
+    // spans) — so the measured ratio tests the LINEARITY CLAIM instead of
+    // the output-growth artifact.
+    if (args.headOption.contains("cd")) {
+      val cd = "/tmp/graft_sf1cd"
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      (0 until 10).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+          // prefix every token with a per-copy salt: within-copy dup
+          // structure identical to base, cross-copy shingles/terms disjoint
+          .withColumn("text", regexp_replace(col("text"), "(^| )", s"$$1c$i"))
+      }.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$cd/documents.parquet")
+      for ((t, key, ts) <- Seq(("orders", "o_orderkey", "o_orderdate"),
+          ("lineitem", "l_orderkey", "l_shipdate"))) {
+        val base = spark.read.parquet(s"$src/$t.parquet")
+        (0 until 10).map { i =>
+          base.withColumn(key, col(key) + lit(i * 10000000L))
+            // ~7 TPC-H years per copy: spans disjoint, density constant
+            .withColumn(ts, col(ts) + expr(s"INTERVAL ${i * 2557} DAYS"))
+        }.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$cd/$t.parquet")
+      }
+      val cdProbes = Seq("x36_interval_overlap", "d15_dedup_keep_best",
+        "s11_bm25_topk", "s12_bm25_indexed", "d16_dup_source_matrix")
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      cdProbes.foreach(n => time(src, n)) // JIT warm
+      println(f"${"query"}%-26s ${"1x_sec"}%8s ${"10xCD_sec"}%9s ${"ratio"}%6s")
+      cdProbes.foreach { n =>
+        val t1 = time(src, n)
+        val t10 = time(cd, n)
+        println(f"PROBE-CD $n%-26s $t1%8.2f $t10%9.2f ${t10 / t1}%6.1f")
+      }
+      // BM25 worst case: every query leads with ultra-common terms whose
+      // posting lists are the whole corpus; maxDfFraction is the
+      // documented mitigation — measure it instead of arguing it.
+      val stop = "/tmp/graft_stopheavy"
+      docs.withColumn("text",
+          concat(lit("sw1 sw2 sw3 "), coalesce(col("text"), lit(""))))
+        .write.mode("overwrite").parquet(s"$stop/documents.parquet")
+      val sdocs = spark.read.parquet(s"$stop/documents.parquet")
+      def bm25Time(frac: Double): Double = {
+        CacheRegistry.unpersistAll(); spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        graft.similarity.Retrieval.bm25TopK(sdocs,
+          graft.similarity.Retrieval.queryTermsFromText(
+            sdocs.where(col("doc_id") % 100 === 0), "doc_id", "text", nTerms = 5),
+          "doc_id", "text", k = 5, maxDfFraction = frac).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      bm25Time(1.0) // warm
+      val off = bm25Time(1.0)
+      val on = bm25Time(0.5)
+      println(f"PROBE-BM25-STOPWORDS off(1.0)=$off%.2f s on(0.5)=$on%.2f s speedup=${off / on}%.1fx")
+      spark.stop()
+      return
+    }
 
     val probes = Seq("q1_flagship", "d1_dedup_exact", "d2_dedup_ngram_jaccard",
       "d3_dedup_minhash_lsh", "d4_dedup_simhash", "d5_dedup_embedding_cosine",
@@ -87,17 +165,6 @@ object ScaleProbe {
     val unknown = args.toSet -- probes.toSet
     require(unknown.isEmpty, s"ScaleProbe: unknown probe name(s): ${unknown.mkString(", ")}")
     val selected = if (args.isEmpty) probes else probes.filter(args.toSet)
-    def time(dir: String, name: String): Double = {
-      // operators persist() shared branches; a prior identical run would
-      // satisfy them from the cache (CacheManager matches canonicalized
-      // plans) and make the measurement warm — clear for a cold run
-      CacheRegistry.unpersistAll() // drain the registry's handle buffer too
-      spark.catalog.clearCache()
-      graft.queries.ExtensionQueries.clearArtifactCaches()
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
-    }
     // warmup (JIT/classloading only; caches cleared per timed run)
     spark.range(1000000).selectExpr("sum(id)").collect()
     selected.foreach(n => time(src, n))

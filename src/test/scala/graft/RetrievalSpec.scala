@@ -161,6 +161,31 @@ class RetrievalSpec extends AnyFunSuite {
     CacheRegistry.unpersistAll()
   }
 
+  test("maxDfFraction preserves top-k when stopwords don't affect ranking") {
+    // the worst-case-posting-walk mitigation must not change ANSWERS in
+    // the regime where it is sound: a term in EVERY doc, with equal doc
+    // lengths and tf, contributes the same constant to every candidate's
+    // score, so dropping it shifts all scores equally and the ranking
+    // among docs sharing the discriminative terms is untouched. k is
+    // held within the count of docs matching a surviving term (beyond
+    // that, stopword-only matches legitimately disappear when pruned).
+    val docs = Seq(
+      (1L, "zz cat cat alpha"), (2L, "zz cat beta gamma"),
+      (3L, "zz cat cat cat"), (4L, "zz dog beta gamma"),
+      (5L, "zz dog dog alpha"), (6L, "zz fox beta alpha"))
+      .toDF("doc_id", "text")
+    val queryTerms = qt((9L, "zz"), (9L, "cat"))
+    def run(frac: Double): Seq[(Long, Long, Int)] =
+      Retrieval.bm25TopK(docs, queryTerms, "doc_id", "text",
+        k = 3, maxDfFraction = frac)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .toSeq.sortBy(t => (t._1, t._3))
+    val full = run(1.0) // zz (df 6/6) scored
+    val pruned = run(0.9) // zz pruned; cat (3/6) survives
+    assert(full == pruned, s"full=$full pruned=$pruned")
+    CacheRegistry.unpersistAll()
+  }
+
   test("termBucket driver-side twin agrees with the Column face") {
     val terms = Seq("cat", "dog", "the", "αβγ", "", "x")
     val fromCol = terms.toDF("term")
