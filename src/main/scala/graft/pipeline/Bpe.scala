@@ -30,9 +30,12 @@ import org.apache.spark.sql.functions._
   * step (`mixtureSample` / `groupQuota`) feeds this trainer unchanged.
   *
   * Determinism: ties in pair counts break lexicographically (count DESC,
-  * pair ASC) — integer counts + string compare, so the merge list is
-  * bit-identical on any partitioning/cluster (BpeSpec pins it against a
-  * single-machine reference implementation).
+  * pair ASC in CODE-POINT order — Spark's UTF-8 binary collation, which
+  * the local loop's comparator matches explicitly; Java's UTF-16
+  * `compareTo` would disagree on astral symbols) — integer counts +
+  * string compare, so the merge list is bit-identical on any
+  * partitioning/cluster (BpeSpec pins it against a single-machine
+  * reference implementation, including an astral tie case).
   *
   * Words carry an end-of-word marker symbol `</w>` (the Sennrich
   * formulation) so merges can distinguish suffixes from infixes.
@@ -206,12 +209,18 @@ object Bpe {
       counts(p) = counts.getOrElse(p, 0L) + freq(i)
       where.getOrElseUpdate(p, mutable.BitSet.empty) += i
     }
+    // tie-break collation must match the DISTRIBUTED face: Spark's
+    // orderBy on strings is UTF-8 binary = code-point order, but Java's
+    // String.compareTo is UTF-16 code-unit order — they disagree when an
+    // astral symbol (one code point, a surrogate pair in UTF-16) ties
+    // against a char in [U+E000, U+FFFF]. The shared codePointCompare
+    // keeps local == distributed on any alphabet (the UnigramLm lesson).
     val cmp: java.util.Comparator[(Long, String, String)] = (x, y) => {
       val c = java.lang.Long.compare(y._1, x._1) // count DESC
       if (c != 0) c
       else {
-        val ca = x._2.compareTo(y._2) // then pair ASC
-        if (ca != 0) ca else x._3.compareTo(y._3)
+        val ca = UnigramLm.codePointCompare(x._2, y._2) // then pair ASC
+        if (ca != 0) ca else UnigramLm.codePointCompare(x._3, y._3)
       }
     }
     val pq = new java.util.PriorityQueue[(Long, String, String)](

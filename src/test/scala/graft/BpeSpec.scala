@@ -142,6 +142,24 @@ class BpeSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("astral tie-breaks: local merge loop == distributed on surrogate-pair symbols") {
+    // count ties force the pair-ASC tie-break to decide; "😀" (U+1F600)
+    // sorts ABOVE U+E000 in code-point/UTF-8 order but BELOW it in
+    // UTF-16 order (high surrogate 0xD83D < 0xE000) — a comparator
+    // using String.compareTo would give the two faces different merge
+    // lists on this corpus
+    val e000 = "\uE000"
+    val smile = new String(Character.toChars(0x1F600))
+    val corpus = Seq(s"${smile}a ${e000}b", s"${smile}a ${e000}b")
+    val df = corpus.toDF("text")
+    val dist = Bpe.trainMerges(df, "text", 6)
+    val local = Bpe.trainMergesLocal(df, "text", 6)
+    assert(dist == local, s"dist=$dist local=$local")
+    // and the merge symbols keep surrogate pairs whole
+    assert(dist.flatMap(p => Seq(p._1, p._2)).forall(s =>
+      s.codePoints().toArray.forall(cp => cp < 0xD800 || cp > 0xDFFF)))
+  }
+
   test("saveMerges/loadMerges parquet artifact: loaded model == in-memory, encode identical") {
     val df = corpus.toDF("text")
     val merges = Bpe.trainMerges(df, "text", 15)
