@@ -156,7 +156,8 @@ object Aggregators {
     * when `capacity` ≥ the group's distinct-item count nothing is ever
     * evicted, so every count is EXACT and every err is 0.
     *
-    * Output: the `topN` entries by (count desc, item asc). */
+    * Output: the `topN` entries by (count desc, item asc in CODE-POINT
+    * order — the engines' shared ORDER BY collation). */
   def spaceSaving(capacity: Int, topN: Int): Aggregator[
       String, Seq[(String, Long, Long)], Seq[(String, Long, Long)]] = {
     require(capacity >= 1 && topN >= 1 && topN <= capacity,
@@ -170,14 +171,17 @@ object Aggregators {
         if (i >= 0) b.updated(i, (a, b(i)._2 + 1, b(i)._3))
         else if (b.size < capacity) b :+ ((a, 1L, 0L))
         else {
-          // evict the minimum-count entry (ties: largest item string —
-          // deterministic); the newcomer inherits its count as error
+          // evict the minimum-count entry (ties: largest item string in
+          // CODE-POINT order — deterministic, and the same collation the
+          // oracle's ORDER BY uses); the newcomer inherits its count as
+          // error
           var mi = 0
           var m = b.head
           var j = 1
           while (j < b.size) {
             val e = b(j)
-            if (e._2 < m._2 || (e._2 == m._2 && e._1 > m._1)) { m = e; mi = j }
+            if (e._2 < m._2 || (e._2 == m._2 &&
+                graft.core.Utf8Order.compare(e._1, m._1) > 0)) { m = e; mi = j }
             j += 1
           }
           b.updated(mi, (a, m._2 + 1L, m._2))
@@ -196,10 +200,12 @@ object Aggregators {
             val (cy, ey) = ym.get(k).map(e => (e._2, e._3)).getOrElse((my, my))
             (k, cx + cy, ex + ey)
           }.toVector
-          merged.sortBy(e => (-e._2, e._1)).take(capacity)
+          merged.sortBy(e => (-e._2, e._1))(
+            Ordering.Tuple2(Ordering.Long, graft.core.Utf8Order.ordering)).take(capacity)
         }
       }
-      def finish(b: Seq[E]): Seq[E] = b.sortBy(e => (-e._2, e._1)).take(topN)
+      def finish(b: Seq[E]): Seq[E] = b.sortBy(e => (-e._2, e._1))(
+        Ordering.Tuple2(Ordering.Long, graft.core.Utf8Order.ordering)).take(topN)
       def bufferEncoder: Encoder[Seq[E]] = enc
       def outputEncoder: Encoder[Seq[E]] = enc
     }

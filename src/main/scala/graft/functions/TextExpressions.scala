@@ -225,8 +225,10 @@ case class MultiPatternHits(child: Expression, patterns: Seq[String])
     MultiPatternHits.Automaton(delta, fail, outs.map(_.toArray).toArray, wide, anyWide)
   }
 
+  // matched-pattern output order: code-point collation, matching the
+  // list_sort/ORDER BY order of both engines (NOT Java's UTF-16 order)
   @transient private lazy val sortedIdx: Array[Int] =
-    patterns.indices.sortBy(patterns)(implicitly[Ordering[String]]).toArray
+    patterns.indices.sortBy(patterns)(graft.core.Utf8Order.ordering).toArray
   @transient private lazy val patternUtf8: Array[UTF8String] =
     patterns.map(UTF8String.fromString).toArray
 

@@ -44,23 +44,13 @@ object UnigramLm {
     p.nonEmpty && p.codePointCount(0, p.length) == 1
 
   /** Code-point string order — the order Spark's UTF-8 binary `orderBy`
-    * uses. Scala/Java `String.compareTo` is UTF-16 code-UNIT order,
-    * which disagrees for supplementary characters (surrogates sort
-    * below U+E000); every driver-side tie-break sorts with THIS so
-    * local selection cuts match the distributed `orderBy(...).limit`
-    * cuts exactly. */
-  private[pipeline] def codePointCompare(a: String, b: String): Int = {
-    var i = 0; var j = 0
-    while (i < a.length && j < b.length) {
-      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
-      if (ca != cb) return Integer.compare(ca, cb)
-      i += Character.charCount(ca); j += Character.charCount(cb)
-    }
-    Integer.compare(a.length - i, b.length - j)
-  }
+    * uses; see [[graft.core.Utf8Order]]. Every driver-side tie-break
+    * sorts with THIS so local selection cuts match the distributed
+    * `orderBy(...).limit` cuts exactly. */
+  private[pipeline] def codePointCompare(a: String, b: String): Int =
+    graft.core.Utf8Order.compare(a, b)
 
-  private val pieceOrd: Ordering[String] =
-    (a: String, b: String) => codePointCompare(a, b)
+  private val pieceOrd: Ordering[String] = graft.core.Utf8Order.ordering
 
   /** UTF-16 offsets of every code-point boundary in `word` (0, each
     * code-point start after the first, word.length). All piece

@@ -55,4 +55,18 @@ class SpaceSavingSpec extends AnyFunSuite {
     val out = run(stream, capacity = 32, topN = 2, parts = 3)
     assert(out.map(_._1).toSeq == Seq("heavy", "mid"))
   }
+
+  test("count ties at the topN boundary cut in code-point order (astral items)") {
+    // "😀" (U+1F600) vs "": UTF-16 order puts the emoji FIRST
+    // (high surrogate 0xD83D < 0xE000), code-point order puts it LAST.
+    // The oracle's ORDER BY (DuckDB/Spark UTF-8 collation) is
+    // code-point order, so  must win the boundary tie.
+    val smile = new String(Character.toChars(0x1F600))
+    val items = Seq.fill(5)("top") ++ Seq.fill(2)(smile) ++ Seq.fill(2)("")
+    for (parts <- Seq(1, 3)) {
+      val out = run(items, capacity = 8, topN = 2, parts)
+      assert(out.map(_._1).toSeq == Seq("top", ""),
+        s"boundary tie must cut in code-point order, got ${out.map(_._1).toSeq}")
+    }
+  }
 }
