@@ -19,25 +19,26 @@ object Bench {
     // so the first timed query doesn't absorb JVM startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
-    // A failed query reports -1 (never a plausible-looking elapsed time)
-    // and is excluded from the total.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // release the previous query's operator-persisted branches AND the
-      // memoized artifacts first: a leaked cache could satisfy a later
-      // query's identical subtree (CacheManager matches canonicalized
-      // plans), and p9 would otherwise ride p8's memoized BPE training —
-      // both flatter the later number
+    // shared by the main sweep and the retimed pass so both measure the
+    // SAME regime: release the previous query's operator-persisted
+    // branches AND the memoized artifacts first — a leaked cache could
+    // satisfy a later query's identical subtree (CacheManager matches
+    // canonicalized plans), and p9 would otherwise ride p8's memoized BPE
+    // training — both flatter the later number. Failures report -1
+    // (never a plausible elapsed time) and are logged either way.
+    def timeQuery(name: String, tag: String): Double = {
       CacheRegistry.unpersistAll()
       graft.queries.ExtensionQueries.clearArtifactCaches()
       val t0 = System.nanoTime()
-      val sec =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1.0
-        }
-      name -> sec
+      try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench:$tag] $name FAILED: ${e.getMessage}")
+          -1.0
+      }
+    }
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      name -> timeQuery(name, "sweep")
     }
     // Self-certifying variance pass: this host's sweeps carry roving
     // 10-30x per-query drag spikes (NOTES.md), and two rounds of review
@@ -65,15 +66,7 @@ object Bench {
         if (v > 0 && p > 0) Some((k, v / p)) else None
       }
       .sortBy(-_._2).take(3).map(_._1)
-    val retimed = suspects.map { name =>
-      CacheRegistry.unpersistAll()
-      graft.queries.ExtensionQueries.clearArtifactCaches()
-      val t0 = System.nanoTime()
-      val sec =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      name -> sec
-    }
+    val retimed = suspects.map(name => name -> timeQuery(name, "retimed"))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rt = retimed.map { case (k, v) => s"\"" + k + "\":" + v }

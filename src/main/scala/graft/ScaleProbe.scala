@@ -43,23 +43,8 @@ object ScaleProbe {
       }
       copies.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$big/$table.parquet")
     }
-    if (!args.headOption.contains("cd")) {
-      replicate("lineitem", Seq("l_orderkey"), None)
-      replicate("orders", Seq("o_orderkey"), None)
-      replicate("documents", Seq("doc_id"), Some("text"))
-      replicate("embeddings", Seq("vec_id"), None)
-      spark.read.parquet(s"$src/customer.parquet").write.mode("overwrite")
-        .parquet(s"$big/customer.parquet")
-      spark.read.parquet(s"$src/nation.parquet").write.mode("overwrite")
-        .parquet(s"$big/nation.parquet")
-      // events replicate with shifted ids but UNSHIFTED timestamps: 10x the
-      // rows land in the same hour/window key space, which is exactly the
-      // claim the window probes (x24/st5/x25) need to test
-      replicate("events", Seq("event_id", "user_id"), None)
-    }
-
     // ---------------------------------------------- constant-density mode
-    // `runMain graft.ScaleProbe cd` — the 10x fixtures above clone every
+    // `runMain graft.ScaleProbe cd` — the standard 10x fixtures clone every
     // table over the SAME key/time/term space, so pair-emitting operators
     // (near-dup, interval overlap, retrieval) see their OUTPUT grow
     // ~quadratically: a probe ARTIFACT, not how corpora really grow. Real
@@ -70,6 +55,8 @@ object ScaleProbe {
     // spans) — so the measured ratio tests the LINEARITY CLAIM instead of
     // the output-growth artifact.
     if (args.headOption.contains("cd")) {
+      require(args.length == 1,
+        s"ScaleProbe cd mode takes no further args, got: ${args.drop(1).mkString(", ")}")
       val cd = "/tmp/graft_sf1cd"
       val docs = spark.read.parquet(s"$src/documents.parquet")
       (0 until 10).map { i =>
@@ -121,6 +108,19 @@ object ScaleProbe {
       spark.stop()
       return
     }
+
+    replicate("lineitem", Seq("l_orderkey"), None)
+    replicate("orders", Seq("o_orderkey"), None)
+    replicate("documents", Seq("doc_id"), Some("text"))
+    replicate("embeddings", Seq("vec_id"), None)
+    spark.read.parquet(s"$src/customer.parquet").write.mode("overwrite")
+      .parquet(s"$big/customer.parquet")
+    spark.read.parquet(s"$src/nation.parquet").write.mode("overwrite")
+      .parquet(s"$big/nation.parquet")
+    // events replicate with shifted ids but UNSHIFTED timestamps: 10x the
+    // rows land in the same hour/window key space, which is exactly the
+    // claim the window probes (x24/st5/x25) need to test
+    replicate("events", Seq("event_id", "user_id"), None)
 
     val probes = Seq("q1_flagship", "d1_dedup_exact", "d2_dedup_ngram_jaccard",
       "d3_dedup_minhash_lsh", "d4_dedup_simhash", "d5_dedup_embedding_cosine",

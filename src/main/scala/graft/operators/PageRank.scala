@@ -80,6 +80,11 @@ object PageRank {
     var ranks = nodes.crossJoin(broadcast(nRow))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
     var i = 0
+    // contribs cached since the last lineage cut: once the checkpointer
+    // runs (materializing ranks), nothing references them any more, so
+    // they are released eagerly — live cache stays bounded by
+    // checkpointEvery relations instead of growing with iters
+    val pendingContribs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (i < iters) {
       // dangling mass DERIVED, not measured: each non-dangling u emits
       // exactly rank(u)/deg(u) x deg(u) = rank(u) into the contribution
@@ -109,8 +114,15 @@ object PageRank {
           ((lit(1.0) - damping) / col("n_nodes")
             + lit(damping) * (coalesce(col("cin"), lit(0.0))
               + col("dm") / col("n_nodes"))).as("rank"))
+      pendingContribs += contrib
       i += 1
-      if (i % checkpointEvery == 0 || i == iters) ranks = checkpointer(ranks)
+      if (i % checkpointEvery == 0 || i == iters) {
+        ranks = checkpointer(ranks)
+        // safe even under an identity checkpointer (tests): unpersist
+        // only forfeits the cache, the lineage recomputes correctly
+        pendingContribs.foreach(_.unpersist())
+        pendingContribs.clear()
+      }
     }
     // + 0.0 collapses IEEE -0.0 so both engines hash identically
     ranks.select(col("node"), (round(col("rank"), 9) + lit(0.0)).as("pagerank"))

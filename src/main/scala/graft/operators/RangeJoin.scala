@@ -29,13 +29,21 @@ object RangeJoin {
     * an interval like [0.5, 2.3) would silently never replicate into
     * its final band and matches would be LOST. Enforce the documented
     * contract loudly instead: reject non-integral endpoint/point
-    * columns up front. Fractional or timestamp domains must be cast to
-    * long units (epoch seconds/micros) by the caller, which also pins
-    * which granularity the bucketWidth is in. */
+    * columns up front (scale-0 decimals — exact integral values, the
+    * common JDBC-ingest shape — are accepted; banding computes on their
+    * long cast). Fractional or timestamp domains must be cast to long
+    * units (epoch seconds/micros) by the caller, which also pins which
+    * granularity the bucketWidth is in. */
   private def requireIntegral(df: DataFrame, colName: String, op: String): Unit = {
     import org.apache.spark.sql.types._
-    df.schema(colName).dataType match {
+    // resolve the name the way Spark's analyzer does (case-insensitive by
+    // default) rather than the exact-match schema(...) lookup
+    val field = df.schema.fields.find(_.name.equalsIgnoreCase(colName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$op: column '$colName' not found in ${df.schema.fieldNames.mkString(", ")}"))
+    field.dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
+      case d: DecimalType if d.scale == 0 => () // exact integral values
       case dt => throw new IllegalArgumentException(
         s"$op: column '$colName' must be an integral type for exact banding, found $dt; " +
           "cast fractional/timestamp domains to long units (e.g. epoch seconds) first")
@@ -60,13 +68,18 @@ object RangeJoin {
     requireIntegral(points, pointCol, "pointInInterval")
     requireIntegral(intervals, startCol, "pointInInterval")
     requireIntegral(intervals, endCol, "pointInInterval")
-    val p = points.withColumn("__band", floor(col(pointCol) / bucketWidth))
+    // band arithmetic on a long cast: identity for native integrals, and
+    // the form `sequence` accepts for scale-0 decimals (whose division
+    // would otherwise stay DECIMAL); the exactness predicate below still
+    // compares the raw columns
+    val p = points.withColumn("__band",
+      floor(col(pointCol).cast("long") / bucketWidth))
     val iv = intervals
       .where(col(startCol) < col(endCol))
       .withColumn("__band",
         explode(sequence(
-          floor(col(startCol) / bucketWidth),
-          floor((col(endCol) - 1) / bucketWidth))))
+          floor(col(startCol).cast("long") / bucketWidth),
+          floor((col(endCol).cast("long") - 1) / bucketWidth))))
     p.join(iv, Seq("__band"))
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__band")
@@ -99,10 +112,13 @@ object RangeJoin {
     def banded(df: DataFrame, s: String, e: String): DataFrame =
       df.where(col(s) < col(e))
         .withColumn("__band",
-          explode(sequence(floor(col(s) / bucketWidth), floor((col(e) - 1) / bucketWidth))))
+          explode(sequence(
+            floor(col(s).cast("long") / bucketWidth),
+            floor((col(e).cast("long") - 1) / bucketWidth))))
     banded(left, leftStart, leftEnd).join(banded(right, rightStart, rightEnd), Seq("__band"))
       .where(col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd) &&
-        col("__band") === floor(greatest(col(leftStart), col(rightStart)) / bucketWidth))
+        col("__band") === floor(
+          greatest(col(leftStart).cast("long"), col(rightStart).cast("long")) / bucketWidth))
       .drop("__band")
   }
 }

@@ -451,17 +451,20 @@ object TrainingPrep {
   def renderChatTemplate(df: DataFrame, turnsCol: String): DataFrame = {
     val zero = struct(lit("").as("txt"),
       array().cast("array<struct<s:long,e:long>>").as("spans"),
-      lit(0L).as("blen"),
+      lit(0L).as("clen"), lit(0L).as("blen"),
       array().cast("array<struct<s:long,e:long>>").as("bspans"))
     val folded = aggregate(col(turnsCol), zero, (acc, t) => {
       val role = coalesce(t.getField("role"), lit(""))
       val content = coalesce(t.getField("content"), lit(""))
       val header = concat(lit("<|"), role, lit("|>\n"))
-      val start = (length(acc.getField("txt")) + length(header)).cast("long")
-      val end = start + length(content)
+      // running length counters in BOTH units: re-measuring the
+      // accumulated text each step would be O(turns x text) per row
+      val start = acc.getField("clen") + length(header).cast("long")
+      val end = start + length(content).cast("long")
       val bstart = acc.getField("blen") + octet_length(header).cast("long")
       val bend = bstart + octet_length(content).cast("long")
       val txt2 = concat(acc.getField("txt"), header, content, lit("<|end|>\n"))
+      val clen2 = end + length(lit("<|end|>\n")).cast("long")
       val blen2 = bend + octet_length(lit("<|end|>\n")).cast("long")
       val isAssistant = role === "assistant"
       val spans2 = when(isAssistant,
@@ -471,7 +474,7 @@ object TrainingPrep {
         concat(acc.getField("bspans"), array(struct(bstart.as("s"), bend.as("e")))))
         .otherwise(acc.getField("bspans"))
       struct(txt2.as("txt"), spans2.as("spans"),
-        blen2.as("blen"), bspans2.as("bspans"))
+        clen2.as("clen"), blen2.as("blen"), bspans2.as("bspans"))
     })
     df.withColumn("__r", folded)
       .withColumn("chat_text", col("__r.txt"))

@@ -1212,7 +1212,7 @@ object ExtensionQueries {
     * narrow encode passes, one doc_id equi-join, a single-row agg. */
   private def p22(s: SparkSession, dir: String): DataFrame = {
     val merges = bpeMerges(s, dir, nMerges = 20)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_p22_${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+    val path = Q.tmpArtifactPath("p22", dir)
     graft.pipeline.Bpe.saveMerges(s, merges, path)
     val loaded = graft.pipeline.Bpe.loadMerges(s, path)
     val docs = table(s, dir, "documents")
@@ -1236,7 +1236,7 @@ object ExtensionQueries {
     * of-truth reconstruction is bit-exact. */
   private def p23(s: SparkSession, dir: String): DataFrame = {
     val model = unigramModel(s, dir, vocabSize = 40)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_p23_${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+    val path = Q.tmpArtifactPath("p23", dir)
     graft.pipeline.UnigramLm.saveModel(s, model, path)
     val loaded = graft.pipeline.UnigramLm.loadModel(s, path)
     val docs = table(s, dir, "documents")
@@ -1529,8 +1529,7 @@ object ExtensionQueries {
     * (overwrite, dir keyed on input path); read must push the predicate
     * into the ORC scan (PlanSpec) and reproduce the source rows exactly. */
   private def x37(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${sys.props("java.io.tmpdir")}/graft_x37_" +
-      s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+    val out = Q.tmpArtifactPath("x37", dir)
     graft.sources.Sources.writeOrc(
       table(s, dir, "documents").select("doc_id", "text", "lang", "source", "n_chars"),
       out)
@@ -1553,7 +1552,7 @@ object ExtensionQueries {
         .otherwise(to_json(payload)).as("value"))
     // pid component: two JVMs on the same dataset (sbt test + Bench) must
     // not race overwrite-vs-read on a shared fixture path
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_x35_${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+    val tmp = Q.tmpArtifactPath("x35", dir)
     lines.coalesce(4).write.mode("overwrite").text(tmp)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
@@ -1938,7 +1937,7 @@ object ExtensionQueries {
     * s3, so the two share one oracle — the equivalence IS the claim. */
   private def s9(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    val idx = s"${sys.props("java.io.tmpdir")}/graft_s9_${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+    val idx = Q.tmpArtifactPath("s9", dir)
     Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx)
     Similarity.ivfTopKIndexed(s, idx, emb.where(col("vec_id") % 100 === 0),
       "vec_id", "embedding", k = 3, nprobe = 2)
@@ -1949,7 +1948,7 @@ object ExtensionQueries {
     * as s2, so the two share one oracle. */
   private def s10(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    val idx = s"${sys.props("java.io.tmpdir")}/graft_s10_${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+    val idx = Q.tmpArtifactPath("s10", dir)
     Similarity.writeLshIndex(emb, "vec_id", "embedding", idx, planes = 6, dims = 64)
     Similarity.lshTopKIndexed(s, idx, emb.where(col("vec_id") % 100 === 0),
       "vec_id", "embedding", k = 3)
@@ -1983,7 +1982,7 @@ object ExtensionQueries {
     * postings, df, and fold order as s11, so the two share one oracle. */
   private def s12(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
-    val idx = s"${sys.props("java.io.tmpdir")}/graft_s12_${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+    val idx = Q.tmpArtifactPath("s12", dir)
     Retrieval.writeInvertedIndex(docs, "doc_id", "text", idx, buckets = 16)
     Retrieval.bm25TopKIndexed(s, idx,
       Retrieval.queryTermsFromText(docs.where(col("doc_id") % 100 === 0),

@@ -39,4 +39,13 @@ object Q {
     s.conf.set("spark.sql.session.timeZone", "UTC")
     s.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Scratch path for an in-plan at-rest artifact (index, tokenizer
+    * model, round-trip file): unique per (query tag, JVM, testdata dir)
+    * so concurrent Verify/Bench processes and different SFs never
+    * collide, stable within a process so a query's build-then-read is
+    * coherent. One definition — seven queries share the idiom. */
+  def tmpArtifactPath(tag: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+      s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
 }

@@ -35,20 +35,21 @@ object TokenizerUnicodeProps extends Properties("TokenizerUnicode") {
 
   property("UnigramLm.train == trainLocal on astral corpora, any partitioning") =
     Prop.forAll(corpusGen, Gen.oneOf(1, 5)) { (words, parts) =>
-      val text = words.mkString(" ")
       val wordCounts = words.groupBy(identity)
         .map { case (w, ws) => (w, ws.size.toLong) }.toSeq
       val local = UnigramLm.trainLocal(wordCounts, vocabSize = 5,
         seedSize = 7, maxPieceLen = 3, maxRounds = 6)
       val dist = UnigramLm.train(
-        Seq(Tuple1(text)).toDF("text").repartition(parts), "text",
+        words.map(Tuple1(_)).toDF("text").repartition(parts), "text",
         vocabSize = 5, seedSize = 7, maxPieceLen = 3, maxRounds = 6)
       Prop(dist == local) :| s"corpus=$words dist=$dist local=$local"
     }
 
   property("Bpe.trainMerges == trainMergesLocal on astral corpora, any partitioning") =
     Prop.forAll(corpusGen, Gen.oneOf(1, 5)) { (words, parts) =>
-      val df = Seq(Tuple1(words.mkString(" "))).toDF("text").repartition(parts)
+      // one row per word: repartition spreads real data, so the
+      // partitioning dimension exercises the distributed aggregates
+      val df = words.map(Tuple1(_)).toDF("text").repartition(parts)
       val dist = Bpe.trainMerges(df, "text", 8)
       val local = Bpe.trainMergesLocal(df, "text", 8)
       val wholeCp = (dist.iterator ++ local.iterator)
