@@ -55,8 +55,6 @@ object ScaleProbe {
     // spans) — so the measured ratio tests the LINEARITY CLAIM instead of
     // the output-growth artifact.
     if (args.headOption.contains("cd")) {
-      require(args.length == 1,
-        s"ScaleProbe cd mode takes no further args, got: ${args.drop(1).mkString(", ")}")
       val cd = "/tmp/graft_sf1cd"
       val docs = spark.read.parquet(s"$src/documents.parquet")
       (0 until 10).map { i =>
@@ -76,10 +74,17 @@ object ScaleProbe {
       }
       val cdProbes = Seq("x36_interval_overlap", "d15_dedup_keep_best",
         "s11_bm25_topk", "s12_bm25_indexed", "d16_dup_source_matrix")
+      // extra args = probe-name filter for cheap re-measurement; unknown
+      // names fail loudly (a typo must not look like a clean run)
+      val unknownCd = args.drop(1).toSet -- cdProbes.toSet
+      require(unknownCd.isEmpty,
+        s"ScaleProbe cd: unknown probe name(s): ${unknownCd.mkString(", ")}")
+      val selectedCd =
+        if (args.length == 1) cdProbes else cdProbes.filter(args.drop(1).toSet)
       spark.range(1000000).selectExpr("sum(id)").collect()
-      cdProbes.foreach(n => time(src, n)) // JIT warm
+      selectedCd.foreach(n => time(src, n)) // JIT warm
       println(f"${"query"}%-26s ${"1x_sec"}%8s ${"10xCD_sec"}%9s ${"ratio"}%6s")
-      cdProbes.foreach { n =>
+      selectedCd.foreach { n =>
         val t1 = time(src, n)
         val t10 = time(cd, n)
         println(f"PROBE-CD $n%-26s $t1%8.2f $t10%9.2f ${t10 / t1}%6.1f")
