@@ -60,8 +60,13 @@ object ScaleProbe {
       (0 until 10).map { i =>
         docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
           // prefix every token with a per-copy salt: within-copy dup
-          // structure identical to base, cross-copy shingles/terms disjoint
-          .withColumn("text", regexp_replace(col("text"), "(^| )", s"$$1c$i"))
+          // structure identical to base, cross-copy shingles/terms disjoint.
+          // Salt on the full whitespace class the tokenizers split on —
+          // space-only salting would leave tokens after newlines/tabs
+          // unsalted (the corpus has multi-line docs) and the cross-copy
+          // term spaces would not actually be disjoint.
+          .withColumn("text",
+            regexp_replace(col("text"), "(^|[ \\t\\n\\x0B\\f\\r])", s"$$1c$i"))
       }.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$cd/documents.parquet")
       for ((t, key, ts) <- Seq(("orders", "o_orderkey", "o_orderdate"),
           ("lineitem", "l_orderkey", "l_shipdate"))) {

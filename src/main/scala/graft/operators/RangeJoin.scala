@@ -43,7 +43,17 @@ object RangeJoin {
         s"$op: column '$colName' not found in ${df.schema.fieldNames.mkString(", ")}"))
     field.dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
-      case d: DecimalType if d.scale == 0 => () // exact integral values
+      // exact integral values — but only while they FIT a long: the band
+      // arithmetic runs on cast('long'), and under non-ANSI mode an
+      // out-of-range decimal casts to NULL, nulling the band and silently
+      // dropping matches — the exact loss mode this guard exists to stop.
+      // precision ≤ 18 < log10(Long.MaxValue) guarantees the cast is exact.
+      case d: DecimalType if d.scale == 0 && d.precision <= 18 => ()
+      case d: DecimalType if d.scale == 0 => throw new IllegalArgumentException(
+        s"$op: column '$colName' is ${d.simpleString}, whose values can exceed the long " +
+          "range the banding arithmetic computes in (cast would yield null and silently " +
+          "drop matches); reduce precision to <= 18 or cast to bigint with an explicit " +
+          "range check first")
       case dt => throw new IllegalArgumentException(
         s"$op: column '$colName' must be an integral type for exact banding, found $dt; " +
           "cast fractional/timestamp domains to long units (e.g. epoch seconds) first")

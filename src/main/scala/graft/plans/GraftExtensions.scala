@@ -13,15 +13,18 @@ import graft.functions.DotProduct
   * Activate per session with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
   *
-  * Note on custom logical plans/strategies: the build deliberately ships
-  * NONE — SURVEY §7.3/§4.2 found every reference operator and every
-  * extension expressible through built-in operators (composition first,
-  * custom `Expression` second). This class is the hook where a
-  * `Rule[LogicalPlan]` or `SparkStrategy` would be injected if a future
-  * operator genuinely needed one. */
+  * Note on custom logical plans/strategies: the build ships ONE
+  * optimizer rule — [[CollapseRecodeUdf]], which rewrites a declarative
+  * recode-UDF into `CaseWhen` so filters on the recoded column fold back
+  * to pushable raw-column predicates (SURVEY §4.2's candidate; the
+  * before/after plan assert is in RecodeRuleSpec). Everything else stayed
+  * expressible through built-in operators (composition first, custom
+  * `Expression` second); this class remains the hook where a
+  * `SparkStrategy` would be injected if a future operator needed one. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => CollapseRecodeUdf)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{
+  And, CaseWhen, EqualTo, Expression, In, IsNotNull, IsNull, Literal, Not, Or,
+  ScalaUDF}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A literal key→value recode carried as a plain Scala function — the
+  * shape legacy pipelines ship as a UDF (the reference's `keyMap`
+  * recodings, SURVEY §2.4, arrive exactly like this when users port
+  * them mechanically). As a `ScalaUDF` it is OPAQUE to Catalyst: a
+  * filter on the recoded column can never fold back to a predicate on
+  * the raw column, so nothing reaches the parquet scan and a 100 TB
+  * read scans everything. The mapping rides along declaratively so
+  * [[CollapseRecodeUdf]] can rewrite the call into an equivalent
+  * `CASE WHEN` chain that Catalyst's own rules (PushFoldableIntoBranches,
+  * SimplifyConditionals, predicate pushdown) then collapse and push.
+  *
+  * Mapping is an ordered Seq with distinct keys so the UDF face and the
+  * CaseWhen face agree on first-match semantics by construction. */
+case class RecodeFn(mapping: Seq[(String, String)], default: Option[String])
+    extends (String => String) with Serializable {
+  require(mapping.map(_._1).distinct.size == mapping.size,
+    "RecodeFn: mapping keys must be distinct")
+  private val m = mapping.toMap
+  override def apply(s: String): String =
+    if (s == null) null else m.getOrElse(s, default.getOrElse(s))
+}
+
+object Recode {
+  /** The user-facing UDF: behaves identically with or without the
+    * optimizer rule; the rule only changes the PLAN (and what the scan
+    * can prune). */
+  def recodeUdf(mapping: Seq[(String, String)], default: Option[String]): UserDefinedFunction =
+    functions.udf(RecodeFn(mapping, default))
+}
+
+/** `Rule[LogicalPlan]` exercising the [[GraftExtensions]] injection
+  * point (SURVEY §4.2's candidate): collapse a [[RecodeFn]] `ScalaUDF`
+  * into the equivalent `CaseWhen` chain. Injected into the operator-
+  * optimization batch, so in the SAME fixed point Catalyst then folds
+  * `recoded = 'x'` through the branches into a raw-column predicate and
+  * pushes it into the scan — `PushedFilters` on the parquet relation is
+  * the before/after assert in RecodeRuleSpec.
+  *
+  * Semantics parity with the UDF face, branch by branch:
+  *  - null input → null (leading IsNull branch; the UDF returns null),
+  *  - mapped key → its value, first match wins (distinct keys enforced),
+  *  - unmapped key → `default`, or the input itself when None. */
+object CollapseRecodeUdf extends Rule[LogicalPlan] {
+
+  private def isRecode(u: ScalaUDF): Boolean =
+    u.function.isInstanceOf[RecodeFn] && u.children.size == 1
+
+  /** `recode(key) = 'v'` as a predicate on the RAW column. Case analysis
+    * mirrors [[RecodeFn.apply]] exactly; every disjunct yields null (→
+    * filter-false) on null key, matching the UDF's null → null = 'v' →
+    * null. Catalyst's OptimizeIn then usually packs the disjunction into
+    * one pushable `In`. A multi-branch boolean CaseWhen would NOT get
+    * here on its own — SimplifyConditionalsInPredicate only folds
+    * single-branch shapes — which is why the comparison is matched
+    * directly instead of leaning on the generic rewrite below. */
+  private def recodeEq(u: ScalaUDF, v: String): Expression = {
+    val f = u.function.asInstanceOf[RecodeFn]
+    val key = u.children.head
+    // mapped keys whose recoded value is v
+    val hit: Seq[Expression] =
+      f.mapping.filter(_._2 == v).map { case (k, _) => EqualTo(key, Literal(k)) }
+    val mappedKeys = f.mapping.map(_._1)
+    // unmapped keys: value is `default`, or the key itself when None
+    val unmapped: Seq[Expression] = f.default match {
+      case Some(d) if d == v =>
+        Seq(And(IsNotNull(key), Not(In(key, mappedKeys.map(Literal(_))))))
+      case None if !mappedKeys.contains(v) => Seq(EqualTo(key, Literal(v)))
+      case _ => Nil
+    }
+    (hit ++ unmapped).reduceOption(Or).getOrElse(Literal.FalseLiteral)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // top-down traversal: the comparison shape wins over the generic
+    // rewrite at the same node, turning the filter into scan-pushable
+    // raw-column predicates
+    case EqualTo(u: ScalaUDF, Literal(v: UTF8String, StringType)) if isRecode(u) =>
+      recodeEq(u, v.toString)
+    case EqualTo(Literal(v: UTF8String, StringType), u: ScalaUDF) if isRecode(u) =>
+      recodeEq(u, v.toString)
+    case u: ScalaUDF if isRecode(u) =>
+      val f = u.function.asInstanceOf[RecodeFn]
+      val key = u.children.head
+      val branches = (IsNull(key), Literal.create(null, StringType)) +:
+        f.mapping.map { case (k, v) => (EqualTo(key, Literal(k)), Literal(v)) }
+      CaseWhen(branches, Some(f.default.map(Literal(_): Expression).getOrElse(key)))
+  }
+}

@@ -125,6 +125,28 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(RangeJoin.pointInInterval(intPts, "p", intIvs, "s", "e", 10L).count() == 1)
   }
 
+  test("range join decimal endpoints: scale-0 within long range accepted, wider rejected") {
+    val pts = Seq((1L, 10L)).toDF("pid", "p")
+    // decimal(18,0) fits a long exactly — accepted, banding on the cast
+    val okIvs = Seq((1L, 0L, 20L)).toDF("iid", "s", "e")
+      .select(col("iid"), col("s").cast("decimal(18,0)").as("s"),
+        col("e").cast("decimal(18,0)").as("e"))
+    assert(RangeJoin.pointInInterval(pts, "p", okIvs, "s", "e", 10L).count() == 1)
+    // decimal(20,0) can exceed the long range; under non-ANSI mode the
+    // banding's cast('long') would yield NULL and silently drop matches —
+    // the guard must fail loudly instead
+    val wideIvs = Seq((1L, 0L, 20L)).toDF("iid", "s", "e")
+      .select(col("iid"), col("s").cast("decimal(20,0)").as("s"),
+        col("e").cast("decimal(20,0)").as("e"))
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, "p", wideIvs, "s", "e", 10L)
+    }
+    assert(e.getMessage.contains("precision"))
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(wideIvs, "s", "e", okIvs, "s", "e", 10L)
+    }
+  }
+
   test("salted aggregation of an empty frame returns no groups") {
     val empty = Seq.empty[(String, Long, Double)].toDF("k", "v", "x")
     assert(SaltedAgg.distinctAgg(empty, Seq("k"), "v", 8, "nd").count() == 0)

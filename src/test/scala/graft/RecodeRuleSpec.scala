@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{Recode, RecodeFn}
+
+/** The [[graft.plans.CollapseRecodeUdf]] optimizer rule, before/after:
+  * a filter on a UDF-recoded column is opaque to Catalyst (nothing
+  * reaches the scan), while the same query through the declarative
+  * [[RecodeFn]] collapses to CaseWhen, folds to a raw-column predicate,
+  * and arrives at the parquet scan as a pushed filter. Value semantics
+  * must be identical either way (null, mapped, unmapped-with-default,
+  * unmapped-identity). */
+class RecodeRuleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  private val mapping = Seq("src0" -> "crawl", "src1" -> "crawl", "src2" -> "print")
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString().split("== Initial Plan ==").head
+  }
+
+  test("before: an opaque recode UDF blocks pushdown of a filter on the recoded column") {
+    // identical mapping but as an ANONYMOUS function — the rule's marker
+    // class is absent, so this is what every legacy UDF recode looks like
+    val m = mapping.toMap
+    val opaque = udf((s: String) => if (s == null) null else m.getOrElse(s, "other"))
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("cat", opaque(col("source")))
+      .where(col("cat") === "crawl")
+      .select("doc_id", "source", "cat")
+    val p = executedPlan(df)
+    assert(p.contains("PushedFilters: []") || !p.contains("EqualTo(source"),
+      s"opaque UDF unexpectedly pushed a source predicate:\n$p")
+  }
+
+  test("after: the declarative recode collapses to CaseWhen and the filter is pushed to the scan") {
+    val rec = Recode.recodeUdf(mapping, default = Some("other"))
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("cat", rec(col("source")))
+      .where(col("cat") === "crawl")
+      .select("doc_id", "source", "cat")
+    val optimized = df.queryExecution.optimizedPlan.toString()
+    assert(!optimized.contains("UDF"), s"rule did not fire, ScalaUDF survived:\n$optimized")
+    val p = executedPlan(df)
+    // the folded predicate on the RAW column must reach the parquet scan
+    assert(p.contains("PushedFilters: [") && p.contains("(source,"),
+      s"no raw-column predicate reached the scan:\n$p")
+    // and the rows must be exactly the mapped keys
+    val got = df.select("source").distinct().as[String].collect().toSet
+    assert(got == Set("src0", "src1"))
+  }
+
+  test("value semantics identical with and without the rule (null / mapped / unmapped)") {
+    val data = Seq[(java.lang.Long, String)]((1L, "src0"), (2L, "src2"),
+      (3L, "unknown"), (4L, null)).toDF("id", "source")
+    val m = mapping.toMap
+    // default = Some("other")
+    val opaque = udf((s: String) => if (s == null) null else m.getOrElse(s, "other"))
+    val declared = Recode.recodeUdf(mapping, default = Some("other"))
+    val a = data.withColumn("cat", opaque(col("source")))
+      .orderBy("id").select("cat").as[String].collect().toSeq
+    val b = data.withColumn("cat", declared(col("source")))
+      .orderBy("id").select("cat").as[String].collect().toSeq
+    assert(a == b, s"udf=$a rule=$b")
+    assert(b == Seq("crawl", "print", "other", null))
+    // default = None → identity passthrough for unmapped keys
+    val idUdf = udf((s: String) => if (s == null) null else m.getOrElse(s, s))
+    val idDecl = Recode.recodeUdf(mapping, default = None)
+    val c = data.withColumn("cat", idUdf(col("source")))
+      .orderBy("id").select("cat").as[String].collect().toSeq
+    val d = data.withColumn("cat", idDecl(col("source")))
+      .orderBy("id").select("cat").as[String].collect().toSeq
+    assert(c == d, s"udf=$c rule=$d")
+    assert(d == Seq("crawl", "print", "unknown", null))
+    // the comparison rewrite (recodeEq) must agree with the UDF filter for
+    // every value class: a mapped value, the default value, an identity-
+    // passthrough value, and a value nothing maps to
+    for (v <- Seq("crawl", "print", "other", "unknown", "nothing")) {
+      val viaUdf = data.where(opaque(col("source")) === v)
+        .select("id").as[Long].collect().toSet
+      val viaRule = data.where(declared(col("source")) === v)
+        .select("id").as[Long].collect().toSet
+      assert(viaUdf == viaRule, s"default=Some: v=$v udf=$viaUdf rule=$viaRule")
+      val viaIdUdf = data.where(idUdf(col("source")) === v)
+        .select("id").as[Long].collect().toSet
+      val viaIdRule = data.where(idDecl(col("source")) === v)
+        .select("id").as[Long].collect().toSet
+      assert(viaIdUdf == viaIdRule, s"default=None: v=$v udf=$viaIdUdf rule=$viaIdRule")
+    }
+  }
+
+  test("RecodeFn rejects duplicate mapping keys (first-match ambiguity)") {
+    intercept[IllegalArgumentException] {
+      RecodeFn(Seq("a" -> "x", "a" -> "y"), None)
+    }
+  }
+}
