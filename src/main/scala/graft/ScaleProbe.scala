@@ -43,6 +43,63 @@ object ScaleProbe {
       }
       copies.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$big/$table.parquet")
     }
+    // ------------------------------------------- 100x rehearsal (cd100)
+    // `runMain graft.ScaleProbe cd100` — two DECADES of constant-density
+    // growth (sf0.1 → ~sf1 → ~sf10) for the headline scale claims, so the
+    // linearity story rests on 1x/10x/100x measurements instead of a
+    // single-decade extrapolation. Fixtures are built by ONE parameterized
+    // builder (crossJoin with a copy index instead of a union of N
+    // branches — the 100-way union's analysis cost is itself a probe
+    // artifact): per-copy salted tokens (disjoint term/shingle spaces;
+    // the `_` separator stops salt c1 + token "2x" colliding with salt
+    // c12 + token "x") and per-copy sign-flipped embeddings (orthogonal
+    // diagonal transform: within-copy angular structure exact, cross-copy
+    // cosines scramble to ~0). Note two registered queries derive their
+    // query/increment sets from the corpus (s12: every 100th doc, d11:
+    // mutated %5 docs), so their work grows with the corpus BY QUERY
+    // DESIGN — production holds those sets fixed; the measured ratios are
+    // the conservative upper bound.
+    if (args.headOption.contains("cd100")) {
+      def build(out: String, copies: Int): Unit = {
+        val rng = spark.range(copies).select(col("id").cast("int").as("copy"))
+        spark.read.parquet(s"$src/documents.parquet").crossJoin(rng)
+          .withColumn("doc_id", col("doc_id") + col("copy").cast("long") * 10000000L)
+          .withColumn("text", regexp_replace(col("text"),
+            lit("(^|[ \\t\\n\\x0B\\f\\r])"), concat(lit("$1c"), col("copy"), lit("_"))))
+          .drop("copy")
+          .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        spark.read.parquet(s"$src/embeddings.parquet").crossJoin(rng)
+          .withColumn("embedding", expr("transform(embedding, (x, d) -> " +
+            "CAST(x * (CASE WHEN pmod(hash(copy, d), 2) = 0 THEN 1.0 ELSE -1.0 END) " +
+            "AS FLOAT))"))
+          .withColumn("vec_id", col("vec_id") + col("copy").cast("long") * 10000000L)
+          .drop("copy")
+          .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      }
+      val cd10 = "/tmp/graft_cd100_x10"
+      val cd100 = "/tmp/graft_cd100_x100"
+      build(cd10, 10)
+      build(cd100, 100)
+      val rehearsal = Seq("d3_dedup_minhash_lsh", "s9_ann_ivf_indexed",
+        "s12_bm25_indexed", "d11_dedup_incremental_registry",
+        "p2_shuffle_shard", "p3_pack_sequences")
+      val unknown100 = args.drop(1).toSet -- rehearsal.toSet
+      require(unknown100.isEmpty,
+        s"ScaleProbe cd100: unknown probe name(s): ${unknown100.mkString(", ")}")
+      val sel = if (args.length == 1) rehearsal else rehearsal.filter(args.drop(1).toSet)
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      sel.foreach(n => time(src, n)) // JIT warm
+      println(f"${"query"}%-30s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"100x_sec"}%9s ${"r10"}%6s ${"r100"}%6s")
+      sel.foreach { n =>
+        val t1 = time(src, n)
+        val t10 = time(cd10, n)
+        val t100 = time(cd100, n)
+        println(f"PROBE-CD100 $n%-30s $t1%8.2f $t10%8.2f $t100%9.2f ${t10 / t1}%6.1f ${t100 / t10}%6.1f")
+      }
+      spark.stop()
+      return
+    }
+
     // ---------------------------------------------- constant-density mode
     // `runMain graft.ScaleProbe cd` — the standard 10x fixtures clone every
     // table over the SAME key/time/term space, so pair-emitting operators
@@ -77,8 +134,26 @@ object ScaleProbe {
             .withColumn(ts, col(ts) + expr(s"INTERVAL ${i * 2557} DAYS"))
         }.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$cd/$t.parquet")
       }
+      // embeddings: per-copy deterministic SIGN FLIP per dimension — an
+      // orthogonal (diagonal ±1) transform, so every copy's INTERNAL
+      // angular structure (its dup pairs) is preserved exactly while
+      // cross-copy cosines scramble toward 0: new data brings its own
+      // near-dups instead of being a near-dup of the old data, which is
+      // how embedding corpora actually grow. Copy 0 keeps the originals.
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      (0 until 10).map { i =>
+        val flipped = if (i == 0) emb else emb.withColumn("embedding",
+          expr(s"transform(embedding, (x, d) -> CAST(x * (CASE WHEN " +
+            s"pmod(hash($i, d), 2) = 0 THEN 1.0 ELSE -1.0 END) AS FLOAT))"))
+        flipped.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+      }.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$cd/embeddings.parquet")
       val cdProbes = Seq("x36_interval_overlap", "d15_dedup_keep_best",
-        "s11_bm25_topk", "s12_bm25_indexed", "d16_dup_source_matrix")
+        "s11_bm25_topk", "s12_bm25_indexed", "d16_dup_source_matrix",
+        // round-8 additions: the remaining >3x same-span rows, measured
+        // under constant density instead of classified by argument
+        "d2_dedup_ngram_jaccard", "d5_dedup_embedding_cosine",
+        "d7_semantic_dedup", "d8_dedup_substring", "x10_range_join",
+        "m4_resize")
       // extra args = probe-name filter for cheap re-measurement; unknown
       // names fail loudly (a typo must not look like a clean run)
       val unknownCd = args.drop(1).toSet -- cdProbes.toSet
@@ -115,6 +190,25 @@ object ScaleProbe {
       val off = bm25Time(1.0)
       val on = bm25Time(0.5)
       println(f"PROBE-BM25-STOPWORDS off(1.0)=$off%.2f s on(0.5)=$on%.2f s speedup=${off / on}%.1fx")
+      // SemDeDup at constant CLUSTER SIZE: the registered d7 pins nlist=8,
+      // so a 10x corpus grows every cluster 10x and scored pairs 100x —
+      // the fixed-parameter artifact, not the operator's scale shape.
+      // Production scales nlist with the corpus (fixed expected cluster
+      // size, Abbas et al. 2023 run ~50k clusters): pairs then grow
+      // LINEARLY. Measure that directly: nlist 8 at 1x vs 80 at 10xCD.
+      def semTime(dir: String, nlist: Int): Double = {
+        CacheRegistry.unpersistAll(); spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        graft.dedup.Dedup.semanticDedupPairs(
+          spark.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", nlist = nlist, threshold = 0.4).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      semTime(src, 8) // warm
+      val sem1 = semTime(src, 8)
+      val sem10 = semTime(cd, 80)
+      println(f"PROBE-SEMDEDUP-CONST-CLUSTER 1x(nlist=8)=$sem1%.2f s " +
+        f"10xCD(nlist=80)=$sem10%.2f s ratio=${sem10 / sem1}%.1fx")
       spark.stop()
       return
     }
