@@ -82,14 +82,28 @@ object CollapseRecodeUdf extends Rule[LogicalPlan] {
     (hit ++ unmapped).reduceOption(Or).getOrElse(Literal.FalseLiteral)
   }
 
+  private def isNonNullStringLit(e: Expression): Boolean = e match {
+    case Literal(v, StringType) => v != null
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    // top-down traversal: the comparison shape wins over the generic
+    // top-down traversal: the comparison shapes win over the generic
     // rewrite at the same node, turning the filter into scan-pushable
     // raw-column predicates
     case EqualTo(u: ScalaUDF, Literal(v: UTF8String, StringType)) if isRecode(u) =>
       recodeEq(u, v.toString)
     case EqualTo(Literal(v: UTF8String, StringType), u: ScalaUDF) if isRecode(u) =>
       recodeEq(u, v.toString)
+    // recode(k) IN (v1..vm) with all-literal non-null values ≡ OR of the
+    // per-value rewrites (a null in the list would make In yield null
+    // instead of false on a miss — observable outside Filter, so those
+    // fall through to the generic CaseWhen rewrite)
+    case In(u: ScalaUDF, values) if isRecode(u) && values.nonEmpty &&
+        values.forall(isNonNullStringLit) =>
+      values.map { case Literal(v, StringType) =>
+        recodeEq(u, v.asInstanceOf[UTF8String].toString)
+      }.reduce(Or)
     case u: ScalaUDF if isRecode(u) =>
       val f = u.function.asInstanceOf[RecodeFn]
       val key = u.children.head

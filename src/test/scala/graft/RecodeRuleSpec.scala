@@ -94,6 +94,45 @@ class RecodeRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("IN-list on the recoded column rewrites and pushes to the scan") {
+    val rec = Recode.recodeUdf(mapping, default = Some("other"))
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("cat", rec(col("source")))
+      .where(col("cat").isin("crawl", "print"))
+      .select("doc_id", "source")
+    val optimized = df.queryExecution.optimizedPlan.toString()
+    assert(!optimized.contains("UDF"), s"IN rewrite did not fire:\n$optimized")
+    val p = executedPlan(df)
+    assert(p.contains("PushedFilters: [") && p.contains("(source,"),
+      s"no raw-column predicate reached the scan:\n$p")
+    assert(df.select("source").distinct().as[String].collect().toSet ==
+      Set("src0", "src1", "src2"))
+  }
+
+  test("IN-list value semantics identical with and without the rule") {
+    val data = Seq[(java.lang.Long, String)]((1L, "src0"), (2L, "src2"),
+      (3L, "unknown"), (4L, null)).toDF("id", "source")
+    val m = mapping.toMap
+    val opaque = udf((s: String) => if (s == null) null else m.getOrElse(s, "other"))
+    val declared = Recode.recodeUdf(mapping, default = Some("other"))
+    for (vs <- Seq(Seq("crawl"), Seq("print", "other"), Seq("nothing"),
+        Seq("crawl", "print", "other"))) {
+      val a = data.where(opaque(col("source")).isin(vs: _*))
+        .select("id").as[Long].collect().toSet
+      val b = data.where(declared(col("source")).isin(vs: _*))
+        .select("id").as[Long].collect().toSet
+      assert(a == b, s"vs=$vs udf=$a rule=$b")
+    }
+    // a null in the IN list is outside the comparison rewrite's guard
+    // (null vs false on a miss is observable outside Filter) — must fall
+    // through to the CaseWhen rewrite with identical filter results
+    val a = data.where(opaque(col("source")).isin("crawl", null))
+      .select("id").as[Long].collect().toSet
+    val b = data.where(declared(col("source")).isin("crawl", null))
+      .select("id").as[Long].collect().toSet
+    assert(a == b, s"null-in-list: udf=$a rule=$b")
+  }
+
   test("RecodeFn rejects duplicate mapping keys (first-match ambiguity)") {
     intercept[IllegalArgumentException] {
       RecodeFn(Seq("a" -> "x", "a" -> "y"), None)
