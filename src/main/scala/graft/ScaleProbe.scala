@@ -264,7 +264,8 @@ object ScaleProbe {
       "t36_line_prevalence", "a5_source_overlap", "p21_pack_boundaries",
       "x37_orc_roundtrip",
       "d16_dup_source_matrix", "st7_windowed_heavy_hitters", "m16_energy_segments",
-      "p22_bpe_artifact_roundtrip", "p23_unigram_artifact_roundtrip")
+      "p22_bpe_artifact_roundtrip", "p23_unigram_artifact_roundtrip",
+      "d17_semantic_dedup_scaled")
     // optional args = probe-name filter (run a subset while iterating);
     // unknown names fail loudly — a typo must not look like a clean run
     val unknown = args.toSet -- probes.toSet

@@ -692,6 +692,23 @@ object Dedup {
     semanticDedupPairs(df, idCol, vecCol, cents.map(_._1), cents.map(_._2), threshold)
   }
 
+  /** [[semanticDedupPairs]] with the cluster COUNT derived from the
+    * corpus — the production scaling law (SemDeDup runs a cluster count
+    * proportional to the corpus, Abbas et al. 2023 §2, so the expected
+    * cluster SIZE stays constant and within-cluster scoring grows
+    * LINEARLY with the data; a pinned nlist grows clusters with the
+    * corpus and scoring quadratically — measured 9.4× vs 2.2× for 10×
+    * data in SCALE.md's round-8 cd probes). The `count()` at build time
+    * is quantizer-build cost, the same class as IVF training. */
+  def semanticDedupPairsAuto(
+      df: DataFrame, idCol: String, vecCol: String,
+      targetClusterSize: Int, threshold: Double): DataFrame = {
+    require(targetClusterSize >= 1, "semanticDedupPairsAuto: targetClusterSize >= 1")
+    val n = df.count()
+    val nlist = math.max(1L, math.ceil(n.toDouble / targetClusterSize).toLong).toInt
+    semanticDedupPairs(df, idCol, vecCol, nlist, threshold)
+  }
+
   /** [[semanticDedupPairs]] with PRE-TRAINED centroids — the quality path:
     * pass [[graft.similarity.Similarity.kmeansCentroids]] output (or any
     * externally-trained quantizer) and get the same shuffle-free

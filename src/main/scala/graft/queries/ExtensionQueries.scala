@@ -126,6 +126,16 @@ object ExtensionQueries {
     Dedup.semanticDedupPairs(table(s, dir, "embeddings"),
       "vec_id", "embedding", nlist = 8, threshold = 0.4)
 
+  /** d7 through the corpus-scaled quantizer (targetClusterSize = 250 →
+    * nlist 2 at sf0.01, 8 at sf0.1): the SemDeDup production scaling
+    * law — constant expected cluster size, within-cluster scoring linear
+    * in the corpus (measured 2.2× vs 9.4× for 10× data, SCALE.md r8) —
+    * as a registered, oracle-backed face rather than a probe-only
+    * argument. */
+  private def d17(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedupPairsAuto(table(s, dir, "embeddings"),
+      "vec_id", "embedding", targetClusterSize = 250, threshold = 0.4)
+
   /** Incremental dedup against a PERSISTED band registry — the 100 TB
     * ingestion shape: the corpus is signatured once into a bucketed
     * (band_key → keep_id) table; a new increment (mutated near-copies of
@@ -1187,6 +1197,25 @@ object ExtensionQueries {
       graft.pipeline.Bpe.trainMerges(
         table(s, dir, "documents").select("text"), "text", nMerges))
 
+  /** BPE merge table at rest — the exact design of [[unigramModelAtRest]]
+    * applied to the BPE lifecycle: p8 (the train query) persists after
+    * training, the encode faces (p9/p22) load the artifact, so their
+    * benched cost is the production encode shape, not a retrain that p8
+    * already measures. Same per-(JVM, dir) path and overwrite-race lock
+    * discipline. */
+  private val bpeArtifactLock = new Object
+  private def bpeArtifactPath(dir: String, nMerges: Int): String =
+    Q.tmpArtifactPath(s"bpe_m$nMerges", dir)
+  private def bpeMergesAtRest(
+      s: SparkSession, dir: String, nMerges: Int): Seq[(String, String)] = {
+    val path = bpeArtifactPath(dir, nMerges)
+    bpeArtifactLock.synchronized {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+        graft.pipeline.Bpe.saveMerges(s, bpeMerges(s, dir, nMerges), path)
+      graft.pipeline.Bpe.loadMerges(s, path)
+    }
+  }
+
   /** Distributed BPE training (Sennrich et al. 2016) on the documents
     * corpus — 20 merges, returned as the ranked merge table. Rows-only:
     * the iterative argmax loop has no SQL analog; determinism (count
@@ -1196,16 +1225,25 @@ object ExtensionQueries {
     * Deliberately stays on the DISTRIBUTED [[graft.pipeline.Bpe.trainMerges]]
     * path so the gate exercises it; real-vocab users call
     * `trainMergesLocal` (spec-asserted to yield the identical list). */
-  private def p8(s: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Bpe.mergesDF(s, bpeMerges(s, dir, nMerges = 20))
+  private def p8(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(s, dir, nMerges = 20)
+    // train-then-persist (the production train job's full shape) — lets
+    // p9/p22 bench the production encode shape, mirroring p19/p20
+    bpeArtifactLock.synchronized {
+      graft.pipeline.Bpe.saveMerges(s, merges, bpeArtifactPath(dir, 20))
+    }
+    graft.pipeline.Bpe.mergesDF(s, merges)
+  }
 
-  /** BPE encode of the corpus with the p8-trained merges: broadcast merge
-    * table, one narrow mapPartitions, no shuffle. Rows-only (same reason
-    * as p8); per-doc token counts are deterministic. */
+  /** BPE encode of the corpus with the p8-trained merges AT REST (loaded
+    * artifact — production encode shape; loaded ≡ in-memory is spec- and
+    * p22-certified): broadcast merge table, one narrow mapPartitions, no
+    * shuffle. Rows-only (same reason as p8); per-doc token counts are
+    * deterministic. */
   private def p9(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
     graft.pipeline.Bpe.encode(docs, "doc_id", "text",
-      bpeMerges(s, dir, nMerges = 20))
+      bpeMergesAtRest(s, dir, nMerges = 20))
       .select(col("doc_id"), col("n_bpe"))
   }
 
@@ -1248,7 +1286,10 @@ object ExtensionQueries {
     * mangling) turns the row red. Scale shape: two broadcast-model
     * narrow encode passes, one doc_id equi-join, a single-row agg. */
   private def p22(s: SparkSession, dir: String): DataFrame = {
-    val merges = bpeMerges(s, dir, nMerges = 20)
+    // at-rest input model, same rationale as p23: artifacts are
+    // re-published from LOADED models, and save∘load∘save∘load
+    // bit-stability is the stronger idempotence claim
+    val merges = bpeMergesAtRest(s, dir, nMerges = 20)
     val path = Q.tmpArtifactPath("p22", dir)
     graft.pipeline.Bpe.saveMerges(s, merges, path)
     val loaded = graft.pipeline.Bpe.loadMerges(s, path)
@@ -2597,6 +2638,25 @@ object ExtensionQueries {
       WITH cents AS (
         SELECT vec_id AS cid, embedding AS cvec
         FROM embeddings ORDER BY vec_id LIMIT 8),
+      ranked AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid DESC) AS rn
+        FROM embeddings e CROSS JOIN cents c),
+      assign AS (SELECT vec_id, embedding, cid AS cluster FROM ranked WHERE rn = 1)
+      SELECT id_a, id_b, cosine FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ${cosSql("a.embedding", "b.embedding")} AS cosine
+        FROM assign a JOIN assign b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+      WHERE cosine >= 0.4""")),
+
+    Q("d17_semantic_dedup_scaled", d17, Some(s"""
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM (
+          SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn
+          FROM embeddings)
+        WHERE rn <= (SELECT CAST(ceil(count(*) / 250.0) AS BIGINT) FROM embeddings)),
       ranked AS (
         SELECT e.vec_id, e.embedding, c.cid,
           row_number() OVER (PARTITION BY e.vec_id

@@ -104,6 +104,22 @@ class DedupSpec extends AnyFunSuite {
       vecs, "vec_id", "embedding", cids, cvecs, threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(kmPairs == Set((0L, 2L), (0L, 3L), (2L, 3L), (1L, 4L)))
+
+    // the SCALED face: 6 rows / targetClusterSize 3 -> nlist 2, so the
+    // auto derivation must reproduce the fixed-nlist result exactly
+    val autoPairs = Dedup.semanticDedupPairsAuto(
+      vecs, "vec_id", "embedding", targetClusterSize = 3, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoPairs == pairs)
+    // ceil semantics: target larger than the corpus -> one cluster (all
+    // pairs scored), never zero centroids
+    val onePairs = Dedup.semanticDedupPairsAuto(
+      vecs, "vec_id", "embedding", targetClusterSize = 100, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneCluster = Dedup.semanticDedupPairs(
+      vecs, "vec_id", "embedding", nlist = 1, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(onePairs == oneCluster)
   }
 
   test("incremental registry: increments accumulate to the full-corpus batch registry") {
