@@ -884,6 +884,24 @@ object ExtensionQueries {
       payloadCols = Seq("event_type"))
   }
 
+  /** Batch face of streaming exact dedup ([[graft.streaming.Streaming.streamingDedup]]
+    * = `dropDuplicatesWithinWatermark`): first occurrence per event_id.
+    * The fixture re-delivers every %7 event 30 s later with the same id —
+    * the at-least-once duplicate every ingestion pipeline sees — and
+    * `firstByKey` keeps the original deterministically (min(struct) on
+    * ts). StreamingSpec pins stream ≡ batch under event-time-ordered
+    * delivery. */
+  private def st8(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val base = ev.select(col("event_id"), Streaming.epochSeconds(ev).as("ts_s"),
+      col("event_type"), col("user_id"))
+    val redelivered = base.where(col("event_id") % 7 === 0)
+      .withColumn("ts_s", col("ts_s") + 30L)
+    Streaming.firstByKey(base.unionAll(redelivered),
+      keyCols = Seq("event_id"), orderCols = Seq("ts_s"),
+      payloadCols = Seq("event_type", "user_id"))
+  }
+
   /** Batch face of the streaming minhash-LSH band registry (same d3
     * parameters, same oracle CTEs); StreamingSpec runs the stream face. */
   private def st4(s: SparkSession, dir: String): DataFrame =
@@ -3246,6 +3264,19 @@ object ExtensionQueries {
                 event_type FROM events)
         GROUP BY 1, 2)
       WHERE rn <= 5""")),
+
+    Q("st8_stream_dedup", st8, Some("""
+      SELECT event_id, ts_s, event_type, user_id FROM (
+        SELECT event_id, ts_s, event_type, user_id,
+          row_number() OVER (PARTITION BY event_id
+            ORDER BY ts_s, event_type, user_id) AS rn
+        FROM (
+          SELECT event_id, epoch_ns(ts) // 1000000000 AS ts_s, event_type, user_id
+          FROM events
+          UNION ALL
+          SELECT event_id, epoch_ns(ts) // 1000000000 + 30 AS ts_s, event_type, user_id
+          FROM events WHERE event_id % 7 = 0))
+      WHERE rn = 1""")),
 
     Q("st6_latest_state", st6, Some("""
       SELECT user_id, ts_s, event_id, event_type FROM (

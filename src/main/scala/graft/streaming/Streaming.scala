@@ -316,6 +316,25 @@ object Streaming {
         col(s"__latest.$c").as(c)): _*)
   }
 
+  /** [[latestByKey]]'s mirror: the FIRST row per key under `orderCols` —
+    * the deterministic batch face of first-occurrence dedup
+    * ([[streamingDedup]] keeps the first ARRIVAL, which equals this
+    * whenever delivery respects event-time order; StreamingSpec pins the
+    * equivalence). Same min(struct) shape: one struct per key crosses the
+    * shuffle, map-side combined, monoid-mergeable. */
+  def firstByKey(
+      changes: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], payloadCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty,
+      "firstByKey: need key and order columns")
+    val ordered = (orderCols ++ payloadCols).map(col)
+    changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(struct(ordered: _*)).as("__first"))
+      .select(keyCols.map(col) ++ (orderCols ++ payloadCols).map(c =>
+        col(s"__first.$c").as(c)): _*)
+  }
+
   /** Convenience: run a streaming DataFrame to a named in-memory sink and
     * block until the available data is processed (test/dev harness). */
   def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): Unit = {

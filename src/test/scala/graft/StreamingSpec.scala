@@ -370,6 +370,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDedup == firstByKey when delivery respects event-time order (st8's claim)") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, String, Double)]
+    val events = source.toDF().toDF("ts", "event_id", "event_type", "value")
+    val dedup = Streaming.streamingDedup(events, "10 minutes", Seq("event_id"))
+      .select("event_id", "ts", "event_type", "value")
+    val q = dedup.writeStream.format("memory").queryName("dedup_eq_test")
+      .outputMode(OutputMode.Append()).start()
+    val rows = Seq(
+      (ns(10), 1L, "click", 1.0), (ns(20), 2L, "view", 2.0), // originals
+      (ns(40), 1L, "click", 1.0), (ns(50), 3L, "buy", 3.0))  // re-delivery of 1 + fresh 3
+    try {
+      // originals arrive in an earlier batch than the re-delivery, so the
+      // stream's first-ARRIVAL choice coincides with first-by-event-time
+      source.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      source.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("dedup_eq_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      val batch = Streaming.firstByKey(rows.toDF("ts", "event_id", "event_type", "value"),
+        keyCols = Seq("event_id"), orderCols = Seq("ts"),
+        payloadCols = Seq("event_type", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      assert(got == batch && got.map(_._1) == Set(1L, 2L, 3L), s"stream=$got batch=$batch")
+    } finally q.stop()
+  }
+
   test("eventIntervalJoin: stream-stream join matches the batch definition") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Long, Double)]
