@@ -76,6 +76,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
   }
 
+  test("st8 stream dedup batch face: one partial-agged min(struct) shuffle, no join") {
+    val p = plan(q("st8_stream_dedup"))
+    // min over a struct carrying a string buffers as SortAggregate (not
+    // hash-aggregable); the load-bearing property is partial + final
+    // around exactly one exchange
+    assert(p.linesIterator.count(l =>
+      l.contains("SortAggregate") || l.contains("HashAggregate")) == 2,
+      s"firstByKey must be partial+final, one shuffle:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
+    assert(!p.contains("Join"), s"dedup claim must not join:\n$p")
+  }
+
+  test("d17 scaled semantic dedup: equi-join within clusters, never cartesian") {
+    val p = plan(q("d17_semantic_dedup_scaled"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"cluster pair join is not an equi-join:\n$p")
+  }
+
   test("x10 interval join: band equi-join, never a nested-loop cross product") {
     val p = plan(q("x10_range_join"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
