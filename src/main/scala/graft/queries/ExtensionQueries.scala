@@ -1639,6 +1639,24 @@ object ExtensionQueries {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Schema evolution at rest (x37's lifecycle sibling): generation 1
+    * files carry (doc_id, source), generation 2 adds n_chars — the
+    * append-only column addition every long-lived lake accrues. The
+    * mergeSchema read surfaces the union schema with gen-1 rows null in
+    * the added column; a plain read would silently DROP it
+    * ([[graft.sources.Sources.readParquetMergeSchema]] scaladoc). Select
+    * pins column order (merge order depends on footer enumeration). */
+  private def x38(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x38", dir)
+    val docs = table(s, dir, "documents")
+    docs.where(col("doc_id") % 2 === 0).select("doc_id", "source")
+      .coalesce(2).write.mode("overwrite").parquet(s"$out/gen1")
+    docs.where(col("doc_id") % 2 === 1).select("doc_id", "source", "n_chars")
+      .coalesce(2).write.mode("overwrite").parquet(s"$out/gen2")
+    graft.sources.Sources.readParquetMergeSchema(s, s"$out/gen*")
+      .select("doc_id", "source", "n_chars")
+  }
+
   private def x35(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val payload = struct(col("doc_id"), col("text"), col("lang"),
@@ -2974,6 +2992,12 @@ object ExtensionQueries {
     Q("x37_orc_roundtrip", x37, Some("""
       SELECT doc_id, text, lang, source, n_chars
       FROM documents WHERE n_chars > 64""")),
+
+    Q("x38_schema_evolution", x38, Some("""
+      SELECT doc_id, source, NULL::BIGINT AS n_chars
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 1""")),
 
     Q("x35_jsonl_roundtrip", x35, Some("""
       SELECT doc_id, text, lang, source, n_chars
