@@ -19,6 +19,11 @@ object Bench {
     // so the first timed query doesn't absorb JVM startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    // Materialize the at-rest tokenizer artifacts before the sweep:
+    // encode-face queries (p9/p20/p22/p23) must measure their documented
+    // load-shape in the sweep AND in any retime — not pay a one-time
+    // ensure-train in whichever of them happens to sort first.
+    graft.queries.ExtensionQueries.seedArtifacts(spark, sfDir)
     // shared by the main sweep and the retimed pass so both measure the
     // SAME regime: release the previous query's operator-persisted
     // branches AND the memoized artifacts first — a leaked cache could

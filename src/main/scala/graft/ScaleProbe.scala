@@ -43,50 +43,85 @@ object ScaleProbe {
       }
       copies.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$big/$table.parquet")
     }
+    // Constant-density fixture builder SHARED by cd and cd100 — one
+    // generator, because two drifting variants of the same fixture
+    // concept is how a fix lands in one and not the other. crossJoin
+    // with a copy index (a union of N branches pays N-way plan analysis,
+    // itself a probe artifact); per-copy whitespace-class token salts
+    // with a `_` separator (salt c1 + token "2x" must not collide with
+    // salt c12 + token "x"); per-copy sign-flipped embeddings (an
+    // orthogonal diagonal transform: within-copy angular structure
+    // exact, cross-copy cosines scramble to ~0 — new data brings its own
+    // near-dups instead of duplicating the old data).
+    // The repartition before each write is LOAD-BEARING: the source
+    // tables are single row groups, so crossJoin(base, range) yields ONE
+    // output partition and the fixture would be a single parquet file —
+    // every downstream probe would read it single-threaded and the
+    // "ratio" would measure the parallelism floor, not the operator
+    // (the old union-of-N builder wrote ~N files as a side effect; a
+    // real multi-TB corpus is many files, so multi-file IS the honest
+    // layout).
+    def buildCdCore(out: String, copies: Int): Unit = {
+      val rng = spark.range(copies).select(col("id").cast("int").as("copy"))
+      spark.read.parquet(s"$src/documents.parquet").crossJoin(rng)
+        .withColumn("doc_id", col("doc_id") + col("copy").cast("long") * 10000000L)
+        .withColumn("text", regexp_replace(col("text"),
+          lit("(^|[ \\t\\n\\x0B\\f\\r])"), concat(lit("$1c"), col("copy"), lit("_"))))
+        .drop("copy")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      spark.read.parquet(s"$src/embeddings.parquet").crossJoin(rng)
+        .withColumn("embedding", expr("transform(embedding, (x, d) -> " +
+          "CAST(x * (CASE WHEN pmod(hash(copy, d), 2) = 0 THEN 1.0 ELSE -1.0 END) " +
+          "AS FLOAT))"))
+        .withColumn("vec_id", col("vec_id") + col("copy").cast("long") * 10000000L)
+        .drop("copy")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    // probe-name args are validated BEFORE any fixture build (a typo
+    // must fail in milliseconds, not after a multi-minute rebuild); the
+    // literal arg "reuse" skips rebuilding fixtures that already exist —
+    // explicit opt-in, so a changed builder can never silently serve a
+    // stale fixture.
+    def selectProbes(mode: String, known: Seq[String]): (Seq[String], Boolean) = {
+      val opts = args.drop(1).toSet
+      val reuse = opts.contains("reuse")
+      val names = opts - "reuse"
+      val unknown = names -- known.toSet
+      require(unknown.isEmpty,
+        s"ScaleProbe $mode: unknown probe name(s): ${unknown.mkString(", ")}")
+      (if (names.isEmpty) known else known.filter(names), reuse)
+    }
+    def ensureFixture(out: String, copies: Int, reuse: Boolean): Unit =
+      if (!reuse || !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$out/embeddings.parquet")))
+        buildCdCore(out, copies)
+
     // ------------------------------------------- 100x rehearsal (cd100)
     // `runMain graft.ScaleProbe cd100` — two DECADES of constant-density
     // growth (sf0.1 → ~sf1 → ~sf10) for the headline scale claims, so the
     // linearity story rests on 1x/10x/100x measurements instead of a
-    // single-decade extrapolation. Fixtures are built by ONE parameterized
-    // builder (crossJoin with a copy index instead of a union of N
-    // branches — the 100-way union's analysis cost is itself a probe
-    // artifact): per-copy salted tokens (disjoint term/shingle spaces;
-    // the `_` separator stops salt c1 + token "2x" colliding with salt
-    // c12 + token "x") and per-copy sign-flipped embeddings (orthogonal
-    // diagonal transform: within-copy angular structure exact, cross-copy
-    // cosines scramble to ~0). Note two registered queries derive their
-    // query/increment sets from the corpus (s12: every 100th doc, d11:
-    // mutated %5 docs), so their work grows with the corpus BY QUERY
+    // single-decade extrapolation. Note two registered queries derive
+    // their query/increment sets from the corpus (s12: every 100th doc,
+    // d11: mutated %5 docs), so their work grows with the corpus BY QUERY
     // DESIGN — production holds those sets fixed; the measured ratios are
-    // the conservative upper bound.
+    // the conservative upper bound. d8 at 100x needs a bigger driver
+    // heap: SPARK_DRIVER_MEM=48g (winnowing explode over ~200M chars).
     if (args.headOption.contains("cd100")) {
-      def build(out: String, copies: Int): Unit = {
-        val rng = spark.range(copies).select(col("id").cast("int").as("copy"))
-        spark.read.parquet(s"$src/documents.parquet").crossJoin(rng)
-          .withColumn("doc_id", col("doc_id") + col("copy").cast("long") * 10000000L)
-          .withColumn("text", regexp_replace(col("text"),
-            lit("(^|[ \\t\\n\\x0B\\f\\r])"), concat(lit("$1c"), col("copy"), lit("_"))))
-          .drop("copy")
-          .write.mode("overwrite").parquet(s"$out/documents.parquet")
-        spark.read.parquet(s"$src/embeddings.parquet").crossJoin(rng)
-          .withColumn("embedding", expr("transform(embedding, (x, d) -> " +
-            "CAST(x * (CASE WHEN pmod(hash(copy, d), 2) = 0 THEN 1.0 ELSE -1.0 END) " +
-            "AS FLOAT))"))
-          .withColumn("vec_id", col("vec_id") + col("copy").cast("long") * 10000000L)
-          .drop("copy")
-          .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      }
-      val cd10 = "/tmp/graft_cd100_x10"
-      val cd100 = "/tmp/graft_cd100_x100"
-      build(cd10, 10)
-      build(cd100, 100)
       val rehearsal = Seq("d3_dedup_minhash_lsh", "s9_ann_ivf_indexed",
         "s12_bm25_indexed", "d11_dedup_incremental_registry",
-        "p2_shuffle_shard", "p3_pack_sequences")
-      val unknown100 = args.drop(1).toSet -- rehearsal.toSet
-      require(unknown100.isEmpty,
-        s"ScaleProbe cd100: unknown probe name(s): ${unknown100.mkString(", ")}")
-      val sel = if (args.length == 1) rehearsal else rehearsal.filter(args.drop(1).toSet)
+        "p2_shuffle_shard", "p3_pack_sequences",
+        // dedup tail: d2's 10xCD measured 1.2x (prefix filtering kills
+        // disjoint-shingle candidates) — the second decade confirms the
+        // exact join stays output-tracking; d8 is linear in BYTES (salt
+        // overhead included in the fixture's char count)
+        "d2_dedup_ngram_jaccard", "d8_dedup_substring")
+      val (sel, reuse) = selectProbes("cd100", rehearsal)
+      val cd10 = "/tmp/graft_cd100_x10"
+      val cd100 = "/tmp/graft_cd100_x100"
+      ensureFixture(cd10, 10, reuse)
+      ensureFixture(cd100, 100, reuse)
       spark.range(1000000).selectExpr("sum(id)").collect()
       sel.foreach(n => time(src, n)) // JIT warm
       println(f"${"query"}%-30s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"100x_sec"}%9s ${"r10"}%6s ${"r100"}%6s")
@@ -112,41 +147,6 @@ object ScaleProbe {
     // spans) — so the measured ratio tests the LINEARITY CLAIM instead of
     // the output-growth artifact.
     if (args.headOption.contains("cd")) {
-      val cd = "/tmp/graft_sf1cd"
-      val docs = spark.read.parquet(s"$src/documents.parquet")
-      (0 until 10).map { i =>
-        docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
-          // prefix every token with a per-copy salt: within-copy dup
-          // structure identical to base, cross-copy shingles/terms disjoint.
-          // Salt on the full whitespace class the tokenizers split on —
-          // space-only salting would leave tokens after newlines/tabs
-          // unsalted (the corpus has multi-line docs) and the cross-copy
-          // term spaces would not actually be disjoint.
-          .withColumn("text",
-            regexp_replace(col("text"), "(^|[ \\t\\n\\x0B\\f\\r])", s"$$1c$i"))
-      }.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$cd/documents.parquet")
-      for ((t, key, ts) <- Seq(("orders", "o_orderkey", "o_orderdate"),
-          ("lineitem", "l_orderkey", "l_shipdate"))) {
-        val base = spark.read.parquet(s"$src/$t.parquet")
-        (0 until 10).map { i =>
-          base.withColumn(key, col(key) + lit(i * 10000000L))
-            // ~7 TPC-H years per copy: spans disjoint, density constant
-            .withColumn(ts, col(ts) + expr(s"INTERVAL ${i * 2557} DAYS"))
-        }.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$cd/$t.parquet")
-      }
-      // embeddings: per-copy deterministic SIGN FLIP per dimension — an
-      // orthogonal (diagonal ±1) transform, so every copy's INTERNAL
-      // angular structure (its dup pairs) is preserved exactly while
-      // cross-copy cosines scramble toward 0: new data brings its own
-      // near-dups instead of being a near-dup of the old data, which is
-      // how embedding corpora actually grow. Copy 0 keeps the originals.
-      val emb = spark.read.parquet(s"$src/embeddings.parquet")
-      (0 until 10).map { i =>
-        val flipped = if (i == 0) emb else emb.withColumn("embedding",
-          expr(s"transform(embedding, (x, d) -> CAST(x * (CASE WHEN " +
-            s"pmod(hash($i, d), 2) = 0 THEN 1.0 ELSE -1.0 END) AS FLOAT))"))
-        flipped.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
-      }.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$cd/embeddings.parquet")
       val cdProbes = Seq("x36_interval_overlap", "d15_dedup_keep_best",
         "s11_bm25_topk", "s12_bm25_indexed", "d16_dup_source_matrix",
         // round-8 additions: the remaining >3x same-span rows, measured
@@ -154,13 +154,29 @@ object ScaleProbe {
         "d2_dedup_ngram_jaccard", "d5_dedup_embedding_cosine",
         "d7_semantic_dedup", "d8_dedup_substring", "x10_range_join",
         "m4_resize")
-      // extra args = probe-name filter for cheap re-measurement; unknown
-      // names fail loudly (a typo must not look like a clean run)
-      val unknownCd = args.drop(1).toSet -- cdProbes.toSet
-      require(unknownCd.isEmpty,
-        s"ScaleProbe cd: unknown probe name(s): ${unknownCd.mkString(", ")}")
-      val selectedCd =
-        if (args.length == 1) cdProbes else cdProbes.filter(args.drop(1).toSet)
+      val (selectedCd, reuse) = selectProbes("cd", cdProbes)
+      val cd = "/tmp/graft_sf1cd"
+      if (!reuse || !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$cd/lineitem.parquet"))) {
+        // documents + embeddings from the shared builder; orders/lineitem
+        // are cd-specific: copies' TIME ranges shift past each other
+        // (~7 TPC-H years per copy) so spans are disjoint and overlap
+        // density stays constant
+        buildCdCore(cd, 10)
+        for ((t, key, ts) <- Seq(("orders", "o_orderkey", "o_orderdate"),
+            ("lineitem", "l_orderkey", "l_shipdate"))) {
+          val base = spark.read.parquet(s"$src/$t.parquet")
+          val rng = spark.range(10).select(col("id").cast("int").as("copy"))
+          base.crossJoin(rng)
+            .withColumn(key, col(key) + col("copy").cast("long") * 10000000L)
+            // ~7 TPC-H years per copy: spans disjoint, density constant
+            .withColumn(ts, expr(s"$ts + copy * INTERVAL 2557 DAYS"))
+            .drop("copy")
+            .repartition(32) // multi-file layout (see buildCdCore note)
+            .write.mode("overwrite").parquet(s"$cd/$t.parquet")
+        }
+      }
+      val docs = spark.read.parquet(s"$src/documents.parquet")
       spark.range(1000000).selectExpr("sum(id)").collect()
       selectedCd.foreach(n => time(src, n)) // JIT warm
       println(f"${"query"}%-26s ${"1x_sec"}%8s ${"10xCD_sec"}%9s ${"ratio"}%6s")

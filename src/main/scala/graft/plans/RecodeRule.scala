@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  And, CaseWhen, EqualTo, Expression, In, IsNotNull, IsNull, Literal, Not, Or,
+  And, CaseWhen, EqualTo, Expression, In, IsNull, Literal, Not, Or,
   ScalaUDF}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -27,6 +27,14 @@ case class RecodeFn(mapping: Seq[(String, String)], default: Option[String])
     extends (String => String) with Serializable {
   require(mapping.map(_._1).distinct.size == mapping.size,
     "RecodeFn: mapping keys must be distinct")
+  // the optimizer rule lifts keys/values into Literals AFTER analysis,
+  // where nothing re-checks types — a null would mint a NullType literal
+  // inside a StringType CaseWhen. Reject up front; scrub-to-null is a
+  // separate when(...).otherwise(null) step, not a recode.
+  require(mapping.forall { case (k, v) => k != null && v != null },
+    "RecodeFn: mapping keys and values must be non-null")
+  require(default.forall(_ != null),
+    "RecodeFn: default must not be Some(null); use None for identity passthrough")
   private val m = mapping.toMap
   override def apply(s: String): String =
     if (s == null) null else m.getOrElse(s, default.getOrElse(s))
@@ -58,13 +66,18 @@ object CollapseRecodeUdf extends Rule[LogicalPlan] {
     u.function.isInstanceOf[RecodeFn] && u.children.size == 1
 
   /** `recode(key) = 'v'` as a predicate on the RAW column. Case analysis
-    * mirrors [[RecodeFn.apply]] exactly; every disjunct yields null (→
-    * filter-false) on null key, matching the UDF's null → null = 'v' →
-    * null. Catalyst's OptimizeIn then usually packs the disjunction into
-    * one pushable `In`. A multi-branch boolean CaseWhen would NOT get
-    * here on its own — SimplifyConditionalsInPredicate only folds
-    * single-branch shapes — which is why the comparison is matched
-    * directly instead of leaning on the generic rewrite below. */
+    * mirrors [[RecodeFn.apply]] exactly — INCLUDING the null lattice: the
+    * UDF face gives recode(null) = null, and null = 'v' is NULL, so every
+    * disjunct here must yield NULL (not false) on a null key, or a
+    * negated filter (`!(recode(k) = 'v')`) and a projected comparison
+    * would diverge from the UDF. EqualTo and Not(In) propagate null
+    * natively; the no-disjunct fallback uses And(IsNull, null) — null on
+    * null key, false otherwise. Catalyst's OptimizeIn then usually packs
+    * the disjunction into one pushable `In`. A multi-branch boolean
+    * CaseWhen would NOT get here on its own —
+    * SimplifyConditionalsInPredicate only folds single-branch shapes —
+    * which is why the comparison is matched directly instead of leaning
+    * on the generic rewrite below. */
   private def recodeEq(u: ScalaUDF, v: String): Expression = {
     val f = u.function.asInstanceOf[RecodeFn]
     val key = u.children.head
@@ -75,11 +88,15 @@ object CollapseRecodeUdf extends Rule[LogicalPlan] {
     // unmapped keys: value is `default`, or the key itself when None
     val unmapped: Seq[Expression] = f.default match {
       case Some(d) if d == v =>
-        Seq(And(IsNotNull(key), Not(In(key, mappedKeys.map(Literal(_))))))
+        // Not(In) alone: null key → In null → Not null = NULL, matching
+        // the UDF; an IsNotNull guard here would turn that NULL into
+        // FALSE and break negation/projection parity
+        Seq(Not(In(key, mappedKeys.map(Literal(_)))))
       case None if !mappedKeys.contains(v) => Seq(EqualTo(key, Literal(v)))
       case _ => Nil
     }
-    (hit ++ unmapped).reduceOption(Or).getOrElse(Literal.FalseLiteral)
+    (hit ++ unmapped).reduceOption(Or).getOrElse(
+      And(IsNull(key), Literal.create(null, org.apache.spark.sql.types.BooleanType)))
   }
 
   private def isNonNullStringLit(e: Expression): Boolean = e match {

@@ -1210,6 +1210,21 @@ object ExtensionQueries {
     bpeMergeCache.clear()
     unigramModelCache.clear()
   }
+
+  /** Bench warmup hook: materialize the at-rest tokenizer artifacts
+    * BEFORE the timed sweep, so every encode-face query (p9/p20/p22/p23)
+    * measures its documented load-shape regardless of sweep order —
+    * without this, whichever consumer sorts first alphabetically
+    * (p22 < p8!) pays the one-time ensure-train inside its own timed run,
+    * and a later retime of that query would measure the load shape
+    * against the sweep's train shape, corrupting the host-drag signal.
+    * Train-face queries (p8/p19) are unaffected: their in-memory memos
+    * are cleared per timed run and they never read the disk artifacts. */
+  private[graft] def seedArtifacts(s: SparkSession, dir: String): Unit = {
+    bpeMergesAtRest(s, dir, nMerges = 20)
+    unigramModelAtRest(s, dir, vocabSize = 40)
+    ()
+  }
   private def bpeMerges(s: SparkSession, dir: String, nMerges: Int): Seq[(String, String)] =
     bpeMergeCache.getOrElseUpdate((dir, nMerges),
       graft.pipeline.Bpe.trainMerges(

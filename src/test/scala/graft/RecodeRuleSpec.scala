@@ -138,4 +138,38 @@ class RecodeRuleSpec extends AnyFunSuite {
       RecodeFn(Seq("a" -> "x", "a" -> "y"), None)
     }
   }
+
+  test("RecodeFn rejects null keys, values, and Some(null) default (post-analysis literals)") {
+    intercept[IllegalArgumentException] { RecodeFn(Seq("a" -> null), None) }
+    intercept[IllegalArgumentException] { RecodeFn(Seq((null: String) -> "x"), None) }
+    intercept[IllegalArgumentException] { RecodeFn(Seq("a" -> "x"), Some(null)) }
+  }
+
+  test("null key yields NULL (not false) through the comparison rewrite — negation and projection") {
+    // the comparison rewrite replaces recode(k) = 'v' OUTSIDE Filter
+    // contexts too, where null vs false is observable; and under a
+    // NEGATED filter !(recode = v), a null that degraded to false would
+    // wrongly KEEP the null row
+    val data = Seq[(java.lang.Long, String)]((1L, "src0"), (2L, "unknown"),
+      (3L, null)).toDF("id", "source")
+    val m = mapping.toMap
+    val opaque = udf((s: String) => if (s == null) null else m.getOrElse(s, "other"))
+    val declared = Recode.recodeUdf(mapping, default = Some("other"))
+    // v = default value: exercises the Not(In) disjunct; v = unmatched:
+    // exercises the empty-disjunct fallback; v = mapped value: the hit path
+    for (v <- Seq("other", "zzz", "crawl")) {
+      val a = data.where(!(opaque(col("source")) === v))
+        .select("id").as[Long].collect().toSet
+      val b = data.where(!(declared(col("source")) === v))
+        .select("id").as[Long].collect().toSet
+      assert(a == b, s"negated filter v=$v: udf=$a rule=$b")
+      assert(!b.contains(3L), s"null row must be dropped by a negated filter (v=$v)")
+      val c = data.select(col("id"), (opaque(col("source")) === v).as("hit"))
+        .orderBy("id").collect().map(r => (r.getLong(0), r.get(1))).toSeq
+      val d = data.select(col("id"), (declared(col("source")) === v).as("hit"))
+        .orderBy("id").collect().map(r => (r.getLong(0), r.get(1))).toSeq
+      assert(c == d, s"projected comparison v=$v: udf=$c rule=$d")
+      assert(d.last == ((3L, null)), s"projected null row must be null, not false (v=$v)")
+    }
+  }
 }
