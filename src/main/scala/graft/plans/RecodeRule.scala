@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  And, CaseWhen, EqualTo, Expression, In, IsNull, Literal, Not, Or,
-  ScalaUDF}
+  And, CaseWhen, EqualTo, Expression, In, IsNotNull, IsNull, Literal, Not,
+  Or, ScalaUDF}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.expressions.UserDefinedFunction
@@ -88,10 +88,19 @@ object CollapseRecodeUdf extends Rule[LogicalPlan] {
     // unmapped keys: value is `default`, or the key itself when None
     val unmapped: Seq[Expression] = f.default match {
       case Some(d) if d == v =>
-        // Not(In) alone: null key → In null → Not null = NULL, matching
-        // the UDF; an IsNotNull guard here would turn that NULL into
-        // FALSE and break negation/projection parity
-        Seq(Not(In(key, mappedKeys.map(Literal(_)))))
+        if (mappedKeys.isEmpty)
+          // empty mapping: every NON-NULL key recodes to the default —
+          // Or(IsNotNull, null) is true for non-null keys and NULL for
+          // null keys. Not(In(key, Nil)) would NOT work: Catalyst folds
+          // an empty In to plain FALSE (not null-aware), so Not of it
+          // becomes TRUE even for null keys (found by RecodeRuleProps).
+          Seq(Or(IsNotNull(key),
+            Literal.create(null, org.apache.spark.sql.types.BooleanType)))
+        else
+          // Not(In) alone: null key → In null → Not null = NULL, matching
+          // the UDF; an IsNotNull CONJUNCT here would turn that NULL into
+          // FALSE and break negation/projection parity
+          Seq(Not(In(key, mappedKeys.map(Literal(_)))))
       case None if !mappedKeys.contains(v) => Seq(EqualTo(key, Literal(v)))
       case _ => Nil
     }

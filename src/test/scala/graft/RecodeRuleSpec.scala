@@ -17,6 +17,22 @@ class RecodeRuleSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
 
+  /** Value-parity fixtures MUST NOT be LocalRelations: Catalyst's
+    * ConvertToLocalRelation batch evaluates Filter/Project over a
+    * LocalRelation eagerly — with the raw UDF, BEFORE the injected
+    * optimizer rule ever runs — so a local-Seq-backed parity test is
+    * vacuous (it compares the UDF against itself; a deliberately broken
+    * rewrite passed it, which is how this round-trip was discovered).
+    * A parquet round trip forces the plan through the optimizer batch
+    * that carries the rewrite. */
+  private def parquetBacked(df: org.apache.spark.sql.DataFrame, tag: String)
+      : org.apache.spark.sql.DataFrame = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_recodespec_${tag}_" +
+      s"${ProcessHandle.current().pid()}"
+    df.write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
+
   private val mapping = Seq("src0" -> "crawl", "src1" -> "crawl", "src2" -> "print")
 
   private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
@@ -56,8 +72,8 @@ class RecodeRuleSpec extends AnyFunSuite {
   }
 
   test("value semantics identical with and without the rule (null / mapped / unmapped)") {
-    val data = Seq[(java.lang.Long, String)]((1L, "src0"), (2L, "src2"),
-      (3L, "unknown"), (4L, null)).toDF("id", "source")
+    val data = parquetBacked(Seq[(java.lang.Long, String)]((1L, "src0"), (2L, "src2"),
+      (3L, "unknown"), (4L, null)).toDF("id", "source"), "vals")
     val m = mapping.toMap
     // default = Some("other")
     val opaque = udf((s: String) => if (s == null) null else m.getOrElse(s, "other"))
@@ -110,8 +126,8 @@ class RecodeRuleSpec extends AnyFunSuite {
   }
 
   test("IN-list value semantics identical with and without the rule") {
-    val data = Seq[(java.lang.Long, String)]((1L, "src0"), (2L, "src2"),
-      (3L, "unknown"), (4L, null)).toDF("id", "source")
+    val data = parquetBacked(Seq[(java.lang.Long, String)]((1L, "src0"), (2L, "src2"),
+      (3L, "unknown"), (4L, null)).toDF("id", "source"), "inlist")
     val m = mapping.toMap
     val opaque = udf((s: String) => if (s == null) null else m.getOrElse(s, "other"))
     val declared = Recode.recodeUdf(mapping, default = Some("other"))
@@ -133,6 +149,27 @@ class RecodeRuleSpec extends AnyFunSuite {
     assert(a == b, s"null-in-list: udf=$a rule=$b")
   }
 
+  test("empty mapping: every non-null key takes the default, null stays null") {
+    // the degenerate recode (constant-except-null) — Catalyst folds an
+    // empty In to plain FALSE, so this shape needs its own disjunct
+    // (RecodeRuleProps found the divergence; pinned here deterministically)
+    val data = parquetBacked(Seq[(java.lang.Long, String)]((1L, "x"), (2L, null))
+      .toDF("id", "source"), "emptymap")
+    val opaque = udf((s: String) => if (s == null) null else "b")
+    val declared = Recode.recodeUdf(Seq.empty, Some("b"))
+    for (v <- Seq("b", "zz")) {
+      val a = data.where(opaque(col("source")) === v).select("id").as[Long].collect().toSet
+      val b = data.where(declared(col("source")) === v).select("id").as[Long].collect().toSet
+      assert(a == b, s"filter v=$v: udf=$a rule=$b")
+      val c = data.where(!(opaque(col("source")) === v)).select("id").as[Long].collect().toSet
+      val d = data.where(!(declared(col("source")) === v)).select("id").as[Long].collect().toSet
+      assert(c == d, s"negated v=$v: udf=$c rule=$d")
+      val e = data.where(opaque(col("source")).isin(v, "q")).select("id").as[Long].collect().toSet
+      val f = data.where(declared(col("source")).isin(v, "q")).select("id").as[Long].collect().toSet
+      assert(e == f, s"isin v=$v: udf=$e rule=$f")
+    }
+  }
+
   test("RecodeFn rejects duplicate mapping keys (first-match ambiguity)") {
     intercept[IllegalArgumentException] {
       RecodeFn(Seq("a" -> "x", "a" -> "y"), None)
@@ -150,8 +187,8 @@ class RecodeRuleSpec extends AnyFunSuite {
     // contexts too, where null vs false is observable; and under a
     // NEGATED filter !(recode = v), a null that degraded to false would
     // wrongly KEEP the null row
-    val data = Seq[(java.lang.Long, String)]((1L, "src0"), (2L, "unknown"),
-      (3L, null)).toDF("id", "source")
+    val data = parquetBacked(Seq[(java.lang.Long, String)]((1L, "src0"), (2L, "unknown"),
+      (3L, null)).toDF("id", "source"), "nullkey")
     val m = mapping.toMap
     val opaque = udf((s: String) => if (s == null) null else m.getOrElse(s, "other"))
     val declared = Recode.recodeUdf(mapping, default = Some("other"))
