@@ -697,9 +697,12 @@ object Dedup {
     * proportional to the corpus, Abbas et al. 2023 §2, so the expected
     * cluster SIZE stays constant and within-cluster scoring grows
     * LINEARLY with the data; a pinned nlist grows clusters with the
-    * corpus and scoring quadratically — measured 9.4× vs 2.2× for 10×
-    * data in SCALE.md's round-8 cd probes). The `count()` at build time
-    * is quantizer-build cost, the same class as IVF training. */
+    * corpus and SCORING quadratically — 100× scored pairs for 10× data,
+    * measured in SCALE.md's round-8 cd probes (3.0× wall-clock pinned vs
+    * 2.3× scaled at 10× on 32 cores — the pinned gap compounds every
+    * further decade while the scaled path stays linear). The `count()`
+    * at build time is quantizer-build cost, the same class as IVF
+    * training. */
   def semanticDedupPairsAuto(
       df: DataFrame, idCol: String, vecCol: String,
       targetClusterSize: Int, threshold: Double): DataFrame = {
