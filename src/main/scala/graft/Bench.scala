@@ -60,15 +60,37 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPath)
     val prevExists = java.nio.file.Files.exists(java.nio.file.Paths.get(prevPath))
-    val prev: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(prevPath)), "UTF-8")
-      val start = txt.indexOf("\"queries\":{")
+    def scrapeMap(txt: String, key: String): Map[String, Double] = {
+      val anchor = "\"" + key + "\":{"
+      val start = txt.indexOf(anchor)
       val end = if (start < 0) -1 else txt.indexOf("}", start)
       if (end < 0) Map.empty
       else "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.Ee+-]*)".r
-        .findAllMatchIn(txt.substring(start + 11, end))
+        .findAllMatchIn(txt.substring(start + anchor.length, end))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    // The regression baseline per query is the previous round's BEST
+    // observed time — corrected_queries when the snapshot has it, else
+    // min(sweep, retimed). Comparing against the raw sweep alone would
+    // let an inflated prior value (the very spikes the pass exists to
+    // exonerate) mask a genuine regression this round: ratio <= 1, never
+    // retimed.
+    val prev: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(prevPath)), "UTF-8")
+      val corrected = scrapeMap(txt, "corrected_queries")
+      if (corrected.nonEmpty) corrected
+      else {
+        val sweep = scrapeMap(txt, "queries")
+        val rt = scrapeMap(txt, "retimed")
+        sweep.map { case (k, v) =>
+          k -> (rt.get(k) match {
+            case Some(r) if r >= 0 && v >= 0 => math.min(v, r)
+            case Some(r) if r >= 0 => r
+            case _ => v
+          })
+        }
+      }
     } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
     if (prevExists && prev.isEmpty)
       // the prev reader is a format-anchored scrape; if the snapshot format
@@ -98,22 +120,41 @@ object Bench {
     // of identical code, so the min is the quiet-window estimate). This is
     // the number to compare across rounds on a contended host.
     val retimedMap = retimed.toMap
-    val correctedTotal = results.map { case (k, v) =>
-      retimedMap.get(k) match {
+    // Per-query best observed time this run: sweep value, improved by a
+    // retime where one ran. Persisted as corrected_queries so the NEXT
+    // round's regression baseline is the quiet-window estimate, not a
+    // possibly drag-inflated sweep value.
+    val correctedQueries = results.map { case (k, v) =>
+      k -> (retimedMap.get(k) match {
         case Some(r) if r >= 0 && v >= 0 => math.min(v, r)
+        case Some(r) if r >= 0 => r
         case _ => v
-      }
-    }.filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","corrected_total":$correctedTotal,"queries":$qs,"retimed":$rt,"sf":"$sfDir"}"""
-    println(line)
-    // Also drop the full JSON next to the repo sources (the driver's log
-    // capture keeps only the tail; a committed copy preserves per-query
-    // numbers for the judge). Best-effort: an unwritable cwd must not
-    // fail the bench.
+      })
+    }
+    val correctedTotal = correctedQueries.map(_._2).filter(_ >= 0).sum
+    val cq = correctedQueries.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","corrected_total":$correctedTotal,"queries":$qs,"retimed":$rt,"corrected_queries":$cq,"sf":"$sfDir"}"""
+    // The driver's log capture keeps only the LAST ~2000 chars of output,
+    // so a 172-query map printed to stdout gets decapitated and the
+    // driver's JSON parse fails (BENCH_r01..r08 all carry parsed:null).
+    // stdout therefore gets a COMPACT line that fits whole inside that
+    // tail — totals, failure count, the slowest queries, and the retime
+    // map — while the full per-query line goes to the committed snapshot
+    // file (best-effort: an unwritable cwd must not fail the bench).
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val nFailed = results.count(_._2 < 0)
+    val top = correctedQueries.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val rtCompact = retimed.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","corrected_total":${fmt(correctedTotal)},"n_queries":${results.size},"n_failed":$nFailed,"queries":$top,"retimed":$rtCompact,"sf":"$sfDir","note":"queries = slowest 20 of ${results.size}; full per-query map in $outPath"}"""
+    println(compact)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => }
     spark.stop()
   }

@@ -93,9 +93,14 @@ object ScaleProbe {
         s"ScaleProbe $mode: unknown probe name(s): ${unknown.mkString(", ")}")
       (if (names.isEmpty) known else known.filter(names), reuse)
     }
+    // reuse keys on the _SUCCESS marker of the LAST table the builder
+    // writes, not bare directory existence: a build killed mid-write
+    // leaves a partial parquet directory that a directory check would
+    // silently serve (fewer rows → skewed ratios, or a confusing failure
+    // far from the cause).
     def ensureFixture(out: String, copies: Int, reuse: Boolean): Unit =
       if (!reuse || !java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$out/embeddings.parquet")))
+          java.nio.file.Paths.get(s"$out/embeddings.parquet/_SUCCESS")))
         buildCdCore(out, copies)
 
     // ------------------------------------------- 100x rehearsal (cd100)
@@ -157,7 +162,8 @@ object ScaleProbe {
       val (selectedCd, reuse) = selectProbes("cd", cdProbes)
       val cd = "/tmp/graft_sf1cd"
       if (!reuse || !java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$cd/lineitem.parquet"))) {
+          // _SUCCESS of the LAST table written — see ensureFixture note
+          java.nio.file.Paths.get(s"$cd/lineitem.parquet/_SUCCESS"))) {
         // documents + embeddings from the shared builder; orders/lineitem
         // are cd-specific: copies' TIME ranges shift past each other
         // (~7 TPC-H years per copy) so spans are disjoint and overlap

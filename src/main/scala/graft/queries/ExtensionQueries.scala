@@ -128,10 +128,11 @@ object ExtensionQueries {
 
   /** d7 through the corpus-scaled quantizer (targetClusterSize = 250 →
     * nlist 2 at sf0.01, 8 at sf0.1): the SemDeDup production scaling
-    * law — constant expected cluster size, within-cluster scoring linear
-    * in the corpus (measured 2.2× vs 9.4× for 10× data, SCALE.md r8) —
-    * as a registered, oracle-backed face rather than a probe-only
-    * argument. */
+    * law — constant expected cluster size, so scored pairs grow 10× for
+    * 10× data where a pinned nlist grows them 100× (measured wall-clock
+    * 2.3× scaled vs 3.0× pinned at 10× on 32 cores, SCALE.md r8 cd
+    * probes; the pinned gap compounds each further decade) — as a
+    * registered, oracle-backed face rather than a probe-only argument. */
   private def d17(s: SparkSession, dir: String): DataFrame =
     Dedup.semanticDedupPairsAuto(table(s, dir, "embeddings"),
       "vec_id", "embedding", targetClusterSize = 250, threshold = 0.4)
