@@ -661,6 +661,69 @@ object Dedup {
   /** Embedding cosine near-dup pairs within blocking-key groups (brute
     * force within block; for unblocked corpora use the hyperplane-LSH
     * bucketing in [[graft.similarity.Similarity]]). */
+  /** Banded hyperplane-LSH embedding near-dup pairs — the
+    * no-natural-key, no-quantizer member of the embedding-dedup family
+    * ([[embeddingCosinePairs]] needs blocking columns,
+    * [[semanticDedupPairs]] builds them with a coarse quantizer whose
+    * clusters score all-pairs WITHIN each cluster): `bands` bands of
+    * `rowsPerBand` hyperplane sign bits each (Charikar 2002 random
+    * hyperplane LSH, banded a la minhash-LSH — the d3 shape transplanted
+    * to the embedding space). Two vectors are candidates iff some band's
+    * sign bits all agree; candidates are verified by EXACT cosine
+    * against `threshold`, so precision is exact and only recall is
+    * approximate: a pair at angle theta collides per band with
+    * (1 - theta/pi)^rowsPerBand, so recall = 1 - (1 - p_band)^bands —
+    * the tunable S-curve. At 100 TB this is the scale default for
+    * unlabeled corpora: candidate volume tracks TRUE near-dup density
+    * (near-dups concentrate in shared buckets) instead of
+    * |corpus|^2 / |blocks| for whatever fixed blocking exists, and each
+    * band join is a plain equi-shuffle on (band, bucket).
+    *
+    * Planes are the deterministic md5-derived +/-1 hyperplanes of
+    * [[graft.similarity.Similarity.hyperplaneWeights]] (plane index =
+    * band * rowsPerBand + p), embedded as codegen'd literals — any
+    * engine can regenerate them, which is what makes the d18 gate query
+    * fully oracle-able. Output: (id_a, id_b, cosine), id_a < id_b,
+    * NaN cosines (zero-norm vectors) excluded. */
+  def embeddingLshPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      bands: Int, rowsPerBand: Int, dims: Int, threshold: Double): DataFrame = {
+    import graft.similarity.Similarity.{dot, hyperplaneWeights, l2Norm}
+    require(bands >= 1 && rowsPerBand >= 1 && rowsPerBand <= 62,
+      "embeddingLshPairs: need bands >= 1 and 1 <= rowsPerBand <= 62")
+    val w = hyperplaneWeights(bands * rowsPerBand, dims)
+    // id/vec/norm once per vector; persisted — the band self-join and the
+    // two verify joins all re-read this relation, and Spark does not
+    // share plan subtrees across self-joins (the embeddingCosinePairs
+    // lesson)
+    val t = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        l2Norm(col(vecCol)).as("nrm"))
+      .transform(graft.CacheRegistry.persisted(_))
+    val bandBuckets = (0 until bands).map { b =>
+      (0 until rowsPerBand).map { p =>
+        when(dot(col("v"), typedlit(w(b * rowsPerBand + p).toSeq)) > 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val banded = t.select(col("id"),
+      posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket")))
+    // candidate pairs: same (band, bucket) in at least one band; distinct
+    // BEFORE the verify joins so a pair colliding in k bands is scored
+    // once, not k times
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(t.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(t.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine"))
+      .where(!isnan(col("cosine")) && col("cosine") >= threshold)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space with a coarse quantizer, then find exact
     * cosine near-dup pairs WITHIN each cluster — the published recipe for

@@ -1,9 +1,15 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCoercion
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftSqlBridge
 import org.apache.spark.sql.types._
+
+import graft.plans.AsOfJoinNode
 
 /** Distributed as-of (point-in-time) join — the canonical "operator Spark
   * lacks", composed from built-ins (preference order (a) of the build
@@ -143,6 +149,108 @@ object AsOfJoin {
       .where(col("__side") === 1)
       .drop("__k", "__t", "__side", "__r")
       .drop(tieCols: _*)
+  }
+
+  /** [[backward]] through the custom PHYSICAL operator
+    * (`graft.plans.SortMergeAsOfJoinExec`, planned by the
+    * `AsOfJoinStrategy` that `GraftExtensions` injects — requires the
+    * session to be built with
+    * `spark.sql.extensions=graft.plans.GraftExtensions`). Same results
+    * as [[backward]] (pinned by AsOfMergeProps differential tests), a
+    * different cost shape: each side shuffles only its OWN columns
+    * instead of the null-padded union superset, and the window pass is
+    * replaced by a streaming per-partition merge with O(1) state — the
+    * preferable form when the two sides are wide or the right side is
+    * much smaller than the left. Caveats: the custom node is invisible
+    * to AQE's skew-join splitting (pre-salt a known-skewed key
+    * upstream), and filters above it do not push through (filter the
+    * inputs instead). */
+  def backwardMerge(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String], rightTieBreak: Seq[String] = Nil,
+      tolerance: Option[Double] = None): DataFrame = {
+    require(rightPayload.nonEmpty, "asOf: need at least one right payload column")
+    val collisions = rightPayload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"asOf: right payload collides with left columns: $collisions")
+    val reserved = Seq("__asof_k", "__asof_t")
+    require(!reserved.exists(left.columns.contains),
+      s"asOf merge: left must not contain reserved columns ${reserved.mkString(", ")}")
+
+    val (lKey, ltType) = timeKey(left, leftTime)
+    val (rKey, rtType) = timeKey(right, rightTime)
+    val tt = widen(ltType, rtType)
+    // Both key columns are cast to one common type BEFORE the node: the
+    // two sides hash-partition independently, and hash(5: Int) !=
+    // hash(5L) — a type mismatch would send equal keys to different
+    // partitions and silently drop matches.
+    val lkType = left.schema(leftKey).dataType
+    val rkType = right.schema(rightKey).dataType
+    val kt =
+      if (lkType == rkType) lkType
+      else TypeCoercion.findTightestCommonType(lkType, rkType).getOrElse(
+        throw new IllegalArgumentException(
+          s"asOf merge: incompatible key types $lkType / $rkType"))
+
+    val l2 = left
+      .withColumn("__asof_k", col(leftKey).cast(kt))
+      .withColumn("__asof_t", lKey.cast(tt))
+    // The right side is re-projected under MANGLED aliases (never equal
+    // to the source attribute names): a fresh-but-same-name alias is
+    // exactly what the optimizer's RemoveRedundantAliases strips, and
+    // stripping one on a self-as-of (left and right sharing lineage)
+    // would re-introduce duplicate attribute ids across the node's two
+    // children — renaming aliases are never redundant, so the children's
+    // outputs stay disjoint through optimization.
+    val payloadAliases = rightPayload.zipWithIndex.map { case (c, i) => (c, s"__asof_p$i") }
+    val tieAliases = rightTieBreak.zipWithIndex.map { case (c, i) => (c, s"__asof_x$i") }
+    val r2 = right
+      .where(col(rightKey).isNotNull)
+      .select(
+        col(rightKey).cast(kt).as("__asof_rk") +:
+          rKey.cast(tt).as("__asof_rt") +:
+          (payloadAliases ++ tieAliases).map { case (c, a) => col(c).as(a) }: _*)
+
+    val lPlan = l2.queryExecution.analyzed
+    val rPlan = r2.queryExecution.analyzed
+    def a(p: LogicalPlan, n: String): Attribute = p.output.find(_.name == n)
+      .getOrElse(throw new IllegalStateException(s"asOf merge: lost helper column $n"))
+    val node = AsOfJoinNode(lPlan, rPlan,
+      a(lPlan, "__asof_k"), a(lPlan, "__asof_t"),
+      a(rPlan, "__asof_rk"), a(rPlan, "__asof_rt"),
+      tieAliases.map { case (_, al) => a(rPlan, al) })
+    val joinedDf = GraftSqlBridge.ofRows(left.sparkSession, node)
+
+    // Matched = right key attached (never null for a matched row: the
+    // exec skips null-key right rows). Tolerance mirrors [[backward]]:
+    // the as-of winner is the closest candidate, so filtering it is
+    // exact; a null gap (null time on either side) fails the check.
+    val matched = col("__asof_rk").isNotNull
+    val attach = tolerance match {
+      case None      => matched
+      case Some(tol) => matched && gapWithin(col("__asof_t") - col("__asof_rt"), tol, tt)
+    }
+    joinedDf.select(
+      left.columns.map(col).toSeq ++
+        payloadAliases.map { case (c, al) => when(attach, col(al)).as(c) }: _*)
+  }
+
+  /** [[forward]] through the physical merge operator: [[backwardMerge]]
+    * over negated normalized times (negating a long stays a long). */
+  def forwardMerge(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String], rightTieBreak: Seq[String] = Nil,
+      tolerance: Option[Double] = None): DataFrame = {
+    val (lKey, _) = timeKey(left, leftTime)
+    val (rKey, _) = timeKey(right, rightTime)
+    val lNeg = left.withColumn("__negt", -lKey)
+    val rNeg = right.withColumn("__negt", -rKey)
+    backwardMerge(lNeg, rNeg, leftKey, rightKey, "__negt", "__negt",
+      rightPayload, rightTieBreak, tolerance)
+      .drop("__negt")
   }
 
   /** Nearest as-of: for every left row, the right row with the same key

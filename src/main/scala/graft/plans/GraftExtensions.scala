@@ -13,18 +13,20 @@ import graft.functions.DotProduct
   * Activate per session with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
   *
-  * Note on custom logical plans/strategies: the build ships ONE
-  * optimizer rule — [[CollapseRecodeUdf]], which rewrites a declarative
-  * recode-UDF into `CaseWhen` so filters on the recoded column fold back
-  * to pushable raw-column predicates (SURVEY §4.2's candidate; the
-  * before/after plan assert is in RecodeRuleSpec). Everything else stayed
-  * expressible through built-in operators (composition first, custom
-  * `Expression` second); this class remains the hook where a
-  * `SparkStrategy` would be injected if a future operator needed one. */
+  * Custom plans/rules: ONE optimizer rule — [[CollapseRecodeUdf]], which
+  * rewrites a declarative recode-UDF into `CaseWhen` so filters on the
+  * recoded column fold back to pushable raw-column predicates (SURVEY
+  * §4.2's candidate; before/after plan assert in RecodeRuleSpec) — and
+  * ONE planner strategy — [[AsOfJoinStrategy]], planning
+  * [[AsOfJoinNode]] as the streaming [[SortMergeAsOfJoinExec]]
+  * (narrow-shuffle as-of join; parity with the composed face pinned by
+  * AsOfMergeProps). Everything else stayed expressible through built-in
+  * operators (composition first, custom `Expression` second). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CollapseRecodeUdf)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -937,6 +937,26 @@ object ExtensionQueries {
       .select("event_id", "user_id", "event_s", "o_orderkey", "o_totalprice")
   }
 
+  /** x2's as-of contract through the custom PHYSICAL operator
+    * (`AsOfJoinNode` → `AsOfJoinStrategy` → `SortMergeAsOfJoinExec`,
+    * `graft/plans/AsOfMergeJoin.scala` — extension tier (c): logical
+    * node + planner strategy + physical plan, injected by
+    * GraftExtensions): per-side narrow shuffles and a streaming
+    * per-partition merge replace the composed face's padded union +
+    * window carry-forward. Shares x2's oracle — one contract, two
+    * execution strategies. */
+  private def x39(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val e = ev
+      .select(col("event_id"), col("user_id"), Streaming.epochSeconds(ev).as("event_s"))
+    val o = table(s, dir, "orders")
+      .select(col("o_custkey"), unix_timestamp(col("o_orderdate")).as("order_s"),
+        col("o_orderkey"), col("o_totalprice"))
+    AsOfJoin.backwardMerge(e, o, "user_id", "o_custkey", "event_s", "order_s",
+      rightPayload = Seq("o_orderkey", "o_totalprice"), rightTieBreak = Seq("o_orderkey"))
+      .select("event_id", "user_id", "event_s", "o_orderkey", "o_totalprice")
+  }
+
   /** Hierarchical subtotals via rollup (grouping sets). */
   private def x3(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "lineitem")
@@ -2132,6 +2152,20 @@ object ExtensionQueries {
     * float literal is ::DOUBLE (the DECIMAL-folding gotcha) and composite
     * constants like k1+1 are spelled as the same IEEE additions the Spark
     * side performs. */
+  // shared by x2 (composed union+window face) and x39 (custom physical
+  // SortMergeAsOfJoinExec face): one contract, two execution strategies
+  private val asofOracle = """
+      SELECT event_id, user_id, event_s, o_orderkey, o_totalprice FROM (
+        SELECT e.event_id, e.user_id,
+          epoch_ns(e.ts) // 1000000000 AS event_s,
+          o.o_orderkey, o.o_totalprice,
+          row_number() OVER (PARTITION BY e.event_id
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e LEFT JOIN orders o
+          ON e.user_id = o.o_custkey
+          AND epoch(o.o_orderdate) <= epoch_ns(e.ts) // 1000000000)
+      WHERE rn = 1"""
+
   private val bm25Oracle = """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       stats AS (SELECT count(*)::BIGINT AS n_docs,
@@ -4096,17 +4130,11 @@ object ExtensionQueries {
       FROM sessioned
       GROUP BY user_id, session_seq""")),
 
-    Q("x2_asof_join", x2, Some("""
-      SELECT event_id, user_id, event_s, o_orderkey, o_totalprice FROM (
-        SELECT e.event_id, e.user_id,
-          epoch_ns(e.ts) // 1000000000 AS event_s,
-          o.o_orderkey, o.o_totalprice,
-          row_number() OVER (PARTITION BY e.event_id
-            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-        FROM events e LEFT JOIN orders o
-          ON e.user_id = o.o_custkey
-          AND epoch(o.o_orderdate) <= epoch_ns(e.ts) // 1000000000)
-      WHERE rn = 1""")),
+    Q("x2_asof_join", x2, Some(asofOracle)),
+
+    // same as-of contract through the custom physical operator
+    // (SortMergeAsOfJoinExec) — must reproduce x2 exactly; shared oracle
+    Q("x39_asof_merge", x39, Some(asofOracle)),
 
     Q("x3_rollup", x3, Some("""
       SELECT l_returnflag, l_linestatus,
