@@ -14,7 +14,12 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: a single logged WARN stack (round 9: x38's
+    // FileStreamSink.hasMetadata glob probe logs a swallowed exception
+    // WITH its trace) burns most of the driver's ~2000-char log tail and
+    // can decapitate the parseable compact line below. Bench's own
+    // failure reporting goes through System.err directly, not log4j.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm up executor threads, codegen, and the parquet reader paths once
     // so the first timed query doesn't absorb JVM startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -124,10 +129,12 @@ object Bench {
     // retime where one ran. Persisted as corrected_queries so the NEXT
     // round's regression baseline is the quiet-window estimate, not a
     // possibly drag-inflated sweep value.
+    // No retime-only branch: retimes fire only for sweep values > 0, and
+    // a sweep FAILURE (-1) must stay -1 so n_failed and corrected_total
+    // count the same set of queries.
     val correctedQueries = results.map { case (k, v) =>
       k -> (retimedMap.get(k) match {
         case Some(r) if r >= 0 && v >= 0 => math.min(v, r)
-        case Some(r) if r >= 0 => r
         case _ => v
       })
     }
@@ -143,7 +150,11 @@ object Bench {
     // tail — totals, failure count, the slowest queries, and the retime
     // map — while the full per-query line goes to the committed snapshot
     // file (best-effort: an unwritable cwd must not fail the bench).
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f interpolator is locale-sensitive — a comma
+    // decimal separator would make the compact line invalid JSON and
+    // silently recreate the parsed:null failure this line exists to fix.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val nFailed = results.count(_._2 < 0)
     val top = correctedQueries.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -151,11 +162,13 @@ object Bench {
       .mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","corrected_total":${fmt(correctedTotal)},"n_queries":${results.size},"n_failed":$nFailed,"queries":$top,"retimed":$rtCompact,"sf":"$sfDir","note":"queries = slowest 20 of ${results.size}; full per-query map in $outPath"}"""
-    println(compact)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => }
     spark.stop()
+    // Absolute last output: nothing (not even spark.stop's shutdown
+    // logging) may print after the line the driver's tail must parse.
+    println(compact)
   }
 }

@@ -158,7 +158,11 @@ object ScaleProbe {
         // under constant density instead of classified by argument
         "d2_dedup_ngram_jaccard", "d5_dedup_embedding_cosine",
         "d7_semantic_dedup", "d8_dedup_substring", "x10_range_join",
-        "m4_resize")
+        "m4_resize",
+        // round-10 addition: the banded hyperplane-LSH face — candidate
+        // volume must track near-dup density (cd fixture: cross-copy
+        // cosines scramble to ~0, so buckets stay copy-local)
+        "d18_embedding_lsh")
       val (selectedCd, reuse) = selectProbes("cd", cdProbes)
       val cd = "/tmp/graft_sf1cd"
       if (!reuse || !java.nio.file.Files.exists(

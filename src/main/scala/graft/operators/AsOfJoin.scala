@@ -192,6 +192,17 @@ object AsOfJoin {
       else TypeCoercion.findTightestCommonType(lkType, rkType).getOrElse(
         throw new IllegalArgumentException(
           s"asOf merge: incompatible key types $lkType / $rkType"))
+    // Float/double EQUALITY keys are rejected: the custom node hashes and
+    // compares raw key bits (NormalizeFloatingNumbers only fires on
+    // Join/Window/Aggregate, not on AsOfJoinNode), so 0.0 vs -0.0 and
+    // differing NaN bit patterns would land in different partitions and
+    // compare unequal — silently diverging from [[backward]], whose
+    // window partitioning IS normalized. Use [[backward]], or cast the
+    // key to an exact type first.
+    require(kt != FloatType && kt != DoubleType,
+      s"asOf merge: fractional key type $kt is not supported (0.0/-0.0 and NaN " +
+        "bit patterns would partition and compare inconsistently); use " +
+        "AsOfJoin.backward or cast the key to an integral/string/decimal type")
 
     val l2 = left
       .withColumn("__asof_k", col(leftKey).cast(kt))

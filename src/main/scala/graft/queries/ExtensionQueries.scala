@@ -137,6 +137,16 @@ object ExtensionQueries {
     Dedup.semanticDedupPairsAuto(table(s, dir, "embeddings"),
       "vec_id", "embedding", targetClusterSize = 250, threshold = 0.4)
 
+  /** Banded hyperplane-LSH embedding near-dup — the no-label (vs d5),
+    * no-quantizer (vs d7/d17) member of the embedding-dedup family:
+    * candidates from 8 bands of 4 md5-derived hyperplane sign bits,
+    * verified by exact cosine. The planes are deterministic and
+    * regenerated verbatim in the oracle (the d3 banding shape
+    * transplanted to the embedding space). */
+  private def d18(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingLshPairs(table(s, dir, "embeddings"),
+      "vec_id", "embedding", bands = 8, rowsPerBand = 4, dims = 64, threshold = 0.4)
+
   /** Incremental dedup against a PERSISTED band registry — the 100 TB
     * ingestion shape: the corpus is signatured once into a bucketed
     * (band_key → keep_id) table; a new increment (mutated near-copies of
@@ -2755,6 +2765,35 @@ object ExtensionQueries {
         FROM assign a JOIN assign b
           ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
       WHERE cosine >= 0.4""")),
+
+    // full replication of the banded hyperplane LSH: the ±1 planes are
+    // md5-parity (plane p, dim d → parity of the first hex char of
+    // md5("p_d"), exactly Similarity.hyperplaneWeights), the 8×4 banding
+    // is a per-band 4-bit bucket, candidates collide in ≥1 band, and the
+    // verify is the exact d5-family cosine at the same 0.4 threshold
+    Q("d18_embedding_lsh", d18, Some(s"""
+      WITH planes AS (
+        SELECT p, list_transform(range(1, 65), d ->
+          CASE WHEN substr(md5(p::VARCHAR || '_' || (d-1)::VARCHAR), 1, 1)
+               IN $oddHex THEN 1.0 ELSE -1.0 END) AS w
+        FROM (SELECT unnest(range(0, 32)) AS p)),
+      signs AS (
+        SELECT e.vec_id, p.p // 4 AS band,
+          CASE WHEN list_sum(list_transform(range(1, 65),
+                 d -> e.embedding[d]::DOUBLE * p.w[d])) > 0
+               THEN 1 << (p.p % 4) ELSE 0 END AS bit
+        FROM embeddings e CROSS JOIN planes p),
+      banded AS (SELECT vec_id, band, sum(bit)::BIGINT AS bucket
+                 FROM signs GROUP BY vec_id, band),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM banded a JOIN banded b
+                 ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, cosine FROM (
+        SELECT c.id_a, c.id_b, ${cosSql("ea.embedding", "eb.embedding")} AS cosine
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b)
+      WHERE NOT isnan(cosine) AND cosine >= 0.4""")),
 
     Q("d8_dedup_substring", d8, Some(s"""
       WITH $corpusSql,

@@ -79,4 +79,41 @@ object DedupProps extends Properties("Dedup") {
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         Prop(got.contains((1L, 2L))) :| s"span=$span a=$a b=$b got=$got"
     }
+
+  // --- banded hyperplane-LSH embedding dedup (d18) ---
+  // Differential vs an UNBLOCKED all-pairs scan with the banding replicated
+  // locally: the operator must return exactly the all-pairs cosine matches
+  // whose vectors collide in ≥1 band (precision exact, recall = banding).
+  // Integral vector entries keep every dot/norm/cosine bit-identical
+  // between Spark's DotProduct (index-order double sum) and the local fold.
+  private val d18Bands = 3
+  private val d18Rows = 2
+  private val d18Dims = 4
+  private val vecGen = Gen.listOfN(d18Dims, Gen.chooseNum(-2, 2).map(_.toDouble))
+  private val vecsGen = Gen.chooseNum(2, 10).flatMap(n => Gen.listOfN(n, vecGen))
+  private val cosThresholdGen = Gen.oneOf(-0.5, 0.0, 0.4, 0.9, 1.0)
+
+  property("embeddingLshPairs == local all-pairs with replicated banding (pairs AND cosines)") =
+    Prop.forAll(vecsGen, cosThresholdGen) { (vecs, t) =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val got = Dedup.embeddingLshPairs(df, "vec_id", "embedding",
+        bands = d18Bands, rowsPerBand = d18Rows, dims = d18Dims, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val w = graft.similarity.Similarity.hyperplaneWeights(d18Bands * d18Rows, d18Dims)
+      def dotl(a: Seq[Double], b: Seq[Double]): Double =
+        a.iterator.zip(b.iterator).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      def bucket(v: Seq[Double], band: Int): Long =
+        (0 until d18Rows).foldLeft(0L) { (acc, p) =>
+          acc + (if (dotl(v, w(band * d18Rows + p).toSeq) > 0) 1L << p else 0L)
+        }
+      val iv = vecs.zipWithIndex
+      val want = (for {
+        (va, ia) <- iv; (vb, ib) <- iv if ia < ib
+        if (0 until d18Bands).exists(b => bucket(va, b) == bucket(vb, b))
+        cos = dotl(va, vb) / (math.sqrt(dotl(va, va)) * math.sqrt(dotl(vb, vb)))
+        if !cos.isNaN && cos >= t
+      } yield (ia.toLong, ib.toLong) -> cos).toMap
+      Prop(got == want) :| s"got=$got want=$want vecs=$vecs t=$t"
+    }
 }
