@@ -103,6 +103,103 @@ object ScaleProbe {
           java.nio.file.Paths.get(s"$out/embeddings.parquet/_SUCCESS")))
         buildCdCore(out, copies)
 
+    // ------------------------------------------------ as-of A/B (asof)
+    // `runMain graft.ScaleProbe asof` — composed window face
+    // (AsOfJoin.backward, x2) vs custom physical merge face
+    // (AsOfJoin.backwardMerge, x39) on the SAME contract, across the
+    // regimes the merge face's scaladoc claims to win: a WIDE left
+    // payload (the union face shuffles every right row padded with the
+    // left's column slots — UnsafeRow allocates its 8 bytes per slot
+    // even for nulls) and a 10x corpus. Each cell is timed twice
+    // (cold, warm): a cold-only gap that vanishes warm is fixed
+    // codegen/compile overhead, not per-row cost.
+    if (args.headOption.contains("asof")) {
+      val big10 = "/tmp/graft_asof10"
+      val reuse = args.drop(1).contains("reuse")
+      if (!reuse || !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$big10/orders.parquet/_SUCCESS"))) {
+        val rng = spark.range(10).select(col("id").cast("int").as("copy"))
+        // ids shift per copy; user/custkey key space and times stay put —
+        // both faces see 10x rows over the same key space (same regime,
+        // denser right coverage; identical inputs for the A/B)
+        spark.read.parquet(s"$src/events.parquet").crossJoin(rng)
+          .withColumn("event_id", col("event_id") + col("copy").cast("long") * 10000000L)
+          .drop("copy").repartition(32)
+          .write.mode("overwrite").parquet(s"$big10/events.parquet")
+        spark.read.parquet(s"$src/orders.parquet").crossJoin(rng)
+          .withColumn("o_orderkey", col("o_orderkey") + col("copy").cast("long") * 10000000L)
+          .drop("copy").repartition(32)
+          .write.mode("overwrite").parquet(s"$big10/orders.parquet")
+      }
+      def left(dir: String, wide: Boolean): DataFrame = {
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+        val base = ev.select(col("event_id"), col("user_id"),
+          graft.streaming.Streaming.epochSeconds(ev).as("event_s"))
+        if (!wide) base
+        else (1 to 30).foldLeft(base)((df, i) =>
+          df.withColumn(s"payload_$i", col("event_id") * i))
+      }
+      def right(dir: String): DataFrame = {
+        val o = spark.read.parquet(s"$dir/orders.parquet")
+        o.select(col("o_custkey"), unix_timestamp(col("o_orderdate")).as("order_s"),
+          col("o_orderkey"), col("o_totalprice"))
+      }
+      def run(face: String, dir: String, wide: Boolean): (Double, Double) = {
+        CacheRegistry.unpersistAll(); spark.catalog.clearCache()
+        val l = left(dir, wide); val r = right(dir)
+        val t0 = System.nanoTime()
+        val joined = face match {
+          case "window" => graft.operators.AsOfJoin.backward(l, r,
+            "user_id", "o_custkey", "event_s", "order_s",
+            rightPayload = Seq("o_orderkey", "o_totalprice"),
+            rightTieBreak = Seq("o_orderkey"))
+          case "merge" => graft.operators.AsOfJoin.backwardMerge(l, r,
+            "user_id", "o_custkey", "event_s", "order_s",
+            rightPayload = Seq("o_orderkey", "o_totalprice"),
+            rightTieBreak = Seq("o_orderkey"))
+        }
+        // split driver-side analysis/optimization/planning from execution;
+        // consume the JOINED payload, not count(): under count() Catalyst
+        // prunes the composed face's whole window away (no window output
+        // referenced → ColumnPruning removes Window, then Sort and
+        // Exchange) and the "comparison" times a scan-count against the
+        // real join — the round-9 7x was exactly that artifact
+        joined.queryExecution.executedPlan
+        val t1 = System.nanoTime()
+        joined.agg(sum(col("o_totalprice")), sum(col("event_id")),
+          count(lit(1))).collect()
+        val t2 = System.nanoTime()
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+      }
+      if (System.getProperty("graft.asof.stages", "") == "1")
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+            println(f"STAGE ${si.stageId}%4d tasks=${si.numTasks}%3d wall=${ms}%5d ms  ${si.name.take(60)}")
+          }
+        })
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      println(f"${"cell"}%-24s ${"plan_c"}%7s ${"exec_c"}%7s ${"plan_w"}%7s ${"exec_w"}%7s")
+      for {
+        (dir, tag) <- Seq((src, "1x"), (big10, "10x"))
+        wide <- Seq(false, true)
+        face <- Seq("window", "merge")
+        aqe <- Seq(true, false)
+      } {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        val (pc, ec) = run(face, dir, wide)
+        val (pw, ew) = run(face, dir, wide)
+        spark.conf.set("spark.sql.adaptive.enabled", true)
+        val cell = s"$face/${if (wide) "wide" else "narrow"}/$tag" +
+          (if (aqe) "" else "/noaqe")
+        println(f"PROBE-ASOF $cell%-30s $pc%7.2f $ec%7.2f $pw%7.2f $ew%7.2f")
+      }
+      spark.stop()
+      return
+    }
+
     // ------------------------------------------- 100x rehearsal (cd100)
     // `runMain graft.ScaleProbe cd100` — two DECADES of constant-density
     // growth (sf0.1 → ~sf1 → ~sf10) for the headline scale claims, so the
@@ -235,6 +332,34 @@ object ScaleProbe {
       val sem10 = semTime(cd, 80)
       println(f"PROBE-SEMDEDUP-CONST-CLUSTER 1x(nlist=8)=$sem1%.2f s " +
         f"10xCD(nlist=80)=$sem10%.2f s ratio=${sem10 / sem1}%.1fx")
+      // d18's banded hyperplane LSH at constant band WIDTH: random
+      // (cross-copy, ~orthogonal) pairs collide in >= 1 of 8 bands with
+      // 1-(1-2^-b)^8 — at the registered b=4 that floor is ~40%, so
+      // candidates grow QUADRATICALLY with the corpus (the registered cd
+      // row measures that artifact). The scale law is b ~ log2(N) bits
+      // per band (expected bucket size O(1) -> per-band candidates
+      // linear; the minhash-LSH band key avoids the floor the same way,
+      // by hashing r minhashes into a 64-bit space). Measure pinned
+      // b=4 vs corpus-scaled b (7 at 1x -> 10 at 10x: +log2(10)), noting
+      // the scaled path's sharper S-curve targets high-similarity pairs
+      // — the production regime for near-dup thresholds.
+      def lshTime(dir: String, rowsPerBand: Int): Double = {
+        CacheRegistry.unpersistAll(); spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        graft.dedup.Dedup.embeddingLshPairs(
+          spark.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", bands = 8, rowsPerBand = rowsPerBand,
+          dims = 64, threshold = 0.4).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      lshTime(src, 7) // warm
+      val lp1 = lshTime(src, 4)
+      val lp10 = lshTime(cd, 4)
+      val ls1 = lshTime(src, 7)
+      val ls10 = lshTime(cd, 10)
+      println(f"PROBE-D18-BAND-BITS pinned(b=4) 1x=$lp1%.2f s 10xCD=$lp10%.2f s " +
+        f"ratio=${lp10 / lp1}%.1fx; scaled(b=7->10) 1x=$ls1%.2f s 10xCD=$ls10%.2f s " +
+        f"ratio=${ls10 / ls1}%.1fx")
       spark.stop()
       return
     }

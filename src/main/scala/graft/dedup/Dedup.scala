@@ -684,7 +684,30 @@ object Dedup {
     * band * rowsPerBand + p), embedded as codegen'd literals — any
     * engine can regenerate them, which is what makes the d18 gate query
     * fully oracle-able. Output: (id_a, id_b, cosine), id_a < id_b,
-    * NaN cosines (zero-norm vectors) excluded. */
+    * NaN cosines (zero-norm vectors) excluded.
+    *
+    * Plan shape: narrow (id, band, bucket) rows band-join into candidate
+    * pairs, the pair set is deduped (a pair colliding in k bands scores
+    * ONCE), and the exact-cosine verify joins the ids back to the
+    * persisted vector relation — every join a plain equi-shuffle, all
+    * volumes linear in candidates + corpus. An inline-scoring variant
+    * (vectors carried through the band join, filter before dedup) was
+    * measured SLOWER at both 1x and 10xCD (SCALE.md round-10): k-fold
+    * re-scoring and the vector-wide band shuffle cost more than the
+    * id-only dedup saves.
+    *
+    * Parameter scale law (measured, SCALE.md round-10 cd probes):
+    * random (unrelated) vectors collide in >= 1 of `bands` bands with
+    * 1-(1-2^-rowsPerBand)^bands — ~40% at the d18 gate's rowsPerBand=4
+    * — so at FIXED parameters the candidate floor grows quadratically
+    * with the corpus. rowsPerBand must grow ~log2(corpus) to keep
+    * expected bucket size O(1) and the floor linear (the minhash-LSH
+    * band key gets this for free by hashing r minhashes into a 64-bit
+    * space). The sharper S-curve that comes with more bits targets
+    * HIGH-similarity pairs — the near-dup production regime; for
+    * mid-threshold semantic similarity at scale use the
+    * quantizer-blocked [[semanticDedupPairsAuto]] (measured linear at
+    * constant cluster size) instead. */
   def embeddingLshPairs(
       df: DataFrame, idCol: String, vecCol: String,
       bands: Int, rowsPerBand: Int, dims: Int, threshold: Double): DataFrame = {

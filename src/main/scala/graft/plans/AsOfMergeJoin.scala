@@ -38,7 +38,16 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * (key, time) sorts; the merge itself is a single linear pass per
   * partition. Skewed keys take the same mitigations as any shuffled
   * join (salting upstream; AQE skew handling does not split custom
-  * nodes, documented in AsOfJoin.backwardMerge's scaladoc).
+  * nodes, documented in AsOfJoin.backwardMerge's scaladoc). Catalyst's
+  * generic ColumnPruning prunes the node's children to key/time/tie +
+  * consumed payload (the node's expressions ARE its references), so
+  * narrow projections still reach the scans — spec-pinned.
+  *
+  * Measured honestly (payload consumed — count() alone lets Catalyst
+  * prune the COMPOSED face's whole window to a scan-count, which is the
+  * artifact behind the round-9 "7x slower" reading): this face matches
+  * or beats the composed one in every probed regime, up to 2x on a
+  * narrow left (SCALE.md round-10 asof probe).
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,

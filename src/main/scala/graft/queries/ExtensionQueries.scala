@@ -954,7 +954,14 @@ object ExtensionQueries {
     * GraftExtensions): per-side narrow shuffles and a streaming
     * per-partition merge replace the composed face's padded union +
     * window carry-forward. Shares x2's oracle — one contract, two
-    * execution strategies. */
+    * execution strategies.
+    *
+    * Bench caveat (do not compare this row's sweep time against x2's):
+    * the sweep times `.count()`, under which Catalyst prunes x2's whole
+    * Window+Sort+Exchange to a scan-count while this node always runs
+    * the real join (AsOfMergeJoinSpec pins the asymmetry). With the
+    * payload actually consumed the merge face matches or beats x2 in
+    * every measured regime — SCALE.md round-10 asof probe. */
   private def x39(s: SparkSession, dir: String): DataFrame = {
     val ev = table(s, dir, "events")
     val e = ev

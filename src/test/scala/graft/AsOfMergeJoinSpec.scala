@@ -123,6 +123,55 @@ class AsOfMergeJoinSpec extends AnyFunSuite {
     assert(m(("u2", 5L)).isEmpty)
   }
 
+  test("fractional equality keys are rejected (no NormalizeFloatingNumbers on custom nodes)") {
+    val l = viaParquet(Seq((1.0, 5L, "a")).toDF("k", "t", "tag"), "frac_left")
+    val r = viaParquet(Seq((1.0, 3L, 7.0)).toDF("rk", "rt", "p"), "frac_right")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backwardMerge(l, r, "k", "rk", "t", "rt", rightPayload = Seq("p"))
+    }
+    assert(e.getMessage.contains("fractional key type"), e.getMessage)
+  }
+
+  test("column pruning reaches the scans through the custom node") {
+    // only one payload column consumed -> the right scan must not read the
+    // other payload column: Catalyst's generic ColumnPruning case prunes
+    // any node's children to (node.references ++ parent references), and
+    // AsOfJoinNode's key/time/tie expressions are its `references` — this
+    // is what keeps a 200-column right table from being shuffled whole at
+    // 100 TB when the query picks one field
+    val out = AsOfJoin.backwardMerge(left, right, "k", "rk", "t", "rt",
+      rightPayload = Seq("ref_id", "v"), rightTieBreak = Seq("ref_id"))
+      .select("event_id", "ref_id")
+    val scans = out.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val rightScan = scans.find(_.contains("graft_asofmerge_right")).getOrElse(
+      fail(s"no right scan in:\n${scans.mkString("\n")}"))
+    assert(!rightScan.contains("v:double"), rightScan) // payload v pruned
+    assert(rightScan.contains("rk"), rightScan)        // key survives
+    val leftScan = scans.find(_.contains("graft_asofmerge_left")).getOrElse(
+      fail(s"no left scan in:\n${scans.mkString("\n")}"))
+    assert(!leftScan.contains("tag"), leftScan)        // unused left col pruned
+  }
+
+  test("count() prunes the composed face's window but not the custom node (bench caveat)") {
+    // Under count(*) nothing references the window output, so Catalyst
+    // removes the composed face's Window (then its Sort and Exchange) and
+    // the query degenerates to a scan-count; the custom node is opaque to
+    // that rewrite and always runs the full join. A count-based timing of
+    // the two faces therefore compares a scan against a join — the honest
+    // A/B consumes the payload (SCALE.md round-10 asof probe).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val composed = AsOfJoin.backward(left, right, "k", "rk", "t", "rt",
+      rightPayload = Seq("ref_id", "v"), rightTieBreak = Seq("ref_id"))
+    val countPlan = composed.groupBy().count().queryExecution.optimizedPlan
+    assert(countPlan.collect { case w: LWindow => w }.isEmpty, countPlan.toString)
+    val merged = AsOfJoin.backwardMerge(left, right, "k", "rk", "t", "rt",
+      rightPayload = Seq("ref_id", "v"), rightTieBreak = Seq("ref_id"))
+    val mergedCountPlan = merged.groupBy().count().queryExecution.optimizedPlan
+    assert(mergedCountPlan.collect {
+      case n: graft.plans.AsOfJoinNode => n }.nonEmpty, mergedCountPlan.toString)
+    assert(countPlan.collect { case a: Aggregate => a }.nonEmpty)
+  }
+
   test("mixed key types coerce before partitioning (int keys vs long keys)") {
     val l = viaParquet(Seq((1, 5L, "a"), (2, 10L, "b")).toDF("k", "t", "tag"), "int_left")
     val r = viaParquet(Seq((1L, 3L, 7.0), (2L, 11L, 9.0)).toDF("rk", "rt", "p"), "long_right")

@@ -17,8 +17,12 @@ object AsOfMergeProps extends Properties("AsOfMerge") {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // 6 by default (each case round-trips two parquet fixtures — slow);
+  // SPARK_GRAFT_PROPS_N=50+ escalates for a nightly-style deep run of
+  // the operator with the most hand-rolled execution code in the tree
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(6)
+    p.withMinSuccessfulTests(
+      sys.env.get("SPARK_GRAFT_PROPS_N").map(_.toInt).getOrElse(6))
 
   private def viaParquet(df: DataFrame, name: String): DataFrame = {
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_asofprops_$name"
