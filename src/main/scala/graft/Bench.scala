@@ -36,11 +36,24 @@ object Bench {
     // canonicalized plans), and p9 would otherwise ride p8's memoized BPE
     // training — both flatter the later number. Failures report -1
     // (never a plausible elapsed time) and are logged either way.
+    // Consumer = the built-in noop sink, NOT count(): under count()
+    // Catalyst prunes every operator whose output the count does not
+    // reference — a window query degenerates to a scan-count (x2's whole
+    // Window+Sort+Exchange vanished, which is how the custom as-of node
+    // got misread as "7x slower" in round 9). The noop write materializes
+    // every output row of the query AS REGISTERED, so the sweep times the
+    // work a consumer of the result would actually cause. Switched in
+    // round 10 — totals before/after are not comparable (the note field
+    // says so in-band).
     def timeQuery(name: String, tag: String): Double = {
       CacheRegistry.unpersistAll()
       graft.queries.ExtensionQueries.clearArtifactCaches()
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
       catch {
         case e: Throwable =>
           System.err.println(s"[bench:$tag] $name FAILED: ${e.getMessage}")
@@ -142,7 +155,7 @@ object Bench {
     val cq = correctedQueries.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","corrected_total":$correctedTotal,"queries":$qs,"retimed":$rt,"corrected_queries":$cq,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","corrected_total":$correctedTotal,"consumer":"noop-sink","queries":$qs,"retimed":$rt,"corrected_queries":$cq,"sf":"$sfDir"}"""
     // The driver's log capture keeps only the LAST ~2000 chars of output,
     // so a 172-query map printed to stdout gets decapitated and the
     // driver's JSON parse fails (BENCH_r01..r08 all carry parsed:null).
@@ -161,7 +174,7 @@ object Bench {
     val rtCompact = retimed.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","corrected_total":${fmt(correctedTotal)},"n_queries":${results.size},"n_failed":$nFailed,"queries":$top,"retimed":$rtCompact,"sf":"$sfDir","note":"queries = slowest 20 of ${results.size}; full per-query map in $outPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","corrected_total":${fmt(correctedTotal)},"n_queries":${results.size},"n_failed":$nFailed,"consumer":"noop-sink (r10+: full materialization; count()-era totals are smaller, not comparable)","queries":$top,"retimed":$rtCompact,"sf":"$sfDir","note":"queries = slowest 20 of ${results.size}; full per-query map in $outPath"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))

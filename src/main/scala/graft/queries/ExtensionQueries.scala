@@ -139,13 +139,18 @@ object ExtensionQueries {
 
   /** Banded hyperplane-LSH embedding near-dup — the no-label (vs d5),
     * no-quantizer (vs d7/d17) member of the embedding-dedup family:
-    * candidates from 8 bands of 4 md5-derived hyperplane sign bits,
+    * candidates from 8 bands of 6 md5-derived hyperplane sign bits,
     * verified by exact cosine. The planes are deterministic and
     * regenerated verbatim in the oracle (the d3 banding shape
-    * transplanted to the embedding space). */
+    * transplanted to the embedding space). rowsPerBand follows the
+    * operator's measured scale law (sized so the random-collision floor
+    * 1-(1-2^-b)^8 stays small relative to the corpus — 12.5% at b=6 vs
+    * 40% at the b=4 originally probed; SCALE.md r10): the gate checks
+    * correctness, but its parameters should still be the ones the
+    * scaladoc tells users to pick. */
   private def d18(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingLshPairs(table(s, dir, "embeddings"),
-      "vec_id", "embedding", bands = 8, rowsPerBand = 4, dims = 64, threshold = 0.4)
+      "vec_id", "embedding", bands = 8, rowsPerBand = 6, dims = 64, threshold = 0.4)
 
   /** Incremental dedup against a PERSISTED band registry — the 100 TB
     * ingestion shape: the corpus is signatured once into a bucketed
@@ -2775,20 +2780,20 @@ object ExtensionQueries {
 
     // full replication of the banded hyperplane LSH: the ±1 planes are
     // md5-parity (plane p, dim d → parity of the first hex char of
-    // md5("p_d"), exactly Similarity.hyperplaneWeights), the 8×4 banding
-    // is a per-band 4-bit bucket, candidates collide in ≥1 band, and the
+    // md5("p_d"), exactly Similarity.hyperplaneWeights), the 8×6 banding
+    // is a per-band 6-bit bucket, candidates collide in ≥1 band, and the
     // verify is the exact d5-family cosine at the same 0.4 threshold
     Q("d18_embedding_lsh", d18, Some(s"""
       WITH planes AS (
         SELECT p, list_transform(range(1, 65), d ->
           CASE WHEN substr(md5(p::VARCHAR || '_' || (d-1)::VARCHAR), 1, 1)
                IN $oddHex THEN 1.0 ELSE -1.0 END) AS w
-        FROM (SELECT unnest(range(0, 32)) AS p)),
+        FROM (SELECT unnest(range(0, 48)) AS p)),
       signs AS (
-        SELECT e.vec_id, p.p // 4 AS band,
+        SELECT e.vec_id, p.p // 6 AS band,
           CASE WHEN list_sum(list_transform(range(1, 65),
                  d -> e.embedding[d]::DOUBLE * p.w[d])) > 0
-               THEN 1 << (p.p % 4) ELSE 0 END AS bit
+               THEN 1 << (p.p % 6) ELSE 0 END AS bit
         FROM embeddings e CROSS JOIN planes p),
       banded AS (SELECT vec_id, band, sum(bit)::BIGINT AS bucket
                  FROM signs GROUP BY vec_id, band),
