@@ -961,12 +961,13 @@ object ExtensionQueries {
     * window carry-forward. Shares x2's oracle — one contract, two
     * execution strategies.
     *
-    * Bench caveat (do not compare this row's sweep time against x2's):
-    * the sweep times `.count()`, under which Catalyst prunes x2's whole
-    * Window+Sort+Exchange to a scan-count while this node always runs
-    * the real join (AsOfMergeJoinSpec pins the asymmetry). With the
-    * payload actually consumed the merge face matches or beats x2 in
-    * every measured regime — SCALE.md round-10 asof probe. */
+    * Bench history: under the count() consumer used through round 9
+    * Catalyst pruned x2's whole Window+Sort+Exchange to a scan-count
+    * while this node always ran the real join, which misread as "7x
+    * slower" (AsOfMergeJoinSpec pins the asymmetry). The sweep now
+    * materializes output via the noop sink, and with the payload
+    * actually consumed the merge face matches or beats x2 in every
+    * measured regime — SCALE.md round-10 asof probe. */
   private def x39(s: SparkSession, dir: String): DataFrame = {
     val ev = table(s, dir, "events")
     val e = ev
@@ -977,6 +978,30 @@ object ExtensionQueries {
     AsOfJoin.backwardMerge(e, o, "user_id", "o_custkey", "event_s", "order_s",
       rightPayload = Seq("o_orderkey", "o_totalprice"), rightTieBreak = Seq("o_orderkey"))
       .select("event_id", "user_id", "event_s", "o_orderkey", "o_totalprice")
+  }
+
+  /** Roundtrip through `graftshard`, the repo's own DataSourceV2
+    * connector ([[graft.sources.v2.GraftShardSource]]): documents are
+    * written range-partitioned on doc_id through the V2 BatchWrite
+    * (speculation-safe atomic manifest commit), then read back through
+    * the V2 scan with every pushdown surface engaged — the integral
+    * predicates prune WHOLE shard files from manifest min/max stats at
+    * planning time (zero file opens; at sf0.1 the doc_id bound keeps
+    * 2 of 4 shards), the string IN is absorbed row-level by the
+    * reader, and column pruning reaches the record decoder.
+    * GraftShardSourceSpec pins the plan shapes; the oracle replays the
+    * same predicates over the source table, so the whole write+read
+    * cycle must be lossless. */
+  private def x40(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x40", dir)
+    table(s, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .repartitionByRange(4, col("doc_id"))
+      .write.format("graftshard").mode("overwrite").save(out)
+    s.read.format("graftshard").load(out)
+      .where(col("n_chars") > 64 && col("doc_id") < 2000 &&
+        col("source").isin("src1", "src3", "src5", "src7", "src9", "src11"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
   /** Hierarchical subtotals via rollup (grouping sets). */
@@ -4186,6 +4211,11 @@ object ExtensionQueries {
     // same as-of contract through the custom physical operator
     // (SortMergeAsOfJoinExec) — must reproduce x2 exactly; shared oracle
     Q("x39_asof_merge", x39, Some(asofOracle)),
+
+    Q("x40_shard_roundtrip", x40, Some("""
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE n_chars > 64 AND doc_id < 2000
+        AND source IN ('src1','src3','src5','src7','src9','src11')""")),
 
     Q("x3_rollup", x3, Some("""
       SELECT l_returnflag, l_linestatus,

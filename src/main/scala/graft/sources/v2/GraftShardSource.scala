@@ -1,0 +1,363 @@
+package graft.sources.v2
+
+import java.io.File
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graftshard` — a complete DataSourceV2 connector over the manifest
+  * + binary-shard layout of [[ShardFormat]]: the §2.6 sources tier
+  * taken to the full V2 surface instead of another format option on
+  * the built-in readers.
+  *
+  * What it exercises, and why each matters at 100 TB:
+  *   - `TableProvider` + `DataSourceRegister`: `spark.read.format
+  *     ("graftshard").load(dir)` / `df.write.format("graftshard")
+  *     .mode(...).save(dir)` with schema inference from the manifest
+  *     (one driver-side read — never a file-listing + footer crawl).
+  *   - `SupportsPushDownRequiredColumns`: the reader decodes only the
+  *     columns the query needs (row-oriented shards: pruning saves
+  *     decode + row width; the IO win is the next bullet — the
+  *     scaladoc is honest about which is which).
+  *   - `SupportsPushDownFilters`: comparison/null/IN predicates on
+  *     integral, string and boolean columns are absorbed by the
+  *     source. Integral ones additionally prune WHOLE FILES from the
+  *     manifest's min/max/null-count stats at planning time — zero
+  *     file opens, the Iceberg/Delta data-skipping idea. Floating
+  *     predicates are left to Spark (NaN ordering; see
+  *     [[ShardFormat.statsEligible]]).
+  *   - `SupportsReportStatistics`: post-pushdown size estimate from
+  *     the surviving manifest entries, so Catalyst/AQE can pick
+  *     broadcast sides from skipping-aware numbers, not raw dir size.
+  *   - Bin-packed `InputPartition`s: surviving files are greedily
+  *     packed to `targetPartitionBytes` (default 128 MiB), so 100k
+  *     small shards do not become 100k tasks.
+  *   - Speculation-safe V2 write with atomic manifest commit
+  *     ([[GraftShardWriteBuilder]]).
+  *
+  * Pushed-filter semantics: the source evaluates pushed predicates
+  * row-level (SQL three-valued logic — null comparisons drop the row)
+  * and returns them as fully handled, so the Filter node above the
+  * scan disappears for absorbed predicates (PlanSpec pins this; the
+  * residual, e.g. a double comparison, stays above the scan).
+  */
+class GraftShardSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftshard"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def path(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graftshard: a path is required")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ShardFormat.readManifest(path(options)).map(_.schema).getOrElse {
+      throw new IllegalArgumentException(
+        s"graftshard: no ${ShardFormat.ManifestName} under '${path(options)}' — " +
+          "write the table first or supply a schema")
+    }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val p = properties.get("path")
+    require(p != null && p.nonEmpty, "graftshard: a path is required")
+    new GraftShardTable(p, schema)
+  }
+}
+
+class GraftShardTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graftshard.`$path`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftShardScanBuilder(path, tableSchema, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftShardWriteBuilder(path, info)
+}
+
+class GraftShardScanBuilder(
+    path: String,
+    fullSchema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition(ShardFilters.pushable(_, fullSchema))
+    pushed = sup
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val manifest = ShardFormat.readManifest(path).getOrElse(
+      ShardFormat.Manifest(fullSchema, Nil))
+    val targetBytes = Option(options.get("targetPartitionBytes"))
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    new GraftShardScan(path, fullSchema, required, pushed, manifest, targetBytes)
+  }
+}
+
+final case class ShardInputPartition(files: Array[(String, Long)]) extends InputPartition
+
+class GraftShardScan(
+    path: String,
+    fullSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter],
+    manifest: ShardFormat.Manifest,
+    targetBytes: Long)
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** Runtime (DPP-style) filters: Spark's PartitionPruning rule plants
+    * a DynamicPruningExpression on this scan when it joins a selective
+    * build side on one of `filterAttributes`; at execution the subquery
+    * result arrives here as an In filter and BatchScanExec re-plans
+    * partitions — broadcast-join keys prune whole shard files the same
+    * way static predicates do, and row-level too. */
+  private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    fullSchema.fields.filter(f => ShardFormat.statsEligible(f.dataType))
+      .map(f => Expressions.column(f.name))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(ShardFilters.pushable(_, fullSchema))
+
+  /** Manifest entries surviving stats-based skipping (static + any
+    * runtime filters delivered so far). */
+  private def selected: Seq[ShardFormat.FileEntry] =
+    manifest.files.filter(fe =>
+      (pushed ++ runtime).forall(ShardFilters.mayContain(_, fe)))
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val p = pushed.map(_.toString).sorted.mkString(", ")
+    s"graftshard files=${selected.size}/${manifest.files.size} pushed=[$p]"
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(selected.map(_.bytes).sum)
+    // exact only when every surviving row passes every pushed filter,
+    // which we cannot know without reading — report rows only for the
+    // no-filter scan (planner treats absence as unknown, never wrong)
+    override def numRows(): OptionalLong =
+      if (pushed.isEmpty) OptionalLong.of(selected.map(_.rows).sum)
+      else OptionalLong.empty()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // greedy first-fit pack to targetBytes, largest first — 100k tiny
+    // shards must not become 100k tasks
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
+    selected.sortBy(-_.bytes).foreach { fe =>
+      val full = new File(path, fe.name).getPath
+      bins.indexWhere(_._2 + fe.bytes <= targetBytes) match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(full -> fe.rows), fe.bytes))
+        case i =>
+          val (buf, sz) = bins(i)
+          buf += (full -> fe.rows)
+          bins(i) = (buf, sz + fe.bytes)
+      }
+    }
+    bins.map(b => ShardInputPartition(b._1.toArray): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // runtime filters ride along row-level when already delivered; if
+    // the factory was built first, rows stay correct (the join itself
+    // still filters) — only the early-drop optimization is lost
+    new GraftShardReaderFactory(fullSchema, required, pushed ++ runtime)
+}
+
+class GraftShardReaderFactory(
+    fullSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ShardInputPartition]
+    new GraftShardPartitionReader(p.files, fullSchema, required, pushed)
+  }
+}
+
+/** Streams the partition's shard files in order; decodes the union of
+  * required and filter columns, evaluates pushed filters, emits rows
+  * in required-column order. O(1) state — one open file, one row. */
+class GraftShardPartitionReader(
+    files: Array[(String, Long)],
+    fullSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val fullIndex: Map[String, Int] =
+    fullSchema.fieldNames.zipWithIndex.toMap
+  private val filterCols: Array[String] =
+    pushed.flatMap(_.references).distinct.filterNot(required.fieldNames.contains)
+  // read layout: required columns first (their slots ARE the output
+  // row), then filter-only columns
+  private val readCols: Array[String] = required.fieldNames ++ filterCols
+  private val readIndices: Array[Int] = readCols.map(fullIndex)
+  private val slotOf: Map[String, Int] = readCols.zipWithIndex.toMap
+  private val evals: Array[Array[Any] => Boolean] =
+    pushed.map(ShardFilters.compile(_, slotOf, fullSchema))
+
+  private val values = new Array[Any](readCols.length)
+  private var fileIdx = -1
+  private var reader: ShardFormat.ShardReader = _
+  private var row: GenericInternalRow = _
+
+  override def next(): Boolean = {
+    var advanced = false
+    var exhausted = false
+    while (!advanced && !exhausted) {
+      if (reader == null) {
+        fileIdx += 1
+        if (fileIdx >= files.length) exhausted = true
+        else reader = new ShardFormat.ShardReader(
+          new File(files(fileIdx)._1), fullSchema, readIndices)
+      } else if (!reader.next(values)) {
+        reader = null // ShardReader closed itself at EOF
+      } else if (evals.forall(_(values))) {
+        val out = new Array[Any](required.length)
+        System.arraycopy(values, 0, out, 0, required.length)
+        row = new GenericInternalRow(out)
+        advanced = true
+      }
+    }
+    advanced
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = if (reader != null) reader.close()
+}
+
+/** Pushability, file-level skipping, and row-level evaluation for the
+  * supported filter subset. One definition serves all three so they
+  * cannot drift: a filter is pushable iff `compile` can build an
+  * evaluator for it, and `mayContain` is its sound relaxation over
+  * manifest stats (never skips a file that could hold a match). */
+object ShardFilters {
+
+  /** Column types whose literals we compare row-level. Doubles/floats
+    * stay with Spark: their NaN/-0.0 total order is engine-defined and
+    * a half-matching reimplementation is a silent-wrongness class. */
+  private def comparable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | StringType | BooleanType => true
+    case _ => false
+  }
+
+  private def colType(name: String, schema: StructType): Option[DataType] =
+    schema.fields.find(_.name == name).map(_.dataType)
+
+  private def integral(c: String, schema: StructType): Boolean =
+    colType(c, schema).exists(dt => dt == LongType || dt == IntegerType)
+
+  def pushable(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(c, v) => v != null && colType(c, schema).exists(comparable)
+    case GreaterThan(c, _) => integral(c, schema)
+    case GreaterThanOrEqual(c, _) => integral(c, schema)
+    case LessThan(c, _) => integral(c, schema)
+    case LessThanOrEqual(c, _) => integral(c, schema)
+    case In(c, vs) => vs.forall(_ != null) && colType(c, schema).exists(comparable)
+    case IsNull(c) => colType(c, schema).isDefined
+    case IsNotNull(c) => colType(c, schema).isDefined
+    case _ => false
+  }
+
+  private def asLong(v: Any): Long = v match {
+    case n: Number => n.longValue()
+    case other => throw new IllegalArgumentException(s"not integral: $other")
+  }
+
+  /** Sound file-level skip test from manifest stats. Only integral
+    * columns carry min/max; everything else answers "may contain". */
+  def mayContain(f: Filter, fe: ShardFormat.FileEntry): Boolean = {
+    def range(c: String): Option[(Long, Long)] = fe.stats.get(c).map(s => (s._1, s._2))
+    def tracked(c: String): Boolean = fe.stats.contains(c) || fe.allNull.contains(c)
+    def nulls(c: String): Long =
+      fe.stats.get(c).map(_._3).orElse(fe.allNull.get(c)).getOrElse(0L)
+    f match {
+      case EqualTo(c, v) if tracked(c) =>
+        range(c).exists { case (mn, mx) => asLong(v) >= mn && asLong(v) <= mx }
+      case GreaterThan(c, v) if tracked(c) =>
+        range(c).exists(_._2 > asLong(v))
+      case GreaterThanOrEqual(c, v) if tracked(c) =>
+        range(c).exists(_._2 >= asLong(v))
+      case LessThan(c, v) if tracked(c) =>
+        range(c).exists(_._1 < asLong(v))
+      case LessThanOrEqual(c, v) if tracked(c) =>
+        range(c).exists(_._1 <= asLong(v))
+      case In(c, vs) if tracked(c) =>
+        range(c).exists { case (mn, mx) => vs.exists(v => asLong(v) >= mn && asLong(v) <= mx) }
+      case IsNull(c) if tracked(c) => nulls(c) > 0
+      case IsNotNull(c) if tracked(c) => nulls(c) < fe.rows
+      case _ => true
+    }
+  }
+
+  /** Row-level evaluator against the reader's value-slot array.
+    * Literals are normalized once (UTF8String for strings, Long for
+    * integrals) — not per row. */
+  def compile(f: Filter, slotOf: Map[String, Int], schema: StructType): Array[Any] => Boolean = {
+    def norm(c: String, v: Any): Any = (colType(c, schema).get, v) match {
+      case (StringType, s: String) => UTF8String.fromString(s)
+      case (LongType, n: Number) => java.lang.Long.valueOf(n.longValue())
+      case (IntegerType, n: Number) => java.lang.Integer.valueOf(n.intValue())
+      case (_, other) => other
+    }
+    def cmp(c: String, v: Any): (Array[Any], (Long, Long) => Boolean) => Boolean = {
+      val slot = slotOf(c)
+      val lit = asLong(v)
+      (vals, op) => vals(slot) match {
+        case null => false
+        case n: Number => op(n.longValue(), lit)
+        case other => throw new IllegalStateException(s"non-numeric in cmp: $other")
+      }
+    }
+    f match {
+      case EqualTo(c, v) =>
+        val slot = slotOf(c); val lit = norm(c, v)
+        vals => vals(slot) != null && vals(slot) == lit
+      case In(c, vs) =>
+        val slot = slotOf(c); val lits = vs.map(norm(c, _)).toSet
+        vals => vals(slot) != null && lits.contains(vals(slot))
+      case GreaterThan(c, v) => val e = cmp(c, v); vals => e(vals, _ > _)
+      case GreaterThanOrEqual(c, v) => val e = cmp(c, v); vals => e(vals, _ >= _)
+      case LessThan(c, v) => val e = cmp(c, v); vals => e(vals, _ < _)
+      case LessThanOrEqual(c, v) => val e = cmp(c, v); vals => e(vals, _ <= _)
+      case IsNull(c) => val slot = slotOf(c); vals => vals(slot) == null
+      case IsNotNull(c) => val slot = slotOf(c); vals => vals(slot) != null
+      case other => throw new IllegalArgumentException(s"not pushable: $other")
+    }
+  }
+}

@@ -1,0 +1,325 @@
+package graft.sources.v2
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, File, FileInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** On-disk format for the `graftshard` DataSourceV2 connector
+  * ([[GraftShardSource]]): row-oriented binary shard files plus one
+  * JSON `_graft_manifest.json` that is the SINGLE source of truth for
+  * what the table contains — schema, committed file list, and per-file
+  * column statistics (row count, min/max/null-count for integral
+  * columns).
+  *
+  * The manifest is the design: readers plan ONLY from it, so
+  *   - uncommitted / aborted / speculative task files in the directory
+  *     are invisible (commit = atomic manifest rename, the
+  *     Iceberg/Delta isolation idea at its smallest),
+  *   - file skipping needs zero file opens: pushed min/max predicates
+  *     prune whole shards at PLANNING time from manifest stats — at
+  *     100 TB that is the difference between "open 100k files to read
+  *     their footers" and one manifest read,
+  *   - overwrite is a manifest swap; stale shards become unreferenced
+  *     garbage for a vacuum with a retention horizon (documented, not
+  *     implemented — single-box tests have no concurrent readers).
+  *
+  * Known scale ceiling, stated rather than assumed away: ONE JSON
+  * manifest is O(files) driver memory — fine to ~1M shard entries
+  * (~100 TB at 128 MiB shards); past that the upgrade path is paged
+  * manifest segments with a top-level index carrying segment-level
+  * min/max (Iceberg's manifest-list shape), which changes none of the
+  * reader/writer contracts here.
+  *
+  * Record encoding (schema order, big-endian): null bitmap
+  * (ceil(nFields/8) bytes, bit set = null), then per non-null field:
+  * long/double 8B, int/float 4B, boolean 1B, string/binary 4B length +
+  * bytes, float-array 4B count + 4B per element. Row-oriented means
+  * column pruning saves decode work, not IO — the IO win lives in the
+  * manifest stats; the scaladoc on [[GraftShardSource]] says so rather
+  * than implying columnar behavior.
+  */
+object ShardFormat {
+
+  val Magic: Array[Byte] = "GRFTSHD1".getBytes(StandardCharsets.US_ASCII)
+  val ManifestName = "_graft_manifest.json"
+  val Version = 1
+
+  /** Types the codec supports; anything else is rejected at write-plan
+    * time with a clear error (not at task time, 10k tasks deep). */
+  def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+        StringType | BinaryType => true
+    case ArrayType(FloatType, false) => true
+    case _ => false
+  }
+
+  /** Integral columns carry min/max/nulls stats in the manifest (the
+    * file-skipping currency). Floating types are excluded on purpose:
+    * NaN ordering differs across engines and a NaN-poisoned max would
+    * skip files wrongly. */
+  def statsEligible(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType => true
+    case _ => false
+  }
+
+  // ---------------------------------------------------------------- codec
+
+  /** Running min/max/nulls for one integral column of one shard file. */
+  final class ColStats {
+    var min: Long = Long.MaxValue
+    var max: Long = Long.MinValue
+    var nulls: Long = 0L
+    var nonNull: Long = 0L
+    def update(v: Long): Unit = {
+      if (v < min) min = v
+      if (v > max) max = v
+      nonNull += 1
+    }
+  }
+
+  final case class FileEntry(
+      name: String,
+      bytes: Long,
+      rows: Long,
+      // col -> (min, max, nulls); entry absent when the file has no
+      // non-null values for the column (min/max undefined)
+      stats: Map[String, (Long, Long, Long)],
+      // cols tracked but all-null in this file: (nulls only)
+      allNull: Map[String, Long])
+
+  final case class Manifest(schema: StructType, files: Seq[FileEntry])
+
+  /** Writes one shard file; the caller feeds [[InternalRow]]s in the
+    * full table schema. Not thread-safe (one per Spark task). */
+  final class ShardWriter(file: File, schema: StructType) {
+    private val fields = schema.fields
+    private val bitmapBytes = (fields.length + 7) / 8
+    private val out = new DataOutputStream(
+      new BufferedOutputStream(new FileOutputStream(file), 1 << 20))
+    out.write(Magic)
+    private var rowCount = 0L
+    private val stats: Array[ColStats] =
+      fields.map(f => if (statsEligible(f.dataType)) new ColStats else null)
+
+    def write(row: InternalRow): Unit = {
+      val bitmap = new Array[Byte](bitmapBytes)
+      var i = 0
+      while (i < fields.length) {
+        if (row.isNullAt(i)) {
+          bitmap(i >> 3) = (bitmap(i >> 3) | (1 << (i & 7))).toByte
+          if (stats(i) != null) stats(i).nulls += 1
+        }
+        i += 1
+      }
+      out.write(bitmap)
+      i = 0
+      while (i < fields.length) {
+        if (!row.isNullAt(i)) {
+          fields(i).dataType match {
+            case LongType =>
+              val v = row.getLong(i); out.writeLong(v); stats(i).update(v)
+            case IntegerType =>
+              val v = row.getInt(i); out.writeInt(v); stats(i).update(v.toLong)
+            case DoubleType => out.writeDouble(row.getDouble(i))
+            case FloatType => out.writeFloat(row.getFloat(i))
+            case BooleanType => out.writeBoolean(row.getBoolean(i))
+            case StringType =>
+              val b = row.getUTF8String(i).getBytes
+              out.writeInt(b.length); out.write(b)
+            case BinaryType =>
+              val b = row.getBinary(i)
+              out.writeInt(b.length); out.write(b)
+            case ArrayType(FloatType, _) =>
+              val arr = row.getArray(i)
+              val n = arr.numElements()
+              out.writeInt(n)
+              var j = 0
+              while (j < n) {
+                if (arr.isNullAt(j)) throw new IllegalArgumentException(
+                  s"graftshard: null element in float array column '${fields(i).name}' (containsNull=false)")
+                out.writeFloat(arr.getFloat(j)); j += 1
+              }
+            case dt => throw new IllegalStateException(s"unreachable: $dt")
+          }
+        }
+        i += 1
+      }
+      rowCount += 1
+    }
+
+    /** Returns (bytes, rows, presentStats, allNullStats). */
+    def finish(): (Long, Long, Map[String, (Long, Long, Long)], Map[String, Long]) = {
+      out.close()
+      val present = Map.newBuilder[String, (Long, Long, Long)]
+      val allNull = Map.newBuilder[String, Long]
+      var i = 0
+      while (i < fields.length) {
+        val s = stats(i)
+        if (s != null) {
+          if (s.nonNull > 0) present += fields(i).name -> ((s.min, s.max, s.nulls))
+          else allNull += fields(i).name -> s.nulls
+        }
+        i += 1
+      }
+      (file.length(), rowCount, present.result(), allNull.result())
+    }
+
+    def abort(): Unit = { out.close(); file.delete(): Unit }
+  }
+
+  /** Sequential reader over one shard file, parsing only the columns in
+    * `readIndices` (indices into the FULL schema, ascending); skipped
+    * fields are byte-skipped without materialization. Emits value
+    * arrays positionally aligned with `readIndices`. */
+  final class ShardReader(file: File, schema: StructType, readIndices: Array[Int]) {
+    private val fields = schema.fields
+    private val bitmapBytes = (fields.length + 7) / 8
+    private val wanted = {
+      val w = new Array[Boolean](fields.length)
+      readIndices.foreach(w(_) = true)
+      w
+    }
+    // full-schema index -> slot in the output array, -1 when skipped
+    private val slot = {
+      val s = Array.fill(fields.length)(-1)
+      readIndices.zipWithIndex.foreach { case (fi, o) => s(fi) = o }
+      s
+    }
+    private val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(file), 1 << 20))
+    locally {
+      val hdr = new Array[Byte](Magic.length)
+      in.readFully(hdr)
+      if (!java.util.Arrays.equals(hdr, Magic))
+        throw new java.io.IOException(s"graftshard: bad magic in $file")
+    }
+    private val bitmap = new Array[Byte](bitmapBytes)
+
+    /** Reads the next record into `values` (length = readIndices.length,
+      * nulls as null); returns false at clean EOF. */
+    def next(values: Array[Any]): Boolean = {
+      try in.readFully(bitmap)
+      catch { case _: EOFException => in.close(); return false }
+      var i = 0
+      while (i < fields.length) {
+        val isNull = (bitmap(i >> 3) & (1 << (i & 7))) != 0
+        if (isNull) {
+          if (slot(i) >= 0) values(slot(i)) = null
+        } else if (wanted(i)) {
+          values(slot(i)) = fields(i).dataType match {
+            case LongType => java.lang.Long.valueOf(in.readLong())
+            case IntegerType => java.lang.Integer.valueOf(in.readInt())
+            case DoubleType => java.lang.Double.valueOf(in.readDouble())
+            case FloatType => java.lang.Float.valueOf(in.readFloat())
+            case BooleanType => java.lang.Boolean.valueOf(in.readBoolean())
+            case StringType =>
+              val b = new Array[Byte](in.readInt()); in.readFully(b)
+              UTF8String.fromBytes(b)
+            case BinaryType =>
+              val b = new Array[Byte](in.readInt()); in.readFully(b)
+              b
+            case ArrayType(FloatType, _) =>
+              val n = in.readInt()
+              val a = new Array[Float](n)
+              var j = 0
+              while (j < n) { a(j) = in.readFloat(); j += 1 }
+              new GenericArrayData(a)
+            case dt => throw new IllegalStateException(s"unreachable: $dt")
+          }
+        } else {
+          fields(i).dataType match {
+            case LongType | DoubleType => in.skipFully(8)
+            case IntegerType | FloatType => in.skipFully(4)
+            case BooleanType => in.skipFully(1)
+            case StringType | BinaryType => in.skipFully(in.readInt().toLong)
+            case ArrayType(FloatType, _) => in.skipFully(in.readInt().toLong * 4)
+            case dt => throw new IllegalStateException(s"unreachable: $dt")
+          }
+        }
+        i += 1
+      }
+      true
+    }
+
+    def close(): Unit = in.close()
+
+    /** DataInputStream.skipBytes may skip fewer bytes than asked
+      * (buffered boundary); loop to the full count. */
+    implicit private class SkipFully(s: DataInputStream) {
+      def skipFully(n: Long): Unit = {
+        var left = n
+        while (left > 0) {
+          val k = s.skip(left)
+          if (k <= 0) { s.readByte(); left -= 1 } // forces EOF detection
+          else left -= k
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- manifest
+
+  private def mapper = new ObjectMapper()
+
+  def manifestFile(dir: String): File = new File(dir, ManifestName)
+
+  def readManifest(dir: String): Option[Manifest] = {
+    val f = manifestFile(dir)
+    if (!f.isFile) return None
+    val root = mapper.readTree(f)
+    val schema = DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType]
+    val files = Seq.newBuilder[FileEntry]
+    root.get("files").forEach { fn =>
+      val present = Map.newBuilder[String, (Long, Long, Long)]
+      val allNull = Map.newBuilder[String, Long]
+      val stats = fn.get("stats")
+      if (stats != null) stats.fields().forEachRemaining { e =>
+        val v = e.getValue
+        if (v.has("min"))
+          present += e.getKey -> ((v.get("min").asLong(), v.get("max").asLong(), v.get("nulls").asLong()))
+        else allNull += e.getKey -> v.get("nulls").asLong()
+      }
+      files += FileEntry(fn.get("name").asText(), fn.get("bytes").asLong(),
+        fn.get("rows").asLong(), present.result(), allNull.result())
+    }
+    Some(Manifest(schema, files.result()))
+  }
+
+  /** Atomic publish: write to a temp sibling, then rename over the
+    * manifest path (atomic on POSIX; the object-store version would be
+    * a conditional PUT). */
+  def writeManifest(dir: String, m: Manifest): Unit = {
+    val om = mapper
+    val root = om.createObjectNode()
+    root.put("version", Version)
+    root.put("schema", m.schema.json)
+    val arr: ArrayNode = root.putArray("files")
+    m.files.foreach { fe =>
+      val fn: ObjectNode = arr.addObject()
+      fn.put("name", fe.name)
+      fn.put("bytes", fe.bytes)
+      fn.put("rows", fe.rows)
+      val st = fn.putObject("stats")
+      fe.stats.foreach { case (c, (mn, mx, nl)) =>
+        val cn = st.putObject(c)
+        cn.put("min", mn); cn.put("max", mx); cn.put("nulls", nl): Unit
+      }
+      fe.allNull.foreach { case (c, nl) => st.putObject(c).put("nulls", nl): Unit }
+    }
+    val tmp = new File(dir, s"$ManifestName.tmp-${java.util.UUID.randomUUID()}")
+    val w = new FileOutputStream(tmp)
+    try w.write(om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally w.close()
+    if (!tmp.renameTo(manifestFile(dir))) {
+      tmp.delete()
+      throw new java.io.IOException(s"graftshard: cannot publish manifest in $dir")
+    }
+  }
+}

@@ -1,0 +1,246 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.FilterExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.ShardFormat
+
+/** The `graftshard` DataSourceV2 connector end to end: roundtrip
+  * fidelity per supported type, manifest-isolation (orphans invisible,
+  * atomic overwrite), plan-level pushdown (absorbed filters leave no
+  * FilterExec; pruned columns shrink the scan output), manifest-stats
+  * file skipping observable in the scan description, and
+  * skipping-aware size statistics. */
+class GraftShardSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_shard_spec").toString + "/t"
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("n", IntegerType),
+    StructField("d", DoubleType), StructField("f", FloatType),
+    StructField("b", BooleanType), StructField("s", StringType),
+    StructField("bin", BinaryType),
+    StructField("vec", ArrayType(FloatType, containsNull = false))))
+
+  private def sampleDf(): DataFrame = {
+    val rows = Seq(
+      Row(1L, 10, 1.5, 2.5f, true, "alpha", Array[Byte](1, 2), Seq(1f, 2f)),
+      Row(2L, null, null, null, null, null, null, null),
+      Row(3L, 30, Double.NaN, -0f, false, "", Array.empty[Byte], Seq.empty[Float]),
+      Row(null, 40, -1.0, 1f, true, "betä", Array[Byte](-1), Seq(3f)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  // Row.toString renders Array[Byte] by identity — canonicalize by content
+  private def canon(r: Row): String = r.toSeq.map {
+    case b: Array[Byte] => b.mkString("<", ",", ">")
+    case x => String.valueOf(x)
+  }.mkString("|")
+
+  private def scanOf(df: DataFrame, label: String = ""): BatchScanExec =
+    df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail(s"no BatchScanExec [$label]:\n" +
+        s"optimized:\n${df.queryExecution.optimizedPlan.treeString}" +
+        s"executed:\n${df.queryExecution.executedPlan.treeString}"))
+
+  test("roundtrip: every supported type incl. nulls, empty string/array/binary") {
+    val dir = tmp()
+    sampleDf().write.format("graftshard").mode("overwrite").save(dir)
+    val back = spark.read.format("graftshard").load(dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val exp = sampleDf().collect().map(canon).sorted.toSeq
+    val got = back.collect().map(canon).sorted.toSeq
+    assert(got == exp)
+  }
+
+  test("append unions, overwrite replaces, append schema mismatch fails at plan time") {
+    val dir = tmp()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    df.write.format("graftshard").mode("overwrite").save(dir)
+    df.write.format("graftshard").mode("append").save(dir)
+    assert(spark.read.format("graftshard").load(dir).count() == 4)
+    df.write.format("graftshard").mode("overwrite").save(dir)
+    assert(spark.read.format("graftshard").load(dir).count() == 2)
+    val bad = intercept[Exception] {
+      Seq((1L, 2L)).toDF("id", "other")
+        .write.format("graftshard").mode("append").save(dir)
+    }
+    assert(bad.getMessage.contains("does not match"))
+  }
+
+  test("manifest isolation: orphan shard files are invisible to readers") {
+    val dir = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format("graftshard").mode("overwrite").save(dir)
+    val shard = new File(dir).listFiles().filter(_.getName.endsWith(".shard")).head
+    // a crashed/speculative attempt's leftover: real bytes, no manifest entry
+    Files.copy(shard.toPath, new File(dir, "part-99999-0-deadbeef.shard").toPath)
+    assert(spark.read.format("graftshard").load(dir).count() == 2)
+  }
+
+  test("pushdown: absorbed predicates leave no FilterExec; residual double predicate stays") {
+    val dir = tmp()
+    sampleDf().write.format("graftshard").mode("overwrite").save(dir)
+    val base = spark.read.format("graftshard").load(dir)
+
+    val absorbed = base.where(col("id") > 0L && col("s") === "alpha" && col("n").isNotNull)
+    assert(absorbed.queryExecution.executedPlan.collect { case f: FilterExec => f }.isEmpty,
+      "all predicates pushable -> no FilterExec above the scan")
+    assert(absorbed.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(scanOf(absorbed).scan.description().contains("EqualTo(s,alpha)"))
+
+    val residual = base.where(col("d") > 0.0) // double comparisons stay with Spark
+    assert(residual.queryExecution.executedPlan.collect { case f: FilterExec => f }.nonEmpty,
+      "double predicate must NOT be absorbed (NaN ordering stays Spark's)")
+    // Spark orders NaN above every double: the NaN row (id 3) matches.
+    // Exactly the engine-defined semantics a source-side reimplementation
+    // would get wrong — the reason doubles are never pushed.
+    assert(residual.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("pushdown semantics match Spark's on nulls, IN, negatives, booleans") {
+    val dir = tmp()
+    sampleDf().write.format("graftshard").mode("overwrite").save(dir)
+    val shard = spark.read.format("graftshard").load(dir)
+    val oracle = sampleDf()
+    for (pred <- Seq(
+        col("id") >= 2L, col("id") < 3L, col("n").isin(10, 40), col("id").isNull,
+        col("b") === true, col("s").isNull, col("vec").isNotNull,
+        col("n") <= 30 && col("id") =!= 1L)) {
+      val got = shard.where(pred).collect().map(canon).sorted.toSeq
+      val exp = oracle.where(pred).collect().map(canon).sorted.toSeq
+      assert(got == exp, s"predicate $pred")
+    }
+  }
+
+  test("column pruning shrinks the scan output to the required columns") {
+    val dir = tmp()
+    sampleDf().write.format("graftshard").mode("overwrite").save(dir)
+    // Spark's pruned schema keeps SOURCE column order; the Project above
+    // the scan does the reordering
+    val pruned = spark.read.format("graftshard").load(dir).select("s", "id")
+    assert(scanOf(pruned).output.map(_.name) == Seq("id", "s"))
+    // filter-only column is read but NOT in the scan output
+    val filterOnly = spark.read.format("graftshard").load(dir)
+      .where(col("n") === 10).select("s")
+    assert(scanOf(filterOnly).output.map(_.name) == Seq("s"))
+    assert(filterOnly.collect().map(_.getString(0)).toSeq == Seq("alpha"))
+  }
+
+  test("manifest-stats file skipping prunes whole shards at planning time") {
+    val dir = tmp()
+    // range-partitioned write -> disjoint id ranges per shard file;
+    // `sparse` is a NULLABLE long that is all-null in the low-id files
+    // (IsNull on a NON-nullable column never reaches the source —
+    // Catalyst folds it to an empty relation first, correctly)
+    spark.range(0, 1000)
+      .withColumn("payload", concat(lit("row"), col("id")))
+      .withColumn("sparse", when(col("id") >= 500L, col("id")))
+      .repartitionByRange(4, col("id"))
+      .write.format("graftshard").mode("overwrite").save(dir)
+    assert(new File(dir).listFiles().count(_.getName.endsWith(".shard")) == 4)
+
+    val hit = spark.read.format("graftshard").load(dir).where(col("id") === 17L)
+    val desc = scanOf(hit, "hit").scan.description()
+    assert(desc.contains("files=1/4"), s"expected 1 surviving file, got: $desc")
+    assert(hit.count() == 1)
+
+    val miss = spark.read.format("graftshard").load(dir).where(col("id") > 5000L)
+    assert(scanOf(miss, "miss").scan.description().contains("files=0/4"))
+    assert(miss.count() == 0)
+
+    // null-count stats: IsNull keeps only the all-null files, IsNotNull
+    // only the no-null files
+    val nulls = spark.read.format("graftshard").load(dir).where(col("sparse").isNull)
+    assert(scanOf(nulls, "nulls").scan.description().contains("files=2/4"))
+    assert(nulls.count() == 500)
+    val notNulls = spark.read.format("graftshard").load(dir).where(col("sparse").isNotNull)
+    assert(scanOf(notNulls, "notNulls").scan.description().contains("files=2/4"))
+    assert(notNulls.count() == 500)
+  }
+
+  test("reported statistics reflect file skipping (broadcast planning input)") {
+    val dir = tmp()
+    spark.range(0, 1000).withColumn("payload", concat(lit("row"), col("id")))
+      .repartitionByRange(4, col("id"))
+      .write.format("graftshard").mode("overwrite").save(dir)
+    val all = spark.read.format("graftshard").load(dir)
+    val one = all.where(col("id") === 17L)
+    val sAll = all.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sOne = one.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sOne * 3 < sAll, s"skipping-aware size $sOne should be ~1/4 of $sAll")
+    val m = ShardFormat.readManifest(dir).get
+    assert(sAll == BigInt(m.files.map(_.bytes).sum))
+  }
+
+  test("runtime filtering: a delivered In filter re-plans to fewer shard files") {
+    val dir = tmp()
+    spark.range(0, 1000).withColumn("payload", concat(lit("row"), col("id")))
+      .repartitionByRange(4, col("id"))
+      .write.format("graftshard").mode("overwrite").save(dir)
+    val df = spark.read.format("graftshard").load(dir)
+    val scan = scanOf(df, "runtime").scan
+    val srf = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    assert(srf.filterAttributes().map(_.describe()).toSeq == Seq("id"))
+    val batch = scan.toBatch
+    assert(batch.planInputPartitions().length == 1, "4 small files pack into 1 partition")
+    srf.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(17L, 23L))))
+    val parts = batch.planInputPartitions()
+    val filesLeft = parts.map(_.asInstanceOf[graft.sources.v2.ShardInputPartition].files.length).sum
+    assert(filesLeft == 1, s"runtime In on one id range must keep 1 file, kept $filesLeft")
+  }
+
+  test("runtime filtering end-to-end: broadcast join plants a dynamic pruning filter") {
+    val dir = tmp()
+    spark.range(0, 1000).withColumn("payload", concat(lit("row"), col("id")))
+      .repartitionByRange(4, col("id"))
+      .write.format("graftshard").mode("overwrite").save(dir)
+    val fact = spark.read.format("graftshard").load(dir)
+    // the dim must be SOURCE-backed: over a LocalRelation fixture,
+    // ConvertToLocalRelation folds the Filter away before
+    // PartitionPruning runs and the rule sees no selective predicate
+    // (the repo-wide optimizer-rule-test lesson); the predicate itself
+    // must be likely-selective (attr-vs-literal comparison)
+    val dimDir = tmp() + "_dim"
+    Seq((17L, "keep"), (23L, "keep"), (800L, "drop")).toDF("k", "flag")
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.where(col("flag") === "keep"), fact("id") === dim("k"))
+      .select("id", "payload")
+    val rows = joined.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq((17L, "row17"), (23L, "row23")))
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      s"expected a runtime filter on the graftshard scan:\n$planStr")
+  }
+
+  test("unsupported column type is rejected at plan time with a clear error") {
+    val e = intercept[Exception] {
+      Seq((1L, Seq("x"))).toDF("id", "tags")
+        .write.format("graftshard").mode("overwrite").save(tmp())
+    }
+    assert(e.getMessage.contains("unsupported column type"))
+  }
+
+  test("zero-column read (count star) and empty-partition shards") {
+    val dir = tmp()
+    // 8 partitions, 3 rows: empty partitions must not leave files
+    Seq(1L, 2L, 3L).toDF("id").repartition(8)
+      .write.format("graftshard").mode("overwrite").save(dir)
+    assert(new File(dir).listFiles().count(_.getName.endsWith(".shard")) <= 3)
+    assert(spark.read.format("graftshard").load(dir).count() == 3)
+  }
+}
