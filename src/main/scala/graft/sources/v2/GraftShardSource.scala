@@ -8,6 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -85,7 +86,7 @@ class GraftShardTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftShardScanBuilder(path, tableSchema, options)
@@ -115,7 +116,7 @@ class GraftShardScanBuilder(
 
   override def build(): Scan = {
     val manifest = ShardFormat.readManifest(path).getOrElse(
-      ShardFormat.Manifest(fullSchema, Nil))
+      ShardFormat.Manifest(fullSchema, "", Nil))
     val targetBytes = Option(options.get("targetPartitionBytes"))
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
     new GraftShardScan(path, fullSchema, required, pushed, manifest, targetBytes)
@@ -195,6 +196,86 @@ class GraftShardScan(
     // the factory was built first, rows stay correct (the join itself
     // still filters) — only the early-drop optimization is lost
     new GraftShardReaderFactory(fullSchema, required, pushed ++ runtime)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftShardMicroBatchStream(path, fullSchema, required, pushed)
+}
+
+/** Offset = (manifest generation, length of the committed-file list).
+  * Commit order is append order ([[GraftShardBatchWrite.commit]] unions
+  * `prior ++ committed`), so a prefix index IS a stable position in an
+  * append-only table — no per-file bookkeeping in the checkpoint. The
+  * generation pin catches the one way a prefix index lies: an overwrite
+  * that later grows the NEW file list past the committed index would
+  * otherwise silently skip the replaced prefix. */
+final case class ShardOffset(generation: String, fileCount: Long) extends Offset {
+  override def json: String = s"$generation:$fileCount"
+}
+
+object ShardOffset {
+  def fromJson(json: String): ShardOffset = {
+    val i = json.lastIndexOf(':')
+    ShardOffset(json.substring(0, i), json.substring(i + 1).toLong)
+  }
+}
+
+/** Streaming face of `graftshard`: each micro-batch reads the shard
+  * files the manifest gained since the last committed offset — the
+  * incremental corpus-ingestion shape (continuously appended training
+  * shards consumed exactly once). Static pushed filters keep their
+  * file-skipping power per batch: an appended file whose stats exclude
+  * the predicate never becomes a task.
+  *
+  * Contract: the table must be APPEND-ONLY while streamed. An
+  * overwrite swaps the manifest and invalidates prefix offsets; the
+  * next batch detects the shrunken list and fails loudly rather than
+  * re-reading files under reused indices (restart from a fresh
+  * checkpoint after an overwrite). */
+class GraftShardMicroBatchStream(
+    path: String,
+    fullSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter])
+    extends MicroBatchStream {
+
+  private def manifest(): ShardFormat.Manifest =
+    ShardFormat.readManifest(path).getOrElse(
+      ShardFormat.Manifest(fullSchema, "", Nil))
+
+  override def initialOffset(): Offset = ShardOffset("", 0L)
+  override def latestOffset(): Offset = {
+    val m = manifest()
+    ShardOffset(m.generation, m.files.size.toLong)
+  }
+  override def deserializeOffset(json: String): Offset = ShardOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val so = start.asInstanceOf[ShardOffset]
+    val eo = end.asInstanceOf[ShardOffset]
+    val m = manifest()
+    def overwritten(why: String) = throw new IllegalStateException(
+      s"graftshard: $why at '$path' — the table was overwritten during a " +
+        "streaming read (prefix offsets are only valid within one manifest " +
+        "generation); restart from a fresh checkpoint")
+    // "" = the stream's zero offset, valid against any generation
+    if (so.generation.nonEmpty && so.generation != m.generation)
+      overwritten(s"offset generation ${so.generation} != manifest ${m.generation}")
+    if (eo.generation.nonEmpty && eo.generation != m.generation)
+      overwritten(s"offset generation ${eo.generation} != manifest ${m.generation}")
+    if (m.files.size < eo.fileCount)
+      overwritten(s"manifest has ${m.files.size} files but the stream reached ${eo.fileCount}")
+    m.files.slice(so.fileCount.toInt, eo.fileCount.toInt)
+      .filter(fe => pushed.forall(ShardFilters.mayContain(_, fe)))
+      .map(fe => ShardInputPartition(
+        Array((new File(path, fe.name).getPath, fe.rows))): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftShardReaderFactory(fullSchema, required, pushed)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class GraftShardReaderFactory(

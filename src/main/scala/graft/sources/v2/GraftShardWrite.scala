@@ -75,10 +75,14 @@ class GraftShardBatchWrite(path: String, schema: StructType, truncate: Boolean)
     // empty-partition shards carry no information — drop their files
     messages.collect { case m: ShardCommitMessage if m.rows == 0 => m.name }
       .foreach(n => new File(path, n).delete())
-    val prior =
-      if (truncate) Nil
-      else ShardFormat.readManifest(path).map(_.files).getOrElse(Nil)
-    ShardFormat.writeManifest(path, ShardFormat.Manifest(schema, prior ++ committed))
+    // generation: fresh on truncate, carried on append — streaming
+    // offsets embed it to detect overwrites (ShardOffset scaladoc)
+    val existing = if (truncate) None else ShardFormat.readManifest(path)
+    val prior = existing.map(_.files).getOrElse(Nil)
+    val generation = existing.map(_.generation).filter(_.nonEmpty)
+      .getOrElse(java.util.UUID.randomUUID().toString.take(8))
+    ShardFormat.writeManifest(path,
+      ShardFormat.Manifest(schema, generation, prior ++ committed))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -94,7 +94,11 @@ object ShardFormat {
       // cols tracked but all-null in this file: (nulls only)
       allNull: Map[String, Long])
 
-  final case class Manifest(schema: StructType, files: Seq[FileEntry])
+  /** `generation` changes on every truncate/overwrite commit and is
+    * carried through appends — streaming offsets embed it so a prefix
+    * index can never be silently reused against a swapped file list
+    * ([[ShardOffset]]). */
+  final case class Manifest(schema: StructType, generation: String, files: Seq[FileEntry])
 
   /** Writes one shard file; the caller feeds [[InternalRow]]s in the
     * full table schema. Not thread-safe (one per Spark task). */
@@ -275,6 +279,8 @@ object ShardFormat {
     if (!f.isFile) return None
     val root = mapper.readTree(f)
     val schema = DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType]
+    val generation =
+      if (root.has("generation")) root.get("generation").asText() else ""
     val files = Seq.newBuilder[FileEntry]
     root.get("files").forEach { fn =>
       val present = Map.newBuilder[String, (Long, Long, Long)]
@@ -289,7 +295,7 @@ object ShardFormat {
       files += FileEntry(fn.get("name").asText(), fn.get("bytes").asLong(),
         fn.get("rows").asLong(), present.result(), allNull.result())
     }
-    Some(Manifest(schema, files.result()))
+    Some(Manifest(schema, generation, files.result()))
   }
 
   /** Atomic publish: write to a temp sibling, then rename over the
@@ -300,6 +306,7 @@ object ShardFormat {
     val root = om.createObjectNode()
     root.put("version", Version)
     root.put("schema", m.schema.json)
+    root.put("generation", m.generation)
     val arr: ArrayNode = root.putArray("files")
     m.files.foreach { fe =>
       val fn: ObjectNode = arr.addObject()

@@ -227,6 +227,50 @@ class GraftShardSourceSpec extends AnyFunSuite {
       s"expected a runtime filter on the graftshard scan:\n$planStr")
   }
 
+  test("streaming read: appended shard batches arrive incrementally, exactly once") {
+    val dir = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format("graftshard").mode("append").save(dir)
+    val q = spark.readStream.format("graftshard").load(dir)
+      .writeStream.format("memory").queryName("graftshard_stream")
+      .option("checkpointLocation", tmp() + "_ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graftshard_stream").count() == 2)
+      Seq((3L, "c")).toDF("id", "s")
+        .write.format("graftshard").mode("append").save(dir)
+      q.processAllAvailable()
+      val rows = spark.table("graftshard_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")), "each file exactly once")
+    } finally q.stop()
+  }
+
+  test("streaming read: an overwrite mid-stream fails loudly, never re-reads silently") {
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format("graftshard").mode("append").save(dir)
+    val q = spark.readStream.format("graftshard").load(dir)
+      .writeStream.format("memory").queryName("graftshard_stream_ow")
+      .option("checkpointLocation", tmp() + "_ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graftshard_stream_ow").count() == 1)
+      // overwrite swaps the manifest generation; grow the new list past
+      // the committed offset — without the generation pin this would
+      // silently skip the replaced prefix
+      Seq((10L, "x"), (11L, "y")).toDF("id", "s").repartition(2)
+        .write.format("graftshard").mode("overwrite").save(dir)
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("overwritten during a streaming read")),
+        s"expected the generation-mismatch error, got: $e")
+    } finally q.stop()
+  }
+
   test("unsupported column type is rejected at plan time with a clear error") {
     val e = intercept[Exception] {
       Seq((1L, Seq("x"))).toDF("id", "tags")
