@@ -1004,6 +1004,60 @@ object ExtensionQueries {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Storage-partitioned join through `graftshard`: documents and
+    * embeddings are both written key-partitioned on `shard_key =
+    * id % 32` (one key value per shard file, recorded in the manifest),
+    * so the scans report `KeyGroupedPartitioning` and the whole
+    * rollup-join — two group-bys on the key plus the join — plans with
+    * ZERO shuffle of either corpus (`spark.sql.sources.v2.bucketing
+    * .enabled`, default on; GraftShardSourceSpec pins the
+    * no-Exchange SMJ plan shape). At 100 TB this is the headline win of
+    * keyed layout: a key-aligned join whose only data movement is the
+    * scan itself. */
+  private def x41(s: SparkSession, dir: String): DataFrame = {
+    val outA = Q.tmpArtifactPath("x41a", dir)
+    val outB = Q.tmpArtifactPath("x41b", dir)
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), pmod(col("doc_id"), lit(32)).as("shard_key"))
+      .repartition(col("shard_key"))
+      .write.format("graftshard").option("partitionKey", "shard_key")
+      .mode("overwrite").save(outA)
+    table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), pmod(col("vec_id"), lit(32)).as("shard_key"))
+      .repartition(col("shard_key"))
+      .write.format("graftshard").option("partitionKey", "shard_key")
+      .mode("overwrite").save(outB)
+    val a = s.read.format("graftshard").load(outA)
+      .groupBy("shard_key")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val b = s.read.format("graftshard").load(outB)
+      .groupBy("shard_key")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("label")).as("sum_label"))
+    a.join(b, "shard_key")
+  }
+
+  /** Aggregate pushdown through `graftshard`: per-shard-key counts and
+    * id ranges answered ENTIRELY from the manifest — the scan opens
+    * ZERO shard files (GraftShardSourceSpec proves it by deleting them).
+    * `maybe_chars` is nullable, so count(maybe_chars) exercises the
+    * per-file null-count stats, not just row totals. At 100 TB this is
+    * `count(*)`-from-metadata: the difference between a full corpus
+    * read and one driver-side manifest lookup. */
+  private def x42(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x42", dir)
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(pmod(col("n_chars"), lit(3)) =!= 0, col("n_chars")).as("maybe_chars"),
+        pmod(col("doc_id"), lit(16)).as("shard_key"))
+      .repartition(col("shard_key"))
+      .write.format("graftshard").option("partitionKey", "shard_key")
+      .mode("overwrite").save(out)
+    s.read.format("graftshard").load(out)
+      .groupBy("shard_key")
+      .agg(count(lit(1)).as("n_rows"), count(col("maybe_chars")).as("n_chars_nonnull"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+  }
+
   /** Hierarchical subtotals via rollup (grouping sets). */
   private def x3(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "lineitem")
@@ -4216,6 +4270,26 @@ object ExtensionQueries {
       SELECT doc_id, text, lang, source, n_chars FROM documents
       WHERE n_chars > 64 AND doc_id < 2000
         AND source IN ('src1','src3','src5','src7','src9','src11')""")),
+
+    // storage-partitioned join: zero-shuffle key-aligned rollup join
+    Q("x41_shard_partitioned_join", x41, Some("""
+      WITH a AS (
+        SELECT doc_id % 32 AS shard_key, count(*) AS n_docs,
+          sum(n_chars)::BIGINT AS sum_chars
+        FROM documents GROUP BY 1),
+      b AS (
+        SELECT vec_id % 32 AS shard_key, count(*) AS n_vecs,
+          sum(label)::BIGINT AS sum_label
+        FROM embeddings GROUP BY 1)
+      SELECT a.shard_key, n_docs, sum_chars, n_vecs, sum_label
+      FROM a JOIN b USING (shard_key)""")),
+
+    // aggregate pushdown: grouped count/min/max answered from the manifest
+    Q("x42_shard_agg_pushdown", x42, Some("""
+      SELECT doc_id % 16 AS shard_key, count(*) AS n_rows,
+        count(CASE WHEN n_chars % 3 <> 0 THEN n_chars END) AS n_chars_nonnull,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM documents GROUP BY 1""")),
 
     Q("x3_rollup", x3, Some("""
       SELECT l_returnflag, l_linestatus,

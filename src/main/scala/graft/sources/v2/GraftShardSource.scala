@@ -6,14 +6,16 @@ import java.util.OptionalLong
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -88,6 +90,13 @@ class GraftShardTable(path: String, tableSchema: StructType)
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
 
+  /** Key-partitioned tables surface their layout as an identity
+    * transform — the catalog-level half of the storage-partitioned-join
+    * contract (the scan's [[KeyGroupedPartitioning]] is the other). */
+  override def partitioning(): Array[Transform] =
+    ShardFormat.readManifest(path).flatMap(_.partitionColumn)
+      .map(c => Array(Expressions.identity(c))).getOrElse(Array.empty)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftShardScanBuilder(path, tableSchema, options)
 
@@ -95,14 +104,28 @@ class GraftShardTable(path: String, tableSchema: StructType)
     new GraftShardWriteBuilder(path, info)
 }
 
+/** The manifest-answered aggregate: output schema (group column first,
+  * then one field per aggregate function — the order
+  * `V2ScanRelationPushDown` zips the scan output against), the
+  * precomputed result rows, and a human-readable tag for the plan. */
+final case class ShardAggResult(
+    schema: StructType,
+    rows: Seq[Array[Any]],
+    description: String)
+
 class GraftShardScanBuilder(
     path: String,
     fullSchema: StructType,
     options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var agg: Option[ShardAggResult] = None
+
+  private lazy val manifest: ShardFormat.Manifest =
+    ShardFormat.readManifest(path).getOrElse(ShardFormat.Manifest(fullSchema, "", Nil))
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -114,16 +137,122 @@ class GraftShardScanBuilder(
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** COUNT(*) / COUNT(col) / MIN(col) / MAX(col) over integral columns
+    * — optionally grouped by the table's partition column — are
+    * answered ENTIRELY from the manifest: zero shard files opened, the
+    * Iceberg `count(*)`-from-metadata idea. Sound only when the source
+    * absorbed no row-level filter (manifest stats are per-file totals;
+    * a pushed predicate would make them overcounts), when every file
+    * tracks the column (stats or all-null entry — min/max/null-count
+    * coverage), and with exact per-group answers only when each file
+    * belongs to one group (the keyed-write invariant). Complete
+    * pushdown: Spark plans a Project over these rows, no re-agg. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    computeAggregation(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    agg = computeAggregation(aggregation)
+    agg.isDefined
+  }
+
+  private def columnName(e: V2Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  private def computeAggregation(a: Aggregation): Option[ShardAggResult] = {
+    if (pushed.nonEmpty) return None
+    val m = manifest
+    def colType(c: String): Option[DataType] =
+      m.schema.fields.find(_.name == c).map(_.dataType)
+    def integral(c: String): Boolean =
+      colType(c).exists(dt => dt == LongType || dt == IntegerType)
+    def tracked(c: String): Boolean =
+      m.files.forall(fe => fe.stats.contains(c) || fe.allNull.contains(c))
+    def box(dt: DataType, v: Long): Any =
+      if (dt == LongType) Long.box(v) else Int.box(v.toInt)
+
+    val groupCol: Option[Option[String]] = a.groupByExpressions() match {
+      case Array() => Some(None)
+      case Array(e) =>
+        columnName(e).filter(c =>
+          m.partitionColumn.contains(c) && m.files.forall(_.partition.isDefined))
+          .map(c => Some(c))
+      case _ => None
+    }
+
+    def minMax(col: Option[String], isMin: Boolean)
+        : Option[(StructField, Seq[ShardFormat.FileEntry] => Any)] =
+      col.filter(c => integral(c) && tracked(c)).map { c =>
+        val dt = colType(c).get
+        (StructField(s"${if (isMin) "min" else "max"}($c)", dt, nullable = true),
+          (fes: Seq[ShardFormat.FileEntry]) => {
+            val vals = fes.flatMap(_.stats.get(c)).map(s => if (isMin) s._1 else s._2)
+            if (vals.isEmpty) null else box(dt, if (isMin) vals.min else vals.max)
+          })
+      }
+
+    val funcs: Seq[Option[(StructField, Seq[ShardFormat.FileEntry] => Any)]] =
+      a.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(
+          (StructField("count(*)", LongType, nullable = false),
+            (fes: Seq[ShardFormat.FileEntry]) => Long.box(fes.map(_.rows).sum)))
+        case c: Count if !c.isDistinct =>
+          columnName(c.column).filter(cn => integral(cn) && tracked(cn)).map { cn =>
+            (StructField(s"count($cn)", LongType, nullable = false),
+              (fes: Seq[ShardFormat.FileEntry]) => Long.box(fes.map { fe =>
+                fe.rows - fe.stats.get(cn).map(_._3).orElse(fe.allNull.get(cn)).getOrElse(0L)
+              }.sum))
+          }
+        case mn: Min => minMax(columnName(mn.column), isMin = true)
+        case mx: Max => minMax(columnName(mx.column), isMin = false)
+        case _ => None
+      }
+
+    (groupCol, if (funcs.exists(_.isEmpty)) None else Some(funcs.flatten)) match {
+      case (Some(gc), Some(fs)) =>
+        val rows: Seq[Array[Any]] = gc match {
+          case None => Seq(fs.map(_._2(m.files)).toArray[Any])
+          case Some(c) =>
+            val kdt = colType(c).get
+            m.files.groupBy(_.partition.get).toSeq.sortBy(_._1).map { case (k, fes) =>
+              (box(kdt, k) +: fs.map(_._2(fes))).toArray[Any]
+            }
+        }
+        val schema = StructType(
+          gc.map(c => StructField(c, colType(c).get, nullable = false)).toSeq ++ fs.map(_._1))
+        Some(ShardAggResult(schema, rows,
+          a.aggregateExpressions().mkString(", ") +
+            gc.map(c => s" group by $c").getOrElse("")))
+      case _ => None
+    }
+  }
+
   override def build(): Scan = {
-    val manifest = ShardFormat.readManifest(path).getOrElse(
-      ShardFormat.Manifest(fullSchema, "", Nil))
     val targetBytes = Option(options.get("targetPartitionBytes"))
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
-    new GraftShardScan(path, fullSchema, required, pushed, manifest, targetBytes)
+    new GraftShardScan(path, fullSchema, required, pushed, manifest, targetBytes, agg)
   }
 }
 
-final case class ShardInputPartition(files: Array[(String, Long)]) extends InputPartition
+/** Both partition shapes carry (path, rows) per file; the keyed shape
+  * adds the one partition value all its rows share — `HasPartitionKey`
+  * is what lets Spark line partitions up across scans for a
+  * storage-partitioned join. */
+sealed trait ShardFilesPartition extends InputPartition {
+  def files: Array[(String, Long)]
+}
+final case class ShardInputPartition(files: Array[(String, Long)]) extends ShardFilesPartition
+final case class ShardKeyedInputPartition(
+    files: Array[(String, Long)],
+    key: Long,
+    keyIsLong: Boolean) extends ShardFilesPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](if (keyIsLong) Long.box(key) else Int.box(key.toInt)))
+}
+/** Aggregate-pushdown results computed on the driver from the manifest;
+  * the single "partition" just replays them. */
+final case class ShardAggRowsPartition(rows: Seq[Array[Any]]) extends InputPartition
 
 class GraftShardScan(
     path: String,
@@ -131,8 +260,32 @@ class GraftShardScan(
     required: StructType,
     pushed: Array[Filter],
     manifest: ShardFormat.Manifest,
-    targetBytes: Long)
-    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+    targetBytes: Long,
+    agg: Option[ShardAggResult])
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning with SupportsRuntimeFiltering {
+
+  /** Key-grouped mode: one `InputPartition` per partition-key value,
+    * reported as [[KeyGroupedPartitioning]], so joins and group-bys on
+    * the key plan WITHOUT an exchange (storage-partitioned join — at
+    * 100 TB the shuffle this deletes is usually the whole cost of a
+    * key-aligned join). Active when `spark.sql.sources.v2.bucketing
+    * .enabled` holds (default TRUE on Spark 4 — grouped mode is the
+    * out-of-the-box behavior; with it off Spark ignores reported
+    * partitioning, so we keep bin-packing), the key column survives
+    * column pruning (Spark must resolve the reported expression against
+    * scan output), every file carries a key, and no aggregate was
+    * pushed. Grouped scans do not volunteer for runtime filtering: a
+    * DPP re-plan that dropped a key group would break the
+    * one-partition-per-reported-key contract BatchScanExec checks; the
+    * static manifest skipping still applies per group. */
+  private val groupedCol: Option[String] =
+    if (agg.isDefined) None
+    else manifest.partitionColumn.filter { c =>
+      org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
+        required.fieldNames.contains(c) &&
+        manifest.files.nonEmpty && manifest.files.forall(_.partition.isDefined)
+    }
 
   /** Runtime (DPP-style) filters: Spark's PartitionPruning rule plants
     * a DynamicPruningExpression on this scan when it joins a selective
@@ -143,7 +296,8 @@ class GraftShardScan(
   private var runtime: Array[Filter] = Array.empty
 
   override def filterAttributes(): Array[NamedReference] =
-    fullSchema.fields.filter(f => ShardFormat.statsEligible(f.dataType))
+    if (agg.isDefined || groupedCol.isDefined) Array.empty
+    else fullSchema.fields.filter(f => ShardFormat.statsEligible(f.dataType))
       .map(f => Expressions.column(f.name))
 
   override def filter(filters: Array[Filter]): Unit =
@@ -155,50 +309,97 @@ class GraftShardScan(
     manifest.files.filter(fe =>
       (pushed ++ runtime).forall(ShardFilters.mayContain(_, fe)))
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
 
   override def description(): String = {
     val p = pushed.map(_.toString).sorted.mkString(", ")
-    s"graftshard files=${selected.size}/${manifest.files.size} pushed=[$p]"
+    val a = agg.map(r => s" pushedAggregates=[${r.description}]").getOrElse("")
+    val g = groupedCol.map(c => s" keyGroupedBy=$c").getOrElse("")
+    s"graftshard files=${selected.size}/${manifest.files.size} pushed=[$p]$a$g"
+  }
+
+  override def outputPartitioning(): Partitioning = groupedCol match {
+    case Some(c) =>
+      new KeyGroupedPartitioning(
+        Array[V2Expression](Expressions.identity(c)),
+        selected.flatMap(_.partition).distinct.size)
+    case None => new UnknownPartitioning(0)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(selected.map(_.bytes).sum)
+    override def sizeInBytes(): OptionalLong = agg match {
+      // the aggregate answer is manifest-resident: a handful of rows
+      case Some(r) => OptionalLong.of(r.rows.size.toLong * 64)
+      case None => OptionalLong.of(selected.map(_.bytes).sum)
+    }
     // exact only when every surviving row passes every pushed filter,
     // which we cannot know without reading — report rows only for the
     // no-filter scan (planner treats absence as unknown, never wrong)
-    override def numRows(): OptionalLong =
-      if (pushed.isEmpty) OptionalLong.of(selected.map(_.rows).sum)
-      else OptionalLong.empty()
-  }
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    // greedy first-fit pack to targetBytes, largest first — 100k tiny
-    // shards must not become 100k tasks
-    val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
-    selected.sortBy(-_.bytes).foreach { fe =>
-      val full = new File(path, fe.name).getPath
-      bins.indexWhere(_._2 + fe.bytes <= targetBytes) match {
-        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(full -> fe.rows), fe.bytes))
-        case i =>
-          val (buf, sz) = bins(i)
-          buf += (full -> fe.rows)
-          bins(i) = (buf, sz + fe.bytes)
-      }
+    override def numRows(): OptionalLong = agg match {
+      case Some(r) => OptionalLong.of(r.rows.size.toLong)
+      case None =>
+        if (pushed.isEmpty) OptionalLong.of(selected.map(_.rows).sum)
+        else OptionalLong.empty()
     }
-    bins.map(b => ShardInputPartition(b._1.toArray): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def planInputPartitions(): Array[InputPartition] = agg match {
+    case Some(r) => Array(ShardAggRowsPartition(r.rows))
+    case None => groupedCol match {
+      case Some(c) =>
+        val keyIsLong =
+          fullSchema.fields(fullSchema.fieldIndex(c)).dataType == LongType
+        selected.groupBy(_.partition.get).toSeq.sortBy(_._1).map { case (k, fes) =>
+          ShardKeyedInputPartition(
+            fes.map(fe => (new File(path, fe.name).getPath, fe.rows)).toArray,
+            k, keyIsLong): InputPartition
+        }.toArray
+      case None =>
+        // greedy first-fit pack to targetBytes, largest first — 100k tiny
+        // shards must not become 100k tasks
+        val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
+        selected.sortBy(-_.bytes).foreach { fe =>
+          val full = new File(path, fe.name).getPath
+          bins.indexWhere(_._2 + fe.bytes <= targetBytes) match {
+            case -1 => bins += ((scala.collection.mutable.ArrayBuffer(full -> fe.rows), fe.bytes))
+            case i =>
+              val (buf, sz) = bins(i)
+              buf += (full -> fe.rows)
+              bins(i) = (buf, sz + fe.bytes)
+          }
+        }
+        bins.map(b => ShardInputPartition(b._1.toArray): InputPartition).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = agg match {
+    case Some(_) => new ShardAggRowsReaderFactory
     // runtime filters ride along row-level when already delivered; if
     // the factory was built first, rows stay correct (the join itself
     // still filters) — only the early-drop optimization is lost
-    new GraftShardReaderFactory(fullSchema, required, pushed ++ runtime)
+    case None => new GraftShardReaderFactory(fullSchema, required, pushed ++ runtime)
+  }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(agg.isEmpty,
+      "graftshard: aggregate pushdown is a batch-only surface")
     new GraftShardMicroBatchStream(path, fullSchema, required, pushed)
+  }
+}
+
+class ShardAggRowsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[ShardAggRowsPartition].rows.iterator
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = new GenericInternalRow(rows.next()); true }
+        else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Offset = (manifest generation, length of the committed-file list).
@@ -285,7 +486,7 @@ class GraftShardReaderFactory(
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[ShardInputPartition]
+    val p = partition.asInstanceOf[ShardFilesPartition]
     new GraftShardPartitionReader(p.files, fullSchema, required, pushed)
   }
 }

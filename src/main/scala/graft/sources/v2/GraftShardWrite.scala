@@ -4,13 +4,13 @@ import java.io.File
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
 
 /** V2 write path for `graftshard`: each task streams its partition
-  * into one shard file under a task-unique name, returns a commit
-  * message carrying (name, bytes, rows, per-column stats), and the
-  * DRIVER publishes exactly the committed messages into the manifest
-  * with an atomic rename ([[ShardFormat.writeManifest]]).
+  * into shard files under task-unique names, returns a commit
+  * message carrying (name, bytes, rows, per-column stats) per file,
+  * and the DRIVER publishes exactly the committed messages into the
+  * manifest with an atomic rename ([[ShardFormat.writeManifest]]).
   *
   * That message-list-is-the-truth protocol is what makes the write
   * speculation-safe without any task-side rename dance: a speculative
@@ -22,6 +22,16 @@ import org.apache.spark.sql.types.StructType
   * retention horizon, the standard lake trade; append unions the old
   * manifest's file list with the new messages at commit time (schema
   * equality enforced at PLAN time, not task 10k's stack trace).
+  *
+  * Key-partitioned writes (`option("partitionKey", col)`): each task
+  * writes one file PER DISTINCT KEY VALUE it sees, so every committed
+  * file carries exactly one key value — the invariant that lets the
+  * read side report `KeyGroupedPartitioning` and plan joins/group-bys
+  * on the key with zero exchange ([[GraftShardScan]]). The key column
+  * must be integral and non-null (a clear task-side error names the
+  * column otherwise). Writer memory is one ~1 MiB buffer per open key
+  * per task — `df.repartition(col)` first so each task sees few keys;
+  * that is the same contract as Spark's own dynamic partition writes.
   */
 class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -37,44 +47,53 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
         s"graftshard: unsupported column type ${f.dataType.sql} for '${f.name}' " +
           "(supported: long, int, double, float, boolean, string, binary, array<float>)")
     }
+    val partitionCol = Option(info.options.get("partitionKey")).map { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"graftshard: partitionKey column '$c' not in write schema ${schema.simpleString}"))
+      require(f.dataType == LongType || f.dataType == IntegerType,
+        s"graftshard: partitionKey column '$c' must be integral (long/int), " +
+          s"got ${f.dataType.sql} — key-grouped reads compare manifest key values")
+      c
+    }
     if (!truncateRequested) ShardFormat.readManifest(path).foreach { m =>
       val same = m.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
         schema.fields.map(f => (f.name, f.dataType)).toSeq
       require(same,
         s"graftshard: append schema ${schema.simpleString} does not match " +
           s"existing table schema ${m.schema.simpleString} at '$path'")
+      require(m.partitionColumn == partitionCol,
+        s"graftshard: append partitionKey $partitionCol does not match the " +
+          s"existing table's ${m.partitionColumn} at '$path' — the one-key-per-file " +
+          "invariant must hold across the whole manifest")
     }
     val doTruncate = truncateRequested
     new Write {
       override def toBatch: BatchWrite =
-        new GraftShardBatchWrite(path, schema, doTruncate)
+        new GraftShardBatchWrite(path, schema, doTruncate, partitionCol)
     }
   }
 }
 
-final case class ShardCommitMessage(
-    name: String,
-    bytes: Long,
-    rows: Long,
-    stats: Map[String, (Long, Long, Long)],
-    allNull: Map[String, Long]) extends WriterCommitMessage
+final case class ShardCommitMessage(files: Seq[ShardFormat.FileEntry])
+    extends WriterCommitMessage
 
-class GraftShardBatchWrite(path: String, schema: StructType, truncate: Boolean)
+class GraftShardBatchWrite(
+    path: String,
+    schema: StructType,
+    truncate: Boolean,
+    partitionCol: Option[String])
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
-    new GraftShardWriterFactory(path, schema)
+    new GraftShardWriterFactory(path, schema, partitionCol)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val committed = messages.collect {
-      case m: ShardCommitMessage if m.rows > 0 =>
-        ShardFormat.FileEntry(m.name, m.bytes, m.rows, m.stats, m.allNull)
-    }
+    val all = messages.toSeq.collect { case m: ShardCommitMessage => m.files }.flatten
+    val committed = all.filter(_.rows > 0)
     // empty-partition shards carry no information — drop their files
-    messages.collect { case m: ShardCommitMessage if m.rows == 0 => m.name }
-      .foreach(n => new File(path, n).delete())
+    all.filter(_.rows == 0).foreach(fe => new File(path, fe.name).delete())
     // generation: fresh on truncate, carried on append — streaming
     // offsets embed it to detect overwrites (ShardOffset scaladoc)
     val existing = if (truncate) None else ShardFormat.readManifest(path)
@@ -82,20 +101,24 @@ class GraftShardBatchWrite(path: String, schema: StructType, truncate: Boolean)
     val generation = existing.map(_.generation).filter(_.nonEmpty)
       .getOrElse(java.util.UUID.randomUUID().toString.take(8))
     ShardFormat.writeManifest(path,
-      ShardFormat.Manifest(schema, generation, prior ++ committed))
+      ShardFormat.Manifest(schema, generation, prior ++ committed, partitionCol))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case m: ShardCommitMessage => new File(path, m.name).delete(): Unit
+      case m: ShardCommitMessage =>
+        m.files.foreach(fe => new File(path, fe.name).delete(): Unit)
       case _ => ()
     }
 }
 
-class GraftShardWriterFactory(path: String, schema: StructType)
+class GraftShardWriterFactory(path: String, schema: StructType, partitionCol: Option[String])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftShardDataWriter(path, schema, partitionId, taskId)
+    partitionCol match {
+      case None => new GraftShardDataWriter(path, schema, partitionId, taskId)
+      case Some(c) => new GraftShardKeyedDataWriter(path, schema, partitionId, taskId, c)
+    }
 }
 
 class GraftShardDataWriter(path: String, schema: StructType, partitionId: Int, taskId: Long)
@@ -114,9 +137,49 @@ class GraftShardDataWriter(path: String, schema: StructType, partitionId: Int, t
 
   override def commit(): WriterCommitMessage = {
     val (bytes, rows, stats, allNull) = writer.finish()
-    ShardCommitMessage(name, bytes, rows, stats, allNull)
+    ShardCommitMessage(Seq(ShardFormat.FileEntry(name, bytes, rows, stats, allNull)))
   }
 
   override def abort(): Unit = writer.abort()
+  override def close(): Unit = ()
+}
+
+/** One shard file per distinct key value seen by this task; the commit
+  * message carries one [[ShardFormat.FileEntry]] per key with its
+  * `partition` value set. Null keys fail the task with the column name
+  * — a keyed table with null keys cannot honor one-key-per-file. */
+class GraftShardKeyedDataWriter(
+    path: String,
+    schema: StructType,
+    partitionId: Int,
+    taskId: Long,
+    partitionCol: String)
+    extends DataWriter[InternalRow] {
+
+  private val keyIdx = schema.fieldIndex(partitionCol)
+  private val keyIsLong = schema.fields(keyIdx).dataType == LongType
+  private val attempt = java.util.UUID.randomUUID().toString.take(8)
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[Long, (String, ShardFormat.ShardWriter)]
+
+  override def write(record: InternalRow): Unit = {
+    if (record.isNullAt(keyIdx)) throw new IllegalArgumentException(
+      s"graftshard: null value in partitionKey column '$partitionCol' — " +
+        "key-partitioned tables require a non-null key on every row")
+    val key = if (keyIsLong) record.getLong(keyIdx) else record.getInt(keyIdx).toLong
+    val (_, w) = writers.getOrElseUpdate(key, {
+      val name = f"part-$partitionId%05d-$taskId-$attempt-k$key.shard"
+      (name, new ShardFormat.ShardWriter(new File(path, name), schema))
+    })
+    w.write(record)
+  }
+
+  override def commit(): WriterCommitMessage =
+    ShardCommitMessage(writers.toSeq.map { case (key, (name, w)) =>
+      val (bytes, rows, stats, allNull) = w.finish()
+      ShardFormat.FileEntry(name, bytes, rows, stats, allNull, Some(key))
+    })
+
+  override def abort(): Unit = writers.values.foreach(_._2.abort())
   override def close(): Unit = ()
 }

@@ -92,13 +92,25 @@ object ShardFormat {
       // non-null values for the column (min/max undefined)
       stats: Map[String, (Long, Long, Long)],
       // cols tracked but all-null in this file: (nulls only)
-      allNull: Map[String, Long])
+      allNull: Map[String, Long],
+      // when the table is partitioned ([[Manifest.partitionColumn]]):
+      // the single key value every row of this file carries — the
+      // storage-partitioned-join currency (one file = one key)
+      partition: Option[Long] = None)
 
   /** `generation` changes on every truncate/overwrite commit and is
     * carried through appends — streaming offsets embed it so a prefix
     * index can never be silently reused against a swapped file list
-    * ([[ShardOffset]]). */
-  final case class Manifest(schema: StructType, generation: String, files: Seq[FileEntry])
+    * ([[ShardOffset]]). `partitionColumn`: when set, every file entry
+    * carries the one integral key value all its rows share; the scan
+    * reports `KeyGroupedPartitioning` over it so joins and group-bys on
+    * the key plan with ZERO exchange (Spark's storage-partitioned join,
+    * `spark.sql.sources.v2.bucketing.enabled`). */
+  final case class Manifest(
+      schema: StructType,
+      generation: String,
+      files: Seq[FileEntry],
+      partitionColumn: Option[String] = None)
 
   /** Writes one shard file; the caller feeds [[InternalRow]]s in the
     * full table schema. Not thread-safe (one per Spark task). */
@@ -281,6 +293,8 @@ object ShardFormat {
     val schema = DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType]
     val generation =
       if (root.has("generation")) root.get("generation").asText() else ""
+    val partitionColumn =
+      if (root.has("partitionColumn")) Some(root.get("partitionColumn").asText()) else None
     val files = Seq.newBuilder[FileEntry]
     root.get("files").forEach { fn =>
       val present = Map.newBuilder[String, (Long, Long, Long)]
@@ -292,10 +306,12 @@ object ShardFormat {
           present += e.getKey -> ((v.get("min").asLong(), v.get("max").asLong(), v.get("nulls").asLong()))
         else allNull += e.getKey -> v.get("nulls").asLong()
       }
+      val partition =
+        if (fn.has("partition")) Some(fn.get("partition").asLong()) else None
       files += FileEntry(fn.get("name").asText(), fn.get("bytes").asLong(),
-        fn.get("rows").asLong(), present.result(), allNull.result())
+        fn.get("rows").asLong(), present.result(), allNull.result(), partition)
     }
-    Some(Manifest(schema, generation, files.result()))
+    Some(Manifest(schema, generation, files.result(), partitionColumn))
   }
 
   /** Atomic publish: write to a temp sibling, then rename over the
@@ -307,12 +323,14 @@ object ShardFormat {
     root.put("version", Version)
     root.put("schema", m.schema.json)
     root.put("generation", m.generation)
+    m.partitionColumn.foreach(root.put("partitionColumn", _))
     val arr: ArrayNode = root.putArray("files")
     m.files.foreach { fe =>
       val fn: ObjectNode = arr.addObject()
       fn.put("name", fe.name)
       fn.put("bytes", fe.bytes)
       fn.put("rows", fe.rows)
+      fe.partition.foreach(fn.put("partition", _))
       val st = fn.putObject("stats")
       fe.stats.foreach { case (c, (mn, mx, nl)) =>
         val cn = st.putObject(c)

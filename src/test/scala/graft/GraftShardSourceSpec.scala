@@ -279,6 +279,202 @@ class GraftShardSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported column type"))
   }
 
+  // ------------------------------------------------ key-partitioned tables
+
+  private def withBucketing[A](body: => A): A = {
+    val key = "spark.sql.sources.v2.bucketing.enabled"
+    val pv = "spark.sql.sources.v2.bucketing.pushPartValues.enabled"
+    val before = (spark.conf.getOption(key), spark.conf.getOption(pv))
+    spark.conf.set(key, "true")
+    spark.conf.set(pv, "true")
+    try body
+    finally {
+      before._1.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      before._2.fold(spark.conf.unset(pv))(spark.conf.set(pv, _))
+    }
+  }
+
+  private def writeKeyed(dir: String, n: Int, keys: Int): Unit =
+    spark.range(0, n).select(col("id"), (col("id") % keys).as("k"),
+        (col("id") * 7L).as("v"))
+      .repartition(col("k"))
+      .write.format("graftshard").option("partitionKey", "k")
+      .mode("overwrite").save(dir)
+
+  test("key-partitioned write: one key value per file, manifest carries the values") {
+    val dir = tmp()
+    writeKeyed(dir, 100, 4)
+    val m = ShardFormat.readManifest(dir).get
+    assert(m.partitionColumn.contains("k"))
+    assert(m.files.forall(_.partition.isDefined))
+    assert(m.files.map(_.partition.get).sorted == Seq(0L, 1L, 2L, 3L))
+    // every row of a file really carries that one key value
+    val back = spark.read.format("graftshard").load(dir)
+    assert(back.select(countDistinct("k")).collect()(0).getLong(0) == 4)
+    assert(back.count() == 100)
+    // appending with a different (or no) partition key is rejected
+    val e = intercept[Exception] {
+      spark.range(100, 110).select(col("id"), (col("id") % 4).as("k"), col("id").as("v"))
+        .write.format("graftshard").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("partitionKey"))
+  }
+
+  test("key-partitioned write: null keys and non-integral keys fail with clear errors") {
+    val nullKey = intercept[Exception] {
+      Seq[(java.lang.Long, String)]((1L, "a"), (null, "b")).toDF("k", "s")
+        .write.format("graftshard").option("partitionKey", "k")
+        .mode("overwrite").save(tmp())
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(nullKey).exists(_.contains("null value in partitionKey")))
+    val strKey = intercept[Exception] {
+      Seq((1L, "a")).toDF("k", "s")
+        .write.format("graftshard").option("partitionKey", "s")
+        .mode("overwrite").save(tmp())
+    }
+    assert(strKey.getMessage.contains("must be integral"))
+  }
+
+  test("storage-partitioned join: co-keyed tables sort-merge join with ZERO shuffle") {
+    withBucketing {
+      // disable broadcast: the skipping-aware stats make either side
+      // broadcastable at test size, but the 100 TB shape this pins is
+      // two LARGE co-keyed tables — the SMJ-without-exchange plan
+      val thr = "spark.sql.autoBroadcastJoinThreshold"
+      val before = spark.conf.get(thr)
+      spark.conf.set(thr, "-1")
+      try {
+        val dirA = tmp() + "_a"
+        val dirB = tmp() + "_b"
+        writeKeyed(dirA, 120, 6)
+        writeKeyed(dirB, 90, 6)
+        val a = spark.read.format("graftshard").load(dirA)
+          .groupBy("k").agg(count(lit(1)).as("na"), sum("v").as("sva"))
+        val b = spark.read.format("graftshard").load(dirB)
+          .groupBy("k").agg(count(lit(1)).as("nb"), sum("v").as("svb"))
+        val joined = a.join(b, "k")
+        val rows = joined.collect()
+        // oracle: same arithmetic without the connector
+        val exp = (0 until 6).map { k =>
+          val ia = (0 until 120).filter(_ % 6 == k)
+          val ib = (0 until 90).filter(_ % 6 == k)
+          (k.toLong, ia.size.toLong, ia.map(_ * 7L).sum, ib.size.toLong, ib.map(_ * 7L).sum)
+        }.toSet
+        assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet == exp)
+        // the whole point: scans + partial/final aggs + sort-merge join,
+        // and NOT ONE shuffle — the aggregates are satisfied by the
+        // reported KeyGroupedPartitioning and the join by SPJ alignment
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+        assert(!plan.contains("Exchange"), s"expected ZERO exchanges:\n$plan")
+        assert(plan.contains("keyGroupedBy=k"), s"grouped scan not engaged:\n$plan")
+      } finally spark.conf.set(thr, before)
+    }
+  }
+
+  test("key-grouped group-by: aggregation on the partition key plans without exchange") {
+    withBucketing {
+      val dir = tmp()
+      writeKeyed(dir, 100, 4)
+      // sum(v) is not manifest-answerable -> no aggregate pushdown; the
+      // win here is the missing shuffle, not the missing read
+      val g = spark.read.format("graftshard").load(dir)
+        .groupBy("k").agg(sum("v").as("sv"))
+      val rows = g.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val exp = (0 until 4).map(k =>
+        (k.toLong, (0 until 100).filter(_ % 4 == k).map(_ * 7L).sum)).toSeq
+      assert(rows == exp)
+      val plan = g.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"group-by on the storage key must not shuffle:\n$plan")
+    }
+  }
+
+  test("key-partitioned table with bucketing opted OUT degrades to bin-packed scans") {
+    // spark.sql.sources.v2.bucketing.enabled defaults to TRUE on Spark 4
+    // (grouped mode is the out-of-the-box behavior); opting out must fall
+    // back to bin-packed partitions and restore DPP eligibility
+    val key = "spark.sql.sources.v2.bucketing.enabled"
+    val before = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val dir = tmp()
+      writeKeyed(dir, 100, 4)
+      val df = spark.read.format("graftshard").load(dir).where(col("v") >= 0L)
+      assert(df.count() == 100)
+      val scan = scanOf(df, "degraded").scan
+      // ungrouped mode keeps DPP eligibility
+      val srf = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+      assert(srf.filterAttributes().nonEmpty)
+      assert(scan.toBatch.planInputPartitions().length == 1, "4 tiny files pack into 1")
+    } finally spark.conf.set(key, before)
+  }
+
+  // ------------------------------------------------- aggregate pushdown
+
+  test("aggregate pushdown: count/min/max answered from the manifest ALONE") {
+    val dir = tmp()
+    sampleDf().write.format("graftshard").mode("overwrite").save(dir)
+    // the proof of zero file opens: delete every shard file; only the
+    // manifest remains
+    new File(dir).listFiles().filter(_.getName.endsWith(".shard")).foreach(_.delete())
+    val t = spark.read.format("graftshard").load(dir)
+    val agg = t.agg(count(lit(1)).as("n"), count(col("n")).as("nn"),
+      min(col("id")).as("mn"), max(col("id")).as("mx"),
+      min(col("n")).as("imn"), max(col("n")).as("imx"))
+    val r = agg.collect()(0)
+    // ids: 1,2,3,null  n: 10,null,30,40
+    assert(r.getLong(0) == 4 && r.getLong(1) == 3)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 3L)
+    assert(r.getInt(4) == 10 && r.getInt(5) == 40)
+    val planStr = agg.queryExecution.executedPlan.toString
+    assert(planStr.contains("pushedAggregates"), s"aggregate not pushed:\n$planStr")
+  }
+
+  test("aggregate pushdown grouped by the partition key, from the manifest alone") {
+    val dir = tmp()
+    writeKeyed(dir, 100, 4)
+    new File(dir).listFiles().filter(_.getName.endsWith(".shard")).foreach(_.delete())
+    val g = spark.read.format("graftshard").load(dir)
+      .groupBy("k").agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+    val rows = g.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val exp = (0L until 4L).map { k =>
+      val ids = (0 until 100).map(_.toLong).filter(_ % 4 == k)
+      (k, ids.size.toLong, ids.min, ids.max)
+    }.toSeq
+    assert(rows == exp)
+  }
+
+  test("aggregate pushdown refuses when a filter was absorbed (stats would overcount)") {
+    val dir = tmp()
+    sampleDf().write.format("graftshard").mode("overwrite").save(dir)
+    val agg = spark.read.format("graftshard").load(dir)
+      .where(col("id") >= 2L)
+      .agg(count(lit(1)).as("n"), max(col("id")).as("mx"))
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 3L)
+    val planStr = agg.queryExecution.executedPlan.toString
+    assert(!planStr.contains("pushedAggregates"),
+      s"filtered aggregate must NOT be answered from per-file totals:\n$planStr")
+  }
+
+  test("aggregate pushdown refuses unsupported shapes (sum, distinct, strings)") {
+    val dir = tmp()
+    sampleDf().write.format("graftshard").mode("overwrite").save(dir)
+    val t = spark.read.format("graftshard").load(dir)
+    for ((df, tag) <- Seq(
+        (t.agg(sum(col("id")).as("x")), "sum"),
+        (t.agg(countDistinct(col("id")).as("x")), "count distinct"),
+        (t.agg(max(col("s")).as("x")), "string max"))) {
+      assert(!df.queryExecution.executedPlan.toString.contains("pushedAggregates"),
+        s"$tag must not push")
+      assert(df.collect().length == 1, tag)
+    }
+  }
+
   test("zero-column read (count star) and empty-partition shards") {
     val dir = tmp()
     // 8 partitions, 3 rows: empty partitions must not leave files
