@@ -200,6 +200,74 @@ object ScaleProbe {
       return
     }
 
+    // ------------------------------------------------ SPJ A/B (spj)
+    // `runMain graft.ScaleProbe spj` — the graftshard keyed layout vs the
+    // SAME data in unkeyed graftshard tables, on the x43 window workload
+    // (running aggregates per shard_key over full-width rows incl. text).
+    // The window carries the ENTIRE row volume: unkeyed it shuffles the
+    // whole corpus to cluster by key, keyed the ClusteredDistribution is
+    // satisfied from storage and only the per-partition sort remains.
+    // Identical format/codec on both sides — the A/B isolates the
+    // exchange, nothing else. 1x and 10x constant-density corpora; each
+    // cell timed twice (cold, warm).
+    if (args.headOption.contains("spj")) {
+      val reuse = args.drop(1).contains("reuse")
+      val cd = "/tmp/graft_sf1cd"
+      val cd100 = "/tmp/graft_cd100_x100"
+      ensureFixture(cd, 10, reuse)
+      ensureFixture(cd100, 100, reuse)
+      def buildShard(srcDir: String, out: String, keyed: Boolean): Unit =
+        if (!reuse || !java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$out/_graft_manifest.json"))) {
+          val df = spark.read.parquet(s"$srcDir/documents.parquet")
+            .select(col("doc_id"), col("n_chars"), col("text"),
+              pmod(col("doc_id"), lit(32)).as("shard_key"))
+            .repartition(col("shard_key"))
+          val w = df.write.format("graftshard").mode("overwrite")
+          (if (keyed) w.option("partitionKey", "shard_key") else w).save(out)
+        }
+      val cells = for {
+        (srcDir, tag) <- Seq((src, "1x"), (cd, "10x"), (cd100, "100x"))
+        keyed <- Seq(true, false)
+      } yield {
+        val out = s"/tmp/graft_spj_${tag}_${if (keyed) "keyed" else "plain"}"
+        buildShard(srcDir, out, keyed)
+        (out, tag, keyed)
+      }
+      def run(dir: String): (Double, Double) = {
+        CacheRegistry.unpersistAll(); spark.catalog.clearCache()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard_key")).orderBy(col("doc_id"))
+          .rowsBetween(Long.MinValue, 0)
+        // equal SCAN parallelism on both sides: the keyed read is pinned
+        // at 32 key groups, the plain read would otherwise bin-pack into
+        // size/128MiB tasks and the A/B would measure parallelism, not
+        // the exchange
+        val df = spark.read.format("graftshard")
+          .option("targetPartitionBytes", (1L << 20).toString).load(dir)
+          .select(col("doc_id"), col("shard_key"), col("text"),
+            sum(col("n_chars")).over(w).as("run_chars"))
+        df.queryExecution.executedPlan
+        val t0 = System.nanoTime()
+        // consume text THROUGH the window so the exchange (when there is
+        // one) carries the real row width, not a pruned 3-long skeleton
+        df.agg(sum(length(col("text"))), sum(col("run_chars")), count(lit(1))).collect()
+        (0.0, (System.nanoTime() - t0) / 1e9)
+      }
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      // this box spreads ±40% run-to-run (NOTES.md); one cold + min of
+      // three warms per cell is the comparable per-cell number
+      println(f"${"cell"}%-18s ${"cold"}%7s ${"warm_min3"}%9s")
+      cells.foreach { case (out, tag, keyed) =>
+        val (_, c) = run(out)
+        val wrm = (1 to 3).map(_ => run(out)._2).min
+        val cell = s"${if (keyed) "keyed" else "plain"}/$tag"
+        println(f"PROBE-SPJ $cell%-18s $c%7.2f $wrm%9.2f")
+      }
+      spark.stop()
+      return
+    }
+
     // ------------------------------------------- 100x rehearsal (cd100)
     // `runMain graft.ScaleProbe cd100` — two DECADES of constant-density
     // growth (sf0.1 → ~sf1 → ~sf10) for the headline scale claims, so the

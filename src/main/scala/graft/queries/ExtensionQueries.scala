@@ -1036,6 +1036,63 @@ object ExtensionQueries {
     a.join(b, "shard_key")
   }
 
+  /** Window analytics over the keyed layout: running sums and sequence
+    * numbers per shard_key over a key-partitioned `graftshard` table
+    * execute with ZERO exchange — the window's ClusteredDistribution is
+    * satisfied straight from storage (`KeyGroupedPartitioning`), so the
+    * only remaining work is the per-partition sort
+    * (GraftShardSourceSpec pins the no-Exchange plan). This is where
+    * keyed layout pays at 100 TB: a window shuffles the FULL row volume
+    * when the layout doesn't provide the clustering. */
+  private def x43(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x43", dir)
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), pmod(col("doc_id"), lit(32)).as("shard_key"))
+      .repartition(col("shard_key"))
+      .write.format("graftshard").option("partitionKey", "shard_key")
+      .mode("overwrite").save(out)
+    val w = Window.partitionBy(col("shard_key")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ws = Window.partitionBy(col("shard_key")).orderBy(col("doc_id"))
+    s.read.format("graftshard").load(out)
+      .select(col("doc_id"), col("shard_key"),
+        sum(col("n_chars")).over(w).as("run_chars"),
+        // DuckDB row_number() is BIGINT; Spark's is INT — cast (x31 rule)
+        row_number().over(ws).cast("long").as("seq"))
+  }
+
+  /** The catalog face end to end: documents and embeddings land in
+    * [[graft.sources.v2.GraftCatalog]]-managed tables
+    * `PARTITIONED BY (bucket(16, id))` (SQL DDL + INSERT), then join
+    * row-level ON THE RAW ID COLUMNS — the high-cardinality
+    * storage-partitioned join identity keys cannot give (one file per
+    * identity value). Spark resolves the bucket transform through the
+    * catalog's `bucket` function, so the join plans with ZERO exchange
+    * (GraftCatalogSpec pins the plan; the one-sided variant co-shuffles
+    * only the unbucketed side by evaluating the same function). At
+    * 100 TB this deletes the dominant cost of every id-aligned join:
+    * both corpora stay where they were written. */
+  private def x44(s: SparkSession, dir: String): DataFrame = {
+    val cat = "graftshard_cat"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", Q.tmpArtifactPath("x44wh", dir))
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x44")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x44.docs")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x44.embs")
+    s.sql(s"""CREATE TABLE $cat.x44.docs (doc_id BIGINT, n_chars BIGINT, lang STRING)
+      USING graftshard PARTITIONED BY (bucket(16, doc_id))""")
+    s.sql(s"""CREATE TABLE $cat.x44.embs (vec_id BIGINT, label INT)
+      USING graftshard PARTITIONED BY (bucket(16, vec_id))""")
+    table(s, dir, "documents").select("doc_id", "n_chars", "lang")
+      .createOrReplaceTempView("x44_docs_src")
+    table(s, dir, "embeddings").select("vec_id", "label")
+      .createOrReplaceTempView("x44_embs_src")
+    s.sql(s"INSERT INTO $cat.x44.docs SELECT doc_id, n_chars, lang FROM x44_docs_src")
+    s.sql(s"INSERT INTO $cat.x44.embs SELECT vec_id, label FROM x44_embs_src")
+    s.sql(s"""SELECT d.doc_id, d.n_chars, d.lang, e.label
+      FROM $cat.x44.docs d JOIN $cat.x44.embs e ON d.doc_id = e.vec_id""")
+  }
+
   /** Aggregate pushdown through `graftshard`: per-shard-key counts and
     * id ranges answered ENTIRELY from the manifest — the scan opens
     * ZERO shard files (GraftShardSourceSpec proves it by deleting them).
@@ -4290,6 +4347,19 @@ object ExtensionQueries {
         count(CASE WHEN n_chars % 3 <> 0 THEN n_chars END) AS n_chars_nonnull,
         min(doc_id) AS min_doc, max(doc_id) AS max_doc
       FROM documents GROUP BY 1""")),
+
+    // catalog + bucket transform: zero-shuffle join on the raw id columns
+    Q("x44_shard_bucketed_join", x44, Some("""
+      SELECT d.doc_id, d.n_chars, d.lang, e.label
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""")),
+
+    // zero-shuffle window analytics over the keyed at-rest layout
+    Q("x43_shard_keyed_window", x43, Some("""
+      SELECT doc_id, doc_id % 32 AS shard_key,
+        sum(n_chars) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_chars,
+        row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS seq
+      FROM documents""")),
 
     Q("x3_rollup", x3, Some("""
       SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,265 @@
+package graft.sources.v2
+
+import java.io.File
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference, Transform}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `GraftCatalog` — a V2 catalog plugin over a warehouse directory of
+  * [[ShardFormat]] tables, the catalog face of `graftshard`:
+  *
+  * {{{
+  * spark.sql.catalog.graftcat          = graft.sources.v2.GraftCatalog
+  * spark.sql.catalog.graftcat.warehouse = /data/graft
+  *
+  * CREATE NAMESPACE graftcat.corpus;
+  * CREATE TABLE graftcat.corpus.docs (doc_id BIGINT, text STRING)
+  *   USING graftshard PARTITIONED BY (bucket(64, doc_id));
+  * INSERT INTO graftcat.corpus.docs SELECT ...;
+  * }}}
+  *
+  * What the catalog adds over the path-based `TableProvider`, and why
+  * it matters at 100 TB: the `bucket(n, col)` transform. Identity
+  * partitioning ([[GraftShardWriteBuilder]]'s `partitionKey` option)
+  * wants a moderate-cardinality key; `bucket` partitions by
+  * `floorMod(key, n)` so the HIGH-CARDINALITY join column itself —
+  * doc_id, user_id — clusters the layout. Spark resolves the transform
+  * through this catalog's `bucket` function ([[GraftBucketFunction]],
+  * the [[FunctionCatalog]] half), so two tables bucketed the same way
+  * storage-partition-join ON THAT COLUMN with zero exchange, and a
+  * one-sided join shuffles only the unkeyed side BY EVALUATING the same
+  * function (`spark.sql.sources.v2.bucketing.shuffle.enabled`) — one
+  * bucket definition, used by the writer placing rows, the scan
+  * reporting partitions, and the engine co-shuffling the other side.
+  *
+  * Tables are directories `warehouse/ns.../name`; a table EXISTS iff its
+  * manifest does, so catalog metadata needs no second store and every
+  * isolation property of the manifest protocol carries over verbatim.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"GraftCatalog '$name': the 'warehouse' option is required " +
+          s"(spark.sql.catalog.$name.warehouse = <dir>)"))
+  }
+  override def name(): String = catalogName
+
+  /** One path segment of an identifier; rejects separators and dot-dot
+    * so an identifier can never escape the warehouse. */
+  private def segment(s: String): String = {
+    require(s.nonEmpty && !s.contains('/') && !s.contains('\\') && s != ".." && s != ".",
+      s"GraftCatalog: illegal identifier segment '$s'")
+    s
+  }
+  private def nsDir(ns: Array[String]): File =
+    ns.foldLeft(new File(warehouse))((d, s) => new File(d, segment(s)))
+  private def tableDir(ident: Identifier): File =
+    new File(nsDir(ident.namespace), segment(ident.name))
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = nsDir(namespace)
+    if (!d.isDirectory) throw new NoSuchNamespaceException(namespace)
+    d.listFiles().filter(f => ShardFormat.manifestFile(f.getPath).isFile)
+      .map(f => Identifier.of(namespace, f.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ShardFormat.manifestFile(tableDir(ident).getPath).isFile
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    val m = ShardFormat.readManifest(dir.getPath).getOrElse(
+      throw new NoSuchTableException(ident))
+    new GraftShardTable(dir.getPath, m.schema)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (!nsDir(ident.namespace).isDirectory)
+      throw new NoSuchNamespaceException(ident.namespace)
+    schema.fields.foreach { f =>
+      require(ShardFormat.supported(f.dataType),
+        s"graftshard: unsupported column type ${f.dataType.sql} for '${f.name}'")
+    }
+    def keyColumn(ref: Seq[String]): String = {
+      require(ref.length == 1,
+        s"graftshard: nested partition references unsupported: ${ref.mkString(".")}")
+      val c = ref.head
+      val f = schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"graftshard: partition column '$c' not in table schema"))
+      require(f.dataType == LongType || f.dataType == IntegerType,
+        s"graftshard: partition column '$c' must be integral (long/int), got ${f.dataType.sql}")
+      c
+    }
+    def unsupported(ts: Seq[Transform]): Nothing = throw new UnsupportedOperationException(
+      s"graftshard: unsupported partitioning ${ts.mkString(", ")} — " +
+        "supported: unpartitioned, (identity column), (bucket(n, column))")
+    val spec: Option[ShardFormat.PartSpec] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
+        Some(ShardFormat.IdentityPart(keyColumn(t.references()(0).fieldNames.toSeq)))
+      case Seq(t) if t.name == "bucket" =>
+        val ns = t.arguments.collect { case l: V2Literal[_] =>
+          l.value.asInstanceOf[Number].intValue }
+        val refs = t.arguments.collect { case r: NamedReference => r }
+        if (ns.length != 1 || refs.length != 1) unsupported(Seq(t))
+        require(ns(0) > 0, s"graftshard: bucket needs n > 0, got ${ns(0)}")
+        Some(ShardFormat.BucketPart(ns(0), keyColumn(refs(0).fieldNames.toSeq)))
+      case other => unsupported(other)
+    }
+    val dir = tableDir(ident)
+    dir.mkdirs()
+    ShardFormat.writeManifest(dir.getPath, ShardFormat.Manifest(
+      schema, java.util.UUID.randomUUID().toString.take(8), Nil, spec))
+    new GraftShardTable(dir.getPath, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graftshard: ALTER TABLE is not supported (schema lives in the manifest; " +
+        "write a new table)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!ShardFormat.manifestFile(dir.getPath).isFile) false
+    else {
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    if (!nsDir(newIdent.namespace).isDirectory)
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    if (!tableDir(oldIdent).renameTo(tableDir(newIdent)))
+      throw new IllegalStateException(
+        s"graftshard: cannot rename ${oldIdent} to ${newIdent}")
+  }
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val w = new File(warehouse)
+    if (!w.isDirectory) Array.empty
+    else w.listFiles().filter(_.isDirectory).map(f => Array(f.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val d = nsDir(namespace)
+    if (!d.isDirectory) throw new NoSuchNamespaceException(namespace)
+    d.listFiles()
+      .filter(f => f.isDirectory && !ShardFormat.manifestFile(f.getPath).isFile)
+      .map(f => namespace :+ f.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || nsDir(namespace).isDirectory
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    nsDir(namespace).mkdirs(): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graftshard: ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    if (!d.isDirectory) throw new NoSuchNamespaceException(namespace)
+    val empty = d.listFiles().isEmpty
+    if (!empty && !cascade)
+      throw new IllegalStateException(
+        s"graftshard: namespace ${namespace.mkString(".")} is not empty")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(d)
+    true
+  }
+
+  // ---------------------------------------------------------- functions
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name == "bucket") GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** The SQL-visible half of [[ShardFormat.bucketOf]] — Spark resolves
+  * `PARTITIONED BY (bucket(n, col))` through this function for
+  * storage-partitioned joins, and EVALUATES it to co-shuffle the
+  * unkeyed side of a one-sided join. Must stay value-identical to the
+  * writer's placement or joins silently mis-align; the spec pins
+  * function-vs-writer agreement on negative and int keys. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key): graftshard bucket transform, floorMod(key, n)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets, key), got ${inputType.simpleString}")
+    inputType.fields(1).dataType match {
+      case LongType => BucketLongFunction
+      case IntegerType => BucketIntFunction
+      case dt => throw new UnsupportedOperationException(
+        s"bucket: unsupported key type ${dt.sql} (long/int)")
+    }
+  }
+}
+
+object BucketLongFunction extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(IntegerType, LongType)
+  override def resultType(): org.apache.spark.sql.types.DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graftshard.bucket"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer =
+    ShardFormat.bucketOf(input.getLong(1), input.getInt(0))
+  def invoke(numBuckets: Int, key: Long): Int = ShardFormat.bucketOf(key, numBuckets)
+}
+
+object BucketIntFunction extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(IntegerType, IntegerType)
+  override def resultType(): org.apache.spark.sql.types.DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graftshard.bucket"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer =
+    ShardFormat.bucketOf(input.getInt(1).toLong, input.getInt(0))
+  def invoke(numBuckets: Int, key: Int): Int = ShardFormat.bucketOf(key.toLong, numBuckets)
+}

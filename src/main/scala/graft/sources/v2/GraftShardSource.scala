@@ -90,18 +90,26 @@ class GraftShardTable(path: String, tableSchema: StructType)
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
 
-  /** Key-partitioned tables surface their layout as an identity
-    * transform — the catalog-level half of the storage-partitioned-join
-    * contract (the scan's [[KeyGroupedPartitioning]] is the other). */
+  /** Key-partitioned tables surface their layout as an identity or
+    * bucket transform — the catalog-level half of the
+    * storage-partitioned-join contract (the scan's
+    * [[KeyGroupedPartitioning]] is the other). */
   override def partitioning(): Array[Transform] =
-    ShardFormat.readManifest(path).flatMap(_.partitionColumn)
-      .map(c => Array(Expressions.identity(c))).getOrElse(Array.empty)
+    ShardFormat.readManifest(path).flatMap(_.partitioning)
+      .map(sp => Array(GraftShardTable.transformOf(sp))).getOrElse(Array.empty)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftShardScanBuilder(path, tableSchema, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftShardWriteBuilder(path, info)
+}
+
+object GraftShardTable {
+  def transformOf(sp: ShardFormat.PartSpec): Transform = sp match {
+    case ShardFormat.IdentityPart(c) => Expressions.identity(c)
+    case ShardFormat.BucketPart(n, c) => Expressions.bucket(n, c)
+  }
 }
 
 /** The manifest-answered aggregate: output schema (group column first,
@@ -279,11 +287,11 @@ class GraftShardScan(
     * DPP re-plan that dropped a key group would break the
     * one-partition-per-reported-key contract BatchScanExec checks; the
     * static manifest skipping still applies per group. */
-  private val groupedCol: Option[String] =
+  private val groupedSpec: Option[ShardFormat.PartSpec] =
     if (agg.isDefined) None
-    else manifest.partitionColumn.filter { c =>
+    else manifest.partitioning.filter { sp =>
       org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
-        required.fieldNames.contains(c) &&
+        required.fieldNames.contains(sp.column) &&
         manifest.files.nonEmpty && manifest.files.forall(_.partition.isDefined)
     }
 
@@ -296,7 +304,7 @@ class GraftShardScan(
   private var runtime: Array[Filter] = Array.empty
 
   override def filterAttributes(): Array[NamedReference] =
-    if (agg.isDefined || groupedCol.isDefined) Array.empty
+    if (agg.isDefined || groupedSpec.isDefined) Array.empty
     else fullSchema.fields.filter(f => ShardFormat.statsEligible(f.dataType))
       .map(f => Expressions.column(f.name))
 
@@ -315,14 +323,17 @@ class GraftShardScan(
   override def description(): String = {
     val p = pushed.map(_.toString).sorted.mkString(", ")
     val a = agg.map(r => s" pushedAggregates=[${r.description}]").getOrElse("")
-    val g = groupedCol.map(c => s" keyGroupedBy=$c").getOrElse("")
+    val g = groupedSpec.map {
+      case ShardFormat.IdentityPart(c) => s" keyGroupedBy=$c"
+      case ShardFormat.BucketPart(n, c) => s" keyGroupedBy=bucket($n,$c)"
+    }.getOrElse("")
     s"graftshard files=${selected.size}/${manifest.files.size} pushed=[$p]$a$g"
   }
 
-  override def outputPartitioning(): Partitioning = groupedCol match {
-    case Some(c) =>
+  override def outputPartitioning(): Partitioning = groupedSpec match {
+    case Some(sp) =>
       new KeyGroupedPartitioning(
-        Array[V2Expression](Expressions.identity(c)),
+        Array[V2Expression](GraftShardTable.transformOf(sp)),
         selected.flatMap(_.partition).distinct.size)
     case None => new UnknownPartitioning(0)
   }
@@ -346,10 +357,15 @@ class GraftShardScan(
 
   override def planInputPartitions(): Array[InputPartition] = agg match {
     case Some(r) => Array(ShardAggRowsPartition(r.rows))
-    case None => groupedCol match {
-      case Some(c) =>
-        val keyIsLong =
-          fullSchema.fields(fullSchema.fieldIndex(c)).dataType == LongType
+    case None => groupedSpec match {
+      case Some(sp) =>
+        // partition-key row type: the raw column for identity, the bucket
+        // id (the bound bucket function's IntegerType result) for bucket
+        val keyIsLong = sp match {
+          case ShardFormat.IdentityPart(c) =>
+            fullSchema.fields(fullSchema.fieldIndex(c)).dataType == LongType
+          case _: ShardFormat.BucketPart => false
+        }
         selected.groupBy(_.partition.get).toSeq.sortBy(_._1).map { case (k, fes) =>
           ShardKeyedInputPartition(
             fes.map(fe => (new File(path, fe.name).getPath, fe.rows)).toArray,

@@ -47,29 +47,45 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
         s"graftshard: unsupported column type ${f.dataType.sql} for '${f.name}' " +
           "(supported: long, int, double, float, boolean, string, binary, array<float>)")
     }
-    val partitionCol = Option(info.options.get("partitionKey")).map { c =>
+    def validateKey(c: String): Unit = {
       val f = schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
-        s"graftshard: partitionKey column '$c' not in write schema ${schema.simpleString}"))
+        s"graftshard: partition key column '$c' not in write schema ${schema.simpleString}"))
       require(f.dataType == LongType || f.dataType == IntegerType,
-        s"graftshard: partitionKey column '$c' must be integral (long/int), " +
+        s"graftshard: partition key column '$c' must be integral (long/int), " +
           s"got ${f.dataType.sql} — key-grouped reads compare manifest key values")
-      c
     }
-    if (!truncateRequested) ShardFormat.readManifest(path).foreach { m =>
+    val optionSpec: Option[ShardFormat.PartSpec] =
+      Option(info.options.get("partitionKey")).map(ShardFormat.IdentityPart(_))
+    val existing = ShardFormat.readManifest(path)
+    // the layout is a TABLE property: catalog-created tables carry their
+    // (identity or bucket) spec in the manifest from createTable, and
+    // INSERT OVERWRITE must keep it; an explicit write option overrides
+    // on truncate, must MATCH on append
+    val spec: Option[ShardFormat.PartSpec] =
+      if (truncateRequested) optionSpec.orElse(existing.flatMap(_.partitioning))
+      else existing match {
+        case Some(m) =>
+          optionSpec.foreach { os =>
+            require(m.partitioning.contains(os),
+              s"graftshard: append partitionKey $optionSpec does not match the " +
+                s"existing table's ${m.partitioning} at '$path' — the " +
+                "one-key-per-file invariant must hold across the whole manifest")
+          }
+          m.partitioning
+        case None => optionSpec
+      }
+    spec.foreach(sp => validateKey(sp.column))
+    if (!truncateRequested) existing.foreach { m =>
       val same = m.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
         schema.fields.map(f => (f.name, f.dataType)).toSeq
       require(same,
         s"graftshard: append schema ${schema.simpleString} does not match " +
           s"existing table schema ${m.schema.simpleString} at '$path'")
-      require(m.partitionColumn == partitionCol,
-        s"graftshard: append partitionKey $partitionCol does not match the " +
-          s"existing table's ${m.partitionColumn} at '$path' — the one-key-per-file " +
-          "invariant must hold across the whole manifest")
     }
     val doTruncate = truncateRequested
     new Write {
       override def toBatch: BatchWrite =
-        new GraftShardBatchWrite(path, schema, doTruncate, partitionCol)
+        new GraftShardBatchWrite(path, schema, doTruncate, spec)
     }
   }
 }
@@ -81,12 +97,12 @@ class GraftShardBatchWrite(
     path: String,
     schema: StructType,
     truncate: Boolean,
-    partitionCol: Option[String])
+    spec: Option[ShardFormat.PartSpec])
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
-    new GraftShardWriterFactory(path, schema, partitionCol)
+    new GraftShardWriterFactory(path, schema, spec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -101,7 +117,7 @@ class GraftShardBatchWrite(
     val generation = existing.map(_.generation).filter(_.nonEmpty)
       .getOrElse(java.util.UUID.randomUUID().toString.take(8))
     ShardFormat.writeManifest(path,
-      ShardFormat.Manifest(schema, generation, prior ++ committed, partitionCol))
+      ShardFormat.Manifest(schema, generation, prior ++ committed, spec))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -112,12 +128,12 @@ class GraftShardBatchWrite(
     }
 }
 
-class GraftShardWriterFactory(path: String, schema: StructType, partitionCol: Option[String])
+class GraftShardWriterFactory(path: String, schema: StructType, spec: Option[ShardFormat.PartSpec])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    partitionCol match {
+    spec match {
       case None => new GraftShardDataWriter(path, schema, partitionId, taskId)
-      case Some(c) => new GraftShardKeyedDataWriter(path, schema, partitionId, taskId, c)
+      case Some(sp) => new GraftShardKeyedDataWriter(path, schema, partitionId, taskId, sp)
     }
 }
 
@@ -144,19 +160,20 @@ class GraftShardDataWriter(path: String, schema: StructType, partitionId: Int, t
   override def close(): Unit = ()
 }
 
-/** One shard file per distinct key value seen by this task; the commit
-  * message carries one [[ShardFormat.FileEntry]] per key with its
-  * `partition` value set. Null keys fail the task with the column name
+/** One shard file per distinct partition value seen by this task —
+  * the key itself (identity) or `floorMod(key, n)` (bucket); the commit
+  * message carries one [[ShardFormat.FileEntry]] per value with its
+  * `partition` set. Null keys fail the task with the column name
   * — a keyed table with null keys cannot honor one-key-per-file. */
 class GraftShardKeyedDataWriter(
     path: String,
     schema: StructType,
     partitionId: Int,
     taskId: Long,
-    partitionCol: String)
+    spec: ShardFormat.PartSpec)
     extends DataWriter[InternalRow] {
 
-  private val keyIdx = schema.fieldIndex(partitionCol)
+  private val keyIdx = schema.fieldIndex(spec.column)
   private val keyIsLong = schema.fields(keyIdx).dataType == LongType
   private val attempt = java.util.UUID.randomUUID().toString.take(8)
   private val writers =
@@ -164,9 +181,13 @@ class GraftShardKeyedDataWriter(
 
   override def write(record: InternalRow): Unit = {
     if (record.isNullAt(keyIdx)) throw new IllegalArgumentException(
-      s"graftshard: null value in partitionKey column '$partitionCol' — " +
+      s"graftshard: null value in partitionKey column '${spec.column}' — " +
         "key-partitioned tables require a non-null key on every row")
-    val key = if (keyIsLong) record.getLong(keyIdx) else record.getInt(keyIdx).toLong
+    val raw = if (keyIsLong) record.getLong(keyIdx) else record.getInt(keyIdx).toLong
+    val key = spec match {
+      case ShardFormat.IdentityPart(_) => raw
+      case ShardFormat.BucketPart(n, _) => ShardFormat.bucketOf(raw, n).toLong
+    }
     val (_, w) = writers.getOrElseUpdate(key, {
       val name = f"part-$partitionId%05d-$taskId-$attempt-k$key.shard"
       (name, new ShardFormat.ShardWriter(new File(path, name), schema))

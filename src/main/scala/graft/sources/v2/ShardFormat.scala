@@ -98,11 +98,22 @@ object ShardFormat {
       // storage-partitioned-join currency (one file = one key)
       partition: Option[Long] = None)
 
+  /** The table's at-rest clustering: every shard file holds rows of ONE
+    * partition value — the key itself (identity) or `floorMod(key, n)`
+    * (bucket). Identity suits moderate-cardinality keys (tenant, date,
+    * derived bucket column); `Bucket` is the high-cardinality path: the
+    * join column itself partitions the table, and Spark resolves the
+    * transform through [[GraftCatalog]]'s `bucket` function for
+    * storage-partitioned joins ON that column. */
+  sealed trait PartSpec { def column: String }
+  final case class IdentityPart(column: String) extends PartSpec
+  final case class BucketPart(numBuckets: Int, column: String) extends PartSpec
+
   /** `generation` changes on every truncate/overwrite commit and is
     * carried through appends — streaming offsets embed it so a prefix
     * index can never be silently reused against a swapped file list
-    * ([[ShardOffset]]). `partitionColumn`: when set, every file entry
-    * carries the one integral key value all its rows share; the scan
+    * ([[ShardOffset]]). `partitioning`: when set, every file entry
+    * carries the one partition value all its rows share; the scan
     * reports `KeyGroupedPartitioning` over it so joins and group-bys on
     * the key plan with ZERO exchange (Spark's storage-partitioned join,
     * `spark.sql.sources.v2.bucketing.enabled`). */
@@ -110,7 +121,20 @@ object ShardFormat {
       schema: StructType,
       generation: String,
       files: Seq[FileEntry],
-      partitionColumn: Option[String] = None)
+      partitioning: Option[PartSpec] = None) {
+    /** The identity partition column, when that is the spec (the
+      * group-by-pushdown and legacy surfaces). */
+    def partitionColumn: Option[String] =
+      partitioning.collect { case IdentityPart(c) => c }
+  }
+
+  /** The one bucket function of the `graftshard` layout, shared by the
+    * writer (placing rows) and [[GraftCatalog]]'s SQL-visible `bucket`
+    * (Spark evaluates it to co-shuffle the unkeyed side of a join):
+    * non-negative floorMod, defined for int/long keys. One definition —
+    * a drifted reimplementation would silently mis-join. */
+  def bucketOf(key: Long, numBuckets: Int): Int =
+    java.lang.Math.floorMod(key, numBuckets.toLong).toInt
 
   /** Writes one shard file; the caller feeds [[InternalRow]]s in the
     * full table schema. Not thread-safe (one per Spark task). */
@@ -293,8 +317,13 @@ object ShardFormat {
     val schema = DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType]
     val generation =
       if (root.has("generation")) root.get("generation").asText() else ""
-    val partitionColumn =
-      if (root.has("partitionColumn")) Some(root.get("partitionColumn").asText()) else None
+    val partitioning: Option[PartSpec] =
+      if (root.has("partitionBucket")) {
+        val b = root.get("partitionBucket")
+        Some(BucketPart(b.get("numBuckets").asInt(), b.get("column").asText()))
+      } else if (root.has("partitionColumn"))
+        Some(IdentityPart(root.get("partitionColumn").asText()))
+      else None
     val files = Seq.newBuilder[FileEntry]
     root.get("files").forEach { fn =>
       val present = Map.newBuilder[String, (Long, Long, Long)]
@@ -311,7 +340,7 @@ object ShardFormat {
       files += FileEntry(fn.get("name").asText(), fn.get("bytes").asLong(),
         fn.get("rows").asLong(), present.result(), allNull.result(), partition)
     }
-    Some(Manifest(schema, generation, files.result(), partitionColumn))
+    Some(Manifest(schema, generation, files.result(), partitioning))
   }
 
   /** Atomic publish: write to a temp sibling, then rename over the
@@ -323,7 +352,12 @@ object ShardFormat {
     root.put("version", Version)
     root.put("schema", m.schema.json)
     root.put("generation", m.generation)
-    m.partitionColumn.foreach(root.put("partitionColumn", _))
+    m.partitioning.foreach {
+      case IdentityPart(c) => root.put("partitionColumn", c): Unit
+      case BucketPart(n, c) =>
+        val b = root.putObject("partitionBucket")
+        b.put("numBuckets", n); b.put("column", c): Unit
+    }
     val arr: ArrayNode = root.putArray("files")
     m.files.foreach { fe =>
       val fn: ObjectNode = arr.addObject()

@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.{GraftBucketFunction, ShardFormat}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** The `GraftCatalog` face: SQL DDL/DML against warehouse-resident
+  * graftshard tables, and the `bucket(n, col)` transform — the
+  * high-cardinality storage-partitioned-join path that identity keys
+  * cannot give (one file per identity value). The headline pin: two
+  * tables bucketed the same way JOIN ON THE RAW ID COLUMN with zero
+  * exchange. */
+class GraftCatalogSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.graftcat", classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftcat.warehouse", warehouse)
+    s
+  }
+  private lazy val warehouse = Files.createTempDirectory("graft_catalog_spec").toString
+
+  private def withBucketing[A](body: => A): A = {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val before = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally before.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("DDL + DML roundtrip: create bucketed table, insert, read back, layout on disk") {
+    spark.sql("CREATE NAMESPACE graftcat.corpus")
+    spark.sql("""CREATE TABLE graftcat.corpus.docs (doc_id BIGINT, n_chars BIGINT)
+      USING graftshard PARTITIONED BY (bucket(8, doc_id))""")
+    spark.sql(
+      "INSERT INTO graftcat.corpus.docs SELECT id, id * 3 FROM range(0, 100)")
+    val back = spark.sql("SELECT * FROM graftcat.corpus.docs")
+    assert(back.count() == 100)
+    assert(back.where(col("doc_id") === 17L).collect().map(_.getLong(1)).toSeq == Seq(51L))
+    val m = ShardFormat.readManifest(s"$warehouse/corpus/docs").get
+    assert(m.partitioning.contains(ShardFormat.BucketPart(8, "doc_id")))
+    assert(m.files.forall(_.partition.isDefined))
+    assert(m.files.map(_.partition.get).toSet.subsetOf((0L until 8L).toSet))
+    // SHOW TABLES sees it; DROP removes the directory
+    assert(spark.sql("SHOW TABLES IN graftcat.corpus").collect()
+      .exists(_.getString(1) == "docs"))
+  }
+
+  test("bucketed SPJ: row-level join ON THE ID COLUMN with zero exchange") {
+    withBucketing {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.spj")
+      spark.sql("""CREATE TABLE graftcat.spj.a (id BIGINT, va BIGINT)
+        USING graftshard PARTITIONED BY (bucket(8, id))""")
+      spark.sql("""CREATE TABLE graftcat.spj.b (id BIGINT, vb BIGINT)
+        USING graftshard PARTITIONED BY (bucket(8, id))""")
+      spark.sql("INSERT INTO graftcat.spj.a SELECT id, id * 2 FROM range(0, 200)")
+      spark.sql("INSERT INTO graftcat.spj.b SELECT id, id * 5 FROM range(100, 300)")
+      val joined = spark.sql(
+        """SELECT a.id, va, vb FROM graftcat.spj.a a
+           JOIN graftcat.spj.b b ON a.id = b.id""")
+      val rows = joined.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.sorted.toSeq == (100L until 200L).map(i => (i, i * 2, i * 5)))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucket-aligned join on the raw id must not shuffle:\n$plan")
+      assert(plan.contains("keyGroupedBy=bucket(8,id)"), plan)
+    }
+  }
+
+  test("one-sided bucketed join co-shuffles the unbucketed side BY OUR FUNCTION") {
+    withBucketing {
+      val shuffleKey = "spark.sql.sources.v2.bucketing.shuffle.enabled"
+      val before = spark.conf.getOption(shuffleKey)
+      spark.conf.set(shuffleKey, "true")
+      try {
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.oneside")
+        spark.sql("""CREATE TABLE graftcat.oneside.fact (id BIGINT, v BIGINT)
+          USING graftshard PARTITIONED BY (bucket(8, id))""")
+        spark.sql("INSERT INTO graftcat.oneside.fact SELECT id, id * 7 FROM range(0, 160)")
+        val deltaDir = warehouse + "/_delta_parquet"
+        spark.range(0, 160).select(col("id"), (col("id") % 3).as("tag"))
+          .write.mode("overwrite").parquet(deltaDir)
+        val delta = spark.read.parquet(deltaDir)
+        val joined = spark.table("graftcat.oneside.fact").join(delta, "id")
+        assert(joined.count() == 160)
+        val plan = joined.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        // exactly one exchange, on the parquet delta, keyed by evaluating
+        // graftshard's own bucket function over the delta's id column
+        assert("Exchange".r.findAllIn(plan).size == 1, plan)
+        assert(plan.contains("Exchange keygroupedpartitioning"), plan)
+      } finally before.fold(spark.conf.unset(shuffleKey))(spark.conf.set(shuffleKey, _))
+    }
+  }
+
+  test("bucket function: SQL-visible values agree with the writer's placement") {
+    // bind for long and int keys; negative keys land in [0, n)
+    val longFn = GraftBucketFunction.bind(StructType(Seq(
+      StructField("n", IntegerType), StructField("k", LongType))))
+    val intFn = GraftBucketFunction.bind(StructType(Seq(
+      StructField("n", IntegerType), StructField("k", IntegerType))))
+    assert(longFn.resultType() == IntegerType && intFn.resultType() == IntegerType)
+    for (k <- Seq(-17L, -1L, 0L, 5L, 123456789L); n <- Seq(1, 8, 64)) {
+      val expected = ShardFormat.bucketOf(k, n)
+      assert(expected >= 0 && expected < n)
+      val viaLong = longFn.asInstanceOf[
+        org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+        .produceResult(org.apache.spark.sql.catalyst.InternalRow(n, k))
+      assert(viaLong == expected, s"bucket($n, $k)")
+    }
+    // the writer placed rows by the same function: every file's rows
+    // re-hash to that file's bucket (checked via the id ranges per file)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.fnchk")
+    spark.sql("""CREATE TABLE graftcat.fnchk.t (id BIGINT)
+      USING graftshard PARTITIONED BY (bucket(4, id))""")
+    spark.sql("INSERT INTO graftcat.fnchk.t SELECT id - 50 FROM range(0, 100)")
+    val m = ShardFormat.readManifest(s"$warehouse/fnchk/t").get
+    m.files.foreach { fe =>
+      val b = fe.partition.get
+      val (mn, mx) = (fe.stats("id")._1, fe.stats("id")._2)
+      assert(ShardFormat.bucketOf(mn, 4) == b && ShardFormat.bucketOf(mx, 4) == b)
+    }
+  }
+
+  test("INSERT OVERWRITE keeps the declared bucket layout") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.ow")
+    spark.sql("""CREATE TABLE graftcat.ow.t (id BIGINT, v BIGINT)
+      USING graftshard PARTITIONED BY (bucket(4, id))""")
+    spark.sql("INSERT INTO graftcat.ow.t SELECT id, id FROM range(0, 40)")
+    spark.sql("INSERT OVERWRITE graftcat.ow.t SELECT id, id * 9 FROM range(0, 20)")
+    val m = ShardFormat.readManifest(s"$warehouse/ow/t").get
+    assert(m.partitioning.contains(ShardFormat.BucketPart(4, "id")))
+    assert(m.files.forall(_.partition.isDefined))
+    assert(spark.table("graftcat.ow.t").count() == 20)
+  }
+
+  test("catalog errors: missing namespace, duplicate table, unsupported partitioning, drop") {
+    val noNs = intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.nope.t (id BIGINT) USING graftshard")
+    }
+    assert(noNs.getMessage.toLowerCase.contains("namespace") ||
+      noNs.getMessage.contains("SCHEMA_NOT_FOUND"), noNs.getMessage)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.err")
+    spark.sql("CREATE TABLE graftcat.err.t (id BIGINT) USING graftshard")
+    val dup = intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.err.t (id BIGINT) USING graftshard")
+    }
+    assert(dup.getMessage.contains("already exists") ||
+      dup.getMessage.contains("TABLE_OR_VIEW_ALREADY_EXISTS"), dup.getMessage)
+    val badPart = intercept[Exception] {
+      spark.sql("""CREATE TABLE graftcat.err.bad (id BIGINT, s STRING)
+        USING graftshard PARTITIONED BY (id, s)""")
+    }
+    assert(badPart.getMessage.contains("unsupported partitioning"), badPart.getMessage)
+    spark.sql("DROP TABLE graftcat.err.t")
+    assert(!new java.io.File(s"$warehouse/err/t").exists())
+    val gone = intercept[Exception] { spark.table("graftcat.err.t").collect() }
+    assert(gone.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      gone.getMessage.toLowerCase.contains("not found"), gone.getMessage)
+  }
+}

@@ -312,10 +312,18 @@ class GraftShardSourceSpec extends AnyFunSuite {
     val back = spark.read.format("graftshard").load(dir)
     assert(back.select(countDistinct("k")).collect()(0).getLong(0) == 4)
     assert(back.count() == 100)
-    // appending with a different (or no) partition key is rejected
+    // the layout is a TABLE property: an optionless append (the INSERT
+    // INTO shape) inherits it — new files still carry one key each
+    spark.range(100, 110).select(col("id"), (col("id") % 4).as("k"), (col("id") * 7L).as("v"))
+      .write.format("graftshard").mode("append").save(dir)
+    val m2 = ShardFormat.readManifest(dir).get
+    assert(m2.partitionColumn.contains("k") && m2.files.forall(_.partition.isDefined))
+    assert(spark.read.format("graftshard").load(dir).count() == 110)
+    // appending with a CONFLICTING partition key is rejected
     val e = intercept[Exception] {
-      spark.range(100, 110).select(col("id"), (col("id") % 4).as("k"), col("id").as("v"))
-        .write.format("graftshard").mode("append").save(dir)
+      spark.range(110, 120).select(col("id"), (col("id") % 4).as("k"), col("id").as("v"))
+        .write.format("graftshard").option("partitionKey", "v")
+        .mode("append").save(dir)
     }
     assert(e.getMessage.contains("partitionKey"))
   }
@@ -389,6 +397,70 @@ class GraftShardSourceSpec extends AnyFunSuite {
       assert(rows == exp)
       val plan = g.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"group-by on the storage key must not shuffle:\n$plan")
+    }
+  }
+
+  test("window analytics over the keyed layout run with ZERO exchange") {
+    withBucketing {
+      val dir = tmp()
+      writeKeyed(dir, 200, 8)
+      // the shape that makes keyed layout pay at scale: a window carries
+      // the FULL row volume — unkeyed it shuffles the whole corpus, keyed
+      // it shuffles nothing (ClusteredDistribution(k) satisfied from
+      // storage); only the per-partition sort remains
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("id")
+      val df = spark.read.format("graftshard").load(dir)
+        .select(col("id"), col("k"),
+          sum("v").over(w).as("run_v"), row_number().over(w).as("rn"))
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      val exp = (0L until 200L).map { id =>
+        val k = id % 8
+        val prior = (0L to id).filter(_ % 8 == k)
+        (id, k, prior.map(_ * 7L).sum, prior.size)
+      }
+      assert(rows.sorted.toSeq == exp.sorted.toSeq)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Window"), plan)
+      assert(!plan.contains("Exchange"), s"keyed window must not shuffle:\n$plan")
+    }
+  }
+
+  test("keyed ⋈ unkeyed join shuffles ONLY the unkeyed side") {
+    withBucketing {
+      val shuffleKey = "spark.sql.sources.v2.bucketing.shuffle.enabled"
+      val thr = "spark.sql.autoBroadcastJoinThreshold"
+      val beforeS = spark.conf.getOption(shuffleKey)
+      val beforeT = spark.conf.get(thr)
+      spark.conf.set(shuffleKey, "true")
+      spark.conf.set(thr, "-1")
+      try {
+        val dir = tmp()
+        writeKeyed(dir, 120, 6)
+        val keyed = spark.read.format("graftshard").load(dir)
+        // the 100 TB shape: a huge keyed corpus joined to a small-but-not-
+        // broadcastable delta — only the delta moves
+        val deltaDir = tmp() + "_delta"
+        (0L until 6L).map(k => (k, s"tag$k")).toDF("k", "tag")
+          .write.parquet(deltaDir)
+        val delta = spark.read.parquet(deltaDir)
+        val joined = keyed.join(delta, "k")
+        val rows = joined.collect()
+        assert(rows.length == 120)
+        // AQE's toString appends an "== Initial Plan ==" copy — count
+        // exchanges only in the final adaptive plan
+        val plan = joined.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        val exchanges = "Exchange".r.findAllIn(plan).size
+        assert(exchanges == 1, s"exactly the delta side must shuffle:\n$plan")
+        assert(plan.contains("Exchange keygroupedpartitioning"),
+          s"the delta must shuffle TO the corpus keys:\n$plan")
+        // the corpus subtree (the graftshard scan) must sit under NO exchange:
+        // the one exchange repartitions the parquet delta to the corpus keys
+        assert(plan.contains("keyGroupedBy=k"), plan)
+      } finally {
+        beforeS.fold(spark.conf.unset(shuffleKey))(spark.conf.set(shuffleKey, _))
+        spark.conf.set(thr, beforeT)
+      }
     }
   }
 
