@@ -711,7 +711,7 @@ object Dedup {
   def embeddingLshPairs(
       df: DataFrame, idCol: String, vecCol: String,
       bands: Int, rowsPerBand: Int, dims: Int, threshold: Double): DataFrame = {
-    import graft.similarity.Similarity.{dot, hyperplaneWeights, l2Norm}
+    import graft.similarity.Similarity.{cosineOf, dot, hyperplaneWeights, l2Norm}
     require(bands >= 1 && rowsPerBand >= 1 && rowsPerBand <= 62,
       "embeddingLshPairs: need bands >= 1 and 1 <= rowsPerBand <= 62")
     val w = hyperplaneWeights(bands * rowsPerBand, dims)
@@ -743,7 +743,7 @@ object Dedup {
       .join(t.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a")), Seq("id_a"))
       .join(t.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine"))
+        cosineOf(dot(col("v_a"), col("v_b")), col("nrm_a"), col("nrm_b")).as("cosine"))
       .where(!isnan(col("cosine")) && col("cosine") >= threshold)
   }
 
@@ -818,7 +818,7 @@ object Dedup {
   def embeddingCosinePairs(
       df: DataFrame, idCol: String, vecCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
-    import graft.similarity.Similarity.{dot, l2Norm}
+    import graft.similarity.Similarity.{cosineOf, dot, l2Norm}
     // norms once per vector before the pairwise join, not once per pair;
     // persisted because the self-join reads it twice and Spark does not
     // share plan subtrees across a self-join — without this the scan,
@@ -834,7 +834,7 @@ object Dedup {
     a.join(b, blockCols)
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine"))
+        cosineOf(dot(col("v_a"), col("v_b")), col("nrm_a"), col("nrm_b")).as("cosine"))
       // !isnan: a zero-norm vector gives 0/0 = NaN; IEEE NaN >= t is
       // false in Spark but engines with total-order comparisons would
       // keep it — exclude explicitly so the contract is engine-free

@@ -38,7 +38,17 @@ object Similarity {
 
   /** Cosine similarity, explicit double-precision formula (not a library
     * intrinsic — identical accumulation order everywhere). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  def cosine(a: Column, b: Column): Column =
+    cosineOf(dot(a, b), l2Norm(a), l2Norm(b))
+
+  /** dot / (|a|·|b|) with the zero-norm case yielding NaN — the value
+    * every caller's `!isnan` filter already excludes. A PLAIN division
+    * THROWS under ANSI mode (Spark 4 default) the moment a zero vector
+    * appears (DIVIDE_BY_ZERO; DedupProps generated the case), so the
+    * guard is correctness, not style: one definition for every cosine
+    * in the tree. */
+  def cosineOf(d: Column, na: Column, nb: Column): Column =
+    when(na * nb =!= 0.0, d / (na * nb)).otherwise(lit(Double.NaN))
 
   /** Deterministic pseudo-random hyperplanes: weight(p, d) = ±1 from the
     * parity of the first hex char of md5("p_d"). Computed at PLAN TIME and
@@ -101,7 +111,7 @@ object Similarity {
       l2Norm(col(vecCol)).as("n_norm"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
+        cosineOf(dot(col("q_vec"), col("n_vec")), col("q_norm"), col("n_norm")).as("cosine"))
     topKByQuery(scored, k)
   }
 
@@ -136,7 +146,7 @@ object Similarity {
       .join(broadcast(q),
         col("neighbor_id") =!= col("query_id") && col("n_label") =!= col("q_label"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
+        cosineOf(dot(col("q_vec"), col("n_vec")), col("q_norm"), col("n_norm")).as("cosine"))
     topKByQuery(scored, k)
   }
 
@@ -284,7 +294,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), "list_id")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
+        cosineOf(dot(col("q_vec"), col("n_vec")), col("q_norm"), col("n_norm")).as("cosine"))
     topKByQuery(scored, k)
   }
 
@@ -396,7 +406,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), "list_id")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
+        cosineOf(dot(col("q_vec"), col("n_vec")), col("q_norm"), col("n_norm")).as("cosine"))
     topKByQuery(scored, k)
   }
 
@@ -451,7 +461,7 @@ object Similarity {
       .withColumn("n_norm", l2Norm(col("n_vec")))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
+        cosineOf(dot(col("q_vec"), col("n_vec")), col("q_norm"), col("n_norm")).as("cosine"))
     topKByQuery(scored, k)
   }
 
@@ -471,7 +481,7 @@ object Similarity {
     val scored = cb.join(broadcast(qb), "bucket")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
+        cosineOf(dot(col("q_vec"), col("n_vec")), col("q_norm"), col("n_norm")).as("cosine"))
     topKByQuery(scored, k)
   }
 
@@ -534,7 +544,7 @@ object Similarity {
     val scored = cb.join(broadcast(qb), "bucket")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
+        cosineOf(dot(col("q_vec"), col("n_vec")), col("q_norm"), col("n_norm")).as("cosine"))
     topKByQuery(scored, k)
   }
 
@@ -630,7 +640,7 @@ object Similarity {
       .withColumn("n_norm", l2Norm(col("n_vec")))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cosine"))
+        cosineOf(dot(col("q_vec"), col("n_vec")), col("q_norm"), col("n_norm")).as("cosine"))
     topKByQuery(scored, k)
   }
 

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
@@ -83,9 +83,58 @@ class GraftShardSource extends TableProvider with DataSourceRegister {
 }
 
 class GraftShardTable(path: String, tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graftshard.`$path`"
   override def schema(): StructType = tableSchema
+
+  /** Metadata-only DELETE (the Iceberg shape): a delete is accepted iff
+    * every manifest file is PROVABLY all-match (dropped) or no-match
+    * (kept) under the predicate — decided from per-file stats, zero
+    * file reads, atomic manifest swap. Partition-aligned deletes
+    * (`WHERE key = v` on a keyed table, `WHERE id < split` on a
+    * range-written one) always qualify: one file = one key. Anything
+    * needing a row rewrite is REFUSED with Spark's standard error
+    * rather than half-implemented driver-side — a 100 TB rewrite is a
+    * distributed job (the row-level-operations tier), not a metadata
+    * edit. Dropped files become vacuum-reclaimable garbage; the
+    * generation bump invalidates streaming prefix offsets LOUDLY
+    * (entries vanished mid-list — prefix indices would lie). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    ShardFormat.readManifest(path).exists { m =>
+      filters.forall(ShardFilters.decidable(_, m.schema)) &&
+        m.files.forall { fe =>
+          filters.forall(ShardFilters.mustMatchAll(_, fe)) ||
+            !filters.forall(ShardFilters.mayContain(_, fe))
+        }
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      s"graftshard: DELETE not provable from file stats at '$path' — only " +
+        "deletes where every shard file is entirely in or entirely out " +
+        "(partition-aligned predicates) are supported")
+    val m = ShardFormat.readManifest(path).get
+    val kept = m.files.filterNot(fe => filters.forall(ShardFilters.mustMatchAll(_, fe)))
+    ShardFormat.writeManifest(path, m.copy(
+      files = kept,
+      generation = java.util.UUID.randomUUID().toString.take(8)))
+  }
+
+  /** Row provenance without a stored column: `SELECT _shard_file, ...`
+    * surfaces which manifest entry produced each row — the lineage /
+    * debugging handle a 100 TB corpus needs when one shard's rows look
+    * wrong (follow up with stats from the manifest, re-read just that
+    * file). Served by the reader from the file it is decoding; pruned
+    * away like any column when unreferenced. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_shard_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "manifest-relative shard file name this row came from"
+    })
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
@@ -126,11 +175,22 @@ class GraftShardScanBuilder(
     fullSchema: StructType,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var agg: Option[ShardAggResult] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT n stops the scan early: each partition reader emits at most
+    * n rows, and — when no row-level filter was absorbed, so manifest
+    * row counts are exact — the PLANNED FILE LIST is cut to the fewest
+    * files whose rows cover n. At 100 TB that is `LIMIT 10` planning
+    * one shard instead of 100k. Always PARTIALLY pushed: per-partition
+    * caps can still sum past n, Spark's own Limit does the final cut. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
 
   private lazy val manifest: ShardFormat.Manifest =
     ShardFormat.readManifest(path).getOrElse(ShardFormat.Manifest(fullSchema, "", Nil))
@@ -239,7 +299,7 @@ class GraftShardScanBuilder(
   override def build(): Scan = {
     val targetBytes = Option(options.get("targetPartitionBytes"))
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
-    new GraftShardScan(path, fullSchema, required, pushed, manifest, targetBytes, agg)
+    new GraftShardScan(path, fullSchema, required, pushed, manifest, targetBytes, agg, limit)
   }
 }
 
@@ -269,7 +329,8 @@ class GraftShardScan(
     pushed: Array[Filter],
     manifest: ShardFormat.Manifest,
     targetBytes: Long,
-    agg: Option[ShardAggResult])
+    agg: Option[ShardAggResult],
+    limit: Option[Int])
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -312,10 +373,19 @@ class GraftShardScan(
     runtime = filters.filter(ShardFilters.pushable(_, fullSchema))
 
   /** Manifest entries surviving stats-based skipping (static + any
-    * runtime filters delivered so far). */
-  private def selected: Seq[ShardFormat.FileEntry] =
-    manifest.files.filter(fe =>
+    * runtime filters delivered so far), then cut to the fewest files
+    * covering a pushed LIMIT — sound only when no absorbed row filter
+    * makes manifest row counts an overcount of what the reader emits. */
+  private def selected: Seq[ShardFormat.FileEntry] = {
+    val skipped = manifest.files.filter(fe =>
       (pushed ++ runtime).forall(ShardFilters.mayContain(_, fe)))
+    limit.filter(_ => pushed.isEmpty && runtime.isEmpty) match {
+      case Some(l) =>
+        var acc = 0L
+        skipped.takeWhile { fe => val need = acc < l; acc += fe.rows; need }
+      case None => skipped
+    }
+  }
 
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
@@ -327,7 +397,8 @@ class GraftShardScan(
       case ShardFormat.IdentityPart(c) => s" keyGroupedBy=$c"
       case ShardFormat.BucketPart(n, c) => s" keyGroupedBy=bucket($n,$c)"
     }.getOrElse("")
-    s"graftshard files=${selected.size}/${manifest.files.size} pushed=[$p]$a$g"
+    val l = limit.map(n => s" limit=$n").getOrElse("")
+    s"graftshard files=${selected.size}/${manifest.files.size} pushed=[$p]$a$g$l"
   }
 
   override def outputPartitioning(): Partitioning = groupedSpec match {
@@ -394,7 +465,7 @@ class GraftShardScan(
     // runtime filters ride along row-level when already delivered; if
     // the factory was built first, rows stay correct (the join itself
     // still filters) — only the early-drop optimization is lost
-    case None => new GraftShardReaderFactory(fullSchema, required, pushed ++ runtime)
+    case None => new GraftShardReaderFactory(fullSchema, required, pushed ++ runtime, limit)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -498,12 +569,13 @@ class GraftShardMicroBatchStream(
 class GraftShardReaderFactory(
     fullSchema: StructType,
     required: StructType,
-    pushed: Array[Filter])
+    pushed: Array[Filter],
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ShardFilesPartition]
-    new GraftShardPartitionReader(p.files, fullSchema, required, pushed)
+    new GraftShardPartitionReader(p.files, fullSchema, required, pushed, limit)
   }
 }
 
@@ -514,41 +586,68 @@ class GraftShardPartitionReader(
     files: Array[(String, Long)],
     fullSchema: StructType,
     required: StructType,
-    pushed: Array[Filter])
+    pushed: Array[Filter],
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
+  // pushed LIMIT: emit at most this many matching rows, then stop
+  // decoding — per-partition, so always sound (Spark's Limit finishes)
+  private val cap: Int = limit.getOrElse(Int.MaxValue)
+  private var emitted: Int = 0
+
+  private val MetaFileCol = "_shard_file"
   private val fullIndex: Map[String, Int] =
     fullSchema.fieldNames.zipWithIndex.toMap
+  // metadata columns are served by THIS reader (from the file it is
+  // decoding), never decoded from records
+  private val dataRequired: Array[String] =
+    required.fieldNames.filterNot(_ == MetaFileCol)
   private val filterCols: Array[String] =
-    pushed.flatMap(_.references).distinct.filterNot(required.fieldNames.contains)
-  // read layout: required columns first (their slots ARE the output
-  // row), then filter-only columns
-  private val readCols: Array[String] = required.fieldNames ++ filterCols
+    pushed.flatMap(_.references).distinct.filterNot(dataRequired.contains)
+  // read layout: required data columns first, then filter-only columns
+  private val readCols: Array[String] = dataRequired ++ filterCols
   private val readIndices: Array[Int] = readCols.map(fullIndex)
   private val slotOf: Map[String, Int] = readCols.zipWithIndex.toMap
+  // output position -> value slot; -1 = the _shard_file metadata column
+  private val outMap: Array[Int] =
+    required.fieldNames.map(c => if (c == MetaFileCol) -1 else slotOf(c))
+  private val hasMeta = outMap.exists(_ < 0)
   private val evals: Array[Array[Any] => Boolean] =
     pushed.map(ShardFilters.compile(_, slotOf, fullSchema))
 
   private val values = new Array[Any](readCols.length)
   private var fileIdx = -1
   private var reader: ShardFormat.ShardReader = _
+  private var fileName: UTF8String = _
   private var row: GenericInternalRow = _
 
   override def next(): Boolean = {
+    if (emitted >= cap) { close(); reader = null; return false }
     var advanced = false
     var exhausted = false
     while (!advanced && !exhausted) {
       if (reader == null) {
         fileIdx += 1
         if (fileIdx >= files.length) exhausted = true
-        else reader = new ShardFormat.ShardReader(
-          new File(files(fileIdx)._1), fullSchema, readIndices)
+        else {
+          val f = new File(files(fileIdx)._1)
+          fileName = UTF8String.fromString(f.getName)
+          reader = new ShardFormat.ShardReader(f, fullSchema, readIndices)
+        }
       } else if (!reader.next(values)) {
         reader = null // ShardReader closed itself at EOF
       } else if (evals.forall(_(values))) {
         val out = new Array[Any](required.length)
-        System.arraycopy(values, 0, out, 0, required.length)
+        if (!hasMeta) System.arraycopy(values, 0, out, 0, required.length)
+        else {
+          var j = 0
+          while (j < outMap.length) {
+            out(j) = if (outMap(j) < 0) fileName else values(outMap(j))
+            j += 1
+          }
+        }
         row = new GenericInternalRow(out)
+        emitted += 1
         advanced = true
       }
     }
@@ -597,6 +696,44 @@ object ShardFilters {
     case other => throw new IllegalArgumentException(s"not integral: $other")
   }
 
+  /** Filters whose all-match/no-match question [[mustMatchAll]]/
+    * [[mayContain]] can answer — the metadata-DELETE admission test. */
+  def decidable(f: Filter, schema: StructType): Boolean = f match {
+    case _: AlwaysTrue | _: AlwaysFalse => true
+    case other => pushable(other, schema)
+  }
+
+  /** PROOF that every row of the file satisfies the filter, from
+    * per-file stats alone — the dual of [[mayContain]]. Conservative:
+    * false whenever stats cannot prove it (strings/booleans carry no
+    * stats; any null makes a comparison UNKNOWN, so comparisons demand
+    * a zero null count). */
+  def mustMatchAll(f: Filter, fe: ShardFormat.FileEntry): Boolean = {
+    def stat(c: String): Option[(Long, Long, Long)] = fe.stats.get(c)
+    def nulls(c: String): Option[Long] =
+      fe.stats.get(c).map(_._3).orElse(fe.allNull.get(c))
+    f match {
+      case _: AlwaysTrue => true
+      case _: AlwaysFalse => false
+      case EqualTo(c, v) =>
+        stat(c).exists { case (mn, mx, nl) => nl == 0 && mn == mx && mn == asLong(v) }
+      case In(c, vs) =>
+        stat(c).exists { case (mn, mx, nl) =>
+          nl == 0 && mn == mx && vs.exists(v => asLong(v) == mn) }
+      case GreaterThan(c, v) =>
+        stat(c).exists { case (mn, _, nl) => nl == 0 && mn > asLong(v) }
+      case GreaterThanOrEqual(c, v) =>
+        stat(c).exists { case (mn, _, nl) => nl == 0 && mn >= asLong(v) }
+      case LessThan(c, v) =>
+        stat(c).exists { case (_, mx, nl) => nl == 0 && mx < asLong(v) }
+      case LessThanOrEqual(c, v) =>
+        stat(c).exists { case (_, mx, nl) => nl == 0 && mx <= asLong(v) }
+      case IsNull(c) => nulls(c).contains(fe.rows)
+      case IsNotNull(c) => nulls(c).contains(0L)
+      case _ => false
+    }
+  }
+
   /** Sound file-level skip test from manifest stats. Only integral
     * columns carry min/max; everything else answers "may contain". */
   def mayContain(f: Filter, fe: ShardFormat.FileEntry): Boolean = {
@@ -605,6 +742,8 @@ object ShardFilters {
     def nulls(c: String): Long =
       fe.stats.get(c).map(_._3).orElse(fe.allNull.get(c)).getOrElse(0L)
     f match {
+      case _: AlwaysTrue => true
+      case _: AlwaysFalse => false
       case EqualTo(c, v) if tracked(c) =>
         range(c).exists { case (mn, mx) => asLong(v) >= mn && asLong(v) <= mx }
       case GreaterThan(c, v) if tracked(c) =>

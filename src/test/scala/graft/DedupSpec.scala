@@ -76,6 +76,29 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("zero-norm vectors: cosine is undefined, excluded, and never a DIVIDE_BY_ZERO") {
+    // ANSI mode (Spark 4 default) THROWS on a plain x/0.0 — a single
+    // all-zero embedding used to kill both cosine faces mid-job
+    // (DedupProps found it); the guarded cosineOf yields NaN, which the
+    // !isnan filter excludes like any undefined similarity
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f)),
+      (1L, 0, Array(0.995f, 0.1f)),
+      (2L, 0, Array(0.0f, 0.0f)), // zero-norm: pairs with it are undefined
+      (3L, 0, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val cos = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", Seq("label"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cos == Set((0L, 1L)))
+    // threshold <= 0 would admit ANY defined cosine — zero-norm pairs
+    // must still be absent, not surface as 0.0 or NaN
+    val lsh = Dedup.embeddingLshPairs(vecs, "vec_id", "embedding",
+      bands = 4, rowsPerBand = 4, dims = 2, threshold = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!lsh.exists(p => p._1 >= 2L || p._2 >= 2L),
+      s"zero-norm ids must never pair: $lsh")
+  }
+
   test("semanticDedupPairs: near-dups pair within their quantizer cluster, no blocking key needed") {
     // ids 0,1 seed two orthogonal clusters (nlist=2 -> they ARE the
     // centroids); 2,3 are near-dups of cluster 0; 4 is a near-dup of

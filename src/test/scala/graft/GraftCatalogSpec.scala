@@ -142,6 +142,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("graftcat.ow.t").count() == 20)
   }
 
+  test("metadata DELETE: partition-aligned drops whole files; row rewrites are refused") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.del")
+    spark.sql("""CREATE TABLE graftcat.del.t (id BIGINT, k BIGINT, v BIGINT)
+      USING graftshard PARTITIONED BY (k)""")
+    spark.sql("INSERT INTO graftcat.del.t SELECT id, id % 4, id * 7 FROM range(0, 100)")
+    val dir = s"$warehouse/del/t"
+    val before = ShardFormat.readManifest(dir).get
+    val genBefore = before.generation
+    val nFilesBefore = before.files.size
+
+    // one key = whole files, provable from min==max stats: metadata drop
+    spark.sql("DELETE FROM graftcat.del.t WHERE k = 1")
+    val after = ShardFormat.readManifest(dir).get
+    assert(spark.table("graftcat.del.t").count() == 75)
+    assert(spark.table("graftcat.del.t").where(col("k") === 1L).count() == 0)
+    assert(after.files.size < nFilesBefore)
+    // dropped entries leave garbage for vacuum, never touched inline
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".shard")) == nFilesBefore)
+    // prefix offsets died with the entries: generation must change
+    assert(after.generation != genBefore)
+
+    // a predicate that splits files needs a row rewrite — refused
+    val e = intercept[Exception] { spark.sql("DELETE FROM graftcat.del.t WHERE v > 10") }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    assert(spark.table("graftcat.del.t").count() == 75, "refused delete must change nothing")
+
+    // unqualified DELETE (and SQL TRUNCATE) drop everything
+    spark.sql("DELETE FROM graftcat.del.t")
+    assert(spark.table("graftcat.del.t").count() == 0)
+    assert(ShardFormat.readManifest(dir).get.files.isEmpty)
+  }
+
   test("catalog errors: missing namespace, duplicate table, unsupported partitioning, drop") {
     val noNs = intercept[Exception] {
       spark.sql("CREATE TABLE graftcat.nope.t (id BIGINT) USING graftshard")

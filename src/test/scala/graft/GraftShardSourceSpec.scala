@@ -547,6 +547,86 @@ class GraftShardSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("limit pushdown: LIMIT n plans only the files that cover n rows") {
+    val dir = tmp()
+    spark.range(0, 1000).withColumn("payload", concat(lit("row"), col("id")))
+      .repartitionByRange(4, col("id"))
+      .write.format("graftshard").mode("overwrite").save(dir)
+    val limited = spark.read.format("graftshard").load(dir).limit(10)
+    assert(limited.collect().length == 10)
+    val desc = scanOf(limited, "limit").scan.description()
+    assert(desc.contains("files=1/4") && desc.contains("limit=10"),
+      s"LIMIT 10 over 4x250-row shards must plan ONE file: $desc")
+    // with an absorbed filter, manifest row counts overcount what the
+    // reader emits — the file list must NOT be cut (reader caps instead)
+    val filtered = spark.read.format("graftshard").load(dir)
+      .where(col("id") >= 300L).limit(10)
+    assert(filtered.collect().length == 10)
+    assert(filtered.collect().forall(_.getLong(0) >= 300L))
+    val fdesc = scanOf(filtered, "limit+filter").scan.description()
+    assert(fdesc.contains("files=3/4"),
+      s"absorbed filter must keep stats-surviving files un-cut: $fdesc")
+  }
+
+  test("_shard_file metadata column: row provenance without a stored column") {
+    val dir = tmp()
+    spark.range(0, 100).withColumn("v", col("id") * 3)
+      .repartitionByRange(4, col("id"))
+      .write.format("graftshard").mode("overwrite").save(dir)
+    val withMeta = spark.read.format("graftshard").load(dir)
+      .select(col("id"), col("_shard_file"))
+    val rows = withMeta.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 100)
+    assert(rows.forall(_._2.endsWith(".shard")))
+    // range-partitioned write: ids of one file are contiguous, so each
+    // file name maps to a contiguous id range and 4 files surface
+    assert(rows.map(_._2).distinct.length == 4)
+    val m = ShardFormat.readManifest(dir).get
+    assert(rows.map(_._2).toSet == m.files.map(_.name).toSet)
+    // filters on the metadata column stay ABOVE the scan (not pushable)
+    // and work: read back only the file that holds id 0
+    val f0 = rows.find(_._1 == 0L).get._2
+    val one = spark.read.format("graftshard").load(dir)
+      .where(col("_shard_file") === f0).agg(count(lit(1))).collect()(0).getLong(0)
+    assert(one == 25)
+    // unreferenced -> pruned: plain reads have no metadata column
+    assert(!spark.read.format("graftshard").load(dir).columns.contains("_shard_file"))
+  }
+
+  test("vacuum reclaims aged orphans and overwritten generations, never live or recent files") {
+    import graft.sources.v2.GraftShardMaintenance
+    val dir = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format("graftshard").mode("overwrite").save(dir)
+    val gen1 = new File(dir).listFiles().filter(_.getName.endsWith(".shard")).map(_.getName).toSet
+    // overwrite: gen-1 files become unreferenced garbage
+    Seq((3L, "c")).toDF("id", "s")
+      .write.format("graftshard").mode("overwrite").save(dir)
+    // plus a crashed-attempt orphan
+    val orphan = new File(dir, "part-99999-0-deadbeef.shard")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    // a RECENT orphan must survive any horizon > 0 (in-flight write safety)
+    val recent = new File(dir, "part-88888-0-cafebabe.shard")
+    java.nio.file.Files.write(recent.toPath, Array[Byte](9))
+    // age the dead generation + orphan past the horizon
+    (gen1 + orphan.getName).foreach(n =>
+      assert(new File(dir, n).setLastModified(System.currentTimeMillis() - 100000)))
+    recent.setLastModified(System.currentTimeMillis())
+
+    val report = GraftShardMaintenance.vacuum(dir, minAgeMs = 50000)
+    assert(report.deleted.toSet == gen1 + orphan.getName)
+    assert(report.keptRecent == Seq(recent.getName))
+    assert(report.keptLive == 1)
+    // the table still reads exactly its committed contents
+    assert(spark.read.format("graftshard").load(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((3L, "c")))
+    // non-table directory: clear error, nothing deleted
+    val e = intercept[IllegalArgumentException] {
+      GraftShardMaintenance.vacuum(tmp() + "_missing")
+    }
+    assert(e.getMessage.contains("not a graftshard table"))
+  }
+
   test("zero-column read (count star) and empty-partition shards") {
     val dir = tmp()
     // 8 partitions, 3 rows: empty partitions must not leave files
