@@ -1093,6 +1093,28 @@ object ExtensionQueries {
       FROM $cat.x44.docs d JOIN $cat.x44.embs e ON d.doc_id = e.vec_id""")
   }
 
+  /** Time travel through `graftshard`: two commits (overwrite with the
+    * low-id half, append the rest), then read `versionAsOf` the FIRST
+    * commit — exactly its rows come back even though the current table
+    * holds both halves. Every commit writes an immutable versioned
+    * manifest next to the pointer; vacuum honors retained snapshots and
+    * `expireSnapshots` retires them (GraftShardSourceSpec pins the
+    * expire→vacuum order; GraftCatalogSpec drives the SQL
+    * `VERSION AS OF` / `TIMESTAMP AS OF` faces and read-only snapshot
+    * semantics). At 100 TB this is reproducibility: a training run pins
+    * the corpus snapshot it read, concurrent appends notwithstanding. */
+  private def x45(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x45", dir)
+    val docs = table(s, dir, "documents").select("doc_id", "n_chars", "source")
+    // parity split: non-vacuous at every SF (both halves non-empty)
+    docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .write.format("graftshard").mode("overwrite").save(out)
+    val v1 = graft.sources.v2.ShardFormat.readManifest(out).get.version
+    docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .write.format("graftshard").mode("append").save(out)
+    s.read.format("graftshard").option("versionAsOf", v1.toString).load(out)
+  }
+
   /** Aggregate pushdown through `graftshard`: per-shard-key counts and
     * id ranges answered ENTIRELY from the manifest — the scan opens
     * ZERO shard files (GraftShardSourceSpec proves it by deleting them).
@@ -4352,6 +4374,10 @@ object ExtensionQueries {
     Q("x44_shard_bucketed_join", x44, Some("""
       SELECT d.doc_id, d.n_chars, d.lang, e.label
       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""")),
+
+    // time travel: versionAsOf the first commit, after a second landed
+    Q("x45_shard_time_travel", x45, Some("""
+      SELECT doc_id, n_chars, source FROM documents WHERE doc_id % 2 = 0""")),
 
     // zero-shuffle window analytics over the keyed at-rest layout
     Q("x43_shard_keyed_window", x43, Some("""

@@ -88,6 +88,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new GraftShardTable(dir.getPath, m.schema)
   }
 
+  /** `VERSION AS OF n`: the table exactly as committed at snapshot n
+    * (read-only; see [[GraftShardTable]]). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident).getPath
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = scala.util.Try(version.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"graftshard: version must be a snapshot number, got '$version'"))
+    val m = ShardFormat.readManifestVersion(dir, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"graftshard: no snapshot v$v of ${ident} — available: " +
+          s"${ShardFormat.listVersions(dir).mkString(", ")} " +
+          "(older snapshots may have been expired)"))
+    new GraftShardTable(dir, m.schema, Some(m))
+  }
+
+  /** `TIMESTAMP AS OF t` (micros since epoch): the newest snapshot
+    * committed at or before t. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident).getPath
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val tsMs = timestamp / 1000L
+    val m = ShardFormat.listVersions(dir)
+      .flatMap(v => ShardFormat.readManifestVersion(dir, v))
+      .filter(_.createdAtMs <= tsMs)
+      .sortBy(_.version).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"graftshard: no snapshot of ${ident} at or before " +
+            s"${java.time.Instant.ofEpochMilli(tsMs)} — the table's history " +
+            "starts later (or earlier snapshots were expired)"))
+    new GraftShardTable(dir, m.schema, Some(m))
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -129,7 +162,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val dir = tableDir(ident)
     dir.mkdirs()
     ShardFormat.writeManifest(dir.getPath, ShardFormat.Manifest(
-      schema, java.util.UUID.randomUUID().toString.take(8), Nil, spec))
+      schema, java.util.UUID.randomUUID().toString.take(8), Nil, spec,
+      version = 1L, createdAtMs = System.currentTimeMillis()))
     new GraftShardTable(dir.getPath, schema)
   }
 

@@ -26,12 +26,20 @@ object GraftShardMaintenance {
   val DefaultMinAgeMs: Long = 24L * 3600 * 1000
 
   /** Deletes unreferenced `.shard` files and stale manifest temp files
-    * older than `minAgeMs` under `dir`. Never touches the manifest or
-    * any file it lists. */
+    * older than `minAgeMs` under `dir`. "Referenced" means by the
+    * current manifest OR any retained time-travel snapshot — vacuum
+    * never breaks a version that is still loadable; run
+    * [[expireSnapshots]] first to retire history, THEN vacuum reclaims
+    * what only expired snapshots referenced (the Iceberg
+    * expire_snapshots → remove_orphan_files order). Never touches the
+    * manifest, snapshot manifests, or any file they list. */
   def vacuum(dir: String, minAgeMs: Long = DefaultMinAgeMs): VacuumReport = {
     val m = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
       s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
-    val live = m.files.map(_.name).toSet
+    val live = (m.files.map(_.name) ++
+      ShardFormat.listVersions(dir)
+        .flatMap(v => ShardFormat.readManifestVersion(dir, v))
+        .flatMap(_.files.map(_.name))).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val deleted = Seq.newBuilder[String]
     val keptRecent = Seq.newBuilder[String]
@@ -48,5 +56,20 @@ object GraftShardMaintenance {
       }
     }
     VacuumReport(deleted.result().sorted, keptLive, keptRecent.result().sorted)
+  }
+
+  /** Retires time-travel history: keeps the newest `keepLast` snapshot
+    * manifests (and ALWAYS the one the current pointer names), deletes
+    * the rest. Shard files referenced only by expired snapshots become
+    * vacuum-reclaimable. Returns the expired version numbers. */
+  def expireSnapshots(dir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "graftshard: keepLast must be >= 1")
+    val current = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
+    val versions = ShardFormat.listVersions(dir)
+    val keep = versions.takeRight(keepLast).toSet + current.version
+    val expired = versions.filterNot(keep)
+    expired.foreach(v => ShardFormat.versionFile(dir, v).delete())
+    expired
   }
 }

@@ -65,8 +65,20 @@ class GraftShardSource extends TableProvider with DataSourceRegister {
     p
   }
 
+  /** `option("versionAsOf", n)` pins the read to snapshot n — the
+    * path-based half of time travel ([[GraftCatalog.loadTable]] with a
+    * version/timestamp is the SQL half). */
+  private def pinnedFor(p: String, versionAsOf: Option[String]): Option[ShardFormat.Manifest] =
+    versionAsOf.map { v =>
+      ShardFormat.readManifestVersion(p, v.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftshard: no snapshot v$v under '$p' — available: " +
+            s"${ShardFormat.listVersions(p).mkString(", ")}"))
+    }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ShardFormat.readManifest(path(options)).map(_.schema).getOrElse {
+    pinnedFor(path(options), Option(options.get("versionAsOf")))
+      .orElse(ShardFormat.readManifest(path(options))).map(_.schema).getOrElse {
       throw new IllegalArgumentException(
         s"graftshard: no ${ShardFormat.ManifestName} under '${path(options)}' — " +
           "write the table first or supply a schema")
@@ -76,17 +88,25 @@ class GraftShardSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    val p = properties.get("path")
+    val opts = new CaseInsensitiveStringMap(properties)
+    val p = opts.get("path")
     require(p != null && p.nonEmpty, "graftshard: a path is required")
-    new GraftShardTable(p, schema)
+    new GraftShardTable(p, schema, pinnedFor(p, Option(opts.get("versionAsOf"))))
   }
 }
 
-class GraftShardTable(path: String, tableSchema: StructType)
+/** `pinned`: a time-travel snapshot — the table exactly as committed at
+  * that manifest version. Read-only: writes, deletes, and streaming
+  * against a snapshot are refused (a snapshot is history, not a branch). */
+class GraftShardTable(
+    path: String,
+    tableSchema: StructType,
+    pinned: Option[ShardFormat.Manifest] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
-  override def name(): String = s"graftshard.`$path`"
+  override def name(): String =
+    s"graftshard.`$path`" + pinned.map(m => s"@v${m.version}").getOrElse("")
   override def schema(): StructType = tableSchema
 
   /** Metadata-only DELETE (the Iceberg shape): a delete is accepted iff
@@ -102,7 +122,7 @@ class GraftShardTable(path: String, tableSchema: StructType)
     * generation bump invalidates streaming prefix offsets LOUDLY
     * (entries vanished mid-list — prefix indices would lie). */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    ShardFormat.readManifest(path).exists { m =>
+    pinned.isEmpty && ShardFormat.readManifest(path).exists { m =>
       filters.forall(ShardFilters.decidable(_, m.schema)) &&
         m.files.forall { fe =>
           filters.forall(ShardFilters.mustMatchAll(_, fe)) ||
@@ -119,7 +139,9 @@ class GraftShardTable(path: String, tableSchema: StructType)
     val kept = m.files.filterNot(fe => filters.forall(ShardFilters.mustMatchAll(_, fe)))
     ShardFormat.writeManifest(path, m.copy(
       files = kept,
-      generation = java.util.UUID.randomUUID().toString.take(8)))
+      generation = java.util.UUID.randomUUID().toString.take(8),
+      version = m.version + 1,
+      createdAtMs = System.currentTimeMillis()))
   }
 
   /** Row provenance without a stored column: `SELECT _shard_file, ...`
@@ -137,7 +159,8 @@ class GraftShardTable(path: String, tableSchema: StructType)
     })
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   /** Key-partitioned tables surface their layout as an identity or
     * bucket transform — the catalog-level half of the
@@ -148,10 +171,14 @@ class GraftShardTable(path: String, tableSchema: StructType)
       .map(sp => Array(GraftShardTable.transformOf(sp))).getOrElse(Array.empty)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftShardScanBuilder(path, tableSchema, options)
+    new GraftShardScanBuilder(path, tableSchema, options, pinned)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinned.isEmpty,
+      s"graftshard: cannot write to time-travel snapshot ${name()} — " +
+        "snapshots are read-only history; write to the current table")
     new GraftShardWriteBuilder(path, info)
+  }
 }
 
 object GraftShardTable {
@@ -173,7 +200,8 @@ final case class ShardAggResult(
 class GraftShardScanBuilder(
     path: String,
     fullSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    pinned: Option[ShardFormat.Manifest] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -193,7 +221,8 @@ class GraftShardScanBuilder(
   override def isPartiallyPushed(): Boolean = true
 
   private lazy val manifest: ShardFormat.Manifest =
-    ShardFormat.readManifest(path).getOrElse(ShardFormat.Manifest(fullSchema, "", Nil))
+    pinned.orElse(ShardFormat.readManifest(path))
+      .getOrElse(ShardFormat.Manifest(fullSchema, "", Nil))
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -299,7 +328,8 @@ class GraftShardScanBuilder(
   override def build(): Scan = {
     val targetBytes = Option(options.get("targetPartitionBytes"))
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
-    new GraftShardScan(path, fullSchema, required, pushed, manifest, targetBytes, agg, limit)
+    new GraftShardScan(path, fullSchema, required, pushed, manifest, targetBytes,
+      agg, limit, snapshot = pinned.isDefined)
   }
 }
 
@@ -330,7 +360,8 @@ class GraftShardScan(
     manifest: ShardFormat.Manifest,
     targetBytes: Long,
     agg: Option[ShardAggResult],
-    limit: Option[Int])
+    limit: Option[Int],
+    snapshot: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -471,6 +502,9 @@ class GraftShardScan(
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(agg.isEmpty,
       "graftshard: aggregate pushdown is a batch-only surface")
+    require(!snapshot,
+      "graftshard: cannot stream a time-travel snapshot — a snapshot is a " +
+        "fixed commit; stream the current table (offsets track its appends)")
     new GraftShardMicroBatchStream(path, fullSchema, required, pushed)
   }
 }

@@ -3,7 +3,8 @@ package graft.sources.v2
 import java.io.File
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
 
 /** V2 write path for `graftshard`: each task streams its partition
@@ -17,8 +18,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * duplicate or failed attempt leaves an orphan `.shard` file that NO
   * manifest references, so readers never see it (Spark's commit
   * coordinator already guarantees at most one committed attempt per
-  * partition). Overwrite (`SupportsTruncate`) is a manifest swap —
-  * prior shards become unreferenced garbage for a vacuum with a
+  * partition). Overwrite (`SupportsOverwrite`: truncate, or REPLACE
+  * WHERE under the metadata-DELETE provability rule) is a manifest
+  * swap — prior shards become unreferenced garbage for a vacuum with a
   * retention horizon, the standard lake trade; append unions the old
   * manifest's file list with the new messages at commit time (schema
   * equality enforced at PLAN time, not task 10k's stack trace).
@@ -34,11 +36,33 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * that is the same contract as Spark's own dynamic partition writes.
   */
 class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsOverwrite {
 
-  private var truncateRequested = false
+  // None = append; Some(AlwaysTrue) = truncate (SupportsOverwrite's
+  // default truncate() routes here); Some(other) = REPLACE WHERE — the
+  // metadata-only partition replacement, admitted under exactly the
+  // DELETE provability rule (every existing file provably all-match or
+  // no-match from its stats)
+  private var replaceFilters: Option[Array[Filter]] = None
 
-  override def truncate(): WriteBuilder = { truncateRequested = true; this }
+  private def isTruncate(fs: Array[Filter]): Boolean =
+    fs.isEmpty || fs.forall(_.isInstanceOf[AlwaysTrue])
+  private def truncateRequested: Boolean = replaceFilters.exists(isTruncate)
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    replaceFilters = Some(filters)
+    this
+  }
+
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    isTruncate(filters) || {
+      val schema = info.schema()
+      filters.forall(ShardFilters.decidable(_, schema)) &&
+        ShardFormat.readManifest(path).forall(_.files.forall { fe =>
+          filters.forall(ShardFilters.mustMatchAll(_, fe)) ||
+            !filters.forall(ShardFilters.mayContain(_, fe))
+        })
+    }
 
   override def build(): Write = {
     val schema = info.schema()
@@ -82,10 +106,10 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
         s"graftshard: append schema ${schema.simpleString} does not match " +
           s"existing table schema ${m.schema.simpleString} at '$path'")
     }
-    val doTruncate = truncateRequested
+    val replace = replaceFilters
     new Write {
       override def toBatch: BatchWrite =
-        new GraftShardBatchWrite(path, schema, doTruncate, spec)
+        new GraftShardBatchWrite(path, schema, replace, spec)
     }
   }
 }
@@ -96,9 +120,16 @@ final case class ShardCommitMessage(files: Seq[ShardFormat.FileEntry])
 class GraftShardBatchWrite(
     path: String,
     schema: StructType,
-    truncate: Boolean,
+    // None = append; Some(AlwaysTrue-only) = truncate; Some(other) =
+    // REPLACE WHERE (metadata-only: existing files provably all-match
+    // are dropped, provably no-match kept — re-proven at COMMIT time
+    // against the manifest as it is then, not as it was planned)
+    replace: Option[Array[Filter]],
     spec: Option[ShardFormat.PartSpec])
     extends BatchWrite {
+
+  private def isTruncate: Boolean =
+    replace.exists(fs => fs.isEmpty || fs.forall(_.isInstanceOf[AlwaysTrue]))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
@@ -110,14 +141,44 @@ class GraftShardBatchWrite(
     val committed = all.filter(_.rows > 0)
     // empty-partition shards carry no information — drop their files
     all.filter(_.rows == 0).foreach(fe => new File(path, fe.name).delete())
-    // generation: fresh on truncate, carried on append — streaming
-    // offsets embed it to detect overwrites (ShardOffset scaladoc)
-    val existing = if (truncate) None else ShardFormat.readManifest(path)
-    val prior = existing.map(_.files).getOrElse(Nil)
-    val generation = existing.map(_.generation).filter(_.nonEmpty)
-      .getOrElse(java.util.UUID.randomUUID().toString.take(8))
+    // generation: fresh whenever existing entries are replaced (truncate
+    // or REPLACE WHERE — streaming prefix offsets die with them), carried
+    // on pure appends. The time-travel version counts COMMITS and
+    // survives all of them: an overwrite is a new snapshot of the same
+    // table, not version 1 of a new one.
+    val current = ShardFormat.readManifest(path)
+    val (prior, generation) = replace match {
+      case None =>
+        (current.map(_.files).getOrElse(Nil),
+          current.map(_.generation).filter(_.nonEmpty)
+            .getOrElse(java.util.UUID.randomUUID().toString.take(8)))
+      case Some(_) if isTruncate =>
+        (Nil, java.util.UUID.randomUUID().toString.take(8))
+      case Some(fs) =>
+        val files = current.map(_.files).getOrElse(Nil)
+        files.foreach { fe =>
+          require(fs.forall(ShardFilters.mustMatchAll(_, fe)) ||
+              !fs.forall(ShardFilters.mayContain(_, fe)),
+            s"graftshard: REPLACE WHERE not provable from file stats for " +
+              s"'${fe.name}' at commit time — only predicates where every " +
+              "shard file is entirely in or entirely out are supported")
+        }
+        // partial soundness check on the NEW data, free from its stats: a
+        // committed file that provably contains NO matching row violates
+        // the REPLACE WHERE contract (its rows would survive a re-run of
+        // the same replacement) — fail loudly instead of committing it
+        committed.foreach { fe =>
+          require(fs.forall(ShardFilters.mayContain(_, fe)),
+            s"graftshard: REPLACE WHERE violation — written file '${fe.name}' " +
+              "provably contains no row matching the replacement predicate")
+        }
+        (files.filterNot(fe => fs.forall(ShardFilters.mustMatchAll(_, fe))),
+          java.util.UUID.randomUUID().toString.take(8))
+    }
     ShardFormat.writeManifest(path,
-      ShardFormat.Manifest(schema, generation, prior ++ committed, spec))
+      ShardFormat.Manifest(schema, generation, prior ++ committed, spec,
+        version = current.map(_.version).getOrElse(0L) + 1,
+        createdAtMs = System.currentTimeMillis()))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

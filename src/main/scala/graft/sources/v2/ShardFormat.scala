@@ -121,7 +121,12 @@ object ShardFormat {
       schema: StructType,
       generation: String,
       files: Seq[FileEntry],
-      partitioning: Option[PartSpec] = None) {
+      partitioning: Option[PartSpec] = None,
+      // time travel: every commit bumps `version` and ALSO writes an
+      // immutable `_graft_manifest-v<version>.json` snapshot next to the
+      // pointer; `createdAtMs` anchors TIMESTAMP AS OF
+      version: Long = 0L,
+      createdAtMs: Long = 0L) {
     /** The identity partition column, when that is the spec (the
       * group-by-pushdown and legacy surfaces). */
     def partitionColumn: Option[String] =
@@ -310,8 +315,27 @@ object ShardFormat {
 
   def manifestFile(dir: String): File = new File(dir, ManifestName)
 
-  def readManifest(dir: String): Option[Manifest] = {
-    val f = manifestFile(dir)
+  /** Immutable per-commit snapshot written next to the pointer. */
+  def versionFile(dir: String, version: Long): File =
+    new File(dir, s"$ManifestName-v$version")
+
+  def readManifest(dir: String): Option[Manifest] =
+    readManifestFile(manifestFile(dir))
+
+  /** Time travel: the manifest exactly as committed at `version`. */
+  def readManifestVersion(dir: String, version: Long): Option[Manifest] =
+    readManifestFile(versionFile(dir, version))
+
+  /** All snapshot versions present on disk, ascending. */
+  def listVersions(dir: String): Seq[Long] =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty).toSeq
+      .map(_.getName)
+      .collect { case n if n.startsWith(s"$ManifestName-v") =>
+        n.stripPrefix(s"$ManifestName-v") }
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .sorted
+
+  private def readManifestFile(f: File): Option[Manifest] = {
     if (!f.isFile) return None
     val root = mapper.readTree(f)
     val schema = DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType]
@@ -340,18 +364,26 @@ object ShardFormat {
       files += FileEntry(fn.get("name").asText(), fn.get("bytes").asLong(),
         fn.get("rows").asLong(), present.result(), allNull.result(), partition)
     }
-    Some(Manifest(schema, generation, files.result(), partitioning))
+    val version = if (root.has("manifestVersion")) root.get("manifestVersion").asLong() else 0L
+    val createdAt = if (root.has("createdAtMs")) root.get("createdAtMs").asLong() else 0L
+    Some(Manifest(schema, generation, files.result(), partitioning, version, createdAt))
   }
 
   /** Atomic publish: write to a temp sibling, then rename over the
     * manifest path (atomic on POSIX; the object-store version would be
-    * a conditional PUT). */
+    * a conditional PUT). When `m.version > 0` an immutable
+    * `_graft_manifest-v<version>.json` snapshot is written FIRST (no
+    * reader races it — the pointer still names the old commit), so
+    * every commit is time-travelable until [[GraftShardMaintenance
+    * .expireSnapshots]] retires it. */
   def writeManifest(dir: String, m: Manifest): Unit = {
     val om = mapper
     val root = om.createObjectNode()
     root.put("version", Version)
     root.put("schema", m.schema.json)
     root.put("generation", m.generation)
+    root.put("manifestVersion", m.version)
+    root.put("createdAtMs", m.createdAtMs)
     m.partitioning.foreach {
       case IdentityPart(c) => root.put("partitionColumn", c): Unit
       case BucketPart(n, c) =>
@@ -372,9 +404,14 @@ object ShardFormat {
       }
       fe.allNull.foreach { case (c, nl) => st.putObject(c).put("nulls", nl): Unit }
     }
+    val bytes = om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
+    if (m.version > 0) {
+      val vf = new FileOutputStream(versionFile(dir, m.version))
+      try vf.write(bytes) finally vf.close()
+    }
     val tmp = new File(dir, s"$ManifestName.tmp-${java.util.UUID.randomUUID()}")
     val w = new FileOutputStream(tmp)
-    try w.write(om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    try w.write(bytes)
     finally w.close()
     if (!tmp.renameTo(manifestFile(dir))) {
       tmp.delete()

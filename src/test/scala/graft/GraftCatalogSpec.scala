@@ -174,6 +174,87 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ShardFormat.readManifest(dir).get.files.isEmpty)
   }
 
+  test("REPLACE WHERE: metadata-only partition replacement; violations fail loudly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.rw")
+    spark.sql("""CREATE TABLE graftcat.rw.t (id BIGINT, k BIGINT, v BIGINT)
+      USING graftshard PARTITIONED BY (k)""")
+    spark.sql("INSERT INTO graftcat.rw.t SELECT id, id % 4, id FROM range(0, 100)")
+    val dir = s"$warehouse/rw/t"
+    val genBefore = ShardFormat.readManifest(dir).get.generation
+
+    // replace ONE key's files with recomputed rows: the other keys'
+    // files are untouched manifest entries
+    spark.sql("""INSERT INTO graftcat.rw.t REPLACE WHERE k = 2
+      SELECT id, 2L, id * 100 FROM range(0, 10)""")
+    val t = spark.table("graftcat.rw.t")
+    assert(t.count() == 85) // 75 untouched + 10 replacement rows
+    assert(t.where(col("k") === 2L).agg(sum("v")).collect()(0).getLong(0) ==
+      (0L until 10L).map(_ * 100).sum)
+    assert(t.where(col("k") =!= 2L).agg(sum("v")).collect()(0).getLong(0) ==
+      (0L until 100L).filter(_ % 4 != 2).sum)
+    // replaced entries invalidate prefix offsets: generation changed
+    assert(ShardFormat.readManifest(dir).get.generation != genBefore)
+
+    // unprovable predicate (splits files) is refused
+    val e = intercept[Exception] {
+      spark.sql("""INSERT INTO graftcat.rw.t REPLACE WHERE v > 10
+        SELECT id, id % 4, id FROM range(0, 5)""")
+    }
+    assert(e.getMessage.toLowerCase.contains("replace") ||
+      e.getMessage.toLowerCase.contains("overwrite"), e.getMessage)
+
+    // a provable violation — replacement rows that provably do NOT
+    // match the predicate — fails the commit instead of landing
+    val bad = intercept[Exception] {
+      spark.sql("""INSERT INTO graftcat.rw.t REPLACE WHERE k = 1
+        SELECT id, 3L, id FROM range(0, 5)""")
+    }
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ messages(y.getCause))
+    assert(messages(bad).exists(_.contains("REPLACE WHERE violation")), bad.getMessage)
+    assert(spark.table("graftcat.rw.t").count() == 85, "failed replace must change nothing")
+  }
+
+  test("time travel: VERSION AS OF / TIMESTAMP AS OF read committed history; snapshots are read-only") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.tt")
+    spark.sql("CREATE TABLE graftcat.tt.t (id BIGINT) USING graftshard") // v1: empty
+    spark.sql("INSERT INTO graftcat.tt.t SELECT id FROM range(0, 10)")   // v2
+    spark.sql("INSERT INTO graftcat.tt.t SELECT id FROM range(10, 30)")  // v3
+    spark.sql("INSERT OVERWRITE graftcat.tt.t SELECT id FROM range(0, 5)") // v4
+    assert(spark.table("graftcat.tt.t").count() == 5)
+    assert(spark.sql("SELECT * FROM graftcat.tt.t VERSION AS OF 1").count() == 0)
+    assert(spark.sql("SELECT * FROM graftcat.tt.t VERSION AS OF 2").count() == 10)
+    assert(spark.sql("SELECT * FROM graftcat.tt.t VERSION AS OF 3").count() == 30)
+    assert(spark.sql("SELECT * FROM graftcat.tt.t VERSION AS OF 4").count() == 5)
+    // values, not just counts: v3 held the pre-overwrite union
+    assert(spark.sql("SELECT sum(id) FROM graftcat.tt.t VERSION AS OF 3")
+      .collect()(0).getLong(0) == (0L until 30L).sum)
+    // TIMESTAMP AS OF after every commit resolves to the newest snapshot
+    val after = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.now().plusSeconds(60), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    assert(spark.sql(s"SELECT * FROM graftcat.tt.t TIMESTAMP AS OF '$after'").count() == 5)
+    val early = intercept[Exception] {
+      spark.sql("SELECT * FROM graftcat.tt.t TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+    }
+    assert(early.getMessage.contains("no snapshot"), early.getMessage)
+    val noV = intercept[Exception] {
+      spark.sql("SELECT * FROM graftcat.tt.t VERSION AS OF 99").collect()
+    }
+    assert(noV.getMessage.contains("no snapshot"), noV.getMessage)
+    // snapshots are history, not branches: writes are refused
+    val cat = new graft.sources.v2.GraftCatalog
+    cat.initialize("snapchk", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", warehouse)))
+    val snap = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("tt"), "t"), "2")
+    val refused = intercept[Exception] {
+      snap.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+        .newWriteBuilder(null)
+    }
+    assert(refused.getMessage.contains("read-only"), refused.getMessage)
+  }
+
   test("catalog errors: missing namespace, duplicate table, unsupported partitioning, drop") {
     val noNs = intercept[Exception] {
       spark.sql("CREATE TABLE graftcat.nope.t (id BIGINT) USING graftshard")

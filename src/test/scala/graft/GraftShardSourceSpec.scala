@@ -613,8 +613,18 @@ class GraftShardSourceSpec extends AnyFunSuite {
       assert(new File(dir, n).setLastModified(System.currentTimeMillis() - 100000)))
     recent.setLastModified(System.currentTimeMillis())
 
+    // retained SNAPSHOTS pin the overwritten generation: vacuum must not
+    // break loadable history — only the crashed-attempt orphan goes
+    val pinned = GraftShardMaintenance.vacuum(dir, minAgeMs = 50000)
+    assert(pinned.deleted == Seq(orphan.getName))
+    assert(spark.read.format("graftshard").option("versionAsOf", "1").load(dir)
+      .count() == 2, "gen-1 snapshot must still read after vacuum")
+
+    // expire history, THEN vacuum reclaims what only it referenced
+    val expired = GraftShardMaintenance.expireSnapshots(dir, keepLast = 1)
+    assert(expired == Seq(1L))
     val report = GraftShardMaintenance.vacuum(dir, minAgeMs = 50000)
-    assert(report.deleted.toSet == gen1 + orphan.getName)
+    assert(report.deleted.toSet == gen1)
     assert(report.keptRecent == Seq(recent.getName))
     assert(report.keptLive == 1)
     // the table still reads exactly its committed contents
