@@ -121,21 +121,23 @@ class GraftShardTable(
     * edit. Dropped files become vacuum-reclaimable garbage; the
     * generation bump invalidates streaming prefix offsets LOUDLY
     * (entries vanished mid-list — prefix indices would lie). */
+  private def deletableUnder(m: ShardFormat.Manifest, filters: Array[Filter]): Boolean =
+    filters.forall(ShardFilters.decidable(_, m.schema)) &&
+      m.files.forall(ShardFilters.provablyAllInOrAllOut(filters, _))
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    pinned.isEmpty && ShardFormat.readManifest(path).exists { m =>
-      filters.forall(ShardFilters.decidable(_, m.schema)) &&
-        m.files.forall { fe =>
-          filters.forall(ShardFilters.mustMatchAll(_, fe)) ||
-            !filters.forall(ShardFilters.mayContain(_, fe))
-        }
-    }
+    pinned.isEmpty && ShardFormat.readManifest(path).exists(deletableUnder(_, filters))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    require(canDeleteWhere(filters),
-      s"graftshard: DELETE not provable from file stats at '$path' — only " +
-        "deletes where every shard file is entirely in or entirely out " +
-        "(partition-aligned predicates) are supported")
-    val m = ShardFormat.readManifest(path).get
+    // ONE manifest read: validate and edit the SAME snapshot — a
+    // re-read after validation could admit a file appended in between
+    // without proving it, a silent partial delete
+    val m = (if (pinned.isEmpty) ShardFormat.readManifest(path) else None)
+      .filter(deletableUnder(_, filters)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftshard: DELETE not provable from file stats at '$path' — only " +
+            "deletes where every shard file is entirely in or entirely out " +
+            "(partition-aligned predicates) are supported"))
     val kept = m.files.filterNot(fe => filters.forall(ShardFilters.mustMatchAll(_, fe)))
     ShardFormat.writeManifest(path, m.copy(
       files = kept,
@@ -165,9 +167,12 @@ class GraftShardTable(
   /** Key-partitioned tables surface their layout as an identity or
     * bucket transform — the catalog-level half of the
     * storage-partitioned-join contract (the scan's
-    * [[KeyGroupedPartitioning]] is the other). */
+    * [[KeyGroupedPartitioning]] is the other). A pinned snapshot
+    * reports ITS layout, not the live table's (the current manifest may
+    * have been re-keyed since). */
   override def partitioning(): Array[Transform] =
-    ShardFormat.readManifest(path).flatMap(_.partitioning)
+    pinned.map(_.partitioning)
+      .getOrElse(ShardFormat.readManifest(path).flatMap(_.partitioning))
       .map(sp => Array(GraftShardTable.transformOf(sp))).getOrElse(Array.empty)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -244,11 +249,24 @@ class GraftShardScanBuilder(
     * coverage), and with exact per-group answers only when each file
     * belongs to one group (the keyed-write invariant). Complete
     * pushdown: Spark plans a Project over these rows, no re-agg. */
+  // supportCompletePushDown then pushAggregation arrive back to back
+  // with the same Aggregation — compute the manifest fold once, not
+  // twice (O(files) driver work each at the ~1M-entry ceiling)
+  private var lastComputed: Option[(Aggregation, Option[ShardAggResult])] = None
+  private def computedFor(a: Aggregation): Option[ShardAggResult] =
+    lastComputed match {
+      case Some((prev, r)) if prev eq a => r
+      case _ =>
+        val r = computeAggregation(a)
+        lastComputed = Some((a, r))
+        r
+    }
+
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    computeAggregation(aggregation).isDefined
+    computedFor(aggregation).isDefined
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    agg = computeAggregation(aggregation)
+    agg = computedFor(aggregation)
     agg.isDefined
   }
 
@@ -736,6 +754,13 @@ object ShardFilters {
     case _: AlwaysTrue | _: AlwaysFalse => true
     case other => pushable(other, schema)
   }
+
+  /** The ONE admission rule for every metadata-only mutation (DELETE,
+    * REPLACE WHERE — plan-time and commit-time): the file is provably
+    * entirely inside the predicate (droppable/replaceable) or provably
+    * entirely outside (keepable). Shared so the surfaces cannot drift. */
+  def provablyAllInOrAllOut(filters: Array[Filter], fe: ShardFormat.FileEntry): Boolean =
+    filters.forall(mustMatchAll(_, fe)) || !filters.forall(mayContain(_, fe))
 
   /** PROOF that every row of the file satisfies the filter, from
     * per-file stats alone — the dual of [[mayContain]]. Conservative:

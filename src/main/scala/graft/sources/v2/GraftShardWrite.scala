@@ -56,12 +56,9 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
 
   override def canOverwrite(filters: Array[Filter]): Boolean =
     isTruncate(filters) || {
-      val schema = info.schema()
-      filters.forall(ShardFilters.decidable(_, schema)) &&
-        ShardFormat.readManifest(path).forall(_.files.forall { fe =>
-          filters.forall(ShardFilters.mustMatchAll(_, fe)) ||
-            !filters.forall(ShardFilters.mayContain(_, fe))
-        })
+      filters.forall(ShardFilters.decidable(_, info.schema())) &&
+        ShardFormat.readManifest(path).forall(
+          _.files.forall(ShardFilters.provablyAllInOrAllOut(filters, _)))
     }
 
   override def build(): Write = {
@@ -157,8 +154,7 @@ class GraftShardBatchWrite(
       case Some(fs) =>
         val files = current.map(_.files).getOrElse(Nil)
         files.foreach { fe =>
-          require(fs.forall(ShardFilters.mustMatchAll(_, fe)) ||
-              !fs.forall(ShardFilters.mayContain(_, fe)),
+          require(ShardFilters.provablyAllInOrAllOut(fs, fe),
             s"graftshard: REPLACE WHERE not provable from file stats for " +
               s"'${fe.name}' at commit time — only predicates where every " +
               "shard file is entirely in or entirely out are supported")
@@ -175,8 +171,21 @@ class GraftShardBatchWrite(
         (files.filterNot(fe => fs.forall(ShardFilters.mustMatchAll(_, fe))),
           java.util.UUID.randomUUID().toString.take(8))
     }
+    // whenever PRIOR files survive into the new manifest, the published
+    // schema must stay at least as nullable as before: the plan-time
+    // equality check ignores nullability (by design — appends from
+    // non-null data are fine), but adopting a non-nullable write schema
+    // over shards that HOLD nulls would let Catalyst fold IS NOT NULL
+    // away and leak those nulls through filters
+    val published =
+      if (prior.isEmpty) schema
+      else current.map { m =>
+        StructType(schema.fields.zip(m.schema.fields).map { case (n, o) =>
+          n.copy(nullable = n.nullable || o.nullable)
+        })
+      }.getOrElse(schema)
     ShardFormat.writeManifest(path,
-      ShardFormat.Manifest(schema, generation, prior ++ committed, spec,
+      ShardFormat.Manifest(published, generation, prior ++ committed, spec,
         version = current.map(_.version).getOrElse(0L) + 1,
         createdAtMs = System.currentTimeMillis()))
   }

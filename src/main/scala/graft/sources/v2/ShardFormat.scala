@@ -226,12 +226,8 @@ object ShardFormat {
   final class ShardReader(file: File, schema: StructType, readIndices: Array[Int]) {
     private val fields = schema.fields
     private val bitmapBytes = (fields.length + 7) / 8
-    private val wanted = {
-      val w = new Array[Boolean](fields.length)
-      readIndices.foreach(w(_) = true)
-      w
-    }
     // full-schema index -> slot in the output array, -1 when skipped
+    // (slot(i) >= 0 IS the wanted test — one array, no parallel state)
     private val slot = {
       val s = Array.fill(fields.length)(-1)
       readIndices.zipWithIndex.foreach { case (fi, o) => s(fi) = o }
@@ -257,7 +253,7 @@ object ShardFormat {
         val isNull = (bitmap(i >> 3) & (1 << (i & 7))) != 0
         if (isNull) {
           if (slot(i) >= 0) values(slot(i)) = null
-        } else if (wanted(i)) {
+        } else if (slot(i) >= 0) {
           values(slot(i)) = fields(i).dataType match {
             case LongType => java.lang.Long.valueOf(in.readLong())
             case IntegerType => java.lang.Integer.valueOf(in.readInt())
@@ -311,7 +307,10 @@ object ShardFormat {
 
   // ------------------------------------------------------------- manifest
 
-  private def mapper = new ObjectMapper()
+  // one shared instance: ObjectMapper construction is expensive and the
+  // configured instance is thread-safe; vacuum / TIMESTAMP AS OF read
+  // O(retained versions) manifests per call
+  private val mapper = new ObjectMapper()
 
   def manifestFile(dir: String): File = new File(dir, ManifestName)
 
@@ -405,17 +404,28 @@ object ShardFormat {
       fe.allNull.foreach { case (c, nl) => st.putObject(c).put("nulls", nl): Unit }
     }
     val bytes = om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
-    if (m.version > 0) {
-      val vf = new FileOutputStream(versionFile(dir, m.version))
-      try vf.write(bytes) finally vf.close()
+    def publish(target: File): Unit = {
+      // same temp+rename for the snapshot as for the pointer: a crash
+      // mid-write must never leave a truncated manifest that poisons
+      // every later listVersions walk (vacuum, TIMESTAMP AS OF)
+      val tmp = new File(dir, s"$ManifestName.tmp-${java.util.UUID.randomUUID()}")
+      val w = new FileOutputStream(tmp)
+      try w.write(bytes)
+      finally w.close()
+      if (!tmp.renameTo(target)) {
+        tmp.delete()
+        throw new java.io.IOException(
+          s"graftshard: cannot publish ${target.getName} in $dir")
+      }
     }
-    val tmp = new File(dir, s"$ManifestName.tmp-${java.util.UUID.randomUUID()}")
-    val w = new FileOutputStream(tmp)
-    try w.write(bytes)
-    finally w.close()
-    if (!tmp.renameTo(manifestFile(dir))) {
-      tmp.delete()
-      throw new java.io.IOException(s"graftshard: cannot publish manifest in $dir")
+    if (m.version > 0) publish(versionFile(dir, m.version))
+    val ptr = manifestFile(dir)
+    try publish(ptr)
+    catch { case e: java.io.IOException =>
+      // the pointer IS the commit: if it fails, the snapshot written
+      // above must not survive as loadable never-committed history
+      if (m.version > 0) versionFile(dir, m.version).delete()
+      throw e
     }
   }
 }
