@@ -268,6 +268,72 @@ object ScaleProbe {
       return
     }
 
+    // ------------------------------------------ bucketed join A/B (spjjoin)
+    // `runMain graft.ScaleProbe spjjoin` — the x44 scale claim measured:
+    // documents ⋈ embeddings row-level ON RAW IDS, both corpora carrying
+    // their full payload (text, float vectors) through the join. Bucketed
+    // tables (GraftCatalog, bucket(32, id)) plan the SMJ with ZERO
+    // exchange; the plain variant shuffles BOTH corpora. Broadcast
+    // disabled — the 100 TB shape is two large sides.
+    if (args.headOption.contains("spjjoin")) {
+      val reuse = args.drop(1).contains("reuse")
+      val cd = "/tmp/graft_sf1cd"
+      val cd100 = "/tmp/graft_cd100_x100"
+      ensureFixture(cd, 10, reuse)
+      ensureFixture(cd100, 100, reuse)
+      spark.conf.set("spark.sql.catalog.spjcat", "graft.sources.v2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.spjcat.warehouse", "/tmp/graft_spjjoin_wh")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS spjcat.j")
+      def ensureTables(srcDir: String, tag: String): (String, String, String, String) = {
+        val (bd, be, pd, pe) = (s"bdocs_$tag", s"bembs_$tag", s"pdocs_$tag", s"pembs_$tag")
+        if (!reuse || spark.catalog.tableExists(s"spjcat.j.$bd") == false ||
+            graft.sources.v2.ShardFormat.readManifest(
+              s"/tmp/graft_spjjoin_wh/j/$pe").isEmpty) {
+          spark.read.parquet(s"$srcDir/documents.parquet")
+            .createOrReplaceTempView(s"src_docs_$tag")
+          spark.read.parquet(s"$srcDir/embeddings.parquet")
+            .createOrReplaceTempView(s"src_embs_$tag")
+          for ((t, keyed) <- Seq((bd, true), (pd, false))) {
+            spark.sql(s"DROP TABLE IF EXISTS spjcat.j.$t")
+            spark.sql(s"""CREATE TABLE spjcat.j.$t (doc_id BIGINT, n_chars BIGINT, text STRING)
+              USING graftshard ${if (keyed) "PARTITIONED BY (bucket(32, doc_id))" else ""}""")
+            spark.sql(s"INSERT INTO spjcat.j.$t SELECT doc_id, n_chars, text FROM src_docs_$tag")
+          }
+          for ((t, keyed) <- Seq((be, true), (pe, false))) {
+            spark.sql(s"DROP TABLE IF EXISTS spjcat.j.$t")
+            spark.sql(s"""CREATE TABLE spjcat.j.$t (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)
+              USING graftshard ${if (keyed) "PARTITIONED BY (bucket(32, vec_id))" else ""}""")
+            spark.sql(s"INSERT INTO spjcat.j.$t SELECT vec_id, cast(embedding AS ARRAY<FLOAT>), label FROM src_embs_$tag")
+          }
+        }
+        (bd, be, pd, pe)
+      }
+      def run(docs: String, embs: String): Double = {
+        CacheRegistry.unpersistAll(); spark.catalog.clearCache()
+        val df = spark.sql(s"""
+          SELECT sum(n_chars) AS sc, sum(length(text)) AS st,
+                 sum(element_at(embedding, 1)) AS se, sum(label) AS sl, count(*) AS n
+          FROM spjcat.j.$docs d JOIN spjcat.j.$embs e ON d.doc_id = e.vec_id""")
+        df.queryExecution.executedPlan
+        val t0 = System.nanoTime()
+        df.collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      println(f"${"cell"}%-18s ${"cold"}%7s ${"warm_min3"}%9s")
+      for ((srcDir, tag) <- Seq((src, "1x"), (cd, "10x"), (cd100, "100x"))) {
+        val (bd, be, pd, pe) = ensureTables(srcDir, tag)
+        for ((docs, embs, kind) <- Seq((bd, be, "bucketed"), (pd, pe, "plain"))) {
+          val c = run(docs, embs)
+          val w = (1 to 3).map(_ => run(docs, embs)).min
+          println(f"PROBE-SPJJOIN $kind/$tag%-12s $c%7.2f $w%9.2f")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // ------------------------------------------- 100x rehearsal (cd100)
     // `runMain graft.ScaleProbe cd100` — two DECADES of constant-density
     // growth (sf0.1 → ~sf1 → ~sf10) for the headline scale claims, so the

@@ -52,11 +52,15 @@ object ShardFormat {
   val Version = 1
 
   /** Types the codec supports; anything else is rejected at write-plan
-    * time with a clear error (not at task time, 10k tasks deep). */
+    * time with a clear error (not at task time, 10k tasks deep).
+    * Float arrays are accepted with EITHER containsNull flag — parquet
+    * list columns arrive containsNull=true by default — but the record
+    * format stores no element bitmap, so a null ELEMENT still fails the
+    * writing task with a clear error. */
   def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | BooleanType |
         StringType | BinaryType => true
-    case ArrayType(FloatType, false) => true
+    case ArrayType(FloatType, _) => true
     case _ => false
   }
 
@@ -188,7 +192,8 @@ object ShardFormat {
               var j = 0
               while (j < n) {
                 if (arr.isNullAt(j)) throw new IllegalArgumentException(
-                  s"graftshard: null element in float array column '${fields(i).name}' (containsNull=false)")
+                  s"graftshard: null element in float array column '${fields(i).name}' — " +
+                    "the record format stores no element bitmap; coalesce or drop null elements first")
                 out.writeFloat(arr.getFloat(j)); j += 1
               }
             case dt => throw new IllegalStateException(s"unreachable: $dt")

@@ -637,6 +637,28 @@ class GraftShardSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a graftshard table"))
   }
 
+  test("float arrays with containsNull=true (the parquet default) roundtrip; null elements fail clearly") {
+    val dir = tmp()
+    // cast to the SQL type: containsNull=true, the shape every parquet
+    // list column arrives in — must be writable without a risky recast
+    val df = spark.range(0, 5).select(col("id"),
+      array(col("id").cast("float"), lit(2.0f)).cast("array<float>").as("vec"))
+    assert(df.schema("vec").dataType.asInstanceOf[ArrayType].containsNull)
+    df.write.format("graftshard").mode("overwrite").save(dir)
+    val back = spark.read.format("graftshard").load(dir)
+      .select(col("id"), element_at(col("vec"), 1).as("v1"))
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).sorted.toSeq
+    assert(back == (0L until 5L).map(i => (i, i.toFloat)))
+    // a null ELEMENT has no encoding — the task fails with the column name
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val e = intercept[Exception] {
+      spark.sql("SELECT id, array(cast(id AS FLOAT), NULL) AS vec FROM range(0, 3)")
+        .write.format("graftshard").mode("overwrite").save(tmp())
+    }
+    assert(messages(e).exists(_.contains("null element in float array column 'vec'")))
+  }
+
   test("zero-column read (count star) and empty-partition shards") {
     val dir = tmp()
     // 8 partitions, 3 rows: empty partitions must not leave files
