@@ -1115,6 +1115,31 @@ object ExtensionQueries {
     s.read.format("graftshard").option("versionAsOf", v1.toString).load(out)
   }
 
+  /** The SORTED keyed layout: like x43 but the write declares
+    * `sortWithinShards=doc_id` (RequiresDistributionAndOrdering — Spark
+    * clusters by key and sorts each task before rows reach the writer,
+    * so every shard file is one sorted run by construction), and the
+    * scan reports the ordering (SupportsReportOrdering). The same
+    * window now plans with ZERO exchange AND ZERO sort — the full
+    * analytics cost of the query paid once, at write time, amortized
+    * over every read (GraftShardSourceSpec pins both plan absences and
+    * the honest degradation when an unsorted append lands). */
+  private def x46(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x46", dir)
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), pmod(col("doc_id"), lit(32)).as("shard_key"))
+      .write.format("graftshard")
+      .option("partitionKey", "shard_key").option("sortWithinShards", "doc_id")
+      .mode("overwrite").save(out)
+    val w = Window.partitionBy(col("shard_key")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ws = Window.partitionBy(col("shard_key")).orderBy(col("doc_id"))
+    s.read.format("graftshard").load(out)
+      .select(col("doc_id"), col("shard_key"),
+        sum(col("n_chars")).over(w).as("run_chars"),
+        row_number().over(ws).cast("long").as("seq"))
+  }
+
   /** Aggregate pushdown through `graftshard`: per-shard-key counts and
     * id ranges answered ENTIRELY from the manifest — the scan opens
     * ZERO shard files (GraftShardSourceSpec proves it by deleting them).
@@ -4381,6 +4406,14 @@ object ExtensionQueries {
 
     // zero-shuffle window analytics over the keyed at-rest layout
     Q("x43_shard_keyed_window", x43, Some("""
+      SELECT doc_id, doc_id % 32 AS shard_key,
+        sum(n_chars) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_chars,
+        row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS seq
+      FROM documents""")),
+
+    // zero-shuffle AND zero-sort: the sorted keyed layout, same contract
+    Q("x46_shard_sorted_window", x46, Some("""
       SELECT doc_id, doc_id % 32 AS shard_key,
         sum(n_chars) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_chars,

@@ -6,9 +6,9 @@ import java.util.OptionalLong
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
@@ -381,7 +381,8 @@ class GraftShardScan(
     limit: Option[Int],
     snapshot: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning with SupportsRuntimeFiltering {
+    with SupportsReportPartitioning with SupportsReportOrdering
+    with SupportsRuntimeFiltering {
 
   /** Key-grouped mode: one `InputPartition` per partition-key value,
     * reported as [[KeyGroupedPartitioning]], so joins and group-bys on
@@ -457,6 +458,24 @@ class GraftShardScan(
         selected.flatMap(_.partition).distinct.size)
     case None => new UnknownPartitioning(0)
   }
+
+  /** Sorted keyed layout: when the manifest declares every file one
+    * sorted run by `sortedBy` and each key group holds EXACTLY ONE file
+    * (appends add runs — concatenated runs are not sorted, so the
+    * report honestly degrades), the grouped scan's partitions are
+    * ordered by (key, sortedBy). Windows and merge joins whose
+    * requirements this satisfies skip their SortExec: zero exchange AND
+    * zero sort from at-rest layout. */
+  override def outputOrdering(): Array[SortOrder] =
+    (groupedSpec, manifest.sortedBy) match {
+      case (Some(sp: ShardFormat.IdentityPart), Some(s))
+          if required.fieldNames.contains(s) &&
+            selected.groupBy(_.partition).forall(_._2.size == 1) =>
+        Array(
+          Expressions.sort(Expressions.column(sp.column), SortDirection.ASCENDING),
+          Expressions.sort(Expressions.column(s), SortDirection.ASCENDING))
+      case _ => Array.empty
+    }
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = agg match {

@@ -3,7 +3,9 @@ package graft.sources.v2
 import java.io.File
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
 
@@ -103,12 +105,57 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
         s"graftshard: append schema ${schema.simpleString} does not match " +
           s"existing table schema ${m.schema.simpleString} at '$path'")
     }
+    // sorted layout (`option("sortWithinShards", col)`): the WRITE
+    // declares RequiresDistributionAndOrdering — Spark itself clusters
+    // rows by the identity key and sorts each task by (key, sortCol), so
+    // every shard file is one sorted run by construction (the writer
+    // never buffers). The scan then reports that ordering and windows /
+    // merge joins over the layout skip their SortExec too — zero
+    // exchange AND zero sort from at-rest layout. Identity keys only:
+    // clustering a bucket transform for a write needs a FunctionCatalog
+    // in the write path, recorded as the upgrade path.
+    val sortCol = Option(info.options.get("sortWithinShards")).map { c =>
+      require(spec.exists(_.isInstanceOf[ShardFormat.IdentityPart]),
+        "graftshard: sortWithinShards requires an identity partitionKey " +
+          "(each file = one key; the per-file sort is within the key)")
+      require(schema.fieldNames.contains(c),
+        s"graftshard: sortWithinShards column '$c' not in write schema")
+      c
+    }
     val replace = replaceFilters
-    new Write {
-      override def toBatch: BatchWrite =
-        new GraftShardBatchWrite(path, schema, replace, spec)
+    (sortCol, spec) match {
+      case (Some(s), Some(sp)) =>
+        new GraftShardWriteWithOrdering(path, schema, replace, spec, Some(s), sp.column, s)
+      case _ =>
+        new Write {
+          override def toBatch: BatchWrite =
+            new GraftShardBatchWrite(path, schema, replace, spec, sortCol)
+        }
     }
   }
+}
+
+/** The sorted-layout write: Spark is asked to cluster by the key and
+  * sort each task by (key, sortCol) BEFORE rows reach the writer. */
+class GraftShardWriteWithOrdering(
+    path: String,
+    schema: StructType,
+    replace: Option[Array[Filter]],
+    spec: Option[ShardFormat.PartSpec],
+    sortCol: Option[String],
+    keyColumn: String,
+    orderColumn: String)
+    extends Write with RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.column(keyColumn)))
+
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column(keyColumn), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column(orderColumn), SortDirection.ASCENDING))
+
+  override def toBatch: BatchWrite =
+    new GraftShardBatchWrite(path, schema, replace, spec, sortCol)
 }
 
 final case class ShardCommitMessage(files: Seq[ShardFormat.FileEntry])
@@ -122,7 +169,8 @@ class GraftShardBatchWrite(
     // are dropped, provably no-match kept — re-proven at COMMIT time
     // against the manifest as it is then, not as it was planned)
     replace: Option[Array[Filter]],
-    spec: Option[ShardFormat.PartSpec])
+    spec: Option[ShardFormat.PartSpec],
+    sortCol: Option[String] = None)
     extends BatchWrite {
 
   private def isTruncate: Boolean =
@@ -184,10 +232,16 @@ class GraftShardBatchWrite(
           n.copy(nullable = n.nullable || o.nullable)
         })
       }.getOrElse(schema)
+    // sortedBy survives only when EVERY file in the new manifest was
+    // written under the same declared sort — a commit that does not
+    // re-declare it clears the flag (honest degradation, never a lie)
+    val sortedBy = sortCol.filter(s =>
+      prior.isEmpty || current.exists(_.sortedBy.contains(s)))
     ShardFormat.writeManifest(path,
       ShardFormat.Manifest(published, generation, prior ++ committed, spec,
         version = current.map(_.version).getOrElse(0L) + 1,
-        createdAtMs = System.currentTimeMillis()))
+        createdAtMs = System.currentTimeMillis(),
+        sortedBy = sortedBy))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

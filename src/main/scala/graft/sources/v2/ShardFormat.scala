@@ -130,7 +130,11 @@ object ShardFormat {
       // immutable `_graft_manifest-v<version>.json` snapshot next to the
       // pointer; `createdAtMs` anchors TIMESTAMP AS OF
       version: Long = 0L,
-      createdAtMs: Long = 0L) {
+      createdAtMs: Long = 0L,
+      // every file's rows are sorted by this column (the write declared
+      // RequiresDistributionAndOrdering, so Spark delivered them sorted);
+      // cleared by any commit that does not re-declare it
+      sortedBy: Option[String] = None) {
     /** The identity partition column, when that is the spec (the
       * group-by-pushdown and legacy surfaces). */
     def partitionColumn: Option[String] =
@@ -370,7 +374,8 @@ object ShardFormat {
     }
     val version = if (root.has("manifestVersion")) root.get("manifestVersion").asLong() else 0L
     val createdAt = if (root.has("createdAtMs")) root.get("createdAtMs").asLong() else 0L
-    Some(Manifest(schema, generation, files.result(), partitioning, version, createdAt))
+    val sortedBy = if (root.has("sortedBy")) Some(root.get("sortedBy").asText()) else None
+    Some(Manifest(schema, generation, files.result(), partitioning, version, createdAt, sortedBy))
   }
 
   /** Atomic publish: write to a temp sibling, then rename over the
@@ -388,6 +393,7 @@ object ShardFormat {
     root.put("generation", m.generation)
     root.put("manifestVersion", m.version)
     root.put("createdAtMs", m.createdAtMs)
+    m.sortedBy.foreach(root.put("sortedBy", _))
     m.partitioning.foreach {
       case IdentityPart(c) => root.put("partitionColumn", c): Unit
       case BucketPart(n, c) =>

@@ -425,6 +425,43 @@ class GraftShardSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted keyed layout: windows run with ZERO exchange AND ZERO sort; appends degrade honestly") {
+    withBucketing {
+      val dir = tmp()
+      spark.range(0, 200).select(col("id"), (col("id") % 8).as("k"), (col("id") * 7L).as("v"))
+        .write.format("graftshard")
+        .option("partitionKey", "k").option("sortWithinShards", "id")
+        .mode("overwrite").save(dir)
+      val m = ShardFormat.readManifest(dir).get
+      assert(m.sortedBy.contains("id"))
+      // RequiresDistributionAndOrdering clustered the write: one file per key
+      assert(m.files.groupBy(_.partition).forall(_._2.size == 1))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("id")
+      def windowDf() = spark.read.format("graftshard").load(dir)
+        .select(col("id"), col("k"),
+          sum("v").over(w).as("run_v"), row_number().over(w).as("rn"))
+      val rows = windowDf().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      val exp = (0L until 200L).map { id =>
+        val prior = (0L to id).filter(_ % 8 == id % 8)
+        (id, id % 8, prior.map(_ * 7L).sum, prior.size)
+      }
+      assert(rows.sorted.toSeq == exp.sorted.toSeq)
+      val plan = windowDf().queryExecution.executedPlan.toString
+      assert(plan.contains("Window"), plan)
+      assert(!plan.contains("Exchange"), s"keyed window must not shuffle:\n$plan")
+      assert(!plan.contains("Sort ["), s"sorted layout must elide the window's sort:\n$plan")
+
+      // an optionless append (new files NOT declared sorted) clears the
+      // flag and the Sort returns — degradation, never a wrong answer
+      spark.range(200, 210).select(col("id"), (col("id") % 8).as("k"), (col("id") * 7L).as("v"))
+        .write.format("graftshard").mode("append").save(dir)
+      assert(ShardFormat.readManifest(dir).get.sortedBy.isEmpty)
+      val plan2 = windowDf().queryExecution.executedPlan.toString
+      assert(plan2.contains("Sort ["), s"unsorted append must bring the sort back:\n$plan2")
+      assert(windowDf().count() == 210)
+    }
+  }
+
   test("keyed ⋈ unkeyed join shuffles ONLY the unkeyed side") {
     withBucketing {
       val shuffleKey = "spark.sql.sources.v2.bucketing.shuffle.enabled"
