@@ -287,9 +287,14 @@ object ScaleProbe {
       spark.sql("CREATE NAMESPACE IF NOT EXISTS spjcat.j")
       def ensureTables(srcDir: String, tag: String): (String, String, String, String) = {
         val (bd, be, pd, pe) = (s"bdocs_$tag", s"bembs_$tag", s"pdocs_$tag", s"pembs_$tag")
-        if (!reuse || spark.catalog.tableExists(s"spjcat.j.$bd") == false ||
-            graft.sources.v2.ShardFormat.readManifest(
-              s"/tmp/graft_spjjoin_wh/j/$pe").isEmpty) {
+        // freshness = ALL FOUR tables hold rows: CREATE TABLE writes an
+        // (empty) manifest before its INSERT runs, so manifest presence
+        // alone would serve a partially-built fixture — the skewed-ratio
+        // failure the ensureFixture note documents
+        def populated(t: String): Boolean =
+          graft.sources.v2.ShardFormat.readManifest(s"/tmp/graft_spjjoin_wh/j/$t")
+            .exists(_.files.nonEmpty)
+        if (!reuse || !Seq(bd, be, pd, pe).forall(populated)) {
           spark.read.parquet(s"$srcDir/documents.parquet")
             .createOrReplaceTempView(s"src_docs_$tag")
           spark.read.parquet(s"$srcDir/embeddings.parquet")

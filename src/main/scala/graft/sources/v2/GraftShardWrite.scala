@@ -99,8 +99,19 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
       }
     spec.foreach(sp => validateKey(sp.column))
     if (!truncateRequested) existing.foreach { m =>
-      val same = m.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-        schema.fields.map(f => (f.name, f.dataType)).toSeq
+      // element containsNull is normalized away like top-level
+      // nullability: the record format stores no element bitmap either
+      // way (null elements fail the task), so a parquet-default
+      // containsNull=true write must append onto a containsNull=false
+      // table and vice versa
+      def norm(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+        dt match {
+          case org.apache.spark.sql.types.ArrayType(e, _) =>
+            org.apache.spark.sql.types.ArrayType(e, containsNull = true)
+          case other => other
+        }
+      val same = m.schema.fields.map(f => (f.name, norm(f.dataType))).toSeq ==
+        schema.fields.map(f => (f.name, norm(f.dataType))).toSeq
       require(same,
         s"graftshard: append schema ${schema.simpleString} does not match " +
           s"existing table schema ${m.schema.simpleString} at '$path'")
@@ -125,11 +136,13 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
     val replace = replaceFilters
     (sortCol, spec) match {
       case (Some(s), Some(sp)) =>
-        new GraftShardWriteWithOrdering(path, schema, replace, spec, Some(s), sp.column, s)
+        new GraftShardWriteWithOrdering(path, schema, replace, sp, s)
       case _ =>
+        // sortCol here is provably None: a defined sortWithinShards
+        // requires an identity spec (the require above)
         new Write {
           override def toBatch: BatchWrite =
-            new GraftShardBatchWrite(path, schema, replace, spec, sortCol)
+            new GraftShardBatchWrite(path, schema, replace, spec, sortCol = None)
         }
     }
   }
@@ -141,21 +154,19 @@ class GraftShardWriteWithOrdering(
     path: String,
     schema: StructType,
     replace: Option[Array[Filter]],
-    spec: Option[ShardFormat.PartSpec],
-    sortCol: Option[String],
-    keyColumn: String,
-    orderColumn: String)
+    spec: ShardFormat.PartSpec,
+    sortCol: String)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
-    Distributions.clustered(Array(Expressions.column(keyColumn)))
+    Distributions.clustered(Array(Expressions.column(spec.column)))
 
   override def requiredOrdering(): Array[SortOrder] = Array(
-    Expressions.sort(Expressions.column(keyColumn), SortDirection.ASCENDING),
-    Expressions.sort(Expressions.column(orderColumn), SortDirection.ASCENDING))
+    Expressions.sort(Expressions.column(spec.column), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column(sortCol), SortDirection.ASCENDING))
 
   override def toBatch: BatchWrite =
-    new GraftShardBatchWrite(path, schema, replace, spec, sortCol)
+    new GraftShardBatchWrite(path, schema, replace, Some(spec), Some(sortCol))
 }
 
 final case class ShardCommitMessage(files: Seq[ShardFormat.FileEntry])
@@ -233,10 +244,15 @@ class GraftShardBatchWrite(
         })
       }.getOrElse(schema)
     // sortedBy survives only when EVERY file in the new manifest was
-    // written under the same declared sort — a commit that does not
-    // re-declare it clears the flag (honest degradation, never a lie)
-    val sortedBy = sortCol.filter(s =>
-      prior.isEmpty || current.exists(_.sortedBy.contains(s)))
+    // written under the same declared sort — an undeclared commit that
+    // actually ADDS files clears the flag (honest degradation, never a
+    // lie), but a commit that adds NOTHING (empty append, REPLACE WHERE
+    // that only drops) leaves the surviving files exactly as sorted as
+    // they were
+    val priorSort = current.flatMap(_.sortedBy)
+    val sortedBy: Option[String] =
+      if (committed.isEmpty) { if (prior.isEmpty) sortCol else priorSort }
+      else sortCol.filter(s => prior.isEmpty || priorSort.contains(s))
     ShardFormat.writeManifest(path,
       ShardFormat.Manifest(published, generation, prior ++ committed, spec,
         version = current.map(_.version).getOrElse(0L) + 1,

@@ -451,6 +451,12 @@ class GraftShardSourceSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange"), s"keyed window must not shuffle:\n$plan")
       assert(!plan.contains("Sort ["), s"sorted layout must elide the window's sort:\n$plan")
 
+      // an EMPTY append adds no files — the surviving runs are exactly
+      // as sorted as they were, the flag must survive
+      spark.range(0, 0).select(col("id"), (col("id") % 8).as("k"), (col("id") * 7L).as("v"))
+        .write.format("graftshard").mode("append").save(dir)
+      assert(ShardFormat.readManifest(dir).get.sortedBy.contains("id"))
+
       // an optionless append (new files NOT declared sorted) clears the
       // flag and the Sort returns — degradation, never a wrong answer
       spark.range(200, 210).select(col("id"), (col("id") % 8).as("k"), (col("id") * 7L).as("v"))
@@ -686,6 +692,13 @@ class GraftShardSourceSpec extends AnyFunSuite {
       .select(col("id"), element_at(col("vec"), 1).as("v1"))
       .collect().map(r => (r.getLong(0), r.getFloat(1))).sorted.toSeq
     assert(back == (0L until 5L).map(i => (i, i.toFloat)))
+    // appends across the containsNull flag work BOTH ways — the record
+    // format is identical, so the schema check normalizes it away
+    val strict = spark.range(5, 7).select(col("id"),
+      array(col("id").cast("float")).as("vec")) // containsNull=false
+    assert(!strict.schema("vec").dataType.asInstanceOf[ArrayType].containsNull)
+    strict.write.format("graftshard").mode("append").save(dir)
+    assert(spark.read.format("graftshard").load(dir).count() == 7)
     // a null ELEMENT has no encoding — the task fails with the column name
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
