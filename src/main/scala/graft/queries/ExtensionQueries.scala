@@ -1073,9 +1073,7 @@ object ExtensionQueries {
     * 100 TB this deletes the dominant cost of every id-aligned join:
     * both corpora stay where they were written. */
   private def x44(s: SparkSession, dir: String): DataFrame = {
-    val cat = "graftshard_cat"
-    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
-    s.conf.set(s"spark.sql.catalog.$cat.warehouse", Q.tmpArtifactPath("x44wh", dir))
+    val cat = ensureGraftCatalog(s, dir)
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x44")
     s.sql(s"DROP TABLE IF EXISTS $cat.x44.docs")
     s.sql(s"DROP TABLE IF EXISTS $cat.x44.embs")
@@ -1429,6 +1427,24 @@ object ExtensionQueries {
       graft.pipeline.UnigramLm.loadModel(s, path)
     }
   }
+
+  /** Session-state setup for the catalog-faced gates (x44, x47–x50):
+    * registers the shared GraftCatalog instance ONCE per session
+    * (set-if-absent under a lock — a gate query must not mutate session
+    * conf per run, or a parallel-bench mode could race two warehouses).
+    * The warehouse is per-(JVM, testdata dir); queries isolate by
+    * namespace. */
+  private val graftCatalogLock = new Object
+  private[graft] def ensureGraftCatalog(s: SparkSession, dir: String): String =
+    graftCatalogLock.synchronized {
+      val cat = "graftshard_cat"
+      val key = s"spark.sql.catalog.$cat"
+      if (!s.conf.getOption(key).contains("graft.sources.v2.GraftCatalog")) {
+        s.conf.set(key, "graft.sources.v2.GraftCatalog")
+        s.conf.set(s"$key.warehouse", Q.tmpArtifactPath("graftcat_wh", dir))
+      }
+      cat
+    }
 
   /** Dev hook (ScaleProbe): drop memoized artifacts so a timed run pays
     * full cost — mirrors `spark.catalog.clearCache()` for persist(). */

@@ -5,7 +5,7 @@ import java.io.File
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference, Transform}
@@ -68,13 +68,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     ns.foldLeft(new File(warehouse))((d, s) => new File(d, segment(s)))
   private def tableDir(ident: Identifier): File =
     new File(nsDir(ident.namespace), segment(ident.name))
+  /** File.listFiles() returns NULL (not empty) on IO/permission errors
+    * and races with concurrent deletes — every catalog listing goes
+    * through this guard so callers get a catalog answer, not an NPE. */
+  private def filesIn(d: File): Array[File] =
+    Option(d.listFiles()).getOrElse(Array.empty)
 
   // ------------------------------------------------------------- tables
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val d = nsDir(namespace)
     if (!d.isDirectory) throw new NoSuchNamespaceException(namespace)
-    d.listFiles().filter(f => ShardFormat.manifestFile(f.getPath).isFile)
+    filesIn(d).filter(f => ShardFormat.manifestFile(f.getPath).isFile)
       .map(f => Identifier.of(namespace, f.getName))
   }
 
@@ -176,7 +181,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val dir = tableDir(ident)
     if (!ShardFormat.manifestFile(dir.getPath).isFile) false
     else {
-      dir.listFiles().foreach(_.delete())
+      filesIn(dir).foreach(_.delete())
       dir.delete()
     }
   }
@@ -196,13 +201,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def listNamespaces(): Array[Array[String]] = {
     val w = new File(warehouse)
     if (!w.isDirectory) Array.empty
-    else w.listFiles().filter(_.isDirectory).map(f => Array(f.getName))
+    else filesIn(w).filter(_.isDirectory).map(f => Array(f.getName))
   }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     val d = nsDir(namespace)
     if (!d.isDirectory) throw new NoSuchNamespaceException(namespace)
-    d.listFiles()
+    filesIn(d)
       .filter(f => f.isDirectory && !ShardFormat.manifestFile(f.getPath).isFile)
       .map(f => namespace :+ f.getName)
   }
@@ -228,12 +233,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val d = nsDir(namespace)
     if (!d.isDirectory) throw new NoSuchNamespaceException(namespace)
-    val empty = d.listFiles().isEmpty
+    val empty = filesIn(d).isEmpty
     if (!empty && !cascade)
-      throw new IllegalStateException(
-        s"graftshard: namespace ${namespace.mkString(".")} is not empty")
+      // Spark's DROP NAMESPACE caller handles this type (clear SQL error,
+      // not an opaque IllegalStateException)
+      throw new NonEmptyNamespaceException(namespace)
     def rm(f: File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
+      if (f.isDirectory) filesIn(f).foreach(rm)
       f.delete(): Unit
     }
     rm(d)

@@ -774,6 +774,19 @@ object ShardFilters {
     case other => pushable(other, schema)
   }
 
+  /** Filters whose [[mustMatchAll]] proof is EXACT from per-file stats:
+    * every referenced column carries min/max/null-count (integral
+    * types). For these, "stats cannot prove all-match" means "the file
+    * really holds a non-matching or null row" — the REPLACE WHERE
+    * commit check is entitled to reject on a failed proof. String and
+    * boolean columns carry no stats, so their proofs are vacuous and
+    * must not reject. */
+  def statsDecidable(f: Filter, schema: StructType): Boolean = f match {
+    case _: AlwaysTrue | _: AlwaysFalse => true
+    case other => decidable(other, schema) &&
+      other.references.nonEmpty && other.references.forall(integral(_, schema))
+  }
+
   /** The ONE admission rule for every metadata-only mutation (DELETE,
     * REPLACE WHERE — plan-time and commit-time): the file is provably
     * entirely inside the predicate (droppable/replaceable) or provably

@@ -134,15 +134,17 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
       c
     }
     val replace = replaceFilters
+    val maxOpen = Option(info.options.get("maxOpenWriters")).map(_.toInt).getOrElse(64)
     (sortCol, spec) match {
       case (Some(s), Some(sp)) =>
-        new GraftShardWriteWithOrdering(path, schema, replace, sp, s)
+        new GraftShardWriteWithOrdering(path, schema, replace, sp, s, maxOpen)
       case _ =>
         // sortCol here is provably None: a defined sortWithinShards
         // requires an identity spec (the require above)
         new Write {
           override def toBatch: BatchWrite =
-            new GraftShardBatchWrite(path, schema, replace, spec, sortCol = None)
+            new GraftShardBatchWrite(path, schema, replace, spec, sortCol = None,
+              maxOpenWriters = maxOpen)
         }
     }
   }
@@ -155,7 +157,8 @@ class GraftShardWriteWithOrdering(
     schema: StructType,
     replace: Option[Array[Filter]],
     spec: ShardFormat.PartSpec,
-    sortCol: String)
+    sortCol: String,
+    maxOpenWriters: Int = 64)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -166,7 +169,8 @@ class GraftShardWriteWithOrdering(
     Expressions.sort(Expressions.column(sortCol), SortDirection.ASCENDING))
 
   override def toBatch: BatchWrite =
-    new GraftShardBatchWrite(path, schema, replace, Some(spec), Some(sortCol))
+    new GraftShardBatchWrite(path, schema, replace, Some(spec), Some(sortCol),
+      maxOpenWriters)
 }
 
 final case class ShardCommitMessage(files: Seq[ShardFormat.FileEntry])
@@ -181,7 +185,8 @@ class GraftShardBatchWrite(
     // against the manifest as it is then, not as it was planned)
     replace: Option[Array[Filter]],
     spec: Option[ShardFormat.PartSpec],
-    sortCol: Option[String] = None)
+    sortCol: Option[String] = None,
+    maxOpenWriters: Int = 64)
     extends BatchWrite {
 
   private def isTruncate: Boolean =
@@ -189,7 +194,7 @@ class GraftShardBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
-    new GraftShardWriterFactory(path, schema, spec)
+    new GraftShardWriterFactory(path, schema, spec, maxOpenWriters)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -218,14 +223,29 @@ class GraftShardBatchWrite(
               s"'${fe.name}' at commit time — only predicates where every " +
               "shard file is entirely in or entirely out are supported")
         }
-        // partial soundness check on the NEW data, free from its stats: a
-        // committed file that provably contains NO matching row violates
-        // the REPLACE WHERE contract (its rows would survive a re-run of
-        // the same replacement) — fail loudly instead of committing it
+        // soundness check on the NEW data, free from its stats: every
+        // committed file must lie ENTIRELY inside the replaced region.
+        // A row outside the region would survive a re-run of the same
+        // replacement (and leave the file neither provably all-in nor
+        // all-out, forfeiting every later metadata-only DELETE/REPLACE
+        // that touches it) — fail loudly instead of committing it. The
+        // proof is exact where stats can decide (integral predicate
+        // columns — min/max/null-count always tracked); for the rest
+        // (string/boolean equality, only admitted against empty tables)
+        // the check degrades to the provable-no-match rejection.
         committed.foreach { fe =>
-          require(fs.forall(ShardFilters.mayContain(_, fe)),
-            s"graftshard: REPLACE WHERE violation — written file '${fe.name}' " +
-              "provably contains no row matching the replacement predicate")
+          fs.foreach { f =>
+            if (ShardFilters.statsDecidable(f, schema))
+              require(ShardFilters.mustMatchAll(f, fe),
+                s"graftshard: REPLACE WHERE violation — written file '${fe.name}' " +
+                  "holds rows outside the replacement predicate (stats " +
+                  "cannot prove every row matches); append non-matching " +
+                  "rows separately")
+            else
+              require(ShardFilters.mayContain(f, fe),
+                s"graftshard: REPLACE WHERE violation — written file '${fe.name}' " +
+                  "provably contains no row matching the replacement predicate")
+          }
         }
         (files.filterNot(fe => fs.forall(ShardFilters.mustMatchAll(_, fe))),
           java.util.UUID.randomUUID().toString.take(8))
@@ -268,12 +288,17 @@ class GraftShardBatchWrite(
     }
 }
 
-class GraftShardWriterFactory(path: String, schema: StructType, spec: Option[ShardFormat.PartSpec])
+class GraftShardWriterFactory(
+    path: String,
+    schema: StructType,
+    spec: Option[ShardFormat.PartSpec],
+    maxOpenWriters: Int = 64)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     spec match {
       case None => new GraftShardDataWriter(path, schema, partitionId, taskId)
-      case Some(sp) => new GraftShardKeyedDataWriter(path, schema, partitionId, taskId, sp)
+      case Some(sp) =>
+        new GraftShardKeyedDataWriter(path, schema, partitionId, taskId, sp, maxOpenWriters)
     }
 }
 
@@ -304,20 +329,48 @@ class GraftShardDataWriter(path: String, schema: StructType, partitionId: Int, t
   * the key itself (identity) or `floorMod(key, n)` (bucket); the commit
   * message carries one [[ShardFormat.FileEntry]] per value with its
   * `partition` set. Null keys fail the task with the column name
-  * — a keyed table with null keys cannot honor one-key-per-file. */
+  * — a keyed table with null keys cannot honor one-key-per-file.
+  *
+  * Memory contract: one open [[ShardFormat.ShardWriter]] (~1 MiB buffer
+  * + a file handle) per open key. An identity key over a
+  * high-cardinality column written WITHOUT a prior `repartition(col)`
+  * would otherwise grow that unboundedly and die as an opaque
+  * OOM/too-many-open-files 10k tasks deep — so open writers are capped
+  * at `maxOpenWriters` (option, default 64): on overflow the
+  * least-recently-written key's file is finished and recorded, and a
+  * returning key simply opens a NEW file (multiple files per key are
+  * fully supported by the keyed read — grouped partitions take a file
+  * list). The one-key-per-FILE invariant is never violated; the only
+  * cost of exceeding the cap is more, smaller files — and under the
+  * sorted-write path keys arrive clustered, so rotation naturally
+  * closes completed keys and still yields one file per key. */
 class GraftShardKeyedDataWriter(
     path: String,
     schema: StructType,
     partitionId: Int,
     taskId: Long,
-    spec: ShardFormat.PartSpec)
+    spec: ShardFormat.PartSpec,
+    maxOpenWriters: Int = 64)
     extends DataWriter[InternalRow] {
 
+  require(maxOpenWriters >= 1,
+    s"graftshard: maxOpenWriters must be >= 1, got $maxOpenWriters")
   private val keyIdx = schema.fieldIndex(spec.column)
   private val keyIsLong = schema.fields(keyIdx).dataType == LongType
   private val attempt = java.util.UUID.randomUUID().toString.take(8)
   private val writers =
     scala.collection.mutable.LinkedHashMap.empty[Long, (String, ShardFormat.ShardWriter)]
+  // files already finished by cap rotation — part of the commit message
+  private val rotated = Seq.newBuilder[ShardFormat.FileEntry]
+  private val rotatedNames = scala.collection.mutable.ArrayBuffer.empty[String]
+  // distinct names across rotations of the same key
+  private var fileSeq = 0
+
+  private def finishInto(key: Long, name: String, w: ShardFormat.ShardWriter): Unit = {
+    val (bytes, rows, stats, allNull) = w.finish()
+    rotated += ShardFormat.FileEntry(name, bytes, rows, stats, allNull, Some(key))
+    rotatedNames += name
+  }
 
   override def write(record: InternalRow): Unit = {
     if (record.isNullAt(keyIdx)) throw new IllegalArgumentException(
@@ -328,19 +381,39 @@ class GraftShardKeyedDataWriter(
       case ShardFormat.IdentityPart(_) => raw
       case ShardFormat.BucketPart(n, _) => ShardFormat.bucketOf(raw, n).toLong
     }
-    val (_, w) = writers.getOrElseUpdate(key, {
-      val name = f"part-$partitionId%05d-$taskId-$attempt-k$key.shard"
-      (name, new ShardFormat.ShardWriter(new File(path, name), schema))
-    })
+    val w = writers.get(key) match {
+      case Some(entry) =>
+        // approximate LRU, paid only at the cap: below it, insertion
+        // order stands in for recency (no per-row map churn)
+        if (writers.size >= maxOpenWriters) {
+          writers.remove(key); writers.put(key, entry)
+        }
+        entry._2
+      case None =>
+        if (writers.size >= maxOpenWriters) {
+          val (ek, (ename, ew)) = writers.head
+          writers.remove(ek)
+          finishInto(ek, ename, ew)
+        }
+        fileSeq += 1
+        val name = f"part-$partitionId%05d-$taskId-$attempt-k$key-$fileSeq.shard"
+        val nw = new ShardFormat.ShardWriter(new File(path, name), schema)
+        writers.put(key, (name, nw))
+        nw
+    }
     w.write(record)
   }
 
-  override def commit(): WriterCommitMessage =
-    ShardCommitMessage(writers.toSeq.map { case (key, (name, w)) =>
-      val (bytes, rows, stats, allNull) = w.finish()
-      ShardFormat.FileEntry(name, bytes, rows, stats, allNull, Some(key))
-    })
+  override def commit(): WriterCommitMessage = {
+    writers.foreach { case (key, (name, w)) => finishInto(key, name, w) }
+    writers.clear()
+    ShardCommitMessage(rotated.result())
+  }
 
-  override def abort(): Unit = writers.values.foreach(_._2.abort())
+  override def abort(): Unit = {
+    writers.values.foreach(_._2.abort())
+    // rotated files are already closed — delete them by name
+    rotatedNames.foreach(n => new File(path, n).delete(): Unit)
+  }
   override def close(): Unit = ()
 }

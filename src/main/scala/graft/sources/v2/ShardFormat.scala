@@ -330,18 +330,32 @@ object ShardFormat {
   def readManifest(dir: String): Option[Manifest] =
     readManifestFile(manifestFile(dir))
 
-  /** Time travel: the manifest exactly as committed at `version`. */
-  def readManifestVersion(dir: String, version: Long): Option[Manifest] =
-    readManifestFile(versionFile(dir, version))
+  /** The newest COMMITTED version: the pointer's. [[writeManifest]]
+    * publishes the v(N) snapshot BEFORE the pointer, so a crash between
+    * the two leaves an orphaned ahead-of-pointer snapshot on disk —
+    * loadable history for a commit that never happened. The pointer IS
+    * the commit; its version is the ceiling every snapshot read honors. */
+  private def committedVersion(dir: String): Long =
+    readManifest(dir).map(_.version).getOrElse(-1L)
 
-  /** All snapshot versions present on disk, ascending. */
-  def listVersions(dir: String): Seq[Long] =
+  /** Time travel: the manifest exactly as committed at `version`.
+    * Never-committed (ahead-of-pointer) snapshots are unloadable. */
+  def readManifestVersion(dir: String, version: Long): Option[Manifest] =
+    if (version > committedVersion(dir)) None
+    else readManifestFile(versionFile(dir, version))
+
+  /** All COMMITTED snapshot versions present on disk, ascending —
+    * orphaned snapshots past the pointer's version are excluded. */
+  def listVersions(dir: String): Seq[Long] = {
+    val ceiling = committedVersion(dir)
     Option(new File(dir).listFiles()).getOrElse(Array.empty).toSeq
       .map(_.getName)
       .collect { case n if n.startsWith(s"$ManifestName-v") =>
         n.stripPrefix(s"$ManifestName-v") }
       .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .filter(_ <= ceiling)
       .sorted
+  }
 
   private def readManifestFile(f: File): Option[Manifest] = {
     if (!f.isFile) return None

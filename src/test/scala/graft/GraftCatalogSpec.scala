@@ -213,6 +213,39 @@ class GraftCatalogSpec extends AnyFunSuite {
       Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ messages(y.getCause))
     assert(messages(bad).exists(_.contains("REPLACE WHERE violation")), bad.getMessage)
     assert(spark.table("graftcat.rw.t").count() == 85, "failed replace must change nothing")
+
+    // a STRADDLING file — some rows in the region, some out — must fail
+    // too, not just a provably-no-match one: committed rows outside the
+    // region would survive a re-run of the same replacement and leave
+    // the file opaque to every later metadata-only mutation
+    spark.sql("CREATE TABLE graftcat.rw.s (id BIGINT, v BIGINT) USING graftshard")
+    spark.sql("INSERT INTO graftcat.rw.s SELECT id, id FROM range(0, 200)")
+    val straddle = intercept[Exception] {
+      // one task → one file spanning ids 50..149, region is id < 100
+      spark.range(50, 150).coalesce(1)
+        .select(col("id"), (col("id") * 2L).as("v"))
+        .writeTo("graftcat.rw.s").overwrite(col("id") < 100L)
+    }
+    assert(messages(straddle).exists(m =>
+      m.contains("REPLACE WHERE violation") && m.contains("outside")), straddle.getMessage)
+    assert(spark.table("graftcat.rw.s").count() == 200, "failed replace must change nothing")
+    // the all-inside replacement commits fine
+    spark.range(0, 60).coalesce(1).select(col("id"), (col("id") * 2L).as("v"))
+      .writeTo("graftcat.rw.s").overwrite(col("id") < 100L)
+    assert(spark.table("graftcat.rw.s").count() == 160) // 100 replaced by 60
+  }
+
+  test("DROP NAMESPACE: non-empty without CASCADE raises Spark's catalog error; cascade removes") {
+    spark.sql("CREATE NAMESPACE graftcat.dropns")
+    spark.sql("CREATE TABLE graftcat.dropns.t (id BIGINT) USING graftshard")
+    val e = intercept[Exception] { spark.sql("DROP NAMESPACE graftcat.dropns") }
+    // Spark surfaces NonEmptyNamespaceException as SCHEMA_NOT_EMPTY
+    assert(e.getMessage.contains("SCHEMA_NOT_EMPTY") ||
+      e.isInstanceOf[org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException],
+      e.toString)
+    spark.sql("DROP NAMESPACE graftcat.dropns CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN graftcat").collect()
+      .map(_.getString(0)).contains("dropns"))
   }
 
   test("time travel: VERSION AS OF / TIMESTAMP AS OF read committed history; snapshots are read-only") {

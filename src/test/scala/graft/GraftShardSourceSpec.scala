@@ -717,4 +717,60 @@ class GraftShardSourceSpec extends AnyFunSuite {
     assert(new File(dir).listFiles().count(_.getName.endsWith(".shard")) <= 3)
     assert(spark.read.format("graftshard").load(dir).count() == 3)
   }
+
+  test("keyed write past the open-writer cap rotates files instead of holding every key open") {
+    val dir = tmp()
+    // ONE task, 16 interleaved keys, cap 4: rotation must fire repeatedly
+    // (a returning key reopens a fresh file), and the result must stay
+    // exactly one key per FILE with nothing lost
+    spark.range(0, 160).coalesce(1)
+      .select(col("id"), (col("id") % 16).as("k"), (col("id") * 3L).as("v"))
+      .write.format("graftshard")
+      .option("partitionKey", "k").option("maxOpenWriters", "4")
+      .mode("overwrite").save(dir)
+    val m = ShardFormat.readManifest(dir).get
+    assert(m.files.forall(_.partition.isDefined))
+    // cap 4 over 16 interleaved keys: strictly more files than keys
+    assert(m.files.size > 16, s"expected rotation to split keys, got ${m.files.size} files")
+    val back = spark.read.format("graftshard").load(dir)
+    assert(back.count() == 160)
+    assert(back.agg(sum("v")).collect()(0).getLong(0) == (0L until 160L).map(_ * 3).sum)
+    // one key per file still holds: per-key stats ranges never cross keys
+    m.files.foreach { fe =>
+      val k = fe.partition.get
+      val (mn, mx, _) = fe.stats("k")
+      assert(mn == k && mx == k, s"file ${fe.name} mixes keys: [$mn,$mx] vs $k")
+    }
+    // grouped reads still line up: group-by on the key with zero exchange
+    val agg = back.groupBy("k").agg(count(lit(1)).as("n"))
+    assert(agg.collect().forall(_.getLong(1) == 10))
+  }
+
+  test("a crash between snapshot and pointer publish leaves no loadable never-committed history") {
+    val dir = tmp()
+    spark.range(0, 10).toDF("id")
+      .write.format("graftshard").mode("overwrite").save(dir)   // v1
+    spark.range(10, 20).toDF("id")
+      .write.format("graftshard").mode("append").save(dir)      // v2
+    val m = ShardFormat.readManifest(dir).get
+    assert(m.version == 2L && ShardFormat.listVersions(dir) == Seq(1L, 2L))
+    // simulate the crash: a v3 snapshot lands but the pointer never moves
+    val orphan = ShardFormat.versionFile(dir, 3L)
+    java.nio.file.Files.copy(
+      ShardFormat.versionFile(dir, 2L).toPath, orphan.toPath)
+    assert(orphan.isFile)
+    // the orphan is invisible: not listed, not loadable, stream-safe
+    assert(ShardFormat.listVersions(dir) == Seq(1L, 2L))
+    assert(ShardFormat.readManifestVersion(dir, 3L).isEmpty)
+    val e = intercept[Exception] {
+      spark.read.format("graftshard").option("versionAsOf", "3").load(dir).collect()
+    }
+    assert(e.getMessage.contains("no snapshot v3"), e.getMessage)
+    // the next real commit reclaims the version number cleanly
+    spark.range(20, 30).toDF("id")
+      .write.format("graftshard").mode("append").save(dir)      // real v3
+    assert(ShardFormat.readManifestVersion(dir, 3L).map(_.files.size).contains(
+      ShardFormat.readManifest(dir).get.files.size))
+    assert(spark.read.format("graftshard").option("versionAsOf", "3").load(dir).count() == 30)
+  }
 }
