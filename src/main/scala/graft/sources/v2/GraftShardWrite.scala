@@ -116,19 +116,24 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
         s"graftshard: append schema ${schema.simpleString} does not match " +
           s"existing table schema ${m.schema.simpleString} at '$path'")
     }
-    // sorted layout (`option("sortWithinShards", col)`): the WRITE
-    // declares RequiresDistributionAndOrdering — Spark itself clusters
-    // rows by the identity key and sorts each task by (key, sortCol), so
-    // every shard file is one sorted run by construction (the writer
-    // never buffers). The scan then reports that ordering and windows /
-    // merge joins over the layout skip their SortExec too — zero
-    // exchange AND zero sort from at-rest layout. Identity keys only:
-    // clustering a bucket transform for a write needs a FunctionCatalog
-    // in the write path, recorded as the upgrade path.
+    // sorted layout (`option("sortWithinShards", col)` — or implied by a
+    // catalog-table property): the WRITE declares
+    // RequiresDistributionAndOrdering — Spark itself clusters rows by
+    // the partition transform (the identity key, or bucket(n, col)
+    // resolved through the table catalog's FunctionCatalog) and sorts
+    // each task by (transform, sortCol), so every shard file is one
+    // sorted run by construction (the writer never buffers). The scan
+    // then reports that ordering and windows / merge joins over the
+    // layout skip their SortExec too — zero exchange AND zero sort from
+    // at-rest layout. Bucket transforms resolve only on the CATALOG
+    // write face (a path-based write has no FunctionCatalog; Spark's
+    // ordering resolution fails with the function name — use the
+    // catalog face for bucket-sorted tables).
     val sortCol = Option(info.options.get("sortWithinShards")).map { c =>
-      require(spec.exists(_.isInstanceOf[ShardFormat.IdentityPart]),
-        "graftshard: sortWithinShards requires an identity partitionKey " +
-          "(each file = one key; the per-file sort is within the key)")
+      require(spec.isDefined,
+        "graftshard: sortWithinShards requires a partitionKey or bucket " +
+          "partitioning (each file = one partition value; the per-file " +
+          "sort is within that value)")
       require(schema.fieldNames.contains(c),
         s"graftshard: sortWithinShards column '$c' not in write schema")
       c
@@ -150,8 +155,11 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
   }
 }
 
-/** The sorted-layout write: Spark is asked to cluster by the key and
-  * sort each task by (key, sortCol) BEFORE rows reach the writer. */
+/** The sorted-layout write: Spark is asked to cluster by the partition
+  * transform (identity key or bucket) and sort each task by
+  * (transform, sortCol) BEFORE rows reach the writer — keys arrive in
+  * contiguous sorted runs, so the keyed writer's rotation yields one
+  * sorted file per partition value even under the open-writer cap. */
 class GraftShardWriteWithOrdering(
     path: String,
     schema: StructType,
@@ -162,10 +170,10 @@ class GraftShardWriteWithOrdering(
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
-    Distributions.clustered(Array(Expressions.column(spec.column)))
+    Distributions.clustered(Array(GraftShardTable.transformOf(spec)))
 
   override def requiredOrdering(): Array[SortOrder] = Array(
-    Expressions.sort(Expressions.column(spec.column), SortDirection.ASCENDING),
+    Expressions.sort(GraftShardTable.transformOf(spec), SortDirection.ASCENDING),
     Expressions.sort(Expressions.column(sortCol), SortDirection.ASCENDING))
 
   override def toBatch: BatchWrite =

@@ -53,6 +53,52 @@ class GraftCatalogSpec extends AnyFunSuite {
       .exists(_.getString(1) == "docs"))
   }
 
+  test("bucket-sorted layout: SPJ merge join on the raw id with zero Exchange AND zero Sort") {
+    withBucketing {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.bsort")
+      spark.sql("""CREATE TABLE graftcat.bsort.a (id BIGINT, va BIGINT)
+        USING graftshard PARTITIONED BY (bucket(8, id))""")
+      spark.sql("""CREATE TABLE graftcat.bsort.b (id BIGINT, vb BIGINT)
+        USING graftshard PARTITIONED BY (bucket(8, id))""")
+      // the bucket transform resolves through the catalog's
+      // FunctionCatalog in the WRITE's RequiresDistributionAndOrdering:
+      // rows arrive clustered by bucket and sorted by (bucket, id), so
+      // every shard file is one sorted run on the raw id
+      spark.range(0, 400).select(col("id"), (col("id") * 2L).as("va"))
+        .writeTo("graftcat.bsort.a").option("sortWithinShards", "id").append()
+      spark.range(100, 300).select(col("id"), (col("id") * 5L).as("vb"))
+        .writeTo("graftcat.bsort.b").option("sortWithinShards", "id").append()
+      val ma = ShardFormat.readManifest(s"$warehouse/bsort/a").get
+      assert(ma.sortedBy.contains("id"), s"declared sort must be recorded: $ma")
+      assert(ma.files.groupBy(_.partition).forall(_._2.size == 1),
+        "sorted bucket write must yield one file per bucket")
+      def joined() = spark.table("graftcat.bsort.a")
+        .join(spark.table("graftcat.bsort.b"), "id")
+        .select(col("id"), col("va"), col("vb"))
+      val rows = joined().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.sorted.toSeq == (100L until 300L).map(i => (i, i * 2, i * 5)))
+      val live = joined().queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(live.contains("SortMergeJoin"), live)
+      assert(!live.contains("Exchange"),
+        s"bucket-aligned join on the raw id must not shuffle:\n$live")
+      // "Sort [" is SortExec's render; SortMergeJoin's own name does not
+      // match it — the at-rest layout must satisfy the merge join's
+      // ordering requirement on BOTH sides
+      assert(!live.contains("Sort ["),
+        s"sorted bucket layout must satisfy the merge join's ordering:\n$live")
+
+      // an UNSORTED append honestly degrades: flag cleared, Sort returns
+      spark.range(400, 410).select(col("id"), (col("id") * 2L).as("va"))
+        .writeTo("graftcat.bsort.a").append()
+      assert(ShardFormat.readManifest(s"$warehouse/bsort/a").get.sortedBy.isEmpty)
+      val degraded = joined().queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(degraded.contains("Sort ["),
+        s"unsorted append must bring the Sort back:\n$degraded")
+    }
+  }
+
   test("bucketed SPJ: row-level join ON THE ID COLUMN with zero exchange") {
     withBucketing {
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.spj")
@@ -142,7 +188,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("graftcat.ow.t").count() == 20)
   }
 
-  test("metadata DELETE: partition-aligned drops whole files; row rewrites are refused") {
+  test("metadata DELETE: partition-aligned drops whole files; unaligned predicates rewrite (copy-on-write)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.del")
     spark.sql("""CREATE TABLE graftcat.del.t (id BIGINT, k BIGINT, v BIGINT)
       USING graftshard PARTITIONED BY (k)""")
@@ -163,10 +209,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     // prefix offsets died with the entries: generation must change
     assert(after.generation != genBefore)
 
-    // a predicate that splits files needs a row rewrite — refused
-    val e = intercept[Exception] { spark.sql("DELETE FROM graftcat.del.t WHERE v > 10") }
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
-    assert(spark.table("graftcat.del.t").count() == 75, "refused delete must change nothing")
+    // a predicate that splits files needs a row rewrite — served by the
+    // copy-on-write tier (GraftShardRowLevelSpec pins its mechanics)
+    spark.sql("DELETE FROM graftcat.del.t WHERE v > 10")
+    assert(spark.table("graftcat.del.t").count() ==
+      (0L until 100L).count(id => id % 4 != 1 && id * 7 <= 10))
+    assert(spark.table("graftcat.del.t").where(col("v") > 10L).count() == 0)
 
     // unqualified DELETE (and SQL TRUNCATE) drop everything
     spark.sql("DELETE FROM graftcat.del.t")
