@@ -561,22 +561,44 @@ class GraftShardScan(
 }
 
 object GraftShardScan {
-  /** Greedy first-fit pack to targetBytes, largest first — 100k tiny
-    * shards must not become 100k tasks. Shared by the batch scan and
-    * the copy-on-write scan ([[GraftShardCowScan]]). */
+  /** Best-fit-decreasing pack to targetBytes — 100k tiny shards must
+    * not become 100k tasks. Shared by the batch scan and the
+    * copy-on-write scan ([[GraftShardCowScan]]).
+    *
+    * Open bins are indexed by REMAINING CAPACITY in a TreeMap, so
+    * placing each file is one ceiling lookup + one re-insert: O(n log
+    * bins) total. The original greedy first-fit scanned the whole bin
+    * list per file (`indexWhere`) — O(n x bins), which the
+    * PROBE-MANIFEST ceiling probe measured as minutes of DRIVER time
+    * at 1M manifest entries (~500k mostly-full bins), i.e. planning
+    * itself became the bottleneck exactly at the scale the manifest
+    * design doc promises to handle. Best-fit also packs at least as
+    * tightly as first-fit on the same descending order. */
   def binPack(
       path: String,
       selected: Seq[ShardFormat.FileEntry],
       targetBytes: Long): Array[InputPartition] = {
-    val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
+    // remaining capacity -> indices of open bins with exactly that much
+    val byRemaining = new java.util.TreeMap[Long, List[Int]]()
+    def register(remaining: Long, idx: Int): Unit =
+      if (remaining > 0)
+        byRemaining.merge(remaining, List(idx), (a, b) => b ::: a)
     selected.sortBy(-_.bytes).foreach { fe =>
       val full = new File(path, fe.name).getPath
-      bins.indexWhere(_._2 + fe.bytes <= targetBytes) match {
-        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(full -> fe.rows), fe.bytes))
-        case i =>
-          val (buf, sz) = bins(i)
-          buf += (full -> fe.rows)
-          bins(i) = (buf, sz + fe.bytes)
+      val e = byRemaining.ceilingEntry(fe.bytes)
+      if (e == null) {
+        bins += ((scala.collection.mutable.ArrayBuffer(full -> fe.rows), fe.bytes))
+        register(targetBytes - fe.bytes, bins.length - 1)
+      } else {
+        val idx :: rest = e.getValue: @unchecked
+        if (rest.isEmpty) byRemaining.remove(e.getKey)
+        else byRemaining.put(e.getKey, rest)
+        val (buf, sz) = bins(idx)
+        buf += (full -> fe.rows)
+        bins(idx) = (buf, sz + fe.bytes)
+        register(e.getKey - fe.bytes, idx)
       }
     }
     bins.map(b => ShardInputPartition(b._1.toArray): InputPartition).toArray

@@ -12,8 +12,12 @@ object DedupProps extends Properties("Dedup") {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // 8 by default; SPARK_GRAFT_PROPS_N=50+ escalates for a nightly-style
+  // deep run (the d18 differential here is what flushed out the
+  // zero-norm ANSI divide-by-zero in round 10 — depth pays)
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(8)
+    p.withMinSuccessfulTests(
+      sys.env.get("SPARK_GRAFT_PROPS_N").map(_.toInt).getOrElse(8))
 
   // small vocabulary forces heavy token overlap → many near-threshold pairs
   private val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")

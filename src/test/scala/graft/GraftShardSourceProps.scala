@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Randomized roundtrip law for the graftshard record codec — the most
+  * hand-rolled byte-level code in the tree ([[graft.sources.v2
+  * .ShardFormat.ShardWriter]] / the partition reader). The fixture
+  * spec (GraftShardSourceSpec) pins the known edge cases; this
+  * property walks the value space: nulls in any column, empty/unicode
+  * strings, empty binary, NaN/±Inf doubles and floats, Long/Int
+  * extremes, and empty float arrays. Write → read → canonical
+  * equality, bit-level for floating point (NaN ≠ NaN under ==, so
+  * values compare via raw bits).
+  *
+  * SPARK_GRAFT_PROPS_N=50+ escalates for a nightly-style deep run. */
+object GraftShardSourceProps extends Properties("GraftShardSource") {
+  private lazy val spark = TestSpark.spark
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(
+      sys.env.get("SPARK_GRAFT_PROPS_N").map(_.toInt).getOrElse(6))
+
+  private val schema = StructType(Seq(
+    StructField("c_long", LongType, nullable = true),
+    StructField("c_int", IntegerType, nullable = true),
+    StructField("c_double", DoubleType, nullable = true),
+    StructField("c_float", FloatType, nullable = true),
+    StructField("c_bool", BooleanType, nullable = true),
+    StructField("c_str", StringType, nullable = true),
+    StructField("c_bin", BinaryType, nullable = true),
+    StructField("c_vec", ArrayType(FloatType, containsNull = false), nullable = true)))
+
+  private def opt[A](g: Gen[A]): Gen[Any] =
+    Gen.frequency(4 -> g.map(_.asInstanceOf[Any]), 1 -> Gen.const(null: Any))
+
+  private val longGen = Gen.oneOf(
+    Gen.const(Long.MinValue), Gen.const(Long.MaxValue), Gen.const(0L),
+    Gen.chooseNum(-1000000L, 1000000L))
+  private val intGen = Gen.oneOf(
+    Gen.const(Int.MinValue), Gen.const(Int.MaxValue), Gen.chooseNum(-1000, 1000))
+  private val doubleGen = Gen.oneOf(
+    Gen.const(Double.NaN), Gen.const(Double.PositiveInfinity),
+    Gen.const(Double.NegativeInfinity), Gen.const(-0.0),
+    Gen.chooseNum(-1e12, 1e12), Gen.const(Double.MinPositiveValue))
+  private val floatGen = Gen.oneOf(
+    Gen.const(Float.NaN), Gen.const(Float.PositiveInfinity),
+    Gen.const(-0.0f), Gen.chooseNum(-1e6f, 1e6f))
+  private val strGen = Gen.oneOf(
+    Gen.const(""), Gen.alphaNumStr.map(_.take(40)),
+    Gen.const("héllо wörld ☃ 😀"), // accents, snowman, emoji
+    Gen.listOfN(5, Gen.choose('\u0100', '\ud7ff')).map(_.mkString)) // BMP, no surrogates
+  private val binGen = Gen.oneOf(
+    Gen.const(Array.empty[Byte]),
+    Gen.listOfN(16, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+  private val vecGen = Gen.oneOf(
+    Gen.const(Seq.empty[Float]),
+    Gen.listOfN(4, floatGen).map(_.toSeq))
+
+  private val rowGen: Gen[Row] = for {
+    l <- opt(longGen); i <- opt(intGen); d <- opt(doubleGen); f <- opt(floatGen)
+    b <- opt(Gen.oneOf(true, false)); s <- opt(strGen); bin <- opt(binGen)
+    v <- opt(vecGen)
+  } yield Row(l, i, d, f, b, s, bin, v)
+
+  private val dfGen = Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, rowGen))
+
+  /** Canonical form: floating point by raw bits (NaN-stable), binary by
+    * seq, arrays elementwise by float bits. */
+  private def canon(r: Row): Seq[Any] = Seq(
+    r.get(0), r.get(1),
+    Option(r.get(2)).map(d => java.lang.Double.doubleToLongBits(
+      d.asInstanceOf[Double])).orNull,
+    Option(r.get(3)).map(f => java.lang.Float.floatToIntBits(
+      f.asInstanceOf[Float])).orNull,
+    r.get(4), r.get(5),
+    Option(r.get(6)).map(_.asInstanceOf[Array[Byte]].toSeq).orNull,
+    Option(r.get(7)).map(_.asInstanceOf[scala.collection.Seq[Float]]
+      .map(java.lang.Float.floatToIntBits).toSeq).orNull)
+
+  private val dirBase =
+    s"${System.getProperty("java.io.tmpdir")}/graft_shardprops_${ProcessHandle.current().pid()}"
+  private var n = 0
+
+  property("write -> read roundtrip over the full supported value space") =
+    Prop.forAll(dfGen) { rows =>
+      n += 1
+      val dir = s"${dirBase}_$n"
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices = math.max(1, rows.size / 7)),
+        schema)
+      df.write.format("graftshard").mode("overwrite").save(dir)
+      val back = spark.read.format("graftshard").load(dir)
+      val exp = rows.map(canon).sortBy(_.toString())
+      val got = back.collect().toSeq.map(canon).sortBy(_.toString())
+      val ok = got == exp
+      if (!ok) println(s"MISMATCH dir=$dir\n  exp=$exp\n  got=$got")
+      ok
+    }
+}
