@@ -940,6 +940,35 @@ object ExtensionQueries {
       payloadCols = Seq("event_type", "user_id"))
   }
 
+  /** The lake as BOTH ends of a streaming pipeline: documents land in a
+    * graftshard table, a Structured Streaming query reads it through
+    * the connector's MicroBatchStream face, filters/projects, and
+    * writes to a second graftshard table through the streaming SINK
+    * ([[graft.sources.v2.GraftShardStreamingWrite]] — epochs commit via
+    * the one batch commit path with a (queryId → epoch) replay guard in
+    * the manifest, so a post-recovery re-commit never double-appends).
+    * The gate reads the sink table back; fresh sink/checkpoint dirs per
+    * run keep re-executions independent (a leftover checkpoint against
+    * a REBUILT source must instead fail loudly on the generation pin —
+    * GraftShardStreamSinkSpec and GraftShardSourceSpec pin both). */
+  private def st9(s: SparkSession, dir: String): DataFrame = {
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val src = Q.tmpArtifactPath("st9src", dir) + s"_$run"
+    val dst = Q.tmpArtifactPath("st9dst", dir) + s"_$run"
+    val ckpt = Q.tmpArtifactPath("st9ckpt", dir) + s"_$run"
+    table(s, dir, "documents").select("doc_id", "n_chars", "lang")
+      .write.format("graftshard").mode("overwrite").save(src)
+    val q = s.readStream.format("graftshard").load(src)
+      .where(col("n_chars") > 100)
+      .select(col("doc_id"), (col("n_chars") * 2L).as("chars2"), col("lang"))
+      .writeStream.format("graftshard")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    s.read.format("graftshard").load(dst)
+  }
+
   /** Batch face of the streaming minhash-LSH band registry (same d3
     * parameters, same oracle CTEs); StreamingSpec runs the stream face. */
   private def st4(s: SparkSession, dir: String): DataFrame =
@@ -1210,6 +1239,56 @@ object ExtensionQueries {
       .writeTo(s"$cat.x48.embs").option("sortWithinShards", "vec_id").append()
     s.sql(s"""SELECT d.doc_id, d.n_chars, d.lang, e.label
       FROM $cat.x48.docs d JOIN $cat.x48.embs e ON d.doc_id = e.vec_id""")
+  }
+
+  /** Schema evolution end to end: ADD COLUMN is metadata-only (v2
+    * shard files are self-describing, so old files null-fill the new
+    * column at read time — no rewrite), then the row-level tier FILLS
+    * it for a slice via copy-on-write UPDATE. The oracle replays the
+    * fill as a CASE over the source table. GraftShardSchemaEvolutionSpec
+    * pins the mechanics (no file touched by ALTER, tombstoned re-adds,
+    * time-travel keeps the old schema, stats surfaces stay sound). */
+  private def x49(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureGraftCatalog(s, dir)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x49")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x49.docs")
+    table(s, dir, "documents").select("doc_id", "n_chars")
+      .repartitionByRange(4, col("doc_id"))
+      .writeTo(s"$cat.x49.docs").using("graftshard").create()
+    s.sql(s"ALTER TABLE $cat.x49.docs ADD COLUMN score BIGINT")
+    s.sql(s"UPDATE $cat.x49.docs SET score = n_chars * 2 WHERE doc_id % 3 = 0")
+    s.table(s"$cat.x49.docs")
+  }
+
+  /** Compaction (OPTIMIZE) end to end: the documents corpus lands in a
+    * keyed SORTED table via three sorted-declared appends (the
+    * micro-batch ingestion shape — each append adds one sorted run per
+    * key, which keeps `sortedBy` but suspends the scan's ordering
+    * report), then [[graft.sources.v2.GraftShardMaintenance.compact]]
+    * k-way merges each key back to ONE sorted file, and the x43/x46
+    * window contract runs over the result — zero exchange AND zero
+    * sort again, proving the merge preserved both layout halves.
+    * GraftShardCompactionSpec pins mechanics; the oracle prices the
+    * window's answers. */
+  private def x50(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x50", dir) +
+      s"_${java.util.UUID.randomUUID().toString.take(8)}"
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), pmod(col("doc_id"), lit(16)).as("shard_key"))
+    def slice(m: Int, mode: String): Unit =
+      docs.where(pmod(col("doc_id"), lit(3)) === m)
+        .write.format("graftshard")
+        .option("partitionKey", "shard_key").option("sortWithinShards", "doc_id")
+        .mode(mode).save(out)
+    slice(0, "overwrite"); slice(1, "append"); slice(2, "append")
+    graft.sources.v2.GraftShardMaintenance.compact(s, out)
+    val w = Window.partitionBy(col("shard_key")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ws = Window.partitionBy(col("shard_key")).orderBy(col("doc_id"))
+    s.read.format("graftshard").load(out)
+      .select(col("doc_id"), col("shard_key"),
+        sum(col("n_chars")).over(w).as("run_chars"),
+        row_number().over(ws).cast("long").as("seq"))
   }
 
   /** Aggregate pushdown through `graftshard`: per-shard-key counts and
@@ -3725,6 +3804,12 @@ object ExtensionQueries {
         GROUP BY 1, 2)
       WHERE rn <= 5""")),
 
+    // graftshard on both ends of a streaming pipeline: readStream ->
+    // transform -> streaming sink -> batch read-back
+    Q("st9_stream_lake_pipeline", st9, Some("""
+      SELECT doc_id, (n_chars * 2)::BIGINT AS chars2, lang
+      FROM documents WHERE n_chars > 100""")),
+
     Q("st8_stream_dedup", st8, Some("""
       SELECT event_id, ts_s, event_type, user_id FROM (
         SELECT event_id, ts_s, event_type, user_id,
@@ -4576,6 +4661,20 @@ object ExtensionQueries {
     Q("x48_shard_bucket_sorted_join", x48, Some("""
       SELECT d.doc_id, d.n_chars, d.lang, e.label
       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""")),
+
+    // schema evolution: metadata-only ADD COLUMN + copy-on-write fill
+    Q("x49_shard_schema_evolution", x49, Some("""
+      SELECT doc_id, n_chars,
+        CASE WHEN doc_id % 3 = 0 THEN (n_chars * 2)::BIGINT END AS score
+      FROM documents""")),
+
+    // compaction: 3 sorted appends -> k-way merge -> zero-sort window
+    Q("x50_shard_compaction", x50, Some("""
+      SELECT doc_id, doc_id % 16 AS shard_key,
+        sum(n_chars) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_chars,
+        row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS seq
+      FROM documents""")),
 
     // row-level tier: copy-on-write DELETE + UPDATE, unaligned predicates
     Q("x47_shard_row_level", x47, Some("""

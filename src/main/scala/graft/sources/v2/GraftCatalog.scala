@@ -172,10 +172,76 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new GraftShardTable(dir.getPath, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graftshard: ALTER TABLE is not supported (schema lives in the manifest; " +
-        "write a new table)")
+  /** Schema evolution, METADATA-ONLY both ways (no file is touched):
+    * shard files are self-describing since format v2 (a column header —
+    * [[ShardFormat.Magic]]), so ADD COLUMN null-fills old files at read
+    * time and DROP COLUMN byte-skips the stored bytes by the header's
+    * type tag. The manifest swap is a normal commit: version bump, new
+    * time-travel snapshot (VERSION AS OF before the ALTER reads the old
+    * schema), generation KEPT (no entries vanished). Refused: renames
+    * and type changes (old files would silently misread), dropping the
+    * partition/sort column (the layout's spine), dropping to zero
+    * columns, and non-nullable adds (old rows HAVE no value). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    val m = ShardFormat.readManifest(dir.getPath).getOrElse(
+      throw new NoSuchTableException(ident))
+    def single(ref: Array[String]): String = {
+      require(ref.length == 1,
+        s"graftshard: nested columns are not supported: ${ref.mkString(".")}")
+      ref.head
+    }
+    val (evolved, dropped) = changes.foldLeft((m.schema, m.droppedColumns)) {
+      case ((sch, tomb), ch) => ch match {
+        case add: TableChange.AddColumn =>
+          val c = single(add.fieldNames)
+          require(!sch.fieldNames.contains(c),
+            s"graftshard: column '$c' already exists")
+          require(!tomb.contains(c),
+            s"graftshard: cannot re-add dropped column '$c' — existing files " +
+              "still store its old bytes under that name and would resurrect " +
+              "them instead of nulls; overwrite the table (or use a new name)")
+          require(ShardFormat.supported(add.dataType),
+            s"graftshard: unsupported column type ${add.dataType.sql} for '$c'")
+          require(add.isNullable,
+            s"graftshard: ADD COLUMN '$c' must be nullable — existing rows " +
+              "have no value for it")
+          require(add.position() == null,
+            "graftshard: ADD COLUMN positions are not supported (columns append)")
+          (StructType(sch.fields :+
+            org.apache.spark.sql.types.StructField(c, add.dataType, nullable = true)),
+            tomb)
+        case del: TableChange.DeleteColumn =>
+          val c = single(del.fieldNames)
+          if (!sch.fieldNames.contains(c)) {
+            if (del.ifExists()) (sch, tomb)
+            else throw new IllegalArgumentException(
+              s"graftshard: no such column '$c'")
+          } else {
+            m.partitioning.foreach(sp => require(sp.column != c,
+              s"graftshard: cannot drop partition column '$c' — it is the " +
+                "table's at-rest layout; rewrite the table to re-partition"))
+            m.sortedBy.foreach(s => require(s != c,
+              s"graftshard: cannot drop sort column '$c' — it is the sorted " +
+                "layout's spine; rewrite the table to re-sort"))
+            require(sch.fields.length > 1,
+              s"graftshard: cannot drop the last column '$c'")
+            (StructType(sch.fields.filterNot(_.name == c)), tomb :+ c)
+          }
+        case other => throw new UnsupportedOperationException(
+          s"graftshard: unsupported ALTER TABLE change $other — supported: " +
+            "ADD COLUMN (nullable, appended), DROP COLUMN (not the " +
+            "partition/sort column); renames and type changes would make " +
+            "existing files silently misread and are refused")
+      }
+    }
+    ShardFormat.writeManifest(dir.getPath, m.copy(
+      schema = evolved,
+      droppedColumns = dropped,
+      version = m.version + 1,
+      createdAtMs = System.currentTimeMillis()))
+    new GraftShardTable(dir.getPath, evolved)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

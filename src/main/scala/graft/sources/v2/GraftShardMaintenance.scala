@@ -2,6 +2,11 @@ package graft.sources.v2
 
 import java.io.File
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+
 /** Maintenance for graftshard tables. The manifest protocol makes
   * garbage inevitable BY DESIGN: aborted/speculative task attempts and
   * every overwritten generation leave `.shard` files no manifest
@@ -56,6 +61,167 @@ object GraftShardMaintenance {
       }
     }
     VacuumReport(deleted.result().sorted, keptLive, keptRecent.result().sorted)
+  }
+
+  final case class CompactReport(
+      groups: Int,
+      replaced: Seq[String],
+      added: Seq[String])
+
+  /** Compaction (the lake OPTIMIZE): merges small shard files into
+    * ~`targetBytes` ones — the small-file problem is what a 100 TB
+    * streaming/incremental ingestion actually accumulates (every
+    * micro-batch append is its own file; a year of 1-minute batches is
+    * 500k files whose per-file open/seek overhead dominates scans and
+    * whose manifest entries crowd the driver).
+    *
+    * Planning is driver-side from the manifest alone: within each
+    * partition value (keyed/bucketed tables — the one-key-per-FILE
+    * invariant must survive, so only same-key files ever merge;
+    * unkeyed tables form one pool), files under `targetBytes` are
+    * greedily chunked into groups of >= 2. Execution is DISTRIBUTED —
+    * one Spark task per output file, each streaming its group through
+    * the shard codec (never a driver-side row loop). Sorted layouts
+    * are PRESERVED: when the manifest declares `sortedBy`, each input
+    * file is one sorted run and the task k-way-MERGES them (O(1)
+    * memory). That restores the ONE-FILE-PER-KEY half of the sorted
+    * contract: sorted-declared appends keep `sortedBy` but leave
+    * multiple runs per key, which stops the scan's ordering report —
+    * after compacting, windows/merge joins go back to zero-sort. (An
+    * UNSORTED append clears the flag itself; compaction concatenates
+    * then and cannot resurrect an ordering nobody declared.)
+    *
+    * Commit is the manifest swap with the same concurrency discipline
+    * as the row-level tier: the plan pins the manifest version; if the
+    * table moved under us and any input file is gone, the commit fails
+    * loudly and the new files are unreferenced vacuum garbage. A
+    * concurrent APPEND is tolerated (its files carry over). Replaced
+    * entries vanish mid-list, so the generation is bumped (streaming
+    * prefix offsets die loudly). Old files become vacuum garbage,
+    * never deleted inline (readers may be mid-scan). */
+  def compact(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): CompactReport = {
+    val m = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
+    val groups: Seq[(Option[Long], Seq[String])] =
+      m.files.groupBy(_.partition).toSeq.sortBy(_._1).flatMap { case (p, fes) =>
+        val small = fes.filter(_.bytes < targetBytes)
+        if (small.size < 2) Nil
+        else {
+          // greedy chunking to ~targetBytes, manifest order (sorted
+          // runs of the same key merge in any order)
+          val bins = Seq.newBuilder[Seq[String]]
+          var cur = Vector.empty[String]; var sz = 0L
+          small.foreach { fe =>
+            if (cur.nonEmpty && sz + fe.bytes > targetBytes) {
+              if (cur.size >= 2) bins += cur
+              cur = Vector.empty; sz = 0L
+            }
+            cur :+= fe.name; sz += fe.bytes
+          }
+          if (cur.size >= 2) bins += cur
+          bins.result().map(b => (p, b))
+        }
+      }
+    if (groups.isEmpty) return CompactReport(0, Nil, Nil)
+    val schema = m.schema
+    val sortIdx = m.sortedBy.map(schema.fieldIndex).getOrElse(-1)
+    val sortType: DataType =
+      if (sortIdx < 0) NullType else schema.fields(sortIdx).dataType
+    val newEntries: Array[ShardFormat.FileEntry] =
+      spark.sparkContext.parallelize(groups, groups.size).map { case (p, names) =>
+        val name = s"compact-${java.util.UUID.randomUUID().toString.take(12)}.shard"
+        val w = new ShardFormat.ShardWriter(new File(dir, name), schema)
+        try {
+          GraftShardMaintenance.streamGroup(dir, names, schema, sortIdx, sortType)
+            .foreach(w.write)
+          val (bytes, rows, stats, allNull) = w.finish()
+          ShardFormat.FileEntry(name, bytes, rows, stats, allNull, p)
+        } catch { case t: Throwable => w.abort(); throw t }
+      }.collect()
+    val current = ShardFormat.readManifest(dir).getOrElse(
+      throw new IllegalStateException(s"graftshard: table at '$dir' vanished during compaction"))
+    val replaced = groups.flatMap(_._2).toSet
+    val names = current.files.map(_.name).toSet
+    if (!replaced.subsetOf(names)) {
+      newEntries.foreach(fe => new File(dir, fe.name).delete())
+      throw new IllegalStateException(
+        s"graftshard: concurrent commit detected at '$dir' — compaction planned " +
+          s"against manifest v${m.version} but input files were replaced " +
+          s"(now v${current.version}); re-run (compaction output is " +
+          "unreferenced and vacuum-reclaimable)")
+    }
+    ShardFormat.writeManifest(dir, current.copy(
+      files = current.files.filterNot(fe => replaced.contains(fe.name)) ++ newEntries,
+      generation = java.util.UUID.randomUUID().toString.take(8),
+      version = current.version + 1,
+      createdAtMs = System.currentTimeMillis()))
+    CompactReport(groups.size, replaced.toSeq.sorted, newEntries.map(_.name).toSeq.sorted)
+  }
+
+  /** Task-side row stream for one compaction group: plain concatenation
+    * for unsorted layouts; a k-way streaming merge on the sort column
+    * (NULLS FIRST, matching the sorted write's ASC ordering) when the
+    * manifest declares one — each input file is one sorted run, so the
+    * merged output is too. */
+  private[v2] def streamGroup(
+      dir: String,
+      names: Seq[String],
+      schema: StructType,
+      sortIdx: Int,
+      sortType: DataType): Iterator[InternalRow] = {
+    def readerOf(n: String): Iterator[InternalRow] = {
+      val r = new GraftShardPartitionReader(
+        Array((new File(dir, n).getPath, 0L)), schema, schema, Array.empty[Filter])
+      new Iterator[InternalRow] {
+        private var ready = r.next()
+        override def hasNext: Boolean = ready
+        override def next(): InternalRow = {
+          val row = r.get(); ready = r.next(); row
+        }
+      }
+    }
+    if (sortIdx < 0) names.iterator.flatMap(readerOf)
+    else {
+      val lt: (InternalRow, InternalRow) => Boolean = {
+        def cmp(f: (InternalRow, Int) => Comparable[Any]): (InternalRow, InternalRow) => Boolean =
+          (a, b) => {
+            val an = a.isNullAt(sortIdx); val bn = b.isNullAt(sortIdx)
+            if (an || bn) an && !bn // nulls first
+            else f(a, sortIdx).compareTo(f(b, sortIdx).asInstanceOf[Any]) < 0
+          }
+        sortType match {
+          case LongType => cmp((r, i) => Long.box(r.getLong(i)).asInstanceOf[Comparable[Any]])
+          case IntegerType => cmp((r, i) => Int.box(r.getInt(i)).asInstanceOf[Comparable[Any]])
+          case DoubleType => cmp((r, i) => Double.box(r.getDouble(i)).asInstanceOf[Comparable[Any]])
+          case FloatType => cmp((r, i) => Float.box(r.getFloat(i)).asInstanceOf[Comparable[Any]])
+          case BooleanType => cmp((r, i) => Boolean.box(r.getBoolean(i)).asInstanceOf[Comparable[Any]])
+          case StringType => cmp((r, i) => r.getUTF8String(i).asInstanceOf[Comparable[Any]])
+          case other => throw new IllegalStateException(
+            s"graftshard: cannot merge-compact sortedBy column of type ${other.sql}")
+        }
+      }
+      // k is the group size (a handful): linear scan over the heads
+      val heads = scala.collection.mutable.ArrayBuffer.from(
+        names.map(readerOf).filter(_.hasNext).map(it => (it.next(), it)))
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = heads.nonEmpty
+        override def next(): InternalRow = {
+          var best = 0
+          var i = 1
+          while (i < heads.length) {
+            if (lt(heads(i)._1, heads(best)._1)) best = i
+            i += 1
+          }
+          val (row, it) = heads(best)
+          if (it.hasNext) heads(best) = (it.next(), it)
+          else heads.remove(best)
+          row
+        }
+      }
+    }
   }
 
   /** Retires time-travel history: keeps the newest `keepLast` snapshot

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
 
@@ -140,16 +141,21 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
     }
     val replace = replaceFilters
     val maxOpen = Option(info.options.get("maxOpenWriters")).map(_.toInt).getOrElse(64)
+    val queryId = info.queryId()
     (sortCol, spec) match {
       case (Some(s), Some(sp)) =>
-        new GraftShardWriteWithOrdering(path, schema, replace, sp, s, maxOpen)
+        new GraftShardWriteWithOrdering(path, schema, replace, sp, s, maxOpen, queryId)
       case _ =>
         // sortCol here is provably None: a defined sortWithinShards
-        // requires an identity spec (the require above)
+        // requires a partition spec (the require above)
         new Write {
           override def toBatch: BatchWrite =
             new GraftShardBatchWrite(path, schema, replace, spec, sortCol = None,
               maxOpenWriters = maxOpen)
+          override def toStreaming: StreamingWrite =
+            new GraftShardStreamingWrite(path, queryId,
+              new GraftShardBatchWrite(path, schema, replace, spec, sortCol = None,
+                maxOpenWriters = maxOpen))
         }
     }
   }
@@ -166,7 +172,8 @@ class GraftShardWriteWithOrdering(
     replace: Option[Array[Filter]],
     spec: ShardFormat.PartSpec,
     sortCol: String,
-    maxOpenWriters: Int = 64)
+    maxOpenWriters: Int = 64,
+    queryId: String = "")
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -179,6 +186,57 @@ class GraftShardWriteWithOrdering(
   override def toBatch: BatchWrite =
     new GraftShardBatchWrite(path, schema, replace, Some(spec), Some(sortCol),
       maxOpenWriters)
+
+  override def toStreaming: StreamingWrite =
+    new GraftShardStreamingWrite(path, queryId,
+      new GraftShardBatchWrite(path, schema, replace, Some(spec), Some(sortCol),
+        maxOpenWriters))
+}
+
+/** The streaming sink face: micro-batch epochs commit through the ONE
+  * batch commit path ([[GraftShardBatchWrite.commitWith]]) with the
+  * (queryId, epochId) recorded in the manifest — a post-recovery epoch
+  * REPLAY is detected there and dropped (its files deleted) instead of
+  * double-appending: exactly-once from the sink's side. Append mode
+  * appends; Complete mode arrives as truncate (SupportsOverwrite
+  * extends SupportsTruncate) and swaps the table each epoch. The
+  * streaming READ face ([[GraftShardScan.toMicroBatchStream]]) composes:
+  * graftshard tables can sit on both ends of a streaming pipeline. */
+class GraftShardStreamingWrite(
+    path: String,
+    queryId: String,
+    batch: GraftShardBatchWrite)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val factory = batch.createBatchWriterFactory(info)
+      .asInstanceOf[GraftShardWriterFactory]
+    new GraftShardStreamingWriterFactory(factory)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val replayed = ShardFormat.readManifest(path)
+      .exists(_.streamCommits.get(queryId).exists(_ >= epochId))
+    if (replayed) {
+      // recovery re-ran an epoch the table already holds: drop its output
+      messages.foreach {
+        case m: ShardCommitMessage =>
+          m.files.foreach(fe => new java.io.File(path, fe.name).delete(): Unit)
+        case _ => ()
+      }
+    } else batch.commitWith(messages, Some(queryId -> epochId))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    batch.abort(messages)
+}
+
+class GraftShardStreamingWriterFactory(factory: GraftShardWriterFactory)
+    extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    factory.createWriter(partitionId, taskId)
 }
 
 final case class ShardCommitMessage(files: Seq[ShardFormat.FileEntry])
@@ -205,7 +263,17 @@ class GraftShardBatchWrite(
     new GraftShardWriterFactory(path, schema, spec, maxOpenWriters)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    commitWith(messages, streamEpoch = None)
+
+  /** The one commit path, shared by the batch face and the streaming
+    * sink ([[GraftShardStreamingWrite]] passes the (queryId, epochId)
+    * it is publishing; batch passes None). `streamCommits` from the
+    * current manifest always carries forward — a batch append between
+    * two epochs must not amnesia the sink's replay guard. */
+  private[v2] def commitWith(
+      messages: Array[WriterCommitMessage],
+      streamEpoch: Option[(String, Long)]): Unit = {
     val all = messages.toSeq.collect { case m: ShardCommitMessage => m.files }.flatten
     val committed = all.filter(_.rows > 0)
     // empty-partition shards carry no information — drop their files
@@ -281,11 +349,21 @@ class GraftShardBatchWrite(
     val sortedBy: Option[String] =
       if (committed.isEmpty) { if (prior.isEmpty) sortCol else priorSort }
       else sortCol.filter(s => prior.isEmpty || priorSort.contains(s))
+    val streamCommits =
+      current.map(_.streamCommits).getOrElse(Map.empty) ++ streamEpoch
+    // DROP COLUMN tombstones carry through appends/REPLACE WHERE (old
+    // files with the dropped bytes survive) and clear on truncate
+    // (every file replaced — re-adding the name is safe again)
+    val droppedColumns =
+      if (isTruncate) Nil
+      else current.map(_.droppedColumns).getOrElse(Nil)
     ShardFormat.writeManifest(path,
       ShardFormat.Manifest(published, generation, prior ++ committed, spec,
         version = current.map(_.version).getOrElse(0L) + 1,
         createdAtMs = System.currentTimeMillis(),
-        sortedBy = sortedBy))
+        sortedBy = sortedBy,
+        streamCommits = streamCommits,
+        droppedColumns = droppedColumns))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

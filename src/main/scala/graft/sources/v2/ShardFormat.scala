@@ -47,7 +47,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ShardFormat {
 
-  val Magic: Array[Byte] = "GRFTSHD1".getBytes(StandardCharsets.US_ASCII)
+  // v2 (round 11): files are SELF-DESCRIBING — a column header (name +
+  // type tag per stored column) follows the magic, which is what makes
+  // ADD/DROP COLUMN metadata-only operations: a reader under the
+  // current table schema projects any file's columns by NAME, null-
+  // fills added columns old files lack, and byte-skips dropped columns
+  // whose type the table no longer knows (the header remembers it).
+  val Magic: Array[Byte] = "GRFTSHD2".getBytes(StandardCharsets.US_ASCII)
   val ManifestName = "_graft_manifest.json"
   val Version = 1
 
@@ -134,7 +140,18 @@ object ShardFormat {
       // every file's rows are sorted by this column (the write declared
       // RequiresDistributionAndOrdering, so Spark delivered them sorted);
       // cleared by any commit that does not re-declare it
-      sortedBy: Option[String] = None) {
+      sortedBy: Option[String] = None,
+      // streaming-sink exactly-once: highest epoch committed per
+      // streaming queryId. A replayed epoch (post-recovery re-commit)
+      // is detected here and dropped instead of double-appending.
+      // Bounded by the number of distinct queries that ever wrote the
+      // table — not by epochs
+      streamCommits: Map[String, Long] = Map.empty,
+      // tombstones for DROP COLUMN: existing files still STORE the
+      // dropped column's bytes under its name, so re-ADDing that name
+      // would resurrect old values instead of nulls — refused until a
+      // truncate/overwrite replaces every file (which clears this)
+      droppedColumns: Seq[String] = Nil) {
     /** The identity partition column, when that is the spec (the
       * group-by-pushdown and legacy surfaces). */
     def partitionColumn: Option[String] =
@@ -149,6 +166,20 @@ object ShardFormat {
   def bucketOf(key: Long, numBuckets: Int): Int =
     java.lang.Math.floorMod(key, numBuckets.toLong).toInt
 
+  // column type tags for the self-describing file header
+  private def typeTag(dt: DataType): Byte = dt match {
+    case LongType => 0; case IntegerType => 1; case DoubleType => 2
+    case FloatType => 3; case BooleanType => 4; case StringType => 5
+    case BinaryType => 6; case ArrayType(FloatType, _) => 7
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+  private def typeOfTag(tag: Byte): DataType = tag match {
+    case 0 => LongType; case 1 => IntegerType; case 2 => DoubleType
+    case 3 => FloatType; case 4 => BooleanType; case 5 => StringType
+    case 6 => BinaryType; case 7 => ArrayType(FloatType, containsNull = false)
+    case other => throw new java.io.IOException(s"graftshard: unknown type tag $other")
+  }
+
   /** Writes one shard file; the caller feeds [[InternalRow]]s in the
     * full table schema. Not thread-safe (one per Spark task). */
   final class ShardWriter(file: File, schema: StructType) {
@@ -157,6 +188,10 @@ object ShardFormat {
     private val out = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(file), 1 << 20))
     out.write(Magic)
+    // self-describing column header: the file, not the manifest, is the
+    // truth about its own layout (see the Magic note)
+    out.writeShort(fields.length)
+    fields.foreach { f => out.writeByte(typeTag(f.dataType).toInt); out.writeUTF(f.name) }
     private var rowCount = 0L
     private val stats: Array[ColStats] =
       fields.map(f => if (statsEligible(f.dataType)) new ColStats else null)
@@ -229,26 +264,61 @@ object ShardFormat {
   }
 
   /** Sequential reader over one shard file, parsing only the columns in
-    * `readIndices` (indices into the FULL schema, ascending); skipped
+    * `readIndices` (indices into the TABLE schema, ascending); other
     * fields are byte-skipped without materialization. Emits value
-    * arrays positionally aligned with `readIndices`. */
+    * arrays positionally aligned with `readIndices`.
+    *
+    * The file's OWN column header drives decoding (schema evolution):
+    * a wanted table column the file lacks (added after the file was
+    * written) is null-filled; a file column the table no longer has
+    * (dropped) is byte-skipped using the header's type tag; when both
+    * sides have a column its types must agree — type evolution is not a
+    * thing graftshard supports, and a mismatch fails loudly. */
   final class ShardReader(file: File, schema: StructType, readIndices: Array[Int]) {
-    private val fields = schema.fields
-    private val bitmapBytes = (fields.length + 7) / 8
-    // full-schema index -> slot in the output array, -1 when skipped
-    // (slot(i) >= 0 IS the wanted test — one array, no parallel state)
-    private val slot = {
-      val s = Array.fill(fields.length)(-1)
-      readIndices.zipWithIndex.foreach { case (fi, o) => s(fi) = o }
-      s
-    }
     private val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(file), 1 << 20))
     locally {
       val hdr = new Array[Byte](Magic.length)
       in.readFully(hdr)
       if (!java.util.Arrays.equals(hdr, Magic))
-        throw new java.io.IOException(s"graftshard: bad magic in $file")
+        throw new java.io.IOException(s"graftshard: bad magic in $file " +
+          "(a pre-v2 shard, or not a shard file — rewrite the table)")
+    }
+    private val fields: Array[StructField] = {
+      val n = in.readUnsignedShort()
+      Array.fill(n) {
+        val dt = typeOfTag(in.readByte())
+        StructField(in.readUTF(), dt)
+      }
+    }
+    private val bitmapBytes = (fields.length + 7) / 8
+    // file-column index -> slot in the output array, -1 when skipped;
+    // matched BY NAME against the table schema
+    private val slot: Array[Int] = {
+      val tableIdx = schema.fieldNames.zipWithIndex.toMap
+      val outOf = readIndices.zipWithIndex.toMap // table index -> output slot
+      fields.map { f =>
+        tableIdx.get(f.name) match {
+          case Some(ti) =>
+            def norm(dt: DataType): DataType = dt match {
+              case ArrayType(e, _) => ArrayType(e, containsNull = false)
+              case d => d
+            }
+            require(norm(schema.fields(ti).dataType) == norm(f.dataType),
+              s"graftshard: column '${f.name}' stored as ${f.dataType.sql} in " +
+                s"$file but the table declares ${schema.fields(ti).dataType.sql} — " +
+                "type evolution is not supported")
+            outOf.getOrElse(ti, -1)
+          case None => -1 // dropped column: skip by the header's type
+        }
+      }
+    }
+    // wanted table columns the file lacks: null-filled every record
+    private val missingSlots: Array[Int] = {
+      val present = fields.map(_.name).toSet
+      readIndices.zipWithIndex.collect {
+        case (ti, o) if !present.contains(schema.fields(ti).name) => o
+      }
     }
     private val bitmap = new Array[Byte](bitmapBytes)
 
@@ -257,6 +327,8 @@ object ShardFormat {
     def next(values: Array[Any]): Boolean = {
       try in.readFully(bitmap)
       catch { case _: EOFException => in.close(); return false }
+      var ms = 0
+      while (ms < missingSlots.length) { values(missingSlots(ms)) = null; ms += 1 }
       var i = 0
       while (i < fields.length) {
         val isNull = (bitmap(i >> 3) & (1 << (i & 7))) != 0
@@ -389,7 +461,20 @@ object ShardFormat {
     val version = if (root.has("manifestVersion")) root.get("manifestVersion").asLong() else 0L
     val createdAt = if (root.has("createdAtMs")) root.get("createdAtMs").asLong() else 0L
     val sortedBy = if (root.has("sortedBy")) Some(root.get("sortedBy").asText()) else None
-    Some(Manifest(schema, generation, files.result(), partitioning, version, createdAt, sortedBy))
+    val streamCommits = {
+      val b = Map.newBuilder[String, Long]
+      val sc = root.get("streamCommits")
+      if (sc != null) sc.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asLong())
+      b.result()
+    }
+    val dropped = {
+      val b = Seq.newBuilder[String]
+      val dc = root.get("droppedColumns")
+      if (dc != null) dc.forEach(n => b += n.asText())
+      b.result()
+    }
+    Some(Manifest(schema, generation, files.result(), partitioning, version,
+      createdAt, sortedBy, streamCommits, dropped))
   }
 
   /** Atomic publish: write to a temp sibling, then rename over the
@@ -408,6 +493,14 @@ object ShardFormat {
     root.put("manifestVersion", m.version)
     root.put("createdAtMs", m.createdAtMs)
     m.sortedBy.foreach(root.put("sortedBy", _))
+    if (m.streamCommits.nonEmpty) {
+      val sc = root.putObject("streamCommits")
+      m.streamCommits.foreach { case (q, e) => sc.put(q, e): Unit }
+    }
+    if (m.droppedColumns.nonEmpty) {
+      val dc = root.putArray("droppedColumns")
+      m.droppedColumns.foreach(dc.add)
+    }
     m.partitioning.foreach {
       case IdentityPart(c) => root.put("partitionColumn", c): Unit
       case BucketPart(n, c) =>

@@ -1,0 +1,130 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.{GraftShardMaintenance, ShardFormat}
+
+/** Compaction ([[GraftShardMaintenance.compact]]): small shard files
+  * merge into ~targetBytes ones, distributed, with the manifest-swap
+  * commit discipline. Load-bearing pins: row fidelity, the keyed
+  * one-key-per-file invariant, the sorted k-way merge restoring the
+  * zero-sort ordering report that multi-run appends suspended, old
+  * files left as vacuum garbage (never deleted inline), and version/
+  * generation semantics. */
+class GraftShardCompactionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_compact_spec").toString + "/t"
+
+  private def shardFiles(dir: String): Set[String] =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.endsWith(".shard")).toSet
+
+  test("unkeyed compaction: many small files become few, rows identical, old files are vacuum garbage") {
+    val dir = tmp()
+    // 12 tasks -> 12 small files
+    spark.range(0, 600).select(col("id"), (col("id") * 3L).as("v"))
+      .repartition(12)
+      .write.format("graftshard").mode("overwrite").save(dir)
+    val before = ShardFormat.readManifest(dir).get
+    assert(before.files.size == 12)
+    val beforeNames = shardFiles(dir)
+
+    val report = GraftShardMaintenance.compact(spark, dir)
+    val after = ShardFormat.readManifest(dir).get
+    assert(after.files.size < before.files.size)
+    assert(report.replaced.toSet == before.files.map(_.name).toSet)
+    assert(after.version == before.version + 1)
+    assert(after.generation != before.generation,
+      "replaced entries vanish mid-list: streaming prefix offsets must die")
+    // row fidelity through the merge
+    val rows = spark.read.format("graftshard").load(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(rows.toSeq == (0L until 600L).map(id => (id, id * 3)))
+    // old files still on disk (readers may be mid-scan), reclaimed by
+    // vacuum once aged and unreferenced by any retained snapshot
+    assert(beforeNames.subsetOf(shardFiles(dir)))
+    GraftShardMaintenance.expireSnapshots(dir, keepLast = 1)
+    val vr = GraftShardMaintenance.vacuum(dir, minAgeMs = 0L)
+    assert(beforeNames.subsetOf(vr.deleted.toSet))
+    assert(spark.read.format("graftshard").load(dir).count() == 600)
+  }
+
+  test("keyed sorted table: sorted appends pile runs per key and suspend the ordering report; compaction k-way merges and restores zero-sort") {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = tmp()
+      def write(range: (Long, Long), mode: String): Unit =
+        spark.range(range._1, range._2)
+          .select(col("id"), (col("id") % 4).as("k"), (col("id") * 7L).as("v"))
+          .write.format("graftshard")
+          .option("partitionKey", "k").option("sortWithinShards", "id")
+          .mode(mode).save(dir)
+      write((0L, 100L), "overwrite")
+      write((100L, 200L), "append")
+      write((200L, 300L), "append")
+      val m0 = ShardFormat.readManifest(dir).get
+      assert(m0.sortedBy.contains("id"), "sorted-declared appends keep the flag")
+      assert(m0.files.groupBy(_.partition).forall(_._2.size == 3),
+        "each append adds one run per key")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("id")
+      def windowPlan(): String = spark.read.format("graftshard").load(dir)
+        .select(col("k"), col("id"), row_number().over(w).as("rn"))
+        .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(windowPlan().contains("Sort ["),
+        "multiple runs per key must suspend the ordering report")
+
+      val report = GraftShardMaintenance.compact(spark, dir)
+      assert(report.groups == 4, s"one merge group per key: $report")
+      val m1 = ShardFormat.readManifest(dir).get
+      assert(m1.sortedBy.contains("id"))
+      assert(m1.files.groupBy(_.partition).forall(_._2.size == 1),
+        "compaction must restore one file per key")
+      m1.files.foreach { fe =>
+        val (mn, mx, _) = fe.stats("k")
+        assert(mn == fe.partition.get && mx == fe.partition.get, s"mixed keys in $fe")
+      }
+      val live = windowPlan()
+      assert(!live.contains("Exchange"), s"keyed layout lost:\n$live")
+      assert(!live.contains("Sort ["),
+        s"merged runs must restore the zero-sort report:\n$live")
+      // fidelity AND within-key order: ids ascending within each key file
+      val rows = spark.read.format("graftshard").load(dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.sorted.toSeq ==
+        (0L until 300L).map(id => (id, id % 4, id * 7)).sorted)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("unsorted-degraded table compacts by concatenation; flag stays cleared; no-op when nothing to merge") {
+    val dir = tmp()
+    spark.range(0, 50).select(col("id"), (col("id") % 2).as("k"))
+      .write.format("graftshard").option("partitionKey", "k")
+      .option("sortWithinShards", "id").mode("overwrite").save(dir)
+    // unsorted append clears the flag (honest degradation)
+    spark.range(50, 100).select(col("id"), (col("id") % 2).as("k"))
+      .repartition(col("k"))
+      .write.format("graftshard").mode("append").save(dir)
+    assert(ShardFormat.readManifest(dir).get.sortedBy.isEmpty)
+    GraftShardMaintenance.compact(spark, dir)
+    val m = ShardFormat.readManifest(dir).get
+    assert(m.sortedBy.isEmpty, "compaction cannot resurrect an undeclared ordering")
+    assert(m.files.groupBy(_.partition).forall(_._2.size == 1))
+    assert(spark.read.format("graftshard").load(dir).agg(sum("id")).collect()(0)
+      .getLong(0) == (0L until 100L).sum)
+    // second compact: every key already one file -> no-op
+    val r2 = GraftShardMaintenance.compact(spark, dir)
+    assert(r2 == GraftShardMaintenance.CompactReport(0, Nil, Nil))
+  }
+}
