@@ -306,6 +306,58 @@ object ScaleProbe {
       return
     }
 
+    // ------------------------------------------- row-level A/B (rowlevel)
+    // `runMain graft.ScaleProbe rowlevel` — copy-on-write vs
+    // merge-on-read for the SAME selective unaligned DELETE (~1% of
+    // rows, no file provably all-in/out), plus each mode's read tax
+    // after the delete and the compaction cost that purges MoR
+    // vectors. The claim under test: MoR's commit cost tracks the
+    // DELETED volume (KB sidecars) where CoW's tracks the CANDIDATE
+    // volume (every matched file rewritten) — the gap should widen
+    // with corpus scale while reads stay near-par.
+    if (args.headOption.contains("rowlevel")) {
+      val reuse = args.drop(1).contains("reuse")
+      val cd = "/tmp/graft_sf1cd"
+      ensureFixture(cd, 10, reuse)
+      spark.conf.set("spark.sql.catalog.rlprobe", "graft.sources.v2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.rlprobe.warehouse", "/tmp/graft_rlprobe_wh")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS rlprobe.p")
+      spark.range(1000).selectExpr("sum(id)").collect()
+      def t(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      val cd100 = "/tmp/graft_cd100_x100"
+      ensureFixture(cd100, 100, reuse)
+      // warm the whole pipeline (plan shapes, codegen, codec JIT) on a
+      // throwaway cell so the measured 1x cells are not JIT-confounded
+      var warming = true
+      for (pass <- Seq("warm", "measure");
+           (dir, tag) <- (if (warming) Seq((src, "1x"))
+                          else Seq((src, "1x"), (cd, "10x"), (cd100, "100x")));
+           mode <- Seq("copy-on-write", "merge-on-read")) {
+        val tbl = s"rlprobe.p.t_${pass}_${tag}_${mode.take(4).replace('-', '_')}"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("n_chars"))
+          .repartitionByRange(32, col("doc_id"))
+          .writeTo(tbl).using("graftshard").create()
+        val nRows = spark.table(tbl).count()
+        spark.conf.set("spark.graftshard.rowLevel.mode", mode)
+        val del = t(spark.sql(s"DELETE FROM $tbl WHERE doc_id % 101 = 5"))
+        spark.conf.unset("spark.graftshard.rowLevel.mode")
+        val read = t(spark.table(tbl)
+          .agg(sum(length(col("text"))), count(lit(1))).collect())
+        val comp = t(graft.sources.v2.GraftShardMaintenance
+          .compact(spark, s"/tmp/graft_rlprobe_wh/p/${tbl.split('.').last}"))
+        if (!warming)
+          println(f"PROBE-ROWLEVEL $tag%-5s $mode%-14s rows=$nRows%9d delete=$del%6.2f " +
+            f"read_after=$read%6.2f compact=$comp%6.2f")
+        if (pass == "warm" && mode == "merge-on-read") warming = false
+      }
+      spark.stop()
+      return
+    }
+
     // ------------------------------------------------ SPJ A/B (spj)
     // `runMain graft.ScaleProbe spj` — the graftshard keyed layout vs the
     // SAME data in unkeyed graftshard tables, on the x43 window workload

@@ -1241,6 +1241,30 @@ object ExtensionQueries {
       FROM $cat.x48.docs d JOIN $cat.x48.embs e ON d.doc_id = e.vec_id""")
   }
 
+  /** x47's statement pair under the MERGE-ON-READ tier
+    * (`spark.graftshard.rowLevel.mode=merge-on-read` —
+    * [[graft.sources.v2.GraftShardDeltaOperation]]): the same unaligned
+    * DELETE + UPDATE commit as delete-vector sidecars and insert files
+    * instead of rewriting candidates — the KB-commit-on-TB-file trade —
+    * and the same oracle must hold (the two tiers are answer-equivalent
+    * BY CONTRACT; GraftShardMergeOnReadSpec pins the mechanics: no
+    * shard file touched, vector merge, stats-surface refusals,
+    * compaction purge). */
+  private def x51(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureGraftCatalog(s, dir)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x51")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x51.docs")
+    table(s, dir, "documents").select("doc_id", "n_chars", "source")
+      .repartitionByRange(8, col("doc_id"))
+      .writeTo(s"$cat.x51.docs").using("graftshard").create()
+    s.conf.set("spark.graftshard.rowLevel.mode", "merge-on-read")
+    try {
+      s.sql(s"DELETE FROM $cat.x51.docs WHERE doc_id % 7 = 3")
+      s.sql(s"UPDATE $cat.x51.docs SET n_chars = n_chars + 1000 WHERE doc_id % 5 = 0")
+    } finally s.conf.unset("spark.graftshard.rowLevel.mode")
+    s.table(s"$cat.x51.docs")
+  }
+
   /** Schema evolution end to end: ADD COLUMN is metadata-only (v2
     * shard files are self-describing, so old files null-fill the new
     * column at read time — no rewrite), then the row-level tier FILLS
@@ -4675,6 +4699,13 @@ object ExtensionQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_chars,
         row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS seq
       FROM documents""")),
+
+    // merge-on-read tier: x47's statements via delete vectors
+    Q("x51_shard_merge_on_read", x51, Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars,
+        source
+      FROM documents WHERE doc_id % 7 <> 3""")),
 
     // row-level tier: copy-on-write DELETE + UPDATE, unaligned predicates
     Q("x47_shard_row_level", x47, Some("""

@@ -41,10 +41,12 @@ object GraftShardMaintenance {
   def vacuum(dir: String, minAgeMs: Long = DefaultMinAgeMs): VacuumReport = {
     val m = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
       s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
-    val live = (m.files.map(_.name) ++
-      ShardFormat.listVersions(dir)
-        .flatMap(v => ShardFormat.readManifestVersion(dir, v))
-        .flatMap(_.files.map(_.name))).toSet
+    val referenced = m.files ++ ShardFormat.listVersions(dir)
+      .flatMap(v => ShardFormat.readManifestVersion(dir, v))
+      .flatMap(_.files)
+    // live = shard files AND their merge-on-read delete-vector sidecars
+    // of every loadable version
+    val live = (referenced.map(_.name) ++ referenced.flatMap(_.deletes)).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val deleted = Seq.newBuilder[String]
     val keptRecent = Seq.newBuilder[String]
@@ -52,9 +54,9 @@ object GraftShardMaintenance {
     Option(new File(dir).listFiles()).getOrElse(Array.empty).foreach { f =>
       val n = f.getName
       val candidate =
-        (n.endsWith(".shard") && !live.contains(n)) ||
+        ((n.endsWith(".shard") || n.endsWith(".dvs")) && !live.contains(n)) ||
           n.startsWith(s"${ShardFormat.ManifestName}.tmp-")
-      if (n.endsWith(".shard") && live.contains(n)) keptLive += 1
+      if ((n.endsWith(".shard") || n.endsWith(".dvs")) && live.contains(n)) keptLive += 1
       else if (candidate) {
         if (f.lastModified() <= cutoff) { if (f.delete()) deleted += n }
         else keptRecent += n
@@ -105,24 +107,29 @@ object GraftShardMaintenance {
       targetBytes: Long = 128L * 1024 * 1024): CompactReport = {
     val m = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
       s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
-    val groups: Seq[(Option[Long], Seq[String])] =
+    val groups: Seq[(Option[Long], Seq[(String, Option[String])])] =
       m.files.groupBy(_.partition).toSeq.sortBy(_._1).flatMap { case (p, fes) =>
-        val small = fes.filter(_.bytes < targetBytes)
-        if (small.size < 2) Nil
+        // small files merge; files carrying merge-on-read delete
+        // vectors are candidates REGARDLESS of size (a singleton
+        // rewrite purges the vector and restores full pushdown)
+        val small = fes.filter(fe => fe.bytes < targetBytes || fe.deletes.isDefined)
+        def keep(b: Seq[ShardFormat.FileEntry]): Boolean =
+          b.size >= 2 || b.exists(_.deletes.isDefined)
+        if (small.isEmpty) Nil
         else {
           // greedy chunking to ~targetBytes, manifest order (sorted
           // runs of the same key merge in any order)
-          val bins = Seq.newBuilder[Seq[String]]
-          var cur = Vector.empty[String]; var sz = 0L
+          val bins = Seq.newBuilder[Seq[ShardFormat.FileEntry]]
+          var cur = Vector.empty[ShardFormat.FileEntry]; var sz = 0L
           small.foreach { fe =>
             if (cur.nonEmpty && sz + fe.bytes > targetBytes) {
-              if (cur.size >= 2) bins += cur
+              if (keep(cur)) bins += cur
               cur = Vector.empty; sz = 0L
             }
-            cur :+= fe.name; sz += fe.bytes
+            cur :+= fe; sz += fe.bytes
           }
-          if (cur.size >= 2) bins += cur
-          bins.result().map(b => (p, b))
+          if (keep(cur)) bins += cur
+          bins.result().map(b => (p, b.map(fe => (fe.name, fe.deletes))))
         }
       }
     if (groups.isEmpty) return CompactReport(0, Nil, Nil)
@@ -131,11 +138,11 @@ object GraftShardMaintenance {
     val sortType: DataType =
       if (sortIdx < 0) NullType else schema.fields(sortIdx).dataType
     val newEntries: Array[ShardFormat.FileEntry] =
-      spark.sparkContext.parallelize(groups, groups.size).map { case (p, names) =>
+      spark.sparkContext.parallelize(groups, groups.size).map { case (p, members) =>
         val name = s"compact-${java.util.UUID.randomUUID().toString.take(12)}.shard"
         val w = new ShardFormat.ShardWriter(new File(dir, name), schema)
         try {
-          GraftShardMaintenance.streamGroup(dir, names, schema, sortIdx, sortType)
+          GraftShardMaintenance.streamGroup(dir, members, schema, sortIdx, sortType)
             .foreach(w.write)
           val (bytes, rows, stats, allNull) = w.finish()
           ShardFormat.FileEntry(name, bytes, rows, stats, allNull, p)
@@ -143,7 +150,7 @@ object GraftShardMaintenance {
       }.collect()
     val current = ShardFormat.readManifest(dir).getOrElse(
       throw new IllegalStateException(s"graftshard: table at '$dir' vanished during compaction"))
-    val replaced = groups.flatMap(_._2).toSet
+    val replaced = groups.flatMap(_._2.map(_._1)).toSet
     val names = current.files.map(_.name).toSet
     if (!replaced.subsetOf(names)) {
       newEntries.foreach(fe => new File(dir, fe.name).delete())
@@ -168,13 +175,18 @@ object GraftShardMaintenance {
     * merged output is too. */
   private[v2] def streamGroup(
       dir: String,
-      names: Seq[String],
+      names: Seq[(String, Option[String])],
       schema: StructType,
       sortIdx: Int,
       sortType: DataType): Iterator[InternalRow] = {
-    def readerOf(n: String): Iterator[InternalRow] = {
+    def readerOf(nd: (String, Option[String])): Iterator[InternalRow] = {
+      // the partition reader APPLIES the member's delete vector, so a
+      // compacted file is clean: sidecar refs drop from the manifest
+      // and the old vectors become vacuum garbage
       val r = new GraftShardPartitionReader(
-        Array((new File(dir, n).getPath, 0L)), schema, schema, Array.empty[Filter])
+        Array((new File(dir, nd._1).getPath, 0L,
+          nd._2.map(d => new File(dir, d).getPath))),
+        schema, schema, Array.empty[Filter])
       new Iterator[InternalRow] {
         private var ready = r.next()
         override def hasNext: Boolean = ready

@@ -154,12 +154,23 @@ class GraftShardTable(
     * file). Served by the reader from the file it is decoding; pruned
     * away like any column when unreferenced. */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = "_shard_file"
-      override def dataType(): DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "manifest-relative shard file name this row came from"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_shard_file"
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "manifest-relative shard file name this row came from"
+      },
+      // PHYSICAL row ordinal within its shard file (counts rows the
+      // reader skipped via filters or delete vectors too) — with
+      // _shard_file this is the stable row id the merge-on-read delta
+      // tier keys its delete vectors on
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "physical row ordinal within the shard file"
+      })
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
@@ -191,7 +202,21 @@ class GraftShardTable(
     require(pinned.isEmpty,
       s"graftshard: cannot ${info.command} a time-travel snapshot ${name()} — " +
         "snapshots are read-only history; operate on the current table")
-    new GraftShardRowLevelBuilder(path, tableSchema, info)
+    // rewrite strategy: copy-on-write (default — rewrite candidate
+    // files; zero read-side tax) vs merge-on-read (delete-vector
+    // sidecars; KB-sized commits on TB-sized files, read-side skip tax
+    // until compaction purges). Session-selectable, the Iceberg
+    // write.delete.mode idea
+    val mode = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graftshard.rowLevel.mode", "copy-on-write")
+    mode match {
+      case "copy-on-write" => new GraftShardRowLevelBuilder(path, tableSchema, info)
+      case "merge-on-read" =>
+        () => new GraftShardDeltaOperation(path, tableSchema, info.command)
+      case other => throw new IllegalArgumentException(
+        s"graftshard: unknown spark.graftshard.rowLevel.mode '$other' — " +
+          "use copy-on-write or merge-on-read")
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -294,6 +319,9 @@ class GraftShardScanBuilder(
   private def computeAggregation(a: Aggregation): Option[ShardAggResult] = {
     if (pushed.nonEmpty) return None
     val m = manifest
+    // merge-on-read deletes: manifest rows/stats are PHYSICAL and would
+    // overcount — the pushdown refuses rather than lies
+    if (m.files.exists(_.deletes.isDefined)) return None
     def colType(c: String): Option[DataType] =
       m.schema.fields.find(_.name == c).map(_.dataType)
     def integral(c: String): Boolean =
@@ -372,11 +400,12 @@ class GraftShardScanBuilder(
   * is what lets Spark line partitions up across scans for a
   * storage-partitioned join. */
 sealed trait ShardFilesPartition extends InputPartition {
-  def files: Array[(String, Long)]
+  /** (shard path, physical rows, delete-vector sidecar path if any). */
+  def files: Array[(String, Long, Option[String])]
 }
-final case class ShardInputPartition(files: Array[(String, Long)]) extends ShardFilesPartition
+final case class ShardInputPartition(files: Array[(String, Long, Option[String])]) extends ShardFilesPartition
 final case class ShardKeyedInputPartition(
-    files: Array[(String, Long)],
+    files: Array[(String, Long, Option[String])],
     key: Long,
     keyIsLong: Boolean) extends ShardFilesPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -445,7 +474,8 @@ class GraftShardScan(
   private def selected: Seq[ShardFormat.FileEntry] = {
     val skipped = manifest.files.filter(fe =>
       (pushed ++ runtime).forall(ShardFilters.mayContain(_, fe)))
-    limit.filter(_ => pushed.isEmpty && runtime.isEmpty) match {
+    limit.filter(_ => pushed.isEmpty && runtime.isEmpty &&
+        !skipped.exists(_.deletes.isDefined)) match {
       case Some(l) =>
         var acc = 0L
         skipped.takeWhile { fe => val need = acc < l; acc += fe.rows; need }
@@ -517,7 +547,8 @@ class GraftShardScan(
     override def numRows(): OptionalLong = agg match {
       case Some(r) => OptionalLong.of(r.rows.size.toLong)
       case None =>
-        if (pushed.isEmpty) OptionalLong.of(selected.map(_.rows).sum)
+        if (pushed.isEmpty)
+          OptionalLong.of(selected.map(fe => fe.rows - fe.deletedRows).sum)
         else OptionalLong.empty()
     }
   }
@@ -535,7 +566,8 @@ class GraftShardScan(
         }
         selected.groupBy(_.partition.get).toSeq.sortBy(_._1).map { case (k, fes) =>
           ShardKeyedInputPartition(
-            fes.map(fe => (new File(path, fe.name).getPath, fe.rows)).toArray,
+            fes.map(fe => (new File(path, fe.name).getPath, fe.rows,
+              fe.deletes.map(d => new File(path, d).getPath))).toArray,
             k, keyIsLong): InputPartition
         }.toArray
       case None => GraftShardScan.binPack(path, selected, targetBytes)
@@ -579,24 +611,25 @@ object GraftShardScan {
       selected: Seq[ShardFormat.FileEntry],
       targetBytes: Long): Array[InputPartition] = {
     val bins = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
+      .empty[(scala.collection.mutable.ArrayBuffer[(String, Long, Option[String])], Long)]
     // remaining capacity -> indices of open bins with exactly that much
     val byRemaining = new java.util.TreeMap[Long, List[Int]]()
     def register(remaining: Long, idx: Int): Unit =
       if (remaining > 0)
         byRemaining.merge(remaining, List(idx), (a, b) => b ::: a)
     selected.sortBy(-_.bytes).foreach { fe =>
-      val full = new File(path, fe.name).getPath
+      val slice = (new File(path, fe.name).getPath, fe.rows,
+        fe.deletes.map(d => new File(path, d).getPath))
       val e = byRemaining.ceilingEntry(fe.bytes)
       if (e == null) {
-        bins += ((scala.collection.mutable.ArrayBuffer(full -> fe.rows), fe.bytes))
+        bins += ((scala.collection.mutable.ArrayBuffer(slice), fe.bytes))
         register(targetBytes - fe.bytes, bins.length - 1)
       } else {
         val idx :: rest = e.getValue: @unchecked
         if (rest.isEmpty) byRemaining.remove(e.getKey)
         else byRemaining.put(e.getKey, rest)
         val (buf, sz) = bins(idx)
-        buf += (full -> fe.rows)
+        buf += slice
         bins(idx) = (buf, sz + fe.bytes)
         register(e.getKey - fe.bytes, idx)
       }
@@ -685,7 +718,8 @@ class GraftShardMicroBatchStream(
     m.files.slice(so.fileCount.toInt, eo.fileCount.toInt)
       .filter(fe => pushed.forall(ShardFilters.mayContain(_, fe)))
       .map(fe => ShardInputPartition(
-        Array((new File(path, fe.name).getPath, fe.rows))): InputPartition)
+        Array((new File(path, fe.name).getPath, fe.rows,
+          fe.deletes.map(d => new File(path, d).getPath)))): InputPartition)
       .toArray
   }
 
@@ -713,7 +747,7 @@ class GraftShardReaderFactory(
   * required and filter columns, evaluates pushed filters, emits rows
   * in required-column order. O(1) state — one open file, one row. */
 class GraftShardPartitionReader(
-    files: Array[(String, Long)],
+    files: Array[(String, Long, Option[String])],
     fullSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
@@ -726,21 +760,25 @@ class GraftShardPartitionReader(
   private var emitted: Int = 0
 
   private val MetaFileCol = "_shard_file"
+  private val MetaPosCol = "_pos"
   private val fullIndex: Map[String, Int] =
     fullSchema.fieldNames.zipWithIndex.toMap
   // metadata columns are served by THIS reader (from the file it is
   // decoding), never decoded from records
   private val dataRequired: Array[String] =
-    required.fieldNames.filterNot(_ == MetaFileCol)
+    required.fieldNames.filterNot(c => c == MetaFileCol || c == MetaPosCol)
   private val filterCols: Array[String] =
     pushed.flatMap(_.references).distinct.filterNot(dataRequired.contains)
   // read layout: required data columns first, then filter-only columns
   private val readCols: Array[String] = dataRequired ++ filterCols
   private val readIndices: Array[Int] = readCols.map(fullIndex)
   private val slotOf: Map[String, Int] = readCols.zipWithIndex.toMap
-  // output position -> value slot; -1 = the _shard_file metadata column
-  private val outMap: Array[Int] =
-    required.fieldNames.map(c => if (c == MetaFileCol) -1 else slotOf(c))
+  // output position -> value slot; -1 = _shard_file, -2 = _pos
+  private val outMap: Array[Int] = required.fieldNames.map {
+    case MetaFileCol => -1
+    case MetaPosCol => -2
+    case c => slotOf(c)
+  }
   private val hasMeta = outMap.exists(_ < 0)
   private val evals: Array[Array[Any] => Boolean] =
     pushed.map(ShardFilters.compile(_, slotOf, fullSchema))
@@ -749,6 +787,12 @@ class GraftShardPartitionReader(
   private var fileIdx = -1
   private var reader: ShardFormat.ShardReader = _
   private var fileName: UTF8String = _
+  // physical ordinal of the row just decoded (counts filter- and
+  // delete-skipped rows too: with _shard_file it is the stable row id)
+  private var pos: Long = -1L
+  // merge-on-read: sorted delete-vector ordinals for the current file
+  private var dv: Array[Long] = Array.emptyLongArray
+  private var dvIdx: Int = 0
   private var row: GenericInternalRow = _
 
   override def next(): Boolean = {
@@ -763,22 +807,36 @@ class GraftShardPartitionReader(
           val f = new File(files(fileIdx)._1)
           fileName = UTF8String.fromString(f.getName)
           reader = new ShardFormat.ShardReader(f, fullSchema, readIndices)
+          pos = -1L
+          dv = files(fileIdx)._3
+            .map(d => ShardFormat.readDeleteVector(new File(d)))
+            .getOrElse(Array.emptyLongArray)
+          dvIdx = 0
         }
       } else if (!reader.next(values)) {
         reader = null // ShardReader closed itself at EOF
-      } else if (evals.forall(_(values))) {
-        val out = new Array[Any](required.length)
-        if (!hasMeta) System.arraycopy(values, 0, out, 0, required.length)
-        else {
-          var j = 0
-          while (j < outMap.length) {
-            out(j) = if (outMap(j) < 0) fileName else values(outMap(j))
-            j += 1
+      } else {
+        pos += 1
+        if (dvIdx < dv.length && dv(dvIdx) == pos) {
+          dvIdx += 1 // merge-on-read deleted row: skip, keep counting
+        } else if (evals.forall(_(values))) {
+          val out = new Array[Any](required.length)
+          if (!hasMeta) System.arraycopy(values, 0, out, 0, required.length)
+          else {
+            var j = 0
+            while (j < outMap.length) {
+              out(j) = outMap(j) match {
+                case -1 => fileName
+                case -2 => Long.box(pos)
+                case s => values(s)
+              }
+              j += 1
+            }
           }
+          row = new GenericInternalRow(out)
+          emitted += 1
+          advanced = true
         }
-        row = new GenericInternalRow(out)
-        emitted += 1
-        advanced = true
       }
     }
     advanced

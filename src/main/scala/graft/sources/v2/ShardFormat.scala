@@ -106,7 +106,14 @@ object ShardFormat {
       // when the table is partitioned ([[Manifest.partitionColumn]]):
       // the single key value every row of this file carries — the
       // storage-partitioned-join currency (one file = one key)
-      partition: Option[Long] = None)
+      partition: Option[Long] = None,
+      // merge-on-read deletes: name of this file's delete-vector
+      // sidecar (sorted physical row ordinals the reader skips) and how
+      // many ordinals it holds. `rows`/`stats` stay PHYSICAL — every
+      // consumer that needs live counts must subtract `deletedRows`
+      // (statistics) or refuse (aggregate pushdown, limit file-cut)
+      deletes: Option[String] = None,
+      deletedRows: Long = 0L)
 
   /** The table's at-rest clustering: every shard file holds rows of ONE
     * partition value — the key itself (identity) or `floorMod(key, n)`
@@ -165,6 +172,49 @@ object ShardFormat {
     * a drifted reimplementation would silently mis-join. */
   def bucketOf(key: Long, numBuckets: Int): Int =
     java.lang.Math.floorMod(key, numBuckets.toLong).toInt
+
+  // ------------------------------------------------- delete vectors (MoR)
+
+  private val DvMagic: Array[Byte] = "GRFTDV1\u0000".getBytes(StandardCharsets.US_ASCII)
+
+  /** Writes a delete-vector sidecar (sorted distinct physical row
+    * ordinals) under a fresh name; sidecars are IMMUTABLE — merging
+    * with an existing vector writes a new file and orphans the old one
+    * (vacuum's problem, by design). */
+  def writeDeleteVector(dir: File, ordinals: Array[Long]): String = {
+    java.util.Arrays.sort(ordinals)
+    val name = s"dv-${java.util.UUID.randomUUID().toString.take(12)}.dvs"
+    val out = new DataOutputStream(
+      new BufferedOutputStream(new FileOutputStream(new File(dir, name)), 1 << 16))
+    try {
+      out.write(DvMagic)
+      out.writeLong(ordinals.length.toLong)
+      var i = 0
+      var prev = -1L
+      while (i < ordinals.length) {
+        require(ordinals(i) != prev, s"duplicate delete ordinal ${ordinals(i)}")
+        out.writeLong(ordinals(i)); prev = ordinals(i); i += 1
+      }
+    } finally out.close()
+    name
+  }
+
+  /** Reads a sidecar back: sorted ordinals. */
+  def readDeleteVector(file: File): Array[Long] = {
+    val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(file), 1 << 16))
+    try {
+      val hdr = new Array[Byte](DvMagic.length)
+      in.readFully(hdr)
+      if (!java.util.Arrays.equals(hdr, DvMagic))
+        throw new java.io.IOException(s"graftshard: bad delete-vector magic in $file")
+      val n = in.readLong().toInt
+      val a = new Array[Long](n)
+      var i = 0
+      while (i < n) { a(i) = in.readLong(); i += 1 }
+      a
+    } finally in.close()
+  }
 
   // column type tags for the self-describing file header
   private def typeTag(dt: DataType): Byte = dt match {
@@ -455,8 +505,13 @@ object ShardFormat {
       }
       val partition =
         if (fn.has("partition")) Some(fn.get("partition").asLong()) else None
+      val deletes =
+        if (fn.has("deletes")) Some(fn.get("deletes").asText()) else None
+      val deletedRows =
+        if (fn.has("deletedRows")) fn.get("deletedRows").asLong() else 0L
       files += FileEntry(fn.get("name").asText(), fn.get("bytes").asLong(),
-        fn.get("rows").asLong(), present.result(), allNull.result(), partition)
+        fn.get("rows").asLong(), present.result(), allNull.result(), partition,
+        deletes, deletedRows)
     }
     val version = if (root.has("manifestVersion")) root.get("manifestVersion").asLong() else 0L
     val createdAt = if (root.has("createdAtMs")) root.get("createdAtMs").asLong() else 0L
@@ -514,6 +569,9 @@ object ShardFormat {
       fn.put("bytes", fe.bytes)
       fn.put("rows", fe.rows)
       fe.partition.foreach(fn.put("partition", _))
+      fe.deletes.foreach { d =>
+        fn.put("deletes", d); fn.put("deletedRows", fe.deletedRows): Unit
+      }
       val st = fn.putObject("stats")
       fe.stats.foreach { case (c, (mn, mx, nl)) =>
         val cn = st.putObject(c)
