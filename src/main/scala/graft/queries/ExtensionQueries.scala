@@ -1337,6 +1337,55 @@ object ExtensionQueries {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
   }
 
+  /** SUM pushdown from the manifest (x42's shape plus sums): per-file
+    * EXACT sums are recorded at write time (dropped on overflow — a
+    * lying sum is worse than none), so grouped sum/count/min/max
+    * rollups are answered entirely from one driver-side manifest read —
+    * zero file opens (GraftShardSourceSpec proves it by deleting the
+    * shard files; per-group AND total overflow refuse at plan time).
+    * At 100 TB this turns corpus-level accounting queries (total
+    * chars/tokens per shard) into metadata lookups. */
+  private def x52(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x52", dir)
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        col("n_chars"),
+        when(pmod(col("n_chars"), lit(3)) =!= 0, col("n_chars")).as("maybe_chars"),
+        pmod(col("doc_id"), lit(16)).as("shard_key"))
+      .repartition(col("shard_key"))
+      .write.format("graftshard").option("partitionKey", "shard_key")
+      .mode("overwrite").save(out)
+    s.read.format("graftshard").load(out)
+      .groupBy("shard_key")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("maybe_chars")).as("sum_maybe"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+  }
+
+  /** Z-order clustering end to end: documents written
+    * `zorderBy=doc_id,n_chars` (the write range-partitions + sorts by
+    * the Morton interleave via the catalog's `zorder` function), then a
+    * 2-D box predicate — which prunes files on BOTH dimensions from the
+    * manifest's now-tight min/max boxes, where a 1-D sort gives useless
+    * full-range stats on the second column (GraftShardZOrderSpec pins
+    * the pruning asymmetry against the 1-D control). At 100 TB this is
+    * multi-column data skipping from layout alone — Delta's OPTIMIZE
+    * ZORDER idea as a declarative write property. */
+  private def x53(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureGraftCatalog(s, dir)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x53")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x53.docs")
+    table(s, dir, "documents").select("doc_id", "n_chars", "source")
+      .writeTo(s"$cat.x53.docs").using("graftshard")
+      .option("zorderBy", "doc_id,n_chars")
+      .option("writePartitions", "16")
+      .create()
+    s.table(s"$cat.x53.docs")
+      .where(col("doc_id") % 2 === 0 &&
+        col("doc_id") < 3000 && col("n_chars").between(200, 900))
+  }
+
   /** Hierarchical subtotals via rollup (grouping sets). */
   private def x3(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "lineitem")
@@ -4655,6 +4704,19 @@ object ExtensionQueries {
         count(CASE WHEN n_chars % 3 <> 0 THEN n_chars END) AS n_chars_nonnull,
         min(doc_id) AS min_doc, max(doc_id) AS max_doc
       FROM documents GROUP BY 1""")),
+
+    // SUM pushdown: grouped sums answered from the manifest alone
+    Q("x52_shard_sum_pushdown", x52, Some("""
+      SELECT doc_id % 16 AS shard_key, count(*) AS n_rows,
+        sum(n_chars)::BIGINT AS sum_chars,
+        sum(CASE WHEN n_chars % 3 <> 0 THEN n_chars END)::BIGINT AS sum_maybe,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM documents GROUP BY 1""")),
+
+    // z-order clustering: 2-D box skipping from the Morton layout
+    Q("x53_shard_zorder", x53, Some("""
+      SELECT doc_id, n_chars, source FROM documents
+      WHERE doc_id % 2 = 0 AND doc_id < 3000 AND n_chars BETWEEN 200 AND 900""")),
 
     // catalog + bucket transform: zero-shuffle join on the raw id columns
     Q("x44_shard_bucketed_join", x44, Some("""

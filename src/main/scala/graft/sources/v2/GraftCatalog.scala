@@ -315,13 +315,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   // ---------------------------------------------------------- functions
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty, "bucket"), Identifier.of(Array.empty, "zorder"))
     else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name == "bucket") GraftBucketFunction
+    else if (ident.name == "zorder") GraftZOrderFunction
     else throw new NoSuchFunctionException(ident)
+}
+
+/** The SQL-visible half of [[ShardFormat.zOrderOf]] — the write path
+  * resolves the `zorder(a, b)` ordering transform through this
+  * function ([[GraftShardZOrderWrite]]), and the `invoke` magic keeps
+  * the per-row interleave inside codegen. */
+object GraftZOrderFunction extends UnboundFunction {
+  override def name(): String = "zorder"
+  override def description(): String =
+    "zorder(a, b): Morton bit-interleave of two integral keys (2-D clustering)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"zorder expects (a, b), got ${inputType.simpleString}")
+    inputType.fields.foreach { f =>
+      require(f.dataType == LongType || f.dataType == IntegerType,
+        s"zorder: unsupported key type ${f.dataType.sql} (long/int)")
+    }
+    ZOrderLongFunction
+  }
+}
+
+object ZOrderLongFunction extends ScalarFunction[java.lang.Long] {
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(LongType, LongType)
+  override def resultType(): org.apache.spark.sql.types.DataType = LongType
+  override def name(): String = "zorder"
+  override def canonicalName(): String = "graftshard.zorder"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): java.lang.Long =
+    ShardFormat.zOrderOf(input.getLong(0), input.getLong(1))
+  def invoke(a: Long, b: Long): Long = ShardFormat.zOrderOf(a, b)
 }
 
 /** The SQL-visible half of [[ShardFormat.bucketOf]] — Spark resolves

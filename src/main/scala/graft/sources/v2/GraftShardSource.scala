@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, SortDirection, SortOrder, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -365,6 +365,34 @@ class GraftShardScanBuilder(
           }
         case mn: Min => minMax(columnName(mn.column), isMin = true)
         case mx: Max => minMax(columnName(mx.column), isMin = false)
+        case sm: Sum if !sm.isDistinct =>
+          // exact per-file sums recorded at write time; answered only
+          // when EVERY file carries one (all-null files contribute 0
+          // via allNull) — a file written before sums existed, or whose
+          // sum overflowed, refuses the whole pushdown. The total is
+          // added with addExact: a true overflow refuses too, and the
+          // real scan then raises Spark's own ANSI arithmetic error.
+          columnName(sm.column).filter(cn => integral(cn) &&
+            m.files.forall(fe => fe.sums.contains(cn) || fe.allNull.contains(cn)))
+            .filter { cn =>
+              // overflow-safe at DECISION time for every subset the
+              // evaluator can later see: the whole table and each
+              // partition group (opposite-signed files can cancel
+              // globally yet overflow within one group)
+              def adds(fes: Seq[ShardFormat.FileEntry]): Boolean =
+                scala.util.Try(fes.foldLeft(0L)((a, fe) =>
+                  Math.addExact(a, fe.sums.getOrElse(cn, 0L)))).isSuccess
+              adds(m.files) && m.files.groupBy(_.partition).values.forall(adds)
+            }
+            .map { cn =>
+              (StructField(s"sum($cn)", LongType, nullable = true),
+                (fes: Seq[ShardFormat.FileEntry]) => {
+                  // SQL: SUM over zero non-null values is NULL
+                  if (fes.forall(fe => !fe.stats.contains(cn))) null
+                  else Long.box(fes.foldLeft(0L)((a, fe) =>
+                    Math.addExact(a, fe.sums.getOrElse(cn, 0L))))
+                })
+            }
         case _ => None
       }
 

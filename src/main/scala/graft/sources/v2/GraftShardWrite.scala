@@ -139,12 +139,49 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
         s"graftshard: sortWithinShards column '$c' not in write schema")
       c
     }
+    // Z-ORDER layout (`option("zorderBy", "a,b")`, catalog face): the
+    // write declares an ORDERED distribution on the Morton interleave
+    // of the two columns (resolved through the catalog's `zorder`
+    // function, codegen'd via its invoke magic), so Spark
+    // range-partitions and sorts the rows by z-value — every shard file
+    // covers one z-range, i.e. a RECTANGLE-ish region of the 2-D key
+    // space, and the manifest's per-file min/max on BOTH columns become
+    // tight boxes. A 2-D box predicate then prunes to the files whose
+    // boxes intersect it — multi-column data skipping from layout
+    // alone, where a 1-D sort gives tight boxes on one column and
+    // useless full-range stats on the other. (Delta's OPTIMIZE ZORDER
+    // idea, expressed as a declarative write property.)
+    val zorderCols = Option(info.options.get("zorderBy")).map { s0 =>
+      val cs = s0.split(',').map(_.trim).toSeq
+      require(cs.length == 2,
+        s"graftshard: zorderBy needs exactly two columns 'a,b', got '$s0'")
+      require(spec.isEmpty && sortCol.isEmpty,
+        "graftshard: zorderBy is mutually exclusive with partitionKey/" +
+          "sortWithinShards (z-order IS the clustering)")
+      cs.foreach { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"graftshard: zorderBy column '$c' not in write schema"))
+        require(f.dataType == LongType || f.dataType == IntegerType,
+          s"graftshard: zorderBy column '$c' must be integral (long/int), " +
+            s"got ${f.dataType.sql}")
+      }
+      cs
+    }
     val replace = replaceFilters
     val maxOpen = Option(info.options.get("maxOpenWriters")).map(_.toInt).getOrElse(64)
     val queryId = info.queryId()
     (sortCol, spec) match {
       case (Some(s), Some(sp)) =>
         new GraftShardWriteWithOrdering(path, schema, replace, sp, s, maxOpen, queryId)
+      case _ if zorderCols.isDefined =>
+        val Seq(a, b) = zorderCols.get
+        // writePartitions pins the range-partition count (0 = let Spark
+        // + AQE size them — the production default; tests and targeted
+        // layouts pin it)
+        val nParts = Option(info.options.get("writePartitions"))
+          .map(_.toInt).getOrElse(0)
+        new GraftShardZOrderWrite(path, schema, replace, a, b, maxOpen, nParts)
       case _ =>
         // sortCol here is provably None: a defined sortWithinShards
         // requires a partition spec (the require above)
@@ -191,6 +228,37 @@ class GraftShardWriteWithOrdering(
     new GraftShardStreamingWrite(path, queryId,
       new GraftShardBatchWrite(path, schema, replace, Some(spec), Some(sortCol),
         maxOpenWriters))
+}
+
+/** The z-ordered write (see the zorderBy note in
+  * [[GraftShardWriteBuilder.build]]): ordered distribution + ordering
+  * on `zorder(a, b)` — Spark range-partitions AND sorts by the Morton
+  * value before rows reach the plain writer; the layout benefit lives
+  * entirely in the manifest's per-file min/max boxes, so the scan
+  * needs no new code and no flag. */
+class GraftShardZOrderWrite(
+    path: String,
+    schema: StructType,
+    replace: Option[Array[Filter]],
+    colA: String,
+    colB: String,
+    maxOpenWriters: Int,
+    numPartitions: Int = 0)
+    extends Write with RequiresDistributionAndOrdering {
+
+  private def z: org.apache.spark.sql.connector.expressions.Expression =
+    Expressions.apply("zorder", Expressions.column(colA), Expressions.column(colB))
+
+  override def requiredNumPartitions(): Int = numPartitions
+
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(Array(Expressions.sort(z, SortDirection.ASCENDING)))
+
+  override def requiredOrdering(): Array[SortOrder] =
+    Array(Expressions.sort(z, SortDirection.ASCENDING))
+
+  override def toBatch: BatchWrite =
+    new GraftShardBatchWrite(path, schema, replace, None, None, maxOpenWriters)
 }
 
 /** The streaming sink face: micro-batch epochs commit through the ONE
@@ -404,7 +472,8 @@ class GraftShardDataWriter(path: String, schema: StructType, partitionId: Int, t
 
   override def commit(): WriterCommitMessage = {
     val (bytes, rows, stats, allNull) = writer.finish()
-    ShardCommitMessage(Seq(ShardFormat.FileEntry(name, bytes, rows, stats, allNull)))
+    ShardCommitMessage(Seq(ShardFormat.FileEntry(name, bytes, rows, stats, allNull,
+      sums = writer.sums)))
   }
 
   override def abort(): Unit = writer.abort()
@@ -454,7 +523,8 @@ class GraftShardKeyedDataWriter(
 
   private def finishInto(key: Long, name: String, w: ShardFormat.ShardWriter): Unit = {
     val (bytes, rows, stats, allNull) = w.finish()
-    rotated += ShardFormat.FileEntry(name, bytes, rows, stats, allNull, Some(key))
+    rotated += ShardFormat.FileEntry(name, bytes, rows, stats, allNull, Some(key),
+      sums = w.sums)
     rotatedNames += name
   }
 

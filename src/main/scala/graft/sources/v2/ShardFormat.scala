@@ -87,10 +87,18 @@ object ShardFormat {
     var max: Long = Long.MinValue
     var nulls: Long = 0L
     var nonNull: Long = 0L
+    // running sum for SUM pushdown; dropped (not clamped) on overflow —
+    // a lying sum is worse than no sum
+    var sum: Long = 0L
+    var sumOverflow: Boolean = false
     def update(v: Long): Unit = {
       if (v < min) min = v
       if (v > max) max = v
       nonNull += 1
+      if (!sumOverflow) {
+        try sum = Math.addExact(sum, v)
+        catch { case _: ArithmeticException => sumOverflow = true }
+      }
     }
   }
 
@@ -113,7 +121,10 @@ object ShardFormat {
       // consumer that needs live counts must subtract `deletedRows`
       // (statistics) or refuse (aggregate pushdown, limit file-cut)
       deletes: Option[String] = None,
-      deletedRows: Long = 0L)
+      deletedRows: Long = 0L,
+      // col -> exact sum of its non-null values (SUM pushdown); absent
+      // when the file has no non-null values or the sum overflowed
+      sums: Map[String, Long] = Map.empty)
 
   /** The table's at-rest clustering: every shard file holds rows of ONE
     * partition value — the key itself (identity) or `floorMod(key, n)`
@@ -172,6 +183,29 @@ object ShardFormat {
     * a drifted reimplementation would silently mis-join. */
   def bucketOf(key: Long, numBuckets: Int): Int =
     java.lang.Math.floorMod(key, numBuckets.toLong).toInt
+
+  /** Morton (Z-order) interleave for 2-D clustering: bit-interleaves
+    * the low 32 bits of each key (clamped to [0, 2^32) — ids, bucket
+    * ids, timestamps-in-seconds all fit; values outside saturate, which
+    * only coarsens locality at the extremes, never breaks the order's
+    * totality), sign-flipped so SIGNED long comparison equals unsigned
+    * z-value order. One definition shared by the SQL-visible `zorder`
+    * function and the writer's ordering — drift would silently
+    * de-cluster the layout. */
+  def zOrderOf(a: Long, b: Long): Long = {
+    def clamp(x: Long): Long =
+      if (x < 0L) 0L else if (x > 0xFFFFFFFFL) 0xFFFFFFFFL else x
+    def spread(x0: Long): Long = {
+      var v = x0 & 0xFFFFFFFFL
+      v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+      v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v << 2)) & 0x3333333333333333L
+      v = (v | (v << 1)) & 0x5555555555555555L
+      v
+    }
+    ((spread(clamp(a)) << 1) | spread(clamp(b))) ^ Long.MinValue
+  }
 
   // ------------------------------------------------- delete vectors (MoR)
 
@@ -293,22 +327,32 @@ object ShardFormat {
       rowCount += 1
     }
 
-    /** Returns (bytes, rows, presentStats, allNullStats). */
+    /** Returns (bytes, rows, presentStats, allNullStats); per-column
+      * sums are exposed by [[sums]] after this call. */
     def finish(): (Long, Long, Map[String, (Long, Long, Long)], Map[String, Long]) = {
       out.close()
       val present = Map.newBuilder[String, (Long, Long, Long)]
       val allNull = Map.newBuilder[String, Long]
+      val sm = Map.newBuilder[String, Long]
       var i = 0
       while (i < fields.length) {
         val s = stats(i)
         if (s != null) {
-          if (s.nonNull > 0) present += fields(i).name -> ((s.min, s.max, s.nulls))
+          if (s.nonNull > 0) {
+            present += fields(i).name -> ((s.min, s.max, s.nulls))
+            if (!s.sumOverflow) sm += fields(i).name -> s.sum
+          }
           else allNull += fields(i).name -> s.nulls
         }
         i += 1
       }
+      finishedSums = sm.result()
       (file.length(), rowCount, present.result(), allNull.result())
     }
+
+    private var finishedSums: Map[String, Long] = Map.empty
+    /** Valid after [[finish]]: exact per-column sums for SUM pushdown. */
+    def sums: Map[String, Long] = finishedSums
 
     def abort(): Unit = { out.close(); file.delete(): Unit }
   }
@@ -496,11 +540,14 @@ object ShardFormat {
     root.get("files").forEach { fn =>
       val present = Map.newBuilder[String, (Long, Long, Long)]
       val allNull = Map.newBuilder[String, Long]
+      val sums = Map.newBuilder[String, Long]
       val stats = fn.get("stats")
       if (stats != null) stats.fields().forEachRemaining { e =>
         val v = e.getValue
-        if (v.has("min"))
+        if (v.has("min")) {
           present += e.getKey -> ((v.get("min").asLong(), v.get("max").asLong(), v.get("nulls").asLong()))
+          if (v.has("sum")) sums += e.getKey -> v.get("sum").asLong()
+        }
         else allNull += e.getKey -> v.get("nulls").asLong()
       }
       val partition =
@@ -511,7 +558,7 @@ object ShardFormat {
         if (fn.has("deletedRows")) fn.get("deletedRows").asLong() else 0L
       files += FileEntry(fn.get("name").asText(), fn.get("bytes").asLong(),
         fn.get("rows").asLong(), present.result(), allNull.result(), partition,
-        deletes, deletedRows)
+        deletes, deletedRows, sums.result())
     }
     val version = if (root.has("manifestVersion")) root.get("manifestVersion").asLong() else 0L
     val createdAt = if (root.has("createdAtMs")) root.get("createdAtMs").asLong() else 0L
@@ -575,7 +622,8 @@ object ShardFormat {
       val st = fn.putObject("stats")
       fe.stats.foreach { case (c, (mn, mx, nl)) =>
         val cn = st.putObject(c)
-        cn.put("min", mn); cn.put("max", mx); cn.put("nulls", nl): Unit
+        cn.put("min", mn); cn.put("max", mx); cn.put("nulls", nl)
+        fe.sums.get(c).foreach(cn.put("sum", _)): Unit
       }
       fe.allNull.foreach { case (c, nl) => st.putObject(c).put("nulls", nl): Unit }
     }

@@ -576,18 +576,52 @@ class GraftShardSourceSpec extends AnyFunSuite {
       s"filtered aggregate must NOT be answered from per-file totals:\n$planStr")
   }
 
-  test("aggregate pushdown refuses unsupported shapes (sum, distinct, strings)") {
+  test("aggregate pushdown refuses unsupported shapes (distinct, strings)") {
     val dir = tmp()
     sampleDf().write.format("graftshard").mode("overwrite").save(dir)
     val t = spark.read.format("graftshard").load(dir)
     for ((df, tag) <- Seq(
-        (t.agg(sum(col("id")).as("x")), "sum"),
         (t.agg(countDistinct(col("id")).as("x")), "count distinct"),
         (t.agg(max(col("s")).as("x")), "string max"))) {
       assert(!df.queryExecution.executedPlan.toString.contains("pushedAggregates"),
         s"$tag must not push")
       assert(df.collect().length == 1, tag)
     }
+  }
+
+  test("SUM pushdown: exact per-file sums answered from the manifest ALONE; overflow refuses") {
+    val dir = tmp()
+    spark.range(0, 1000)
+      .select(col("id"), (col("id") % 7).as("k"),
+        when(col("id") % 3 =!= 0, col("id") * 11L).as("maybe"))
+      .repartition(col("k"))
+      .write.format("graftshard").option("partitionKey", "k")
+      .mode("overwrite").save(dir)
+    def agg() = spark.read.format("graftshard").load(dir)
+      .groupBy("k").agg(sum(col("id")).as("s"), sum(col("maybe")).as("sm"),
+        count(lit(1)).as("n"))
+    val plan = agg().queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAggregates"), s"sum must push:\n$plan")
+    val expect = (0L until 1000L).groupBy(_ % 7).map { case (k, ids) =>
+      k -> ((ids.sum, ids.filter(_ % 3 != 0).map(_ * 11L).sum, ids.size.toLong))
+    }
+    val got = agg().collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+    // answered with ZERO file opens: delete the shards, answers survive
+    Option(new File(dir).listFiles()).get
+      .filter(_.getName.endsWith(".shard")).foreach(_.delete())
+    assert(agg().collect().length == 7, "sum must come from the manifest alone")
+
+    // a table whose total WOULD overflow refuses the pushdown (the real
+    // scan then raises Spark's own ANSI error, never a wrapped lie)
+    val dir2 = tmp()
+    spark.range(0, 4).select((lit(Long.MaxValue / 2)).as("v"))
+      .coalesce(1)
+      .write.format("graftshard").mode("overwrite").save(dir2)
+    val df2 = spark.read.format("graftshard").load(dir2).agg(sum(col("v")))
+    assert(!df2.queryExecution.executedPlan.toString.contains("pushedAggregates"),
+      "overflowing sum must refuse the pushdown")
   }
 
   test("limit pushdown: LIMIT n plans only the files that cover n rows") {
