@@ -1386,6 +1386,29 @@ object ExtensionQueries {
         col("doc_id") < 3000 && col("n_chars").between(200, 900))
   }
 
+  /** String-stats file skipping end to end: documents clustered by
+    * `lang` (the canonical corpus layout), so each shard file's manifest
+    * entry carries EXACT lang/source bounds ([[graft.sources.v2
+    * .ShardFormat.StrStatsMaxBytes]] cap; the long `text` column drops
+    * its bounds by the same no-lie rule and costs nothing) — the
+    * lang-equality + source-prefix predicate then prunes whole files at
+    * plan time AND is absorbed row-level by the source. At 100 TB,
+    * `lang = 'en'` over a lang-clustered corpus reads only the English
+    * shards — the curation filter as a layout property, no partition
+    * columns needed (GraftShardSourceSpec pins pruning, exactness, and
+    * the metadata-DELETE-on-strings consequence). */
+  private def x54(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x54", dir)
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+      .repartition(col("lang"))
+      .write.format("graftshard").mode("overwrite").save(out)
+    s.read.format("graftshard").load(out)
+      .where(col("lang") === "en" && col("source").startsWith("src1") &&
+        col("n_chars") >= 100)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** Hierarchical subtotals via rollup (grouping sets). */
   private def x3(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "lineitem")
@@ -4717,6 +4740,11 @@ object ExtensionQueries {
     Q("x53_shard_zorder", x53, Some("""
       SELECT doc_id, n_chars, source FROM documents
       WHERE doc_id % 2 = 0 AND doc_id < 3000 AND n_chars BETWEEN 200 AND 900""")),
+
+    // string-stats skipping: lang-clustered corpus, lang + source-prefix predicate
+    Q("x54_shard_string_skipping", x54, Some("""
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE lang = 'en' AND source LIKE 'src1%' AND n_chars >= 100""")),
 
     // catalog + bucket transform: zero-shuffle join on the raw id columns
     Q("x44_shard_bucketed_join", x44, Some("""

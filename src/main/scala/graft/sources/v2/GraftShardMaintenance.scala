@@ -145,7 +145,8 @@ object GraftShardMaintenance {
           GraftShardMaintenance.streamGroup(dir, members, schema, sortIdx, sortType)
             .foreach(w.write)
           val (bytes, rows, stats, allNull) = w.finish()
-          ShardFormat.FileEntry(name, bytes, rows, stats, allNull, p, sums = w.sums)
+          ShardFormat.FileEntry(name, bytes, rows, stats, allNull, p,
+            sums = w.sums, strStats = w.strStats)
         } catch { case t: Throwable => w.abort(); throw t }
       }.collect()
     val current = ShardFormat.readManifest(dir).getOrElse(

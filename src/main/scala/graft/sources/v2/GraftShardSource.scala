@@ -33,11 +33,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     columns the query needs (row-oriented shards: pruning saves
   *     decode + row width; the IO win is the next bullet — the
   *     scaladoc is honest about which is which).
-  *   - `SupportsPushDownFilters`: comparison/null/IN predicates on
-  *     integral, string and boolean columns are absorbed by the
-  *     source. Integral ones additionally prune WHOLE FILES from the
-  *     manifest's min/max/null-count stats at planning time — zero
-  *     file opens, the Iceberg/Delta data-skipping idea. Floating
+  *   - `SupportsPushDownFilters`: comparison/null/IN/prefix predicates
+  *     on integral, string and boolean columns are absorbed by the
+  *     source. Integral AND string ones additionally prune WHOLE FILES
+  *     from the manifest's min/max/null-count stats at planning time —
+  *     zero file opens, the Iceberg/Delta data-skipping idea. String
+  *     bounds are EXACT but cap-bounded per file (one value over
+  *     [[ShardFormat.StrStatsMaxBytes]] drops that file's bounds —
+  *     conservative, never wrong; the skipping currency is short
+  *     low-cardinality keys: lang, source, category). Floating
   *     predicates are left to Spark (NaN ordering; see
   *     [[ShardFormat.statsEligible]]).
   *   - `SupportsReportStatistics`: post-pushdown size estimate from
@@ -328,6 +332,11 @@ class GraftShardScanBuilder(
       colType(c).exists(dt => dt == LongType || dt == IntegerType)
     def tracked(c: String): Boolean =
       m.files.forall(fe => fe.stats.contains(c) || fe.allNull.contains(c))
+    // string bounds are conditional (byte cap): EVERY file must carry
+    // them (or be all-null) or the pushdown refuses
+    def strTracked(c: String): Boolean =
+      colType(c).contains(StringType) &&
+        m.files.forall(fe => fe.strStats.contains(c) || fe.allNull.contains(c))
     def box(dt: DataType, v: Long): Any =
       if (dt == LongType) Long.box(v) else Int.box(v.toInt)
 
@@ -349,7 +358,19 @@ class GraftShardScanBuilder(
             val vals = fes.flatMap(_.stats.get(c)).map(s => if (isMin) s._1 else s._2)
             if (vals.isEmpty) null else box(dt, if (isMin) vals.min else vals.max)
           })
-      }
+      }.orElse(col.filter(strTracked).map { c =>
+        // string bounds are exact when present, so MIN/MAX fold from the
+        // manifest; combined in UTF8String byte order (the engine's),
+        // never JVM String order (UTF-16 code units diverge past BMP)
+        (StructField(s"${if (isMin) "min" else "max"}($c)", StringType, nullable = true),
+          (fes: Seq[ShardFormat.FileEntry]) => {
+            val vals = fes.flatMap(_.strStats.get(c))
+              .map(s => UTF8String.fromString(if (isMin) s._1 else s._2))
+            if (vals.isEmpty) null
+            else vals.reduce((a, b) =>
+              if (isMin == (a.compareTo(b) <= 0)) a else b)
+          })
+      })
 
     val funcs: Seq[Option[(StructField, Seq[ShardFormat.FileEntry] => Any)]] =
       a.aggregateExpressions().toSeq.map {
@@ -357,12 +378,16 @@ class GraftShardScanBuilder(
           (StructField("count(*)", LongType, nullable = false),
             (fes: Seq[ShardFormat.FileEntry]) => Long.box(fes.map(_.rows).sum)))
         case c: Count if !c.isDistinct =>
-          columnName(c.column).filter(cn => integral(cn) && tracked(cn)).map { cn =>
-            (StructField(s"count($cn)", LongType, nullable = false),
-              (fes: Seq[ShardFormat.FileEntry]) => Long.box(fes.map { fe =>
-                fe.rows - fe.stats.get(cn).map(_._3).orElse(fe.allNull.get(cn)).getOrElse(0L)
-              }.sum))
-          }
+          columnName(c.column)
+            .filter(cn => (integral(cn) && tracked(cn)) || strTracked(cn))
+            .map { cn =>
+              (StructField(s"count($cn)", LongType, nullable = false),
+                (fes: Seq[ShardFormat.FileEntry]) => Long.box(fes.map { fe =>
+                  fe.rows - fe.stats.get(cn).map(_._3)
+                    .orElse(fe.strStats.get(cn).map(_._3))
+                    .orElse(fe.allNull.get(cn)).getOrElse(0L)
+                }.sum))
+            }
         case mn: Min => minMax(columnName(mn.column), isMin = true)
         case mx: Max => minMax(columnName(mx.column), isMin = false)
         case sm: Sum if !sm.isDistinct =>
@@ -895,13 +920,21 @@ object ShardFilters {
   private def integral(c: String, schema: StructType): Boolean =
     colType(c, schema).exists(dt => dt == LongType || dt == IntegerType)
 
+  private def stringCol(c: String, schema: StructType): Boolean =
+    colType(c, schema).contains(StringType)
+
+  /** Range comparisons are pushable on integral AND string columns —
+    * strings compare in UTF8String's unsigned byte order (= Unicode
+    * codepoint order), the order Spark's own comparisons use, so the
+    * absorbed evaluation can never disagree with the engine's. */
   def pushable(f: Filter, schema: StructType): Boolean = f match {
     case EqualTo(c, v) => v != null && colType(c, schema).exists(comparable)
-    case GreaterThan(c, _) => integral(c, schema)
-    case GreaterThanOrEqual(c, _) => integral(c, schema)
-    case LessThan(c, _) => integral(c, schema)
-    case LessThanOrEqual(c, _) => integral(c, schema)
+    case GreaterThan(c, v) => integral(c, schema) || (v.isInstanceOf[String] && stringCol(c, schema))
+    case GreaterThanOrEqual(c, v) => integral(c, schema) || (v.isInstanceOf[String] && stringCol(c, schema))
+    case LessThan(c, v) => integral(c, schema) || (v.isInstanceOf[String] && stringCol(c, schema))
+    case LessThanOrEqual(c, v) => integral(c, schema) || (v.isInstanceOf[String] && stringCol(c, schema))
     case In(c, vs) => vs.forall(_ != null) && colType(c, schema).exists(comparable)
+    case StringStartsWith(c, p) => p != null && stringCol(c, schema)
     case IsNull(c) => colType(c, schema).isDefined
     case IsNotNull(c) => colType(c, schema).isDefined
     case _ => false
@@ -923,9 +956,12 @@ object ShardFilters {
     * every referenced column carries min/max/null-count (integral
     * types). For these, "stats cannot prove all-match" means "the file
     * really holds a non-matching or null row" — the REPLACE WHERE
-    * commit check is entitled to reject on a failed proof. String and
-    * boolean columns carry no stats, so their proofs are vacuous and
-    * must not reject. */
+    * commit check is entitled to reject on a failed proof. Boolean
+    * columns carry no stats, and string bounds are only CONDITIONALLY
+    * present (dropped past [[ShardFormat.StrStatsMaxBytes]]), so their
+    * proofs can be vacuous and must not reject — string predicates
+    * still get opportunistic metadata DELETEs via [[mustMatchAll]]/
+    * [[mayContain]], they just can't ENTITLE a commit rejection. */
   def statsDecidable(f: Filter, schema: StructType): Boolean = f match {
     case _: AlwaysTrue | _: AlwaysFalse => true
     case other => decidable(other, schema) &&
@@ -939,61 +975,114 @@ object ShardFilters {
   def provablyAllInOrAllOut(filters: Array[Filter], fe: ShardFormat.FileEntry): Boolean =
     filters.forall(mustMatchAll(_, fe)) || !filters.forall(mayContain(_, fe))
 
+  private def u8(s: String): UTF8String = UTF8String.fromString(s)
+
   /** PROOF that every row of the file satisfies the filter, from
     * per-file stats alone — the dual of [[mayContain]]. Conservative:
-    * false whenever stats cannot prove it (strings/booleans carry no
-    * stats; any null makes a comparison UNKNOWN, so comparisons demand
-    * a zero null count). */
+    * false whenever stats cannot prove it (booleans carry no stats; a
+    * string file with a cap-exceeding value carries none; any null
+    * makes a comparison UNKNOWN, so comparisons demand a zero null
+    * count). String bounds are EXACT ([[ShardFormat.StrStatsMaxBytes]]
+    * rule), so when present they prove just like integral ones — which
+    * is what admits metadata-only DELETE / REPLACE WHERE on string
+    * predicates over string-clustered layouts. */
   def mustMatchAll(f: Filter, fe: ShardFormat.FileEntry): Boolean = {
     def stat(c: String): Option[(Long, Long, Long)] = fe.stats.get(c)
+    def sstat(c: String): Option[(UTF8String, UTF8String, Long)] =
+      fe.strStats.get(c).map { case (mn, mx, nl) => (u8(mn), u8(mx), nl) }
     def nulls(c: String): Option[Long] =
-      fe.stats.get(c).map(_._3).orElse(fe.allNull.get(c))
+      fe.stats.get(c).map(_._3).orElse(fe.strStats.get(c).map(_._3))
+        .orElse(fe.allNull.get(c))
     f match {
       case _: AlwaysTrue => true
       case _: AlwaysFalse => false
+      case EqualTo(c, v: String) =>
+        sstat(c).exists { case (mn, mx, nl) =>
+          nl == 0 && mn == mx && mn == u8(v) }
       case EqualTo(c, v) =>
         stat(c).exists { case (mn, mx, nl) => nl == 0 && mn == mx && mn == asLong(v) }
+      case In(c, vs) if vs.forall(_.isInstanceOf[String]) =>
+        sstat(c).exists { case (mn, mx, nl) =>
+          nl == 0 && mn == mx && vs.exists(v => u8(v.asInstanceOf[String]) == mn) }
       case In(c, vs) =>
         stat(c).exists { case (mn, mx, nl) =>
           nl == 0 && mn == mx && vs.exists(v => asLong(v) == mn) }
+      case GreaterThan(c, v: String) =>
+        sstat(c).exists { case (mn, _, nl) => nl == 0 && mn.compareTo(u8(v)) > 0 }
       case GreaterThan(c, v) =>
         stat(c).exists { case (mn, _, nl) => nl == 0 && mn > asLong(v) }
+      case GreaterThanOrEqual(c, v: String) =>
+        sstat(c).exists { case (mn, _, nl) => nl == 0 && mn.compareTo(u8(v)) >= 0 }
       case GreaterThanOrEqual(c, v) =>
         stat(c).exists { case (mn, _, nl) => nl == 0 && mn >= asLong(v) }
+      case LessThan(c, v: String) =>
+        sstat(c).exists { case (_, mx, nl) => nl == 0 && mx.compareTo(u8(v)) < 0 }
       case LessThan(c, v) =>
         stat(c).exists { case (_, mx, nl) => nl == 0 && mx < asLong(v) }
+      case LessThanOrEqual(c, v: String) =>
+        sstat(c).exists { case (_, mx, nl) => nl == 0 && mx.compareTo(u8(v)) <= 0 }
       case LessThanOrEqual(c, v) =>
         stat(c).exists { case (_, mx, nl) => nl == 0 && mx <= asLong(v) }
+      case StringStartsWith(c, p) =>
+        // every string in [min, max] starts with p iff both bounds do
+        sstat(c).exists { case (mn, mx, nl) =>
+          nl == 0 && mn.startsWith(u8(p)) && mx.startsWith(u8(p)) }
       case IsNull(c) => nulls(c).contains(fe.rows)
       case IsNotNull(c) => nulls(c).contains(0L)
       case _ => false
     }
   }
 
-  /** Sound file-level skip test from manifest stats. Only integral
-    * columns carry min/max; everything else answers "may contain". */
+  /** Sound file-level skip test from manifest stats. Integral and
+    * (cap-bounded) string columns carry min/max; everything else —
+    * including a string file whose bounds were dropped by the byte cap
+    * — answers "may contain". */
   def mayContain(f: Filter, fe: ShardFormat.FileEntry): Boolean = {
     def range(c: String): Option[(Long, Long)] = fe.stats.get(c).map(s => (s._1, s._2))
+    def srange(c: String): Option[(UTF8String, UTF8String)] =
+      fe.strStats.get(c).map { case (mn, mx, _) => (u8(mn), u8(mx)) }
     def tracked(c: String): Boolean = fe.stats.contains(c) || fe.allNull.contains(c)
+    def strTracked(c: String): Boolean = fe.strStats.contains(c) || fe.allNull.contains(c)
     def nulls(c: String): Long =
-      fe.stats.get(c).map(_._3).orElse(fe.allNull.get(c)).getOrElse(0L)
+      fe.stats.get(c).map(_._3).orElse(fe.strStats.get(c).map(_._3))
+        .orElse(fe.allNull.get(c)).getOrElse(0L)
     f match {
       case _: AlwaysTrue => true
       case _: AlwaysFalse => false
-      case EqualTo(c, v) if tracked(c) =>
+      case EqualTo(c, v: String) if strTracked(c) =>
+        srange(c).exists { case (mn, mx) =>
+          u8(v).compareTo(mn) >= 0 && u8(v).compareTo(mx) <= 0 }
+      case EqualTo(c, v) if !v.isInstanceOf[String] && tracked(c) =>
         range(c).exists { case (mn, mx) => asLong(v) >= mn && asLong(v) <= mx }
-      case GreaterThan(c, v) if tracked(c) =>
+      case GreaterThan(c, v: String) if strTracked(c) =>
+        srange(c).exists(_._2.compareTo(u8(v)) > 0)
+      case GreaterThan(c, v) if !v.isInstanceOf[String] && tracked(c) =>
         range(c).exists(_._2 > asLong(v))
-      case GreaterThanOrEqual(c, v) if tracked(c) =>
+      case GreaterThanOrEqual(c, v: String) if strTracked(c) =>
+        srange(c).exists(_._2.compareTo(u8(v)) >= 0)
+      case GreaterThanOrEqual(c, v) if !v.isInstanceOf[String] && tracked(c) =>
         range(c).exists(_._2 >= asLong(v))
-      case LessThan(c, v) if tracked(c) =>
+      case LessThan(c, v: String) if strTracked(c) =>
+        srange(c).exists(_._1.compareTo(u8(v)) < 0)
+      case LessThan(c, v) if !v.isInstanceOf[String] && tracked(c) =>
         range(c).exists(_._1 < asLong(v))
-      case LessThanOrEqual(c, v) if tracked(c) =>
+      case LessThanOrEqual(c, v: String) if strTracked(c) =>
+        srange(c).exists(_._1.compareTo(u8(v)) <= 0)
+      case LessThanOrEqual(c, v) if !v.isInstanceOf[String] && tracked(c) =>
         range(c).exists(_._1 <= asLong(v))
-      case In(c, vs) if tracked(c) =>
+      case In(c, vs) if vs.forall(_.isInstanceOf[String]) && strTracked(c) =>
+        srange(c).exists { case (mn, mx) => vs.exists { v =>
+          val s = u8(v.asInstanceOf[String])
+          s.compareTo(mn) >= 0 && s.compareTo(mx) <= 0 } }
+      case In(c, vs) if vs.forall(v => !v.isInstanceOf[String]) && tracked(c) =>
         range(c).exists { case (mn, mx) => vs.exists(v => asLong(v) >= mn && asLong(v) <= mx) }
-      case IsNull(c) if tracked(c) => nulls(c) > 0
-      case IsNotNull(c) if tracked(c) => nulls(c) < fe.rows
+      case StringStartsWith(c, p) if strTracked(c) =>
+        // [min, max] intersects {s : s startsWith p} = [p, p∥∞) iff
+        // max ≥ p and min < p∥∞ (i.e. min < p or min startsWith p)
+        srange(c).exists { case (mn, mx) =>
+          mx.compareTo(u8(p)) >= 0 && (mn.compareTo(u8(p)) < 0 || mn.startsWith(u8(p))) }
+      case IsNull(c) if tracked(c) || strTracked(c) => nulls(c) > 0
+      case IsNotNull(c) if tracked(c) || strTracked(c) => nulls(c) < fe.rows
       case _ => true
     }
   }
@@ -1008,15 +1097,27 @@ object ShardFilters {
       case (IntegerType, n: Number) => java.lang.Integer.valueOf(n.intValue())
       case (_, other) => other
     }
-    def cmp(c: String, v: Any): (Array[Any], (Long, Long) => Boolean) => Boolean = {
-      val slot = slotOf(c)
-      val lit = asLong(v)
-      (vals, op) => vals(slot) match {
-        case null => false
-        case n: Number => op(n.longValue(), lit)
-        case other => throw new IllegalStateException(s"non-numeric in cmp: $other")
+    // three-way comparator against the literal: integral via Long,
+    // strings via UTF8String byte order (the engine's own order)
+    def cmp(c: String, v: Any): (Array[Any], Int => Boolean) => Boolean =
+      colType(c, schema).get match {
+        case StringType =>
+          val slot = slotOf(c)
+          val lit = UTF8String.fromString(v.asInstanceOf[String])
+          (vals, op) => vals(slot) match {
+            case null => false
+            case u: UTF8String => op(u.compareTo(lit))
+            case other => throw new IllegalStateException(s"non-string in cmp: $other")
+          }
+        case _ =>
+          val slot = slotOf(c)
+          val lit = asLong(v)
+          (vals, op) => vals(slot) match {
+            case null => false
+            case n: Number => op(java.lang.Long.compare(n.longValue(), lit))
+            case other => throw new IllegalStateException(s"non-numeric in cmp: $other")
+          }
       }
-    }
     f match {
       case EqualTo(c, v) =>
         val slot = slotOf(c); val lit = norm(c, v)
@@ -1024,10 +1125,17 @@ object ShardFilters {
       case In(c, vs) =>
         val slot = slotOf(c); val lits = vs.map(norm(c, _)).toSet
         vals => vals(slot) != null && lits.contains(vals(slot))
-      case GreaterThan(c, v) => val e = cmp(c, v); vals => e(vals, _ > _)
-      case GreaterThanOrEqual(c, v) => val e = cmp(c, v); vals => e(vals, _ >= _)
-      case LessThan(c, v) => val e = cmp(c, v); vals => e(vals, _ < _)
-      case LessThanOrEqual(c, v) => val e = cmp(c, v); vals => e(vals, _ <= _)
+      case GreaterThan(c, v) => val e = cmp(c, v); vals => e(vals, _ > 0)
+      case GreaterThanOrEqual(c, v) => val e = cmp(c, v); vals => e(vals, _ >= 0)
+      case LessThan(c, v) => val e = cmp(c, v); vals => e(vals, _ < 0)
+      case LessThanOrEqual(c, v) => val e = cmp(c, v); vals => e(vals, _ <= 0)
+      case StringStartsWith(c, p) =>
+        val slot = slotOf(c); val lit = UTF8String.fromString(p)
+        vals => vals(slot) match {
+          case null => false
+          case u: UTF8String => u.startsWith(lit)
+          case other => throw new IllegalStateException(s"non-string in startsWith: $other")
+        }
       case IsNull(c) => val slot = slotOf(c); vals => vals(slot) == null
       case IsNotNull(c) => val slot = slotOf(c); vals => vals(slot) != null
       case other => throw new IllegalArgumentException(s"not pushable: $other")

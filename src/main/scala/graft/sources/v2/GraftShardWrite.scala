@@ -473,7 +473,7 @@ class GraftShardDataWriter(path: String, schema: StructType, partitionId: Int, t
   override def commit(): WriterCommitMessage = {
     val (bytes, rows, stats, allNull) = writer.finish()
     ShardCommitMessage(Seq(ShardFormat.FileEntry(name, bytes, rows, stats, allNull,
-      sums = writer.sums)))
+      sums = writer.sums, strStats = writer.strStats)))
   }
 
   override def abort(): Unit = writer.abort()
@@ -524,7 +524,7 @@ class GraftShardKeyedDataWriter(
   private def finishInto(key: Long, name: String, w: ShardFormat.ShardWriter): Unit = {
     val (bytes, rows, stats, allNull) = w.finish()
     rotated += ShardFormat.FileEntry(name, bytes, rows, stats, allNull, Some(key),
-      sums = w.sums)
+      sums = w.sums, strStats = w.strStats)
     rotatedNames += name
   }
 

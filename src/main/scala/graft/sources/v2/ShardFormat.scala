@@ -79,6 +79,44 @@ object ShardFormat {
     case _ => false
   }
 
+  /** String columns carry EXACT min/max bounds — but only while every
+    * non-null value in the file stays ≤ [[StrStatsMaxBytes]] bytes; ONE
+    * longer value drops the column's string stats for that file (the
+    * sum-overflow "no lie" rule). Exactness over Iceberg's
+    * truncate-and-increment: truncated bounds can only prune
+    * ([[GraftShardSource]] `mayContain`), exact bounds also PROVE
+    * (`mustMatchAll`) — which is what admits metadata-only DELETE /
+    * REPLACE WHERE on string predicates. The cap costs nothing real:
+    * skipping currency lives in short low-cardinality keys (lang,
+    * source, category — the corpus-curation filters); a long text
+    * column's bounds would be dead weight in an O(files) manifest. */
+  def strStatsEligible(dt: DataType): Boolean = dt == StringType
+  val StrStatsMaxBytes = 64
+
+  /** Running exact min/max/nulls for one string column of one shard
+    * file; `dropped` once any value exceeds the byte cap. Comparison is
+    * UTF8String's unsigned byte order = Unicode codepoint order — the
+    * same order Spark's own string comparisons use, so bounds and
+    * predicates can never disagree. */
+  final class StrStats {
+    var min: UTF8String = null
+    var max: UTF8String = null
+    var nulls: Long = 0L
+    var nonNull: Long = 0L
+    var dropped: Boolean = false
+    def update(v: UTF8String): Unit = {
+      nonNull += 1
+      if (!dropped) {
+        if (v.numBytes() > StrStatsMaxBytes) { dropped = true; min = null; max = null }
+        else {
+          // v may view a reused task buffer — copy on retention
+          if (min == null || v.compareTo(min) < 0) min = v.copy()
+          if (max == null || v.compareTo(max) > 0) max = v.copy()
+        }
+      }
+    }
+  }
+
   // ---------------------------------------------------------------- codec
 
   /** Running min/max/nulls for one integral column of one shard file. */
@@ -124,7 +162,11 @@ object ShardFormat {
       deletedRows: Long = 0L,
       // col -> exact sum of its non-null values (SUM pushdown); absent
       // when the file has no non-null values or the sum overflowed
-      sums: Map[String, Long] = Map.empty)
+      sums: Map[String, Long] = Map.empty,
+      // string col -> (exact min, exact max, nulls); absent when any
+      // value exceeded StrStatsMaxBytes or the file has no non-null
+      // values (all-null string columns land in `allNull`)
+      strStats: Map[String, (String, String, Long)] = Map.empty)
 
   /** The table's at-rest clustering: every shard file holds rows of ONE
     * partition value — the key itself (identity) or `floorMod(key, n)`
@@ -279,6 +321,8 @@ object ShardFormat {
     private var rowCount = 0L
     private val stats: Array[ColStats] =
       fields.map(f => if (statsEligible(f.dataType)) new ColStats else null)
+    private val sstats: Array[StrStats] =
+      fields.map(f => if (strStatsEligible(f.dataType)) new StrStats else null)
 
     def write(row: InternalRow): Unit = {
       val bitmap = new Array[Byte](bitmapBytes)
@@ -287,6 +331,7 @@ object ShardFormat {
         if (row.isNullAt(i)) {
           bitmap(i >> 3) = (bitmap(i >> 3) | (1 << (i & 7))).toByte
           if (stats(i) != null) stats(i).nulls += 1
+          if (sstats(i) != null) sstats(i).nulls += 1
         }
         i += 1
       }
@@ -303,7 +348,9 @@ object ShardFormat {
             case FloatType => out.writeFloat(row.getFloat(i))
             case BooleanType => out.writeBoolean(row.getBoolean(i))
             case StringType =>
-              val b = row.getUTF8String(i).getBytes
+              val u = row.getUTF8String(i)
+              sstats(i).update(u)
+              val b = u.getBytes
               out.writeInt(b.length); out.write(b)
             case BinaryType =>
               val b = row.getBinary(i)
@@ -334,6 +381,7 @@ object ShardFormat {
       val present = Map.newBuilder[String, (Long, Long, Long)]
       val allNull = Map.newBuilder[String, Long]
       val sm = Map.newBuilder[String, Long]
+      val ss = Map.newBuilder[String, (String, String, Long)]
       var i = 0
       while (i < fields.length) {
         val s = stats(i)
@@ -344,15 +392,26 @@ object ShardFormat {
           }
           else allNull += fields(i).name -> s.nulls
         }
+        val t = sstats(i)
+        if (t != null) {
+          if (t.nonNull > 0) {
+            if (!t.dropped)
+              ss += fields(i).name -> ((t.min.toString, t.max.toString, t.nulls))
+          } else allNull += fields(i).name -> t.nulls
+        }
         i += 1
       }
       finishedSums = sm.result()
+      finishedStrStats = ss.result()
       (file.length(), rowCount, present.result(), allNull.result())
     }
 
     private var finishedSums: Map[String, Long] = Map.empty
     /** Valid after [[finish]]: exact per-column sums for SUM pushdown. */
     def sums: Map[String, Long] = finishedSums
+    private var finishedStrStats: Map[String, (String, String, Long)] = Map.empty
+    /** Valid after [[finish]]: exact string min/max/nulls (cap-bounded). */
+    def strStats: Map[String, (String, String, Long)] = finishedStrStats
 
     def abort(): Unit = { out.close(); file.delete(): Unit }
   }
@@ -541,6 +600,7 @@ object ShardFormat {
       val present = Map.newBuilder[String, (Long, Long, Long)]
       val allNull = Map.newBuilder[String, Long]
       val sums = Map.newBuilder[String, Long]
+      val strs = Map.newBuilder[String, (String, String, Long)]
       val stats = fn.get("stats")
       if (stats != null) stats.fields().forEachRemaining { e =>
         val v = e.getValue
@@ -548,6 +608,8 @@ object ShardFormat {
           present += e.getKey -> ((v.get("min").asLong(), v.get("max").asLong(), v.get("nulls").asLong()))
           if (v.has("sum")) sums += e.getKey -> v.get("sum").asLong()
         }
+        else if (v.has("smin"))
+          strs += e.getKey -> ((v.get("smin").asText(), v.get("smax").asText(), v.get("nulls").asLong()))
         else allNull += e.getKey -> v.get("nulls").asLong()
       }
       val partition =
@@ -558,7 +620,7 @@ object ShardFormat {
         if (fn.has("deletedRows")) fn.get("deletedRows").asLong() else 0L
       files += FileEntry(fn.get("name").asText(), fn.get("bytes").asLong(),
         fn.get("rows").asLong(), present.result(), allNull.result(), partition,
-        deletes, deletedRows, sums.result())
+        deletes, deletedRows, sums.result(), strs.result())
     }
     val version = if (root.has("manifestVersion")) root.get("manifestVersion").asLong() else 0L
     val createdAt = if (root.has("createdAtMs")) root.get("createdAtMs").asLong() else 0L
@@ -624,6 +686,10 @@ object ShardFormat {
         val cn = st.putObject(c)
         cn.put("min", mn); cn.put("max", mx); cn.put("nulls", nl)
         fe.sums.get(c).foreach(cn.put("sum", _)): Unit
+      }
+      fe.strStats.foreach { case (c, (mn, mx, nl)) =>
+        val cn = st.putObject(c)
+        cn.put("smin", mn); cn.put("smax", mx); cn.put("nulls", nl): Unit
       }
       fe.allNull.foreach { case (c, nl) => st.putObject(c).put("nulls", nl): Unit }
     }

@@ -576,17 +576,88 @@ class GraftShardSourceSpec extends AnyFunSuite {
       s"filtered aggregate must NOT be answered from per-file totals:\n$planStr")
   }
 
-  test("aggregate pushdown refuses unsupported shapes (distinct, strings)") {
+  test("aggregate pushdown refuses unsupported shapes (distinct, cap-dropped string bounds)") {
     val dir = tmp()
     sampleDf().write.format("graftshard").mode("overwrite").save(dir)
     val t = spark.read.format("graftshard").load(dir)
+    // a string column with one value past the 64-byte cap drops the
+    // file's bounds — min/max must then refuse (no lying from stats)
+    val dir2 = tmp()
+    spark.range(0, 10)
+      .select(col("id"), when(col("id") === 7, lit("x" * 100))
+        .otherwise(concat(lit("v"), col("id"))).as("s"))
+      .coalesce(1)
+      .write.format("graftshard").mode("overwrite").save(dir2)
+    val t2 = spark.read.format("graftshard").load(dir2)
     for ((df, tag) <- Seq(
         (t.agg(countDistinct(col("id")).as("x")), "count distinct"),
-        (t.agg(max(col("s")).as("x")), "string max"))) {
+        (t2.agg(max(col("s")).as("x")), "cap-dropped string max"))) {
       assert(!df.queryExecution.executedPlan.toString.contains("pushedAggregates"),
         s"$tag must not push")
       assert(df.collect().length == 1, tag)
     }
+  }
+
+  test("string stats: file skipping, exact bounds, prefix pruning, metadata DELETE on strings") {
+    val wh = Files.createTempDirectory("graft_strstats_cat").toString
+    spark.conf.set("spark.sql.catalog.strcat", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.strcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS strcat.s")
+    // four files, exactly one lang each (sequential single-file appends)
+    val langs = Seq("de", "en", "fr", "ja")
+    val df = spark.range(0, 400)
+      .select(col("id"), element_at(lit(langs.toArray), (col("id") % 4 + 1).cast("int")).as("lang"),
+        concat(lit("src_"), (col("id") % 3)).as("source"))
+    df.where(col("lang") === "de").coalesce(1)
+      .writeTo("strcat.s.t").using("graftshard").create()
+    langs.drop(1).foreach(l =>
+      df.where(col("lang") === l).coalesce(1).writeTo("strcat.s.t").append())
+    val dir = s"$wh/s/t"
+    val m = graft.sources.v2.ShardFormat.readManifest(dir).get
+    assert(m.files.nonEmpty && m.files.forall(_.strStats.contains("lang")),
+      s"every file must carry lang bounds: ${m.files.map(_.strStats)}")
+
+    def t() = spark.read.format("graftshard").load(dir)
+    def files(df: DataFrame): (Int, Int) = {
+      val p = df.queryExecution.executedPlan.toString
+      val mt = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(p).getOrElse(fail(s"no scan:\n$p"))
+      (mt.group(1).toInt, mt.group(2).toInt)
+    }
+    val total = m.files.size
+    // equality prunes to the one lang's file(s); absorbed row-level too
+    val en = t().where(col("lang") === "en")
+    val (s1, t1) = files(en)
+    assert(t1 == total && s1 < total, s"lang='en' must prune: $s1/$t1")
+    assert(en.count() == 100)
+    assert(!en.queryExecution.executedPlan.toString.contains("Filter ("),
+      "string equality must be absorbed, not re-filtered")
+    // range predicate prunes and evaluates row-level
+    val lt = t().where(col("lang") < "f")
+    assert(files(lt)._1 < total)
+    assert(lt.count() == 200) // de + en
+    // prefix predicate prunes (source column has 3 values in every file)
+    val pre = t().where(col("lang").startsWith("j"))
+    assert(files(pre)._1 < total)
+    assert(pre.count() == 100)
+    // a miss prunes everything
+    assert(files(t().where(col("lang") === "zz"))._1 == 0)
+    // string MIN/MAX/COUNT answered from the manifest
+    val agg = t().agg(min(col("lang")).as("mn"), max(col("lang")).as("mx"),
+      count(col("lang")).as("n"))
+    assert(agg.queryExecution.executedPlan.toString.contains("pushedAggregates"),
+      "string min/max must push when every file carries bounds")
+    val r = agg.collect()(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == (("de", "ja", 400L)))
+    // metadata-only DELETE on a string predicate: lang-clustered files
+    // are provably all-in/all-out — zero rows rewritten
+    val shardsBefore = Option(new File(dir).listFiles()).get
+      .filter(_.getName.endsWith(".shard")).map(f => f.getName -> f.lastModified()).toMap
+    spark.sql("DELETE FROM strcat.s.t WHERE lang = 'fr'")
+    val after = Option(new File(dir).listFiles()).get
+      .filter(_.getName.endsWith(".shard")).map(f => f.getName -> f.lastModified()).toMap
+    assert(after.forall { case (n, ts) => shardsBefore.get(n).contains(ts) },
+      "metadata DELETE must not touch shard bytes")
+    assert(t().count() == 300 && t().where(col("lang") === "fr").count() == 0)
   }
 
   test("SUM pushdown: exact per-file sums answered from the manifest ALONE; overflow refuses") {
