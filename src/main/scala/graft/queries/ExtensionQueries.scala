@@ -1265,6 +1265,35 @@ object ExtensionQueries {
     s.table(s"$cat.x51.docs")
   }
 
+  /** Change data feed end to end: the corpus lands in two commits
+    * (evens, then odds), a merge-on-read DELETE knocks out `%7 = 0`,
+    * and the feed over the whole range returns the EXACT row-level
+    * delta — the appended odds as inserts, the MoR vector delta as
+    * deletes; a doc both appended and deleted inside the range reports
+    * BOTH events (the oracle's two UNION branches overlap on exactly
+    * those). At 100 TB, incremental consumers (the dedup band registry,
+    * index refresh) re-read only what changed instead of diffing two
+    * corpus-sized snapshots ([[graft.sources.v2.GraftShardChanges]];
+    * GraftShardChangesSpec pins classification, the CoW refusal, and
+    * the retention horizon). */
+  private def x55(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureGraftCatalog(s, dir)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x55")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x55.docs")
+    val docs = table(s, dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.where(col("doc_id") % 2 === 0).repartitionByRange(4, col("doc_id"))
+      .writeTo(s"$cat.x55.docs").using("graftshard").create()
+    val tableDir = s"${s.conf.get(s"spark.sql.catalog.$cat.warehouse")}/x55/docs"
+    val from = graft.sources.v2.ShardFormat.readManifest(tableDir).get.version
+    docs.where(col("doc_id") % 2 === 1).repartitionByRange(4, col("doc_id"))
+      .writeTo(s"$cat.x55.docs").append()
+    s.conf.set("spark.graftshard.rowLevel.mode", "merge-on-read")
+    try s.sql(s"DELETE FROM $cat.x55.docs WHERE doc_id % 7 = 0")
+    finally s.conf.unset("spark.graftshard.rowLevel.mode")
+    s.read.format("graftshard").option("changesFrom", from).load(tableDir)
+      .select("doc_id", "lang", "n_chars", "_change_type")
+  }
+
   /** Schema evolution end to end: ADD COLUMN is metadata-only (v2
     * shard files are self-describing, so old files null-fill the new
     * column at read time — no rewrite), then the row-level tier FILLS
@@ -4745,6 +4774,14 @@ object ExtensionQueries {
     Q("x54_shard_string_skipping", x54, Some("""
       SELECT doc_id, lang, source, n_chars FROM documents
       WHERE lang = 'en' AND source LIKE 'src1%' AND n_chars >= 100""")),
+
+    // change data feed: append inserts + MoR vector-delta deletes, exact
+    Q("x55_shard_change_feed", x55, Some("""
+      SELECT doc_id, lang, n_chars, 'insert' AS _change_type
+      FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id, lang, n_chars, 'delete' AS _change_type
+      FROM documents WHERE doc_id % 7 = 0""")),
 
     // catalog + bucket transform: zero-shuffle join on the raw id columns
     Q("x44_shard_bucketed_join", x44, Some("""

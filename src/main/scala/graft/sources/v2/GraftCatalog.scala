@@ -168,7 +168,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     dir.mkdirs()
     ShardFormat.writeManifest(dir.getPath, ShardFormat.Manifest(
       schema, java.util.UUID.randomUUID().toString.take(8), Nil, spec,
-      version = 1L, createdAtMs = System.currentTimeMillis()))
+      version = 1L, createdAtMs = System.currentTimeMillis(),
+      operation = "create"))
     new GraftShardTable(dir.getPath, schema)
   }
 
@@ -239,7 +240,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       schema = evolved,
       droppedColumns = dropped,
       version = m.version + 1,
-      createdAtMs = System.currentTimeMillis()))
+      createdAtMs = System.currentTimeMillis(),
+      operation = "alter"))
     new GraftShardTable(dir.getPath, evolved)
   }
 

@@ -1,0 +1,261 @@
+package graft.sources.v2
+
+import java.io.File
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Change Data Feed: `option("changesFrom", v1).option("changesTo",
+  * v2)` reads the ROW-LEVEL delta between two committed snapshots —
+  * every row inserted or deleted by the commits in `(v1, v2]`
+  * (exclusive-from, inclusive-to: "what happened since the snapshot I
+  * already consumed"), tagged `_change_type` ("insert" / "delete";
+  * an update arrives as its delete+insert pair) and `_commit_version`.
+  *
+  * Why this is a 100 TB feature: incremental consumers — the dedup
+  * band registry, feature refresh, downstream index builds — re-read
+  * only what CHANGED instead of diffing two full snapshots (a
+  * corpus-sized join). The plan cost is O(versions × manifest), zero
+  * data reads beyond the changed rows themselves.
+  *
+  * Exactness rule (the admission test, per commit via
+  * [[ShardFormat.Manifest.operation]]): a commit contributes changes
+  * only when its file-level diff IS its row-level diff —
+  *   - append / streaming epoch: added files are pure inserts;
+  *   - overwrite / truncate / REPLACE WHERE: removed files' rows were
+  *     ALL deleted (truncate) or all provably matched the replaced
+  *     region, added files are pure inserts — exact by construction;
+  *   - metadata DELETE: dropped files were provably all-match;
+  *   - merge-on-read: delete-vector DELTAS are exactly the deleted
+  *     ordinals; a fully-deleted file's remaining live rows are
+  *     deletes; inserted files are inserts;
+  *   - compact / alter / create: no row changed — contributes nothing;
+  *   - copy-on-write row-level ops: REFUSED — a rewritten file mixes
+  *     changed and unchanged rows, and reporting the whole file as
+  *     delete+insert would be a lie. The error names the fix: run
+  *     row-level ops under `spark.graftshard.rowLevel.mode=
+  *     merge-on-read` when a change feed is consumed downstream
+  *     (exactly Delta's CDF-vs-rewrite trade, resolved the honest way).
+  *
+  * The walk is COMMIT BY COMMIT (each pair of adjacent snapshots), so
+  * a file inserted at v+1 and deleted at v+3 reports BOTH events —
+  * a from→to endpoint diff would silently cancel them. Snapshots must
+  * still be loadable (expireSnapshots defines the CDF horizon) and
+  * changed files still on disk (vacuum honors retained snapshots, so
+  * the horizons agree). */
+object GraftShardChanges {
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  /** One changed file at one commit. `skip`: delete-vector sidecar
+    * whose ordinals were ALREADY dead before the commit (never part of
+    * this delta). `emitOnly`: sidecar of ordinals dead AFTER the commit
+    * — when set, the reader emits exactly `emitOnly \ skip` (the
+    * merge-on-read delta). */
+  final case class FileChange(
+      file: String,
+      rows: Long,
+      commitVersion: Long,
+      changeType: String,
+      skip: Option[String] = None,
+      emitOnly: Option[String] = None)
+
+  /** Plans the feed: validates the range, classifies each commit, and
+    * returns (schema at `to`, per-file changes). Driver-side manifest
+    * work only. */
+  def plan(path: String, from: Long, to: Long): (StructType, Seq[FileChange]) = {
+    require(from >= 0 && to > from,
+      s"graftshard: changesFrom/changesTo must satisfy 0 <= from < to, got ($from, $to]")
+    val current = ShardFormat.readManifest(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"graftshard: no ${ShardFormat.ManifestName} under '$path'"))
+    require(to <= current.version,
+      s"graftshard: changesTo=$to is ahead of the table (v${current.version})")
+    def snapshot(v: Long): ShardFormat.Manifest =
+      ShardFormat.readManifestVersion(path, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftshard: snapshot v$v was expired — the change feed horizon is " +
+            s"the snapshot retention (available: ${ShardFormat.listVersions(path).mkString(", ")})"))
+    val changes = Seq.newBuilder[FileChange]
+    var prev = snapshot(from)
+    (from + 1 to to).foreach { v =>
+      val cur = snapshot(v)
+      cur.operation match {
+        case "compact" | "alter" | "create" => // no row changed
+        case "cow" =>
+          throw new UnsupportedOperationException(
+            s"graftshard: commit v$v at '$path' was a copy-on-write row-level " +
+              "rewrite — rewritten files mix changed and unchanged rows, so a " +
+              "file-level diff cannot report row-level changes. Run row-level " +
+              "operations under spark.graftshard.rowLevel.mode=merge-on-read " +
+              "when a change feed is consumed downstream")
+        case "append" | "overwrite" | "replace" | "delete-metadata" | "mor" =>
+          val prevBy = prev.files.map(fe => fe.name -> fe).toMap
+          val curBy = cur.files.map(fe => fe.name -> fe).toMap
+          cur.files.filterNot(fe => prevBy.contains(fe.name)).foreach { fe =>
+            changes += FileChange(fe.name, fe.rows, v, "insert", skip = fe.deletes)
+          }
+          prev.files.foreach { pfe =>
+            curBy.get(pfe.name) match {
+              case None =>
+                // removed: every row live BEFORE the commit was deleted
+                changes += FileChange(pfe.name, pfe.rows, v, "delete", skip = pfe.deletes)
+              case Some(cfe) if cfe.deletes != pfe.deletes =>
+                // merge-on-read delta: ordinals dead after, minus dead before
+                changes += FileChange(pfe.name, pfe.rows, v, "delete",
+                  skip = pfe.deletes, emitOnly = cfe.deletes)
+              case _ => ()
+            }
+          }
+        case other =>
+          throw new UnsupportedOperationException(
+            s"graftshard: commit v$v at '$path' has no change-feed " +
+              s"classification (operation='$other') — the table predates the " +
+              "change feed; start the feed from a later snapshot")
+      }
+      prev = cur
+    }
+    val planned = changes.result()
+    planned.foreach { fc =>
+      require(new File(path, fc.file).exists(),
+        s"graftshard: changed file '${fc.file}' (commit v${fc.commitVersion}) was " +
+          "vacuumed — the change feed horizon is the snapshot retention; " +
+          "expireSnapshots before vacuum defines it")
+    }
+    (snapshot(to).schema, planned)
+  }
+}
+
+/** The read-only table face of the feed: base schema at `changesTo`
+  * plus the two change columns. Filters/aggregates are left to Spark
+  * (a delta is already small by construction); column pruning is
+  * supported so an id-only consumer decodes nothing else. */
+class GraftShardChangesTable(path: String, from: Long, to: Long)
+    extends Table with SupportsRead {
+  private lazy val planned = GraftShardChanges.plan(path, from, to)
+
+  override def name(): String = s"graftshard.`$path`@changes($from,$to]"
+  override def schema(): StructType = StructType(
+    planned._1.fields.toSeq :+
+      StructField(GraftShardChanges.ChangeTypeCol, StringType, nullable = false) :+
+      StructField(GraftShardChanges.CommitVersionCol, LongType, nullable = false))
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftShardChangesScanBuilder(path, planned._1, schema(), planned._2)
+}
+
+class GraftShardChangesScanBuilder(
+    path: String,
+    baseSchema: StructType,
+    fullSchema: StructType,
+    changes: Seq[GraftShardChanges.FileChange])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def description(): String =
+      s"graftshard changes (${changes.size} changed files)"
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      changes.map(fc => ShardChangePartition(
+        new File(path, fc.file).getPath, fc.commitVersion, fc.changeType,
+        fc.skip.map(d => new File(path, d).getPath),
+        fc.emitOnly.map(d => new File(path, d).getPath)): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new ShardChangesReaderFactory(baseSchema, required)
+  }
+}
+
+final case class ShardChangePartition(
+    file: String,
+    commitVersion: Long,
+    changeType: String,
+    skip: Option[String],
+    emitOnly: Option[String]) extends InputPartition
+
+class ShardChangesReaderFactory(baseSchema: StructType, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ShardChangePartition]
+    new ShardChangesPartitionReader(p, baseSchema, required)
+  }
+}
+
+/** Decodes one changed file, emitting the delta rows with the change
+  * columns appended. Ordinal selection is a pointer walk over the
+  * SORTED delete vectors against the sequential physical ordinal —
+  * O(1) memory, no hash sets. */
+class ShardChangesPartitionReader(
+    p: ShardChangePartition,
+    baseSchema: StructType,
+    required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  // required base columns -> table indices (change columns served here)
+  private val baseIdx: Array[Int] =
+    required.fields.collect {
+      case f if baseSchema.fieldNames.contains(f.name) => baseSchema.fieldIndex(f.name)
+    }
+  private val reader = new ShardFormat.ShardReader(new File(p.file), baseSchema, baseIdx)
+  private val values = new Array[Any](baseIdx.length)
+
+  // slots of the two synthetic columns in the required output
+  private val outSlots: Array[Any => Any] = {
+    var b = -1
+    required.fields.map { f =>
+      if (f.name == GraftShardChanges.ChangeTypeCol)
+        (_: Any) => UTF8String.fromString(p.changeType)
+      else if (f.name == GraftShardChanges.CommitVersionCol)
+        (_: Any) => Long.box(p.commitVersion)
+      else { b += 1; val i = b; (vs: Any) => vs.asInstanceOf[Array[Any]](i) }
+    }
+  }
+
+  // dead-before ordinals are never part of this delta; for a
+  // merge-on-read delta only dead-after ordinals are
+  private val skip: Array[Long] =
+    p.skip.map(d => ShardFormat.readDeleteVector(new File(d))).getOrElse(Array.emptyLongArray)
+  private val emitOnly: Option[Array[Long]] =
+    p.emitOnly.map(d => ShardFormat.readDeleteVector(new File(d)))
+
+  private var ordinal = -1L
+  private var si = 0 // pointer into skip
+  private var ei = 0 // pointer into emitOnly
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    while (reader.next(values)) {
+      ordinal += 1
+      while (si < skip.length && skip(si) < ordinal) si += 1
+      val dead = si < skip.length && skip(si) == ordinal
+      val selected = emitOnly match {
+        case None => !dead
+        case Some(eo) =>
+          while (ei < eo.length && eo(ei) < ordinal) ei += 1
+          !dead && ei < eo.length && eo(ei) == ordinal
+      }
+      if (selected) {
+        val out = new Array[Any](outSlots.length)
+        var i = 0
+        while (i < outSlots.length) { out(i) = outSlots(i)(values); i += 1 }
+        row = new GenericInternalRow(out)
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}

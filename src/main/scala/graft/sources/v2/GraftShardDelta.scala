@@ -148,7 +148,8 @@ class GraftShardDeltaWrite(
       generation = java.util.UUID.randomUUID().toString.take(8),
       version = current.version + 1,
       createdAtMs = System.currentTimeMillis(),
-      sortedBy = sortedBy))
+      sortedBy = sortedBy,
+      operation = "mor"))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -165,7 +165,8 @@ object GraftShardMaintenance {
       files = current.files.filterNot(fe => replaced.contains(fe.name)) ++ newEntries,
       generation = java.util.UUID.randomUUID().toString.take(8),
       version = current.version + 1,
-      createdAtMs = System.currentTimeMillis()))
+      createdAtMs = System.currentTimeMillis(),
+      operation = "compact"))
     CompactReport(groups.size, replaced.toSeq.sorted, newEntries.map(_.name).toSeq.sorted)
   }
 

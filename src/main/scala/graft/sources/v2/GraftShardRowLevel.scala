@@ -269,7 +269,8 @@ class GraftShardCowWrite(
       generation = java.util.UUID.randomUUID().toString.take(8),
       version = current.version + 1,
       createdAtMs = System.currentTimeMillis(),
-      sortedBy = sortedBy))
+      sortedBy = sortedBy,
+      operation = "cow"))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -80,13 +80,29 @@ class GraftShardSource extends TableProvider with DataSourceRegister {
             s"${ShardFormat.listVersions(p).mkString(", ")}"))
     }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    pinnedFor(path(options), Option(options.get("versionAsOf")))
-      .orElse(ShardFormat.readManifest(path(options))).map(_.schema).getOrElse {
-      throw new IllegalArgumentException(
-        s"graftshard: no ${ShardFormat.ManifestName} under '${path(options)}' — " +
-          "write the table first or supply a schema")
+  /** `option("changesFrom", v1).option("changesTo", v2)`: the change
+    * data feed over `(v1, v2]` ([[GraftShardChanges]]). `changesTo`
+    * defaults to the current version when only `changesFrom` is set. */
+  private def changeRange(options: CaseInsensitiveStringMap, p: String): Option[(Long, Long)] =
+    Option(options.get("changesFrom")).map { f =>
+      val to = Option(options.get("changesTo")).map(_.toLong).getOrElse(
+        ShardFormat.readManifest(p).map(_.version).getOrElse(0L))
+      (f.toLong, to)
     }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val p = path(options)
+    changeRange(options, p) match {
+      case Some((f, t)) => new GraftShardChangesTable(p, f, t).schema()
+      case None =>
+        pinnedFor(p, Option(options.get("versionAsOf")))
+          .orElse(ShardFormat.readManifest(p)).map(_.schema).getOrElse {
+          throw new IllegalArgumentException(
+            s"graftshard: no ${ShardFormat.ManifestName} under '$p' — " +
+              "write the table first or supply a schema")
+        }
+    }
+  }
 
   override def getTable(
       schema: StructType,
@@ -95,7 +111,14 @@ class GraftShardSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     val p = opts.get("path")
     require(p != null && p.nonEmpty, "graftshard: a path is required")
-    new GraftShardTable(p, schema, pinnedFor(p, Option(opts.get("versionAsOf"))))
+    changeRange(opts, p) match {
+      case Some((f, t)) =>
+        require(opts.get("versionAsOf") == null,
+          "graftshard: changesFrom/changesTo and versionAsOf are mutually exclusive")
+        new GraftShardChangesTable(p, f, t)
+      case None =>
+        new GraftShardTable(p, schema, pinnedFor(p, Option(opts.get("versionAsOf"))))
+    }
   }
 }
 
@@ -148,7 +171,8 @@ class GraftShardTable(
       files = kept,
       generation = java.util.UUID.randomUUID().toString.take(8),
       version = m.version + 1,
-      createdAtMs = System.currentTimeMillis()))
+      createdAtMs = System.currentTimeMillis(),
+      operation = "delete-metadata"))
   }
 
   /** Row provenance without a stored column: `SELECT _shard_file, ...`

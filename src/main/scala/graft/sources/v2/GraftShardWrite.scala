@@ -425,13 +425,19 @@ class GraftShardBatchWrite(
     val droppedColumns =
       if (isTruncate) Nil
       else current.map(_.droppedColumns).getOrElse(Nil)
+    val operation = replace match {
+      case None => "append"
+      case Some(_) if isTruncate => "overwrite"
+      case Some(_) => "replace"
+    }
     ShardFormat.writeManifest(path,
       ShardFormat.Manifest(published, generation, prior ++ committed, spec,
         version = current.map(_.version).getOrElse(0L) + 1,
         createdAtMs = System.currentTimeMillis(),
         sortedBy = sortedBy,
         streamCommits = streamCommits,
-        droppedColumns = droppedColumns))
+        droppedColumns = droppedColumns,
+        operation = operation))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

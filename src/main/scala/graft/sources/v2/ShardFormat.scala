@@ -211,7 +211,15 @@ object ShardFormat {
       // dropped column's bytes under its name, so re-ADDing that name
       // would resurrect old values instead of nulls — refused until a
       // truncate/overwrite replaces every file (which clears this)
-      droppedColumns: Seq[String] = Nil) {
+      droppedColumns: Seq[String] = Nil,
+      // what kind of commit produced this snapshot — the change-data-
+      // feed admission currency ([[GraftShardChanges]]): "append",
+      // "overwrite" (truncate/full overwrite), "replace" (REPLACE
+      // WHERE), "delete-metadata", "mor" (delete vectors / MoR
+      // update), "cow" (row-level rewrite — CDF refuses: rewritten
+      // files mix changed and unchanged rows), "compact"/"alter"/
+      // "create" (no row changes). "" on pre-CDF manifests (refused)
+      operation: String = "") {
     /** The identity partition column, when that is the spec (the
       * group-by-pushdown and legacy surfaces). */
     def partitionColumn: Option[String] =
@@ -637,8 +645,10 @@ object ShardFormat {
       if (dc != null) dc.forEach(n => b += n.asText())
       b.result()
     }
+    val operation =
+      if (root.has("operation")) root.get("operation").asText() else ""
     Some(Manifest(schema, generation, files.result(), partitioning, version,
-      createdAt, sortedBy, streamCommits, dropped))
+      createdAt, sortedBy, streamCommits, dropped, operation))
   }
 
   /** Atomic publish: write to a temp sibling, then rename over the
@@ -656,6 +666,7 @@ object ShardFormat {
     root.put("generation", m.generation)
     root.put("manifestVersion", m.version)
     root.put("createdAtMs", m.createdAtMs)
+    if (m.operation.nonEmpty) root.put("operation", m.operation): Unit
     m.sortedBy.foreach(root.put("sortedBy", _))
     if (m.streamCommits.nonEmpty) {
       val sc = root.putObject("streamCommits")

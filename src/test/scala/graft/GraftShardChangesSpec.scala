@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.{GraftShardMaintenance, ShardFormat}
+
+/** Change Data Feed ([[graft.sources.v2.GraftShardChanges]]):
+  * `option("changesFrom", v1).option("changesTo", v2)` yields the exact
+  * row-level delta over `(v1, v2]` with `_change_type` /
+  * `_commit_version`. Pins: appends are inserts, MoR deletes are
+  * vector-delta deletes, an UPDATE is its delete+insert pair, metadata
+  * DELETE reports the dropped files' rows, compaction contributes
+  * NOTHING, an insert-then-delete inside the range reports both
+  * events, copy-on-write commits refuse with the MoR pointer, and the
+  * snapshot-retention horizon refuses expired ranges. */
+class GraftShardChangesSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.cdfcat", classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.cdfcat.warehouse", warehouse)
+    s
+  }
+  private lazy val warehouse = Files.createTempDirectory("graft_cdf_spec").toString
+
+  private def withMor[A](body: => A): A = {
+    spark.conf.set("spark.graftshard.rowLevel.mode", "merge-on-read")
+    try body finally spark.conf.unset("spark.graftshard.rowLevel.mode")
+  }
+
+  private def changes(dir: String, from: Long, to: Long): DataFrame =
+    spark.read.format("graftshard")
+      .option("changesFrom", from).option("changesTo", to).load(dir)
+
+  private def events(df: DataFrame): Set[(Long, String, Long)] =
+    df.select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("appends are inserts; MoR delete is a vector-delta; UPDATE is its delete+insert pair") {
+    spark.sql("CREATE NAMESPACE cdfcat.a")
+    spark.range(0, 100).select(col("id"), (col("id") * 2L).as("v"))
+      .coalesce(2).writeTo("cdfcat.a.t").using("graftshard").create()
+    val dir = s"$warehouse/a/t"
+    def v(): Long = ShardFormat.readManifest(dir).get.version
+    val v0 = v() // create() = create commit + data append commit
+    spark.range(100, 150).select(col("id"), (col("id") * 2L).as("v"))
+      .coalesce(1).writeTo("cdfcat.a.t").append()
+    val vApp = v()
+    val (vDel, vUpd) = withMor {
+      spark.sql("DELETE FROM cdfcat.a.t WHERE id % 10 = 7")
+      val d = v()
+      spark.sql("UPDATE cdfcat.a.t SET v = -1 WHERE id = 4")
+      (d, v())
+    }
+
+    // the full feed (v0, vUpd]
+    val ev = events(changes(dir, v0, vUpd))
+    val expectInserts = (100L until 150L).map(id => (id, "insert", vApp)).toSet +
+      ((4L, "insert", vUpd)) // the UPDATE's re-insert
+    val expectDeletes = (0L until 150L).filter(_ % 10 == 7)
+      .map(id => (id, "delete", vDel)).toSet + ((4L, "delete", vUpd))
+    assert(ev == expectInserts ++ expectDeletes)
+    // the UPDATE's new value rides the insert row
+    val upd = changes(dir, vDel, vUpd).where(col("_change_type") === "insert")
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(upd == Set((4L, -1L)))
+    // a sub-range sees only its commits
+    assert(events(changes(dir, v0, vApp)) ==
+      (100L until 150L).map(id => (id, "insert", vApp)).toSet)
+    // the UPDATE alone: its delete+insert pair
+    assert(changes(dir, vDel, vUpd).count() == 2)
+  }
+
+  test("metadata DELETE reports dropped files' rows; compaction contributes nothing") {
+    spark.sql("CREATE NAMESPACE cdfcat.m")
+    val df = spark.range(0, 80).select(col("id"), (col("id") % 4).as("k"))
+    df.where(col("k") === 0).coalesce(1).writeTo("cdfcat.m.t").using("graftshard").create()
+    val dir = s"$warehouse/m/t"
+    def v(): Long = ShardFormat.readManifest(dir).get.version
+    val v0 = v()
+    val appendVs = (1L to 3L).map { k =>
+      df.where(col("k") === k).coalesce(1).writeTo("cdfcat.m.t").append(); k -> v()
+    }.toMap
+    val vPre = v()
+    GraftShardMaintenance.compact(spark, dir, targetBytes = 1L << 30) // merges all
+    val vComp = v()
+    assert(ShardFormat.readManifest(dir).get.operation == "compact")
+    assert(changes(dir, vPre, vComp).count() == 0, "compaction must contribute no changes")
+    // feed spanning appends + compaction: only the appends' inserts
+    val ev = events(changes(dir, v0, vComp))
+    val expect = (0L until 80L).filter(id => id % 4 != 0)
+      .map(id => (id, "insert", appendVs(id % 4))).toSet
+    assert(ev == expect)
+  }
+
+  test("metadata DELETE on a provable predicate reports exactly the dropped rows") {
+    spark.sql("CREATE NAMESPACE cdfcat.d")
+    val df = spark.range(0, 60).select(col("id"), (col("id") % 3).as("k"))
+    df.where(col("k") === 0).coalesce(1).writeTo("cdfcat.d.t").using("graftshard").create()
+    val dir = s"$warehouse/d/t"
+    def v(): Long = ShardFormat.readManifest(dir).get.version
+    val v0 = v()
+    df.where(col("k") === 1).coalesce(1).writeTo("cdfcat.d.t").append()
+    val vK1 = v()
+    df.where(col("k") === 2).coalesce(1).writeTo("cdfcat.d.t").append()
+    val vK2 = v()
+    spark.sql("DELETE FROM cdfcat.d.t WHERE k = 1") // metadata-only (one file = one k)
+    val vDel = v()
+    assert(ShardFormat.readManifest(dir).get.operation == "delete-metadata")
+    val ev = events(changes(dir, vK2, vDel))
+    assert(ev == (0L until 60L).filter(_ % 3 == 1).map(id => (id, "delete", vDel)).toSet)
+    // insert-then-delete INSIDE one range reports both events
+    val both = events(changes(dir, v0, vDel))
+    assert((0L until 60L).filter(_ % 3 == 1).forall(id =>
+      both.contains((id, "insert", vK1)) && both.contains((id, "delete", vDel))))
+  }
+
+  test("copy-on-write commits refuse with the merge-on-read pointer; legacy/expired refuse") {
+    spark.sql("CREATE NAMESPACE cdfcat.c")
+    spark.range(0, 50).select(col("id"), (col("id") * 7L).as("v"))
+      .coalesce(1).writeTo("cdfcat.c.t").using("graftshard").create()
+    val dir = s"$warehouse/c/t"
+    def v(): Long = ShardFormat.readManifest(dir).get.version
+    val v0 = v()
+    spark.sql("DELETE FROM cdfcat.c.t WHERE id % 9 = 5") // CoW rewrite (default mode)
+    val vCow = v()
+    assert(ShardFormat.readManifest(dir).get.operation == "cow")
+    val e = intercept[Exception] { changes(dir, v0, vCow).collect() }
+    assert(e.getMessage.contains("merge-on-read"), e.getMessage)
+    // validation errors
+    val e2 = intercept[Exception] { changes(dir, vCow, vCow).collect() }
+    assert(e2.getMessage.contains("from < to"), e2.getMessage)
+    val e3 = intercept[Exception] { changes(dir, v0, 99).collect() }
+    assert(e3.getMessage.contains("ahead of the table"), e3.getMessage)
+    // expire early snapshots: the horizon refuses
+    spark.range(50, 60).select(col("id"), (col("id") * 7L).as("v"))
+      .coalesce(1).writeTo("cdfcat.c.t").append()
+    val vApp = v()
+    GraftShardMaintenance.expireSnapshots(dir, keepLast = 1)
+    val e4 = intercept[Exception] { changes(dir, v0, vApp).collect() }
+    assert(e4.getMessage.contains("expired"), e4.getMessage)
+  }
+
+  test("overwrite reports all old rows deleted and all new rows inserted; column pruning works") {
+    val dir = Files.createTempDirectory("graft_cdf_path").toString + "/t"
+    spark.range(0, 30).select(col("id"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(dir) // v1
+    spark.range(100, 110).select(col("id"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(dir) // v2
+    val ev = events(changes(dir, 1, 2))
+    assert(ev == (0L until 30L).map(id => (id, "delete", 2L)).toSet ++
+      (100L until 110L).map(id => (id, "insert", 2L)).toSet)
+    // pruned read: only the change column
+    val types = changes(dir, 1, 2).select("_change_type")
+      .collect().map(_.getString(0)).toSeq
+    assert(types.count(_ == "delete") == 30 && types.count(_ == "insert") == 10)
+    // changesTo defaults to the current version
+    val defTo = spark.read.format("graftshard").option("changesFrom", 1).load(dir)
+    assert(defTo.count() == 40)
+  }
+}
