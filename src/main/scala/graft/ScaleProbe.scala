@@ -306,6 +306,104 @@ object ScaleProbe {
       return
     }
 
+    // ------------------------------------------- columnar A/B (columnar)
+    // `runMain graft.ScaleProbe columnar` — the format-v3 claim as a
+    // number: a narrow projection over a WIDE table should cost the
+    // wanted columns, not the row width. The v2 control is written by a
+    // local encoder replicating the legacy row layout byte for byte
+    // (the writer only emits v3 now); same rows, same file count. The
+    // win concentrates where v2 hurt most: variable-width (string)
+    // columns force a per-row per-field length parse to skip, v3 skips
+    // the whole chunk with one call per group.
+    if (args.headOption.contains("columnar")) {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      import graft.sources.v2.ShardFormat
+      val nStr = 16
+      val nLong = 16
+      val schema = StructType(
+        StructField("id", LongType, nullable = false) +:
+          ((0 until nStr).map(i => StructField(s"s$i", StringType, nullable = false)) ++
+            (0 until nLong).map(i => StructField(s"l$i", LongType, nullable = false))))
+      def wide(rows: Long) = {
+        var df = spark.range(0, rows, 1, 32).select(col("id"))
+        (0 until nStr).foreach(i => df = df.withColumn(s"s$i",
+          concat(lit(s"value_$i" * 3 + "_"), col("id") % 1000)))
+        (0 until nLong).foreach(i => df = df.withColumn(s"l$i", col("id") * (i + 1)))
+        df
+      }
+      // local v2 encoder: magic GRFTSHD2, column header, per row a null
+      // bitmap then fields in order (all non-null here)
+      def writeV2(dir: String, rows: Long): Unit = {
+        val d = new java.io.File(dir)
+        d.mkdirs()
+        val entries = wide(rows).queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+          val name = f"legacy-$pid%05d.shard"
+          val f = new java.io.File(dir, name)
+          val out = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 20))
+          out.write("GRFTSHD2".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          out.writeShort(schema.fields.length)
+          schema.fields.foreach { fl =>
+            out.writeByte(if (fl.dataType == LongType) 0 else 5); out.writeUTF(fl.name)
+          }
+          val bitmapBytes = (schema.fields.length + 7) / 8
+          val bitmap = new Array[Byte](bitmapBytes) // all non-null
+          var n = 0L
+          it.foreach { row =>
+            out.write(bitmap)
+            var i = 0
+            while (i < schema.fields.length) {
+              schema.fields(i).dataType match {
+                case LongType => out.writeLong(row.getLong(i))
+                case _ =>
+                  val b = row.getUTF8String(i).getBytes
+                  out.writeInt(b.length); out.write(b)
+              }
+              i += 1
+            }
+            n += 1
+          }
+          out.close()
+          Iterator((name, f.length(), n))
+        }.collect()
+        ShardFormat.writeManifest(dir, ShardFormat.Manifest(
+          schema, "v2probe",
+          entries.toSeq.map { case (n, b, r) =>
+            ShardFormat.FileEntry(n, b, r, Map.empty, Map.empty, None) },
+          None, version = 1L, createdAtMs = System.currentTimeMillis(),
+          operation = "append"))
+      }
+      def bench(label: String, dir: String): Unit = {
+        def t(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }
+        def scan = spark.read.format("graftshard").load(dir)
+        // warm once (page cache parity), then min of 3
+        def run(df: => org.apache.spark.sql.DataFrame): Double = {
+          df.collect(); (1 to 3).map(_ => t(df.collect(): Unit)).min
+        }
+        // id + l7 (an expression) so the SUM manifest pushdown cannot
+        // answer it — this must measure DECODE, not metadata
+        val proj = run(scan.agg(sum(col("id") + col("l7"))))
+        val one  = run(scan.agg(sum(length(col("s7")))))
+        val fullAggs = Seq(sum(col("id"))) ++
+          (0 until nStr).map(i => sum(length(col(s"s$i")))) ++
+          (0 until nLong).map(i => sum(col(s"l$i")))
+        val full = run(scan.agg(fullAggs.head, fullAggs.tail: _*))
+        println(f"PROBE-COLUMNAR $label proj2=$proj%6.3f oneStr=$one%6.3f full=$full%6.3f")
+      }
+      for ((rows, tag) <- Seq((1000000L, "1x"), (10000000L, "10x"))) {
+        val v3dir = s"/tmp/graft_columnar_v3_$tag"
+        val v2dir = s"/tmp/graft_columnar_v2_$tag"
+        wide(rows).write.format("graftshard").mode("overwrite").save(v3dir)
+        writeV2(v2dir, rows)
+        bench(s"v3/$tag rows=$rows", v3dir)
+        bench(s"v2/$tag rows=$rows", v2dir)
+      }
+      spark.stop()
+      return
+    }
+
     // ------------------------------------------- row-level A/B (rowlevel)
     // `runMain graft.ScaleProbe rowlevel` — copy-on-write vs
     // merge-on-read for the SAME selective unaligned DELETE (~1% of

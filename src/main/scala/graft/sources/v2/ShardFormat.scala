@@ -37,13 +37,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * min/max (Iceberg's manifest-list shape), which changes none of the
   * reader/writer contracts here.
   *
-  * Record encoding (schema order, big-endian): null bitmap
-  * (ceil(nFields/8) bytes, bit set = null), then per non-null field:
-  * long/double 8B, int/float 4B, boolean 1B, string/binary 4B length +
-  * bytes, float-array 4B count + 4B per element. Row-oriented means
-  * column pruning saves decode work, not IO — the IO win lives in the
-  * manifest stats; the scaladoc on [[GraftShardSource]] says so rather
-  * than implying columnar behavior.
+  * File encoding (big-endian throughout). v3 (current writer): magic,
+  * self-describing column header (count, then type tag + name per
+  * column), then COLUMNAR row groups until EOF — each group is
+  * [rowCount:4B][per column in header order: chunkBytes:4B, null
+  * bitmap (ceil(rows/8), bit set = null), packed non-null values].
+  * Values: long/double 8B, int/float 4B, boolean 1B, string/binary 4B
+  * length + bytes, float-array 4B count + 4B per element. Column
+  * pruning skips unwanted chunks with ONE skip per column per group —
+  * on an object store, a ranged GET never issued — where the v2 row
+  * layout ([rowBitmap][fields...] per record, same value encodings,
+  * still read-supported) paid a per-row per-field length parse to step
+  * over unwanted columns. Physical row order is identical in both
+  * formats (the `_pos`/delete-vector contract); compaction rewrites
+  * upgrade v2 files to v3 as a side effect.
   */
 object ShardFormat {
 
@@ -54,6 +61,20 @@ object ShardFormat {
   // fills added columns old files lack, and byte-skips dropped columns
   // whose type the table no longer knows (the header remembers it).
   val Magic: Array[Byte] = "GRFTSHD2".getBytes(StandardCharsets.US_ASCII)
+  // v3 (round 11, later): COLUMNAR row groups — same self-describing
+  // header, then groups of [rowCount][per column: chunkBytes, null
+  // bitmap, packed non-null values]. Column pruning now skips whole
+  // chunks (ONE skip per column per group — at 100 TB on an object
+  // store, a ranged GET the reader never issues) where the v2 row
+  // layout paid a per-row, per-field length parse to step over
+  // unwanted columns. Writers emit v3; readers serve both (the reader
+  // dispatches on the magic), so existing tables keep working and
+  // compaction upgrades them file by file.
+  val MagicV3: Array[Byte] = "GRFTSHD3".getBytes(StandardCharsets.US_ASCII)
+  // group flush thresholds: bounded writer/reader memory (one group
+  // buffered at a time), large enough that chunk skips amortize
+  val GroupMaxRows = 65536
+  val GroupMaxBytes: Long = 4L * 1024 * 1024
   val ManifestName = "_graft_manifest.json"
   val Version = 1
 
@@ -314,14 +335,30 @@ object ShardFormat {
     case other => throw new java.io.IOException(s"graftshard: unknown type tag $other")
   }
 
-  /** Writes one shard file; the caller feeds [[InternalRow]]s in the
-    * full table schema. Not thread-safe (one per Spark task). */
+  /** Per-column group buffer for the v3 writer: a null bitmap over the
+    * group's rows plus the packed non-null values. */
+  private final class ColBuf {
+    var bitmap = new Array[Byte](GroupMaxRows / 8)
+    val bytes = new java.io.ByteArrayOutputStream(1 << 14)
+    val values = new DataOutputStream(bytes)
+    def setNull(rowInGroup: Int): Unit =
+      bitmap(rowInGroup >> 3) = (bitmap(rowInGroup >> 3) | (1 << (rowInGroup & 7))).toByte
+    def reset(): Unit = {
+      java.util.Arrays.fill(bitmap, 0.toByte)
+      bytes.reset()
+    }
+  }
+
+  /** Writes one shard file (format v3, columnar row groups); the
+    * caller feeds [[InternalRow]]s in the full table schema. Rows are
+    * buffered per column and flushed as a group at [[GroupMaxRows]] /
+    * [[GroupMaxBytes]] — bounded memory, one group in flight. Not
+    * thread-safe (one per Spark task). */
   final class ShardWriter(file: File, schema: StructType) {
     private val fields = schema.fields
-    private val bitmapBytes = (fields.length + 7) / 8
     private val out = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(file), 1 << 20))
-    out.write(Magic)
+    out.write(MagicV3)
     // self-describing column header: the file, not the manifest, is the
     // truth about its own layout (see the Magic note)
     out.writeShort(fields.length)
@@ -331,60 +368,83 @@ object ShardFormat {
       fields.map(f => if (statsEligible(f.dataType)) new ColStats else null)
     private val sstats: Array[StrStats] =
       fields.map(f => if (strStatsEligible(f.dataType)) new StrStats else null)
+    private val cols: Array[ColBuf] = fields.map(_ => new ColBuf)
+    private var groupRows = 0
+    private var groupBytes = 0L
 
     def write(row: InternalRow): Unit = {
-      val bitmap = new Array[Byte](bitmapBytes)
       var i = 0
       while (i < fields.length) {
         if (row.isNullAt(i)) {
-          bitmap(i >> 3) = (bitmap(i >> 3) | (1 << (i & 7))).toByte
+          cols(i).setNull(groupRows)
           if (stats(i) != null) stats(i).nulls += 1
           if (sstats(i) != null) sstats(i).nulls += 1
-        }
-        i += 1
-      }
-      out.write(bitmap)
-      i = 0
-      while (i < fields.length) {
-        if (!row.isNullAt(i)) {
+        } else {
+          val values = cols(i).values
           fields(i).dataType match {
             case LongType =>
-              val v = row.getLong(i); out.writeLong(v); stats(i).update(v)
+              val v = row.getLong(i); values.writeLong(v); stats(i).update(v)
+              groupBytes += 8
             case IntegerType =>
-              val v = row.getInt(i); out.writeInt(v); stats(i).update(v.toLong)
-            case DoubleType => out.writeDouble(row.getDouble(i))
-            case FloatType => out.writeFloat(row.getFloat(i))
-            case BooleanType => out.writeBoolean(row.getBoolean(i))
+              val v = row.getInt(i); values.writeInt(v); stats(i).update(v.toLong)
+              groupBytes += 4
+            case DoubleType => values.writeDouble(row.getDouble(i)); groupBytes += 8
+            case FloatType => values.writeFloat(row.getFloat(i)); groupBytes += 4
+            case BooleanType => values.writeBoolean(row.getBoolean(i)); groupBytes += 1
             case StringType =>
               val u = row.getUTF8String(i)
               sstats(i).update(u)
               val b = u.getBytes
-              out.writeInt(b.length); out.write(b)
+              values.writeInt(b.length); values.write(b)
+              groupBytes += 4L + b.length
             case BinaryType =>
               val b = row.getBinary(i)
-              out.writeInt(b.length); out.write(b)
+              values.writeInt(b.length); values.write(b)
+              groupBytes += 4L + b.length
             case ArrayType(FloatType, _) =>
               val arr = row.getArray(i)
               val n = arr.numElements()
-              out.writeInt(n)
+              values.writeInt(n)
               var j = 0
               while (j < n) {
                 if (arr.isNullAt(j)) throw new IllegalArgumentException(
                   s"graftshard: null element in float array column '${fields(i).name}' — " +
                     "the record format stores no element bitmap; coalesce or drop null elements first")
-                out.writeFloat(arr.getFloat(j)); j += 1
+                values.writeFloat(arr.getFloat(j)); j += 1
               }
+              groupBytes += 4L + 4L * n
             case dt => throw new IllegalStateException(s"unreachable: $dt")
           }
         }
         i += 1
       }
       rowCount += 1
+      groupRows += 1
+      if (groupRows >= GroupMaxRows || groupBytes >= GroupMaxBytes) flushGroup()
+    }
+
+    private def flushGroup(): Unit = {
+      if (groupRows > 0) {
+        out.writeInt(groupRows)
+        val bitmapLen = (groupRows + 7) / 8
+        var i = 0
+        while (i < cols.length) {
+          val c = cols(i)
+          out.writeInt(bitmapLen + c.bytes.size())
+          out.write(c.bitmap, 0, bitmapLen)
+          c.bytes.writeTo(out)
+          c.reset()
+          i += 1
+        }
+        groupRows = 0
+        groupBytes = 0L
+      }
     }
 
     /** Returns (bytes, rows, presentStats, allNullStats); per-column
       * sums are exposed by [[sums]] after this call. */
     def finish(): (Long, Long, Map[String, (Long, Long, Long)], Map[String, Long]) = {
+      flushGroup()
       out.close()
       val present = Map.newBuilder[String, (Long, Long, Long)]
       val allNull = Map.newBuilder[String, Long]
@@ -424,26 +484,30 @@ object ShardFormat {
     def abort(): Unit = { out.close(); file.delete(): Unit }
   }
 
-  /** Sequential reader over one shard file, parsing only the columns in
-    * `readIndices` (indices into the TABLE schema, ascending); other
-    * fields are byte-skipped without materialization. Emits value
-    * arrays positionally aligned with `readIndices`.
+  /** Sequential reader over one shard file, decoding only the columns
+    * in `readIndices` (indices into the TABLE schema, ascending); other
+    * columns are skipped — v3 files skip a whole column CHUNK with one
+    * seek-sized skip per row group (the columnar IO win), v2 files
+    * byte-skip field by field. Emits value arrays positionally aligned
+    * with `readIndices`, in physical row order for BOTH formats (the
+    * `_pos` / delete-vector contract).
     *
     * The file's OWN column header drives decoding (schema evolution):
     * a wanted table column the file lacks (added after the file was
     * written) is null-filled; a file column the table no longer has
-    * (dropped) is byte-skipped using the header's type tag; when both
+    * (dropped) is skipped using the header's type tag; when both
     * sides have a column its types must agree — type evolution is not a
     * thing graftshard supports, and a mismatch fails loudly. */
   final class ShardReader(file: File, schema: StructType, readIndices: Array[Int]) {
     private val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(file), 1 << 20))
-    locally {
+    private val isV3: Boolean = {
       val hdr = new Array[Byte](Magic.length)
       in.readFully(hdr)
-      if (!java.util.Arrays.equals(hdr, Magic))
-        throw new java.io.IOException(s"graftshard: bad magic in $file " +
-          "(a pre-v2 shard, or not a shard file — rewrite the table)")
+      if (java.util.Arrays.equals(hdr, MagicV3)) true
+      else if (java.util.Arrays.equals(hdr, Magic)) false
+      else throw new java.io.IOException(s"graftshard: bad magic in $file " +
+        "(a pre-v2 shard, or not a shard file — rewrite the table)")
     }
     private val fields: Array[StructField] = {
       val n = in.readUnsignedShort()
@@ -483,9 +547,85 @@ object ShardFormat {
     }
     private val bitmap = new Array[Byte](bitmapBytes)
 
+    // ---- v3 group state: one group's RAW chunk bytes in flight for the
+    // wanted columns (others were skipped as whole chunks at load
+    // time); values decode lazily per row from per-column cursors — no
+    // staging arrays, so full-width decode allocates exactly what v2
+    // did (the boxed values) and narrow decode allocates only the
+    // wanted chunks
+    private var gRows = 0
+    private var gRow = 0
+    private val gChunk = new Array[Array[Byte]](fields.length)
+    private val gCursor = new Array[DataInputStream](fields.length)
+
     /** Reads the next record into `values` (length = readIndices.length,
       * nulls as null); returns false at clean EOF. */
-    def next(values: Array[Any]): Boolean = {
+    def next(values: Array[Any]): Boolean =
+      if (isV3) nextV3(values) else nextV2(values)
+
+    private def nextV3(values: Array[Any]): Boolean = {
+      if (gRow >= gRows && !loadGroup()) return false
+      var ms = 0
+      while (ms < missingSlots.length) { values(missingSlots(ms)) = null; ms += 1 }
+      var i = 0
+      while (i < fields.length) {
+        val s = slot(i)
+        if (s >= 0) {
+          val isNull = (gChunk(i)(gRow >> 3) & (1 << (gRow & 7))) != 0
+          values(s) = if (isNull) null else decodeOne(gCursor(i), fields(i))
+        }
+        i += 1
+      }
+      gRow += 1
+      true
+    }
+
+    private def loadGroup(): Boolean = {
+      val rows =
+        try in.readInt()
+        catch { case _: EOFException => in.close(); return false }
+      val bitmapLen = (rows + 7) / 8
+      var i = 0
+      while (i < fields.length) {
+        val chunkBytes = in.readInt()
+        if (slot(i) < 0) in.skipFully(chunkBytes.toLong)
+        else {
+          val buf = new Array[Byte](chunkBytes)
+          in.readFully(buf)
+          gChunk(i) = buf // bitmap prefix; the null test indexes it directly
+          gCursor(i) = new DataInputStream(
+            new java.io.ByteArrayInputStream(buf, bitmapLen, buf.length - bitmapLen))
+        }
+        i += 1
+      }
+      gRows = rows
+      gRow = 0
+      true
+    }
+
+    private def decodeOne(d: DataInputStream, field: StructField): Any =
+      field.dataType match {
+        case LongType => java.lang.Long.valueOf(d.readLong())
+        case IntegerType => java.lang.Integer.valueOf(d.readInt())
+        case DoubleType => java.lang.Double.valueOf(d.readDouble())
+        case FloatType => java.lang.Float.valueOf(d.readFloat())
+        case BooleanType => java.lang.Boolean.valueOf(d.readBoolean())
+        case StringType =>
+          val b = new Array[Byte](d.readInt()); d.readFully(b)
+          UTF8String.fromBytes(b)
+        case BinaryType =>
+          val b = new Array[Byte](d.readInt()); d.readFully(b)
+          b
+        case ArrayType(FloatType, _) =>
+          val n = d.readInt()
+          val a = new Array[Float](n)
+          var j = 0
+          while (j < n) { a(j) = d.readFloat(); j += 1 }
+          new GenericArrayData(a)
+        case other => throw new IllegalStateException(s"unreachable: $other (${field.name})")
+      }
+
+    private def nextV2(values: Array[Any]): Boolean = {
       try in.readFully(bitmap)
       catch { case _: EOFException => in.close(); return false }
       var ms = 0
