@@ -333,10 +333,12 @@ object ScaleProbe {
       }
       // local v2 encoder: magic GRFTSHD2, column header, per row a null
       // bitmap then fields in order (all non-null here)
-      def writeV2(dir: String, rows: Long): Unit = {
+      def writeV2(dir: String, rows: Long): Unit = writeV2Df(dir, wide(rows))
+      def writeV2One(dir: String, rows: Long): Unit = writeV2Df(dir, wide(rows).coalesce(1))
+      def writeV2Df(dir: String, df: org.apache.spark.sql.DataFrame): Unit = {
         val d = new java.io.File(dir)
         d.mkdirs()
-        val entries = wide(rows).queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        val entries = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
           val name = f"legacy-$pid%05d.shard"
           val f = new java.io.File(dir, name)
           val out = new java.io.DataOutputStream(
@@ -399,6 +401,30 @@ object ScaleProbe {
         writeV2(v2dir, rows)
         bench(s"v3/$tag rows=$rows", v3dir)
         bench(s"v2/$tag rows=$rows", v2dir)
+      }
+      // group-skip cell: ONE sorted 2M-row file (~1.3 GB, the inside of
+      // a real shard), a 1% id range absorbed by the source — v3 drops
+      // whole groups from the header stats, v2 must length-parse every
+      // row to apply the same filter. Single file on purpose: manifest
+      // file-skipping is the SAME for both (one file), so the delta is
+      // group skipping alone.
+      locally {
+        val rows = 2000000L
+        val lo = rows / 2
+        val hi = lo + rows / 100
+        val v3dir = "/tmp/graft_columnar_gskip_v3"
+        val v2dir = "/tmp/graft_columnar_gskip_v2"
+        wide(rows).coalesce(1).write.format("graftshard").mode("overwrite").save(v3dir)
+        writeV2One(v2dir, rows)
+        def t(dir: String): Double = {
+          def q = spark.read.format("graftshard").load(dir)
+            .where(col("id") >= lo && col("id") < hi)
+            .agg(sum(col("id") + col("l7")), sum(length(col("s7"))))
+          q.collect(); (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); q.collect(); (System.nanoTime() - t0) / 1e9
+          }.min
+        }
+        println(f"PROBE-COLUMNAR gskip(1%% of 2M, 1 sorted file) v3=${t(v3dir)}%6.3f v2=${t(v2dir)}%6.3f")
       }
       spark.stop()
       return

@@ -859,6 +859,16 @@ class GraftShardPartitionReader(
   private val hasMeta = outMap.exists(_ < 0)
   private val evals: Array[Array[Any] => Boolean] =
     pushed.map(ShardFilters.compile(_, slotOf, fullSchema))
+  // within-file group skipping: a v3 row group whose header stats prove
+  // no row can match is dropped whole (all chunks skipped unread) —
+  // the SAME mayContain that prunes files from the manifest, over a
+  // synthetic one-group FileEntry, so the two levels cannot drift
+  private val groupSkip: ShardFormat.GroupStats => Boolean =
+    if (pushed.isEmpty) _ => false
+    else gs => {
+      val fe = ShardFormat.FileEntry("", 0L, gs.rows.toLong, gs.stats, gs.allNull)
+      !pushed.forall(ShardFilters.mayContain(_, fe))
+    }
 
   private val values = new Array[Any](readCols.length)
   private var fileIdx = -1
@@ -883,7 +893,7 @@ class GraftShardPartitionReader(
         else {
           val f = new File(files(fileIdx)._1)
           fileName = UTF8String.fromString(f.getName)
-          reader = new ShardFormat.ShardReader(f, fullSchema, readIndices)
+          reader = new ShardFormat.ShardReader(f, fullSchema, readIndices, groupSkip)
           pos = -1L
           dv = files(fileIdx)._3
             .map(d => ShardFormat.readDeleteVector(new File(d)))
@@ -893,7 +903,11 @@ class GraftShardPartitionReader(
       } else if (!reader.next(values)) {
         reader = null // ShardReader closed itself at EOF
       } else {
-        pos += 1
+        // the reader's ordinal counts skipped-group rows too, so the
+        // delete-vector walk below must CATCH UP past ordinals that
+        // fell inside skipped groups (they were never served)
+        pos = reader.ordinal
+        while (dvIdx < dv.length && dv(dvIdx) < pos) dvIdx += 1
         if (dvIdx < dv.length && dv(dvIdx) == pos) {
           dvIdx += 1 // merge-on-read deleted row: skip, keep counting
         } else if (evals.forall(_(values))) {

@@ -349,6 +349,18 @@ object ShardFormat {
     }
   }
 
+  /** One row group's integral-column stats, parsed from the group
+    * header — the within-file skipping currency: a reader given the
+    * scan's absorbed predicates drops whole groups (all chunks skipped,
+    * zero value decodes) exactly like the manifest drops whole files.
+    * On a sorted / z-ordered layout the groups are sub-ranges, so a
+    * selective predicate over a 128 MiB shard decodes only the groups
+    * its range touches. */
+  final case class GroupStats(
+      rows: Int,
+      stats: Map[String, (Long, Long, Long)],
+      allNull: Map[String, Long])
+
   /** Writes one shard file (format v3, columnar row groups); the
     * caller feeds [[InternalRow]]s in the full table schema. Rows are
     * buffered per column and flushed as a group at [[GroupMaxRows]] /
@@ -369,6 +381,10 @@ object ShardFormat {
     private val sstats: Array[StrStats] =
       fields.map(f => if (strStatsEligible(f.dataType)) new StrStats else null)
     private val cols: Array[ColBuf] = fields.map(_ => new ColBuf)
+    // per-GROUP stats for integral columns (reset each flush) — written
+    // into the group header for within-file group skipping
+    private val gstats: Array[ColStats] =
+      fields.map(f => if (statsEligible(f.dataType)) new ColStats else null)
     private var groupRows = 0
     private var groupBytes = 0L
 
@@ -377,16 +393,18 @@ object ShardFormat {
       while (i < fields.length) {
         if (row.isNullAt(i)) {
           cols(i).setNull(groupRows)
-          if (stats(i) != null) stats(i).nulls += 1
+          if (stats(i) != null) { stats(i).nulls += 1; gstats(i).nulls += 1 }
           if (sstats(i) != null) sstats(i).nulls += 1
         } else {
           val values = cols(i).values
           fields(i).dataType match {
             case LongType =>
-              val v = row.getLong(i); values.writeLong(v); stats(i).update(v)
+              val v = row.getLong(i); values.writeLong(v)
+              stats(i).update(v); gstats(i).update(v)
               groupBytes += 8
             case IntegerType =>
-              val v = row.getInt(i); values.writeInt(v); stats(i).update(v.toLong)
+              val v = row.getInt(i); values.writeInt(v)
+              stats(i).update(v.toLong); gstats(i).update(v.toLong)
               groupBytes += 4
             case DoubleType => values.writeDouble(row.getDouble(i)); groupBytes += 8
             case FloatType => values.writeFloat(row.getFloat(i)); groupBytes += 4
@@ -426,8 +444,27 @@ object ShardFormat {
     private def flushGroup(): Unit = {
       if (groupRows > 0) {
         out.writeInt(groupRows)
-        val bitmapLen = (groupRows + 7) / 8
+        // group-stats section, BEFORE the chunks, so a reader can drop
+        // the whole group without touching a value: per column one flag
+        // byte — 0 none, 1 present (min/max/nulls), 2 all-null (nulls)
         var i = 0
+        while (i < cols.length) {
+          val g = gstats(i)
+          if (g == null) out.writeByte(0)
+          else if (g.nonNull > 0) {
+            out.writeByte(1)
+            out.writeLong(g.min); out.writeLong(g.max); out.writeLong(g.nulls)
+          } else {
+            out.writeByte(2); out.writeLong(g.nulls)
+          }
+          if (g != null) {
+            g.min = Long.MaxValue; g.max = Long.MinValue
+            g.nulls = 0L; g.nonNull = 0L; g.sum = 0L; g.sumOverflow = false
+          }
+          i += 1
+        }
+        val bitmapLen = (groupRows + 7) / 8
+        i = 0
         while (i < cols.length) {
           val c = cols(i)
           out.writeInt(bitmapLen + c.bytes.size())
@@ -498,7 +535,16 @@ object ShardFormat {
     * (dropped) is skipped using the header's type tag; when both
     * sides have a column its types must agree — type evolution is not a
     * thing graftshard supports, and a mismatch fails loudly. */
-  final class ShardReader(file: File, schema: StructType, readIndices: Array[Int]) {
+  final class ShardReader(
+      file: File,
+      schema: StructType,
+      readIndices: Array[Int],
+      // group-skip test over a group's header stats (v3 only): true =
+      // no row in the group can match the scan's absorbed predicates —
+      // all its chunks are skipped unread. Callers that depend on
+      // DENSE ordinals must keep the default and count rows themselves,
+      // or use [[ordinal]], which stays exact across skipped groups.
+      skipGroup: GroupStats => Boolean = _ => false) {
     private val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(file), 1 << 20))
     private val isV3: Boolean = {
@@ -557,6 +603,17 @@ object ShardFormat {
     private var gRow = 0
     private val gChunk = new Array[Array[Byte]](fields.length)
     private val gCursor = new Array[DataInputStream](fields.length)
+    // exact physical ordinal of the record LAST returned by next() —
+    // counts rows inside skipped groups too, so delete-vector / _pos
+    // consumers stay correct under group skipping
+    private var physOrdinal = -1L
+    private var skippedGroups = 0
+
+    /** Physical ordinal (0-based, counts skipped-group rows) of the
+      * record the last `next(values)` produced. */
+    def ordinal: Long = physOrdinal
+    /** Row groups dropped by the `skipGroup` predicate so far. */
+    def groupsSkipped: Int = skippedGroups
 
     /** Reads the next record into `values` (length = readIndices.length,
       * nulls as null); returns false at clean EOF. */
@@ -577,30 +634,56 @@ object ShardFormat {
         i += 1
       }
       gRow += 1
+      physOrdinal += 1
       true
     }
 
     private def loadGroup(): Boolean = {
-      val rows =
-        try in.readInt()
-        catch { case _: EOFException => in.close(); return false }
-      val bitmapLen = (rows + 7) / 8
-      var i = 0
-      while (i < fields.length) {
-        val chunkBytes = in.readInt()
-        if (slot(i) < 0) in.skipFully(chunkBytes.toLong)
-        else {
-          val buf = new Array[Byte](chunkBytes)
-          in.readFully(buf)
-          gChunk(i) = buf // bitmap prefix; the null test indexes it directly
-          gCursor(i) = new DataInputStream(
-            new java.io.ByteArrayInputStream(buf, bitmapLen, buf.length - bitmapLen))
+      while (true) {
+        val rows =
+          try in.readInt()
+          catch { case _: EOFException => in.close(); return false }
+        // group-stats section (see the writer's flushGroup)
+        val present = Map.newBuilder[String, (Long, Long, Long)]
+        val allNull = Map.newBuilder[String, Long]
+        var i = 0
+        while (i < fields.length) {
+          in.readByte() match {
+            case 0 => ()
+            case 1 =>
+              present += fields(i).name -> ((in.readLong(), in.readLong(), in.readLong()))
+            case 2 => allNull += fields(i).name -> in.readLong()
+            case other =>
+              throw new java.io.IOException(
+                s"graftshard: corrupt group stats flag $other in $file")
+          }
+          i += 1
         }
-        i += 1
+        val skip = skipGroup(GroupStats(rows, present.result(), allNull.result()))
+        val bitmapLen = (rows + 7) / 8
+        i = 0
+        while (i < fields.length) {
+          val chunkBytes = in.readInt()
+          if (skip || slot(i) < 0) in.skipFully(chunkBytes.toLong)
+          else {
+            val buf = new Array[Byte](chunkBytes)
+            in.readFully(buf)
+            gChunk(i) = buf // bitmap prefix; the null test indexes it directly
+            gCursor(i) = new DataInputStream(
+              new java.io.ByteArrayInputStream(buf, bitmapLen, buf.length - bitmapLen))
+          }
+          i += 1
+        }
+        if (skip) {
+          physOrdinal += rows // the ordinal contract: skipped rows count
+          skippedGroups += 1
+        } else {
+          gRows = rows
+          gRow = 0
+          return true
+        }
       }
-      gRows = rows
-      gRow = 0
-      true
+      false // unreachable
     }
 
     private def decodeOne(d: DataInputStream, field: StructField): Any =
@@ -628,6 +711,7 @@ object ShardFormat {
     private def nextV2(values: Array[Any]): Boolean = {
       try in.readFully(bitmap)
       catch { case _: EOFException => in.close(); return false }
+      physOrdinal += 1
       var ms = 0
       while (ms < missingSlots.length) { values(missingSlots(ms)) = null; ms += 1 }
       var i = 0

@@ -112,6 +112,61 @@ class GraftShardColumnarSpec extends AnyFunSuite {
     assert(spark.read.format("graftshard").load(dir).count() == 5)
   }
 
+  test("group skipping: sorted multi-group file drops groups whole; ordinals stay exact") {
+    val dir = tmp()
+    val n = ShardFormat.GroupMaxRows * 3
+    // sorted by id -> each group is a contiguous id range
+    spark.range(0, n.toLong).select(col("id"), (col("id") * 2L).as("v"))
+      .coalesce(1)
+      .write.format("graftshard").mode("overwrite").save(dir)
+    val m = ShardFormat.readManifest(dir).get
+    val f = new java.io.File(dir, m.files.head.name)
+    // direct reader: predicate matches only the LAST group's range
+    val lo = 2L * ShardFormat.GroupMaxRows + 10
+    val r = new ShardFormat.ShardReader(f, m.schema, Array(0, 1),
+      skipGroup = gs => gs.stats.get("id").exists(_._2 < lo))
+    val vals = new Array[Any](2)
+    val got = Iterator.continually(if (r.next(vals)) Some((vals(0), r.ordinal)) else None)
+      .takeWhile(_.isDefined).flatten.toVector
+    assert(r.groupsSkipped == 2, s"expected 2 skipped groups, got ${r.groupsSkipped}")
+    // first served row: ordinal = its physical position despite the gaps
+    assert(got.head._2 == 2L * ShardFormat.GroupMaxRows)
+    assert(got.head._1.asInstanceOf[Long] == 2L * ShardFormat.GroupMaxRows)
+    assert(got.length == ShardFormat.GroupMaxRows)
+
+    // end-to-end: absorbed range predicate over the scan gives exact
+    // answers (groups before the range are dropped whole inside)
+    val t = spark.read.format("graftshard").load(dir)
+    val sel = t.where(col("id") >= lo).agg(count(lit(1)), min(col("id")), max(col("v")))
+      .collect()(0)
+    assert((sel.getLong(0), sel.getLong(1), sel.getLong(2)) ==
+      ((n - lo, lo, 2L * (n - 1))))
+  }
+
+  test("group skipping composes with delete vectors: dv catch-up across skipped groups") {
+    val wh = Files.createTempDirectory("graft_gskip_mor").toString
+    spark.conf.set("spark.sql.catalog.gscat", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gscat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gscat.g")
+    val n = ShardFormat.GroupMaxRows * 2 + 100
+    spark.range(0, n.toLong).select(col("id"), (col("id") % 13).as("v"))
+      .coalesce(1).writeTo("gscat.g.t").using("graftshard").create()
+    // deletes land in EVERY group, including ones a later filter skips
+    spark.conf.set("spark.graftshard.rowLevel.mode", "merge-on-read")
+    try spark.sql("DELETE FROM gscat.g.t WHERE id % 1000 = 3")
+    finally spark.conf.unset("spark.graftshard.rowLevel.mode")
+    // filter range sits in the LAST group: earlier groups (and their dv
+    // ordinals) are skipped; the dv pointer must catch up, not wedge
+    val lo = 2L * ShardFormat.GroupMaxRows
+    val got = spark.table("gscat.g.t").where(col("id") >= lo)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expect = (lo until n.toLong).filterNot(_ % 1000 == 3).toSet
+    assert(got == expect)
+    // and without the filter: full-table dv semantics intact
+    assert(spark.table("gscat.g.t").count() ==
+      (0L until n.toLong).count(_ % 1000 != 3))
+  }
+
   test("a non-shard file fails loudly with the magic error") {
     val dir = tmp()
     new File(dir).mkdirs()

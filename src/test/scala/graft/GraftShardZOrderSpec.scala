@@ -86,6 +86,37 @@ class GraftShardZOrderSpec extends AnyFunSuite {
         "this is exactly what z-order buys")
   }
 
+  test("z-order composes with group skipping: a 2-D box drops row groups inside surviving files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS zcat.gs")
+    spark.sql("DROP TABLE IF EXISTS zcat.gs.z")
+    // 512x512 grid, TWO files -> multiple row groups per file, each a
+    // z-range = a box-ish region; group stats on x AND y are tight boxes
+    val grid = spark.range(0, 262144)
+      .select((col("id") % 512).as("x"), expr("id DIV 512").as("y"), col("id").as("v"))
+    grid.writeTo("zcat.gs.z").using("graftshard")
+      .option("zorderBy", "x,y").option("writePartitions", "2").create()
+    val zdir = s"$warehouse/gs/z"
+    val m = ShardFormat.readManifest(zdir).get
+    // read one file directly with a box skip predicate — groups whose
+    // x/y boxes miss the query box are dropped whole
+    val fe = m.files.head
+    val box: ShardFormat.GroupStats => Boolean = gs =>
+      !(gs.stats.get("x").exists { case (mn, mx, _) => mx >= 100 && mn <= 120 } &&
+        gs.stats.get("y").exists { case (mn, mx, _) => mx >= 100 && mn <= 120 })
+    val r = new ShardFormat.ShardReader(new java.io.File(zdir, fe.name),
+      m.schema, Array(0, 1), skipGroup = box)
+    val vals = new Array[Any](2)
+    var served = 0L
+    while (r.next(vals)) served += 1
+    assert(r.groupsSkipped > 0,
+      s"a selective 2-D box must skip z-ordered row groups (served=$served)")
+    assert(served < fe.rows, "some rows must be dropped with their groups")
+    // end-to-end: the same box through the scan is exact
+    val got = spark.table("zcat.gs.z")
+      .where(col("x").between(100, 120) && col("y").between(100, 120)).count()
+    assert(got == 21L * 21L)
+  }
+
   test("zorderBy is refused with partitionKey/sortWithinShards and on non-integral columns") {
     val dir = Files.createTempDirectory("graft_zorder_err").toString + "/t"
     val df = spark.range(10).select(col("id"), (col("id") % 3).as("k"),
