@@ -969,6 +969,44 @@ object ExtensionQueries {
     s.read.format("graftshard").load(dst)
   }
 
+  /** Streaming CHANGE FEED end to end: a lake table takes an append
+    * and a merge-on-read DELETE while a `changesFrom` stream follows it
+    * — the micro-batches are exact version deltas (offsets = manifest
+    * versions), landed in a graftshard sink. The incremental-consumer
+    * shape at 100 TB: a dedup registry / index refresher subscribes to
+    * row-level changes instead of re-diffing snapshots per run. The
+    * oracle replays the expected event set (appended docs as inserts,
+    * %9=2 docs as deletes — including appended-then-deleted docs
+    * reporting both). */
+  private def st10(s: SparkSession, dir: String): DataFrame = {
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val cat = ensureGraftCatalog(s, dir)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.st10")
+    s.sql(s"DROP TABLE IF EXISTS $cat.st10.docs")
+    val docs = table(s, dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.where(col("doc_id") % 2 === 0).repartitionByRange(4, col("doc_id"))
+      .writeTo(s"$cat.st10.docs").using("graftshard").create()
+    val src = s"${s.conf.get(s"spark.sql.catalog.$cat.warehouse")}/st10/docs"
+    val from = graft.sources.v2.ShardFormat.readManifest(src).get.version
+    // the commits the stream must observe
+    docs.where(col("doc_id") % 2 === 1).repartitionByRange(4, col("doc_id"))
+      .writeTo(s"$cat.st10.docs").append()
+    s.conf.set("spark.graftshard.rowLevel.mode", "merge-on-read")
+    try s.sql(s"DELETE FROM $cat.st10.docs WHERE doc_id % 9 = 2")
+    finally s.conf.unset("spark.graftshard.rowLevel.mode")
+    val dst = Q.tmpArtifactPath("st10dst", dir) + s"_$run"
+    val ckpt = Q.tmpArtifactPath("st10ckpt", dir) + s"_$run"
+    val q = s.readStream.format("graftshard")
+      .option("changesFrom", from).load(src)
+      .select("doc_id", "lang", "_change_type")
+      .writeStream.format("graftshard")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    s.read.format("graftshard").load(dst)
+  }
+
   /** Batch face of the streaming minhash-LSH band registry (same d3
     * parameters, same oracle CTEs); StreamingSpec runs the stream face. */
   private def st4(s: SparkSession, dir: String): DataFrame =
@@ -3934,6 +3972,14 @@ object ExtensionQueries {
     Q("st9_stream_lake_pipeline", st9, Some("""
       SELECT doc_id, (n_chars * 2)::BIGINT AS chars2, lang
       FROM documents WHERE n_chars > 100""")),
+
+    // streaming change feed: version-delta micro-batches into a lake sink
+    Q("st10_stream_change_feed", st10, Some("""
+      SELECT doc_id, lang, 'insert' AS _change_type
+      FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id, lang, 'delete' AS _change_type
+      FROM documents WHERE doc_id % 9 = 2""")),
 
     Q("st8_stream_dedup", st8, Some("""
       SELECT event_id, ts_s, event_type, user_id FROM (

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -70,8 +71,8 @@ object GraftShardChanges {
     * returns (schema at `to`, per-file changes). Driver-side manifest
     * work only. */
   def plan(path: String, from: Long, to: Long): (StructType, Seq[FileChange]) = {
-    require(from >= 0 && to > from,
-      s"graftshard: changesFrom/changesTo must satisfy 0 <= from < to, got ($from, $to]")
+    require(from >= 0 && to >= from,
+      s"graftshard: changesFrom/changesTo must satisfy 0 <= from <= to, got ($from, $to]")
     val current = ShardFormat.readManifest(path).getOrElse(
       throw new IllegalArgumentException(
         s"graftshard: no ${ShardFormat.ManifestName} under '$path'"))
@@ -130,13 +131,21 @@ object GraftShardChanges {
     }
     (snapshot(to).schema, planned)
   }
+
+  /** FileChanges → input partitions (shared by the batch scan and the
+    * streaming feed). */
+  def toPartitions(path: String, changes: Seq[FileChange]): Array[InputPartition] =
+    changes.map(fc => ShardChangePartition(
+      new File(path, fc.file).getPath, fc.commitVersion, fc.changeType,
+      fc.skip.map(d => new File(path, d).getPath),
+      fc.emitOnly.map(d => new File(path, d).getPath)): InputPartition).toArray
 }
 
 /** The read-only table face of the feed: base schema at `changesTo`
   * plus the two change columns. Filters/aggregates are left to Spark
   * (a delta is already small by construction); column pruning is
   * supported so an id-only consumer decodes nothing else. */
-class GraftShardChangesTable(path: String, from: Long, to: Long)
+class GraftShardChangesTable(path: String, from: Long, to: Long, toExplicit: Boolean = true)
     extends Table with SupportsRead {
   private lazy val planned = GraftShardChanges.plan(path, from, to)
 
@@ -146,17 +155,20 @@ class GraftShardChangesTable(path: String, from: Long, to: Long)
       StructField(GraftShardChanges.ChangeTypeCol, StringType, nullable = false) :+
       StructField(GraftShardChanges.CommitVersionCol, LongType, nullable = false))
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftShardChangesScanBuilder(path, planned._1, schema(), planned._2)
+    new GraftShardChangesScanBuilder(path, planned._1, schema(), planned._2,
+      from, toExplicit)
 }
 
 class GraftShardChangesScanBuilder(
     path: String,
     baseSchema: StructType,
     fullSchema: StructType,
-    changes: Seq[GraftShardChanges.FileChange])
+    changes: Seq[GraftShardChanges.FileChange],
+    from: Long,
+    toExplicit: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -168,13 +180,65 @@ class GraftShardChangesScanBuilder(
       s"graftshard changes (${changes.size} changed files)"
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
-      changes.map(fc => ShardChangePartition(
-        new File(path, fc.file).getPath, fc.commitVersion, fc.changeType,
-        fc.skip.map(d => new File(path, d).getPath),
-        fc.emitOnly.map(d => new File(path, d).getPath)): InputPartition).toArray
+      GraftShardChanges.toPartitions(path, changes)
     override def createReaderFactory(): PartitionReaderFactory =
       new ShardChangesReaderFactory(baseSchema, required)
+
+    /** The STREAMING change feed: offsets are manifest versions; each
+      * micro-batch is the exact delta over `(startV, endV]`. An
+      * incremental consumer (the dedup band registry, an index
+      * refresher) subscribes to the table's row-level changes instead
+      * of re-diffing snapshots per run. A copy-on-write commit fails
+      * the batch loudly with the merge-on-read pointer (same admission
+      * rule as the batch feed); the expireSnapshots horizon applies —
+      * retain snapshots at least as long as the slowest consumer's
+      * lag. */
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+      require(!toExplicit,
+        "graftshard: a streaming change feed is unbounded — drop changesTo " +
+          "(changesFrom names the version the stream starts after)")
+      new GraftShardChangesMicroBatchStream(path, from, baseSchema, required)
+    }
   }
+}
+
+final case class ChangesOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+object ChangesOffset {
+  def fromJson(j: String): ChangesOffset = {
+    val m = """\{"version":(\d+)\}""".r
+    j match {
+      case m(v) => ChangesOffset(v.toLong)
+      case _ => throw new IllegalArgumentException(s"graftshard: bad changes offset '$j'")
+    }
+  }
+}
+
+class GraftShardChangesMicroBatchStream(
+    path: String,
+    startVersion: Long,
+    baseSchema: StructType,
+    required: StructType)
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset = ChangesOffset(startVersion)
+  override def latestOffset(): Offset = ChangesOffset(
+    ShardFormat.readManifest(path).map(_.version).getOrElse(startVersion))
+  override def deserializeOffset(json: String): Offset = ChangesOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ChangesOffset].version
+    val e = end.asInstanceOf[ChangesOffset].version
+    if (e <= s) Array.empty
+    else GraftShardChanges.toPartitions(path, GraftShardChanges.plan(path, s, e)._2)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardChangesReaderFactory(baseSchema, required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class ShardChangePartition(

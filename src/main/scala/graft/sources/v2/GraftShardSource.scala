@@ -83,17 +83,19 @@ class GraftShardSource extends TableProvider with DataSourceRegister {
   /** `option("changesFrom", v1).option("changesTo", v2)`: the change
     * data feed over `(v1, v2]` ([[GraftShardChanges]]). `changesTo`
     * defaults to the current version when only `changesFrom` is set. */
-  private def changeRange(options: CaseInsensitiveStringMap, p: String): Option[(Long, Long)] =
+  private def changeRange(
+      options: CaseInsensitiveStringMap, p: String): Option[(Long, Long, Boolean)] =
     Option(options.get("changesFrom")).map { f =>
-      val to = Option(options.get("changesTo")).map(_.toLong).getOrElse(
+      val explicit = Option(options.get("changesTo")).map(_.toLong)
+      val to = explicit.getOrElse(
         ShardFormat.readManifest(p).map(_.version).getOrElse(0L))
-      (f.toLong, to)
+      (f.toLong, to, explicit.isDefined)
     }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val p = path(options)
     changeRange(options, p) match {
-      case Some((f, t)) => new GraftShardChangesTable(p, f, t).schema()
+      case Some((f, t, ex)) => new GraftShardChangesTable(p, f, t, ex).schema()
       case None =>
         pinnedFor(p, Option(options.get("versionAsOf")))
           .orElse(ShardFormat.readManifest(p)).map(_.schema).getOrElse {
@@ -112,10 +114,10 @@ class GraftShardSource extends TableProvider with DataSourceRegister {
     val p = opts.get("path")
     require(p != null && p.nonEmpty, "graftshard: a path is required")
     changeRange(opts, p) match {
-      case Some((f, t)) =>
+      case Some((f, t, ex)) =>
         require(opts.get("versionAsOf") == null,
           "graftshard: changesFrom/changesTo and versionAsOf are mutually exclusive")
-        new GraftShardChangesTable(p, f, t)
+        new GraftShardChangesTable(p, f, t, ex)
       case None =>
         new GraftShardTable(p, schema, pinnedFor(p, Option(opts.get("versionAsOf"))))
     }
@@ -866,7 +868,8 @@ class GraftShardPartitionReader(
   private val groupSkip: ShardFormat.GroupStats => Boolean =
     if (pushed.isEmpty) _ => false
     else gs => {
-      val fe = ShardFormat.FileEntry("", 0L, gs.rows.toLong, gs.stats, gs.allNull)
+      val fe = ShardFormat.FileEntry("", 0L, gs.rows.toLong, gs.stats, gs.allNull,
+        strStats = gs.strStats)
       !pushed.forall(ShardFilters.mayContain(_, fe))
     }
 

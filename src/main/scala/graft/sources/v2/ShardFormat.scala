@@ -359,7 +359,8 @@ object ShardFormat {
   final case class GroupStats(
       rows: Int,
       stats: Map[String, (Long, Long, Long)],
-      allNull: Map[String, Long])
+      allNull: Map[String, Long],
+      strStats: Map[String, (String, String, Long)] = Map.empty)
 
   /** Writes one shard file (format v3, columnar row groups); the
     * caller feeds [[InternalRow]]s in the full table schema. Rows are
@@ -381,10 +382,12 @@ object ShardFormat {
     private val sstats: Array[StrStats] =
       fields.map(f => if (strStatsEligible(f.dataType)) new StrStats else null)
     private val cols: Array[ColBuf] = fields.map(_ => new ColBuf)
-    // per-GROUP stats for integral columns (reset each flush) — written
-    // into the group header for within-file group skipping
+    // per-GROUP stats for integral AND string columns (reset each
+    // flush) — written into the group header for within-file skipping
     private val gstats: Array[ColStats] =
       fields.map(f => if (statsEligible(f.dataType)) new ColStats else null)
+    private val gsstats: Array[StrStats] =
+      fields.map(f => if (strStatsEligible(f.dataType)) new StrStats else null)
     private var groupRows = 0
     private var groupBytes = 0L
 
@@ -394,7 +397,7 @@ object ShardFormat {
         if (row.isNullAt(i)) {
           cols(i).setNull(groupRows)
           if (stats(i) != null) { stats(i).nulls += 1; gstats(i).nulls += 1 }
-          if (sstats(i) != null) sstats(i).nulls += 1
+          if (sstats(i) != null) { sstats(i).nulls += 1; gsstats(i).nulls += 1 }
         } else {
           val values = cols(i).values
           fields(i).dataType match {
@@ -412,6 +415,7 @@ object ShardFormat {
             case StringType =>
               val u = row.getUTF8String(i)
               sstats(i).update(u)
+              gsstats(i).update(u)
               val b = u.getBytes
               values.writeInt(b.length); values.write(b)
               groupBytes += 4L + b.length
@@ -446,20 +450,32 @@ object ShardFormat {
         out.writeInt(groupRows)
         // group-stats section, BEFORE the chunks, so a reader can drop
         // the whole group without touching a value: per column one flag
-        // byte — 0 none, 1 present (min/max/nulls), 2 all-null (nulls)
+        // byte — 0 none, 1 integral (min/max/nulls), 2 all-null
+        // (nulls), 3 string (min/max UTF, nulls; absent past the cap —
+        // the same exactness rule as the file-level bounds)
         var i = 0
         while (i < cols.length) {
           val g = gstats(i)
-          if (g == null) out.writeByte(0)
-          else if (g.nonNull > 0) {
+          val t = gsstats(i)
+          if (g != null && g.nonNull > 0) {
             out.writeByte(1)
             out.writeLong(g.min); out.writeLong(g.max); out.writeLong(g.nulls)
-          } else {
+          } else if (t != null && t.nonNull > 0 && !t.dropped) {
+            out.writeByte(3)
+            out.writeUTF(t.min.toString); out.writeUTF(t.max.toString)
+            out.writeLong(t.nulls)
+          } else if (g != null && g.nulls > 0) {
             out.writeByte(2); out.writeLong(g.nulls)
-          }
+          } else if (t != null && t.nonNull == 0 && t.nulls > 0) {
+            out.writeByte(2); out.writeLong(t.nulls)
+          } else out.writeByte(0)
           if (g != null) {
             g.min = Long.MaxValue; g.max = Long.MinValue
             g.nulls = 0L; g.nonNull = 0L; g.sum = 0L; g.sumOverflow = false
+          }
+          if (t != null) {
+            t.min = null; t.max = null
+            t.nulls = 0L; t.nonNull = 0L; t.dropped = false
           }
           i += 1
         }
@@ -646,6 +662,7 @@ object ShardFormat {
         // group-stats section (see the writer's flushGroup)
         val present = Map.newBuilder[String, (Long, Long, Long)]
         val allNull = Map.newBuilder[String, Long]
+        val strs = Map.newBuilder[String, (String, String, Long)]
         var i = 0
         while (i < fields.length) {
           in.readByte() match {
@@ -653,13 +670,16 @@ object ShardFormat {
             case 1 =>
               present += fields(i).name -> ((in.readLong(), in.readLong(), in.readLong()))
             case 2 => allNull += fields(i).name -> in.readLong()
+            case 3 =>
+              strs += fields(i).name -> ((in.readUTF(), in.readUTF(), in.readLong()))
             case other =>
               throw new java.io.IOException(
                 s"graftshard: corrupt group stats flag $other in $file")
           }
           i += 1
         }
-        val skip = skipGroup(GroupStats(rows, present.result(), allNull.result()))
+        val skip = skipGroup(
+          GroupStats(rows, present.result(), allNull.result(), strs.result()))
         val bitmapLen = (rows + 7) / 8
         i = 0
         while (i < fields.length) {

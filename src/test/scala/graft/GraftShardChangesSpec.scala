@@ -130,9 +130,11 @@ class GraftShardChangesSpec extends AnyFunSuite {
     assert(ShardFormat.readManifest(dir).get.operation == "cow")
     val e = intercept[Exception] { changes(dir, v0, vCow).collect() }
     assert(e.getMessage.contains("merge-on-read"), e.getMessage)
-    // validation errors
-    val e2 = intercept[Exception] { changes(dir, vCow, vCow).collect() }
-    assert(e2.getMessage.contains("from < to"), e2.getMessage)
+    // an empty range is a valid empty feed (the streaming zero batch)...
+    assert(changes(dir, v0, v0).count() == 0)
+    // ...but an inverted one is an error
+    val e2 = intercept[Exception] { changes(dir, vCow, v0).collect() }
+    assert(e2.getMessage.contains("from <= to"), e2.getMessage)
     val e3 = intercept[Exception] { changes(dir, v0, 99).collect() }
     assert(e3.getMessage.contains("ahead of the table"), e3.getMessage)
     // expire early snapshots: the horizon refuses
@@ -142,6 +144,53 @@ class GraftShardChangesSpec extends AnyFunSuite {
     GraftShardMaintenance.expireSnapshots(dir, keepLast = 1)
     val e4 = intercept[Exception] { changes(dir, v0, vApp).collect() }
     assert(e4.getMessage.contains("expired"), e4.getMessage)
+  }
+
+  test("streaming change feed: micro-batches are version deltas, exactly once across commits") {
+    spark.sql("CREATE NAMESPACE cdfcat.s")
+    spark.range(0, 40).select(col("id"), (col("id") * 3L).as("v"))
+      .coalesce(1).writeTo("cdfcat.s.t").using("graftshard").create()
+    val dir = s"$warehouse/s/t"
+    def v(): Long = ShardFormat.readManifest(dir).get.version
+    val v0 = v()
+    val q = spark.readStream.format("graftshard")
+      .option("changesFrom", v0).load(dir)
+      .writeStream.format("memory").queryName("cdf_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cdf_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdf_stream").count() == 0, "no changes after v0 yet")
+      // an append arrives as inserts
+      spark.range(40, 55).select(col("id"), (col("id") * 3L).as("v"))
+        .coalesce(1).writeTo("cdfcat.s.t").append()
+      val vApp = v()
+      q.processAllAvailable()
+      val afterApp = spark.table("cdf_stream").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+      assert(afterApp == (40L until 55L).map(id => (id, "insert", vApp)).toSet)
+      // a MoR delete arrives as deletes, exactly once
+      withMor { spark.sql("DELETE FROM cdfcat.s.t WHERE id % 8 = 1") }
+      val vDel = v()
+      q.processAllAvailable()
+      val all = spark.table("cdf_stream").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+      val expectDel = (0L until 55L).filter(_ % 8 == 1).map(id => (id, "delete", vDel)).toSet
+      assert(all == afterApp ++ expectDel)
+    } finally q.stop()
+    // a streaming feed with an explicit changesTo is refused
+    val e = intercept[Exception] {
+      spark.readStream.format("graftshard")
+        .option("changesFrom", v0).option("changesTo", v0 + 1).load(dir)
+        .writeStream.format("memory").queryName("cdf_stream_bad")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_cdf_ckpt2").toString)
+        .start().processAllAvailable()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("unbounded"), msgs)
   }
 
   test("overwrite reports all old rows deleted and all new rows inserted; column pruning works") {

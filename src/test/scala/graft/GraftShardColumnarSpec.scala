@@ -167,6 +167,36 @@ class GraftShardColumnarSpec extends AnyFunSuite {
       (0L until n.toLong).count(_ % 1000 != 3))
   }
 
+  test("string group stats: a lang-sorted file drops groups on string predicates") {
+    val dir = tmp()
+    val n = ShardFormat.GroupMaxRows * 3
+    // sorted by lang -> each group covers a lang sub-range
+    spark.range(0, n.toLong)
+      .select(col("id"),
+        element_at(lit(Array("de", "en", "fr", "ja")),
+          (col("id") * 4 / n + 1).cast("int")).as("lang"))
+      .repartitionByRange(1, col("lang"), col("id"))
+      .sortWithinPartitions("lang", "id")
+      .write.format("graftshard").mode("overwrite").save(dir)
+    val m = ShardFormat.readManifest(dir).get
+    val f = new java.io.File(dir, m.files.head.name)
+    // direct reader: lang = 'ja' can only live in the tail group(s)
+    val ja = org.apache.spark.unsafe.types.UTF8String.fromString("ja")
+    val r = new ShardFormat.ShardReader(f, m.schema, Array(0, 1),
+      skipGroup = gs => !gs.strStats.get("lang").exists { case (mn, mx, _) =>
+        ja.compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(mn)) >= 0 &&
+          ja.compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(mx)) <= 0 })
+    val vals = new Array[Any](2)
+    var served = 0L
+    while (r.next(vals)) served += 1
+    assert(r.groupsSkipped > 0, s"lang bounds must skip groups (served=$served)")
+    assert(served < n, "some rows must be dropped with their groups")
+    // end-to-end: absorbed string equality gives exact answers
+    val t = spark.read.format("graftshard").load(dir)
+    assert(t.where(col("lang") === "ja").count() == n.toLong - (n * 3L / 4))
+    assert(t.where(col("lang") === "en").count() == (n * 2L / 4) - (n / 4))
+  }
+
   test("a non-shard file fails loudly with the magic error") {
     val dir = tmp()
     new File(dir).mkdirs()
