@@ -426,6 +426,43 @@ object ScaleProbe {
         }
         println(f"PROBE-COLUMNAR gskip(1%% of 2M, 1 sorted file) v3=${t(v3dir)}%6.3f v2=${t(v2dir)}%6.3f")
       }
+      // compression cell: REAL text (documents sf0.1 replicated 50×
+      // with the cd builder's per-copy whitespace token salt, so deflate
+      // cannot exploit cross-copy duplicates). compression=deflate is
+      // OPT-IN: bytes are the 100 TB claim (storage AND the ranged GETs
+      // a scan issues); the fullscan delta is the inflate tax, and
+      // skiptext shows skipping works the same on compressed chunks
+      // (skips count COMPRESSED bytes).
+      locally {
+        val rng = spark.range(50).select(col("id").cast("int").as("copy"))
+        val docs = spark.read.parquet(s"$src/documents.parquet").crossJoin(rng)
+          .withColumn("doc_id", col("doc_id") + col("copy").cast("long") * 10000000L)
+          .withColumn("text", regexp_replace(col("text"),
+            lit("(^|[ \\t\\n\\x0B\\f\\r])"), concat(lit("$1c"), col("copy"), lit("_"))))
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .repartition(8)
+        val zdir = "/tmp/graft_columnar_txt_deflate"
+        val rdir = "/tmp/graft_columnar_txt_raw"
+        docs.write.format("graftshard").option("compression", "deflate")
+          .mode("overwrite").save(zdir)
+        docs.write.format("graftshard").mode("overwrite").save(rdir)
+        def bytesOf(dir: String): Long =
+          graft.sources.v2.ShardFormat.readManifest(dir).get.files.map(_.bytes).sum
+        def t(dir: String, full: Boolean): Double = {
+          def q = {
+            val s0 = spark.read.format("graftshard").load(dir)
+            if (full) s0.agg(sum(length(col("text"))), sum(col("n_chars")))
+            else s0.agg(sum(col("n_chars") + col("doc_id"))) // text chunk skipped
+          }
+          q.collect(); (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); q.collect(); (System.nanoTime() - t0) / 1e9
+          }.min
+        }
+        println(f"PROBE-COLUMNAR text(50x salted sf0.1 docs) bytes deflate=${bytesOf(zdir)}%d " +
+          f"raw=${bytesOf(rdir)}%d ratio=${bytesOf(rdir).toDouble / bytesOf(zdir)}%4.2f " +
+          f"fullscan deflate=${t(zdir, full = true)}%6.3f raw=${t(rdir, full = true)}%6.3f " +
+          f"skiptext deflate=${t(zdir, full = false)}%6.3f raw=${t(rdir, full = false)}%6.3f")
+      }
       spark.stop()
       return
     }

@@ -1476,6 +1476,26 @@ object ExtensionQueries {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Opt-in chunk compression end to end: the corpus written
+    * `compression=deflate` (variable-width chunks deflated at level 1
+    * when smaller — measured 3.76× on salted text, SCALE.md; numerics
+    * stay raw) and read back through a text-bearing filter — the
+    * driver's oracle hash proves the deflate/inflate roundtrip is
+    * byte-exact, not just row-countable. At 100 TB this is the
+    * storage×IO lever: ~27 TB at rest, and every skipped chunk skips
+    * COMPRESSED bytes. */
+  private def x56(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x56", dir)
+    table(s, dir, "documents")
+      .select("doc_id", "text", "lang", "n_chars")
+      .repartition(4)
+      .write.format("graftshard").option("compression", "deflate")
+      .mode("overwrite").save(out)
+    s.read.format("graftshard").load(out)
+      .where(col("n_chars") >= 500 && col("lang") =!= "de")
+      .select("doc_id", "text", "lang", "n_chars")
+  }
+
   /** Hierarchical subtotals via rollup (grouping sets). */
   private def x3(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "lineitem")
@@ -4820,6 +4840,11 @@ object ExtensionQueries {
     Q("x54_shard_string_skipping", x54, Some("""
       SELECT doc_id, lang, source, n_chars FROM documents
       WHERE lang = 'en' AND source LIKE 'src1%' AND n_chars >= 100""")),
+
+    // opt-in chunk compression: deflated text roundtrips hash-exact
+    Q("x56_shard_compressed", x56, Some("""
+      SELECT doc_id, text, lang, n_chars FROM documents
+      WHERE n_chars >= 500 AND lang <> 'de'""")),
 
     // change data feed: append inserts + MoR vector-delta deletes, exact
     Q("x55_shard_change_feed", x55, Some("""

@@ -170,10 +170,22 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
     }
     val replace = replaceFilters
     val maxOpen = Option(info.options.get("maxOpenWriters")).map(_.toInt).getOrElse(64)
+    // chunk compression is OPT-IN (`option("compression", "deflate")`):
+    // the storage/IO-vs-CPU trade belongs to the table owner. Text
+    // corpora pay 3-5x storage raw; highly-compressible columns read
+    // back slower when deflated (the inflate tax the probe measured) —
+    // neither side should be imposed silently.
+    val compress = Option(info.options.get("compression")).map(_.toLowerCase) match {
+      case None | Some("none") => false
+      case Some("deflate") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"graftshard: unknown compression '$other' (supported: none, deflate)")
+    }
     val queryId = info.queryId()
     (sortCol, spec) match {
       case (Some(s), Some(sp)) =>
-        new GraftShardWriteWithOrdering(path, schema, replace, sp, s, maxOpen, queryId)
+        new GraftShardWriteWithOrdering(path, schema, replace, sp, s, maxOpen, queryId,
+          compress)
       case _ if zorderCols.isDefined =>
         val Seq(a, b) = zorderCols.get
         // writePartitions pins the range-partition count (0 = let Spark
@@ -181,18 +193,18 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
         // layouts pin it)
         val nParts = Option(info.options.get("writePartitions"))
           .map(_.toInt).getOrElse(0)
-        new GraftShardZOrderWrite(path, schema, replace, a, b, maxOpen, nParts)
+        new GraftShardZOrderWrite(path, schema, replace, a, b, maxOpen, nParts, compress)
       case _ =>
         // sortCol here is provably None: a defined sortWithinShards
         // requires a partition spec (the require above)
         new Write {
           override def toBatch: BatchWrite =
             new GraftShardBatchWrite(path, schema, replace, spec, sortCol = None,
-              maxOpenWriters = maxOpen)
+              maxOpenWriters = maxOpen, compress = compress)
           override def toStreaming: StreamingWrite =
             new GraftShardStreamingWrite(path, queryId,
               new GraftShardBatchWrite(path, schema, replace, spec, sortCol = None,
-                maxOpenWriters = maxOpen))
+                maxOpenWriters = maxOpen, compress = compress))
         }
     }
   }
@@ -210,7 +222,8 @@ class GraftShardWriteWithOrdering(
     spec: ShardFormat.PartSpec,
     sortCol: String,
     maxOpenWriters: Int = 64,
-    queryId: String = "")
+    queryId: String = "",
+    compress: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -222,12 +235,12 @@ class GraftShardWriteWithOrdering(
 
   override def toBatch: BatchWrite =
     new GraftShardBatchWrite(path, schema, replace, Some(spec), Some(sortCol),
-      maxOpenWriters)
+      maxOpenWriters, compress)
 
   override def toStreaming: StreamingWrite =
     new GraftShardStreamingWrite(path, queryId,
       new GraftShardBatchWrite(path, schema, replace, Some(spec), Some(sortCol),
-        maxOpenWriters))
+        maxOpenWriters, compress))
 }
 
 /** The z-ordered write (see the zorderBy note in
@@ -243,7 +256,8 @@ class GraftShardZOrderWrite(
     colA: String,
     colB: String,
     maxOpenWriters: Int,
-    numPartitions: Int = 0)
+    numPartitions: Int = 0,
+    compress: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
   private def z: org.apache.spark.sql.connector.expressions.Expression =
@@ -258,7 +272,7 @@ class GraftShardZOrderWrite(
     Array(Expressions.sort(z, SortDirection.ASCENDING))
 
   override def toBatch: BatchWrite =
-    new GraftShardBatchWrite(path, schema, replace, None, None, maxOpenWriters)
+    new GraftShardBatchWrite(path, schema, replace, None, None, maxOpenWriters, compress)
 }
 
 /** The streaming sink face: micro-batch epochs commit through the ONE
@@ -320,7 +334,8 @@ class GraftShardBatchWrite(
     replace: Option[Array[Filter]],
     spec: Option[ShardFormat.PartSpec],
     sortCol: Option[String] = None,
-    maxOpenWriters: Int = 64)
+    maxOpenWriters: Int = 64,
+    compress: Boolean = false)
     extends BatchWrite {
 
   private def isTruncate: Boolean =
@@ -328,7 +343,7 @@ class GraftShardBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
-    new GraftShardWriterFactory(path, schema, spec, maxOpenWriters)
+    new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, compress)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -452,17 +467,21 @@ class GraftShardWriterFactory(
     path: String,
     schema: StructType,
     spec: Option[ShardFormat.PartSpec],
-    maxOpenWriters: Int = 64)
+    maxOpenWriters: Int = 64,
+    compress: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     spec match {
-      case None => new GraftShardDataWriter(path, schema, partitionId, taskId)
+      case None => new GraftShardDataWriter(path, schema, partitionId, taskId, compress)
       case Some(sp) =>
-        new GraftShardKeyedDataWriter(path, schema, partitionId, taskId, sp, maxOpenWriters)
+        new GraftShardKeyedDataWriter(path, schema, partitionId, taskId, sp,
+          maxOpenWriters, compress)
     }
 }
 
-class GraftShardDataWriter(path: String, schema: StructType, partitionId: Int, taskId: Long)
+class GraftShardDataWriter(
+    path: String, schema: StructType, partitionId: Int, taskId: Long,
+    compress: Boolean = false)
     extends DataWriter[InternalRow] {
 
   // taskId disambiguates speculative attempts of the same partition;
@@ -471,7 +490,7 @@ class GraftShardDataWriter(path: String, schema: StructType, partitionId: Int, t
     f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.shard"
   private val writer = {
     new File(path).mkdirs()
-    new ShardFormat.ShardWriter(new File(path, name), schema)
+    new ShardFormat.ShardWriter(new File(path, name), schema, compress)
   }
 
   override def write(record: InternalRow): Unit = writer.write(record)
@@ -511,7 +530,8 @@ class GraftShardKeyedDataWriter(
     partitionId: Int,
     taskId: Long,
     spec: ShardFormat.PartSpec,
-    maxOpenWriters: Int = 64)
+    maxOpenWriters: Int = 64,
+    compress: Boolean = false)
     extends DataWriter[InternalRow] {
 
   require(maxOpenWriters >= 1,
@@ -559,7 +579,7 @@ class GraftShardKeyedDataWriter(
         }
         fileSeq += 1
         val name = f"part-$partitionId%05d-$taskId-$attempt-k$key-$fileSeq.shard"
-        val nw = new ShardFormat.ShardWriter(new File(path, name), schema)
+        val nw = new ShardFormat.ShardWriter(new File(path, name), schema, compress)
         writers.put(key, (name, nw))
         nw
     }

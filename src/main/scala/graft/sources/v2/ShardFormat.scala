@@ -367,7 +367,7 @@ object ShardFormat {
     * buffered per column and flushed as a group at [[GroupMaxRows]] /
     * [[GroupMaxBytes]] — bounded memory, one group in flight. Not
     * thread-safe (one per Spark task). */
-  final class ShardWriter(file: File, schema: StructType) {
+  final class ShardWriter(file: File, schema: StructType, compress: Boolean = false) {
     private val fields = schema.fields
     private val out = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(file), 1 << 20))
@@ -483,9 +483,40 @@ object ShardFormat {
         i = 0
         while (i < cols.length) {
           val c = cols(i)
-          out.writeInt(bitmapLen + c.bytes.size())
-          out.write(c.bitmap, 0, bitmapLen)
-          c.bytes.writeTo(out)
+          // chunk = [codec:1B][storedLen:4B][rawLen:4B][payload]
+          // codec 0 = raw; codec 1 = DEFLATE. Variable-width columns
+          // (string/binary/array — where text corpora pay 3-5× storage)
+          // are compressed at speed-biased level 1, kept ONLY when
+          // smaller; fixed-width numerics stay raw (random ids/floats
+          // don't deflate — spending CPU there would be pure loss).
+          // Skipped chunks skip COMPRESSED bytes, so group/column
+          // skipping and compression compound.
+          val raw = {
+            val b = new java.io.ByteArrayOutputStream(bitmapLen + c.bytes.size())
+            b.write(c.bitmap, 0, bitmapLen)
+            c.bytes.writeTo(b)
+            b.toByteArray
+          }
+          val compressed: Array[Byte] =
+            if (!compress || !compressible(i)) null
+            else {
+              val d = new java.util.zip.Deflater(1)
+              d.setInput(raw); d.finish()
+              val buf = new Array[Byte](raw.length) // give up past raw size
+              val n = d.deflate(buf)
+              val done = d.finished()
+              d.end()
+              if (done && n < raw.length) java.util.Arrays.copyOf(buf, n) else null
+            }
+          if (compressed != null) {
+            out.writeByte(1)
+            out.writeInt(compressed.length); out.writeInt(raw.length)
+            out.write(compressed)
+          } else {
+            out.writeByte(0)
+            out.writeInt(raw.length); out.writeInt(raw.length)
+            out.write(raw)
+          }
           c.reset()
           i += 1
         }
@@ -493,6 +524,11 @@ object ShardFormat {
         groupBytes = 0L
       }
     }
+
+    private val compressible: Array[Boolean] = fields.map(_.dataType match {
+      case StringType | BinaryType | ArrayType(_, _) => true
+      case _ => false
+    })
 
     /** Returns (bytes, rows, presentStats, allNullStats); per-column
       * sums are exposed by [[sums]] after this call. */
@@ -683,11 +719,29 @@ object ShardFormat {
         val bitmapLen = (rows + 7) / 8
         i = 0
         while (i < fields.length) {
-          val chunkBytes = in.readInt()
-          if (skip || slot(i) < 0) in.skipFully(chunkBytes.toLong)
+          val codec = in.readByte()
+          val storedLen = in.readInt()
+          val rawLen = in.readInt()
+          if (skip || slot(i) < 0) in.skipFully(storedLen.toLong)
           else {
-            val buf = new Array[Byte](chunkBytes)
-            in.readFully(buf)
+            val buf = codec match {
+              case 0 =>
+                val b = new Array[Byte](storedLen); in.readFully(b); b
+              case 1 =>
+                val c = new Array[Byte](storedLen); in.readFully(c)
+                val b = new Array[Byte](rawLen)
+                val inf = new java.util.zip.Inflater()
+                inf.setInput(c)
+                var off = 0
+                while (off < rawLen && !inf.finished())
+                  off += inf.inflate(b, off, rawLen - off)
+                inf.end()
+                if (off != rawLen) throw new java.io.IOException(
+                  s"graftshard: short inflate ($off of $rawLen) in $file")
+                b
+              case other => throw new java.io.IOException(
+                s"graftshard: unknown chunk codec $other in $file")
+            }
             gChunk(i) = buf // bitmap prefix; the null test indexes it directly
             gCursor(i) = new DataInputStream(
               new java.io.ByteArrayInputStream(buf, bitmapLen, buf.length - bitmapLen))

@@ -197,6 +197,46 @@ class GraftShardColumnarSpec extends AnyFunSuite {
     assert(t.where(col("lang") === "en").count() == (n * 2L / 4) - (n / 4))
   }
 
+  test("opt-in chunk compression: deflate roundtrips exactly, shrinks text, skips still work") {
+    val dir = tmp()
+    val n = ShardFormat.GroupMaxRows + 2000 // multi-group
+    val df = spark.range(0, n.toLong)
+      .select(col("id"),
+        // repetitive text: the corpus shape deflate pays for
+        concat(lit("the quick brown fox jumps over the lazy dog "),
+          col("id") % 7).as("text"),
+        when(col("id") % 11 =!= 0, concat(lit("tag"), col("id") % 3)).as("maybe_s"),
+        (col("id") * 2L).as("v"))
+    df.coalesce(1).write.format("graftshard")
+      .option("compression", "deflate").mode("overwrite").save(dir)
+    val raw = tmp()
+    df.coalesce(1).write.format("graftshard").mode("overwrite").save(raw)
+    def bytes(d: String) = ShardFormat.readManifest(d).get.files.map(_.bytes).sum
+    assert(bytes(dir) < bytes(raw) / 3,
+      s"repetitive text must deflate well: ${bytes(dir)} vs ${bytes(raw)}")
+    // exact roundtrip incl. nulls
+    val t = spark.read.format("graftshard").load(dir)
+    assert(t.count() == n.toLong)
+    val probe = t.where(col("id").isin(0L, (ShardFormat.GroupMaxRows + 1).toLong))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2), r.getLong(3))).toSet
+    def exp(id: Long) = (id, s"the quick brown fox jumps over the lazy dog ${id % 7}",
+      if (id % 11 != 0) s"tag${id % 3}" else null, id * 2)
+    assert(probe == Set(exp(0), exp(ShardFormat.GroupMaxRows + 1L)))
+    // group skipping still works over compressed chunks (skips skip the
+    // COMPRESSED bytes — integral group stats are codec-independent)
+    assert(t.where(col("id") >= (n - 100).toLong).count() == 100)
+    // numerics stay raw by design even under deflate (fixed-width
+    // random values don't compress — spec pins the ratio claim holds
+    // because of the TEXT chunks, not magic)
+    // unknown codec refuses at plan time
+    val e = intercept[Exception] {
+      df.limit(1).write.format("graftshard").option("compression", "zstd")
+        .mode("overwrite").save(tmp())
+    }
+    assert(e.getMessage.contains("unknown compression"), e.getMessage)
+  }
+
   test("a non-shard file fails loudly with the magic error") {
     val dir = tmp()
     new File(dir).mkdirs()
