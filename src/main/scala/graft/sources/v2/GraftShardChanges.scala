@@ -53,6 +53,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftShardChanges {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+  val CommitTimestampCol = "_commit_timestamp"
 
   /** One changed file at one commit. `skip`: delete-vector sidecar
     * whose ordinals were ALREADY dead before the commit (never part of
@@ -65,7 +66,8 @@ object GraftShardChanges {
       commitVersion: Long,
       changeType: String,
       skip: Option[String] = None,
-      emitOnly: Option[String] = None)
+      emitOnly: Option[String] = None,
+      commitTimestampMs: Long = 0L)
 
   /** Plans the feed: validates the range, classifies each commit, and
     * returns (schema at `to`, per-file changes). Driver-side manifest
@@ -100,17 +102,20 @@ object GraftShardChanges {
           val prevBy = prev.files.map(fe => fe.name -> fe).toMap
           val curBy = cur.files.map(fe => fe.name -> fe).toMap
           cur.files.filterNot(fe => prevBy.contains(fe.name)).foreach { fe =>
-            changes += FileChange(fe.name, fe.rows, v, "insert", skip = fe.deletes)
+            changes += FileChange(fe.name, fe.rows, v, "insert", skip = fe.deletes,
+              commitTimestampMs = cur.createdAtMs)
           }
           prev.files.foreach { pfe =>
             curBy.get(pfe.name) match {
               case None =>
                 // removed: every row live BEFORE the commit was deleted
-                changes += FileChange(pfe.name, pfe.rows, v, "delete", skip = pfe.deletes)
+                changes += FileChange(pfe.name, pfe.rows, v, "delete", skip = pfe.deletes,
+                  commitTimestampMs = cur.createdAtMs)
               case Some(cfe) if cfe.deletes != pfe.deletes =>
                 // merge-on-read delta: ordinals dead after, minus dead before
                 changes += FileChange(pfe.name, pfe.rows, v, "delete",
-                  skip = pfe.deletes, emitOnly = cfe.deletes)
+                  skip = pfe.deletes, emitOnly = cfe.deletes,
+                  commitTimestampMs = cur.createdAtMs)
               case _ => ()
             }
           }
@@ -138,7 +143,8 @@ object GraftShardChanges {
     changes.map(fc => ShardChangePartition(
       new File(path, fc.file).getPath, fc.commitVersion, fc.changeType,
       fc.skip.map(d => new File(path, d).getPath),
-      fc.emitOnly.map(d => new File(path, d).getPath)): InputPartition).toArray
+      fc.emitOnly.map(d => new File(path, d).getPath),
+      fc.commitTimestampMs): InputPartition).toArray
 }
 
 /** The read-only table face of the feed: base schema at `changesTo`
@@ -153,7 +159,10 @@ class GraftShardChangesTable(path: String, from: Long, to: Long, toExplicit: Boo
   override def schema(): StructType = StructType(
     planned._1.fields.toSeq :+
       StructField(GraftShardChanges.ChangeTypeCol, StringType, nullable = false) :+
-      StructField(GraftShardChanges.CommitVersionCol, LongType, nullable = false))
+      StructField(GraftShardChanges.CommitVersionCol, LongType, nullable = false) :+
+      // the commit's createdAtMs — epoch millis, the TIMESTAMP AS OF
+      // anchor, so a consumer can window changes by wall clock
+      StructField(GraftShardChanges.CommitTimestampCol, LongType, nullable = false))
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
@@ -246,7 +255,8 @@ final case class ShardChangePartition(
     commitVersion: Long,
     changeType: String,
     skip: Option[String],
-    emitOnly: Option[String]) extends InputPartition
+    emitOnly: Option[String],
+    commitTimestampMs: Long) extends InputPartition
 
 class ShardChangesReaderFactory(baseSchema: StructType, required: StructType)
     extends PartitionReaderFactory {
@@ -282,6 +292,8 @@ class ShardChangesPartitionReader(
         (_: Any) => UTF8String.fromString(p.changeType)
       else if (f.name == GraftShardChanges.CommitVersionCol)
         (_: Any) => Long.box(p.commitVersion)
+      else if (f.name == GraftShardChanges.CommitTimestampCol)
+        (_: Any) => Long.box(p.commitTimestampMs)
       else { b += 1; val i = b; (vs: Any) => vs.asInstanceOf[Array[Any]](i) }
     }
   }

@@ -72,6 +72,12 @@ class GraftShardChangesSpec extends AnyFunSuite {
       (100L until 150L).map(id => (id, "insert", vApp)).toSet)
     // the UPDATE alone: its delete+insert pair
     assert(changes(dir, vDel, vUpd).count() == 2)
+    // _commit_timestamp = the commit snapshot's createdAtMs (the
+    // TIMESTAMP AS OF anchor), so consumers can window by wall clock
+    val tsOfApp = ShardFormat.readManifestVersion(dir, vApp).get.createdAtMs
+    val tsCol = changes(dir, v0, vApp).select("_commit_timestamp")
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(tsCol == Seq(tsOfApp), s"$tsCol != $tsOfApp")
   }
 
   test("metadata DELETE reports dropped files' rows; compaction contributes nothing") {
