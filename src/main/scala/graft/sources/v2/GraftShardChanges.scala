@@ -86,7 +86,13 @@ object GraftShardChanges {
           s"graftshard: snapshot v$v was expired — the change feed horizon is " +
             s"the snapshot retention (available: ${ShardFormat.listVersions(path).mkString(", ")})"))
     val changes = Seq.newBuilder[FileChange]
-    var prev = snapshot(from)
+    // from=0: no v0 snapshot ever exists (the first commit is v1 and
+    // snapshots are written for version > 0) — the commit chain provably
+    // starts empty, so synthesize the empty previous manifest instead of
+    // refusing; the first commit's inserts are consumable like any other
+    var prev =
+      if (from == 0L) ShardFormat.Manifest(current.schema, "", Nil)
+      else snapshot(from)
     (from + 1 to to).foreach { v =>
       val cur = snapshot(v)
       cur.operation match {
@@ -135,6 +141,35 @@ object GraftShardChanges {
           "expireSnapshots before vacuum defines it")
     }
     (snapshot(to).schema, planned)
+  }
+
+  /** Timestamp-addressed feed start (`option("changesFromTimestamp",
+    * epochMs)`): resolves wall-clock time against each retained
+    * snapshot's `createdAtMs` — the SAME anchor TIMESTAMP AS OF uses —
+    * to the newest committed version at or before `tMs`. A consumer on
+    * a wall-clock schedule ("changes since last night's run") gets the
+    * version arithmetic done for it: the resolved version's OWN changes
+    * are excluded (state as of `tMs` was already consumed), everything
+    * after is the delta. `tMs` before the earliest retained commit is
+    * refused — pre-horizon commit times are unknowable, and silently
+    * starting at 0 could replay inserts the caller saw long ago. */
+  def resolveTimestamp(path: String, tMs: Long): Long = {
+    val current = ShardFormat.readManifest(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"graftshard: no ${ShardFormat.ManifestName} under '$path'"))
+    val known: Seq[(Long, Long)] =
+      (ShardFormat.listVersions(path)
+        .flatMap(v => ShardFormat.readManifestVersion(path, v))
+        .map(m => m.version -> m.createdAtMs) :+ (current.version -> current.createdAtMs))
+        .distinct.sortBy(_._1)
+    val atOrBefore = known.filter(_._2 <= tMs)
+    if (atOrBefore.isEmpty)
+      throw new IllegalArgumentException(
+        s"graftshard: changesFromTimestamp=$tMs precedes the earliest retained " +
+          s"commit (v${known.head._1} at ${known.head._2}) at '$path' — the feed " +
+          "horizon is the snapshot retention; start from an explicit version " +
+          "(changesFrom=0 replays the full history)")
+    atOrBefore.last._1
   }
 
   /** FileChanges → input partitions (shared by the batch scan and the

@@ -94,10 +94,12 @@ object GraftShardMaintenance {
     * then and cannot resurrect an ordering nobody declared.)
     *
     * Commit is the manifest swap with the same concurrency discipline
-    * as the row-level tier: the plan pins the manifest version; if the
-    * table moved under us and any input file is gone, the commit fails
-    * loudly and the new files are unreferenced vacuum garbage. A
-    * concurrent APPEND is tolerated (its files carry over). Replaced
+    * as the row-level tier: the plan pins the manifest; if any input
+    * file is gone OR its delete-vector state changed (a concurrent
+    * merge-on-read DELETE — publishing plan-time output would resurrect
+    * its rows, see [[validateCommit]]), the commit fails loudly and the
+    * new files are unreferenced vacuum garbage. A concurrent APPEND is
+    * tolerated (its files carry over). Replaced
     * entries vanish mid-list, so the generation is bumped (streaming
     * prefix offsets die loudly). Old files become vacuum garbage,
     * never deleted inline (readers may be mid-scan). */
@@ -152,12 +154,11 @@ object GraftShardMaintenance {
     val current = ShardFormat.readManifest(dir).getOrElse(
       throw new IllegalStateException(s"graftshard: table at '$dir' vanished during compaction"))
     val replaced = groups.flatMap(_._2.map(_._1)).toSet
-    val names = current.files.map(_.name).toSet
-    if (!replaced.subsetOf(names)) {
+    validateCommit(m, current, replaced).foreach { reason =>
       newEntries.foreach(fe => new File(dir, fe.name).delete())
       throw new IllegalStateException(
         s"graftshard: concurrent commit detected at '$dir' — compaction planned " +
-          s"against manifest v${m.version} but input files were replaced " +
+          s"against manifest v${m.version} but $reason " +
           s"(now v${current.version}); re-run (compaction output is " +
           "unreferenced and vacuum-reclaimable)")
     }
@@ -168,6 +169,34 @@ object GraftShardMaintenance {
       createdAtMs = System.currentTimeMillis(),
       operation = "compact"))
     CompactReport(groups.size, replaced.toSeq.sorted, newEntries.map(_.name).toSeq.sorted)
+  }
+
+  /** Commit-time concurrency check for [[compact]]: the compacted
+    * output was built from the PLAN-time manifest, so it is publishable
+    * only while every replaced input is byte-for-byte the row set the
+    * plan saw. A name-only check is NOT enough: a merge-on-read DELETE
+    * committing between plan and commit keeps the file name but swaps
+    * its delete-vector sidecar — publishing output built from the
+    * plan-time vector would silently RESURRECT the newly-deleted rows.
+    * Pure appends are tolerated (their entries carry over untouched).
+    * Returns the refusal reason, or None when the commit is safe. */
+  private[graft] def validateCommit(
+      planned: ShardFormat.Manifest,
+      current: ShardFormat.Manifest,
+      replaced: Set[String]): Option[String] = {
+    val names = current.files.map(_.name).toSet
+    if (!replaced.subsetOf(names))
+      return Some("input files were replaced")
+    val plannedBy = planned.files.map(fe => fe.name -> fe).toMap
+    val moved = current.files.filter(fe => replaced.contains(fe.name)).filter { fe =>
+      val p = plannedBy(fe.name)
+      fe.deletes != p.deletes || fe.deletedRows != p.deletedRows
+    }
+    if (moved.nonEmpty)
+      Some(s"input files' delete vectors changed " +
+        s"[${moved.map(_.name).sorted.mkString(", ")}] — publishing would " +
+        "resurrect the concurrently-deleted rows")
+    else None
   }
 
   /** Task-side row stream for one compaction group: plain concatenation

@@ -82,15 +82,27 @@ class GraftShardSource extends TableProvider with DataSourceRegister {
 
   /** `option("changesFrom", v1).option("changesTo", v2)`: the change
     * data feed over `(v1, v2]` ([[GraftShardChanges]]). `changesTo`
-    * defaults to the current version when only `changesFrom` is set. */
+    * defaults to the current version when only `changesFrom` is set.
+    * `option("changesFromTimestamp", epochMs)` is the wall-clock start:
+    * resolved to the newest committed version at or before the instant
+    * ([[GraftShardChanges.resolveTimestamp]] — the `createdAtMs` anchor
+    * TIMESTAMP AS OF already uses), mutually exclusive with
+    * `changesFrom`. */
   private def changeRange(
-      options: CaseInsensitiveStringMap, p: String): Option[(Long, Long, Boolean)] =
-    Option(options.get("changesFrom")).map { f =>
-      val explicit = Option(options.get("changesTo")).map(_.toLong)
-      val to = explicit.getOrElse(
-        ShardFormat.readManifest(p).map(_.version).getOrElse(0L))
-      (f.toLong, to, explicit.isDefined)
-    }
+      options: CaseInsensitiveStringMap, p: String): Option[(Long, Long, Boolean)] = {
+    val fromTs = Option(options.get("changesFromTimestamp"))
+    val fromV = Option(options.get("changesFrom"))
+    require(fromTs.isEmpty || fromV.isEmpty,
+      "graftshard: changesFrom and changesFromTimestamp are mutually exclusive")
+    fromV.map(_.toLong)
+      .orElse(fromTs.map(t => GraftShardChanges.resolveTimestamp(p, t.toLong)))
+      .map { f =>
+        val explicit = Option(options.get("changesTo")).map(_.toLong)
+        val to = explicit.getOrElse(
+          ShardFormat.readManifest(p).map(_.version).getOrElse(0L))
+        (f, to, explicit.isDefined)
+      }
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val p = path(options)

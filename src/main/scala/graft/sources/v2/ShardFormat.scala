@@ -61,6 +61,14 @@ object ShardFormat {
   // fills added columns old files lack, and byte-skips dropped columns
   // whose type the table no longer knows (the header remembers it).
   val Magic: Array[Byte] = "GRFTSHD2".getBytes(StandardCharsets.US_ASCII)
+  // v1 (rounds ≤ 10): the same row layout as v2 but with NO column
+  // header — the table schema IS the file layout. Still READ-supported
+  // so pre-v2 tables are not stranded: a v1 file decodes under the
+  // current table schema, exactly its original contract (v1 tables
+  // predate schema evolution, so the schema cannot have drifted under
+  // them — ADD/DROP COLUMN arrived with the self-describing v2 header).
+  // Compaction rewrites v1 files to v3 like any other file.
+  val MagicV1: Array[Byte] = "GRFTSHD1".getBytes(StandardCharsets.US_ASCII)
   // v3 (round 11, later): COLUMNAR row groups — same self-describing
   // header, then groups of [rowCount][per column: chunkBytes, null
   // bitmap, packed non-null values]. Column pruning now skips whole
@@ -113,6 +121,17 @@ object ShardFormat {
     * column's bounds would be dead weight in an O(files) manifest. */
   def strStatsEligible(dt: DataType): Boolean = dt == StringType
   val StrStatsMaxBytes = 64
+
+  /** String bounds are serialized through java.lang.String, which maps
+    * invalid UTF-8 byte sequences to U+FFFD — the re-encoded bound can
+    * then MISORDER against the actual unsigned-byte order the stats
+    * promise (e.g. a max starting 0xF0 shrinks to 0xEF 0xBF 0xBD),
+    * making pruning/provability unsound for non-UTF-8 payloads. A bound
+    * is serializable only when its bytes survive the round trip; a
+    * failing bound drops the column's string stats for that file/group
+    * (conservative, never wrong — same rule as the byte cap). */
+  def utf8RoundTrips(u: UTF8String): Boolean =
+    java.util.Arrays.equals(u.getBytes, u.toString.getBytes(StandardCharsets.UTF_8))
 
   /** Running exact min/max/nulls for one string column of one shard
     * file; `dropped` once any value exceeds the byte cap. Comparison is
@@ -460,10 +479,13 @@ object ShardFormat {
           if (g != null && g.nonNull > 0) {
             out.writeByte(1)
             out.writeLong(g.min); out.writeLong(g.max); out.writeLong(g.nulls)
-          } else if (t != null && t.nonNull > 0 && !t.dropped) {
+          } else if (t != null && t.nonNull > 0 && !t.dropped &&
+              utf8RoundTrips(t.min) && utf8RoundTrips(t.max)) {
             out.writeByte(3)
             out.writeUTF(t.min.toString); out.writeUTF(t.max.toString)
             out.writeLong(t.nulls)
+          } else if (t != null && t.nonNull > 0) {
+            out.writeByte(0) // cap-dropped or non-UTF-8 bounds: no claim
           } else if (g != null && g.nulls > 0) {
             out.writeByte(2); out.writeLong(g.nulls)
           } else if (t != null && t.nonNull == 0 && t.nulls > 0) {
@@ -552,7 +574,7 @@ object ShardFormat {
         val t = sstats(i)
         if (t != null) {
           if (t.nonNull > 0) {
-            if (!t.dropped)
+            if (!t.dropped && utf8RoundTrips(t.min) && utf8RoundTrips(t.max))
               ss += fields(i).name -> ((t.min.toString, t.max.toString, t.nulls))
           } else allNull += fields(i).name -> t.nulls
         }
@@ -599,21 +621,24 @@ object ShardFormat {
       skipGroup: GroupStats => Boolean = _ => false) {
     private val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(file), 1 << 20))
-    private val isV3: Boolean = {
+    private val (isV3, isV1) = {
       val hdr = new Array[Byte](Magic.length)
       in.readFully(hdr)
-      if (java.util.Arrays.equals(hdr, MagicV3)) true
-      else if (java.util.Arrays.equals(hdr, Magic)) false
-      else throw new java.io.IOException(s"graftshard: bad magic in $file " +
-        "(a pre-v2 shard, or not a shard file — rewrite the table)")
+      if (java.util.Arrays.equals(hdr, MagicV3)) (true, false)
+      else if (java.util.Arrays.equals(hdr, Magic)) (false, false)
+      else if (java.util.Arrays.equals(hdr, MagicV1)) (false, true)
+      else throw new java.io.IOException(
+        s"graftshard: bad magic in $file — not a shard file")
     }
-    private val fields: Array[StructField] = {
-      val n = in.readUnsignedShort()
-      Array.fill(n) {
-        val dt = typeOfTag(in.readByte())
-        StructField(in.readUTF(), dt)
+    private val fields: Array[StructField] =
+      if (isV1) schema.fields // v1: headerless — the table schema is the layout
+      else {
+        val n = in.readUnsignedShort()
+        Array.fill(n) {
+          val dt = typeOfTag(in.readByte())
+          StructField(in.readUTF(), dt)
+        }
       }
-    }
     private val bitmapBytes = (fields.length + 7) / 8
     // file-column index -> slot in the output array, -1 when skipped;
     // matched BY NAME against the table schema
@@ -733,11 +758,18 @@ object ShardFormat {
                 val inf = new java.util.zip.Inflater()
                 inf.setInput(c)
                 var off = 0
-                while (off < rawLen && !inf.finished())
-                  off += inf.inflate(b, off, rawLen - off)
+                var stalled = false
+                while (off < rawLen && !inf.finished() && !stalled) {
+                  val k = inf.inflate(b, off, rawLen - off)
+                  // a truncated/corrupt chunk makes inflate return 0 with
+                  // needsInput/needsDictionary set while finished() stays
+                  // false — break out and raise instead of spinning forever
+                  if (k == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+                  else off += k
+                }
                 inf.end()
                 if (off != rawLen) throw new java.io.IOException(
-                  s"graftshard: short inflate ($off of $rawLen) in $file")
+                  s"graftshard: short inflate ($off of $rawLen) in $file — corrupt chunk")
                 b
               case other => throw new java.io.IOException(
                 s"graftshard: unknown chunk codec $other in $file")

@@ -216,4 +216,70 @@ class GraftShardChangesSpec extends AnyFunSuite {
     val defTo = spark.read.format("graftshard").option("changesFrom", 1).load(dir)
     assert(defTo.count() == 40)
   }
+
+  test("changesFrom=0 consumes the first commit's inserts (no v0 snapshot required)") {
+    val dir = Files.createTempDirectory("graft_cdf_zero").toString + "/t"
+    spark.range(0, 20).select(col("id"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(dir) // v1
+    spark.range(20, 25).select(col("id"))
+      .coalesce(1).write.format("graftshard").mode("append").save(dir)   // v2
+    // the commit chain provably starts empty: (0, 2] is the whole history
+    val ev = events(changes(dir, 0, 2))
+    assert(ev == (0L until 20L).map(id => (id, "insert", 1L)).toSet ++
+      (20L until 25L).map(id => (id, "insert", 2L)).toSet)
+    // and a streaming feed can start at 0 too
+    val q = spark.readStream.format("graftshard")
+      .option("changesFrom", 0).load(dir)
+      .writeStream.format("memory").queryName("cdf_zero")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cdf_zero_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdf_zero").count() == 25)
+    } finally q.stop()
+  }
+
+  test("changesFromTimestamp resolves wall-clock to the newest commit at or before it") {
+    val dir = Files.createTempDirectory("graft_cdf_ts").toString + "/t"
+    spark.range(0, 10).select(col("id"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(dir) // v1
+    Thread.sleep(5) // distinct createdAtMs per commit
+    spark.range(10, 15).select(col("id"))
+      .coalesce(1).write.format("graftshard").mode("append").save(dir)    // v2
+    Thread.sleep(5)
+    spark.range(15, 18).select(col("id"))
+      .coalesce(1).write.format("graftshard").mode("append").save(dir)    // v3
+    def ts(v: Long): Long = ShardFormat.readManifestVersion(dir, v).get.createdAtMs
+    def byTs(t: Long) = spark.read.format("graftshard")
+      .option("changesFromTimestamp", t).load(dir)
+    // t exactly AT v2's commit: v2's state was already consumed at t —
+    // the feed starts after v2 and carries only v3's inserts
+    assert(events(byTs(ts(2))) == (15L until 18L).map(id => (id, "insert", 3L)).toSet)
+    // t between v1 and v2: v2 and v3 both arrive
+    assert(byTs(ts(2) - 1).count() == 8)
+    // t at/after the newest commit: an empty (caught-up) feed
+    assert(byTs(ts(3)).count() == 0)
+    // t before the first commit refuses — pre-horizon commit times are
+    // unknowable; the error names the explicit-version escape hatch
+    val e = intercept[Exception] { byTs(ts(1) - 1).collect() }
+    assert(e.getMessage.contains("precedes the earliest"), e.getMessage)
+    // mutual exclusion with changesFrom
+    val e2 = intercept[Exception] {
+      spark.read.format("graftshard").option("changesFrom", 1)
+        .option("changesFromTimestamp", ts(2)).load(dir).collect()
+    }
+    assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
+    // the streaming face takes the wall-clock start too (st10's shape)
+    val q = spark.readStream.format("graftshard")
+      .option("changesFromTimestamp", ts(2)).load(dir)
+      .writeStream.format("memory").queryName("cdf_ts_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cdf_ts_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdf_ts_stream").count() == 3)
+    } finally q.stop()
+  }
 }

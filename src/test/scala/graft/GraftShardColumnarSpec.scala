@@ -237,6 +237,103 @@ class GraftShardColumnarSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown compression"), e.getMessage)
   }
 
+  test("v1 legacy files (headerless, pre-v2) read back under the table schema") {
+    val dir = tmp()
+    new File(dir).mkdirs()
+    // v1: magic then rows — NO column header; the table schema IS the layout
+    val f = new File(dir, "v1.shard")
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
+    out.write("GRFTSHD1".getBytes(StandardCharsets.US_ASCII))
+    // row 0: (3, "hi")  bitmap 0x00
+    out.writeByte(0x00)
+    out.writeLong(3L)
+    val hi = "hi".getBytes(StandardCharsets.UTF_8)
+    out.writeInt(hi.length); out.write(hi)
+    // row 1: (4, null)  bitmap bit 1 = 0x02
+    out.writeByte(0x02)
+    out.writeLong(4L)
+    out.close()
+    ShardFormat.writeManifest(dir, ShardFormat.Manifest(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType))),
+      generation = "v1legacy",
+      files = Seq(ShardFormat.FileEntry("v1.shard", f.length(), 2L,
+        stats = Map("id" -> ((3L, 4L, 0L))), allNull = Map.empty)),
+      version = 1L, createdAtMs = 1L, operation = "append"))
+    val t = spark.read.format("graftshard").load(dir)
+    val rows = t.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(rows == Set((3L, "hi"), (4L, null)))
+    // pruned v1 read uses the same per-field byte-skip as v2
+    assert(t.select("id").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // a v3 append next to it: one scan serves all three format versions
+    spark.range(10, 12).select(col("id"), concat(lit("x"), col("id")).as("s"))
+      .coalesce(1).write.format("graftshard").mode("append").save(dir)
+    assert(spark.read.format("graftshard").load(dir).count() == 4)
+  }
+
+  test("a corrupt/truncated deflate chunk raises instead of spinning forever") {
+    val dir = tmp()
+    new File(dir).mkdirs()
+    val f = new File(dir, "corrupt.shard")
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
+    out.write("GRFTSHD3".getBytes(StandardCharsets.US_ASCII))
+    out.writeShort(1)
+    out.writeByte(5); out.writeUTF("s") // tag 5 = string
+    out.writeInt(1)    // group rows
+    out.writeByte(0)   // no group stats claim
+    // chunk: a VALID deflate stream truncated mid-way — the inflater
+    // consumes all input, returns 0 with needsInput, finished() stays
+    // false: exactly the stall the reader must turn into an IOException
+    val raw = new Array[Byte](1 + 4 + 5) // bitmap + len + "hello"
+    raw(0) = 0; raw(4) = 5
+    "hello".getBytes(StandardCharsets.UTF_8).copyToArray(raw, 5)
+    val d = new java.util.zip.Deflater(1)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](64)
+    val m = d.deflate(buf); d.end()
+    val truncated = java.util.Arrays.copyOf(buf, math.max(1, m / 2))
+    out.writeByte(1) // codec 1 = deflate
+    out.writeInt(truncated.length); out.writeInt(raw.length)
+    out.write(truncated)
+    out.close()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    val r = new ShardFormat.ShardReader(f, schema, Array(0))
+    val e = intercept[java.io.IOException] { r.next(new Array[Any](1)) }
+    assert(e.getMessage.contains("short inflate"), e.getMessage)
+  }
+
+  test("non-UTF-8 string bounds drop the column's stats; the bytes still roundtrip") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = tmp()
+    new File(dir).mkdirs()
+    val f = new File(dir, "bin.shard")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bad", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("good", org.apache.spark.sql.types.StringType)))
+    val w = new ShardFormat.ShardWriter(f, schema)
+    // 0xF0 alone is an invalid UTF-8 sequence: java.lang.String would
+    // re-encode it as U+FFFD (0xEF 0xBF 0xBD), MISORDERING the bound
+    val invalid = UTF8String.fromBytes(Array(0xF0.toByte))
+    w.write(new GenericInternalRow(Array[Any](invalid, UTF8String.fromString("aa"))))
+    w.write(new GenericInternalRow(Array[Any](UTF8String.fromString("ok"), UTF8String.fromString("zz"))))
+    val (_, rows, _, _) = w.finish()
+    assert(rows == 2L)
+    // the poisoned column claims nothing; the clean column keeps exact bounds
+    assert(!w.strStats.contains("bad"), s"strStats must drop non-UTF-8 bounds: ${w.strStats}")
+    assert(w.strStats.get("good").map(s => (s._1, s._2)) == Some(("aa", "zz")))
+    // the payload itself is byte-exact either way
+    val r = new ShardFormat.ShardReader(f, schema, Array(0, 1))
+    val vals = new Array[Any](2)
+    assert(r.next(vals))
+    assert(java.util.Arrays.equals(
+      vals(0).asInstanceOf[UTF8String].getBytes, Array(0xF0.toByte)))
+    r.close()
+  }
+
   test("a non-shard file fails loudly with the magic error") {
     val dir = tmp()
     new File(dir).mkdirs()

@@ -127,4 +127,38 @@ class GraftShardCompactionSpec extends AnyFunSuite {
     val r2 = GraftShardMaintenance.compact(spark, dir)
     assert(r2 == GraftShardMaintenance.CompactReport(0, Nil, Nil))
   }
+
+  test("commit validation: a concurrent MoR delete on a replaced input refuses (no resurrection); pure appends tolerated") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("id", LongType)))
+    def fe(name: String, deletes: Option[String] = None, deletedRows: Long = 0L) =
+      ShardFormat.FileEntry(name, 100L, 10L, Map.empty, Map.empty,
+        deletes = deletes, deletedRows = deletedRows)
+    def m(v: Long, files: ShardFormat.FileEntry*) =
+      ShardFormat.Manifest(schema, "g", files, version = v)
+    val planned = m(3, fe("a.shard"), fe("b.shard", Some("dv-old.dvs"), 2L))
+    // pure append while compacting: safe — the new entry carries over
+    assert(GraftShardMaintenance.validateCommit(
+      planned, m(4, fe("a.shard"), fe("b.shard", Some("dv-old.dvs"), 2L), fe("c.shard")),
+      Set("a.shard", "b.shard")).isEmpty)
+    // a replaced input vanished (overwrite/row-level rewrite): refuse
+    assert(GraftShardMaintenance.validateCommit(
+      planned, m(4, fe("b.shard", Some("dv-old.dvs"), 2L)),
+      Set("a.shard", "b.shard")).exists(_.contains("replaced")))
+    // THE resurrection case: same names, but a MoR DELETE swapped b's
+    // delete vector between plan and commit — output built from the
+    // plan-time vector would resurrect the new deletes. Must refuse.
+    assert(GraftShardMaintenance.validateCommit(
+      planned, m(4, fe("a.shard"), fe("b.shard", Some("dv-new.dvs"), 5L)),
+      Set("a.shard", "b.shard")).exists(_.contains("delete vectors changed")))
+    // a FIRST vector appearing on a previously clean file also refuses
+    assert(GraftShardMaintenance.validateCommit(
+      planned, m(4, fe("a.shard", Some("dv-x.dvs"), 1L), fe("b.shard", Some("dv-old.dvs"), 2L)),
+      Set("a.shard", "b.shard")).exists(_.contains("delete vectors changed")))
+    // delete-vector churn on an UNREPLACED file is irrelevant
+    assert(GraftShardMaintenance.validateCommit(
+      planned, m(4, fe("a.shard"), fe("b.shard", Some("dv-old.dvs"), 2L),
+        fe("d.shard", Some("dv-d.dvs"), 1L)),
+      Set("a.shard", "b.shard")).isEmpty)
+  }
 }
