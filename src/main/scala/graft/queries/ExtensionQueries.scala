@@ -1496,6 +1496,34 @@ object ExtensionQueries {
       .select("doc_id", "text", "lang", "n_chars")
   }
 
+  /** Compression as a TABLE property, through the full lifecycle a
+    * 100 TB table actually lives: a deflate-recorded write, an
+    * OPTIONLESS append (ingestion jobs don't re-state table config —
+    * the manifest property makes the appended files deflate anyway),
+    * then compaction (the routine OPTIMIZE pass) merging the small
+    * files WITHOUT decaying them to raw. The read back is filtered and
+    * hash-checked against DuckDB, so the property's whole
+    * record→inherit→preserve chain is proven byte-exact; the at-rest
+    * size ratio itself is pinned in GraftShardCompactionSpec. */
+  private def x57(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x57", dir) +
+      s"_${java.util.UUID.randomUUID().toString.take(8)}"
+    val docs = table(s, dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    docs.where(col("doc_id") % 2 === 0).repartition(4)
+      .write.format("graftshard").option("compression", "deflate")
+      .mode("overwrite").save(out)
+    // the ingestion append: no option — the table property carries it
+    docs.where(col("doc_id") % 2 === 1).repartition(4)
+      .write.format("graftshard").mode("append").save(out)
+    graft.sources.v2.GraftShardMaintenance.compact(s, out)
+    val m = graft.sources.v2.ShardFormat.readManifest(out).get
+    require(m.compression.contains("deflate"),
+      s"x57: compaction dropped the compression property (${m.compression})")
+    s.read.format("graftshard").load(out)
+      .where(col("n_chars") >= 300 && col("lang") =!= "ja")
+      .select("doc_id", "text", "lang", "n_chars")
+  }
+
   /** Hierarchical subtotals via rollup (grouping sets). */
   private def x3(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "lineitem")
@@ -4845,6 +4873,12 @@ object ExtensionQueries {
     Q("x56_shard_compressed", x56, Some("""
       SELECT doc_id, text, lang, n_chars FROM documents
       WHERE n_chars >= 500 AND lang <> 'de'""")),
+
+    // compression as a table property: optionless append inherits,
+    // compaction preserves — whole lifecycle hash-exact
+    Q("x57_shard_compression_property", x57, Some("""
+      SELECT doc_id, text, lang, n_chars FROM documents
+      WHERE n_chars >= 300 AND lang <> 'ja'""")),
 
     // change data feed: append inserts + MoR vector-delta deletes, exact
     Q("x55_shard_change_feed", x55, Some("""

@@ -164,12 +164,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         Some(ShardFormat.BucketPart(ns(0), keyColumn(refs(0).fieldNames.toSeq)))
       case other => unsupported(other)
     }
+    // TBLPROPERTIES ('compression' = 'deflate'): recorded in the
+    // manifest at creation; every write path (appends, compaction,
+    // row-level rewrites) then honors it without per-write options
+    val compression = Option(properties.get("compression"))
+      .map(_.toLowerCase).filterNot(_ == "none").map { c =>
+        require(c == "deflate",
+          s"graftshard: unknown compression '$c' (supported: none, deflate)")
+        c
+      }
     val dir = tableDir(ident)
     dir.mkdirs()
     ShardFormat.writeManifest(dir.getPath, ShardFormat.Manifest(
       schema, java.util.UUID.randomUUID().toString.take(8), Nil, spec,
       version = 1L, createdAtMs = System.currentTimeMillis(),
-      operation = "create"))
+      operation = "create", compression = compression))
     new GraftShardTable(dir.getPath, schema)
   }
 

@@ -93,7 +93,10 @@ class GraftShardDeltaWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     new File(path).mkdirs()
-    new GraftShardDeltaWriterFactory(path, schema, spec, maxOpenWriters)
+    // MoR insert files keep the table's recorded compression
+    val compress = ShardFormat.readManifest(path)
+      .exists(_.compression.contains("deflate"))
+    new GraftShardDeltaWriterFactory(path, schema, spec, maxOpenWriters, compress)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -164,7 +167,8 @@ class GraftShardDeltaWriterFactory(
     path: String,
     schema: StructType,
     spec: Option[ShardFormat.PartSpec],
-    maxOpenWriters: Int)
+    maxOpenWriters: Int,
+    compress: Boolean = false)
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
@@ -172,7 +176,7 @@ class GraftShardDeltaWriterFactory(
     // columns flow), so the keyed writer's key lookup would fail — and
     // no insert ever arrives to need it
     new GraftShardDeltaWriter(() =>
-      new GraftShardWriterFactory(path, schema, spec, maxOpenWriters)
+      new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, compress)
         .createWriter(partitionId, taskId))
 }
 

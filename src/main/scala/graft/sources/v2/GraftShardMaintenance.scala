@@ -139,10 +139,14 @@ object GraftShardMaintenance {
     val sortIdx = m.sortedBy.map(schema.fieldIndex).getOrElse(-1)
     val sortType: DataType =
       if (sortIdx < 0) NullType else schema.fields(sortIdx).dataType
+    // the table's recorded compression survives maintenance: without
+    // this, the routine OPTIMIZE pass would rewrite a deflate table RAW
+    // and the at-rest saving would silently evaporate
+    val compress = m.compression.contains("deflate")
     val newEntries: Array[ShardFormat.FileEntry] =
       spark.sparkContext.parallelize(groups, groups.size).map { case (p, members) =>
         val name = s"compact-${java.util.UUID.randomUUID().toString.take(12)}.shard"
-        val w = new ShardFormat.ShardWriter(new File(dir, name), schema)
+        val w = new ShardFormat.ShardWriter(new File(dir, name), schema, compress)
         try {
           GraftShardMaintenance.streamGroup(dir, members, schema, sortIdx, sortType)
             .foreach(w.write)

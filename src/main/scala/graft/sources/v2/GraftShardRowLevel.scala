@@ -231,7 +231,11 @@ class GraftShardCowWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
-    new GraftShardWriterFactory(path, schema, spec, maxOpenWriters)
+    // rewritten files keep the table's recorded compression — a DELETE
+    // must not decay a deflate table's rewritten shards to raw
+    val compress = ShardFormat.readManifest(path)
+      .exists(_.compression.contains("deflate"))
+    new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, compress)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -174,12 +174,17 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
     // the storage/IO-vs-CPU trade belongs to the table owner. Text
     // corpora pay 3-5x storage raw; highly-compressible columns read
     // back slower when deflated (the inflate tax the probe measured) —
-    // neither side should be imposed silently.
+    // neither side should be imposed silently. Once chosen, though, the
+    // choice is a TABLE property ([[ShardFormat.Manifest.compression]]):
+    // appends and overwrites WITHOUT the option inherit it, so routine
+    // ingestion can never silently decay a compressed table to raw; an
+    // explicit option (incl. "none") overrides for this write.
     val compress = Option(info.options.get("compression")).map(_.toLowerCase) match {
-      case None | Some("none") => false
+      case Some("none") => false
       case Some("deflate") => true
       case Some(other) => throw new IllegalArgumentException(
         s"graftshard: unknown compression '$other' (supported: none, deflate)")
+      case None => existing.exists(_.compression.contains("deflate"))
     }
     val queryId = info.queryId()
     (sortCol, spec) match {
@@ -445,6 +450,15 @@ class GraftShardBatchWrite(
       case Some(_) if isTruncate => "overwrite"
       case Some(_) => "replace"
     }
+    // the table property: a truncate re-states it from THIS write's
+    // resolved choice (build() already folded the existing property in,
+    // so an optionless overwrite inherits, an explicit "none" clears);
+    // appends/REPLACE WHERE keep the recorded property, or record it at
+    // the first compressed write of a so-far-raw table
+    val compression =
+      if (isTruncate) (if (compress) Some("deflate") else None)
+      else current.flatMap(_.compression)
+        .orElse(if (compress) Some("deflate") else None)
     ShardFormat.writeManifest(path,
       ShardFormat.Manifest(published, generation, prior ++ committed, spec,
         version = current.map(_.version).getOrElse(0L) + 1,
@@ -452,7 +466,8 @@ class GraftShardBatchWrite(
         sortedBy = sortedBy,
         streamCommits = streamCommits,
         droppedColumns = droppedColumns,
-        operation = operation))
+        operation = operation,
+        compression = compression))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -259,7 +259,15 @@ object ShardFormat {
       // update), "cow" (row-level rewrite — CDF refuses: rewritten
       // files mix changed and unchanged rows), "compact"/"alter"/
       // "create" (no row changes). "" on pre-CDF manifests (refused)
-      operation: String = "") {
+      operation: String = "",
+      // chunk compression as a TABLE property ("deflate"): recorded at
+      // create / first compressed write, inherited by appends without
+      // an explicit option, and honored by every file-REWRITING path —
+      // compaction, copy-on-write, merge-on-read inserts. Without this
+      // the first OPTIMIZE pass would silently rewrite a 3.7×-compressed
+      // 100 TB table raw. An explicit write option always overrides for
+      // that write; per-chunk codec bytes keep mixed files readable.
+      compression: Option[String] = None) {
     /** The identity partition column, when that is the spec (the
       * group-by-pushdown and legacy surfaces). */
     def partitionColumn: Option[String] =
@@ -977,8 +985,10 @@ object ShardFormat {
     }
     val operation =
       if (root.has("operation")) root.get("operation").asText() else ""
+    val compression =
+      if (root.has("compression")) Some(root.get("compression").asText()) else None
     Some(Manifest(schema, generation, files.result(), partitioning, version,
-      createdAt, sortedBy, streamCommits, dropped, operation))
+      createdAt, sortedBy, streamCommits, dropped, operation, compression))
   }
 
   /** Atomic publish: write to a temp sibling, then rename over the
@@ -997,6 +1007,7 @@ object ShardFormat {
     root.put("manifestVersion", m.version)
     root.put("createdAtMs", m.createdAtMs)
     if (m.operation.nonEmpty) root.put("operation", m.operation): Unit
+    m.compression.foreach(root.put("compression", _))
     m.sortedBy.foreach(root.put("sortedBy", _))
     if (m.streamCommits.nonEmpty) {
       val sc = root.putObject("streamCommits")

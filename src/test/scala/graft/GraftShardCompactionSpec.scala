@@ -128,6 +128,85 @@ class GraftShardCompactionSpec extends AnyFunSuite {
     assert(r2 == GraftShardMaintenance.CompactReport(0, Nil, Nil))
   }
 
+  test("compression is a table property: appends inherit it, compaction preserves it, explicit none overrides") {
+    val dir = tmp()
+    val raw = tmp()
+    def docs(lo: Long, hi: Long) = spark.range(lo, hi).select(col("id"),
+      concat(lit("the quick brown fox jumps over the lazy dog "), col("id") % 7).as("text"))
+    def totalBytes(d: String) = ShardFormat.readManifest(d).get.files.map(_.bytes).sum
+    def compression(d: String) = ShardFormat.readManifest(d).get.compression
+    // first compressed write records the property
+    docs(0, 20000).coalesce(4)
+      .write.format("graftshard").option("compression", "deflate")
+      .mode("overwrite").save(dir)
+    assert(compression(dir) == Some("deflate"))
+    // an OPTIONLESS append inherits: the appended files deflate too
+    docs(20000, 40000).coalesce(4)
+      .write.format("graftshard").mode("append").save(dir)
+    assert(compression(dir) == Some("deflate"))
+    // raw twin for the size comparison
+    docs(0, 40000).coalesce(8)
+      .write.format("graftshard").mode("overwrite").save(raw)
+    assert(totalBytes(dir) < totalBytes(raw) / 3,
+      s"append must stay deflated: ${totalBytes(dir)} vs raw ${totalBytes(raw)}")
+    // compaction (the routine OPTIMIZE pass) preserves the property AND
+    // the at-rest ratio — the 100 TB failure mode this property exists for
+    val report = GraftShardMaintenance.compact(spark, dir)
+    assert(report.groups > 0, "small files must have merged")
+    assert(compression(dir) == Some("deflate"))
+    assert(totalBytes(dir) < totalBytes(raw) / 3,
+      s"compaction must rewrite compressed: ${totalBytes(dir)} vs raw ${totalBytes(raw)}")
+    // rows byte-exact after the whole life cycle
+    val t = spark.read.format("graftshard").load(dir)
+    assert(t.count() == 40000L)
+    assert(t.where(col("id") === 12345L).select("text").collect()(0).getString(0) ==
+      s"the quick brown fox jumps over the lazy dog ${12345 % 7}")
+    // an explicit none on a truncate clears the property
+    docs(0, 100).coalesce(1)
+      .write.format("graftshard").option("compression", "none")
+      .mode("overwrite").save(dir)
+    assert(compression(dir) == None)
+    // and an optionless truncate INHERITS (overwrites must not decay it)
+    docs(0, 100).coalesce(1)
+      .write.format("graftshard").option("compression", "deflate")
+      .mode("overwrite").save(dir)
+    docs(0, 100).coalesce(1)
+      .write.format("graftshard").mode("overwrite").save(dir)
+    assert(compression(dir) == Some("deflate"))
+  }
+
+  test("row-level rewrites keep the table's recorded compression (CoW and MoR inserts)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_compress_rl").toString
+    spark.conf.set("spark.sql.catalog.czcat", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.czcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE czcat.g")
+    spark.sql("CREATE TABLE czcat.g.t (id BIGINT, text STRING) USING graftshard " +
+      "TBLPROPERTIES ('compression' = 'deflate')")
+    val dir = s"$wh/g/t"
+    assert(ShardFormat.readManifest(dir).get.compression == Some("deflate"))
+    spark.range(0, 20000).select(col("id"),
+        concat(lit("the quick brown fox jumps over the lazy dog "), col("id") % 7).as("text"))
+      .coalesce(1).writeTo("czcat.g.t").append()
+    val before = ShardFormat.readManifest(dir).get.files.map(_.bytes).sum
+    // copy-on-write UPDATE rewrites the file — must stay deflated
+    spark.sql("UPDATE czcat.g.t SET text = 'changed' WHERE id = 7")
+    val m = ShardFormat.readManifest(dir).get
+    assert(m.compression == Some("deflate"))
+    val after = m.files.map(_.bytes).sum
+    assert(after < before * 3 / 2,
+      s"CoW rewrite must stay compressed: $after vs $before pre-rewrite")
+    assert(spark.table("czcat.g.t").where(col("id") === 7).select("text")
+      .collect()(0).getString(0) == "changed")
+    // MoR UPDATE: the re-insert file inherits too (size check is moot for
+    // one row — pin the property survives and rows stay exact)
+    spark.conf.set("spark.graftshard.rowLevel.mode", "merge-on-read")
+    try spark.sql("UPDATE czcat.g.t SET text = 'mor' WHERE id = 9")
+    finally spark.conf.unset("spark.graftshard.rowLevel.mode")
+    assert(ShardFormat.readManifest(dir).get.compression == Some("deflate"))
+    assert(spark.table("czcat.g.t").where(col("id") === 9).select("text")
+      .collect()(0).getString(0) == "mor")
+  }
+
   test("commit validation: a concurrent MoR delete on a replaced input refuses (no resurrection); pure appends tolerated") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(Seq(StructField("id", LongType)))
