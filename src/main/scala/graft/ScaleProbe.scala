@@ -462,6 +462,26 @@ object ScaleProbe {
           f"raw=${bytesOf(rdir)}%d ratio=${bytesOf(rdir).toDouble / bytesOf(zdir)}%4.2f " +
           f"fullscan deflate=${t(zdir, full = true)}%6.3f raw=${t(rdir, full = true)}%6.3f " +
           f"skiptext deflate=${t(zdir, full = false)}%6.3f raw=${t(rdir, full = false)}%6.3f")
+        // dictionary cell: compression=dict targets the LOW-CARDINALITY
+        // string columns (lang, source — the skipping/filter currency)
+        // with a byte-copy decode, i.e. none of deflate's inflate tax.
+        // lowcard scans only lang+source chunks — where dict pays; full
+        // is the whole-width tax (text stays raw under dict: diverse
+        // text is not dictionary-shaped, the encoder bails per chunk).
+        val ddir = "/tmp/graft_columnar_txt_dict"
+        docs.write.format("graftshard").option("compression", "dict")
+          .mode("overwrite").save(ddir)
+        def tl(dir: String): Double = {
+          def q = spark.read.format("graftshard").load(dir)
+            .groupBy(col("lang"), col("source")).count()
+          q.collect(); (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); q.collect(); (System.nanoTime() - t0) / 1e9
+          }.min
+        }
+        println(f"PROBE-COLUMNAR dict bytes dict=${bytesOf(ddir)}%d raw=${bytesOf(rdir)}%d " +
+          f"deflate=${bytesOf(zdir)}%d " +
+          f"lowcard dict=${tl(ddir)}%6.3f raw=${tl(rdir)}%6.3f deflate=${tl(zdir)}%6.3f " +
+          f"fullscan dict=${t(ddir, full = true)}%6.3f raw=${t(rdir, full = true)}%6.3f")
       }
       spark.stop()
       return

@@ -1524,6 +1524,29 @@ object ExtensionQueries {
       .select("doc_id", "text", "lang", "n_chars")
   }
 
+  /** Dictionary chunk codec end to end (`compression=dict`): the
+    * low-cardinality string columns (lang, source — exactly the
+    * curation-filter currency) dictionary-encode per chunk with a
+    * byte-copy decode (no inflate tax), diverse columns bail to raw
+    * (the smallest-encoding-wins rule), and a string-predicate read
+    * over the mixed-codec file hash-matches DuckDB. The size win and
+    * the deflate-mode composition (dict as a candidate) are pinned in
+    * GraftShardColumnarSpec; the probe prices the scan tax. */
+  private def x58(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x58", dir)
+    table(s, dir, "documents")
+      .select("doc_id", "lang", "source", "n_chars", "text")
+      .repartition(4)
+      .write.format("graftshard").option("compression", "dict")
+      .mode("overwrite").save(out)
+    val m = graft.sources.v2.ShardFormat.readManifest(out).get
+    require(m.compression.contains("dict"), s"x58: property not recorded (${m.compression})")
+    s.read.format("graftshard").load(out)
+      .where(col("lang").isin("en", "fr") && col("source").startsWith("src1") &&
+        col("n_chars") >= 200)
+      .select("doc_id", "lang", "source", "n_chars", "text")
+  }
+
   /** Hierarchical subtotals via rollup (grouping sets). */
   private def x3(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "lineitem")
@@ -4879,6 +4902,12 @@ object ExtensionQueries {
     Q("x57_shard_compression_property", x57, Some("""
       SELECT doc_id, text, lang, n_chars FROM documents
       WHERE n_chars >= 300 AND lang <> 'ja'""")),
+
+    // dictionary chunk codec: low-cardinality strings dict-encode,
+    // diverse columns bail to raw; mixed-codec read hash-exact
+    Q("x58_shard_dictionary", x58, Some("""
+      SELECT doc_id, lang, source, n_chars, text FROM documents
+      WHERE lang IN ('en', 'fr') AND source LIKE 'src1%' AND n_chars >= 200""")),
 
     // change data feed: append inserts + MoR vector-delta deletes, exact
     Q("x55_shard_change_feed", x55, Some("""

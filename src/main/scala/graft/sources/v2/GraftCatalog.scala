@@ -169,8 +169,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // row-level rewrites) then honors it without per-write options
     val compression = Option(properties.get("compression"))
       .map(_.toLowerCase).filterNot(_ == "none").map { c =>
-        require(c == "deflate",
-          s"graftshard: unknown compression '$c' (supported: none, deflate)")
+        require(c == "deflate" || c == "dict",
+          s"graftshard: unknown compression '$c' (supported: none, dict, deflate)")
         c
       }
     val dir = tableDir(ident)

@@ -94,9 +94,9 @@ class GraftShardDeltaWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     new File(path).mkdirs()
     // MoR insert files keep the table's recorded compression
-    val compress = ShardFormat.readManifest(path)
-      .exists(_.compression.contains("deflate"))
-    new GraftShardDeltaWriterFactory(path, schema, spec, maxOpenWriters, compress)
+    val codec = ShardFormat.readManifest(path)
+      .flatMap(_.compression).getOrElse("none")
+    new GraftShardDeltaWriterFactory(path, schema, spec, maxOpenWriters, codec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -168,7 +168,7 @@ class GraftShardDeltaWriterFactory(
     schema: StructType,
     spec: Option[ShardFormat.PartSpec],
     maxOpenWriters: Int,
-    compress: Boolean = false)
+    codec: String = "none")
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
@@ -176,7 +176,7 @@ class GraftShardDeltaWriterFactory(
     // columns flow), so the keyed writer's key lookup would fail — and
     // no insert ever arrives to need it
     new GraftShardDeltaWriter(() =>
-      new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, compress)
+      new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec)
         .createWriter(partitionId, taskId))
 }
 

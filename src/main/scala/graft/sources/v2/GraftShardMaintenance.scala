@@ -142,11 +142,11 @@ object GraftShardMaintenance {
     // the table's recorded compression survives maintenance: without
     // this, the routine OPTIMIZE pass would rewrite a deflate table RAW
     // and the at-rest saving would silently evaporate
-    val compress = m.compression.contains("deflate")
+    val codec = m.compression.getOrElse("none")
     val newEntries: Array[ShardFormat.FileEntry] =
       spark.sparkContext.parallelize(groups, groups.size).map { case (p, members) =>
         val name = s"compact-${java.util.UUID.randomUUID().toString.take(12)}.shard"
-        val w = new ShardFormat.ShardWriter(new File(dir, name), schema, compress)
+        val w = new ShardFormat.ShardWriter(new File(dir, name), schema, codec)
         try {
           GraftShardMaintenance.streamGroup(dir, members, schema, sortIdx, sortType)
             .foreach(w.write)

@@ -233,9 +233,9 @@ class GraftShardCowWrite(
     new File(path).mkdirs()
     // rewritten files keep the table's recorded compression — a DELETE
     // must not decay a deflate table's rewritten shards to raw
-    val compress = ShardFormat.readManifest(path)
-      .exists(_.compression.contains("deflate"))
-    new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, compress)
+    val codec = ShardFormat.readManifest(path)
+      .flatMap(_.compression).getOrElse("none")
+    new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -179,18 +179,17 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
     // appends and overwrites WITHOUT the option inherit it, so routine
     // ingestion can never silently decay a compressed table to raw; an
     // explicit option (incl. "none") overrides for this write.
-    val compress = Option(info.options.get("compression")).map(_.toLowerCase) match {
-      case Some("none") => false
-      case Some("deflate") => true
+    val codec = Option(info.options.get("compression")).map(_.toLowerCase) match {
+      case Some(c @ ("none" | "dict" | "deflate")) => c
       case Some(other) => throw new IllegalArgumentException(
-        s"graftshard: unknown compression '$other' (supported: none, deflate)")
-      case None => existing.exists(_.compression.contains("deflate"))
+        s"graftshard: unknown compression '$other' (supported: none, dict, deflate)")
+      case None => existing.flatMap(_.compression).getOrElse("none")
     }
     val queryId = info.queryId()
     (sortCol, spec) match {
       case (Some(s), Some(sp)) =>
         new GraftShardWriteWithOrdering(path, schema, replace, sp, s, maxOpen, queryId,
-          compress)
+          codec)
       case _ if zorderCols.isDefined =>
         val Seq(a, b) = zorderCols.get
         // writePartitions pins the range-partition count (0 = let Spark
@@ -198,18 +197,18 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
         // layouts pin it)
         val nParts = Option(info.options.get("writePartitions"))
           .map(_.toInt).getOrElse(0)
-        new GraftShardZOrderWrite(path, schema, replace, a, b, maxOpen, nParts, compress)
+        new GraftShardZOrderWrite(path, schema, replace, a, b, maxOpen, nParts, codec)
       case _ =>
         // sortCol here is provably None: a defined sortWithinShards
         // requires a partition spec (the require above)
         new Write {
           override def toBatch: BatchWrite =
             new GraftShardBatchWrite(path, schema, replace, spec, sortCol = None,
-              maxOpenWriters = maxOpen, compress = compress)
+              maxOpenWriters = maxOpen, codec = codec)
           override def toStreaming: StreamingWrite =
             new GraftShardStreamingWrite(path, queryId,
               new GraftShardBatchWrite(path, schema, replace, spec, sortCol = None,
-                maxOpenWriters = maxOpen, compress = compress))
+                maxOpenWriters = maxOpen, codec = codec))
         }
     }
   }
@@ -228,7 +227,7 @@ class GraftShardWriteWithOrdering(
     sortCol: String,
     maxOpenWriters: Int = 64,
     queryId: String = "",
-    compress: Boolean = false)
+    codec: String = "none")
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -240,12 +239,12 @@ class GraftShardWriteWithOrdering(
 
   override def toBatch: BatchWrite =
     new GraftShardBatchWrite(path, schema, replace, Some(spec), Some(sortCol),
-      maxOpenWriters, compress)
+      maxOpenWriters, codec)
 
   override def toStreaming: StreamingWrite =
     new GraftShardStreamingWrite(path, queryId,
       new GraftShardBatchWrite(path, schema, replace, Some(spec), Some(sortCol),
-        maxOpenWriters, compress))
+        maxOpenWriters, codec))
 }
 
 /** The z-ordered write (see the zorderBy note in
@@ -262,7 +261,7 @@ class GraftShardZOrderWrite(
     colB: String,
     maxOpenWriters: Int,
     numPartitions: Int = 0,
-    compress: Boolean = false)
+    codec: String = "none")
     extends Write with RequiresDistributionAndOrdering {
 
   private def z: org.apache.spark.sql.connector.expressions.Expression =
@@ -277,7 +276,7 @@ class GraftShardZOrderWrite(
     Array(Expressions.sort(z, SortDirection.ASCENDING))
 
   override def toBatch: BatchWrite =
-    new GraftShardBatchWrite(path, schema, replace, None, None, maxOpenWriters, compress)
+    new GraftShardBatchWrite(path, schema, replace, None, None, maxOpenWriters, codec)
 }
 
 /** The streaming sink face: micro-batch epochs commit through the ONE
@@ -340,7 +339,7 @@ class GraftShardBatchWrite(
     spec: Option[ShardFormat.PartSpec],
     sortCol: Option[String] = None,
     maxOpenWriters: Int = 64,
-    compress: Boolean = false)
+    codec: String = "none")
     extends BatchWrite {
 
   private def isTruncate: Boolean =
@@ -348,7 +347,7 @@ class GraftShardBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
-    new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, compress)
+    new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -456,9 +455,8 @@ class GraftShardBatchWrite(
     // appends/REPLACE WHERE keep the recorded property, or record it at
     // the first compressed write of a so-far-raw table
     val compression =
-      if (isTruncate) (if (compress) Some("deflate") else None)
-      else current.flatMap(_.compression)
-        .orElse(if (compress) Some("deflate") else None)
+      if (isTruncate) Some(codec).filter(_ != "none")
+      else current.flatMap(_.compression).orElse(Some(codec).filter(_ != "none"))
     ShardFormat.writeManifest(path,
       ShardFormat.Manifest(published, generation, prior ++ committed, spec,
         version = current.map(_.version).getOrElse(0L) + 1,
@@ -483,20 +481,20 @@ class GraftShardWriterFactory(
     schema: StructType,
     spec: Option[ShardFormat.PartSpec],
     maxOpenWriters: Int = 64,
-    compress: Boolean = false)
+    codec: String = "none")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     spec match {
-      case None => new GraftShardDataWriter(path, schema, partitionId, taskId, compress)
+      case None => new GraftShardDataWriter(path, schema, partitionId, taskId, codec)
       case Some(sp) =>
         new GraftShardKeyedDataWriter(path, schema, partitionId, taskId, sp,
-          maxOpenWriters, compress)
+          maxOpenWriters, codec)
     }
 }
 
 class GraftShardDataWriter(
     path: String, schema: StructType, partitionId: Int, taskId: Long,
-    compress: Boolean = false)
+    codec: String = "none")
     extends DataWriter[InternalRow] {
 
   // taskId disambiguates speculative attempts of the same partition;
@@ -505,7 +503,7 @@ class GraftShardDataWriter(
     f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.shard"
   private val writer = {
     new File(path).mkdirs()
-    new ShardFormat.ShardWriter(new File(path, name), schema, compress)
+    new ShardFormat.ShardWriter(new File(path, name), schema, codec)
   }
 
   override def write(record: InternalRow): Unit = writer.write(record)
@@ -546,7 +544,7 @@ class GraftShardKeyedDataWriter(
     taskId: Long,
     spec: ShardFormat.PartSpec,
     maxOpenWriters: Int = 64,
-    compress: Boolean = false)
+    codec: String = "none")
     extends DataWriter[InternalRow] {
 
   require(maxOpenWriters >= 1,
@@ -594,7 +592,7 @@ class GraftShardKeyedDataWriter(
         }
         fileSeq += 1
         val name = f"part-$partitionId%05d-$taskId-$attempt-k$key-$fileSeq.shard"
-        val nw = new ShardFormat.ShardWriter(new File(path, name), schema, compress)
+        val nw = new ShardFormat.ShardWriter(new File(path, name), schema, codec)
         writers.put(key, (name, nw))
         nw
     }

@@ -362,6 +362,110 @@ object ShardFormat {
     case other => throw new java.io.IOException(s"graftshard: unknown type tag $other")
   }
 
+  // ---------------------------------------------- chunk dictionary codec
+  // codec 2: [bitmap][dictCount:4B][per entry: len:4B + bytes][indices,
+  // 1B each when dictCount <= 256 else 2B]. Entries appear in first-seen
+  // order; indices reference them per non-null value in row order. The
+  // decoder reconstructs the RAW chunk layout, so the reader's cursor
+  // machinery never sees the codec. Capped at DictMaxEntries distinct
+  // values — past that the chunk is not dictionary-shaped and the
+  // encoder bails early instead of scanning on.
+  val DictMaxEntries = 4096
+
+  private def readIntBE(a: Array[Byte], p: Int): Int =
+    ((a(p) & 0xFF) << 24) | ((a(p + 1) & 0xFF) << 16) |
+      ((a(p + 2) & 0xFF) << 8) | (a(p + 3) & 0xFF)
+  private def writeIntBE(a: Array[Byte], p: Int, v: Int): Unit = {
+    a(p) = (v >>> 24).toByte; a(p + 1) = (v >>> 16).toByte
+    a(p + 2) = (v >>> 8).toByte; a(p + 3) = v.toByte
+  }
+
+  /** Dictionary-encodes one raw string chunk; null when the chunk is
+    * not dictionary-shaped (too many distinct values, or the encoding
+    * would not shrink it — an encoding is kept ONLY when smaller). */
+  private def dictEncode(raw: Array[Byte], bitmapLen: Int): Array[Byte] = {
+    val dict = new java.util.LinkedHashMap[java.nio.ByteBuffer, Integer]()
+    val indices = new java.util.ArrayList[Integer]()
+    var pos = bitmapLen
+    var dictValueBytes = 0L
+    while (pos < raw.length) {
+      val len = readIntBE(raw, pos)
+      val bb = java.nio.ByteBuffer.wrap(raw, pos + 4, len)
+      var idx = dict.get(bb)
+      if (idx == null) {
+        if (dict.size >= DictMaxEntries) return null
+        idx = Integer.valueOf(dict.size)
+        dict.put(bb, idx)
+        dictValueBytes += 4L + len
+      }
+      indices.add(idx)
+      pos += 4 + len
+    }
+    val n = indices.size
+    val idxWidth = if (dict.size <= 256) 1 else 2
+    val size = bitmapLen + 4L + dictValueBytes + n.toLong * idxWidth
+    if (size >= raw.length) return null
+    val out = new Array[Byte](size.toInt)
+    System.arraycopy(raw, 0, out, 0, bitmapLen)
+    var p = bitmapLen
+    writeIntBE(out, p, dict.size); p += 4
+    val it = dict.keySet().iterator()
+    while (it.hasNext) {
+      val bb = it.next()
+      val len = bb.remaining()
+      writeIntBE(out, p, len)
+      System.arraycopy(bb.array(), bb.position(), out, p + 4, len)
+      p += 4 + len
+    }
+    var k = 0
+    while (k < n) {
+      val idx = indices.get(k).intValue()
+      if (idxWidth == 1) out(p) = idx.toByte
+      else { out(p) = (idx >>> 8).toByte; out(p + 1) = idx.toByte }
+      p += idxWidth
+      k += 1
+    }
+    out
+  }
+
+  /** Inverse of [[dictEncode]]: reconstructs the raw chunk layout. */
+  private def dictDecode(
+      c: Array[Byte], bitmapLen: Int, rawLen: Int, file: File): Array[Byte] = {
+    def corrupt(what: String): Nothing =
+      throw new java.io.IOException(s"graftshard: corrupt dictionary chunk in $file ($what)")
+    val b = new Array[Byte](rawLen)
+    if (c.length < bitmapLen + 4) corrupt("truncated header")
+    System.arraycopy(c, 0, b, 0, bitmapLen)
+    var p = bitmapLen
+    val count = readIntBE(c, p); p += 4
+    if (count < 0 || count > DictMaxEntries) corrupt(s"entry count $count")
+    val offs = new Array[Int](count)
+    val lens = new Array[Int](count)
+    var k = 0
+    while (k < count) {
+      if (p + 4 > c.length) corrupt("truncated entry")
+      lens(k) = readIntBE(c, p); offs(k) = p + 4
+      if (lens(k) < 0 || offs(k) + lens(k) > c.length) corrupt(s"entry $k length ${lens(k)}")
+      p += 4 + lens(k); k += 1
+    }
+    val idxWidth = if (count <= 256) 1 else 2
+    var o = bitmapLen
+    while (p < c.length) {
+      if (p + idxWidth > c.length) corrupt("truncated index")
+      val idx =
+        if (idxWidth == 1) c(p) & 0xFF
+        else ((c(p) & 0xFF) << 8) | (c(p + 1) & 0xFF)
+      p += idxWidth
+      if (idx >= count) corrupt(s"index $idx of $count")
+      if (o + 4 + lens(idx) > rawLen) corrupt("overflow")
+      writeIntBE(b, o, lens(idx))
+      System.arraycopy(c, offs(idx), b, o + 4, lens(idx))
+      o += 4 + lens(idx)
+    }
+    if (o != rawLen) corrupt(s"short decode ($o of $rawLen)")
+    b
+  }
+
   /** Per-column group buffer for the v3 writer: a null bitmap over the
     * group's rows plus the packed non-null values. */
   private final class ColBuf {
@@ -394,7 +498,14 @@ object ShardFormat {
     * buffered per column and flushed as a group at [[GroupMaxRows]] /
     * [[GroupMaxBytes]] — bounded memory, one group in flight. Not
     * thread-safe (one per Spark task). */
-  final class ShardWriter(file: File, schema: StructType, compress: Boolean = false) {
+  /** `codec`: "none" (raw), "dict" (per-chunk dictionary for string
+    * columns — the no-inflate-tax option for low-cardinality keys), or
+    * "deflate" (dict AND deflate candidates per chunk, smallest wins).
+    * Every chunk records its own codec byte, so mixed files/groups are
+    * always readable regardless of how the table property evolves. */
+  final class ShardWriter(file: File, schema: StructType, codec: String = "none") {
+    require(codec == "none" || codec == "dict" || codec == "deflate",
+      s"graftshard: unknown chunk codec mode '$codec'")
     private val fields = schema.fields
     private val out = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(file), 1 << 20))
@@ -514,34 +625,47 @@ object ShardFormat {
         while (i < cols.length) {
           val c = cols(i)
           // chunk = [codec:1B][storedLen:4B][rawLen:4B][payload]
-          // codec 0 = raw; codec 1 = DEFLATE. Variable-width columns
-          // (string/binary/array — where text corpora pay 3-5× storage)
-          // are compressed at speed-biased level 1, kept ONLY when
-          // smaller; fixed-width numerics stay raw (random ids/floats
-          // don't deflate — spending CPU there would be pure loss).
-          // Skipped chunks skip COMPRESSED bytes, so group/column
-          // skipping and compression compound.
+          // codec 0 = raw; codec 1 = DEFLATE; codec 2 = per-chunk string
+          // DICTIONARY. Variable-width columns (string/binary/array —
+          // where text corpora pay 3-5× storage) deflate at speed-biased
+          // level 1; string columns additionally try a dictionary
+          // (distinct values + 1-2B indices — where parquet's dictionary
+          // encoding wins on low-cardinality keys like lang/source, and
+          // with NO inflate tax on read: decode is a byte copy). The
+          // smallest candidate wins, raw included — an encoding is kept
+          // ONLY when it shrinks the chunk. Fixed-width numerics stay
+          // raw (random ids/floats don't compress — pure CPU loss).
+          // Skipped chunks skip ENCODED bytes, so group/column skipping
+          // and compression compound.
           val raw = {
             val b = new java.io.ByteArrayOutputStream(bitmapLen + c.bytes.size())
             b.write(c.bitmap, 0, bitmapLen)
             c.bytes.writeTo(b)
             b.toByteArray
           }
+          val dictEncoded: Array[Byte] =
+            if (codec == "none" || !stringCol(i)) null
+            else dictEncode(raw, bitmapLen)
           val compressed: Array[Byte] =
-            if (!compress || !compressible(i)) null
+            if (codec != "deflate" || !compressible(i)) null
             else {
+              val cap = if (dictEncoded == null) raw.length else dictEncoded.length
               val d = new java.util.zip.Deflater(1)
               d.setInput(raw); d.finish()
-              val buf = new Array[Byte](raw.length) // give up past raw size
+              val buf = new Array[Byte](cap) // give up past the best-so-far
               val n = d.deflate(buf)
               val done = d.finished()
               d.end()
-              if (done && n < raw.length) java.util.Arrays.copyOf(buf, n) else null
+              if (done && n < cap) java.util.Arrays.copyOf(buf, n) else null
             }
           if (compressed != null) {
             out.writeByte(1)
             out.writeInt(compressed.length); out.writeInt(raw.length)
             out.write(compressed)
+          } else if (dictEncoded != null) {
+            out.writeByte(2)
+            out.writeInt(dictEncoded.length); out.writeInt(raw.length)
+            out.write(dictEncoded)
           } else {
             out.writeByte(0)
             out.writeInt(raw.length); out.writeInt(raw.length)
@@ -559,6 +683,7 @@ object ShardFormat {
       case StringType | BinaryType | ArrayType(_, _) => true
       case _ => false
     })
+    private val stringCol: Array[Boolean] = fields.map(_.dataType == StringType)
 
     /** Returns (bytes, rows, presentStats, allNullStats); per-column
       * sums are exposed by [[sums]] after this call. */
@@ -779,6 +904,9 @@ object ShardFormat {
                 if (off != rawLen) throw new java.io.IOException(
                   s"graftshard: short inflate ($off of $rawLen) in $file — corrupt chunk")
                 b
+              case 2 =>
+                val c = new Array[Byte](storedLen); in.readFully(c)
+                dictDecode(c, bitmapLen, rawLen, file)
               case other => throw new java.io.IOException(
                 s"graftshard: unknown chunk codec $other in $file")
             }

@@ -334,6 +334,53 @@ class GraftShardColumnarSpec extends AnyFunSuite {
     r.close()
   }
 
+  test("dictionary codec: low-cardinality string chunks shrink with no inflate tax; exact roundtrip") {
+    val dir = tmp()
+    val raw = tmp()
+    val n = ShardFormat.GroupMaxRows + 2000 // multi-group
+    // lang/source: the low-cardinality skipping currency dictionary
+    // encoding exists for; rnd: high-cardinality — the encoder must BAIL
+    // there (DictMaxEntries), leaving the chunk raw
+    val df = spark.range(0, n.toLong).select(col("id"),
+      element_at(lit(Array("de", "en", "fr", "ja", "pt")),
+        (col("id") % 5 + 1).cast("int")).as("lang"),
+      when(col("id") % 11 =!= 0, concat(lit("src-"), col("id") % 17)).as("source"),
+      md5(col("id").cast("string")).as("rnd"))
+    df.coalesce(1).write.format("graftshard")
+      .option("compression", "dict").mode("overwrite").save(dir)
+    df.coalesce(1).write.format("graftshard").mode("overwrite").save(raw)
+    def bytes(d: String) = ShardFormat.readManifest(d).get.files.map(_.bytes).sum
+    assert(ShardFormat.readManifest(dir).get.compression == Some("dict"))
+    // lang ~6B -> 1B and source ~9B -> 1B per row; rnd/id unchanged
+    assert(bytes(dir) < bytes(raw) * 9 / 10,
+      s"dict must shrink low-cardinality strings: ${bytes(dir)} vs raw ${bytes(raw)}")
+    // exact roundtrip incl. nulls, across group boundaries
+    val t = spark.read.format("graftshard").load(dir)
+    assert(t.count() == n.toLong)
+    val probe = t.where(col("id").isin(0L, (ShardFormat.GroupMaxRows + 1).toLong, 11L))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2), r.getString(3))).toSet
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def exp(id: Long) = (id, Seq("de", "en", "fr", "ja", "pt")((id % 5).toInt),
+      if (id % 11 != 0) s"src-${id % 17}" else null, md5hex(id.toString))
+    assert(probe == Set(exp(0), exp(ShardFormat.GroupMaxRows + 1L), exp(11)))
+    // string-stats skipping is codec-independent (stats precede encoding)
+    assert(t.where(col("lang") === "ja").count() == (0L until n.toLong).count(_ % 5 == 3))
+    // under "deflate" the dictionary is a CANDIDATE: smallest encoding
+    // wins per chunk, so deflate mode can only be <= dict mode on the
+    // dict-shaped columns and everything still roundtrips (x56's hash)
+    val both = tmp()
+    df.coalesce(1).write.format("graftshard")
+      .option("compression", "deflate").mode("overwrite").save(both)
+    assert(bytes(both) <= bytes(dir),
+      s"deflate mode (dict+deflate candidates) must not lose to dict-only: " +
+        s"${bytes(both)} vs ${bytes(dir)}")
+    assert(spark.read.format("graftshard").load(both).count() == n.toLong)
+  }
+
   test("a non-shard file fails loudly with the magic error") {
     val dir = tmp()
     new File(dir).mkdirs()
