@@ -838,6 +838,34 @@ object ScaleProbe {
       println(f"PROBE-D18-BAND-BITS pinned(b=4) 1x=$lp1%.2f s 10xCD=$lp10%.2f s " +
         f"ratio=${lp10 / lp1}%.1fx; scaled(b=7->10) 1x=$ls1%.2f s 10xCD=$ls10%.2f s " +
         f"ratio=${ls10 / ls1}%.1fx")
+      // the AUTO face's law, measured on CANDIDATE VOLUME directly:
+      // rowsPerBand = ceil(log2(n)) + 2 must keep candidates ~linear in
+      // the corpus (ratio ~10 at 10x), where a width pinned at the 1x
+      // value leaves the random-collision floor quadratic (~100x). The
+      // banding relation is counted WITHOUT the cosine verify, so the
+      // row prices the floor itself, not the rescue.
+      def lshCands(dir: String, rowsPerBand: Int): Long = {
+        CacheRegistry.unpersistAll(); spark.catalog.clearCache()
+        val banded = graft.dedup.Dedup.embeddingLshBands(
+          spark.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", bands = 8, rowsPerBand = rowsPerBand, dims = 64)
+          .transform(CacheRegistry.persisted(_))
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+              && col("a.id") < col("b.id"))
+          .select(col("a.id"), col("b.id")).distinct().count()
+      }
+      def autoWidth(dir: String): Int = {
+        val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt + 2
+      }
+      val (w1, w10) = (autoWidth(src), autoWidth(cd))
+      val ca1 = lshCands(src, w1)
+      val ca10 = lshCands(cd, w10)
+      val cp10 = lshCands(cd, w1) // the 1x width cargo-culted to 10x
+      println(f"PROBE-LSH-AUTO cands auto(b=$w1->$w10) 1x=$ca1%d 10xCD=$ca10%d " +
+        f"ratio=${ca10.toDouble / math.max(1L, ca1)}%.1fx; " +
+        f"pinned(b=$w1) 10xCD=$cp10%d ratio=${cp10.toDouble / math.max(1L, ca1)}%.1fx")
       spark.stop()
       return
     }

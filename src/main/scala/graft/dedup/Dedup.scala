@@ -707,14 +707,14 @@ object Dedup {
     * HIGH-similarity pairs — the near-dup production regime; for
     * mid-threshold semantic similarity at scale use the
     * quantizer-blocked [[semanticDedupPairsAuto]] (measured linear at
-    * constant cluster size) instead. */
+    * constant cluster size) instead. [[embeddingLshPairsAuto]] automates
+    * this law from a corpus count — prefer it unless the width is
+    * externally pinned (e.g. joining against a registry built with a
+    * fixed signature). */
   def embeddingLshPairs(
       df: DataFrame, idCol: String, vecCol: String,
       bands: Int, rowsPerBand: Int, dims: Int, threshold: Double): DataFrame = {
-    import graft.similarity.Similarity.{cosineOf, dot, hyperplaneWeights, l2Norm}
-    require(bands >= 1 && rowsPerBand >= 1 && rowsPerBand <= 62,
-      "embeddingLshPairs: need bands >= 1 and 1 <= rowsPerBand <= 62")
-    val w = hyperplaneWeights(bands * rowsPerBand, dims)
+    import graft.similarity.Similarity.{cosineOf, dot, l2Norm}
     // id/vec/norm once per vector; persisted — the band self-join and the
     // two verify joins all re-read this relation, and Spark does not
     // share plan subtrees across self-joins (the embeddingCosinePairs
@@ -722,14 +722,7 @@ object Dedup {
     val t = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         l2Norm(col(vecCol)).as("nrm"))
       .transform(graft.CacheRegistry.persisted(_))
-    val bandBuckets = (0 until bands).map { b =>
-      (0 until rowsPerBand).map { p =>
-        when(dot(col("v"), typedlit(w(b * rowsPerBand + p).toSeq)) > 0,
-          lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-    val banded = t.select(col("id"),
-      posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket")))
+    val banded = embeddingLshBands(t, "id", "v", bands, rowsPerBand, dims)
     // candidate pairs: same (band, bucket) in at least one band; distinct
     // BEFORE the verify joins so a pair colliding in k bands is scored
     // once, not k times
@@ -745,6 +738,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         cosineOf(dot(col("v_a"), col("v_b")), col("nrm_a"), col("nrm_b")).as("cosine"))
       .where(!isnan(col("cosine")) && col("cosine") >= threshold)
+  }
+
+  /** The narrow (id, band, bucket) banding relation of
+    * [[embeddingLshPairs]], exposed so candidate VOLUME is auditable on
+    * its own (the ScaleProbe cd rows join it against itself to count
+    * candidates without paying the cosine verify). */
+  def embeddingLshBands(
+      df: DataFrame, idCol: String, vecCol: String,
+      bands: Int, rowsPerBand: Int, dims: Int): DataFrame = {
+    import graft.similarity.Similarity.{dot, hyperplaneWeights}
+    require(bands >= 1 && rowsPerBand >= 1 && rowsPerBand <= 62,
+      "embeddingLshBands: need bands >= 1 and 1 <= rowsPerBand <= 62")
+    val w = hyperplaneWeights(bands * rowsPerBand, dims)
+    val bandBuckets = (0 until bands).map { b =>
+      (0 until rowsPerBand).map { p =>
+        when(dot(col(vecCol), typedlit(w(b * rowsPerBand + p).toSeq)) > 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    df.select(col(idCol).as("id"),
+      posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** [[embeddingLshPairs]] with the band WIDTH derived from the corpus —
+    * the operator's own measured scale law automated (the same pattern
+    * as [[semanticDedupPairsAuto]]): random unrelated vectors collide in
+    * >= 1 of `bands` bands with 1-(1-2^-rowsPerBand)^bands, so at FIXED
+    * width the random-collision floor makes candidates quadratic in the
+    * corpus; `rowsPerBand = ceil(log2(n)) + margin` keeps the expected
+    * bucket size O(1) and candidates linear (measured: the ScaleProbe
+    * PROBE-LSH-AUTO cd row). The wider band's sharper per-band S-curve
+    * targets HIGH-similarity pairs, so recall is budgeted by `bands` at
+    * the near-dup thresholds this face is for (cos >= ~0.9; a pair at
+    * angle theta survives a band with (1-theta/pi)^rowsPerBand, recall =
+    * 1-(1-p_band)^bands). For mid-threshold semantic similarity use the
+    * quantizer-blocked [[semanticDedupPairsAuto]]. The `count()` is
+    * parameter-derivation cost, same class as the quantizer builds. */
+  def embeddingLshPairsAuto(
+      df: DataFrame, idCol: String, vecCol: String,
+      bands: Int, dims: Int, threshold: Double, margin: Int = 2): DataFrame = {
+    require(margin >= 0, "embeddingLshPairsAuto: margin >= 0")
+    val n = df.count()
+    val rowsPerBand = math.min(62, math.max(1,
+      math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt + margin))
+    embeddingLshPairs(df, idCol, vecCol, bands, rowsPerBand, dims, threshold)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

@@ -174,6 +174,24 @@ object ExtensionQueries {
       "vec_id", "embedding", bands = 8, rowsPerBand = 12, dims = 64, threshold = 0.9)
   }
 
+  /** d19 through the AUTO face: the band width is DERIVED from the
+    * corpus count (`rowsPerBand = ceil(log2(n)) + 2`,
+    * [[graft.dedup.Dedup.embeddingLshPairsAuto]]) instead of pinned —
+    * the operator's measured scale law automated, so a user at 100×
+    * the corpus gets the wider bands that keep the random-collision
+    * floor linear WITHOUT cargo-culting d19's 12 bits. The oracle
+    * derives the SAME width from its own count() in SQL, proving the
+    * law is engine-free, then replays planes/banding/verify. */
+  private def d20(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
+    val scaled = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, x -> CAST(x * 2.0 AS FLOAT))").as("embedding"))
+    val zeroed = emb.select((col("vec_id") + 2000000L).as("vec_id"),
+      expr("concat(array(CAST(0.0 AS FLOAT)), slice(embedding, 2, 63))").as("embedding"))
+    Dedup.embeddingLshPairsAuto(emb.unionAll(scaled).unionAll(zeroed),
+      "vec_id", "embedding", bands = 8, dims = 64, threshold = 0.9)
+  }
+
   /** Incremental dedup against a PERSISTED band registry — the 100 TB
     * ingestion shape: the corpus is signatured once into a bucketed
     * (band_key → keep_id) table; a new increment (mutated near-copies of
@@ -3442,6 +3460,44 @@ object ExtensionQueries {
           CASE WHEN list_sum(list_transform(range(1, 65),
                  d -> e.embedding[d]::DOUBLE * p.w[d])) > 0
                THEN 1 << (p.p % 12) ELSE 0 END AS bit
+        FROM corpus e CROSS JOIN planes p),
+      banded AS (SELECT vec_id, band, sum(bit)::BIGINT AS bucket
+                 FROM signs GROUP BY vec_id, band),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM banded a JOIN banded b
+                 ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, cosine FROM (
+        SELECT c.id_a, c.id_b, ${cosSql("ea.embedding", "eb.embedding")} AS cosine
+        FROM cand c
+        JOIN corpus ea ON ea.vec_id = c.id_a
+        JOIN corpus eb ON eb.vec_id = c.id_b)
+      WHERE NOT isnan(cosine) AND cosine >= 0.9""")),
+
+    // d19 through the auto face: band width ceil(log2(n))+2 derived
+    // from the corpus count by BOTH engines — the scale law, oracled
+    Q("d20_embedding_lsh_auto", d20, Some(s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+          list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 2000000,
+          list_prepend(CAST(0.0 AS FLOAT), embedding[2:])
+        FROM embeddings),
+      params AS (
+        SELECT CAST(ceil(log2(count(*))) AS BIGINT) + 2 AS rpb FROM corpus),
+      planes AS (
+        SELECT p, list_transform(range(1, 65), d ->
+          CASE WHEN substr(md5(p::VARCHAR || '_' || (d-1)::VARCHAR), 1, 1)
+               IN $oddHex THEN 1.0 ELSE -1.0 END) AS w
+        FROM (SELECT unnest(range(0, 8 * (SELECT rpb FROM params))) AS p)),
+      signs AS (
+        SELECT e.vec_id, p.p // (SELECT rpb FROM params) AS band,
+          CASE WHEN list_sum(list_transform(range(1, 65),
+                 d -> e.embedding[d]::DOUBLE * p.w[d])) > 0
+               THEN (1::BIGINT << (p.p % (SELECT rpb FROM params))) ELSE 0 END AS bit
         FROM corpus e CROSS JOIN planes p),
       banded AS (SELECT vec_id, band, sum(bit)::BIGINT AS bucket
                  FROM signs GROUP BY vec_id, band),

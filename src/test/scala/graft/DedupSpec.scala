@@ -99,6 +99,27 @@ class DedupSpec extends AnyFunSuite {
       s"zero-norm ids must never pair: $lsh")
   }
 
+  test("embeddingLshPairsAuto: width = ceil(log2 n) + margin, identical to the manual face at that width") {
+    // 40 vectors: ceil(log2 40) = 6, margin 2 -> rowsPerBand 8
+    val rng = new scala.util.Random(7)
+    val base = (0L until 38L).map { i =>
+      (i, Array.fill(16)(rng.nextFloat() * 2f - 1f))
+    }
+    // one planted near-dup pair (scaled copy: identical hyperplane signs)
+    val vecs = (base :+ (100L, base(3)._2.map(_ * 2f)) :+ (101L, base(5)._2.map(_ * 2f)))
+      .toDF("vec_id", "embedding")
+    val auto = Dedup.embeddingLshPairsAuto(vecs, "vec_id", "embedding",
+      bands = 8, dims = 16, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val manual = Dedup.embeddingLshPairs(vecs, "vec_id", "embedding",
+      bands = 8, rowsPerBand = 8, dims = 16, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == manual, s"auto ($auto) must equal manual at the derived width ($manual)")
+    // scaled copies collide in every band (sign-identical) and verify at
+    // cosine exactly 1 — the law must not cost the planted recall
+    assert(auto.contains((3L, 100L)) && auto.contains((5L, 101L)), auto.toString)
+  }
+
   test("semanticDedupPairs: near-dups pair within their quantizer cluster, no blocking key needed") {
     // ids 0,1 seed two orthogonal clusters (nlist=2 -> they ARE the
     // centroids); 2,3 are near-dups of cluster 0; 4 is a near-dup of
