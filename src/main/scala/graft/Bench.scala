@@ -73,7 +73,14 @@ object Bench {
     // host would double the sweep). A retimed number far below the
     // main-loop one marks the spike as host drag, not a code change.
     // The previous snapshot is read BEFORE this run overwrites it.
-    val RETIME_RATIO = 2.5
+    // 1.5 vs the ALL-TIME best (round 12, was 2.5 vs last round): the
+    // old gate compared against the previous snapshot's corrected value,
+    // which let a drag-inflated sweep UNDER the gate become the next
+    // baseline — one quiet round later a real 2x regression on that
+    // query was invisible (the round-11 d13/d15/m4/d12 ratchet). The
+    // baseline is now the historical minimum (best_known, persisted and
+    // monotonically improved each run), which host drag can never raise.
+    val RETIME_RATIO = 1.5
     // 24 (round 11, was 12): the round-10 consumer regime change tripped
     // 18 queries at once and the cap left six carrying possibly-contended
     // sweep numbers into corrected_total for a full round. 24 bounds a
@@ -92,29 +99,38 @@ object Bench {
         .findAllMatchIn(txt.substring(start + anchor.length, end))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
-    // The regression baseline per query is the previous round's BEST
-    // observed time — corrected_queries when the snapshot has it, else
-    // min(sweep, retimed). Comparing against the raw sweep alone would
-    // let an inflated prior value (the very spikes the pass exists to
-    // exonerate) mask a genuine regression this round: ratio <= 1, never
-    // retimed.
-    val prev: Map[String, Double] = try {
+    // Previous snapshot: its corrected_queries (else min(sweep, retimed))
+    // plus its best_known map — the two inputs to the all-time-best
+    // baseline below.
+    val (prev: Map[String, Double], prevBest: Map[String, Double]) = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(prevPath)), "UTF-8")
       val corrected = scrapeMap(txt, "corrected_queries")
-      if (corrected.nonEmpty) corrected
-      else {
-        val sweep = scrapeMap(txt, "queries")
-        val rt = scrapeMap(txt, "retimed")
-        sweep.map { case (k, v) =>
-          k -> (rt.get(k) match {
-            case Some(r) if r >= 0 && v >= 0 => math.min(v, r)
-            case Some(r) if r >= 0 => r
-            case _ => v
-          })
+      val base =
+        if (corrected.nonEmpty) corrected
+        else {
+          val sweep = scrapeMap(txt, "queries")
+          val rt = scrapeMap(txt, "retimed")
+          sweep.map { case (k, v) =>
+            k -> (rt.get(k) match {
+              case Some(r) if r >= 0 && v >= 0 => math.min(v, r)
+              case Some(r) if r >= 0 => r
+              case _ => v
+            })
+          }
         }
-      }
-    } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
+      (base, scrapeMap(txt, "best_known"))
+    } catch { case scala.util.control.NonFatal(_) =>
+      (Map.empty[String, Double], Map.empty[String, Double]) }
+    // the regression baseline: the ALL-TIME best committed time per
+    // query — last snapshot's best_known improved by its corrected
+    // values. Monotone: host drag can inflate a sweep, never the
+    // baseline; only a renamed query resets it.
+    val baseline: Map[String, Double] =
+      (prev.keySet ++ prevBest.keySet).map { k =>
+        val cands = Seq(prev.get(k), prevBest.get(k)).flatten.filter(_ > 0)
+        k -> (if (cands.isEmpty) -1.0 else cands.min)
+      }.toMap
     if (prevExists && prev.isEmpty)
       // the prev reader is a format-anchored scrape; if the snapshot format
       // drifts it degrades to an empty map and silently disables the
@@ -123,7 +139,7 @@ object Bench {
         "empty queries map — snapshot format drift? variance pass disabled")
     val overRatio = results
       .flatMap { case (k, v) =>
-        val p = prev.getOrElse(k, -1.0)
+        val p = baseline.getOrElse(k, -1.0)
         if (v > 0 && p > 0 && v / p > RETIME_RATIO) Some((k, v / p)) else None
       }
       .sortBy(-_._2)
@@ -159,8 +175,19 @@ object Bench {
     val correctedTotal = correctedQueries.map(_._2).filter(_ >= 0).sum
     val cq = correctedQueries.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // best_known: the monotone all-time-best map the NEXT run baselines
+    // against — this run's corrected value can only lower an entry
+    val newBest = correctedQueries.map { case (k, v) =>
+      k -> ((baseline.get(k).filter(_ > 0), v) match {
+        case (Some(b), t) if t > 0 => math.min(b, t)
+        case (Some(b), _) => b
+        case (None, t) => t
+      })
+    }
+    val bk = newBest.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","corrected_total":$correctedTotal,"consumer":"noop-sink","queries":$qs,"retimed":$rt,"corrected_queries":$cq,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","corrected_total":$correctedTotal,"consumer":"noop-sink","queries":$qs,"retimed":$rt,"corrected_queries":$cq,"best_known":$bk,"sf":"$sfDir"}"""
     // The driver's log capture keeps only the LAST ~2000 chars of output,
     // so a 172-query map printed to stdout gets decapitated and the
     // driver's JSON parse fails (BENCH_r01..r08 all carry parsed:null).
