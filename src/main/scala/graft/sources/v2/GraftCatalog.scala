@@ -241,8 +241,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         case other => throw new UnsupportedOperationException(
           s"graftshard: unsupported ALTER TABLE change $other — supported: " +
             "ADD COLUMN (nullable, appended), DROP COLUMN (not the " +
-            "partition/sort column); renames and type changes would make " +
-            "existing files silently misread and are refused")
+            "partition/sort column). Renames and type changes are refused " +
+            "because v2/v3 file headers key columns BY NAME — existing " +
+            "files would silently misread; the planned format v4 keys " +
+            "headers by FIELD ID with a manifest id->name map, making " +
+            "RENAME a manifest-only commit (see SCALE.md 'Format v4: " +
+            "field ids'); int->long widening would ride the same header " +
+            "(decode by the FILE's stored type, serve the table's)")
       }
     }
     ShardFormat.writeManifest(dir.getPath, m.copy(
