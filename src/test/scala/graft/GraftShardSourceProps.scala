@@ -65,6 +65,11 @@ object GraftShardSourceProps extends Properties("GraftShardSource") {
   } yield Row(l, i, d, f, b, s, bin, v)
 
   private val dfGen = Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, rowGen))
+  // chunk codec mode randomized per write: the dict and deflate encoders
+  // must be invisible to every reader-visible law (codec 2 is the
+  // newest hand-rolled byte code — the value space walks its dictionary
+  // build, bail-out, and decode paths incl. empty/unicode strings)
+  private val codecGen = Gen.oneOf("none", "dict", "deflate")
 
   /** Canonical form: floating point by raw bits (NaN-stable), binary by
     * seq, arrays elementwise by float bits. */
@@ -84,18 +89,19 @@ object GraftShardSourceProps extends Properties("GraftShardSource") {
   private var n = 0
 
   property("write -> read roundtrip over the full supported value space") =
-    Prop.forAll(dfGen) { rows =>
+    Prop.forAll(dfGen, codecGen) { (rows, codec) =>
       n += 1
       val dir = s"${dirBase}_$n"
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, numSlices = math.max(1, rows.size / 7)),
         schema)
-      df.write.format("graftshard").mode("overwrite").save(dir)
+      df.write.format("graftshard").option("compression", codec)
+        .mode("overwrite").save(dir)
       val back = spark.read.format("graftshard").load(dir)
       val exp = rows.map(canon).sortBy(_.toString())
       val got = back.collect().toSeq.map(canon).sortBy(_.toString())
       val ok = got == exp
-      if (!ok) println(s"MISMATCH dir=$dir\n  exp=$exp\n  got=$got")
+      if (!ok) println(s"MISMATCH dir=$dir codec=$codec\n  exp=$exp\n  got=$got")
       ok
     }
 }
