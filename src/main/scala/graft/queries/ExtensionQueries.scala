@@ -1005,7 +1005,14 @@ object ExtensionQueries {
     docs.where(col("doc_id") % 2 === 0).repartitionByRange(4, col("doc_id"))
       .writeTo(s"$cat.st10.docs").using("graftshard").create()
     val src = s"${s.conf.get(s"spark.sql.catalog.$cat.warehouse")}/st10/docs"
-    val from = graft.sources.v2.ShardFormat.readManifest(src).get.version
+    // WALL-CLOCK addressed start (the cron-scheduled consumer's shape):
+    // the create commit's own timestamp resolves to its version, so its
+    // state is excluded and everything after is the delta — same answer
+    // as changesFrom=<create version>. The sleep pins the ms boundary:
+    // a later commit in the SAME millisecond would legitimately resolve
+    // as "at or before t" and silently start the feed after it.
+    val fromTs = graft.sources.v2.ShardFormat.readManifest(src).get.createdAtMs
+    Thread.sleep(15)
     // the commits the stream must observe
     docs.where(col("doc_id") % 2 === 1).repartitionByRange(4, col("doc_id"))
       .writeTo(s"$cat.st10.docs").append()
@@ -1015,7 +1022,7 @@ object ExtensionQueries {
     val dst = Q.tmpArtifactPath("st10dst", dir) + s"_$run"
     val ckpt = Q.tmpArtifactPath("st10ckpt", dir) + s"_$run"
     val q = s.readStream.format("graftshard")
-      .option("changesFrom", from).load(src)
+      .option("changesFromTimestamp", fromTs).load(src)
       .select("doc_id", "lang", "_change_type")
       .writeStream.format("graftshard")
       .option("path", dst).option("checkpointLocation", ckpt)
@@ -1563,6 +1570,60 @@ object ExtensionQueries {
       .where(col("lang").isin("en", "fr") && col("source").startsWith("src1") &&
         col("n_chars") >= 200)
       .select("doc_id", "lang", "source", "n_chars", "text")
+  }
+
+  /** RENAME COLUMN as a METADATA-ONLY commit (format v4 field ids —
+    * [[graft.sources.v2.ShardFormat.MagicV4]]): half the corpus lands
+    * under the ORIGINAL names, both data columns are renamed (one of
+    * them twice — names are id-stable, not history-bound), the other
+    * half appends under the NEW names, and a filtered read over the
+    * mixed-era table must be byte-exact. Era-1 files resolve by FIELD
+    * ID (their headers still say `n_chars`); per-file stats re-keyed at
+    * rename time keep file skipping and min/max pushdown firing on the
+    * new name. At 100 TB this is the rename every long-lived lake
+    * eventually needs, at manifest-edit cost instead of a corpus
+    * rewrite (GraftShardSchemaEvolutionSpec pins zero files touched,
+    * alias reservations, and time travel serving the old names). */
+  private def x59(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureGraftCatalog(s, dir)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x59")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x59.docs")
+    val docs = table(s, dir, "documents").select("doc_id", "n_chars", "lang")
+    docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .repartitionByRange(4, col("doc_id"))
+      .writeTo(s"$cat.x59.docs").using("graftshard").create()
+    s.sql(s"ALTER TABLE $cat.x59.docs RENAME COLUMN n_chars TO chars_tmp")
+    s.sql(s"ALTER TABLE $cat.x59.docs RENAME COLUMN chars_tmp TO doc_chars")
+    s.sql(s"ALTER TABLE $cat.x59.docs RENAME COLUMN lang TO language")
+    docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("n_chars").as("doc_chars"), col("lang").as("language"))
+      .createOrReplaceTempView("x59_odd_src")
+    s.sql(s"INSERT INTO $cat.x59.docs SELECT doc_id, doc_chars, language FROM x59_odd_src")
+    s.table(s"$cat.x59.docs")
+      .where(col("doc_chars") >= 200 && col("language") =!= "de")
+  }
+
+  /** ALTER COLUMN TYPE widening (int→long) as a METADATA-ONLY commit:
+    * era 1 stores 4-byte ints; after the widen, era 2 appends values
+    * only BIGINT can hold (n_chars + 3e9 — past Int.MaxValue). The
+    * reader decodes each file's STORED width and widens at emit, so the
+    * mixed-era filtered read is byte-exact with zero files rewritten —
+    * and the Long-based manifest stats survive the widen, so skipping
+    * and min/max pushdown keep firing. The 100 TB shape: an id or
+    * counter column outgrowing INT on a table too large to rewrite
+    * (the spec pins the v1-file refusal and narrowing refusals). */
+  private def x60(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureGraftCatalog(s, dir)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x60")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x60.docs")
+    s.sql(s"CREATE TABLE $cat.x60.docs (doc_id BIGINT, chars INT) USING graftshard")
+    table(s, dir, "documents").select("doc_id", "n_chars").createOrReplaceTempView("x60_src")
+    s.sql(s"""INSERT INTO $cat.x60.docs
+      SELECT doc_id, CAST(n_chars AS INT) FROM x60_src WHERE doc_id % 2 = 0""")
+    s.sql(s"ALTER TABLE $cat.x60.docs ALTER COLUMN chars TYPE BIGINT")
+    s.sql(s"""INSERT INTO $cat.x60.docs
+      SELECT doc_id, n_chars + 3000000000 FROM x60_src WHERE doc_id % 2 = 1""")
+    s.table(s"$cat.x60.docs").where(col("chars") >= 300)
   }
 
   /** Hierarchical subtotals via rollup (grouping sets). */
@@ -4964,6 +5025,19 @@ object ExtensionQueries {
     Q("x58_shard_dictionary", x58, Some("""
       SELECT doc_id, lang, source, n_chars, text FROM documents
       WHERE lang IN ('en', 'fr') AND source LIKE 'src1%' AND n_chars >= 200""")),
+
+    // RENAME COLUMN via field ids: mixed name-era files, one read
+    Q("x59_shard_rename", x59, Some("""
+      SELECT doc_id, n_chars AS doc_chars, lang AS language FROM documents
+      WHERE n_chars >= 200 AND lang <> 'de'""")),
+
+    // int->long widening: era-1 int files + era-2 long values, one read
+    Q("x60_shard_widening", x60, Some("""
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS chars FROM documents
+      WHERE doc_id % 2 = 0 AND n_chars >= 300
+      UNION ALL
+      SELECT doc_id, n_chars + 3000000000 AS chars FROM documents
+      WHERE doc_id % 2 = 1""")),
 
     // change data feed: append inserts + MoR vector-delta deletes, exact
     Q("x55_shard_change_feed", x55, Some("""

@@ -182,16 +182,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new GraftShardTable(dir.getPath, schema)
   }
 
-  /** Schema evolution, METADATA-ONLY both ways (no file is touched):
-    * shard files are self-describing since format v2 (a column header —
-    * [[ShardFormat.Magic]]), so ADD COLUMN null-fills old files at read
-    * time and DROP COLUMN byte-skips the stored bytes by the header's
-    * type tag. The manifest swap is a normal commit: version bump, new
+  /** Schema evolution, METADATA-ONLY in all four directions (no file is
+    * touched): shard files are self-describing since format v2 (a
+    * column header — [[ShardFormat.Magic]]), so ADD COLUMN null-fills
+    * old files at read time and DROP COLUMN byte-skips the stored bytes
+    * by the header's type tag. Since format v4 ([[ShardFormat.MagicV4]])
+    * columns carry FIELD IDS, which adds:
+    *   - RENAME COLUMN: a manifest-only commit — the column keeps its
+    *     id, the manifest's id→name entry changes, per-file stats keys
+    *     are re-keyed to the new name, and the old name joins
+    *     [[ShardFormat.Manifest.aliases]] so pre-v4 (name-keyed) files
+    *     keep resolving. Time travel serves the old name from the old
+    *     snapshot. The old name stays RESERVED (re-adding it would make
+    *     old files' stored bytes ambiguous).
+    *   - ALTER COLUMN TYPE, widening only (int→long, float→double):
+    *     files keep their stored width; the reader widens at emit.
+    *     Refused while any v1 (headerless) file exists — a positional
+    *     decode under the widened type would misread its bytes; compact
+    *     first (which rewrites v1 to v4), then widen.
+    * The manifest swap is a normal commit: version bump, new
     * time-travel snapshot (VERSION AS OF before the ALTER reads the old
-    * schema), generation KEPT (no entries vanished). Refused: renames
-    * and type changes (old files would silently misread), dropping the
-    * partition/sort column (the layout's spine), dropping to zero
-    * columns, and non-nullable adds (old rows HAVE no value). */
+    * schema), generation KEPT (no entries vanished). Refused: narrowing
+    * or cross-kind type changes, dropping/renaming into a reserved or
+    * previously-used name, dropping the partition/sort column (the
+    * layout's spine), dropping to zero columns, and non-nullable adds
+    * (old rows HAVE no value). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     val m = ShardFormat.readManifest(dir.getPath).getOrElse(
@@ -201,62 +216,146 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         s"graftshard: nested columns are not supported: ${ref.mkString(".")}")
       ref.head
     }
-    val (evolved, dropped) = changes.foldLeft((m.schema, m.droppedColumns)) {
-      case ((sch, tomb), ch) => ch match {
-        case add: TableChange.AddColumn =>
-          val c = single(add.fieldNames)
-          require(!sch.fieldNames.contains(c),
-            s"graftshard: column '$c' already exists")
-          require(!tomb.contains(c),
-            s"graftshard: cannot re-add dropped column '$c' — existing files " +
-              "still store its old bytes under that name and would resurrect " +
-              "them instead of nulls; overwrite the table (or use a new name)")
-          require(ShardFormat.supported(add.dataType),
-            s"graftshard: unsupported column type ${add.dataType.sql} for '$c'")
-          require(add.isNullable,
-            s"graftshard: ADD COLUMN '$c' must be nullable — existing rows " +
-              "have no value for it")
-          require(add.position() == null,
-            "graftshard: ADD COLUMN positions are not supported (columns append)")
-          (StructType(sch.fields :+
-            org.apache.spark.sql.types.StructField(c, add.dataType, nullable = true)),
-            tomb)
-        case del: TableChange.DeleteColumn =>
-          val c = single(del.fieldNames)
-          if (!sch.fieldNames.contains(c)) {
-            if (del.ifExists()) (sch, tomb)
-            else throw new IllegalArgumentException(
-              s"graftshard: no such column '$c'")
-          } else {
-            m.partitioning.foreach(sp => require(sp.column != c,
-              s"graftshard: cannot drop partition column '$c' — it is the " +
-                "table's at-rest layout; rewrite the table to re-partition"))
-            m.sortedBy.foreach(s => require(s != c,
-              s"graftshard: cannot drop sort column '$c' — it is the sorted " +
-                "layout's spine; rewrite the table to re-sort"))
-            require(sch.fields.length > 1,
-              s"graftshard: cannot drop the last column '$c'")
-            (StructType(sch.fields.filterNot(_.name == c)), tomb :+ c)
+    // names no column may take: metadata/CDF columns the readers serve
+    val reserved = Set("_shard_file", "_pos",
+      "_change_type", "_commit_version", "_commit_timestamp")
+    // mutable evolution state; ids materialize on first use so pre-v4
+    // manifests only gain explicit ids when an ALTER actually commits
+    var sch = m.schema
+    var tomb = m.droppedColumns
+    var ids = m.fieldIdsOrPositional.toVector
+    var lastId = m.lastFieldIdOr
+    var aliases = m.aliases
+    var files = m.files
+    var part = m.partitioning
+    var sorted = m.sortedBy
+    def requireFreshName(c: String, what: String): Unit = {
+      require(!sch.fieldNames.contains(c),
+        s"graftshard: column '$c' already exists")
+      require(!reserved.contains(c),
+        s"graftshard: '$c' is a reserved metadata column name")
+      require(!tomb.contains(c),
+        s"graftshard: cannot $what '$c' — existing files still store a " +
+          "dropped column's bytes under that name and would resurrect " +
+          "them instead of nulls; overwrite the table (or use a new name)")
+    }
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        val c = single(add.fieldNames)
+        requireFreshName(c, "re-add dropped column")
+        require(!aliases.contains(c),
+          s"graftshard: cannot add column '$c' — it is a PAST name of a " +
+            "renamed column, and existing files still store that column's " +
+            "bytes under it; use a new name")
+        require(ShardFormat.supported(add.dataType),
+          s"graftshard: unsupported column type ${add.dataType.sql} for '$c'")
+        require(add.isNullable,
+          s"graftshard: ADD COLUMN '$c' must be nullable — existing rows " +
+            "have no value for it")
+        require(add.position() == null,
+          "graftshard: ADD COLUMN positions are not supported (columns append)")
+        sch = StructType(sch.fields :+
+          org.apache.spark.sql.types.StructField(c, add.dataType, nullable = true))
+        lastId += 1
+        ids :+= lastId
+      case del: TableChange.DeleteColumn =>
+        val c = single(del.fieldNames)
+        if (!sch.fieldNames.contains(c)) {
+          if (!del.ifExists()) throw new IllegalArgumentException(
+            s"graftshard: no such column '$c'")
+        } else {
+          part.foreach(sp => require(sp.column != c,
+            s"graftshard: cannot drop partition column '$c' — it is the " +
+              "table's at-rest layout; rewrite the table to re-partition"))
+          sorted.foreach(s => require(s != c,
+            s"graftshard: cannot drop sort column '$c' — it is the sorted " +
+              "layout's spine; rewrite the table to re-sort"))
+          require(sch.fields.length > 1,
+            s"graftshard: cannot drop the last column '$c'")
+          val i = sch.fieldIndex(c)
+          sch = StructType(sch.fields.patch(i, Nil, 1))
+          ids = ids.patch(i, Nil, 1) // the id retires — never reused
+          tomb :+= c
+        }
+      case ren: TableChange.RenameColumn =>
+        val from = single(ren.fieldNames)
+        val to = ren.newName
+        require(sch.fieldNames.contains(from),
+          s"graftshard: no such column '$from'")
+        requireFreshName(to, "rename to")
+        val i = sch.fieldIndex(from)
+        aliases.get(to).foreach { id =>
+          require(id == ids(i),
+            s"graftshard: cannot rename '$from' to '$to' — '$to' is a PAST " +
+              "name of a DIFFERENT column, and existing files still store " +
+              "that column's bytes under it")
+        }
+        sch = StructType(sch.fields.updated(i, sch.fields(i).copy(name = to)))
+        // old name resolves pre-v4 files to the id; renaming BACK to a
+        // name the same id once had un-reserves it (it is current again)
+        aliases = aliases - to + (from -> ids(i))
+        // the manifest stays self-consistent under the CURRENT names:
+        // per-file stats re-key (metadata-only — the manifest IS the
+        // stats store), layout spine columns follow
+        def rekey[V](s: Map[String, V]): Map[String, V] =
+          s.map { case (k, v) => (if (k == from) to else k) -> v }
+        files = files.map(fe => fe.copy(
+          stats = rekey(fe.stats), allNull = rekey(fe.allNull),
+          sums = rekey(fe.sums), strStats = rekey(fe.strStats)))
+        part = part.map {
+          case ShardFormat.IdentityPart(`from`) => ShardFormat.IdentityPart(to)
+          case ShardFormat.BucketPart(n, `from`) => ShardFormat.BucketPart(n, to)
+          case other => other
+        }
+        sorted = sorted.map(s => if (s == from) to else s)
+      case upd: TableChange.UpdateColumnType =>
+        val c = single(upd.fieldNames)
+        require(sch.fieldNames.contains(c),
+          s"graftshard: no such column '$c'")
+        val i = sch.fieldIndex(c)
+        val old = sch.fields(i).dataType
+        if (old != upd.newDataType) {
+          require(ShardFormat.widensTo(old, upd.newDataType),
+            s"graftshard: cannot change column '$c' from ${old.sql} to " +
+              s"${upd.newDataType.sql} — only lossless widenings (int->long, " +
+              "float->double) are supported; anything else would need a " +
+              "table rewrite to stay honest")
+          // v1 files are HEADERLESS — they decode positionally by the
+          // table schema, so widening would misread their stored bytes.
+          // One 8-byte read per manifest file, only on this rare ALTER.
+          files.foreach { fe =>
+            val f = new File(dir, fe.name)
+            val hdr = new Array[Byte](ShardFormat.MagicV1.length)
+            val in = new java.io.FileInputStream(f)
+            try { in.read(hdr): Unit } finally in.close()
+            require(!java.util.Arrays.equals(hdr, ShardFormat.MagicV1),
+              s"graftshard: cannot widen '$c' — shard file '${fe.name}' is " +
+                "format v1 (headerless; it decodes positionally by the table " +
+                "schema and would misread under the widened type). Compact " +
+                "the table first (compaction rewrites v1 files to v4), then " +
+                "widen")
           }
-        case other => throw new UnsupportedOperationException(
-          s"graftshard: unsupported ALTER TABLE change $other — supported: " +
-            "ADD COLUMN (nullable, appended), DROP COLUMN (not the " +
-            "partition/sort column). Renames and type changes are refused " +
-            "because v2/v3 file headers key columns BY NAME — existing " +
-            "files would silently misread; the planned format v4 keys " +
-            "headers by FIELD ID with a manifest id->name map, making " +
-            "RENAME a manifest-only commit (see SCALE.md 'Format v4: " +
-            "field ids'); int->long widening would ride the same header " +
-            "(decode by the FILE's stored type, serve the table's)")
-      }
+          sch = StructType(sch.fields.updated(i, sch.fields(i).copy(dataType = upd.newDataType)))
+        }
+      case other => throw new UnsupportedOperationException(
+        s"graftshard: unsupported ALTER TABLE change $other — supported: " +
+          "ADD COLUMN (nullable, appended), DROP COLUMN (not the " +
+          "partition/sort column), RENAME COLUMN (manifest-only via field " +
+          "ids), ALTER COLUMN TYPE widening (int->long, float->double)")
     }
     ShardFormat.writeManifest(dir.getPath, m.copy(
-      schema = evolved,
-      droppedColumns = dropped,
+      schema = sch,
+      droppedColumns = tomb,
+      fieldIds = ids,
+      lastFieldId = lastId,
+      aliases = aliases,
+      files = files,
+      partitioning = part,
+      sortedBy = sorted,
       version = m.version + 1,
       createdAtMs = System.currentTimeMillis(),
       operation = "alter"))
-    new GraftShardTable(dir.getPath, evolved)
+    new GraftShardTable(dir.getPath, sch)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

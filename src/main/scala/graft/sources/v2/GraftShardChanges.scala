@@ -70,9 +70,10 @@ object GraftShardChanges {
       commitTimestampMs: Long = 0L)
 
   /** Plans the feed: validates the range, classifies each commit, and
-    * returns (schema at `to`, per-file changes). Driver-side manifest
-    * work only. */
-  def plan(path: String, from: Long, to: Long): (StructType, Seq[FileChange]) = {
+    * returns (manifest at `to` — its schema is the feed's base schema,
+    * its alias/field-id maps resolve pre-rename files, per-file
+    * changes). Driver-side manifest work only. */
+  def plan(path: String, from: Long, to: Long): (ShardFormat.Manifest, Seq[FileChange]) = {
     require(from >= 0 && to >= from,
       s"graftshard: changesFrom/changesTo must satisfy 0 <= from <= to, got ($from, $to]")
     val current = ShardFormat.readManifest(path).getOrElse(
@@ -140,7 +141,7 @@ object GraftShardChanges {
           "vacuumed — the change feed horizon is the snapshot retention; " +
           "expireSnapshots before vacuum defines it")
     }
-    (snapshot(to).schema, planned)
+    (snapshot(to), planned)
   }
 
   /** Timestamp-addressed feed start (`option("changesFromTimestamp",
@@ -192,7 +193,7 @@ class GraftShardChangesTable(path: String, from: Long, to: Long, toExplicit: Boo
 
   override def name(): String = s"graftshard.`$path`@changes($from,$to]"
   override def schema(): StructType = StructType(
-    planned._1.fields.toSeq :+
+    planned._1.schema.fields.toSeq :+
       StructField(GraftShardChanges.ChangeTypeCol, StringType, nullable = false) :+
       StructField(GraftShardChanges.CommitVersionCol, LongType, nullable = false) :+
       // the commit's createdAtMs — epoch millis, the TIMESTAMP AS OF
@@ -202,8 +203,8 @@ class GraftShardChangesTable(path: String, from: Long, to: Long, toExplicit: Boo
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftShardChangesScanBuilder(path, planned._1, schema(), planned._2,
-      from, toExplicit)
+    new GraftShardChangesScanBuilder(path, planned._1.schema, schema(), planned._2,
+      from, toExplicit, planned._1.resolution)
 }
 
 class GraftShardChangesScanBuilder(
@@ -212,7 +213,8 @@ class GraftShardChangesScanBuilder(
     fullSchema: StructType,
     changes: Seq[GraftShardChanges.FileChange],
     from: Long,
-    toExplicit: Boolean)
+    toExplicit: Boolean,
+    resolve: ShardFormat.ColumnResolution = ShardFormat.ColumnResolution.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -226,7 +228,7 @@ class GraftShardChangesScanBuilder(
     override def planInputPartitions(): Array[InputPartition] =
       GraftShardChanges.toPartitions(path, changes)
     override def createReaderFactory(): PartitionReaderFactory =
-      new ShardChangesReaderFactory(baseSchema, required)
+      new ShardChangesReaderFactory(baseSchema, required, resolve)
 
     /** The STREAMING change feed: offsets are manifest versions; each
       * micro-batch is the exact delta over `(startV, endV]`. An
@@ -279,7 +281,9 @@ class GraftShardChangesMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ShardChangesReaderFactory(baseSchema, required)
+    new ShardChangesReaderFactory(baseSchema, required,
+      ShardFormat.readManifest(path).map(_.resolution)
+        .getOrElse(ShardFormat.ColumnResolution.empty))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -293,11 +297,13 @@ final case class ShardChangePartition(
     emitOnly: Option[String],
     commitTimestampMs: Long) extends InputPartition
 
-class ShardChangesReaderFactory(baseSchema: StructType, required: StructType)
+class ShardChangesReaderFactory(
+    baseSchema: StructType, required: StructType,
+    resolve: ShardFormat.ColumnResolution = ShardFormat.ColumnResolution.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ShardChangePartition]
-    new ShardChangesPartitionReader(p, baseSchema, required)
+    new ShardChangesPartitionReader(p, baseSchema, required, resolve)
   }
 }
 
@@ -308,7 +314,8 @@ class ShardChangesReaderFactory(baseSchema: StructType, required: StructType)
 class ShardChangesPartitionReader(
     p: ShardChangePartition,
     baseSchema: StructType,
-    required: StructType)
+    required: StructType,
+    resolve: ShardFormat.ColumnResolution = ShardFormat.ColumnResolution.empty)
     extends PartitionReader[InternalRow] {
 
   // required base columns -> table indices (change columns served here)
@@ -316,7 +323,8 @@ class ShardChangesPartitionReader(
     required.fields.collect {
       case f if baseSchema.fieldNames.contains(f.name) => baseSchema.fieldIndex(f.name)
     }
-  private val reader = new ShardFormat.ShardReader(new File(p.file), baseSchema, baseIdx)
+  private val reader = new ShardFormat.ShardReader(new File(p.file), baseSchema, baseIdx,
+    resolve = resolve)
   private val values = new Array[Any](baseIdx.length)
 
   // slots of the two synthetic columns in the required output

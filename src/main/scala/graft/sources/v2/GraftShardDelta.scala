@@ -94,9 +94,12 @@ class GraftShardDeltaWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     new File(path).mkdirs()
     // MoR insert files keep the table's recorded compression
-    val codec = ShardFormat.readManifest(path)
-      .flatMap(_.compression).getOrElse("none")
-    new GraftShardDeltaWriterFactory(path, schema, spec, maxOpenWriters, codec)
+    val m = ShardFormat.readManifest(path)
+    val codec = m.flatMap(_.compression).getOrElse("none")
+    // a DELETE-only delta has an EMPTY write schema — no file is ever
+    // written, and writeFieldIds over zero columns is safely empty
+    new GraftShardDeltaWriterFactory(path, schema, spec, maxOpenWriters, codec,
+      ShardFormat.writeFieldIds(m, schema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -168,7 +171,8 @@ class GraftShardDeltaWriterFactory(
     schema: StructType,
     spec: Option[ShardFormat.PartSpec],
     maxOpenWriters: Int,
-    codec: String = "none")
+    codec: String = "none",
+    fieldIds: Array[Int] = Array.emptyIntArray)
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
@@ -176,7 +180,7 @@ class GraftShardDeltaWriterFactory(
     // columns flow), so the keyed writer's key lookup would fail — and
     // no insert ever arrives to need it
     new GraftShardDeltaWriter(() =>
-      new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec)
+      new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec, fieldIds)
         .createWriter(partitionId, taskId))
 }
 

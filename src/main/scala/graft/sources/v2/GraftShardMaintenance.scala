@@ -143,12 +143,17 @@ object GraftShardMaintenance {
     // this, the routine OPTIMIZE pass would rewrite a deflate table RAW
     // and the at-rest saving would silently evaporate
     val codec = m.compression.getOrElse("none")
+    // compaction is the format-upgrade path: output is always v4 under
+    // the manifest's field ids, and inputs resolve through the alias
+    // map (pre-rename files) / id map (post-rename v4 files)
+    val ids = ShardFormat.writeFieldIds(Some(m), schema)
+    val resolve = m.resolution
     val newEntries: Array[ShardFormat.FileEntry] =
       spark.sparkContext.parallelize(groups, groups.size).map { case (p, members) =>
         val name = s"compact-${java.util.UUID.randomUUID().toString.take(12)}.shard"
-        val w = new ShardFormat.ShardWriter(new File(dir, name), schema, codec)
+        val w = new ShardFormat.ShardWriter(new File(dir, name), schema, codec, ids)
         try {
-          GraftShardMaintenance.streamGroup(dir, members, schema, sortIdx, sortType)
+          GraftShardMaintenance.streamGroup(dir, members, schema, sortIdx, sortType, resolve)
             .foreach(w.write)
           val (bytes, rows, stats, allNull) = w.finish()
           ShardFormat.FileEntry(name, bytes, rows, stats, allNull, p,
@@ -213,7 +218,9 @@ object GraftShardMaintenance {
       names: Seq[(String, Option[String])],
       schema: StructType,
       sortIdx: Int,
-      sortType: DataType): Iterator[InternalRow] = {
+      sortType: DataType,
+      resolve: ShardFormat.ColumnResolution = ShardFormat.ColumnResolution.empty)
+      : Iterator[InternalRow] = {
     def readerOf(nd: (String, Option[String])): Iterator[InternalRow] = {
       // the partition reader APPLIES the member's delete vector, so a
       // compacted file is clean: sidecar refs drop from the manifest
@@ -221,7 +228,7 @@ object GraftShardMaintenance {
       val r = new GraftShardPartitionReader(
         Array((new File(dir, nd._1).getPath, 0L,
           nd._2.map(d => new File(dir, d).getPath))),
-        schema, schema, Array.empty[Filter])
+        schema, schema, Array.empty[Filter], resolve = resolve)
       new Iterator[InternalRow] {
         private var ready = r.next()
         override def hasNext: Boolean = ready

@@ -179,7 +179,8 @@ class GraftShardCowScanBuilder(
     op.configured = Some((manifest, selected.map(_.name)))
     val targetBytes = Option(options.get("targetPartitionBytes"))
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
-    new GraftShardCowScan(path, fullSchema, required, selected, candidates, targetBytes)
+    new GraftShardCowScan(path, fullSchema, required, selected, candidates, targetBytes,
+      manifest.resolution)
   }
 }
 
@@ -189,7 +190,8 @@ class GraftShardCowScan(
     required: StructType,
     selected: Seq[ShardFormat.FileEntry],
     candidates: Array[Filter],
-    targetBytes: Long)
+    targetBytes: Long,
+    resolve: ShardFormat.ColumnResolution = ShardFormat.ColumnResolution.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -212,7 +214,7 @@ class GraftShardCowScan(
   // no pushed row filters: the reader must emit every row of every
   // candidate file (the write replaces those files wholesale)
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftShardReaderFactory(fullSchema, required, Array.empty)
+    new GraftShardReaderFactory(fullSchema, required, Array.empty, resolve = resolve)
 }
 
 /** The rewrite's write half: an ordinary distributed shard write whose
@@ -233,9 +235,10 @@ class GraftShardCowWrite(
     new File(path).mkdirs()
     // rewritten files keep the table's recorded compression — a DELETE
     // must not decay a deflate table's rewritten shards to raw
-    val codec = ShardFormat.readManifest(path)
-      .flatMap(_.compression).getOrElse("none")
-    new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec)
+    val m = ShardFormat.readManifest(path)
+    val codec = m.flatMap(_.compression).getOrElse("none")
+    new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec,
+      ShardFormat.writeFieldIds(m, schema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -670,7 +670,8 @@ class GraftShardScan(
     // runtime filters ride along row-level when already delivered; if
     // the factory was built first, rows stay correct (the join itself
     // still filters) — only the early-drop optimization is lost
-    case None => new GraftShardReaderFactory(fullSchema, required, pushed ++ runtime, limit)
+    case None => new GraftShardReaderFactory(fullSchema, required, pushed ++ runtime, limit,
+      manifest.resolution)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -815,7 +816,8 @@ class GraftShardMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftShardReaderFactory(fullSchema, required, pushed)
+    new GraftShardReaderFactory(fullSchema, required, pushed,
+      resolve = manifest().resolution)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -825,12 +827,13 @@ class GraftShardReaderFactory(
     fullSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    resolve: ShardFormat.ColumnResolution = ShardFormat.ColumnResolution.empty)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ShardFilesPartition]
-    new GraftShardPartitionReader(p.files, fullSchema, required, pushed, limit)
+    new GraftShardPartitionReader(p.files, fullSchema, required, pushed, limit, resolve)
   }
 }
 
@@ -842,7 +845,8 @@ class GraftShardPartitionReader(
     fullSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    resolve: ShardFormat.ColumnResolution = ShardFormat.ColumnResolution.empty)
     extends PartitionReader[InternalRow] {
 
   // pushed LIMIT: emit at most this many matching rows, then stop
@@ -908,7 +912,7 @@ class GraftShardPartitionReader(
         else {
           val f = new File(files(fileIdx)._1)
           fileName = UTF8String.fromString(f.getName)
-          reader = new ShardFormat.ShardReader(f, fullSchema, readIndices, groupSkip)
+          reader = new ShardFormat.ShardReader(f, fullSchema, readIndices, groupSkip, resolve)
           pos = -1L
           dv = files(fileIdx)._3
             .map(d => ShardFormat.readDeleteVector(new File(d)))

@@ -347,7 +347,12 @@ class GraftShardBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
-    new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec)
+    // v4 field ids: a truncate replaces every file, so ids restart
+    // positional; any other write takes the manifest's (renames keep
+    // ids stable, so plan-time ids stay valid through commit)
+    val ids = ShardFormat.writeFieldIds(
+      if (isTruncate) None else ShardFormat.readManifest(path), schema)
+    new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec, ids)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -457,6 +462,14 @@ class GraftShardBatchWrite(
     val compression =
       if (isTruncate) Some(codec).filter(_ != "none")
       else current.flatMap(_.compression).orElse(Some(codec).filter(_ != "none"))
+    // field-id metadata: a truncate replaced every file, so ids restart
+    // positional (Nil) and every alias/tombstone reservation clears —
+    // matching the factory's positional write ids; any other commit
+    // carries the table's ids and aliases forward unchanged
+    val (fieldIds, lastFieldId, aliases) =
+      if (isTruncate) (Nil, 0, Map.empty[String, Int])
+      else current.map(m => (m.fieldIds, m.lastFieldId, m.aliases))
+        .getOrElse((Nil, 0, Map.empty[String, Int]))
     ShardFormat.writeManifest(path,
       ShardFormat.Manifest(published, generation, prior ++ committed, spec,
         version = current.map(_.version).getOrElse(0L) + 1,
@@ -465,7 +478,10 @@ class GraftShardBatchWrite(
         streamCommits = streamCommits,
         droppedColumns = droppedColumns,
         operation = operation,
-        compression = compression))
+        compression = compression,
+        fieldIds = fieldIds,
+        lastFieldId = lastFieldId,
+        aliases = aliases))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -481,20 +497,24 @@ class GraftShardWriterFactory(
     schema: StructType,
     spec: Option[ShardFormat.PartSpec],
     maxOpenWriters: Int = 64,
-    codec: String = "none")
+    codec: String = "none",
+    // manifest field ids for the write schema (v4 headers); empty =
+    // positional — correct for fresh tables and direct callers
+    fieldIds: Array[Int] = Array.emptyIntArray)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     spec match {
-      case None => new GraftShardDataWriter(path, schema, partitionId, taskId, codec)
+      case None =>
+        new GraftShardDataWriter(path, schema, partitionId, taskId, codec, fieldIds)
       case Some(sp) =>
         new GraftShardKeyedDataWriter(path, schema, partitionId, taskId, sp,
-          maxOpenWriters, codec)
+          maxOpenWriters, codec, fieldIds)
     }
 }
 
 class GraftShardDataWriter(
     path: String, schema: StructType, partitionId: Int, taskId: Long,
-    codec: String = "none")
+    codec: String = "none", fieldIds: Array[Int] = Array.emptyIntArray)
     extends DataWriter[InternalRow] {
 
   // taskId disambiguates speculative attempts of the same partition;
@@ -503,7 +523,7 @@ class GraftShardDataWriter(
     f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.shard"
   private val writer = {
     new File(path).mkdirs()
-    new ShardFormat.ShardWriter(new File(path, name), schema, codec)
+    new ShardFormat.ShardWriter(new File(path, name), schema, codec, fieldIds)
   }
 
   override def write(record: InternalRow): Unit = writer.write(record)
@@ -544,7 +564,8 @@ class GraftShardKeyedDataWriter(
     taskId: Long,
     spec: ShardFormat.PartSpec,
     maxOpenWriters: Int = 64,
-    codec: String = "none")
+    codec: String = "none",
+    fieldIds: Array[Int] = Array.emptyIntArray)
     extends DataWriter[InternalRow] {
 
   require(maxOpenWriters >= 1,
@@ -592,7 +613,7 @@ class GraftShardKeyedDataWriter(
         }
         fileSeq += 1
         val name = f"part-$partitionId%05d-$taskId-$attempt-k$key-$fileSeq.shard"
-        val nw = new ShardFormat.ShardWriter(new File(path, name), schema, codec)
+        val nw = new ShardFormat.ShardWriter(new File(path, name), schema, codec, fieldIds)
         writers.put(key, (name, nw))
         nw
     }

@@ -75,10 +75,23 @@ object ShardFormat {
   // chunks (ONE skip per column per group — at 100 TB on an object
   // store, a ranged GET the reader never issues) where the v2 row
   // layout paid a per-row, per-field length parse to step over
-  // unwanted columns. Writers emit v3; readers serve both (the reader
+  // unwanted columns. Readers serve every version (the reader
   // dispatches on the magic), so existing tables keep working and
   // compaction upgrades them file by file.
   val MagicV3: Array[Byte] = "GRFTSHD3".getBytes(StandardCharsets.US_ASCII)
+  // v4 (round 12): v3's columnar layout with FIELD IDS in the column
+  // header — [tag, fieldId, name] per column (the name stays as a
+  // debugging aid). Readers resolve v4 columns BY ID against the
+  // manifest's id→name map ([[Manifest.fieldIds]]), which is what makes
+  // RENAME COLUMN a manifest-only commit (Iceberg's field-id
+  // indirection): old files keep their bytes and their ids; only the
+  // manifest's id→name entry changes. Pre-v4 files keep resolving by
+  // name through [[Manifest.aliases]] (every PAST name of a live id),
+  // so mixed tables work file-by-file and compaction upgrades them.
+  // Type widening (int→long, float→double) rides the same header: the
+  // file keeps its STORED type; the reader decodes the stored width and
+  // widens to the table type at emit — per-file, zero rewrite.
+  val MagicV4: Array[Byte] = "GRFTSHD4".getBytes(StandardCharsets.US_ASCII)
   // group flush thresholds: bounded writer/reader memory (one group
   // buffered at a time), large enough that chunk skips amortize
   val GroupMaxRows = 65536
@@ -267,12 +280,87 @@ object ShardFormat {
       // the first OPTIMIZE pass would silently rewrite a 3.7×-compressed
       // 100 TB table raw. An explicit write option always overrides for
       // that write; per-chunk codec bytes keep mixed files readable.
-      compression: Option[String] = None) {
+      compression: Option[String] = None,
+      // field ids, parallel to schema.fields — the RENAME/WIDENING
+      // indirection (format v4): a column's id is assigned once (at
+      // CREATE or ADD COLUMN) and never reused; v4 file headers key
+      // columns by id, so a rename only edits this manifest's id→name
+      // mapping. Nil = positional 1..n (pre-v4 manifests never renamed,
+      // so position IS identity for them); materialized to an explicit
+      // list by the first ALTER that needs it
+      fieldIds: Seq[Int] = Nil,
+      // high-water mark for id assignment; ids of dropped columns are
+      // retired forever (0 = derive from fieldIds/positional)
+      lastFieldId: Int = 0,
+      // every PAST name of a field id (RENAME appends old→id): pre-v4
+      // files key columns by NAME, so a renamed column's old files
+      // resolve through this map. Names stay reserved even after the
+      // id is dropped — re-ADDing one would make old files' stored
+      // bytes ambiguous between the old column and the new one
+      aliases: Map[String, Int] = Map.empty) {
     /** The identity partition column, when that is the spec (the
       * group-by-pushdown and legacy surfaces). */
     def partitionColumn: Option[String] =
       partitioning.collect { case IdentityPart(c) => c }
+    /** Field ids, explicit or positional (see [[fieldIds]]). */
+    def fieldIdsOrPositional: Seq[Int] =
+      if (fieldIds.nonEmpty) fieldIds else (1 to schema.fields.length)
+    /** The id high-water mark, derived when never materialized. */
+    def lastFieldIdOr: Int =
+      if (lastFieldId > 0) lastFieldId
+      else fieldIdsOrPositional.foldLeft(0)(math.max)
+    /** How a READER maps any file's columns to this manifest's schema:
+      * past name → current name (live ids only — an alias of a dropped
+      * id stays unresolvable, which is exactly "skip the column"), and
+      * the id list for v4 headers. */
+    def resolution: ColumnResolution = {
+      val ids = fieldIdsOrPositional
+      val byId = ids.zipWithIndex.toMap
+      ColumnResolution(
+        aliases.flatMap { case (old, id) =>
+          byId.get(id).map(i => old -> schema.fields(i).name) },
+        ids.toArray)
+    }
   }
+
+  /** Serializable column-resolution context for [[ShardReader]]s: how a
+    * file's self-described columns map onto the table schema under
+    * renames (aliases: past name → current name) and v4 field ids
+    * (fieldIds: parallel to the table schema). Empty = resolve by name
+    * only (no renames ever happened — the pre-v4 behavior). */
+  final case class ColumnResolution(
+      aliases: Map[String, String],
+      fieldIds: Array[Int])
+  object ColumnResolution {
+    val empty: ColumnResolution = ColumnResolution(Map.empty, Array.emptyIntArray)
+  }
+
+  /** The two lossless promotions ALTER COLUMN TYPE admits: the reader
+    * decodes the file's STORED width and widens at emit, manifest
+    * min/max/sum stats are Long-based already, and order is preserved —
+    * so skipping, provability, and pushdown all stay sound. */
+  def widensTo(stored: DataType, table: DataType): Boolean =
+    (stored == IntegerType && table == LongType) ||
+      (stored == FloatType && table == DoubleType)
+
+  /** Manifest field ids for a WRITE schema, matched by name (a write
+    * schema is plan-checked to name-match the table on every
+    * non-truncating path); positional for a fresh or truncated table
+    * (`current = None`). Ids must come from the manifest, never be
+    * re-derived positionally against an evolved table — after a DROP,
+    * positions and ids diverge and a drifted id would resurrect the
+    * dropped column's bytes under v4 resolution. */
+  def writeFieldIds(current: Option[Manifest], schema: StructType): Array[Int] =
+    current match {
+      case Some(m) =>
+        val byName = m.schema.fieldNames.zip(m.fieldIdsOrPositional).toMap
+        schema.fields.map(f => byName.getOrElse(f.name,
+          throw new IllegalArgumentException(
+            s"graftshard: write column '${f.name}' has no field id in the " +
+              s"table manifest (${m.schema.simpleString}) — the write schema " +
+              "must match the table schema")))
+      case None => Array.tabulate(schema.fields.length)(_ + 1)
+    }
 
   /** The one bucket function of the `graftshard` layout, shared by the
     * writer (placing rows) and [[GraftCatalog]]'s SQL-visible `bucket`
@@ -502,18 +590,31 @@ object ShardFormat {
     * columns — the no-inflate-tax option for low-cardinality keys), or
     * "deflate" (dict AND deflate candidates per chunk, smallest wins).
     * Every chunk records its own codec byte, so mixed files/groups are
-    * always readable regardless of how the table property evolves. */
-  final class ShardWriter(file: File, schema: StructType, codec: String = "none") {
+    * always readable regardless of how the table property evolves.
+    *
+    * `fieldIds`: the manifest's ids for the columns being written
+    * (parallel to `schema.fields`); empty = positional 1..n, which is
+    * exactly right for a fresh table and for direct/test callers. */
+  final class ShardWriter(
+      file: File, schema: StructType, codec: String = "none",
+      fieldIds: Array[Int] = Array.emptyIntArray) {
     require(codec == "none" || codec == "dict" || codec == "deflate",
       s"graftshard: unknown chunk codec mode '$codec'")
+    require(fieldIds.isEmpty || fieldIds.length == schema.fields.length,
+      s"graftshard: ${fieldIds.length} field ids for ${schema.fields.length} columns")
     private val fields = schema.fields
     private val out = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(file), 1 << 20))
-    out.write(MagicV3)
+    out.write(MagicV4)
     // self-describing column header: the file, not the manifest, is the
-    // truth about its own layout (see the Magic note)
+    // truth about its own layout (see the Magic/MagicV4 notes). The id
+    // is the durable identity (rename-proof); the name is a debug aid.
     out.writeShort(fields.length)
-    fields.foreach { f => out.writeByte(typeTag(f.dataType).toInt); out.writeUTF(f.name) }
+    fields.zipWithIndex.foreach { case (f, i) =>
+      out.writeByte(typeTag(f.dataType).toInt)
+      out.writeInt(if (fieldIds.isEmpty) i + 1 else fieldIds(i))
+      out.writeUTF(f.name)
+    }
     private var rowCount = 0L
     private val stats: Array[ColStats] =
       fields.map(f => if (statsEligible(f.dataType)) new ColStats else null)
@@ -730,75 +831,112 @@ object ShardFormat {
 
   /** Sequential reader over one shard file, decoding only the columns
     * in `readIndices` (indices into the TABLE schema, ascending); other
-    * columns are skipped — v3 files skip a whole column CHUNK with one
-    * seek-sized skip per row group (the columnar IO win), v2 files
+    * columns are skipped — v3/v4 files skip a whole column CHUNK with
+    * one seek-sized skip per row group (the columnar IO win), v2 files
     * byte-skip field by field. Emits value arrays positionally aligned
-    * with `readIndices`, in physical row order for BOTH formats (the
+    * with `readIndices`, in physical row order for ALL formats (the
     * `_pos` / delete-vector contract).
     *
     * The file's OWN column header drives decoding (schema evolution):
     * a wanted table column the file lacks (added after the file was
     * written) is null-filled; a file column the table no longer has
-    * (dropped) is skipped using the header's type tag; when both
-    * sides have a column its types must agree — type evolution is not a
-    * thing graftshard supports, and a mismatch fails loudly. */
+    * (dropped) is skipped using the header's type tag. Column matching:
+    * v4 headers resolve BY FIELD ID against `resolve.fieldIds` (rename-
+    * proof); pre-v4 headers resolve by name, with `resolve.aliases`
+    * mapping a renamed column's past names to its current one. When
+    * both sides have a column, the types must agree OR widen losslessly
+    * (int→long, float→double — the file's stored width is decoded and
+    * widened at emit); anything else fails loudly. */
   final class ShardReader(
       file: File,
       schema: StructType,
       readIndices: Array[Int],
-      // group-skip test over a group's header stats (v3 only): true =
+      // group-skip test over a group's header stats (v3+ only): true =
       // no row in the group can match the scan's absorbed predicates —
       // all its chunks are skipped unread. Callers that depend on
       // DENSE ordinals must keep the default and count rows themselves,
       // or use [[ordinal]], which stays exact across skipped groups.
-      skipGroup: GroupStats => Boolean = _ => false) {
+      skipGroup: GroupStats => Boolean = _ => false,
+      resolve: ColumnResolution = ColumnResolution.empty) {
     private val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(file), 1 << 20))
-    private val (isV3, isV1) = {
+    private val (isColumnar, isV1, isV4) = {
       val hdr = new Array[Byte](Magic.length)
       in.readFully(hdr)
-      if (java.util.Arrays.equals(hdr, MagicV3)) (true, false)
-      else if (java.util.Arrays.equals(hdr, Magic)) (false, false)
-      else if (java.util.Arrays.equals(hdr, MagicV1)) (false, true)
+      if (java.util.Arrays.equals(hdr, MagicV4)) (true, false, true)
+      else if (java.util.Arrays.equals(hdr, MagicV3)) (true, false, false)
+      else if (java.util.Arrays.equals(hdr, Magic)) (false, false, false)
+      else if (java.util.Arrays.equals(hdr, MagicV1)) (false, true, false)
       else throw new java.io.IOException(
         s"graftshard: bad magic in $file — not a shard file")
     }
+    // v1 is headerless — the table schema is the layout. v1 predates
+    // both renames (no names stored, so they cannot bite) and widening
+    // (the ALTER path refuses widening while v1 files exist, because a
+    // positional decode under the widened type would misread the bytes).
     private val fields: Array[StructField] =
-      if (isV1) schema.fields // v1: headerless — the table schema is the layout
+      if (isV1) schema.fields
       else {
         val n = in.readUnsignedShort()
         Array.fill(n) {
           val dt = typeOfTag(in.readByte())
+          if (isV4) { fileIdsBuf += in.readInt() }
           StructField(in.readUTF(), dt)
         }
       }
+    private lazy val fileIdsBuf = scala.collection.mutable.ArrayBuffer.empty[Int]
     private val bitmapBytes = (fields.length + 7) / 8
-    // file-column index -> slot in the output array, -1 when skipped;
-    // matched BY NAME against the table schema
-    private val slot: Array[Int] = {
+    // file-column index -> index into the TABLE schema, -1 when the
+    // table no longer has the column (dropped — skip by stored type)
+    private val target: Array[Int] = {
       val tableIdx = schema.fieldNames.zipWithIndex.toMap
-      val outOf = readIndices.zipWithIndex.toMap // table index -> output slot
-      fields.map { f =>
-        tableIdx.get(f.name) match {
-          case Some(ti) =>
-            def norm(dt: DataType): DataType = dt match {
-              case ArrayType(e, _) => ArrayType(e, containsNull = false)
-              case d => d
-            }
-            require(norm(schema.fields(ti).dataType) == norm(f.dataType),
-              s"graftshard: column '${f.name}' stored as ${f.dataType.sql} in " +
-                s"$file but the table declares ${schema.fields(ti).dataType.sql} — " +
-                "type evolution is not supported")
-            outOf.getOrElse(ti, -1)
-          case None => -1 // dropped column: skip by the header's type
+      if (isV4 && resolve.fieldIds.nonEmpty) {
+        val byId = resolve.fieldIds.zipWithIndex.toMap
+        fileIdsBuf.toArray.map(id => byId.getOrElse(id, -1))
+      } else fields.map { f =>
+        tableIdx.get(resolve.aliases.getOrElse(f.name, f.name)) match {
+          case Some(ti) => ti
+          case None => -1
         }
       }
     }
+    // widening per file column: 0 = none, 1 = int→long, 2 = float→double
+    private val widen: Array[Int] = fields.indices.toArray.map { i =>
+      val ti = target(i)
+      if (ti < 0) 0
+      else {
+        def norm(dt: DataType): DataType = dt match {
+          case ArrayType(e, _) => ArrayType(e, containsNull = false)
+          case d => d
+        }
+        val stored = fields(i).dataType
+        val table = schema.fields(ti).dataType
+        if (norm(stored) == norm(table)) 0
+        else if (stored == IntegerType && table == LongType) 1
+        else if (stored == FloatType && table == DoubleType) 2
+        else throw new IllegalArgumentException(
+          s"graftshard: column '${fields(i).name}' stored as ${stored.sql} in " +
+            s"$file but the table declares ${table.sql} — only int→long and " +
+            "float→double widen; other type changes are not supported")
+      }
+    }
+    // the table-schema name of each file column (group stats are keyed
+    // by it, so skip predicates written against CURRENT names hold on
+    // files written before a rename); unresolved columns keep the
+    // stored name, which no table-side predicate references
+    private val canon: Array[String] = fields.indices.toArray.map { i =>
+      if (target(i) >= 0) schema.fields(target(i)).name else fields(i).name
+    }
+    // file-column index -> slot in the output array, -1 when skipped
+    private val slot: Array[Int] = {
+      val outOf = readIndices.zipWithIndex.toMap // table index -> output slot
+      target.map(ti => if (ti < 0) -1 else outOf.getOrElse(ti, -1))
+    }
     // wanted table columns the file lacks: null-filled every record
     private val missingSlots: Array[Int] = {
-      val present = fields.map(_.name).toSet
+      val present = target.filter(_ >= 0).toSet
       readIndices.zipWithIndex.collect {
-        case (ti, o) if !present.contains(schema.fields(ti).name) => o
+        case (ti, o) if !present.contains(ti) => o
       }
     }
     private val bitmap = new Array[Byte](bitmapBytes)
@@ -828,7 +966,7 @@ object ShardFormat {
     /** Reads the next record into `values` (length = readIndices.length,
       * nulls as null); returns false at clean EOF. */
     def next(values: Array[Any]): Boolean =
-      if (isV3) nextV3(values) else nextV2(values)
+      if (isColumnar) nextV3(values) else nextV2(values)
 
     private def nextV3(values: Array[Any]): Boolean = {
       if (gRow >= gRows && !loadGroup()) return false
@@ -839,7 +977,7 @@ object ShardFormat {
         val s = slot(i)
         if (s >= 0) {
           val isNull = (gChunk(i)(gRow >> 3) & (1 << (gRow & 7))) != 0
-          values(s) = if (isNull) null else decodeOne(gCursor(i), fields(i))
+          values(s) = if (isNull) null else decodeOne(gCursor(i), fields(i), widen(i))
         }
         i += 1
       }
@@ -862,10 +1000,10 @@ object ShardFormat {
           in.readByte() match {
             case 0 => ()
             case 1 =>
-              present += fields(i).name -> ((in.readLong(), in.readLong(), in.readLong()))
-            case 2 => allNull += fields(i).name -> in.readLong()
+              present += canon(i) -> ((in.readLong(), in.readLong(), in.readLong()))
+            case 2 => allNull += canon(i) -> in.readLong()
             case 3 =>
-              strs += fields(i).name -> ((in.readUTF(), in.readUTF(), in.readLong()))
+              strs += canon(i) -> ((in.readUTF(), in.readUTF(), in.readLong()))
             case other =>
               throw new java.io.IOException(
                 s"graftshard: corrupt group stats flag $other in $file")
@@ -928,8 +1066,10 @@ object ShardFormat {
       false // unreachable
     }
 
-    private def decodeOne(d: DataInputStream, field: StructField): Any =
-      field.dataType match {
+    private def decodeOne(d: DataInputStream, field: StructField, w: Int): Any =
+      if (w == 1) java.lang.Long.valueOf(d.readInt().toLong) // widened int→long
+      else if (w == 2) java.lang.Double.valueOf(d.readFloat().toDouble) // float→double
+      else field.dataType match {
         case LongType => java.lang.Long.valueOf(d.readLong())
         case IntegerType => java.lang.Integer.valueOf(d.readInt())
         case DoubleType => java.lang.Double.valueOf(d.readDouble())
@@ -962,26 +1102,7 @@ object ShardFormat {
         if (isNull) {
           if (slot(i) >= 0) values(slot(i)) = null
         } else if (slot(i) >= 0) {
-          values(slot(i)) = fields(i).dataType match {
-            case LongType => java.lang.Long.valueOf(in.readLong())
-            case IntegerType => java.lang.Integer.valueOf(in.readInt())
-            case DoubleType => java.lang.Double.valueOf(in.readDouble())
-            case FloatType => java.lang.Float.valueOf(in.readFloat())
-            case BooleanType => java.lang.Boolean.valueOf(in.readBoolean())
-            case StringType =>
-              val b = new Array[Byte](in.readInt()); in.readFully(b)
-              UTF8String.fromBytes(b)
-            case BinaryType =>
-              val b = new Array[Byte](in.readInt()); in.readFully(b)
-              b
-            case ArrayType(FloatType, _) =>
-              val n = in.readInt()
-              val a = new Array[Float](n)
-              var j = 0
-              while (j < n) { a(j) = in.readFloat(); j += 1 }
-              new GenericArrayData(a)
-            case dt => throw new IllegalStateException(s"unreachable: $dt")
-          }
+          values(slot(i)) = decodeOne(in, fields(i), widen(i))
         } else {
           fields(i).dataType match {
             case LongType | DoubleType => in.skipFully(8)
@@ -1115,8 +1236,23 @@ object ShardFormat {
       if (root.has("operation")) root.get("operation").asText() else ""
     val compression =
       if (root.has("compression")) Some(root.get("compression").asText()) else None
+    val fieldIds = {
+      val b = Seq.newBuilder[Int]
+      val fi = root.get("fieldIds")
+      if (fi != null) fi.forEach(n => b += n.asInt())
+      b.result()
+    }
+    val lastFieldId =
+      if (root.has("lastFieldId")) root.get("lastFieldId").asInt() else 0
+    val aliases = {
+      val b = Map.newBuilder[String, Int]
+      val al = root.get("columnAliases")
+      if (al != null) al.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asInt())
+      b.result()
+    }
     Some(Manifest(schema, generation, files.result(), partitioning, version,
-      createdAt, sortedBy, streamCommits, dropped, operation, compression))
+      createdAt, sortedBy, streamCommits, dropped, operation, compression,
+      fieldIds, lastFieldId, aliases))
   }
 
   /** Atomic publish: write to a temp sibling, then rename over the
@@ -1136,6 +1272,19 @@ object ShardFormat {
     root.put("createdAtMs", m.createdAtMs)
     if (m.operation.nonEmpty) root.put("operation", m.operation): Unit
     m.compression.foreach(root.put("compression", _))
+    if (m.fieldIds.nonEmpty) {
+      require(m.fieldIds.length == m.schema.fields.length,
+        s"graftshard: ${m.fieldIds.length} field ids for " +
+          s"${m.schema.fields.length} schema columns — refusing to publish " +
+          "a manifest whose id list has drifted from its schema")
+      val fi = root.putArray("fieldIds")
+      m.fieldIds.foreach(fi.add)
+      root.put("lastFieldId", m.lastFieldIdOr): Unit
+    }
+    if (m.aliases.nonEmpty) {
+      val al = root.putObject("columnAliases")
+      m.aliases.foreach { case (n, id) => al.put(n, id): Unit }
+    }
     m.sortedBy.foreach(root.put("sortedBy", _))
     if (m.streamCommits.nonEmpty) {
       val sc = root.putObject("streamCommits")
