@@ -1572,6 +1572,35 @@ object ExtensionQueries {
       .select("doc_id", "lang", "source", "n_chars", "text")
   }
 
+  /** Run-length chunk codec over the KEYED SORTED layout: each shard
+    * file's key column is CONSTANT (one-key-per-file invariant) and
+    * stores as ~12 bytes per 64k-row group instead of 512 KiB — the
+    * at-rest layouts and the codec compound (`compression=dict` enables
+    * the no-inflate-tax encodings: dictionary for strings, RLE for
+    * every column; random/increasing columns bail to raw under the
+    * smallest-wins rule). The same zero-exchange zero-sort window as
+    * x46 then runs over the encoded table and must be byte-exact — at
+    * 100 TB the key/flag/enum columns of every keyed corpus are pure
+    * reclaimed redundancy (GraftShardColumnarSpec prices the win and
+    * pins the bail-outs and corrupt-chunk errors). */
+  private def x61(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x61", dir)
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("lang"),
+        pmod(col("doc_id"), lit(32)).as("shard_key"))
+      .write.format("graftshard")
+      .option("partitionKey", "shard_key").option("sortWithinShards", "doc_id")
+      .option("compression", "dict")
+      .mode("overwrite").save(out)
+    val w = Window.partitionBy(col("shard_key")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ws = Window.partitionBy(col("shard_key")).orderBy(col("doc_id"))
+    s.read.format("graftshard").load(out)
+      .select(col("doc_id"), col("shard_key"), col("lang"),
+        sum(col("n_chars")).over(w).as("run_chars"),
+        row_number().over(ws).cast("long").as("seq"))
+  }
+
   /** RENAME COLUMN as a METADATA-ONLY commit (format v4 field ids —
     * [[graft.sources.v2.ShardFormat.MagicV4]]): half the corpus lands
     * under the ORIGINAL names, both data columns are renamed (one of
@@ -5025,6 +5054,15 @@ object ExtensionQueries {
     Q("x58_shard_dictionary", x58, Some("""
       SELECT doc_id, lang, source, n_chars, text FROM documents
       WHERE lang IN ('en', 'fr') AND source LIKE 'src1%' AND n_chars >= 200""")),
+
+    // RLE codec over the keyed sorted layout: constant key chunks
+    // collapse; the zero-exchange zero-sort window stays byte-exact
+    Q("x61_shard_rle_keyed", x61, Some("""
+      SELECT doc_id, doc_id % 32 AS shard_key, lang,
+        sum(n_chars) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_chars,
+        row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS seq
+      FROM documents""")),
 
     // RENAME COLUMN via field ids: mixed name-era files, one read
     Q("x59_shard_rename", x59, Some("""

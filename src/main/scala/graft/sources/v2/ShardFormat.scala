@@ -554,6 +554,106 @@ object ShardFormat {
     b
   }
 
+  // ------------------------------------------------------ chunk RLE codec
+  // codec 3: [bitmap][runCount:4B][per run: repeat:4B + one value CELL in
+  // the raw encoding]. A cell is the type's packed form (8B long/double,
+  // 4B int/float, 1B bool, 4B len + bytes for string/binary, 4B count +
+  // 4B×count for float arrays), so decode is "write the cell `repeat`
+  // times" — a byte copy, no inflate tax. This is where the at-rest
+  // layouts pay off twice: a KEYED table's key column is CONSTANT within
+  // every file (one run per group — 64k×8B → ~20B), and lang-clustered /
+  // sorted low-cardinality columns collapse to a handful of runs. Kept
+  // ONLY when smaller, like every other encoding.
+
+  /** Fixed cell width for a type, or -1 when cells are self-delimited. */
+  private def cellWidth(dt: DataType): Int = dt match {
+    case LongType | DoubleType => 8
+    case IntegerType | FloatType => 4
+    case BooleanType => 1
+    case _ => -1
+  }
+
+  /** Length of the cell starting at `p` (raw encoding). */
+  private def cellLen(raw: Array[Byte], p: Int, dt: DataType): Int = dt match {
+    case StringType | BinaryType => 4 + readIntBE(raw, p)
+    case ArrayType(FloatType, _) => 4 + 4 * readIntBE(raw, p)
+    case other => cellWidth(other)
+  }
+
+  /** RLE-encodes one raw chunk's value section; null when the encoding
+    * would not shrink it (an encoding is kept ONLY when smaller). */
+  private def rleEncode(raw: Array[Byte], bitmapLen: Int, dt: DataType): Array[Byte] = {
+    // runs as (cellOffset, cellLen, repeat)
+    var runOff = -1; var runLen = 0; var repeat = 0
+    var nRuns = 0
+    var outValBytes = 0L
+    val runs = new java.util.ArrayList[Array[Int]]()
+    var pos = bitmapLen
+    while (pos < raw.length) {
+      val len = cellLen(raw, pos, dt)
+      val same = runOff >= 0 && runLen == len && {
+        var i = 0
+        var eq = true
+        while (eq && i < len) { eq = raw(runOff + i) == raw(pos + i); i += 1 }
+        eq
+      }
+      if (same) repeat += 1
+      else {
+        if (runOff >= 0) { runs.add(Array(runOff, runLen, repeat)); outValBytes += 4L + runLen; nRuns += 1 }
+        runOff = pos; runLen = len; repeat = 1
+      }
+      pos += len
+    }
+    if (runOff >= 0) { runs.add(Array(runOff, runLen, repeat)); outValBytes += 4L + runLen; nRuns += 1 }
+    val size = bitmapLen + 4L + outValBytes
+    if (size >= raw.length) return null
+    val out = new Array[Byte](size.toInt)
+    System.arraycopy(raw, 0, out, 0, bitmapLen)
+    var p = bitmapLen
+    writeIntBE(out, p, nRuns); p += 4
+    val it = runs.iterator()
+    while (it.hasNext) {
+      val r = it.next()
+      writeIntBE(out, p, r(2))
+      System.arraycopy(raw, r(0), out, p + 4, r(1))
+      p += 4 + r(1)
+    }
+    out
+  }
+
+  /** Inverse of [[rleEncode]]: reconstructs the raw chunk layout. */
+  private def rleDecode(
+      c: Array[Byte], bitmapLen: Int, rawLen: Int, dt: DataType, file: File): Array[Byte] = {
+    def corrupt(what: String): Nothing =
+      throw new java.io.IOException(s"graftshard: corrupt RLE chunk in $file ($what)")
+    val b = new Array[Byte](rawLen)
+    if (c.length < bitmapLen + 4) corrupt("truncated header")
+    System.arraycopy(c, 0, b, 0, bitmapLen)
+    var p = bitmapLen
+    val nRuns = readIntBE(c, p); p += 4
+    if (nRuns < 0) corrupt(s"run count $nRuns")
+    var o = bitmapLen
+    var k = 0
+    while (k < nRuns) {
+      if (p + 4 > c.length) corrupt("truncated run")
+      val repeat = readIntBE(c, p); p += 4
+      if (repeat <= 0) corrupt(s"run repeat $repeat")
+      if (p >= c.length) corrupt("missing cell")
+      val len = cellLen(c, p, dt)
+      if (len < 0 || p + len > c.length) corrupt(s"cell length $len")
+      var r = 0
+      while (r < repeat) {
+        if (o + len > rawLen) corrupt("overflow")
+        System.arraycopy(c, p, b, o, len)
+        o += len; r += 1
+      }
+      p += len; k += 1
+    }
+    if (p != c.length) corrupt(s"trailing bytes (${c.length - p})")
+    if (o != rawLen) corrupt(s"short decode ($o of $rawLen)")
+    b
+  }
+
   /** Per-column group buffer for the v3 writer: a null bitmap over the
     * group's rows plus the packed non-null values. */
   private final class ColBuf {
@@ -586,11 +686,13 @@ object ShardFormat {
     * buffered per column and flushed as a group at [[GroupMaxRows]] /
     * [[GroupMaxBytes]] — bounded memory, one group in flight. Not
     * thread-safe (one per Spark task). */
-  /** `codec`: "none" (raw), "dict" (per-chunk dictionary for string
-    * columns — the no-inflate-tax option for low-cardinality keys), or
-    * "deflate" (dict AND deflate candidates per chunk, smallest wins).
-    * Every chunk records its own codec byte, so mixed files/groups are
-    * always readable regardless of how the table property evolves.
+  /** `codec`: "none" (raw), "dict" (the no-inflate-tax encodings: a
+    * per-chunk dictionary for string columns AND run-length cells for
+    * every column — low-cardinality keys, constant keyed/clustered
+    * columns), or "deflate" (dict AND rle AND deflate candidates per
+    * chunk, smallest wins). Every chunk records its own codec byte, so
+    * mixed files/groups are always readable regardless of how the
+    * table property evolves.
     *
     * `fieldIds`: the manifest's ids for the columns being written
     * (parallel to `schema.fields`); empty = positional 1..n, which is
@@ -727,17 +829,20 @@ object ShardFormat {
           val c = cols(i)
           // chunk = [codec:1B][storedLen:4B][rawLen:4B][payload]
           // codec 0 = raw; codec 1 = DEFLATE; codec 2 = per-chunk string
-          // DICTIONARY. Variable-width columns (string/binary/array —
-          // where text corpora pay 3-5× storage) deflate at speed-biased
-          // level 1; string columns additionally try a dictionary
-          // (distinct values + 1-2B indices — where parquet's dictionary
-          // encoding wins on low-cardinality keys like lang/source, and
-          // with NO inflate tax on read: decode is a byte copy). The
-          // smallest candidate wins, raw included — an encoding is kept
-          // ONLY when it shrinks the chunk. Fixed-width numerics stay
-          // raw (random ids/floats don't compress — pure CPU loss).
-          // Skipped chunks skip ENCODED bytes, so group/column skipping
-          // and compression compound.
+          // DICTIONARY; codec 3 = RLE over value cells. Variable-width
+          // columns (string/binary/array — where text corpora pay 3-5×
+          // storage) deflate at speed-biased level 1; string columns
+          // additionally try a dictionary (distinct values + 1-2B
+          // indices — where parquet's dictionary encoding wins on
+          // low-cardinality keys like lang/source); EVERY column type
+          // tries RLE (keyed layouts make the key column constant per
+          // file; sorted/clustered low-cardinality columns collapse to
+          // runs). Dict and RLE decode as byte copies — NO inflate tax.
+          // The smallest candidate wins, raw included — an encoding is
+          // kept ONLY when it shrinks the chunk; random fixed-width
+          // numerics fail the shrink test and stay raw at the cost of
+          // one linear scan. Skipped chunks skip ENCODED bytes, so
+          // group/column skipping and compression compound.
           val raw = {
             val b = new java.io.ByteArrayOutputStream(bitmapLen + c.bytes.size())
             b.write(c.bitmap, 0, bitmapLen)
@@ -747,10 +852,19 @@ object ShardFormat {
           val dictEncoded: Array[Byte] =
             if (codec == "none" || !stringCol(i)) null
             else dictEncode(raw, bitmapLen)
+          val rleEncoded: Array[Byte] =
+            if (codec == "none") null
+            else rleEncode(raw, bitmapLen, fields(i).dataType)
+          // best byte-copy-decodable candidate (null = raw is best)
+          val light: Array[Byte] =
+            if (dictEncoded == null) rleEncoded
+            else if (rleEncoded == null) dictEncoded
+            else if (rleEncoded.length < dictEncoded.length) rleEncoded
+            else dictEncoded
           val compressed: Array[Byte] =
             if (codec != "deflate" || !compressible(i)) null
             else {
-              val cap = if (dictEncoded == null) raw.length else dictEncoded.length
+              val cap = if (light == null) raw.length else light.length
               val d = new java.util.zip.Deflater(1)
               d.setInput(raw); d.finish()
               val buf = new Array[Byte](cap) // give up past the best-so-far
@@ -763,10 +877,10 @@ object ShardFormat {
             out.writeByte(1)
             out.writeInt(compressed.length); out.writeInt(raw.length)
             out.write(compressed)
-          } else if (dictEncoded != null) {
-            out.writeByte(2)
-            out.writeInt(dictEncoded.length); out.writeInt(raw.length)
-            out.write(dictEncoded)
+          } else if (light != null) {
+            out.writeByte(if (light eq rleEncoded) 3 else 2)
+            out.writeInt(light.length); out.writeInt(raw.length)
+            out.write(light)
           } else {
             out.writeByte(0)
             out.writeInt(raw.length); out.writeInt(raw.length)
@@ -1045,6 +1159,9 @@ object ShardFormat {
               case 2 =>
                 val c = new Array[Byte](storedLen); in.readFully(c)
                 dictDecode(c, bitmapLen, rawLen, file)
+              case 3 =>
+                val c = new Array[Byte](storedLen); in.readFully(c)
+                rleDecode(c, bitmapLen, rawLen, fields(i).dataType, file)
               case other => throw new java.io.IOException(
                 s"graftshard: unknown chunk codec $other in $file")
             }

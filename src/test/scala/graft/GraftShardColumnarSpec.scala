@@ -381,6 +381,93 @@ class GraftShardColumnarSpec extends AnyFunSuite {
     assert(spark.read.format("graftshard").load(both).count() == n.toLong)
   }
 
+  test("RLE codec: constant/run-shaped chunks collapse; random columns bail; exact roundtrip") {
+    val dir = tmp()
+    val raw = tmp()
+    val n = ShardFormat.GroupMaxRows + 2000 // multi-group
+    // the keyed-layout shape without the keyed writer: shard_key constant
+    // per sorted run, flag long runs, id strictly increasing (no runs —
+    // RLE must BAIL and keep it raw), rnd high-cardinality strings
+    val df = spark.range(0, n.toLong).select(
+      col("id"),
+      lit(7L).as("shard_key"),                       // constant: one run per group
+      (col("id") >= n / 2).as("flag"),               // two runs total
+      when(col("id") % 13 =!= 0, col("id") % 3).as("trit"), // short runs + nulls
+      md5(col("id").cast("string")).as("rnd"))
+    df.coalesce(1).write.format("graftshard")
+      .option("compression", "dict").mode("overwrite").save(dir)
+    df.coalesce(1).write.format("graftshard").mode("overwrite").save(raw)
+    def bytes(d: String) = ShardFormat.readManifest(d).get.files.map(_.bytes).sum
+    // the reclaim is exactly the run-shaped columns: shard_key 8B/row ->
+    // ~12B/group and flag 1B/row -> two runs, i.e. >= 9B/row of the
+    // ~61B/row total; id (strictly increasing), trit (cycle 0,1,2 — runs
+    // of ONE, each 4B dearer than the cell) and rnd (random) must bail
+    assert(bytes(dir) <= bytes(raw) - 9L * n + 4096,
+      s"RLE must collapse constant/run chunks: ${bytes(dir)} vs raw ${bytes(raw)}")
+    val t = spark.read.format("graftshard").load(dir)
+    assert(t.count() == n.toLong)
+    // exact roundtrip at group boundaries, run boundaries, and nulls
+    val probe = t.where(col("id").isin(0L, (n / 2 - 1).toLong, (n / 2).toLong,
+        (ShardFormat.GroupMaxRows + 1).toLong, 13L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) null else r.getLong(3), r.getString(4))).toSet
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def exp(id: Long) = (id, 7L, id >= n / 2,
+      if (id % 13 != 0) java.lang.Long.valueOf(id % 3) else null, md5hex(id.toString))
+    assert(probe == Set(exp(0), exp(n / 2 - 1L), exp(n / 2L),
+      exp(ShardFormat.GroupMaxRows + 1L), exp(13)))
+    // integral stats skipping is codec-independent (stats precede encoding)
+    assert(t.where(col("shard_key") === 8L).count() == 0L)
+    // a KEYED table stores its key column as pure redundancy — under
+    // "dict" the RLE candidate reclaims it (one run per group)
+    val keyed = tmp(); val keyedRaw = tmp()
+    val kdf = spark.range(0, n.toLong)
+      .select(col("id"), (col("id") % 4).as("k"), md5(col("id").cast("string")).as("rnd"))
+      .repartition(col("k"))
+    kdf.write.format("graftshard").option("partitionKey", "k")
+      .option("compression", "dict").mode("overwrite").save(keyed)
+    kdf.write.format("graftshard").option("partitionKey", "k")
+      .mode("overwrite").save(keyedRaw)
+    assert(bytes(keyed) < bytes(keyedRaw),
+      s"keyed table: RLE must reclaim the constant key column: " +
+        s"${bytes(keyed)} vs ${bytes(keyedRaw)}")
+    assert(spark.read.format("graftshard").load(keyed)
+      .groupBy(col("k")).count().collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      (0L until 4L).map(k => (k, (0L until n.toLong).count(_ % 4 == k).toLong)).toSet)
+  }
+
+  test("a corrupt RLE chunk raises the corrupt-chunk error, never a hang or silent row") {
+    val dir = tmp()
+    new File(dir).mkdirs()
+    val f = new File(dir, "rle-corrupt.shard")
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
+    out.write("GRFTSHD3".getBytes(StandardCharsets.US_ASCII))
+    out.writeShort(1)
+    out.writeByte(0); out.writeUTF("id") // tag 0 = long
+    out.writeInt(4)    // group rows
+    out.writeByte(0)   // no group stats claim
+    // codec 3 chunk claiming 4 longs (rawLen 1+32) but carrying a run
+    // that overflows: repeat=9 of one long cell
+    val payload = new java.io.ByteArrayOutputStream()
+    val pd = new DataOutputStream(payload)
+    pd.writeByte(0x00)      // bitmap (1B for 4 rows)
+    pd.writeInt(1)          // one run
+    pd.writeInt(9)          // repeat 9 > 4 rows -> overflow
+    pd.writeLong(42L)
+    val p = payload.toByteArray
+    out.writeByte(3); out.writeInt(p.length); out.writeInt(1 + 32)
+    out.write(p)
+    out.close()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    val r = new ShardFormat.ShardReader(f, schema, Array(0))
+    val e = intercept[java.io.IOException] { r.next(new Array[Any](1)) }
+    assert(e.getMessage.contains("corrupt RLE chunk"), e.getMessage)
+  }
+
   test("a non-shard file fails loudly with the magic error") {
     val dir = tmp()
     new File(dir).mkdirs()
