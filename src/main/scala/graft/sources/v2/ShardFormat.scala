@@ -654,6 +654,104 @@ object ShardFormat {
     b
   }
 
+  // ----------------------------------------------- chunk delta-varint codec
+  // codec 4: [bitmap][count:4B][zigzag-varint deltas, first value from 0]
+  // for integral chunks (long/int). The SORTED layouts make id columns
+  // near-consecutive — delta 1 is ONE byte instead of 8 (measured ~7.5×
+  // on a sorted id chunk) — and zigzag keeps arbitrary (unsorted,
+  // negative) values correct, just not smaller. Decode rebuilds the raw
+  // fixed-width chunk: one pass, no inflate tax. Kept ONLY when smaller,
+  // same rule as every other encoding.
+
+  private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+  private def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1L)
+
+  /** Delta-varint-encodes one raw integral chunk; null when it would
+    * not shrink (random/spread values inflate past fixed width). */
+  private def deltaEncode(raw: Array[Byte], bitmapLen: Int, dt: DataType): Array[Byte] = {
+    val width = dt match {
+      case LongType => 8; case IntegerType => 4; case _ => return null
+    }
+    val n = (raw.length - bitmapLen) / width
+    if (n == 0) return null
+    val out = new Array[Byte](raw.length - 1) // give up unless strictly smaller
+    // a tiny chunk can't even fit the count header under the shrink cap
+    if (out.length < bitmapLen + 4) return null
+    System.arraycopy(raw, 0, out, 0, bitmapLen)
+    var p = bitmapLen
+    writeIntBE(out, p, n); p += 4
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      val pos = bitmapLen + i * width
+      val v =
+        if (width == 8)
+          ((raw(pos) & 0xFFL) << 56) | ((raw(pos + 1) & 0xFFL) << 48) |
+            ((raw(pos + 2) & 0xFFL) << 40) | ((raw(pos + 3) & 0xFFL) << 32) |
+            ((raw(pos + 4) & 0xFFL) << 24) | ((raw(pos + 5) & 0xFFL) << 16) |
+            ((raw(pos + 6) & 0xFFL) << 8) | (raw(pos + 7) & 0xFFL)
+        else readIntBE(raw, pos).toLong
+      var z = zigzag(v - prev)
+      prev = v
+      // varint: 7 bits per byte, high bit = continuation
+      var continue = true
+      while (continue) {
+        if (p >= out.length) return null // not shrinking — bail
+        val b = (z & 0x7FL).toInt
+        z >>>= 7
+        continue = z != 0L
+        out(p) = (if (continue) b | 0x80 else b).toByte
+        p += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, p)
+  }
+
+  /** Inverse of [[deltaEncode]]: reconstructs the raw chunk layout. */
+  private def deltaDecode(
+      c: Array[Byte], bitmapLen: Int, rawLen: Int, dt: DataType, file: File): Array[Byte] = {
+    def corrupt(what: String): Nothing =
+      throw new java.io.IOException(s"graftshard: corrupt delta chunk in $file ($what)")
+    val width = dt match {
+      case LongType => 8; case IntegerType => 4
+      case other => corrupt(s"non-integral type ${other.sql}")
+    }
+    val b = new Array[Byte](rawLen)
+    if (c.length < bitmapLen + 4) corrupt("truncated header")
+    System.arraycopy(c, 0, b, 0, bitmapLen)
+    var p = bitmapLen
+    val n = readIntBE(c, p); p += 4
+    if (n < 0 || bitmapLen + n.toLong * width != rawLen) corrupt(s"count $n for rawLen $rawLen")
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      var z = 0L
+      var shift = 0
+      var continue = true
+      while (continue) {
+        if (p >= c.length) corrupt("truncated varint")
+        if (shift > 63) corrupt("varint overflow")
+        val byte = c(p); p += 1
+        z |= (byte & 0x7FL) << shift
+        shift += 7
+        continue = (byte & 0x80) != 0
+      }
+      val v = prev + unzigzag(z)
+      prev = v
+      val pos = bitmapLen + i * width
+      if (width == 8) {
+        b(pos) = (v >>> 56).toByte; b(pos + 1) = (v >>> 48).toByte
+        b(pos + 2) = (v >>> 40).toByte; b(pos + 3) = (v >>> 32).toByte
+        b(pos + 4) = (v >>> 24).toByte; b(pos + 5) = (v >>> 16).toByte
+        b(pos + 6) = (v >>> 8).toByte; b(pos + 7) = v.toByte
+      } else writeIntBE(b, pos, v.toInt)
+      i += 1
+    }
+    if (p != c.length) corrupt(s"trailing bytes (${c.length - p})")
+    b
+  }
+
   /** Per-column group buffer for the v3 writer: a null bitmap over the
     * group's rows plus the packed non-null values. */
   private final class ColBuf {
@@ -855,12 +953,16 @@ object ShardFormat {
           val rleEncoded: Array[Byte] =
             if (codec == "none") null
             else rleEncode(raw, bitmapLen, fields(i).dataType)
-          // best byte-copy-decodable candidate (null = raw is best)
+          val deltaEncoded: Array[Byte] =
+            if (codec == "none") null
+            else deltaEncode(raw, bitmapLen, fields(i).dataType)
+          // best cheap-decodable candidate (null = raw is best); codec
+          // byte per winner: 2 dict, 3 rle, 4 delta-varint
           val light: Array[Byte] =
-            if (dictEncoded == null) rleEncoded
-            else if (rleEncoded == null) dictEncoded
-            else if (rleEncoded.length < dictEncoded.length) rleEncoded
-            else dictEncoded
+            Seq(dictEncoded, rleEncoded, deltaEncoded).filter(_ != null) match {
+              case Nil => null
+              case cands => cands.minBy(_.length)
+            }
           val compressed: Array[Byte] =
             if (codec != "deflate" || !compressible(i)) null
             else {
@@ -878,7 +980,10 @@ object ShardFormat {
             out.writeInt(compressed.length); out.writeInt(raw.length)
             out.write(compressed)
           } else if (light != null) {
-            out.writeByte(if (light eq rleEncoded) 3 else 2)
+            out.writeByte(
+              if (light eq rleEncoded) 3
+              else if (light eq deltaEncoded) 4
+              else 2)
             out.writeInt(light.length); out.writeInt(raw.length)
             out.write(light)
           } else {
@@ -1162,6 +1267,9 @@ object ShardFormat {
               case 3 =>
                 val c = new Array[Byte](storedLen); in.readFully(c)
                 rleDecode(c, bitmapLen, rawLen, fields(i).dataType, file)
+              case 4 =>
+                val c = new Array[Byte](storedLen); in.readFully(c)
+                deltaDecode(c, bitmapLen, rawLen, fields(i).dataType, file)
               case other => throw new java.io.IOException(
                 s"graftshard: unknown chunk codec $other in $file")
             }

@@ -398,10 +398,12 @@ class GraftShardColumnarSpec extends AnyFunSuite {
       .option("compression", "dict").mode("overwrite").save(dir)
     df.coalesce(1).write.format("graftshard").mode("overwrite").save(raw)
     def bytes(d: String) = ShardFormat.readManifest(d).get.files.map(_.bytes).sum
-    // the reclaim is exactly the run-shaped columns: shard_key 8B/row ->
-    // ~12B/group and flag 1B/row -> two runs, i.e. >= 9B/row of the
-    // ~61B/row total; id (strictly increasing), trit (cycle 0,1,2 — runs
-    // of ONE, each 4B dearer than the cell) and rnd (random) must bail
+    // the run-shaped columns must reclaim at least their width: shard_key
+    // 8B/row -> ~12B/group and flag 1B/row -> two runs, i.e. >= 9B/row of
+    // the ~61B/row total. RLE itself must BAIL on id (strictly
+    // increasing), trit (cycle 0,1,2 — runs of ONE, each 4B dearer than
+    // the cell) and rnd (random); id and trit then shrink further via the
+    // delta-varint candidate, so the bound is a floor, not an equality
     assert(bytes(dir) <= bytes(raw) - 9L * n + 4096,
       s"RLE must collapse constant/run chunks: ${bytes(dir)} vs raw ${bytes(raw)}")
     val t = spark.read.format("graftshard").load(dir)
@@ -437,6 +439,77 @@ class GraftShardColumnarSpec extends AnyFunSuite {
     assert(spark.read.format("graftshard").load(keyed)
       .groupBy(col("k")).count().collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       (0L until 4L).map(k => (k, (0L until n.toLong).count(_ % 4 == k).toLong)).toSet)
+  }
+
+  test("delta-varint codec: sorted/cyclic integral chunks shrink; random values bail; exact roundtrip") {
+    val dir = tmp()
+    val raw = tmp()
+    val n = ShardFormat.GroupMaxRows + 2000 // multi-group
+    // id: sorted long (delta 1 -> 1B/value, ~8x); near: sorted with
+    // nulls (bitmap + deltas over the NON-NULL subsequence); wide:
+    // extreme jumps incl. Long.MIN/MAX (wrap-around arithmetic must
+    // roundtrip, size may bail); rnd: random 64-bit (must bail)
+    val df = spark.range(0, n.toLong).select(
+      col("id"),
+      when(col("id") % 7 =!= 0, col("id") * 2).as("near"),
+      when(col("id") % 3 === 0, lit(Long.MinValue))
+        .when(col("id") % 3 === 1, lit(Long.MaxValue))
+        .otherwise(col("id")).as("wide"),
+      xxhash64(col("id")).as("rnd"))
+    df.coalesce(1).write.format("graftshard")
+      .option("compression", "dict").mode("overwrite").save(dir)
+    df.coalesce(1).write.format("graftshard").mode("overwrite").save(raw)
+    def bytes(d: String) = ShardFormat.readManifest(d).get.files.map(_.bytes).sum
+    // id must reclaim >= 6B/row of its 8; near similar on its non-null
+    // 6/7; rnd stays full width (varints of random deltas are ~10B —
+    // the encoder bails). 13B/row is a conservative floor.
+    assert(bytes(dir) <= bytes(raw) - 13L * n,
+      s"delta-varint must shrink sorted integral chunks: ${bytes(dir)} vs raw ${bytes(raw)}")
+    val t = spark.read.format("graftshard").load(dir)
+    assert(t.count() == n.toLong)
+    val probe = t.where(col("id").isin(0L, 6L, 7L, (ShardFormat.GroupMaxRows + 1).toLong,
+        (n - 1).toLong))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
+        r.getLong(2), r.getLong(3))).toSet
+    def xxh(id: Long) = spark.range(id, id + 1).select(xxhash64(col("id")))
+      .collect()(0).getLong(0)
+    def exp(id: Long) = (id,
+      if (id % 7 != 0) java.lang.Long.valueOf(id * 2) else null,
+      if (id % 3 == 0) Long.MinValue else if (id % 3 == 1) Long.MaxValue else id,
+      xxh(id))
+    assert(probe == Set(exp(0), exp(6), exp(7),
+      exp(ShardFormat.GroupMaxRows + 1L), exp(n - 1L)))
+    // stats skipping is codec-independent (stats precede encoding):
+    // an out-of-range id predicate plans ZERO files
+    assert(t.where(col("id") === (n + 5).toLong).count() == 0L)
+  }
+
+  test("a corrupt delta chunk raises the corrupt-chunk error") {
+    val dir = tmp()
+    new File(dir).mkdirs()
+    val f = new File(dir, "delta-corrupt.shard")
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
+    out.write("GRFTSHD3".getBytes(StandardCharsets.US_ASCII))
+    out.writeShort(1)
+    out.writeByte(0); out.writeUTF("id") // tag 0 = long
+    out.writeInt(2)    // group rows
+    out.writeByte(0)   // no group stats claim
+    // codec 4 chunk: count says 2 longs but only one varint follows
+    val payload = new java.io.ByteArrayOutputStream()
+    val pd = new DataOutputStream(payload)
+    pd.writeByte(0x00)  // bitmap
+    pd.writeInt(2)      // two values claimed
+    pd.writeByte(0x02)  // zigzag(1) = 2 -> value 1; second varint MISSING
+    val p = payload.toByteArray
+    out.writeByte(4); out.writeInt(p.length); out.writeInt(1 + 16)
+    out.write(p)
+    out.close()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    val r = new ShardFormat.ShardReader(f, schema, Array(0))
+    val e = intercept[java.io.IOException] { r.next(new Array[Any](1)) }
+    assert(e.getMessage.contains("corrupt delta chunk"), e.getMessage)
   }
 
   test("a corrupt RLE chunk raises the corrupt-chunk error, never a hang or silent row") {

@@ -57,11 +57,15 @@ object GraftShardEvolutionProps extends Properties("GraftShardEvolution") {
     2 -> Gen.chooseNum(0, 1000).map(Widen(_)),
     1 -> Gen.const(Compact))
 
-  private val seqGen: Gen[(Long, List[Op])] = for {
+  private val seqGen: Gen[(Long, List[Op], String)] = for {
     seed <- Gen.long
     n <- Gen.chooseNum(4, 12)
     ops <- Gen.listOfN(n, opGen)
-  } yield (seed, ops)
+    // the chunk codecs must be invisible to evolution: a delta/RLE/dict-
+    // encoded int chunk read under a widened/renamed schema is exactly
+    // the interaction no fixture enumerates
+    codec <- Gen.oneOf("none", "dict", "deflate")
+  } yield (seed, ops, codec)
 
   private def valueFor(t: ColType, rnd: scala.util.Random): Any = t match {
     case _ if rnd.nextInt(5) == 0 => null
@@ -86,7 +90,7 @@ object GraftShardEvolutionProps extends Properties("GraftShardEvolution") {
   private def sortKey(r: Seq[Any]): String = r.map(String.valueOf).mkString("")
 
   property("any legal evolution sequence reads back exactly the model") =
-    Prop.forAll(seqGen) { case (seed, ops) =>
+    Prop.forAll(seqGen) { case (seed, ops, codec) =>
       val s = spark
       val rnd = new scala.util.Random(seed)
       val tbl = s"evprops.fuzz.t${java.util.UUID.randomUUID().toString.take(8)}"
@@ -94,7 +98,8 @@ object GraftShardEvolutionProps extends Properties("GraftShardEvolution") {
       var cols = Vector(Col("c0", CLong), Col("c1", CInt), Col("c2", CStr))
       var nextName = 3
       var rows = Vector.empty[Vector[Any]] // parallel to cols
-      s.sql(s"CREATE TABLE $tbl (${cols.map(c => s"${c.name} ${c.tpe.ddl}").mkString(", ")}) USING graftshard")
+      s.sql(s"CREATE TABLE $tbl (${cols.map(c => s"${c.name} ${c.tpe.ddl}").mkString(", ")}) " +
+        s"USING graftshard TBLPROPERTIES ('compression' = '$codec')")
       def freshName(): String = { val n = s"c$nextName"; nextName += 1; n }
       def doAppend(n: Int): Unit = {
         val newRows = Vector.fill(n)(cols.map(c => valueFor(c.tpe, rnd)))
