@@ -1601,6 +1601,43 @@ object ExtensionQueries {
         row_number().over(ws).cast("long").as("seq"))
   }
 
+  /** Per-file BLOOM-FILTER sidecars (`bloomColumns` table property) —
+    * the file-skipping tier min/max stats cannot give: equality/IN
+    * point lookups on UNSORTED high-cardinality columns. The corpus
+    * lands as two parity-interleaved commits (every file's id range
+    * overlaps every other's, so the stats tier can prove NOTHING and
+    * only the blooms prune), the append is optionless (the property
+    * inherits), and the probes cover both hash paths: the integral
+    * IN-list (value-as-long hashing) and a string-key equality (UTF-8
+    * byte hashing). At 100 TB this is `WHERE doc_id = x` touching a
+    * handful of shard files instead of all of them — one small sidecar
+    * read per task, executor-side, never a driver loop
+    * (GraftShardBloomSpec pins the skip really happening — a corrupted
+    * bloom-excluded file is never opened — plus fpp bounds, rename/
+    * widen survival, vacuum, and the MoR false-positive-only path). */
+  private def x62(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x62", dir)
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        concat(lit("k:"), col("doc_id")).as("doc_key"))
+    docs.where(col("doc_id") % 2 === 0).coalesce(2)
+      .write.format("graftshard").option("bloomColumns", "doc_id,doc_key")
+      .mode("overwrite").save(out)
+    docs.where(col("doc_id") % 2 === 1).coalesce(2)
+      .write.format("graftshard").mode("append").save(out)
+    val m = graft.sources.v2.ShardFormat.readManifest(out).get
+    require(m.bloomColumns == Seq("doc_id", "doc_key"),
+      s"x62: property not recorded/inherited (${m.bloomColumns})")
+    require(m.files.forall(_.bloom.isDefined),
+      "x62: a committed file is missing its bloom sidecar")
+    val t = s.read.format("graftshard").load(out)
+    t.where(col("doc_id").isin(3L, 42L, 256L, 417L, 1000000007L))
+      .select("doc_id", "lang", "source", "n_chars")
+      .unionAll(
+        t.where(col("doc_key").isin("k:256", "k:1000001"))
+          .select("doc_id", "lang", "source", "n_chars"))
+  }
+
   /** RENAME COLUMN as a METADATA-ONLY commit (format v4 field ids —
     * [[graft.sources.v2.ShardFormat.MagicV4]]): half the corpus lands
     * under the ORIGINAL names, both data columns are renamed (one of
@@ -5063,6 +5100,15 @@ object ExtensionQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_chars,
         row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS seq
       FROM documents""")),
+
+    // per-file bloom sidecars: equality/IN point lookups prune files
+    // min/max stats cannot (parity-interleaved ranges), both hash paths
+    Q("x62_shard_bloom_lookup", x62, Some("""
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE doc_id IN (3, 42, 256, 417, 1000000007)
+      UNION ALL
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE 'k:' || doc_id IN ('k:256', 'k:1000001')""")),
 
     // RENAME COLUMN via field ids: mixed name-era files, one read
     Q("x59_shard_rename", x59, Some("""

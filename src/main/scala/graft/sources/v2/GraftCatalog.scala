@@ -173,12 +173,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           s"graftshard: unknown compression '$c' (supported: none, dict, deflate)")
         c
       }
+    // TBLPROPERTIES ('bloomColumns' = 'doc_id,url'): per-file bloom
+    // sidecars for equality/IN file skipping — same lifecycle as
+    // compression (inherited by appends, honored by rewrites)
+    val bloomColumns = Option(properties.get("bloomColumns")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    bloomColumns.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftshard: bloomColumns column '$c' not in table schema"))
+      require(ShardFormat.bloomEligible(f.dataType),
+        s"graftshard: bloomColumns column '$c' must be long/int/string/binary, " +
+          s"got ${f.dataType.sql}")
+    }
     val dir = tableDir(ident)
     dir.mkdirs()
     ShardFormat.writeManifest(dir.getPath, ShardFormat.Manifest(
       schema, java.util.UUID.randomUUID().toString.take(8), Nil, spec,
       version = 1L, createdAtMs = System.currentTimeMillis(),
-      operation = "create", compression = compression))
+      operation = "create", compression = compression,
+      bloomColumns = bloomColumns))
     new GraftShardTable(dir.getPath, schema)
   }
 
@@ -229,6 +243,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     var files = m.files
     var part = m.partitioning
     var sorted = m.sortedBy
+    var bloomC = m.bloomColumns
     def requireFreshName(c: String, what: String): Unit = {
       require(!sch.fieldNames.contains(c),
         s"graftshard: column '$c' already exists")
@@ -276,6 +291,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           sch = StructType(sch.fields.patch(i, Nil, 1))
           ids = ids.patch(i, Nil, 1) // the id retires — never reused
           tomb :+= c
+          // old sidecars keep the dropped column's filter under the
+          // dead name; readers resolve by CURRENT name, so it is inert
+          bloomC = bloomC.filterNot(_ == c)
         }
       case ren: TableChange.RenameColumn =>
         val from = single(ren.fieldNames)
@@ -308,6 +326,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           case other => other
         }
         sorted = sorted.map(s => if (s == from) to else s)
+        // the property follows the rename; existing sidecars keyed by
+        // the OLD name resolve through the alias map at read time
+        bloomC = bloomC.map(c => if (c == from) to else c)
       case upd: TableChange.UpdateColumnType =>
         val c = single(upd.fieldNames)
         require(sch.fieldNames.contains(c),
@@ -352,6 +373,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       files = files,
       partitioning = part,
       sortedBy = sorted,
+      bloomColumns = bloomC,
       version = m.version + 1,
       createdAtMs = System.currentTimeMillis(),
       operation = "alter"))

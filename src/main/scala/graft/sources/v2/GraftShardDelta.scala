@@ -93,20 +93,24 @@ class GraftShardDeltaWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     new File(path).mkdirs()
-    // MoR insert files keep the table's recorded compression
+    // MoR insert files keep the table's recorded compression and bloom
+    // property (their sidecars regenerate with the new data)
     val m = ShardFormat.readManifest(path)
     val codec = m.flatMap(_.compression).getOrElse("none")
     // a DELETE-only delta has an EMPTY write schema — no file is ever
     // written, and writeFieldIds over zero columns is safely empty
     new GraftShardDeltaWriterFactory(path, schema, spec, maxOpenWriters, codec,
-      ShardFormat.writeFieldIds(m, schema))
+      ShardFormat.writeFieldIds(m, schema),
+      m.map(_.bloomColumns).getOrElse(Nil))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.toSeq.collect { case m: ShardDeltaCommitMessage => m }
     val inserts = msgs.flatMap(_.inserts).filter(_.rows > 0)
-    msgs.flatMap(_.inserts).filter(_.rows == 0)
-      .foreach(fe => new File(path, fe.name).delete())
+    msgs.flatMap(_.inserts).filter(_.rows == 0).foreach { fe =>
+      fe.bloom.foreach(b => new File(path, b).delete(): Unit)
+      new File(path, fe.name).delete()
+    }
     // per-file ordinals merged across tasks (a post-scan shuffle may
     // scatter one file's matches over several writers)
     val newDeletes: Map[String, Seq[Long]] =
@@ -161,7 +165,10 @@ class GraftShardDeltaWrite(
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case m: ShardDeltaCommitMessage =>
-        m.inserts.foreach(fe => new File(path, fe.name).delete(): Unit)
+        m.inserts.foreach { fe =>
+          fe.bloom.foreach(b => new File(path, b).delete(): Unit)
+          new File(path, fe.name).delete(): Unit
+        }
       case _ => ()
     }
 }
@@ -172,7 +179,8 @@ class GraftShardDeltaWriterFactory(
     spec: Option[ShardFormat.PartSpec],
     maxOpenWriters: Int,
     codec: String = "none",
-    fieldIds: Array[Int] = Array.emptyIntArray)
+    fieldIds: Array[Int] = Array.emptyIntArray,
+    bloomCols: Seq[String] = Nil)
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
@@ -180,7 +188,8 @@ class GraftShardDeltaWriterFactory(
     // columns flow), so the keyed writer's key lookup would fail — and
     // no insert ever arrives to need it
     new GraftShardDeltaWriter(() =>
-      new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec, fieldIds)
+      new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec, fieldIds,
+        bloomCols)
         .createWriter(partitionId, taskId))
 }
 

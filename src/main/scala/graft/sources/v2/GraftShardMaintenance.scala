@@ -44,19 +44,22 @@ object GraftShardMaintenance {
     val referenced = m.files ++ ShardFormat.listVersions(dir)
       .flatMap(v => ShardFormat.readManifestVersion(dir, v))
       .flatMap(_.files)
-    // live = shard files AND their merge-on-read delete-vector sidecars
-    // of every loadable version
-    val live = (referenced.map(_.name) ++ referenced.flatMap(_.deletes)).toSet
+    // live = shard files AND their sidecars (merge-on-read delete
+    // vectors, bloom filters) of every loadable version
+    val live = (referenced.map(_.name) ++ referenced.flatMap(_.deletes) ++
+      referenced.flatMap(_.bloom)).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val deleted = Seq.newBuilder[String]
     val keptRecent = Seq.newBuilder[String]
     var keptLive = 0
+    def reclaimable(n: String): Boolean =
+      n.endsWith(".shard") || n.endsWith(".dvs") || n.endsWith(".bloom")
     Option(new File(dir).listFiles()).getOrElse(Array.empty).foreach { f =>
       val n = f.getName
       val candidate =
-        ((n.endsWith(".shard") || n.endsWith(".dvs")) && !live.contains(n)) ||
+        (reclaimable(n) && !live.contains(n)) ||
           n.startsWith(s"${ShardFormat.ManifestName}.tmp-")
-      if ((n.endsWith(".shard") || n.endsWith(".dvs")) && live.contains(n)) keptLive += 1
+      if (reclaimable(n) && live.contains(n)) keptLive += 1
       else if (candidate) {
         if (f.lastModified() <= cutoff) { if (f.delete()) deleted += n }
         else keptRecent += n
@@ -148,23 +151,30 @@ object GraftShardMaintenance {
     // map (pre-rename files) / id map (post-rename v4 files)
     val ids = ShardFormat.writeFieldIds(Some(m), schema)
     val resolve = m.resolution
+    // bloom sidecars regenerate with the rewrite (the property is the
+    // manifest's, so compacted files keep the table's pruning power)
+    val bloomCols = m.bloomColumns
     val newEntries: Array[ShardFormat.FileEntry] =
       spark.sparkContext.parallelize(groups, groups.size).map { case (p, members) =>
         val name = s"compact-${java.util.UUID.randomUUID().toString.take(12)}.shard"
-        val w = new ShardFormat.ShardWriter(new File(dir, name), schema, codec, ids)
+        val w = new ShardFormat.ShardWriter(new File(dir, name), schema, codec, ids,
+          bloomCols)
         try {
           GraftShardMaintenance.streamGroup(dir, members, schema, sortIdx, sortType, resolve)
             .foreach(w.write)
           val (bytes, rows, stats, allNull) = w.finish()
           ShardFormat.FileEntry(name, bytes, rows, stats, allNull, p,
-            sums = w.sums, strStats = w.strStats)
+            sums = w.sums, strStats = w.strStats, bloom = w.bloomSidecar)
         } catch { case t: Throwable => w.abort(); throw t }
       }.collect()
     val current = ShardFormat.readManifest(dir).getOrElse(
       throw new IllegalStateException(s"graftshard: table at '$dir' vanished during compaction"))
     val replaced = groups.flatMap(_._2.map(_._1)).toSet
     validateCommit(m, current, replaced).foreach { reason =>
-      newEntries.foreach(fe => new File(dir, fe.name).delete())
+      newEntries.foreach { fe =>
+        fe.bloom.foreach(b => new File(dir, b).delete(): Unit)
+        new File(dir, fe.name).delete()
+      }
       throw new IllegalStateException(
         s"graftshard: concurrent commit detected at '$dir' — compaction planned " +
           s"against manifest v${m.version} but $reason " +
@@ -227,7 +237,7 @@ object GraftShardMaintenance {
       // and the old vectors become vacuum garbage
       val r = new GraftShardPartitionReader(
         Array((new File(dir, nd._1).getPath, 0L,
-          nd._2.map(d => new File(dir, d).getPath))),
+          nd._2.map(d => new File(dir, d).getPath), None)),
         schema, schema, Array.empty[Filter], resolve = resolve)
       new Iterator[InternalRow] {
         private var ready = r.next()

@@ -234,17 +234,22 @@ class GraftShardCowWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
     // rewritten files keep the table's recorded compression — a DELETE
-    // must not decay a deflate table's rewritten shards to raw
+    // must not decay a deflate table's rewritten shards to raw — and
+    // its bloom property (rewritten files regenerate their sidecars)
     val m = ShardFormat.readManifest(path)
     val codec = m.flatMap(_.compression).getOrElse("none")
     new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec,
-      ShardFormat.writeFieldIds(m, schema))
+      ShardFormat.writeFieldIds(m, schema),
+      m.map(_.bloomColumns).getOrElse(Nil))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val all = messages.toSeq.collect { case m: ShardCommitMessage => m.files }.flatten
     val committed = all.filter(_.rows > 0)
-    all.filter(_.rows == 0).foreach(fe => new File(path, fe.name).delete())
+    all.filter(_.rows == 0).foreach { fe =>
+      fe.bloom.foreach(b => new File(path, b).delete(): Unit)
+      new File(path, fe.name).delete()
+    }
     val (pinned, scanned) = op.configured.getOrElse(
       throw new IllegalStateException(
         "graftshard: row-level commit without a configured scan — the " +

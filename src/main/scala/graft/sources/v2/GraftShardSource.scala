@@ -491,12 +491,13 @@ class GraftShardScanBuilder(
   * is what lets Spark line partitions up across scans for a
   * storage-partitioned join. */
 sealed trait ShardFilesPartition extends InputPartition {
-  /** (shard path, physical rows, delete-vector sidecar path if any). */
-  def files: Array[(String, Long, Option[String])]
+  /** (shard path, physical rows, delete-vector sidecar path if any,
+    * bloom-filter sidecar path if any). */
+  def files: Array[(String, Long, Option[String], Option[String])]
 }
-final case class ShardInputPartition(files: Array[(String, Long, Option[String])]) extends ShardFilesPartition
+final case class ShardInputPartition(files: Array[(String, Long, Option[String], Option[String])]) extends ShardFilesPartition
 final case class ShardKeyedInputPartition(
-    files: Array[(String, Long, Option[String])],
+    files: Array[(String, Long, Option[String], Option[String])],
     key: Long,
     keyIsLong: Boolean) extends ShardFilesPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -658,7 +659,8 @@ class GraftShardScan(
         selected.groupBy(_.partition.get).toSeq.sortBy(_._1).map { case (k, fes) =>
           ShardKeyedInputPartition(
             fes.map(fe => (new File(path, fe.name).getPath, fe.rows,
-              fe.deletes.map(d => new File(path, d).getPath))).toArray,
+              fe.deletes.map(d => new File(path, d).getPath),
+              fe.bloom.map(b => new File(path, b).getPath))).toArray,
             k, keyIsLong): InputPartition
         }.toArray
       case None => GraftShardScan.binPack(path, selected, targetBytes)
@@ -703,7 +705,7 @@ object GraftShardScan {
       selected: Seq[ShardFormat.FileEntry],
       targetBytes: Long): Array[InputPartition] = {
     val bins = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ArrayBuffer[(String, Long, Option[String])], Long)]
+      .empty[(scala.collection.mutable.ArrayBuffer[(String, Long, Option[String], Option[String])], Long)]
     // remaining capacity -> indices of open bins with exactly that much
     val byRemaining = new java.util.TreeMap[Long, List[Int]]()
     def register(remaining: Long, idx: Int): Unit =
@@ -711,7 +713,8 @@ object GraftShardScan {
         byRemaining.merge(remaining, List(idx), (a, b) => b ::: a)
     selected.sortBy(-_.bytes).foreach { fe =>
       val slice = (new File(path, fe.name).getPath, fe.rows,
-        fe.deletes.map(d => new File(path, d).getPath))
+        fe.deletes.map(d => new File(path, d).getPath),
+        fe.bloom.map(b => new File(path, b).getPath))
       val e = byRemaining.ceilingEntry(fe.bytes)
       if (e == null) {
         bins += ((scala.collection.mutable.ArrayBuffer(slice), fe.bytes))
@@ -811,7 +814,8 @@ class GraftShardMicroBatchStream(
       .filter(fe => pushed.forall(ShardFilters.mayContain(_, fe)))
       .map(fe => ShardInputPartition(
         Array((new File(path, fe.name).getPath, fe.rows,
-          fe.deletes.map(d => new File(path, d).getPath)))): InputPartition)
+          fe.deletes.map(d => new File(path, d).getPath),
+          fe.bloom.map(b => new File(path, b).getPath)))): InputPartition)
       .toArray
   }
 
@@ -841,7 +845,7 @@ class GraftShardReaderFactory(
   * required and filter columns, evaluates pushed filters, emits rows
   * in required-column order. O(1) state — one open file, one row. */
 class GraftShardPartitionReader(
-    files: Array[(String, Long, Option[String])],
+    files: Array[(String, Long, Option[String], Option[String])],
     fullSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
@@ -888,6 +892,57 @@ class GraftShardPartitionReader(
         strStats = gs.strStats)
       !pushed.forall(ShardFilters.mayContain(_, fe))
     }
+  // bloom-testable REQUIRED conjuncts of the absorbed filters: for each,
+  // (column, candidate hashes) — a file whose bloom contains NONE of a
+  // conjunct's candidates provably holds no matching row, so the whole
+  // file (data + delete vector) is skipped UNOPENED. Only top-level
+  // equality/IN on bloom-eligible literal types qualifies (a null
+  // literal never equals anything; Or/Not conjuncts don't require the
+  // column to take one of finitely many values).
+  private val bloomProbes: Array[(String, Array[Long])] = {
+    def hashOf(v: Any): Option[Long] = v match {
+      case l: java.lang.Long => Some(ShardFormat.bloomHashLong(l.longValue()))
+      case i: java.lang.Integer => Some(ShardFormat.bloomHashLong(i.longValue()))
+      case s: java.lang.Short => Some(ShardFormat.bloomHashLong(s.longValue()))
+      case b: java.lang.Byte => Some(ShardFormat.bloomHashLong(b.longValue()))
+      case s: String => Some(ShardFormat.bloomHashBytes(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case u: UTF8String => Some(ShardFormat.bloomHashBytes(u.getBytes))
+      case b: Array[Byte] => Some(ShardFormat.bloomHashBytes(b))
+      case _ => None
+    }
+    pushed.flatMap {
+      case EqualTo(col, v) if v != null =>
+        hashOf(v).map(h => col -> Array(h))
+      case EqualNullSafe(col, v) if v != null =>
+        hashOf(v).map(h => col -> Array(h))
+      case In(col, vs) if vs != null && vs.nonEmpty =>
+        val nonNull = vs.filter(_ != null)
+        // a list that was ONLY nulls matches nothing, but that is the
+        // stats tier's call — the bloom tier stays out of it
+        if (nonNull.isEmpty) None
+        else {
+          val hs = nonNull.map(hashOf)
+          // every candidate must be hashable, else the conjunct can't prove absence
+          if (hs.exists(_.isEmpty)) None else Some(col -> hs.map(_.get))
+        }
+      case _ => None
+    }
+  }
+
+  /** True when this file's bloom sidecar PROVES no row can match some
+    * absorbed conjunct. Sidecar column names are write-time names —
+    * resolved through the alias map exactly like pre-v4 file headers. */
+  private def bloomSkips(sidecar: Option[String]): Boolean =
+    bloomProbes.nonEmpty && sidecar.exists { p =>
+      val side = ShardFormat.readBloomSidecar(new File(p))
+      val byCurrent =
+        if (resolve.aliases.isEmpty) side
+        else side.map { case (n, b) => resolve.aliases.getOrElse(n, n) -> b }
+      bloomProbes.exists { case (col, hs) =>
+        byCurrent.get(col).exists(b => !hs.exists(b.mightContain))
+      }
+    }
 
   private val values = new Array[Any](readCols.length)
   private var fileIdx = -1
@@ -909,7 +964,11 @@ class GraftShardPartitionReader(
       if (reader == null) {
         fileIdx += 1
         if (fileIdx >= files.length) exhausted = true
-        else {
+        else if (bloomSkips(files(fileIdx)._4)) {
+          // the sidecar proves no row matches: the shard file and its
+          // delete vector are never opened (reader stays null — the
+          // loop advances to the next file)
+        } else {
           val f = new File(files(fileIdx)._1)
           fileName = UTF8String.fromString(f.getName)
           reader = new ShardFormat.ShardReader(f, fullSchema, readIndices, groupSkip, resolve)

@@ -185,11 +185,28 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
         s"graftshard: unknown compression '$other' (supported: none, dict, deflate)")
       case None => existing.flatMap(_.compression).getOrElse("none")
     }
+    // per-file bloom sidecars, same table-property lifecycle as
+    // compression: `option("bloomColumns", "doc_id,url")` records the
+    // choice; optionless appends inherit it; an explicit "" clears it
+    // for this write. Validated HERE (plan time, with column names) —
+    // not 10k tasks deep.
+    val bloomCols: Seq[String] = Option(info.options.get("bloomColumns")) match {
+      case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => existing.map(_.bloomColumns).getOrElse(Nil)
+    }
+    bloomCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftshard: bloomColumns column '$c' not in write schema"))
+      require(ShardFormat.bloomEligible(f.dataType),
+        s"graftshard: bloomColumns column '$c' must be long/int/string/binary " +
+          s"(equality-lookup currency), got ${f.dataType.sql}")
+    }
     val queryId = info.queryId()
     (sortCol, spec) match {
       case (Some(s), Some(sp)) =>
         new GraftShardWriteWithOrdering(path, schema, replace, sp, s, maxOpen, queryId,
-          codec)
+          codec, bloomCols)
       case _ if zorderCols.isDefined =>
         val Seq(a, b) = zorderCols.get
         // writePartitions pins the range-partition count (0 = let Spark
@@ -197,18 +214,19 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
         // layouts pin it)
         val nParts = Option(info.options.get("writePartitions"))
           .map(_.toInt).getOrElse(0)
-        new GraftShardZOrderWrite(path, schema, replace, a, b, maxOpen, nParts, codec)
+        new GraftShardZOrderWrite(path, schema, replace, a, b, maxOpen, nParts, codec,
+          bloomCols)
       case _ =>
         // sortCol here is provably None: a defined sortWithinShards
         // requires a partition spec (the require above)
         new Write {
           override def toBatch: BatchWrite =
             new GraftShardBatchWrite(path, schema, replace, spec, sortCol = None,
-              maxOpenWriters = maxOpen, codec = codec)
+              maxOpenWriters = maxOpen, codec = codec, bloomCols = bloomCols)
           override def toStreaming: StreamingWrite =
             new GraftShardStreamingWrite(path, queryId,
               new GraftShardBatchWrite(path, schema, replace, spec, sortCol = None,
-                maxOpenWriters = maxOpen, codec = codec))
+                maxOpenWriters = maxOpen, codec = codec, bloomCols = bloomCols))
         }
     }
   }
@@ -227,7 +245,8 @@ class GraftShardWriteWithOrdering(
     sortCol: String,
     maxOpenWriters: Int = 64,
     queryId: String = "",
-    codec: String = "none")
+    codec: String = "none",
+    bloomCols: Seq[String] = Nil)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -239,12 +258,12 @@ class GraftShardWriteWithOrdering(
 
   override def toBatch: BatchWrite =
     new GraftShardBatchWrite(path, schema, replace, Some(spec), Some(sortCol),
-      maxOpenWriters, codec)
+      maxOpenWriters, codec, bloomCols)
 
   override def toStreaming: StreamingWrite =
     new GraftShardStreamingWrite(path, queryId,
       new GraftShardBatchWrite(path, schema, replace, Some(spec), Some(sortCol),
-        maxOpenWriters, codec))
+        maxOpenWriters, codec, bloomCols))
 }
 
 /** The z-ordered write (see the zorderBy note in
@@ -261,7 +280,8 @@ class GraftShardZOrderWrite(
     colB: String,
     maxOpenWriters: Int,
     numPartitions: Int = 0,
-    codec: String = "none")
+    codec: String = "none",
+    bloomCols: Seq[String] = Nil)
     extends Write with RequiresDistributionAndOrdering {
 
   private def z: org.apache.spark.sql.connector.expressions.Expression =
@@ -276,7 +296,8 @@ class GraftShardZOrderWrite(
     Array(Expressions.sort(z, SortDirection.ASCENDING))
 
   override def toBatch: BatchWrite =
-    new GraftShardBatchWrite(path, schema, replace, None, None, maxOpenWriters, codec)
+    new GraftShardBatchWrite(path, schema, replace, None, None, maxOpenWriters, codec,
+      bloomCols)
 }
 
 /** The streaming sink face: micro-batch epochs commit through the ONE
@@ -308,7 +329,10 @@ class GraftShardStreamingWrite(
       // recovery re-ran an epoch the table already holds: drop its output
       messages.foreach {
         case m: ShardCommitMessage =>
-          m.files.foreach(fe => new java.io.File(path, fe.name).delete(): Unit)
+          m.files.foreach { fe =>
+            fe.bloom.foreach(b => new java.io.File(path, b).delete(): Unit)
+            new java.io.File(path, fe.name).delete(): Unit
+          }
         case _ => ()
       }
     } else batch.commitWith(messages, Some(queryId -> epochId))
@@ -339,7 +363,8 @@ class GraftShardBatchWrite(
     spec: Option[ShardFormat.PartSpec],
     sortCol: Option[String] = None,
     maxOpenWriters: Int = 64,
-    codec: String = "none")
+    codec: String = "none",
+    bloomCols: Seq[String] = Nil)
     extends BatchWrite {
 
   private def isTruncate: Boolean =
@@ -352,7 +377,8 @@ class GraftShardBatchWrite(
     // ids stable, so plan-time ids stay valid through commit)
     val ids = ShardFormat.writeFieldIds(
       if (isTruncate) None else ShardFormat.readManifest(path), schema)
-    new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec, ids)
+    new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec, ids,
+      bloomCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -369,7 +395,11 @@ class GraftShardBatchWrite(
     val all = messages.toSeq.collect { case m: ShardCommitMessage => m.files }.flatten
     val committed = all.filter(_.rows > 0)
     // empty-partition shards carry no information — drop their files
-    all.filter(_.rows == 0).foreach(fe => new File(path, fe.name).delete())
+    // (and any sidecar; an empty file never builds one, but stay safe)
+    all.filter(_.rows == 0).foreach { fe =>
+      fe.bloom.foreach(b => new File(path, b).delete(): Unit)
+      new File(path, fe.name).delete()
+    }
     // generation: fresh whenever existing entries are replaced (truncate
     // or REPLACE WHERE — streaming prefix offsets die with them), carried
     // on pure appends. The time-travel version counts COMMITS and
@@ -462,6 +492,13 @@ class GraftShardBatchWrite(
     val compression =
       if (isTruncate) Some(codec).filter(_ != "none")
       else current.flatMap(_.compression).orElse(Some(codec).filter(_ != "none"))
+    // bloomColumns follows the compression property's exact lifecycle:
+    // a truncate re-states it from this write's resolved choice (an
+    // explicit "" clears it), appends keep the recorded property or
+    // record it at the first configured write of a bloom-less table
+    val bloomColumns =
+      if (isTruncate) bloomCols
+      else current.map(_.bloomColumns).filter(_.nonEmpty).getOrElse(bloomCols)
     // field-id metadata: a truncate replaced every file, so ids restart
     // positional (Nil) and every alias/tombstone reservation clears —
     // matching the factory's positional write ids; any other commit
@@ -481,13 +518,17 @@ class GraftShardBatchWrite(
         compression = compression,
         fieldIds = fieldIds,
         lastFieldId = lastFieldId,
-        aliases = aliases))
+        aliases = aliases,
+        bloomColumns = bloomColumns))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case m: ShardCommitMessage =>
-        m.files.foreach(fe => new File(path, fe.name).delete(): Unit)
+        m.files.foreach { fe =>
+          fe.bloom.foreach(b => new File(path, b).delete(): Unit)
+          new File(path, fe.name).delete(): Unit
+        }
       case _ => ()
     }
 }
@@ -500,21 +541,24 @@ class GraftShardWriterFactory(
     codec: String = "none",
     // manifest field ids for the write schema (v4 headers); empty =
     // positional — correct for fresh tables and direct callers
-    fieldIds: Array[Int] = Array.emptyIntArray)
+    fieldIds: Array[Int] = Array.emptyIntArray,
+    bloomCols: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     spec match {
       case None =>
-        new GraftShardDataWriter(path, schema, partitionId, taskId, codec, fieldIds)
+        new GraftShardDataWriter(path, schema, partitionId, taskId, codec, fieldIds,
+          bloomCols)
       case Some(sp) =>
         new GraftShardKeyedDataWriter(path, schema, partitionId, taskId, sp,
-          maxOpenWriters, codec, fieldIds)
+          maxOpenWriters, codec, fieldIds, bloomCols)
     }
 }
 
 class GraftShardDataWriter(
     path: String, schema: StructType, partitionId: Int, taskId: Long,
-    codec: String = "none", fieldIds: Array[Int] = Array.emptyIntArray)
+    codec: String = "none", fieldIds: Array[Int] = Array.emptyIntArray,
+    bloomCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
 
   // taskId disambiguates speculative attempts of the same partition;
@@ -523,7 +567,7 @@ class GraftShardDataWriter(
     f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.shard"
   private val writer = {
     new File(path).mkdirs()
-    new ShardFormat.ShardWriter(new File(path, name), schema, codec, fieldIds)
+    new ShardFormat.ShardWriter(new File(path, name), schema, codec, fieldIds, bloomCols)
   }
 
   override def write(record: InternalRow): Unit = writer.write(record)
@@ -531,7 +575,7 @@ class GraftShardDataWriter(
   override def commit(): WriterCommitMessage = {
     val (bytes, rows, stats, allNull) = writer.finish()
     ShardCommitMessage(Seq(ShardFormat.FileEntry(name, bytes, rows, stats, allNull,
-      sums = writer.sums, strStats = writer.strStats)))
+      sums = writer.sums, strStats = writer.strStats, bloom = writer.bloomSidecar)))
   }
 
   override def abort(): Unit = writer.abort()
@@ -565,7 +609,8 @@ class GraftShardKeyedDataWriter(
     spec: ShardFormat.PartSpec,
     maxOpenWriters: Int = 64,
     codec: String = "none",
-    fieldIds: Array[Int] = Array.emptyIntArray)
+    fieldIds: Array[Int] = Array.emptyIntArray,
+    bloomCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
 
   require(maxOpenWriters >= 1,
@@ -584,8 +629,9 @@ class GraftShardKeyedDataWriter(
   private def finishInto(key: Long, name: String, w: ShardFormat.ShardWriter): Unit = {
     val (bytes, rows, stats, allNull) = w.finish()
     rotated += ShardFormat.FileEntry(name, bytes, rows, stats, allNull, Some(key),
-      sums = w.sums, strStats = w.strStats)
+      sums = w.sums, strStats = w.strStats, bloom = w.bloomSidecar)
     rotatedNames += name
+    w.bloomSidecar.foreach(rotatedNames += _)
   }
 
   override def write(record: InternalRow): Unit = {
@@ -613,7 +659,8 @@ class GraftShardKeyedDataWriter(
         }
         fileSeq += 1
         val name = f"part-$partitionId%05d-$taskId-$attempt-k$key-$fileSeq.shard"
-        val nw = new ShardFormat.ShardWriter(new File(path, name), schema, codec, fieldIds)
+        val nw = new ShardFormat.ShardWriter(new File(path, name), schema, codec,
+          fieldIds, bloomCols)
         writers.put(key, (name, nw))
         nw
     }

@@ -146,6 +146,172 @@ object ShardFormat {
   def utf8RoundTrips(u: UTF8String): Boolean =
     java.util.Arrays.equals(u.getBytes, u.toString.getBytes(StandardCharsets.UTF_8))
 
+  // ------------------------------------------------------------- blooms
+
+  /** Columns a per-file BLOOM FILTER may be configured on (the
+    * `bloomColumns` table property): equality-lookup currency —
+    * min/max stats prune sorted/clustered columns, but a point lookup
+    * (`WHERE doc_id = x`) on an UNSORTED high-cardinality column scans
+    * every file at 100 TB without one. Floats are excluded (NaN/-0.0
+    * equality is engine-defined), booleans are pointless (two values
+    * never prune). Integral hashes go through the value AS LONG, so an
+    * int→long widen keeps every existing sidecar valid. */
+  def bloomEligible(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | StringType | BinaryType => true
+    case _ => false
+  }
+  /** Target false-positive rate (~9.6 bits/distinct value). */
+  val BloomFpp = 0.01
+  /** A file tracking more value-run hashes than this drops its bloom
+    * (absent sidecar = no claim, never a lie — the sum-overflow rule).
+    * 8M × 8 B = 64 MiB writer-side worst case, ~9.6 MiB at rest. */
+  val BloomMaxHashes: Int = 8 << 20
+  val BloomMagic: Array[Byte] = "GRFTBLM1".getBytes(StandardCharsets.US_ASCII)
+
+  /** Murmur3's 64-bit finalizer: the avalanche behind both bloom hash
+    * functions (stable — sidecars outlive JVMs). */
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+  /** Bloom hash of an integral value — always of the LONG value, so
+    * int columns and int→long widened columns hash identically. */
+  def bloomHashLong(v: Long): Long = fmix64(v ^ 0x9e3779b97f4a7c15L)
+  /** Bloom hash of string/binary bytes (strings hash their UTF-8
+    * bytes — the write side hashes UTF8String views, the probe side
+    * hashes the filter literal's re-encoding; both are the same bytes
+    * by definition of the column's content). */
+  def bloomHashBytes(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L // FNV-1a 64
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    fmix64(h)
+  }
+
+  /** One column's bloom filter: k probe positions by double hashing
+    * (Kirsch–Mitzenmacher) over a word-aligned bit array. */
+  final class Bloom(val k: Int, val words: Array[Long]) {
+    private val bits: Long = words.length.toLong * 64
+    def set(h: Long): Unit = {
+      val h2 = fmix64(h) | 1L
+      var combined = h
+      var i = 0
+      while (i < k) {
+        val pos = (combined & Long.MaxValue) % bits
+        words((pos >>> 6).toInt) |= 1L << (pos & 63)
+        combined += h2; i += 1
+      }
+    }
+    def mightContain(h: Long): Boolean = {
+      val h2 = fmix64(h) | 1L
+      var combined = h
+      var i = 0
+      while (i < k) {
+        val pos = (combined & Long.MaxValue) % bits
+        if ((words((pos >>> 6).toInt) & (1L << (pos & 63))) == 0L) return false
+        combined += h2; i += 1
+      }
+      true
+    }
+  }
+  object Bloom {
+    /** Sized for `n` distinct values at `fpp`: bits = -n·ln(fpp)/ln²2,
+      * k = (bits/n)·ln2 — the textbook optimum. */
+    def sized(n: Long, fpp: Double): Bloom = {
+      val ln2 = math.log(2)
+      val bits = math.max(64L, math.ceil(-n.toDouble * math.log(fpp) / (ln2 * ln2)).toLong)
+      val words = new Array[Long](((bits + 63) / 64).toInt)
+      val k = math.max(1, math.round(bits.toDouble / n.toDouble * ln2).toInt)
+      new Bloom(k, words)
+    }
+  }
+
+  /** Writer-side accumulator for one column's bloom: value hashes are
+    * collected (run-deduped — the keyed layout's constant key column
+    * costs ONE entry), then sorted/deduped at file close so the filter
+    * is sized for the TRUE distinct count, not the row count. Exceeding
+    * [[BloomMaxHashes]] drops the bloom for this file (no claim). */
+  final class BloomAcc {
+    private var arr = new Array[Long](1024)
+    private var n = 0
+    private var last = 0L
+    private var hasLast = false
+    private var dropped = false
+    def add(h: Long): Unit = if (!dropped) {
+      if (hasLast && h == last) return
+      last = h; hasLast = true
+      if (n == arr.length) {
+        if (n >= BloomMaxHashes) { dropped = true; arr = null; return }
+        arr = java.util.Arrays.copyOf(arr, n << 1)
+      }
+      arr(n) = h; n += 1
+    }
+    def build(fpp: Double): Option[Bloom] =
+      if (dropped || n == 0) None
+      else {
+        java.util.Arrays.sort(arr, 0, n)
+        var d = 1
+        var i = 1
+        while (i < n) { if (arr(i) != arr(i - 1)) d += 1; i += 1 }
+        val b = Bloom.sized(d.toLong, fpp)
+        i = 0
+        while (i < n) { b.set(arr(i)); i += 1 }
+        Some(b)
+      }
+  }
+
+  /** Bloom sidecar (next to its shard file, referenced by
+    * [[FileEntry.bloom]] — the delete-vector pattern): magic, column
+    * count, then per column [name:UTF][k:4B][words:4B][words×8B].
+    * Column names are the WRITE-TIME names; readers map them through
+    * [[ColumnResolution.aliases]], exactly like pre-v4 file headers. */
+  def writeBloomSidecar(file: File, cols: Seq[(String, Bloom)]): Unit = {
+    val out = new DataOutputStream(
+      new BufferedOutputStream(new FileOutputStream(file), 1 << 16))
+    try {
+      out.write(BloomMagic)
+      out.writeShort(cols.length)
+      cols.foreach { case (name, b) =>
+        out.writeUTF(name)
+        out.writeInt(b.k)
+        out.writeInt(b.words.length)
+        var i = 0
+        while (i < b.words.length) { out.writeLong(b.words(i)); i += 1 }
+      }
+    } finally out.close()
+  }
+
+  def readBloomSidecar(file: File): Map[String, Bloom] = {
+    val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(file), 1 << 16))
+    try {
+      val magic = new Array[Byte](BloomMagic.length)
+      in.readFully(magic)
+      if (!java.util.Arrays.equals(magic, BloomMagic))
+        throw new java.io.IOException(
+          s"graftshard: bad bloom-sidecar magic in $file")
+      val count = in.readUnsignedShort()
+      val b = Map.newBuilder[String, Bloom]
+      var c = 0
+      while (c < count) {
+        val name = in.readUTF()
+        val k = in.readInt()
+        val wn = in.readInt()
+        if (k <= 0 || wn <= 0 || wn > (1 << 26))
+          throw new java.io.IOException(
+            s"graftshard: corrupt bloom sidecar $file (k=$k, words=$wn)")
+        val words = new Array[Long](wn)
+        var i = 0
+        while (i < wn) { words(i) = in.readLong(); i += 1 }
+        b += name -> new Bloom(k, words)
+        c += 1
+      }
+      b.result()
+    } finally in.close()
+  }
+
   /** Running exact min/max/nulls for one string column of one shard
     * file; `dropped` once any value exceeds the byte cap. Comparison is
     * UTF8String's unsigned byte order = Unicode codepoint order — the
@@ -219,7 +385,15 @@ object ShardFormat {
       // string col -> (exact min, exact max, nulls); absent when any
       // value exceeded StrStatsMaxBytes or the file has no non-null
       // values (all-null string columns land in `allNull`)
-      strStats: Map[String, (String, String, Long)] = Map.empty)
+      strStats: Map[String, (String, String, Long)] = Map.empty,
+      // name of this file's BLOOM-FILTER sidecar (one file holds every
+      // configured column's filter — [[Manifest.bloomColumns]]); absent
+      // when no bloom was configured at write time, the file predates
+      // the property, or every configured column dropped its filter
+      // (too many distinct values / all null). Readers test absorbed
+      // equality/IN predicates against it BEFORE opening the shard —
+      // executor-side, one small read per task, never a driver loop
+      bloom: Option[String] = None)
 
   /** The table's at-rest clustering: every shard file holds rows of ONE
     * partition value — the key itself (identity) or `floorMod(key, n)`
@@ -297,7 +471,16 @@ object ShardFormat {
       // resolve through this map. Names stay reserved even after the
       // id is dropped — re-ADDing one would make old files' stored
       // bytes ambiguous between the old column and the new one
-      aliases: Map[String, Int] = Map.empty) {
+      aliases: Map[String, Int] = Map.empty,
+      // BLOOM FILTERS as a table property: columns every write builds
+      // per-file bloom sidecars for ([[FileEntry.bloom]]). Same
+      // lifecycle as `compression`: recorded at create / first
+      // configured write, inherited by optionless appends, honored by
+      // compaction and row-level rewrites, re-keyed on RENAME, dropped
+      // with DROP COLUMN. Point lookups and IN-list probes on these
+      // columns skip whole files the stats tier cannot (unsorted
+      // high-cardinality equality — THE missing pruning at 100 TB)
+      bloomColumns: Seq[String] = Nil) {
     /** The identity partition column, when that is the spec (the
       * group-by-pushdown and legacy surfaces). */
     def partitionColumn: Option[String] =
@@ -797,7 +980,8 @@ object ShardFormat {
     * exactly right for a fresh table and for direct/test callers. */
   final class ShardWriter(
       file: File, schema: StructType, codec: String = "none",
-      fieldIds: Array[Int] = Array.emptyIntArray) {
+      fieldIds: Array[Int] = Array.emptyIntArray,
+      bloomCols: Seq[String] = Nil) {
     require(codec == "none" || codec == "dict" || codec == "deflate",
       s"graftshard: unknown chunk codec mode '$codec'")
     require(fieldIds.isEmpty || fieldIds.length == schema.fields.length,
@@ -827,6 +1011,13 @@ object ShardFormat {
       fields.map(f => if (statsEligible(f.dataType)) new ColStats else null)
     private val gsstats: Array[StrStats] =
       fields.map(f => if (strStatsEligible(f.dataType)) new StrStats else null)
+    // per-file bloom accumulators for configured, eligible columns
+    // (build() validated names/types up front — an unknown or
+    // ineligible name here means a direct caller, so just skip it)
+    private val blooms: Array[BloomAcc] =
+      fields.map(f =>
+        if (bloomCols.contains(f.name) && bloomEligible(f.dataType)) new BloomAcc
+        else null)
     private var groupRows = 0
     private var groupBytes = 0L
 
@@ -843,10 +1034,12 @@ object ShardFormat {
             case LongType =>
               val v = row.getLong(i); values.writeLong(v)
               stats(i).update(v); gstats(i).update(v)
+              if (blooms(i) != null) blooms(i).add(bloomHashLong(v))
               groupBytes += 8
             case IntegerType =>
               val v = row.getInt(i); values.writeInt(v)
               stats(i).update(v.toLong); gstats(i).update(v.toLong)
+              if (blooms(i) != null) blooms(i).add(bloomHashLong(v.toLong))
               groupBytes += 4
             case DoubleType => values.writeDouble(row.getDouble(i)); groupBytes += 8
             case FloatType => values.writeFloat(row.getFloat(i)); groupBytes += 4
@@ -857,10 +1050,12 @@ object ShardFormat {
               gsstats(i).update(u)
               val b = u.getBytes
               values.writeInt(b.length); values.write(b)
+              if (blooms(i) != null) blooms(i).add(bloomHashBytes(b))
               groupBytes += 4L + b.length
             case BinaryType =>
               val b = row.getBinary(i)
               values.writeInt(b.length); values.write(b)
+              if (blooms(i) != null) blooms(i).add(bloomHashBytes(b))
               groupBytes += 4L + b.length
             case ArrayType(FloatType, _) =>
               val arr = row.getArray(i)
@@ -1035,6 +1230,14 @@ object ShardFormat {
       }
       finishedSums = sm.result()
       finishedStrStats = ss.result()
+      val built = fields.indices.flatMap { j =>
+        Option(blooms(j)).flatMap(_.build(BloomFpp)).map(fields(j).name -> _)
+      }
+      if (built.nonEmpty) {
+        val side = new File(file.getParentFile, file.getName + ".bloom")
+        writeBloomSidecar(side, built)
+        finishedBloom = Some(side.getName)
+      }
       (file.length(), rowCount, present.result(), allNull.result())
     }
 
@@ -1044,8 +1247,16 @@ object ShardFormat {
     private var finishedStrStats: Map[String, (String, String, Long)] = Map.empty
     /** Valid after [[finish]]: exact string min/max/nulls (cap-bounded). */
     def strStats: Map[String, (String, String, Long)] = finishedStrStats
+    private var finishedBloom: Option[String] = None
+    /** Valid after [[finish]]: this file's bloom-sidecar name, when any
+      * configured column produced a filter ([[FileEntry.bloom]]). */
+    def bloomSidecar: Option[String] = finishedBloom
 
-    def abort(): Unit = { out.close(); file.delete(): Unit }
+    def abort(): Unit = {
+      out.close()
+      finishedBloom.foreach(b => new File(file.getParentFile, b).delete(): Unit)
+      file.delete(): Unit
+    }
   }
 
   /** Sequential reader over one shard file, decoding only the columns
@@ -1438,9 +1649,11 @@ object ShardFormat {
         if (fn.has("deletes")) Some(fn.get("deletes").asText()) else None
       val deletedRows =
         if (fn.has("deletedRows")) fn.get("deletedRows").asLong() else 0L
+      val bloom =
+        if (fn.has("bloom")) Some(fn.get("bloom").asText()) else None
       files += FileEntry(fn.get("name").asText(), fn.get("bytes").asLong(),
         fn.get("rows").asLong(), present.result(), allNull.result(), partition,
-        deletes, deletedRows, sums.result(), strs.result())
+        deletes, deletedRows, sums.result(), strs.result(), bloom)
     }
     val version = if (root.has("manifestVersion")) root.get("manifestVersion").asLong() else 0L
     val createdAt = if (root.has("createdAtMs")) root.get("createdAtMs").asLong() else 0L
@@ -1475,9 +1688,15 @@ object ShardFormat {
       if (al != null) al.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asInt())
       b.result()
     }
+    val bloomColumns = {
+      val b = Seq.newBuilder[String]
+      val bc = root.get("bloomColumns")
+      if (bc != null) bc.forEach(n => b += n.asText())
+      b.result()
+    }
     Some(Manifest(schema, generation, files.result(), partitioning, version,
       createdAt, sortedBy, streamCommits, dropped, operation, compression,
-      fieldIds, lastFieldId, aliases))
+      fieldIds, lastFieldId, aliases, bloomColumns))
   }
 
   /** Atomic publish: write to a temp sibling, then rename over the
@@ -1510,6 +1729,10 @@ object ShardFormat {
       val al = root.putObject("columnAliases")
       m.aliases.foreach { case (n, id) => al.put(n, id): Unit }
     }
+    if (m.bloomColumns.nonEmpty) {
+      val bc = root.putArray("bloomColumns")
+      m.bloomColumns.foreach(bc.add)
+    }
     m.sortedBy.foreach(root.put("sortedBy", _))
     if (m.streamCommits.nonEmpty) {
       val sc = root.putObject("streamCommits")
@@ -1535,6 +1758,7 @@ object ShardFormat {
       fe.deletes.foreach { d =>
         fn.put("deletes", d); fn.put("deletedRows", fe.deletedRows): Unit
       }
+      fe.bloom.foreach(fn.put("bloom", _))
       val st = fn.putObject("stats")
       fe.stats.foreach { case (c, (mn, mx, nl)) =>
         val cn = st.putObject(c)
