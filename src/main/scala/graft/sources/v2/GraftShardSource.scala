@@ -481,8 +481,18 @@ class GraftShardScanBuilder(
   override def build(): Scan = {
     val targetBytes = Option(options.get("targetPartitionBytes"))
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    // streaming admission control (readStream options): cap each
+    // micro-batch at N appended files and/or B bytes. Validated here —
+    // plan time, with the option name — not at first trigger.
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+    val maxBytes = Option(options.get("maxBytesPerTrigger")).map(_.toLong)
+    maxFiles.foreach(n => require(n > 0,
+      s"graftshard: maxFilesPerTrigger must be > 0, got $n"))
+    maxBytes.foreach(b => require(b > 0,
+      s"graftshard: maxBytesPerTrigger must be > 0, got $b"))
     new GraftShardScan(path, fullSchema, required, pushed, manifest, targetBytes,
-      agg, limit, snapshot = pinned.isDefined)
+      agg, limit, snapshot = pinned.isDefined,
+      maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
   }
 }
 
@@ -516,7 +526,9 @@ class GraftShardScan(
     targetBytes: Long,
     agg: Option[ShardAggResult],
     limit: Option[Int],
-    snapshot: Boolean = false)
+    snapshot: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsRuntimeFiltering {
@@ -682,7 +694,8 @@ class GraftShardScan(
     require(!snapshot,
       "graftshard: cannot stream a time-travel snapshot — a snapshot is a " +
         "fixed commit; stream the current table (offsets track its appends)")
-    new GraftShardMicroBatchStream(path, fullSchema, required, pushed)
+    new GraftShardMicroBatchStream(path, fullSchema, required, pushed,
+      maxFilesPerTrigger, maxBytesPerTrigger)
   }
 }
 
@@ -776,13 +789,30 @@ object ShardOffset {
   * overwrite swaps the manifest and invalidates prefix offsets; the
   * next batch detects the shrunken list and fails loudly rather than
   * re-reading files under reused indices (restart from a fresh
-  * checkpoint after an overwrite). */
+  * checkpoint after an overwrite).
+  *
+  * Admission control ([[SupportsAdmissionControl]]): `option(
+  * "maxFilesPerTrigger", n)` / `option("maxBytesPerTrigger", b)` cap
+  * each micro-batch — THE 100 TB bootstrap knob: without it the first
+  * batch of a stream started against an existing table is the ENTIRE
+  * table in one commit (no intra-batch checkpoint; one task failure
+  * near the end loses everything). The file-count offset makes the
+  * caps exact prefix cuts (manifest order, no directory listing); the
+  * byte cap admits at least one file per batch so a shard larger than
+  * the cap can never stall the stream (FileStreamSource's progress
+  * rule). Trigger.AvailableNow composes: Spark pins the end offset
+  * once, then drains it in capped batches. */
 class GraftShardMicroBatchStream(
     path: String,
     fullSchema: StructType,
     required: StructType,
-    pushed: Array[Filter])
-    extends MicroBatchStream {
+    pushed: Array[Filter],
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   private def manifest(): ShardFormat.Manifest =
     ShardFormat.readManifest(path).getOrElse(
@@ -793,6 +823,46 @@ class GraftShardMicroBatchStream(
     val m = manifest()
     ShardOffset(m.generation, m.files.size.toLong)
   }
+
+  override def getDefaultReadLimit: ReadLimit =
+    (maxFilesPerTrigger, maxBytesPerTrigger) match {
+      case (Some(f), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _ => ReadLimit.allAvailable()
+    }
+
+  /** End offset for the next batch: the committed prefix plus however
+    * many appended files the limit admits (prefix cuts over manifest
+    * order — never a directory listing). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val m = manifest()
+    val from = start.asInstanceOf[ShardOffset].fileCount.toInt
+    def admit(l: ReadLimit, upTo: Int): Int = l match {
+      case _: ReadAllAvailable => upTo
+      case f: ReadMaxFiles =>
+        math.min(upTo.toLong, from.toLong + f.maxFiles()).toInt
+      case b: ReadMaxBytes =>
+        // at least one file per batch: a single shard larger than the
+        // cap must advance the stream, not stall it forever
+        var i = from
+        var bytes = 0L
+        while (i < upTo && (i == from || bytes + m.files(i).bytes <= b.maxBytes())) {
+          bytes += m.files(i).bytes; i += 1
+        }
+        i
+      case c: CompositeReadLimit =>
+        c.getReadLimits.foldLeft(upTo)((acc, rl) => math.min(acc, admit(rl, upTo)))
+      case other => throw new UnsupportedOperationException(
+        s"graftshard: unsupported read limit $other — use maxFilesPerTrigger / " +
+          "maxBytesPerTrigger")
+    }
+    ShardOffset(m.generation, math.max(from, admit(limit, m.files.size)).toLong)
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
   override def deserializeOffset(json: String): Offset = ShardOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

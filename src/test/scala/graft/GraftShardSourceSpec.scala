@@ -271,6 +271,90 @@ class GraftShardSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming admission control: maxFilesPerTrigger bootstraps an existing table in capped batches, exactly once") {
+    val dir = tmp()
+    // 8 files x 5 rows: the 100 TB bootstrap shape in miniature — the
+    // stream starts AGAINST an existing table
+    (0 until 8).foreach { i =>
+      spark.range(i * 5L, i * 5L + 5).coalesce(1)
+        .write.format("graftshard").mode("append").save(dir)
+    }
+    assert(graft.sources.v2.ShardFormat.readManifest(dir).get.files.size == 8)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graftshard")
+      .option("maxFilesPerTrigger", "3").load(dir)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val n = df.count(); if (n > 0) batches.add(n): Unit
+      })
+      .option("checkpointLocation", tmp() + "_ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sizes = batches.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    assert(sizes.sum == 40, s"exactly once across capped batches, got $sizes")
+    assert(sizes.forall(_ <= 15), s"a batch exceeded 3 files x 5 rows: $sizes")
+    assert(sizes.length >= 3, s"the cap must split the bootstrap: $sizes")
+  }
+
+  test("streaming admission control: maxBytesPerTrigger admits at least one file per batch (never stalls)") {
+    val dir = tmp()
+    (0 until 4).foreach { i =>
+      spark.range(i * 5L, i * 5L + 5).coalesce(1)
+        .write.format("graftshard").mode("append").save(dir)
+    }
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // 1 byte: every file is over the cap — the progress rule must admit
+    // exactly one file per batch instead of stalling forever
+    val q = spark.readStream.format("graftshard")
+      .option("maxBytesPerTrigger", "1").load(dir)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val n = df.count(); if (n > 0) batches.add(n): Unit
+      })
+      .option("checkpointLocation", tmp() + "_ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sizes = batches.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    assert(sizes == Seq(5L, 5L, 5L, 5L),
+      s"one 5-row file per batch, exactly once: $sizes")
+  }
+
+  test("streaming admission control: the offset math cuts exact file prefixes") {
+    val dir = tmp()
+    (0 until 3).foreach { i =>
+      spark.range(i * 10L, i * 10L + 10).coalesce(1)
+        .write.format("graftshard").mode("append").save(dir)
+    }
+    val m = graft.sources.v2.ShardFormat.readManifest(dir).get
+    val st = new graft.sources.v2.GraftShardMicroBatchStream(
+      dir, m.schema, m.schema, Array.empty)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    def end(startCount: Long, l: ReadLimit): Long =
+      st.latestOffset(graft.sources.v2.ShardOffset(m.generation, startCount), l)
+        .asInstanceOf[graft.sources.v2.ShardOffset].fileCount
+    assert(end(0L, ReadLimit.allAvailable()) == 3)
+    assert(end(0L, ReadLimit.maxFiles(2)) == 2)
+    assert(end(2L, ReadLimit.maxFiles(2)) == 3, "caps past the end clamp")
+    // byte cap covering exactly the first two files
+    val twoBytes = m.files.take(2).map(_.bytes).sum
+    assert(end(0L, ReadLimit.maxBytes(twoBytes)) == 2)
+    assert(end(0L, ReadLimit.maxBytes(1L)) == 1, "progress rule: one file minimum")
+    assert(end(0L, ReadLimit.compositeLimit(
+      Array(ReadLimit.maxFiles(3), ReadLimit.maxBytes(1L)))) == 1,
+      "composite = most restrictive")
+    // invalid options refuse at plan time with the option name
+    val e = intercept[Exception] {
+      spark.readStream.format("graftshard")
+        .option("maxFilesPerTrigger", "0").load(dir)
+        .writeStream.format("memory").queryName("gs_bad_limit")
+        .option("checkpointLocation", tmp() + "_ckpt").start()
+        .processAllAvailable()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxFilesPerTrigger")))
+  }
+
   test("unsupported column type is rejected at plan time with a clear error") {
     val e = intercept[Exception] {
       Seq((1L, Seq("x"))).toDF("id", "tags")
