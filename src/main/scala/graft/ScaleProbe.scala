@@ -298,9 +298,26 @@ object ScaleProbe {
         val (pHalf, halfSec) = plan(Array(
           org.apache.spark.sql.sources.GreaterThan("id", n / 2 * 1000L)))
         val (pAll, allSec) = plan(Array.empty)
+        // the APPEND commit — the cost paging transforms: one new entry
+        // over the provenance-carrying manifest re-serializes only ONE
+        // new segment + the root of segment names; the monolithic
+        // control (threshold forced past n) re-serializes every entry
+        val appended = ShardFormat.FileEntry("part-append.shard",
+          64L * 1024 * 1024, 1000L,
+          Map("id" -> (n * 1000L, n * 1000L + 999L, 0L), "v" -> (0L, 999L, 0L)),
+          Map.empty, None)
+        val (_, aPagedSec) = t(ShardFormat.writeManifest(dir,
+          m.copy(files = m.files :+ appended, version = m.version + 1)))
+        val prevCap = ShardFormat.segmentMaxEntries
+        ShardFormat.segmentMaxEntries = Int.MaxValue
+        val (_, aMonoSec) =
+          try t(ShardFormat.writeManifest(dir,
+            m.copy(files = m.files :+ appended, version = m.version + 2)))
+          finally ShardFormat.segmentMaxEntries = prevCap
         println(f"PROBE-MANIFEST n=$n%8d write=$wSec%6.2f read=$rSec%6.2f " +
           f"plan_point=$pointSec%6.3f($pPoint%d parts) plan_half=$halfSec%6.3f($pHalf%d) " +
-          f"plan_full=$allSec%6.3f($pAll%d)")
+          f"plan_full=$allSec%6.3f($pAll%d) append_paged=$aPagedSec%6.3f " +
+          f"append_mono=$aMonoSec%6.2f")
       }
       spark.stop()
       return

@@ -41,19 +41,22 @@ object GraftShardMaintenance {
   def vacuum(dir: String, minAgeMs: Long = DefaultMinAgeMs): VacuumReport = {
     val m = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
       s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
-    val referenced = m.files ++ ShardFormat.listVersions(dir)
+    val manifests = m +: ShardFormat.listVersions(dir)
       .flatMap(v => ShardFormat.readManifestVersion(dir, v))
-      .flatMap(_.files)
+    val referenced = manifests.flatMap(_.files)
     // live = shard files AND their sidecars (merge-on-read delete
-    // vectors, bloom filters) of every loadable version
+    // vectors, bloom filters) AND paged manifest segments of every
+    // loadable version
     val live = (referenced.map(_.name) ++ referenced.flatMap(_.deletes) ++
-      referenced.flatMap(_.bloom)).toSet
+      referenced.flatMap(_.bloom) ++
+      manifests.flatMap(_.pagedSegments.map(_.name))).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val deleted = Seq.newBuilder[String]
     val keptRecent = Seq.newBuilder[String]
     var keptLive = 0
     def reclaimable(n: String): Boolean =
-      n.endsWith(".shard") || n.endsWith(".dvs") || n.endsWith(".bloom")
+      n.endsWith(".shard") || n.endsWith(".dvs") || n.endsWith(".bloom") ||
+        n.startsWith("_graft_manifest-seg-")
     Option(new File(dir).listFiles()).getOrElse(Array.empty).foreach { f =>
       val n = f.getName
       val candidate =

@@ -519,7 +519,10 @@ class GraftShardBatchWrite(
         fieldIds = fieldIds,
         lastFieldId = lastFieldId,
         aliases = aliases,
-        bloomColumns = bloomColumns))
+        bloomColumns = bloomColumns,
+        // paged-manifest provenance rides through (prior entries keep
+        // their reference identity, so an append reuses every segment)
+        pagedSegments = current.map(_.pagedSegments).getOrElse(Nil)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -30,12 +30,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *     garbage for a vacuum with a retention horizon (documented, not
   *     implemented — single-box tests have no concurrent readers).
   *
-  * Known scale ceiling, stated rather than assumed away: ONE JSON
-  * manifest is O(files) driver memory — fine to ~1M shard entries
-  * (~100 TB at 128 MiB shards); past that the upgrade path is paged
-  * manifest segments with a top-level index carrying segment-level
-  * min/max (Iceberg's manifest-list shape), which changes none of the
-  * reader/writer contracts here.
+  * Scale ceiling, half-retired in round 12: the manifest is PAGED
+  * once the file list outgrows [[SegmentEntries]] — the root lists
+  * immutable segment files and each commit re-serializes only dirty
+  * segments ([[planSegments]]: append = one new segment; PROBE-MANIFEST
+  * measures the 1M-entry append commit at 0.25 s paged vs 13.6 s
+  * monolithic). What remains O(files): plan-time driver MEMORY (every
+  * consumer materializes the full entry list — measured 1.2 s /
+  * ~400 MB to read 1M entries, fine at the 100 TB ≈ 800k-shard
+  * design point); past that the remaining upgrade is segment-level
+  * min/max in the root for lazy segment pruning (Iceberg's
+  * manifest-list shape), which none of the reader/writer contracts
+  * here preclude.
   *
   * File encoding (big-endian throughout). v3 (current writer): magic,
   * self-describing column header (count, then type tag + name per
@@ -480,7 +486,18 @@ object ShardFormat {
       // with DROP COLUMN. Point lookups and IN-list probes on these
       // columns skip whole files the stats tier cannot (unsorted
       // high-cardinality equality — THE missing pruning at 100 TB)
-      bloomColumns: Seq[String] = Nil) {
+      bloomColumns: Seq[String] = Nil,
+      // PAGED-MANIFEST provenance, populated by the READER when the
+      // root carries `fileSegments` instead of an inline `files` array:
+      // which immutable segment file each run of entries came from, in
+      // order, holding the ORIGINAL FileEntry references. Never
+      // serialized itself — [[writeManifest]] uses the references to
+      // reuse untouched segments at commit (identity compare: any
+      // fe.copy marks its segment dirty), so an APPEND to a 1M-file
+      // table writes ONE new segment + a root of segment names instead
+      // of re-serializing 300 MB of entries twice. Nil on inline
+      // manifests and on manifests assembled in memory
+      pagedSegments: Seq[PagedSegment] = Nil) {
     /** The identity partition column, when that is the spec (the
       * group-by-pushdown and legacy surfaces). */
     def partitionColumn: Option[String] =
@@ -505,6 +522,20 @@ object ShardFormat {
         ids.toArray)
     }
   }
+
+  /** One immutable manifest segment as READ from disk: its file name
+    * and the entries it contributed, in order, by reference
+    * ([[Manifest.pagedSegments]]). */
+  final case class PagedSegment(name: String, entries: IndexedSeq[FileEntry])
+
+  /** Entries per manifest segment once a table outgrows the inline
+    * `files` array. 10k entries ≈ 3 MB of JSON per segment: big enough
+    * that a 1M-file table is ~100 root-listed names, small enough that
+    * the dirty-segment rewrite after a row-level delete is milliseconds.
+    * The production constant; specs shrink [[segmentMaxEntries]] to
+    * exercise paging without writing 10k real shard files. */
+  val SegmentEntries = 10000
+  @volatile private[graft] var segmentMaxEntries: Int = SegmentEntries
 
   /** Serializable column-resolution context for [[ShardReader]]s: how a
     * file's self-described columns map onto the table schema under
@@ -1626,35 +1657,28 @@ object ShardFormat {
       } else if (root.has("partitionColumn"))
         Some(IdentityPart(root.get("partitionColumn").asText()))
       else None
-    val files = Seq.newBuilder[FileEntry]
-    root.get("files").forEach { fn =>
-      val present = Map.newBuilder[String, (Long, Long, Long)]
-      val allNull = Map.newBuilder[String, Long]
-      val sums = Map.newBuilder[String, Long]
-      val strs = Map.newBuilder[String, (String, String, Long)]
-      val stats = fn.get("stats")
-      if (stats != null) stats.fields().forEachRemaining { e =>
-        val v = e.getValue
-        if (v.has("min")) {
-          present += e.getKey -> ((v.get("min").asLong(), v.get("max").asLong(), v.get("nulls").asLong()))
-          if (v.has("sum")) sums += e.getKey -> v.get("sum").asLong()
+    // inline `files` array (small tables) or `fileSegments` (paged:
+    // the root lists immutable segment files in order — the full entry
+    // list is their concatenation, and each segment's provenance is
+    // kept for commit-time reuse)
+    val (files: Seq[FileEntry], paged: Seq[PagedSegment]) =
+      if (root.has("fileSegments")) {
+        val segs = Seq.newBuilder[PagedSegment]
+        root.get("fileSegments").forEach { n =>
+          val segName = n.asText()
+          val segFile = new File(f.getParentFile, segName)
+          if (!segFile.isFile)
+            throw new java.io.IOException(
+              s"graftshard: manifest segment '$segName' referenced by " +
+                s"${f.getName} is missing — the table directory is corrupt " +
+                "or was partially copied")
+          val segRoot = mapper.readTree(segFile)
+          val entries = readEntries(segRoot.get("files"))
+          segs += PagedSegment(segName, entries.toIndexedSeq)
         }
-        else if (v.has("smin"))
-          strs += e.getKey -> ((v.get("smin").asText(), v.get("smax").asText(), v.get("nulls").asLong()))
-        else allNull += e.getKey -> v.get("nulls").asLong()
-      }
-      val partition =
-        if (fn.has("partition")) Some(fn.get("partition").asLong()) else None
-      val deletes =
-        if (fn.has("deletes")) Some(fn.get("deletes").asText()) else None
-      val deletedRows =
-        if (fn.has("deletedRows")) fn.get("deletedRows").asLong() else 0L
-      val bloom =
-        if (fn.has("bloom")) Some(fn.get("bloom").asText()) else None
-      files += FileEntry(fn.get("name").asText(), fn.get("bytes").asLong(),
-        fn.get("rows").asLong(), present.result(), allNull.result(), partition,
-        deletes, deletedRows, sums.result(), strs.result(), bloom)
-    }
+        val all = segs.result()
+        (all.flatMap(_.entries), all)
+      } else (readEntries(root.get("files")), Nil)
     val version = if (root.has("manifestVersion")) root.get("manifestVersion").asLong() else 0L
     val createdAt = if (root.has("createdAtMs")) root.get("createdAtMs").asLong() else 0L
     val sortedBy = if (root.has("sortedBy")) Some(root.get("sortedBy").asText()) else None
@@ -1694,9 +1718,43 @@ object ShardFormat {
       if (bc != null) bc.forEach(n => b += n.asText())
       b.result()
     }
-    Some(Manifest(schema, generation, files.result(), partitioning, version,
+    Some(Manifest(schema, generation, files, partitioning, version,
       createdAt, sortedBy, streamCommits, dropped, operation, compression,
-      fieldIds, lastFieldId, aliases, bloomColumns))
+      fieldIds, lastFieldId, aliases, bloomColumns, paged))
+  }
+
+  /** Parses one manifest `files` array (root-inline or segment file). */
+  private def readEntries(arr: com.fasterxml.jackson.databind.JsonNode): Seq[FileEntry] = {
+    val files = Seq.newBuilder[FileEntry]
+    if (arr != null) arr.forEach { fn =>
+      val present = Map.newBuilder[String, (Long, Long, Long)]
+      val allNull = Map.newBuilder[String, Long]
+      val sums = Map.newBuilder[String, Long]
+      val strs = Map.newBuilder[String, (String, String, Long)]
+      val stats = fn.get("stats")
+      if (stats != null) stats.fields().forEachRemaining { e =>
+        val v = e.getValue
+        if (v.has("min")) {
+          present += e.getKey -> ((v.get("min").asLong(), v.get("max").asLong(), v.get("nulls").asLong()))
+          if (v.has("sum")) sums += e.getKey -> v.get("sum").asLong()
+        }
+        else if (v.has("smin"))
+          strs += e.getKey -> ((v.get("smin").asText(), v.get("smax").asText(), v.get("nulls").asLong()))
+        else allNull += e.getKey -> v.get("nulls").asLong()
+      }
+      val partition =
+        if (fn.has("partition")) Some(fn.get("partition").asLong()) else None
+      val deletes =
+        if (fn.has("deletes")) Some(fn.get("deletes").asText()) else None
+      val deletedRows =
+        if (fn.has("deletedRows")) fn.get("deletedRows").asLong() else 0L
+      val bloom =
+        if (fn.has("bloom")) Some(fn.get("bloom").asText()) else None
+      files += FileEntry(fn.get("name").asText(), fn.get("bytes").asLong(),
+        fn.get("rows").asLong(), present.result(), allNull.result(), partition,
+        deletes, deletedRows, sums.result(), strs.result(), bloom)
+    }
+    files.result()
   }
 
   /** Atomic publish: write to a temp sibling, then rename over the
@@ -1748,28 +1806,18 @@ object ShardFormat {
         val b = root.putObject("partitionBucket")
         b.put("numBuckets", n); b.put("column", c): Unit
     }
-    val arr: ArrayNode = root.putArray("files")
-    m.files.foreach { fe =>
-      val fn: ObjectNode = arr.addObject()
-      fn.put("name", fe.name)
-      fn.put("bytes", fe.bytes)
-      fn.put("rows", fe.rows)
-      fe.partition.foreach(fn.put("partition", _))
-      fe.deletes.foreach { d =>
-        fn.put("deletes", d); fn.put("deletedRows", fe.deletedRows): Unit
-      }
-      fe.bloom.foreach(fn.put("bloom", _))
-      val st = fn.putObject("stats")
-      fe.stats.foreach { case (c, (mn, mx, nl)) =>
-        val cn = st.putObject(c)
-        cn.put("min", mn); cn.put("max", mx); cn.put("nulls", nl)
-        fe.sums.get(c).foreach(cn.put("sum", _)): Unit
-      }
-      fe.strStats.foreach { case (c, (mn, mx, nl)) =>
-        val cn = st.putObject(c)
-        cn.put("smin", mn); cn.put("smax", mx); cn.put("nulls", nl): Unit
-      }
-      fe.allNull.foreach { case (c, nl) => st.putObject(c).put("nulls", nl): Unit }
+    // file entries: inline for small tables (the readable, zero-extra-
+    // file default); PAGED into immutable segment files once the list
+    // outgrows a segment — the commit then re-serializes ONLY dirty
+    // segments (see [[planSegments]]) and the root shrinks to a list of
+    // segment names, so append cost is O(new files), not O(table)
+    if (m.files.size <= segmentMaxEntries) {
+      val arr: ArrayNode = root.putArray("files")
+      m.files.foreach(fe => writeEntry(arr.addObject(), fe))
+    } else {
+      val refs = planSegments(dir, m)
+      val arr: ArrayNode = root.putArray("fileSegments")
+      refs.foreach(arr.add)
     }
     val bytes = om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
     def publish(target: File): Unit = {
@@ -1795,5 +1843,87 @@ object ShardFormat {
       if (m.version > 0) versionFile(dir, m.version).delete()
       throw e
     }
+  }
+
+  /** One manifest entry → its JSON node (root-inline or segment). */
+  private def writeEntry(fn: ObjectNode, fe: FileEntry): Unit = {
+    fn.put("name", fe.name)
+    fn.put("bytes", fe.bytes)
+    fn.put("rows", fe.rows)
+    fe.partition.foreach(fn.put("partition", _))
+    fe.deletes.foreach { d =>
+      fn.put("deletes", d); fn.put("deletedRows", fe.deletedRows): Unit
+    }
+    fe.bloom.foreach(fn.put("bloom", _))
+    val st = fn.putObject("stats")
+    fe.stats.foreach { case (c, (mn, mx, nl)) =>
+      val cn = st.putObject(c)
+      cn.put("min", mn); cn.put("max", mx); cn.put("nulls", nl)
+      fe.sums.get(c).foreach(cn.put("sum", _)): Unit
+    }
+    fe.strStats.foreach { case (c, (mn, mx, nl)) =>
+      val cn = st.putObject(c)
+      cn.put("smin", mn); cn.put("smax", mx); cn.put("nulls", nl): Unit
+    }
+    fe.allNull.foreach { case (c, nl) => st.putObject(c).put("nulls", nl): Unit }
+  }
+
+  /** Plans the paged root's segment list for `m.files`, reusing every
+    * UNTOUCHED segment of the manifest the commit was derived from and
+    * writing fresh immutable segment files for everything else.
+    *
+    * "Untouched" is an IDENTITY check: a run of entries reuses its
+    * original segment only when the segment's entire entry list appears
+    * contiguously, in order, as the SAME objects ([[Manifest
+    * .pagedSegments]] holds the references the reader produced). Every
+    * mutation path breaks identity by construction — `fe.copy` (MoR
+    * delete-vector swaps, rename re-keys), removal (compaction, CoW,
+    * REPLACE WHERE, metadata DELETE) — so reuse can never publish stale
+    * bytes, while the dominant commit (APPEND: `prior ++ committed`)
+    * passes every prior reference through and writes exactly one new
+    * segment. Segment files are written BEFORE the root publishes, so
+    * an unreferenced segment from a crashed commit is plain vacuum
+    * garbage no reader ever sees. */
+  private def planSegments(dir: String, m: Manifest): Seq[String] = {
+    val files = m.files.toIndexedSeq
+    val segOf = new java.util.IdentityHashMap[FileEntry, PagedSegment]()
+    m.pagedSegments.foreach(s => s.entries.foreach(e => segOf.put(e, s)))
+    val out = Seq.newBuilder[String]
+    val pending = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    def flush(): Unit = if (pending.nonEmpty) {
+      val name = s"_graft_manifest-seg-${java.util.UUID.randomUUID().toString.take(12)}.json"
+      val seg = mapper.createObjectNode()
+      seg.put("version", Version)
+      val arr = seg.putArray("files")
+      pending.foreach(fe => writeEntry(arr.addObject(), fe))
+      val w = new FileOutputStream(new File(dir, name))
+      try w.write(mapper.writeValueAsBytes(seg))
+      finally w.close()
+      out += name
+      pending.clear()
+    }
+    var i = 0
+    while (i < files.length) {
+      val e = files(i)
+      val s = segOf.get(e)
+      val n = if (s == null) 0 else s.entries.length
+      var intact = s != null && i + n <= files.length
+      var j = 0
+      while (intact && j < n) {
+        intact = files(i + j) eq s.entries(j)
+        j += 1
+      }
+      if (intact && n > 0) {
+        flush() // preserve global order around the reused run
+        out += s.name
+        i += n
+      } else {
+        pending += e
+        if (pending.size >= segmentMaxEntries) flush()
+        i += 1
+      }
+    }
+    flush()
+    out.result()
   }
 }
