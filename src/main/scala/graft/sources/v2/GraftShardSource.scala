@@ -151,6 +151,26 @@ class GraftShardTable(
     s"graftshard.`$path`" + pinned.map(m => s"@v${m.version}").getOrElse("")
   override def schema(): StructType = tableSchema
 
+  /** The manifest's recorded config surfaced to SQL (`SHOW
+    * TBLPROPERTIES` / `DESCRIBE TABLE EXTENDED`): read fresh per call
+    * so property-recording writes and ALTERs show up on a live
+    * handle; a time-travel snapshot reports ITS OWN commit's state. */
+  override def properties(): java.util.Map[String, String] = {
+    val props = new java.util.HashMap[String, String]()
+    pinned.orElse(ShardFormat.readManifest(path)).foreach { m =>
+      m.compression.foreach(props.put("compression", _))
+      if (m.bloomColumns.nonEmpty)
+        props.put("bloomColumns", m.bloomColumns.mkString(","))
+      m.sortedBy.foreach(props.put("sortWithinShards", _))
+      props.put("manifestVersion", m.version.toString)
+      props.put("generation", m.generation)
+      props.put("files", m.files.size.toString)
+      if (m.pagedSegments.nonEmpty)
+        props.put("manifestSegments", m.pagedSegments.size.toString)
+    }
+    props
+  }
+
   /** Metadata-only DELETE (the Iceberg shape): a delete is accepted iff
     * every manifest file is PROVABLY all-match (dropped) or no-match
     * (kept) under the predicate — decided from per-file stats, zero

@@ -360,4 +360,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(gone.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
       gone.getMessage.toLowerCase.contains("not found"), gone.getMessage)
   }
+
+  test("SHOW TBLPROPERTIES surfaces the manifest's recorded config; snapshots report their own") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.props")
+    spark.sql("CREATE TABLE graftcat.props.t (id BIGINT, s STRING) USING graftshard " +
+      "TBLPROPERTIES ('compression' = 'dict', 'bloomColumns' = 'id')")
+    spark.sql("INSERT INTO graftcat.props.t VALUES (1, 'a')")
+    def props(sql: String): Map[String, String] =
+      spark.sql(sql).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val p = props("SHOW TBLPROPERTIES graftcat.props.t")
+    assert(p.get("compression").contains("dict"), p.toString)
+    assert(p.get("bloomColumns").contains("id"), p.toString)
+    assert(p.get("files").contains("1"), p.toString)
+    val v = p("manifestVersion").toLong
+    // a later write bumps what the LIVE handle reports...
+    spark.sql("INSERT INTO graftcat.props.t VALUES (3, 'c')")
+    val p2 = props("SHOW TBLPROPERTIES graftcat.props.t")
+    assert(p2("manifestVersion").toLong == v + 1 && p2("files") == "2", p2.toString)
+    // ...while a time-travel snapshot reports its own commit's state
+    // (loadTable(ident, version) — SHOW TBLPROPERTIES has no AS OF form)
+    val cat = spark.sessionState.catalogManager.catalog("graftcat")
+      .asInstanceOf[graft.sources.v2.GraftCatalog]
+    val snap = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("props"), "t"),
+      v.toString).properties()
+    assert(snap.get("manifestVersion").toLong == v && snap.get("files") == "1",
+      snap.toString)
+  }
 }
