@@ -202,9 +202,16 @@ class GraftShardChangesTable(path: String, from: Long, to: Long, toExplicit: Boo
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // streaming admission control: cap each micro-batch at N commits
+    // (the version IS the feed's atomic unit — a batch boundary can
+    // never split one commit's delta)
+    val maxVersions = Option(options.get("maxVersionsPerTrigger")).map(_.toInt)
+    maxVersions.foreach(n => require(n > 0,
+      s"graftshard: maxVersionsPerTrigger must be > 0, got $n"))
     new GraftShardChangesScanBuilder(path, planned._1.schema, schema(), planned._2,
-      from, toExplicit, planned._1.resolution)
+      from, toExplicit, planned._1.resolution, maxVersions)
+  }
 }
 
 class GraftShardChangesScanBuilder(
@@ -214,7 +221,8 @@ class GraftShardChangesScanBuilder(
     changes: Seq[GraftShardChanges.FileChange],
     from: Long,
     toExplicit: Boolean,
-    resolve: ShardFormat.ColumnResolution = ShardFormat.ColumnResolution.empty)
+    resolve: ShardFormat.ColumnResolution = ShardFormat.ColumnResolution.empty,
+    maxVersionsPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -243,7 +251,8 @@ class GraftShardChangesScanBuilder(
       require(!toExplicit,
         "graftshard: a streaming change feed is unbounded — drop changesTo " +
           "(changesFrom names the version the stream starts after)")
-      new GraftShardChangesMicroBatchStream(path, from, baseSchema, required)
+      new GraftShardChangesMicroBatchStream(path, from, baseSchema, required,
+        maxVersionsPerTrigger)
     }
   }
 }
@@ -261,16 +270,47 @@ object ChangesOffset {
   }
 }
 
+/** Admission control for the feed: `option("maxVersionsPerTrigger", n)`
+  * caps each micro-batch at n COMMITS — a consumer catching up over a
+  * deep backlog (the "changes since last week" bootstrap) drains it in
+  * bounded batches instead of replaying every retained version in one
+  * commit. Versions ride the `ReadMaxFiles` carrier (the version is
+  * the feed's admission unit the way the file is the table stream's);
+  * a batch boundary can never split one commit's delta. */
 class GraftShardChangesMicroBatchStream(
     path: String,
     startVersion: Long,
     baseSchema: StructType,
-    required: StructType)
-    extends MicroBatchStream {
+    required: StructType,
+    maxVersionsPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxFiles}
 
   override def initialOffset(): Offset = ChangesOffset(startVersion)
   override def latestOffset(): Offset = ChangesOffset(
     ShardFormat.readManifest(path).map(_.version).getOrElse(startVersion))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val latest = ShardFormat.readManifest(path).map(_.version).getOrElse(startVersion)
+    val from = start.asInstanceOf[ChangesOffset].version
+    def admit(l: ReadLimit): Long = l match {
+      case _: ReadAllAvailable => latest
+      case f: ReadMaxFiles => math.min(latest, from + f.maxFiles())
+      case c: CompositeReadLimit => c.getReadLimits.map(admit).min
+      case other => throw new UnsupportedOperationException(
+        s"graftshard: unsupported change-feed read limit $other — use " +
+          "maxVersionsPerTrigger")
+    }
+    ChangesOffset(math.max(from, admit(limit)))
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
   override def deserializeOffset(json: String): Offset = ChangesOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

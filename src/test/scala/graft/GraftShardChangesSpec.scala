@@ -199,6 +199,49 @@ class GraftShardChangesSpec extends AnyFunSuite {
     assert(msgs.contains("unbounded"), msgs)
   }
 
+  test("streaming change feed admission control: maxVersionsPerTrigger drains a backlog one commit per batch") {
+    spark.sql("CREATE NAMESPACE cdfcat.adm")
+    spark.range(0, 5).select(col("id"), (col("id") * 3L).as("v"))
+      .coalesce(1).writeTo("cdfcat.adm.t").using("graftshard").create()
+    val dir = s"$warehouse/adm/t"
+    val v0 = ShardFormat.readManifest(dir).get.version
+    // the backlog: four commits BEFORE the stream starts
+    (1 to 4).foreach { i =>
+      spark.range(i * 100L, i * 100L + 5).select(col("id"), (col("id") * 3L).as("v"))
+        .coalesce(1).writeTo("cdfcat.adm.t").append()
+    }
+    val perBatch = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    val q = spark.readStream.format("graftshard")
+      .option("changesFrom", v0).option("maxVersionsPerTrigger", "1").load(dir)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val vs = df.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).toSet
+        if (vs.nonEmpty) perBatch.add(vs): Unit
+      })
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cdf_adm_ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val batches = perBatch.toArray(Array.empty[Set[Long]]).toSeq
+    assert(batches.size == 4, s"one commit per batch over the backlog: $batches")
+    assert(batches.forall(_.size == 1), s"a batch mixed commits: $batches")
+    assert(batches.flatten.toSet == (v0 + 1 to v0 + 4).toSet,
+      s"every commit exactly once: $batches")
+    // option validation carries the option name
+    val e = intercept[Exception] {
+      spark.readStream.format("graftshard")
+        .option("changesFrom", v0).option("maxVersionsPerTrigger", "0").load(dir)
+        .writeStream.format("memory").queryName("cdf_adm_bad")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_cdf_adm_ckpt2").toString)
+        .start().processAllAvailable()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("maxVersionsPerTrigger"), msgs)
+  }
+
   test("overwrite reports all old rows deleted and all new rows inserted; column pruning works") {
     val dir = Files.createTempDirectory("graft_cdf_path").toString + "/t"
     spark.range(0, 30).select(col("id"))
