@@ -987,6 +987,40 @@ object ExtensionQueries {
     s.read.format("graftshard").load(dst)
   }
 
+  /** st9's lake-to-lake pipeline under ADMISSION CONTROL — the 100 TB
+    * bootstrap shape: the stream starts against an EXISTING multi-file
+    * table and `maxFilesPerTrigger` drains it in bounded micro-batches
+    * under Trigger.AvailableNow instead of one table-sized first batch
+    * (no intra-batch checkpoint at scale = one late task failure loses
+    * everything). The query REQUIRES that multiple epochs actually
+    * committed (the sink manifest's replay-guard epoch is the
+    * observable) and the oracle proves the capped drain is byte-exact
+    * vs the uncapped answer. */
+  private def st11(s: SparkSession, dir: String): DataFrame = {
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val src = Q.tmpArtifactPath("st11src", dir) + s"_$run"
+    val dst = Q.tmpArtifactPath("st11dst", dir) + s"_$run"
+    val ckpt = Q.tmpArtifactPath("st11ckpt", dir) + s"_$run"
+    table(s, dir, "documents").select("doc_id", "n_chars", "lang", "source")
+      .repartitionByRange(8, col("doc_id"))
+      .write.format("graftshard").mode("overwrite").save(src)
+    val q = s.readStream.format("graftshard")
+      .option("maxFilesPerTrigger", "2").load(src)
+      .where(col("n_chars") >= 150 && col("lang") =!= "de")
+      .select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
+      .writeStream.format("graftshard")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    val epochs = graft.sources.v2.ShardFormat.readManifest(dst).get
+      .streamCommits.values
+    require(epochs.nonEmpty && epochs.max >= 2,
+      s"st11: expected the 8-file backlog to drain in >= 3 capped epochs, " +
+        s"got highest epoch ${epochs.maxOption.getOrElse(-1L)}")
+    s.read.format("graftshard").load(dst)
+  }
+
   /** Streaming CHANGE FEED end to end: a lake table takes an append
     * and a merge-on-read DELETE while a `changesFrom` stream follows it
     * — the micro-batches are exact version deltas (offsets = manifest
@@ -4226,6 +4260,12 @@ object ExtensionQueries {
     Q("st9_stream_lake_pipeline", st9, Some("""
       SELECT doc_id, (n_chars * 2)::BIGINT AS chars2, lang
       FROM documents WHERE n_chars > 100""")),
+
+    // rate-limited bootstrap: maxFilesPerTrigger drains an existing
+    // 8-file table in capped AvailableNow epochs, byte-exact
+    Q("st11_stream_rate_limited", st11, Some("""
+      SELECT doc_id, n_chars, lang, source FROM documents
+      WHERE n_chars >= 150 AND lang <> 'de'""")),
 
     // streaming change feed: version-delta micro-batches into a lake sink
     Q("st10_stream_change_feed", st10, Some("""

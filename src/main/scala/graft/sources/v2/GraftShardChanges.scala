@@ -284,7 +284,7 @@ class GraftShardChangesMicroBatchStream(
     required: StructType,
     maxVersionsPerTrigger: Option[Int] = None)
     extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxFiles}
 
@@ -292,11 +292,20 @@ class GraftShardChangesMicroBatchStream(
   override def latestOffset(): Offset = ChangesOffset(
     ShardFormat.readManifest(path).map(_.version).getOrElse(startVersion))
 
+  // Trigger.AvailableNow: pin this run's end version (without
+  // SupportsTriggerAvailableNow, Spark's wrapper DISCARDS read limits
+  // for AvailableNow runs)
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(
+      ShardFormat.readManifest(path).map(_.version).getOrElse(startVersion))
+
   override def getDefaultReadLimit: ReadLimit =
     maxVersionsPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val latest = ShardFormat.readManifest(path).map(_.version).getOrElse(startVersion)
+    val current = ShardFormat.readManifest(path).map(_.version).getOrElse(startVersion)
+    val latest = availableNowCap.map(math.min(_, current)).getOrElse(current)
     val from = start.asInstanceOf[ChangesOffset].version
     def admit(l: ReadLimit): Long = l match {
       case _: ReadAllAvailable => latest

@@ -820,8 +820,12 @@ object ShardOffset {
   * caps exact prefix cuts (manifest order, no directory listing); the
   * byte cap admits at least one file per batch so a shard larger than
   * the cap can never stall the stream (FileStreamSource's progress
-  * rule). Trigger.AvailableNow composes: Spark pins the end offset
-  * once, then drains it in capped batches. */
+  * rule). Trigger.AvailableNow composes through
+  * [[org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow]]
+  * — WITHOUT it Spark's wrapper silently DISCARDS read limits for
+  * AvailableNow runs and the bootstrap is one table-sized batch again:
+  * the stream pins the end offset at query start, then drains to it in
+  * capped batches. */
 class GraftShardMicroBatchStream(
     path: String,
     fullSchema: StructType,
@@ -830,13 +834,19 @@ class GraftShardMicroBatchStream(
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   private def manifest(): ShardFormat.Manifest =
     ShardFormat.readManifest(path).getOrElse(
       ShardFormat.Manifest(fullSchema, "", Nil))
+
+  // Trigger.AvailableNow: the end of THIS run, pinned at query start —
+  // capped batches drain to here, then the query stops
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(manifest().files.size.toLong)
 
   override def initialOffset(): Offset = ShardOffset("", 0L)
   override def latestOffset(): Offset = {
@@ -859,6 +869,9 @@ class GraftShardMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val m = manifest()
     val from = start.asInstanceOf[ShardOffset].fileCount.toInt
+    val ceiling = availableNowCap
+      .map(c => math.min(c, m.files.size.toLong).toInt)
+      .getOrElse(m.files.size)
     def admit(l: ReadLimit, upTo: Int): Int = l match {
       case _: ReadAllAvailable => upTo
       case f: ReadMaxFiles =>
@@ -878,7 +891,7 @@ class GraftShardMicroBatchStream(
         s"graftshard: unsupported read limit $other — use maxFilesPerTrigger / " +
           "maxBytesPerTrigger")
     }
-    ShardOffset(m.generation, math.max(from, admit(limit, m.files.size)).toLong)
+    ShardOffset(m.generation, math.max(from, admit(limit, ceiling)).toLong)
   }
 
   override def reportLatestOffset(): Offset = latestOffset()
