@@ -6,10 +6,12 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference, Transform}
-import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** `GraftCatalog` — a V2 catalog plugin over a warehouse directory of
@@ -43,7 +45,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * manifest does, so catalog metadata needs no second store and every
   * isolation property of the manifest protocol carries over verbatim.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -461,6 +464,117 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (ident.name == "bucket") GraftBucketFunction
     else if (ident.name == "zorder") GraftZOrderFunction
     else throw new NoSuchFunctionException(ident)
+
+  // --------------------------------------------------------- procedures
+
+  /** The maintenance surface as SQL procedures (`CALL cat.system.X(...)`
+    * — the Iceberg shape): `compact` (OPTIMIZE), `expire_snapshots`,
+    * `vacuum`. The scheduled-job half of a lake lives in SQL at 100 TB
+    * (an orchestrator issues CALLs; it does not link the library), and
+    * each returns its report as rows so the job can alert on them. */
+  private val procedureNames = Seq("compact", "expire_snapshots", "vacuum")
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      procedureNames.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  /** `namespace.table` → the table's directory (procedures take the
+    * table as a STRING argument — CALL arguments are values, not
+    * identifiers). */
+  private def procTableDir(arg: String): String = {
+    val parts = arg.split('.')
+    require(parts.length == 2,
+      s"graftshard: procedure table argument must be 'namespace.table', got '$arg'")
+    val ident = Identifier.of(Array(parts(0)), parts(1))
+    val d = tableDir(ident)
+    if (!ShardFormat.manifestFile(d.getPath).isFile) throw new NoSuchTableException(ident)
+    d.getPath
+  }
+
+  // Spark's InvokeProcedures admits ONLY LocalScan output — the report
+  // is a handful of driver-resident rows anyway
+  private def rowsScan(schema: StructType, rs: Seq[Array[Any]]): Scan =
+    new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] =
+        rs.map(vs => new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs)
+          : InternalRow).toArray
+    }
+
+  private def procedure(
+      pname: String,
+      params: Array[ProcedureParameter],
+      out: StructType)(run: InternalRow => Seq[Array[Any]]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = pname
+      override def description(): String = s"graftshard maintenance: $pname"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = pname
+        override def description(): String = s"graftshard maintenance: $pname"
+        override def parameters(): Array[ProcedureParameter] = params
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] =
+          java.util.Collections.singletonList(rowsScan(out, run(input))).iterator()
+      }
+    }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"graftshard: unknown procedure namespace ${ident.namespace.mkString(".")} — " +
+        "maintenance procedures live under 'system'")
+    ident.name match {
+      case "compact" => procedure(
+        "compact",
+        Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'namespace.table' to compact").build(),
+          ProcedureParameter.in("target_bytes", LongType)
+            .defaultValue((128L * 1024 * 1024).toString)
+            .comment("target output shard size").build()),
+        StructType(Seq(
+          StructField("groups", LongType, nullable = false),
+          StructField("replaced_files", LongType, nullable = false),
+          StructField("created_files", LongType, nullable = false)))) { in =>
+        val r = GraftShardMaintenance.compact(
+          org.apache.spark.sql.SparkSession.active,
+          procTableDir(in.getUTF8String(0).toString), in.getLong(1))
+        Seq(Array[Any](r.groups.toLong, r.replaced.size.toLong, r.added.size.toLong))
+      }
+      case "expire_snapshots" => procedure(
+        "expire_snapshots",
+        Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'namespace.table' whose history to retire").build(),
+          ProcedureParameter.in("keep_last", IntegerType)
+            .defaultValue("1").comment("snapshots to retain").build()),
+        StructType(Seq(
+          StructField("expired_snapshots", LongType, nullable = false)))) { in =>
+        val expired = GraftShardMaintenance.expireSnapshots(
+          procTableDir(in.getUTF8String(0).toString), in.getInt(1))
+        Seq(Array[Any](expired.size.toLong))
+      }
+      case "vacuum" => procedure(
+        "vacuum",
+        Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'namespace.table' to reclaim garbage under").build(),
+          ProcedureParameter.in("min_age_ms", LongType)
+            .defaultValue(GraftShardMaintenance.DefaultMinAgeMs.toString)
+            .comment("age horizon — younger candidates are kept").build()),
+        StructType(Seq(
+          StructField("deleted", LongType, nullable = false),
+          StructField("kept_live", LongType, nullable = false),
+          StructField("kept_recent", LongType, nullable = false)))) { in =>
+        val r = GraftShardMaintenance.vacuum(
+          procTableDir(in.getUTF8String(0).toString), in.getLong(1))
+        Seq(Array[Any](r.deleted.size.toLong, r.keptLive.toLong, r.keptRecent.size.toLong))
+      }
+      case other => throw new UnsupportedOperationException(
+        s"graftshard: unknown procedure 'system.$other' — supported: " +
+          procedureNames.mkString(", "))
+    }
+  }
 }
 
 /** The SQL-visible half of [[ShardFormat.zOrderOf]] — the write path

@@ -387,4 +387,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(snap.get("manifestVersion").toLong == v && snap.get("files") == "1",
       snap.toString)
   }
+
+  test("CALL procedures: compact / expire_snapshots / vacuum run the maintenance surface from SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.maint")
+    spark.sql("CREATE TABLE graftcat.maint.t (id BIGINT, v BIGINT) USING graftshard")
+    (0 until 6).foreach { i =>
+      spark.sql(s"INSERT INTO graftcat.maint.t SELECT id, id * 2 FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    val dir = s"$warehouse/maint/t"
+    val filesBefore = graft.sources.v2.ShardFormat.readManifest(dir).get.files.size
+    assert(filesBefore >= 6)
+    // OPTIMIZE from SQL, report as rows
+    val c = spark.sql("CALL graftcat.system.compact('maint.t')").collect()
+    assert(c.length == 1 && c(0).getLong(1) == filesBefore.toLong,
+      s"compact report: ${c.toSeq}")
+    assert(spark.table("graftcat.maint.t").count() == 60)
+    assert(graft.sources.v2.ShardFormat.readManifest(dir).get.files.size < filesBefore)
+    // retire history, then reclaim the replaced files
+    val e = spark.sql("CALL graftcat.system.expire_snapshots('maint.t', keep_last => 1)").collect()
+    assert(e.length == 1 && e(0).getLong(0) >= 1L, s"expire report: ${e.toSeq}")
+    val v = spark.sql("CALL graftcat.system.vacuum('maint.t', min_age_ms => 0L)").collect()
+    assert(v.length == 1 && v(0).getLong(0) >= filesBefore.toLong, s"vacuum report: ${v.toSeq}")
+    assert(spark.table("graftcat.maint.t").count() == 60, "maintenance never loses rows")
+    // discovery + refusals carry names
+    val listed = spark.sessionState.catalogManager.catalog("graftcat")
+      .asInstanceOf[graft.sources.v2.GraftCatalog]
+      .listProcedures(Array("system")).map(_.name).toSet
+    assert(listed == Set("compact", "expire_snapshots", "vacuum"))
+    val bad = intercept[Exception] { spark.sql("CALL graftcat.system.nope('maint.t')").collect() }
+    assert(bad.getMessage.contains("nope"), bad.getMessage)
+    val badTable = intercept[Exception] {
+      spark.sql("CALL graftcat.system.vacuum('maint.missing', min_age_ms => 0L)").collect()
+    }
+    assert(badTable.getMessage.contains("missing") ||
+      badTable.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), badTable.getMessage)
+  }
 }
