@@ -556,6 +556,60 @@ object ScaleProbe {
       return
     }
 
+    // ------------------------------------------- upsert A/B (upsert)
+    // `runMain graft.ScaleProbe upsert` — the equality-delete claim as
+    // a number: merging a CDC batch (~1% of keys, changed values) into
+    // a table as ONE upsert commit (insert files + exact-key sidecar,
+    // O(batch)) vs the copy-on-write UPDATE of the same keys (the
+    // rewrite path — scans candidates, rewrites files, O(touched
+    // files)). Then the read-side tax the upsert defers (full-scan
+    // aggregate before/after) and the compaction that retires it.
+    if (args.headOption.contains("upsert")) {
+      val reuse = args.drop(1).contains("reuse")
+      val cd = "/tmp/graft_sf1cd"
+      ensureFixture(cd, 10, reuse)
+      spark.conf.set("spark.sql.catalog.upprobe", "graft.sources.v2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.upprobe.warehouse", "/tmp/graft_upprobe_wh")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS upprobe.p")
+      def t(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      var warming = true
+      for (pass <- Seq("warm", "measure");
+           (dir, tag) <- if (warming) Seq((src, "1x")) else Seq((src, "1x"), (cd, "10x"))) {
+        def mk(kind: String): (String, String) = {
+          val tbl = s"upprobe.p.t_${pass}_${tag}_$kind"
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text"), col("n_chars"))
+            .repartitionByRange(32, col("doc_id"))
+            .writeTo(tbl).using("graftshard").create()
+          (tbl, s"/tmp/graft_upprobe_wh/p/${tbl.split('.').last}")
+        }
+        val (cowTbl, _) = mk("cow")
+        val (_, upDir) = mk("up")
+        val batch = spark.read.parquet(s"$dir/documents.parquet")
+          .where(col("doc_id") % 101 === 5)
+          .select(col("doc_id"), col("text"), (col("n_chars") + 1).as("n_chars"))
+        batch.count() // materialize the source side out of the timing
+        val cow = t(spark.sql(
+          s"UPDATE $cowTbl SET n_chars = n_chars + 1 WHERE doc_id % 101 = 5"))
+        val up = t(batch.coalesce(4).write.format("graftshard")
+          .mode("append").option("upsertKey", "doc_id").save(upDir))
+        val readTaxed = t(spark.read.format("graftshard").load(upDir)
+          .agg(sum(length(col("text"))), count(lit(1))).collect())
+        val comp = t(graft.sources.v2.GraftShardMaintenance.compact(spark, upDir))
+        val readClean = t(spark.read.format("graftshard").load(upDir)
+          .agg(sum(length(col("text"))), count(lit(1))).collect())
+        if (!warming)
+          println(f"PROBE-UPSERT $tag%-4s cow_update=$cow%6.2f upsert_commit=$up%6.2f " +
+            f"read_taxed=$readTaxed%6.2f compact=$comp%6.2f read_clean=$readClean%6.2f")
+        if (pass == "warm") warming = false
+      }
+      spark.stop()
+      return
+    }
+
     // ------------------------------------------------ SPJ A/B (spj)
     // `runMain graft.ScaleProbe spj` — the graftshard keyed layout vs the
     // SAME data in unkeyed graftshard tables, on the x43 window workload

@@ -1672,6 +1672,37 @@ object ExtensionQueries {
           .select("doc_id", "lang", "source", "n_chars"))
   }
 
+  /** UPSERT ingestion via EQUALITY DELETES (Iceberg v2's idea): the
+    * CDC batch — changed values for every doc_id%5 doc plus brand-new
+    * docs — merges into the corpus as ONE O(batch) append commit (its
+    * insert files + a sidecar of the batch's exact keys, registered as
+    * "delete every OLDER row with these keys"). Zero scan, zero
+    * rewrite of the existing table; the gate reads back through the
+    * LIVE anti-filter (the read-side tax compaction later retires) and
+    * must be byte-exact vs the merged oracle. At 100 TB this is the
+    * difference between an upsert costing O(batch) and costing a
+    * MERGE's shuffle-join over the whole corpus
+    * (GraftShardUpsertSpec pins stacking, compaction apply+retire,
+    * pushdown refusals, streaming epochs, and the refusal surfaces). */
+  private def x63(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x63", dir) +
+      s"_${java.util.UUID.randomUUID().toString.take(8)}"
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+    docs.coalesce(2).write.format("graftshard").mode("overwrite").save(out)
+    // the CDC batch: updated values for existing keys + new documents
+    docs.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"), (col("n_chars") * 1000L).as("n_chars"))
+      .unionAll(docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("n_chars")))
+      .coalesce(2)
+      .write.format("graftshard").mode("append").option("upsertKey", "doc_id").save(out)
+    val m = graft.sources.v2.ShardFormat.readManifest(out).get
+    require(m.operation == "upsert" && m.equalityDeletes.nonEmpty,
+      s"x63: upsert commit not registered (${m.operation}, ${m.equalityDeletes})")
+    s.read.format("graftshard").load(out)
+  }
+
   /** RENAME COLUMN as a METADATA-ONLY commit (format v4 field ids —
     * [[graft.sources.v2.ShardFormat.MagicV4]]): half the corpus lands
     * under the ORIGINAL names, both data columns are renamed (one of
@@ -5149,6 +5180,17 @@ object ExtensionQueries {
       UNION ALL
       SELECT doc_id, lang, source, n_chars FROM documents
       WHERE 'k:' || doc_id IN ('k:256', 'k:1000001')""")),
+
+    // upsert via equality deletes: a CDC batch merges in O(batch),
+    // read back through the live anti-filter, byte-exact
+    Q("x63_shard_upsert", x63, Some("""
+      SELECT doc_id,
+        lang,
+        (CASE WHEN doc_id % 5 = 0 THEN n_chars * 1000 ELSE n_chars END)::BIGINT AS n_chars
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, lang, n_chars::BIGINT AS n_chars
+      FROM documents WHERE doc_id % 7 = 0""")),
 
     // RENAME COLUMN via field ids: mixed name-era files, one read
     Q("x59_shard_rename", x59, Some("""

@@ -247,6 +247,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     var part = m.partitioning
     var sorted = m.sortedBy
     var bloomC = m.bloomColumns
+    var eqDel = m.equalityDeletes
     def requireFreshName(c: String, what: String): Unit = {
       require(!sch.fieldNames.contains(c),
         s"graftshard: column '$c' already exists")
@@ -290,6 +291,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
               "layout's spine; rewrite the table to re-sort"))
           require(sch.fields.length > 1,
             s"graftshard: cannot drop the last column '$c'")
+          require(!m.equalityDeletes.exists(_.column == c),
+            s"graftshard: cannot drop column '$c' — live equality deletes " +
+              "(upsert commits) key on it and readers could no longer apply " +
+              "them; compact the table first")
           val i = sch.fieldIndex(c)
           sch = StructType(sch.fields.patch(i, Nil, 1))
           ids = ids.patch(i, Nil, 1) // the id retires — never reused
@@ -332,6 +337,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         // the property follows the rename; existing sidecars keyed by
         // the OLD name resolve through the alias map at read time
         bloomC = bloomC.map(c => if (c == from) to else c)
+        // equality deletes are manifest-resident (sidecars hold VALUES,
+        // not names) — re-key like the stats maps
+        eqDel = eqDel.map(d => if (d.column == from) d.copy(column = to) else d)
       case upd: TableChange.UpdateColumnType =>
         val c = single(upd.fieldNames)
         require(sch.fieldNames.contains(c),
@@ -377,6 +385,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       partitioning = part,
       sortedBy = sorted,
       bloomColumns = bloomC,
+      equalityDeletes = eqDel,
       version = m.version + 1,
       createdAtMs = System.currentTimeMillis(),
       operation = "alter"))

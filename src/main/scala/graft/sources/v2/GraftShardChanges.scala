@@ -98,6 +98,14 @@ object GraftShardChanges {
       val cur = snapshot(v)
       cur.operation match {
         case "compact" | "alter" | "create" => // no row changed
+        case "upsert" =>
+          throw new UnsupportedOperationException(
+            s"graftshard: commit v$v at '$path' was an UPSERT (equality " +
+              "delete + inserts) — which OLD rows its keys deleted is not " +
+              "knowable from a file-level diff without scanning them. " +
+              "Consume upserted tables as LATEST STATE (read the table) " +
+              "rather than as a change feed, or ingest via merge-on-read " +
+              "row-level operations when a feed is consumed downstream")
         case "cow" =>
           throw new UnsupportedOperationException(
             s"graftshard: commit v$v at '$path' was a copy-on-write row-level " +

@@ -49,6 +49,7 @@ object GraftShardMaintenance {
     // loadable version
     val live = (referenced.map(_.name) ++ referenced.flatMap(_.deletes) ++
       referenced.flatMap(_.bloom) ++
+      manifests.flatMap(_.equalityDeletes.map(_.name)) ++
       manifests.flatMap(_.pagedSegments.map(_.name))).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val deleted = Seq.newBuilder[String]
@@ -56,7 +57,7 @@ object GraftShardMaintenance {
     var keptLive = 0
     def reclaimable(n: String): Boolean =
       n.endsWith(".shard") || n.endsWith(".dvs") || n.endsWith(".bloom") ||
-        n.startsWith("_graft_manifest-seg-")
+        n.endsWith(".eqkeys") || n.startsWith("_graft_manifest-seg-")
     Option(new File(dir).listFiles()).getOrElse(Array.empty).foreach { f =>
       val n = f.getName
       val candidate =
@@ -115,14 +116,21 @@ object GraftShardMaintenance {
       targetBytes: Long = 128L * 1024 * 1024): CompactReport = {
     val m = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
       s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
-    val groups: Seq[(Option[Long], Seq[(String, Option[String])])] =
+    // a file subject to ANY live equality delete (strictly older than
+    // the delete's seq) is a rewrite candidate regardless of size —
+    // one compact pass applies and retires the read-side tax
+    val maxEqSeq = (0L +: m.equalityDeletes.map(_.seq)).max
+    val groups: Seq[(Option[Long], Seq[(String, Option[String], Long)])] =
       m.files.groupBy(_.partition).toSeq.sortBy(_._1).flatMap { case (p, fes) =>
         // small files merge; files carrying merge-on-read delete
-        // vectors are candidates REGARDLESS of size (a singleton
-        // rewrite purges the vector and restores full pushdown)
-        val small = fes.filter(fe => fe.bytes < targetBytes || fe.deletes.isDefined)
+        // vectors or subject to equality deletes are candidates
+        // REGARDLESS of size (a singleton rewrite purges the vector /
+        // applies the deletes and restores full pushdown)
+        def dirty(fe: ShardFormat.FileEntry): Boolean =
+          fe.deletes.isDefined || fe.seq < maxEqSeq
+        val small = fes.filter(fe => fe.bytes < targetBytes || dirty(fe))
         def keep(b: Seq[ShardFormat.FileEntry]): Boolean =
-          b.size >= 2 || b.exists(_.deletes.isDefined)
+          b.size >= 2 || b.exists(dirty)
         if (small.isEmpty) Nil
         else {
           // greedy chunking to ~targetBytes, manifest order (sorted
@@ -137,7 +145,7 @@ object GraftShardMaintenance {
             cur :+= fe; sz += fe.bytes
           }
           if (keep(cur)) bins += cur
-          bins.result().map(b => (p, b.map(fe => (fe.name, fe.deletes))))
+          bins.result().map(b => (p, b.map(fe => (fe.name, fe.deletes, fe.seq))))
         }
       }
     if (groups.isEmpty) return CompactReport(0, Nil, Nil)
@@ -157,17 +165,25 @@ object GraftShardMaintenance {
     // bloom sidecars regenerate with the rewrite (the property is the
     // manifest's, so compacted files keep the table's pruning power)
     val bloomCols = m.bloomColumns
+    // compaction APPLIES equality deletes (the reader anti-filters each
+    // member by its own seq); the output carries the max member seq, so
+    // applied deletes no longer cover it and reapplication of any
+    // later delete is an idempotent no-op
+    val eqRefs = m.equalityDeletes.map(d =>
+      (d.column, new File(dir, d.name).getPath, d.seq))
     val newEntries: Array[ShardFormat.FileEntry] =
       spark.sparkContext.parallelize(groups, groups.size).map { case (p, members) =>
         val name = s"compact-${java.util.UUID.randomUUID().toString.take(12)}.shard"
         val w = new ShardFormat.ShardWriter(new File(dir, name), schema, codec, ids,
           bloomCols)
         try {
-          GraftShardMaintenance.streamGroup(dir, members, schema, sortIdx, sortType, resolve)
+          GraftShardMaintenance.streamGroup(dir, members, schema, sortIdx, sortType,
+            resolve, eqRefs)
             .foreach(w.write)
           val (bytes, rows, stats, allNull) = w.finish()
           ShardFormat.FileEntry(name, bytes, rows, stats, allNull, p,
-            sums = w.sums, strStats = w.strStats, bloom = w.bloomSidecar)
+            sums = w.sums, strStats = w.strStats, bloom = w.bloomSidecar,
+            seq = members.map(_._3).max)
         } catch { case t: Throwable => w.abort(); throw t }
       }.collect()
     val current = ShardFormat.readManifest(dir).getOrElse(
@@ -184,12 +200,17 @@ object GraftShardMaintenance {
           s"(now v${current.version}); re-run (compaction output is " +
           "unreferenced and vacuum-reclaimable)")
     }
+    val newFiles = current.files.filterNot(fe => replaced.contains(fe.name)) ++ newEntries
+    // an equality delete RETIRES once no remaining file predates it —
+    // its sidecar becomes vacuum garbage and the read-side tax is gone
+    val liveEq = current.equalityDeletes.filter(d => newFiles.exists(_.seq < d.seq))
     ShardFormat.writeManifest(dir, current.copy(
-      files = current.files.filterNot(fe => replaced.contains(fe.name)) ++ newEntries,
+      files = newFiles,
       generation = java.util.UUID.randomUUID().toString.take(8),
       version = current.version + 1,
       createdAtMs = System.currentTimeMillis(),
-      operation = "compact"))
+      operation = "compact",
+      equalityDeletes = liveEq))
     CompactReport(groups.size, replaced.toSeq.sorted, newEntries.map(_.name).toSeq.sorted)
   }
 
@@ -218,6 +239,11 @@ object GraftShardMaintenance {
       Some(s"input files' delete vectors changed " +
         s"[${moved.map(_.name).sorted.mkString(", ")}] — publishing would " +
         "resurrect the concurrently-deleted rows")
+    // an UPSERT landing between plan and commit adds an equality delete
+    // the compacted output never applied — same resurrection hazard
+    else if (current.equalityDeletes != planned.equalityDeletes)
+      Some("the table's equality deletes changed (a concurrent upsert " +
+        "committed) — publishing would resurrect the upserted-away rows")
     else None
   }
 
@@ -228,20 +254,23 @@ object GraftShardMaintenance {
     * merged output is too. */
   private[v2] def streamGroup(
       dir: String,
-      names: Seq[(String, Option[String])],
+      names: Seq[(String, Option[String], Long)],
       schema: StructType,
       sortIdx: Int,
       sortType: DataType,
-      resolve: ShardFormat.ColumnResolution = ShardFormat.ColumnResolution.empty)
+      resolve: ShardFormat.ColumnResolution = ShardFormat.ColumnResolution.empty,
+      eqDeletes: Seq[(String, String, Long)] = Nil)
       : Iterator[InternalRow] = {
-    def readerOf(nd: (String, Option[String])): Iterator[InternalRow] = {
-      // the partition reader APPLIES the member's delete vector, so a
-      // compacted file is clean: sidecar refs drop from the manifest
-      // and the old vectors become vacuum garbage
+    def readerOf(nd: (String, Option[String], Long)): Iterator[InternalRow] = {
+      // the partition reader APPLIES the member's delete vector AND the
+      // equality deletes covering its seq, so a compacted file is
+      // clean: sidecar refs drop from the manifest and the old vectors
+      // become vacuum garbage
       val r = new GraftShardPartitionReader(
         Array((new File(dir, nd._1).getPath, 0L,
-          nd._2.map(d => new File(dir, d).getPath), None)),
-        schema, schema, Array.empty[Filter], resolve = resolve)
+          nd._2.map(d => new File(dir, d).getPath), None, nd._3)),
+        schema, schema, Array.empty[Filter], resolve = resolve,
+        eqDeletes = eqDeletes)
       new Iterator[InternalRow] {
         private var ready = r.next()
         override def hasNext: Boolean = ready

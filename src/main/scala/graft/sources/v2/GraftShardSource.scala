@@ -167,6 +167,9 @@ class GraftShardTable(
       props.put("files", m.files.size.toString)
       if (m.pagedSegments.nonEmpty)
         props.put("manifestSegments", m.pagedSegments.size.toString)
+      if (m.equalityDeletes.nonEmpty)
+        props.put("equalityDeletes",
+          s"${m.equalityDeletes.size} (${m.equalityDeletes.map(_.count).sum} keys)")
     }
     props
   }
@@ -264,6 +267,14 @@ class GraftShardTable(
     require(pinned.isEmpty,
       s"graftshard: cannot ${info.command} a time-travel snapshot ${name()} — " +
         "snapshots are read-only history; operate on the current table")
+    // the row-level tiers rewrite/ordinal-address PHYSICAL rows; with
+    // live equality deletes a copy-on-write rewrite would resurrect
+    // upserted-away rows (its writer factory knows nothing of them) —
+    // refuse with the remedy rather than integrate a third tier badly
+    require(ShardFormat.readManifest(path).forall(_.equalityDeletes.isEmpty),
+      s"graftshard: cannot ${info.command} while equality deletes (upsert " +
+        "commits) are live on this table — run GraftShardMaintenance.compact " +
+        "(or CALL <catalog>.system.compact) to apply them first")
     // rewrite strategy: copy-on-write (default — rewrite candidate
     // files; zero read-side tax) vs merge-on-read (delete-vector
     // sidecars; KB-sized commits on TB-sized files, read-side skip tax
@@ -381,9 +392,9 @@ class GraftShardScanBuilder(
   private def computeAggregation(a: Aggregation): Option[ShardAggResult] = {
     if (pushed.nonEmpty) return None
     val m = manifest
-    // merge-on-read deletes: manifest rows/stats are PHYSICAL and would
-    // overcount — the pushdown refuses rather than lies
-    if (m.files.exists(_.deletes.isDefined)) return None
+    // merge-on-read deletes / equality deletes: manifest rows/stats are
+    // PHYSICAL and would overcount — the pushdown refuses rather than lies
+    if (m.files.exists(_.deletes.isDefined) || m.equalityDeletes.nonEmpty) return None
     def colType(c: String): Option[DataType] =
       m.schema.fields.find(_.name == c).map(_.dataType)
     def integral(c: String): Boolean =
@@ -522,12 +533,13 @@ class GraftShardScanBuilder(
   * storage-partitioned join. */
 sealed trait ShardFilesPartition extends InputPartition {
   /** (shard path, physical rows, delete-vector sidecar path if any,
-    * bloom-filter sidecar path if any). */
-  def files: Array[(String, Long, Option[String], Option[String])]
+    * bloom-filter sidecar path if any, commit seq — the
+    * equality-delete ordering). */
+  def files: Array[(String, Long, Option[String], Option[String], Long)]
 }
-final case class ShardInputPartition(files: Array[(String, Long, Option[String], Option[String])]) extends ShardFilesPartition
+final case class ShardInputPartition(files: Array[(String, Long, Option[String], Option[String], Long)]) extends ShardFilesPartition
 final case class ShardKeyedInputPartition(
-    files: Array[(String, Long, Option[String], Option[String])],
+    files: Array[(String, Long, Option[String], Option[String], Long)],
     key: Long,
     keyIsLong: Boolean) extends ShardFilesPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -599,7 +611,8 @@ class GraftShardScan(
     val skipped = manifest.files.filter(fe =>
       (pushed ++ runtime).forall(ShardFilters.mayContain(_, fe)))
     limit.filter(_ => pushed.isEmpty && runtime.isEmpty &&
-        !skipped.exists(_.deletes.isDefined)) match {
+        !skipped.exists(_.deletes.isDefined) &&
+        manifest.equalityDeletes.isEmpty) match {
       case Some(l) =>
         var acc = 0L
         skipped.takeWhile { fe => val need = acc < l; acc += fe.rows; need }
@@ -671,7 +684,9 @@ class GraftShardScan(
     override def numRows(): OptionalLong = agg match {
       case Some(r) => OptionalLong.of(r.rows.size.toLong)
       case None =>
-        if (pushed.isEmpty)
+        // equality deletes make physical counts an overcount the
+        // manifest cannot correct — report unknown, never a lie
+        if (pushed.isEmpty && manifest.equalityDeletes.isEmpty)
           OptionalLong.of(selected.map(fe => fe.rows - fe.deletedRows).sum)
         else OptionalLong.empty()
     }
@@ -692,7 +707,7 @@ class GraftShardScan(
           ShardKeyedInputPartition(
             fes.map(fe => (new File(path, fe.name).getPath, fe.rows,
               fe.deletes.map(d => new File(path, d).getPath),
-              fe.bloom.map(b => new File(path, b).getPath))).toArray,
+              fe.bloom.map(b => new File(path, b).getPath), fe.seq)).toArray,
             k, keyIsLong): InputPartition
         }.toArray
       case None => GraftShardScan.binPack(path, selected, targetBytes)
@@ -705,7 +720,9 @@ class GraftShardScan(
     // the factory was built first, rows stay correct (the join itself
     // still filters) — only the early-drop optimization is lost
     case None => new GraftShardReaderFactory(fullSchema, required, pushed ++ runtime, limit,
-      manifest.resolution)
+      manifest.resolution,
+      manifest.equalityDeletes.map(d =>
+        (d.column, new File(path, d.name).getPath, d.seq)))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -738,7 +755,7 @@ object GraftShardScan {
       selected: Seq[ShardFormat.FileEntry],
       targetBytes: Long): Array[InputPartition] = {
     val bins = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ArrayBuffer[(String, Long, Option[String], Option[String])], Long)]
+      .empty[(scala.collection.mutable.ArrayBuffer[(String, Long, Option[String], Option[String], Long)], Long)]
     // remaining capacity -> indices of open bins with exactly that much
     val byRemaining = new java.util.TreeMap[Long, List[Int]]()
     def register(remaining: Long, idx: Int): Unit =
@@ -747,7 +764,7 @@ object GraftShardScan {
     selected.sortBy(-_.bytes).foreach { fe =>
       val slice = (new File(path, fe.name).getPath, fe.rows,
         fe.deletes.map(d => new File(path, d).getPath),
-        fe.bloom.map(b => new File(path, b).getPath))
+        fe.bloom.map(b => new File(path, b).getPath), fe.seq)
       val e = byRemaining.ceilingEntry(fe.bytes)
       if (e == null) {
         bins += ((scala.collection.mutable.ArrayBuffer(slice), fe.bytes))
@@ -918,13 +935,20 @@ class GraftShardMicroBatchStream(
       .map(fe => ShardInputPartition(
         Array((new File(path, fe.name).getPath, fe.rows,
           fe.deletes.map(d => new File(path, d).getPath),
-          fe.bloom.map(b => new File(path, b).getPath)))): InputPartition)
+          fe.bloom.map(b => new File(path, b).getPath), fe.seq))): InputPartition)
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val m = manifest()
+    // equality deletes are FIXED for the life of the stream (an upsert
+    // commit turns the generation over, which fails the next batch
+    // loudly), so the prefix batches apply one consistent delete set
     new GraftShardReaderFactory(fullSchema, required, pushed,
-      resolve = manifest().resolution)
+      resolve = m.resolution,
+      eqDeletes = m.equalityDeletes.map(d =>
+        (d.column, new File(path, d.name).getPath, d.seq)))
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -935,12 +959,16 @@ class GraftShardReaderFactory(
     required: StructType,
     pushed: Array[Filter],
     limit: Option[Int] = None,
-    resolve: ShardFormat.ColumnResolution = ShardFormat.ColumnResolution.empty)
+    resolve: ShardFormat.ColumnResolution = ShardFormat.ColumnResolution.empty,
+    // equality deletes: (column, key-sidecar path, seq) — rows of files
+    // with fileSeq < seq whose column value is in the sidecar are dead
+    eqDeletes: Seq[(String, String, Long)] = Nil)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ShardFilesPartition]
-    new GraftShardPartitionReader(p.files, fullSchema, required, pushed, limit, resolve)
+    new GraftShardPartitionReader(p.files, fullSchema, required, pushed, limit, resolve,
+      eqDeletes)
   }
 }
 
@@ -948,12 +976,13 @@ class GraftShardReaderFactory(
   * required and filter columns, evaluates pushed filters, emits rows
   * in required-column order. O(1) state — one open file, one row. */
 class GraftShardPartitionReader(
-    files: Array[(String, Long, Option[String], Option[String])],
+    files: Array[(String, Long, Option[String], Option[String], Long)],
     fullSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
     limit: Option[Int] = None,
-    resolve: ShardFormat.ColumnResolution = ShardFormat.ColumnResolution.empty)
+    resolve: ShardFormat.ColumnResolution = ShardFormat.ColumnResolution.empty,
+    eqDeletes: Seq[(String, String, Long)] = Nil)
     extends PartitionReader[InternalRow] {
 
   // pushed LIMIT: emit at most this many matching rows, then stop
@@ -971,8 +1000,13 @@ class GraftShardPartitionReader(
     required.fieldNames.filterNot(c => c == MetaFileCol || c == MetaPosCol)
   private val filterCols: Array[String] =
     pushed.flatMap(_.references).distinct.filterNot(dataRequired.contains)
-  // read layout: required data columns first, then filter-only columns
-  private val readCols: Array[String] = dataRequired ++ filterCols
+  // equality-delete key columns must be DECODED even when pruned away —
+  // the anti-filter needs the value (like filter-only columns)
+  private val eqOnlyCols: Array[String] =
+    eqDeletes.map(_._1).distinct
+      .filterNot(c => dataRequired.contains(c) || filterCols.contains(c)).toArray
+  // read layout: required data columns first, then filter/eq-only ones
+  private val readCols: Array[String] = dataRequired ++ filterCols ++ eqOnlyCols
   private val readIndices: Array[Int] = readCols.map(fullIndex)
   private val slotOf: Map[String, Int] = readCols.zipWithIndex.toMap
   // output position -> value slot; -1 = _shard_file, -2 = _pos
@@ -1033,6 +1067,36 @@ class GraftShardPartitionReader(
     }
   }
 
+  // equality deletes, loaded ONCE per task (the read-side tax of upsert
+  // ingestion, paid until compaction applies them): (key slot, key set,
+  // delete seq) — applied to rows of files with fileSeq < seq
+  private lazy val eqSets: Array[(Int, ShardFormat.EqKeySet, Long)] =
+    eqDeletes.map { case (col, p, seq) =>
+      (slotOf(col), ShardFormat.readEqKeySidecar(new File(p)), seq)
+    }.toArray
+  // the current file's applicable deletes (set at file open)
+  private var activeEq: Array[(Int, ShardFormat.EqKeySet)] = Array.empty
+
+  private def eqDeleted(values: Array[Any]): Boolean = {
+    var i = 0
+    while (i < activeEq.length) {
+      val (slot, set) = activeEq(i)
+      val v = values(slot)
+      // a null key never equality-matches (SQL semantics)
+      if (v != null) {
+        val hit = v match {
+          case l: java.lang.Long => !set.isString && set.contains(l.longValue())
+          case n: java.lang.Integer => !set.isString && set.contains(n.longValue())
+          case u: UTF8String => set.isString && set.contains(u)
+          case _ => false
+        }
+        if (hit) return true
+      }
+      i += 1
+    }
+    false
+  }
+
   /** True when this file's bloom sidecar PROVES no row can match some
     * absorbed conjunct. Sidecar column names are write-time names —
     * resolved through the alias map exactly like pre-v4 file headers. */
@@ -1080,6 +1144,12 @@ class GraftShardPartitionReader(
             .map(d => ShardFormat.readDeleteVector(new File(d)))
             .getOrElse(Array.emptyLongArray)
           dvIdx = 0
+          // equality deletes apply to strictly OLDER files (an upsert's
+          // own inserts carry the delete's seq and are spared)
+          val fileSeq = files(fileIdx)._5
+          activeEq =
+            if (eqDeletes.isEmpty) Array.empty
+            else eqSets.collect { case (slot, set, seq) if fileSeq < seq => (slot, set) }
         }
       } else if (!reader.next(values)) {
         reader = null // ShardReader closed itself at EOF
@@ -1091,6 +1161,8 @@ class GraftShardPartitionReader(
         while (dvIdx < dv.length && dv(dvIdx) < pos) dvIdx += 1
         if (dvIdx < dv.length && dv(dvIdx) == pos) {
           dvIdx += 1 // merge-on-read deleted row: skip, keep counting
+        } else if (activeEq.length > 0 && eqDeleted(values)) {
+          // equality-deleted (upserted-away) row: skip, keep counting
         } else if (evals.forall(_(values))) {
           val out = new Array[Any](required.length)
           if (!hasMeta) System.arraycopy(values, 0, out, 0, required.length)

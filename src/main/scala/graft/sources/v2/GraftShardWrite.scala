@@ -202,11 +202,31 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
         s"graftshard: bloomColumns column '$c' must be long/int/string/binary " +
           s"(equality-lookup currency), got ${f.dataType.sql}")
     }
+    // UPSERT ingestion (`option("upsertKey", "id")`): the commit writes
+    // its insert files PLUS an equality delete of the batch's keys
+    // against all OLDER files — merging a CDC batch into a 100 TB table
+    // is O(batch), zero scan, zero rewrite (Iceberg v2's equality
+    // deletes). Readers pay the anti-filter until compaction applies it.
+    val upsertKey = Option(info.options.get("upsertKey"))
+    upsertKey.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftshard: upsertKey column '$c' not in write schema"))
+      require(ShardFormat.upsertKeyEligible(f.dataType),
+        s"graftshard: upsertKey column '$c' must be long/int/string, " +
+          s"got ${f.dataType.sql}")
+      require(replaceFilters.isEmpty,
+        "graftshard: upsertKey cannot combine with overwrite/REPLACE WHERE — " +
+          "an upsert IS the replacement; use mode append")
+      require(zorderCols.isEmpty,
+        "graftshard: upsertKey cannot combine with zorderBy (upsert batches " +
+          "append; re-cluster with compaction)")
+    }
     val queryId = info.queryId()
     (sortCol, spec) match {
       case (Some(s), Some(sp)) =>
         new GraftShardWriteWithOrdering(path, schema, replace, sp, s, maxOpen, queryId,
-          codec, bloomCols)
+          codec, bloomCols, upsertKey)
       case _ if zorderCols.isDefined =>
         val Seq(a, b) = zorderCols.get
         // writePartitions pins the range-partition count (0 = let Spark
@@ -222,11 +242,13 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
         new Write {
           override def toBatch: BatchWrite =
             new GraftShardBatchWrite(path, schema, replace, spec, sortCol = None,
-              maxOpenWriters = maxOpen, codec = codec, bloomCols = bloomCols)
+              maxOpenWriters = maxOpen, codec = codec, bloomCols = bloomCols,
+              upsertKey = upsertKey)
           override def toStreaming: StreamingWrite =
             new GraftShardStreamingWrite(path, queryId,
               new GraftShardBatchWrite(path, schema, replace, spec, sortCol = None,
-                maxOpenWriters = maxOpen, codec = codec, bloomCols = bloomCols))
+                maxOpenWriters = maxOpen, codec = codec, bloomCols = bloomCols,
+                upsertKey = upsertKey))
         }
     }
   }
@@ -246,7 +268,8 @@ class GraftShardWriteWithOrdering(
     maxOpenWriters: Int = 64,
     queryId: String = "",
     codec: String = "none",
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    upsertKey: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -258,12 +281,12 @@ class GraftShardWriteWithOrdering(
 
   override def toBatch: BatchWrite =
     new GraftShardBatchWrite(path, schema, replace, Some(spec), Some(sortCol),
-      maxOpenWriters, codec, bloomCols)
+      maxOpenWriters, codec, bloomCols, upsertKey)
 
   override def toStreaming: StreamingWrite =
     new GraftShardStreamingWrite(path, queryId,
       new GraftShardBatchWrite(path, schema, replace, Some(spec), Some(sortCol),
-        maxOpenWriters, codec, bloomCols))
+        maxOpenWriters, codec, bloomCols, upsertKey))
 }
 
 /** The z-ordered write (see the zorderBy note in
@@ -329,6 +352,7 @@ class GraftShardStreamingWrite(
       // recovery re-ran an epoch the table already holds: drop its output
       messages.foreach {
         case m: ShardCommitMessage =>
+          m.eqKeys.foreach { case (n, _) => new java.io.File(path, n).delete(): Unit }
           m.files.foreach { fe =>
             fe.bloom.foreach(b => new java.io.File(path, b).delete(): Unit)
             new java.io.File(path, fe.name).delete(): Unit
@@ -349,7 +373,11 @@ class GraftShardStreamingWriterFactory(factory: GraftShardWriterFactory)
     factory.createWriter(partitionId, taskId)
 }
 
-final case class ShardCommitMessage(files: Seq[ShardFormat.FileEntry])
+final case class ShardCommitMessage(
+    files: Seq[ShardFormat.FileEntry],
+    // upsert writes: (key-sidecar name, distinct keys) per task file —
+    // the commit registers them as ONE equality delete at the new seq
+    eqKeys: Seq[(String, Long)] = Nil)
     extends WriterCommitMessage
 
 class GraftShardBatchWrite(
@@ -364,7 +392,8 @@ class GraftShardBatchWrite(
     sortCol: Option[String] = None,
     maxOpenWriters: Int = 64,
     codec: String = "none",
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    upsertKey: Option[String] = None)
     extends BatchWrite {
 
   private def isTruncate: Boolean =
@@ -378,7 +407,7 @@ class GraftShardBatchWrite(
     val ids = ShardFormat.writeFieldIds(
       if (isTruncate) None else ShardFormat.readManifest(path), schema)
     new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec, ids,
-      bloomCols)
+      bloomCols, upsertKey)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -392,7 +421,9 @@ class GraftShardBatchWrite(
   private[v2] def commitWith(
       messages: Array[WriterCommitMessage],
       streamEpoch: Option[(String, Long)]): Unit = {
-    val all = messages.toSeq.collect { case m: ShardCommitMessage => m.files }.flatten
+    val msgs = messages.toSeq.collect { case m: ShardCommitMessage => m }
+    val all = msgs.flatMap(_.files)
+    val eqSidecars = msgs.flatMap(_.eqKeys)
     val committed = all.filter(_.rows > 0)
     // empty-partition shards carry no information — drop their files
     // (and any sidecar; an empty file never builds one, but stay safe)
@@ -406,10 +437,17 @@ class GraftShardBatchWrite(
     // survives all of them: an overwrite is a new snapshot of the same
     // table, not version 1 of a new one.
     val current = ShardFormat.readManifest(path)
+    // UPSERT commits: the new manifest VERSION is the commit sequence —
+    // the inserts land AT it, the equality delete applies BELOW it, and
+    // the generation must turn over (old files' LOGICAL content changed,
+    // so streaming prefix offsets over them would replay deleted rows)
+    val newVersion = current.map(_.version).getOrElse(0L) + 1
+    val isUpsert = upsertKey.isDefined && eqSidecars.nonEmpty
     val (prior, generation) = replace match {
       case None =>
         (current.map(_.files).getOrElse(Nil),
-          current.map(_.generation).filter(_.nonEmpty)
+          if (isUpsert) java.util.UUID.randomUUID().toString.take(8)
+          else current.map(_.generation).filter(_.nonEmpty)
             .getOrElse(java.util.UUID.randomUUID().toString.take(8)))
       case Some(_) if isTruncate =>
         (Nil, java.util.UUID.randomUUID().toString.take(8))
@@ -480,10 +518,20 @@ class GraftShardBatchWrite(
       if (isTruncate) Nil
       else current.map(_.droppedColumns).getOrElse(Nil)
     val operation = replace match {
-      case None => "append"
+      case None => if (isUpsert) "upsert" else "append"
       case Some(_) if isTruncate => "overwrite"
       case Some(_) => "replace"
     }
+    // equality deletes: carried through appends, cleared by truncate
+    // (every file it applied to is gone), extended by upsert commits
+    val equalityDeletes =
+      (if (isTruncate) Nil else current.map(_.equalityDeletes).getOrElse(Nil)) ++
+        (if (isUpsert)
+          eqSidecars.map { case (n, c) => ShardFormat.EqDelete(n, upsertKey.get, newVersion, c) }
+        else Nil)
+    // upsert inserts carry the commit sequence so the delete spares them
+    val stamped =
+      if (isUpsert) committed.map(_.copy(seq = newVersion)) else committed
     // the table property: a truncate re-states it from THIS write's
     // resolved choice (build() already folded the existing property in,
     // so an optionless overwrite inherits, an explicit "none" clears);
@@ -508,8 +556,8 @@ class GraftShardBatchWrite(
       else current.map(m => (m.fieldIds, m.lastFieldId, m.aliases))
         .getOrElse((Nil, 0, Map.empty[String, Int]))
     ShardFormat.writeManifest(path,
-      ShardFormat.Manifest(published, generation, prior ++ committed, spec,
-        version = current.map(_.version).getOrElse(0L) + 1,
+      ShardFormat.Manifest(published, generation, prior ++ stamped, spec,
+        version = newVersion,
         createdAtMs = System.currentTimeMillis(),
         sortedBy = sortedBy,
         streamCommits = streamCommits,
@@ -520,6 +568,7 @@ class GraftShardBatchWrite(
         lastFieldId = lastFieldId,
         aliases = aliases,
         bloomColumns = bloomColumns,
+        equalityDeletes = equalityDeletes,
         // paged-manifest provenance rides through (prior entries keep
         // their reference identity, so an append reuses every segment)
         pagedSegments = current.map(_.pagedSegments).getOrElse(Nil)))
@@ -528,6 +577,7 @@ class GraftShardBatchWrite(
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case m: ShardCommitMessage =>
+        m.eqKeys.foreach { case (n, _) => new File(path, n).delete(): Unit }
         m.files.foreach { fe =>
           fe.bloom.foreach(b => new File(path, b).delete(): Unit)
           new File(path, fe.name).delete(): Unit
@@ -545,23 +595,24 @@ class GraftShardWriterFactory(
     // manifest field ids for the write schema (v4 headers); empty =
     // positional — correct for fresh tables and direct callers
     fieldIds: Array[Int] = Array.emptyIntArray,
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    upsertKey: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     spec match {
       case None =>
         new GraftShardDataWriter(path, schema, partitionId, taskId, codec, fieldIds,
-          bloomCols)
+          bloomCols, upsertKey)
       case Some(sp) =>
         new GraftShardKeyedDataWriter(path, schema, partitionId, taskId, sp,
-          maxOpenWriters, codec, fieldIds, bloomCols)
+          maxOpenWriters, codec, fieldIds, bloomCols, upsertKey)
     }
 }
 
 class GraftShardDataWriter(
     path: String, schema: StructType, partitionId: Int, taskId: Long,
     codec: String = "none", fieldIds: Array[Int] = Array.emptyIntArray,
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil, upsertKey: Option[String] = None)
     extends DataWriter[InternalRow] {
 
   // taskId disambiguates speculative attempts of the same partition;
@@ -570,7 +621,8 @@ class GraftShardDataWriter(
     f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.shard"
   private val writer = {
     new File(path).mkdirs()
-    new ShardFormat.ShardWriter(new File(path, name), schema, codec, fieldIds, bloomCols)
+    new ShardFormat.ShardWriter(new File(path, name), schema, codec, fieldIds,
+      bloomCols, upsertKey)
   }
 
   override def write(record: InternalRow): Unit = writer.write(record)
@@ -578,7 +630,8 @@ class GraftShardDataWriter(
   override def commit(): WriterCommitMessage = {
     val (bytes, rows, stats, allNull) = writer.finish()
     ShardCommitMessage(Seq(ShardFormat.FileEntry(name, bytes, rows, stats, allNull,
-      sums = writer.sums, strStats = writer.strStats, bloom = writer.bloomSidecar)))
+      sums = writer.sums, strStats = writer.strStats, bloom = writer.bloomSidecar)),
+      eqKeys = writer.eqKeySidecar.toSeq)
   }
 
   override def abort(): Unit = writer.abort()
@@ -613,7 +666,8 @@ class GraftShardKeyedDataWriter(
     maxOpenWriters: Int = 64,
     codec: String = "none",
     fieldIds: Array[Int] = Array.emptyIntArray,
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    upsertKey: Option[String] = None)
     extends DataWriter[InternalRow] {
 
   require(maxOpenWriters >= 1,
@@ -629,12 +683,15 @@ class GraftShardKeyedDataWriter(
   // distinct names across rotations of the same key
   private var fileSeq = 0
 
+  private val eqSidecars = Seq.newBuilder[(String, Long)]
+
   private def finishInto(key: Long, name: String, w: ShardFormat.ShardWriter): Unit = {
     val (bytes, rows, stats, allNull) = w.finish()
     rotated += ShardFormat.FileEntry(name, bytes, rows, stats, allNull, Some(key),
       sums = w.sums, strStats = w.strStats, bloom = w.bloomSidecar)
     rotatedNames += name
     w.bloomSidecar.foreach(rotatedNames += _)
+    w.eqKeySidecar.foreach { k => eqSidecars += k; rotatedNames += k._1 }
   }
 
   override def write(record: InternalRow): Unit = {
@@ -663,7 +720,7 @@ class GraftShardKeyedDataWriter(
         fileSeq += 1
         val name = f"part-$partitionId%05d-$taskId-$attempt-k$key-$fileSeq.shard"
         val nw = new ShardFormat.ShardWriter(new File(path, name), schema, codec,
-          fieldIds, bloomCols)
+          fieldIds, bloomCols, upsertKey)
         writers.put(key, (name, nw))
         nw
     }
@@ -673,7 +730,7 @@ class GraftShardKeyedDataWriter(
   override def commit(): WriterCommitMessage = {
     writers.foreach { case (key, (name, w)) => finishInto(key, name, w) }
     writers.clear()
-    ShardCommitMessage(rotated.result())
+    ShardCommitMessage(rotated.result(), eqKeys = eqSidecars.result())
   }
 
   override def abort(): Unit = {

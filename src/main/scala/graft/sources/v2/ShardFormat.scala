@@ -399,7 +399,15 @@ object ShardFormat {
       // (too many distinct values / all null). Readers test absorbed
       // equality/IN predicates against it BEFORE opening the shard —
       // executor-side, one small read per task, never a driver loop
-      bloom: Option[String] = None)
+      bloom: Option[String] = None,
+      // commit SEQUENCE this file was added at (= the committing
+      // manifest's version) — the equality-delete ordering currency:
+      // an [[Manifest.EqDelete]] applies to a file iff `seq < delete
+      // .seq` (strictly OLDER files), which is what lets an UPSERT
+      // commit's own inserts carry the same keys it deletes. 0 on
+      // pre-upsert files (every delete applies — correct: they ARE
+      // older than any upsert)
+      seq: Long = 0L)
 
   /** The table's at-rest clustering: every shard file holds rows of ONE
     * partition value — the key itself (identity) or `floorMod(key, n)`
@@ -487,6 +495,19 @@ object ShardFormat {
       // columns skip whole files the stats tier cannot (unsorted
       // high-cardinality equality — THE missing pruning at 100 TB)
       bloomColumns: Seq[String] = Nil,
+      // EQUALITY DELETES (the Iceberg-v2 idea; the streaming-upsert
+      // currency): each entry is one commit's "delete every OLDER row
+      // whose <column> value appears in <sidecar>" — an UPSERT commit
+      // (`option("upsertKey", col)`) writes its insert files PLUS these
+      // key sidecars, so merging a CDC batch into a 100 TB table is
+      // O(batch), zero scan, zero rewrite. Readers anti-filter rows of
+      // files with `file.seq < delete.seq` against the key sets (the
+      // read-side tax); compaction APPLIES them and retires entries no
+      // remaining file predates. Stats stay PHYSICAL: aggregate
+      // pushdown, limit file-cuts, exact row statistics, CDF, and
+      // row-level operations all REFUSE while any entry is live
+      // (compact first) — a lying fast path is worse than no fast path
+      equalityDeletes: Seq[EqDelete] = Nil,
       // PAGED-MANIFEST provenance, populated by the READER when the
       // root carries `fileSegments` instead of an inline `files` array:
       // which immutable segment file each run of entries came from, in
@@ -528,6 +549,12 @@ object ShardFormat {
     * ([[Manifest.pagedSegments]]). */
   final case class PagedSegment(name: String, entries: IndexedSeq[FileEntry])
 
+  /** One equality delete: "every row of a file with `fileSeq < seq`
+    * whose `column` value appears in sidecar `name` is deleted". The
+    * sidecar holds the EXACT key values (typed); `count` is its size —
+    * the planner's memory forecast for the reader-side key set. */
+  final case class EqDelete(name: String, column: String, seq: Long, count: Long)
+
   /** Entries per manifest segment once a table outgrows the inline
     * `files` array. 10k entries ≈ 3 MB of JSON per segment: big enough
     * that a 1M-file table is ~100 root-listed names, small enough that
@@ -536,6 +563,118 @@ object ShardFormat {
     * exercise paging without writing 10k real shard files. */
   val SegmentEntries = 10000
   @volatile private[graft] var segmentMaxEntries: Int = SegmentEntries
+
+  // ----------------------------------------------------- equality keys
+
+  /** Columns an upsert key may be (`option("upsertKey", col)`):
+    * equality over exact values — integral (compared as long, so an
+    * int→long widen keeps old sidecars valid) or string (UTF-8 bytes,
+    * Spark's own equality). */
+  def upsertKeyEligible(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | StringType => true
+    case _ => false
+  }
+
+  val EqKeysMagic: Array[Byte] = "GRFTEQK1".getBytes(StandardCharsets.US_ASCII)
+
+  /** Writer-side accumulator for one file's upsert keys: EXACT distinct
+    * values (run-deduped inline, sorted/deduped at close). Unlike the
+    * bloom accumulator there is no drop-above-a-cap — an upsert
+    * commit's delete set must be exact or the commit must fail; the
+    * set is bounded by the BATCH being upserted, not the table. */
+  final class EqKeyAcc(isString: Boolean) {
+    private var longs = if (isString) null else new Array[Long](1024)
+    private val strings =
+      if (isString) new java.util.HashSet[UTF8String]() else null
+    private var n = 0
+    private var lastL = 0L
+    private var hasLast = false
+    def add(v: Long): Unit = {
+      if (hasLast && v == lastL) return
+      lastL = v; hasLast = true
+      if (n == longs.length) longs = java.util.Arrays.copyOf(longs, n << 1)
+      longs(n) = v; n += 1
+    }
+    def add(u: UTF8String): Unit = { strings.add(u.copy()): Unit }
+    /** (distinct count, sidecar writer) — None when no keys were seen. */
+    def write(file: File): Option[Long] = {
+      val out = new DataOutputStream(
+        new BufferedOutputStream(new FileOutputStream(file), 1 << 16))
+      try {
+        out.write(EqKeysMagic)
+        if (isString) {
+          if (strings.isEmpty) { out.close(); file.delete(); return None }
+          out.writeByte(1)
+          out.writeInt(strings.size())
+          strings.forEach { u =>
+            val b = u.getBytes
+            out.writeInt(b.length); out.write(b)
+          }
+          Some(strings.size().toLong)
+        } else {
+          if (n == 0) { out.close(); file.delete(); return None }
+          java.util.Arrays.sort(longs, 0, n)
+          var d = 0
+          var i = 0
+          while (i < n) {
+            if (d == 0 || longs(i) != longs(d - 1)) { longs(d) = longs(i); d += 1 }
+            i += 1
+          }
+          out.writeByte(0)
+          out.writeInt(d)
+          i = 0
+          while (i < d) { out.writeLong(longs(i)); i += 1 }
+          Some(d.toLong)
+        }
+      } finally out.close()
+    }
+  }
+
+  /** The loaded key set of one equality-delete sidecar: O(1) membership
+    * for the reader's anti-filter. */
+  final class EqKeySet(
+      val longs: Array[Long], // sorted, when the key is integral
+      val strings: java.util.HashSet[UTF8String]) {
+    def contains(v: Long): Boolean =
+      java.util.Arrays.binarySearch(longs, v) >= 0
+    def contains(u: UTF8String): Boolean = strings.contains(u)
+    def isString: Boolean = strings != null
+  }
+
+  def readEqKeySidecar(file: File): EqKeySet = {
+    val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(file), 1 << 16))
+    try {
+      val magic = new Array[Byte](EqKeysMagic.length)
+      in.readFully(magic)
+      if (!java.util.Arrays.equals(magic, EqKeysMagic))
+        throw new java.io.IOException(
+          s"graftshard: bad equality-key sidecar magic in $file")
+      val tag = in.readByte()
+      val count = in.readInt()
+      if (count < 0) throw new java.io.IOException(
+        s"graftshard: corrupt equality-key sidecar $file (count=$count)")
+      if (tag == 0) {
+        val a = new Array[Long](count)
+        var i = 0
+        while (i < count) { a(i) = in.readLong(); i += 1 }
+        new EqKeySet(a, null)
+      } else {
+        val s = new java.util.HashSet[UTF8String](count * 2)
+        var i = 0
+        while (i < count) {
+          val len = in.readInt()
+          if (len < 0) throw new java.io.IOException(
+            s"graftshard: corrupt equality-key sidecar $file (len=$len)")
+          val b = new Array[Byte](len)
+          in.readFully(b)
+          s.add(UTF8String.fromBytes(b)): Unit
+          i += 1
+        }
+        new EqKeySet(null, s)
+      }
+    } finally in.close()
+  }
 
   /** Serializable column-resolution context for [[ShardReader]]s: how a
     * file's self-described columns map onto the table schema under
@@ -1012,7 +1151,8 @@ object ShardFormat {
   final class ShardWriter(
       file: File, schema: StructType, codec: String = "none",
       fieldIds: Array[Int] = Array.emptyIntArray,
-      bloomCols: Seq[String] = Nil) {
+      bloomCols: Seq[String] = Nil,
+      upsertKey: Option[String] = None) {
     require(codec == "none" || codec == "dict" || codec == "deflate",
       s"graftshard: unknown chunk codec mode '$codec'")
     require(fieldIds.isEmpty || fieldIds.length == schema.fields.length,
@@ -1049,6 +1189,13 @@ object ShardFormat {
       fields.map(f =>
         if (bloomCols.contains(f.name) && bloomEligible(f.dataType)) new BloomAcc
         else null)
+    // upsert-key collection: the EXACT distinct keys this file inserts
+    // (they become the commit's equality delete against older files)
+    private val eqKeys: Array[EqKeyAcc] =
+      fields.map(f =>
+        if (upsertKey.contains(f.name) && upsertKeyEligible(f.dataType))
+          new EqKeyAcc(f.dataType == StringType)
+        else null)
     private var groupRows = 0
     private var groupBytes = 0L
 
@@ -1056,6 +1203,10 @@ object ShardFormat {
       var i = 0
       while (i < fields.length) {
         if (row.isNullAt(i)) {
+          if (eqKeys(i) != null) throw new IllegalArgumentException(
+            s"graftshard: null value in upsertKey column '${fields(i).name}' — " +
+              "an upsert needs a non-null key on every row (null never " +
+              "equality-matches, so the old row could never be replaced)")
           cols(i).setNull(groupRows)
           if (stats(i) != null) { stats(i).nulls += 1; gstats(i).nulls += 1 }
           if (sstats(i) != null) { sstats(i).nulls += 1; gsstats(i).nulls += 1 }
@@ -1066,11 +1217,13 @@ object ShardFormat {
               val v = row.getLong(i); values.writeLong(v)
               stats(i).update(v); gstats(i).update(v)
               if (blooms(i) != null) blooms(i).add(bloomHashLong(v))
+              if (eqKeys(i) != null) eqKeys(i).add(v)
               groupBytes += 8
             case IntegerType =>
               val v = row.getInt(i); values.writeInt(v)
               stats(i).update(v.toLong); gstats(i).update(v.toLong)
               if (blooms(i) != null) blooms(i).add(bloomHashLong(v.toLong))
+              if (eqKeys(i) != null) eqKeys(i).add(v.toLong)
               groupBytes += 4
             case DoubleType => values.writeDouble(row.getDouble(i)); groupBytes += 8
             case FloatType => values.writeFloat(row.getFloat(i)); groupBytes += 4
@@ -1079,6 +1232,7 @@ object ShardFormat {
               val u = row.getUTF8String(i)
               sstats(i).update(u)
               gsstats(i).update(u)
+              if (eqKeys(i) != null) eqKeys(i).add(u)
               val b = u.getBytes
               values.writeInt(b.length); values.write(b)
               if (blooms(i) != null) blooms(i).add(bloomHashBytes(b))
@@ -1269,6 +1423,12 @@ object ShardFormat {
         writeBloomSidecar(side, built)
         finishedBloom = Some(side.getName)
       }
+      fields.indices.find(eqKeys(_) != null).foreach { j =>
+        val side = new File(file.getParentFile, file.getName + ".eqkeys")
+        eqKeys(j).write(side).foreach { count =>
+          finishedEqKeys = Some((side.getName, count))
+        }
+      }
       (file.length(), rowCount, present.result(), allNull.result())
     }
 
@@ -1282,10 +1442,16 @@ object ShardFormat {
     /** Valid after [[finish]]: this file's bloom-sidecar name, when any
       * configured column produced a filter ([[FileEntry.bloom]]). */
     def bloomSidecar: Option[String] = finishedBloom
+    private var finishedEqKeys: Option[(String, Long)] = None
+    /** Valid after [[finish]]: this file's upsert-key sidecar name and
+      * distinct-key count — the commit's equality delete against older
+      * files ([[Manifest.equalityDeletes]]). */
+    def eqKeySidecar: Option[(String, Long)] = finishedEqKeys
 
     def abort(): Unit = {
       out.close()
       finishedBloom.foreach(b => new File(file.getParentFile, b).delete(): Unit)
+      finishedEqKeys.foreach(k => new File(file.getParentFile, k._1).delete(): Unit)
       file.delete(): Unit
     }
   }
@@ -1718,9 +1884,19 @@ object ShardFormat {
       if (bc != null) bc.forEach(n => b += n.asText())
       b.result()
     }
+    val equalityDeletes = {
+      val b = Seq.newBuilder[EqDelete]
+      val ed = root.get("equalityDeletes")
+      if (ed != null) ed.forEach { n =>
+        b += EqDelete(n.get("name").asText(), n.get("column").asText(),
+          n.get("seq").asLong(), n.get("count").asLong())
+      }
+      b.result()
+    }
     Some(Manifest(schema, generation, files, partitioning, version,
       createdAt, sortedBy, streamCommits, dropped, operation, compression,
-      fieldIds, lastFieldId, aliases, bloomColumns, paged))
+      fieldIds, lastFieldId, aliases, bloomColumns,
+      equalityDeletes = equalityDeletes, pagedSegments = paged))
   }
 
   /** Parses one manifest `files` array (root-inline or segment file). */
@@ -1750,9 +1926,10 @@ object ShardFormat {
         if (fn.has("deletedRows")) fn.get("deletedRows").asLong() else 0L
       val bloom =
         if (fn.has("bloom")) Some(fn.get("bloom").asText()) else None
+      val seq = if (fn.has("seq")) fn.get("seq").asLong() else 0L
       files += FileEntry(fn.get("name").asText(), fn.get("bytes").asLong(),
         fn.get("rows").asLong(), present.result(), allNull.result(), partition,
-        deletes, deletedRows, sums.result(), strs.result(), bloom)
+        deletes, deletedRows, sums.result(), strs.result(), bloom, seq)
     }
     files.result()
   }
@@ -1790,6 +1967,14 @@ object ShardFormat {
     if (m.bloomColumns.nonEmpty) {
       val bc = root.putArray("bloomColumns")
       m.bloomColumns.foreach(bc.add)
+    }
+    if (m.equalityDeletes.nonEmpty) {
+      val ed = root.putArray("equalityDeletes")
+      m.equalityDeletes.foreach { d =>
+        val n = ed.addObject()
+        n.put("name", d.name); n.put("column", d.column)
+        n.put("seq", d.seq); n.put("count", d.count): Unit
+      }
     }
     m.sortedBy.foreach(root.put("sortedBy", _))
     if (m.streamCommits.nonEmpty) {
@@ -1855,6 +2040,7 @@ object ShardFormat {
       fn.put("deletes", d); fn.put("deletedRows", fe.deletedRows): Unit
     }
     fe.bloom.foreach(fn.put("bloom", _))
+    if (fe.seq != 0L) fn.put("seq", fe.seq): Unit
     val st = fn.putObject("stats")
     fe.stats.foreach { case (c, (mn, mx, nl)) =>
       val cn = st.putObject(c)
