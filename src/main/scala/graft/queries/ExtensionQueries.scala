@@ -1703,6 +1703,42 @@ object ExtensionQueries {
     s.read.format("graftshard").load(out)
   }
 
+  /** ROLLBACK as a NEW commit (`CALL system.rollback` — the Iceberg
+    * rollback_to_snapshot shape): the good corpus lands, then a bad
+    * backfill appends corrupted duplicates AND a row-level DELETE
+    * wounds the original rows; one metadata-only rollback commit
+    * republishes the good snapshot's state — zero bytes rewritten (the
+    * old shard files are still on disk; vacuum keeps every retained
+    * snapshot's files live), history preserved (the bad commits stay
+    * time-travelable until expired), and the read-back must be
+    * byte-exact vs the pre-damage oracle. At 100 TB this is the
+    * operational undo after a bad job: O(manifest) driver cost instead
+    * of restoring from a copy (GraftShardRollbackSpec pins the
+    * resurrect-deleted-rows path, expired/missing-file refusals,
+    * generation turnover, and stream-epoch carry-over). */
+  private def x64(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureGraftCatalog(s, dir)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x64")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x64.docs")
+    val docs = table(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    docs.where(col("lang") =!= "de")
+      .writeTo(s"$cat.x64.docs").using("graftshard").create()
+    val tdir = Q.tmpArtifactPath("graftcat_wh", dir) + "/x64/docs"
+    val good = graft.sources.v2.ShardFormat.readManifest(tdir).get.version
+    // the bad backfill: corrupted duplicates, then row-level damage
+    docs.where(col("lang") =!= "de")
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("lang"),
+        col("source"), (col("n_chars") * 1000).as("n_chars"))
+      .writeTo(s"$cat.x64.docs").append()
+    s.sql(s"DELETE FROM $cat.x64.docs WHERE n_chars < 500")
+    val report = s.sql(s"CALL $cat.system.rollback('x64.docs', ${good}L)").collect()
+    require(report.head.getLong(1) == good && report.head.getLong(2) > good,
+      s"x64: rollback report wrong (${report.head})")
+    val m = graft.sources.v2.ShardFormat.readManifest(tdir).get
+    require(m.operation == "rollback", s"x64: operation not tagged (${m.operation})")
+    s.table(s"$cat.x64.docs")
+  }
+
   /** RENAME COLUMN as a METADATA-ONLY commit (format v4 field ids —
     * [[graft.sources.v2.ShardFormat.MagicV4]]): half the corpus lands
     * under the ORIGINAL names, both data columns are renamed (one of
@@ -5191,6 +5227,12 @@ object ExtensionQueries {
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, lang, n_chars::BIGINT AS n_chars
       FROM documents WHERE doc_id % 7 = 0""")),
+
+    // rollback: bad backfill + row-level damage undone by one
+    // metadata-only commit; read-back byte-exact vs pre-damage state
+    Q("x64_shard_rollback", x64, Some("""
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE lang <> 'de'""")),
 
     // RENAME COLUMN via field ids: mixed name-era files, one read
     Q("x59_shard_rename", x59, Some("""

@@ -481,7 +481,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * `vacuum`. The scheduled-job half of a lake lives in SQL at 100 TB
     * (an orchestrator issues CALLs; it does not link the library), and
     * each returns its report as rows so the job can alert on them. */
-  private val procedureNames = Seq("compact", "expire_snapshots", "vacuum")
+  private val procedureNames = Seq("compact", "expire_snapshots", "vacuum", "rollback")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
@@ -578,6 +578,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         val r = GraftShardMaintenance.vacuum(
           procTableDir(in.getUTF8String(0).toString), in.getLong(1))
         Seq(Array[Any](r.deleted.size.toLong, r.keptLive.toLong, r.keptRecent.size.toLong))
+      }
+      case "rollback" => procedure(
+        "rollback",
+        Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'namespace.table' to roll back").build(),
+          ProcedureParameter.in("version", LongType)
+            .comment("retained snapshot version to restore").build()),
+        StructType(Seq(
+          StructField("previous_version", LongType, nullable = false),
+          StructField("restored_version", LongType, nullable = false),
+          StructField("new_version", LongType, nullable = false),
+          StructField("files", LongType, nullable = false)))) { in =>
+        val r = GraftShardMaintenance.rollback(
+          procTableDir(in.getUTF8String(0).toString), in.getLong(1))
+        Seq(Array[Any](r.fromVersion, r.restoredVersion, r.newVersion, r.files.toLong))
       }
       case other => throw new UnsupportedOperationException(
         s"graftshard: unknown procedure 'system.$other' — supported: " +

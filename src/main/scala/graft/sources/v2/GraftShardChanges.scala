@@ -113,6 +113,13 @@ object GraftShardChanges {
               "file-level diff cannot report row-level changes. Run row-level " +
               "operations under spark.graftshard.rowLevel.mode=merge-on-read " +
               "when a change feed is consumed downstream")
+        case "rollback" =>
+          throw new UnsupportedOperationException(
+            s"graftshard: commit v$v at '$path' is a ROLLBACK — it can " +
+              "resurrect rows (shrink a delete vector, restore replaced " +
+              "files), which a change feed cannot represent as inserts and " +
+              "deletes of whole files. Consume the table as LATEST STATE, " +
+              "or restart the feed from the rollback commit onward")
         case "append" | "overwrite" | "replace" | "delete-metadata" | "mor" =>
           val prevBy = prev.files.map(fe => fe.name -> fe).toMap
           val curBy = cur.files.map(fe => fe.name -> fe).toMap

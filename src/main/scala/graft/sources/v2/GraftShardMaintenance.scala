@@ -334,4 +334,58 @@ object GraftShardMaintenance {
     expired.foreach(v => ShardFormat.versionFile(dir, v).delete())
     expired
   }
+
+  final case class RollbackReport(
+      fromVersion: Long,
+      restoredVersion: Long,
+      newVersion: Long,
+      files: Int)
+
+  /** Rollback: republish the table state of retained snapshot
+    * `toVersion` as a NEW commit — the bad commits stay in history
+    * (still time-travelable until expired), the pointer moves FORWARD
+    * to a manifest whose content is the old state. This is the
+    * operational undo every 100 TB lake needs after a bad backfill:
+    * metadata-only (zero bytes rewritten — the old shard files are
+    * still on disk because vacuum keeps every retained snapshot's
+    * files live), O(manifest) driver cost, and safe against readers
+    * mid-scan (nothing is deleted).
+    *
+    * What does NOT roll back: `streamCommits` (a streaming sink's
+    * highest committed epoch per query) carries over from the CURRENT
+    * manifest — rolling it back would let a post-recovery replay of an
+    * already-committed epoch double-append; the rollback's discard of
+    * those epochs' ROWS is the user's explicit choice, but exactly-once
+    * accounting never rewinds. The generation turns over (prefix
+    * offsets of streaming READERS die loudly — the file list they
+    * indexed is gone) and the time-travel version keeps counting
+    * commits. */
+  def rollback(dir: String, toVersion: Long): RollbackReport = {
+    val current = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
+    require(toVersion != current.version,
+      s"graftshard: table at '$dir' is already at v$toVersion — nothing to roll back")
+    val target = ShardFormat.readManifestVersion(dir, toVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"graftshard: snapshot v$toVersion of '$dir' is not loadable — it was " +
+          "expired or never committed; retained versions: " +
+          ShardFormat.listVersions(dir).mkString(", ")))
+    // every file and sidecar the restored state references must still
+    // exist — vacuum keeps retained-snapshot files live, so a miss
+    // means external tampering; fail loudly rather than publish a
+    // pointer to missing bytes
+    val needed = target.files.map(_.name) ++ target.files.flatMap(_.deletes) ++
+      target.files.flatMap(_.bloom) ++ target.equalityDeletes.map(_.name)
+    val missing = needed.filterNot(n => new File(dir, n).isFile)
+    require(missing.isEmpty,
+      s"graftshard: cannot roll back '$dir' to v$toVersion — referenced " +
+        s"files are missing from disk [${missing.sorted.mkString(", ")}]")
+    ShardFormat.writeManifest(dir, target.copy(
+      version = current.version + 1,
+      createdAtMs = System.currentTimeMillis(),
+      generation = java.util.UUID.randomUUID().toString.take(8),
+      operation = "rollback",
+      streamCommits = current.streamCommits))
+    RollbackReport(current.version, toVersion, current.version + 1, target.files.size)
+  }
 }
