@@ -1739,6 +1739,33 @@ object ExtensionQueries {
     s.table(s"$cat.x64.docs")
   }
 
+  /** TopN pushdown (`ORDER BY id DESC LIMIT k` as a FILE CUT): the
+    * corpus lands range-clustered (the time/id-clustered shape every
+    * append-mostly 100 TB table has), and the "latest 100" query plans
+    * a handful of trailing shards instead of all of them — the
+    * manifest-bounds prefix cut keeps a provable SUPERSET of the top k
+    * and Spark's TakeOrderedAndProject finishes, so the gate is
+    * byte-exact while the plan-level requires pin that the cut really
+    * planned fewer files (GraftShardTopNSpec pins never-opened via a
+    * corrupted excluded file, null ordering on both sides, MoR
+    * conservatism, string bounds, and the refusal surfaces). */
+  private def x65(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x65", dir)
+    table(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+      .repartitionByRange(8, col("doc_id"))
+      .write.format("graftshard").mode("overwrite").save(out)
+    val q = s.read.format("graftshard").load(out)
+      .orderBy(col("doc_id").desc).limit(100)
+    val desc = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }.head
+    require(desc.contains("topN=100 by doc_id DESC"), s"x65: topN not pushed: $desc")
+    val cut = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).get
+    require(cut.group(1).toInt < cut.group(2).toInt, s"x65: no file cut: $desc")
+    q
+  }
+
   /** RENAME COLUMN as a METADATA-ONLY commit (format v4 field ids —
     * [[graft.sources.v2.ShardFormat.MagicV4]]): half the corpus lands
     * under the ORIGINAL names, both data columns are renamed (one of
@@ -5227,6 +5254,12 @@ object ExtensionQueries {
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, lang, n_chars::BIGINT AS n_chars
       FROM documents WHERE doc_id % 7 = 0""")),
+
+    // topN pushdown: ORDER BY id DESC LIMIT k plans a file-cut subset
+    // of a range-clustered corpus, byte-exact through Spark's final sort
+    Q("x65_shard_topk", x65, Some("""
+      SELECT doc_id, lang, source, n_chars FROM documents
+      ORDER BY doc_id DESC LIMIT 100""")),
 
     // rollback: bad backfill + row-level damage undone by one
     // metadata-only commit; read-back byte-exact vs pre-damage state

@@ -6,9 +6,9 @@ import java.util.OptionalLong
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
@@ -323,12 +323,13 @@ class GraftShardScanBuilder(
     pinned: Option[ShardFormat.Manifest] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var agg: Option[ShardAggResult] = None
   private var limit: Option[Int] = None
+  private var topN: Option[TopNPush] = None
 
   /** LIMIT n stops the scan early: each partition reader emits at most
     * n rows, and — when no row-level filter was absorbed, so manifest
@@ -338,6 +339,39 @@ class GraftShardScanBuilder(
     * caps can still sum past n, Spark's own Limit does the final cut. */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed(): Boolean = true
+
+  /** `ORDER BY col LIMIT k` as a FILE CUT from manifest bounds (always
+    * PARTIAL — Spark's TakeOrderedAndProject still runs, so the cut
+    * only has to preserve a superset of the top k): choose the fewest
+    * files whose guaranteed live rows cover k when ordered by their
+    * trailing bound; every file whose leading bound sorts strictly
+    * after that threshold provably holds no top-k row and is never
+    * opened. At 100 TB this is `ORDER BY ts DESC LIMIT 100` planning a
+    * handful of time-clustered shards instead of all of them. Sound
+    * only from EXACT per-file bounds with exact row counts: refused
+    * when a row filter was absorbed (counts become overcounts) or
+    * equality deletes are live (which rows they kill is not knowable
+    * from the manifest); merge-on-read vectors are priced
+    * conservatively (`deletedRows` debits both the null and the value
+    * side); files without a bound claim (untracked, or a string bound
+    * dropped by the byte cap) are always kept. */
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    if (orders.length != 1 || pushed.nonEmpty || manifest.equalityDeletes.nonEmpty)
+      return false
+    val o = orders(0)
+    val col = o.expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames()(0)
+      case _ => return false
+    }
+    fullSchema.fields.find(_.name == col).map(_.dataType) match {
+      case Some(dt) if ShardFormat.statsEligible(dt) || dt == StringType =>
+        topN = Some(TopNPush(col, dt == StringType,
+          o.direction() == SortDirection.DESCENDING,
+          o.nullOrdering() == NullOrdering.NULLS_FIRST, l))
+        true
+      case _ => false
+    }
+  }
 
   private lazy val manifest: ShardFormat.Manifest =
     pinned.orElse(ShardFormat.readManifest(path))
@@ -523,9 +557,21 @@ class GraftShardScanBuilder(
       s"graftshard: maxBytesPerTrigger must be > 0, got $b"))
     new GraftShardScan(path, fullSchema, required, pushed, manifest, targetBytes,
       agg, limit, snapshot = pinned.isDefined,
-      maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
+      maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes,
+      topN = topN)
   }
 }
+
+/** A pushed `ORDER BY <col> LIMIT <k>` ([[GraftShardScanBuilder
+  * .pushTopN]]): the file-cut inputs. `isString` selects the exact
+  * string bounds (`strStats`, UTF8String byte order) over the integral
+  * ones (`stats`, long order). */
+final case class TopNPush(
+    col: String,
+    isString: Boolean,
+    desc: Boolean,
+    nullsFirst: Boolean,
+    k: Int)
 
 /** Both partition shapes carry (path, rows) per file; the keyed shape
   * adds the one partition value all its rows share — `HasPartitionKey`
@@ -560,7 +606,8 @@ class GraftShardScan(
     limit: Option[Int],
     snapshot: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    topN: Option[TopNPush] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsRuntimeFiltering {
@@ -610,15 +657,81 @@ class GraftShardScan(
   private def selected: Seq[ShardFormat.FileEntry] = {
     val skipped = manifest.files.filter(fe =>
       (pushed ++ runtime).forall(ShardFilters.mayContain(_, fe)))
+    val topCut = topNCut(skipped)
     limit.filter(_ => pushed.isEmpty && runtime.isEmpty &&
-        !skipped.exists(_.deletes.isDefined) &&
+        !topCut.exists(_.deletes.isDefined) &&
         manifest.equalityDeletes.isEmpty) match {
       case Some(l) =>
         var acc = 0L
-        skipped.takeWhile { fe => val need = acc < l; acc += fe.rows; need }
-      case None => skipped
+        topCut.takeWhile { fe => val need = acc < l; acc += fe.rows; need }
+      case None => topCut
     }
   }
+
+  /** The pushed-TopN file cut (see [[GraftShardScanBuilder.pushTopN]]
+    * for the admission rules — this runs only on admitted pushes, plus
+    * a runtime-filter guard: a DPP In-list would make row counts
+    * overcounts, so the cut stands down and static skipping alone
+    * applies). Soundness argument: order known-bound files by the
+    * bound FARTHEST forward in sort order (max for ASC, min for DESC)
+    * and accumulate each file's guaranteed live in-region rows — a
+    * lower bound, `rows − nulls − deletedRows` — plus, under NULLS
+    * FIRST, every file's guaranteed live nulls (they sort before all
+    * values). Once the accumulator reaches k at threshold T, at least
+    * k live rows sort at-or-before T; any file whose NEAREST bound
+    * sorts strictly after T (and whose nulls cannot sort first) holds
+    * only rows provably outside the top k. The cut keeps a SUPERSET of
+    * the top k; Spark's own TakeOrderedAndProject finishes the job. */
+  private def topNCut(fes: Seq[ShardFormat.FileEntry]): Seq[ShardFormat.FileEntry] =
+    topN match {
+      case Some(t) if runtime.isEmpty =>
+        val cmp: (Any, Any) => Int =
+          if (t.isString)
+            (a, b) => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+          else (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+        // "a sorts strictly before b" in the pushed order
+        def before(a: Any, b: Any): Boolean =
+          { val c = cmp(a, b); if (t.desc) c > 0 else c < 0 }
+        def known(fe: ShardFormat.FileEntry): Option[(Any, Any, Long)] =
+          if (t.isString) fe.strStats.get(t.col).map { case (mn, mx, n) =>
+            (UTF8String.fromString(mn): Any, UTF8String.fromString(mx): Any, n) }
+          else fe.stats.get(t.col).map { case (mn, mx, n) => (mn: Any, mx: Any, n) }
+        def lead(b: (Any, Any, Long)): Any = if (t.desc) b._2 else b._1
+        def tail(b: (Any, Any, Long)): Any = if (t.desc) b._1 else b._2
+        // guaranteed LIVE nulls / value rows: deletedRows debits both
+        // sides (a deleted row could be either — lower bounds only)
+        def liveNulls(fe: ShardFormat.FileEntry): Long =
+          known(fe).map(b => math.max(0L, b._3 - fe.deletedRows))
+            .orElse(fe.allNull.get(t.col).map(_ =>
+              math.max(0L, fe.rows - fe.deletedRows)))
+            .getOrElse(0L)
+        val nullCredit = if (t.nullsFirst) fes.map(liveNulls).sum else 0L
+        val sortable = fes
+          .flatMap(fe => known(fe).map(b =>
+            (tail(b), math.max(0L, fe.rows - b._3 - fe.deletedRows))))
+          .sortWith((x, y) => before(x._1, y._1))
+        var cum = nullCredit
+        var threshold: Option[Any] = None
+        val it = sortable.iterator
+        while (threshold.isEmpty && it.hasNext) {
+          val (tl, g) = it.next(); cum += g
+          if (cum >= t.k) threshold = Some(tl)
+        }
+        threshold match {
+          case None => fes
+          case Some(th) => fes.filter { fe =>
+            known(fe) match {
+              case Some(b) =>
+                !before(th, lead(b)) || (t.nullsFirst && b._3 > 0)
+              case None =>
+                // all-null file: in the running only under NULLS FIRST;
+                // a file with no bound claim is always kept
+                fe.allNull.get(t.col).isEmpty || t.nullsFirst
+            }
+          }
+        }
+      case _ => fes
+    }
 
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
@@ -631,7 +744,9 @@ class GraftShardScan(
       case ShardFormat.BucketPart(n, c) => s" keyGroupedBy=bucket($n,$c)"
     }.getOrElse("")
     val l = limit.map(n => s" limit=$n").getOrElse("")
-    s"graftshard files=${selected.size}/${manifest.files.size} pushed=[$p]$a$g$l"
+    val tn = topN.map(t => s" topN=${t.k} by ${t.col}" +
+      s"${if (t.desc) " DESC" else ""}").getOrElse("")
+    s"graftshard files=${selected.size}/${manifest.files.size} pushed=[$p]$a$g$l$tn"
   }
 
   override def outputPartitioning(): Partitioning = groupedSpec match {
