@@ -1766,6 +1766,30 @@ object ExtensionQueries {
     q
   }
 
+  /** Metadata tables (`ns.t.snapshots` — the Iceberg inspection-face
+    * idea): the table's commit history answered from the MANIFESTS
+    * alone through a driver-local scan, composable with full SQL. The
+    * gate drives a create → two deterministic appends → rollback
+    * lifecycle and reads the history back — versions, operation tags,
+    * file counts, and row counts must all be byte-exact vs the oracle's
+    * reconstruction from the source corpus. At 100 TB this is "what did
+    * the 3am job commit?" answered with zero shard files opened
+    * (GraftShardMetadataTablesSpec pins the `files` face, freshness,
+    * expire shrinkage, and real-table shadowing). */
+  private def x66(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureGraftCatalog(s, dir)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x66")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x66.docs")
+    s.sql(s"CREATE TABLE $cat.x66.docs (doc_id BIGINT, lang STRING, n_chars BIGINT) USING graftshard")
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+    docs.where(col("doc_id") % 2 === 0).repartition(2).writeTo(s"$cat.x66.docs").append()
+    docs.where(col("doc_id") % 2 === 1).repartition(2).writeTo(s"$cat.x66.docs").append()
+    s.sql(s"CALL $cat.system.rollback('x66.docs', 2L)").collect()
+    s.table(s"$cat.x66.docs.snapshots")
+      .select(col("version"), col("operation"), col("files"), col("rows").as("n_rows"))
+  }
+
   /** RENAME COLUMN as a METADATA-ONLY commit (format v4 field ids —
     * [[graft.sources.v2.ShardFormat.MagicV4]]): half the corpus lands
     * under the ORIGINAL names, both data columns are renamed (one of
@@ -5260,6 +5284,18 @@ object ExtensionQueries {
     Q("x65_shard_topk", x65, Some("""
       SELECT doc_id, lang, source, n_chars FROM documents
       ORDER BY doc_id DESC LIMIT 100""")),
+
+    // snapshots metadata face: the commit history (create -> appends ->
+    // rollback) read back from manifests alone, byte-exact
+    Q("x66_shard_snapshots", x66, Some("""
+      SELECT * FROM (
+        SELECT 1::BIGINT AS version, 'create' AS operation, 0::BIGINT AS files, 0::BIGINT AS n_rows
+        UNION ALL SELECT 2, 'append', 2,
+          (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+        UNION ALL SELECT 3, 'append', 4,
+          (SELECT count(*) FROM documents)
+        UNION ALL SELECT 4, 'rollback', 2,
+          (SELECT count(*) FROM documents WHERE doc_id % 2 = 0))""")),
 
     // rollback: bad backfill + row-level damage undone by one
     // metadata-only commit; read-back byte-exact vs pre-damage state

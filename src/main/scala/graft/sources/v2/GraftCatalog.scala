@@ -91,9 +91,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    val m = ShardFormat.readManifest(dir.getPath).getOrElse(
-      throw new NoSuchTableException(ident))
-    new GraftShardTable(dir.getPath, m.schema)
+    ShardFormat.readManifest(dir.getPath) match {
+      case Some(m) => new GraftShardTable(dir.getPath, m.schema)
+      case None =>
+        // metadata faces (`ns.t.files` / `ns.t.snapshots`): the trailing
+        // segment names the face, the rest must be a real table — and a
+        // REAL table with the face's name always shadows it (checked
+        // above: the manifest read came first)
+        if (ident.namespace.nonEmpty &&
+            GraftShardMetadataTables.Names.contains(ident.name)) {
+          val base = Identifier.of(ident.namespace.init, ident.namespace.last)
+          val bdir = tableDir(base)
+          if (ShardFormat.manifestFile(bdir.getPath).isFile)
+            return new GraftShardMetadataTable(bdir.getPath, ident.name)
+        }
+        throw new NoSuchTableException(ident)
+    }
   }
 
   /** `VERSION AS OF n`: the table exactly as committed at snapshot n
