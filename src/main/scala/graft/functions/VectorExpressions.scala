@@ -76,6 +76,90 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** All LSH band buckets of a vector in ONE expression node.
+  *
+  * The unrolled formulation — `bands × rowsPerBand` separate
+  * [[DotProduct]]s, each wrapping its own `cast(v as array<double>)` —
+  * re-materializes the converted vector once PER PLANE (96 allocations
+  * of 64 doubles per row at d19's regime) and builds an expression tree
+  * whose analysis/codegen cost grows with the plane count. Holding the
+  * plane matrix as one flattened reference object and looping inside a
+  * single compiled method reads the vector once, keeps the plan O(1) in
+  * planes, and stays inside whole-stage codegen (the
+  * [[NearestCentroids]] lesson applied to banding).
+  *
+  * Semantics are bit-identical to the unrolled form and the DuckDB
+  * oracles: per plane p, s = Σᵢ v[i]·w[p][i] sequentially in index
+  * order, double precision; band p/rowsPerBand gets bit p%rowsPerBand
+  * iff s > 0. A dimension-mismatched vector yields all-zero buckets —
+  * exactly what the unrolled `when(dot > 0, …).otherwise(0)` produced
+  * from [[DotProduct]]'s null (and the final cosine verify filters any
+  * such pair anyway). */
+case class BandBuckets(
+    child: Expression,
+    weights: Array[Array[Double]],
+    bands: Int,
+    rowsPerBand: Int) extends UnaryExpression {
+
+  require(bands >= 1 && rowsPerBand >= 1 && rowsPerBand <= 62 &&
+    weights.length == bands * rowsPerBand && weights.nonEmpty,
+    "BandBuckets: need bands*rowsPerBand planes, 1 <= rowsPerBand <= 62")
+
+  private val dims = weights(0).length
+  // plane-major flattened matrix: one cache-friendly pass per row
+  private lazy val flat: Array[Double] = {
+    val f = new Array[Double](weights.length * dims)
+    var p = 0
+    while (p < weights.length) {
+      System.arraycopy(weights(p), 0, f, p * dims, dims)
+      p += 1
+    }
+    f
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_band_buckets"
+
+  /** Called from both interpreted eval and generated code. */
+  def buckets(a: ArrayData): ArrayData = {
+    val out = new Array[Long](bands)
+    if (a.numElements() == dims) {
+      val v = new Array[Double](dims)
+      var i = 0
+      while (i < dims) { v(i) = a.getDouble(i); i += 1 }
+      val w = flat
+      val planes = weights.length
+      var p = 0
+      while (p < planes) {
+        val base = p * dims
+        var s = 0.0
+        var j = 0
+        while (j < dims) { s += v(j) * w(base + j); j += 1 }
+        if (s > 0) out(p / rowsPerBand) |= 1L << (p % rowsPerBand)
+        p += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    buckets(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bandBuckets", this, classOf[BandBuckets].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.buckets($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandBuckets =
+    copy(child = newChild)
+}
+
 /** Top-`k` nearest centroids of a vector by cosine, as ONE expression node.
   *
   * The naive formulation — an `array(...)` of `nlist` literal structs, each
@@ -336,6 +420,14 @@ object VectorFunctions {
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a.cast("array<double>")),
       ColumnBridge.expression(b.cast("array<double>"))))
+
+  /** Every LSH band bucket of `vec` under the plane matrix — one plan
+    * node and one vector read regardless of plane count. */
+  def bandBuckets(
+      vec: Column, weights: Array[Array[Double]],
+      bands: Int, rowsPerBand: Int): Column =
+    ColumnBridge.column(BandBuckets(
+      ColumnBridge.expression(vec.cast("array<double>")), weights, bands, rowsPerBand))
 
   /** Top-`k` centroid ids nearest to `vec` by cosine, (cos desc, cid desc)
     * order — one plan node regardless of centroid count. */

@@ -63,11 +63,13 @@ object Similarity {
     }
   }
 
-  /** Bucket id in [0, 2^planes): bit p set iff dot(v, plane_p) > 0. */
+  /** Bucket id in [0, 2^planes): bit p set iff dot(v, plane_p) > 0.
+    * One fused expression (bands=1): the vector converts once and every
+    * plane dot runs in a single compiled loop, instead of one
+    * DotProduct + cast per plane. */
   def hyperplaneBucket(vec: Column, weights: Array[Array[Double]]): Column =
-    weights.zipWithIndex.map { case (w, p) =>
-      when(dot(vec, typedlit(w.toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    element_at(graft.functions.VectorFunctions.bandBuckets(
+      vec, weights, bands = 1, rowsPerBand = weights.length), 1)
 
   def withHyperplaneBuckets(
       df: DataFrame, vecCol: String, planes: Int, dims: Int): DataFrame =

@@ -426,9 +426,17 @@ class GraftShardScanBuilder(
   private def computeAggregation(a: Aggregation): Option[ShardAggResult] = {
     if (pushed.nonEmpty) return None
     val m = manifest
-    // merge-on-read deletes / equality deletes: manifest rows/stats are
-    // PHYSICAL and would overcount — the pushdown refuses rather than lies
-    if (m.files.exists(_.deletes.isDefined) || m.equalityDeletes.nonEmpty) return None
+    // merge-on-read deletes: manifest rows/stats are PHYSICAL and would
+    // overcount — refused, EXCEPT for pure COUNT(*) shapes, where the
+    // live count is exactly rows − deletedRows per file (the vector's
+    // cardinality is manifest-recorded; same arithmetic the numRows
+    // statistic already reports). MIN/MAX/SUM/COUNT(col) stay refused: a
+    // deleted row may be the extremum / a null, unknowable without the
+    // vector. Equality deletes refuse everything — which OLDER rows a
+    // key set kills is not knowable from the manifest at all.
+    if (m.equalityDeletes.nonEmpty) return None
+    if (m.files.exists(_.deletes.isDefined) &&
+        !a.aggregateExpressions().forall(_.isInstanceOf[CountStar])) return None
     def colType(c: String): Option[DataType] =
       m.schema.fields.find(_.name == c).map(_.dataType)
     def integral(c: String): Boolean =
@@ -479,7 +487,8 @@ class GraftShardScanBuilder(
       a.aggregateExpressions().toSeq.map {
         case _: CountStar => Some(
           (StructField("count(*)", LongType, nullable = false),
-            (fes: Seq[ShardFormat.FileEntry]) => Long.box(fes.map(_.rows).sum)))
+            (fes: Seq[ShardFormat.FileEntry]) =>
+              Long.box(fes.map(fe => fe.rows - fe.deletedRows).sum)))
         case c: Count if !c.isDistinct =>
           columnName(c.column)
             .filter(cn => (integral(cn) && tracked(cn)) || strTracked(cn))

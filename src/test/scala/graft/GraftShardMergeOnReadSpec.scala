@@ -119,8 +119,9 @@ class GraftShardMergeOnReadSpec extends AnyFunSuite {
     val dir = s"$warehouse/stats/t"
     withMor { spark.sql("DELETE FROM morcat.stats.t WHERE id % 5 = 0 AND k = 2") }
     assert(ShardFormat.readManifest(dir).get.files.exists(_.deletes.isDefined))
-    // aggregate pushdown must REFUSE (physical stats would overcount):
-    // the correct answer comes from a real scan
+    // COUNT(*) pushdown stays up under vectors — the live count is
+    // exactly rows − deletedRows per file, manifest-resident; every
+    // other aggregate REFUSES (a deleted row may be the extremum)
     def counts() = spark.table("morcat.stats.t").groupBy("k")
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -128,8 +129,14 @@ class GraftShardMergeOnReadSpec extends AnyFunSuite {
     assert(c1(2L) == 10L && c1(1L) == 13L, s"$c1") // k=2 lost ids 10,20,..,90 -> 3 of its 13
     val plan1 = spark.table("morcat.stats.t").groupBy("k")
       .agg(count(lit(1))).queryExecution.executedPlan.toString
-    assert(!plan1.contains("pushedAggregates"),
-      s"aggregate pushdown must refuse under delete vectors:\n$plan1")
+    assert(plan1.contains("pushedAggregates"),
+      s"COUNT(*) pushdown must stay up under delete vectors (live counts):\n$plan1")
+    val minPlan = spark.table("morcat.stats.t").groupBy("k")
+      .agg(min(col("id"))).queryExecution.executedPlan.toString
+    assert(!minPlan.contains("pushedAggregates"),
+      s"MIN pushdown must refuse under delete vectors:\n$minPlan")
+    assert(spark.table("morcat.stats.t").groupBy("k").agg(min(col("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap.apply(2L) == 2L)
 
     // compaction rewrites vector-carrying files (regardless of size),
     // purges the sidecars, and pushdown comes back
