@@ -1790,6 +1790,38 @@ object ExtensionQueries {
       .select(col("version"), col("operation"), col("files"), col("rows").as("n_rows"))
   }
 
+  /** PARTITION EVOLUTION (`CALL system.set_partitioning`): era 1 of the
+    * corpus lands UNPARTITIONED; the spec changes to identity(lang_key)
+    * as a metadata-only commit (zero rows moved — at 100 TB re-keying
+    * is an explicit rewrite, never a side effect); era 2 appends under
+    * the new spec (one key per file, write-clustered by Spark). The
+    * filtered read over the mixed-era table must be byte-exact — old
+    * files' cleared key values cost nothing because pruning runs on
+    * column STATS, which survive evolution untouched
+    * (GraftShardPartitionEvolutionSpec pins the honest degradation of
+    * SPJ/grouped-pushdown on mixed tables, their return after a
+    * rewrite, compaction pool separation, and the refusals). */
+  private def x67(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureGraftCatalog(s, dir)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x67")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x67.docs")
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"),
+        pmod(col("doc_id"), lit(4)).as("lang_key"))
+    docs.where(col("doc_id") % 2 === 0)
+      .repartition(2).writeTo(s"$cat.x67.docs").using("graftshard").create()
+    val row = s.sql(s"CALL $cat.system.set_partitioning('x67.docs', 'lang_key')")
+      .collect().head
+    require(row.getString(0) == "lang_key", s"x67: wrong spec (${row})")
+    docs.where(col("doc_id") % 2 === 1).writeTo(s"$cat.x67.docs").append()
+    val m = graft.sources.v2.ShardFormat
+      .readManifest(Q.tmpArtifactPath("graftcat_wh", dir) + "/x67/docs").get
+    require(m.partitioning.contains(graft.sources.v2.ShardFormat.IdentityPart("lang_key")) &&
+        m.files.exists(_.partition.isDefined) && m.files.exists(_.partition.isEmpty),
+      s"x67: expected a mixed-era keyed table (${m.partitioning}, ${m.files.size} files)")
+    s.table(s"$cat.x67.docs").where(col("n_chars") >= 200 && col("lang") =!= "de")
+  }
+
   /** RENAME COLUMN as a METADATA-ONLY commit (format v4 field ids —
     * [[graft.sources.v2.ShardFormat.MagicV4]]): half the corpus lands
     * under the ORIGINAL names, both data columns are renamed (one of
@@ -5284,6 +5316,13 @@ object ExtensionQueries {
     Q("x65_shard_topk", x65, Some("""
       SELECT doc_id, lang, source, n_chars FROM documents
       ORDER BY doc_id DESC LIMIT 100""")),
+
+    // partition evolution: spec change metadata-only, era-2 appends
+    // keyed, mixed-era filtered read byte-exact
+    Q("x67_shard_partition_evolution", x67, Some("""
+      SELECT doc_id, lang, n_chars::BIGINT AS n_chars,
+        doc_id % 4 AS lang_key
+      FROM documents WHERE n_chars >= 200 AND lang <> 'de'""")),
 
     // snapshots metadata face: the commit history (create -> appends ->
     // rollback) read back from manifests alone, byte-exact

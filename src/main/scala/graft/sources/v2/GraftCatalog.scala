@@ -494,7 +494,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * `vacuum`. The scheduled-job half of a lake lives in SQL at 100 TB
     * (an orchestrator issues CALLs; it does not link the library), and
     * each returns its report as rows so the job can alert on them. */
-  private val procedureNames = Seq("compact", "expire_snapshots", "vacuum", "rollback")
+  private val procedureNames =
+    Seq("compact", "expire_snapshots", "vacuum", "rollback", "set_partitioning")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
@@ -607,6 +608,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         val r = GraftShardMaintenance.rollback(
           procTableDir(in.getUTF8String(0).toString), in.getLong(1))
         Seq(Array[Any](r.fromVersion, r.restoredVersion, r.newVersion, r.files.toLong))
+      }
+      case "set_partitioning" => procedure(
+        "set_partitioning",
+        Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'namespace.table' whose clustering spec to change").build(),
+          ProcedureParameter.in("spec", StringType)
+            .comment("'none', '<column>', or 'bucket(<n>, <column>)'").build()),
+        StructType(Seq(
+          StructField("spec", StringType, nullable = false),
+          StructField("files_cleared", LongType, nullable = false),
+          StructField("new_version", LongType, nullable = false)))) { in =>
+        val r = GraftShardMaintenance.setPartitioning(
+          procTableDir(in.getUTF8String(0).toString),
+          GraftShardMaintenance.parsePartSpec(in.getUTF8String(1).toString))
+        val shown = r.spec match {
+          case None => "none"
+          case Some(ShardFormat.IdentityPart(c)) => c
+          case Some(ShardFormat.BucketPart(n, c)) => s"bucket($n, $c)"
+        }
+        Seq(Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(shown),
+          r.filesCleared.toLong, r.newVersion))
       }
       case other => throw new UnsupportedOperationException(
         s"graftshard: unknown procedure 'system.$other' — supported: " +

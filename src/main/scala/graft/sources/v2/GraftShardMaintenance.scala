@@ -335,6 +335,78 @@ object GraftShardMaintenance {
     expired
   }
 
+  final case class SetPartitioningReport(
+      spec: Option[ShardFormat.PartSpec],
+      filesCleared: Int,
+      newVersion: Long)
+
+  /** PARTITION EVOLUTION (`CALL system.set_partitioning`): change the
+    * table's at-rest clustering spec as a METADATA-ONLY commit — new
+    * writes cluster under the new spec, existing files stay exactly as
+    * written. Old files' recorded key values are OLD-SPEC currency
+    * (an identity key is not a bucket id), so the commit CLEARS them
+    * rather than letting any consumer compare keys across specs; every
+    * key-dependent fast path already degrades honestly on a file
+    * without a key (storage-partitioned joins and the zero-sort
+    * ordering report stand down, grouped aggregate pushdown refuses,
+    * compaction pools unkeyed files separately) and none of them is a
+    * correctness surface — pruning runs on column STATS, which survive
+    * untouched. Rows never move: re-keying existing data is an
+    * explicit rewrite (INSERT OVERWRITE under the new spec), not a
+    * side effect of a metadata command — at 100 TB that distinction is
+    * the whole point. Generation is kept (no logical row changed;
+    * streaming prefix offsets stay valid) and the commit is tagged
+    * "alter" (the change feed's no-row-change class). */
+  def setPartitioning(
+      dir: String, spec: Option[ShardFormat.PartSpec]): SetPartitioningReport = {
+    val m = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
+    require(spec != m.partitioning,
+      s"graftshard: table at '$dir' already has partitioning $spec — nothing to change")
+    spec.foreach { sp =>
+      val f = m.schema.fields.find(_.name == sp.column).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftshard: partition column '${sp.column}' not in table schema " +
+            m.schema.fieldNames.mkString("(", ", ", ")")))
+      require(f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType,
+        s"graftshard: partition column '${sp.column}' must be integral " +
+          s"(long/int), got ${f.dataType.sql}")
+      sp match {
+        case ShardFormat.BucketPart(n, _) =>
+          require(n > 0, s"graftshard: bucket needs n > 0, got $n")
+        case _ => ()
+      }
+    }
+    val cleared = m.files.count(_.partition.isDefined)
+    val files = m.files.map(fe =>
+      if (fe.partition.isDefined) fe.copy(partition = None) else fe)
+    ShardFormat.writeManifest(dir, m.copy(
+      files = files,
+      partitioning = spec,
+      version = m.version + 1,
+      createdAtMs = System.currentTimeMillis(),
+      operation = "alter"))
+    SetPartitioningReport(spec, cleared, m.version + 1)
+  }
+
+  /** Parses a procedure-argument spec string: `none`, `<column>`
+    * (identity), or `bucket(<n>, <column>)`. */
+  def parsePartSpec(s: String): Option[ShardFormat.PartSpec] = {
+    val t = s.trim
+    if (t.equalsIgnoreCase("none")) None
+    else {
+      val b = "(?i)bucket\\s*\\(\\s*(\\d+)\\s*,\\s*([^)\\s]+)\\s*\\)".r
+      t match {
+        case b(n, c) => Some(ShardFormat.BucketPart(n.toInt, c))
+        case c if c.nonEmpty && !c.contains("(") => Some(ShardFormat.IdentityPart(c))
+        case other => throw new IllegalArgumentException(
+          s"graftshard: cannot parse partitioning spec '$other' — expected " +
+            "'none', '<column>', or 'bucket(<n>, <column>)'")
+      }
+    }
+  }
+
   final case class RollbackReport(
       fromVersion: Long,
       restoredVersion: Long,
