@@ -314,10 +314,40 @@ object ScaleProbe {
           try t(ShardFormat.writeManifest(dir,
             m.copy(files = m.files :+ appended, version = m.version + 2)))
           finally ShardFormat.segmentMaxEntries = prevCap
+        // topN file cut: ORDER BY id DESC LIMIT 100 over the range-
+        // disjoint bounds — the cut is an O(files log files) driver sort
+        // and must stay planning-speed at the manifest ceiling
+        val (pTop, topSec) = {
+          import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+          val sb = new GraftShardScanBuilder(dir, schema, empty, None)
+          require(sb.pushTopN(Array(Expressions.sort(
+            Expressions.column("id"), SortDirection.DESCENDING)), 100),
+            "probe: topN push refused")
+          val (parts, sec) = t(sb.build().toBatch.planInputPartitions())
+          (parts.length, sec)
+        }
+        // partition evolution worst case: EVERY entry keyed -> every
+        // entry copies (partition cleared) -> every paged segment dirty
+        // -> a full manifest rewrite. One-time admin cost, priced here.
+        val (spN, spSec) = {
+          val d2 = s"/tmp/graft_manifest_probe_sp_$n"
+          new java.io.File(d2).mkdirs()
+          val keyed = entries.zipWithIndex.map { case (fe, i) =>
+            fe.copy(partition = Some(i % 1024L)) }
+          ShardFormat.writeManifest(d2, ShardFormat.Manifest(
+            schema, "probe", keyed, Some(ShardFormat.IdentityPart("id")),
+            version = 1L, createdAtMs = System.currentTimeMillis()))
+          val m2 = ShardFormat.readManifest(d2).get
+          require(m2.files.size == n)
+          val (r, sec) = t(graft.sources.v2.GraftShardMaintenance
+            .setPartitioning(d2, None))
+          (r.filesCleared, sec)
+        }
         println(f"PROBE-MANIFEST n=$n%8d write=$wSec%6.2f read=$rSec%6.2f " +
           f"plan_point=$pointSec%6.3f($pPoint%d parts) plan_half=$halfSec%6.3f($pHalf%d) " +
-          f"plan_full=$allSec%6.3f($pAll%d) append_paged=$aPagedSec%6.3f " +
-          f"append_mono=$aMonoSec%6.2f")
+          f"plan_full=$allSec%6.3f($pAll%d) plan_topn=$topSec%6.3f($pTop%d) " +
+          f"append_paged=$aPagedSec%6.3f append_mono=$aMonoSec%6.2f " +
+          f"set_part=$spSec%6.2f($spN%d cleared)")
       }
       spark.stop()
       return
