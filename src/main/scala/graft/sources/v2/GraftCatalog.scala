@@ -554,14 +554,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             .comment("'namespace.table' to compact").build(),
           ProcedureParameter.in("target_bytes", LongType)
             .defaultValue((128L * 1024 * 1024).toString)
-            .comment("target output shard size").build()),
+            .comment("target output shard size").build(),
+          ProcedureParameter.in("partition", LongType)
+            .defaultValue("NULL")
+            .comment("compact only this partition key (default: whole table)").build()),
         StructType(Seq(
           StructField("groups", LongType, nullable = false),
           StructField("replaced_files", LongType, nullable = false),
           StructField("created_files", LongType, nullable = false)))) { in =>
         val r = GraftShardMaintenance.compact(
           org.apache.spark.sql.SparkSession.active,
-          procTableDir(in.getUTF8String(0).toString), in.getLong(1))
+          procTableDir(in.getUTF8String(0).toString), in.getLong(1),
+          if (in.isNullAt(2)) None else Some(in.getLong(2)))
         Seq(Array[Any](r.groups.toLong, r.replaced.size.toLong, r.added.size.toLong))
       }
       case "expire_snapshots" => procedure(

@@ -113,15 +113,30 @@ object GraftShardMaintenance {
   def compact(
       spark: SparkSession,
       dir: String,
-      targetBytes: Long = 128L * 1024 * 1024): CompactReport = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      // partition-scoped OPTIMIZE: only this key's files are candidates
+      // (at 100 TB the maintenance job compacts the hot partition the
+      // last hour of micro-batches fragmented, not the whole table —
+      // O(partition) instead of O(table), and concurrent appends to
+      // OTHER keys never conflict with the commit)
+      onlyPartition: Option[Long] = None): CompactReport = {
     val m = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
       s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
+    onlyPartition.foreach { p =>
+      require(m.partitioning.isDefined,
+        s"graftshard: partition-scoped compaction needs a partitioned table, " +
+          s"but '$dir' is unpartitioned")
+      require(m.files.exists(_.partition.contains(p)),
+        s"graftshard: no files under partition $p at '$dir' — " +
+          s"present keys: ${m.files.flatMap(_.partition).distinct.sorted.take(20).mkString(", ")}")
+    }
     // a file subject to ANY live equality delete (strictly older than
     // the delete's seq) is a rewrite candidate regardless of size —
     // one compact pass applies and retires the read-side tax
     val maxEqSeq = (0L +: m.equalityDeletes.map(_.seq)).max
     val groups: Seq[(Option[Long], Seq[(String, Option[String], Long)])] =
-      m.files.groupBy(_.partition).toSeq.sortBy(_._1).flatMap { case (p, fes) =>
+      m.files.filter(fe => onlyPartition.forall(fe.partition.contains(_)))
+        .groupBy(_.partition).toSeq.sortBy(_._1).flatMap { case (p, fes) =>
         // small files merge; files carrying merge-on-read delete
         // vectors or subject to equality deletes are candidates
         // REGARDLESS of size (a singleton rewrite purges the vector /

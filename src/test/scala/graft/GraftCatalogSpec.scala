@@ -413,7 +413,8 @@ class GraftCatalogSpec extends AnyFunSuite {
     val listed = spark.sessionState.catalogManager.catalog("graftcat")
       .asInstanceOf[graft.sources.v2.GraftCatalog]
       .listProcedures(Array("system")).map(_.name).toSet
-    assert(listed == Set("compact", "expire_snapshots", "vacuum"))
+    assert(listed == Set("compact", "expire_snapshots", "vacuum",
+      "rollback", "set_partitioning"))
     val bad = intercept[Exception] { spark.sql("CALL graftcat.system.nope('maint.t')").collect() }
     assert(bad.getMessage.contains("nope"), bad.getMessage)
     val badTable = intercept[Exception] {

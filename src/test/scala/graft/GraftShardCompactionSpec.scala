@@ -207,6 +207,45 @@ class GraftShardCompactionSpec extends AnyFunSuite {
       .collect()(0).getString(0) == "mor")
   }
 
+  test("partition-scoped compaction: only the named key's files merge; other keys untouched; refusals") {
+    val dir = tmp()
+    spark.range(0, 300).select(col("id"), (col("id") % 3).as("k"))
+      .write.format("graftshard").option("partitionKey", "k")
+      .mode("overwrite").save(dir)
+    // fragment every key with two more appends
+    for (lo <- Seq(300L, 600L)) {
+      spark.range(lo, lo + 300).select(col("id"), (col("id") % 3).as("k"))
+        .write.format("graftshard").mode("append").save(dir)
+    }
+    val before = ShardFormat.readManifest(dir).get
+    val perKey = before.files.groupBy(_.partition.get).view.mapValues(_.size).toMap
+    assert(perKey.values.forall(_ >= 3), s"$perKey")
+
+    val report = GraftShardMaintenance.compact(spark, dir, onlyPartition = Some(1L))
+    val after = ShardFormat.readManifest(dir).get
+    val afterPerKey = after.files.groupBy(_.partition.get).view.mapValues(_.size).toMap
+    assert(afterPerKey(1L) == 1, s"key 1 must fully merge: $afterPerKey")
+    assert(afterPerKey(0L) == perKey(0L) && afterPerKey(2L) == perKey(2L),
+      "other keys' files must be untouched")
+    assert(report.replaced.nonEmpty &&
+      report.replaced.toSet == before.files.filter(_.partition.contains(1L)).map(_.name).toSet)
+    val rows = spark.read.format("graftshard").load(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(rows.toSeq == (0L until 900L).map(id => (id, id % 3)))
+
+    val eNoKey = intercept[IllegalArgumentException] {
+      GraftShardMaintenance.compact(spark, dir, onlyPartition = Some(99L))
+    }
+    assert(eNoKey.getMessage.contains("no files under partition"))
+    val unkeyed = tmp()
+    spark.range(0, 10).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(unkeyed)
+    val eUnpart = intercept[IllegalArgumentException] {
+      GraftShardMaintenance.compact(spark, unkeyed, onlyPartition = Some(0L))
+    }
+    assert(eUnpart.getMessage.contains("unpartitioned"))
+  }
+
   test("commit validation: a concurrent MoR delete on a replaced input refuses (no resurrection); pure appends tolerated") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(Seq(StructField("id", LongType)))
