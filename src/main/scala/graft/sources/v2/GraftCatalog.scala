@@ -259,6 +259,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     var files = m.files
     var part = m.partitioning
     var sorted = m.sortedBy
+    var zorder = m.zorderBy
     var bloomC = m.bloomColumns
     var eqDel = m.equalityDeletes
     def requireFreshName(c: String, what: String): Unit = {
@@ -315,6 +316,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           // old sidecars keep the dropped column's filter under the
           // dead name; readers resolve by CURRENT name, so it is inert
           bloomC = bloomC.filterNot(_ == c)
+          // the z-order property names live columns; dropping one
+          // retires the property (files stay physically clustered —
+          // only compaction's z-merge claim is given up)
+          if (zorder.exists(z => z._1 == c || z._2 == c)) zorder = None
         }
       case ren: TableChange.RenameColumn =>
         val from = single(ren.fieldNames)
@@ -347,6 +352,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           case other => other
         }
         sorted = sorted.map(s => if (s == from) to else s)
+        zorder = zorder.map { case (a, b) =>
+          (if (a == from) to else a, if (b == from) to else b) }
         // the property follows the rename; existing sidecars keyed by
         // the OLD name resolve through the alias map at read time
         bloomC = bloomC.map(c => if (c == from) to else c)
@@ -397,6 +404,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       files = files,
       partitioning = part,
       sortedBy = sorted,
+      zorderBy = zorder,
       bloomColumns = bloomC,
       equalityDeletes = eqDel,
       version = m.version + 1,

@@ -168,6 +168,13 @@ object GraftShardMaintenance {
     val sortIdx = m.sortedBy.map(schema.fieldIndex).getOrElse(-1)
     val sortType: DataType =
       if (sortIdx < 0) NullType else schema.fields(sortIdx).dataType
+    // z-ordered table (every file one z-run — the manifest property's
+    // invariant): k-way merge groups on the Morton value so the
+    // OPTIMIZE pass PRESERVES the min/max-box clustering instead of
+    // diffusing it by concatenation
+    val zIdx: Option[(Int, Int)] =
+      if (sortIdx >= 0) None
+      else m.zorderBy.map { case (a, b) => (schema.fieldIndex(a), schema.fieldIndex(b)) }
     // the table's recorded compression survives maintenance: without
     // this, the routine OPTIMIZE pass would rewrite a deflate table RAW
     // and the at-rest saving would silently evaporate
@@ -193,7 +200,7 @@ object GraftShardMaintenance {
           bloomCols)
         try {
           GraftShardMaintenance.streamGroup(dir, members, schema, sortIdx, sortType,
-            resolve, eqRefs)
+            resolve, eqRefs, zIdx)
             .foreach(w.write)
           val (bytes, rows, stats, allNull) = w.finish()
           ShardFormat.FileEntry(name, bytes, rows, stats, allNull, p,
@@ -274,7 +281,8 @@ object GraftShardMaintenance {
       sortIdx: Int,
       sortType: DataType,
       resolve: ShardFormat.ColumnResolution = ShardFormat.ColumnResolution.empty,
-      eqDeletes: Seq[(String, String, Long)] = Nil)
+      eqDeletes: Seq[(String, String, Long)] = Nil,
+      zIdx: Option[(Int, Int)] = None)
       : Iterator[InternalRow] = {
     def readerOf(nd: (String, Option[String], Long)): Iterator[InternalRow] = {
       // the partition reader APPLIES the member's delete vector AND the
@@ -294,9 +302,26 @@ object GraftShardMaintenance {
         }
       }
     }
-    if (sortIdx < 0) names.iterator.flatMap(readerOf)
+    if (sortIdx < 0 && zIdx.isEmpty) names.iterator.flatMap(readerOf)
     else {
-      val lt: (InternalRow, InternalRow) => Boolean = {
+      val lt: (InternalRow, InternalRow) => Boolean = if (sortIdx < 0) {
+        // z-merge: each input file is one z-run (the zorderBy property's
+        // invariant), keys compared exactly as the writer sorted them —
+        // zOrderOf's sign-flipped signed order, NULLS FIRST (the scalar
+        // function yields null when either input is null)
+        val (ia, ib) = zIdx.get
+        val aInt = schema.fields(ia).dataType == IntegerType
+        val bInt = schema.fields(ib).dataType == IntegerType
+        def key(r: InternalRow): Long = ShardFormat.zOrderOf(
+          if (aInt) r.getInt(ia).toLong else r.getLong(ia),
+          if (bInt) r.getInt(ib).toLong else r.getLong(ib))
+        (a, b) => {
+          val an = a.isNullAt(ia) || a.isNullAt(ib)
+          val bn = b.isNullAt(ia) || b.isNullAt(ib)
+          if (an || bn) an && !bn // nulls first
+          else key(a) < key(b)
+        }
+      } else {
         def cmp(f: (InternalRow, Int) => Comparable[Any]): (InternalRow, InternalRow) => Boolean =
           (a, b) => {
             val an = a.isNullAt(sortIdx); val bn = b.isNullAt(sortIdx)

@@ -320,7 +320,7 @@ class GraftShardZOrderWrite(
 
   override def toBatch: BatchWrite =
     new GraftShardBatchWrite(path, schema, replace, None, None, maxOpenWriters, codec,
-      bloomCols)
+      bloomCols, zorderCols = Some((colA, colB)))
 }
 
 /** The streaming sink face: micro-batch epochs commit through the ONE
@@ -393,7 +393,8 @@ class GraftShardBatchWrite(
     maxOpenWriters: Int = 64,
     codec: String = "none",
     bloomCols: Seq[String] = Nil,
-    upsertKey: Option[String] = None)
+    upsertKey: Option[String] = None,
+    zorderCols: Option[(String, String)] = None)
     extends BatchWrite {
 
   private def isTruncate: Boolean =
@@ -509,6 +510,14 @@ class GraftShardBatchWrite(
     val sortedBy: Option[String] =
       if (committed.isEmpty) { if (prior.isEmpty) sortCol else priorSort }
       else sortCol.filter(s => prior.isEmpty || priorSort.contains(s))
+    // zorderBy is sortedBy's 2-D analog and follows its exact rule:
+    // present only while EVERY file in the manifest was written under
+    // the same declared z-order — the invariant compaction's z-merge
+    // depends on (each input file must be one z-run)
+    val priorZ = current.flatMap(_.zorderBy)
+    val zorderBy: Option[(String, String)] =
+      if (committed.isEmpty) { if (prior.isEmpty) zorderCols else priorZ }
+      else zorderCols.filter(z => prior.isEmpty || priorZ.contains(z))
     val streamCommits =
       current.map(_.streamCommits).getOrElse(Map.empty) ++ streamEpoch
     // DROP COLUMN tombstones carry through appends/REPLACE WHERE (old
@@ -568,6 +577,7 @@ class GraftShardBatchWrite(
         lastFieldId = lastFieldId,
         aliases = aliases,
         bloomColumns = bloomColumns,
+        zorderBy = zorderBy,
         equalityDeletes = equalityDeletes,
         // paged-manifest provenance rides through (prior entries keep
         // their reference identity, so an append reuses every segment)

@@ -495,6 +495,16 @@ object ShardFormat {
       // columns skip whole files the stats tier cannot (unsorted
       // high-cardinality equality — THE missing pruning at 100 TB)
       bloomColumns: Seq[String] = Nil,
+      // Z-ORDER clustering as a table property (the same lifecycle rule
+      // as `sortedBy`, which it is the 2-D analog of): present only
+      // while EVERY file was written z-sorted on these two columns —
+      // that invariant is what lets compaction K-WAY MERGE group
+      // members on the Morton value (each input is one z-run) instead
+      // of concatenating, so the routine OPTIMIZE pass preserves the
+      // min/max-box clustering instead of silently diffusing it. An
+      // undeclared append clears the flag (honest degradation); a
+      // z-ordered truncate re-states it
+      zorderBy: Option[(String, String)] = None,
       // EQUALITY DELETES (the Iceberg-v2 idea; the streaming-upsert
       // currency): each entry is one commit's "delete every OLDER row
       // whose <column> value appears in <sidecar>" — an UPSERT commit
@@ -1893,9 +1903,14 @@ object ShardFormat {
       }
       b.result()
     }
+    val zorderBy = {
+      val z = root.get("zorderBy")
+      if (z != null && z.size() == 2) Some((z.get(0).asText(), z.get(1).asText()))
+      else None
+    }
     Some(Manifest(schema, generation, files, partitioning, version,
       createdAt, sortedBy, streamCommits, dropped, operation, compression,
-      fieldIds, lastFieldId, aliases, bloomColumns,
+      fieldIds, lastFieldId, aliases, bloomColumns, zorderBy,
       equalityDeletes = equalityDeletes, pagedSegments = paged))
   }
 
@@ -1967,6 +1982,10 @@ object ShardFormat {
     if (m.bloomColumns.nonEmpty) {
       val bc = root.putArray("bloomColumns")
       m.bloomColumns.foreach(bc.add)
+    }
+    m.zorderBy.foreach { case (a, b) =>
+      val z = root.putArray("zorderBy")
+      z.add(a); z.add(b): Unit
     }
     if (m.equalityDeletes.nonEmpty) {
       val ed = root.putArray("equalityDeletes")

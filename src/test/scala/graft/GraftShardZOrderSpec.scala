@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.v2.ShardFormat
+import graft.sources.v2.{GraftShardMaintenance, ShardFormat}
 
 /** Z-order clustering (`option("zorderBy", "a,b")` on the catalog
   * face): the write range-partitions + sorts by the Morton interleave
@@ -115,6 +115,41 @@ class GraftShardZOrderSpec extends AnyFunSuite {
     val got = spark.table("zcat.gs.z")
       .where(col("x").between(100, 120) && col("y").between(100, 120)).count()
     assert(got == 21L * 21L)
+  }
+
+  test("zorderBy is a table property: OPTIMIZE k-way z-merges (outputs stay z-runs); undeclared appends clear it") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS zcat.opt")
+    spark.range(0, 4000).select(
+      (col("id") % 64).as("x"), (col("id") / lit(64L)).cast("long").as("y"), col("id").as("v"))
+      .writeTo("zcat.opt.t").using("graftshard")
+      .option("zorderBy", "x,y").option("writePartitions", "8").create()
+    val dir = s"$warehouse/opt/t"
+    val m0 = ShardFormat.readManifest(dir).get
+    assert(m0.zorderBy.contains(("x", "y")))
+    assert(m0.files.size == 8)
+
+    val report = GraftShardMaintenance.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(report.groups == 1 && report.replaced.size == 8)
+    val m1 = ShardFormat.readManifest(dir).get
+    assert(m1.zorderBy.contains(("x", "y")), "OPTIMIZE must not drop the property")
+    assert(m1.files.size == 1)
+
+    // the output is ONE z-run: physical order (per _pos) is monotone in
+    // the Morton value — the merge sorted, concatenation would not have
+    val rows = spark.sql("SELECT _pos, x, y FROM zcat.opt.t").collect()
+      .sortBy(_.getLong(0))
+      .map(r => ShardFormat.zOrderOf(r.getLong(1), r.getLong(2)))
+    assert(rows.length == 4000)
+    assert(rows.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      "compacted z-table must stay one z-run per file")
+
+    // an undeclared append breaks the every-file-is-a-z-run invariant:
+    // the property clears (honest degradation, like sortedBy)
+    spark.range(4000, 4100).select(
+      (col("id") % 64).as("x"), (col("id") / lit(64L)).cast("long").as("y"), col("id").as("v"))
+      .coalesce(1).writeTo("zcat.opt.t").append()
+    assert(ShardFormat.readManifest(dir).get.zorderBy.isEmpty)
+    assert(spark.table("zcat.opt.t").count() == 4100)
   }
 
   test("zorderBy is refused with partitionKey/sortWithinShards and on non-integral columns") {
