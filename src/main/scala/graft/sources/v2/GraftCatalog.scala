@@ -582,11 +582,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           ProcedureParameter.in("table", StringType)
             .comment("'namespace.table' whose history to retire").build(),
           ProcedureParameter.in("keep_last", IntegerType)
-            .defaultValue("1").comment("snapshots to retain").build()),
+            .defaultValue("1").comment("snapshots to retain").build(),
+          ProcedureParameter.in("older_than_ms", LongType)
+            .defaultValue("0")
+            .comment("wall-clock guard: only snapshots at least this old expire").build()),
         StructType(Seq(
           StructField("expired_snapshots", LongType, nullable = false)))) { in =>
         val expired = GraftShardMaintenance.expireSnapshots(
-          procTableDir(in.getUTF8String(0).toString), in.getInt(1))
+          procTableDir(in.getUTF8String(0).toString), in.getInt(1), in.getLong(2))
         Seq(Array[Any](expired.size.toLong))
       }
       case "vacuum" => procedure(

@@ -362,15 +362,25 @@ object GraftShardMaintenance {
 
   /** Retires time-travel history: keeps the newest `keepLast` snapshot
     * manifests (and ALWAYS the one the current pointer names), deletes
-    * the rest. Shard files referenced only by expired snapshots become
-    * vacuum-reclaimable. Returns the expired version numbers. */
-  def expireSnapshots(dir: String, keepLast: Int): Seq[Long] = {
+    * the rest. `olderThanMs > 0` adds a WALL-CLOCK guard — only
+    * snapshots committed at least that long ago expire (the retention
+    * horizon ops jobs schedule by: "keep 7 days" composes with "keep at
+    * least N" instead of fighting it; a pre-versioning snapshot with no
+    * recorded commit time counts as old). Shard files referenced only
+    * by expired snapshots become vacuum-reclaimable. Returns the
+    * expired version numbers. */
+  def expireSnapshots(dir: String, keepLast: Int, olderThanMs: Long = 0L): Seq[Long] = {
     require(keepLast >= 1, "graftshard: keepLast must be >= 1")
+    require(olderThanMs >= 0L, "graftshard: olderThanMs must be >= 0")
     val current = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
       s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
     val versions = ShardFormat.listVersions(dir)
     val keep = versions.takeRight(keepLast).toSet + current.version
-    val expired = versions.filterNot(keep)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val expired = versions.filterNot(keep).filter { v =>
+      olderThanMs == 0L ||
+        ShardFormat.readManifestVersion(dir, v).forall(_.createdAtMs <= cutoff)
+    }
     expired.foreach(v => ShardFormat.versionFile(dir, v).delete())
     expired
   }

@@ -196,6 +196,24 @@ class GraftShardRollbackSpec extends AnyFunSuite {
     assert(idsOf(dir) == (0L until 50L))
   }
 
+  test("expire-by-age: the wall-clock guard protects young snapshots, keepLast still floors retention") {
+    val dir = tmp()
+    for (lo <- Seq(0L, 10L, 20L, 30L)) {
+      spark.range(lo, lo + 10).select(col("id"), col("id").as("v"))
+        .coalesce(1).write.format("graftshard")
+        .mode(if (lo == 0L) "overwrite" else "append").save(dir)
+    }
+    assert(ShardFormat.listVersions(dir).size == 4)
+    // everything is seconds old: a 1-hour horizon expires nothing
+    assert(GraftShardMaintenance.expireSnapshots(dir, keepLast = 1,
+      olderThanMs = 3600L * 1000).isEmpty)
+    assert(ShardFormat.listVersions(dir).size == 4)
+    // a zero horizon falls back to pure keepLast
+    val expired = GraftShardMaintenance.expireSnapshots(dir, keepLast = 2)
+    assert(expired.size == 2)
+    assert(ShardFormat.listVersions(dir).size == 2)
+  }
+
   test("CALL rbcat.system.rollback: the SQL face returns the report row") {
     spark.sql("CREATE NAMESPACE rbcat.proc")
     spark.range(0, 30).select(col("id"), col("id").as("v"))
