@@ -1822,6 +1822,36 @@ object ExtensionQueries {
     s.table(s"$cat.x67.docs").where(col("n_chars") >= 200 && col("lang") =!= "de")
   }
 
+  /** DYNAMIC PARTITION OVERWRITE (`overwritePartitions()`): the corpus
+    * lands keyed by doc_id%4; one partition is re-materialized with
+    * corrected values in a single commit that replaces EXACTLY that
+    * key's files (resolved at commit time from the written files' keys
+    * — never predicted) and carries every other partition's files by
+    * identity. The daily re-materialization shape at 100 TB: fixing
+    * one day costs one partition, not a table rewrite, and readers of
+    * other partitions are never disturbed. Byte-exact vs the oracle's
+    * CASE reconstruction (GraftShardDynamicOverwriteSpec pins the
+    * manifest mechanics, CDF face, empty-input no-op, and the
+    * unpartitioned/mixed-era refusals). */
+  private def x68(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureGraftCatalog(s, dir)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x68")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x68.docs")
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"),
+        pmod(col("doc_id"), lit(4)).as("part_key"))
+    docs.writeTo(s"$cat.x68.docs").using("graftshard")
+      .partitionedBy(col("part_key")).create()
+    docs.where(col("part_key") === 2)
+      .select(col("doc_id"), col("lang"), (col("n_chars") * 10L).as("n_chars"),
+        col("part_key"))
+      .writeTo(s"$cat.x68.docs").overwritePartitions()
+    val m = graft.sources.v2.ShardFormat
+      .readManifest(Q.tmpArtifactPath("graftcat_wh", dir) + "/x68/docs").get
+    require(m.operation == "replace", s"x68: wrong operation tag (${m.operation})")
+    s.table(s"$cat.x68.docs")
+  }
+
   /** RENAME COLUMN as a METADATA-ONLY commit (format v4 field ids —
     * [[graft.sources.v2.ShardFormat.MagicV4]]): half the corpus lands
     * under the ORIGINAL names, both data columns are renamed (one of
@@ -5323,6 +5353,14 @@ object ExtensionQueries {
       SELECT doc_id, lang, n_chars::BIGINT AS n_chars,
         doc_id % 4 AS lang_key
       FROM documents WHERE n_chars >= 200 AND lang <> 'de'""")),
+
+    // dynamic partition overwrite: one partition re-materialized in one
+    // commit, everything else carried by identity, byte-exact
+    Q("x68_shard_dynamic_overwrite", x68, Some("""
+      SELECT doc_id, lang,
+        (CASE WHEN doc_id % 4 = 2 THEN n_chars * 10 ELSE n_chars END)::BIGINT AS n_chars,
+        doc_id % 4 AS part_key
+      FROM documents""")),
 
     // snapshots metadata face: the commit history (create -> appends ->
     // rollback) read back from manifests alone, byte-exact

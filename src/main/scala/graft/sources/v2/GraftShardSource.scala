@@ -239,6 +239,7 @@ class GraftShardTable(
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE).asJava
 
   /** Key-partitioned tables surface their layout as an identity or

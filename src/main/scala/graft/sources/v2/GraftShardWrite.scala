@@ -5,7 +5,7 @@ import java.io.File
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsDynamicOverwrite, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
@@ -39,7 +39,16 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * that is the same contract as Spark's own dynamic partition writes.
   */
 class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsOverwrite {
+    extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
+
+  // DYNAMIC partition overwrite (`df.writeTo(t).overwritePartitions()`,
+  // or INSERT OVERWRITE under partitionOverwriteMode=dynamic): replace
+  // exactly the partitions the incoming data lands in, append nowhere
+  // else — the daily re-materialization shape. Resolved at COMMIT time
+  // from the written files' keys (one key per file, the keyed-write
+  // invariant), so the replaced set is exact, not predicted.
+  private var dynamic = false
+  override def overwriteDynamicPartitions(): WriteBuilder = { dynamic = true; this }
 
   // None = append; Some(AlwaysTrue) = truncate (SupportsOverwrite's
   // default truncate() routes here); Some(other) = REPLACE WHERE — the
@@ -222,11 +231,23 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
         "graftshard: upsertKey cannot combine with zorderBy (upsert batches " +
           "append; re-cluster with compaction)")
     }
+    if (dynamic) {
+      require(replaceFilters.isEmpty,
+        "graftshard: dynamic partition overwrite cannot combine with " +
+          "truncate/REPLACE WHERE")
+      require(spec.isDefined,
+        "graftshard: dynamic partition overwrite needs a partitioned table " +
+          "(identity or bucket) — an unpartitioned table has no partitions " +
+          "to replace; use truncate or REPLACE WHERE")
+      require(upsertKey.isEmpty && zorderCols.isEmpty,
+        "graftshard: dynamic partition overwrite cannot combine with " +
+          "upsertKey or zorderBy")
+    }
     val queryId = info.queryId()
     (sortCol, spec) match {
       case (Some(s), Some(sp)) =>
         new GraftShardWriteWithOrdering(path, schema, replace, sp, s, maxOpen, queryId,
-          codec, bloomCols, upsertKey)
+          codec, bloomCols, upsertKey, dynamic)
       case _ if zorderCols.isDefined =>
         val Seq(a, b) = zorderCols.get
         // writePartitions pins the range-partition count (0 = let Spark
@@ -243,7 +264,7 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
           override def toBatch: BatchWrite =
             new GraftShardBatchWrite(path, schema, replace, spec, sortCol = None,
               maxOpenWriters = maxOpen, codec = codec, bloomCols = bloomCols,
-              upsertKey = upsertKey)
+              upsertKey = upsertKey, dynamicOverwrite = dynamic)
           override def toStreaming: StreamingWrite =
             new GraftShardStreamingWrite(path, queryId,
               new GraftShardBatchWrite(path, schema, replace, spec, sortCol = None,
@@ -269,7 +290,8 @@ class GraftShardWriteWithOrdering(
     queryId: String = "",
     codec: String = "none",
     bloomCols: Seq[String] = Nil,
-    upsertKey: Option[String] = None)
+    upsertKey: Option[String] = None,
+    dynamicOverwrite: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -281,7 +303,7 @@ class GraftShardWriteWithOrdering(
 
   override def toBatch: BatchWrite =
     new GraftShardBatchWrite(path, schema, replace, Some(spec), Some(sortCol),
-      maxOpenWriters, codec, bloomCols, upsertKey)
+      maxOpenWriters, codec, bloomCols, upsertKey, dynamicOverwrite)
 
   override def toStreaming: StreamingWrite =
     new GraftShardStreamingWrite(path, queryId,
@@ -394,6 +416,7 @@ class GraftShardBatchWrite(
     codec: String = "none",
     bloomCols: Seq[String] = Nil,
     upsertKey: Option[String] = None,
+    dynamicOverwrite: Boolean = false,
     zorderCols: Option[(String, String)] = None)
     extends BatchWrite {
 
@@ -444,7 +467,21 @@ class GraftShardBatchWrite(
     // so streaming prefix offsets over them would replay deleted rows)
     val newVersion = current.map(_.version).getOrElse(0L) + 1
     val isUpsert = upsertKey.isDefined && eqSidecars.nonEmpty
-    val (prior, generation) = replace match {
+    val (prior, generation) = if (dynamicOverwrite) {
+      // replace exactly the partitions the committed files land in;
+      // everything else carries. Exact only when every existing file
+      // carries a key — a mixed-era file (pre-evolution) could hold
+      // rows of the replaced partitions, so it refuses loudly
+      val cur = current.map(_.files).getOrElse(Nil)
+      cur.foreach(fe => require(fe.partition.isDefined,
+        s"graftshard: dynamic partition overwrite on a mixed-era table — " +
+          s"file '${fe.name}' predates the current partition spec and may " +
+          "hold rows of the replaced partitions; rewrite the table under " +
+          "the current spec first"))
+      val newParts = committed.flatMap(_.partition).toSet
+      (cur.filterNot(fe => newParts.contains(fe.partition.get)),
+        java.util.UUID.randomUUID().toString.take(8))
+    } else replace match {
       case None =>
         (current.map(_.files).getOrElse(Nil),
           if (isUpsert) java.util.UUID.randomUUID().toString.take(8)
@@ -526,11 +563,13 @@ class GraftShardBatchWrite(
     val droppedColumns =
       if (isTruncate) Nil
       else current.map(_.droppedColumns).getOrElse(Nil)
-    val operation = replace match {
-      case None => if (isUpsert) "upsert" else "append"
-      case Some(_) if isTruncate => "overwrite"
-      case Some(_) => "replace"
-    }
+    val operation =
+      if (dynamicOverwrite) "replace"
+      else replace match {
+        case None => if (isUpsert) "upsert" else "append"
+        case Some(_) if isTruncate => "overwrite"
+        case Some(_) => "replace"
+      }
     // equality deletes: carried through appends, cleared by truncate
     // (every file it applied to is gone), extended by upsert commits
     val equalityDeletes =
