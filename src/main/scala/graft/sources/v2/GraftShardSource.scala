@@ -357,8 +357,13 @@ class GraftShardScanBuilder(
     * side); files without a bound claim (untracked, or a string bound
     * dropped by the byte cap) are always kept. */
   override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
-    if (orders.length != 1 || pushed.nonEmpty || manifest.equalityDeletes.nonEmpty)
+    if (orders.isEmpty || pushed.nonEmpty || manifest.equalityDeletes.nonEmpty)
       return false
+    // multi-column orders cut on the LEADING column alone, which is
+    // sound under lexicographic order: every counted row has lead-col
+    // value at-or-before the threshold, so a row strictly past it sorts
+    // after all k of them REGARDLESS of tiebreak columns — and the push
+    // is partial, so Spark's full multi-column sort still runs
     val o = orders(0)
     val col = o.expression() match {
       case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames()(0)

@@ -155,9 +155,17 @@ class GraftShardTopNSpec extends AnyFunSuite {
     assert(!fdesc.contains("topN="), s"absorbed filter must refuse the cut: $fdesc")
     assert(filtered.collect().map(_.getLong(0)).toSeq == (429L until 434L))
 
+    // multi-column order: the cut fires on the LEADING column alone
+    // (sound under lexicographic order; Spark's full sort still runs)
     val multi = t.orderBy(col("v"), col("id")).limit(5)
-    assert(!scanOf(multi).scan.description().contains("topN="))
+    val mdesc = scanOf(multi).scan.description()
+    assert(mdesc.contains("topN=5 by v") && mdesc.contains("files=1/4"), mdesc)
     assert(multi.collect().map(_.getLong(0)).toSeq == (0L until 5L))
+
+    // a leading EXPRESSION (not a column) refuses
+    val exprLead = t.orderBy((col("id") + 1L).asc, col("v")).limit(5)
+    assert(!scanOf(exprLead).scan.description().contains("topN="))
+    assert(exprLead.collect().map(_.getLong(0)).toSeq == (0L until 5L))
 
     // equality deletes live: physical counts lie, pushTopN refuses
     val up = tmp()
