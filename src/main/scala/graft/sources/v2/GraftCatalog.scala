@@ -614,14 +614,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           ProcedureParameter.in("table", StringType)
             .comment("'namespace.table' to roll back").build(),
           ProcedureParameter.in("version", LongType)
-            .comment("retained snapshot version to restore").build()),
+            .defaultValue("NULL")
+            .comment("retained snapshot version to restore").build(),
+          ProcedureParameter.in("timestamp_ms", LongType)
+            .defaultValue("NULL")
+            .comment("or: restore the newest snapshot at or before this wall-clock ms")
+            .build()),
         StructType(Seq(
           StructField("previous_version", LongType, nullable = false),
           StructField("restored_version", LongType, nullable = false),
           StructField("new_version", LongType, nullable = false),
           StructField("files", LongType, nullable = false)))) { in =>
-        val r = GraftShardMaintenance.rollback(
-          procTableDir(in.getUTF8String(0).toString), in.getLong(1))
+        val dir = procTableDir(in.getUTF8String(0).toString)
+        val r = (in.isNullAt(1), in.isNullAt(2)) match {
+          case (false, true) => GraftShardMaintenance.rollback(dir, in.getLong(1))
+          case (true, false) => GraftShardMaintenance.rollbackToTimestamp(dir, in.getLong(2))
+          case _ => throw new IllegalArgumentException(
+            "graftshard: rollback needs exactly one of (version, timestamp_ms)")
+        }
         Seq(Array[Any](r.fromVersion, r.restoredVersion, r.newVersion, r.files.toLong))
       }
       case "set_partitioning" => procedure(

@@ -440,6 +440,23 @@ object GraftShardMaintenance {
     SetPartitioningReport(spec, cleared, m.version + 1)
   }
 
+  /** [[rollback]] addressed by WALL CLOCK (the ops-schedule currency —
+    * "restore to before the 3am job"): resolves the newest RETAINED
+    * snapshot committed at or before `tsMs`, then rolls back to it.
+    * Same resolution rule as `TIMESTAMP AS OF`. */
+  def rollbackToTimestamp(dir: String, tsMs: Long): RollbackReport = {
+    val versions = ShardFormat.listVersions(dir)
+    val target = versions
+      .flatMap(v => ShardFormat.readManifestVersion(dir, v))
+      .filter(_.createdAtMs <= tsMs)
+      .sortBy(_.version).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"graftshard: no retained snapshot of '$dir' at or before " +
+            s"${java.time.Instant.ofEpochMilli(tsMs)} — the table's history " +
+            "starts later (or earlier snapshots were expired)"))
+    rollback(dir, target.version)
+  }
+
   /** Parses a procedure-argument spec string: `none`, `<column>`
     * (identity), or `bucket(<n>, <column>)`. */
   def parsePartSpec(s: String): Option[ShardFormat.PartSpec] = {

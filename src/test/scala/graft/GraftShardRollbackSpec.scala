@@ -196,6 +196,39 @@ class GraftShardRollbackSpec extends AnyFunSuite {
     assert(idsOf(dir) == (0L until 50L))
   }
 
+  test("rollback by timestamp resolves the newest retained snapshot at or before the wall clock") {
+    spark.sql("CREATE NAMESPACE rbcat.ts")
+    spark.range(0, 20).select(col("id"), col("id").as("v"))
+      .coalesce(1).writeTo("rbcat.ts.t").using("graftshard").create()
+    val dir = s"$warehouse/ts/t"
+    val goodAt = ShardFormat.readManifest(dir).get.createdAtMs
+    Thread.sleep(25)
+    spark.range(20, 40).select(col("id"), col("id").as("v"))
+      .coalesce(1).writeTo("rbcat.ts.t").append()
+    Thread.sleep(25)
+    spark.range(40, 60).select(col("id"), col("id").as("v"))
+      .coalesce(1).writeTo("rbcat.ts.t").append()
+
+    val row = spark.sql(
+      s"CALL rbcat.system.rollback('ts.t', timestamp_ms => ${goodAt}L)").collect().head
+    assert(spark.table("rbcat.ts.t").count() == 20, s"report: $row")
+
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    val eEarly = intercept[Exception] {
+      spark.sql("CALL rbcat.system.rollback('ts.t', timestamp_ms => 1000L)").collect()
+    }
+    assert(msgs(eEarly).contains("at or before"), msgs(eEarly))
+    val eBoth = intercept[Exception] {
+      spark.sql(s"CALL rbcat.system.rollback('ts.t', 2L, ${goodAt}L)").collect()
+    }
+    assert(msgs(eBoth).contains("exactly one"), msgs(eBoth))
+    val eNeither = intercept[Exception] {
+      spark.sql("CALL rbcat.system.rollback('ts.t')").collect()
+    }
+    assert(msgs(eNeither).contains("exactly one"), msgs(eNeither))
+  }
+
   test("expire-by-age: the wall-clock guard protects young snapshots, keepLast still floors retention") {
     val dir = tmp()
     for (lo <- Seq(0L, 10L, 20L, 30L)) {
