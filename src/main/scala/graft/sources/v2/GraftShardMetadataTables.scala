@@ -28,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * when no REAL table shadows the name and the base table exists, so
   * a genuine table named `files` always wins. */
 object GraftShardMetadataTables {
-  val Names: Set[String] = Set("files", "snapshots")
+  val Names: Set[String] = Set("files", "snapshots", "partitions")
 
   def schemaOf(meta: String): StructType = meta match {
     case "files" => StructType(Seq(
@@ -48,6 +48,14 @@ object GraftShardMetadataTables {
       StructField("rows", LongType, nullable = false),
       StructField("bytes", LongType, nullable = false),
       StructField("generation", StringType, nullable = false)))
+    // the skew-diagnosis view: one row per partition key (null = the
+    // unkeyed pool — pre-evolution files, or the whole unkeyed table)
+    case "partitions" => StructType(Seq(
+      StructField("partition", LongType, nullable = true),
+      StructField("files", LongType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("deleted_rows", LongType, nullable = false)))
     case other => throw new IllegalArgumentException(
       s"graftshard: unknown metadata table '$other' — supported: " +
         Names.toSeq.sorted.mkString(", "))
@@ -84,6 +92,12 @@ object GraftShardMetadataTables {
               sm.files.map(_.bytes).sum,
               UTF8String.fromString(sm.generation))): InternalRow
           }
+        }.toArray
+      case "partitions" =>
+        m.files.groupBy(_.partition).toSeq.sortBy(_._1).map { case (p, fes) =>
+          new GenericInternalRow(Array[Any](
+            p.map(Long.box).orNull, fes.size.toLong, fes.map(_.rows).sum,
+            fes.map(_.bytes).sum, fes.map(_.deletedRows).sum)): InternalRow
         }.toArray
       case other => throw new IllegalArgumentException(
         s"graftshard: unknown metadata table '$other'")

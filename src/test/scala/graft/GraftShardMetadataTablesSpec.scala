@@ -77,6 +77,30 @@ class GraftShardMetadataTablesSpec extends AnyFunSuite {
     assert(spark.table("metacat.s.t.snapshots").count() == 1L)
   }
 
+  test("partitions face: per-key rollup incl. the unkeyed pool and MoR deletes") {
+    spark.sql("CREATE NAMESPACE metacat.p")
+    spark.range(0, 100).select(col("id"), (col("id") % 2).as("k"))
+      .coalesce(1).writeTo("metacat.p.t").using("graftshard").create()
+    val dir = s"$warehouse/p/t"
+    GraftShardMaintenance.setPartitioning(
+      dir, Some(graft.sources.v2.ShardFormat.IdentityPart("k")))
+    spark.range(100, 200).select(col("id"), (col("id") % 2).as("k"))
+      .writeTo("metacat.p.t").append()
+    spark.conf.set("spark.graftshard.rowLevel.mode", "merge-on-read")
+    try spark.sql("DELETE FROM metacat.p.t WHERE id >= 100 AND id < 110 AND k = 0")
+    finally spark.conf.unset("spark.graftshard.rowLevel.mode")
+
+    val rows = spark.table("metacat.p.t.partitions").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(-1L, 0L, 1L), s"${rows.toSeq}")
+    val unkeyed = rows.find(_._1 == -1L).get
+    assert(unkeyed._3 == 100L, "the pre-evolution pool holds era-1 rows")
+    val k0 = rows.find(_._1 == 0L).get
+    assert(k0._4 == 5L, s"the MoR delete must roll up: ${rows.toSeq}")
+    assert(rows.map(_._3).sum == 200L)
+  }
+
   test("a REAL table named 'files' shadows the face; refusals are loud") {
     spark.sql("CREATE NAMESPACE metacat.shadow")
     spark.range(0, 7).select(col("id"), col("id").as("v"))
