@@ -203,12 +203,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           s"got ${f.dataType.sql}")
     }
     val dir = tableDir(ident)
-    dir.mkdirs()
-    ShardFormat.writeManifest(dir.getPath, ShardFormat.Manifest(
-      schema, java.util.UUID.randomUUID().toString.take(8), Nil, spec,
-      version = 1L, createdAtMs = System.currentTimeMillis(),
-      operation = "create", compression = compression,
-      bloomColumns = bloomColumns))
+    ShardFormat.withCommitLock(dir.getPath) {
+      if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+      dir.mkdirs()
+      ShardFormat.writeManifest(dir.getPath, ShardFormat.Manifest(
+        schema, java.util.UUID.randomUUID().toString.take(8), Nil, spec,
+        version = 1L, createdAtMs = System.currentTimeMillis(),
+        operation = "create", compression = compression,
+        bloomColumns = bloomColumns))
+    }
     new GraftShardTable(dir.getPath, schema)
   }
 
@@ -239,6 +242,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * (old rows HAVE no value). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
+    ShardFormat.withCommitLock(dir.getPath) {
     val m = ShardFormat.readManifest(dir.getPath).getOrElse(
       throw new NoSuchTableException(ident))
     def single(ref: Array[String]): String = {
@@ -411,14 +415,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       createdAtMs = System.currentTimeMillis(),
       operation = "alter"))
     new GraftShardTable(dir.getPath, sch)
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
-    if (!ShardFormat.manifestFile(dir.getPath).isFile) false
-    else {
-      filesIn(dir).foreach(_.delete())
-      dir.delete()
+    ShardFormat.withCommitLock(dir.getPath) {
+      if (!ShardFormat.manifestFile(dir.getPath).isFile) false
+      else {
+        filesIn(dir).foreach(_.delete())
+        dir.delete()
+      }
     }
   }
 

@@ -119,6 +119,7 @@ class GraftShardDeltaWrite(
     val pinned = op.pinned.getOrElse(
       throw new IllegalStateException(
         "graftshard: merge-on-read commit without a configured scan"))
+    ShardFormat.withCommitLock(path) {
     val current = ShardFormat.readManifest(path).getOrElse(
       throw new IllegalStateException(
         s"graftshard: table at '$path' vanished during a merge-on-read operation"))
@@ -160,6 +161,7 @@ class GraftShardDeltaWrite(
       createdAtMs = System.currentTimeMillis(),
       sortedBy = sortedBy,
       operation = "mor"))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

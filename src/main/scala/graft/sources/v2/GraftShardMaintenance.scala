@@ -208,6 +208,7 @@ object GraftShardMaintenance {
             seq = members.map(_._3).max)
         } catch { case t: Throwable => w.abort(); throw t }
       }.collect()
+    ShardFormat.withCommitLock(dir) {
     val current = ShardFormat.readManifest(dir).getOrElse(
       throw new IllegalStateException(s"graftshard: table at '$dir' vanished during compaction"))
     val replaced = groups.flatMap(_._2.map(_._1)).toSet
@@ -234,6 +235,7 @@ object GraftShardMaintenance {
       operation = "compact",
       equalityDeletes = liveEq))
     CompactReport(groups.size, replaced.toSeq.sorted, newEntries.map(_.name).toSeq.sorted)
+    }
   }
 
   /** Commit-time concurrency check for [[compact]]: the compacted
@@ -369,7 +371,8 @@ object GraftShardMaintenance {
     * recorded commit time counts as old). Shard files referenced only
     * by expired snapshots become vacuum-reclaimable. Returns the
     * expired version numbers. */
-  def expireSnapshots(dir: String, keepLast: Int, olderThanMs: Long = 0L): Seq[Long] = {
+  def expireSnapshots(dir: String, keepLast: Int, olderThanMs: Long = 0L): Seq[Long] =
+    ShardFormat.withCommitLock(dir) {
     require(keepLast >= 1, "graftshard: keepLast must be >= 1")
     require(olderThanMs >= 0L, "graftshard: olderThanMs must be >= 0")
     val current = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
@@ -383,7 +386,7 @@ object GraftShardMaintenance {
     }
     expired.foreach(v => ShardFormat.versionFile(dir, v).delete())
     expired
-  }
+    }
 
   final case class SetPartitioningReport(
       spec: Option[ShardFormat.PartSpec],
@@ -408,7 +411,8 @@ object GraftShardMaintenance {
     * streaming prefix offsets stay valid) and the commit is tagged
     * "alter" (the change feed's no-row-change class). */
   def setPartitioning(
-      dir: String, spec: Option[ShardFormat.PartSpec]): SetPartitioningReport = {
+      dir: String, spec: Option[ShardFormat.PartSpec]): SetPartitioningReport =
+    ShardFormat.withCommitLock(dir) {
     val m = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
       s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
     require(spec != m.partitioning,
@@ -438,7 +442,7 @@ object GraftShardMaintenance {
       createdAtMs = System.currentTimeMillis(),
       operation = "alter"))
     SetPartitioningReport(spec, cleared, m.version + 1)
-  }
+    }
 
   /** [[rollback]] addressed by WALL CLOCK (the ops-schedule currency —
     * "restore to before the 3am job"): resolves the newest RETAINED
@@ -499,7 +503,8 @@ object GraftShardMaintenance {
     * offsets of streaming READERS die loudly — the file list they
     * indexed is gone) and the time-travel version keeps counting
     * commits. */
-  def rollback(dir: String, toVersion: Long): RollbackReport = {
+  def rollback(dir: String, toVersion: Long): RollbackReport =
+    ShardFormat.withCommitLock(dir) {
     val current = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
       s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
     require(toVersion != current.version,
@@ -526,5 +531,5 @@ object GraftShardMaintenance {
       operation = "rollback",
       streamCommits = current.streamCommits))
     RollbackReport(current.version, toVersion, current.version + 1, target.files.size)
-  }
+    }
 }

@@ -254,6 +254,7 @@ class GraftShardCowWrite(
       throw new IllegalStateException(
         "graftshard: row-level commit without a configured scan — the " +
           "copy-on-write write cannot know which files it replaces"))
+    ShardFormat.withCommitLock(path) {
     val current = ShardFormat.readManifest(path).getOrElse(
       throw new IllegalStateException(
         s"graftshard: table at '$path' vanished during a row-level operation"))
@@ -283,6 +284,7 @@ class GraftShardCowWrite(
       createdAtMs = System.currentTimeMillis(),
       sortedBy = sortedBy,
       operation = "cow"))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

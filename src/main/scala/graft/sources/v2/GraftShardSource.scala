@@ -193,7 +193,8 @@ class GraftShardTable(
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     pinned.isEmpty && ShardFormat.readManifest(path).exists(deletableUnder(_, filters))
 
-  override def deleteWhere(filters: Array[Filter]): Unit = {
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    ShardFormat.withCommitLock(path) {
     // ONE manifest read: validate and edit the SAME snapshot — a
     // re-read after validation could admit a file appended in between
     // without proving it, a silent partial delete
@@ -210,7 +211,7 @@ class GraftShardTable(
       version = m.version + 1,
       createdAtMs = System.currentTimeMillis(),
       operation = "delete-metadata"))
-  }
+    }
 
   /** Row provenance without a stored column: `SELECT _shard_file, ...`
     * surfaces which manifest entry produced each row — the lineage /

@@ -444,7 +444,8 @@ class GraftShardBatchWrite(
     * two epochs must not amnesia the sink's replay guard. */
   private[v2] def commitWith(
       messages: Array[WriterCommitMessage],
-      streamEpoch: Option[(String, Long)]): Unit = {
+      streamEpoch: Option[(String, Long)]): Unit =
+    ShardFormat.withCommitLock(path) {
     val msgs = messages.toSeq.collect { case m: ShardCommitMessage => m }
     val all = msgs.flatMap(_.files)
     val eqSidecars = msgs.flatMap(_.eqKeys)
@@ -621,7 +622,7 @@ class GraftShardBatchWrite(
         // paged-manifest provenance rides through (prior entries keep
         // their reference identity, so an append reuses every segment)
         pagedSegments = current.map(_.pagedSegments).getOrElse(Nil)))
-  }
+    }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {

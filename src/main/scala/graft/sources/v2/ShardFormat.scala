@@ -1784,6 +1784,24 @@ object ShardFormat {
   // O(retained versions) manifests per call
   private val mapper = new ObjectMapper()
 
+  /** Per-table COMMIT LOCK (JVM-wide, keyed by absolute directory):
+    * every read-compose-publish section takes it, so concurrent
+    * committers INSIDE ONE DRIVER — parallel ingestion jobs, two
+    * streaming queries on the same sink, a maintenance CALL racing an
+    * append — serialize instead of losing updates (two appends reading
+    * v5 and both publishing v6 would silently drop one commit's files).
+    * One driver owns a table in the Spark deployment model (the Delta
+    * single-cluster discipline); MULTI-process writers additionally
+    * rely on the version-pin checks (row-level/MoR/compaction fail
+    * loudly on drift) and are otherwise undefined without external
+    * coordination — the atomic rename stands in for the object store's
+    * conditional PUT. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def withCommitLock[A](dir: String)(body: => A): A =
+    commitLocks.computeIfAbsent(new File(dir).getAbsolutePath, _ => new Object)
+      .synchronized(body)
+
   def manifestFile(dir: String): File = new File(dir, ManifestName)
 
   /** Immutable per-commit snapshot written next to the pointer. */
