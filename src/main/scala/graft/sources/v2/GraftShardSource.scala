@@ -162,6 +162,7 @@ class GraftShardTable(
       if (m.bloomColumns.nonEmpty)
         props.put("bloomColumns", m.bloomColumns.mkString(","))
       m.sortedBy.foreach(props.put("sortWithinShards", _))
+      m.zorderBy.foreach { case (a, b) => props.put("zorderBy", s"$a,$b"): Unit }
       props.put("manifestVersion", m.version.toString)
       props.put("generation", m.generation)
       props.put("files", m.files.size.toString)
