@@ -349,17 +349,19 @@ class GraftShardScanBuilder(
     * files whose guaranteed live rows cover k when ordered by their
     * trailing bound; every file whose leading bound sorts strictly
     * after that threshold provably holds no top-k row and is never
-    * opened. At 100 TB this is `ORDER BY ts DESC LIMIT 100` planning a
-    * handful of time-clustered shards instead of all of them. Sound
-    * only from EXACT per-file bounds with exact row counts: refused
-    * when a row filter was absorbed (counts become overcounts) or
-    * equality deletes are live (which rows they kill is not knowable
-    * from the manifest); merge-on-read vectors are priced
-    * conservatively (`deletedRows` debits both the null and the value
-    * side); files without a bound claim (untracked, or a string bound
-    * dropped by the byte cap) are always kept. */
+    * opened. At 100 TB this is `WHERE lang = 'en' ORDER BY ts DESC
+    * LIMIT 100` planning a handful of time-clustered shards instead of
+    * all of them. Sound only from EXACT per-file bounds with exact row
+    * counts: absorbed row filters (static and runtime/DPP) gate which
+    * files may COUNT toward the prefix — only provably-all-match ones
+    * (see [[GraftShardScan]]'s cut) — and live equality deletes refuse
+    * outright (which rows they kill is not knowable from the
+    * manifest); merge-on-read vectors are priced conservatively
+    * (`deletedRows` debits both the null and the value side); files
+    * without a bound claim (untracked, or a string bound dropped by
+    * the byte cap) are always kept. */
   override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
-    if (orders.isEmpty || pushed.nonEmpty || manifest.equalityDeletes.nonEmpty)
+    if (orders.isEmpty || manifest.equalityDeletes.nonEmpty)
       return false
     // multi-column orders cut on the LEADING column alone, which is
     // sound under lexicographic order: every counted row has lead-col
@@ -686,10 +688,7 @@ class GraftShardScan(
   }
 
   /** The pushed-TopN file cut (see [[GraftShardScanBuilder.pushTopN]]
-    * for the admission rules — this runs only on admitted pushes, plus
-    * a runtime-filter guard: a DPP In-list would make row counts
-    * overcounts, so the cut stands down and static skipping alone
-    * applies). Soundness argument: order known-bound files by the
+    * for the admission rules). Soundness argument: order known-bound files by the
     * bound FARTHEST forward in sort order (max for ASC, min for DESC)
     * and accumulate each file's guaranteed live in-region rows — a
     * lower bound, `rows − nulls − deletedRows` — plus, under NULLS
@@ -701,7 +700,19 @@ class GraftShardScan(
     * the top k; Spark's own TakeOrderedAndProject finishes the job. */
   private def topNCut(fes: Seq[ShardFormat.FileEntry]): Seq[ShardFormat.FileEntry] =
     topN match {
-      case Some(t) if runtime.isEmpty =>
+      case Some(t) =>
+        // absorbed filters (static AND runtime/DPP) compose with the
+        // cut: a file's guaranteed rows COUNT toward the prefix only
+        // when every filter is PROVABLY all-match for it (all its rows
+        // survive filtering — the REPLACE WHERE provability machinery);
+        // unprovable files stay in the plan but contribute nothing, so
+        // with no provable file the cut simply never fires. Exclusion
+        // stays sound regardless: a dropped file's rows sort strictly
+        // after >= k counted rows that all survive the filters, so they
+        // cannot be in the FILTERED top k either.
+        val filters = pushed ++ runtime
+        def counted(fe: ShardFormat.FileEntry): Boolean =
+          filters.forall(ShardFilters.mustMatchAll(_, fe))
         val cmp: (Any, Any) => Int =
           if (t.isString)
             (a, b) => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
@@ -722,8 +733,9 @@ class GraftShardScan(
             .orElse(fe.allNull.get(t.col).map(_ =>
               math.max(0L, fe.rows - fe.deletedRows)))
             .getOrElse(0L)
-        val nullCredit = if (t.nullsFirst) fes.map(liveNulls).sum else 0L
-        val sortable = fes
+        val nullCredit =
+          if (t.nullsFirst) fes.filter(counted).map(liveNulls).sum else 0L
+        val sortable = fes.filter(counted)
           .flatMap(fe => known(fe).map(b =>
             (tail(b), math.max(0L, fe.rows - b._3 - fe.deletedRows))))
           .sortWith((x, y) => before(x._1, y._1))

@@ -30,7 +30,8 @@ object GraftShardTopNProps extends Properties("GraftShardTopN") {
       1 -> Gen.const(Some(7L)))) // a heavy tie value
   } yield vs
 
-  private val caseGen: Gen[(List[List[Option[Long]]], Boolean, Boolean, Int, Boolean)] =
+  private val caseGen
+      : Gen[(List[List[Option[Long]]], Boolean, Boolean, Int, Boolean, Option[Long])] =
     for {
       nFiles <- Gen.chooseNum(1, 6)
       files <- Gen.listOfN(nFiles, fileGen)
@@ -38,7 +39,11 @@ object GraftShardTopNProps extends Properties("GraftShardTopN") {
       nullsFirst <- Gen.oneOf(true, false)
       k <- Gen.chooseNum(1, 40)
       asString <- Gen.oneOf(true, false)
-    } yield (files, desc, nullsFirst, k, asString)
+      // an absorbed `key >= thr` filter (long tables only): fuzzes the
+      // provably-all-match counting rule — files straddling thr count
+      // nothing, files entirely above count fully, nulls never match
+      thr <- Gen.option(Gen.chooseNum(-15L, 15L))
+    } yield (files, desc, nullsFirst, k, asString, if (asString) None else thr)
 
   // long -> fixed-width sortable string; ~1/15 values exceed the
   // 64-byte bounds cap, dropping that FILE's string stats (the
@@ -49,7 +54,7 @@ object GraftShardTopNProps extends Properties("GraftShardTopN") {
   }
 
   property("ORDER BY col LIMIT k through the file cut equals the in-memory top-k for any geometry") =
-    Prop.forAll(caseGen) { case (files, desc, nullsFirst, k, asString) =>
+    Prop.forAll(caseGen) { case (files, desc, nullsFirst, k, asString, thr) =>
       import spark.implicits._
       val dir = Files.createTempDirectory("graft_topn_props").toString + "/t"
       var first = true
@@ -69,14 +74,19 @@ object GraftShardTopNProps extends Properties("GraftShardTopN") {
           case (true, true) => col("key").desc_nulls_first
           case (true, false) => col("key").desc_nulls_last
         }
-        val got = spark.read.format("graftshard").load(dir)
+        val base = spark.read.format("graftshard").load(dir)
+        val got = thr.fold(base)(t => base.where(col("key") >= t))
           .orderBy(order).limit(k).collect()
           .map(r => if (r.isNullAt(0)) null
             else if (asString) r.getString(0) else Long.box(r.getLong(0)))
           .toList
 
         // in-memory model: same ordering, applied to the raw values
-        val all = files.flatten
+        // (a filtered query drops nulls — SQL: null >= t is not true)
+        val all = thr match {
+          case None => files.flatten
+          case Some(t) => files.flatten.filter(_.exists(_ >= t))
+        }
         val model: List[Any] =
           if (asString) {
             val (ns, vs) = all.partition(_.isEmpty)
@@ -97,7 +107,7 @@ object GraftShardTopNProps extends Properties("GraftShardTopN") {
           }
         val ok = got == model
         if (!ok) println(s"TOPN-PROPS FAIL files=$files desc=$desc " +
-          s"nullsFirst=$nullsFirst k=$k str=$asString\n got=$got\n want=$model")
+          s"nullsFirst=$nullsFirst k=$k str=$asString thr=$thr\n got=$got\n want=$model")
         ok: Prop
       }
     }

@@ -150,10 +150,25 @@ class GraftShardTopNSpec extends AnyFunSuite {
     val dir = rangeTable()
     val t = spark.read.format("graftshard").load(dir)
 
+    // an absorbed filter COMPOSES with the cut: only files provably
+    // all-match may count toward the prefix. v = id*7 is contiguous per
+    // range file, so v > 3000 skips file 1 outright (stats), leaves
+    // file 2 unprovable (it straddles 3000 — kept, counts nothing), and
+    // proves files 3-4 all-match. File 3's 250 counted rows cover k=5
+    // at threshold id=749, so file 4 (min id 750) provably holds no
+    // filtered top-5 row and drops: 2 of 4 files planned
     val filtered = t.where(col("v") > 3000L).orderBy(col("id")).limit(5)
     val fdesc = scanOf(filtered).scan.description()
-    assert(!fdesc.contains("topN="), s"absorbed filter must refuse the cut: $fdesc")
+    assert(fdesc.contains("topN=5 by id") && fdesc.contains("files=2/4"),
+      s"provable filters must compose with the cut: $fdesc")
     assert(filtered.collect().map(_.getLong(0)).toSeq == (429L until 434L))
+
+    // an UNPROVABLE-everywhere filter contributes no counted file: the
+    // cut silently stands down (every matching file is kept)
+    val unprovable = t.where(col("v") % 2 === 0L || col("v") > 100L)
+      .orderBy(col("id")).limit(5)
+    assert(unprovable.collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 2L, 4L, 6L, 8L))
 
     // multi-column order: the cut fires on the LEADING column alone
     // (sound under lexicographic order; Spark's full sort still runs)
