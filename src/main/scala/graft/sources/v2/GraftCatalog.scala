@@ -606,13 +606,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             .comment("'namespace.table' to reclaim garbage under").build(),
           ProcedureParameter.in("min_age_ms", LongType)
             .defaultValue(GraftShardMaintenance.DefaultMinAgeMs.toString)
-            .comment("age horizon — younger candidates are kept").build()),
+            .comment("age horizon — younger candidates are kept").build(),
+          ProcedureParameter.in("dry_run", org.apache.spark.sql.types.BooleanType)
+            .defaultValue("false")
+            .comment("report reclaimable files without deleting").build()),
         StructType(Seq(
           StructField("deleted", LongType, nullable = false),
           StructField("kept_live", LongType, nullable = false),
           StructField("kept_recent", LongType, nullable = false)))) { in =>
         val r = GraftShardMaintenance.vacuum(
-          procTableDir(in.getUTF8String(0).toString), in.getLong(1))
+          procTableDir(in.getUTF8String(0).toString), in.getLong(1), in.getBoolean(2))
         Seq(Array[Any](r.deleted.size.toLong, r.keptLive.toLong, r.keptRecent.size.toLong))
       }
       case "rollback" => procedure(

@@ -38,7 +38,13 @@ object GraftShardMaintenance {
     * what only expired snapshots referenced (the Iceberg
     * expire_snapshots → remove_orphan_files order). Never touches the
     * manifest, snapshot manifests, or any file they list. */
-  def vacuum(dir: String, minAgeMs: Long = DefaultMinAgeMs): VacuumReport = {
+  def vacuum(
+      dir: String,
+      minAgeMs: Long = DefaultMinAgeMs,
+      // dry run: report what WOULD be reclaimed, delete nothing — the
+      // standard preflight before the first vacuum of a new retention
+      // policy (a wrong horizon is unrecoverable otherwise)
+      dryRun: Boolean = false): VacuumReport = {
     val m = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
       s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
     val manifests = m +: ShardFormat.listVersions(dir)
@@ -65,7 +71,7 @@ object GraftShardMaintenance {
           n.startsWith(s"${ShardFormat.ManifestName}.tmp-")
       if (reclaimable(n) && live.contains(n)) keptLive += 1
       else if (candidate) {
-        if (f.lastModified() <= cutoff) { if (f.delete()) deleted += n }
+        if (f.lastModified() <= cutoff) { if (dryRun || f.delete()) deleted += n }
         else keptRecent += n
       }
     }

@@ -247,6 +247,25 @@ class GraftShardRollbackSpec extends AnyFunSuite {
     assert(ShardFormat.listVersions(dir).size == 2)
   }
 
+  test("vacuum dry run: reports reclaimables, deletes nothing; the real pass then reclaims them") {
+    val dir = tmp()
+    spark.range(0, 30).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(dir)
+    spark.range(0, 10).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graftshard")
+      .option("truncate", "true").mode("overwrite").save(dir)
+    GraftShardMaintenance.expireSnapshots(dir, keepLast = 1)
+
+    val dry = GraftShardMaintenance.vacuum(dir, minAgeMs = 0L, dryRun = true)
+    assert(dry.deleted.nonEmpty, "the overwritten generation is reclaimable")
+    assert(dry.deleted.forall(n => new File(dir, n).isFile),
+      "dry run must delete NOTHING")
+    val real = GraftShardMaintenance.vacuum(dir, minAgeMs = 0L)
+    assert(real.deleted == dry.deleted, "the dry run's report is the real pass's plan")
+    assert(real.deleted.forall(n => !new File(dir, n).isFile))
+    assert(spark.read.format("graftshard").load(dir).count() == 10)
+  }
+
   test("CALL rbcat.system.rollback: the SQL face returns the report row") {
     spark.sql("CREATE NAMESPACE rbcat.proc")
     spark.range(0, 30).select(col("id"), col("id").as("v"))
