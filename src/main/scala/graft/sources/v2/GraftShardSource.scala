@@ -11,11 +11,13 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count,
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -866,7 +868,10 @@ class GraftShardScan(
     case None => new GraftShardReaderFactory(fullSchema, required, pushed ++ runtime, limit,
       manifest.resolution,
       manifest.equalityDeletes.map(d =>
-        (d.column, new File(path, d.name).getPath, d.seq)))
+        (d.column, new File(path, d.name).getPath, d.seq)),
+      // uniform across partitions by construction: the whole MANIFEST
+      // must be vector-free (a partition-level answer would mix)
+      allowColumnar = manifest.files.forall(_.deletes.isEmpty))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -1106,7 +1111,11 @@ class GraftShardReaderFactory(
     resolve: ShardFormat.ColumnResolution = ShardFormat.ColumnResolution.empty,
     // equality deletes: (column, key-sidecar path, seq) — rows of files
     // with fileSeq < seq whose column value is in the sidecar are dead
-    eqDeletes: Seq[(String, String, Long)] = Nil)
+    eqDeletes: Seq[(String, String, Long)] = Nil,
+    // scan-level columnar admission (Spark requires ONE answer for the
+    // whole scan — partitions may not mix): the SCAN asserts no file
+    // anywhere in the manifest carries a delete vector
+    allowColumnar: Boolean = false)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -1114,6 +1123,140 @@ class GraftShardReaderFactory(
     new GraftShardPartitionReader(p.files, fullSchema, required, pushed, limit, resolve,
       eqDeletes)
   }
+
+  /** COLUMNAR reads for the plain-scan shape: the v3/v4 format is
+    * already columnar at rest (per-column chunks per row group), so a
+    * full-projection scan can decode each group straight into column
+    * vectors — one tight loop per column, zero per-value boxing, and
+    * Spark's whole-stage codegen consumes the batch without a per-row
+    * InternalRow. Admitted only when NOTHING needs row-level work the
+    * batch path doesn't do: no absorbed filters (static or runtime —
+    * rows would need selective copies), no pushed LIMIT cap, no
+    * merge-on-read delete vectors, no live equality deletes, no
+    * metadata columns, and only scalar column types (float-array
+    * embeddings stay on the row path). Everything else falls back to
+    * the row reader — same results, pinned by GraftShardColumnarReadSpec
+    * and the randomized source props. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    allowColumnar && partition.isInstanceOf[ShardFilesPartition] &&
+      pushed.isEmpty && limit.isEmpty && eqDeletes.isEmpty &&
+      required.fields.forall { f =>
+        f.name != "_shard_file" && f.name != "_pos" &&
+          (f.dataType match {
+            case LongType | IntegerType | DoubleType | FloatType |
+                 BooleanType | StringType | BinaryType => true
+            case _ => false
+          })
+      }
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[ShardFilesPartition]
+    new GraftShardColumnarPartitionReader(p.files, fullSchema, required, resolve)
+  }
+}
+
+/** Batch reader over a partition's shard files (see
+  * [[GraftShardReaderFactory.supportColumnarReads]] for the admission
+  * rules): v3/v4 files decode whole row groups column-at-a-time into
+  * reused `OnHeapColumnVector`s; a legacy v1/v2 file in the same
+  * partition decodes through the row path into the same vectors —
+  * correct, not fast, and exactly the rewrite-pending tail compaction
+  * retires. */
+class GraftShardColumnarPartitionReader(
+    files: Array[(String, Long, Option[String], Option[String], Long)],
+    fullSchema: StructType,
+    required: StructType,
+    resolve: ShardFormat.ColumnResolution)
+    extends PartitionReader[ColumnarBatch] {
+
+  private val fullIndex: Map[String, Int] = fullSchema.fieldNames.zipWithIndex.toMap
+  private val readIndices: Array[Int] = required.fieldNames.map(fullIndex)
+  private val capacity = ShardFormat.GroupMaxRows
+  private val vectors: Array[OnHeapColumnVector] =
+    required.fields.map(f => new OnHeapColumnVector(capacity, f.dataType))
+  private val batch = new ColumnarBatch(vectors.toArray[ColumnVector])
+
+  private val sink: ShardFormat.BatchSink = new ShardFormat.BatchSink {
+    override def putNull(s: Int, r: Int): Unit = vectors(s).putNull(r)
+    override def putLong(s: Int, r: Int, v: Long): Unit = vectors(s).putLong(r, v)
+    override def putInt(s: Int, r: Int, v: Int): Unit = vectors(s).putInt(r, v)
+    override def putDouble(s: Int, r: Int, v: Double): Unit = vectors(s).putDouble(r, v)
+    override def putFloat(s: Int, r: Int, v: Float): Unit = vectors(s).putFloat(r, v)
+    override def putBoolean(s: Int, r: Int, v: Boolean): Unit = vectors(s).putBoolean(r, v)
+    override def putBytes(s: Int, r: Int, b: Array[Byte], off: Int, len: Int): Unit = {
+      vectors(s).putByteArray(r, b, off, len): Unit
+    }
+  }
+  // boxed puts for the legacy row-path fallback (widening already
+  // happened in the row decode — values arrive as the TABLE's types)
+  private val boxedPut: Array[(Int, Any) => Unit] =
+    required.fields.zipWithIndex.map { case (f, s) =>
+      f.dataType match {
+        case LongType => (r: Int, v: Any) => vectors(s).putLong(r, v.asInstanceOf[Long])
+        case IntegerType => (r: Int, v: Any) => vectors(s).putInt(r, v.asInstanceOf[Int])
+        case DoubleType => (r: Int, v: Any) => vectors(s).putDouble(r, v.asInstanceOf[Double])
+        case FloatType => (r: Int, v: Any) => vectors(s).putFloat(r, v.asInstanceOf[Float])
+        case BooleanType => (r: Int, v: Any) => vectors(s).putBoolean(r, v.asInstanceOf[Boolean])
+        case StringType => (r: Int, v: Any) => {
+          val b = v.asInstanceOf[UTF8String].getBytes
+          vectors(s).putByteArray(r, b, 0, b.length): Unit
+        }
+        case BinaryType => (r: Int, v: Any) => {
+          val b = v.asInstanceOf[Array[Byte]]
+          vectors(s).putByteArray(r, b, 0, b.length): Unit
+        }
+        case other => throw new IllegalStateException(
+          s"graftshard: columnar reader admitted unsupported type ${other.sql}")
+      }
+    }
+
+  private var fileIdx = -1
+  private var reader: ShardFormat.ShardReader = _
+  private var rowEra = false
+  private val rowValues = new Array[Any](required.fields.length)
+
+  override def next(): Boolean = {
+    while (true) {
+      if (reader == null) {
+        fileIdx += 1
+        if (fileIdx >= files.length) return false
+        reader = new ShardFormat.ShardReader(
+          new File(files(fileIdx)._1), fullSchema, readIndices, resolve = resolve)
+        rowEra = !reader.columnarFile
+      }
+      if (rowEra) {
+        vectors.foreach(_.reset())
+        var r = 0
+        var more = true
+        while (r < capacity && { more = reader.next(rowValues); more }) {
+          var s = 0
+          while (s < rowValues.length) {
+            val v = rowValues(s)
+            if (v == null) vectors(s).putNull(r) else boxedPut(s)(r, v)
+            s += 1
+          }
+          r += 1
+        }
+        if (!more) reader = null
+        if (r > 0) { batch.setNumRows(r); return true }
+      } else {
+        vectors.foreach(_.reset())
+        val n = reader.nextBatch { rows =>
+          require(rows <= capacity,
+            s"graftshard: row group of $rows rows exceeds the vector " +
+              s"capacity $capacity — not written by this library's writer")
+          sink
+        }
+        if (n < 0) reader = null
+        else { batch.setNumRows(n); return true }
+      }
+    }
+    false // unreachable
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = vectors.foreach(_.close())
 }
 
 /** Streams the partition's shard files in order; decodes the union of

@@ -1466,6 +1466,21 @@ object ShardFormat {
     }
   }
 
+  /** Columnar batch consumer for [[ShardReader.nextBatch]]: `slot` is
+    * the output column (position in the reader's `readIndices`), `row`
+    * is 0-based within the batch. Kept engine-agnostic so the format
+    * layer never depends on Spark's vector classes — the V2 scan wraps
+    * `OnHeapColumnVector`s in one. */
+  trait BatchSink {
+    def putNull(slot: Int, row: Int): Unit
+    def putLong(slot: Int, row: Int, v: Long): Unit
+    def putInt(slot: Int, row: Int, v: Int): Unit
+    def putDouble(slot: Int, row: Int, v: Double): Unit
+    def putFloat(slot: Int, row: Int, v: Float): Unit
+    def putBoolean(slot: Int, row: Int, v: Boolean): Unit
+    def putBytes(slot: Int, row: Int, b: Array[Byte], off: Int, len: Int): Unit
+  }
+
   /** Sequential reader over one shard file, decoding only the columns
     * in `readIndices` (indices into the TABLE schema, ascending); other
     * columns are skipped — v3/v4 files skip a whole column CHUNK with
@@ -1604,6 +1619,78 @@ object ShardFormat {
       * nulls as null); returns false at clean EOF. */
     def next(values: Array[Any]): Boolean =
       if (isColumnar) nextV3(values) else nextV2(values)
+
+    /** Whether this FILE stores whole row groups (v3/v4) — the batch
+      * decode's precondition; row-era files (v1/v2) must go through
+      * [[next]]. */
+    def columnarFile: Boolean = isColumnar
+
+    /** COLUMNAR batch decode: loads the next row group and writes its
+      * wanted columns into the sink COLUMN-AT-A-TIME — one tight loop
+      * per column over the group's chunk cursor instead of one
+      * column-switch per cell, and zero boxing for primitives (the
+      * row path allocates one box per non-null value). `begin(n)` is
+      * called once with the batch's row count to obtain the sink
+      * (so the caller can size/reset its vectors); returns n, or -1 at
+      * clean EOF. Never mix with [[next]] on the same reader. */
+    def nextBatch(begin: Int => BatchSink): Int = {
+      require(isColumnar,
+        s"graftshard: nextBatch on a row-era (v1/v2) file $file — callers " +
+          "must route such files through next()")
+      if (gRow >= gRows && !loadGroup()) return -1
+      val start = gRow
+      val n = gRows - start
+      val sink = begin(n)
+      var ms = 0
+      while (ms < missingSlots.length) {
+        val s = missingSlots(ms)
+        var r = 0
+        while (r < n) { sink.putNull(s, r); r += 1 }
+        ms += 1
+      }
+      var i = 0
+      while (i < fields.length) {
+        val s = slot(i)
+        if (s >= 0) {
+          val chunk = gChunk(i)
+          val cur = gCursor(i)
+          val f = fields(i)
+          val w = widen(i)
+          var r = 0
+          while (r < n) {
+            val gr = start + r
+            if ((chunk(gr >> 3) & (1 << (gr & 7))) != 0) sink.putNull(s, r)
+            else decodeInto(cur, f, w, sink, s, r)
+            r += 1
+          }
+        }
+        i += 1
+      }
+      gRow = gRows
+      physOrdinal += n
+      n
+    }
+
+    private def decodeInto(
+        d: DataInputStream, field: StructField, w: Int,
+        sink: BatchSink, s: Int, r: Int): Unit =
+      if (w == 1) sink.putLong(s, r, d.readInt().toLong) // widened int→long
+      else if (w == 2) sink.putDouble(s, r, d.readFloat().toDouble) // float→double
+      else field.dataType match {
+        case LongType => sink.putLong(s, r, d.readLong())
+        case IntegerType => sink.putInt(s, r, d.readInt())
+        case DoubleType => sink.putDouble(s, r, d.readDouble())
+        case FloatType => sink.putFloat(s, r, d.readFloat())
+        case BooleanType => sink.putBoolean(s, r, d.readBoolean())
+        case StringType | BinaryType =>
+          val len = d.readInt()
+          val b = new Array[Byte](len)
+          d.readFully(b)
+          sink.putBytes(s, r, b, 0, len)
+        case other => throw new IllegalStateException(
+          s"graftshard: nextBatch over unsupported column type ${other.sql} " +
+            s"('${field.name}') — the scan must refuse columnar reads for it")
+      }
 
     private def nextV3(values: Array[Any]): Boolean = {
       if (gRow >= gRows && !loadGroup()) return false
