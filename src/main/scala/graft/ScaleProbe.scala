@@ -353,6 +353,60 @@ object ScaleProbe {
       return
     }
 
+    // ----------------------------------- columnar READ A/B (colread)
+    // `runMain graft.ScaleProbe colread` — the batch-read claim as a
+    // number: a plain scan decoding v3/v4 groups straight into column
+    // vectors vs the same scan forced down the row path
+    // (option("columnarRead","false")). Same table, same bytes, same
+    // projection — the delta is per-row InternalRow assembly + boxing.
+    if (args.headOption.contains("colread")) {
+      val dir = "/tmp/graft_colread_probe"
+      spark.range(0, 8000000L).select(
+        col("id"), (col("id") % 97).cast("int").as("i"),
+        (col("id") * 0.5).as("d"),
+        concat(lit("sample_text_"), col("id") % 1000).as("s"))
+        .repartition(8)
+        .write.format("graftshard").mode("overwrite").save(dir)
+      def timeScan(label: String, columnar: Boolean): Double = {
+        val t0 = System.nanoTime()
+        val df = spark.read.format("graftshard")
+          .option("columnarRead", columnar.toString).load(dir)
+        // an aggregate over every column defeats aggregate pushdown?
+        // no — sum(i)+sum(d) over ALL rows IS manifest-answerable for i
+        // but not for d+string; group by nothing with a string function
+        // keeps the scan real
+        val n = df.select(length(col("s")).as("l"), col("i"), col("d"))
+          .agg(sum("l"), sum("i"), sum("d")).collect()
+        require(n.nonEmpty)
+        (System.nanoTime() - t0) / 1e9
+      }
+      def timeNumeric(columnar: Boolean): Double = {
+        val t0 = System.nanoTime()
+        val df = spark.read.format("graftshard")
+          .option("columnarRead", columnar.toString).load(dir)
+        // sum(d) is a DOUBLE — outside the integral-sums manifest
+        // pushdown, so the scan is real in both modes
+        require(df.select(col("id"), col("d"))
+          .agg(sum("id"), sum("d")).collect().nonEmpty)
+        (System.nanoTime() - t0) / 1e9
+      }
+      timeScan("warm", columnar = true) // JIT + page cache
+      val row = timeScan("row", columnar = false)
+      val colT = timeScan("columnar", columnar = true)
+      val row2 = timeScan("row2", columnar = false)
+      val colT2 = timeScan("columnar2", columnar = true)
+      timeNumeric(columnar = true)
+      val nRow = math.min(timeNumeric(false), timeNumeric(false))
+      val nCol = math.min(timeNumeric(true), timeNumeric(true))
+      println(f"PROBE-COLREAD rows=8M cols=4 row=${math.min(row, row2)}%6.2f " +
+        f"columnar=${math.min(colT, colT2)}%6.2f " +
+        f"ratio=${math.min(row, row2) / math.min(colT, colT2)}%5.2f " +
+        f"numeric_row=$nRow%6.2f numeric_columnar=$nCol%6.2f " +
+        f"numeric_ratio=${nRow / nCol}%5.2f")
+      spark.stop()
+      return
+    }
+
     // ------------------------------------------- columnar A/B (columnar)
     // `runMain graft.ScaleProbe columnar` — the format-v3 claim as a
     // number: a narrow projection over a WIDE table should cost the

@@ -579,7 +579,9 @@ class GraftShardScanBuilder(
     new GraftShardScan(path, fullSchema, required, pushed, manifest, targetBytes,
       agg, limit, snapshot = pinned.isDefined,
       maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes,
-      topN = topN)
+      topN = topN,
+      columnarOption =
+        !Option(options.get("columnarRead")).map(_.toLowerCase).contains("false"))
   }
 }
 
@@ -628,7 +630,8 @@ class GraftShardScan(
     snapshot: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    topN: Option[TopNPush] = None)
+    topN: Option[TopNPush] = None,
+    columnarOption: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsRuntimeFiltering {
@@ -870,8 +873,10 @@ class GraftShardScan(
       manifest.equalityDeletes.map(d =>
         (d.column, new File(path, d.name).getPath, d.seq)),
       // uniform across partitions by construction: the whole MANIFEST
-      // must be vector-free (a partition-level answer would mix)
-      allowColumnar = manifest.files.forall(_.deletes.isEmpty))
+      // must be vector-free (a partition-level answer would mix);
+      // option("columnarRead", "false") is the operational escape hatch
+      // (and the ScaleProbe A/B control)
+      allowColumnar = columnarOption && manifest.files.forall(_.deletes.isEmpty))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
