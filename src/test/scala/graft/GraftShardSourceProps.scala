@@ -102,6 +102,27 @@ object GraftShardSourceProps extends Properties("GraftShardSource") {
       val got = back.collect().toSeq.map(canon).sortBy(_.toString())
       val ok = got == exp
       if (!ok) println(s"MISMATCH dir=$dir codec=$codec\n  exp=$exp\n  got=$got")
-      ok
+      // columnar-vs-row A/B over the SCALAR projection (the vector
+      // column refuses batch reads, so the full-schema read above is
+      // the row path): the batch decode must be value-identical to the
+      // row decode for every random payload and codec
+      val scalarCols = schema.fieldNames.filterNot(_ == "c_vec")
+      // raw-bits view: strictly exact AND NaN-safe (Scala's Any == on
+      // boxed floats is numeric, so NaN != NaN would flag equal cells)
+      def normed(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+        df.selectExpr(scalarCols: _*).collect().toSeq
+          .map(_.toSeq.map {
+            case b: Array[Byte] => b.toSeq
+            case f: java.lang.Float => java.lang.Float.floatToRawIntBits(f)
+            case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)
+            case x => x
+          }).sortBy(_.toString())
+      val viaBatch = normed(spark.read.format("graftshard").load(dir))
+      val viaRows = normed(spark.read.format("graftshard")
+        .option("columnarRead", "false").load(dir))
+      val abOk = viaBatch == viaRows
+      if (!abOk) println(s"COLREAD MISMATCH dir=$dir codec=$codec\n" +
+        s"  batch=$viaBatch\n  rows=$viaRows")
+      ok && abOk
     }
 }
