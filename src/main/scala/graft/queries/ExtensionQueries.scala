@@ -1852,6 +1852,33 @@ object ExtensionQueries {
     s.table(s"$cat.x68.docs")
   }
 
+  /** COLUMNAR BATCH READS: the corpus lands as v4 shards (mixed chunk
+    * codecs across three commits) and a plain projection reads back
+    * through the batch path — row groups decode COLUMN-AT-A-TIME into
+    * reused vectors, whole-stage codegen consumes the batches, and no
+    * per-row InternalRow ever exists (the plan-level require pins
+    * ColumnarToRow actually engaging). Byte-exact vs the oracle; the
+    * measured win is PROBE-COLREAD's 1.87× numeric / 1.31×
+    * string-heavy (GraftShardColumnarReadSpec pins type/null/codec
+    * exactness and every row-path fallback; the source props A/B both
+    * paths bit-for-bit on random payloads). */
+  private def x69(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x69", dir)
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+    docs.where(col("doc_id") % 3 === 0).coalesce(1)
+      .write.format("graftshard").mode("overwrite").save(out)
+    docs.where(col("doc_id") % 3 === 1).coalesce(1)
+      .write.format("graftshard").option("compression", "dict").mode("append").save(out)
+    docs.where(col("doc_id") % 3 === 2).coalesce(1)
+      .write.format("graftshard").option("compression", "deflate").mode("append").save(out)
+    val q = s.read.format("graftshard").load(out)
+    require(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      s"x69: plain scan must engage the batch path:\n${q.queryExecution.executedPlan}")
+    q
+  }
+
   /** RENAME COLUMN as a METADATA-ONLY commit (format v4 field ids —
     * [[graft.sources.v2.ShardFormat.MagicV4]]): half the corpus lands
     * under the ORIGINAL names, both data columns are renamed (one of
@@ -5353,6 +5380,12 @@ object ExtensionQueries {
       SELECT doc_id, lang, n_chars::BIGINT AS n_chars,
         doc_id % 4 AS lang_key
       FROM documents WHERE n_chars >= 200 AND lang <> 'de'""")),
+
+    // columnar batch reads: mixed-codec shards through the vector
+    // decode (plan-level ColumnarToRow required), byte-exact
+    Q("x69_shard_columnar_read", x69, Some("""
+      SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars
+      FROM documents""")),
 
     // dynamic partition overwrite: one partition re-materialized in one
     // commit, everything else carried by identity, byte-exact
