@@ -137,18 +137,56 @@ object Bench {
       // variance pass — make that visible instead
       System.err.println(s"[bench] WARNING: $prevPath exists but parsed to an " +
         "empty queries map — snapshot format drift? variance pass disabled")
-    val overRatio = results
-      .flatMap { case (k, v) =>
-        val p = baseline.getOrElse(k, -1.0)
-        if (v > 0 && p > 0 && v / p > RETIME_RATIO) Some((k, v / p)) else None
+    // ITERATED retime (round 13; was a single capped pass): the round-12
+    // driver sweep hit drag on ~45 queries at once — the single pass
+    // retimed 24 and left ~25 inflated entries standing in
+    // corrected_total (published 476 s vs 157 s idle, a 3x artifact).
+    // Now the pass LOOPS: each round recomputes the suspect list from
+    // the current corrected values (so a query whose retime also caught
+    // drag gets another chance, and queries past the per-round cap get
+    // picked up next round), until no suspect remains or
+    // MAX_RETIME_ROUNDS bounds the total added work at 3x the cap.
+    val MAX_RETIME_ROUNDS = 3
+    var corrected = scala.collection.mutable.Map(results: _*)
+    val allRetimed = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    var pass = 0
+    var clean = false
+    while (pass < MAX_RETIME_ROUNDS && !clean) {
+      val suspects = corrected.toSeq
+        .flatMap { case (k, v) =>
+          val p = baseline.getOrElse(k, -1.0)
+          if (v > 0 && p > 0 && v / p > RETIME_RATIO) Some((k, v / p)) else None
+        }
+        .sortBy(-_._2)
+      if (suspects.isEmpty) clean = true
+      else {
+        if (suspects.size > RETIME_CAP)
+          System.err.println(s"[bench] retime pass $pass: ${suspects.size} over " +
+            s"${RETIME_RATIO}x, retiming worst $RETIME_CAP this pass; rest " +
+            "picked up next pass: " +
+            suspects.drop(RETIME_CAP).map(_._1).mkString("deferred=[", ",", "]"))
+        val batch = suspects.take(RETIME_CAP).map(_._1)
+        batch.foreach { name =>
+          val r = timeQuery(name, s"retimed-p$pass")
+          allRetimed += (name -> r)
+          val cur = corrected(name)
+          if (r >= 0 && cur >= 0 && r < cur) corrected(name) = r
+        }
+        pass += 1
       }
-      .sortBy(-_._2)
-    if (overRatio.size > RETIME_CAP)
-      System.err.println(s"[bench] retime cap hit: ${overRatio.size} queries over " +
-        s"${RETIME_RATIO}x, retiming worst $RETIME_CAP only: " +
-        overRatio.drop(RETIME_CAP).map(_._1).mkString("skipped=[", ",", "]"))
-    val suspects = overRatio.take(RETIME_CAP).map(_._1)
-    val retimed = suspects.map(name => name -> timeQuery(name, "retimed"))
+    }
+    if (!clean) {
+      val still = corrected.count { case (k, v) =>
+        val p = baseline.getOrElse(k, -1.0); v > 0 && p > 0 && v / p > RETIME_RATIO }
+      System.err.println(s"[bench] retime rounds exhausted with $still queries " +
+        s"still over ${RETIME_RATIO}x best_known — floored_total below is the " +
+        "drag-immune estimate")
+    }
+    // best retime per query, for the snapshot's retimed map
+    val retimed = allRetimed.groupBy(_._1).toSeq.map { case (k, vs) =>
+      val ok = vs.map(_._2).filter(_ >= 0)
+      k -> (if (ok.isEmpty) vs.head._2 else ok.min)
+    }.sortBy(_._1)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rt = retimed.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -158,21 +196,25 @@ object Bench {
     // its best observed time (min of sweep and retime — both are cold runs
     // of identical code, so the min is the quiet-window estimate). This is
     // the number to compare across rounds on a contended host.
-    val retimedMap = retimed.toMap
-    // Per-query best observed time this run: sweep value, improved by a
-    // retime where one ran. Persisted as corrected_queries so the NEXT
-    // round's regression baseline is the quiet-window estimate, not a
-    // possibly drag-inflated sweep value.
-    // No retime-only branch: retimes fire only for sweep values > 0, and
-    // a sweep FAILURE (-1) must stay -1 so n_failed and corrected_total
-    // count the same set of queries.
-    val correctedQueries = results.map { case (k, v) =>
-      k -> (retimedMap.get(k) match {
-        case Some(r) if r >= 0 && v >= 0 => math.min(v, r)
-        case _ => v
-      })
-    }
+    // Per-query best observed time this run: sweep value, improved by
+    // every retime that ran (the loop above already folded the mins in).
+    // Persisted as corrected_queries so the NEXT round's regression
+    // baseline is the quiet-window estimate, not a possibly
+    // drag-inflated sweep value. A sweep FAILURE (-1) stays -1 so
+    // n_failed and corrected_total count the same set of queries.
+    val correctedQueries = results.map { case (k, _) => k -> corrected(k) }
     val correctedTotal = correctedQueries.map(_._2).filter(_ >= 0).sum
+    // floored_total: each query capped at best_known x RETIME_RATIO — the
+    // DRAG-IMMUNE estimate. corrected_total is honest observation (real
+    // regressions show up in full); floored_total is what a fully
+    // contended host can never inflate past ~RETIME_RATIO x the idle
+    // number. Compare corrected_total across rounds when both hosts were
+    // quiet; fall back to floored_total when they disagree wildly. The
+    // floor NEVER feeds best_known — only real measurements do.
+    val flooredTotal = correctedQueries.map { case (k, v) =>
+      val b = baseline.getOrElse(k, -1.0)
+      if (v > 0 && b > 0) math.min(v, b * RETIME_RATIO) else v
+    }.filter(_ >= 0).sum
     val cq = correctedQueries.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // best_known: the monotone all-time-best map the NEXT run baselines
@@ -187,7 +229,7 @@ object Bench {
     val bk = newBest.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","corrected_total":$correctedTotal,"consumer":"noop-sink","queries":$qs,"retimed":$rt,"corrected_queries":$cq,"best_known":$bk,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","corrected_total":$correctedTotal,"floored_total":$flooredTotal,"consumer":"noop-sink","queries":$qs,"retimed":$rt,"corrected_queries":$cq,"best_known":$bk,"sf":"$sfDir"}"""
     // The driver's log capture keeps only the LAST ~2000 chars of output,
     // so a 172-query map printed to stdout gets decapitated and the
     // driver's JSON parse fails (BENCH_r01..r08 all carry parsed:null).
@@ -203,10 +245,14 @@ object Bench {
     val nFailed = results.count(_._2 < 0)
     val top = correctedQueries.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val rtCompact = retimed.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // the iterated retime can produce up to MAX_RETIME_ROUNDS x
+    // RETIME_CAP entries — far too many for the driver's ~2000-char
+    // tail, so the compact line carries only the count and the slowest
+    // few; the full map is in the snapshot file
+    val rtCompact = retimed.sortBy(-_._2).take(8)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","corrected_total":${fmt(correctedTotal)},"n_queries":${results.size},"n_failed":$nFailed,"consumer":"noop-sink (r10+: full materialization; count()-era totals are smaller, not comparable)","queries":$top,"retimed":$rtCompact,"sf":"$sfDir","note":"queries = slowest 20 of ${results.size}; full per-query map in $outPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","corrected_total":${fmt(correctedTotal)},"floored_total":${fmt(flooredTotal)},"n_queries":${results.size},"n_failed":$nFailed,"n_retimed":${retimed.size},"consumer":"noop-sink (r10+: full materialization; count()-era totals are smaller, not comparable)","queries":$top,"retimed_worst":$rtCompact,"sf":"$sfDir","note":"queries = slowest 20 of ${results.size}; floored_total = drag-immune (per-query cap best_known*1.5); full maps in $outPath"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))

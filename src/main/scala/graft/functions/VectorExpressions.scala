@@ -158,6 +158,20 @@ case class BandBuckets(
 
   override protected def withNewChildInternal(newChild: Expression): BandBuckets =
     copy(child = newChild)
+
+  // Array fields default to reference equality, which would make two
+  // structurally identical instances never compare equal — defeating
+  // Catalyst canonicalization and common-subexpression elimination.
+  // Compare (and hash) the flattened plane matrix by content instead.
+  override def equals(other: Any): Boolean = other match {
+    case b: BandBuckets =>
+      child == b.child && bands == b.bands && rowsPerBand == b.rowsPerBand &&
+        java.util.Arrays.equals(flat, b.flat)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(bands),
+      Integer.valueOf(rowsPerBand), Integer.valueOf(java.util.Arrays.hashCode(flat)))
 }
 
 /** Top-`k` nearest centroids of a vector by cosine, as ONE expression node.
@@ -258,6 +272,20 @@ case class NearestCentroids(
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
     copy(child = newChild)
+
+  // content-based equality for the Array fields (see [[BandBuckets]])
+  override def equals(other: Any): Boolean = other match {
+    case n: NearestCentroids =>
+      child == n.child && k == n.k &&
+        java.util.Arrays.equals(cids, n.cids) &&
+        cvecs.length == n.cvecs.length &&
+        cvecs.indices.forall(i => java.util.Arrays.equals(cvecs(i), n.cvecs(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(k),
+      Integer.valueOf(java.util.Arrays.hashCode(cids)),
+      Integer.valueOf(cvecs.map(java.util.Arrays.hashCode).toSeq.hashCode))
 }
 
 /** Fused SQ8 quantize→dequantize against a per-dimension (min, max)
@@ -328,6 +356,18 @@ case class SqDequantize(child: Expression, mn: Array[Double], mx: Array[Double])
 
   override protected def withNewChildInternal(newChild: Expression): SqDequantize =
     copy(child = newChild)
+
+  // content-based equality for the Array fields (see [[BandBuckets]])
+  override def equals(other: Any): Boolean = other match {
+    case s: SqDequantize =>
+      child == s.child && java.util.Arrays.equals(mn, s.mn) &&
+        java.util.Arrays.equals(mx, s.mx)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.hashCode(mn)),
+      Integer.valueOf(java.util.Arrays.hashCode(mx)))
 }
 
 /** Fused product-quantization encode→reconstruct (FAISS `IndexPQ`
@@ -409,6 +449,17 @@ case class PqReconstruct(child: Expression, codebooks: Array[Array[Array[Double]
 
   override protected def withNewChildInternal(newChild: Expression): PqReconstruct =
     copy(child = newChild)
+
+  // content-based equality for the codebook tensor (see [[BandBuckets]])
+  private lazy val flatBooks: Seq[Seq[Double]] =
+    codebooks.toSeq.flatMap(_.toSeq.map(_.toSeq))
+  override def equals(other: Any): Boolean = other match {
+    case p: PqReconstruct =>
+      child == p.child && codebooks.length == p.codebooks.length &&
+        flatBooks == p.flatBooks
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child, flatBooks)
 }
 
 object VectorFunctions {

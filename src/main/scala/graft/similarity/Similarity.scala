@@ -66,7 +66,17 @@ object Similarity {
   /** Bucket id in [0, 2^planes): bit p set iff dot(v, plane_p) > 0.
     * One fused expression (bands=1): the vector converts once and every
     * plane dot runs in a single compiled loop, instead of one
-    * DotProduct + cast per plane. */
+    * DotProduct + cast per plane.
+    *
+    * Null semantics: a NULL vector yields a NULL bucket (the fused
+    * expression is null-intolerant), NOT bucket 0 as the pre-fused
+    * `when(dot > 0, …).otherwise(0)` chain produced. This is deliberate:
+    * a null embedding has no meaningful hyperplane side, and routing it
+    * to bucket 0 only manufactured candidate pairs the cosine verify had
+    * to discard. Callers that need the legacy contract can wrap with
+    * `coalesce(hyperplaneBucket(v, w), lit(0L))`. A dimension-MISMATCHED
+    * (non-null) vector still yields bucket 0, matching the unrolled
+    * form. */
   def hyperplaneBucket(vec: Column, weights: Array[Array[Double]]): Column =
     element_at(graft.functions.VectorFunctions.bandBuckets(
       vec, weights, bands = 1, rowsPerBand = weights.length), 1)

@@ -1261,7 +1261,13 @@ class GraftShardColumnarPartitionReader(
   }
 
   override def get(): ColumnarBatch = batch
-  override def close(): Unit = vectors.foreach(_.close())
+  // an early stop (cancellation, exception, upstream abort) leaves the
+  // in-flight ShardReader open — close it here like the row reader does,
+  // not only at clean EOF
+  override def close(): Unit = {
+    if (reader != null) { reader.close(); reader = null }
+    vectors.foreach(_.close())
+  }
 }
 
 /** Streams the partition's shard files in order; decodes the union of

@@ -480,8 +480,15 @@ class GraftShardBatchWrite(
           "hold rows of the replaced partitions; rewrite the table under " +
           "the current spec first"))
       val newParts = committed.flatMap(_.partition).toSet
-      (cur.filterNot(fe => newParts.contains(fe.partition.get)),
-        java.util.UUID.randomUUID().toString.take(8))
+      // empty input replaces nothing — every file carries, so the
+      // logical prefix is intact and streaming readers keep their
+      // offsets; only a real replacement turns the generation over
+      val gen =
+        if (newParts.isEmpty)
+          current.map(_.generation).filter(_.nonEmpty)
+            .getOrElse(java.util.UUID.randomUUID().toString.take(8))
+        else java.util.UUID.randomUUID().toString.take(8)
+      (cur.filterNot(fe => newParts.contains(fe.partition.get)), gen)
     } else replace match {
       case None =>
         (current.map(_.files).getOrElse(Nil),

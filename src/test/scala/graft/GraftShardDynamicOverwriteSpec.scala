@@ -70,10 +70,14 @@ class GraftShardDynamicOverwriteSpec extends AnyFunSuite {
       .partitionedBy(col("k")).create()
     val dir = s"$warehouse/b/t"
 
+    val genBefore = ShardFormat.readManifest(dir).get.generation
     spark.range(0, 0).select(col("id"), col("id").as("k"))
       .writeTo("dyncat.b.t").overwritePartitions()
     assert(spark.table("dyncat.b.t").count() == 100,
       "an empty dynamic overwrite must not drop anything")
+    assert(ShardFormat.readManifest(dir).get.generation == genBefore,
+      "zero files replaced, all carried by identity — the logical prefix " +
+        "is intact, so streaming readers' offsets must survive")
 
     // the plain truncate face still works on the same table
     spark.range(200, 210).select(col("id"), (col("id") % 2).as("k"))

@@ -417,4 +417,33 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = ratios.sum / ratios.size
     assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean")
   }
+
+  test("vector expressions with Array fields canonicalize by content") {
+    import graft.functions.{BandBuckets, NearestCentroids, PqReconstruct, SqDequantize}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val child = ColumnBridge.expression(col("v").cast("array<double>"))
+    def mk2(): Array[Array[Double]] = Array(Array(1.0, -1.0), Array(-1.0, 1.0))
+    // two structurally identical instances built from SEPARATE arrays:
+    // reference equality would say false and defeat Catalyst CSE
+    val b1 = BandBuckets(child, mk2(), bands = 1, rowsPerBand = 2)
+    val b2 = BandBuckets(child, mk2(), bands = 1, rowsPerBand = 2)
+    assert(b1 == b2 && b1.hashCode == b2.hashCode)
+    assert(b1.semanticEquals(b2))
+    assert(b1 != BandBuckets(child, Array(Array(1.0, -1.0), Array(-1.0, 2.0)), 1, 2))
+
+    val n1 = NearestCentroids(child, Array(1L, 2L), mk2(), k = 1)
+    val n2 = NearestCentroids(child, Array(1L, 2L), mk2(), k = 1)
+    assert(n1 == n2 && n1.hashCode == n2.hashCode && n1.semanticEquals(n2))
+    assert(n1 != NearestCentroids(child, Array(1L, 3L), mk2(), k = 1))
+
+    val s1 = SqDequantize(child, Array(0.0, 1.0), Array(2.0, 3.0))
+    val s2 = SqDequantize(child, Array(0.0, 1.0), Array(2.0, 3.0))
+    assert(s1 == s2 && s1.hashCode == s2.hashCode && s1.semanticEquals(s2))
+    assert(s1 != SqDequantize(child, Array(0.0, 1.0), Array(2.0, 4.0)))
+
+    def books(): Array[Array[Array[Double]]] = Array(Array(Array(0.0, 1.0), Array(1.0, 0.0)))
+    val p1 = PqReconstruct(child, books())
+    val p2 = PqReconstruct(child, books())
+    assert(p1 == p2 && p1.hashCode == p2.hashCode && p1.semanticEquals(p2))
+  }
 }
