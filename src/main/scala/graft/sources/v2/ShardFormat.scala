@@ -1871,23 +1871,114 @@ object ShardFormat {
   // O(retained versions) manifests per call
   private val mapper = new ObjectMapper()
 
-  /** Per-table COMMIT LOCK (JVM-wide, keyed by absolute directory):
-    * every read-compose-publish section takes it, so concurrent
-    * committers INSIDE ONE DRIVER — parallel ingestion jobs, two
-    * streaming queries on the same sink, a maintenance CALL racing an
-    * append — serialize instead of losing updates (two appends reading
-    * v5 and both publishing v6 would silently drop one commit's files).
-    * One driver owns a table in the Spark deployment model (the Delta
-    * single-cluster discipline); MULTI-process writers additionally
-    * rely on the version-pin checks (row-level/MoR/compaction fail
-    * loudly on drift) and are otherwise undefined without external
-    * coordination — the atomic rename stands in for the object store's
-    * conditional PUT. */
+  /** Per-table COMMIT LOCK, two layers deep; every read-compose-publish
+    * section takes it, so concurrent committers serialize instead of
+    * losing updates (two appends reading v5 and both publishing v6
+    * would silently drop one commit's files — the classic lost update).
+    *
+    *  1. JVM monitor, keyed by absolute directory: parallel ingestion
+    *     jobs, two streaming queries on the same sink, a maintenance
+    *     CALL racing an append inside ONE driver. Reentrant (depth
+    *     counter) — a commit section composed of smaller locked pieces
+    *     keeps the table.
+    *  2. O_EXCL lock FILE `<dir>/commit.lock`, created atomically
+    *     (`Files.createFile` = O_CREAT|O_EXCL) by the monitor's first
+    *     entrant and deleted on exit: two SEPARATE drivers — the normal
+    *     production shape of an ingest job plus a compaction job —
+    *     serialize through the filesystem. Atomic-exclusive create is
+    *     the one primitive every POSIX filesystem (and NFSv3+) gets
+    *     right; deliberately NOT `FileChannel.lock`, whose fcntl table
+    *     is unreliable under containerized/virtualized filesystems
+    *     (measured here: a child process's lock invisible to its
+    *     parent's kernel view).
+    *
+    * Crash safety — a committer dying while holding the lock must not
+    * wedge the table, so the lock file records `pid@host ts` and a
+    * waiter STEALS it when either
+    *  - the recorded pid is dead (checked via ProcessHandle when the
+    *    hostname matches ours — the multi-driver-one-host shape), or
+    *  - the file is older than [[CommitLeaseMs]] (the cross-host
+    *    fallback; a commit section is sub-second even at 1M manifest
+    *    entries, so a minute-stale lock is a corpse, not a commit).
+    * The steal itself is raced through an atomic RENAME to a
+    * uuid-suffixed tombstone — exactly one stealer wins the rename, so
+    * two waiters can never free-then-recreate over each other. A holder
+    * alive-but-paused past the lease can still be stolen from (the
+    * inherent lease tradeoff); raise `graft.shard.commitLeaseMs` if
+    * stop-the-world pauses that long are expected. */
+  private final class TableLock {
+    var depth = 0
+    var held: File = _
+  }
   private val commitLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  def withCommitLock[A](dir: String)(body: => A): A =
-    commitLocks.computeIfAbsent(new File(dir).getAbsolutePath, _ => new Object)
-      .synchronized(body)
+    new java.util.concurrent.ConcurrentHashMap[String, TableLock]()
+  val CommitLockName = "commit.lock"
+  def CommitLeaseMs: Long =
+    java.lang.Long.getLong("graft.shard.commitLeaseMs", 60000L)
+  private lazy val hostName: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case scala.util.control.NonFatal(_) => "unknown-host" }
+
+  def withCommitLock[A](dir: String)(body: => A): A = {
+    val abs = new File(dir).getAbsolutePath
+    val tl = commitLocks.computeIfAbsent(abs, _ => new TableLock)
+    tl.synchronized {
+      if (tl.depth == 0) tl.held = acquireProcessLock(abs)
+      tl.depth += 1
+      try body
+      finally {
+        tl.depth -= 1
+        if (tl.depth == 0) {
+          if (tl.held != null) { tl.held.delete(); tl.held = null }
+        }
+      }
+    }
+  }
+
+  /** Blocks until this process owns `<absDir>/commit.lock`. */
+  private def acquireProcessLock(absDir: String): File = {
+    val d = new File(absDir)
+    if (!d.isDirectory) d.mkdirs() // first commit into a fresh table dir
+    val lock = new File(d, CommitLockName)
+    val me = s"${ProcessHandle.current().pid()}@$hostName ${System.currentTimeMillis()}"
+    while (true) {
+      try {
+        java.nio.file.Files.createFile(lock.toPath) // atomic O_EXCL
+        java.nio.file.Files.write(lock.toPath, me.getBytes("UTF-8"))
+        return lock
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (holderIsGone(lock)) {
+            // exactly one stealer wins this rename; the losers loop
+            val tomb = new File(d,
+              s"$CommitLockName.stale-${java.util.UUID.randomUUID().toString.take(8)}")
+            try {
+              java.nio.file.Files.move(lock.toPath, tomb.toPath)
+              tomb.delete(): Unit
+            } catch { case _: java.io.IOException => () }
+          } else Thread.sleep(10)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** True when the lock's recorded holder is provably dead (same-host
+    * pid check) or the file has outlived the lease. A file we cannot
+    * parse yet (holder between create and write) is only ever reaped by
+    * the lease. */
+  private def holderIsGone(lock: File): Boolean = {
+    val mtime = lock.lastModified()
+    if (mtime == 0L) return false // vanished — retry the create instead
+    if (System.currentTimeMillis() - mtime > CommitLeaseMs) return true
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")
+      txt.split(' ').headOption.map(_.split('@')) match {
+        case Some(Array(pid, host)) if host == hostName =>
+          !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false)
+        case _ => false // foreign host or unparsable: lease decides
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
 
   def manifestFile(dir: String): File = new File(dir, ManifestName)
 
