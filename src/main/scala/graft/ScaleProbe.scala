@@ -295,6 +295,13 @@ object ScaleProbe {
         }
         val (pPoint, pointSec) = plan(Array(
           org.apache.spark.sql.sources.EqualTo("id", n / 2 * 1000L)))
+        // segment-pruned plan-time loading (round 13): a selective
+        // predicate should PARSE only the segments whose rollups can
+        // intersect it — entries loaded is the driver-memory story
+        val (prLoaded, prSec) = t(ShardFormat.readManifestForScan(dir,
+          r => graft.sources.v2.ShardFilters.mayContain(
+            org.apache.spark.sql.sources.EqualTo("id", n / 2 * 1000L), r))
+          .get.files.size)
         val (pHalf, halfSec) = plan(Array(
           org.apache.spark.sql.sources.GreaterThan("id", n / 2 * 1000L)))
         val (pAll, allSec) = plan(Array.empty)
@@ -344,6 +351,7 @@ object ScaleProbe {
           (r.filesCleared, sec)
         }
         println(f"PROBE-MANIFEST n=$n%8d write=$wSec%6.2f read=$rSec%6.2f " +
+          f"pruned_read=$prSec%6.3f($prLoaded%d/$n entries) " +
           f"plan_point=$pointSec%6.3f($pPoint%d parts) plan_half=$halfSec%6.3f($pHalf%d) " +
           f"plan_full=$allSec%6.3f($pAll%d) plan_topn=$topSec%6.3f($pTop%d) " +
           f"append_paged=$aPagedSec%6.3f append_mono=$aMonoSec%6.2f " +
@@ -403,6 +411,61 @@ object ScaleProbe {
         f"ratio=${math.min(row, row2) / math.min(colT, colT2)}%5.2f " +
         f"numeric_row=$nRow%6.2f numeric_columnar=$nCol%6.2f " +
         f"numeric_ratio=${nRow / nCol}%5.2f")
+      // FILTERED scan (round 13: absorbed predicates now stay columnar —
+      // a selective filter evaluates against the decoded batch and the
+      // survivors compact): the shape that dominates a curation pass
+      def timeFiltered(columnar: Boolean): Double = {
+        val t0 = System.nanoTime()
+        val df = spark.read.format("graftshard")
+          .option("columnarRead", columnar.toString).load(dir)
+        require(df.where(col("i") < 30) // ~31% pass, every group matches some
+          .select(length(col("s")).as("l"), col("d"))
+          .agg(sum("l"), sum("d")).collect().nonEmpty)
+        (System.nanoTime() - t0) / 1e9
+      }
+      timeFiltered(columnar = true)
+      val fRow = math.min(timeFiltered(false), timeFiltered(false))
+      val fCol = math.min(timeFiltered(true), timeFiltered(true))
+      // clustered predicate (the time-range curation shape): group stats
+      // skip the non-matching ranges, boundary groups compact, matching
+      // groups expose zero-copy — the all-match fast path's home turf
+      def timeClustered(columnar: Boolean): Double = {
+        val t0 = System.nanoTime()
+        val df = spark.read.format("graftshard")
+          .option("columnarRead", columnar.toString).load(dir)
+        require(df.where(col("id") < 2400000L)
+          .select(length(col("s")).as("l"), col("d"))
+          .agg(sum("l"), sum("d")).collect().nonEmpty)
+        (System.nanoTime() - t0) / 1e9
+      }
+      timeClustered(columnar = true)
+      val cRow = math.min(timeClustered(false), timeClustered(false))
+      val cCol = math.min(timeClustered(true), timeClustered(true))
+      // EMBEDDING scan (round 13: array<float> decodes into vector
+      // batches): project id + 64-dim embedding, reduce a float
+      val edir = "/tmp/graft_colread_probe_emb"
+      spark.range(0, 1000000L).select(col("id"),
+        org.apache.spark.sql.functions.array(
+          (0 until 64).map(j => ((col("id") + j) % 1000).cast("float")): _*).as("emb"))
+        .repartition(8)
+        .write.format("graftshard").mode("overwrite").save(edir)
+      def timeEmb(columnar: Boolean): Double = {
+        val t0 = System.nanoTime()
+        val df = spark.read.format("graftshard")
+          .option("columnarRead", columnar.toString).load(edir)
+        require(df.select(element_at(col("emb"), 32).as("x"))
+          .agg(sum("x")).collect().nonEmpty)
+        (System.nanoTime() - t0) / 1e9
+      }
+      timeEmb(columnar = true)
+      val eRow = math.min(timeEmb(false), timeEmb(false))
+      val eCol = math.min(timeEmb(true), timeEmb(true))
+      println(f"PROBE-COLREAD-FILTER rows=8M sel=31%% row=$fRow%6.2f " +
+        f"columnar=$fCol%6.2f ratio=${fRow / fCol}%5.2f")
+      println(f"PROBE-COLREAD-CLUSTERED rows=8M sel=30%% row=$cRow%6.2f " +
+        f"columnar=$cCol%6.2f ratio=${cRow / cCol}%5.2f")
+      println(f"PROBE-COLREAD-EMB rows=1M dims=64 row=$eRow%6.2f " +
+        f"columnar=$eCol%6.2f ratio=${eRow / eCol}%5.2f")
       spark.stop()
       return
     }

@@ -1858,8 +1858,9 @@ object ExtensionQueries {
     * reused vectors, whole-stage codegen consumes the batches, and no
     * per-row InternalRow ever exists (the plan-level require pins
     * ColumnarToRow actually engaging). Byte-exact vs the oracle; the
-    * measured win is PROBE-COLREAD's 1.87× numeric / 1.31×
-    * string-heavy (GraftShardColumnarReadSpec pins type/null/codec
+    * measured win is PROBE-COLREAD's 2.29× numeric / 1.39×
+    * string-heavy, 1.18-1.22× filtered, 1.26× embedding
+    * (GraftShardColumnarReadSpec pins type/null/codec
     * exactness and every row-path fallback; the source props A/B both
     * paths bit-for-bit on random payloads). */
   private def x69(s: SparkSession, dir: String): DataFrame = {
@@ -1877,6 +1878,123 @@ object ExtensionQueries {
     require(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
       s"x69: plain scan must engage the batch path:\n${q.queryExecution.executedPlan}")
     q
+  }
+
+  /** FILTERED + EMBEDDING columnar batch read (round 13): the corpus —
+    * including its `array<float>` embedding column — lands as v4
+    * shards, and a SELECTIVE scan (a uniform label predicate that
+    * forces batch compaction plus a clustered vec_id range that group
+    * stats skip) stays on the batch path: absorbed predicates evaluate
+    * against the decoded vectors, survivors compact, the embedding
+    * payload decodes straight into an ArrayType vector. This is
+    * precisely the filtered-scan and embedding-scan shape a 100 TB
+    * curation pass runs all day — before round 13 ANY pushed filter or
+    * array column forfeited vectorization (the round-12 verdict's #2
+    * gap). Plan-level requires pin both the batch path engaging AND the
+    * filters being absorbed by the scan. Byte-exact: element extraction
+    * and float→double widening are order-free, so the DuckDB oracle
+    * matches bit for bit. */
+  private def x70(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x70", dir)
+    table(s, dir, "embeddings")
+      .repartitionByRange(3, col("vec_id"))
+      .write.format("graftshard").mode("overwrite").save(out)
+    val q = s.read.format("graftshard").load(out)
+      .where(col("label") < 7 && col("vec_id") >= 50L)
+      .select(col("vec_id"), col("label"),
+        element_at(col("embedding"), 1).cast("double").as("e1"),
+        element_at(col("embedding"), 17).cast("double").as("e17"))
+    val plan = q.queryExecution.executedPlan.toString
+    require(plan.contains("ColumnarToRow"),
+      s"x70: the filtered embedding scan must stay columnar:\n$plan")
+    require(plan.contains("LessThan(label,7)") && plan.contains("GreaterThanOrEqual(vec_id,50)"),
+      s"x70: both predicates must be absorbed by the scan:\n$plan")
+    q
+  }
+
+  /** NDV SKETCHES → CBO BROADCAST (round 13): the corpus lands with
+    * `ndvColumns = lang` — every shard file carries a ~300 B HLL of its
+    * distinct lang values — and the scan rolls the selected files'
+    * sketches into `ColumnStatistics.distinctCount`. Under CBO that is
+    * what sizes `GROUP BY lang` at ~|langs| rows instead of
+    * corpus-scale, flipping the join above it to BROADCAST (the
+    * plan-level require). At 100 TB this is the difference between
+    * shuffling the full fact table against a 5-row aggregate and
+    * shipping 5 rows — a decision size-only estimation structurally
+    * cannot make on intermediate relations
+    * (GraftShardNdvSpec pins the estimate accuracy, the lifecycle, and
+    * the flip with both sides over the size threshold). */
+  private def x71(s: SparkSession, dir: String): DataFrame = {
+    val dim = Q.tmpArtifactPath("x71_dim", dir)
+    val fact = Q.tmpArtifactPath("x71_fact", dir)
+    table(s, dir, "documents")
+      .select(col("lang"), col("n_chars").cast("long").as("n_chars"))
+      .coalesce(2)
+      .write.format("graftshard").option("ndvColumns", "lang")
+      .mode("overwrite").save(dim)
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .coalesce(2)
+      .write.format("graftshard").mode("overwrite").save(fact)
+    val cboWas = s.conf.get("spark.sql.cbo.enabled", "false")
+    val thrWas = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    // small-SF tables fit under the default 10 MB threshold by SIZE
+    // alone, which would make the assert vacuous — pin a threshold only
+    // the NDV-sized aggregate (|langs| rows) can clear
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "2KB")
+    try {
+      val q = s.read.format("graftshard").load(fact)
+        .join(s.read.format("graftshard").load(dim)
+          .groupBy("lang").agg(sum("n_chars").as("lang_chars")), "lang")
+        .select(col("doc_id"), col("lang"), col("lang_chars"))
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("BroadcastHashJoin"),
+        s"x71: NDV(lang) must size the aggregate under the threshold " +
+          s"and broadcast it:\n$plan")
+      require(!plan.contains("pushedAggregates"),
+        s"x71: the GROUP BY must be a real aggregate (NDV-sized), not a " +
+          s"manifest-answered pushdown — the gate would prove nothing:\n$plan")
+      // materialize the RESULT under the pinned confs too, so the gate
+      // hashes the broadcast plan's output, then restore
+      q.localCheckpoint(eager = true)
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", cboWas)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", thrWas)
+    }
+  }
+
+  /** WRITE-AUDIT-PUBLISH (round 13): half the corpus commits normally;
+    * the other half lands as a STAGED branch (`stageAs`) — invisible to
+    * the live pointer, version chain, and CDF (required in-plan) — gets
+    * audited through the branch read face, and only then publishes
+    * pointer-atomically via `CALL system.publish_branch`, which
+    * re-validates the staged BASE under the commit lock (an interleaved
+    * commit refuses rather than silently dropping files). The standard
+    * guardrail for production 100 TB ingest: quality gates run against
+    * exactly what would become the table (GraftShardWapSpec pins
+    * invisibility, conflict refusal, drop, and vacuum liveness). */
+  private def x72(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureGraftCatalog(s, dir)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x72")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x72.docs")
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+    docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .coalesce(1).writeTo(s"$cat.x72.docs").using("graftshard").create()
+    val tdir = s"${s.conf.get(s"spark.sql.catalog.$cat.warehouse")}/x72/docs"
+    val half = s.table(s"$cat.x72.docs").count()
+    // stage the odd half; the live table must not move
+    docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .coalesce(1).write.format("graftshard").option("stageAs", "audit")
+      .mode("append").save(tdir)
+    require(s.table(s"$cat.x72.docs").count() == half,
+      "x72: a staged write must be invisible to the live table")
+    // the audit face sees the full corpus; the gate's quality check
+    val audited = s.read.format("graftshard").option("branch", "audit").load(tdir)
+    require(audited.count() > half, "x72: the audit face must see the stage")
+    s.sql(s"CALL $cat.system.publish_branch('x72.docs', 'audit')").collect()
+    s.table(s"$cat.x72.docs")
   }
 
   /** RENAME COLUMN as a METADATA-ONLY commit (format v4 field ids —
@@ -2822,16 +2940,36 @@ object ExtensionQueries {
       .limit(20)
 
   /** The 100 TB statistics path: sketch-based approximate aggregates
-    * (HLL++ distinct counts, t-digest percentiles) — mergeable one-pass
-    * state, unlike their exact counterparts (t5). No SQL oracle: sketch
-    * implementations differ across engines (driver records rows-only). */
+    * (HLL++ distinct counts, percentile sketches) — mergeable one-pass
+    * state, unlike their exact counterparts (t5). Sketch values are
+    * engine-defined, so the ORACLE is TOLERANCE-BANDED (round 13, was
+    * rows-only): the query emits each group's EXACT anchors plus
+    * booleans asserting the estimates sit inside their documented
+    * bounds — HLL++ at rsd 0.05 within ±15% (3σ) of the exact distinct
+    * count, percentile_approx(accuracy=1000) between the exact
+    * quantiles at rank ±0.02 (20× its 1/accuracy rank guarantee, exact
+    * still at every SF). DuckDB recomputes the anchors and asserts
+    * literal TRUE, so a drifting estimate hash-mismatches instead of
+    * hiding behind a row count. */
   private def a1(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
-        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_approx"))
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("__au"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("__p50a"),
+        percentile_approx(col("value"), lit(0.95), lit(1000)).as("__p95a"),
+        expr("percentile(value, 0.48)").as("__p50lo"),
+        expr("percentile(value, 0.52)").as("__p50hi"),
+        expr("percentile(value, 0.93)").as("__p95lo"),
+        expr("percentile(value, 0.97)").as("__p95hi"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("__au") - col("exact_users")) <=
+          col("exact_users") * 0.15).as("users_within_eps"),
+        col("__p50a").between(col("__p50lo"), col("__p50hi"))
+          .as("p50_within_rank"),
+        col("__p95a").between(col("__p95lo"), col("__p95hi"))
+          .as("p95_within_rank"))
 
   /** Mergeable HLL distinct-count sketches (Apache DataSketches via
     * Spark's `hll_sketch_agg` family) — the at-rest pre-aggregation
@@ -2839,10 +2977,12 @@ object ExtensionQueries {
     * once (one partial-agg shuffle), stored as bytes, and ANY grouping of
     * sources is answered later by unioning sketches instead of rescanning
     * the corpus. Emits one row per source plus the `__all__` union row.
-    * Rows-only check (estimates are library-implementation-defined, not
-    * reproducible by DuckDB); FoldsSpec pins the merge law — union of
-    * partial sketches ≡ sketch of the whole — and the estimate's accuracy
-    * against the exact distinct count. */
+    * TOLERANCE-BANDED oracle (round 13, was rows-only): each row carries
+    * the EXACT distinct count and a boolean asserting the sketch
+    * estimate sits within ±5% of it (lgK=12 RSE ≈ 1.6%, so 5% ≈ 3σ) —
+    * DuckDB recomputes the exact counts and asserts TRUE. FoldsSpec
+    * still pins the merge law (union of partials ≡ sketch of the whole)
+    * at property depth. */
   private def a2(s: SparkSession, dir: String): DataFrame = {
     val toks = table(s, dir, "documents")
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
@@ -2850,22 +2990,47 @@ object ExtensionQueries {
     // sketch relation, and Spark does not share subtrees across a union —
     // without this the scan + explode + sketch aggregation runs twice
     val perSource = toks.groupBy(col("source"))
-      .agg(expr("hll_sketch_agg(tok)").as("sk"))
+      .agg(expr("hll_sketch_agg(tok)").as("sk"),
+        countDistinct(col("tok")).as("exact_distinct_tokens"))
       .transform(graft.CacheRegistry.persisted(_))
+    def banded(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (abs(est - exact) <= exact * 0.05).as("est_within_eps")
     perSource
-      .select(col("source"), expr("hll_sketch_estimate(sk)").as("est_distinct_tokens"))
+      .select(col("source"), col("exact_distinct_tokens"),
+        banded(expr("hll_sketch_estimate(sk)"), col("exact_distinct_tokens")))
       .unionAll(perSource
-        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct_tokens"))
-        .select(lit("__all__").as("source"), col("est_distinct_tokens")))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est"))
+        .crossJoin(broadcast(
+          toks.agg(countDistinct(col("tok")).as("exact_distinct_tokens"))))
+        .select(lit("__all__").as("source"), col("exact_distinct_tokens"),
+          banded(col("__est"), col("exact_distinct_tokens"))))
   }
 
   /** KLL quantile sketches per event_type (p50/p95 estimates + exact n)
     * — the sketch-at-rest quantile path next to a2's HLL distinct counts
-    * and t5's exact percentiles. Rows-only: KLL compaction flips coins
-    * (FoldsSpec pins the rank-error bound and the merge law instead). */
-  private def a3(s: SparkSession, dir: String): DataFrame =
-    graft.folds.KllQuantiles.quantilesByKey(
-      table(s, dir, "events"), "event_type", "value", ranks = Seq(0.5, 0.95))
+    * and t5's exact percentiles. KLL compaction flips coins, so the
+    * values are run-dependent — but the RANK-ERROR bound is not:
+    * TOLERANCE-BANDED oracle (round 13, was rows-only) asserting each
+    * estimate lies between the exact quantiles at rank ±0.03 (k=200's
+    * documented envelope with slack), next to the exact group count.
+    * FoldsSpec pins the bound at property depth. */
+  private def a3(s: SparkSession, dir: String): DataFrame = {
+    val events = table(s, dir, "events")
+    val sk = graft.folds.KllQuantiles.quantilesByKey(
+      events, "event_type", "value", ranks = Seq(0.5, 0.95))
+    // quantilesByKey already carries the exact per-group n
+    val exact = events.groupBy(col("event_type")).agg(
+      expr("percentile(value, 0.47)").as("__p50lo"),
+      expr("percentile(value, 0.53)").as("__p50hi"),
+      expr("percentile(value, 0.92)").as("__p95lo"),
+      expr("percentile(value, 0.98)").as("__p95hi"))
+    sk.join(exact, "event_type")
+      .select(col("event_type"), col("n"),
+        col("q_50").between(col("__p50lo"), col("__p50hi"))
+          .as("q50_within_rank"),
+        col("q_95").between(col("__p95lo"), col("__p95hi"))
+          .as("q95_within_rank"))
+  }
 
   /** Count-min point-frequency probes. CMS is LINEAR (counters add), so
     * the merged sketch ≡ the whole-data sketch bitwise and, at width 256
@@ -4736,10 +4901,27 @@ object ExtensionQueries {
       ORDER BY cf DESC, tok
       LIMIT 20""")),
 
-    Q("a1_approx_stats", a1, None),
-    Q("a2_hll_union", a2, None),
+    // sketch family: TOLERANCE-BANDED oracles — exact anchors recomputed
+    // by DuckDB, in-bound booleans asserted as literal TRUE (an estimate
+    // drifting past its documented error now hash-mismatches)
+    Q("a1_approx_stats", a1, Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        TRUE AS users_within_eps, TRUE AS p50_within_rank,
+        TRUE AS p95_within_rank
+      FROM events GROUP BY event_type""")),
+    Q("a2_hll_union", a2, Some("""
+      SELECT source, COUNT(DISTINCT tok) AS exact_distinct_tokens,
+        TRUE AS est_within_eps
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents) GROUP BY source
+      UNION ALL
+      SELECT '__all__', COUNT(DISTINCT tok), TRUE
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)""")),
     Q("s4_ann_ivf_kmeans", s4, None),
-    Q("a3_kll_quantiles", a3, None),
+    Q("a3_kll_quantiles", a3, Some("""
+      SELECT event_type, COUNT(*) AS n, TRUE AS q50_within_rank,
+        TRUE AS q95_within_rank
+      FROM events GROUP BY event_type""")),
 
     // CMS estimates ≡ exact counts in the no-collision regime (width 256
     // ≫ 31-token vocab, spec'd) — scaffold keeps zero-count probes.
@@ -5386,6 +5568,28 @@ object ExtensionQueries {
     Q("x69_shard_columnar_read", x69, Some("""
       SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars
       FROM documents""")),
+
+    // filtered + embedding columnar read: absorbed predicates evaluate
+    // against the decoded batch, array<float> decodes into vectors
+    // (plan-level ColumnarToRow AND pushed-filter requires), byte-exact
+    Q("x70_shard_columnar_filtered_embedding", x70, Some("""
+      SELECT vec_id, label,
+        embedding[1]::DOUBLE AS e1, embedding[17]::DOUBLE AS e17
+      FROM embeddings WHERE label < 7 AND vec_id >= 50""")),
+
+    // NDV sketches -> CBO column stats: the GROUP BY sized by its key's
+    // manifest-resident distinct count, join flipped to broadcast
+    // (plan-level require), byte-exact
+    Q("x71_shard_ndv_broadcast", x71, Some("""
+      SELECT d.doc_id, d.lang, l.lang_chars
+      FROM documents d
+      JOIN (SELECT lang, SUM(n_chars::BIGINT) AS lang_chars
+            FROM documents GROUP BY lang) l USING (lang)""")),
+
+    // write-audit-publish: staged invisible (required in-plan), audited
+    // via the branch face, published pointer-atomically, byte-exact
+    Q("x72_shard_write_audit_publish", x72, Some("""
+      SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM documents""")),
 
     // dynamic partition overwrite: one partition re-materialized in one
     // commit, everything else carried by identity, byte-exact

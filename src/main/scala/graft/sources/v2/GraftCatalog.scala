@@ -202,6 +202,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         s"graftshard: bloomColumns column '$c' must be long/int/string/binary, " +
           s"got ${f.dataType.sql}")
     }
+    // TBLPROPERTIES ('ndvColumns' = 'k,user_id'): per-file NDV sketches
+    // for CBO column statistics — same lifecycle as bloomColumns
+    val ndvColumns = Option(properties.get("ndvColumns")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    ndvColumns.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftshard: ndvColumns column '$c' not in table schema"))
+      require(ShardFormat.ndvEligible(f.dataType),
+        s"graftshard: ndvColumns column '$c' must be long/int/string/binary, " +
+          s"got ${f.dataType.sql}")
+    }
     val dir = tableDir(ident)
     ShardFormat.withCommitLock(dir.getPath) {
       if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
@@ -210,7 +222,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         schema, java.util.UUID.randomUUID().toString.take(8), Nil, spec,
         version = 1L, createdAtMs = System.currentTimeMillis(),
         operation = "create", compression = compression,
-        bloomColumns = bloomColumns))
+        bloomColumns = bloomColumns, ndvColumns = ndvColumns))
     }
     new GraftShardTable(dir.getPath, schema)
   }
@@ -265,6 +277,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     var sorted = m.sortedBy
     var zorder = m.zorderBy
     var bloomC = m.bloomColumns
+    var ndvC = m.ndvColumns
     var eqDel = m.equalityDeletes
     def requireFreshName(c: String, what: String): Unit = {
       require(!sch.fieldNames.contains(c),
@@ -320,6 +333,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           // old sidecars keep the dropped column's filter under the
           // dead name; readers resolve by CURRENT name, so it is inert
           bloomC = bloomC.filterNot(_ == c)
+          ndvC = ndvC.filterNot(_ == c)
           // the z-order property names live columns; dropping one
           // retires the property (files stay physically clustered —
           // only compaction's z-merge claim is given up)
@@ -349,7 +363,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           s.map { case (k, v) => (if (k == from) to else k) -> v }
         files = files.map(fe => fe.copy(
           stats = rekey(fe.stats), allNull = rekey(fe.allNull),
-          sums = rekey(fe.sums), strStats = rekey(fe.strStats)))
+          sums = rekey(fe.sums), strStats = rekey(fe.strStats),
+          ndv = rekey(fe.ndv)))
         part = part.map {
           case ShardFormat.IdentityPart(`from`) => ShardFormat.IdentityPart(to)
           case ShardFormat.BucketPart(n, `from`) => ShardFormat.BucketPart(n, to)
@@ -361,6 +376,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         // the property follows the rename; existing sidecars keyed by
         // the OLD name resolve through the alias map at read time
         bloomC = bloomC.map(c => if (c == from) to else c)
+        ndvC = ndvC.map(c => if (c == from) to else c)
         // equality deletes are manifest-resident (sidecars hold VALUES,
         // not names) — re-key like the stats maps
         eqDel = eqDel.map(d => if (d.column == from) d.copy(column = to) else d)
@@ -410,6 +426,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       sortedBy = sorted,
       zorderBy = zorder,
       bloomColumns = bloomC,
+      ndvColumns = ndvC,
       equalityDeletes = eqDel,
       version = m.version + 1,
       createdAtMs = System.currentTimeMillis(),
@@ -510,7 +527,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * (an orchestrator issues CALLs; it does not link the library), and
     * each returns its report as rows so the job can alert on them. */
   private val procedureNames =
-    Seq("compact", "expire_snapshots", "vacuum", "rollback", "set_partitioning")
+    Seq("compact", "expire_snapshots", "vacuum", "rollback", "set_partitioning",
+      "publish_branch", "drop_branch")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
@@ -643,6 +661,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             "graftshard: rollback needs exactly one of (version, timestamp_ms)")
         }
         Seq(Array[Any](r.fromVersion, r.restoredVersion, r.newVersion, r.files.toLong))
+      }
+      case "publish_branch" => procedure(
+        "publish_branch",
+        Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'namespace.table' whose staged branch to publish").build(),
+          ProcedureParameter.in("branch", StringType)
+            .comment("branch name (the write's stageAs option)").build()),
+        StructType(Seq(
+          StructField("published_version", LongType, nullable = false)))) { in =>
+        val v = GraftShardMaintenance.publishBranch(
+          procTableDir(in.getUTF8String(0).toString), in.getUTF8String(1).toString)
+        Seq(Array[Any](v))
+      }
+      case "drop_branch" => procedure(
+        "drop_branch",
+        Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'namespace.table' whose staged branch to discard").build(),
+          ProcedureParameter.in("branch", StringType)
+            .comment("branch name to drop").build()),
+        StructType(Seq(
+          StructField("existed", org.apache.spark.sql.types.BooleanType,
+            nullable = false)))) { in =>
+        val existed = GraftShardMaintenance.dropBranch(
+          procTableDir(in.getUTF8String(0).toString), in.getUTF8String(1).toString)
+        Seq(Array[Any](existed))
       }
       case "set_partitioning" => procedure(
         "set_partitioning",

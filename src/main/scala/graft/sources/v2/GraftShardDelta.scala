@@ -101,7 +101,8 @@ class GraftShardDeltaWrite(
     // written, and writeFieldIds over zero columns is safely empty
     new GraftShardDeltaWriterFactory(path, schema, spec, maxOpenWriters, codec,
       ShardFormat.writeFieldIds(m, schema),
-      m.map(_.bloomColumns).getOrElse(Nil))
+      m.map(_.bloomColumns).getOrElse(Nil),
+      m.map(_.ndvColumns).getOrElse(Nil))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -182,7 +183,8 @@ class GraftShardDeltaWriterFactory(
     maxOpenWriters: Int,
     codec: String = "none",
     fieldIds: Array[Int] = Array.emptyIntArray,
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    ndvCols: Seq[String] = Nil)
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
@@ -191,7 +193,7 @@ class GraftShardDeltaWriterFactory(
     // no insert ever arrives to need it
     new GraftShardDeltaWriter(() =>
       new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec, fieldIds,
-        bloomCols)
+        bloomCols, ndvCols = ndvCols)
         .createWriter(partitionId, taskId))
 }
 

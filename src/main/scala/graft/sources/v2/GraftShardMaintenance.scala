@@ -47,8 +47,11 @@ object GraftShardMaintenance {
       dryRun: Boolean = false): VacuumReport = {
     val m = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
       s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
-    val manifests = m +: ShardFormat.listVersions(dir)
-      .flatMap(v => ShardFormat.readManifestVersion(dir, v))
+    val manifests = (m +: ShardFormat.listVersions(dir)
+      .flatMap(v => ShardFormat.readManifestVersion(dir, v))) ++
+      // a STAGED branch's files are live until published or dropped —
+      // reaping them would gut the commit an auditor is about to bless
+      ShardFormat.listBranches(dir).flatMap(ShardFormat.readBranch(dir, _))
     val referenced = manifests.flatMap(_.files)
     // live = shard files AND their sidecars (merge-on-read delete
     // vectors, bloom filters) AND paged manifest segments of every
@@ -77,6 +80,42 @@ object GraftShardMaintenance {
     }
     VacuumReport(deleted.result().sorted, keptLive, keptRecent.result().sorted)
   }
+
+  /** Publishes staged branch `branch` as the table's next live commit
+    * (the P of write-audit-publish). Under the commit lock the staged
+    * manifest's BASE is re-validated — it was composed against
+    * v(staged.version - 1), and any commit that landed since makes the
+    * stage's view of the file list stale, so publishing would silently
+    * drop those commits' files (the exact lost-update the lock chain
+    * exists to prevent). A conflict refuses loudly; the staged files
+    * stay on disk, so the fix is re-stage or drop. Returns the
+    * published version. */
+  def publishBranch(dir: String, branch: String): Long =
+    ShardFormat.withCommitLock(dir) {
+      val staged = ShardFormat.readBranch(dir, branch).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftshard: no staged branch '$branch' under '$dir' — available: " +
+            s"${ShardFormat.listBranches(dir).mkString(", ")}"))
+      val cur = ShardFormat.readManifest(dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftshard: no ${ShardFormat.ManifestName} under '$dir'"))
+      require(staged.version == cur.version + 1,
+        s"graftshard: cannot publish branch '$branch' — staged against " +
+          s"v${staged.version - 1} but the table is now at v${cur.version}; " +
+          "re-stage the write (its files are untouched) or drop the branch")
+      ShardFormat.writeManifest(dir,
+        staged.copy(createdAtMs = System.currentTimeMillis()))
+      ShardFormat.branchFile(dir, branch).delete()
+      staged.version
+    }
+
+  /** Discards staged branch `branch` without publishing; its files
+    * become ordinary vacuum garbage once past the age horizon. Returns
+    * true when the branch existed. */
+  def dropBranch(dir: String, branch: String): Boolean =
+    ShardFormat.withCommitLock(dir) {
+      ShardFormat.branchFile(dir, branch).delete()
+    }
 
   final case class CompactReport(
       groups: Int,
@@ -193,6 +232,7 @@ object GraftShardMaintenance {
     // bloom sidecars regenerate with the rewrite (the property is the
     // manifest's, so compacted files keep the table's pruning power)
     val bloomCols = m.bloomColumns
+    val ndvCols = m.ndvColumns
     // compaction APPLIES equality deletes (the reader anti-filters each
     // member by its own seq); the output carries the max member seq, so
     // applied deletes no longer cover it and reapplication of any
@@ -203,13 +243,14 @@ object GraftShardMaintenance {
       spark.sparkContext.parallelize(groups, groups.size).map { case (p, members) =>
         val name = s"compact-${java.util.UUID.randomUUID().toString.take(12)}.shard"
         val w = new ShardFormat.ShardWriter(new File(dir, name), schema, codec, ids,
-          bloomCols)
+          bloomCols, ndvCols = ndvCols)
         try {
           GraftShardMaintenance.streamGroup(dir, members, schema, sortIdx, sortType,
             resolve, eqRefs, zIdx)
             .foreach(w.write)
           val (bytes, rows, stats, allNull) = w.finish()
           ShardFormat.FileEntry(name, bytes, rows, stats, allNull, p,
+            ndv = w.ndvSketches,
             sums = w.sums, strStats = w.strStats, bloom = w.bloomSidecar,
             seq = members.map(_._3).max)
         } catch { case t: Throwable => w.abort(); throw t }

@@ -240,7 +240,8 @@ class GraftShardCowWrite(
     val codec = m.flatMap(_.compression).getOrElse("none")
     new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec,
       ShardFormat.writeFieldIds(m, schema),
-      m.map(_.bloomColumns).getOrElse(Nil))
+      m.map(_.bloomColumns).getOrElse(Nil),
+      ndvCols = m.map(_.ndvColumns).getOrElse(Nil))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -8,6 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.colstats
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -17,7 +18,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -82,6 +83,26 @@ class GraftShardSource extends TableProvider with DataSourceRegister {
             s"${ShardFormat.listVersions(p).mkString(", ")}"))
     }
 
+  /** `option("branch", name)` pins the read to a STAGED (write-audit-
+    * publish) branch — the audit face. Mutually exclusive with time
+    * travel; read-only like any pinned manifest. */
+  private def branchFor(p: String, branch: Option[String]): Option[ShardFormat.Manifest] =
+    branch.map { b =>
+      ShardFormat.readBranch(p, b).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftshard: no staged branch '$b' under '$p' — available: " +
+            s"${ShardFormat.listBranches(p).mkString(", ")}"))
+    }
+
+  private def pinnedOrBranch(p: String, opts: CaseInsensitiveStringMap)
+      : Option[ShardFormat.Manifest] = {
+    val v = Option(opts.get("versionAsOf"))
+    val b = Option(opts.get("branch"))
+    require(v.isEmpty || b.isEmpty,
+      "graftshard: branch and versionAsOf are mutually exclusive")
+    branchFor(p, b).orElse(pinnedFor(p, v))
+  }
+
   /** `option("changesFrom", v1).option("changesTo", v2)`: the change
     * data feed over `(v1, v2]` ([[GraftShardChanges]]). `changesTo`
     * defaults to the current version when only `changesFrom` is set.
@@ -111,7 +132,7 @@ class GraftShardSource extends TableProvider with DataSourceRegister {
     changeRange(options, p) match {
       case Some((f, t, ex)) => new GraftShardChangesTable(p, f, t, ex).schema()
       case None =>
-        pinnedFor(p, Option(options.get("versionAsOf")))
+        pinnedOrBranch(p, options)
           .orElse(ShardFormat.readManifest(p)).map(_.schema).getOrElse {
           throw new IllegalArgumentException(
             s"graftshard: no ${ShardFormat.ManifestName} under '$p' — " +
@@ -129,11 +150,11 @@ class GraftShardSource extends TableProvider with DataSourceRegister {
     require(p != null && p.nonEmpty, "graftshard: a path is required")
     changeRange(opts, p) match {
       case Some((f, t, ex)) =>
-        require(opts.get("versionAsOf") == null,
-          "graftshard: changesFrom/changesTo and versionAsOf are mutually exclusive")
+        require(opts.get("versionAsOf") == null && opts.get("branch") == null,
+          "graftshard: changesFrom/changesTo exclude versionAsOf and branch")
         new GraftShardChangesTable(p, f, t, ex)
       case None =>
-        new GraftShardTable(p, schema, pinnedFor(p, Option(opts.get("versionAsOf"))))
+        new GraftShardTable(p, schema, pinnedOrBranch(p, opts))
     }
   }
 }
@@ -163,6 +184,10 @@ class GraftShardTable(
       m.compression.foreach(props.put("compression", _))
       if (m.bloomColumns.nonEmpty)
         props.put("bloomColumns", m.bloomColumns.mkString(","))
+      if (m.ndvColumns.nonEmpty)
+        props.put("ndvColumns", m.ndvColumns.mkString(","))
+      val branches = ShardFormat.listBranches(path)
+      if (branches.nonEmpty) props.put("stagedBranches", branches.mkString(","))
       m.sortedBy.foreach(props.put("sortWithinShards", _))
       m.zorderBy.foreach { case (a, b) => props.put("zorderBy", s"$a,$b"): Unit }
       props.put("manifestVersion", m.version.toString)
@@ -385,9 +410,19 @@ class GraftShardScanBuilder(
     }
   }
 
+  // lazy on purpose: forced at build()/pushTopN/pushAggregation time,
+  // AFTER pushFilters ran (the DSv2 pushdown order), so a filtered scan
+  // loads only the manifest segments whose root-resident stat rollups
+  // can intersect the predicates — plan-time driver memory O(matching
+  // segments), not O(table). Time travel (pinned) and filterless scans
+  // read in full; the pruned manifest feeds ONLY this scan, never a
+  // commit (see ShardFormat.readManifestForScan).
   private lazy val manifest: ShardFormat.Manifest =
-    pinned.orElse(ShardFormat.readManifest(path))
-      .getOrElse(ShardFormat.Manifest(fullSchema, "", Nil))
+    pinned.orElse {
+      if (pushed.isEmpty) ShardFormat.readManifest(path)
+      else ShardFormat.readManifestForScan(path,
+        rollup => pushed.forall(ShardFilters.mayContain(_, rollup)))
+    }.getOrElse(ShardFormat.Manifest(fullSchema, "", Nil))
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -828,16 +863,85 @@ class GraftShardScan(
       case None => OptionalLong.of(selected.map(_.bytes).sum)
     }
     // exact only when every surviving row passes every pushed filter,
-    // which we cannot know without reading — report rows only for the
-    // no-filter scan (planner treats absence as unknown, never wrong)
+    // which we cannot know without reading — report rows for the
+    // no-filter scan, AND when stats PROVE every pushed filter matches
+    // every row of every selected file (the ubiquitous case: the
+    // join-planner's own IsNotNull(k) over a null-free column — without
+    // this carve-out, every equi-join input would lose its row count
+    // and CBO could never size the aggregate above it)
     override def numRows(): OptionalLong = agg match {
       case Some(r) => OptionalLong.of(r.rows.size.toLong)
       case None =>
         // equality deletes make physical counts an overcount the
         // manifest cannot correct — report unknown, never a lie
-        if (pushed.isEmpty && manifest.equalityDeletes.isEmpty)
+        val provablyAll = pushed.isEmpty ||
+          pushed.forall(f => selected.forall(ShardFilters.mustMatchAll(f, _)))
+        if (provablyAll && manifest.equalityDeletes.isEmpty)
           OptionalLong.of(selected.map(fe => fe.rows - fe.deletedRows).sum)
         else OptionalLong.empty()
+    }
+
+    /** Column statistics from the manifest alone — the CBO currency.
+      * For each `ndvColumns` column whose sketch EVERY selected file
+      * carries, the per-file HLLs union into the scan's distinct count
+      * (a missing sketch would make the union an undercount, so partial
+      * coverage reports nothing). Null counts and integral min/max ride
+      * along exactly where the stats tier tracks them. Conservative
+      * under pushed filters and row-level deletes: the pre-filter NDV
+      * is an overcount of the post-filter one, which can only make the
+      * planner keep a bigger estimate — never broadcast something too
+      * large. This is what lets `spark.sql.cbo.enabled` size a
+      * GROUP BY's output by its key's true cardinality and flip the
+      * join above it to broadcast (GraftShardNdvSpec). */
+    override def columnStats()
+        : java.util.Map[NamedReference, colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[NamedReference, colstats.ColumnStatistics]()
+      if (agg.isEmpty && selected.nonEmpty) {
+        manifest.ndvColumns.foreach { c =>
+          if (selected.forall(fe => fe.ndv.contains(c) || fe.rows == fe.deletedRows)) {
+            ShardFormat.ndvEstimate(
+              selected.flatMap(_.ndv.get(c))).foreach { est =>
+              def nullsOf(fe: ShardFormat.FileEntry): Option[Long] =
+                fe.stats.get(c).map(_._3)
+                  .orElse(fe.strStats.get(c).map(_._3))
+                  .orElse(fe.allNull.get(c))
+              val nulls: Option[Long] =
+                if (selected.forall(nullsOf(_).isDefined))
+                  Some(selected.flatMap(nullsOf).sum)
+                else None
+              // integral min/max: exact when every file carries stats
+              // or is provably all-null for the column
+              val dt = fullSchema.fields.find(_.name == c).map(_.dataType)
+              val bounded = selected.filter(_.stats.contains(c))
+              val minMax: Option[(Long, Long)] =
+                if (bounded.nonEmpty && selected.forall(fe =>
+                  fe.stats.contains(c) || fe.allNull.contains(c)))
+                  Some((bounded.map(_.stats(c)._1).min, bounded.map(_.stats(c)._2).max))
+                else None
+              def boxed(v: Long): Object = dt match {
+                case Some(IntegerType) => Integer.valueOf(v.toInt)
+                case _ => java.lang.Long.valueOf(v)
+              }
+              out.put(Expressions.column(c), new colstats.ColumnStatistics {
+                override def distinctCount(): OptionalLong = OptionalLong.of(est)
+                override def nullCount(): OptionalLong =
+                  nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+                override def min(): java.util.Optional[Object] =
+                  if (dt.exists(d => d == LongType || d == IntegerType))
+                    minMax.map(m => java.util.Optional.of(boxed(m._1)))
+                      .getOrElse(java.util.Optional.empty())
+                  else java.util.Optional.empty()
+                override def max(): java.util.Optional[Object] =
+                  if (dt.exists(d => d == LongType || d == IntegerType))
+                    minMax.map(m => java.util.Optional.of(boxed(m._2)))
+                      .getOrElse(java.util.Optional.empty())
+                  else java.util.Optional.empty()
+              })
+            }
+          }
+        }
+      }
+      out
     }
   }
 
@@ -1129,35 +1233,42 @@ class GraftShardReaderFactory(
       eqDeletes)
   }
 
-  /** COLUMNAR reads for the plain-scan shape: the v3/v4 format is
-    * already columnar at rest (per-column chunks per row group), so a
-    * full-projection scan can decode each group straight into column
-    * vectors — one tight loop per column, zero per-value boxing, and
-    * Spark's whole-stage codegen consumes the batch without a per-row
-    * InternalRow. Admitted only when NOTHING needs row-level work the
-    * batch path doesn't do: no absorbed filters (static or runtime —
-    * rows would need selective copies), no pushed LIMIT cap, no
-    * merge-on-read delete vectors, no live equality deletes, no
-    * metadata columns, and only scalar column types (float-array
-    * embeddings stay on the row path). Everything else falls back to
-    * the row reader — same results, pinned by GraftShardColumnarReadSpec
-    * and the randomized source props. */
+  /** COLUMNAR reads for the scan shapes that dominate a curation pass:
+    * the v3/v4 format is already columnar at rest (per-column chunks
+    * per row group), so the scan decodes each group straight into
+    * column vectors — one tight loop per column, zero per-value boxing,
+    * and Spark's whole-stage codegen consumes the batch without a
+    * per-row InternalRow. Since round 13 this includes FILTERED scans
+    * (absorbed static and runtime predicates evaluate against the
+    * decoded batch; non-matching rows are compacted away — or the whole
+    * staging batch is exposed zero-copy when every row matched) and
+    * `array<float>` embedding projections (the float payload decodes
+    * into an ArrayType vector). Still refused — falling back to the row
+    * reader with identical results: a pushed LIMIT cap, merge-on-read
+    * delete vectors (manifest-wide: Spark requires one row/columnar
+    * answer per scan), live equality deletes, metadata columns, and
+    * types the format doesn't store. Pinned by
+    * GraftShardColumnarReadSpec and the randomized source props. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     allowColumnar && partition.isInstanceOf[ShardFilesPartition] &&
-      pushed.isEmpty && limit.isEmpty && eqDeletes.isEmpty &&
+      limit.isEmpty && eqDeletes.isEmpty &&
       required.fields.forall { f =>
-        f.name != "_shard_file" && f.name != "_pos" &&
-          (f.dataType match {
-            case LongType | IntegerType | DoubleType | FloatType |
-                 BooleanType | StringType | BinaryType => true
-            case _ => false
-          })
-      }
+        f.name != "_shard_file" && f.name != "_pos" && columnarType(f.dataType)
+      } &&
+      pushed.forall(_.references.forall(c =>
+        fullSchema.fields.find(_.name == c).exists(f => columnarType(f.dataType))))
+
+  private def columnarType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType |
+         BooleanType | StringType | BinaryType => true
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[ShardFilesPartition]
-    new GraftShardColumnarPartitionReader(p.files, fullSchema, required, resolve)
+    new GraftShardColumnarPartitionReader(p.files, fullSchema, required, pushed, resolve)
   }
 }
 
@@ -1167,106 +1278,266 @@ class GraftShardReaderFactory(
   * reused `OnHeapColumnVector`s; a legacy v1/v2 file in the same
   * partition decodes through the row path into the same vectors —
   * correct, not fast, and exactly the rewrite-pending tail compaction
-  * retires. */
+  * retires.
+  *
+  * Absorbed filters (static + runtime) evaluate against the DECODED
+  * batch: the reader stages the union of required and filter columns,
+  * runs the same compiled evaluators the row reader uses (so the two
+  * paths can never disagree) over each staged row, and then either
+  *  - exposes the staging batch zero-copy when EVERY row matched (the
+  *    common case after file- and group-level stats pruning has already
+  *    discarded the provably non-matching ranges),
+  *  - drops the batch when nothing matched, or
+  *  - compacts the matching rows into a second set of output vectors
+  *    with typed per-column copies (no boxing).
+  * File-level bloom skipping and group-level stats skipping run exactly
+  * as in the row reader (shared helpers). Filter-only columns live in
+  * staging slots past the required ones and are never exposed. */
 class GraftShardColumnarPartitionReader(
     files: Array[(String, Long, Option[String], Option[String], Long)],
     fullSchema: StructType,
     required: StructType,
+    pushed: Array[Filter],
     resolve: ShardFormat.ColumnResolution)
     extends PartitionReader[ColumnarBatch] {
 
   private val fullIndex: Map[String, Int] = fullSchema.fieldNames.zipWithIndex.toMap
-  private val readIndices: Array[Int] = required.fieldNames.map(fullIndex)
+  private val dataCols: Array[String] = required.fieldNames
+  private val filterCols: Array[String] =
+    pushed.flatMap(_.references).distinct.filterNot(dataCols.contains)
+  // staging layout: required columns first, then filter-only columns
+  private val readCols: Array[String] = dataCols ++ filterCols
+  private val readIndices: Array[Int] = readCols.map(fullIndex)
+  private val readTypes: Array[DataType] =
+    readCols.map(c => fullSchema.fields(fullIndex(c)).dataType)
+  private val slotOf: Map[String, Int] = readCols.zipWithIndex.toMap
   private val capacity = ShardFormat.GroupMaxRows
-  private val vectors: Array[OnHeapColumnVector] =
-    required.fields.map(f => new OnHeapColumnVector(capacity, f.dataType))
-  private val batch = new ColumnarBatch(vectors.toArray[ColumnVector])
+
+  private val staging: Array[OnHeapColumnVector] =
+    readTypes.map(new OnHeapColumnVector(capacity, _))
+  private val stagingBatch =
+    new ColumnarBatch(staging.take(dataCols.length).toArray[ColumnVector])
+  // output vectors exist only when compaction can happen
+  private val output: Array[OnHeapColumnVector] =
+    if (pushed.isEmpty) Array.empty
+    else readTypes.take(dataCols.length).map(new OnHeapColumnVector(capacity, _))
+  private val outputBatch: ColumnarBatch =
+    if (pushed.isEmpty) null else new ColumnarBatch(output.toArray[ColumnVector])
+
+  // row-level evaluation: the row reader's compiled evaluators over a
+  // boxed view of JUST the filter-referenced slots (1-2 columns in
+  // practice — the required columns never box)
+  private val evals: Array[Array[Any] => Boolean] =
+    pushed.map(ShardFilters.compile(_, slotOf, fullSchema))
+  private val filterSlots: Array[Int] =
+    pushed.flatMap(_.references).distinct.map(slotOf)
+  private val boxOf: Array[Int => Any] = filterSlots.map { s =>
+    val vec = staging(s)
+    readTypes(s) match {
+      case LongType => (r: Int) => if (vec.isNullAt(r)) null else Long.box(vec.getLong(r))
+      case IntegerType => (r: Int) => if (vec.isNullAt(r)) null else Int.box(vec.getInt(r))
+      case BooleanType => (r: Int) => if (vec.isNullAt(r)) null else Boolean.box(vec.getBoolean(r))
+      case DoubleType => (r: Int) => if (vec.isNullAt(r)) null else Double.box(vec.getDouble(r))
+      case FloatType => (r: Int) => if (vec.isNullAt(r)) null else Float.box(vec.getFloat(r))
+      case StringType => (r: Int) => if (vec.isNullAt(r)) null else vec.getUTF8String(r)
+      case BinaryType => (r: Int) => if (vec.isNullAt(r)) null else vec.getBinary(r)
+      // only IsNull/IsNotNull are pushable on arrays — the evaluator
+      // needs null-or-not, never the value
+      case ArrayType(FloatType, _) =>
+        (r: Int) => if (vec.isNullAt(r)) null else vec.getArray(r)
+      case other => throw new IllegalStateException(
+        s"graftshard: filter over non-filterable type ${other.sql}")
+    }
+  }
+  private val vals = new Array[Any](readCols.length)
+  private val selected = new Array[Boolean](capacity)
+
+  private val groupSkip: ShardFormat.GroupStats => Boolean =
+    ShardFilters.groupSkipper(pushed)
+  private val bloomProbes: Array[(String, Array[Long])] =
+    ShardFilters.bloomProbes(pushed)
 
   private val sink: ShardFormat.BatchSink = new ShardFormat.BatchSink {
-    override def putNull(s: Int, r: Int): Unit = vectors(s).putNull(r)
-    override def putLong(s: Int, r: Int, v: Long): Unit = vectors(s).putLong(r, v)
-    override def putInt(s: Int, r: Int, v: Int): Unit = vectors(s).putInt(r, v)
-    override def putDouble(s: Int, r: Int, v: Double): Unit = vectors(s).putDouble(r, v)
-    override def putFloat(s: Int, r: Int, v: Float): Unit = vectors(s).putFloat(r, v)
-    override def putBoolean(s: Int, r: Int, v: Boolean): Unit = vectors(s).putBoolean(r, v)
+    override def putNull(s: Int, r: Int): Unit = staging(s).putNull(r)
+    override def putLong(s: Int, r: Int, v: Long): Unit = staging(s).putLong(r, v)
+    override def putInt(s: Int, r: Int, v: Int): Unit = staging(s).putInt(r, v)
+    override def putDouble(s: Int, r: Int, v: Double): Unit = staging(s).putDouble(r, v)
+    override def putFloat(s: Int, r: Int, v: Float): Unit = staging(s).putFloat(r, v)
+    override def putBoolean(s: Int, r: Int, v: Boolean): Unit = staging(s).putBoolean(r, v)
     override def putBytes(s: Int, r: Int, b: Array[Byte], off: Int, len: Int): Unit = {
-      vectors(s).putByteArray(r, b, off, len): Unit
+      staging(s).putByteArray(r, b, off, len): Unit
+    }
+    override def putFloats(s: Int, r: Int, v: Array[Float], off: Int, len: Int): Unit = {
+      val child = staging(s).arrayData()
+      val start = child.appendFloats(len, v, off)
+      staging(s).putArray(r, start, len)
     }
   }
   // boxed puts for the legacy row-path fallback (widening already
   // happened in the row decode — values arrive as the TABLE's types)
   private val boxedPut: Array[(Int, Any) => Unit] =
-    required.fields.zipWithIndex.map { case (f, s) =>
-      f.dataType match {
-        case LongType => (r: Int, v: Any) => vectors(s).putLong(r, v.asInstanceOf[Long])
-        case IntegerType => (r: Int, v: Any) => vectors(s).putInt(r, v.asInstanceOf[Int])
-        case DoubleType => (r: Int, v: Any) => vectors(s).putDouble(r, v.asInstanceOf[Double])
-        case FloatType => (r: Int, v: Any) => vectors(s).putFloat(r, v.asInstanceOf[Float])
-        case BooleanType => (r: Int, v: Any) => vectors(s).putBoolean(r, v.asInstanceOf[Boolean])
+    readTypes.zipWithIndex.map { case (dt, s) =>
+      dt match {
+        case LongType => (r: Int, v: Any) => staging(s).putLong(r, v.asInstanceOf[Long])
+        case IntegerType => (r: Int, v: Any) => staging(s).putInt(r, v.asInstanceOf[Int])
+        case DoubleType => (r: Int, v: Any) => staging(s).putDouble(r, v.asInstanceOf[Double])
+        case FloatType => (r: Int, v: Any) => staging(s).putFloat(r, v.asInstanceOf[Float])
+        case BooleanType => (r: Int, v: Any) => staging(s).putBoolean(r, v.asInstanceOf[Boolean])
         case StringType => (r: Int, v: Any) => {
           val b = v.asInstanceOf[UTF8String].getBytes
-          vectors(s).putByteArray(r, b, 0, b.length): Unit
+          staging(s).putByteArray(r, b, 0, b.length): Unit
         }
         case BinaryType => (r: Int, v: Any) => {
           val b = v.asInstanceOf[Array[Byte]]
-          vectors(s).putByteArray(r, b, 0, b.length): Unit
+          staging(s).putByteArray(r, b, 0, b.length): Unit
+        }
+        case ArrayType(FloatType, _) => (r: Int, v: Any) => {
+          val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray
+          val child = staging(s).arrayData()
+          val start = child.appendFloats(a.length, a, 0)
+          staging(s).putArray(r, start, a.length)
         }
         case other => throw new IllegalStateException(
           s"graftshard: columnar reader admitted unsupported type ${other.sql}")
       }
     }
+  // typed compaction copies, one per REQUIRED column: staging row -> output row
+  private val compactPut: Array[(Int, Int) => Unit] =
+    (0 until dataCols.length).map { s =>
+      val st = staging(s)
+      if (pushed.isEmpty) (_: Int, _: Int) => ()
+      else {
+        val out = output(s)
+        readTypes(s) match {
+          case LongType => (r: Int, o: Int) => out.putLong(o, st.getLong(r))
+          case IntegerType => (r: Int, o: Int) => out.putInt(o, st.getInt(r))
+          case DoubleType => (r: Int, o: Int) => out.putDouble(o, st.getDouble(r))
+          case FloatType => (r: Int, o: Int) => out.putFloat(o, st.getFloat(r))
+          case BooleanType => (r: Int, o: Int) => out.putBoolean(o, st.getBoolean(r))
+          case StringType | BinaryType => (r: Int, o: Int) => {
+            val b = st.getBinary(r)
+            out.putByteArray(o, b, 0, b.length): Unit
+          }
+          case ArrayType(FloatType, _) => (r: Int, o: Int) => {
+            val a = st.getArray(r).toFloatArray
+            val child = out.arrayData()
+            val start = child.appendFloats(a.length, a, 0)
+            out.putArray(o, start, a.length)
+          }
+          case other => throw new IllegalStateException(
+            s"graftshard: columnar reader admitted unsupported type ${other.sql}")
+        }
+      }
+    }.toArray
 
   private var fileIdx = -1
   private var reader: ShardFormat.ShardReader = _
   private var rowEra = false
-  private val rowValues = new Array[Any](required.fields.length)
+  private val rowValues = new Array[Any](readCols.length)
+  private var current: ColumnarBatch = _
 
   override def next(): Boolean = {
     while (true) {
       if (reader == null) {
         fileIdx += 1
         if (fileIdx >= files.length) return false
-        reader = new ShardFormat.ShardReader(
-          new File(files(fileIdx)._1), fullSchema, readIndices, resolve = resolve)
-        rowEra = !reader.columnarFile
-      }
-      if (rowEra) {
-        vectors.foreach(_.reset())
-        var r = 0
-        var more = true
-        while (r < capacity && { more = reader.next(rowValues); more }) {
-          var s = 0
-          while (s < rowValues.length) {
-            val v = rowValues(s)
-            if (v == null) vectors(s).putNull(r) else boxedPut(s)(r, v)
-            s += 1
-          }
-          r += 1
+        if (ShardFilters.bloomSkipsFile(bloomProbes, files(fileIdx)._4, resolve.aliases)) {
+          // the sidecar proves no row matches: never opened
+        } else {
+          reader = new ShardFormat.ShardReader(
+            new File(files(fileIdx)._1), fullSchema, readIndices, groupSkip, resolve)
+          rowEra = !reader.columnarFile
         }
-        if (!more) reader = null
-        if (r > 0) { batch.setNumRows(r); return true }
       } else {
-        vectors.foreach(_.reset())
-        val n = reader.nextBatch { rows =>
-          require(rows <= capacity,
-            s"graftshard: row group of $rows rows exceeds the vector " +
-              s"capacity $capacity — not written by this library's writer")
-          sink
+        var n = -1
+        if (rowEra) {
+          staging.foreach(_.reset())
+          var r = 0
+          var more = true
+          while (r < capacity && { more = reader.next(rowValues); more }) {
+            var s = 0
+            while (s < rowValues.length) {
+              val v = rowValues(s)
+              if (v == null) staging(s).putNull(r) else boxedPut(s)(r, v)
+              s += 1
+            }
+            r += 1
+          }
+          if (!more) reader = null
+          n = if (r > 0) r else -1
+        } else {
+          staging.foreach(_.reset())
+          n = reader.nextBatch { rows =>
+            require(rows <= capacity,
+              s"graftshard: row group of $rows rows exceeds the vector " +
+                s"capacity $capacity — not written by this library's writer")
+            sink
+          }
+          if (n < 0) reader = null
         }
-        if (n < 0) reader = null
-        else { batch.setNumRows(n); return true }
+        if (n > 0) {
+          if (evals.isEmpty) {
+            stagingBatch.setNumRows(n)
+            current = stagingBatch
+            return true
+          }
+          // evaluate the absorbed predicates over the staged rows
+          var kept = 0
+          var r = 0
+          while (r < n) {
+            var fi = 0
+            while (fi < filterSlots.length) {
+              vals(filterSlots(fi)) = boxOf(fi)(r)
+              fi += 1
+            }
+            var ok = true
+            var e = 0
+            while (ok && e < evals.length) { ok = evals(e)(vals); e += 1 }
+            selected(r) = ok
+            if (ok) kept += 1
+            r += 1
+          }
+          if (kept == n) {
+            // every row matched: expose the staged vectors zero-copy
+            stagingBatch.setNumRows(n)
+            current = stagingBatch
+            return true
+          }
+          if (kept > 0) {
+            output.foreach(_.reset())
+            var o = 0
+            r = 0
+            while (r < n) {
+              if (selected(r)) {
+                var s = 0
+                while (s < compactPut.length) {
+                  if (staging(s).isNullAt(r)) output(s).putNull(o)
+                  else compactPut(s)(r, o)
+                  s += 1
+                }
+                o += 1
+              }
+              r += 1
+            }
+            outputBatch.setNumRows(kept)
+            current = outputBatch
+            return true
+          }
+          // kept == 0: fall through to the next batch
+        }
       }
     }
     false // unreachable
   }
 
-  override def get(): ColumnarBatch = batch
+  override def get(): ColumnarBatch = current
   // an early stop (cancellation, exception, upstream abort) leaves the
   // in-flight ShardReader open — close it here like the row reader does,
   // not only at clean EOF
   override def close(): Unit = {
     if (reader != null) { reader.close(); reader = null }
-    vectors.foreach(_.close())
+    staging.foreach(_.close())
+    output.foreach(_.close())
   }
 }
 
@@ -1316,54 +1587,13 @@ class GraftShardPartitionReader(
   private val hasMeta = outMap.exists(_ < 0)
   private val evals: Array[Array[Any] => Boolean] =
     pushed.map(ShardFilters.compile(_, slotOf, fullSchema))
-  // within-file group skipping: a v3 row group whose header stats prove
-  // no row can match is dropped whole (all chunks skipped unread) —
-  // the SAME mayContain that prunes files from the manifest, over a
-  // synthetic one-group FileEntry, so the two levels cannot drift
+  // within-file group skipping and bloom-testable conjuncts — shared
+  // with the columnar reader ([[ShardFilters.groupSkipper]]/
+  // [[ShardFilters.bloomProbes]]) so the two paths cannot drift
   private val groupSkip: ShardFormat.GroupStats => Boolean =
-    if (pushed.isEmpty) _ => false
-    else gs => {
-      val fe = ShardFormat.FileEntry("", 0L, gs.rows.toLong, gs.stats, gs.allNull,
-        strStats = gs.strStats)
-      !pushed.forall(ShardFilters.mayContain(_, fe))
-    }
-  // bloom-testable REQUIRED conjuncts of the absorbed filters: for each,
-  // (column, candidate hashes) — a file whose bloom contains NONE of a
-  // conjunct's candidates provably holds no matching row, so the whole
-  // file (data + delete vector) is skipped UNOPENED. Only top-level
-  // equality/IN on bloom-eligible literal types qualifies (a null
-  // literal never equals anything; Or/Not conjuncts don't require the
-  // column to take one of finitely many values).
-  private val bloomProbes: Array[(String, Array[Long])] = {
-    def hashOf(v: Any): Option[Long] = v match {
-      case l: java.lang.Long => Some(ShardFormat.bloomHashLong(l.longValue()))
-      case i: java.lang.Integer => Some(ShardFormat.bloomHashLong(i.longValue()))
-      case s: java.lang.Short => Some(ShardFormat.bloomHashLong(s.longValue()))
-      case b: java.lang.Byte => Some(ShardFormat.bloomHashLong(b.longValue()))
-      case s: String => Some(ShardFormat.bloomHashBytes(
-        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      case u: UTF8String => Some(ShardFormat.bloomHashBytes(u.getBytes))
-      case b: Array[Byte] => Some(ShardFormat.bloomHashBytes(b))
-      case _ => None
-    }
-    pushed.flatMap {
-      case EqualTo(col, v) if v != null =>
-        hashOf(v).map(h => col -> Array(h))
-      case EqualNullSafe(col, v) if v != null =>
-        hashOf(v).map(h => col -> Array(h))
-      case In(col, vs) if vs != null && vs.nonEmpty =>
-        val nonNull = vs.filter(_ != null)
-        // a list that was ONLY nulls matches nothing, but that is the
-        // stats tier's call — the bloom tier stays out of it
-        if (nonNull.isEmpty) None
-        else {
-          val hs = nonNull.map(hashOf)
-          // every candidate must be hashable, else the conjunct can't prove absence
-          if (hs.exists(_.isEmpty)) None else Some(col -> hs.map(_.get))
-        }
-      case _ => None
-    }
-  }
+    ShardFilters.groupSkipper(pushed)
+  private val bloomProbes: Array[(String, Array[Long])] =
+    ShardFilters.bloomProbes(pushed)
 
   // equality deletes, loaded ONCE per task (the read-side tax of upsert
   // ingestion, paid until compaction applies them): (key slot, key set,
@@ -1395,19 +1625,8 @@ class GraftShardPartitionReader(
     false
   }
 
-  /** True when this file's bloom sidecar PROVES no row can match some
-    * absorbed conjunct. Sidecar column names are write-time names —
-    * resolved through the alias map exactly like pre-v4 file headers. */
   private def bloomSkips(sidecar: Option[String]): Boolean =
-    bloomProbes.nonEmpty && sidecar.exists { p =>
-      val side = ShardFormat.readBloomSidecar(new File(p))
-      val byCurrent =
-        if (resolve.aliases.isEmpty) side
-        else side.map { case (n, b) => resolve.aliases.getOrElse(n, n) -> b }
-      bloomProbes.exists { case (col, hs) =>
-        byCurrent.get(col).exists(b => !hs.exists(b.mightContain))
-      }
-    }
+    ShardFilters.bloomSkipsFile(bloomProbes, sidecar, resolve.aliases)
 
   private val values = new Array[Any](readCols.length)
   private var fileIdx = -1
@@ -1730,4 +1949,71 @@ object ShardFilters {
       case other => throw new IllegalArgumentException(s"not pushable: $other")
     }
   }
+
+  /** Bloom-testable REQUIRED conjuncts of the absorbed filters: for
+    * each, (column, candidate hashes) — a file whose bloom contains
+    * NONE of a conjunct's candidates provably holds no matching row.
+    * Only top-level equality/IN on bloom-eligible literal types
+    * qualifies (a null literal never equals anything; Or/Not conjuncts
+    * don't require the column to take one of finitely many values).
+    * Shared by the row and columnar partition readers. */
+  def bloomProbes(pushed: Array[Filter]): Array[(String, Array[Long])] = {
+    def hashOf(v: Any): Option[Long] = v match {
+      case l: java.lang.Long => Some(ShardFormat.bloomHashLong(l.longValue()))
+      case i: java.lang.Integer => Some(ShardFormat.bloomHashLong(i.longValue()))
+      case s: java.lang.Short => Some(ShardFormat.bloomHashLong(s.longValue()))
+      case b: java.lang.Byte => Some(ShardFormat.bloomHashLong(b.longValue()))
+      case s: String => Some(ShardFormat.bloomHashBytes(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case u: UTF8String => Some(ShardFormat.bloomHashBytes(u.getBytes))
+      case b: Array[Byte] => Some(ShardFormat.bloomHashBytes(b))
+      case _ => None
+    }
+    pushed.flatMap {
+      case EqualTo(col, v) if v != null =>
+        hashOf(v).map(h => col -> Array(h))
+      case EqualNullSafe(col, v) if v != null =>
+        hashOf(v).map(h => col -> Array(h))
+      case In(col, vs) if vs != null && vs.nonEmpty =>
+        val nonNull = vs.filter(_ != null)
+        // a list that was ONLY nulls matches nothing, but that is the
+        // stats tier's call — the bloom tier stays out of it
+        if (nonNull.isEmpty) None
+        else {
+          val hs = nonNull.map(hashOf)
+          // every candidate must be hashable, else the conjunct can't prove absence
+          if (hs.exists(_.isEmpty)) None else Some(col -> hs.map(_.get))
+        }
+      case _ => None
+    }
+  }
+
+  /** True when a file's bloom sidecar PROVES no row can match some
+    * probe. Sidecar column names are write-time names — resolved
+    * through the alias map exactly like pre-v4 file headers. */
+  def bloomSkipsFile(
+      probes: Array[(String, Array[Long])],
+      sidecar: Option[String],
+      aliases: Map[String, String]): Boolean =
+    probes.nonEmpty && sidecar.exists { p =>
+      val side = ShardFormat.readBloomSidecar(new File(p))
+      val byCurrent =
+        if (aliases.isEmpty) side
+        else side.map { case (n, b) => aliases.getOrElse(n, n) -> b }
+      probes.exists { case (col, hs) =>
+        byCurrent.get(col).exists(b => !hs.exists(b.mightContain))
+      }
+    }
+
+  /** Within-file group skipping: a v3+ row group whose header stats
+    * prove no row can match is dropped whole — the SAME [[mayContain]]
+    * that prunes files from the manifest, over a synthetic one-group
+    * FileEntry, so the two levels cannot drift. */
+  def groupSkipper(pushed: Array[Filter]): ShardFormat.GroupStats => Boolean =
+    if (pushed.isEmpty) _ => false
+    else gs => {
+      val fe = ShardFormat.FileEntry("", 0L, gs.rows.toLong, gs.stats, gs.allNull,
+        strStats = gs.strStats)
+      !pushed.forall(mayContain(_, fe))
+    }
 }

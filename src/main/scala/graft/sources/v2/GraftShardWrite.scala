@@ -211,6 +211,21 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
         s"graftshard: bloomColumns column '$c' must be long/int/string/binary " +
           s"(equality-lookup currency), got ${f.dataType.sql}")
     }
+    // per-file NDV sketches, same lifecycle: `option("ndvColumns",
+    // "k,user_id")` records the join/group-key columns whose distinct
+    // counts the scan should report to the planner
+    val ndvCols: Seq[String] = Option(info.options.get("ndvColumns")) match {
+      case Some(str) => str.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => existing.map(_.ndvColumns).getOrElse(Nil)
+    }
+    ndvCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftshard: ndvColumns column '$c' not in write schema"))
+      require(ShardFormat.ndvEligible(f.dataType),
+        s"graftshard: ndvColumns column '$c' must be long/int/string/binary " +
+          s"(distinct-count currency), got ${f.dataType.sql}")
+    }
     // UPSERT ingestion (`option("upsertKey", "id")`): the commit writes
     // its insert files PLUS an equality delete of the batch's keys
     // against all OLDER files — merging a CDC batch into a 100 TB table
@@ -243,11 +258,17 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
         "graftshard: dynamic partition overwrite cannot combine with " +
           "upsertKey or zorderBy")
     }
+    // write-audit-publish: `option("stageAs", "audit")` publishes the
+    // commit as a BRANCH instead of moving the live pointer — readers
+    // see nothing until CALL system.publish_branch; batch only (a
+    // streaming sink's epoch bookkeeping must live on the live chain)
+    val stageAs = Option(info.options.get("stageAs"))
+    stageAs.foreach(b => ShardFormat.branchFile(path, b): Unit) // validate name
     val queryId = info.queryId()
     (sortCol, spec) match {
       case (Some(s), Some(sp)) =>
         new GraftShardWriteWithOrdering(path, schema, replace, sp, s, maxOpen, queryId,
-          codec, bloomCols, upsertKey, dynamic)
+          codec, bloomCols, upsertKey, dynamic, ndvCols, stageAs)
       case _ if zorderCols.isDefined =>
         val Seq(a, b) = zorderCols.get
         // writePartitions pins the range-partition count (0 = let Spark
@@ -256,7 +277,7 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
         val nParts = Option(info.options.get("writePartitions"))
           .map(_.toInt).getOrElse(0)
         new GraftShardZOrderWrite(path, schema, replace, a, b, maxOpen, nParts, codec,
-          bloomCols)
+          bloomCols, ndvCols, stageAs)
       case _ =>
         // sortCol here is provably None: a defined sortWithinShards
         // requires a partition spec (the require above)
@@ -264,12 +285,14 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
           override def toBatch: BatchWrite =
             new GraftShardBatchWrite(path, schema, replace, spec, sortCol = None,
               maxOpenWriters = maxOpen, codec = codec, bloomCols = bloomCols,
-              upsertKey = upsertKey, dynamicOverwrite = dynamic)
+              upsertKey = upsertKey, dynamicOverwrite = dynamic, ndvCols = ndvCols,
+              stageAs = stageAs)
           override def toStreaming: StreamingWrite =
             new GraftShardStreamingWrite(path, queryId,
               new GraftShardBatchWrite(path, schema, replace, spec, sortCol = None,
                 maxOpenWriters = maxOpen, codec = codec, bloomCols = bloomCols,
-                upsertKey = upsertKey))
+                upsertKey = upsertKey, ndvCols = ndvCols))
+              // (no stageAs: the streaming face refuses staging below)
         }
     }
   }
@@ -291,7 +314,9 @@ class GraftShardWriteWithOrdering(
     codec: String = "none",
     bloomCols: Seq[String] = Nil,
     upsertKey: Option[String] = None,
-    dynamicOverwrite: Boolean = false)
+    dynamicOverwrite: Boolean = false,
+    ndvCols: Seq[String] = Nil,
+    stageAs: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -303,12 +328,13 @@ class GraftShardWriteWithOrdering(
 
   override def toBatch: BatchWrite =
     new GraftShardBatchWrite(path, schema, replace, Some(spec), Some(sortCol),
-      maxOpenWriters, codec, bloomCols, upsertKey, dynamicOverwrite)
+      maxOpenWriters, codec, bloomCols, upsertKey, dynamicOverwrite,
+      ndvCols = ndvCols, stageAs = stageAs)
 
   override def toStreaming: StreamingWrite =
     new GraftShardStreamingWrite(path, queryId,
       new GraftShardBatchWrite(path, schema, replace, Some(spec), Some(sortCol),
-        maxOpenWriters, codec, bloomCols, upsertKey))
+        maxOpenWriters, codec, bloomCols, upsertKey, ndvCols = ndvCols))
 }
 
 /** The z-ordered write (see the zorderBy note in
@@ -326,7 +352,9 @@ class GraftShardZOrderWrite(
     maxOpenWriters: Int,
     numPartitions: Int = 0,
     codec: String = "none",
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    ndvCols: Seq[String] = Nil,
+    stageAs: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private def z: org.apache.spark.sql.connector.expressions.Expression =
@@ -342,7 +370,8 @@ class GraftShardZOrderWrite(
 
   override def toBatch: BatchWrite =
     new GraftShardBatchWrite(path, schema, replace, None, None, maxOpenWriters, codec,
-      bloomCols, zorderCols = Some((colA, colB)))
+      bloomCols, zorderCols = Some((colA, colB)), ndvCols = ndvCols,
+      stageAs = stageAs)
 }
 
 /** The streaming sink face: micro-batch epochs commit through the ONE
@@ -417,7 +446,9 @@ class GraftShardBatchWrite(
     bloomCols: Seq[String] = Nil,
     upsertKey: Option[String] = None,
     dynamicOverwrite: Boolean = false,
-    zorderCols: Option[(String, String)] = None)
+    zorderCols: Option[(String, String)] = None,
+    ndvCols: Seq[String] = Nil,
+    stageAs: Option[String] = None)
     extends BatchWrite {
 
   private def isTruncate: Boolean =
@@ -431,7 +462,7 @@ class GraftShardBatchWrite(
     val ids = ShardFormat.writeFieldIds(
       if (isTruncate) None else ShardFormat.readManifest(path), schema)
     new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec, ids,
-      bloomCols, upsertKey)
+      bloomCols, upsertKey, ndvCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -603,6 +634,9 @@ class GraftShardBatchWrite(
     val bloomColumns =
       if (isTruncate) bloomCols
       else current.map(_.bloomColumns).filter(_.nonEmpty).getOrElse(bloomCols)
+    val ndvColumns =
+      if (isTruncate) ndvCols
+      else current.map(_.ndvColumns).filter(_.nonEmpty).getOrElse(ndvCols)
     // field-id metadata: a truncate replaced every file, so ids restart
     // positional (Nil) and every alias/tombstone reservation clears —
     // matching the factory's positional write ids; any other commit
@@ -611,7 +645,17 @@ class GraftShardBatchWrite(
       if (isTruncate) (Nil, 0, Map.empty[String, Int])
       else current.map(m => (m.fieldIds, m.lastFieldId, m.aliases))
         .getOrElse((Nil, 0, Map.empty[String, Int]))
-    ShardFormat.writeManifest(path,
+    require(stageAs.isEmpty || streamEpoch.isEmpty,
+      "graftshard: a streaming sink cannot stage to a branch — its " +
+        "exactly-once epoch bookkeeping must live on the live chain")
+    val publishManifest: ShardFormat.Manifest => Unit = stageAs match {
+      // staged: published as a BRANCH pointer (vN+1 content, live
+      // pointer untouched); publish_branch re-validates the base under
+      // the commit lock before making it the table
+      case Some(b) => ShardFormat.writeBranch(path, b, _)
+      case None => ShardFormat.writeManifest(path, _)
+    }
+    publishManifest(
       ShardFormat.Manifest(published, generation, prior ++ stamped, spec,
         version = newVersion,
         createdAtMs = System.currentTimeMillis(),
@@ -624,6 +668,7 @@ class GraftShardBatchWrite(
         lastFieldId = lastFieldId,
         aliases = aliases,
         bloomColumns = bloomColumns,
+        ndvColumns = ndvColumns,
         zorderBy = zorderBy,
         equalityDeletes = equalityDeletes,
         // paged-manifest provenance rides through (prior entries keep
@@ -653,23 +698,25 @@ class GraftShardWriterFactory(
     // positional — correct for fresh tables and direct callers
     fieldIds: Array[Int] = Array.emptyIntArray,
     bloomCols: Seq[String] = Nil,
-    upsertKey: Option[String] = None)
+    upsertKey: Option[String] = None,
+    ndvCols: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     spec match {
       case None =>
         new GraftShardDataWriter(path, schema, partitionId, taskId, codec, fieldIds,
-          bloomCols, upsertKey)
+          bloomCols, upsertKey, ndvCols)
       case Some(sp) =>
         new GraftShardKeyedDataWriter(path, schema, partitionId, taskId, sp,
-          maxOpenWriters, codec, fieldIds, bloomCols, upsertKey)
+          maxOpenWriters, codec, fieldIds, bloomCols, upsertKey, ndvCols)
     }
 }
 
 class GraftShardDataWriter(
     path: String, schema: StructType, partitionId: Int, taskId: Long,
     codec: String = "none", fieldIds: Array[Int] = Array.emptyIntArray,
-    bloomCols: Seq[String] = Nil, upsertKey: Option[String] = None)
+    bloomCols: Seq[String] = Nil, upsertKey: Option[String] = None,
+    ndvCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
 
   // taskId disambiguates speculative attempts of the same partition;
@@ -679,7 +726,7 @@ class GraftShardDataWriter(
   private val writer = {
     new File(path).mkdirs()
     new ShardFormat.ShardWriter(new File(path, name), schema, codec, fieldIds,
-      bloomCols, upsertKey)
+      bloomCols, upsertKey, ndvCols)
   }
 
   override def write(record: InternalRow): Unit = writer.write(record)
@@ -687,7 +734,8 @@ class GraftShardDataWriter(
   override def commit(): WriterCommitMessage = {
     val (bytes, rows, stats, allNull) = writer.finish()
     ShardCommitMessage(Seq(ShardFormat.FileEntry(name, bytes, rows, stats, allNull,
-      sums = writer.sums, strStats = writer.strStats, bloom = writer.bloomSidecar)),
+      sums = writer.sums, strStats = writer.strStats, bloom = writer.bloomSidecar,
+      ndv = writer.ndvSketches)),
       eqKeys = writer.eqKeySidecar.toSeq)
   }
 
@@ -724,7 +772,8 @@ class GraftShardKeyedDataWriter(
     codec: String = "none",
     fieldIds: Array[Int] = Array.emptyIntArray,
     bloomCols: Seq[String] = Nil,
-    upsertKey: Option[String] = None)
+    upsertKey: Option[String] = None,
+    ndvCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
 
   require(maxOpenWriters >= 1,
@@ -745,7 +794,8 @@ class GraftShardKeyedDataWriter(
   private def finishInto(key: Long, name: String, w: ShardFormat.ShardWriter): Unit = {
     val (bytes, rows, stats, allNull) = w.finish()
     rotated += ShardFormat.FileEntry(name, bytes, rows, stats, allNull, Some(key),
-      sums = w.sums, strStats = w.strStats, bloom = w.bloomSidecar)
+      sums = w.sums, strStats = w.strStats, bloom = w.bloomSidecar,
+      ndv = w.ndvSketches)
     rotatedNames += name
     w.bloomSidecar.foreach(rotatedNames += _)
     w.eqKeySidecar.foreach { k => eqSidecars += k; rotatedNames += k._1 }
@@ -777,7 +827,7 @@ class GraftShardKeyedDataWriter(
         fileSeq += 1
         val name = f"part-$partitionId%05d-$taskId-$attempt-k$key-$fileSeq.shard"
         val nw = new ShardFormat.ShardWriter(new File(path, name), schema, codec,
-          fieldIds, bloomCols, upsertKey)
+          fieldIds, bloomCols, upsertKey, ndvCols)
         writers.put(key, (name, nw))
         nw
     }

@@ -234,6 +234,45 @@ object ShardFormat {
     }
   }
 
+  // --------------------------------------------------------- ndv sketches
+
+  /** Columns a per-file NDV (distinct-count) SKETCH may be configured
+    * on (the `ndvColumns` table property): join/group-key currency —
+    * min/max and row counts size a RELATION, but the planner's
+    * cardinality question for `GROUP BY k` or a join build side is "how
+    * many DISTINCT k", which no existing stat answers. Per-file HLL
+    * sketches (Apache DataSketches, lgK=[[NdvLgK]] ≈ ±1.6% RSE, ~300 B
+    * at rest) merge associatively, so the SCAN can roll up exactly the
+    * selected files at plan time and report
+    * `ColumnStatistics.distinctCount` through DSv2 — which is what lets
+    * CBO size an aggregate's output by its grouping key's NDV and flip
+    * the join above it to broadcast. Same eligibility as blooms;
+    * integral values sketch AS LONG, so an int→long widen keeps every
+    * existing sketch valid; strings/binary sketch their UTF-8 bytes. */
+  def ndvEligible(dt: DataType): Boolean = bloomEligible(dt)
+  val NdvLgK = 9
+
+  /** Writer-side accumulator for one column's NDV sketch. */
+  final class NdvAcc {
+    private val sk = new org.apache.datasketches.hll.HllSketch(NdvLgK)
+    def add(v: Long): Unit = sk.update(v)
+    def add(b: Array[Byte]): Unit = { sk.update(b): Unit }
+    def serialize(): String =
+      java.util.Base64.getEncoder.encodeToString(sk.toCompactByteArray)
+  }
+
+  /** Rolled-up NDV estimate of the UNION of per-file sketches. */
+  def ndvEstimate(sketches: Seq[String]): Option[Long] =
+    if (sketches.isEmpty) None
+    else {
+      val u = new org.apache.datasketches.hll.Union(NdvLgK)
+      sketches.foreach { s =>
+        u.update(org.apache.datasketches.hll.HllSketch.heapify(
+          java.util.Base64.getDecoder.decode(s)))
+      }
+      Some(math.max(1L, math.round(u.getEstimate)))
+    }
+
   /** Writer-side accumulator for one column's bloom: value hashes are
     * collected (run-deduped — the keyed layout's constant key column
     * costs ONE entry), then sorted/deduped at file close so the filter
@@ -407,7 +446,11 @@ object ShardFormat {
       // commit's own inserts carry the same keys it deletes. 0 on
       // pre-upsert files (every delete applies — correct: they ARE
       // older than any upsert)
-      seq: Long = 0L)
+      seq: Long = 0L,
+      // col -> base64 HLL sketch of the file's distinct values
+      // ([[Manifest.ndvColumns]]); merged at plan time into the scan's
+      // reported `ColumnStatistics.distinctCount`
+      ndv: Map[String, String] = Map.empty)
 
   /** The table's at-rest clustering: every shard file holds rows of ONE
     * partition value — the key itself (identity) or `floorMod(key, n)`
@@ -495,6 +538,12 @@ object ShardFormat {
       // columns skip whole files the stats tier cannot (unsorted
       // high-cardinality equality — THE missing pruning at 100 TB)
       bloomColumns: Seq[String] = Nil,
+      // per-file NDV sketches for ([[FileEntry.ndv]]) — the CBO
+      // column-statistics currency. Same lifecycle as `bloomColumns`:
+      // recorded at create / first configured write, inherited by
+      // optionless appends, honored by compaction and row-level
+      // rewrites, re-keyed on RENAME, dropped with DROP COLUMN
+      ndvColumns: Seq[String] = Nil,
       // Z-ORDER clustering as a table property (the same lifecycle rule
       // as `sortedBy`, which it is the 2-D analog of): present only
       // while EVERY file was written z-sorted on these two columns —
@@ -557,7 +606,13 @@ object ShardFormat {
   /** One immutable manifest segment as READ from disk: its file name
     * and the entries it contributed, in order, by reference
     * ([[Manifest.pagedSegments]]). */
-  final case class PagedSegment(name: String, entries: IndexedSeq[FileEntry])
+  final case class PagedSegment(
+      name: String, entries: IndexedSeq[FileEntry],
+      // the root-resident stat rollup over `entries` (a synthetic
+      // FileEntry named after the segment): what lets a SCAN-side read
+      // skip parsing the whole segment when pushed predicates provably
+      // cannot match any of its files. None on pre-rollup manifests
+      rollup: Option[FileEntry] = None)
 
   /** One equality delete: "every row of a file with `fileSeq < seq`
     * whose `column` value appears in sidecar `name` is deleted". The
@@ -1162,7 +1217,8 @@ object ShardFormat {
       file: File, schema: StructType, codec: String = "none",
       fieldIds: Array[Int] = Array.emptyIntArray,
       bloomCols: Seq[String] = Nil,
-      upsertKey: Option[String] = None) {
+      upsertKey: Option[String] = None,
+      ndvCols: Seq[String] = Nil) {
     require(codec == "none" || codec == "dict" || codec == "deflate",
       s"graftshard: unknown chunk codec mode '$codec'")
     require(fieldIds.isEmpty || fieldIds.length == schema.fields.length,
@@ -1199,6 +1255,11 @@ object ShardFormat {
       fields.map(f =>
         if (bloomCols.contains(f.name) && bloomEligible(f.dataType)) new BloomAcc
         else null)
+    // per-file NDV sketch accumulators for configured, eligible columns
+    private val ndvs: Array[NdvAcc] =
+      fields.map(f =>
+        if (ndvCols.contains(f.name) && ndvEligible(f.dataType)) new NdvAcc
+        else null)
     // upsert-key collection: the EXACT distinct keys this file inserts
     // (they become the commit's equality delete against older files)
     private val eqKeys: Array[EqKeyAcc] =
@@ -1227,12 +1288,14 @@ object ShardFormat {
               val v = row.getLong(i); values.writeLong(v)
               stats(i).update(v); gstats(i).update(v)
               if (blooms(i) != null) blooms(i).add(bloomHashLong(v))
+              if (ndvs(i) != null) ndvs(i).add(v)
               if (eqKeys(i) != null) eqKeys(i).add(v)
               groupBytes += 8
             case IntegerType =>
               val v = row.getInt(i); values.writeInt(v)
               stats(i).update(v.toLong); gstats(i).update(v.toLong)
               if (blooms(i) != null) blooms(i).add(bloomHashLong(v.toLong))
+              if (ndvs(i) != null) ndvs(i).add(v.toLong)
               if (eqKeys(i) != null) eqKeys(i).add(v.toLong)
               groupBytes += 4
             case DoubleType => values.writeDouble(row.getDouble(i)); groupBytes += 8
@@ -1246,11 +1309,13 @@ object ShardFormat {
               val b = u.getBytes
               values.writeInt(b.length); values.write(b)
               if (blooms(i) != null) blooms(i).add(bloomHashBytes(b))
+              if (ndvs(i) != null) ndvs(i).add(b)
               groupBytes += 4L + b.length
             case BinaryType =>
               val b = row.getBinary(i)
               values.writeInt(b.length); values.write(b)
               if (blooms(i) != null) blooms(i).add(bloomHashBytes(b))
+              if (ndvs(i) != null) ndvs(i).add(b)
               groupBytes += 4L + b.length
             case ArrayType(FloatType, _) =>
               val arr = row.getArray(i)
@@ -1458,6 +1523,14 @@ object ShardFormat {
       * files ([[Manifest.equalityDeletes]]). */
     def eqKeySidecar: Option[(String, Long)] = finishedEqKeys
 
+    /** Per-column NDV sketches for the manifest entry
+      * ([[FileEntry.ndv]]) — callable any time (the sketches live in
+      * memory, not in a sidecar). */
+    def ndvSketches: Map[String, String] =
+      fields.indices.collect {
+        case j if ndvs(j) != null => fields(j).name -> ndvs(j).serialize()
+      }.toMap
+
     def abort(): Unit = {
       out.close()
       finishedBloom.foreach(b => new File(file.getParentFile, b).delete(): Unit)
@@ -1479,6 +1552,9 @@ object ShardFormat {
     def putFloat(slot: Int, row: Int, v: Float): Unit
     def putBoolean(slot: Int, row: Int, v: Boolean): Unit
     def putBytes(slot: Int, row: Int, b: Array[Byte], off: Int, len: Int): Unit
+    /** One `array<float>` cell (the embedding-column shape). `v` is a
+      * shared scratch buffer — consume `[off, off+len)` before returning. */
+    def putFloats(slot: Int, row: Int, v: Array[Float], off: Int, len: Int): Unit
   }
 
   /** Sequential reader over one shard file, decoding only the columns
@@ -1687,10 +1763,18 @@ object ShardFormat {
           val b = new Array[Byte](len)
           d.readFully(b)
           sink.putBytes(s, r, b, 0, len)
+        case ArrayType(FloatType, _) =>
+          val len = d.readInt()
+          if (floatScratch.length < len) floatScratch = new Array[Float](len)
+          var j = 0
+          while (j < len) { floatScratch(j) = d.readFloat(); j += 1 }
+          sink.putFloats(s, r, floatScratch, 0, len)
         case other => throw new IllegalStateException(
           s"graftshard: nextBatch over unsupported column type ${other.sql} " +
             s"('${field.name}') — the scan must refuse columnar reads for it")
       }
+    // reused across cells of the batch decode's array<float> columns
+    private var floatScratch: Array[Float] = Array.emptyFloatArray
 
     private def nextV3(values: Array[Any]): Boolean = {
       if (gRow >= gRows && !loadGroup()) return false
@@ -1986,8 +2070,47 @@ object ShardFormat {
   def versionFile(dir: String, version: Long): File =
     new File(dir, s"$ManifestName-v$version")
 
+  // ------------------------------------------------- branches (WAP)
+
+  /** A BRANCH pointer: a complete manifest published under
+    * `_graft_manifest.json.branch-<name>` instead of the live pointer —
+    * the write-audit-publish staging area. Invisible to every ordinary
+    * reader (the live pointer is the only truth they consult); read
+    * explicitly via `option("branch", name)`; made live atomically by
+    * `CALL system.publish_branch` (which re-validates the base version
+    * under the commit lock) or discarded by `drop_branch`. Vacuum
+    * treats a branch's files as LIVE while the branch exists. */
+  def branchFile(dir: String, name: String): File = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'),
+      s"graftshard: branch name '$name' must be [A-Za-z0-9_-]+")
+    new File(dir, s"$ManifestName.branch-$name")
+  }
+
+  def readBranch(dir: String, name: String): Option[Manifest] =
+    readManifestFile(branchFile(dir, name))
+
+  def listBranches(dir: String): Seq[String] = {
+    val prefix = s"$ManifestName.branch-"
+    Option(new File(dir).listFiles()).getOrElse(Array.empty).toSeq
+      .map(_.getName).filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix)).sorted
+  }
+
   def readManifest(dir: String): Option[Manifest] =
     readManifestFile(manifestFile(dir))
+
+  /** SCAN-ONLY pruned read: segments whose root-resident stat rollup
+    * proves `keep` false are never parsed — `files` holds only the
+    * surviving segments' entries, so plan-time driver memory is
+    * O(matching segments), not O(table), under a selective pushed
+    * predicate. NEVER feed the result into a commit (read-compose-
+    * publish over a pruned list would drop every pruned file from the
+    * table); every commit section reads its own full [[readManifest]].
+    * Pre-rollup manifests and inline (non-paged) manifests degrade to
+    * the full read. */
+  def readManifestForScan(dir: String, keep: FileEntry => Boolean): Option[Manifest] =
+    readManifestFile(manifestFile(dir), keep)
 
   /** The newest COMMITTED version: the pointer's. [[writeManifest]]
     * publishes the v(N) snapshot BEFORE the pointer, so a crash between
@@ -2016,7 +2139,8 @@ object ShardFormat {
       .sorted
   }
 
-  private def readManifestFile(f: File): Option[Manifest] = {
+  private def readManifestFile(
+      f: File, segKeep: FileEntry => Boolean = null): Option[Manifest] = {
     if (!f.isFile) return None
     val root = mapper.readTree(f)
     val schema = DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType]
@@ -2035,18 +2159,28 @@ object ShardFormat {
     // kept for commit-time reuse)
     val (files: Seq[FileEntry], paged: Seq[PagedSegment]) =
       if (root.has("fileSegments")) {
+        // root-resident per-segment rollups (absent on pre-rollup
+        // manifests): parsed with the ordinary entry reader — a rollup
+        // IS a synthetic FileEntry named after its segment
+        val rollups: Map[String, FileEntry] =
+          readEntries(root.get("fileSegmentStats")).map(r => r.name -> r).toMap
         val segs = Seq.newBuilder[PagedSegment]
         root.get("fileSegments").forEach { n =>
           val segName = n.asText()
-          val segFile = new File(f.getParentFile, segName)
-          if (!segFile.isFile)
-            throw new java.io.IOException(
-              s"graftshard: manifest segment '$segName' referenced by " +
-                s"${f.getName} is missing — the table directory is corrupt " +
-                "or was partially copied")
-          val segRoot = mapper.readTree(segFile)
-          val entries = readEntries(segRoot.get("files"))
-          segs += PagedSegment(segName, entries.toIndexedSeq)
+          val rollup = rollups.get(segName)
+          // scan-side pruning: a segment whose rollup proves no file
+          // can match is never even OPENED (no rollup = no claim = read)
+          if (segKeep == null || rollup.isEmpty || segKeep(rollup.get)) {
+            val segFile = new File(f.getParentFile, segName)
+            if (!segFile.isFile)
+              throw new java.io.IOException(
+                s"graftshard: manifest segment '$segName' referenced by " +
+                  s"${f.getName} is missing — the table directory is corrupt " +
+                  "or was partially copied")
+            val segRoot = mapper.readTree(segFile)
+            val entries = readEntries(segRoot.get("files"))
+            segs += PagedSegment(segName, entries.toIndexedSeq, rollup)
+          }
         }
         val all = segs.result()
         (all.flatMap(_.entries), all)
@@ -2090,6 +2224,12 @@ object ShardFormat {
       if (bc != null) bc.forEach(n => b += n.asText())
       b.result()
     }
+    val ndvColumns = {
+      val b = Seq.newBuilder[String]
+      val nc = root.get("ndvColumns")
+      if (nc != null) nc.forEach(n => b += n.asText())
+      b.result()
+    }
     val equalityDeletes = {
       val b = Seq.newBuilder[EqDelete]
       val ed = root.get("equalityDeletes")
@@ -2106,7 +2246,7 @@ object ShardFormat {
     }
     Some(Manifest(schema, generation, files, partitioning, version,
       createdAt, sortedBy, streamCommits, dropped, operation, compression,
-      fieldIds, lastFieldId, aliases, bloomColumns, zorderBy,
+      fieldIds, lastFieldId, aliases, bloomColumns, ndvColumns, zorderBy,
       equalityDeletes = equalityDeletes, pagedSegments = paged))
   }
 
@@ -2138,9 +2278,15 @@ object ShardFormat {
       val bloom =
         if (fn.has("bloom")) Some(fn.get("bloom").asText()) else None
       val seq = if (fn.has("seq")) fn.get("seq").asLong() else 0L
+      val ndv = Map.newBuilder[String, String]
+      val nd = fn.get("ndv")
+      if (nd != null) nd.fields().forEachRemaining { e =>
+        ndv += e.getKey -> e.getValue.asText()
+      }
       files += FileEntry(fn.get("name").asText(), fn.get("bytes").asLong(),
         fn.get("rows").asLong(), present.result(), allNull.result(), partition,
-        deletes, deletedRows, sums.result(), strs.result(), bloom, seq)
+        deletes, deletedRows, sums.result(), strs.result(), bloom, seq,
+        ndv.result())
     }
     files.result()
   }
@@ -2152,7 +2298,18 @@ object ShardFormat {
     * reader races it — the pointer still names the old commit), so
     * every commit is time-travelable until [[GraftShardMaintenance
     * .expireSnapshots]] retires it. */
-  def writeManifest(dir: String, m: Manifest): Unit = {
+  def writeManifest(dir: String, m: Manifest): Unit =
+    writeManifestImpl(dir, m, branch = None)
+
+  /** Publishes `m` as BRANCH `name` — the staged (non-live) half of
+    * write-audit-publish. No version snapshot, no pointer move: readers
+    * of the live table cannot see it. Paged segments ARE written (the
+    * staged manifest must be self-contained for audit reads and for
+    * identity-reuse at publish time). */
+  def writeBranch(dir: String, name: String, m: Manifest): Unit =
+    writeManifestImpl(dir, m, branch = Some(name))
+
+  private def writeManifestImpl(dir: String, m: Manifest, branch: Option[String]): Unit = {
     val om = mapper
     val root = om.createObjectNode()
     root.put("version", Version)
@@ -2178,6 +2335,10 @@ object ShardFormat {
     if (m.bloomColumns.nonEmpty) {
       val bc = root.putArray("bloomColumns")
       m.bloomColumns.foreach(bc.add)
+    }
+    if (m.ndvColumns.nonEmpty) {
+      val nc = root.putArray("ndvColumns")
+      m.ndvColumns.foreach(nc.add)
     }
     m.zorderBy.foreach { case (a, b) =>
       val z = root.putArray("zorderBy")
@@ -2217,7 +2378,12 @@ object ShardFormat {
     } else {
       val refs = planSegments(dir, m)
       val arr: ArrayNode = root.putArray("fileSegments")
-      refs.foreach(arr.add)
+      refs.foreach { case (n, _) => arr.add(n): Unit }
+      // per-segment stat rollups, aligned with fileSegments: what lets
+      // a scan-side read SKIP parsing a whole segment when pushed
+      // predicates provably cannot match any file in it
+      val st: ArrayNode = root.putArray("fileSegmentStats")
+      refs.foreach { case (_, r) => writeEntry(st.addObject(), r) }
     }
     val bytes = om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
     def publish(target: File): Unit = {
@@ -2234,14 +2400,19 @@ object ShardFormat {
           s"graftshard: cannot publish ${target.getName} in $dir")
       }
     }
-    if (m.version > 0) publish(versionFile(dir, m.version))
-    val ptr = manifestFile(dir)
-    try publish(ptr)
-    catch { case e: java.io.IOException =>
-      // the pointer IS the commit: if it fails, the snapshot written
-      // above must not survive as loadable never-committed history
-      if (m.version > 0) versionFile(dir, m.version).delete()
-      throw e
+    branch match {
+      case Some(b) =>
+        publish(branchFile(dir, b)) // staged: no snapshot, no pointer
+      case None =>
+        if (m.version > 0) publish(versionFile(dir, m.version))
+        val ptr = manifestFile(dir)
+        try publish(ptr)
+        catch { case e: java.io.IOException =>
+          // the pointer IS the commit: if it fails, the snapshot written
+          // above must not survive as loadable never-committed history
+          if (m.version > 0) versionFile(dir, m.version).delete()
+          throw e
+        }
     }
   }
 
@@ -2256,6 +2427,10 @@ object ShardFormat {
     }
     fe.bloom.foreach(fn.put("bloom", _))
     if (fe.seq != 0L) fn.put("seq", fe.seq): Unit
+    if (fe.ndv.nonEmpty) {
+      val nd = fn.putObject("ndv")
+      fe.ndv.foreach { case (c, sk) => nd.put(c, sk): Unit }
+    }
     val st = fn.putObject("stats")
     fe.stats.foreach { case (c, (mn, mx, nl)) =>
       val cn = st.putObject(c)
@@ -2285,11 +2460,55 @@ object ShardFormat {
     * segment. Segment files are written BEFORE the root publishes, so
     * an unreferenced segment from a crashed commit is plain vacuum
     * garbage no reader ever sees. */
-  private def planSegments(dir: String, m: Manifest): Seq[String] = {
+  /** Stat rollup over one segment's entries, as a synthetic
+    * [[FileEntry]] named after the segment — the shape
+    * [[ShardFilters.mayContain]] already understands, so segment-level
+    * pruning and file-level pruning share one proof. Conservative by
+    * construction: a column appears only when EVERY entry tracks it
+    * (stats or an all-null marker), so an untracked column answers
+    * "may contain"; string bounds compare in UTF8String byte order,
+    * the same order the per-file bounds were computed in. */
+  def segmentRollup(name: String, entries: Seq[FileEntry]): FileEntry = {
+    def u8le(a: String, b: String): Boolean =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) <= 0
+    val intCols = entries.flatMap(e => e.stats.keySet ++ e.allNull.keySet).distinct
+    val stats = intCols.flatMap { c =>
+      val tracked = entries.forall(e => e.stats.contains(c) || e.allNull.contains(c))
+      val bounded = entries.filter(_.stats.contains(c))
+      if (!tracked || bounded.isEmpty) None
+      else {
+        val nulls = entries.map(e =>
+          e.stats.get(c).map(_._3).getOrElse(e.allNull(c))).sum
+        Some(c -> ((bounded.map(_.stats(c)._1).min,
+          bounded.map(_.stats(c)._2).max, nulls)))
+      }
+    }.toMap
+    val allNull = (entries.flatMap(_.allNull.keySet).distinct
+      .filter(c => entries.forall(_.allNull.contains(c)))
+      .map(c => c -> entries.map(_.allNull(c)).sum)).toMap
+    val strCols = entries.flatMap(e => e.strStats.keySet).distinct
+    val strStats = strCols.flatMap { c =>
+      val tracked = entries.forall(e => e.strStats.contains(c) || e.allNull.contains(c))
+      val bounded = entries.filter(_.strStats.contains(c))
+      if (!tracked || bounded.isEmpty) None
+      else {
+        val nulls = entries.map(e =>
+          e.strStats.get(c).map(_._3).getOrElse(e.allNull(c))).sum
+        Some(c -> ((bounded.map(_.strStats(c)._1).reduce((a, b) => if (u8le(a, b)) a else b),
+          bounded.map(_.strStats(c)._2).reduce((a, b) => if (u8le(a, b)) b else a),
+          nulls)))
+      }
+    }.toMap
+    FileEntry(name, entries.map(_.bytes).sum, entries.map(_.rows).sum,
+      stats, allNull, strStats = strStats,
+      deletedRows = entries.map(_.deletedRows).sum)
+  }
+
+  private def planSegments(dir: String, m: Manifest): Seq[(String, FileEntry)] = {
     val files = m.files.toIndexedSeq
     val segOf = new java.util.IdentityHashMap[FileEntry, PagedSegment]()
     m.pagedSegments.foreach(s => s.entries.foreach(e => segOf.put(e, s)))
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(String, FileEntry)]
     val pending = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
     def flush(): Unit = if (pending.nonEmpty) {
       val name = s"_graft_manifest-seg-${java.util.UUID.randomUUID().toString.take(12)}.json"
@@ -2300,7 +2519,7 @@ object ShardFormat {
       val w = new FileOutputStream(new File(dir, name))
       try w.write(mapper.writeValueAsBytes(seg))
       finally w.close()
-      out += name
+      out += (name -> segmentRollup(name, pending.toSeq))
       pending.clear()
     }
     var i = 0
@@ -2316,7 +2535,9 @@ object ShardFormat {
       }
       if (intact && n > 0) {
         flush() // preserve global order around the reused run
-        out += s.name
+        // reuse the segment's recorded rollup; a pre-rollup manifest's
+        // segment computes one now (entries are in memory regardless)
+        out += (s.name -> s.rollup.getOrElse(segmentRollup(s.name, s.entries)))
         i += n
       } else {
         pending += e

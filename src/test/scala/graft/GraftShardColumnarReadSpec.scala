@@ -75,29 +75,15 @@ class GraftShardColumnarReadSpec extends AnyFunSuite {
     assert(proj.collect().length == 1000)
   }
 
-  test("fallbacks: filters, metadata columns, embeddings, and MoR vectors take the row path with equal results") {
+  test("fallbacks: metadata columns and MoR vectors take the row path with equal results") {
     val dir = tmp()
     wideRows(0, 200).coalesce(2)
       .write.format("graftshard").mode("overwrite").save(dir)
     val t = spark.read.format("graftshard").load(dir)
 
-    val filtered = t.where(col("id") >= 100L)
-    assert(!plan(filtered).contains("ColumnarToRow"),
-      s"absorbed filters need the row path:\n${plan(filtered)}")
-    assert(filtered.count() == 100)
-
     val meta = t.select(col("_shard_file"), col("id"))
     assert(!plan(meta).contains("ColumnarToRow"))
     assert(meta.collect().length == 200)
-
-    // embeddings (array<float>) refuse columnar
-    val emb = tmp()
-    spark.range(0, 50)
-      .select(col("id"), array(lit(1.0f), lit(2.0f)).as("v"))
-      .coalesce(1).write.format("graftshard").mode("overwrite").save(emb)
-    val et = spark.read.format("graftshard").load(emb)
-    assert(!plan(et).contains("ColumnarToRow"))
-    assert(et.count() == 50)
 
     // merge-on-read delete vectors refuse columnar, results stay live
     spark.sql("CREATE NAMESPACE colcat.mor")
@@ -109,6 +95,102 @@ class GraftShardColumnarReadSpec extends AnyFunSuite {
     val mt = spark.table("colcat.mor.t")
     assert(!plan(mt).contains("ColumnarToRow"))
     assert(mt.count() == 75)
+  }
+
+  test("filtered scans stay columnar: all-match, partial, and zero-match batches equal the row path") {
+    val dir = tmp()
+    wideRows(0, 400).coalesce(1)
+      .write.format("graftshard").mode("overwrite").save(dir)
+    wideRows(400, 300).coalesce(1)
+      .write.format("graftshard").option("compression", "dict").mode("append").save(dir)
+    wideRows(700, 300).coalesce(1)
+      .write.format("graftshard").option("compression", "deflate").mode("append").save(dir)
+    val t = spark.read.format("graftshard").load(dir)
+    val rowT = spark.read.format("graftshard")
+      .option("columnarRead", "false").load(dir)
+
+    // one predicate per shape: integral range (partial match), string
+    // equality (sparse match), IsNull, In, StringStartsWith, and a
+    // conjunction — each must engage the batch path AND agree with the
+    // row path exactly
+    val preds = Seq(
+      col("id") >= 250L && col("id") < 800L,
+      col("s") === "s124",
+      col("i").isNull,
+      col("id").isin(3L, 999L, 500L),
+      col("s").startsWith("s99"),
+      col("id") >= 100L && col("s").isNotNull && col("i") > 200)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) "null"
+        else r.get(i) match {
+          case b: Array[Byte] => new String(b, "UTF-8")
+          case v => v.toString
+        }).mkString("|")).sorted.toSeq
+    for (p <- preds) {
+      val c = t.where(p)
+      assert(plan(c).contains("ColumnarToRow"),
+        s"filtered scan must stay columnar for $p:\n${plan(c)}")
+      assert(canon(c) == canon(rowT.where(p)), s"columnar vs row mismatch for $p")
+    }
+
+    // zero-match everywhere (stats prune most; any surviving batch
+    // compacts to nothing): no rows, no crash
+    assert(t.where(col("id") === -5L).count() == 0)
+
+    // filter-only column pruned from output: s is referenced by the
+    // predicate but not projected
+    val proj = t.where(col("s") === "s124").select("id", "d")
+    assert(plan(proj).contains("ColumnarToRow"))
+    assert(proj.collect().map(_.getLong(0)).toSeq == Seq(124L))
+  }
+
+  test("array<float> embeddings decode columnar, with nulls, filters, and legacy files") {
+    val dir = tmp()
+    spark.range(0, 200)
+      .select(col("id"),
+        when(col("id") % 9 =!= 0,
+          array(col("id").cast("float"), (col("id") * 2).cast("float"))).as("v"),
+        concat(lit("doc"), col("id")).as("s"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(dir)
+    val t = spark.read.format("graftshard").load(dir)
+    assert(plan(t).contains("ColumnarToRow"),
+      s"embedding projection must engage the batch path:\n${plan(t)}")
+    val got = t.collect().map(r => (
+      r.getLong(0),
+      if (r.isNullAt(1)) null else r.getSeq[Float](1).toList,
+      r.getString(2))).sortBy(_._1)
+    val want = (0L until 200L).map(id => (
+      id,
+      if (id % 9 == 0) null else List(id.toFloat, (id * 2).toFloat),
+      s"doc$id"))
+    assert(got.toSeq == want)
+
+    // filtered embedding scan (the 100 TB curation shape): columnar,
+    // exact against the row path
+    val f = t.where(col("id") % 2 === 0 || col("id") < 20)
+    val fc = t.where(col("id") >= 20L && col("id") < 40L)
+    assert(plan(fc).contains("ColumnarToRow"))
+    val a = fc.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[Float](1).toList)).sortBy(_._1)
+    val b = spark.read.format("graftshard").option("columnarRead", "false").load(dir)
+      .where(col("id") >= 20L && col("id") < 40L).collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[Float](1).toList)).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    assert(f.count() == 110)
+  }
+
+  test("bloom-pruned filtered columnar scan stays exact") {
+    val dir = tmp()
+    spark.range(0, 300).select(col("id"), concat(lit("k"), col("id") % 50).as("k"))
+      .coalesce(3).write.format("graftshard")
+      .option("bloomColumns", "k").mode("overwrite").save(dir)
+    val t = spark.read.format("graftshard").load(dir)
+    val hit = t.where(col("k") === "k7")
+    assert(plan(hit).contains("ColumnarToRow"))
+    assert(hit.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 300L).filter(_ % 50 == 7))
+    assert(t.where(col("k") === "nope").count() == 0)
   }
 
   test("rename and int->long widening resolve inside the batch decode; legacy files fall back in place") {

@@ -182,4 +182,49 @@ class GraftShardManifestPagingSpec extends AnyFunSuite {
       assert(spark.read.format("graftshard").load(dir).count() == 20)
     }
   }
+
+  test("segment rollups prune plan-time loading; pruned and full scans agree") {
+    withSegmentCap(4) {
+      val dir = tmp()
+      // 6 appends of 5 rows each, disjoint clustered id ranges -> paged
+      // root with multiple segments, each covering a distinct id band
+      (0 until 6).foreach(i => appendOne(dir, i * 5L))
+      val root = new File(dir, "_graft_manifest.json")
+      val rootJson = new String(java.nio.file.Files.readAllBytes(root.toPath))
+      assert(rootJson.contains("fileSegmentStats"),
+        "paged roots must carry per-segment stat rollups")
+
+      val full = ShardFormat.readManifest(dir).get
+      // a point predicate on the last band: only the segment holding it
+      // may load (plus none others — bands are disjoint and clustered)
+      import org.apache.spark.sql.sources.{EqualTo, Filter}
+      val preds: Array[Filter] = Array(EqualTo("id", 27L))
+      val pruned = ShardFormat.readManifestForScan(dir,
+        r => preds.forall(graft.sources.v2.ShardFilters.mayContain(_, r))).get
+      assert(pruned.files.size < full.files.size,
+        s"selective predicate must skip whole segments: " +
+          s"${pruned.files.size} vs ${full.files.size}")
+      assert(pruned.files.exists(fe =>
+        fe.stats.get("id").exists { case (mn, mx, _) => mn <= 27L && 27L <= mx }),
+        "the matching file must survive pruning")
+
+      // end to end: the filtered query result is identical to a read
+      // over the full manifest (the pruned face only feeds the scan)
+      val got = spark.read.format("graftshard").load(dir)
+        .where(col("id") === 27L).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == Seq((27L, 54L)))
+      assert(spark.read.format("graftshard").load(dir).count() == 30,
+        "the unfiltered read still sees every row")
+
+      // pre-rollup manifests degrade to the full read (no claim = load)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(root).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      node.remove("fileSegmentStats")
+      java.nio.file.Files.write(root.toPath, om.writeValueAsBytes(node))
+      val degraded = ShardFormat.readManifestForScan(dir,
+        r => preds.forall(graft.sources.v2.ShardFilters.mayContain(_, r))).get
+      assert(degraded.files.size == full.files.size,
+        "a rollup-less root must load every segment")
+    }
+  }
 }

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.ShardFormat
+
+/** Per-file NDV sketches (`ndvColumns` table property →
+  * [[ShardFormat.FileEntry.ndv]] → the scan's
+  * `ColumnStatistics.distinctCount`): the manifest answers the
+  * planner's cardinality question — "how many DISTINCT k" — that
+  * min/max and row counts cannot. Pins: the rolled-up estimate tracks
+  * the exact distinct count within HLL error across multi-file tables;
+  * the property rides the bloom lifecycle (inherited by appends,
+  * re-keyed on rename, carried through compaction); and the headline —
+  * under CBO, a GROUP BY's output is sized by its key's NDV, flipping
+  * the join above it to BROADCAST where size-only estimation keeps a
+  * shuffle. */
+class GraftShardNdvSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.ndvcat", classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.ndvcat.warehouse", warehouse)
+    s
+  }
+  private lazy val warehouse = Files.createTempDirectory("graft_ndv_spec").toString
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_ndv_spec").toString + "/t"
+
+  test("rolled-up estimate tracks exact distinct counts across files and types") {
+    val dir = tmp()
+    // 3 files, overlapping key ranges — a SUM of per-file NDVs would
+    // say 3000; the union must say ~1500
+    for (i <- 0 until 3)
+      spark.range(i * 500, i * 500 + 1000)
+        .select(col("id"), concat(lit("u"), col("id") % 97).as("user"))
+        .coalesce(1).write.format("graftshard")
+        .option("ndvColumns", "id,user").mode(if (i == 0) "overwrite" else "append")
+        .save(dir)
+    val m = ShardFormat.readManifest(dir).get
+    assert(m.ndvColumns == Seq("id", "user"))
+    assert(m.files.forall(fe => fe.ndv.contains("id") && fe.ndv.contains("user")))
+    val idEst = ShardFormat.ndvEstimate(m.files.map(_.ndv("id"))).get
+    val userEst = ShardFormat.ndvEstimate(m.files.map(_.ndv("user"))).get
+    // lgK=9 RSE is ~4.6%; 3 sigma keeps the pin deterministic
+    assert(math.abs(idEst - 2000) < 2000 * 0.14, s"id NDV $idEst vs 2000")
+    assert(math.abs(userEst - 97) < 10, s"user NDV $userEst vs 97")
+
+    // property surfaces and appends inherit without the option
+    spark.range(5000, 5100).select(col("id"), lit("u1").as("user"))
+      .coalesce(1).write.format("graftshard").mode("append").save(dir)
+    val m2 = ShardFormat.readManifest(dir).get
+    assert(m2.files.forall(_.ndv.contains("id")),
+      "optionless appends must inherit the property")
+  }
+
+  test("CBO sizes a GROUP BY by its key's NDV and flips the join to broadcast") {
+    val dim = tmp()
+    val fact = tmp()
+    // dim: 1M rows, ~24 MB — far over the broadcast threshold by size,
+    // but only 50 distinct keys
+    spark.range(0, 1000000)
+      .select((col("id") % 50).as("k"), col("id").as("v"),
+        concat(lit("pad_"), col("id")).as("pad"))
+      .coalesce(2).write.format("graftshard")
+      .option("ndvColumns", "k").mode("overwrite").save(dim)
+    // fact must ALSO be over the broadcast threshold by size, so the
+    // only broadcastable relation is the NDV-sized aggregate
+    spark.range(0, 1000000)
+      .select((col("id") % 50).as("k"), col("id").as("m"),
+        concat(lit("pad_"), col("id")).as("fpad"))
+      .coalesce(2).write.format("graftshard").mode("overwrite").save(fact)
+
+    // built fresh per toggle: logical-plan statistics are CACHED on the
+    // plan nodes, so a DataFrame constructed once would keep its
+    // first-computed stats across the conf flip
+    def q = spark.read.format("graftshard").load(fact)
+      .join(spark.read.format("graftshard").load(dim)
+        .groupBy("k").agg(sum("v").as("sv")), "k")
+
+    def planOf(cbo: Boolean): String = {
+      spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+      try q.queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    }
+    val sizeOnly = planOf(cbo = false)
+    assert(!sizeOnly.contains("BroadcastHashJoin"),
+      s"size-only estimation must NOT broadcast the 24 MB-derived agg:\n$sizeOnly")
+    val withNdv = planOf(cbo = true)
+    assert(withNdv.contains("BroadcastHashJoin"),
+      s"NDV(k)=50 must size the agg output at ~50 rows and broadcast:\n$withNdv")
+
+    // results identical either way
+    val a = q.collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    val b = try q.collect().map(_.toString).sorted.toSeq
+    finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    assert(a == b)
+  }
+
+  test("lifecycle: catalog property, rename re-key, compaction carry-through") {
+    spark.sql("CREATE NAMESPACE ndvcat.a")
+    spark.sql("CREATE TABLE ndvcat.a.t (id BIGINT, grp STRING) USING graftshard " +
+      "TBLPROPERTIES ('ndvColumns' = 'grp')")
+    spark.range(0, 600).select(col("id"), concat(lit("g"), col("id") % 13).as("grp"))
+      .coalesce(2).createOrReplaceTempView("ndv_src")
+    spark.sql("INSERT INTO ndvcat.a.t SELECT id, grp FROM ndv_src")
+    val dir = s"$warehouse/a/t"
+    val m = ShardFormat.readManifest(dir).get
+    assert(m.ndvColumns == Seq("grp"))
+    assert(m.files.forall(_.ndv.contains("grp")))
+    val props = spark.sql("SHOW TBLPROPERTIES ndvcat.a.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("ndvColumns").contains("grp"))
+
+    // rename re-keys both the property and every entry's sketch map
+    spark.sql("ALTER TABLE ndvcat.a.t RENAME COLUMN grp TO cohort")
+    val mr = ShardFormat.readManifest(dir).get
+    assert(mr.ndvColumns == Seq("cohort"))
+    assert(mr.files.forall(_.ndv.contains("cohort")))
+    val est = ShardFormat.ndvEstimate(mr.files.map(_.ndv("cohort"))).get
+    assert(math.abs(est - 13) <= 2, s"cohort NDV $est vs 13")
+
+    // compaction rewrites files and regenerates their sketches
+    graft.sources.v2.GraftShardMaintenance.compact(spark, dir)
+    val mc = ShardFormat.readManifest(dir).get
+    assert(mc.files.nonEmpty && mc.files.forall(_.ndv.contains("cohort")),
+      "compacted files must carry fresh sketches")
+    val estC = ShardFormat.ndvEstimate(mc.files.map(_.ndv("cohort"))).get
+    assert(math.abs(estC - 13) <= 2, s"post-compaction NDV $estC vs 13")
+  }
+}

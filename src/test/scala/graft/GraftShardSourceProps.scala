@@ -102,10 +102,10 @@ object GraftShardSourceProps extends Properties("GraftShardSource") {
       val got = back.collect().toSeq.map(canon).sortBy(_.toString())
       val ok = got == exp
       if (!ok) println(s"MISMATCH dir=$dir codec=$codec\n  exp=$exp\n  got=$got")
-      // columnar-vs-row A/B over the SCALAR projection (the vector
-      // column refuses batch reads, so the full-schema read above is
-      // the row path): the batch decode must be value-identical to the
-      // row decode for every random payload and codec
+      // columnar-vs-row A/B: since round 13 the batch path covers the
+      // FULL schema (array<float> included) and FILTERED scans — both
+      // must be value-identical to the row decode for every random
+      // payload and codec
       val scalarCols = schema.fieldNames.filterNot(_ == "c_vec")
       // raw-bits view: strictly exact AND NaN-safe (Scala's Any == on
       // boxed floats is numeric, so NaN != NaN would flag equal cells)
@@ -123,6 +123,28 @@ object GraftShardSourceProps extends Properties("GraftShardSource") {
       val abOk = viaBatch == viaRows
       if (!abOk) println(s"COLREAD MISMATCH dir=$dir codec=$codec\n" +
         s"  batch=$viaBatch\n  rows=$viaRows")
-      ok && abOk
+      // filtered A/B (absorbed predicates now evaluate against the
+      // decoded batch): a value-dependent range, a null-test conjunct,
+      // and an IsNull — each must match the row path exactly, INCLUDING
+      // the vector column riding along in the projection
+      import org.apache.spark.sql.functions.col
+      def canonAll(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+        df.collect().toSeq.map(canon).sortBy(_.toString())
+      val pivot = rows.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+        .sorted.drop(rows.size / 3).headOption.getOrElse(0L)
+      val preds = Seq(
+        col("c_long") >= pivot,
+        col("c_str").isNotNull && col("c_long") < pivot,
+        col("c_int").isNull)
+      val fOk = preds.forall { p =>
+        val fb = canonAll(spark.read.format("graftshard").load(dir).where(p))
+        val fr = canonAll(spark.read.format("graftshard")
+          .option("columnarRead", "false").load(dir).where(p))
+        val same = fb == fr
+        if (!same) println(s"FILTERED COLREAD MISMATCH dir=$dir codec=$codec pred=$p\n" +
+          s"  batch=$fb\n  rows=$fr")
+        same
+      }
+      ok && abOk && fOk
     }
 }

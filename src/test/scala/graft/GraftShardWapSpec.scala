@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.{GraftShardMaintenance, ShardFormat}
+
+/** Write-audit-publish (`option("stageAs", b)` → audit via
+  * `option("branch", b)` → `CALL system.publish_branch`): the standard
+  * guardrail for production 100 TB ingest — a commit lands as a
+  * NON-LIVE branch, quality gates run against exactly what would
+  * become the table, and only then does the pointer move. Pins: a
+  * staged write is invisible to every ordinary reader (live pointer,
+  * version chain, CDF all untouched); the audit face reads precisely
+  * the staged state; publish is pointer-atomic and re-validates the
+  * staged BASE under the commit lock (an interleaved commit refuses —
+  * publishing would silently drop its files); drop discards; vacuum
+  * treats staged files as live while the branch exists. */
+class GraftShardWapSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.wapcat", classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.wapcat.warehouse", warehouse)
+    s
+  }
+  private lazy val warehouse = Files.createTempDirectory("graft_wap_spec").toString
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_wap_spec").toString + "/t"
+
+  test("stage -> audit -> publish: invisible, auditable, then pointer-atomic") {
+    spark.sql("CREATE NAMESPACE wapcat.a")
+    spark.range(0, 100).select(col("id"), col("id").as("v"))
+      .coalesce(1).writeTo("wapcat.a.t").using("graftshard").create()
+    val dir = s"$warehouse/a/t"
+    val v0 = ShardFormat.readManifest(dir).get.version
+
+    // stage an append
+    spark.range(1000, 1050).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graftshard").option("stageAs", "audit")
+      .mode("append").save(dir)
+
+    // invisible to the live table, its version chain, and CDF
+    assert(spark.table("wapcat.a.t").count() == 100)
+    assert(ShardFormat.readManifest(dir).get.version == v0)
+    assert(ShardFormat.listVersions(dir).max == v0)
+    // surfaced for discovery
+    val props = spark.sql("SHOW TBLPROPERTIES wapcat.a.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("stagedBranches").contains("audit"))
+
+    // the audit face reads exactly the staged state
+    val audit = spark.read.format("graftshard").option("branch", "audit").load(dir)
+    assert(audit.count() == 150)
+    assert(audit.where(col("id") >= 1000).count() == 50)
+
+    // publish: pointer moves once, CDF sees one ordinary commit
+    val published = spark.sql(
+      s"CALL wapcat.system.publish_branch('a.t', 'audit')").collect()
+    assert(published.head.getLong(0) == v0 + 1)
+    assert(spark.table("wapcat.a.t").count() == 150)
+    assert(ShardFormat.readManifest(dir).get.version == v0 + 1)
+    assert(ShardFormat.listBranches(dir).isEmpty)
+    val changes = spark.read.format("graftshard")
+      .option("changesFrom", v0.toString).load(dir)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(changes == Map("insert" -> 50L))
+  }
+
+  test("conflict: a commit interleaved after staging refuses the publish") {
+    val dir = tmp()
+    spark.range(0, 10).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(dir)
+    spark.range(100, 110).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graftshard").option("stageAs", "b1")
+      .mode("append").save(dir)
+    // an ordinary append lands while the audit is still running
+    spark.range(200, 210).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graftshard").mode("append").save(dir)
+
+    val e = intercept[Exception] {
+      GraftShardMaintenance.publishBranch(dir, "b1")
+    }
+    assert(e.getMessage.contains("re-stage"), e.getMessage)
+    // the live table is intact; the stale stage can be dropped
+    assert(spark.read.format("graftshard").load(dir).count() == 20)
+    assert(GraftShardMaintenance.dropBranch(dir, "b1"))
+    assert(ShardFormat.listBranches(dir).isEmpty)
+  }
+
+  test("vacuum keeps staged files live; drop turns them into garbage") {
+    val dir = tmp()
+    spark.range(0, 10).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(dir)
+    spark.range(100, 120).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graftshard").option("stageAs", "keepme")
+      .mode("append").save(dir)
+
+    val before = GraftShardMaintenance.vacuum(dir, minAgeMs = 0L)
+    assert(before.deleted.isEmpty,
+      s"staged files are live while the branch exists: ${before.deleted}")
+    assert(spark.read.format("graftshard").option("branch", "keepme").load(dir)
+      .count() == 30)
+
+    GraftShardMaintenance.dropBranch(dir, "keepme")
+    val after = GraftShardMaintenance.vacuum(dir, minAgeMs = 0L)
+    assert(after.deleted.nonEmpty,
+      "dropped-branch files must become reclaimable")
+    assert(spark.read.format("graftshard").load(dir).count() == 10)
+  }
+
+  test("refusals: streaming cannot stage; unknown branch read names the available ones") {
+    val dir = tmp()
+    spark.range(0, 5).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(dir)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graftshard").option("branch", "nope").load(dir).count()
+    }
+    assert(e.getMessage.contains("no staged branch"), e.getMessage)
+
+    // branch + versionAsOf is ambiguous
+    val e2 = intercept[Exception] {
+      spark.read.format("graftshard").option("branch", "x")
+        .option("versionAsOf", "1").load(dir).count()
+    }
+    assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
+  }
+}

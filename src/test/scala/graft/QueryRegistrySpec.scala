@@ -38,8 +38,9 @@ class QueryRegistrySpec extends AnyFunSuite {
     // rows-only queries (no SQL analog) — keep this list in sync with
     // NOTES.md; growth here needs the same justification the existing
     // entries carry (iterative/approximate semantics with spec'd laws)
+    // (round 13: a1/a2/a3 left this list — the sketch family now carries
+    // TOLERANCE-BANDED oracles: exact anchors + in-bound booleans)
     val rowsOnly = Set(
-      "a1_approx_stats", "a2_hll_union", "a3_kll_quantiles",
       "p8_bpe_train", "p9_bpe_encode", "s4_ann_ivf_kmeans",
       "t21_model_filter_trained",
       "t29_compression_ratio", // deflate sizes are zlib-implementation-defined
