@@ -976,11 +976,11 @@ class GraftShardScan(
       manifest.resolution,
       manifest.equalityDeletes.map(d =>
         (d.column, new File(path, d.name).getPath, d.seq)),
-      // uniform across partitions by construction: the whole MANIFEST
-      // must be vector-free (a partition-level answer would mix);
       // option("columnarRead", "false") is the operational escape hatch
-      // (and the ScaleProbe A/B control)
-      allowColumnar = columnarOption && manifest.files.forall(_.deletes.isEmpty))
+      // (and the ScaleProbe A/B control); merge-on-read delete vectors
+      // are handled INSIDE the batch reader since round 13 (deselected
+      // like filter misses), so they no longer force the row path
+      allowColumnar = columnarOption)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -1222,8 +1222,8 @@ class GraftShardReaderFactory(
     // with fileSeq < seq whose column value is in the sidecar are dead
     eqDeletes: Seq[(String, String, Long)] = Nil,
     // scan-level columnar admission (Spark requires ONE answer for the
-    // whole scan — partitions may not mix): the SCAN asserts no file
-    // anywhere in the manifest carries a delete vector
+    // whole scan — partitions may not mix), carrying only the
+    // scan-uniform columnarRead option
     allowColumnar: Boolean = false)
     extends PartitionReaderFactory {
 
@@ -1251,7 +1251,7 @@ class GraftShardReaderFactory(
     * GraftShardColumnarReadSpec and the randomized source props. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     allowColumnar && partition.isInstanceOf[ShardFilesPartition] &&
-      limit.isEmpty && eqDeletes.isEmpty &&
+      limit.isEmpty &&
       required.fields.forall { f =>
         f.name != "_shard_file" && f.name != "_pos" && columnarType(f.dataType)
       } &&
@@ -1268,7 +1268,8 @@ class GraftShardReaderFactory(
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[ShardFilesPartition]
-    new GraftShardColumnarPartitionReader(p.files, fullSchema, required, pushed, resolve)
+    new GraftShardColumnarPartitionReader(p.files, fullSchema, required, pushed,
+      resolve, eqDeletes)
   }
 }
 
@@ -1298,15 +1299,21 @@ class GraftShardColumnarPartitionReader(
     fullSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    resolve: ShardFormat.ColumnResolution)
+    resolve: ShardFormat.ColumnResolution,
+    eqDeletes: Seq[(String, String, Long)] = Nil)
     extends PartitionReader[ColumnarBatch] {
 
   private val fullIndex: Map[String, Int] = fullSchema.fieldNames.zipWithIndex.toMap
   private val dataCols: Array[String] = required.fieldNames
   private val filterCols: Array[String] =
     pushed.flatMap(_.references).distinct.filterNot(dataCols.contains)
-  // staging layout: required columns first, then filter-only columns
-  private val readCols: Array[String] = dataCols ++ filterCols
+  // equality-delete key columns decode like filter-only columns — the
+  // anti-filter needs the value even when pruned away
+  private val eqOnlyCols: Array[String] =
+    eqDeletes.map(_._1).distinct
+      .filterNot(c => dataCols.contains(c) || filterCols.contains(c)).toArray
+  // staging layout: required, then filter-only, then eq-only columns
+  private val readCols: Array[String] = dataCols ++ filterCols ++ eqOnlyCols
   private val readIndices: Array[Int] = readCols.map(fullIndex)
   private val readTypes: Array[DataType] =
     readCols.map(c => fullSchema.fields(fullIndex(c)).dataType)
@@ -1317,12 +1324,16 @@ class GraftShardColumnarPartitionReader(
     readTypes.map(new OnHeapColumnVector(capacity, _))
   private val stagingBatch =
     new ColumnarBatch(staging.take(dataCols.length).toArray[ColumnVector])
-  // output vectors exist only when compaction can happen
+  // output vectors exist only when compaction can happen: absorbed
+  // filters, or a merge-on-read delete vector on any of this
+  // partition's files
+  private val mayCompact: Boolean =
+    pushed.nonEmpty || files.exists(_._3.isDefined) || eqDeletes.nonEmpty
   private val output: Array[OnHeapColumnVector] =
-    if (pushed.isEmpty) Array.empty
+    if (!mayCompact) Array.empty
     else readTypes.take(dataCols.length).map(new OnHeapColumnVector(capacity, _))
   private val outputBatch: ColumnarBatch =
-    if (pushed.isEmpty) null else new ColumnarBatch(output.toArray[ColumnVector])
+    if (!mayCompact) null else new ColumnarBatch(output.toArray[ColumnVector])
 
   // row-level evaluation: the row reader's compiled evaluators over a
   // boxed view of JUST the filter-referenced slots (1-2 columns in
@@ -1356,6 +1367,36 @@ class GraftShardColumnarPartitionReader(
     ShardFilters.groupSkipper(pushed)
   private val bloomProbes: Array[(String, Array[Long])] =
     ShardFilters.bloomProbes(pushed)
+
+  // equality deletes, loaded ONCE per task (the read-side tax of upsert
+  // ingestion): (key slot, key set, delete seq), applied to files with
+  // fileSeq < seq exactly like the row reader
+  private lazy val eqSets: Array[(Int, ShardFormat.EqKeySet, Long)] =
+    eqDeletes.map { case (c, p, seq) =>
+      (slotOf(c), ShardFormat.readEqKeySidecar(new File(p)), seq)
+    }.toArray
+  private var activeEq: Array[(Int, ShardFormat.EqKeySet)] = Array.empty
+
+  /** True when the staged row at `r` is equality-deleted (null keys
+    * never match — SQL semantics). */
+  private def eqDeletedAt(r: Int): Boolean = {
+    var i = 0
+    while (i < activeEq.length) {
+      val (slot, set) = activeEq(i)
+      val vec = staging(slot)
+      if (!vec.isNullAt(r)) {
+        val hit = readTypes(slot) match {
+          case LongType => !set.isString && set.contains(vec.getLong(r))
+          case IntegerType => !set.isString && set.contains(vec.getInt(r).toLong)
+          case StringType => set.isString && set.contains(vec.getUTF8String(r))
+          case _ => false
+        }
+        if (hit) return true
+      }
+      i += 1
+    }
+    false
+  }
 
   private val sink: ShardFormat.BatchSink = new ShardFormat.BatchSink {
     override def putNull(s: Int, r: Int): Unit = staging(s).putNull(r)
@@ -1405,7 +1446,7 @@ class GraftShardColumnarPartitionReader(
   private val compactPut: Array[(Int, Int) => Unit] =
     (0 until dataCols.length).map { s =>
       val st = staging(s)
-      if (pushed.isEmpty) (_: Int, _: Int) => ()
+      if (!mayCompact) (_: Int, _: Int) => ()
       else {
         val out = output(s)
         readTypes(s) match {
@@ -1435,6 +1476,10 @@ class GraftShardColumnarPartitionReader(
   private var rowEra = false
   private val rowValues = new Array[Any](readCols.length)
   private var current: ColumnarBatch = _
+  // merge-on-read: sorted delete-vector ordinals of the current file;
+  // dvIdx walks them monotonically with the batch ordinals
+  private var dv: Array[Long] = Array.emptyLongArray
+  private var dvIdx: Int = 0
 
   override def next(): Boolean = {
     while (true) {
@@ -1442,11 +1487,20 @@ class GraftShardColumnarPartitionReader(
         fileIdx += 1
         if (fileIdx >= files.length) return false
         if (ShardFilters.bloomSkipsFile(bloomProbes, files(fileIdx)._4, resolve.aliases)) {
-          // the sidecar proves no row matches: never opened
+          // the sidecar proves no row matches: never opened (the DV is
+          // never opened either — deleted rows cannot match any better)
         } else {
           reader = new ShardFormat.ShardReader(
             new File(files(fileIdx)._1), fullSchema, readIndices, groupSkip, resolve)
           rowEra = !reader.columnarFile
+          dv = files(fileIdx)._3
+            .map(d => ShardFormat.readDeleteVector(new File(d)))
+            .getOrElse(Array.emptyLongArray)
+          dvIdx = 0
+          val fileSeq = files(fileIdx)._5
+          activeEq =
+            if (eqDeletes.isEmpty) Array.empty
+            else eqSets.collect { case (slot, set, seq) if fileSeq < seq => (slot, set) }
         }
       } else {
         var n = -1
@@ -1455,13 +1509,20 @@ class GraftShardColumnarPartitionReader(
           var r = 0
           var more = true
           while (r < capacity && { more = reader.next(rowValues); more }) {
-            var s = 0
-            while (s < rowValues.length) {
-              val v = rowValues(s)
-              if (v == null) staging(s).putNull(r) else boxedPut(s)(r, v)
-              s += 1
+            // merge-on-read: a delete-vector ordinal is skipped at fill
+            // time (the reader's ordinal counts skipped-group rows too)
+            val pos = reader.ordinal
+            while (dvIdx < dv.length && dv(dvIdx) < pos) dvIdx += 1
+            if (dvIdx < dv.length && dv(dvIdx) == pos) dvIdx += 1
+            else {
+              var s = 0
+              while (s < rowValues.length) {
+                val v = rowValues(s)
+                if (v == null) staging(s).putNull(r) else boxedPut(s)(r, v)
+                s += 1
+              }
+              r += 1
             }
-            r += 1
           }
           if (!more) reader = null
           n = if (r > 0) r else -1
@@ -1476,25 +1537,43 @@ class GraftShardColumnarPartitionReader(
           if (n < 0) reader = null
         }
         if (n > 0) {
-          if (evals.isEmpty) {
+          // row-era batches already applied the DV at fill time (eq
+          // deletes evaluate over the STAGED vectors either way)
+          val dvHere = !rowEra && dv.nonEmpty
+          if (evals.isEmpty && !dvHere && activeEq.isEmpty) {
             stagingBatch.setNumRows(n)
             current = stagingBatch
             return true
           }
-          // evaluate the absorbed predicates over the staged rows
-          var kept = 0
-          var r = 0
-          while (r < n) {
-            var fi = 0
-            while (fi < filterSlots.length) {
-              vals(filterSlots(fi)) = boxOf(fi)(r)
-              fi += 1
+          // unified selection: absorbed predicates AND merge-on-read
+          // delete ordinals deselect staged rows the same way
+          var kept = n
+          java.util.Arrays.fill(selected, 0, n, true)
+          if (dvHere) {
+            // batch ordinals are [start, start+n); the sorted vector
+            // walks forward with them (skipped groups already counted)
+            val start = reader.ordinal - n + 1
+            while (dvIdx < dv.length && dv(dvIdx) < start) dvIdx += 1
+            while (dvIdx < dv.length && dv(dvIdx) < start + n) {
+              selected((dv(dvIdx) - start).toInt) = false
+              kept -= 1
+              dvIdx += 1
             }
-            var ok = true
-            var e = 0
-            while (ok && e < evals.length) { ok = evals(e)(vals); e += 1 }
-            selected(r) = ok
-            if (ok) kept += 1
+          }
+          var r = 0
+          while ((evals.nonEmpty || activeEq.nonEmpty) && r < n) {
+            if (selected(r)) {
+              var fi = 0
+              while (fi < filterSlots.length) {
+                vals(filterSlots(fi)) = boxOf(fi)(r)
+                fi += 1
+              }
+              var ok = true
+              var e = 0
+              while (ok && e < evals.length) { ok = evals(e)(vals); e += 1 }
+              if (ok && activeEq.nonEmpty && eqDeletedAt(r)) ok = false
+              if (!ok) { selected(r) = false; kept -= 1 }
+            }
             r += 1
           }
           if (kept == n) {

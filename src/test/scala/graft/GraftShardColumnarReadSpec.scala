@@ -75,7 +75,7 @@ class GraftShardColumnarReadSpec extends AnyFunSuite {
     assert(proj.collect().length == 1000)
   }
 
-  test("fallbacks: metadata columns and MoR vectors take the row path with equal results") {
+  test("fallbacks: metadata columns take the row path with equal results") {
     val dir = tmp()
     wideRows(0, 200).coalesce(2)
       .write.format("graftshard").mode("overwrite").save(dir)
@@ -84,17 +84,53 @@ class GraftShardColumnarReadSpec extends AnyFunSuite {
     val meta = t.select(col("_shard_file"), col("id"))
     assert(!plan(meta).contains("ColumnarToRow"))
     assert(meta.collect().length == 200)
+  }
 
-    // merge-on-read delete vectors refuse columnar, results stay live
-    spark.sql("CREATE NAMESPACE colcat.mor")
-    spark.range(0, 100).select(col("id"), col("id").as("v"))
-      .coalesce(1).writeTo("colcat.mor.t").using("graftshard").create()
+  test("merge-on-read delete vectors stay columnar: deselected like filter misses") {
+    // enough rows to span several row groups, so the sorted-vector
+    // pointer walks across batch boundaries (and group skipping under
+    // an added filter still lines the ordinals up).
+    // NOTE the suite-UNIQUE catalog name: suites run in parallel on one
+    // shared session, and a catalog name two suites both configure is
+    // CACHED with whichever warehouse initialized first — mixing its
+    // table writes with this suite's direct-path reads would race
+    spark.conf.set("spark.sql.catalog.colreadmor",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.colreadmor.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE colreadmor.mor")
+    // 150k rows in one file ≈ 4.5 MB > GroupMaxBytes: several row
+    // groups, so the pointer genuinely crosses batch boundaries
+    spark.range(0, 150000).select(col("id"), (col("id") % 97).as("v"),
+      concat(lit("s"), col("id")).as("s"))
+      .coalesce(1).writeTo("colreadmor.mor.t").using("graftshard").create()
     spark.conf.set("spark.graftshard.rowLevel.mode", "merge-on-read")
-    try spark.sql("DELETE FROM colcat.mor.t WHERE id % 4 = 0")
-    finally spark.conf.unset("spark.graftshard.rowLevel.mode")
-    val mt = spark.table("colcat.mor.t")
-    assert(!plan(mt).contains("ColumnarToRow"))
-    assert(mt.count() == 75)
+    try {
+      spark.sql("DELETE FROM colreadmor.mor.t WHERE id % 4 = 0")
+      spark.sql("DELETE FROM colreadmor.mor.t WHERE id >= 149990") // a dense tail run
+    } finally spark.conf.unset("spark.graftshard.rowLevel.mode")
+
+    val mt = spark.table("colreadmor.mor.t")
+    assert(plan(mt).contains("ColumnarToRow"),
+      s"MoR scans must stay columnar:\n${plan(mt)}")
+    val live = (0L until 149990L).filterNot(_ % 4 == 0)
+    assert(mt.count() == live.size)
+    assert(mt.agg(sum("id")).head.getLong(0) == live.sum)
+
+    // DV + absorbed filter compose in one selection pass
+    val f = mt.where(col("v") < 10)
+    assert(plan(f).contains("ColumnarToRow"))
+    val gotF = f.collect().map(_.getLong(0)).sorted.toSeq
+    val wantF = live.filter(_ % 97 < 10)
+    assert(gotF == wantF)
+
+    // byte-exact vs the row path on the full projection
+    val dir = s"$warehouse/mor/t"
+    val viaRow = spark.read.format("graftshard")
+      .option("columnarRead", "false").load(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val viaBatch = spark.read.format("graftshard").load(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(viaBatch == viaRow)
   }
 
   test("filtered scans stay columnar: all-match, partial, and zero-match batches equal the row path") {
@@ -235,5 +271,42 @@ class GraftShardColumnarReadSpec extends AnyFunSuite {
     assert(plan(mixed).contains("ColumnarToRow"))
     assert(mixed.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
       Set((3L, "hi"), (10L, "x10"), (11L, "x11")))
+  }
+
+  test("equality deletes (upsert ingestion) stay columnar and match the row path") {
+    val dir = tmp()
+    spark.range(0, 5000).select(col("id"), (col("id") * 10).as("v"),
+      concat(lit("r"), col("id")).as("s"))
+      .coalesce(2).write.format("graftshard").mode("overwrite").save(dir)
+    // two stacked upserts: later keys override, eq-deletes anti-filter
+    // every OLDER file
+    spark.range(0, 800).select(col("id"), lit(-1L).as("v"), lit("u1").as("s"))
+      .coalesce(1).write.format("graftshard").option("upsertKey", "id")
+      .mode("append").save(dir)
+    spark.range(400, 600).select(col("id"), lit(-2L).as("v"), lit("u2").as("s"))
+      .coalesce(1).write.format("graftshard").option("upsertKey", "id")
+      .mode("append").save(dir)
+
+    val t = spark.read.format("graftshard").load(dir)
+    assert(plan(t).contains("ColumnarToRow"),
+      s"live equality deletes must stay columnar:\n${plan(t)}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val got = canon(t)
+    assert(got.size == 5000, s"${got.size}")
+    assert(got.count(_._2 == -2L) == 200 && got.count(_._2 == -1L) == 600)
+    assert(canon(spark.read.format("graftshard")
+      .option("columnarRead", "false").load(dir)) == got)
+
+    // eq-delete key pruned from the projection: the anti-filter still
+    // needs the key value (eq-only staging column)
+    val proj = t.select("v")
+    assert(plan(proj).contains("ColumnarToRow"))
+    assert(proj.collect().map(_.getLong(0)).count(_ == -2L) == 200)
+
+    // filter + eq-delete compose in one selection pass
+    val f = t.where(col("id") < 500)
+    assert(plan(f).contains("ColumnarToRow"))
+    assert(canon(f) == got.filter(_._1 < 500))
   }
 }
