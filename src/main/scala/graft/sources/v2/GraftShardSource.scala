@@ -1251,9 +1251,8 @@ class GraftShardReaderFactory(
     * GraftShardColumnarReadSpec and the randomized source props. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     allowColumnar && partition.isInstanceOf[ShardFilesPartition] &&
-      limit.isEmpty &&
       required.fields.forall { f =>
-        f.name != "_shard_file" && f.name != "_pos" && columnarType(f.dataType)
+        f.name == "_shard_file" || f.name == "_pos" || columnarType(f.dataType)
       } &&
       pushed.forall(_.references.forall(c =>
         fullSchema.fields.find(_.name == c).exists(f => columnarType(f.dataType))))
@@ -1269,7 +1268,7 @@ class GraftShardReaderFactory(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[ShardFilesPartition]
     new GraftShardColumnarPartitionReader(p.files, fullSchema, required, pushed,
-      resolve, eqDeletes)
+      resolve, eqDeletes, limit)
   }
 }
 
@@ -1281,30 +1280,37 @@ class GraftShardReaderFactory(
   * correct, not fast, and exactly the rewrite-pending tail compaction
   * retires.
   *
-  * Absorbed filters (static + runtime) evaluate against the DECODED
-  * batch: the reader stages the union of required and filter columns,
-  * runs the same compiled evaluators the row reader uses (so the two
-  * paths can never disagree) over each staged row, and then either
-  *  - exposes the staging batch zero-copy when EVERY row matched (the
-  *    common case after file- and group-level stats pruning has already
-  *    discarded the provably non-matching ranges),
-  *  - drops the batch when nothing matched, or
-  *  - compacts the matching rows into a second set of output vectors
-  *    with typed per-column copies (no boxing).
-  * File-level bloom skipping and group-level stats skipping run exactly
-  * as in the row reader (shared helpers). Filter-only columns live in
-  * staging slots past the required ones and are never exposed. */
+  * One SELECTION pass unifies everything row-level:
+  *  - absorbed filters (static + runtime) run the row reader's own
+  *    compiled evaluators over the staged batch;
+  *  - merge-on-read delete-vector ordinals deselect rows via a single
+  *    sorted pointer walking the monotone batch ordinals (row-era
+  *    files apply the DV at fill time instead);
+  *  - live equality deletes anti-filter over eq-only staging columns
+  *    (fileSeq < delete.seq, like the row reader).
+  * An all-match batch is exposed ZERO-COPY; survivors otherwise
+  * compact into output vectors with typed per-column copies (no
+  * boxing). Metadata columns are served by the compact path (`_pos` =
+  * the row's physical ordinal, `_shard_file` = the current file), and
+  * a pushed LIMIT caps emitted survivors per partition — so every scan
+  * shape the source serves is vectorized. File-level bloom skipping
+  * and group-level stats skipping run exactly as in the row reader
+  * (shared helpers). */
 class GraftShardColumnarPartitionReader(
     files: Array[(String, Long, Option[String], Option[String], Long)],
     fullSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
     resolve: ShardFormat.ColumnResolution,
-    eqDeletes: Seq[(String, String, Long)] = Nil)
+    eqDeletes: Seq[(String, String, Long)] = Nil,
+    limit: Option[Int] = None)
     extends PartitionReader[ColumnarBatch] {
 
+  private val MetaFileCol = "_shard_file"
+  private val MetaPosCol = "_pos"
   private val fullIndex: Map[String, Int] = fullSchema.fieldNames.zipWithIndex.toMap
-  private val dataCols: Array[String] = required.fieldNames
+  private val dataCols: Array[String] =
+    required.fieldNames.filterNot(c => c == MetaFileCol || c == MetaPosCol)
   private val filterCols: Array[String] =
     pushed.flatMap(_.references).distinct.filterNot(dataCols.contains)
   // equality-delete key columns decode like filter-only columns — the
@@ -1312,26 +1318,37 @@ class GraftShardColumnarPartitionReader(
   private val eqOnlyCols: Array[String] =
     eqDeletes.map(_._1).distinct
       .filterNot(c => dataCols.contains(c) || filterCols.contains(c)).toArray
-  // staging layout: required, then filter-only, then eq-only columns
+  // staging layout: required data cols, then filter-only, then eq-only
   private val readCols: Array[String] = dataCols ++ filterCols ++ eqOnlyCols
   private val readIndices: Array[Int] = readCols.map(fullIndex)
   private val readTypes: Array[DataType] =
     readCols.map(c => fullSchema.fields(fullIndex(c)).dataType)
   private val slotOf: Map[String, Int] = readCols.zipWithIndex.toMap
   private val capacity = ShardFormat.GroupMaxRows
+  // output position -> staging slot; -1 = _shard_file, -2 = _pos
+  private val outMap: Array[Int] = required.fieldNames.map {
+    case MetaFileCol => -1
+    case MetaPosCol => -2
+    case c => slotOf(c)
+  }
+  private val hasMeta = outMap.exists(_ < 0)
+  // pushed LIMIT: emit at most this many SURVIVING rows, then stop
+  // decoding — per-partition, so always sound (Spark's Limit finishes)
+  private val cap: Int = limit.getOrElse(Int.MaxValue)
+  private var emitted: Int = 0
 
   private val staging: Array[OnHeapColumnVector] =
     readTypes.map(new OnHeapColumnVector(capacity, _))
   private val stagingBatch =
     new ColumnarBatch(staging.take(dataCols.length).toArray[ColumnVector])
-  // output vectors exist only when compaction can happen: absorbed
-  // filters, or a merge-on-read delete vector on any of this
-  // partition's files
+  // the compact path exists when anything row-level can drop or reorder
+  // output relative to staging: filters, delete vectors, equality
+  // deletes — or metadata columns (which only this path can serve)
   private val mayCompact: Boolean =
-    pushed.nonEmpty || files.exists(_._3.isDefined) || eqDeletes.nonEmpty
+    pushed.nonEmpty || files.exists(_._3.isDefined) || eqDeletes.nonEmpty || hasMeta
   private val output: Array[OnHeapColumnVector] =
     if (!mayCompact) Array.empty
-    else readTypes.take(dataCols.length).map(new OnHeapColumnVector(capacity, _))
+    else required.fields.map(f => new OnHeapColumnVector(capacity, f.dataType))
   private val outputBatch: ColumnarBatch =
     if (!mayCompact) null else new ColumnarBatch(output.toArray[ColumnVector])
 
@@ -1362,6 +1379,10 @@ class GraftShardColumnarPartitionReader(
   }
   private val vals = new Array[Any](readCols.length)
   private val selected = new Array[Boolean](capacity)
+  // physical ordinals of the staged rows (row-era fills them per row;
+  // columnar batches derive them from the batch start) — the _pos
+  // currency, and what keeps it exact under DV/filter compaction
+  private val posBuf = new Array[Long](capacity)
 
   private val groupSkip: ShardFormat.GroupStats => Boolean =
     ShardFilters.groupSkipper(pushed)
@@ -1442,32 +1463,48 @@ class GraftShardColumnarPartitionReader(
           s"graftshard: columnar reader admitted unsupported type ${other.sql}")
       }
     }
-  // typed compaction copies, one per REQUIRED column: staging row -> output row
+  // typed compaction copies, one per OUTPUT position: (staging row,
+  // output row) — metadata positions synthesize from the reader state
   private val compactPut: Array[(Int, Int) => Unit] =
-    (0 until dataCols.length).map { s =>
-      val st = staging(s)
+    required.fields.indices.map { j =>
       if (!mayCompact) (_: Int, _: Int) => ()
-      else {
-        val out = output(s)
-        readTypes(s) match {
-          case LongType => (r: Int, o: Int) => out.putLong(o, st.getLong(r))
-          case IntegerType => (r: Int, o: Int) => out.putInt(o, st.getInt(r))
-          case DoubleType => (r: Int, o: Int) => out.putDouble(o, st.getDouble(r))
-          case FloatType => (r: Int, o: Int) => out.putFloat(o, st.getFloat(r))
-          case BooleanType => (r: Int, o: Int) => out.putBoolean(o, st.getBoolean(r))
-          case StringType | BinaryType => (r: Int, o: Int) => {
-            val b = st.getBinary(r)
-            out.putByteArray(o, b, 0, b.length): Unit
-          }
-          case ArrayType(FloatType, _) => (r: Int, o: Int) => {
-            val a = st.getArray(r).toFloatArray
-            val child = out.arrayData()
-            val start = child.appendFloats(a.length, a, 0)
-            out.putArray(o, start, a.length)
-          }
-          case other => throw new IllegalStateException(
-            s"graftshard: columnar reader admitted unsupported type ${other.sql}")
+      else outMap(j) match {
+        case -1 => (_: Int, o: Int) => {
+          val b = fileNameBytes
+          output(j).putByteArray(o, b, 0, b.length): Unit
         }
+        case -2 => (r: Int, o: Int) => output(j).putLong(o, posBuf(r))
+        case s =>
+          val st = staging(s)
+          val out = output(j)
+          readTypes(s) match {
+            case LongType => (r: Int, o: Int) =>
+              if (st.isNullAt(r)) out.putNull(o) else out.putLong(o, st.getLong(r))
+            case IntegerType => (r: Int, o: Int) =>
+              if (st.isNullAt(r)) out.putNull(o) else out.putInt(o, st.getInt(r))
+            case DoubleType => (r: Int, o: Int) =>
+              if (st.isNullAt(r)) out.putNull(o) else out.putDouble(o, st.getDouble(r))
+            case FloatType => (r: Int, o: Int) =>
+              if (st.isNullAt(r)) out.putNull(o) else out.putFloat(o, st.getFloat(r))
+            case BooleanType => (r: Int, o: Int) =>
+              if (st.isNullAt(r)) out.putNull(o) else out.putBoolean(o, st.getBoolean(r))
+            case StringType | BinaryType => (r: Int, o: Int) =>
+              if (st.isNullAt(r)) out.putNull(o)
+              else {
+                val b = st.getBinary(r)
+                out.putByteArray(o, b, 0, b.length): Unit
+              }
+            case ArrayType(FloatType, _) => (r: Int, o: Int) =>
+              if (st.isNullAt(r)) out.putNull(o)
+              else {
+                val a = st.getArray(r).toFloatArray
+                val child = out.arrayData()
+                val start = child.appendFloats(a.length, a, 0)
+                out.putArray(o, start, a.length)
+              }
+            case other => throw new IllegalStateException(
+              s"graftshard: columnar reader admitted unsupported type ${other.sql}")
+          }
       }
     }.toArray
 
@@ -1476,12 +1513,14 @@ class GraftShardColumnarPartitionReader(
   private var rowEra = false
   private val rowValues = new Array[Any](readCols.length)
   private var current: ColumnarBatch = _
+  private var fileNameBytes: Array[Byte] = Array.emptyByteArray
   // merge-on-read: sorted delete-vector ordinals of the current file;
   // dvIdx walks them monotonically with the batch ordinals
   private var dv: Array[Long] = Array.emptyLongArray
   private var dvIdx: Int = 0
 
   override def next(): Boolean = {
+    if (emitted >= cap) { close(); return false }
     while (true) {
       if (reader == null) {
         fileIdx += 1
@@ -1490,8 +1529,10 @@ class GraftShardColumnarPartitionReader(
           // the sidecar proves no row matches: never opened (the DV is
           // never opened either — deleted rows cannot match any better)
         } else {
+          val f = new File(files(fileIdx)._1)
+          fileNameBytes = f.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           reader = new ShardFormat.ShardReader(
-            new File(files(fileIdx)._1), fullSchema, readIndices, groupSkip, resolve)
+            f, fullSchema, readIndices, groupSkip, resolve)
           rowEra = !reader.columnarFile
           dv = files(fileIdx)._3
             .map(d => ShardFormat.readDeleteVector(new File(d)))
@@ -1521,6 +1562,7 @@ class GraftShardColumnarPartitionReader(
                 if (v == null) staging(s).putNull(r) else boxedPut(s)(r, v)
                 s += 1
               }
+              posBuf(r) = pos
               r += 1
             }
           }
@@ -1540,19 +1582,28 @@ class GraftShardColumnarPartitionReader(
           // row-era batches already applied the DV at fill time (eq
           // deletes evaluate over the STAGED vectors either way)
           val dvHere = !rowEra && dv.nonEmpty
-          if (evals.isEmpty && !dvHere && activeEq.isEmpty) {
-            stagingBatch.setNumRows(n)
+          if (evals.isEmpty && !dvHere && activeEq.isEmpty && !hasMeta) {
+            // every row survives: expose the staged vectors zero-copy,
+            // truncated to the limit's remainder (a prefix subset is a
+            // valid partial LIMIT answer — Spark's Limit finishes)
+            val m = math.min(n, cap - emitted)
+            stagingBatch.setNumRows(m)
+            emitted += m
             current = stagingBatch
             return true
+          }
+          if (!rowEra) {
+            // columnar batch ordinals are [start, start+n)
+            val start = reader.ordinal - n + 1
+            var r = 0
+            while (r < n) { posBuf(r) = start + r; r += 1 }
           }
           // unified selection: absorbed predicates AND merge-on-read
           // delete ordinals deselect staged rows the same way
           var kept = n
           java.util.Arrays.fill(selected, 0, n, true)
           if (dvHere) {
-            // batch ordinals are [start, start+n); the sorted vector
-            // walks forward with them (skipped groups already counted)
-            val start = reader.ordinal - n + 1
+            val start = posBuf(0)
             while (dvIdx < dv.length && dv(dvIdx) < start) dvIdx += 1
             while (dvIdx < dv.length && dv(dvIdx) < start + n) {
               selected((dv(dvIdx) - start).toInt) = false
@@ -1576,31 +1627,36 @@ class GraftShardColumnarPartitionReader(
             }
             r += 1
           }
-          if (kept == n) {
+          if (kept == n && !hasMeta) {
             // every row matched: expose the staged vectors zero-copy
-            stagingBatch.setNumRows(n)
+            val m = math.min(n, cap - emitted)
+            stagingBatch.setNumRows(m)
+            emitted += m
             current = stagingBatch
             return true
           }
           if (kept > 0) {
             output.foreach(_.reset())
+            val allowed = cap - emitted
             var o = 0
             r = 0
-            while (r < n) {
+            while (r < n && o < allowed) {
               if (selected(r)) {
-                var s = 0
-                while (s < compactPut.length) {
-                  if (staging(s).isNullAt(r)) output(s).putNull(o)
-                  else compactPut(s)(r, o)
-                  s += 1
+                var j = 0
+                while (j < compactPut.length) {
+                  compactPut(j)(r, o)
+                  j += 1
                 }
                 o += 1
               }
               r += 1
             }
-            outputBatch.setNumRows(kept)
-            current = outputBatch
-            return true
+            if (o > 0) {
+              outputBatch.setNumRows(o)
+              emitted += o
+              current = outputBatch
+              return true
+            }
           }
           // kept == 0: fall through to the next batch
         }

@@ -75,15 +75,39 @@ class GraftShardColumnarReadSpec extends AnyFunSuite {
     assert(proj.collect().length == 1000)
   }
 
-  test("fallbacks: metadata columns take the row path with equal results") {
+  test("metadata columns and LIMIT stay columnar, exact against the row path") {
     val dir = tmp()
     wideRows(0, 200).coalesce(2)
       .write.format("graftshard").mode("overwrite").save(dir)
     val t = spark.read.format("graftshard").load(dir)
 
-    val meta = t.select(col("_shard_file"), col("id"))
-    assert(!plan(meta).contains("ColumnarToRow"))
-    assert(meta.collect().length == 200)
+    // _shard_file and _pos synthesize on the compact path
+    val meta = t.select(col("_shard_file"), col("_pos"), col("id"))
+    assert(plan(meta).contains("ColumnarToRow"),
+      s"metadata projections must stay columnar:\n${plan(meta)}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val got = canon(meta)
+    assert(got.size == 200)
+    assert(canon(spark.read.format("graftshard").option("columnarRead", "false")
+      .load(dir).select(col("_shard_file"), col("_pos"), col("id"))) == got)
+
+    // _pos stays the PHYSICAL ordinal under filtering (gaps preserved)
+    val fm = t.where(col("id") % 7 === 0).select(col("_pos"), col("id"))
+    assert(plan(fm).contains("ColumnarToRow"))
+    val gotF = fm.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val wantF = spark.read.format("graftshard").option("columnarRead", "false")
+      .load(dir).where(col("id") % 7 === 0).select(col("_pos"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotF == wantF)
+
+    // pushed LIMIT caps per partition on the batch path too
+    val lim = t.limit(5)
+    assert(plan(lim).contains("ColumnarToRow"),
+      s"LIMIT scans must stay columnar:\n${plan(lim)}")
+    assert(lim.collect().length == 5)
+    assert(t.where(col("id") >= 100).limit(3).collect()
+      .forall(_.getLong(0) >= 100))
   }
 
   test("merge-on-read delete vectors stay columnar: deselected like filter misses") {
