@@ -460,12 +460,42 @@ object ScaleProbe {
       timeEmb(columnar = true)
       val eRow = math.min(timeEmb(false), timeEmb(false))
       val eCol = math.min(timeEmb(true), timeEmb(true))
+      // merge-on-read scan (round 13: DV ordinals deselect batch rows):
+      // 25% of rows dead, the post-upsert curation-read shape
+      val mdir = "/tmp/graft_colread_probe_mor"
+      spark.conf.set("spark.sql.catalog.probecat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.probecat.warehouse", "/tmp/graft_colread_probe_wh")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS probecat.p")
+      spark.sql("DROP TABLE IF EXISTS probecat.p.mor")
+      spark.range(0, 8000000L).select(
+        col("id"), (col("id") % 97).cast("int").as("i"),
+        concat(lit("sample_text_"), col("id") % 1000).as("s"))
+        .repartition(8).writeTo("probecat.p.mor").using("graftshard").create()
+      spark.conf.set("spark.graftshard.rowLevel.mode", "merge-on-read")
+      try spark.sql("DELETE FROM probecat.p.mor WHERE id % 4 = 0")
+      finally spark.conf.unset("spark.graftshard.rowLevel.mode")
+      val _ = mdir
+      def timeMor(columnar: Boolean): Double = {
+        val t0 = System.nanoTime()
+        val df = spark.read.format("graftshard")
+          .option("columnarRead", columnar.toString)
+          .load("/tmp/graft_colread_probe_wh/p/mor")
+        require(df.select(length(col("s")).as("l"), col("i"))
+          .agg(sum("l"), sum("i")).collect().nonEmpty)
+        (System.nanoTime() - t0) / 1e9
+      }
+      timeMor(columnar = true)
+      val mRow = math.min(timeMor(false), timeMor(false))
+      val mCol = math.min(timeMor(true), timeMor(true))
       println(f"PROBE-COLREAD-FILTER rows=8M sel=31%% row=$fRow%6.2f " +
         f"columnar=$fCol%6.2f ratio=${fRow / fCol}%5.2f")
       println(f"PROBE-COLREAD-CLUSTERED rows=8M sel=30%% row=$cRow%6.2f " +
         f"columnar=$cCol%6.2f ratio=${cRow / cCol}%5.2f")
       println(f"PROBE-COLREAD-EMB rows=1M dims=64 row=$eRow%6.2f " +
         f"columnar=$eCol%6.2f ratio=${eRow / eCol}%5.2f")
+      println(f"PROBE-COLREAD-MOR rows=8M dead=25%% row=$mRow%6.2f " +
+        f"columnar=$mCol%6.2f ratio=${mRow / mCol}%5.2f")
       spark.stop()
       return
     }

@@ -28,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * when no REAL table shadows the name and the base table exists, so
   * a genuine table named `files` always wins. */
 object GraftShardMetadataTables {
-  val Names: Set[String] = Set("files", "snapshots", "partitions")
+  val Names: Set[String] = Set("files", "snapshots", "partitions", "branches")
 
   def schemaOf(meta: String): StructType = meta match {
     case "files" => StructType(Seq(
@@ -56,6 +56,18 @@ object GraftShardMetadataTables {
       StructField("rows", LongType, nullable = false),
       StructField("bytes", LongType, nullable = false),
       StructField("deleted_rows", LongType, nullable = false)))
+    // the write-audit-publish staging area: one row per staged branch,
+    // with the base the publish will be validated against
+    case "branches" => StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("staged_version", LongType, nullable = false),
+      StructField("base_version", LongType, nullable = false),
+      StructField("staged_at", TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = true),
+      StructField("files", LongType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("publishable", BooleanType, nullable = false)))
     case other => throw new IllegalArgumentException(
       s"graftshard: unknown metadata table '$other' — supported: " +
         Names.toSeq.sorted.mkString(", "))
@@ -98,6 +110,20 @@ object GraftShardMetadataTables {
           new GenericInternalRow(Array[Any](
             p.map(Long.box).orNull, fes.size.toLong, fes.map(_.rows).sum,
             fes.map(_.bytes).sum, fes.map(_.deletedRows).sum)): InternalRow
+        }.toArray
+      case "branches" =>
+        ShardFormat.listBranches(dir).flatMap { b =>
+          ShardFormat.readBranch(dir, b).map { bm =>
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(b), bm.version, bm.version - 1,
+              bm.createdAtMs * 1000L,
+              if (bm.operation.isEmpty) null else UTF8String.fromString(bm.operation),
+              bm.files.size.toLong, bm.files.map(_.rows).sum,
+              bm.files.map(_.bytes).sum,
+              // publishable NOW: the staged base is still the live
+              // version (an interleaved commit flips this to false)
+              bm.version == m.version + 1)): InternalRow
+          }
         }.toArray
       case other => throw new IllegalArgumentException(
         s"graftshard: unknown metadata table '$other'")

@@ -57,6 +57,14 @@ class GraftShardWapSpec extends AnyFunSuite {
     assert(audit.count() == 150)
     assert(audit.where(col("id") >= 1000).count() == 50)
 
+    // the branches metadata face lists the stage with its base pin
+    val br = spark.sql("SELECT * FROM wapcat.a.t.branches").collect()
+    assert(br.length == 1)
+    assert(br.head.getAs[String]("branch") == "audit")
+    assert(br.head.getAs[Long]("base_version") == v0)
+    assert(br.head.getAs[Long]("rows") == 150L)
+    assert(br.head.getAs[Boolean]("publishable"))
+
     // publish: pointer moves once, CDF sees one ordinary commit
     val published = spark.sql(
       s"CALL wapcat.system.publish_branch('a.t', 'audit')").collect()
@@ -82,6 +90,11 @@ class GraftShardWapSpec extends AnyFunSuite {
     spark.range(200, 210).select(col("id"), col("id").as("v"))
       .coalesce(1).write.format("graftshard").mode("append").save(dir)
 
+    // the branches face flips publishable off after the interleave
+    // (path-based table: exercise rowsOf directly)
+    val rows = graft.sources.v2.GraftShardMetadataTables.rowsOf("branches", dir)
+    assert(rows.length == 1 && !rows.head.getBoolean(8),
+      "an interleaved commit must mark the stage unpublishable")
     val e = intercept[Exception] {
       GraftShardMaintenance.publishBranch(dir, "b1")
     }
