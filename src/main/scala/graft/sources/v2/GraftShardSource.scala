@@ -990,7 +990,7 @@ class GraftShardScan(
       "graftshard: cannot stream a time-travel snapshot — a snapshot is a " +
         "fixed commit; stream the current table (offsets track its appends)")
     new GraftShardMicroBatchStream(path, fullSchema, required, pushed,
-      maxFilesPerTrigger, maxBytesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger, columnarOption)
   }
 }
 
@@ -1107,7 +1107,8 @@ class GraftShardMicroBatchStream(
     required: StructType,
     pushed: Array[Filter],
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    columnarOption: Boolean = true)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -1202,10 +1203,15 @@ class GraftShardMicroBatchStream(
     // equality deletes are FIXED for the life of the stream (an upsert
     // commit turns the generation over, which fails the next batch
     // loudly), so the prefix batches apply one consistent delete set
+    // micro-batch scans ride the same columnar batch path as batch
+    // reads (MicroBatchScanExec shares DataSourceV2ScanExecBase's
+    // row/columnar dispatch) — the bootstrap-a-new-consumer read over
+    // a 100 TB table is exactly the scan shape vectorization pays on
     new GraftShardReaderFactory(fullSchema, required, pushed,
       resolve = m.resolution,
       eqDeletes = m.equalityDeletes.map(d =>
-        (d.column, new File(path, d.name).getPath, d.seq)))
+        (d.column, new File(path, d.name).getPath, d.seq)),
+      allowColumnar = columnarOption)
   }
 
   override def commit(end: Offset): Unit = ()

@@ -244,6 +244,13 @@ class GraftShardSourceSpec extends AnyFunSuite {
       val rows = spark.table("graftshard_stream").collect()
         .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
       assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")), "each file exactly once")
+      // micro-batch scans ride the same columnar batch path as batch
+      // reads (round 13) — pin it on the last executed micro-batch plan
+      val lastPlan = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(lastPlan.contains("ColumnarToRow"),
+        s"the streaming scan must engage the batch path:\n$lastPlan")
     } finally q.stop()
   }
 
