@@ -315,12 +315,13 @@ object ScaleProbe {
           Map.empty, None)
         val (_, aPagedSec) = t(ShardFormat.writeManifest(dir,
           m.copy(files = m.files :+ appended, version = m.version + 1)))
-        val prevCap = ShardFormat.segmentMaxEntries
-        ShardFormat.segmentMaxEntries = Int.MaxValue
-        val (_, aMonoSec) =
+        val (_, aMonoSec) = ShardFormat.segmentCapLock.synchronized {
+          val prevCap = ShardFormat.segmentMaxEntries
+          ShardFormat.segmentMaxEntries = Int.MaxValue
           try t(ShardFormat.writeManifest(dir,
             m.copy(files = m.files :+ appended, version = m.version + 2)))
           finally ShardFormat.segmentMaxEntries = prevCap
+        }
         // topN file cut: ORDER BY id DESC LIMIT 100 over the range-
         // disjoint bounds — the cut is an O(files log files) driver sort
         // and must stay planning-speed at the manifest ceiling

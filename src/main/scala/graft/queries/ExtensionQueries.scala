@@ -2014,6 +2014,7 @@ object ExtensionQueries {
     val out = Q.tmpArtifactPath("x73", dir)
     val docs = table(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+    ShardFormat.segmentCapLock.synchronized {
     val prevCap = ShardFormat.segmentMaxEntries
     ShardFormat.segmentMaxEntries = 8
     try {
@@ -2040,6 +2041,7 @@ object ExtensionQueries {
           s"(${pruned.files.size} vs ${full.files.size})")
       s.read.format("graftshard").load(out).where(col("doc_id") < n / 10)
     } finally ShardFormat.segmentMaxEntries = prevCap
+    }
   }
 
   /** RENAME COLUMN as a METADATA-ONLY commit (format v4 field ids —

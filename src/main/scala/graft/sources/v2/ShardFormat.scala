@@ -628,6 +628,12 @@ object ShardFormat {
     * exercise paging without writing 10k real shard files. */
   val SegmentEntries = 10000
   @volatile private[graft] var segmentMaxEntries: Int = SegmentEntries
+  /** Serializes save-shrink-restore windows over [[segmentMaxEntries]]
+    * (a process global): parallel test suites and the x73 gate both
+    * pin small caps — unsynchronized windows could interleave their
+    * restores and strand a tiny cap process-wide. Production never
+    * mutates the cap, so the lock costs nothing outside tests. */
+  private[graft] val segmentCapLock = new Object
 
   // ----------------------------------------------------- equality keys
 

@@ -42,11 +42,14 @@ class GraftShardManifestPagingSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("_graft_manifest-seg-"))
       .map(f => f.getName -> f.length()).toMap
 
-  private def withSegmentCap[A](cap: Int)(body: => A): A = {
-    val prev = ShardFormat.segmentMaxEntries
-    ShardFormat.segmentMaxEntries = cap
-    try body finally ShardFormat.segmentMaxEntries = prev
-  }
+  private def withSegmentCap[A](cap: Int)(body: => A): A =
+    // serialized with every other cap window (incl. the x73 gate run by
+    // QueryRegistrySpec) — parallel suites must not interleave restores
+    ShardFormat.segmentCapLock.synchronized {
+      val prev = ShardFormat.segmentMaxEntries
+      ShardFormat.segmentMaxEntries = cap
+      try body finally ShardFormat.segmentMaxEntries = prev
+    }
 
   private def appendOne(dir: String, lo: Long): Unit =
     spark.range(lo, lo + 5).select(col("id"), (col("id") * 2).as("v"))
