@@ -412,6 +412,35 @@ object ScaleProbe {
         f"ratio=${math.min(row, row2) / math.min(colT, colT2)}%5.2f " +
         f"numeric_row=$nRow%6.2f numeric_columnar=$nCol%6.2f " +
         f"numeric_ratio=${nRow / nCol}%5.2f")
+      // DICTIONARY-AT-REST scan (round 14): the same string-heavy scan
+      // over a compression=dict table — codec-2 chunks stay encoded and
+      // the batch serves (dictionary, ids) through
+      // WritableColumnVector.setDictionary: each distinct value
+      // materializes once per CHUNK, ids fill as 1-2B ints. The row
+      // path must reconstruct the raw layout per chunk and copy per
+      // cell — this is the text-curation scan shape at rest.
+      val ddir = "/tmp/graft_colread_probe_dict"
+      spark.range(0, 8000000L).select(
+        col("id"), (col("id") % 97).cast("int").as("i"),
+        (col("id") * 0.5).as("d"),
+        concat(lit("sample_text_"), col("id") % 1000).as("s"))
+        .repartition(8)
+        .write.format("graftshard").option("compression", "dict")
+        .mode("overwrite").save(ddir)
+      def timeDict(columnar: Boolean): Double = {
+        val t0 = System.nanoTime()
+        val df = spark.read.format("graftshard")
+          .option("columnarRead", columnar.toString).load(ddir)
+        val n = df.select(length(col("s")).as("l"), col("i"), col("d"))
+          .agg(sum("l"), sum("i"), sum("d")).collect()
+        require(n.nonEmpty)
+        (System.nanoTime() - t0) / 1e9
+      }
+      timeDict(columnar = true) // JIT + page cache
+      val dRow = math.min(timeDict(false), timeDict(false))
+      val dCol = math.min(timeDict(true), timeDict(true))
+      println(f"PROBE-COLREAD-DICT rows=8M cols=4 row=$dRow%6.2f " +
+        f"columnar=$dCol%6.2f ratio=${dRow / dCol}%5.2f")
       // FILTERED scan (round 13: absorbed predicates now stay columnar —
       // a selective filter evaluates against the decoded batch and the
       // survivors compact): the shape that dominates a curation pass

@@ -450,16 +450,21 @@ case class PqReconstruct(child: Expression, codebooks: Array[Array[Array[Double]
   override protected def withNewChildInternal(newChild: Expression): PqReconstruct =
     copy(child = newChild)
 
-  // content-based equality for the codebook tensor (see [[BandBuckets]])
+  // content-based equality for the codebook tensor (see [[BandBuckets]]).
+  // bookShape keeps the PER-SUBSPACE boundaries in the comparison: two
+  // codebooks with identical flattened centroids but different splits
+  // (e.g. 2 subspaces of 4 centroids vs 4 of 2) reconstruct differently
+  // and must not be CSE'd into each other.
+  private lazy val bookShape: Seq[Int] = codebooks.toSeq.map(_.length)
   private lazy val flatBooks: Seq[Seq[Double]] =
     codebooks.toSeq.flatMap(_.toSeq.map(_.toSeq))
   override def equals(other: Any): Boolean = other match {
     case p: PqReconstruct =>
-      child == p.child && codebooks.length == p.codebooks.length &&
-        flatBooks == p.flatBooks
+      child == p.child && bookShape == p.bookShape && flatBooks == p.flatBooks
     case _ => false
   }
-  override def hashCode(): Int = java.util.Objects.hash(child, flatBooks)
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, bookShape, flatBooks)
 }
 
 object VectorFunctions {

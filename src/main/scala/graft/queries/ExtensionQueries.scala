@@ -1984,15 +1984,21 @@ object ExtensionQueries {
       .coalesce(1).writeTo(s"$cat.x72.docs").using("graftshard").create()
     val tdir = s"${s.conf.get(s"spark.sql.catalog.$cat.warehouse")}/x72/docs"
     val half = s.table(s"$cat.x72.docs").count()
-    // stage the odd half; the live table must not move
-    docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    // stage the odd half as TWO micro-batches onto one branch (the
+    // production audit loop accumulates commits before one audit +
+    // fast-forward publish); the live table must not move under either
+    docs.where(pmod(col("doc_id"), lit(4)) === 1)
+      .coalesce(1).write.format("graftshard").option("stageAs", "audit")
+      .mode("append").save(tdir)
+    docs.where(pmod(col("doc_id"), lit(4)) === 3)
       .coalesce(1).write.format("graftshard").option("stageAs", "audit")
       .mode("append").save(tdir)
     require(s.table(s"$cat.x72.docs").count() == half,
-      "x72: a staged write must be invisible to the live table")
-    // the audit face sees the full corpus; the gate's quality check
+      "x72: staged writes must be invisible to the live table")
+    // the audit face sees the full accumulated corpus
     val audited = s.read.format("graftshard").option("branch", "audit").load(tdir)
     require(audited.count() > half, "x72: the audit face must see the stage")
+    // fast-forward: one pointer move lands both staged commits
     s.sql(s"CALL $cat.system.publish_branch('x72.docs', 'audit')").collect()
     s.table(s"$cat.x72.docs")
   }
@@ -5630,7 +5636,7 @@ object ExtensionQueries {
     Q("x71_shard_ndv_broadcast", x71, Some("""
       SELECT d.doc_id, d.lang, l.lang_chars
       FROM documents d
-      JOIN (SELECT lang, SUM(n_chars::BIGINT) AS lang_chars
+      JOIN (SELECT lang, SUM(n_chars::BIGINT)::BIGINT AS lang_chars
             FROM documents GROUP BY lang) l USING (lang)""")),
 
     // write-audit-publish: staged invisible (required in-plan), audited

@@ -437,13 +437,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
-    ShardFormat.withCommitLock(dir.getPath) {
+    val dropped = ShardFormat.withCommitLock(dir.getPath) {
       if (!ShardFormat.manifestFile(dir.getPath).isFile) false
       else {
-        filesIn(dir).foreach(_.delete())
-        dir.delete()
+        // never bulk-delete the commit.lock this very section holds (or
+        // a steal tombstone mid-rename) — a concurrent process could
+        // O_EXCL-acquire the freed path while the drop is still running,
+        // and our release path would then contend with its fresh lock.
+        // The lock is removed by withCommitLock's normal exit; the dir
+        // itself is reaped below, after the release.
+        filesIn(dir)
+          .filterNot(_.getName.startsWith(ShardFormat.CommitLockName))
+          .foreach(_.delete())
+        true
       }
     }
+    if (dropped) dir.delete() // best-effort: fails only if re-created
+    dropped
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {

@@ -99,12 +99,19 @@ object GraftShardMaintenance {
       val cur = ShardFormat.readManifest(dir).getOrElse(
         throw new IllegalArgumentException(
           s"graftshard: no ${ShardFormat.ManifestName} under '$dir'"))
-      require(staged.version == cur.version + 1,
+      // FAST-FORWARD publish: the branch may carry any number of staged
+      // commits (branchBase = the live version it forked from); it
+      // publishes iff the live pointer has not moved since the fork —
+      // otherwise the branch no longer descends from the table and the
+      // publish refuses loudly (pre-branchBase snapshots keep the old
+      // exactly-one-commit check)
+      val base = staged.branchBase.getOrElse(staged.version - 1)
+      require(cur.version == base,
         s"graftshard: cannot publish branch '$branch' — staged against " +
-          s"v${staged.version - 1} but the table is now at v${cur.version}; " +
+          s"v$base but the table is now at v${cur.version}; " +
           "re-stage the write (its files are untouched) or drop the branch")
       ShardFormat.writeManifest(dir,
-        staged.copy(createdAtMs = System.currentTimeMillis()))
+        staged.copy(createdAtMs = System.currentTimeMillis(), branchBase = None))
       ShardFormat.branchFile(dir, branch).delete()
       staged.version
     }

@@ -114,15 +114,19 @@ object GraftShardMetadataTables {
       case "branches" =>
         ShardFormat.listBranches(dir).flatMap { b =>
           ShardFormat.readBranch(dir, b).map { bm =>
+            // the fork point: recorded by every staged commit since
+            // multi-commit branches; pre-branchBase snapshots carried
+            // exactly one commit, so version-1 is exact for them
+            val base = bm.branchBase.getOrElse(bm.version - 1)
             new GenericInternalRow(Array[Any](
-              UTF8String.fromString(b), bm.version, bm.version - 1,
+              UTF8String.fromString(b), bm.version, base,
               bm.createdAtMs * 1000L,
               if (bm.operation.isEmpty) null else UTF8String.fromString(bm.operation),
               bm.files.size.toLong, bm.files.map(_.rows).sum,
               bm.files.map(_.bytes).sum,
-              // publishable NOW: the staged base is still the live
+              // publishable NOW: the fork point is still the live
               // version (an interleaved commit flips this to false)
-              bm.version == m.version + 1)): InternalRow
+              base == m.version)): InternalRow
           }
         }.toArray
       case other => throw new IllegalArgumentException(

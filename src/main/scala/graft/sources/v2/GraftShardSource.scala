@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.read.colstats
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.execution.vectorized.{Dictionary, OnHeapColumnVector, WritableColumnVector}
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -1249,11 +1249,12 @@ class GraftShardReaderFactory(
     * decoded batch; non-matching rows are compacted away — or the whole
     * staging batch is exposed zero-copy when every row matched) and
     * `array<float>` embedding projections (the float payload decodes
-    * into an ArrayType vector). Still refused — falling back to the row
-    * reader with identical results: a pushed LIMIT cap, merge-on-read
-    * delete vectors (manifest-wide: Spark requires one row/columnar
-    * answer per scan), live equality deletes, metadata columns, and
-    * types the format doesn't store. Pinned by
+    * into an ArrayType vector). The columnar reader also handles a
+    * pushed LIMIT cap, merge-on-read delete vectors, live equality
+    * deletes, and the `_shard_file`/`_pos` metadata columns — the ONLY
+    * things that force the row path now are a projected or filtered
+    * column whose type the batch decoder doesn't cover (maps, structs,
+    * decimals) and the `columnarRead=false` escape hatch. Pinned by
     * GraftShardColumnarReadSpec and the randomized source props. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     allowColumnar && partition.isInstanceOf[ShardFilesPartition] &&
@@ -1425,6 +1426,41 @@ class GraftShardColumnarPartitionReader(
     false
   }
 
+  // dictionary-id vectors, one per staging slot that accepted a
+  // dictionary offer for the CURRENT batch (codec-2 string chunks kept
+  // encoded at rest): the vector reads through
+  // WritableColumnVector.setDictionary — ids fill as small ints, each
+  // distinct value materializes ONCE per chunk instead of once per cell
+  private val dictIds = new Array[WritableColumnVector](readCols.length)
+
+  /** One chunk's distinct string values behind Spark's vector
+    * [[Dictionary]] face. Entries are shared (never mutated) — the
+    * same no-copy contract Spark's parquet dictionary uses. */
+  private final class ShardChunkDictionary(entries: Array[Array[Byte]])
+      extends Dictionary {
+    override def decodeToBinary(id: Int): Array[Byte] = entries(id)
+    override def decodeToInt(id: Int): Int =
+      throw new UnsupportedOperationException("string dictionary")
+    override def decodeToLong(id: Int): Long =
+      throw new UnsupportedOperationException("string dictionary")
+    override def decodeToFloat(id: Int): Float =
+      throw new UnsupportedOperationException("string dictionary")
+    override def decodeToDouble(id: Int): Double =
+      throw new UnsupportedOperationException("string dictionary")
+  }
+
+  /** Resets the staging vectors for the next batch, dropping any
+    * per-chunk dictionaries (reset() does NOT clear them — a stale
+    * dictionary would misread the next chunk's plain cells). */
+  private def resetStaging(): Unit = {
+    var s = 0
+    while (s < staging.length) {
+      staging(s).reset()
+      if (dictIds(s) != null) { staging(s).setDictionary(null); dictIds(s) = null }
+      s += 1
+    }
+  }
+
   private val sink: ShardFormat.BatchSink = new ShardFormat.BatchSink {
     override def putNull(s: Int, r: Int): Unit = staging(s).putNull(r)
     override def putLong(s: Int, r: Int, v: Long): Unit = staging(s).putLong(r, v)
@@ -1440,6 +1476,22 @@ class GraftShardColumnarPartitionReader(
       val start = child.appendFloats(len, v, off)
       staging(s).putArray(r, start, len)
     }
+    override def setDictionary(s: Int, bytes: Array[Byte], offs: Array[Int],
+        lens: Array[Int], count: Int): Boolean = readTypes(s) match {
+      case StringType | BinaryType =>
+        val entries = new Array[Array[Byte]](count)
+        var k = 0
+        while (k < count) {
+          entries(k) = java.util.Arrays.copyOfRange(bytes, offs(k), offs(k) + lens(k))
+          k += 1
+        }
+        staging(s).setDictionary(new ShardChunkDictionary(entries))
+        dictIds(s) = staging(s).reserveDictionaryIds(capacity)
+        true
+      case _ => false // a widened/other type: take materialized cells
+    }
+    override def putDictId(s: Int, r: Int, id: Int): Unit =
+      dictIds(s).putInt(r, id)
   }
   // boxed puts for the legacy row-path fallback (widening already
   // happened in the row decode — values arrive as the TABLE's types)
@@ -1552,7 +1604,7 @@ class GraftShardColumnarPartitionReader(
       } else {
         var n = -1
         if (rowEra) {
-          staging.foreach(_.reset())
+          resetStaging()
           var r = 0
           var more = true
           while (r < capacity && { more = reader.next(rowValues); more }) {
@@ -1575,7 +1627,7 @@ class GraftShardColumnarPartitionReader(
           if (!more) reader = null
           n = if (r > 0) r else -1
         } else {
-          staging.foreach(_.reset())
+          resetStaging()
           n = reader.nextBatch { rows =>
             require(rows <= capacity,
               s"graftshard: row group of $rows rows exceeds the vector " +

@@ -458,9 +458,14 @@ class GraftShardBatchWrite(
     new File(path).mkdirs()
     // v4 field ids: a truncate replaces every file, so ids restart
     // positional; any other write takes the manifest's (renames keep
-    // ids stable, so plan-time ids stay valid through commit)
+    // ids stable, so plan-time ids stay valid through commit). Staged
+    // writes onto an existing branch take the BRANCH's ids — the state
+    // they accumulate on
     val ids = ShardFormat.writeFieldIds(
-      if (isTruncate) None else ShardFormat.readManifest(path), schema)
+      if (isTruncate) None
+      else stageAs.flatMap(ShardFormat.readBranch(path, _))
+        .orElse(ShardFormat.readManifest(path)),
+      schema)
     new GraftShardWriterFactory(path, schema, spec, maxOpenWriters, codec, ids,
       bloomCols, upsertKey, ndvCols)
   }
@@ -492,7 +497,18 @@ class GraftShardBatchWrite(
     // on pure appends. The time-travel version counts COMMITS and
     // survives all of them: an overwrite is a new snapshot of the same
     // table, not version 1 of a new one.
-    val current = ShardFormat.readManifest(path)
+    //
+    // STAGED commits accumulate: a write onto an EXISTING branch bases
+    // on the branch's manifest (append/upsert/replace compose on the
+    // staged state — the multi-micro-batch audit loop), not on live;
+    // the first staged commit forks from live and records the fork
+    // point (`branchBase`) for publish_branch's fast-forward check.
+    val live = ShardFormat.readManifest(path)
+    val staged = stageAs.flatMap(ShardFormat.readBranch(path, _))
+    val current = staged.orElse(live)
+    val branchBase: Option[Long] =
+      stageAs.map(_ => staged.flatMap(_.branchBase)
+        .getOrElse(live.map(_.version).getOrElse(0L)))
     // UPSERT commits: the new manifest VERSION is the commit sequence —
     // the inserts land AT it, the equality delete applies BELOW it, and
     // the generation must turn over (old files' LOGICAL content changed,
@@ -671,6 +687,7 @@ class GraftShardBatchWrite(
         ndvColumns = ndvColumns,
         zorderBy = zorderBy,
         equalityDeletes = equalityDeletes,
+        branchBase = branchBase,
         // paged-manifest provenance rides through (prior entries keep
         // their reference identity, so an append reuses every segment)
         pagedSegments = current.map(_.pagedSegments).getOrElse(Nil)))

@@ -241,8 +241,12 @@ object ShardFormat {
     * min/max and row counts size a RELATION, but the planner's
     * cardinality question for `GROUP BY k` or a join build side is "how
     * many DISTINCT k", which no existing stat answers. Per-file HLL
-    * sketches (Apache DataSketches, lgK=[[NdvLgK]] ≈ ±1.6% RSE, ~300 B
-    * at rest) merge associatively, so the SCAN can roll up exactly the
+    * sketches (Apache DataSketches, lgK=[[NdvLgK]]: RSE ≈
+    * 1.04/sqrt(2^lgK) ≈ ±4.6%, ≤ ~550 B compact at rest — deliberately
+    * small: one sketch PER FILE PER COLUMN rides the manifest, so at
+    * the 1M-entry ceiling lgK=12's ~4 KB would cost gigabytes of
+    * manifest for a ±2% gain that broadcast-threshold decisions never
+    * need) merge associatively, so the SCAN can roll up exactly the
     * selected files at plan time and report
     * `ColumnStatistics.distinctCount` through DSv2 — which is what lets
     * CBO size an aggregate's output by its grouping key's NDV and flip
@@ -567,6 +571,15 @@ object ShardFormat {
       // row-level operations all REFUSE while any entry is live
       // (compact first) — a lying fast path is worse than no fast path
       equalityDeletes: Seq[EqDelete] = Nil,
+      // WAP branches (write-audit-publish): the LIVE version this
+      // branch forked from. Set by the first staged commit, carried by
+      // every later staged commit onto the same branch (staged writes
+      // accumulate — the multi-micro-batch audit loop), consulted by
+      // publish_branch: fast-forward iff the live pointer still sits
+      // at this version, refuse otherwise (a concurrent live commit
+      // means the branch no longer descends from the table). None on
+      // live manifests and pre-branch snapshots
+      branchBase: Option[Long] = None,
       // PAGED-MANIFEST provenance, populated by the READER when the
       // root carries `fileSegments` instead of an inline `files` array:
       // which immutable segment file each run of entries came from, in
@@ -940,14 +953,28 @@ object ShardFormat {
     out
   }
 
-  /** Inverse of [[dictEncode]]: reconstructs the raw chunk layout. */
-  private def dictDecode(
-      c: Array[Byte], bitmapLen: Int, rawLen: Int, file: File): Array[Byte] = {
+  /** A codec-2 chunk kept in DICTIONARY form instead of reconstructed:
+    * `bytes` is the encoded chunk as stored (null bitmap at
+    * `[0, bitmapLen)` — same prefix layout as a raw chunk, so null
+    * tests index it directly); entry k's payload is
+    * `bytes[offs(k), offs(k)+lens(k))`; ids start at `idxPos`,
+    * `idxWidth` bytes each, ONE PER NON-NULL cell in row order. This is
+    * what lets the batch read serve a low-cardinality string column as
+    * O(dict) entry materializations + O(rows) small-int ids instead of
+    * O(rows) byte-array copies — the parquet-dictionary shape. */
+  final class DictChunk(
+      val bytes: Array[Byte], val bitmapLen: Int, val rawLen: Int,
+      val offs: Array[Int], val lens: Array[Int], val count: Int,
+      val idxWidth: Int, val idxPos: Int)
+
+  /** Validates a codec-2 chunk's header and index section; the single
+    * shared parse for both the reconstructing decode and the
+    * kept-encoded batch path. */
+  private def parseDictChunk(
+      c: Array[Byte], bitmapLen: Int, rawLen: Int, file: File): DictChunk = {
     def corrupt(what: String): Nothing =
       throw new java.io.IOException(s"graftshard: corrupt dictionary chunk in $file ($what)")
-    val b = new Array[Byte](rawLen)
     if (c.length < bitmapLen + 4) corrupt("truncated header")
-    System.arraycopy(c, 0, b, 0, bitmapLen)
     var p = bitmapLen
     val count = readIntBE(c, p); p += 4
     if (count < 0 || count > DictMaxEntries) corrupt(s"entry count $count")
@@ -961,6 +988,9 @@ object ShardFormat {
       p += 4 + lens(k); k += 1
     }
     val idxWidth = if (count <= 256) 1 else 2
+    val idxPos = p
+    // every id must be in range and the ids must reconstruct exactly
+    // rawLen bytes — validated here so BOTH consumers inherit it
     var o = bitmapLen
     while (p < c.length) {
       if (p + idxWidth > c.length) corrupt("truncated index")
@@ -969,12 +999,33 @@ object ShardFormat {
         else ((c(p) & 0xFF) << 8) | (c(p + 1) & 0xFF)
       p += idxWidth
       if (idx >= count) corrupt(s"index $idx of $count")
-      if (o + 4 + lens(idx) > rawLen) corrupt("overflow")
-      writeIntBE(b, o, lens(idx))
-      System.arraycopy(c, offs(idx), b, o + 4, lens(idx))
       o += 4 + lens(idx)
+      if (o > rawLen) corrupt("overflow")
     }
     if (o != rawLen) corrupt(s"short decode ($o of $rawLen)")
+    new DictChunk(c, bitmapLen, rawLen, offs, lens, count, idxWidth, idxPos)
+  }
+
+  /** Inverse of [[dictEncode]]: reconstructs the raw chunk layout. */
+  private def dictDecode(
+      c: Array[Byte], bitmapLen: Int, rawLen: Int, file: File): Array[Byte] =
+    dictMaterialize(parseDictChunk(c, bitmapLen, rawLen, file))
+
+  private def dictMaterialize(dm: DictChunk): Array[Byte] = {
+    val c = dm.bytes
+    val b = new Array[Byte](dm.rawLen)
+    System.arraycopy(c, 0, b, 0, dm.bitmapLen)
+    var p = dm.idxPos
+    var o = dm.bitmapLen
+    while (p < c.length) {
+      val idx =
+        if (dm.idxWidth == 1) c(p) & 0xFF
+        else ((c(p) & 0xFF) << 8) | (c(p + 1) & 0xFF)
+      p += dm.idxWidth
+      writeIntBE(b, o, dm.lens(idx))
+      System.arraycopy(c, dm.offs(idx), b, o + 4, dm.lens(idx))
+      o += 4 + dm.lens(idx)
+    }
     b
   }
 
@@ -1561,6 +1612,23 @@ object ShardFormat {
     /** One `array<float>` cell (the embedding-column shape). `v` is a
       * shared scratch buffer — consume `[off, off+len)` before returning. */
     def putFloats(slot: Int, row: Int, v: Array[Float], off: Int, len: Int): Unit
+
+    /** Offer THIS batch's dictionary for `slot` (a string column whose
+      * chunk was stored codec-2 and kept encoded): entry k's bytes are
+      * `bytes[offs(k), offs(k)+lens(k))`. Return true to receive the
+      * column as [[putDictId]] ids (one per NON-NULL row, interleaved
+      * with [[putNull]]) — O(count) entry materializations instead of
+      * O(rows) per-cell byte copies; return false (the default) to
+      * receive materialized [[putBytes]] cells as usual. Offered at
+      * most once per slot per batch, before that slot's values. */
+    def setDictionary(slot: Int, bytes: Array[Byte], offs: Array[Int],
+        lens: Array[Int], count: Int): Boolean = false
+
+    /** One dictionary id for a slot whose [[setDictionary]] offer was
+      * accepted in this batch. */
+    def putDictId(slot: Int, row: Int, id: Int): Unit =
+      throw new UnsupportedOperationException(
+        "graftshard: putDictId without an accepted dictionary")
   }
 
   /** Sequential reader over one shard file, decoding only the columns
@@ -1685,6 +1753,15 @@ object ShardFormat {
     private var gRow = 0
     private val gChunk = new Array[Array[Byte]](fields.length)
     private val gCursor = new Array[DataInputStream](fields.length)
+    // non-null when column i's current chunk is codec-2 kept in
+    // dictionary form (batch consumers only); gChunk(i) then aliases
+    // the ENCODED buffer (its bitmap prefix is layout-identical) and
+    // gCursor(i) is null until [[materializeDict]]
+    private val gDict = new Array[DictChunk](fields.length)
+    // set by the first nextBatch call; loadGroup keeps codec-2 string
+    // chunks encoded only for batch consumers (the row path reads cells
+    // through a cursor over the reconstructed layout)
+    private var batchConsumer = false
     // exact physical ordinal of the record LAST returned by next() —
     // counts rows inside skipped groups too, so delete-vector / _pos
     // consumers stay correct under group skipping
@@ -1719,6 +1796,7 @@ object ShardFormat {
       require(isColumnar,
         s"graftshard: nextBatch on a row-era (v1/v2) file $file — callers " +
           "must route such files through next()")
+      batchConsumer = true
       if (gRow >= gRows && !loadGroup()) return -1
       val start = gRow
       val n = gRows - start
@@ -1734,16 +1812,46 @@ object ShardFormat {
       while (i < fields.length) {
         val s = slot(i)
         if (s >= 0) {
-          val chunk = gChunk(i)
-          val cur = gCursor(i)
-          val f = fields(i)
-          val w = widen(i)
-          var r = 0
-          while (r < n) {
-            val gr = start + r
-            if ((chunk(gr >> 3) & (1 << (gr & 7))) != 0) sink.putNull(s, r)
-            else decodeInto(cur, f, w, sink, s, r)
-            r += 1
+          val dm = gDict(i)
+          if (dm != null &&
+              sink.setDictionary(s, dm.bytes, dm.offs, dm.lens, dm.count)) {
+            // serve ids straight from the encoded index section —
+            // O(count) entry work on the sink side, 1-2 B per row here
+            val chunk = dm.bytes
+            var p = dm.idxPos
+            // ids exist only for non-null cells; skip those before
+            // `start` (always 0 in pure batch consumption)
+            var g0 = 0
+            while (g0 < start) {
+              if ((chunk(g0 >> 3) & (1 << (g0 & 7))) == 0) p += dm.idxWidth
+              g0 += 1
+            }
+            var r = 0
+            while (r < n) {
+              val gr = start + r
+              if ((chunk(gr >> 3) & (1 << (gr & 7))) != 0) sink.putNull(s, r)
+              else {
+                val id =
+                  if (dm.idxWidth == 1) chunk(p) & 0xFF
+                  else ((chunk(p) & 0xFF) << 8) | (chunk(p + 1) & 0xFF)
+                sink.putDictId(s, r, id)
+                p += dm.idxWidth
+              }
+              r += 1
+            }
+          } else {
+            if (dm != null) materializeDict(i) // sink declined the offer
+            val chunk = gChunk(i)
+            val cur = gCursor(i)
+            val f = fields(i)
+            val w = widen(i)
+            var r = 0
+            while (r < n) {
+              val gr = start + r
+              if ((chunk(gr >> 3) & (1 << (gr & 7))) != 0) sink.putNull(s, r)
+              else decodeInto(cur, f, w, sink, s, r)
+              r += 1
+            }
           }
         }
         i += 1
@@ -1751,6 +1859,17 @@ object ShardFormat {
       gRow = gRows
       physOrdinal += n
       n
+    }
+
+    /** Reconstructs a dictionary-form chunk into the raw layout and
+      * rebuilds its cursor — for consumers that want cells. */
+    private def materializeDict(i: Int): Unit = {
+      val dm = gDict(i)
+      val raw = dictMaterialize(dm)
+      gChunk(i) = raw
+      gCursor(i) = new DataInputStream(new java.io.ByteArrayInputStream(
+        raw, dm.bitmapLen, raw.length - dm.bitmapLen))
+      gDict(i) = null
     }
 
     private def decodeInto(
@@ -1790,6 +1909,9 @@ object ShardFormat {
       while (i < fields.length) {
         val s = slot(i)
         if (s >= 0) {
+          // a mixed consumer (nextBatch then next — documented as never)
+          // still reads correctly: reconstruct the cell layout on demand
+          if (gDict(i) != null) materializeDict(i)
           val isNull = (gChunk(i)(gRow >> 3) & (1 << (gRow & 7))) != 0
           values(s) = if (isNull) null else decodeOne(gCursor(i), fields(i), widen(i))
         }
@@ -1832,6 +1954,7 @@ object ShardFormat {
           val codec = in.readByte()
           val storedLen = in.readInt()
           val rawLen = in.readInt()
+          gDict(i) = null
           if (skip || slot(i) < 0) in.skipFully(storedLen.toLong)
           else {
             val buf = codec match {
@@ -1858,7 +1981,13 @@ object ShardFormat {
                 b
               case 2 =>
                 val c = new Array[Byte](storedLen); in.readFully(c)
-                dictDecode(c, bitmapLen, rawLen, file)
+                if (batchConsumer) {
+                  // keep the dictionary form: the batch path serves it
+                  // as (entries, ids) — see [[DictChunk]]; the encoded
+                  // buffer's bitmap prefix serves the null tests
+                  gDict(i) = parseDictChunk(c, bitmapLen, rawLen, file)
+                  c
+                } else dictDecode(c, bitmapLen, rawLen, file)
               case 3 =>
                 val c = new Array[Byte](storedLen); in.readFully(c)
                 rleDecode(c, bitmapLen, rawLen, fields(i).dataType, file)
@@ -1869,8 +1998,10 @@ object ShardFormat {
                 s"graftshard: unknown chunk codec $other in $file")
             }
             gChunk(i) = buf // bitmap prefix; the null test indexes it directly
-            gCursor(i) = new DataInputStream(
-              new java.io.ByteArrayInputStream(buf, bitmapLen, buf.length - bitmapLen))
+            gCursor(i) =
+              if (gDict(i) != null) null // cells live behind the dictionary
+              else new DataInputStream(
+                new java.io.ByteArrayInputStream(buf, bitmapLen, buf.length - bitmapLen))
           }
           i += 1
         }
@@ -1999,6 +2130,7 @@ object ShardFormat {
   private final class TableLock {
     var depth = 0
     var held: File = _
+    var heldToken: String = _ // the exact `pid@host ts` we wrote
   }
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, TableLock]()
@@ -2013,20 +2145,46 @@ object ShardFormat {
     val abs = new File(dir).getAbsolutePath
     val tl = commitLocks.computeIfAbsent(abs, _ => new TableLock)
     tl.synchronized {
-      if (tl.depth == 0) tl.held = acquireProcessLock(abs)
+      if (tl.depth == 0) {
+        val (f, token) = acquireProcessLock(abs)
+        tl.held = f; tl.heldToken = token
+      }
       tl.depth += 1
       try body
       finally {
         tl.depth -= 1
         if (tl.depth == 0) {
-          if (tl.held != null) { tl.held.delete(); tl.held = null }
+          // Release ONLY our own lock. If the lease expired mid-section
+          // (a >CommitLeaseMs pause) a waiter may have stolen the lock
+          // and a NEW holder's file may sit at this path — deleting it
+          // blindly would admit a third committer into the new holder's
+          // critical section. Re-read and compare against the exact
+          // token we wrote; on mismatch (or vanished file) the lock was
+          // stolen: log and leave the new holder's file alone.
+          if (tl.held != null) {
+            val mine =
+              try {
+                val txt = new String(
+                  java.nio.file.Files.readAllBytes(tl.held.toPath), "UTF-8")
+                txt == tl.heldToken
+              } catch { case scala.util.control.NonFatal(_) => false }
+            if (mine) tl.held.delete()
+            else System.err.println(
+              s"graftshard: commit.lock at ${tl.held} was stolen during " +
+              "this section (lease expired under a long pause); leaving " +
+              "the current holder's lock in place")
+            tl.held = null; tl.heldToken = null
+          }
         }
       }
     }
   }
 
-  /** Blocks until this process owns `<absDir>/commit.lock`. */
-  private def acquireProcessLock(absDir: String): File = {
+  /** Blocks until this process owns `<absDir>/commit.lock`; returns the
+    * lock file and the exact token written into it (the release path
+    * compares the file against the token so a stolen lock is never
+    * deleted out from under its new holder). */
+  private def acquireProcessLock(absDir: String): (File, String) = {
     val d = new File(absDir)
     if (!d.isDirectory) d.mkdirs() // first commit into a fresh table dir
     val lock = new File(d, CommitLockName)
@@ -2035,7 +2193,7 @@ object ShardFormat {
       try {
         java.nio.file.Files.createFile(lock.toPath) // atomic O_EXCL
         java.nio.file.Files.write(lock.toPath, me.getBytes("UTF-8"))
-        return lock
+        return (lock, me)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           if (holderIsGone(lock)) {
@@ -2068,6 +2226,36 @@ object ShardFormat {
         case _ => false // foreign host or unparsable: lease decides
       }
     } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
+  /** FENCE for the lease-steal window: every pointer/branch publish
+    * that runs INSIDE a commit section re-reads the lock file first and
+    * REFUSES when the token no longer matches — the holder was paused
+    * past [[CommitLeaseMs]] (GC, cgroup freeze, VM migration) and a
+    * waiter stole the lock; publishing anyway would overwrite the
+    * stealer's commit with a manifest composed against pre-steal state
+    * (the silent lost update the whole protocol exists to prevent).
+    * The check applies only when the CURRENT thread is inside
+    * withCommitLock for this table (Thread.holdsLock — direct
+    * writeManifest callers outside a section are not fenced, and a
+    * concurrent section in this JVM is never blocked on). The
+    * check-to-rename window that remains is microseconds instead of
+    * the whole compose; closing it fully needs a conditional-PUT
+    * primitive the filesystem does not offer. */
+  private def fenceHeldLock(dir: String): Unit = {
+    val tl = commitLocks.get(new File(dir).getAbsolutePath)
+    if (tl != null && Thread.holdsLock(tl) && tl.held != null) {
+      val ok =
+        try new String(
+          java.nio.file.Files.readAllBytes(tl.held.toPath), "UTF-8") == tl.heldToken
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!ok) throw new java.util.ConcurrentModificationException(
+        s"graftshard: commit fenced — commit.lock in $dir was stolen " +
+          "(this committer paused past graft.shard.commitLeaseMs and a " +
+          "waiter took over); abandoning the publish to protect the new " +
+          "holder's commits. Re-run the write — its data files are " +
+          "unreferenced and will be vacuumed.")
+    }
   }
 
   def manifestFile(dir: String): File = new File(dir, ManifestName)
@@ -2250,10 +2438,13 @@ object ShardFormat {
       if (z != null && z.size() == 2) Some((z.get(0).asText(), z.get(1).asText()))
       else None
     }
+    val branchBase =
+      if (root.has("branchBase")) Some(root.get("branchBase").asLong()) else None
     Some(Manifest(schema, generation, files, partitioning, version,
       createdAt, sortedBy, streamCommits, dropped, operation, compression,
       fieldIds, lastFieldId, aliases, bloomColumns, ndvColumns, zorderBy,
-      equalityDeletes = equalityDeletes, pagedSegments = paged))
+      equalityDeletes = equalityDeletes, branchBase = branchBase,
+      pagedSegments = paged))
   }
 
   /** Parses one manifest `files` array (root-inline or segment file). */
@@ -2359,6 +2550,7 @@ object ShardFormat {
       }
     }
     m.sortedBy.foreach(root.put("sortedBy", _))
+    m.branchBase.foreach(root.put("branchBase", _))
     if (m.streamCommits.nonEmpty) {
       val sc = root.putObject("streamCommits")
       m.streamCommits.foreach { case (q, e) => sc.put(q, e): Unit }
@@ -2406,6 +2598,7 @@ object ShardFormat {
           s"graftshard: cannot publish ${target.getName} in $dir")
       }
     }
+    fenceHeldLock(dir) // a lease-stolen section must not publish
     branch match {
       case Some(b) =>
         publish(branchFile(dir, b)) // staged: no snapshot, no pointer

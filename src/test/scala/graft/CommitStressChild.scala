@@ -69,6 +69,33 @@ object CommitStressChild {
         Thread.sleep(args(2).toLong)
       }
       println("RELEASED")
+    case "pausedCommit" =>
+      // the lease-steal fence scenario: take the lock, compose, PAUSE
+      // past the parent's lease (a stand-in for a long GC / cgroup
+      // freeze), then attempt the publish — which must REFUSE because
+      // a waiter stole the lock during the pause
+      val dir = args(1); val pauseMs = args(2).toLong
+      try ShardFormat.withCommitLock(dir) {
+        val cur = ShardFormat.readManifest(dir).getOrElse(
+          sys.error(s"no manifest under $dir"))
+        val name = s"part-paused-${java.util.UUID.randomUUID().toString.take(8)}.shard"
+        val w = new ShardFormat.ShardWriter(new File(dir, name), schema,
+          fieldIds = cur.fieldIds.toArray)
+        w.write(new GenericInternalRow(Array[Any](999999L, 999999L)))
+        val (bytes, rows, stats, allNull) = w.finish()
+        println("HOLDING"); Console.flush()
+        Thread.sleep(pauseMs) // the stop-the-world stand-in
+        ShardFormat.writeManifest(dir, cur.copy(
+          version = cur.version + 1,
+          files = cur.files :+ ShardFormat.FileEntry(name, bytes, rows, stats,
+            allNull, seq = cur.version + 1),
+          createdAtMs = System.currentTimeMillis(),
+          operation = "append"))
+        println("PUBLISHED")
+      } catch {
+        case _: java.util.ConcurrentModificationException =>
+          println("FENCED")
+      }
     case other => sys.error(s"unknown mode $other")
   }
 }

@@ -333,4 +333,56 @@ class GraftShardColumnarReadSpec extends AnyFunSuite {
     assert(plan(f).contains("ColumnarToRow"))
     assert(canon(f) == got.filter(_._1 < 500))
   }
+
+  test("dictionary-at-rest strings serve through vector dictionaries: 1B/2B ids, nulls, filters, dict+raw chunks in one scan") {
+    val dir = tmp()
+    // chunk shapes the codec picks differently PER CHUNK: `lo` has <256
+    // distinct values (1-byte ids), `hi` has ~1200 (2-byte ids), `uniq`
+    // is all-distinct (dict encoder bails -> raw within a dict write),
+    // and `lo` is null every 9th row (ids exist only for non-null cells)
+    def mk(a: Long, n: Long) = spark.range(a, a + n).select(
+      col("id"),
+      when(col("id") % 9 =!= 0, concat(lit("k"), col("id") % 50)).as("lo"),
+      concat(lit("v"), col("id") % 1200).as("hi"),
+      concat(lit("u"), col("id")).as("uniq"))
+    // first file RAW (table default), second DICT: one scan mixes
+    // dictionary-form and materialized chunks for the same columns
+    mk(0, 30000).coalesce(1)
+      .write.format("graftshard").mode("overwrite").save(dir)
+    mk(30000, 170000).coalesce(1)
+      .write.format("graftshard").option("compression", "dict")
+      .mode("append").save(dir)
+
+    val t = spark.read.format("graftshard").load(dir)
+    val rowT = spark.read.format("graftshard")
+      .option("columnarRead", "false").load(dir)
+    assert(plan(t).contains("ColumnarToRow"),
+      s"dict-at-rest scans must stay columnar:\n${plan(t)}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String, String)] =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        r.getString(2), r.getString(3))).sortBy(_._1).toSeq
+    val got = canon(t)
+    assert(got.size == 200000)
+    assert(got == canon(rowT))
+    // spot-check the decoded VALUES, not just batch-vs-row agreement
+    assert(got(30001) == ((30001L, s"k${30001 % 50}", s"v${30001 % 1200}", "u30001")))
+    assert(got(30006)._2 == null) // 30006 % 9 == 0 -> null behind the dict
+
+    // filters EVALUATE against dictionary-backed vectors (boxOf reads
+    // through getUTF8String) and survivors COMPACT out of them
+    val f = t.where(col("lo") === "k7").select(col("id"), col("hi"))
+    assert(plan(f).contains("ColumnarToRow"))
+    val gotF = f.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val wantF = rowT.where(col("lo") === "k7").select(col("id"), col("hi"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(gotF == wantF && gotF.nonEmpty)
+
+    // aggregation over a dict column (the curation GROUP BY lang shape)
+    val agg = t.groupBy("lo").count().collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1))).sortBy(t => s"${t._1}").toSeq
+    val aggRow = rowT.groupBy("lo").count().collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1))).sortBy(t => s"${t._1}").toSeq
+    assert(agg == aggRow)
+  }
 }

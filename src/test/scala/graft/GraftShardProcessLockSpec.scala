@@ -129,4 +129,36 @@ class GraftShardProcessLockSpec extends AnyFunSuite {
         s"holding for ${holdMs}ms — the foreign lock was not honored")
     assert(spark.read.format("graftshard").load(dir).count() == 11)
   }
+
+  test("a holder paused past the lease is stolen from AND fenced: its publish refuses") {
+    val dir = tmp()
+    spark.range(0, 10).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(dir)
+    val v0 = ShardFormat.readManifest(dir).get.version
+
+    // child composes, then pauses 4s mid-section (the GC/freeze stand-in);
+    // this JVM's lease is dropped to 800ms so the steal actually fires
+    val child = fork("pausedCommit", dir, "4000")
+    System.setProperty("graft.shard.commitLeaseMs", "800")
+    try {
+      awaitHolding(child)
+      Thread.sleep(1000) // let the lock file age past the shortened lease
+      // the steal: this append detects the over-lease holder, tombstones
+      // its lock, and commits
+      Seq((7000L, 7000L)).toDF("id", "v")
+        .coalesce(1).write.format("graftshard").mode("append").save(dir)
+    } finally System.clearProperty("graft.shard.commitLeaseMs")
+
+    // the woken child's publish must FENCE, not overwrite this commit
+    val out = readAll(child)
+    assert(child.waitFor() == 0, s"child failed: $out")
+    assert(out.contains("FENCED"), s"paused holder must refuse its publish: $out")
+    assert(!out.contains("PUBLISHED"), out)
+    val m = ShardFormat.readManifest(dir).get
+    assert(m.version == v0 + 1, s"exactly the stealer's commit: v${m.version}")
+    val got = spark.read.format("graftshard").load(dir)
+    assert(got.count() == 11)
+    assert(got.where(col("id") === 999999L).count() == 0,
+      "the fenced commit's rows must not be visible")
+  }
 }

@@ -126,6 +126,73 @@ class GraftShardWapSpec extends AnyFunSuite {
     assert(spark.read.format("graftshard").load(dir).count() == 10)
   }
 
+  test("multi-commit branch: staged writes accumulate, fast-forward publishes N commits at once") {
+    val dir = tmp()
+    spark.range(0, 100).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(dir)
+    val v0 = ShardFormat.readManifest(dir).get.version
+
+    // three staged micro-batches onto ONE branch — each bases on the
+    // branch's accumulated state, not on live
+    Seq((1000L, 1050L), (2000L, 2030L), (3000L, 3020L)).foreach { case (a, b) =>
+      spark.range(a, b).select(col("id"), col("id").as("v"))
+        .coalesce(1).write.format("graftshard").option("stageAs", "ingest")
+        .mode("append").save(dir)
+    }
+    // live never moved; the branch carries all three commits
+    assert(spark.read.format("graftshard").load(dir).count() == 100)
+    assert(ShardFormat.readManifest(dir).get.version == v0)
+    val bm = ShardFormat.readBranch(dir, "ingest").get
+    assert(bm.version == v0 + 3, s"v=${bm.version}")
+    assert(bm.branchBase.contains(v0))
+    val audit = spark.read.format("graftshard").option("branch", "ingest").load(dir)
+    assert(audit.count() == 100 + 50 + 30 + 20)
+
+    // the branches face pins the FORK point, not version-1
+    val rows = graft.sources.v2.GraftShardMetadataTables.rowsOf("branches", dir)
+    assert(rows.length == 1)
+    assert(rows.head.getLong(2) == v0, "base_version must be the fork point")
+    assert(rows.head.getBoolean(8), "unmoved live => publishable")
+
+    // fast-forward: one pointer move lands all three commits
+    val pub = GraftShardMaintenance.publishBranch(dir, "ingest")
+    assert(pub == v0 + 3)
+    val live = ShardFormat.readManifest(dir).get
+    assert(live.version == v0 + 3 && live.branchBase.isEmpty)
+    assert(spark.read.format("graftshard").load(dir).count() == 200)
+    assert(ShardFormat.listBranches(dir).isEmpty)
+  }
+
+  test("multi-commit branch: a live commit interleaved anywhere in the stage refuses the publish") {
+    val dir = tmp()
+    spark.range(0, 10).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(dir)
+    spark.range(100, 110).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graftshard").option("stageAs", "b2")
+      .mode("append").save(dir)
+    // live moves BETWEEN two staged commits
+    spark.range(500, 510).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graftshard").mode("append").save(dir)
+    spark.range(200, 210).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graftshard").option("stageAs", "b2")
+      .mode("append").save(dir)
+
+    // the fork point stays the ORIGINAL base — the second staged commit
+    // must not silently re-fork over the interleaved live commit
+    val bm = ShardFormat.readBranch(dir, "b2").get
+    assert(bm.branchBase.contains(1L))
+    val rows = graft.sources.v2.GraftShardMetadataTables.rowsOf("branches", dir)
+    assert(!rows.head.getBoolean(8), "moved live => not publishable")
+    val e = intercept[Exception] { GraftShardMaintenance.publishBranch(dir, "b2") }
+    assert(e.getMessage.contains("re-stage"), e.getMessage)
+    // the branch still audits with everything it staged (20 rows over
+    // its own 10-row fork state); live is untouched
+    assert(spark.read.format("graftshard").option("branch", "b2").load(dir)
+      .count() == 30)
+    assert(spark.read.format("graftshard").load(dir).count() == 20)
+    assert(GraftShardMaintenance.dropBranch(dir, "b2"))
+  }
+
   test("refusals: streaming cannot stage; unknown branch read names the available ones") {
     val dir = tmp()
     spark.range(0, 5).select(col("id"), col("id").as("v"))
