@@ -305,6 +305,26 @@ object ScaleProbe {
         val (pHalf, halfSec) = plan(Array(
           org.apache.spark.sql.sources.GreaterThan("id", n / 2 * 1000L)))
         val (pAll, allSec) = plan(Array.empty)
+        // LEAN filterless planning (round 14): retained driver heap of
+        // planning a full-table scan (streams paged segments, keeps lean
+        // tuples + partitions) vs the rich intermediate it replaced (the
+        // materialized FileEntry list with its stat maps)
+        def heapUsed(): Long = {
+          System.gc(); Thread.sleep(150)
+          java.lang.management.ManagementFactory.getMemoryMXBean
+            .getHeapMemoryUsage.getUsed
+        }
+        val h0 = heapUsed()
+        val leanParts = {
+          val sb = new GraftShardScanBuilder(dir, schema, empty, None)
+          sb.build().toBatch.planInputPartitions()
+        }
+        val h1 = heapUsed()
+        val richEntries = ShardFormat.readManifest(dir).get.files
+        val h2 = heapUsed()
+        require(leanParts.length == pAll && richEntries.size == n)
+        val leanHeapMb = (h1 - h0) / 1e6
+        val richHeapMb = (h2 - h1) / 1e6
         // the APPEND commit — the cost paging transforms: one new entry
         // over the provenance-carrying manifest re-serializes only ONE
         // new segment + the root of segment names; the monolithic
@@ -354,7 +374,9 @@ object ScaleProbe {
         println(f"PROBE-MANIFEST n=$n%8d write=$wSec%6.2f read=$rSec%6.2f " +
           f"pruned_read=$prSec%6.3f($prLoaded%d/$n entries) " +
           f"plan_point=$pointSec%6.3f($pPoint%d parts) plan_half=$halfSec%6.3f($pHalf%d) " +
-          f"plan_full=$allSec%6.3f($pAll%d) plan_topn=$topSec%6.3f($pTop%d) " +
+          f"plan_full=$allSec%6.3f($pAll%d) " +
+          f"plan_full_lean_heap=$leanHeapMb%.1fMB rich_entries_heap=$richHeapMb%.1fMB " +
+          f"plan_topn=$topSec%6.3f($pTop%d) " +
           f"append_paged=$aPagedSec%6.3f append_mono=$aMonoSec%6.2f " +
           f"set_part=$spSec%6.2f($spN%d cleared)")
       }

@@ -209,7 +209,7 @@ class GraftShardCowScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftShardScan.binPack(path, selected, targetBytes)
+    GraftShardScan.binPack(path, selected.map(ShardFormat.leanOf), targetBytes)
 
   // no pushed row filters: the reader must emit every row of every
   // candidate file (the write replaces those files wholesale)

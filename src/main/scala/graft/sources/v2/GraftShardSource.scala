@@ -611,12 +611,20 @@ class GraftShardScanBuilder(
       s"graftshard: maxFilesPerTrigger must be > 0, got $n"))
     maxBytes.foreach(b => require(b > 0,
       s"graftshard: maxBytesPerTrigger must be > 0, got $b"))
-    new GraftShardScan(path, fullSchema, required, pushed, manifest, targetBytes,
+    new GraftShardScan(path, fullSchema, required, pushed, () => manifest, targetBytes,
       agg, limit, snapshot = pinned.isDefined,
       maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes,
       topN = topN,
       columnarOption =
-        !Option(options.get("columnarRead")).map(_.toLowerCase).contains("false"))
+        !Option(options.get("columnarRead")).map(_.toLowerCase).contains("false"),
+      // LEAN plan eligibility: nothing about this scan needs the rich
+      // per-file stat maps at plan time — no pushed row predicates, no
+      // limit/TopN file cuts, no manifest-answered aggregate, no
+      // time-travel pin. The scan then streams a paged manifest's
+      // segments one at a time and retains only lean tuples +
+      // statistic accumulators (see GraftShardScan.lean)
+      leanEligible = pushed.isEmpty && limit.isEmpty && topN.isEmpty &&
+        agg.isEmpty && pinned.isEmpty)
   }
 }
 
@@ -658,7 +666,7 @@ class GraftShardScan(
     fullSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    manifest: ShardFormat.Manifest,
+    manifestFn: () => ShardFormat.Manifest,
     targetBytes: Long,
     agg: Option[ShardAggResult],
     limit: Option[Int],
@@ -666,10 +674,138 @@ class GraftShardScan(
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
     topN: Option[TopNPush] = None,
-    columnarOption: Boolean = true)
+    columnarOption: Boolean = true,
+    leanEligible: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsRuntimeFiltering {
+
+  /** RICH manifest — the full FileEntry list. Never forced on the lean
+    * path (that is the point: at the 1M-entry ceiling the full list is
+    * hundreds of MB of driver heap for stat maps this scan will not
+    * consult). */
+  private lazy val manifest: ShardFormat.Manifest = manifestFn()
+
+  /** LEAN plan state, built by ONE streaming pass over a PAGED
+    * manifest root when [[leanEligible]]: per file only the
+    * [[ShardFormat.LeanFileEntry]] tuple partition planning needs,
+    * plus running statistic accumulators (byte/row totals, per-column
+    * NDV unions, null counts, integral bounds) — so a filterless
+    * 1M-entry scan plans with bounded peak heap and produces the SAME
+    * partitions as the rich path (identical order, identical
+    * bin-packing). None when the root is inline (already small) or the
+    * scan is not eligible. */
+  private final class LeanColStats(
+      val est: Long, val nulls: Option[Long], val minMax: Option[(Long, Long)])
+  private final class LeanState(
+      val meta: ShardFormat.Manifest,
+      val entries: Array[ShardFormat.LeanFileEntry],
+      val totalBytes: Long,
+      val liveRows: Long,
+      val allKeyed: Boolean,
+      val ndv: Map[String, LeanColStats])
+
+  private lazy val lean: Option[LeanState] =
+    if (!leanEligible) None
+    else {
+      val entries = Array.newBuilder[ShardFormat.LeanFileEntry]
+      var totalBytes = 0L
+      var liveRows = 0L
+      var allKeyed = true
+      var files = 0L
+      final class Acc {
+        val union = new org.apache.datasketches.hll.Union(ShardFormat.NdvLgK)
+        var covered = 0L // files with a sketch (or fully-deleted)
+        var nulls = 0L; var nullsCovered = 0L
+        var min = Long.MaxValue; var max = Long.MinValue
+        var anyBounded = false; var statsOrAllNull = 0L
+      }
+      val accs = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
+      val meta = ShardFormat.streamManifestForScan(path, _ => true, fe => {
+        entries += ShardFormat.leanOf(fe)
+        totalBytes += fe.bytes
+        liveRows += fe.rows - fe.deletedRows
+        if (fe.partition.isEmpty) allKeyed = false
+        files += 1
+        fe.ndv.foreach { case (c, sk) =>
+          val a = accs.getOrElseUpdate(c, new Acc)
+          a.union.update(org.apache.datasketches.hll.HllSketch.heapify(
+            java.util.Base64.getDecoder.decode(sk)))
+          a.covered += 1
+          fe.stats.get(c).map(_._3)
+            .orElse(fe.strStats.get(c).map(_._3))
+            .orElse(fe.allNull.get(c)) match {
+            case Some(n) => a.nulls += n; a.nullsCovered += 1
+            case None => ()
+          }
+          fe.stats.get(c) match {
+            case Some((lo, hi, _)) =>
+              a.min = math.min(a.min, lo); a.max = math.max(a.max, hi)
+              a.anyBounded = true; a.statsOrAllNull += 1
+            case None => if (fe.allNull.contains(c)) a.statsOrAllNull += 1
+          }
+        }
+      })
+      meta.map { m =>
+        val ndv = accs.collect {
+          // same coverage contract as the rich path: a missing sketch
+          // would make the union an undercount, so partial coverage
+          // reports nothing (fully-deleted files are exempt there; the
+          // lean accumulator cannot see that per file, so it simply
+          // requires full coverage — strictly more conservative)
+          case (c, a) if a.covered == files =>
+            c -> new LeanColStats(
+              math.max(1L, math.round(a.union.getEstimate)),
+              if (a.nullsCovered == files) Some(a.nulls) else None,
+              if (a.anyBounded && a.statsOrAllNull == files) Some((a.min, a.max))
+              else None)
+        }.toMap
+        new LeanState(m, entries.result(), totalBytes, liveRows, allKeyed, ndv)
+      }
+    }
+
+  /** Root-resident manifest metadata (schema, partitioning, equality
+    * deletes, resolution, properties) — served without forcing the
+    * rich entry list on the lean path. */
+  private lazy val rootMeta: ShardFormat.Manifest =
+    lean.map(_.meta).getOrElse(manifest)
+
+  // lean selection memo: runtime filters re-stream WITH segment-rollup
+  // pruning (the stats live transiently in the stream, never retained);
+  // keyed by the runtime array instance (replaced wholesale in filter())
+  private var leanSelCache: (Array[Filter], Array[ShardFormat.LeanFileEntry]) = null
+
+  private def leanSelected(ls: LeanState): Array[ShardFormat.LeanFileEntry] =
+    if (runtime.isEmpty) ls.entries
+    else {
+      val cached = leanSelCache
+      if (cached != null && (cached._1 eq runtime)) cached._2
+      else {
+        val out = Array.newBuilder[ShardFormat.LeanFileEntry]
+        val meta2 = ShardFormat.streamManifestForScan(path,
+          rollup => runtime.forall(ShardFilters.mayContain(_, rollup)),
+          fe => if (runtime.forall(ShardFilters.mayContain(_, fe)))
+            out += ShardFormat.leanOf(fe))
+        // snapshot guard: the re-stream reads the LIVE pointer — if a
+        // commit moved it since planning, pruning against the new state
+        // could drop files of OUR snapshot; fall back to the unpruned
+        // plan-time list (sound: runtime filters only optimize)
+        val sel = meta2 match {
+          case Some(m2) if m2.version == ls.meta.version &&
+            m2.generation == ls.meta.generation => out.result()
+          case _ => ls.entries
+        }
+        leanSelCache = (runtime, sel)
+        sel
+      }
+    }
+
+  /** The per-consumer selection in LEAN tuples — single currency for
+    * partition planning and size statistics on both paths. */
+  private def selectedLean: Seq[ShardFormat.LeanFileEntry] = lean match {
+    case Some(ls) => scala.collection.immutable.ArraySeq.unsafeWrapArray(leanSelected(ls))
+    case None => selected.map(ShardFormat.leanOf)
+  }
 
   /** Key-grouped mode: one `InputPartition` per partition-key value,
     * reported as [[KeyGroupedPartitioning]], so joins and group-bys on
@@ -685,12 +821,16 @@ class GraftShardScan(
     * DPP re-plan that dropped a key group would break the
     * one-partition-per-reported-key contract BatchScanExec checks; the
     * static manifest skipping still applies per group. */
-  private val groupedSpec: Option[ShardFormat.PartSpec] =
+  private lazy val groupedSpec: Option[ShardFormat.PartSpec] =
     if (agg.isDefined) None
-    else manifest.partitioning.filter { sp =>
+    else rootMeta.partitioning.filter { sp =>
       org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
         required.fieldNames.contains(sp.column) &&
-        manifest.files.nonEmpty && manifest.files.forall(_.partition.isDefined)
+        (lean match {
+          case Some(ls) => ls.entries.nonEmpty && ls.allKeyed
+          case None =>
+            manifest.files.nonEmpty && manifest.files.forall(_.partition.isDefined)
+        })
     }
 
   /** Runtime (DPP-style) filters: Spark's PartitionPruning rule plants
@@ -815,14 +955,15 @@ class GraftShardScan(
     val l = limit.map(n => s" limit=$n").getOrElse("")
     val tn = topN.map(t => s" topN=${t.k} by ${t.col}" +
       s"${if (t.desc) " DESC" else ""}").getOrElse("")
-    s"graftshard files=${selected.size}/${manifest.files.size} pushed=[$p]$a$g$l$tn"
+    val total = lean.map(_.entries.length).getOrElse(manifest.files.size)
+    s"graftshard files=${selectedLean.size}/$total pushed=[$p]$a$g$l$tn"
   }
 
   override def outputPartitioning(): Partitioning = groupedSpec match {
     case Some(sp) =>
       new KeyGroupedPartitioning(
         Array[V2Expression](GraftShardTable.transformOf(sp)),
-        selected.flatMap(_.partition).distinct.size)
+        selectedLean.flatMap(_.partition).distinct.size)
     case None => new UnknownPartitioning(0)
   }
 
@@ -834,10 +975,10 @@ class GraftShardScan(
     * requirements this satisfies skip their SortExec: zero exchange AND
     * zero sort from at-rest layout. */
   override def outputOrdering(): Array[SortOrder] =
-    (groupedSpec, manifest.sortedBy) match {
+    (groupedSpec, rootMeta.sortedBy) match {
       case (Some(sp), Some(s))
           if required.fieldNames.contains(s) &&
-            selected.groupBy(_.partition).forall(_._2.size == 1) =>
+            selectedLean.groupBy(_.partition).forall(_._2.size == 1) =>
         sp match {
           // identity: (key, sortedBy) — satisfies a window's
           // partitionBy(key).orderBy(sortedBy) requirement outright
@@ -860,7 +1001,11 @@ class GraftShardScan(
     override def sizeInBytes(): OptionalLong = agg match {
       // the aggregate answer is manifest-resident: a handful of rows
       case Some(r) => OptionalLong.of(r.rows.size.toLong * 64)
-      case None => OptionalLong.of(selected.map(_.bytes).sum)
+      case None => lean match {
+        case Some(ls) if runtime.isEmpty => OptionalLong.of(ls.totalBytes)
+        case Some(ls) => OptionalLong.of(leanSelected(ls).map(_.bytes).sum)
+        case None => OptionalLong.of(selected.map(_.bytes).sum)
+      }
     }
     // exact only when every surviving row passes every pushed filter,
     // which we cannot know without reading — report rows for the
@@ -871,14 +1016,23 @@ class GraftShardScan(
     // and CBO could never size the aggregate above it)
     override def numRows(): OptionalLong = agg match {
       case Some(r) => OptionalLong.of(r.rows.size.toLong)
-      case None =>
-        // equality deletes make physical counts an overcount the
-        // manifest cannot correct — report unknown, never a lie
-        val provablyAll = pushed.isEmpty ||
-          pushed.forall(f => selected.forall(ShardFilters.mustMatchAll(f, _)))
-        if (provablyAll && manifest.equalityDeletes.isEmpty)
-          OptionalLong.of(selected.map(fe => fe.rows - fe.deletedRows).sum)
-        else OptionalLong.empty()
+      case None => lean match {
+        // lean path: pushed is empty by eligibility; same eq-delete
+        // honesty rule as the rich path
+        case Some(ls) if ls.meta.equalityDeletes.isEmpty =>
+          if (runtime.isEmpty) OptionalLong.of(ls.liveRows)
+          else OptionalLong.of(
+            leanSelected(ls).map(fe => fe.rows - fe.deletedRows).sum)
+        case Some(_) => OptionalLong.empty()
+        case None =>
+          // equality deletes make physical counts an overcount the
+          // manifest cannot correct — report unknown, never a lie
+          val provablyAll = pushed.isEmpty ||
+            pushed.forall(f => selected.forall(ShardFilters.mustMatchAll(f, _)))
+          if (provablyAll && manifest.equalityDeletes.isEmpty)
+            OptionalLong.of(selected.map(fe => fe.rows - fe.deletedRows).sum)
+          else OptionalLong.empty()
+      }
     }
 
     /** Column statistics from the manifest alone — the CBO currency.
@@ -886,21 +1040,131 @@ class GraftShardScan(
       * carries, the per-file HLLs union into the scan's distinct count
       * (a missing sketch would make the union an undercount, so partial
       * coverage reports nothing). Null counts and integral min/max ride
-      * along exactly where the stats tier tracks them. Conservative
-      * under pushed filters and row-level deletes: the pre-filter NDV
-      * is an overcount of the post-filter one, which can only make the
-      * planner keep a bigger estimate — never broadcast something too
-      * large. This is what lets `spark.sql.cbo.enabled` size a
+      * along exactly where the stats tier tracks them. Under pushed
+      * filters the union is a sound overcount of the post-filter NDV,
+      * tightened by the in-method caps (physical live rows; the
+      * predicate's own value set when it targets the sketched column;
+      * the uniform range fraction for integral spans) — still never an
+      * undercount, so the planner can only keep a bigger estimate,
+      * never broadcast something too large. This is what lets
+      * `spark.sql.cbo.enabled` size a
       * GROUP BY's output by its key's true cardinality and flip the
       * join above it to broadcast (GraftShardNdvSpec). */
     override def columnStats()
         : java.util.Map[NamedReference, colstats.ColumnStatistics] = {
       val out = new java.util.HashMap[NamedReference, colstats.ColumnStatistics]()
+      lean match {
+        case Some(ls) =>
+          // LEAN path: whole-selection accumulators from the streaming
+          // pass (pushed is empty by eligibility; runtime filters cap
+          // via the live-row bound and the predicate's own value set)
+          if (agg.isEmpty && ls.entries.nonEmpty) {
+            val physRows =
+              if (runtime.isEmpty) ls.liveRows
+              else leanSelected(ls).map(fe => fe.rows - fe.deletedRows).sum
+            ls.ndv.foreach { case (c, cs) =>
+              val eqBound = runtime.foldLeft(Long.MaxValue) {
+                case (acc, org.apache.spark.sql.sources.EqualTo(`c`, _)) =>
+                  math.min(acc, 1L)
+                case (acc, org.apache.spark.sql.sources.In(`c`, vs)) =>
+                  math.min(acc, vs.distinct.length.toLong)
+                case (acc, _) => acc
+              }
+              val est = math.min(cs.est, math.min(physRows, eqBound))
+              val dt = fullSchema.fields.find(_.name == c).map(_.dataType)
+              def boxed(v: Long): Object = dt match {
+                case Some(IntegerType) => Integer.valueOf(v.toInt)
+                case _ => java.lang.Long.valueOf(v)
+              }
+              val integral = dt.exists(d => d == LongType || d == IntegerType)
+              out.put(Expressions.column(c), new colstats.ColumnStatistics {
+                override def distinctCount(): OptionalLong =
+                  OptionalLong.of(math.max(1L, est))
+                override def nullCount(): OptionalLong =
+                  cs.nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+                override def min(): java.util.Optional[Object] =
+                  if (integral)
+                    cs.minMax.map(m => java.util.Optional.of(boxed(m._1)))
+                      .getOrElse(java.util.Optional.empty())
+                  else java.util.Optional.empty()
+                override def max(): java.util.Optional[Object] =
+                  if (integral)
+                    cs.minMax.map(m => java.util.Optional.of(boxed(m._2)))
+                      .getOrElse(java.util.Optional.empty())
+                  else java.util.Optional.empty()
+              })
+            }
+          }
+          return out
+        case None => ()
+      }
       if (agg.isEmpty && selected.nonEmpty) {
+        // FILTER-AWARE capping: the HLL union is the PRE-filter NDV of
+        // the selected files — an overcount under pushed predicates that
+        // can mis-size joins above selective filters (the round-13
+        // gap). Two sound tighteners, never an undercount of the
+        // post-filter truth: (a) the physical live row count of the
+        // selection bounds any distinct count (also absorbs HLL's +4.6%
+        // over-error on small selections); (b) a pushed predicate ON
+        // the sketched column itself bounds its post-filter NDV by the
+        // predicate's own value set (=1 for EqualTo, |values| for In)
+        // or, for integral ranges, by the value-uniform span fraction
+        // (the standard CBO assumption; capped below by 1).
+        val physRows = selected.map(fe => fe.rows - fe.deletedRows).sum
+        def filterBound(c: String, est: Long): Long = {
+          val eqBound = (pushed ++ runtime).foldLeft(Long.MaxValue) {
+            case (acc, org.apache.spark.sql.sources.EqualTo(`c`, _)) =>
+              math.min(acc, 1L)
+            case (acc, org.apache.spark.sql.sources.EqualNullSafe(`c`, v))
+                if v != null => math.min(acc, 1L)
+            case (acc, org.apache.spark.sql.sources.In(`c`, vs)) =>
+              math.min(acc, vs.distinct.length.toLong)
+            case (acc, _) => acc
+          }
+          // integral range fraction over the selection's min/max span
+          val bounded = selected.filter(_.stats.contains(c))
+          val rangeBound: Long =
+            if (bounded.isEmpty || !selected.forall(fe =>
+              fe.stats.contains(c) || fe.allNull.contains(c))) Long.MaxValue
+            else {
+              val lo = bounded.map(_.stats(c)._1).min
+              val hi = bounded.map(_.stats(c)._2).max
+              val span = (hi - lo + 1).toDouble
+              def clampHi(v: Long) = math.min(v, hi)
+              def clampLo(v: Long) = math.max(v, lo)
+              def asLong(v: Any): Option[Long] = v match {
+                case l: Long => Some(l)
+                case i: Int => Some(i.toLong)
+                case s: Short => Some(s.toLong)
+                case b: Byte => Some(b.toLong)
+                case _ => None
+              }
+              (pushed ++ runtime).foldLeft(Long.MaxValue) {
+                case (acc, f) =>
+                  val frac: Option[Double] = f match {
+                    case org.apache.spark.sql.sources.LessThan(`c`, v) =>
+                      asLong(v).map(l => (clampHi(l - 1) - lo + 1).toDouble / span)
+                    case org.apache.spark.sql.sources.LessThanOrEqual(`c`, v) =>
+                      asLong(v).map(l => (clampHi(l) - lo + 1).toDouble / span)
+                    case org.apache.spark.sql.sources.GreaterThan(`c`, v) =>
+                      asLong(v).map(l => (hi - clampLo(l + 1) + 1).toDouble / span)
+                    case org.apache.spark.sql.sources.GreaterThanOrEqual(`c`, v) =>
+                      asLong(v).map(l => (hi - clampLo(l) + 1).toDouble / span)
+                    case _ => None
+                  }
+                  frac.map(fr => math.min(acc,
+                    math.max(1L, math.ceil(est * math.max(0.0, math.min(1.0, fr))).toLong)))
+                    .getOrElse(acc)
+              }
+            }
+          math.min(eqBound, rangeBound)
+        }
         manifest.ndvColumns.foreach { c =>
           if (selected.forall(fe => fe.ndv.contains(c) || fe.rows == fe.deletedRows)) {
             ShardFormat.ndvEstimate(
-              selected.flatMap(_.ndv.get(c))).foreach { est =>
+              selected.flatMap(_.ndv.get(c))).map(raw =>
+                math.min(raw, math.min(physRows, filterBound(c, raw)))
+              ).foreach { est =>
               def nullsOf(fe: ShardFormat.FileEntry): Option[Long] =
                 fe.stats.get(c).map(_._3)
                   .orElse(fe.strStats.get(c).map(_._3))
@@ -956,14 +1220,14 @@ class GraftShardScan(
             fullSchema.fields(fullSchema.fieldIndex(c)).dataType == LongType
           case _: ShardFormat.BucketPart => false
         }
-        selected.groupBy(_.partition.get).toSeq.sortBy(_._1).map { case (k, fes) =>
+        selectedLean.groupBy(_.partition.get).toSeq.sortBy(_._1).map { case (k, fes) =>
           ShardKeyedInputPartition(
             fes.map(fe => (new File(path, fe.name).getPath, fe.rows,
               fe.deletes.map(d => new File(path, d).getPath),
               fe.bloom.map(b => new File(path, b).getPath), fe.seq)).toArray,
             k, keyIsLong): InputPartition
         }.toArray
-      case None => GraftShardScan.binPack(path, selected, targetBytes)
+      case None => GraftShardScan.binPack(path, selectedLean, targetBytes)
     }
   }
 
@@ -973,8 +1237,8 @@ class GraftShardScan(
     // the factory was built first, rows stay correct (the join itself
     // still filters) — only the early-drop optimization is lost
     case None => new GraftShardReaderFactory(fullSchema, required, pushed ++ runtime, limit,
-      manifest.resolution,
-      manifest.equalityDeletes.map(d =>
+      rootMeta.resolution,
+      rootMeta.equalityDeletes.map(d =>
         (d.column, new File(path, d.name).getPath, d.seq)),
       // option("columnarRead", "false") is the operational escape hatch
       // (and the ScaleProbe A/B control); merge-on-read delete vectors
@@ -1010,7 +1274,7 @@ object GraftShardScan {
     * tightly as first-fit on the same descending order. */
   def binPack(
       path: String,
-      selected: Seq[ShardFormat.FileEntry],
+      selected: Seq[ShardFormat.LeanFileEntry],
       targetBytes: Long): Array[InputPartition] = {
     val bins = scala.collection.mutable.ArrayBuffer
       .empty[(scala.collection.mutable.ArrayBuffer[(String, Long, Option[String], Option[String], Long)], Long)]

@@ -2333,6 +2333,80 @@ object ShardFormat {
       .sorted
   }
 
+  /** Lean per-file scan tuple — everything partition planning and
+    * size statistics need, roughly an order of magnitude lighter than
+    * [[FileEntry]] (no stats/sums/strStats/ndv maps). The currency of
+    * the streaming filterless plan path: at the 1M-entry manifest
+    * ceiling, retaining these instead of full entries is the
+    * difference between ~hundreds of MB and tens of MB of driver
+    * heap while producing the SAME input partitions. */
+  final case class LeanFileEntry(
+      name: String,
+      bytes: Long,
+      rows: Long,
+      deletedRows: Long,
+      partition: Option[Long],
+      deletes: Option[String],
+      bloom: Option[String],
+      seq: Long)
+
+  def leanOf(fe: FileEntry): LeanFileEntry =
+    LeanFileEntry(fe.name, fe.bytes, fe.rows, fe.deletedRows,
+      fe.partition, fe.deletes, fe.bloom, fe.seq)
+
+  /** STREAMING scan read over a PAGED manifest: parses the root, then
+    * visits every file entry of every kept segment ONE SEGMENT AT A
+    * TIME — live heap O(root + one segment) plus whatever `f` retains.
+    * Returns the root manifest with `files = Nil` and
+    * `pagedSegments = Nil` (schema, partitioning, equality deletes,
+    * resolution, properties all intact). None when the root is NOT
+    * paged — inline entry lists are below [[segmentMaxEntries]] by
+    * construction, so the materializing read is already bounded. Only
+    * for SCANS: a commit must hold the full list (and its segment
+    * provenance) to re-serialize dirty segments. */
+  def streamManifestForScan(
+      dir: String,
+      segKeep: FileEntry => Boolean,
+      f: FileEntry => Unit): Option[Manifest] = {
+    val mf = manifestFile(dir)
+    if (!mf.isFile) return None
+    val root = mapper.readTree(mf)
+    if (!root.has("fileSegments")) return None
+    val rollups: Map[String, FileEntry] =
+      readEntries(root.get("fileSegmentStats")).map(r => r.name -> r).toMap
+    root.get("fileSegments").forEach { n =>
+      val segName = n.asText()
+      val rollup = rollups.get(segName)
+      if (rollup.isEmpty || segKeep(rollup.get)) {
+        val segFile = new File(mf.getParentFile, segName)
+        if (!segFile.isFile)
+          throw new java.io.IOException(
+            s"graftshard: manifest segment '$segName' referenced by " +
+              s"${mf.getName} is missing — the table directory is corrupt " +
+              "or was partially copied")
+        readEntries(mapper.readTree(segFile).get("files")).foreach(f)
+      }
+    }
+    Some(parseRootMeta(root))
+  }
+
+  /** Every root-resident manifest field EXCEPT the entry list (files =
+    * Nil, pagedSegments = Nil) — shared by the materializing read and
+    * the streaming scan read so the two can never drift. */
+  private def parseRootMeta(root: com.fasterxml.jackson.databind.JsonNode): Manifest = {
+    val schema = DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType]
+    val generation =
+      if (root.has("generation")) root.get("generation").asText() else ""
+    val partitioning: Option[PartSpec] =
+      if (root.has("partitionBucket")) {
+        val b = root.get("partitionBucket")
+        Some(BucketPart(b.get("numBuckets").asInt(), b.get("column").asText()))
+      } else if (root.has("partitionColumn"))
+        Some(IdentityPart(root.get("partitionColumn").asText()))
+      else None
+    parseRootRest(root, schema, generation, partitioning)
+  }
+
   private def readManifestFile(
       f: File, segKeep: FileEntry => Boolean = null): Option[Manifest] = {
     if (!f.isFile) return None
@@ -2379,6 +2453,15 @@ object ShardFormat {
         val all = segs.result()
         (all.flatMap(_.entries), all)
       } else (readEntries(root.get("files")), Nil)
+    Some(parseRootRest(root, schema, generation, partitioning)
+      .copy(files = files, pagedSegments = paged))
+  }
+
+  private def parseRootRest(
+      root: com.fasterxml.jackson.databind.JsonNode,
+      schema: StructType,
+      generation: String,
+      partitioning: Option[PartSpec]): Manifest = {
     val version = if (root.has("manifestVersion")) root.get("manifestVersion").asLong() else 0L
     val createdAt = if (root.has("createdAtMs")) root.get("createdAtMs").asLong() else 0L
     val sortedBy = if (root.has("sortedBy")) Some(root.get("sortedBy").asText()) else None
@@ -2440,11 +2523,11 @@ object ShardFormat {
     }
     val branchBase =
       if (root.has("branchBase")) Some(root.get("branchBase").asLong()) else None
-    Some(Manifest(schema, generation, files, partitioning, version,
+    Manifest(schema, generation, Nil, partitioning, version,
       createdAt, sortedBy, streamCommits, dropped, operation, compression,
       fieldIds, lastFieldId, aliases, bloomColumns, ndvColumns, zorderBy,
       equalityDeletes = equalityDeletes, branchBase = branchBase,
-      pagedSegments = paged))
+      pagedSegments = Nil)
   }
 
   /** Parses one manifest `files` array (root-inline or segment file). */

@@ -101,6 +101,57 @@ class GraftShardNdvSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("filter-aware NDV: a filtered scan's distinctCount is capped by rows and by the predicate's own shape") {
+    val dir = tmp()
+    // 200k rows, id 0..200k (NDV(id) ~ 200k), k = id % 1000; clustered
+    // id ranges so a range predicate prunes files AND bounds the span
+    for (i <- 0 until 4)
+      spark.range(i * 50000L, (i + 1) * 50000L)
+        .select(col("id"), (col("id") % 1000).as("k"))
+        .coalesce(1).write.format("graftshard")
+        .option("ndvColumns", "id,k")
+        .mode(if (i == 0) "overwrite" else "append").save(dir)
+
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    def scanStats(df: org.apache.spark.sql.DataFrame) = {
+      val scan = df.queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r.scan
+      }.get
+      scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+    }
+    def ndvOf(st: org.apache.spark.sql.connector.read.Statistics, c: String): Option[Long] = {
+      import scala.jdk.CollectionConverters._
+      st.columnStats().asScala.collectFirst {
+        case (ref, cs) if ref.describe() == c && cs.distinctCount().isPresent =>
+          cs.distinctCount().getAsLong
+      }
+    }
+
+    val t = () => spark.read.format("graftshard").load(dir)
+    // unfiltered: NDV(id) ~ 200k (HLL error band)
+    val full = ndvOf(scanStats(t()), "id").get
+    assert(math.abs(full - 200000) < 200000 * 0.14, s"full NDV $full")
+
+    // range filter on id: only file 0 survives (50k rows) AND the span
+    // fraction bounds further — reported NDV must be <= the selection's
+    // physical rows and track the 10k-value span
+    val ranged = scanStats(t().where(col("id") < 10000L))
+    val rNdv = ndvOf(ranged, "id").get
+    assert(rNdv <= 50000, s"capped by selected files' rows: $rNdv")
+    assert(rNdv <= 10000 + 1500, s"range fraction must bound the estimate: $rNdv")
+
+    // equality on k: post-filter NDV(k) is exactly 1
+    assert(ndvOf(scanStats(t().where(col("k") === 7L)), "k").contains(1L))
+    // IN-list on k: bounded by the list size
+    val inNdv = ndvOf(scanStats(t().where(col("k").isin(1L, 2L, 3L))), "k").get
+    assert(inNdv <= 3, s"IN-list bound: $inNdv")
+    // a filter on ANOTHER column must not shrink k's NDV below the
+    // row cap (sound overcount retained)
+    val other = ndvOf(scanStats(t().where(col("id") < 10000L)), "k").get
+    assert(other <= 10000 && other >= 900, s"other-column filter: $other")
+  }
+
   test("lifecycle: catalog property, rename re-key, compaction carry-through") {
     spark.sql("CREATE NAMESPACE ndvcat.a")
     spark.sql("CREATE TABLE ndvcat.a.t (id BIGINT, grp STRING) USING graftshard " +
