@@ -1382,16 +1382,47 @@ class GraftShardMicroBatchStream(
     ShardFormat.readManifest(path).getOrElse(
       ShardFormat.Manifest(fullSchema, "", Nil))
 
+  /** (generation, file count) without materializing a paged table's
+    * entry list — offset math is all the streaming face needs per
+    * trigger, and at the 1M-entry ceiling the full read is ~1.2 s and
+    * hundreds of MB PER TRIGGER. Inline roots read normally. */
+  private def genAndCount(): (String, Long) = {
+    var n = 0L
+    ShardFormat.streamManifestForScan(path, _ => true, _ => n += 1) match {
+      case Some(meta) => (meta.generation, n)
+      case None =>
+        val m = manifest()
+        (m.generation, m.files.size.toLong)
+    }
+  }
+
+  /** (generation, total count, bytes of entries `[from, total)`) —
+    * what the byte-capped admission walk needs, lean. */
+  private def tailBytes(from: Long): (String, Long, Array[Long]) = {
+    val bytes = Array.newBuilder[Long]
+    var idx = 0L
+    ShardFormat.streamManifestForScan(path, _ => true, fe => {
+      if (idx >= from) bytes += fe.bytes
+      idx += 1
+    }) match {
+      case Some(meta) => (meta.generation, idx, bytes.result())
+      case None =>
+        val m = manifest()
+        (m.generation, m.files.size.toLong,
+          m.files.drop(from.toInt).map(_.bytes).toArray)
+    }
+  }
+
   // Trigger.AvailableNow: the end of THIS run, pinned at query start —
   // capped batches drain to here, then the query stops
   @volatile private var availableNowCap: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(manifest().files.size.toLong)
+    availableNowCap = Some(genAndCount()._2)
 
   override def initialOffset(): Offset = ShardOffset("", 0L)
   override def latestOffset(): Offset = {
-    val m = manifest()
-    ShardOffset(m.generation, m.files.size.toLong)
+    val (gen, n) = genAndCount()
+    ShardOffset(gen, n)
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -1407,11 +1438,13 @@ class GraftShardMicroBatchStream(
     * many appended files the limit admits (prefix cuts over manifest
     * order — never a directory listing). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val m = manifest()
     val from = start.asInstanceOf[ShardOffset].fileCount.toInt
+    // lean: generation + total count + just the tail's byte sizes —
+    // never a paged table's materialized entry list per trigger
+    val (gen, total, tail) = tailBytes(from.toLong)
     val ceiling = availableNowCap
-      .map(c => math.min(c, m.files.size.toLong).toInt)
-      .getOrElse(m.files.size)
+      .map(c => math.min(c, total).toInt)
+      .getOrElse(total.toInt)
     def admit(l: ReadLimit, upTo: Int): Int = l match {
       case _: ReadAllAvailable => upTo
       case f: ReadMaxFiles =>
@@ -1421,8 +1454,8 @@ class GraftShardMicroBatchStream(
         // cap must advance the stream, not stall it forever
         var i = from
         var bytes = 0L
-        while (i < upTo && (i == from || bytes + m.files(i).bytes <= b.maxBytes())) {
-          bytes += m.files(i).bytes; i += 1
+        while (i < upTo && (i == from || bytes + tail(i - from) <= b.maxBytes())) {
+          bytes += tail(i - from); i += 1
         }
         i
       case c: CompositeReadLimit =>
@@ -1431,7 +1464,7 @@ class GraftShardMicroBatchStream(
         s"graftshard: unsupported read limit $other — use maxFilesPerTrigger / " +
           "maxBytesPerTrigger")
     }
-    ShardOffset(m.generation, math.max(from, admit(limit, ceiling)).toLong)
+    ShardOffset(gen, math.max(from, admit(limit, ceiling)).toLong)
   }
 
   override def reportLatestOffset(): Offset = latestOffset()
@@ -1441,29 +1474,50 @@ class GraftShardMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val so = start.asInstanceOf[ShardOffset]
     val eo = end.asInstanceOf[ShardOffset]
-    val m = manifest()
     def overwritten(why: String) = throw new IllegalStateException(
       s"graftshard: $why at '$path' — the table was overwritten during a " +
         "streaming read (prefix offsets are only valid within one manifest " +
         "generation); restart from a fresh checkpoint")
+    // lean: stream paged segments with GLOBAL index counting (segment
+    // pruning would break prefix indices, so every segment is walked —
+    // but the static pushed-filter skip runs transiently per entry and
+    // only the batch's admitted partitions are retained)
+    val out = Array.newBuilder[InputPartition]
+    var idx = 0L
+    val streamed = ShardFormat.streamManifestForScan(path, _ => true, fe => {
+      if (idx >= so.fileCount && idx < eo.fileCount &&
+          pushed.forall(ShardFilters.mayContain(_, fe)))
+        out += ShardInputPartition(
+          Array((new File(path, fe.name).getPath, fe.rows,
+            fe.deletes.map(d => new File(path, d).getPath),
+            fe.bloom.map(b => new File(path, b).getPath), fe.seq)))
+      idx += 1
+    })
+    val (gen, total, parts) = streamed match {
+      case Some(meta) => (meta.generation, idx, out.result())
+      case None =>
+        val m = manifest()
+        (m.generation, m.files.size.toLong,
+          m.files.slice(so.fileCount.toInt, eo.fileCount.toInt)
+            .filter(fe => pushed.forall(ShardFilters.mayContain(_, fe)))
+            .map(fe => ShardInputPartition(
+              Array((new File(path, fe.name).getPath, fe.rows,
+                fe.deletes.map(d => new File(path, d).getPath),
+                fe.bloom.map(b => new File(path, b).getPath), fe.seq))): InputPartition)
+            .toArray)
+    }
     // "" = the stream's zero offset, valid against any generation
-    if (so.generation.nonEmpty && so.generation != m.generation)
-      overwritten(s"offset generation ${so.generation} != manifest ${m.generation}")
-    if (eo.generation.nonEmpty && eo.generation != m.generation)
-      overwritten(s"offset generation ${eo.generation} != manifest ${m.generation}")
-    if (m.files.size < eo.fileCount)
-      overwritten(s"manifest has ${m.files.size} files but the stream reached ${eo.fileCount}")
-    m.files.slice(so.fileCount.toInt, eo.fileCount.toInt)
-      .filter(fe => pushed.forall(ShardFilters.mayContain(_, fe)))
-      .map(fe => ShardInputPartition(
-        Array((new File(path, fe.name).getPath, fe.rows,
-          fe.deletes.map(d => new File(path, d).getPath),
-          fe.bloom.map(b => new File(path, b).getPath), fe.seq))): InputPartition)
-      .toArray
+    if (so.generation.nonEmpty && so.generation != gen)
+      overwritten(s"offset generation ${so.generation} != manifest $gen")
+    if (eo.generation.nonEmpty && eo.generation != gen)
+      overwritten(s"offset generation ${eo.generation} != manifest $gen")
+    if (total < eo.fileCount)
+      overwritten(s"manifest has $total files but the stream reached ${eo.fileCount}")
+    parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val m = manifest()
+    val m = ShardFormat.readManifestMeta(path).getOrElse(manifest())
     // equality deletes are FIXED for the life of the stream (an upsert
     // commit turns the generation over, which fails the next batch
     // loudly), so the prefix batches apply one consistent delete set
@@ -1756,6 +1810,32 @@ class GraftShardColumnarPartitionReader(
     }
     override def putDictId(s: Int, r: Int, id: Int): Unit =
       dictIds(s).putInt(r, id)
+    // bulk fixed-width fills: one vector arraycopy + nNulls marks —
+    // garbage at null positions is never read (accessors null-check)
+    override def putLongsBulk(s: Int, n: Int, vals: Array[Long],
+        nullRows: Array[Int], nNulls: Int): Unit = {
+      staging(s).putLongs(0, n, vals, 0)
+      var k = 0
+      while (k < nNulls) { staging(s).putNull(nullRows(k)); k += 1 }
+    }
+    override def putIntsBulk(s: Int, n: Int, vals: Array[Int],
+        nullRows: Array[Int], nNulls: Int): Unit = {
+      staging(s).putInts(0, n, vals, 0)
+      var k = 0
+      while (k < nNulls) { staging(s).putNull(nullRows(k)); k += 1 }
+    }
+    override def putDoublesBulk(s: Int, n: Int, vals: Array[Double],
+        nullRows: Array[Int], nNulls: Int): Unit = {
+      staging(s).putDoubles(0, n, vals, 0)
+      var k = 0
+      while (k < nNulls) { staging(s).putNull(nullRows(k)); k += 1 }
+    }
+    override def putFloatsBulk(s: Int, n: Int, vals: Array[Float],
+        nullRows: Array[Int], nNulls: Int): Unit = {
+      staging(s).putFloats(0, n, vals, 0)
+      var k = 0
+      while (k < nNulls) { staging(s).putNull(nullRows(k)); k += 1 }
+    }
   }
   // boxed puts for the legacy row-path fallback (widening already
   // happened in the row decode — values arrive as the TABLE's types)

@@ -1629,6 +1629,50 @@ object ShardFormat {
     def putDictId(slot: Int, row: Int, id: Int): Unit =
       throw new UnsupportedOperationException(
         "graftshard: putDictId without an accepted dictionary")
+
+    // ---- BULK batch fills (fixed-width columns decoded whole-group):
+    // `vals` is ROW-ALIGNED for rows [0, n) — vals(r) is row r's value,
+    // null rows hold garbage; `nullRows[0, nNulls)` lists the null row
+    // ordinals to mark. The Spark sink maps these onto one
+    // WritableColumnVector.put{Longs,Ints,Doubles,Floats} arraycopy +
+    // nNulls null marks — the decode loop never crosses a per-cell
+    // virtual call. Defaults loop, so non-vector sinks need nothing.
+    def putLongsBulk(slot: Int, n: Int, vals: Array[Long],
+        nullRows: Array[Int], nNulls: Int): Unit = {
+      var k = 0; var r = 0
+      while (r < n) {
+        if (k < nNulls && nullRows(k) == r) { putNull(slot, r); k += 1 }
+        else putLong(slot, r, vals(r))
+        r += 1
+      }
+    }
+    def putIntsBulk(slot: Int, n: Int, vals: Array[Int],
+        nullRows: Array[Int], nNulls: Int): Unit = {
+      var k = 0; var r = 0
+      while (r < n) {
+        if (k < nNulls && nullRows(k) == r) { putNull(slot, r); k += 1 }
+        else putInt(slot, r, vals(r))
+        r += 1
+      }
+    }
+    def putDoublesBulk(slot: Int, n: Int, vals: Array[Double],
+        nullRows: Array[Int], nNulls: Int): Unit = {
+      var k = 0; var r = 0
+      while (r < n) {
+        if (k < nNulls && nullRows(k) == r) { putNull(slot, r); k += 1 }
+        else putDouble(slot, r, vals(r))
+        r += 1
+      }
+    }
+    def putFloatsBulk(slot: Int, n: Int, vals: Array[Float],
+        nullRows: Array[Int], nNulls: Int): Unit = {
+      var k = 0; var r = 0
+      while (r < n) {
+        if (k < nNulls && nullRows(k) == r) { putNull(slot, r); k += 1 }
+        else putFloat(slot, r, vals(r))
+        r += 1
+      }
+    }
   }
 
   /** Sequential reader over one shard file, decoding only the columns
@@ -1842,15 +1886,20 @@ object ShardFormat {
           } else {
             if (dm != null) materializeDict(i) // sink declined the offer
             val chunk = gChunk(i)
-            val cur = gCursor(i)
             val f = fields(i)
             val w = widen(i)
-            var r = 0
-            while (r < n) {
-              val gr = start + r
-              if ((chunk(gr >> 3) & (1 << (gr & 7))) != 0) sink.putNull(s, r)
-              else decodeInto(cur, f, w, sink, s, r)
-              r += 1
+            // fixed-width and float-array columns decode WHOLE-GROUP in
+            // tight array loops (no per-cell stream reads, bulk sink
+            // fills); anything else takes the per-cell cursor path
+            if (start != 0 || !bulkDecode(chunk, n, f, w, sink, s)) {
+              val cur = gCursor(i)
+              var r = 0
+              while (r < n) {
+                val gr = start + r
+                if ((chunk(gr >> 3) & (1 << (gr & 7))) != 0) sink.putNull(s, r)
+                else decodeInto(cur, f, w, sink, s, r)
+                r += 1
+              }
             }
           }
         }
@@ -1859,6 +1908,147 @@ object ShardFormat {
       gRow = gRows
       physOrdinal += n
       n
+    }
+
+    // bulk-decode scratch, sized to the largest group seen; null rows
+    // hold garbage in the row-aligned value arrays (the sink marks them)
+    private var bulkLongs: Array[Long] = Array.emptyLongArray
+    private var bulkInts: Array[Int] = Array.emptyIntArray
+    private var bulkDoubles: Array[Double] = Array.emptyDoubleArray
+    private var bulkFloats: Array[Float] = Array.emptyFloatArray
+    private var bulkNullRows: Array[Int] = Array.emptyIntArray
+
+    private def readLongBE(b: Array[Byte], p: Int): Long =
+      ((b(p) & 0xFFL) << 56) | ((b(p + 1) & 0xFFL) << 48) |
+        ((b(p + 2) & 0xFFL) << 40) | ((b(p + 3) & 0xFFL) << 32) |
+        ((b(p + 4) & 0xFFL) << 24) | ((b(p + 5) & 0xFFL) << 16) |
+        ((b(p + 6) & 0xFFL) << 8) | (b(p + 7) & 0xFFL)
+    private def readInt4BE(b: Array[Byte], p: Int): Int =
+      ((b(p) & 0xFF) << 24) | ((b(p + 1) & 0xFF) << 16) |
+        ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
+
+    /** WHOLE-GROUP decode of one column straight off the raw chunk
+      * bytes into bulk sink fills — no per-cell DataInputStream reads
+      * (8 virtual byte reads + stream bookkeeping per long), no per-
+      * cell sink calls for fixed-width types. Cells are DENSE (non-null
+      * rows only, row order) after the `(n+7)/8`-byte null bitmap;
+      * values scatter into a row-aligned scratch that one bulk put
+      * copies out. Handles the stored-width widenings (int→long,
+      * float→double) in the same loops. Returns false for layouts it
+      * does not cover (bool, string/binary, anything else) — the
+      * per-cell path serves those exactly as before. */
+    private def bulkDecode(
+        chunk: Array[Byte], n: Int, field: StructField, w: Int,
+        sink: BatchSink, s: Int): Boolean = {
+      val bitmapLen = (n + 7) / 8
+      // null ordinals first: dense cells scatter to row positions
+      if (bulkNullRows.length < n) bulkNullRows = new Array[Int](n)
+      var nNulls = 0
+      var r = 0
+      while (r < n) {
+        if ((chunk(r >> 3) & (1 << (r & 7))) != 0) {
+          bulkNullRows(nNulls) = r; nNulls += 1
+        }
+        r += 1
+      }
+      var p = bitmapLen
+      // like decodeInto, the STORED width comes first: `field` is the
+      // FILE header's column, so a widened column arrives as the
+      // narrower stored type with w set — the sink's slot is the
+      // TABLE's (wider) type
+      if (w == 1) { // stored int, table long
+        if (bulkLongs.length < n) bulkLongs = new Array[Long](n)
+        var k = 0; r = 0
+        while (r < n) {
+          if (k < nNulls && bulkNullRows(k) == r) k += 1
+          else { bulkLongs(r) = readInt4BE(chunk, p).toLong; p += 4 }
+          r += 1
+        }
+        sink.putLongsBulk(s, n, bulkLongs, bulkNullRows, nNulls)
+        true
+      } else if (w == 2) { // stored float, table double
+        if (bulkDoubles.length < n) bulkDoubles = new Array[Double](n)
+        var k = 0; r = 0
+        while (r < n) {
+          if (k < nNulls && bulkNullRows(k) == r) k += 1
+          else {
+            bulkDoubles(r) =
+              java.lang.Float.intBitsToFloat(readInt4BE(chunk, p)).toDouble
+            p += 4
+          }
+          r += 1
+        }
+        sink.putDoublesBulk(s, n, bulkDoubles, bulkNullRows, nNulls)
+        true
+      } else field.dataType match {
+        case LongType =>
+          if (bulkLongs.length < n) bulkLongs = new Array[Long](n)
+          var k = 0; r = 0
+          while (r < n) {
+            if (k < nNulls && bulkNullRows(k) == r) k += 1
+            else { bulkLongs(r) = readLongBE(chunk, p); p += 8 }
+            r += 1
+          }
+          sink.putLongsBulk(s, n, bulkLongs, bulkNullRows, nNulls)
+          true
+        case IntegerType =>
+          if (bulkInts.length < n) bulkInts = new Array[Int](n)
+          var k = 0; r = 0
+          while (r < n) {
+            if (k < nNulls && bulkNullRows(k) == r) k += 1
+            else { bulkInts(r) = readInt4BE(chunk, p); p += 4 }
+            r += 1
+          }
+          sink.putIntsBulk(s, n, bulkInts, bulkNullRows, nNulls)
+          true
+        case DoubleType =>
+          if (bulkDoubles.length < n) bulkDoubles = new Array[Double](n)
+          var k = 0; r = 0
+          while (r < n) {
+            if (k < nNulls && bulkNullRows(k) == r) k += 1
+            else {
+              bulkDoubles(r) = java.lang.Double.longBitsToDouble(readLongBE(chunk, p))
+              p += 8
+            }
+            r += 1
+          }
+          sink.putDoublesBulk(s, n, bulkDoubles, bulkNullRows, nNulls)
+          true
+        case FloatType =>
+          if (bulkFloats.length < n) bulkFloats = new Array[Float](n)
+          var k = 0; r = 0
+          while (r < n) {
+            if (k < nNulls && bulkNullRows(k) == r) k += 1
+            else {
+              bulkFloats(r) = java.lang.Float.intBitsToFloat(readInt4BE(chunk, p))
+              p += 4
+            }
+            r += 1
+          }
+          sink.putFloatsBulk(s, n, bulkFloats, bulkNullRows, nNulls)
+          true
+        case ArrayType(FloatType, _) =>
+          // embedding columns: per CELL one tight intBitsToFloat loop
+          // over the chunk bytes (the cursor path paid a stream read
+          // PER ELEMENT — 64-256 of them per cell)
+          var k = 0; r = 0
+          while (r < n) {
+            if (k < nNulls && bulkNullRows(k) == r) { sink.putNull(s, r); k += 1 }
+            else {
+              val len = readInt4BE(chunk, p); p += 4
+              if (floatScratch.length < len) floatScratch = new Array[Float](len)
+              var j = 0
+              while (j < len) {
+                floatScratch(j) = java.lang.Float.intBitsToFloat(readInt4BE(chunk, p))
+                p += 4; j += 1
+              }
+              sink.putFloats(s, r, floatScratch, 0, len)
+            }
+            r += 1
+          }
+          true
+        case _ => false
+      }
     }
 
     /** Reconstructs a dictionary-form chunk into the raw layout and
@@ -2387,6 +2577,18 @@ object ShardFormat {
         readEntries(mapper.readTree(segFile).get("files")).foreach(f)
       }
     }
+    Some(parseRootMeta(root))
+  }
+
+  /** Root-only read of a PAGED manifest (files = Nil): everything a
+    * consumer that needs no entry list wants — schema, resolution,
+    * equality deletes, properties — without parsing a single segment.
+    * None when the root is inline (use readManifest; it is small). */
+  def readManifestMeta(dir: String): Option[Manifest] = {
+    val mf = manifestFile(dir)
+    if (!mf.isFile) return None
+    val root = mapper.readTree(mf)
+    if (!root.has("fileSegments")) return None
     Some(parseRootMeta(root))
   }
 

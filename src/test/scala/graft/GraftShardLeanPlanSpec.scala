@@ -163,4 +163,29 @@ class GraftShardLeanPlanSpec extends AnyFunSuite {
     assert(ShardFormat.readManifest(small).get.pagedSegments.isEmpty)
     assert(spark.read.format("graftshard").load(small).count() == 100)
   }
+
+  test("streaming over a paged root plans micro-batches lean: capped bootstrap covers every row exactly once") {
+    val dir = tmp()
+    mkPaged(dir, bands = 12, rowsPerBand = 500)
+    assert(ShardFormat.readManifest(dir).get.pagedSegments.size > 1)
+
+    // AvailableNow bootstrap with a 3-file cap: the stream's offset
+    // math and batch planning run the segment-streamed path per trigger
+    val outDir = Files.createTempDirectory("graft_leanplan_stream").toString
+    val q = spark.readStream.format("graftshard")
+      .option("maxFilesPerTrigger", "3").load(dir)
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    val got = spark.read.parquet(s"$outDir/data")
+    assert(got.count() == 6000)
+    assert(got.select("id").distinct().count() == 6000)
+    // the 3-file cap must have produced >= 4 micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      q.recentProgress.map(_.numInputRows).mkString(","))
+  }
 }
