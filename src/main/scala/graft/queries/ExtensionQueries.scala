@@ -2050,6 +2050,46 @@ object ExtensionQueries {
     }
   }
 
+  /** LEAN FILTERLESS PLANNING (round 14): the corpus lands as a PAGED
+    * manifest (segment cap pinned low, like x73) and is read back with
+    * NO predicate — the scan shape that used to materialize the full
+    * FileEntry list on the driver. The lean plan path streams segments
+    * one at a time, retains only lean tuples + statistic accumulators,
+    * and produces partitions identical to the rich formula (174 MB vs
+    * 324 MB retained at the 1M-entry ceiling, PROBE-MANIFEST;
+    * GraftShardLeanPlanSpec pins lean≡rich). In-query requires: the
+    * root is actually paged AND the streaming read visits every entry
+    * exactly once; result byte-exact against the oracle. */
+  private def x74(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.ShardFormat
+    val out = Q.tmpArtifactPath("x74", dir)
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+    ShardFormat.segmentCapLock.synchronized {
+      val prevCap = ShardFormat.segmentMaxEntries
+      ShardFormat.segmentMaxEntries = 8
+      try {
+        val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+        val bands = 12
+        val step = math.max(1L, (n + bands - 1) / bands)
+        (0 until bands).foreach { b =>
+          docs.where(col("doc_id") >= b * step && col("doc_id") < (b + 1) * step)
+            .coalesce(1).write.format("graftshard")
+            .mode(if (b == 0) "overwrite" else "append").save(out)
+        }
+        val full = ShardFormat.readManifest(out).get
+        require(full.pagedSegments.size > 1, "x74: the manifest must be paged")
+        // the lean plan currency: the streamed read visits every entry
+        var streamed = 0L
+        require(ShardFormat.streamManifestForScan(out, _ => true, _ => streamed += 1)
+          .isDefined, "x74: a paged root must stream")
+        require(streamed == full.files.size,
+          s"x74: streamed $streamed of ${full.files.size} entries")
+        s.read.format("graftshard").load(out) // filterless: the lean path
+      } finally ShardFormat.segmentMaxEntries = prevCap
+    }
+  }
+
   /** RENAME COLUMN as a METADATA-ONLY commit (format v4 field ids —
     * [[graft.sources.v2.ShardFormat.MagicV4]]): half the corpus lands
     * under the ORIGINAL names, both data columns are renamed (one of
@@ -5647,6 +5687,12 @@ object ExtensionQueries {
     // segment-pruned plan-time manifests: paged root + rollups, the
     // selective scan parses only intersecting segments (required
     // in-query: pruned < full), byte-exact
+    // lean filterless planning: paged root, full-table scan through the
+    // segment-streamed plan path (required in-query: paged + every entry
+    // streamed exactly once), byte-exact
+    Q("x74_shard_lean_plan", x74, Some("""
+      SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM documents""")),
+
     Q("x73_shard_segment_pruned_plan", x73, Some("""
       SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM documents
       WHERE doc_id < (SELECT (MAX(doc_id) + 1) // 10 FROM documents)""")),

@@ -364,7 +364,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         files = files.map(fe => fe.copy(
           stats = rekey(fe.stats), allNull = rekey(fe.allNull),
           sums = rekey(fe.sums), strStats = rekey(fe.strStats),
-          ndv = rekey(fe.ndv)))
+          ndv = rekey(fe.ndv), kll = rekey(fe.kll)))
         part = part.map {
           case ShardFormat.IdentityPart(`from`) => ShardFormat.IdentityPart(to)
           case ShardFormat.BucketPart(n, `from`) => ShardFormat.BucketPart(n, to)

@@ -257,7 +257,7 @@ object GraftShardMaintenance {
             .foreach(w.write)
           val (bytes, rows, stats, allNull) = w.finish()
           ShardFormat.FileEntry(name, bytes, rows, stats, allNull, p,
-            ndv = w.ndvSketches,
+            ndv = w.ndvSketches, kll = w.kllSketches,
             sums = w.sums, strStats = w.strStats, bloom = w.bloomSidecar,
             seq = members.map(_._3).max)
         } catch { case t: Throwable => w.abort(); throw t }

@@ -696,7 +696,8 @@ class GraftShardScan(
     * bin-packing). None when the root is inline (already small) or the
     * scan is not eligible. */
   private final class LeanColStats(
-      val est: Long, val nulls: Option[Long], val minMax: Option[(Long, Long)])
+      val est: Long, val nulls: Option[Long], val minMax: Option[(Long, Long)],
+      val kll: Option[org.apache.datasketches.kll.KllLongsSketch])
   private final class LeanState(
       val meta: ShardFormat.Manifest,
       val entries: Array[ShardFormat.LeanFileEntry],
@@ -719,6 +720,9 @@ class GraftShardScan(
         var nulls = 0L; var nullsCovered = 0L
         var min = Long.MaxValue; var max = Long.MinValue
         var anyBounded = false; var statsOrAllNull = 0L
+        // merged KLL quantile sketch (integral columns; the histogram)
+        var kll: org.apache.datasketches.kll.KllLongsSketch = null
+        var kllCovered = 0L
       }
       val accs = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
       val meta = ShardFormat.streamManifestForScan(path, _ => true, fe => {
@@ -732,6 +736,14 @@ class GraftShardScan(
           a.union.update(org.apache.datasketches.hll.HllSketch.heapify(
             java.util.Base64.getDecoder.decode(sk)))
           a.covered += 1
+          fe.kll.get(c).foreach { ks =>
+            if (a.kll == null) a.kll = org.apache.datasketches.kll.KllLongsSketch
+              .newHeapInstance(ShardFormat.KllK)
+            a.kll.merge(org.apache.datasketches.kll.KllLongsSketch.heapify(
+              org.apache.datasketches.memory.Memory.wrap(
+                java.util.Base64.getDecoder.decode(ks))))
+            a.kllCovered += 1
+          }
           fe.stats.get(c).map(_._3)
             .orElse(fe.strStats.get(c).map(_._3))
             .orElse(fe.allNull.get(c)) match {
@@ -758,6 +770,9 @@ class GraftShardScan(
               math.max(1L, math.round(a.union.getEstimate)),
               if (a.nullsCovered == files) Some(a.nulls) else None,
               if (a.anyBounded && a.statsOrAllNull == files) Some((a.min, a.max))
+              else None,
+              if (a.kllCovered == files && a.kll != null && !a.kll.isEmpty)
+                Some(a.kll)
               else None)
         }.toMap
         new LeanState(m, entries.result(), totalBytes, liveRows, allKeyed, ndv)
@@ -1077,11 +1092,16 @@ class GraftShardScan(
                 case _ => java.lang.Long.valueOf(v)
               }
               val integral = dt.exists(d => d == LongType || d == IntegerType)
+              val histo: Option[colstats.Histogram] =
+                cs.kll.map(sk => GraftShardScan.v2Histogram(sk, est))
               out.put(Expressions.column(c), new colstats.ColumnStatistics {
                 override def distinctCount(): OptionalLong =
                   OptionalLong.of(math.max(1L, est))
                 override def nullCount(): OptionalLong =
                   cs.nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+                override def histogram(): java.util.Optional[colstats.Histogram] =
+                  histo.map(java.util.Optional.of[colstats.Histogram])
+                    .getOrElse(java.util.Optional.empty())
                 override def min(): java.util.Optional[Object] =
                   if (integral)
                     cs.minMax.map(m => java.util.Optional.of(boxed(m._1)))
@@ -1186,6 +1206,16 @@ class GraftShardScan(
                 case Some(IntegerType) => Integer.valueOf(v.toInt)
                 case _ => java.lang.Long.valueOf(v)
               }
+              // equi-height HISTOGRAM from the selection's merged KLL
+              // (integral ndvColumns): CBO's range-selectivity currency
+              // — FilterEstimation applies the predicate to the bins,
+              // so the PRE-filter histogram of selected files is the
+              // right thing to serve
+              val histo: Option[colstats.Histogram] =
+                if (selected.forall(fe => fe.kll.contains(c) || fe.rows == fe.deletedRows))
+                  ShardFormat.kllMerged(selected.flatMap(_.kll.get(c)))
+                    .map(sk => GraftShardScan.v2Histogram(sk, est))
+                else None
               out.put(Expressions.column(c), new colstats.ColumnStatistics {
                 override def distinctCount(): OptionalLong = OptionalLong.of(est)
                 override def nullCount(): OptionalLong =
@@ -1200,6 +1230,9 @@ class GraftShardScan(
                     minMax.map(m => java.util.Optional.of(boxed(m._2)))
                       .getOrElse(java.util.Optional.empty())
                   else java.util.Optional.empty()
+                override def histogram(): java.util.Optional[colstats.Histogram] =
+                  histo.map(java.util.Optional.of[colstats.Histogram])
+                    .getOrElse(java.util.Optional.empty())
               })
             }
           }
@@ -1259,6 +1292,34 @@ class GraftShardScan(
 }
 
 object GraftShardScan {
+  /** DSv2 equi-height histogram over a merged KLL quantile sketch: 32
+    * bins of equal row mass (height = non-null rows / 32), per-bin NDV
+    * apportioned uniformly from the column's distinct estimate (the
+    * same apportioning ANALYZE's equi-height histogram uses). Spark
+    * converts this into the catalyst ColumnStat histogram that
+    * FilterEstimation consumes under CBO — range selectivity from the
+    * actual value distribution instead of min/max uniformity. */
+  def v2Histogram(
+      sk: org.apache.datasketches.kll.KllLongsSketch,
+      totalNdv: Long): colstats.Histogram = {
+    val nb = 32
+    val perBin = math.max(1L, totalNdv / nb)
+    val binArr: Array[colstats.HistogramBin] = (0 until nb).map { b =>
+      val qLo = sk.getQuantile(b.toDouble / nb).toDouble
+      val qHi = sk.getQuantile((b + 1).toDouble / nb).toDouble
+      new colstats.HistogramBin {
+        override def lo(): Double = qLo
+        override def hi(): Double = qHi
+        override def ndv(): Long = perBin
+      }: colstats.HistogramBin
+    }.toArray
+    val h = sk.getN.toDouble / nb
+    new colstats.Histogram {
+      override def height(): Double = h
+      override def bins(): Array[colstats.HistogramBin] = binArr
+    }
+  }
+
   /** Best-fit-decreasing pack to targetBytes — 100k tiny shards must
     * not become 100k tasks. Shared by the batch scan and the
     * copy-on-write scan ([[GraftShardCowScan]]).

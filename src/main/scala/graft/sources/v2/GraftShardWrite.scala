@@ -752,7 +752,7 @@ class GraftShardDataWriter(
     val (bytes, rows, stats, allNull) = writer.finish()
     ShardCommitMessage(Seq(ShardFormat.FileEntry(name, bytes, rows, stats, allNull,
       sums = writer.sums, strStats = writer.strStats, bloom = writer.bloomSidecar,
-      ndv = writer.ndvSketches)),
+      ndv = writer.ndvSketches, kll = writer.kllSketches)),
       eqKeys = writer.eqKeySidecar.toSeq)
   }
 
@@ -812,7 +812,7 @@ class GraftShardKeyedDataWriter(
     val (bytes, rows, stats, allNull) = w.finish()
     rotated += ShardFormat.FileEntry(name, bytes, rows, stats, allNull, Some(key),
       sums = w.sums, strStats = w.strStats, bloom = w.bloomSidecar,
-      ndv = w.ndvSketches)
+      ndv = w.ndvSketches, kll = w.kllSketches)
     rotatedNames += name
     w.bloomSidecar.foreach(rotatedNames += _)
     w.eqKeySidecar.foreach { k => eqSidecars += k; rotatedNames += k._1 }

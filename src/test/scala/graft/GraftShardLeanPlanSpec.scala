@@ -87,6 +87,11 @@ class GraftShardLeanPlanSpec extends AnyFunSuite {
     assert(cs("id").max().get() == Long.box(13999L))
     assert(cs("k").distinctCount().getAsLong <= 7 * 2, // HLL band
       s"k NDV ${cs("k").distinctCount().getAsLong}")
+    // the KLL histogram serves on the lean path too, over the in-stream
+    // merged sketch — same shape as the rich path's
+    assert(cs("id").histogram().isPresent)
+    val hb = cs("id").histogram().get().bins()
+    assert(hb.length == 32 && hb.head.lo() >= 0.0 && hb.last.hi() <= 13999.0)
 
     // end-to-end: same rows as the direct read
     val got = spark.read.format("graftshard").load(dir).count()

@@ -152,6 +152,58 @@ class GraftShardNdvSpec extends AnyFunSuite {
     assert(other <= 10000 && other >= 900, s"other-column filter: $other")
   }
 
+  test("equi-height histograms from per-file KLL sketches reach CBO and reflect skew") {
+    val dir = tmp()
+    // SKEWED column: 95% of values in [0, 100), a 5% tail at 1M+ —
+    // exactly where min/max-uniform selectivity is off by ~10^4
+    for (i <- 0 until 2)
+      spark.range(i * 100000L, (i + 1) * 100000L)
+        .select(col("id"),
+          when(col("id") % 20 =!= 0, col("id") % 100)
+            .otherwise(col("id") % 100 + 1000000L).as("v"))
+        .coalesce(1).write.format("graftshard")
+        .option("ndvColumns", "v").mode(if (i == 0) "overwrite" else "append")
+        .save(dir)
+    val m = ShardFormat.readManifest(dir).get
+    assert(m.files.forall(_.kll.contains("v")), "per-file KLL sketches must land")
+
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val df = spark.read.format("graftshard").load(dir)
+    val scan = df.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.get
+    val st = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    import scala.jdk.CollectionConverters._
+    val cs = st.columnStats().asScala.collectFirst {
+      case (r, c) if r.describe() == "v" => c
+    }.get
+    assert(cs.histogram().isPresent, "histogram must be served")
+    val h = cs.histogram().get()
+    assert(h.bins().length == 32)
+    assert(h.height() == 200000.0 / 32)
+    // bins are monotone and sit inside the column's bounds
+    h.bins().foreach(b => assert(b.lo() <= b.hi()))
+    assert(h.bins().head.lo() >= 0.0 && h.bins().last.hi() <= 1000099.0)
+    // SKEW: >= 90% of equal-mass bins live in the dense [0, 100) range
+    val dense = h.bins().count(_.hi() < 100.0)
+    assert(dense >= 28, s"skew must concentrate the bins: $dense/32 dense")
+    // the tail bins must reach the 1M outliers
+    assert(h.bins().last.hi() >= 1000000.0)
+
+    // catalyst consumption: under CBO the optimized plan's attribute
+    // stats carry the histogram (Spark's transformV2Stats conversion)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val df2 = spark.read.format("graftshard").load(dir)
+      val stats = df2.queryExecution.optimizedPlan.stats
+      val vAttr = df2.queryExecution.optimizedPlan.output.find(_.name == "v").get
+      val colStat = stats.attributeStats.get(vAttr)
+      assert(colStat.exists(_.histogram.isDefined),
+        s"catalyst ColumnStat must carry the histogram: $colStat")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("lifecycle: catalog property, rename re-key, compaction carry-through") {
     spark.sql("CREATE NAMESPACE ndvcat.a")
     spark.sql("CREATE TABLE ndvcat.a.t (id BIGINT, grp STRING) USING graftshard " +
