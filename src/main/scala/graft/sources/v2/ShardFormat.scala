@@ -1876,6 +1876,13 @@ object ShardFormat {
     // the ENCODED buffer (its bitmap prefix is layout-identical) and
     // gCursor(i) is null until [[materializeDict]]
     private val gDict = new Array[DictChunk](fields.length)
+    // 3/4 when column i's current chunk is kept RLE/delta-ENCODED
+    // (batch consumers, fixed-width numeric types only): the bulk
+    // decode expands runs / varints STRAIGHT into the typed scratch —
+    // never reconstructing the raw fixed-width layout first. 0 = raw
+    // or materialized; gRawLen carries the raw size for the fallback
+    private val gKept = new Array[Int](fields.length)
+    private val gRawLen = new Array[Int](fields.length)
     // set by the first nextBatch call; loadGroup keeps codec-2 string
     // chunks encoded only for batch consumers (the row path reads cells
     // through a cursor over the reconstructed layout)
@@ -1959,13 +1966,23 @@ object ShardFormat {
             }
           } else {
             if (dm != null) materializeDict(i) // sink declined the offer
-            val chunk = gChunk(i)
             val f = fields(i)
             val w = widen(i)
-            // fixed-width and float-array columns decode WHOLE-GROUP in
-            // tight array loops (no per-cell stream reads, bulk sink
-            // fills); anything else takes the per-cell cursor path
-            if (start != 0 || !bulkDecode(chunk, n, f, w, sink, s)) {
+            // whole-group decode in tight array loops (no per-cell
+            // stream reads, bulk sink fills): kept RLE/delta chunks
+            // expand straight into the typed scratch; raw/materialized
+            // chunks bulk-read the packed cells; anything else takes
+            // the per-cell cursor path
+            val served =
+              if (start != 0) false
+              else gKept(i) match {
+                case 3 => bulkDecodeRuns(i, n, f, w, sink, s); true
+                case 4 => bulkDecodeDeltas(i, n, f, w, sink, s); true
+                case _ => bulkDecode(gChunk(i), n, f, w, sink, s)
+              }
+            if (!served) {
+              if (gKept(i) != 0) materializeKept(i)
+              val chunk = gChunk(i)
               val cur = gCursor(i)
               var r = 0
               while (r < n) {
@@ -2016,15 +2033,8 @@ object ShardFormat {
         sink: BatchSink, s: Int): Boolean = {
       val bitmapLen = (n + 7) / 8
       // null ordinals first: dense cells scatter to row positions
-      if (bulkNullRows.length < n) bulkNullRows = new Array[Int](n)
-      var nNulls = 0
+      val nNulls = scanNulls(chunk, n)
       var r = 0
-      while (r < n) {
-        if ((chunk(r >> 3) & (1 << (r & 7))) != 0) {
-          bulkNullRows(nNulls) = r; nNulls += 1
-        }
-        r += 1
-      }
       var p = bitmapLen
       // like decodeInto, the STORED width comes first: `field` is the
       // FILE header's column, so a widened column arrives as the
@@ -2160,6 +2170,220 @@ object ShardFormat {
       gDict(i) = null
     }
 
+    /** Fixed-width numeric types the kept-encoded (RLE/delta) batch
+      * decode serves directly. */
+    private def fixedNumeric(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | DoubleType | FloatType => true
+      case _ => false
+    }
+
+    /** Null ordinals of rows [0, n) into [[bulkNullRows]]; count. */
+    private def scanNulls(chunk: Array[Byte], n: Int): Int = {
+      if (bulkNullRows.length < n) bulkNullRows = new Array[Int](n)
+      var nNulls = 0
+      var r = 0
+      while (r < n) {
+        if ((chunk(r >> 3) & (1 << (r & 7))) != 0) {
+          bulkNullRows(nNulls) = r; nNulls += 1
+        }
+        r += 1
+      }
+      nNulls
+    }
+
+    // backward dense→row-aligned scatter (safe in-place: the target
+    // position is always >= the dense position); no-op when null-free
+    private def scatterLongs(chunk: Array[Byte], n: Int, dense: Int): Unit = {
+      if (dense == n) return
+      var di = dense - 1
+      var r = n - 1
+      while (r >= 0) {
+        if ((chunk(r >> 3) & (1 << (r & 7))) == 0) {
+          bulkLongs(r) = bulkLongs(di); di -= 1
+        }
+        r -= 1
+      }
+    }
+    private def scatterInts(chunk: Array[Byte], n: Int, dense: Int): Unit = {
+      if (dense == n) return
+      var di = dense - 1
+      var r = n - 1
+      while (r >= 0) {
+        if ((chunk(r >> 3) & (1 << (r & 7))) == 0) {
+          bulkInts(r) = bulkInts(di); di -= 1
+        }
+        r -= 1
+      }
+    }
+    private def scatterDoubles(chunk: Array[Byte], n: Int, dense: Int): Unit = {
+      if (dense == n) return
+      var di = dense - 1
+      var r = n - 1
+      while (r >= 0) {
+        if ((chunk(r >> 3) & (1 << (r & 7))) == 0) {
+          bulkDoubles(r) = bulkDoubles(di); di -= 1
+        }
+        r -= 1
+      }
+    }
+    private def scatterFloats(chunk: Array[Byte], n: Int, dense: Int): Unit = {
+      if (dense == n) return
+      var di = dense - 1
+      var r = n - 1
+      while (r >= 0) {
+        if ((chunk(r >> 3) & (1 << (r & 7))) == 0) {
+          bulkFloats(r) = bulkFloats(di); di -= 1
+        }
+        r -= 1
+      }
+    }
+
+    /** Expands a kept RLE chunk's runs STRAIGHT into the typed scratch
+      * (dense `Arrays.fill` per run — a 64k-row constant key column is
+      * ONE fill), scatters to row positions, and hands the sink one
+      * bulk fill. Fixed-width numerics only (loadGroup's keep rule). */
+    private def bulkDecodeRuns(i: Int, n: Int, field: StructField, w: Int,
+        sink: BatchSink, s: Int): Unit = {
+      val c = gChunk(i)
+      val bitmapLen = (n + 7) / 8
+      def corrupt(what: String): Nothing =
+        throw new java.io.IOException(s"graftshard: corrupt RLE chunk in $file ($what)")
+      val nNulls = scanNulls(c, n)
+      val dense = n - nNulls
+      var p = bitmapLen
+      if (p + 4 > c.length) corrupt("truncated header")
+      val nRuns = readInt4BE(c, p); p += 4
+      val cellW = if (w == 1 || w == 2) 4 else field.dataType match {
+        case LongType | DoubleType => 8
+        case _ => 4
+      }
+      var d = 0
+      var k = 0
+      if (w == 1 || field.dataType == LongType) {
+        if (bulkLongs.length < n) bulkLongs = new Array[Long](n)
+        while (k < nRuns) {
+          if (p + 4 + cellW > c.length) corrupt("truncated run")
+          val rep = readInt4BE(c, p); p += 4
+          if (rep <= 0 || d + rep > dense) corrupt(s"run repeat $rep")
+          val v = if (w == 1) readInt4BE(c, p).toLong else readLongBE(c, p)
+          p += cellW
+          java.util.Arrays.fill(bulkLongs, d, d + rep, v)
+          d += rep; k += 1
+        }
+        if (d != dense) corrupt(s"short decode ($d of $dense)")
+        scatterLongs(c, n, dense)
+        sink.putLongsBulk(s, n, bulkLongs, bulkNullRows, nNulls)
+      } else if (w == 2 || field.dataType == DoubleType) {
+        if (bulkDoubles.length < n) bulkDoubles = new Array[Double](n)
+        while (k < nRuns) {
+          if (p + 4 + cellW > c.length) corrupt("truncated run")
+          val rep = readInt4BE(c, p); p += 4
+          if (rep <= 0 || d + rep > dense) corrupt(s"run repeat $rep")
+          val v =
+            if (w == 2) java.lang.Float.intBitsToFloat(readInt4BE(c, p)).toDouble
+            else java.lang.Double.longBitsToDouble(readLongBE(c, p))
+          p += cellW
+          java.util.Arrays.fill(bulkDoubles, d, d + rep, v)
+          d += rep; k += 1
+        }
+        if (d != dense) corrupt(s"short decode ($d of $dense)")
+        scatterDoubles(c, n, dense)
+        sink.putDoublesBulk(s, n, bulkDoubles, bulkNullRows, nNulls)
+      } else if (field.dataType == IntegerType) {
+        if (bulkInts.length < n) bulkInts = new Array[Int](n)
+        while (k < nRuns) {
+          if (p + 4 + cellW > c.length) corrupt("truncated run")
+          val rep = readInt4BE(c, p); p += 4
+          if (rep <= 0 || d + rep > dense) corrupt(s"run repeat $rep")
+          val v = readInt4BE(c, p); p += cellW
+          java.util.Arrays.fill(bulkInts, d, d + rep, v)
+          d += rep; k += 1
+        }
+        if (d != dense) corrupt(s"short decode ($d of $dense)")
+        scatterInts(c, n, dense)
+        sink.putIntsBulk(s, n, bulkInts, bulkNullRows, nNulls)
+      } else { // FloatType
+        if (bulkFloats.length < n) bulkFloats = new Array[Float](n)
+        while (k < nRuns) {
+          if (p + 4 + cellW > c.length) corrupt("truncated run")
+          val rep = readInt4BE(c, p); p += 4
+          if (rep <= 0 || d + rep > dense) corrupt(s"run repeat $rep")
+          val v = java.lang.Float.intBitsToFloat(readInt4BE(c, p)); p += cellW
+          java.util.Arrays.fill(bulkFloats, d, d + rep, v)
+          d += rep; k += 1
+        }
+        if (d != dense) corrupt(s"short decode ($d of $dense)")
+        scatterFloats(c, n, dense)
+        sink.putFloatsBulk(s, n, bulkFloats, bulkNullRows, nNulls)
+      }
+    }
+
+    /** Decodes a kept delta-varint chunk STRAIGHT into the typed
+      * scratch (one zigzag-varint loop over the chunk bytes — no
+      * stream, no raw reconstruction), scatters, bulk-fills. Integral
+      * types only (the encoder's own admission). */
+    private def bulkDecodeDeltas(i: Int, n: Int, field: StructField, w: Int,
+        sink: BatchSink, s: Int): Unit = {
+      val c = gChunk(i)
+      val bitmapLen = (n + 7) / 8
+      def corrupt(what: String): Nothing =
+        throw new java.io.IOException(s"graftshard: corrupt delta chunk in $file ($what)")
+      val nNulls = scanNulls(c, n)
+      val dense = n - nNulls
+      var p = bitmapLen
+      if (p + 4 > c.length) corrupt("truncated header")
+      val cnt = readInt4BE(c, p); p += 4
+      if (cnt != dense) corrupt(s"count $cnt for $dense non-null rows")
+      val storedInt = w == 1 || field.dataType == IntegerType
+      val asLongs = w == 1 || field.dataType == LongType
+      if (asLongs) { if (bulkLongs.length < n) bulkLongs = new Array[Long](n) }
+      else { if (bulkInts.length < n) bulkInts = new Array[Int](n) }
+      var prev = 0L
+      var d = 0
+      while (d < dense) {
+        var z = 0L
+        var shift = 0
+        var continue = true
+        while (continue) {
+          if (p >= c.length) corrupt("truncated varint")
+          if (shift > 63) corrupt("varint overflow")
+          val byte = c(p); p += 1
+          z |= (byte & 0x7FL) << shift
+          shift += 7
+          continue = (byte & 0x80) != 0
+        }
+        val v = prev + unzigzag(z)
+        prev = v
+        // replicate the raw layout's stored-width truncation exactly
+        if (asLongs) bulkLongs(d) = if (storedInt) v.toInt.toLong else v
+        else bulkInts(d) = v.toInt
+        d += 1
+      }
+      if (p != c.length) corrupt(s"trailing bytes (${c.length - p})")
+      if (asLongs) {
+        scatterLongs(c, n, dense)
+        sink.putLongsBulk(s, n, bulkLongs, bulkNullRows, nNulls)
+      } else {
+        scatterInts(c, n, dense)
+        sink.putIntsBulk(s, n, bulkInts, bulkNullRows, nNulls)
+      }
+    }
+
+    /** Reconstructs a kept RLE/delta chunk into the raw layout and
+      * rebuilds its cursor — for consumers that want cells. */
+    private def materializeKept(i: Int): Unit = {
+      val bitmapLen = (gRows + 7) / 8
+      val raw =
+        if (gKept(i) == 3)
+          rleDecode(gChunk(i), bitmapLen, gRawLen(i), fields(i).dataType, file)
+        else
+          deltaDecode(gChunk(i), bitmapLen, gRawLen(i), fields(i).dataType, file)
+      gChunk(i) = raw
+      gCursor(i) = new DataInputStream(new java.io.ByteArrayInputStream(
+        raw, bitmapLen, raw.length - bitmapLen))
+      gKept(i) = 0
+    }
+
     private def decodeInto(
         d: DataInputStream, field: StructField, w: Int,
         sink: BatchSink, s: Int, r: Int): Unit =
@@ -2200,6 +2424,7 @@ object ShardFormat {
           // a mixed consumer (nextBatch then next — documented as never)
           // still reads correctly: reconstruct the cell layout on demand
           if (gDict(i) != null) materializeDict(i)
+          if (gKept(i) != 0) materializeKept(i)
           val isNull = (gChunk(i)(gRow >> 3) & (1 << (gRow & 7))) != 0
           values(s) = if (isNull) null else decodeOne(gCursor(i), fields(i), widen(i))
         }
@@ -2243,6 +2468,7 @@ object ShardFormat {
           val storedLen = in.readInt()
           val rawLen = in.readInt()
           gDict(i) = null
+          gKept(i) = 0
           if (skip || slot(i) < 0) in.skipFully(storedLen.toLong)
           else {
             val buf = codec match {
@@ -2278,16 +2504,27 @@ object ShardFormat {
                 } else dictDecode(c, bitmapLen, rawLen, file)
               case 3 =>
                 val c = new Array[Byte](storedLen); in.readFully(c)
-                rleDecode(c, bitmapLen, rawLen, fields(i).dataType, file)
+                if (batchConsumer && fixedNumeric(fields(i).dataType)) {
+                  // keep the RUN form: the batch path expands runs
+                  // straight into the typed scratch — never the raw
+                  // fixed-width reconstruction (bitmap prefix shared)
+                  gKept(i) = 3; gRawLen(i) = rawLen
+                  c
+                } else rleDecode(c, bitmapLen, rawLen, fields(i).dataType, file)
               case 4 =>
                 val c = new Array[Byte](storedLen); in.readFully(c)
-                deltaDecode(c, bitmapLen, rawLen, fields(i).dataType, file)
+                // delta only ever encodes integral chunks; keep in kind
+                if (batchConsumer && (fields(i).dataType == LongType ||
+                    fields(i).dataType == IntegerType)) {
+                  gKept(i) = 4; gRawLen(i) = rawLen
+                  c
+                } else deltaDecode(c, bitmapLen, rawLen, fields(i).dataType, file)
               case other => throw new java.io.IOException(
                 s"graftshard: unknown chunk codec $other in $file")
             }
             gChunk(i) = buf // bitmap prefix; the null test indexes it directly
             gCursor(i) =
-              if (gDict(i) != null) null // cells live behind the dictionary
+              if (gDict(i) != null || gKept(i) != 0) null // kept encoded
               else new DataInputStream(
                 new java.io.ByteArrayInputStream(buf, bitmapLen, buf.length - bitmapLen))
           }
