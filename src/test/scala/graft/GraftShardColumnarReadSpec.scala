@@ -334,6 +334,53 @@ class GraftShardColumnarReadSpec extends AnyFunSuite {
     assert(canon(f) == got.filter(_._1 < 500))
   }
 
+  test("kept RLE/delta chunks decode direct with nulls: constant doubles/floats, run longs, delta ints, all scatter exact") {
+    val dir = tmp()
+    // shapes that make each codec WIN its chunk, with nulls sprinkled
+    // so the dense->row-aligned scatter runs on every type:
+    //  - cd/cf: constant double/float -> RLE (one run per chunk)
+    //  - rl: long in few repeated runs, null every 11th -> RLE + nulls
+    //  - di: increasing int, null every 7th -> delta-varint + nulls
+    //  - dl: increasing long -> delta, null-free (the bulk fast path)
+    spark.range(0, 120000).select(
+      col("id"),
+      lit(2.5).as("cd"),
+      lit(1.5f).as("cf"),
+      when(col("id") % 11 =!= 0,
+        (col("id") / 10000L).cast("long") * 100L).as("rl"),
+      when(col("id") % 7 =!= 0, col("id").cast("int")).as("di"),
+      (col("id") * 3).as("dl"))
+      .coalesce(1).write.format("graftshard")
+      .option("compression", "dict").mode("overwrite").save(dir)
+
+    val t = spark.read.format("graftshard").load(dir)
+    val rowT = spark.read.format("graftshard")
+      .option("columnarRead", "false").load(dir)
+    assert(plan(t).contains("ColumnarToRow"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getFloat(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getInt(4),
+        r.getLong(5))).sortBy(_._1).toSeq
+    val got = canon(t)
+    assert(got.size == 120000)
+    assert(got == canon(rowT), "kept-codec batch decode must equal the row path")
+    // decoded VALUES, not just parity
+    assert(got(34) == ((34L, 2.5, 1.5f, 0L, 34, 102L)))
+    assert(got(33)._4 == null) // 33 % 11 == 0
+    assert(got(35)._5 == null) // 35 % 7 == 0
+    assert(got(110001) == ((110001L, 2.5, 1.5f, 1100L, 110001, 330003L)))
+    // aggregates over the kept columns (sum over delta ints exercises
+    // the widen-free int scatter; avg over RLE doubles the fill)
+    val a = t.agg(sum("di"), avg("cd"), sum("rl"), sum("dl")).head
+    val b = rowT.agg(sum("di"), avg("cd"), sum("rl"), sum("dl")).head
+    assert(a == b)
+    // filtered: kept chunks under the selection pass (boxOf reads the
+    // staged vectors the bulk fills populated)
+    val f = t.where(col("rl") === 500L).count()
+    assert(f == rowT.where(col("rl") === 500L).count() && f > 0)
+  }
+
   test("dictionary-at-rest strings serve through vector dictionaries: 1B/2B ids, nulls, filters, dict+raw chunks in one scan") {
     val dir = tmp()
     // chunk shapes the codec picks differently PER CHUNK: `lo` has <256
