@@ -463,6 +463,23 @@ object ScaleProbe {
       val dCol = math.min(timeDict(true), timeDict(true))
       println(f"PROBE-COLREAD-DICT rows=8M cols=4 row=$dRow%6.2f " +
         f"columnar=$dCol%6.2f ratio=${dRow / dCol}%5.2f")
+      // FILTERED scan over the dict table: survivors compact out of
+      // dictionary-backed vectors — since round 14 by copying 1-2 B ids
+      // (the output vector re-mounts the chunk dictionary), not bytes
+      def timeDictFiltered(columnar: Boolean): Double = {
+        val t0 = System.nanoTime()
+        val df = spark.read.format("graftshard")
+          .option("columnarRead", columnar.toString).load(ddir)
+        require(df.where(col("i") < 30)
+          .select(length(col("s")).as("l"), col("d"))
+          .agg(sum("l"), sum("d")).collect().nonEmpty)
+        (System.nanoTime() - t0) / 1e9
+      }
+      timeDictFiltered(columnar = true)
+      val dfRow = math.min(timeDictFiltered(false), timeDictFiltered(false))
+      val dfCol = math.min(timeDictFiltered(true), timeDictFiltered(true))
+      println(f"PROBE-COLREAD-DICT-FILTER rows=8M sel=31%% row=$dfRow%6.2f " +
+        f"columnar=$dfCol%6.2f ratio=${dfRow / dfCol}%5.2f")
       // FILTERED scan (round 13: absorbed predicates now stay columnar —
       // a selective filter evaluates against the decoded batch and the
       // survivors compact): the shape that dominates a curation pass

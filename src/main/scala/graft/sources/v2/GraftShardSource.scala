@@ -1811,6 +1811,13 @@ class GraftShardColumnarPartitionReader(
   // WritableColumnVector.setDictionary — ids fill as small ints, each
   // distinct value materializes ONCE per chunk instead of once per cell
   private val dictIds = new Array[WritableColumnVector](readCols.length)
+  // the Dictionary object mounted on each staging slot this batch —
+  // WritableColumnVector has no public getter, and the COMPACT path
+  // re-mounts the same object on the output vector to copy 1-2 B ids
+  // instead of bytes per surviving cell
+  private val dictObj = new Array[Dictionary](readCols.length)
+  // per-OUTPUT-position dictionary-id vectors (compact path)
+  private val outDictIds = new Array[WritableColumnVector](required.fields.length)
 
   /** One chunk's distinct string values behind Spark's vector
     * [[Dictionary]] face. Entries are shared (never mutated) — the
@@ -1835,7 +1842,9 @@ class GraftShardColumnarPartitionReader(
     var s = 0
     while (s < staging.length) {
       staging(s).reset()
-      if (dictIds(s) != null) { staging(s).setDictionary(null); dictIds(s) = null }
+      if (dictIds(s) != null) {
+        staging(s).setDictionary(null); dictIds(s) = null; dictObj(s) = null
+      }
       s += 1
     }
   }
@@ -1864,7 +1873,9 @@ class GraftShardColumnarPartitionReader(
           entries(k) = java.util.Arrays.copyOfRange(bytes, offs(k), offs(k) + lens(k))
           k += 1
         }
-        staging(s).setDictionary(new ShardChunkDictionary(entries))
+        val d = new ShardChunkDictionary(entries)
+        staging(s).setDictionary(d)
+        dictObj(s) = d
         dictIds(s) = staging(s).reserveDictionaryIds(capacity)
         true
       case _ => false // a widened/other type: take materialized cells
@@ -1953,7 +1964,16 @@ class GraftShardColumnarPartitionReader(
               if (st.isNullAt(r)) out.putNull(o) else out.putBoolean(o, st.getBoolean(r))
             case StringType | BinaryType => (r: Int, o: Int) =>
               if (st.isNullAt(r)) out.putNull(o)
-              else {
+              else if (st.hasDictionary) {
+                // dictionary TRANSFER: survivors copy their 1-2 B id,
+                // the output vector reads through the same chunk
+                // dictionary the staging vector mounted
+                if (!out.hasDictionary) {
+                  out.setDictionary(dictObj(s))
+                  outDictIds(j) = out.reserveDictionaryIds(capacity)
+                }
+                outDictIds(j).putInt(o, st.getDictionaryIds.getDictId(r))
+              } else {
                 val b = st.getBinary(r)
                 out.putByteArray(o, b, 0, b.length): Unit
               }
@@ -2099,7 +2119,16 @@ class GraftShardColumnarPartitionReader(
             return true
           }
           if (kept > 0) {
-            output.foreach(_.reset())
+            {
+              var j = 0
+              while (j < output.length) {
+                output(j).reset()
+                if (outDictIds(j) != null) {
+                  output(j).setDictionary(null); outDictIds(j) = null
+                }
+                j += 1
+              }
+            }
             val allowed = cap - emitted
             var o = 0
             r = 0
