@@ -303,22 +303,6 @@ object ShardFormat {
       if (m.isEmpty) None else Some(m)
     }
 
-  /** Equi-height histogram bins from a merged KLL: `bins` ranges of
-    * equal row mass, each with its value bounds and a uniform
-    * per-bin distinct estimate (totalNdv/bins, floored at 1 — the
-    * same apportioning ANALYZE's equi-height histogram uses). */
-  def kllHistogram(
-      sk: org.apache.datasketches.kll.KllLongsSketch,
-      totalNdv: Long, bins: Int): Seq[(Double, Double, Long)] = {
-    val n = sk.getN
-    if (n == 0) return Nil
-    val perBin = math.max(1L, totalNdv / bins)
-    (0 until bins).map { b =>
-      val lo = sk.getQuantile(b.toDouble / bins)
-      val hi = sk.getQuantile((b + 1).toDouble / bins)
-      (lo.toDouble, hi.toDouble, perBin)
-    }
-  }
 
   /** Rolled-up NDV estimate of the UNION of per-file sketches. */
   def ndvEstimate(sketches: Seq[String]): Option[Long] =
