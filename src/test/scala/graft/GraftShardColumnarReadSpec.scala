@@ -9,14 +9,16 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.v2.ShardFormat
 
 /** Columnar batch reads ([[graft.sources.v2.GraftShardReaderFactory
-  * .supportColumnarReads]]): plain scans decode v3/v4 row groups
-  * column-at-a-time into reused vectors. Pins: the batch path is
-  * byte-exact vs the row path across every scalar type, null pattern,
-  * and chunk codec; it ACTUALLY engages on plain scans (ColumnarToRow
-  * in the plan) and stands down for filters / metadata columns /
-  * embeddings / delete vectors; rename and widening resolve inside the
-  * batch decode; legacy v1/v2 files in the same partition fall back to
-  * the row decode without changing results. */
+  * .supportColumnarReads]]): scans decode v3/v4 row groups
+  * column-at-a-time into reused vectors — since round 13 INCLUDING
+  * filters, metadata columns, embeddings, merge-on-read delete
+  * vectors, live equality deletes, and pushed LIMITs (the row path
+  * remains only for legacy v1/v2 files and the columnarRead=false
+  * hatch). Pins: the batch path is byte-exact vs the row path across
+  * every scalar type, null pattern, and chunk codec (incl. the
+  * round-14 kept-encoded dictionary/RLE/delta forms and the bulk
+  * whole-group decode); it ACTUALLY engages (ColumnarToRow in the
+  * plan); rename and widening resolve inside the batch decode. */
 class GraftShardColumnarReadSpec extends AnyFunSuite {
   private lazy val spark = {
     val s = TestSpark.spark
