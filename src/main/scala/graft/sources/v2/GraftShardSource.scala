@@ -1446,16 +1446,19 @@ class GraftShardMicroBatchStream(
   /** (generation, file count) without materializing a paged table's
     * entry list — offset math is all the streaming face needs per
     * trigger, and at the 1M-entry ceiling the full read is ~1.2 s and
-    * hundreds of MB PER TRIGGER. Inline roots read normally. */
-  private def genAndCount(): (String, Long) = {
-    var n = 0L
-    ShardFormat.streamManifestForScan(path, _ => true, _ => n += 1) match {
-      case Some(meta) => (meta.generation, n)
-      case None =>
-        val m = manifest()
-        (m.generation, m.files.size.toLong)
+    * hundreds of MB PER TRIGGER. Roots with per-segment counts answer
+    * from the ROOT ALONE (O(1) per trigger); older paged roots stream
+    * the segments; inline roots read normally. */
+  private def genAndCount(): (String, Long) =
+    ShardFormat.readManifestCount(path).getOrElse {
+      var n = 0L
+      ShardFormat.streamManifestForScan(path, _ => true, _ => n += 1) match {
+        case Some(meta) => (meta.generation, n)
+        case None =>
+          val m = manifest()
+          (m.generation, m.files.size.toLong)
+      }
     }
-  }
 
   /** (generation, total count, bytes of entries `[from, total)`) —
     * what the byte-capped admission walk needs, lean. */
@@ -1500,9 +1503,18 @@ class GraftShardMicroBatchStream(
     * order — never a directory listing). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ShardOffset].fileCount.toInt
-    // lean: generation + total count + just the tail's byte sizes —
-    // never a paged table's materialized entry list per trigger
-    val (gen, total, tail) = tailBytes(from.toLong)
+    // lean: generation + total count + (only when a BYTE cap needs
+    // them) the tail's sizes — never a paged table's materialized
+    // entry list per trigger; file-count-only caps answer from the
+    // root's segment counts alone
+    def needsBytes(l: ReadLimit): Boolean = l match {
+      case _: ReadMaxBytes => true
+      case c: CompositeReadLimit => c.getReadLimits.exists(needsBytes)
+      case _ => false
+    }
+    val (gen, total, tail) =
+      if (needsBytes(limit)) tailBytes(from.toLong)
+      else { val (g, n) = genAndCount(); (g, n, Array.emptyLongArray) }
     val ceiling = availableNowCap
       .map(c => math.min(c, total).toInt)
       .getOrElse(total.toInt)

@@ -2899,6 +2899,25 @@ object ShardFormat {
     Some(parseRootMeta(root))
   }
 
+  /** Root-only (generation, total file count) of a PAGED manifest
+    * whose root carries per-segment entry counts — the streaming
+    * face's per-trigger offset currency at O(root) cost. None when
+    * the root is inline (small — read it) or predates the counts
+    * array (stream the segments). */
+  def readManifestCount(dir: String): Option[(String, Long)] = {
+    val mf = manifestFile(dir)
+    if (!mf.isFile) return None
+    val root = mapper.readTree(mf)
+    if (!root.has("fileSegments") || !root.has("fileSegmentCounts")) return None
+    val segs = root.get("fileSegments")
+    val counts = root.get("fileSegmentCounts")
+    if (counts.size != segs.size) return None // drifted root: stream
+    val gen = if (root.has("generation")) root.get("generation").asText() else ""
+    var total = 0L
+    counts.forEach(n => total += n.asLong())
+    Some((gen, total))
+  }
+
   /** Root-only read of a PAGED manifest (files = Nil): everything a
     * consumer that needs no entry list wants — schema, resolution,
     * equality deletes, properties — without parsing a single segment.
@@ -3185,12 +3204,18 @@ object ShardFormat {
     } else {
       val refs = planSegments(dir, m)
       val arr: ArrayNode = root.putArray("fileSegments")
-      refs.foreach { case (n, _) => arr.add(n): Unit }
+      refs.foreach { case (n, _, _) => arr.add(n): Unit }
       // per-segment stat rollups, aligned with fileSegments: what lets
       // a scan-side read SKIP parsing a whole segment when pushed
       // predicates provably cannot match any file in it
       val st: ArrayNode = root.putArray("fileSegmentStats")
-      refs.foreach { case (_, r) => writeEntry(st.addObject(), r) }
+      refs.foreach { case (_, r, _) => writeEntry(st.addObject(), r) }
+      // per-segment ENTRY COUNTS, aligned with fileSegments: what lets
+      // the streaming face's offset math (generation, file count) read
+      // the ROOT ALONE per trigger instead of parsing every segment —
+      // O(1) instead of O(table) at the 1M-entry ceiling
+      val ct: ArrayNode = root.putArray("fileSegmentCounts")
+      refs.foreach { case (_, _, c) => ct.add(c): Unit }
     }
     val bytes = om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
     def publish(target: File): Unit = {
@@ -3316,11 +3341,11 @@ object ShardFormat {
       deletedRows = entries.map(_.deletedRows).sum)
   }
 
-  private def planSegments(dir: String, m: Manifest): Seq[(String, FileEntry)] = {
+  private def planSegments(dir: String, m: Manifest): Seq[(String, FileEntry, Int)] = {
     val files = m.files.toIndexedSeq
     val segOf = new java.util.IdentityHashMap[FileEntry, PagedSegment]()
     m.pagedSegments.foreach(s => s.entries.foreach(e => segOf.put(e, s)))
-    val out = Seq.newBuilder[(String, FileEntry)]
+    val out = Seq.newBuilder[(String, FileEntry, Int)]
     val pending = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
     def flush(): Unit = if (pending.nonEmpty) {
       val name = s"_graft_manifest-seg-${java.util.UUID.randomUUID().toString.take(12)}.json"
@@ -3331,7 +3356,7 @@ object ShardFormat {
       val w = new FileOutputStream(new File(dir, name))
       try w.write(mapper.writeValueAsBytes(seg))
       finally w.close()
-      out += (name -> segmentRollup(name, pending.toSeq))
+      out += ((name, segmentRollup(name, pending.toSeq), pending.size))
       pending.clear()
     }
     var i = 0
@@ -3349,7 +3374,8 @@ object ShardFormat {
         flush() // preserve global order around the reused run
         // reuse the segment's recorded rollup; a pre-rollup manifest's
         // segment computes one now (entries are in memory regardless)
-        out += (s.name -> s.rollup.getOrElse(segmentRollup(s.name, s.entries)))
+        out += ((s.name,
+          s.rollup.getOrElse(segmentRollup(s.name, s.entries)), n))
         i += n
       } else {
         pending += e

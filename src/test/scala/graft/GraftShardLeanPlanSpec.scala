@@ -192,5 +192,12 @@ class GraftShardLeanPlanSpec extends AnyFunSuite {
     // the 3-file cap must have produced >= 4 micro-batches
     assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
       q.recentProgress.map(_.numInputRows).mkString(","))
+
+    // the root carries per-segment counts, so the per-trigger offset
+    // math never touched a segment: (generation, count) from root alone
+    val m = ShardFormat.readManifest(dir).get
+    val rc = ShardFormat.readManifestCount(dir)
+    assert(rc.contains((m.generation, m.files.size.toLong)),
+      s"root-resident counts must match the manifest: $rc")
   }
 }
