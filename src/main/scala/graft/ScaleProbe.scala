@@ -274,6 +274,9 @@ object ScaleProbe {
       for (n <- Seq(10000, 50000, 100000, 1000000)) {
         val dir = s"/tmp/graft_manifest_probe_$n"
         new java.io.File(dir).mkdirs()
+        // start clean: the CAS commit protocol refuses to re-claim a
+        // version file left by a previous probe run
+        Option(new java.io.File(dir).listFiles()).foreach(_.foreach(_.delete()))
         val entries = (0 until n).map { i =>
           ShardFormat.FileEntry(f"part-$i%07d.shard", 64L * 1024 * 1024, 1000L,
             Map("id" -> (i * 1000L, i * 1000L + 999L, 0L),
@@ -360,6 +363,7 @@ object ScaleProbe {
         val (spN, spSec) = {
           val d2 = s"/tmp/graft_manifest_probe_sp_$n"
           new java.io.File(d2).mkdirs()
+          Option(new java.io.File(d2).listFiles()).foreach(_.foreach(_.delete()))
           val keyed = entries.zipWithIndex.map { case (fe, i) =>
             fe.copy(partition = Some(i % 1024L)) }
           ShardFormat.writeManifest(d2, ShardFormat.Manifest(
@@ -601,6 +605,7 @@ object ScaleProbe {
       def writeV2Df(dir: String, df: org.apache.spark.sql.DataFrame): Unit = {
         val d = new java.io.File(dir)
         d.mkdirs()
+        Option(d.listFiles()).foreach(_.foreach(_.delete()))
         val entries = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
           val name = f"legacy-$pid%05d.shard"
           val f = new java.io.File(dir, name)

@@ -2090,6 +2090,70 @@ object ExtensionQueries {
     }
   }
 
+  /** CAS COMMIT PROTOCOL (round 14): the commit's linearization point
+    * is the version-snapshot HARD LINK — POSIX link(2) fails atomically
+    * with EEXIST on an already-claimed version, the filesystem's
+    * conditional PUT (object-store translation: PUT If-None-Match) —
+    * and the live pointer is only a roll-forward HINT. No lease, no
+    * clock: of two committers composed against the same base exactly
+    * one lands, which is the multi-host story a 100 TB lake needs
+    * (commit safety that survives a GC pause, a cgroup freeze, or a
+    * wall-clock skew between drivers). Driven in-query: (1) the
+    * pointer is REGRESSED byte-exactly to the prior snapshot — the
+    * state a committer crashing between link and refresh leaves — and
+    * the read must roll forward to the true head; (2) claiming an
+    * already-linked version must lose the CAS loudly; (3) the next
+    * real commit must base on the head and heal the pointer. Result
+    * byte-exact vs the oracle. */
+  private def x75(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.ShardFormat
+    val out = Q.tmpArtifactPath("x75", dir)
+    // start from nothing: the gate pins exact version numbers, and the
+    // CAS protocol (correctly) refuses to re-claim versions a previous
+    // in-process run (bench retime) left behind
+    Option(new java.io.File(out).listFiles()).foreach(_.foreach(_.delete()))
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+    docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(out) // v1
+    docs.where(pmod(col("doc_id"), lit(4)) === 1)
+      .coalesce(1).write.format("graftshard").mode("append").save(out)    // v2
+    val head = ShardFormat.readManifest(out).get.version
+    require(head == 2L, s"x75: expected head v2, got v$head")
+    def regressPointer(): Unit = java.nio.file.Files.copy(
+      ShardFormat.versionFile(out, head - 1).toPath,
+      ShardFormat.manifestFile(out).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def pointerVersion(): Long = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        ShardFormat.manifestFile(out).toPath), "UTF-8")
+      """"manifestVersion"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+    }
+    regressPointer()
+    require(pointerVersion() == head - 1, "x75: the pointer must lag")
+    require(ShardFormat.readManifest(out).get.version == head,
+      "x75: the read must roll forward past the lagging pointer — the link IS the commit")
+    // a concurrent claim of the next version loses the CAS loudly
+    java.nio.file.Files.copy(
+      ShardFormat.versionFile(out, head).toPath,
+      ShardFormat.versionFile(out, head + 1).toPath)
+    val m = ShardFormat.readManifest(out).get
+    val lost =
+      try { ShardFormat.writeManifest(out, m.copy(version = head + 1)); false }
+      catch { case _: java.util.ConcurrentModificationException => true }
+    require(lost, "x75: claiming an already-linked version must lose the CAS")
+    java.nio.file.Files.delete(ShardFormat.versionFile(out, head + 1).toPath)
+    // still lagging; a real commit bases on the TRUE head and heals
+    regressPointer()
+    docs.where(pmod(col("doc_id"), lit(4)) === 3)
+      .coalesce(1).write.format("graftshard").mode("append").save(out)    // v3
+    require(pointerVersion() == head + 1,
+      "x75: a successful commit must refresh the pointer to the head")
+    require(ShardFormat.listVersions(out) == Seq(1L, 2L, 3L),
+      "x75: gap-free committed history")
+    s.read.format("graftshard").load(out)
+  }
+
   /** RENAME COLUMN as a METADATA-ONLY commit (format v4 field ids —
     * [[graft.sources.v2.ShardFormat.MagicV4]]): half the corpus lands
     * under the ORIGINAL names, both data columns are renamed (one of
@@ -5691,6 +5755,12 @@ object ExtensionQueries {
     // segment-streamed plan path (required in-query: paged + every entry
     // streamed exactly once), byte-exact
     Q("x74_shard_lean_plan", x74, Some("""
+      SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM documents""")),
+
+    // CAS commit protocol: version-link linearization point, pointer as
+    // roll-forward hint (required in-query: lagging pointer rolls
+    // forward, double-claim loses, a commit heals), byte-exact
+    Q("x75_shard_cas_commit", x75, Some("""
       SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM documents""")),
 
     Q("x73_shard_segment_pruned_plan", x73, Some("""

@@ -429,6 +429,11 @@ object GraftShardMaintenance {
     ShardFormat.withCommitLock(dir) {
     require(keepLast >= 1, "graftshard: keepLast must be >= 1")
     require(olderThanMs >= 0L, "graftshard: olderThanMs must be >= 0")
+    // the pointer must sit at the CAS head BEFORE any snapshot dies:
+    // expiring a version between a lagging pointer and the head would
+    // strand the contiguous roll-forward walk and silently regress the
+    // table to the pointer's version
+    ShardFormat.healPointer(dir)
     val current = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
       s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
     val versions = ShardFormat.listVersions(dir)

@@ -509,11 +509,28 @@ class GraftShardBatchWrite(
     val branchBase: Option[Long] =
       stageAs.map(_ => staged.flatMap(_.branchBase)
         .getOrElse(live.map(_.version).getOrElse(0L)))
-    // UPSERT commits: the new manifest VERSION is the commit sequence —
-    // the inserts land AT it, the equality delete applies BELOW it, and
-    // the generation must turn over (old files' LOGICAL content changed,
-    // so streaming prefix offsets over them would replay deleted rows)
-    val newVersion = current.map(_.version).getOrElse(0L) + 1
+    // The manifest VERSION a staged chain carries is the version it
+    // will PUBLISH as — the next live version (base + 1), pinned across
+    // every staged micro-batch: N staged commits land as ONE live
+    // commit, so live history stays gap-free (the change feed walks
+    // consecutive snapshots, and the CAS commit protocol needs racing
+    // committers to collide on the SAME version file). Live writes
+    // bump normally.
+    val newVersion = branchBase match {
+      case Some(base) => base + 1
+      case None       => current.map(_.version).getOrElse(0L) + 1
+    }
+    // ROW-LEVEL COMMIT SEQUENCE, decoupled from the manifest version:
+    // an upsert's inserts land AT `newSeq`, its equality delete applies
+    // strictly BELOW it, and the generation must turn over (old files'
+    // LOGICAL content changed, so streaming prefix offsets over them
+    // would replay deleted rows). Within a staged chain every
+    // micro-batch needs its own seq while the manifest version stays
+    // pinned at base+1, so the counter advances over the maximum seq
+    // in sight (version, file stamps, delete stamps), never backward.
+    val newSeq = current.map(m =>
+      (m.version +: (m.files.map(_.seq) ++ m.equalityDeletes.map(_.seq))).max
+    ).getOrElse(0L) + 1
     val isUpsert = upsertKey.isDefined && eqSidecars.nonEmpty
     val (prior, generation) = if (dynamicOverwrite) {
       // replace exactly the partitions the committed files land in;
@@ -618,23 +635,33 @@ class GraftShardBatchWrite(
     val droppedColumns =
       if (isTruncate) Nil
       else current.map(_.droppedColumns).getOrElse(Nil)
-    val operation =
+    val thisOperation =
       if (dynamicOverwrite) "replace"
       else replace match {
         case None => if (isUpsert) "upsert" else "append"
         case Some(_) if isTruncate => "overwrite"
         case Some(_) => "replace"
       }
+    // A staged chain publishes as ONE commit, so its operation tag must
+    // describe the WHOLE chain, not the last micro-batch: a staged
+    // upsert keeps tainting the branch (the change feed must refuse the
+    // published commit — a file diff cannot see which old rows its
+    // equality deletes removed) until a truncate resets the staged
+    // state entirely. Every other staged op composes into the
+    // file-diff-safe class the last write already reports.
+    val operation =
+      if (!isTruncate && staged.exists(_.operation == "upsert")) "upsert"
+      else thisOperation
     // equality deletes: carried through appends, cleared by truncate
     // (every file it applied to is gone), extended by upsert commits
     val equalityDeletes =
       (if (isTruncate) Nil else current.map(_.equalityDeletes).getOrElse(Nil)) ++
         (if (isUpsert)
-          eqSidecars.map { case (n, c) => ShardFormat.EqDelete(n, upsertKey.get, newVersion, c) }
+          eqSidecars.map { case (n, c) => ShardFormat.EqDelete(n, upsertKey.get, newSeq, c) }
         else Nil)
     // upsert inserts carry the commit sequence so the delete spares them
     val stamped =
-      if (isUpsert) committed.map(_.copy(seq = newVersion)) else committed
+      if (isUpsert) committed.map(_.copy(seq = newSeq)) else committed
     // the table property: a truncate re-states it from THIS write's
     // resolved choice (build() already folded the existing property in,
     // so an optionless overwrite inherits, an explicit "none" clears);

@@ -2634,8 +2634,13 @@ object ShardFormat {
     * uuid-suffixed tombstone — exactly one stealer wins the rename, so
     * two waiters can never free-then-recreate over each other. A holder
     * alive-but-paused past the lease can still be stolen from (the
-    * inherent lease tradeoff); raise `graft.shard.commitLeaseMs` if
-    * stop-the-world pauses that long are expected. */
+    * inherent lease tradeoff), but that costs only WORK, never data:
+    * the commit's linearization point is the version-snapshot CAS link
+    * ([[writeManifestImpl]]), so of two committers composed against the
+    * same base exactly one lands and the other loses loudly — with no
+    * dependence on this lease or any clock. Raise
+    * `graft.shard.commitLeaseMs` if stop-the-world pauses that long
+    * are routine and the wasted compose work matters. */
   private final class TableLock {
     var depth = 0
     var held: File = _
@@ -2747,10 +2752,11 @@ object ShardFormat {
     * The check applies only when the CURRENT thread is inside
     * withCommitLock for this table (Thread.holdsLock — direct
     * writeManifest callers outside a section are not fenced, and a
-    * concurrent section in this JVM is never blocked on). The
-    * check-to-rename window that remains is microseconds instead of
-    * the whole compose; closing it fully needs a conditional-PUT
-    * primitive the filesystem does not offer. */
+    * concurrent section in this JVM is never blocked on). This is a
+    * FAST-FAIL courtesy, not the guard: the commit's linearization
+    * point is the version-snapshot CAS link in [[writeManifestImpl]],
+    * which a stale committer loses unconditionally — the fence just
+    * saves it the serialization work and gives a clearer message. */
   private def fenceHeldLock(dir: String): Unit = {
     val tl = commitLocks.get(new File(dir).getAbsolutePath)
     if (tl != null && Thread.holdsLock(tl) && tl.held != null) {
@@ -2769,9 +2775,80 @@ object ShardFormat {
 
   def manifestFile(dir: String): File = new File(dir, ManifestName)
 
-  /** Immutable per-commit snapshot written next to the pointer. */
+  /** Immutable per-commit snapshot written next to the pointer. Its
+    * CREATION (a hard link of the fully-written temp — POSIX's
+    * conditional PUT) is the commit's linearization point; see
+    * [[writeManifestImpl]]. */
   def versionFile(dir: String, version: Long): File =
     new File(dir, s"$ManifestName-v$version")
+
+  /** The highest version reachable from `from` by contiguous +1 probes
+    * over the immutable snapshots. Commits always target base+1 (staged
+    * chains publish as ONE version — [[GraftShardWrite]] pins the
+    * branch manifest at branchBase+1), so committed history is gap-free
+    * above any pointer the table ever published and the walk cannot
+    * stop short. Cost when the pointer is fresh: ONE File.exists. */
+  private def headVersionFrom(dir: String, from: Long): Long = {
+    var v = from
+    while (versionFile(dir, v + 1).isFile) v += 1
+    v
+  }
+
+  /** Resolves the TRUE head manifest of `dir`: the pointer, unless
+    * CAS-committed snapshots exist past its version — a committer that
+    * crashed (or was fenced) between the version link and the pointer
+    * refresh leaves the pointer lagging, and the link is the commit.
+    * Returns the head's file and its parsed root; the fresh-pointer
+    * fast path reuses the single parse. A missing pointer with
+    * snapshots on disk (crash during the table's FIRST commit) resolves
+    * to the newest snapshot present. */
+  private def liveRoot(
+      dir: String): Option[(File, com.fasterxml.jackson.databind.JsonNode)] = {
+    val mf = manifestFile(dir)
+    if (mf.isFile) {
+      val root = mapper.readTree(mf)
+      val pv = root.path("manifestVersion").asLong(0L)
+      val head = headVersionFrom(dir, pv)
+      if (head > pv) {
+        val hf = versionFile(dir, head)
+        Some((hf, mapper.readTree(hf)))
+      } else Some((mf, root))
+    } else {
+      var best = -1L
+      Option(new File(dir).listFiles()).getOrElse(Array.empty).foreach { f =>
+        val n = f.getName
+        if (n.startsWith(s"$ManifestName-v"))
+          scala.util.Try(n.stripPrefix(s"$ManifestName-v").toLong)
+            .foreach(v => if (v > best) best = v)
+      }
+      if (best < 0L) None
+      else {
+        val hf = versionFile(dir, best)
+        Some((hf, mapper.readTree(hf)))
+      }
+    }
+  }
+
+  /** Repairs a lagging pointer to the CAS head. Call inside the commit
+    * lock. [[GraftShardMaintenance.expireSnapshots]] MUST run this
+    * before deleting anything: expiring a snapshot between a stale
+    * pointer and the head would strand the contiguous roll-forward walk
+    * and silently regress the table to the pointer's version. Ordinary
+    * commits heal as a side effect (every publish refreshes the
+    * pointer), so this is the maintenance-path belt-and-braces. */
+  def healPointer(dir: String): Unit = {
+    val mf = manifestFile(dir)
+    if (!mf.isFile) return
+    val pv =
+      try mapper.readTree(mf).path("manifestVersion").asLong(0L)
+      catch { case scala.util.control.NonFatal(_) => return }
+    val head = headVersionFrom(dir, pv)
+    if (head > pv) {
+      val tmp = new File(dir, s"$ManifestName.tmp-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.copy(versionFile(dir, head).toPath, tmp.toPath)
+      if (!tmp.renameTo(mf)) { tmp.delete(); () }
+    }
+  }
 
   // ------------------------------------------------- branches (WAP)
 
@@ -2801,7 +2878,7 @@ object ShardFormat {
   }
 
   def readManifest(dir: String): Option[Manifest] =
-    readManifestFile(manifestFile(dir))
+    liveRoot(dir).flatMap { case (f, root) => readManifestParsed(f, root) }
 
   /** SCAN-ONLY pruned read: segments whose root-resident stat rollup
     * proves `keep` false are never parsed — `files` holds only the
@@ -2813,24 +2890,24 @@ object ShardFormat {
     * Pre-rollup manifests and inline (non-paged) manifests degrade to
     * the full read. */
   def readManifestForScan(dir: String, keep: FileEntry => Boolean): Option[Manifest] =
-    readManifestFile(manifestFile(dir), keep)
+    liveRoot(dir).flatMap { case (f, root) => readManifestParsed(f, root, keep) }
 
-  /** The newest COMMITTED version: the pointer's. [[writeManifest]]
-    * publishes the v(N) snapshot BEFORE the pointer, so a crash between
-    * the two leaves an orphaned ahead-of-pointer snapshot on disk —
-    * loadable history for a commit that never happened. The pointer IS
-    * the commit; its version is the ceiling every snapshot read honors. */
+  /** The newest COMMITTED version: the CAS head. The version-snapshot
+    * LINK is the commit ([[writeManifestImpl]]); the pointer is a
+    * roll-forward hint that [[liveRoot]] repairs past, so a crash
+    * between the link and the pointer refresh hides nothing. */
   private def committedVersion(dir: String): Long =
-    readManifest(dir).map(_.version).getOrElse(-1L)
+    liveRoot(dir).map(_._2.path("manifestVersion").asLong(0L)).getOrElse(-1L)
 
   /** Time travel: the manifest exactly as committed at `version`.
-    * Never-committed (ahead-of-pointer) snapshots are unloadable. */
+    * Every snapshot on disk at or below the head is committed by
+    * construction (the link IS the commit). */
   def readManifestVersion(dir: String, version: Long): Option[Manifest] =
     if (version > committedVersion(dir)) None
     else readManifestFile(versionFile(dir, version))
 
-  /** All COMMITTED snapshot versions present on disk, ascending —
-    * orphaned snapshots past the pointer's version are excluded. */
+  /** All COMMITTED snapshot versions present on disk, ascending,
+    * ceilinged at the CAS head. */
   def listVersions(dir: String): Seq[Long] = {
     val ceiling = committedVersion(dir)
     Option(new File(dir).listFiles()).getOrElse(Array.empty).toSeq
@@ -2877,9 +2954,10 @@ object ShardFormat {
       dir: String,
       segKeep: FileEntry => Boolean,
       f: FileEntry => Unit): Option[Manifest] = {
-    val mf = manifestFile(dir)
-    if (!mf.isFile) return None
-    val root = mapper.readTree(mf)
+    val (mf, root) = liveRoot(dir) match {
+      case Some(fr) => fr
+      case None => return None
+    }
     if (!root.has("fileSegments")) return None
     val rollups: Map[String, FileEntry] =
       readEntries(root.get("fileSegmentStats")).map(r => r.name -> r).toMap
@@ -2905,9 +2983,10 @@ object ShardFormat {
     * the root is inline (small — read it) or predates the counts
     * array (stream the segments). */
   def readManifestCount(dir: String): Option[(String, Long)] = {
-    val mf = manifestFile(dir)
-    if (!mf.isFile) return None
-    val root = mapper.readTree(mf)
+    val root = liveRoot(dir) match {
+      case Some((_, r)) => r
+      case None => return None
+    }
     if (!root.has("fileSegments") || !root.has("fileSegmentCounts")) return None
     val segs = root.get("fileSegments")
     val counts = root.get("fileSegmentCounts")
@@ -2923,9 +3002,10 @@ object ShardFormat {
     * equality deletes, properties — without parsing a single segment.
     * None when the root is inline (use readManifest; it is small). */
   def readManifestMeta(dir: String): Option[Manifest] = {
-    val mf = manifestFile(dir)
-    if (!mf.isFile) return None
-    val root = mapper.readTree(mf)
+    val root = liveRoot(dir) match {
+      case Some((_, r)) => r
+      case None => return None
+    }
     if (!root.has("fileSegments")) return None
     Some(parseRootMeta(root))
   }
@@ -2950,7 +3030,15 @@ object ShardFormat {
   private def readManifestFile(
       f: File, segKeep: FileEntry => Boolean = null): Option[Manifest] = {
     if (!f.isFile) return None
-    val root = mapper.readTree(f)
+    readManifestParsed(f, mapper.readTree(f), segKeep)
+  }
+
+  /** [[readManifestFile]] over an already-parsed root — what lets the
+    * head-resolving reads ([[liveRoot]]) avoid a second JSON parse of
+    * the pointer in the common fresh-pointer case. */
+  private def readManifestParsed(
+      f: File, root: com.fasterxml.jackson.databind.JsonNode,
+      segKeep: FileEntry => Boolean = null): Option[Manifest] = {
     val schema = DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType]
     val generation =
       if (root.has("generation")) root.get("generation").asText() else ""
@@ -3116,12 +3204,17 @@ object ShardFormat {
     files.result()
   }
 
-  /** Atomic publish: write to a temp sibling, then rename over the
-    * manifest path (atomic on POSIX; the object-store version would be
-    * a conditional PUT). When `m.version > 0` an immutable
-    * `_graft_manifest-v<version>.json` snapshot is written FIRST (no
-    * reader races it — the pointer still names the old commit), so
-    * every commit is time-travelable until [[GraftShardMaintenance
+  /** Atomic CAS publish. The commit's linearization point is the
+    * CREATE-EXCLUSIVE of the immutable `_graft_manifest-v<version>`
+    * snapshot (a hard link of the fully-written temp — POSIX link(2)
+    * fails atomically on an existing target, the filesystem's
+    * conditional PUT; on an object store this is a PUT with
+    * If-None-Match). Exactly one committer can claim each version, so
+    * lost updates are impossible WITHOUT relying on the lock lease or
+    * any clock. The live pointer is then refreshed by temp+rename as a
+    * roll-forward HINT — readers ([[liveRoot]]) probe past a lagging
+    * pointer, so a crash between link and refresh hides nothing. Every
+    * commit is time-travelable until [[GraftShardMaintenance
     * .expireSnapshots]] retires it. */
   def writeManifest(dir: String, m: Manifest): Unit =
     writeManifestImpl(dir, m, branch = None)
@@ -3218,34 +3311,69 @@ object ShardFormat {
       refs.foreach { case (_, _, c) => ct.add(c): Unit }
     }
     val bytes = om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
-    def publish(target: File): Unit = {
-      // same temp+rename for the snapshot as for the pointer: a crash
-      // mid-write must never leave a truncated manifest that poisons
-      // every later listVersions walk (vacuum, TIMESTAMP AS OF)
+    def writeTmp(): File = {
+      // a full write to a temp name first: a crash mid-write must never
+      // leave a truncated manifest that poisons every later
+      // listVersions walk (vacuum, TIMESTAMP AS OF)
       val tmp = new File(dir, s"$ManifestName.tmp-${java.util.UUID.randomUUID()}")
       val w = new FileOutputStream(tmp)
       try w.write(bytes)
       finally w.close()
+      tmp
+    }
+    def publish(target: File): Unit = {
+      val tmp = writeTmp()
       if (!tmp.renameTo(target)) {
         tmp.delete()
         throw new java.io.IOException(
           s"graftshard: cannot publish ${target.getName} in $dir")
       }
     }
-    fenceHeldLock(dir) // a lease-stolen section must not publish
+    fenceHeldLock(dir) // fast-fail: a lease-stolen section must not publish
     branch match {
       case Some(b) =>
         publish(branchFile(dir, b)) // staged: no snapshot, no pointer
-      case None =>
-        if (m.version > 0) publish(versionFile(dir, m.version))
-        val ptr = manifestFile(dir)
-        try publish(ptr)
-        catch { case e: java.io.IOException =>
-          // the pointer IS the commit: if it fails, the snapshot written
-          // above must not survive as loadable never-committed history
-          if (m.version > 0) versionFile(dir, m.version).delete()
-          throw e
+      case None if m.version > 0 =>
+        // CAS COMMIT POINT: hard-link the fully-written temp onto the
+        // immutable snapshot path. link(2) fails atomically with EEXIST
+        // when the version was already claimed — the filesystem's
+        // conditional PUT (the object-store translation is a PUT with
+        // If-None-Match), so two committers racing for base+1 can never
+        // both land: exactly one link wins, and a committer paused past
+        // the lock lease whose lock was stolen loses HERE even in the
+        // microsecond window after the fence check above. The lock
+        // chain remains the throughput mechanism (it serializes
+        // compose work so the CAS almost never fires); this is the
+        // correctness mechanism that needs no clock.
+        val tmp = writeTmp()
+        try {
+          try java.nio.file.Files.createLink(
+            versionFile(dir, m.version).toPath, tmp.toPath)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              throw new java.util.ConcurrentModificationException(
+                s"graftshard: commit CAS lost — v${m.version} in $dir was " +
+                  "already claimed by a concurrent committer (this section " +
+                  "composed against a stale base: a lease steal or a cross-" +
+                  "host race). Re-run the write — its data files are " +
+                  "unreferenced and will be vacuumed.")
+          }
+        } finally { tmp.delete(); () }
+        // The pointer is a ROLL-FORWARD HINT from here on: the commit
+        // above is durable, so a failed refresh must neither delete the
+        // snapshot (readers may already see it via [[liveRoot]]) nor
+        // fail the write (the classic committed-but-reported-failed
+        // ambiguity would make callers re-run and double-append).
+        try publish(manifestFile(dir))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"graftshard: v${m.version} committed but the pointer in " +
+                s"$dir could not be refreshed (${e.getMessage}); readers " +
+                "roll forward and the next commit heals it")
         }
+      case None =>
+        publish(manifestFile(dir)) // versionless bootstrap manifests
     }
   }
 

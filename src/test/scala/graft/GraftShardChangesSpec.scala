@@ -325,4 +325,48 @@ class GraftShardChangesSpec extends AnyFunSuite {
       assert(spark.table("cdf_ts_stream").count() == 3)
     } finally q.stop()
   }
+
+  test("multi-commit WAP publish is ONE gap-free feed commit; a staged upsert taints the published op") {
+    val dir = Files.createTempDirectory("graft_cdf_wap").toString
+    spark.range(0, 20).select(col("id"), (col("id") * 2L).as("v"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(dir)
+    val v0 = ShardFormat.readManifest(dir).get.version
+    // two staged micro-batches onto one branch, then fast-forward
+    spark.range(100, 110).select(col("id"), (col("id") * 2L).as("v"))
+      .coalesce(1).write.format("graftshard").option("stageAs", "night")
+      .mode("append").save(dir)
+    spark.range(200, 210).select(col("id"), (col("id") * 2L).as("v"))
+      .coalesce(1).write.format("graftshard").option("stageAs", "night")
+      .mode("append").save(dir)
+    val pub = GraftShardMaintenance.publishBranch(dir, "night")
+    // the publish occupies exactly the next version — no gap for the
+    // walk below to trip over (the pre-fix numbering staged v0+1, v0+2
+    // on the branch and published v0+2, leaving v0+1 unreadable)
+    assert(pub == v0 + 1, s"published v$pub from base v$v0")
+    val ev = events(changes(dir, v0, pub))
+    assert(ev == (100L until 110L).map((_, "insert", pub)).toSet ++
+      (200L until 210L).map((_, "insert", pub)).toSet)
+
+    // a staged UPSERT anywhere in the chain must surface as an upsert
+    // commit after publish — a later staged append must not launder the
+    // op tag into the file-diff class (the feed cannot know which old
+    // rows the staged equality delete removed)
+    spark.range(0, 5).select(col("id"), lit(-7L).as("v"))
+      .coalesce(1).write.format("graftshard").option("stageAs", "fix")
+      .option("upsertKey", "id").mode("append").save(dir)
+    spark.range(300, 305).select(col("id"), (col("id") * 2L).as("v"))
+      .coalesce(1).write.format("graftshard").option("stageAs", "fix")
+      .mode("append").save(dir)
+    val pub2 = GraftShardMaintenance.publishBranch(dir, "fix")
+    assert(pub2 == pub + 1)
+    assert(ShardFormat.readManifest(dir).get.operation == "upsert")
+    val e = intercept[UnsupportedOperationException] {
+      changes(dir, pub, pub2).collect()
+    }
+    assert(e.getMessage.contains("UPSERT"), e.getMessage)
+    // and the upserted state itself is correct: keys 0-4 replaced once
+    val after = spark.read.format("graftshard").load(dir)
+    assert(after.where(col("v") === -7L).count() == 5)
+    assert(after.count() == 20 + 10 + 10 + 5)
+  }
 }

@@ -942,7 +942,7 @@ class GraftShardSourceSpec extends AnyFunSuite {
     assert(agg.collect().forall(_.getLong(1) == 10))
   }
 
-  test("a crash between snapshot and pointer publish leaves no loadable never-committed history") {
+  test("CAS roll-forward: a crash between the version link and the pointer refresh hides nothing") {
     val dir = tmp()
     spark.range(0, 10).toDF("id")
       .write.format("graftshard").mode("overwrite").save(dir)   // v1
@@ -950,23 +950,57 @@ class GraftShardSourceSpec extends AnyFunSuite {
       .write.format("graftshard").mode("append").save(dir)      // v2
     val m = ShardFormat.readManifest(dir).get
     assert(m.version == 2L && ShardFormat.listVersions(dir) == Seq(1L, 2L))
-    // simulate the crash: a v3 snapshot lands but the pointer never moves
-    val orphan = ShardFormat.versionFile(dir, 3L)
-    java.nio.file.Files.copy(
-      ShardFormat.versionFile(dir, 2L).toPath, orphan.toPath)
-    assert(orphan.isFile)
-    // the orphan is invisible: not listed, not loadable, stream-safe
-    assert(ShardFormat.listVersions(dir) == Seq(1L, 2L))
-    assert(ShardFormat.readManifestVersion(dir, 3L).isEmpty)
-    val e = intercept[Exception] {
-      spark.read.format("graftshard").option("versionAsOf", "3").load(dir).collect()
-    }
-    assert(e.getMessage.contains("no snapshot v3"), e.getMessage)
-    // the next real commit reclaims the version number cleanly
+    // commit v3 for real, then REGRESS the pointer to v2's content —
+    // byte-exactly the state a committer crashing (or fenced) between
+    // the CAS link and the pointer refresh leaves behind
     spark.range(20, 30).toDF("id")
-      .write.format("graftshard").mode("append").save(dir)      // real v3
-    assert(ShardFormat.readManifestVersion(dir, 3L).map(_.files.size).contains(
-      ShardFormat.readManifest(dir).get.files.size))
-    assert(spark.read.format("graftshard").option("versionAsOf", "3").load(dir).count() == 30)
+      .write.format("graftshard").mode("append").save(dir)      // v3
+    java.nio.file.Files.copy(
+      ShardFormat.versionFile(dir, 2L).toPath,
+      ShardFormat.manifestFile(dir).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the LINK is the commit: every read rolls forward past the hint
+    assert(ShardFormat.readManifest(dir).get.version == 3L)
+    assert(ShardFormat.listVersions(dir) == Seq(1L, 2L, 3L))
+    assert(spark.read.format("graftshard").load(dir).count() == 30)
+    assert(spark.read.format("graftshard")
+      .option("versionAsOf", "3").load(dir).count() == 30)
+    // the next commit bases on the true head and heals the pointer
+    spark.range(30, 40).toDF("id")
+      .write.format("graftshard").mode("append").save(dir)      // v4
+    assert(ShardFormat.readManifest(dir).get.version == 4L)
+    def pointerVersion(): Long = {
+      val txt = new String(Files.readAllBytes(
+        ShardFormat.manifestFile(dir).toPath), "UTF-8")
+      """"manifestVersion"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+    }
+    assert(pointerVersion() == 4L,
+      "a successful commit must refresh the pointer to the head")
+    assert(spark.read.format("graftshard").load(dir).count() == 40)
+
+    // a concurrent claim of the same version loses the CAS loudly:
+    // simulate the stale committer by pre-linking v5 out from under a
+    // normal write
+    val m4 = ShardFormat.readManifest(dir).get
+    java.nio.file.Files.copy(
+      ShardFormat.versionFile(dir, 4L).toPath,
+      ShardFormat.versionFile(dir, 5L).toPath)
+    val e = intercept[Exception] {
+      ShardFormat.writeManifest(dir, m4.copy(version = 5L))
+    }
+    assert(e.getMessage.contains("CAS lost"), e.getMessage)
+    java.nio.file.Files.delete(ShardFormat.versionFile(dir, 5L).toPath)
+
+    // expire under a lagging pointer heals it BEFORE deleting, so the
+    // roll-forward walk never strands
+    java.nio.file.Files.copy(
+      ShardFormat.versionFile(dir, 2L).toPath,
+      ShardFormat.manifestFile(dir).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val expired = graft.sources.v2.GraftShardMaintenance
+      .expireSnapshots(dir, keepLast = 1)
+    assert(expired == Seq(1L, 2L, 3L), s"expired=$expired")
+    assert(pointerVersion() == 4L, "expire must heal the pointer first")
+    assert(spark.read.format("graftshard").load(dir).count() == 40)
   }
 }

@@ -143,7 +143,10 @@ class GraftShardWapSpec extends AnyFunSuite {
     assert(spark.read.format("graftshard").load(dir).count() == 100)
     assert(ShardFormat.readManifest(dir).get.version == v0)
     val bm = ShardFormat.readBranch(dir, "ingest").get
-    assert(bm.version == v0 + 3, s"v=${bm.version}")
+    // N staged micro-batches publish as ONE live commit, so the branch
+    // carries the version it will publish as (base + 1) — live history
+    // stays gap-free for the change feed and the CAS commit protocol
+    assert(bm.version == v0 + 1, s"v=${bm.version}")
     assert(bm.branchBase.contains(v0))
     val audit = spark.read.format("graftshard").option("branch", "ingest").load(dir)
     assert(audit.count() == 100 + 50 + 30 + 20)
@@ -156,9 +159,9 @@ class GraftShardWapSpec extends AnyFunSuite {
 
     // fast-forward: one pointer move lands all three commits
     val pub = GraftShardMaintenance.publishBranch(dir, "ingest")
-    assert(pub == v0 + 3)
+    assert(pub == v0 + 1)
     val live = ShardFormat.readManifest(dir).get
-    assert(live.version == v0 + 3 && live.branchBase.isEmpty)
+    assert(live.version == v0 + 1 && live.branchBase.isEmpty)
     assert(spark.read.format("graftshard").load(dir).count() == 200)
     assert(ShardFormat.listBranches(dir).isEmpty)
   }
