@@ -484,6 +484,26 @@ object ScaleProbe {
       val dfCol = math.min(timeDictFiltered(true), timeDictFiltered(true))
       println(f"PROBE-COLREAD-DICT-FILTER rows=8M sel=31%% row=$dfRow%6.2f " +
         f"columnar=$dfCol%6.2f ratio=${dfRow / dfCol}%5.2f")
+      // STRING-predicate scan over the dict table (round 14, late): the
+      // pushed predicate references exactly one dict-served slot, so
+      // the batch path evaluates it on the DICTIONARY DOMAIN — one
+      // boolean per distinct value plus an id lookup per row — instead
+      // of boxing a UTF8String per row. The curation WHERE lang='en'
+      // shape at rest.
+      def timeDictStr(columnar: Boolean): Double = {
+        val t0 = System.nanoTime()
+        val df = spark.read.format("graftshard")
+          .option("columnarRead", columnar.toString).load(ddir)
+        require(df.where(col("s") < "sample_text_3")
+          .select(col("i"), col("d"))
+          .agg(sum("i"), sum("d")).collect().nonEmpty)
+        (System.nanoTime() - t0) / 1e9
+      }
+      timeDictStr(columnar = true)
+      val dsRow = math.min(timeDictStr(false), timeDictStr(false))
+      val dsCol = math.min(timeDictStr(true), timeDictStr(true))
+      println(f"PROBE-COLREAD-DICT-STRPRED rows=8M sel~26%% row=$dsRow%6.2f " +
+        f"columnar=$dsCol%6.2f ratio=${dsRow / dsCol}%5.2f")
       // FILTERED scan (round 13: absorbed predicates now stay columnar —
       // a selective filter evaluates against the decoded batch and the
       // survivors compact): the shape that dominates a curation pass

@@ -1776,6 +1776,78 @@ class GraftShardColumnarPartitionReader(
     }
   }
   private val vals = new Array[Any](readCols.length)
+  // per-eval referenced slots: what decides whether a predicate can be
+  // DOMAIN-evaluated against a chunk dictionary (all refs = one slot)
+  private val evalSlots: Array[Array[Int]] =
+    pushed.map(_.references.distinct.map(slotOf))
+  // DOMAIN-evaluated predicates, rebuilt per batch: for each filter
+  // slot served by a dictionary THIS batch, the conjunction of every
+  // pushed predicate referencing exactly that slot is evaluated ONCE
+  // PER DISTINCT ENTRY (plus once for null) — the row loop then tests
+  // a boolean per 1-2 B id instead of boxing a UTF8String per row.
+  // Evaluating the dictionary's domain instead of the column is the
+  // classic vectorized-engine move: a 64k-row group over a 1k-entry
+  // lang/source column pays 1k predicate evaluations, not 64k.
+  private var domSlots: Array[Int] = Array.empty
+  private var domTables: Array[Array[Boolean]] = Array.empty
+  private var domNullOk: Array[Boolean] = Array.empty
+  private var rowEvals: Array[Array[Any] => Boolean] = evals
+
+  /** Folds single-slot predicates onto their dictionary's domain for
+    * the current batch; everything else stays row-evaluated. Called
+    * once per batch (dictionaries are per-chunk, so the split can
+    * change batch to batch). */
+  private def prepareDomainEvals(): Unit = {
+    var anyDict = false
+    var i = 0
+    while (i < filterSlots.length && !anyDict) {
+      if (dictIds(filterSlots(i)) != null) anyDict = true
+      i += 1
+    }
+    if (!anyDict) {
+      domSlots = Array.empty; rowEvals = evals
+      return
+    }
+    val bySlot = scala.collection.mutable.LinkedHashMap.empty[Int, List[Int]]
+    val rest = Array.newBuilder[Array[Any] => Boolean]
+    var e = 0
+    while (e < evals.length) {
+      val slots = evalSlots(e)
+      if (slots.length == 1 && dictIds(slots(0)) != null)
+        bySlot.updateWith(slots(0))(l => Some(e :: l.getOrElse(Nil))): Unit
+      else rest += evals(e)
+      e += 1
+    }
+    rowEvals = rest.result()
+    domSlots = bySlot.keysIterator.toArray
+    domTables = new Array[Array[Boolean]](domSlots.length)
+    domNullOk = new Array[Boolean](domSlots.length)
+    var d = 0
+    while (d < domSlots.length) {
+      val slot = domSlots(d)
+      val dict = dictObj(slot).asInstanceOf[ShardChunkDictionary]
+      val idx = bySlot(slot)
+      val isStr = readTypes(slot) == StringType
+      val tbl = new Array[Boolean](dict.entryCount)
+      var k = 0
+      while (k < tbl.length) {
+        val bytes = dict.decodeToBinary(k)
+        vals(slot) =
+          if (isStr) org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes)
+          else bytes
+        var ok = true
+        idx.foreach(i => ok = ok && evals(i)(vals))
+        tbl(k) = ok
+        k += 1
+      }
+      vals(slot) = null
+      var nullOk = true
+      idx.foreach(i => nullOk = nullOk && evals(i)(vals))
+      domTables(d) = tbl
+      domNullOk(d) = nullOk
+      d += 1
+    }
+  }
   private val selected = new Array[Boolean](capacity)
   // physical ordinals of the staged rows (row-era fills them per row;
   // columnar batches derive them from the batch start) — the _pos
@@ -1795,13 +1867,64 @@ class GraftShardColumnarPartitionReader(
       (slotOf(c), ShardFormat.readEqKeySidecar(new File(p)), seq)
     }.toArray
   private var activeEq: Array[(Int, ShardFormat.EqKeySet)] = Array.empty
+  // equality-delete DOMAIN tables (per batch): a string key set over a
+  // dict-served slot tests one boolean per 1-2 B id instead of boxing
+  // a UTF8String per row — the same fold the filter path uses. Key
+  // sets over non-dict slots (or integral keys) stay in eqRowChecks.
+  private var eqDomSlots: Array[Int] = Array.empty
+  private var eqDomTables: Array[Array[Boolean]] = Array.empty
+  private var eqRowChecks: Array[(Int, ShardFormat.EqKeySet)] = Array.empty
+
+  /** Splits the file's active equality deletes into dictionary-domain
+    * tables vs row checks for the current batch. */
+  private def prepareEqDomain(): Unit = {
+    var anyDict = false
+    var i = 0
+    while (i < activeEq.length && !anyDict) {
+      val (slot, set) = activeEq(i)
+      if (set.isString && dictIds(slot) != null) anyDict = true
+      i += 1
+    }
+    if (!anyDict) {
+      eqDomSlots = Array.empty; eqRowChecks = activeEq
+      return
+    }
+    val ds = Array.newBuilder[Int]
+    val dt = Array.newBuilder[Array[Boolean]]
+    val rest = Array.newBuilder[(Int, ShardFormat.EqKeySet)]
+    var e = 0
+    while (e < activeEq.length) {
+      val (slot, set) = activeEq(e)
+      if (set.isString && dictIds(slot) != null) {
+        val dict = dictObj(slot).asInstanceOf[ShardChunkDictionary]
+        val tbl = new Array[Boolean](dict.entryCount)
+        var k = 0
+        while (k < tbl.length) {
+          tbl(k) = set.contains(org.apache.spark.unsafe.types.UTF8String
+            .fromBytes(dict.decodeToBinary(k)))
+          k += 1
+        }
+        ds += slot; dt += tbl
+      } else rest += ((slot, set))
+      e += 1
+    }
+    eqDomSlots = ds.result(); eqDomTables = dt.result()
+    eqRowChecks = rest.result()
+  }
 
   /** True when the staged row at `r` is equality-deleted (null keys
     * never match — SQL semantics). */
   private def eqDeletedAt(r: Int): Boolean = {
+    var d = 0
+    while (d < eqDomSlots.length) {
+      val slot = eqDomSlots(d)
+      if (!staging(slot).isNullAt(r) &&
+          eqDomTables(d)(dictIds(slot).getDictId(r))) return true
+      d += 1
+    }
     var i = 0
-    while (i < activeEq.length) {
-      val (slot, set) = activeEq(i)
+    while (i < eqRowChecks.length) {
+      val (slot, set) = eqRowChecks(i)
       val vec = staging(slot)
       if (!vec.isNullAt(r)) {
         val hit = readTypes(slot) match {
@@ -1836,6 +1959,7 @@ class GraftShardColumnarPartitionReader(
     * same no-copy contract Spark's parquet dictionary uses. */
   private final class ShardChunkDictionary(entries: Array[Array[Byte]])
       extends Dictionary {
+    val entryCount: Int = entries.length
     override def decodeToBinary(id: Int): Array[Byte] = entries(id)
     override def decodeToInt(id: Int): Int =
       throw new UnsupportedOperationException("string dictionary")
@@ -2106,17 +2230,30 @@ class GraftShardColumnarPartitionReader(
               dvIdx += 1
             }
           }
+          if (evals.nonEmpty) prepareDomainEvals()
+          if (activeEq.nonEmpty) prepareEqDomain()
           var r = 0
           while ((evals.nonEmpty || activeEq.nonEmpty) && r < n) {
             if (selected(r)) {
-              var fi = 0
-              while (fi < filterSlots.length) {
-                vals(filterSlots(fi)) = boxOf(fi)(r)
-                fi += 1
-              }
               var ok = true
-              var e = 0
-              while (ok && e < evals.length) { ok = evals(e)(vals); e += 1 }
+              // dictionary-domain predicates: a boolean per id lookup
+              var d = 0
+              while (ok && d < domSlots.length) {
+                val slot = domSlots(d)
+                ok =
+                  if (staging(slot).isNullAt(r)) domNullOk(d)
+                  else domTables(d)(dictIds(slot).getDictId(r))
+                d += 1
+              }
+              if (ok && rowEvals.nonEmpty) {
+                var fi = 0
+                while (fi < filterSlots.length) {
+                  vals(filterSlots(fi)) = boxOf(fi)(r)
+                  fi += 1
+                }
+                var e = 0
+                while (ok && e < rowEvals.length) { ok = rowEvals(e)(vals); e += 1 }
+              }
               if (ok && activeEq.nonEmpty && eqDeletedAt(r)) ok = false
               if (!ok) { selected(r) = false; kept -= 1 }
             }

@@ -434,4 +434,69 @@ class GraftShardColumnarReadSpec extends AnyFunSuite {
       .map(r => (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1))).sortBy(t => s"${t._1}").toSeq
     assert(agg == aggRow)
   }
+
+  test("dict-column predicates evaluate on the DICTIONARY DOMAIN: every pushed shape, mixed slots, nulls, raw+dict batches") {
+    val dir = tmp()
+    // lang: nullable, 40 distinct (domain-evaluable); src: 300 distinct
+    // (second dict slot); score: numeric (never dict -> row-evaluated)
+    def mk(a: Long, n: Long) = spark.range(a, a + n).select(
+      col("id"),
+      when(col("id") % 7 =!= 0, concat(lit("lang"), col("id") % 40)).as("lang"),
+      concat(lit("s"), col("id") % 300).as("src"),
+      (col("id") % 100).as("score"))
+    // first file RAW: the same task must re-split domain vs row evals
+    // per batch (a raw batch has no dictionary to fold onto)
+    mk(0, 20000).coalesce(1)
+      .write.format("graftshard").mode("overwrite").save(dir)
+    mk(20000, 80000).coalesce(1)
+      .write.format("graftshard").option("compression", "dict")
+      .mode("append").save(dir)
+    val t = spark.read.format("graftshard").load(dir)
+    val rowT = spark.read.format("graftshard")
+      .option("columnarRead", "false").load(dir)
+    def chk(p: org.apache.spark.sql.Column, wantRows: Boolean = true): Unit = {
+      val a = t.where(p).collect().map(_.toString).sorted.toSeq
+      val b = rowT.where(p).collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"batch vs row disagree under $p")
+      if (wantRows) assert(a.nonEmpty, s"vacuous check: $p matched nothing")
+    }
+    chk(col("lang") === "lang7")
+    chk(col("lang").isin("lang1", "lang2", "lang39"))
+    chk(col("lang").isNull)                             // nullOk face
+    chk(col("lang").isNotNull)
+    chk(col("lang") >= "lang30")                        // string range
+    chk(col("lang") === "lang3" && col("src") === "s123")  // two dict slots
+    chk(col("lang") === "lang3" && col("score") > 50L)  // dict + row eval
+    chk(col("lang") === "never", wantRows = false)      // all-false table
+  }
+
+  test("string-key equality deletes over dict chunks test the dictionary domain, exact vs the row path") {
+    val dir = tmp()
+    // 500 distinct keys over 50k rows: the key column dict-encodes, so
+    // the upsert's eq-delete key set folds onto the chunk dictionary
+    spark.range(0, 50000).select(
+      concat(lit("doc"), col("id") % 500).as("k"),
+      col("id").as("v"))
+      .coalesce(1).write.format("graftshard")
+      .option("compression", "dict").mode("overwrite").save(dir)
+    Seq(("doc7", -7L), ("doc13", -13L)).toDF("k", "v")
+      .coalesce(1).write.format("graftshard")
+      .option("compression", "dict").option("upsertKey", "k")
+      .mode("append").save(dir)
+    val t = spark.read.format("graftshard").load(dir)
+    val rowT = spark.read.format("graftshard")
+      .option("columnarRead", "false").load(dir)
+    assert(plan(t).contains("ColumnarToRow"), plan(t))
+    val got = t.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == rowT.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
+    // 100 base rows deleted per upserted key, one insert each
+    assert(got.size == 50000 - 200 + 2)
+    assert(got.count(_._1 == "doc7") == 1 && got.contains(("doc7", -7L)))
+    // composed with a domain-evaluated filter on the same column
+    val f = t.where(col("k").isin("doc7", "doc8"))
+    val gotF = f.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val wantF = rowT.where(col("k").isin("doc7", "doc8"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(gotF == wantF && gotF.size == 1 + 100)
+  }
 }
