@@ -2154,6 +2154,62 @@ object ExtensionQueries {
     s.read.format("graftshard").load(out)
   }
 
+  /** TIMESTAMPS AT REST + HIDDEN TIME PARTITIONING (round 14): the
+    * events table lands in a graftshard table with its REAL timestamp
+    * column (stored as epoch-micros longs behind tag 8 — every long
+    * path carries over: codecs, micros min/max stats and file
+    * skipping, blooms, bulk decode) PARTITIONED BY (days(ts)) — the
+    * Iceberg hidden-partitioning layout every time-series lake uses at
+    * 100 TB. In-query requires: the transform spec is recorded, every
+    * file carries exactly one day ordinal, and a ts-range predicate
+    * prunes files at plan time. The query itself is the ops rollup:
+    * per-day, per-type event counts + exact id sums over a time-range
+    * filter (timestamps surface as day ordinals and micros — the
+    * oracle-stable integer faces). */
+  private def x76(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.ShardFormat
+    val cat = ensureGraftCatalog(s, dir)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x76")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x76.ev")
+    s.sql(s"CREATE TABLE $cat.x76.ev (event_id BIGINT, ts TIMESTAMP, " +
+      "user_id BIGINT, event_type STRING, value DOUBLE) " +
+      "USING graftshard PARTITIONED BY (days(ts))")
+    // the parquet source infers ts as TIMESTAMP_NTZ; the lake table
+    // declares the session-zoned type (UTC session — same instants),
+    // exercising the LTZ face (the NTZ face is spec-pinned)
+    table(s, dir, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .writeTo(s"$cat.x76.ev").append()
+    val tdir = s"${s.conf.get(s"spark.sql.catalog.$cat.warehouse")}/x76/ev"
+    val m = ShardFormat.readManifest(tdir).get
+    require(m.partitioning.contains(ShardFormat.TransformPart("days", "ts")),
+      s"x76: transform spec not recorded (${m.partitioning})")
+    require(m.files.nonEmpty && m.files.forall(_.partition.isDefined),
+      "x76: every file must carry its day ordinal")
+    require(m.files.flatMap(_.partition).distinct.size > 1,
+      "x76: the corpus must span multiple days")
+    // ts-range filter: the last ~60% of the corpus by wall clock; the
+    // pushed micros bounds must prune at least one whole file
+    val bounds = table(s, dir, "events")
+      .select(col("ts").cast("timestamp").as("ts"))
+      .agg(unix_micros(min("ts")), unix_micros(max("ts"))).head()
+    // exact integer micros arithmetic, mirrored by the oracle's
+    // epoch_us SQL — no milli truncation at the boundary
+    val cutMicros = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) * 2 / 5
+    val filtered = s.table(s"$cat.x76.ev")
+      .where(col("ts") >= timestamp_micros(lit(cutMicros)))
+    val desc = filtered.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    val m1 = """files=(\d+)/(\d+)""".r.findFirstMatchIn(desc)
+    require(m1.exists(g => g.group(1).toInt < g.group(2).toInt),
+      s"x76: ts-range predicate must prune day files: $desc")
+    filtered
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("event_id").as("sum_ids"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** RENAME COLUMN as a METADATA-ONLY commit (format v4 field ids —
     * [[graft.sources.v2.ShardFormat.MagicV4]]): half the corpus lands
     * under the ORIGINAL names, both data columns are renamed (one of
@@ -5762,6 +5818,18 @@ object ExtensionQueries {
     // forward, double-claim loses, a commit heals), byte-exact
     Q("x75_shard_cas_commit", x75, Some("""
       SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM documents""")),
+
+    // timestamps at rest + days(ts) hidden partitioning: one day per
+    // file, micros stats prune the ts range (required in-plan),
+    // byte-exact per-day rollup
+    Q("x76_shard_time_partitioning", x76, Some("""
+      SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        count(*)::BIGINT AS n_events, SUM(event_id)::BIGINT AS sum_ids,
+        COUNT(DISTINCT user_id)::BIGINT AS n_users
+      FROM events
+      WHERE epoch_us(ts) >= (SELECT MIN(epoch_us(ts)) +
+        (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) * 2 // 5 FROM events)
+      GROUP BY 1, 2""")),
 
     Q("x73_shard_segment_pruned_plan", x73, Some("""
       SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM documents

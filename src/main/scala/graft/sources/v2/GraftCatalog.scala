@@ -154,23 +154,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       require(ShardFormat.supported(f.dataType),
         s"graftshard: unsupported column type ${f.dataType.sql} for '${f.name}'")
     }
-    def keyColumn(ref: Seq[String]): String = {
+    def column(ref: Seq[String]): StructField = {
       require(ref.length == 1,
         s"graftshard: nested partition references unsupported: ${ref.mkString(".")}")
       val c = ref.head
-      val f = schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+      schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
         s"graftshard: partition column '$c' not in table schema"))
+    }
+    def keyColumn(ref: Seq[String]): String = {
+      val f = column(ref)
       require(f.dataType == LongType || f.dataType == IntegerType,
-        s"graftshard: partition column '$c' must be integral (long/int), got ${f.dataType.sql}")
-      c
+        s"graftshard: partition column '${f.name}' must be integral (long/int), got ${f.dataType.sql}")
+      f.name
+    }
+    def tsColumn(ref: Seq[String], unit: String): String = {
+      val f = column(ref)
+      require(f.dataType == org.apache.spark.sql.types.TimestampType ||
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType,
+        s"graftshard: $unit() partitioning needs a timestamp column, " +
+          s"'${f.name}' is ${f.dataType.sql}")
+      f.name
     }
     def unsupported(ts: Seq[Transform]): Nothing = throw new UnsupportedOperationException(
       s"graftshard: unsupported partitioning ${ts.mkString(", ")} — " +
-        "supported: unpartitioned, (identity column), (bucket(n, column))")
+        "supported: unpartitioned, (identity column), (bucket(n, column)), " +
+        "(days|hours|months|years(timestamp column))")
     val spec: Option[ShardFormat.PartSpec] = partitions.toSeq match {
       case Seq() => None
       case Seq(t) if t.name == "identity" && t.references.length == 1 =>
         Some(ShardFormat.IdentityPart(keyColumn(t.references()(0).fieldNames.toSeq)))
+      case Seq(t) if ShardFormat.TransformUnits(t.name) && t.references.length == 1 =>
+        Some(ShardFormat.TransformPart(t.name,
+          tsColumn(t.references()(0).fieldNames.toSeq, t.name)))
       case Seq(t) if t.name == "bucket" =>
         val ns = t.arguments.collect { case l: V2Literal[_] =>
           l.value.asInstanceOf[Number].intValue }
@@ -368,6 +383,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         part = part.map {
           case ShardFormat.IdentityPart(`from`) => ShardFormat.IdentityPart(to)
           case ShardFormat.BucketPart(n, `from`) => ShardFormat.BucketPart(n, to)
+          case ShardFormat.TransformPart(u, `from`) => ShardFormat.TransformPart(u, to)
           case other => other
         }
         sorted = sorted.map(s => if (s == from) to else s)
@@ -520,13 +536,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
-      Array(Identifier.of(Array.empty, "bucket"), Identifier.of(Array.empty, "zorder"))
+      (Seq("bucket", "zorder") ++ ShardFormat.TransformUnits.toSeq.sorted)
+        .map(Identifier.of(Array.empty[String], _)).toArray
     else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name == "bucket") GraftBucketFunction
     else if (ident.name == "zorder") GraftZOrderFunction
+    else if (ShardFormat.TransformUnits(ident.name))
+      new GraftTimeTransformFunction(ident.name)
     else throw new NoSuchFunctionException(ident)
 
   // --------------------------------------------------------- procedures
@@ -717,6 +736,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           case None => "none"
           case Some(ShardFormat.IdentityPart(c)) => c
           case Some(ShardFormat.BucketPart(n, c)) => s"bucket($n, $c)"
+          case Some(ShardFormat.TransformPart(u, c)) => s"$u($c)"
         }
         Seq(Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(shown),
           r.filesCleared.toLong, r.newVersion))
@@ -791,6 +811,40 @@ object BucketLongFunction extends ScalarFunction[Integer] {
   override def produceResult(input: InternalRow): Integer =
     ShardFormat.bucketOf(input.getLong(1), input.getInt(0))
   def invoke(numBuckets: Int, key: Long): Int = ShardFormat.bucketOf(key, numBuckets)
+}
+
+/** The SQL-visible half of [[ShardFormat.transformValue]] — one
+  * function per time unit, resolved by Spark for
+  * `PARTITIONED BY (days(ts))` storage-partitioned joins and evaluated
+  * to co-shuffle the untransformed side. Must stay value-identical to
+  * the writer's placement (the same alignment contract bucket pins). */
+final class GraftTimeTransformFunction(unit: String) extends UnboundFunction {
+  override def name(): String = unit
+  override def description(): String =
+    s"$unit(ts): graftshard time transform — the $unit ordinal (UTC, floored) of a timestamp"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"$unit expects (timestamp), got ${inputType.simpleString}")
+    val dt = inputType.fields(0).dataType
+    require(dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType,
+      s"$unit: unsupported input ${dt.sql} (timestamp)")
+    new GraftTimeTransformScalar(unit, dt)
+  }
+}
+
+final class GraftTimeTransformScalar(
+    unit: String, input: org.apache.spark.sql.types.DataType)
+    extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(input)
+  override def resultType(): org.apache.spark.sql.types.DataType = IntegerType
+  override def name(): String = unit
+  override def canonicalName(): String = s"graftshard.$unit"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer =
+    ShardFormat.transformValue(unit, input.getLong(0)).toInt
+  def invoke(micros: Long): Int = ShardFormat.transformValue(unit, micros).toInt
 }
 
 object BucketIntFunction extends ScalarFunction[Integer] {

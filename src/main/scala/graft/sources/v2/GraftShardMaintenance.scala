@@ -481,14 +481,24 @@ object GraftShardMaintenance {
         throw new IllegalArgumentException(
           s"graftshard: partition column '${sp.column}' not in table schema " +
             m.schema.fieldNames.mkString("(", ", ", ")")))
-      require(f.dataType == org.apache.spark.sql.types.LongType ||
-          f.dataType == org.apache.spark.sql.types.IntegerType,
-        s"graftshard: partition column '${sp.column}' must be integral " +
-          s"(long/int), got ${f.dataType.sql}")
       sp match {
-        case ShardFormat.BucketPart(n, _) =>
-          require(n > 0, s"graftshard: bucket needs n > 0, got $n")
-        case _ => ()
+        case ShardFormat.TransformPart(u, c) =>
+          require(ShardFormat.TransformUnits(u),
+            s"graftshard: unknown partition transform '$u'")
+          require(f.dataType == org.apache.spark.sql.types.TimestampType ||
+              f.dataType == org.apache.spark.sql.types.TimestampNTZType,
+            s"graftshard: $u() partitioning needs a timestamp column, " +
+              s"'$c' is ${f.dataType.sql}")
+        case other =>
+          require(f.dataType == org.apache.spark.sql.types.LongType ||
+              f.dataType == org.apache.spark.sql.types.IntegerType,
+            s"graftshard: partition column '${sp.column}' must be integral " +
+              s"(long/int), got ${f.dataType.sql}")
+          other match {
+            case ShardFormat.BucketPart(n, _) =>
+              require(n > 0, s"graftshard: bucket needs n > 0, got $n")
+            case _ => ()
+          }
       }
     }
     val cleared = m.files.count(_.partition.isDefined)
@@ -527,12 +537,15 @@ object GraftShardMaintenance {
     if (t.equalsIgnoreCase("none")) None
     else {
       val b = "(?i)bucket\\s*\\(\\s*(\\d+)\\s*,\\s*([^)\\s]+)\\s*\\)".r
+      val tr = "(?i)(hours|days|months|years)\\s*\\(\\s*([^)\\s]+)\\s*\\)".r
       t match {
         case b(n, c) => Some(ShardFormat.BucketPart(n.toInt, c))
+        case tr(u, c) => Some(ShardFormat.TransformPart(u.toLowerCase, c))
         case c if c.nonEmpty && !c.contains("(") => Some(ShardFormat.IdentityPart(c))
         case other => throw new IllegalArgumentException(
           s"graftshard: cannot parse partitioning spec '$other' — expected " +
-            "'none', '<column>', or 'bucket(<n>, <column>)'")
+            "'none', '<column>', 'bucket(<n>, <column>)', or " +
+            "'days|hours|months|years(<timestamp column>)'")
       }
     }
   }

@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -334,6 +334,15 @@ object GraftShardTable {
   def transformOf(sp: ShardFormat.PartSpec): Transform = sp match {
     case ShardFormat.IdentityPart(c) => Expressions.identity(c)
     case ShardFormat.BucketPart(n, c) => Expressions.bucket(n, c)
+    // Spark's own V2 time transforms: the write distribution clusters
+    // by them and the scan's KeyGroupedPartitioning reports them, so
+    // co-transformed tables storage-partition-join with zero shuffle
+    case ShardFormat.TransformPart("hours", c) => Expressions.hours(c)
+    case ShardFormat.TransformPart("days", c) => Expressions.days(c)
+    case ShardFormat.TransformPart("months", c) => Expressions.months(c)
+    case ShardFormat.TransformPart("years", c) => Expressions.years(c)
+    case ShardFormat.TransformPart(u, _) => throw new IllegalStateException(
+      s"graftshard: unknown transform unit '$u'")
   }
 }
 
@@ -487,7 +496,8 @@ class GraftShardScanBuilder(
     def colType(c: String): Option[DataType] =
       m.schema.fields.find(_.name == c).map(_.dataType)
     def integral(c: String): Boolean =
-      colType(c).exists(dt => dt == LongType || dt == IntegerType)
+      colType(c).exists(dt => dt == LongType || dt == IntegerType ||
+        dt == TimestampType || dt == TimestampNTZType)
     def tracked(c: String): Boolean =
       m.files.forall(fe => fe.stats.contains(c) || fe.allNull.contains(c))
     // string bounds are conditional (byte cap): EVERY file must carry
@@ -496,7 +506,8 @@ class GraftShardScanBuilder(
       colType(c).contains(StringType) &&
         m.files.forall(fe => fe.strStats.contains(c) || fe.allNull.contains(c))
     def box(dt: DataType, v: Long): Any =
-      if (dt == LongType) Long.box(v) else Int.box(v.toInt)
+      // timestamps answer as micros longs — InternalRow's own currency
+      if (ShardFormat.physicalOf(dt) == LongType) Long.box(v) else Int.box(v.toInt)
 
     val groupCol: Option[Option[String]] = a.groupByExpressions() match {
       case Array() => Some(None)
@@ -966,6 +977,7 @@ class GraftShardScan(
     val g = groupedSpec.map {
       case ShardFormat.IdentityPart(c) => s" keyGroupedBy=$c"
       case ShardFormat.BucketPart(n, c) => s" keyGroupedBy=bucket($n,$c)"
+      case ShardFormat.TransformPart(u, c) => s" keyGroupedBy=$u($c)"
     }.getOrElse("")
     val l = limit.map(n => s" limit=$n").getOrElse("")
     val tn = topN.map(t => s" topN=${t.k} by ${t.col}" +
@@ -1000,13 +1012,14 @@ class GraftShardScan(
           case ShardFormat.IdentityPart(c) => Array(
             Expressions.sort(Expressions.column(c), SortDirection.ASCENDING),
             Expressions.sort(Expressions.column(s), SortDirection.ASCENDING))
-          // bucket: within a partition the bucket id is constant, so
-          // rows of the single file are sorted by sortedBy ALONE — the
-          // report that lets a storage-partitioned merge join on the
-          // raw id (x44's shape) skip BOTH SortExecs, not just the
-          // Exchanges. Reporting (bucket(n,c), sortedBy) instead would
-          // satisfy nothing: no consumer requires bucket-id order.
-          case _: ShardFormat.BucketPart => Array(
+          // bucket / time transform: within a partition the bucket id
+          // (or unit ordinal) is constant, so rows of the single file
+          // are sorted by sortedBy ALONE — the report that lets a
+          // storage-partitioned merge join on the raw id (x44's shape)
+          // skip BOTH SortExecs, not just the Exchanges. Reporting
+          // (bucket(n,c), sortedBy) instead would satisfy nothing: no
+          // consumer requires bucket-id or day-ordinal order.
+          case _ => Array(
             Expressions.sort(Expressions.column(s), SortDirection.ASCENDING))
         }
       case _ => Array.empty
@@ -1251,7 +1264,9 @@ class GraftShardScan(
         val keyIsLong = sp match {
           case ShardFormat.IdentityPart(c) =>
             fullSchema.fields(fullSchema.fieldIndex(c)).dataType == LongType
-          case _: ShardFormat.BucketPart => false
+          // bucket ids and time-unit ordinals are the bound functions'
+          // IntegerType results
+          case _ => false
         }
         selectedLean.groupBy(_.partition.get).toSeq.sortBy(_._1).map { case (k, fes) =>
           ShardKeyedInputPartition(
@@ -1655,12 +1670,13 @@ class GraftShardReaderFactory(
       pushed.forall(_.references.forall(c =>
         fullSchema.fields.find(_.name == c).exists(f => columnarType(f.dataType))))
 
-  private def columnarType(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | DoubleType | FloatType |
-         BooleanType | StringType | BinaryType => true
-    case ArrayType(FloatType, _) => true
-    case _ => false
-  }
+  private def columnarType(dt: DataType): Boolean =
+    ShardFormat.physicalOf(dt) match {
+      case LongType | IntegerType | DoubleType | FloatType |
+           BooleanType | StringType | BinaryType => true
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
@@ -1719,8 +1735,14 @@ class GraftShardColumnarPartitionReader(
   // staging layout: required data cols, then filter-only, then eq-only
   private val readCols: Array[String] = dataCols ++ filterCols ++ eqOnlyCols
   private val readIndices: Array[Int] = readCols.map(fullIndex)
-  private val readTypes: Array[DataType] =
+  // staging vectors carry the LOGICAL types (Spark's vectorized readers
+  // do the same: a TimestampType vector stores micros longs); every
+  // decode/box/compact SWITCH below runs on the PHYSICAL types so
+  // timestamps ride the long paths
+  private val readLogicalTypes: Array[DataType] =
     readCols.map(c => fullSchema.fields(fullIndex(c)).dataType)
+  private val readTypes: Array[DataType] =
+    readLogicalTypes.map(ShardFormat.physicalOf)
   private val slotOf: Map[String, Int] = readCols.zipWithIndex.toMap
   private val capacity = ShardFormat.GroupMaxRows
   // output position -> staging slot; -1 = _shard_file, -2 = _pos
@@ -1736,7 +1758,7 @@ class GraftShardColumnarPartitionReader(
   private var emitted: Int = 0
 
   private val staging: Array[OnHeapColumnVector] =
-    readTypes.map(new OnHeapColumnVector(capacity, _))
+    readLogicalTypes.map(new OnHeapColumnVector(capacity, _))
   private val stagingBatch =
     new ColumnarBatch(staging.take(dataCols.length).toArray[ColumnVector])
   // the compact path exists when anything row-level can drop or reorder
@@ -2494,7 +2516,8 @@ object ShardFilters {
     * stay with Spark: their NaN/-0.0 total order is engine-defined and
     * a half-matching reimplementation is a silent-wrongness class. */
   private def comparable(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | StringType | BooleanType => true
+    case LongType | IntegerType | StringType | BooleanType | TimestampType |
+        TimestampNTZType => true
     case _ => false
   }
 
@@ -2502,7 +2525,8 @@ object ShardFilters {
     schema.fields.find(_.name == name).map(_.dataType)
 
   private def integral(c: String, schema: StructType): Boolean =
-    colType(c, schema).exists(dt => dt == LongType || dt == IntegerType)
+    colType(c, schema).exists(dt => dt == LongType || dt == IntegerType ||
+      dt == TimestampType || dt == TimestampNTZType)
 
   private def stringCol(c: String, schema: StructType): Boolean =
     colType(c, schema).contains(StringType)
@@ -2524,10 +2548,22 @@ object ShardFilters {
     case _ => false
   }
 
+  /** Long value of a pushed integral-or-timestamp literal. DSv2 hands
+    * TimestampType literals as java.sql.Timestamp (or java.time.Instant
+    * under spark.sql.datetime.java8API.enabled) — both convert through
+    * Spark's own DateTimeUtils, so absorbed comparisons and stats
+    * proofs use exactly the engine's epoch-micros. */
   private def asLong(v: Any): Long = v match {
     case n: Number => n.longValue()
+    case t: java.sql.Timestamp =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+    case i: java.time.Instant =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
+    case d: java.time.LocalDateTime => // TIMESTAMP_NTZ literals
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(d)
     case other => throw new IllegalArgumentException(s"not integral: $other")
   }
+
 
   /** Filters whose all-match/no-match question [[mustMatchAll]]/
     * [[mayContain]] can answer — the metadata-DELETE admission test. */
@@ -2679,6 +2715,7 @@ object ShardFilters {
       case (StringType, s: String) => UTF8String.fromString(s)
       case (LongType, n: Number) => java.lang.Long.valueOf(n.longValue())
       case (IntegerType, n: Number) => java.lang.Integer.valueOf(n.intValue())
+      case (TimestampType | TimestampNTZType, t) => java.lang.Long.valueOf(asLong(t))
       case (_, other) => other
     }
     // three-way comparator against the literal: integral via Long,
@@ -2743,6 +2780,12 @@ object ShardFilters {
         s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       case u: UTF8String => Some(ShardFormat.bloomHashBytes(u.getBytes))
       case b: Array[Byte] => Some(ShardFormat.bloomHashBytes(b))
+      case t: java.sql.Timestamp => Some(ShardFormat.bloomHashLong(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
+      case i: java.time.Instant => Some(ShardFormat.bloomHashLong(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)))
+      case d: java.time.LocalDateTime => Some(ShardFormat.bloomHashLong(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(d)))
       case _ => None
     }
     pushed.flatMap {

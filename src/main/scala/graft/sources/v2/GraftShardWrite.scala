@@ -80,15 +80,34 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
         s"graftshard: unsupported column type ${f.dataType.sql} for '${f.name}' " +
           "(supported: long, int, double, float, boolean, string, binary, array<float>)")
     }
-    def validateKey(c: String): Unit = {
-      val f = schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
-        s"graftshard: partition key column '$c' not in write schema ${schema.simpleString}"))
-      require(f.dataType == LongType || f.dataType == IntegerType,
-        s"graftshard: partition key column '$c' must be integral (long/int), " +
-          s"got ${f.dataType.sql} — key-grouped reads compare manifest key values")
+    def validateKey(sp: ShardFormat.PartSpec): Unit = {
+      val f = schema.fields.find(_.name == sp.column).getOrElse(throw new IllegalArgumentException(
+        s"graftshard: partition key column '${sp.column}' not in write schema ${schema.simpleString}"))
+      sp match {
+        case ShardFormat.TransformPart(u, c) =>
+          require(ShardFormat.TransformUnits(u),
+            s"graftshard: unknown partitionTransform '$u' " +
+              s"(supported: ${ShardFormat.TransformUnits.toSeq.sorted.mkString(", ")})")
+          require(f.dataType == org.apache.spark.sql.types.TimestampType ||
+              f.dataType == org.apache.spark.sql.types.TimestampNTZType,
+            s"graftshard: partitionTransform '$u' needs a timestamp column, " +
+              s"'$c' is ${f.dataType.sql}")
+        case _ =>
+          require(f.dataType == LongType || f.dataType == IntegerType,
+            s"graftshard: partition key column '${sp.column}' must be integral (long/int), " +
+              s"got ${f.dataType.sql} — key-grouped reads compare manifest key values")
+      }
     }
+    // option("partitionKey", c) -> identity; add
+    // option("partitionTransform", days|hours|months|years) for the
+    // time-series layout over a timestamp key
     val optionSpec: Option[ShardFormat.PartSpec] =
-      Option(info.options.get("partitionKey")).map(ShardFormat.IdentityPart(_))
+      Option(info.options.get("partitionKey")).map { c =>
+        Option(info.options.get("partitionTransform")).map(_.toLowerCase) match {
+          case Some(u) => ShardFormat.TransformPart(u, c)
+          case None => ShardFormat.IdentityPart(c)
+        }
+      }
     val existing = ShardFormat.readManifest(path)
     // the layout is a TABLE property: catalog-created tables carry their
     // (identity or bucket) spec in the manifest from createTable, and
@@ -107,7 +126,7 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
           m.partitioning
         case None => optionSpec
       }
-    spec.foreach(sp => validateKey(sp.column))
+    spec.foreach(validateKey)
     if (!truncateRequested) existing.foreach { m =>
       // element containsNull is normalized away like top-level
       // nullability: the record format stores no element bitmap either
@@ -823,7 +842,12 @@ class GraftShardKeyedDataWriter(
   require(maxOpenWriters >= 1,
     s"graftshard: maxOpenWriters must be >= 1, got $maxOpenWriters")
   private val keyIdx = schema.fieldIndex(spec.column)
-  private val keyIsLong = schema.fields(keyIdx).dataType == LongType
+  // timestamps arrive as micros longs in InternalRow — the long path
+  private val keyIsLong = {
+    val dt = schema.fields(keyIdx).dataType
+    dt == LongType || dt == org.apache.spark.sql.types.TimestampType ||
+      dt == org.apache.spark.sql.types.TimestampNTZType
+  }
   private val attempt = java.util.UUID.randomUUID().toString.take(8)
   private val writers =
     scala.collection.mutable.LinkedHashMap.empty[Long, (String, ShardFormat.ShardWriter)]
@@ -850,10 +874,7 @@ class GraftShardKeyedDataWriter(
       s"graftshard: null value in partitionKey column '${spec.column}' — " +
         "key-partitioned tables require a non-null key on every row")
     val raw = if (keyIsLong) record.getLong(keyIdx) else record.getInt(keyIdx).toLong
-    val key = spec match {
-      case ShardFormat.IdentityPart(_) => raw
-      case ShardFormat.BucketPart(n, _) => ShardFormat.bucketOf(raw, n).toLong
-    }
+    val key = ShardFormat.partitionValueOf(spec, raw)
     val w = writers.get(key) match {
       case Some(entry) =>
         // approximate LRU, paid only at the cap: below it, insertion

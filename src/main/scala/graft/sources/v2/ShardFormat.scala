@@ -113,9 +113,20 @@ object ShardFormat {
     * writing task with a clear error. */
   def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | BooleanType |
-        StringType | BinaryType => true
+        StringType | BinaryType | TimestampType | TimestampNTZType => true
     case ArrayType(FloatType, _) => true
     case _ => false
+  }
+
+  /** PHYSICAL storage type of a column: timestamps store as their
+    * epoch-micros LONG — Spark's own InternalRow representation — and
+    * share every long code path (codecs, stats, blooms, NDV/KLL, bulk
+    * decode, upsert keys). Only the self-describing file header (tag 8)
+    * and the schema keep the logical type; micros order IS timestamp
+    * order, so every stats/skipping proof carries over unchanged. */
+  def physicalOf(dt: DataType): DataType = dt match {
+    case TimestampType | TimestampNTZType => LongType
+    case other => other
   }
 
   /** Integral columns carry min/max/nulls stats in the manifest (the
@@ -123,7 +134,7 @@ object ShardFormat {
     * NaN ordering differs across engines and a NaN-poisoned max would
     * skip files wrongly. */
   def statsEligible(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType => true
+    case LongType | IntegerType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 
@@ -163,7 +174,8 @@ object ShardFormat {
     * never prune). Integral hashes go through the value AS LONG, so an
     * int→long widen keeps every existing sidecar valid. */
   def bloomEligible(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | StringType | BinaryType => true
+    case LongType | IntegerType | StringType | BinaryType | TimestampType |
+        TimestampNTZType => true
     case _ => false
   }
   /** Target false-positive rate (~9.6 bits/distinct value). */
@@ -509,6 +521,42 @@ object ShardFormat {
   sealed trait PartSpec { def column: String }
   final case class IdentityPart(column: String) extends PartSpec
   final case class BucketPart(numBuckets: Int, column: String) extends PartSpec
+  /** Time-transform clustering over a TIMESTAMP column (Iceberg's
+    * hidden-partitioning units): the partition value is the unit
+    * ordinal of the micros key — days/hours via flooring division,
+    * months/years via proleptic calendar months/years since 1970.
+    * Every partition face (one-value-per-file invariant, dynamic
+    * overwrite, storage-partitioned joins via Spark's own
+    * KeyGroupedPartitioning over days(ts), compaction pooling) rides
+    * the recorded long ordinal exactly like an identity key. */
+  final case class TransformPart(unit: String, column: String) extends PartSpec
+
+  val TransformUnits: Set[String] = Set("hours", "days", "months", "years")
+  val MicrosPerHour: Long = 3600L * 1000000L
+  val MicrosPerDay: Long = 24L * MicrosPerHour
+
+  /** Unit ordinal of an epoch-micros instant (UTC, floored — negative
+    * instants land in the earlier unit, matching Spark/Iceberg). */
+  def transformValue(unit: String, micros: Long): Long = unit match {
+    case "hours" => Math.floorDiv(micros, MicrosPerHour)
+    case "days" => Math.floorDiv(micros, MicrosPerDay)
+    case "months" =>
+      val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(micros, MicrosPerDay))
+      (d.getYear - 1970).toLong * 12 + (d.getMonthValue - 1)
+    case "years" =>
+      java.time.LocalDate.ofEpochDay(Math.floorDiv(micros, MicrosPerDay)).getYear - 1970L
+    case other => throw new IllegalArgumentException(
+      s"graftshard: unknown partition transform '$other' " +
+        s"(supported: ${TransformUnits.toSeq.sorted.mkString(", ")})")
+  }
+
+  /** Partition value of a raw key under `spec` — the key itself
+    * (identity), its bucket, or its time-unit ordinal (micros key). */
+  def partitionValueOf(spec: PartSpec, raw: Long): Long = spec match {
+    case IdentityPart(_) => raw
+    case BucketPart(n, _) => bucketOf(raw, n).toLong
+    case TransformPart(u, _) => transformValue(u, raw)
+  }
 
   /** `generation` changes on every truncate/overwrite commit and is
     * carried through appends — streaming offsets embed it so a prefix
@@ -698,7 +746,8 @@ object ShardFormat {
     * int→long widen keeps old sidecars valid) or string (UTF-8 bytes,
     * Spark's own equality). */
   def upsertKeyEligible(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | StringType => true
+    case LongType | IntegerType | StringType | TimestampType |
+        TimestampNTZType => true
     case _ => false
   }
 
@@ -921,12 +970,16 @@ object ShardFormat {
     case LongType => 0; case IntegerType => 1; case DoubleType => 2
     case FloatType => 3; case BooleanType => 4; case StringType => 5
     case BinaryType => 6; case ArrayType(FloatType, _) => 7
+    case TimestampType => 8
+    case TimestampNTZType => 9
     case other => throw new IllegalStateException(s"unreachable: $other")
   }
   private def typeOfTag(tag: Byte): DataType = tag match {
     case 0 => LongType; case 1 => IntegerType; case 2 => DoubleType
     case 3 => FloatType; case 4 => BooleanType; case 5 => StringType
     case 6 => BinaryType; case 7 => ArrayType(FloatType, containsNull = false)
+    case 8 => TimestampType
+    case 9 => TimestampNTZType
     case other => throw new java.io.IOException(s"graftshard: unknown type tag $other")
   }
 
@@ -1323,7 +1376,10 @@ object ShardFormat {
       s"graftshard: unknown chunk codec mode '$codec'")
     require(fieldIds.isEmpty || fieldIds.length == schema.fields.length,
       s"graftshard: ${fieldIds.length} field ids for ${schema.fields.length} columns")
-    private val fields = schema.fields
+    // encode/stats/codec decisions run on the PHYSICAL types
+    // (timestamps are longs below the header); the header records the
+    // LOGICAL tag so the file reads back under its declared type
+    private val fields = schema.fields.map(f => f.copy(dataType = physicalOf(f.dataType)))
     private val out = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(file), 1 << 20))
     out.write(MagicV4)
@@ -1331,7 +1387,7 @@ object ShardFormat {
     // truth about its own layout (see the Magic/MagicV4 notes). The id
     // is the durable identity (rename-proof); the name is a debug aid.
     out.writeShort(fields.length)
-    fields.zipWithIndex.foreach { case (f, i) =>
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
       out.writeByte(typeTag(f.dataType).toInt)
       out.writeInt(if (fieldIds.isEmpty) i + 1 else fieldIds(i))
       out.writeUTF(f.name)
@@ -1365,7 +1421,7 @@ object ShardFormat {
     private val klls: Array[KllAcc] =
       fields.map(f =>
         if (ndvCols.contains(f.name) &&
-          (f.dataType == LongType || f.dataType == IntegerType)) new KllAcc
+          (f.dataType == LongType || f.dataType == IntegerType)) new KllAcc // fields are physical: timestamps arrive as LongType
         else null)
     // upsert-key collection: the EXACT distinct keys this file inserts
     // (they become the commit's equality delete against older files)
@@ -1778,12 +1834,15 @@ object ShardFormat {
     // both renames (no names stored, so they cannot bite) and widening
     // (the ALTER path refuses widening while v1 files exist, because a
     // positional decode under the widened type would misread the bytes).
+    // decode switches run on PHYSICAL types (a timestamp file column
+    // decodes through every long path); resolution below compares
+    // physical-vs-physical, which also makes the mapping total
     private val fields: Array[StructField] =
-      if (isV1) schema.fields
+      if (isV1) schema.fields.map(f => f.copy(dataType = physicalOf(f.dataType)))
       else {
         val n = in.readUnsignedShort()
         Array.fill(n) {
-          val dt = typeOfTag(in.readByte())
+          val dt = physicalOf(typeOfTag(in.readByte()))
           if (isV4) { fileIdsBuf += in.readInt() }
           StructField(in.readUTF(), dt)
         }
@@ -1814,7 +1873,7 @@ object ShardFormat {
           case d => d
         }
         val stored = fields(i).dataType
-        val table = schema.fields(ti).dataType
+        val table = physicalOf(schema.fields(ti).dataType)
         if (norm(stored) == norm(table)) 0
         else if (stored == IntegerType && table == LongType) 1
         else if (stored == FloatType && table == DoubleType) 2
@@ -3021,6 +3080,9 @@ object ShardFormat {
       if (root.has("partitionBucket")) {
         val b = root.get("partitionBucket")
         Some(BucketPart(b.get("numBuckets").asInt(), b.get("column").asText()))
+      } else if (root.has("partitionTransform")) {
+        val t = root.get("partitionTransform")
+        Some(TransformPart(t.get("unit").asText(), t.get("column").asText()))
       } else if (root.has("partitionColumn"))
         Some(IdentityPart(root.get("partitionColumn").asText()))
       else None
@@ -3046,6 +3108,9 @@ object ShardFormat {
       if (root.has("partitionBucket")) {
         val b = root.get("partitionBucket")
         Some(BucketPart(b.get("numBuckets").asInt(), b.get("column").asText()))
+      } else if (root.has("partitionTransform")) {
+        val t = root.get("partitionTransform")
+        Some(TransformPart(t.get("unit").asText(), t.get("column").asText()))
       } else if (root.has("partitionColumn"))
         Some(IdentityPart(root.get("partitionColumn").asText()))
       else None
@@ -3285,6 +3350,9 @@ object ShardFormat {
       case BucketPart(n, c) =>
         val b = root.putObject("partitionBucket")
         b.put("numBuckets", n); b.put("column", c): Unit
+      case TransformPart(u, c) =>
+        val t = root.putObject("partitionTransform")
+        t.put("unit", u); t.put("column", c): Unit
     }
     // file entries: inline for small tables (the readable, zero-extra-
     // file default); PAGED into immutable segment files once the list
