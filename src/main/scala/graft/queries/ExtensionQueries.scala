@@ -1021,6 +1021,54 @@ object ExtensionQueries {
     s.read.format("graftshard").load(dst)
   }
 
+  /** EVENT-TIME STREAMING over a TIMESTAMP lake table (round 14): the
+    * events corpus lands in a days(ts)-partitioned graftshard table
+    * with its REAL timestamp column; a micro-batch stream tails it
+    * (file-prefix offsets, several capped epochs) and maintains hourly
+    * event-time windows in COMPLETE mode — each epoch truncate-commits
+    * the full window state to a graftshard sink through the
+    * exactly-once epoch guard, so the final table is the
+    * deterministic hourly rollup no matter how the backlog split into
+    * batches. The 100 TB shape: a streaming job tails the day-
+    * partitioned events lake and keeps an hourly dashboard table
+    * current. Sums are exact (value scaled to micros as BIGINT). */
+  private def st12(s: SparkSession, dir: String): DataFrame = {
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val src = Q.tmpArtifactPath("st12src", dir) + s"_$run"
+    val dst = Q.tmpArtifactPath("st12dst", dir) + s"_$run"
+    val ckpt = Q.tmpArtifactPath("st12ckpt", dir) + s"_$run"
+    table(s, dir, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+      .repartition(col("ts"))
+      .write.format("graftshard")
+      .option("partitionKey", "ts").option("partitionTransform", "days")
+      .mode("overwrite").save(src)
+    require(graft.sources.v2.ShardFormat.readManifest(src).get.partitioning
+      .contains(graft.sources.v2.ShardFormat.TransformPart("days", "ts")),
+      "st12: the source must be days(ts)-partitioned")
+    val q = s.readStream.format("graftshard")
+      .option("maxFilesPerTrigger", "3").load(src)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        // FLOOR before the cast: Spark's double->bigint cast truncates
+        // while DuckDB's rounds — floor is the shared exact semantics
+        sum(expr("CAST(FLOOR(value * 1000000) AS BIGINT)")).as("value_micros"))
+      .select(unix_micros(col("window.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("value_micros"))
+      .writeStream.format("graftshard").outputMode("complete")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    q.exception.foreach(throw _)
+    val epochs = graft.sources.v2.ShardFormat.readManifest(dst).get
+      .streamCommits.values
+    require(epochs.nonEmpty && epochs.max >= 2,
+      s"st12: expected the capped backlog to drain across >= 3 epochs, " +
+        s"got highest epoch ${epochs.maxOption.getOrElse(-1L)}")
+    s.read.format("graftshard").load(dst)
+  }
+
   /** Streaming CHANGE FEED end to end: a lake table takes an append
     * and a merge-on-read DELETE while a `changesFrom` stream follows it
     * — the micro-batches are exact version deltas (offsets = manifest
@@ -2208,6 +2256,60 @@ object ExtensionQueries {
       .groupBy(expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum("event_id").as("sum_ids"),
         countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** DECIMALS + DATES AT REST (round 14): a billing-shaped lineitem
+    * projection lands in graftshard with a DECIMAL(12,2) price (stored
+    * as the unscaled long — codecs, stats, blooms all ride the long
+    * paths) and a DATE ship_date (days-since-epoch int). In-query
+    * requires: both types round-trip the schema, the decimal predicate
+    * absorbs (no FilterExec) INCLUDING an off-grid bound (`< 750.004`
+    * snaps to the cents grid at the pushdown boundary), and unscaled
+    * min/max stats prune whole files under the clustered layout. The
+    * oracle replays the query in cents/day-ordinal space — exact
+    * integer arithmetic both engines share. */
+  private def x77(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.ShardFormat
+    val out = Q.tmpArtifactPath("x77", dir)
+    val li = table(s, dir, "lineitem").select(
+      col("l_orderkey"),
+      ((col("l_orderkey") * 9176L + col("l_partkey") * 13L +
+        col("l_quantity").cast("long") * 7L) % 100000L).as("cents"),
+      col("l_shipdate").cast("date").as("ship_date"),
+      col("l_returnflag"))
+    // exact decimal construction (cents are non-negative): the string
+    // face sidesteps engine-specific decimal division/rounding rules
+    val priced = li.select(
+      col("l_orderkey"),
+      expr("CAST(CONCAT(CAST(cents DIV 100 AS STRING), '.', " +
+        "LPAD(CAST(cents % 100 AS STRING), 2, '0')) AS DECIMAL(12,2))")
+        .as("price"),
+      col("ship_date"), col("l_returnflag"))
+    priced.repartitionByRange(4, col("price"))
+      .write.format("graftshard").mode("overwrite").save(out)
+    val t = s.read.format("graftshard").load(out)
+    require(t.schema("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2), "x77: decimal schema")
+    require(t.schema("ship_date").dataType ==
+      org.apache.spark.sql.types.DateType, "x77: date schema")
+    val m = ShardFormat.readManifest(out).get
+    require(m.files.forall(_.stats.contains("price")),
+      "x77: unscaled decimal stats must be recorded")
+    val filtered = t.where(col("price") >= lit(BigDecimal("500.00")) &&
+      col("price") < lit(BigDecimal("750.004"))) // off-grid upper bound
+    require(filtered.queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty,
+      "x77: decimal predicates must absorb into the scan")
+    val desc = filtered.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    val pr = """files=(\d+)/(\d+)""".r.findFirstMatchIn(desc)
+    require(pr.exists(g => g.group(1).toInt < g.group(2).toInt),
+      s"x77: unscaled stats must prune files: $desc")
+    filtered.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(expr("CAST(price * 100 AS BIGINT)")).as("cents_sum"),
+      expr("CAST(unix_date(MIN(ship_date)) AS BIGINT)").as("min_day"),
+      expr("CAST(unix_date(MAX(ship_date)) AS BIGINT)").as("max_day"))
   }
 
   /** RENAME COLUMN as a METADATA-ONLY commit (format v4 field ids —
@@ -4848,6 +4950,15 @@ object ExtensionQueries {
 
     // rate-limited bootstrap: maxFilesPerTrigger drains an existing
     // 8-file table in capped AvailableNow epochs, byte-exact
+    // event-time streaming over the days(ts)-partitioned timestamp
+    // lake: hourly windows in complete mode, exactly-once truncate
+    // epochs (required in-query: transform source + >=3 epochs)
+    Q("st12_stream_event_time_windows", st12, Some("""
+      SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start,
+        event_type, count(*)::BIGINT AS n_events,
+        SUM(CAST(FLOOR(value * 1000000) AS BIGINT))::BIGINT AS value_micros
+      FROM events GROUP BY 1, 2""")),
+
     Q("st11_stream_rate_limited", st11, Some("""
       SELECT doc_id, n_chars, lang, source FROM documents
       WHERE n_chars >= 150 AND lang <> 'de'""")),
@@ -5818,6 +5929,23 @@ object ExtensionQueries {
     // forward, double-claim loses, a commit heals), byte-exact
     Q("x75_shard_cas_commit", x75, Some("""
       SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM documents""")),
+
+    // decimals + dates at rest: unscaled-long storage, off-grid
+    // literal snapping at the pushdown boundary, file pruning on
+    // unscaled stats (required in-plan); oracle replays in cents space
+    Q("x77_shard_decimal_date", x77, Some("""
+      SELECT l_returnflag, count(*)::BIGINT AS n,
+        SUM(cents)::BIGINT AS cents_sum,
+        (MIN(ship_date) - DATE '1970-01-01')::BIGINT AS min_day,
+        (MAX(ship_date) - DATE '1970-01-01')::BIGINT AS max_day
+      FROM (
+        SELECT l_returnflag,
+          (l_orderkey * 9176 + l_partkey * 13 +
+            CAST(l_quantity AS BIGINT) * 7) % 100000 AS cents,
+          CAST(l_shipdate AS DATE) AS ship_date
+        FROM lineitem)
+      WHERE cents >= 50000 AND cents <= 75000
+      GROUP BY 1""")),
 
     // timestamps at rest + days(ts) hidden partitioning: one day per
     // file, micros stats prune the ts range (required in-plan),

@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DateType, Decimal, DecimalType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -438,7 +438,10 @@ class GraftShardScanBuilder(
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, residual) = filters.partition(ShardFilters.pushable(_, fullSchema))
-    pushed = sup
+    // decimal literals rewrite into unscaled-long space ONCE, here —
+    // stats proofs, blooms, group skipping and the compiled evaluators
+    // all see plain longs downstream
+    pushed = sup.map(ShardFilters.normalizeDecimals(_, fullSchema))
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -497,7 +500,7 @@ class GraftShardScanBuilder(
       m.schema.fields.find(_.name == c).map(_.dataType)
     def integral(c: String): Boolean =
       colType(c).exists(dt => dt == LongType || dt == IntegerType ||
-        dt == TimestampType || dt == TimestampNTZType)
+        dt == TimestampType || dt == TimestampNTZType || dt == DateType)
     def tracked(c: String): Boolean =
       m.files.forall(fe => fe.stats.contains(c) || fe.allNull.contains(c))
     // string bounds are conditional (byte cap): EVERY file must carry
@@ -527,7 +530,18 @@ class GraftShardScanBuilder(
             val vals = fes.flatMap(_.stats.get(c)).map(s => if (isMin) s._1 else s._2)
             if (vals.isEmpty) null else box(dt, if (isMin) vals.min else vals.max)
           })
-      }.orElse(col.filter(strTracked).map { c =>
+      }.orElse(col.flatMap(c =>
+        colType(c).collect { case d: DecimalType if d.precision <= 18 => d }
+          .filter(_ => tracked(c)).map { dt =>
+        // decimal bounds are the unscaled longs; the answer re-wraps
+        // them in catalyst's Decimal at the column's own (p, s)
+        (StructField(s"${if (isMin) "min" else "max"}($c)", dt, nullable = true),
+          (fes: Seq[ShardFormat.FileEntry]) => {
+            val vals = fes.flatMap(_.stats.get(c)).map(s => if (isMin) s._1 else s._2)
+            if (vals.isEmpty) null
+            else Decimal(if (isMin) vals.min else vals.max, dt.precision, dt.scale)
+          })
+      })).orElse(col.filter(strTracked).map { c =>
         // string bounds are exact when present, so MIN/MAX fold from the
         // manifest; combined in UTF8String byte order (the engine's),
         // never JVM String order (UTF-16 code units diverge past BMP)
@@ -874,6 +888,7 @@ class GraftShardScan(
 
   override def filter(filters: Array[Filter]): Unit =
     runtime = filters.filter(ShardFilters.pushable(_, fullSchema))
+      .map(ShardFilters.normalizeDecimals(_, fullSchema))
 
   /** Manifest entries surviving stats-based skipping (static + any
     * runtime filters delivered so far), then cut to the fewest files
@@ -1674,6 +1689,7 @@ class GraftShardReaderFactory(
     ShardFormat.physicalOf(dt) match {
       case LongType | IntegerType | DoubleType | FloatType |
            BooleanType | StringType | BinaryType => true
+      case dt: DecimalType => dt.precision <= 18 // long-backed vectors
       case ArrayType(FloatType, _) => true
       case _ => false
     }
@@ -1787,6 +1803,8 @@ class GraftShardColumnarPartitionReader(
       case BooleanType => (r: Int) => if (vec.isNullAt(r)) null else Boolean.box(vec.getBoolean(r))
       case DoubleType => (r: Int) => if (vec.isNullAt(r)) null else Double.box(vec.getDouble(r))
       case FloatType => (r: Int) => if (vec.isNullAt(r)) null else Float.box(vec.getFloat(r))
+      case dec: DecimalType => (r: Int) =>
+        if (vec.isNullAt(r)) null else vec.getDecimal(r, dec.precision, dec.scale)
       case StringType => (r: Int) => if (vec.isNullAt(r)) null else vec.getUTF8String(r)
       case BinaryType => (r: Int) => if (vec.isNullAt(r)) null else vec.getBinary(r)
       // only IsNull/IsNotNull are pushable on arrays — the evaluator
@@ -2073,6 +2091,8 @@ class GraftShardColumnarPartitionReader(
     readTypes.zipWithIndex.map { case (dt, s) =>
       dt match {
         case LongType => (r: Int, v: Any) => staging(s).putLong(r, v.asInstanceOf[Long])
+        case _: DecimalType => (r: Int, v: Any) =>
+          staging(s).putLong(r, v.asInstanceOf[Decimal].toUnscaledLong)
         case IntegerType => (r: Int, v: Any) => staging(s).putInt(r, v.asInstanceOf[Int])
         case DoubleType => (r: Int, v: Any) => staging(s).putDouble(r, v.asInstanceOf[Double])
         case FloatType => (r: Int, v: Any) => staging(s).putFloat(r, v.asInstanceOf[Float])
@@ -2110,7 +2130,9 @@ class GraftShardColumnarPartitionReader(
           val st = staging(s)
           val out = output(j)
           readTypes(s) match {
-            case LongType => (r: Int, o: Int) =>
+            case LongType | (_: DecimalType) => (r: Int, o: Int) =>
+              // decimal vectors at precision <= 18 are long-backed: the
+              // unscaled long copies straight across
               if (st.isNullAt(r)) out.putNull(o) else out.putLong(o, st.getLong(r))
             case IntegerType => (r: Int, o: Int) =>
               if (st.isNullAt(r)) out.putNull(o) else out.putInt(o, st.getInt(r))
@@ -2517,7 +2539,8 @@ object ShardFilters {
     * a half-matching reimplementation is a silent-wrongness class. */
   private def comparable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | StringType | BooleanType | TimestampType |
-        TimestampNTZType => true
+        TimestampNTZType | DateType => true
+    case dt: DecimalType => dt.precision <= 18
     case _ => false
   }
 
@@ -2526,7 +2549,10 @@ object ShardFilters {
 
   private def integral(c: String, schema: StructType): Boolean =
     colType(c, schema).exists(dt => dt == LongType || dt == IntegerType ||
-      dt == TimestampType || dt == TimestampNTZType)
+      dt == TimestampType || dt == TimestampNTZType || dt == DateType)
+
+  private def decimalCol(c: String, schema: StructType): Option[DecimalType] =
+    colType(c, schema).collect { case d: DecimalType if d.precision <= 18 => d }
 
   private def stringCol(c: String, schema: StructType): Boolean =
     colType(c, schema).contains(StringType)
@@ -2537,15 +2563,91 @@ object ShardFilters {
     * absorbed evaluation can never disagree with the engine's. */
   def pushable(f: Filter, schema: StructType): Boolean = f match {
     case EqualTo(c, v) => v != null && colType(c, schema).exists(comparable)
-    case GreaterThan(c, v) => integral(c, schema) || (v.isInstanceOf[String] && stringCol(c, schema))
-    case GreaterThanOrEqual(c, v) => integral(c, schema) || (v.isInstanceOf[String] && stringCol(c, schema))
-    case LessThan(c, v) => integral(c, schema) || (v.isInstanceOf[String] && stringCol(c, schema))
-    case LessThanOrEqual(c, v) => integral(c, schema) || (v.isInstanceOf[String] && stringCol(c, schema))
+    case GreaterThan(c, v) => integral(c, schema) ||
+      decimalCol(c, schema).isDefined ||
+      (v.isInstanceOf[String] && stringCol(c, schema))
+    case GreaterThanOrEqual(c, v) => integral(c, schema) ||
+      decimalCol(c, schema).isDefined ||
+      (v.isInstanceOf[String] && stringCol(c, schema))
+    case LessThan(c, v) => integral(c, schema) ||
+      decimalCol(c, schema).isDefined ||
+      (v.isInstanceOf[String] && stringCol(c, schema))
+    case LessThanOrEqual(c, v) => integral(c, schema) ||
+      decimalCol(c, schema).isDefined ||
+      (v.isInstanceOf[String] && stringCol(c, schema))
     case In(c, vs) => vs.forall(_ != null) && colType(c, schema).exists(comparable)
     case StringStartsWith(c, p) => p != null && stringCol(c, schema)
     case IsNull(c) => colType(c, schema).isDefined
     case IsNotNull(c) => colType(c, schema).isDefined
     case _ => false
+  }
+
+  /** Rewrites predicates over DECIMAL columns into the column's
+    * UNSCALED-long space AT THE PUSHDOWN BOUNDARY, so every downstream
+    * consumer — stats proofs (mayContain/mustMatchAll), group skipping,
+    * bloom probes, the compiled row/batch evaluators — sees plain
+    * longs and needs no scale context. Literal scales differing from
+    * the column's resolve here, once: an inexact EQUALITY literal can
+    * match nothing (AlwaysFalse); inexact RANGE bounds tighten to the
+    * nearest representable grid point (`> v` between grid points is
+    * `>= ceil(v)`, `< v` is `<= floor(v)`); out-of-range bounds clamp.
+    * Non-decimal predicates pass through untouched. */
+  def normalizeDecimals(f: Filter, schema: StructType): Filter = {
+    def bd(v: Any): java.math.BigDecimal = v match {
+      case b: java.math.BigDecimal => b
+      case b: scala.math.BigDecimal => b.bigDecimal
+      case d: Decimal => d.toJavaBigDecimal
+      case n: Number => new java.math.BigDecimal(n.toString)
+    }
+    def exact(v: Any, dt: DecimalType): Option[Long] =
+      try Some(bd(v).setScale(dt.scale, java.math.RoundingMode.UNNECESSARY)
+        .unscaledValue().longValueExact())
+      catch { case _: ArithmeticException => None }
+    def clamp(b: java.math.BigInteger): Long =
+      if (b.bitLength() >= 64)
+        (if (b.signum() > 0) Long.MaxValue else Long.MinValue)
+      else b.longValueExact()
+    def floorOf(v: Any, dt: DecimalType): Long = clamp(
+      bd(v).setScale(dt.scale, java.math.RoundingMode.FLOOR).unscaledValue())
+    def ceilOf(v: Any, dt: DecimalType): Long = clamp(
+      bd(v).setScale(dt.scale, java.math.RoundingMode.CEILING).unscaledValue())
+    f match {
+      case EqualTo(c, v) if v != null => decimalCol(c, schema) match {
+        case Some(dt) =>
+          exact(v, dt).map(l => EqualTo(c, Long.box(l)): Filter)
+            .getOrElse(AlwaysFalse())
+        case None => f
+      }
+      case In(c, vs) => decimalCol(c, schema) match {
+        case Some(dt) =>
+          val kept = vs.flatMap(v => exact(v, dt)).map(Long.box(_): Any)
+          if (kept.isEmpty) AlwaysFalse() else In(c, kept)
+        case None => f
+      }
+      case GreaterThan(c, v) => decimalCol(c, schema) match {
+        case Some(dt) => exact(v, dt) match {
+          case Some(l) => GreaterThan(c, Long.box(l))
+          case None => GreaterThanOrEqual(c, Long.box(ceilOf(v, dt)))
+        }
+        case None => f
+      }
+      case GreaterThanOrEqual(c, v) => decimalCol(c, schema) match {
+        case Some(dt) => GreaterThanOrEqual(c, Long.box(ceilOf(v, dt)))
+        case None => f
+      }
+      case LessThan(c, v) => decimalCol(c, schema) match {
+        case Some(dt) => exact(v, dt) match {
+          case Some(l) => LessThan(c, Long.box(l))
+          case None => LessThanOrEqual(c, Long.box(floorOf(v, dt)))
+        }
+        case None => f
+      }
+      case LessThanOrEqual(c, v) => decimalCol(c, schema) match {
+        case Some(dt) => LessThanOrEqual(c, Long.box(floorOf(v, dt)))
+        case None => f
+      }
+      case other => other
+    }
   }
 
   /** Long value of a pushed integral-or-timestamp literal. DSv2 hands
@@ -2561,6 +2663,10 @@ object ShardFilters {
       org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
     case d: java.time.LocalDateTime => // TIMESTAMP_NTZ literals
       org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(d)
+    case d: java.sql.Date => // DATE literals: days since epoch
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong
+    case d: java.time.LocalDate =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d).toLong
     case other => throw new IllegalArgumentException(s"not integral: $other")
   }
 
@@ -2711,11 +2817,28 @@ object ShardFilters {
     * Literals are normalized once (UTF8String for strings, Long for
     * integrals) — not per row. */
   def compile(f: Filter, slotOf: Map[String, Int], schema: StructType): Array[Any] => Boolean = {
+    // decimal slots surface catalyst Decimal values (the row decode's
+    // boxed currency / boxOf's vector read); predicates were rewritten
+    // into unscaled-long space at the pushdown boundary
+    // ([[normalizeDecimals]]), so the accessor unwraps to the unscaled
+    // long and every comparison below is a plain long compare
+    def access(c: String): Array[Any] => Any = {
+      val slot = slotOf(c)
+      if (colType(c, schema).exists(_.isInstanceOf[DecimalType]))
+        vals => vals(slot) match {
+          case null => null
+          case d: Decimal => java.lang.Long.valueOf(d.toUnscaledLong)
+          case other => other
+        }
+      else vals => vals(slot)
+    }
     def norm(c: String, v: Any): Any = (colType(c, schema).get, v) match {
       case (StringType, s: String) => UTF8String.fromString(s)
       case (LongType, n: Number) => java.lang.Long.valueOf(n.longValue())
       case (IntegerType, n: Number) => java.lang.Integer.valueOf(n.intValue())
       case (TimestampType | TimestampNTZType, t) => java.lang.Long.valueOf(asLong(t))
+      case (DateType, d) => java.lang.Integer.valueOf(asLong(d).toInt)
+      case (_: DecimalType, n: Number) => java.lang.Long.valueOf(n.longValue())
       case (_, other) => other
     }
     // three-way comparator against the literal: integral via Long,
@@ -2731,21 +2854,23 @@ object ShardFilters {
             case other => throw new IllegalStateException(s"non-string in cmp: $other")
           }
         case _ =>
-          val slot = slotOf(c)
+          val get = access(c)
           val lit = asLong(v)
-          (vals, op) => vals(slot) match {
+          (vals, op) => get(vals) match {
             case null => false
             case n: Number => op(java.lang.Long.compare(n.longValue(), lit))
             case other => throw new IllegalStateException(s"non-numeric in cmp: $other")
           }
       }
     f match {
+      case _: AlwaysTrue => _ => true
+      case _: AlwaysFalse => _ => false // an inexact decimal equality
       case EqualTo(c, v) =>
-        val slot = slotOf(c); val lit = norm(c, v)
-        vals => vals(slot) != null && vals(slot) == lit
+        val get = access(c); val lit = norm(c, v)
+        vals => { val a = get(vals); a != null && a == lit }
       case In(c, vs) =>
-        val slot = slotOf(c); val lits = vs.map(norm(c, _)).toSet
-        vals => vals(slot) != null && lits.contains(vals(slot))
+        val get = access(c); val lits = vs.map(norm(c, _)).toSet
+        vals => { val a = get(vals); a != null && lits.contains(a) }
       case GreaterThan(c, v) => val e = cmp(c, v); vals => e(vals, _ > 0)
       case GreaterThanOrEqual(c, v) => val e = cmp(c, v); vals => e(vals, _ >= 0)
       case LessThan(c, v) => val e = cmp(c, v); vals => e(vals, _ < 0)
@@ -2786,6 +2911,10 @@ object ShardFilters {
         org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)))
       case d: java.time.LocalDateTime => Some(ShardFormat.bloomHashLong(
         org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(d)))
+      case d: java.sql.Date => Some(ShardFormat.bloomHashLong(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong))
+      case d: java.time.LocalDate => Some(ShardFormat.bloomHashLong(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d).toLong))
       case _ => None
     }
     pushed.flatMap {

@@ -113,7 +113,9 @@ object ShardFormat {
     * writing task with a clear error. */
   def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | BooleanType |
-        StringType | BinaryType | TimestampType | TimestampNTZType => true
+        StringType | BinaryType | TimestampType | TimestampNTZType |
+        DateType => true
+    case dt: DecimalType => dt.precision <= 18 // stored as the unscaled long
     case ArrayType(FloatType, _) => true
     case _ => false
   }
@@ -126,6 +128,7 @@ object ShardFormat {
     * order, so every stats/skipping proof carries over unchanged. */
   def physicalOf(dt: DataType): DataType = dt match {
     case TimestampType | TimestampNTZType => LongType
+    case DateType => IntegerType // days-since-epoch, InternalRow's own rep
     case other => other
   }
 
@@ -134,7 +137,12 @@ object ShardFormat {
     * NaN ordering differs across engines and a NaN-poisoned max would
     * skip files wrongly. */
   def statsEligible(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | TimestampType | TimestampNTZType => true
+    case LongType | IntegerType | TimestampType | TimestampNTZType |
+        DateType => true
+    // unscaled order IS decimal order at the column's fixed scale —
+    // the pushdown boundary rewrites decimal literals into unscaled
+    // space, so every proof below compares plain longs
+    case dt: DecimalType => dt.precision <= 18
     case _ => false
   }
 
@@ -175,7 +183,8 @@ object ShardFormat {
     * int→long widen keeps every existing sidecar valid. */
   def bloomEligible(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | StringType | BinaryType | TimestampType |
-        TimestampNTZType => true
+        TimestampNTZType | DateType => true
+    case dt: DecimalType => dt.precision <= 18 // hashed as the unscaled long
     case _ => false
   }
   /** Target false-positive rate (~9.6 bits/distinct value). */
@@ -747,7 +756,7 @@ object ShardFormat {
     * Spark's own equality). */
   def upsertKeyEligible(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | StringType | TimestampType |
-        TimestampNTZType => true
+        TimestampNTZType | DateType => true
     case _ => false
   }
 
@@ -972,6 +981,8 @@ object ShardFormat {
     case BinaryType => 6; case ArrayType(FloatType, _) => 7
     case TimestampType => 8
     case TimestampNTZType => 9
+    case DateType => 10
+    case _: DecimalType => 11 // (precision, scale) bytes follow the tag
     case other => throw new IllegalStateException(s"unreachable: $other")
   }
   private def typeOfTag(tag: Byte): DataType = tag match {
@@ -980,6 +991,9 @@ object ShardFormat {
     case 6 => BinaryType; case 7 => ArrayType(FloatType, containsNull = false)
     case 8 => TimestampType
     case 9 => TimestampNTZType
+    case 10 => DateType
+    // tag 11 (decimal) never reaches here: its (precision, scale)
+    // bytes are consumed at the header-parse sites
     case other => throw new java.io.IOException(s"graftshard: unknown type tag $other")
   }
 
@@ -1139,6 +1153,7 @@ object ShardFormat {
   /** Fixed cell width for a type, or -1 when cells are self-delimited. */
   private def cellWidth(dt: DataType): Int = dt match {
     case LongType | DoubleType => 8
+    case _: DecimalType => 8
     case IntegerType | FloatType => 4
     case BooleanType => 1
     case _ => -1
@@ -1241,7 +1256,9 @@ object ShardFormat {
     * not shrink (random/spread values inflate past fixed width). */
   private def deltaEncode(raw: Array[Byte], bitmapLen: Int, dt: DataType): Array[Byte] = {
     val width = dt match {
-      case LongType => 8; case IntegerType => 4; case _ => return null
+      case LongType => 8; case IntegerType => 4
+      case _: DecimalType => 8
+      case _ => return null
     }
     val n = (raw.length - bitmapLen) / width
     if (n == 0) return null
@@ -1286,6 +1303,7 @@ object ShardFormat {
       throw new java.io.IOException(s"graftshard: corrupt delta chunk in $file ($what)")
     val width = dt match {
       case LongType => 8; case IntegerType => 4
+      case _: DecimalType => 8
       case other => corrupt(s"non-integral type ${other.sql}")
     }
     val b = new Array[Byte](rawLen)
@@ -1389,6 +1407,11 @@ object ShardFormat {
     out.writeShort(fields.length)
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       out.writeByte(typeTag(f.dataType).toInt)
+      f.dataType match {
+        case dt: DecimalType =>
+          out.writeByte(dt.precision); out.writeByte(dt.scale): Unit
+        case _ => ()
+      }
       out.writeInt(if (fieldIds.isEmpty) i + 1 else fieldIds(i))
       out.writeUTF(f.name)
     }
@@ -1482,6 +1505,17 @@ object ShardFormat {
               if (blooms(i) != null) blooms(i).add(bloomHashBytes(b))
               if (ndvs(i) != null) ndvs(i).add(b)
               groupBytes += 4L + b.length
+            case dec: DecimalType =>
+              // compact decimals (precision <= 18): the UNSCALED long
+              // is the stored value — 8 bytes, every long codec, and
+              // unscaled order = decimal order at the column's scale,
+              // so min/max stats and skipping proofs carry over
+              val v = row.getDecimal(i, dec.precision, dec.scale).toUnscaledLong
+              values.writeLong(v)
+              stats(i).update(v); gstats(i).update(v)
+              if (blooms(i) != null) blooms(i).add(bloomHashLong(v))
+              if (ndvs(i) != null) ndvs(i).add(v)
+              groupBytes += 8
             case ArrayType(FloatType, _) =>
               val arr = row.getArray(i)
               val n = arr.numElements()
@@ -1842,7 +1876,11 @@ object ShardFormat {
       else {
         val n = in.readUnsignedShort()
         Array.fill(n) {
-          val dt = physicalOf(typeOfTag(in.readByte()))
+          val tag = in.readByte()
+          val dt =
+            if (tag == 11)
+              DecimalType(in.readUnsignedByte(), in.readUnsignedByte())
+            else physicalOf(typeOfTag(tag))
           if (isV4) { fileIdsBuf += in.readInt() }
           StructField(in.readUTF(), dt)
         }
@@ -2108,7 +2146,7 @@ object ShardFormat {
         sink.putDoublesBulk(s, n, bulkDoubles, bulkNullRows, nNulls)
         true
       } else field.dataType match {
-        case LongType =>
+        case LongType | (_: DecimalType) => // decimals: unscaled longs
           if (bulkLongs.length < n) bulkLongs = new Array[Long](n)
           var k = 0; r = 0
           while (r < n) {
@@ -2217,6 +2255,7 @@ object ShardFormat {
       * decode serves directly. */
     private def fixedNumeric(dt: DataType): Boolean = dt match {
       case LongType | IntegerType | DoubleType | FloatType => true
+      case _: DecimalType => true // unscaled longs
       case _ => false
     }
 
@@ -2298,11 +2337,13 @@ object ShardFormat {
       val nRuns = readInt4BE(c, p); p += 4
       val cellW = if (w == 1 || w == 2) 4 else field.dataType match {
         case LongType | DoubleType => 8
+        case _: DecimalType => 8
         case _ => 4
       }
       var d = 0
       var k = 0
-      if (w == 1 || field.dataType == LongType) {
+      if (w == 1 || field.dataType == LongType ||
+          field.dataType.isInstanceOf[DecimalType]) {
         if (bulkLongs.length < n) bulkLongs = new Array[Long](n)
         while (k < nRuns) {
           if (p + 4 + cellW > c.length) corrupt("truncated run")
@@ -2434,6 +2475,7 @@ object ShardFormat {
       else if (w == 2) sink.putDouble(s, r, d.readFloat().toDouble) // float→double
       else field.dataType match {
         case LongType => sink.putLong(s, r, d.readLong())
+        case _: DecimalType => sink.putLong(s, r, d.readLong()) // unscaled
         case IntegerType => sink.putInt(s, r, d.readInt())
         case DoubleType => sink.putDouble(s, r, d.readDouble())
         case FloatType => sink.putFloat(s, r, d.readFloat())
@@ -2590,6 +2632,8 @@ object ShardFormat {
       else if (w == 2) java.lang.Double.valueOf(d.readFloat().toDouble) // float→double
       else field.dataType match {
         case LongType => java.lang.Long.valueOf(d.readLong())
+        case dec: DecimalType => // catalyst's own boxed currency
+          Decimal(d.readLong(), dec.precision, dec.scale)
         case IntegerType => java.lang.Integer.valueOf(d.readInt())
         case DoubleType => java.lang.Double.valueOf(d.readDouble())
         case FloatType => java.lang.Float.valueOf(d.readFloat())
@@ -2625,6 +2669,7 @@ object ShardFormat {
         } else {
           fields(i).dataType match {
             case LongType | DoubleType => in.skipFully(8)
+            case _: DecimalType => in.skipFully(8)
             case IntegerType | FloatType => in.skipFully(4)
             case BooleanType => in.skipFully(1)
             case StringType | BinaryType => in.skipFully(in.readInt().toLong)

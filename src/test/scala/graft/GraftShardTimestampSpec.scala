@@ -177,6 +177,43 @@ class GraftShardTimestampSpec extends AnyFunSuite {
       ntz.where(col("ts").isNotNull).count())
   }
 
+  test("DateType rides the int path: roundtrip, absorbed predicates, skipping, manifest MIN/MAX") {
+    val dir = tmp()
+    val df = spark.range(0, 3000).select(
+      col("id"),
+      when(col("id") % 13 =!= 0,
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          (col("id") % 400).cast("int"))).as("d"),
+      (col("id") * 2L).as("v"))
+    df.repartitionByRange(3, col("id"))
+      .write.format("graftshard").mode("overwrite").save(dir)
+    val back = spark.read.format("graftshard").load(dir)
+    assert(back.schema("d").dataType == DateType)
+    def canon(x: DataFrame): Seq[String] =
+      x.select(col("id"), col("d").cast("string")).collect().map(_.toString).sorted.toSeq
+    assert(canon(back) == canon(df))
+    // batch == row
+    assert(canon(spark.read.format("graftshard")
+      .option("columnarRead", "false").load(dir)) == canon(df))
+    // predicates: java.sql.Date AND LocalDate literal shapes
+    for (pred <- Seq(
+        col("d") >= lit(java.sql.Date.valueOf("2024-06-01")),
+        col("d") === lit(java.time.LocalDate.of(2024, 2, 1)),
+        col("d").isNull)) {
+      assert(back.where(pred).count() == df.where(pred).count(), s"$pred")
+    }
+    val absorbed = back.where(col("d") >= lit(java.sql.Date.valueOf("2024-06-01")))
+    assert(absorbed.queryExecution.executedPlan
+      .collect { case f: FilterExec => f }.isEmpty, "date predicates must absorb")
+    // manifest-only MIN/MAX answers as date
+    val r = back.agg(min("d"), max("d")).collect().head
+    assert(r.getDate(0) == java.sql.Date.valueOf("2024-01-01"))
+    assert(r.getDate(1) == java.sql.Date.valueOf(java.time.LocalDate
+      .of(2024, 1, 1).plusDays(399).toString))
+    val aggPlan = back.agg(min("d"), max("d")).queryExecution.executedPlan.toString
+    assert(aggPlan.contains("pushedAggregates"), aggPlan)
+  }
+
   test("group skipping and blooms fire on timestamp columns") {
     val dir = tmp()
     // one sorted file, many groups; a narrow ts band must not decode
