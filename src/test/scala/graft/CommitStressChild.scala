@@ -96,6 +96,36 @@ object CommitStressChild {
         case _: java.util.ConcurrentModificationException =>
           println("FENCED")
       }
+    case "casRace" =>
+      // NO LOCK AT ALL: compose against the current head, wait for the
+      // parent's start marker so every racer targets the SAME version,
+      // then publish directly — the version-link CAS alone must
+      // arbitrate (exactly one WON per contested version)
+      val dir = args(1); val id = args(2).toInt
+      val cur = ShardFormat.readManifest(dir).getOrElse(
+        sys.error(s"no manifest under $dir"))
+      val name = s"part-cas$id-${java.util.UUID.randomUUID().toString.take(8)}.shard"
+      val w = new ShardFormat.ShardWriter(new File(dir, name), schema,
+        fieldIds = cur.fieldIds.toArray)
+      (0 until 5).foreach { i =>
+        w.write(new GenericInternalRow(
+          Array[Any](500000L + id * 100L + i, id.toLong)))
+      }
+      val (bytes, rows, stats, allNull) = w.finish()
+      println("READY"); Console.flush()
+      val marker = new File(dir, "cas-race-go")
+      while (!marker.isFile) Thread.sleep(5)
+      try {
+        ShardFormat.writeManifest(dir, cur.copy(
+          version = cur.version + 1,
+          files = cur.files :+ ShardFormat.FileEntry(name, bytes, rows, stats,
+            allNull, seq = cur.version + 1),
+          createdAtMs = System.currentTimeMillis(),
+          operation = "append"))
+        println("WON")
+      } catch {
+        case _: java.util.ConcurrentModificationException => println("LOST")
+      }
     case other => sys.error(s"unknown mode $other")
   }
 }

@@ -161,4 +161,51 @@ class GraftShardProcessLockSpec extends AnyFunSuite {
     assert(got.where(col("id") === 999999L).count() == 0,
       "the fenced commit's rows must not be visible")
   }
+
+  test("NO-LOCK CAS race: four JVMs claim the same version, exactly one lands, zero torn state") {
+    val dir = tmp()
+    spark.range(0, 10).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(dir)
+    val v0 = ShardFormat.readManifest(dir).get.version
+
+    // every child composes against the SAME head (they read before the
+    // marker exists), then all publish at once with NO lock anywhere —
+    // the version-link CAS alone must arbitrate
+    val children = (0 until 4).map(i => fork("casRace", dir, i.toString))
+    val readers = children.map { p =>
+      new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+    }
+    readers.foreach { r =>
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var line = r.readLine()
+      while (line != null && !line.contains("READY")) {
+        assert(System.nanoTime() < deadline, "child never reported READY")
+        line = r.readLine()
+      }
+      assert(line != null, "child exited before READY")
+    }
+    java.nio.file.Files.createFile(new File(dir, "cas-race-go").toPath)
+    val outcomes = readers.map { r =>
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var line = r.readLine()
+      while (line != null && !line.contains("WON") && !line.contains("LOST")) {
+        assert(System.nanoTime() < deadline, "child never finished")
+        line = r.readLine()
+      }
+      assert(line != null, "child died mid-race"); line.trim
+    }
+    children.foreach(p => assert(p.waitFor() == 0))
+    assert(outcomes.count(_ == "WON") == 1, s"outcomes: $outcomes")
+    assert(outcomes.count(_ == "LOST") == 3, s"outcomes: $outcomes")
+
+    val m = ShardFormat.readManifest(dir).get
+    assert(m.version == v0 + 1, s"exactly one commit landed: v${m.version}")
+    // the winner's 5 rows and ONLY the winner's are visible
+    val got = spark.read.format("graftshard").load(dir)
+    assert(got.count() == 15)
+    assert(got.where(col("id") >= 500000L).select("v").distinct().count() == 1,
+      "rows from more than one racer are visible — the CAS tore")
+    new File(dir, "cas-race-go").delete()
+  }
 }
