@@ -1040,15 +1040,21 @@ object ExtensionQueries {
     table(s, dir, "events")
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("event_type"), col("value"))
-      .repartition(col("ts"))
+      // cluster by the DAY ordinal so each day lands whole in one task
+      // (one file per day) — repartitioning by raw ts would spray every
+      // day across all tasks and write thousands of tiny files
+      .repartition(expr("unix_micros(ts) div 86400000000"))
       .write.format("graftshard")
       .option("partitionKey", "ts").option("partitionTransform", "days")
       .mode("overwrite").save(src)
-    require(graft.sources.v2.ShardFormat.readManifest(src).get.partitioning
+    val srcManifest = graft.sources.v2.ShardFormat.readManifest(src).get
+    require(srcManifest.partitioning
       .contains(graft.sources.v2.ShardFormat.TransformPart("days", "ts")),
       "st12: the source must be days(ts)-partitioned")
+    // size the cap for ~3 epochs regardless of how many days the SF spans
+    val cap = math.max(1, (srcManifest.files.size + 2) / 3)
     val q = s.readStream.format("graftshard")
-      .option("maxFilesPerTrigger", "3").load(src)
+      .option("maxFilesPerTrigger", cap.toString).load(src)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         // FLOOR before the cast: Spark's double->bigint cast truncates
