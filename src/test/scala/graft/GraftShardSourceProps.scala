@@ -30,7 +30,12 @@ object GraftShardSourceProps extends Properties("GraftShardSource") {
     StructField("c_bool", BooleanType, nullable = true),
     StructField("c_str", StringType, nullable = true),
     StructField("c_bin", BinaryType, nullable = true),
-    StructField("c_vec", ArrayType(FloatType, containsNull = false), nullable = true)))
+    StructField("c_vec", ArrayType(FloatType, containsNull = false), nullable = true),
+    // round-14 type tier: epoch-micros longs (ts), epoch-day ints
+    // (date), unscaled longs (decimal <= 18) behind their own tags
+    StructField("c_ts", TimestampType, nullable = true),
+    StructField("c_date", DateType, nullable = true),
+    StructField("c_dec", DecimalType(10, 3), nullable = true)))
 
   private def opt[A](g: Gen[A]): Gen[Any] =
     Gen.frequency(4 -> g.map(_.asInstanceOf[Any]), 1 -> Gen.const(null: Any))
@@ -57,12 +62,23 @@ object GraftShardSourceProps extends Properties("GraftShardSource") {
   private val vecGen = Gen.oneOf(
     Gen.const(Seq.empty[Float]),
     Gen.listOfN(4, floatGen).map(_.toSeq))
+  private val tsGen = Gen.oneOf(
+    Gen.const(0L), Gen.const(-1L), // epoch boundary, pre-epoch floor
+    Gen.chooseNum(-1000000000000L, 2000000000000000L)) // ~1969..2033 micros
+    .map(org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp)
+  private val dateGen = Gen.oneOf(
+    Gen.const(0), Gen.const(-1), Gen.chooseNum(-50000, 50000))
+    .map(d => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong)))
+  private val decGen = Gen.oneOf(
+    Gen.const(9999999999L), Gen.const(-9999999999L), Gen.const(0L), // (10,3) extremes
+    Gen.chooseNum(-1000000L, 1000000L))
+    .map(u => new java.math.BigDecimal(java.math.BigInteger.valueOf(u), 3))
 
   private val rowGen: Gen[Row] = for {
     l <- opt(longGen); i <- opt(intGen); d <- opt(doubleGen); f <- opt(floatGen)
     b <- opt(Gen.oneOf(true, false)); s <- opt(strGen); bin <- opt(binGen)
-    v <- opt(vecGen)
-  } yield Row(l, i, d, f, b, s, bin, v)
+    v <- opt(vecGen); ts <- opt(tsGen); dt <- opt(dateGen); dec <- opt(decGen)
+  } yield Row(l, i, d, f, b, s, bin, v, ts, dt, dec)
 
   private val dfGen = Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, rowGen))
   // chunk codec mode randomized per write: the dict and deflate encoders
@@ -82,7 +98,11 @@ object GraftShardSourceProps extends Properties("GraftShardSource") {
     r.get(4), r.get(5),
     Option(r.get(6)).map(_.asInstanceOf[Array[Byte]].toSeq).orNull,
     Option(r.get(7)).map(_.asInstanceOf[scala.collection.Seq[Float]]
-      .map(java.lang.Float.floatToIntBits).toSeq).orNull)
+      .map(java.lang.Float.floatToIntBits).toSeq).orNull,
+    // temporal/decimal by string: stable across the boxed flavors
+    Option(r.get(8)).map(_.toString).orNull,
+    Option(r.get(9)).map(_.toString).orNull,
+    Option(r.get(10)).map(_.toString).orNull)
 
   private val dirBase =
     s"${System.getProperty("java.io.tmpdir")}/graft_shardprops_${ProcessHandle.current().pid()}"
@@ -135,7 +155,11 @@ object GraftShardSourceProps extends Properties("GraftShardSource") {
       val preds = Seq(
         col("c_long") >= pivot,
         col("c_str").isNotNull && col("c_long") < pivot,
-        col("c_int").isNull)
+        col("c_int").isNull,
+        // the round-14 types: decimal in unscaled space (off-grid
+        // literal), timestamp nullness, a date range
+        col("c_dec") >= BigDecimal("0.0005"),
+        col("c_ts").isNotNull && col("c_date") < java.sql.Date.valueOf("2000-01-01"))
       val fOk = preds.forall { p =>
         val fb = canonAll(spark.read.format("graftshard").load(dir).where(p))
         val fr = canonAll(spark.read.format("graftshard")
