@@ -2018,6 +2018,61 @@ object ExtensionQueries {
     }
   }
 
+  /** RETROACTIVE ANALYZE (round 14): x71's NDV→CBO→broadcast shape,
+    * but the dimension table is created WITHOUT `ndvColumns` — the
+    * production "forgot to declare stats at create" table whose only
+    * remedy used to be a data rewrite. `CALL system.analyze` backfills
+    * per-file HLL (+KLL) sketches in one DISTRIBUTED pass and lands
+    * them as a METADATA-ONLY commit (required in-query: zero data files
+    * change, the version bumps once, and the pre-analyze plan did NOT
+    * broadcast while the post-analyze plan does — the stats alone flip
+    * the join). */
+  private def x78(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureGraftCatalog(s, dir)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x78")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x78.dim")
+    val fact = Q.tmpArtifactPath("x78_fact", dir)
+    table(s, dir, "documents")
+      .select(col("lang"), col("n_chars").cast("long").as("n_chars"))
+      .coalesce(2).writeTo(s"$cat.x78.dim").using("graftshard").create()
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .coalesce(2)
+      .write.format("graftshard").mode("overwrite").save(fact)
+    val ddir = s"${s.conf.get(s"spark.sql.catalog.$cat.warehouse")}/x78/dim"
+    val m0 = graft.sources.v2.ShardFormat.readManifest(ddir).get
+    require(m0.ndvColumns.isEmpty && m0.files.forall(_.ndv.isEmpty),
+      "x78: the dim table must start stat-less")
+    val cboWas = s.conf.get("spark.sql.cbo.enabled", "false")
+    val thrWas = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "2KB")
+    try {
+      def q = s.read.format("graftshard").load(fact)
+        .join(s.read.format("graftshard").load(ddir)
+          .groupBy("lang").agg(sum("n_chars").as("lang_chars")), "lang")
+        .select(col("doc_id"), col("lang"), col("lang_chars"))
+      require(!q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "x78: without stats the 2KB threshold must keep a shuffle join — " +
+          "otherwise the analyze flip below proves nothing")
+      val rep = s.sql(s"CALL $cat.system.analyze('x78.dim', 'lang')").collect()
+      require(rep.head.getLong(0) == m0.files.size.toLong,
+        s"x78: expected every file analyzed, got ${rep.head.getLong(0)}")
+      val m1 = graft.sources.v2.ShardFormat.readManifest(ddir).get
+      require(m1.version == m0.version + 1 &&
+        m1.files.map(_.name).toSet == m0.files.map(_.name).toSet,
+        "x78: analyze must be a metadata-only commit")
+      require(m1.files.forall(_.ndv.contains("lang")), "x78: sketches missing")
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("BroadcastHashJoin"),
+        s"x78: backfilled NDV must flip the join to broadcast:\n$plan")
+      q.localCheckpoint(eager = true)
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", cboWas)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", thrWas)
+    }
+  }
+
   /** WRITE-AUDIT-PUBLISH (round 13): half the corpus commits normally;
     * the other half lands as a STAGED branch (`stageAs`) — invisible to
     * the live pointer, version chain, and CDF (required in-plan) — gets
@@ -5920,6 +5975,16 @@ object ExtensionQueries {
     // via the branch face, published pointer-atomically, byte-exact
     Q("x72_shard_write_audit_publish", x72, Some("""
       SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM documents""")),
+
+    // retroactive ANALYZE: stat-less table -> distributed sketch
+    // backfill as a metadata-only commit -> CBO broadcast flip
+    // (required in-plan: no broadcast before, broadcast after, zero
+    // data files changed), byte-exact
+    Q("x78_shard_analyze", x78, Some("""
+      SELECT d.doc_id, d.lang, l.lang_chars
+      FROM documents d
+      JOIN (SELECT lang, SUM(n_chars::BIGINT)::BIGINT AS lang_chars
+            FROM documents GROUP BY lang) l USING (lang)""")),
 
     // segment-pruned plan-time manifests: paged root + rollups, the
     // selective scan parses only intersecting segments (required

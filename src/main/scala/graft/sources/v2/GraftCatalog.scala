@@ -556,7 +556,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * (an orchestrator issues CALLs; it does not link the library), and
     * each returns its report as rows so the job can alert on them. */
   private val procedureNames =
-    Seq("compact", "expire_snapshots", "vacuum", "rollback", "set_partitioning",
+    Seq("compact", "expire_snapshots", "vacuum", "rollback", "set_partitioning", "analyze",
       "publish_branch", "drop_branch")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -629,6 +629,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           procTableDir(in.getUTF8String(0).toString), in.getLong(1),
           if (in.isNullAt(2)) None else Some(in.getLong(2)))
         Seq(Array[Any](r.groups.toLong, r.replaced.size.toLong, r.added.size.toLong))
+      }
+      case "analyze" => procedure(
+        "analyze",
+        Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'namespace.table' to analyze").build(),
+          ProcedureParameter.in("columns", StringType)
+            .comment("comma-separated columns to sketch (NDV + KLL)").build()),
+        StructType(Seq(
+          StructField("files_analyzed", LongType, nullable = false),
+          StructField("columns", StringType, nullable = false),
+          StructField("new_version", LongType, nullable = false)))) { in =>
+        val cols = in.getUTF8String(1).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val r = GraftShardMaintenance.analyze(
+          org.apache.spark.sql.SparkSession.active,
+          procTableDir(in.getUTF8String(0).toString), cols)
+        Seq(Array[Any](r.filesAnalyzed.toLong,
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            r.columns.mkString(",")), r.newVersion))
       }
       case "expire_snapshots" => procedure(
         "expire_snapshots",

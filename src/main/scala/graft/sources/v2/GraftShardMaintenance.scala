@@ -513,6 +513,118 @@ object GraftShardMaintenance {
     SetPartitioningReport(spec, cleared, m.version + 1)
     }
 
+  final case class AnalyzeReport(
+      filesAnalyzed: Int,
+      columns: Seq[String],
+      newVersion: Long)
+
+  /** `CALL system.analyze` — RETROACTIVE statistics backfill: computes
+    * per-file NDV (HLL) and, for integral-physical columns, KLL
+    * quantile sketches for EXISTING files and lands them as a
+    * METADATA-ONLY commit, then records the columns in `ndvColumns` so
+    * every future write sketches automatically. Today's alternative for
+    * a table created without the property is a full data rewrite
+    * (compaction regenerates sketches) — at 100 TB the whole point of
+    * stats is to never need one. The sketch pass is DISTRIBUTED (one
+    * Spark task per file through the ordinary partition reader with
+    * the target columns pruned), sketches describe PHYSICAL rows
+    * exactly like write-time sketches (the scan's rollup caps by live
+    * rows separately), and the commit re-reads the manifest under the
+    * lock: files compacted/deleted during the pass drop out, files
+    * added during it stay un-sketched until their own write path (the
+    * property is live from this commit on). Re-running overwrites the
+    * targeted columns' sketches (idempotent). */
+  def analyze(
+      spark: SparkSession,
+      dir: String,
+      columns: Seq[String]): AnalyzeReport = {
+    require(columns.nonEmpty, "graftshard: analyze needs at least one column")
+    val m0 = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
+    val targets = columns.map { c =>
+      val f = m0.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftshard: analyze column '$c' not in table schema " +
+            m0.schema.fieldNames.mkString("(", ", ", ")")))
+      require(ShardFormat.ndvEligible(f.dataType),
+        s"graftshard: analyze column '$c' must be long/int/string/binary/" +
+          s"timestamp/date/decimal, got ${f.dataType.sql}")
+      f
+    }
+    val schema = m0.schema
+    val required = StructType(targets)
+    val resolve = m0.resolution
+    val names = m0.files.map(fe => (fe.name, fe.seq))
+    val colNames = targets.map(_.name)
+    val physTypes = targets.map(f => ShardFormat.physicalOf(f.dataType))
+    val decs = targets.map { f => f.dataType match {
+      case d: org.apache.spark.sql.types.DecimalType => Some((d.precision, d.scale))
+      case _ => None
+    } }
+    // one task per file: open through the ordinary partition reader
+    // (column-pruned, NO delete vectors — sketches are physical like
+    // the writer's), fold each value into the accumulators, serialize
+    val results: Map[String, (Map[String, String], Map[String, String])] =
+      spark.sparkContext.parallelize(names, math.max(1, names.size))
+        .map { case (name, seq) =>
+          val r = new GraftShardPartitionReader(
+            Array((new File(dir, name).getPath, 0L, None, None, seq)),
+            schema, required, Array.empty[Filter], resolve = resolve)
+          val ndv = colNames.map(_ => new ShardFormat.NdvAcc).toArray
+          val kll = physTypes.map {
+            case LongType | IntegerType => Some(new ShardFormat.KllAcc)
+            case _ => None
+          }.toArray
+          try {
+            while (r.next()) {
+              val row = r.get()
+              var i = 0
+              while (i < colNames.length) {
+                if (!row.isNullAt(i)) physTypes(i) match {
+                  case LongType =>
+                    val v = row.getLong(i)
+                    ndv(i).add(v); kll(i).foreach(_.add(v))
+                  case IntegerType =>
+                    val v = row.getInt(i).toLong
+                    ndv(i).add(v); kll(i).foreach(_.add(v))
+                  case StringType =>
+                    ndv(i).add(row.getUTF8String(i).getBytes)
+                  case BinaryType =>
+                    ndv(i).add(row.getBinary(i))
+                  case _: org.apache.spark.sql.types.DecimalType =>
+                    val (p, sc) = decs(i).get
+                    ndv(i).add(row.getDecimal(i, p, sc).toUnscaledLong)
+                  case other => throw new IllegalStateException(
+                    s"graftshard: analyze over unexpected physical type $other")
+                }
+                i += 1
+              }
+            }
+          } finally r.close()
+          val ndvOut = colNames.zip(ndv.map(_.serialize())).toMap
+          val kllOut = colNames.zip(kll).collect {
+            case (c, Some(acc)) => c -> acc.serialize()
+          }.toMap
+          name -> (ndvOut, kllOut)
+        }.collect().toMap
+    ShardFormat.withCommitLock(dir) {
+      val m = ShardFormat.readManifest(dir).getOrElse(throw new IllegalStateException(
+        s"graftshard: table at '$dir' vanished during analyze"))
+      val updated = m.files.map { fe =>
+        results.get(fe.name).fold(fe) { case (ndv, kll) =>
+          fe.copy(ndv = fe.ndv ++ ndv, kll = fe.kll ++ kll)
+        }
+      }
+      ShardFormat.writeManifest(dir, m.copy(
+        files = updated,
+        ndvColumns = (m.ndvColumns ++ colNames).distinct,
+        version = m.version + 1,
+        createdAtMs = System.currentTimeMillis(),
+        operation = "alter"))
+      AnalyzeReport(results.size, colNames, m.version + 1)
+    }
+  }
+
   /** [[rollback]] addressed by WALL CLOCK (the ops-schedule currency —
     * "restore to before the 3am job"): resolves the newest RETAINED
     * snapshot committed at or before `tsMs`, then rolls back to it.

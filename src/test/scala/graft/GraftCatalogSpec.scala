@@ -414,7 +414,7 @@ class GraftCatalogSpec extends AnyFunSuite {
       .asInstanceOf[graft.sources.v2.GraftCatalog]
       .listProcedures(Array("system")).map(_.name).toSet
     assert(listed == Set("compact", "expire_snapshots", "vacuum",
-      "rollback", "set_partitioning", "publish_branch", "drop_branch"))
+      "rollback", "set_partitioning", "analyze", "publish_branch", "drop_branch"))
     val bad = intercept[Exception] { spark.sql("CALL graftcat.system.nope('maint.t')").collect() }
     assert(bad.getMessage.contains("nope"), bad.getMessage)
     val badTable = intercept[Exception] {

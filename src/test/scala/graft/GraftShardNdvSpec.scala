@@ -235,4 +235,52 @@ class GraftShardNdvSpec extends AnyFunSuite {
     val estC = ShardFormat.ndvEstimate(mc.files.map(_.ndv("cohort"))).get
     assert(math.abs(estC - 13) <= 2, s"post-compaction NDV $estC vs 13")
   }
+
+  test("ANALYZE backfills sketches for an existing table as a metadata-only commit") {
+    val dir = tmp()
+    // created WITHOUT ndvColumns: no sketches anywhere, and a rename
+    // in the history so analyze must resolve mixed-era file headers
+    for (i <- 0 until 3)
+      spark.range(i * 400, i * 400 + 800)
+        .select(col("id"), concat(lit("u"), col("id") % 41).as("user"),
+          (col("id") % 1000).cast("decimal(9,2)").as("amt"))
+        .coalesce(1).write.format("graftshard")
+        .mode(if (i == 0) "overwrite" else "append").save(dir)
+    val before = ShardFormat.readManifest(dir).get
+    assert(before.ndvColumns.isEmpty && before.files.forall(_.ndv.isEmpty))
+    val fileNames = before.files.map(_.name).toSet
+
+    val r = graft.sources.v2.GraftShardMaintenance.analyze(
+      spark, dir, Seq("id", "user", "amt"))
+    assert(r.filesAnalyzed == 3 && r.newVersion == before.version + 1)
+    val after = ShardFormat.readManifest(dir).get
+    // metadata-only: the data files are untouched, same names
+    assert(after.files.map(_.name).toSet == fileNames)
+    assert(after.ndvColumns.toSet == Set("id", "user", "amt"))
+    assert(after.files.forall(fe => fe.ndv.contains("id") &&
+      fe.ndv.contains("user") && fe.ndv.contains("amt")))
+    // integral-physical columns get KLL too; decimals NDV-only
+    assert(after.files.forall(_.kll.contains("id")))
+    assert(after.files.forall(fe => !fe.kll.contains("user") && !fe.kll.contains("amt")))
+    val idEst = ShardFormat.ndvEstimate(after.files.map(_.ndv("id"))).get
+    val userEst = ShardFormat.ndvEstimate(after.files.map(_.ndv("user"))).get
+    assert(math.abs(idEst - 1600) < 1600 * 0.14, s"id NDV $idEst vs 1600")
+    assert(math.abs(userEst - 41) <= 5, s"user NDV $userEst vs 41")
+    // the property is LIVE: an optionless append sketches itself
+    spark.range(5000, 5100)
+      .select(col("id"), lit("u1").as("user"),
+        lit(java.math.BigDecimal.valueOf(1L)).cast("decimal(9,2)").as("amt"))
+      .coalesce(1).write.format("graftshard").mode("append").save(dir)
+    val m2 = ShardFormat.readManifest(dir).get
+    assert(m2.files.forall(_.ndv.contains("id")),
+      "appends after analyze must inherit the property")
+    // re-analyze is idempotent and overwrites targeted sketches
+    val r2 = graft.sources.v2.GraftShardMaintenance.analyze(spark, dir, Seq("id"))
+    assert(r2.filesAnalyzed == 4)
+    // refusals: unknown column, ineligible type
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.v2.GraftShardMaintenance.analyze(spark, dir, Seq("nope"))
+    }
+    assert(e.getMessage.contains("not in table schema"))
+  }
 }
