@@ -1075,6 +1075,62 @@ object ExtensionQueries {
     s.read.format("graftshard").load(dst)
   }
 
+  /** STREAMING WRITE-AUDIT-PUBLISH (round 14): the audited-ingestion
+    * loop at its production shape — a capped lake-to-lake stream lands
+    * its micro-batch epochs on a STAGED BRANCH of a live table (each
+    * epoch a branch commit; the live pointer, version, and row count
+    * provably untouched while >=3 epochs accumulate), the audit reads
+    * exactly the would-be table through `option("branch", ...)`, and
+    * `publish_branch` folds the whole chain — replay guard included —
+    * into ONE live commit. Before round 14 the sink refused staging
+    * (epoch bookkeeping lived only on the live chain); now branch
+    * manifests carry the (queryId → epoch) guard and publish folds it,
+    * so a post-publish restart replays nothing. Byte-exact: the final
+    * table is the seed half plus the streamed half of `documents`. */
+  private def st13(s: SparkSession, dir: String): DataFrame = {
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val src = Q.tmpArtifactPath("st13src", dir) + s"_$run"
+    val dst = Q.tmpArtifactPath("st13dst", dir) + s"_$run"
+    val ckpt = Q.tmpArtifactPath("st13ckpt", dir) + s"_$run"
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"), col("lang"))
+    // the live seed: the short half commits normally
+    docs.where(col("n_chars") <= 150).coalesce(1)
+      .write.format("graftshard").mode("overwrite").save(dst)
+    val liveV = graft.sources.v2.ShardFormat.readManifest(dst).get.version
+    val seedCount = s.read.format("graftshard").load(dst).count()
+    // the long half arrives as a capped stream STAGED on a branch
+    docs.where(col("n_chars") > 150).repartitionByRange(6, col("doc_id"))
+      .write.format("graftshard").mode("overwrite").save(src)
+    val q = s.readStream.format("graftshard")
+      .option("maxFilesPerTrigger", "2").load(src)
+      .writeStream.format("graftshard")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .option("stageAs", "ingest")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    // staging left live COMPLETELY untouched across the epoch chain
+    val live1 = graft.sources.v2.ShardFormat.readManifest(dst).get
+    require(live1.version == liveV &&
+      s.read.format("graftshard").load(dst).count() == seedCount,
+      s"st13: staged streaming must not move the live table " +
+        s"(v$liveV/$seedCount rows -> v${live1.version})")
+    val br = graft.sources.v2.ShardFormat.readBranch(dst, "ingest").get
+    require(br.streamCommits.values.maxOption.exists(_ >= 2),
+      s"st13: expected >= 3 staged epochs on the branch, got " +
+        s"${br.streamCommits.values.maxOption.getOrElse(-1L)}")
+    // the audit face sees exactly the would-be table; then ONE commit
+    val audited = s.read.format("graftshard").option("branch", "ingest")
+      .load(dst).count()
+    require(audited == docs.count(),
+      s"st13: branch audit saw $audited rows, want ${docs.count()}")
+    graft.sources.v2.GraftShardMaintenance.publishBranch(dst, "ingest")
+    require(graft.sources.v2.ShardFormat.readManifest(dst).get.version == liveV + 1,
+      "st13: the staged chain must publish as exactly one live commit")
+    s.read.format("graftshard").load(dst)
+  }
+
   /** Streaming CHANGE FEED end to end: a lake table takes an append
     * and a merge-on-read DELETE while a `changesFrom` stream follows it
     * — the micro-batches are exact version deltas (offsets = manifest
@@ -2071,6 +2127,46 @@ object ExtensionQueries {
       s.conf.set("spark.sql.cbo.enabled", cboWas)
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", thrWas)
     }
+  }
+
+  /** TOKEN-ID SEQUENCES AT REST (round 14): the tokenize-and-store
+    * pipeline — a deterministic per-word tokenizer over `documents`
+    * produces one `array<int>` id sequence (and an `array<long>`
+    * variant) per document, the sequences land in the LAKE as v4
+    * shards across codecs, and the read-back aggregates per-doc token
+    * counts and id sums through the COLUMNAR batch path (required
+    * in-plan). At 100 TB the tokenized view routinely outweighs the
+    * text it came from, so it must be a first-class lake column — not
+    * a driver artifact: this gate pins tags 12/13 end-to-end
+    * (write → manifest schema → batch decode → array aggregation).
+    * Byte-exact: token ids are word-length arithmetic, so DuckDB
+    * replays them from the text with list_transform. */
+  private def x79(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x79", dir)
+    val toks = table(s, dir, "documents").select(
+      col("doc_id"),
+      expr("transform(filter(split(text, ' '), w -> w != '')," +
+        " w -> cast(length(w) * 31 + 7 as int))").as("toks"),
+      expr("transform(filter(split(text, ' '), w -> w != '')," +
+        " w -> length(w) * 1000003L)").as("toks64"))
+    toks.where(col("doc_id") % 3 === 0).coalesce(1)
+      .write.format("graftshard").mode("overwrite").save(out)
+    toks.where(col("doc_id") % 3 === 1).coalesce(1)
+      .write.format("graftshard").option("compression", "dict").mode("append").save(out)
+    toks.where(col("doc_id") % 3 === 2).coalesce(1)
+      .write.format("graftshard").option("compression", "deflate").mode("append").save(out)
+    val m = graft.sources.v2.ShardFormat.readManifest(out).get
+    require(m.schema.fields.map(_.dataType.simpleString).toSeq ==
+      Seq("bigint", "array<int>", "array<bigint>"),
+      s"x79: the lake must record the array types, got ${m.schema.simpleString}")
+    val q = s.read.format("graftshard").load(out)
+    require(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      s"x79: token-array scans must engage the batch path:\n${q.queryExecution.executedPlan}")
+    q.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_toks"),
+      expr("aggregate(toks, 0L, (a, x) -> a + x)").as("tok_sum"),
+      expr("aggregate(toks64, 0L, (a, x) -> a + x)").as("tok64_sum"))
   }
 
   /** WRITE-AUDIT-PUBLISH (round 13): half the corpus commits normally;
@@ -5024,6 +5120,13 @@ object ExtensionQueries {
       SELECT doc_id, n_chars, lang, source FROM documents
       WHERE n_chars >= 150 AND lang <> 'de'""")),
 
+    // streaming write-audit-publish: capped stream stages epochs on a
+    // branch (live provably untouched, required in-query), audit reads
+    // the branch, publish folds the chain + replay guard into ONE
+    // live commit; byte-exact (seed half + streamed half = documents)
+    Q("st13_stream_write_audit_publish", st13, Some("""
+      SELECT doc_id, n_chars::BIGINT AS n_chars, lang FROM documents""")),
+
     // streaming change feed: version-delta micro-batches into a lake sink
     Q("st10_stream_change_feed", st10, Some("""
       SELECT doc_id, lang, 'insert' AS _change_type
@@ -5970,6 +6073,19 @@ object ExtensionQueries {
       FROM documents d
       JOIN (SELECT lang, SUM(n_chars::BIGINT)::BIGINT AS lang_chars
             FROM documents GROUP BY lang) l USING (lang)""")),
+    // token-id sequences at rest: array<int>/array<long> tokenizer
+    // output written to the lake across codecs, read back columnar
+    // (required in-plan), per-doc aggregates replayed from the text
+    Q("x79_shard_token_arrays", x79, Some("""
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), w -> w != ''))::BIGINT AS n_toks,
+             COALESCE(list_aggregate(list_transform(
+               list_filter(string_split(text, ' '), w -> w != ''),
+               w -> length(w) * 31 + 7), 'sum'), 0)::BIGINT AS tok_sum,
+             COALESCE(list_aggregate(list_transform(
+               list_filter(string_split(text, ' '), w -> w != ''),
+               w -> length(w) * 1000003), 'sum'), 0)::BIGINT AS tok64_sum
+      FROM documents""")),
 
     // write-audit-publish: staged invisible (required in-plan), audited
     // via the branch face, published pointer-atomically, byte-exact

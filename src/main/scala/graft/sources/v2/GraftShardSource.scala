@@ -1690,7 +1690,7 @@ class GraftShardReaderFactory(
       case LongType | IntegerType | DoubleType | FloatType |
            BooleanType | StringType | BinaryType => true
       case dt: DecimalType => dt.precision <= 18 // long-backed vectors
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType | IntegerType | LongType, _) => true
       case _ => false
     }
 
@@ -1809,7 +1809,7 @@ class GraftShardColumnarPartitionReader(
       case BinaryType => (r: Int) => if (vec.isNullAt(r)) null else vec.getBinary(r)
       // only IsNull/IsNotNull are pushable on arrays — the evaluator
       // needs null-or-not, never the value
-      case ArrayType(FloatType, _) =>
+      case ArrayType(_, _) =>
         (r: Int) => if (vec.isNullAt(r)) null else vec.getArray(r)
       case other => throw new IllegalStateException(
         s"graftshard: filter over non-filterable type ${other.sql}")
@@ -2040,6 +2040,16 @@ class GraftShardColumnarPartitionReader(
       val start = child.appendFloats(len, v, off)
       staging(s).putArray(r, start, len)
     }
+    override def putInts(s: Int, r: Int, v: Array[Int], off: Int, len: Int): Unit = {
+      val child = staging(s).arrayData()
+      val start = child.appendInts(len, v, off)
+      staging(s).putArray(r, start, len)
+    }
+    override def putLongs(s: Int, r: Int, v: Array[Long], off: Int, len: Int): Unit = {
+      val child = staging(s).arrayData()
+      val start = child.appendLongs(len, v, off)
+      staging(s).putArray(r, start, len)
+    }
     override def setDictionary(s: Int, bytes: Array[Byte], offs: Array[Int],
         lens: Array[Int], count: Int): Boolean = readTypes(s) match {
       case StringType | BinaryType =>
@@ -2111,6 +2121,18 @@ class GraftShardColumnarPartitionReader(
           val start = child.appendFloats(a.length, a, 0)
           staging(s).putArray(r, start, a.length)
         }
+        case ArrayType(IntegerType, _) => (r: Int, v: Any) => {
+          val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray
+          val child = staging(s).arrayData()
+          val start = child.appendInts(a.length, a, 0)
+          staging(s).putArray(r, start, a.length)
+        }
+        case ArrayType(LongType, _) => (r: Int, v: Any) => {
+          val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray
+          val child = staging(s).arrayData()
+          val start = child.appendLongs(a.length, a, 0)
+          staging(s).putArray(r, start, a.length)
+        }
         case other => throw new IllegalStateException(
           s"graftshard: columnar reader admitted unsupported type ${other.sql}")
       }
@@ -2163,6 +2185,22 @@ class GraftShardColumnarPartitionReader(
                 val a = st.getArray(r).toFloatArray
                 val child = out.arrayData()
                 val start = child.appendFloats(a.length, a, 0)
+                out.putArray(o, start, a.length)
+              }
+            case ArrayType(IntegerType, _) => (r: Int, o: Int) =>
+              if (st.isNullAt(r)) out.putNull(o)
+              else {
+                val a = st.getArray(r).toIntArray
+                val child = out.arrayData()
+                val start = child.appendInts(a.length, a, 0)
+                out.putArray(o, start, a.length)
+              }
+            case ArrayType(LongType, _) => (r: Int, o: Int) =>
+              if (st.isNullAt(r)) out.putNull(o)
+              else {
+                val a = st.getArray(r).toLongArray
+                val child = out.arrayData()
+                val start = child.appendLongs(a.length, a, 0)
                 out.putArray(o, start, a.length)
               }
             case other => throw new IllegalStateException(

@@ -78,7 +78,9 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
     schema.fields.foreach { f =>
       require(ShardFormat.supported(f.dataType),
         s"graftshard: unsupported column type ${f.dataType.sql} for '${f.name}' " +
-          "(supported: long, int, double, float, boolean, string, binary, array<float>)")
+          "(supported: long, int, double, float, boolean, string, binary, " +
+          "timestamp, timestamp_ntz, date, decimal(<=18), array<float>, " +
+          "array<int>, array<long>)")
     }
     def validateKey(sp: ShardFormat.PartSpec): Unit = {
       val f = schema.fields.find(_.name == sp.column).getOrElse(throw new IllegalArgumentException(
@@ -279,8 +281,12 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
     }
     // write-audit-publish: `option("stageAs", "audit")` publishes the
     // commit as a BRANCH instead of moving the live pointer — readers
-    // see nothing until CALL system.publish_branch; batch only (a
-    // streaming sink's epoch bookkeeping must live on the live chain)
+    // see nothing until CALL system.publish_branch. Streaming sinks
+    // stage too (the audited-ingestion loop): epochs accumulate on the
+    // branch chain, whose manifests carry the (queryId → epoch) replay
+    // guard exactly like live ones, and publish_branch folds the
+    // recorded epochs into the live manifest so a restarted stream
+    // never replays published work
     val stageAs = Option(info.options.get("stageAs"))
     stageAs.foreach(b => ShardFormat.branchFile(path, b): Unit) // validate name
     val queryId = info.queryId()
@@ -310,8 +316,8 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
             new GraftShardStreamingWrite(path, queryId,
               new GraftShardBatchWrite(path, schema, replace, spec, sortCol = None,
                 maxOpenWriters = maxOpen, codec = codec, bloomCols = bloomCols,
-                upsertKey = upsertKey, ndvCols = ndvCols))
-              // (no stageAs: the streaming face refuses staging below)
+                upsertKey = upsertKey, ndvCols = ndvCols, stageAs = stageAs),
+              stageAs)
         }
     }
   }
@@ -401,11 +407,25 @@ class GraftShardZOrderWrite(
   * appends; Complete mode arrives as truncate (SupportsOverwrite
   * extends SupportsTruncate) and swaps the table each epoch. The
   * streaming READ face ([[GraftShardScan.toMicroBatchStream]]) composes:
-  * graftshard tables can sit on both ends of a streaming pipeline. */
+  * graftshard tables can sit on both ends of a streaming pipeline.
+  *
+  * STAGED streaming (`option("stageAs", b)` on the sink — streaming
+  * write-audit-publish): epochs land as BRANCH commits, invisible to
+  * live readers until `CALL system.publish_branch`. The replay guard
+  * then consults the BRANCH manifest (where the epochs were recorded),
+  * falling back to live — which covers both the first staged epoch
+  * (branch not yet forked; live's guard carried into the fork) and a
+  * restart after publish (the branch pointer is gone, but the
+  * published manifest carries the folded epochs). Dropping a staging
+  * branch discards its epochs BY DESIGN: the stream's checkpoint still
+  * counts them committed, so they will not re-emit — dropping staged
+  * streamed data means losing it, exactly like dropping staged batch
+  * data. */
 class GraftShardStreamingWrite(
     path: String,
     queryId: String,
-    batch: GraftShardBatchWrite)
+    batch: GraftShardBatchWrite,
+    stageAs: Option[String] = None)
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -416,7 +436,8 @@ class GraftShardStreamingWrite(
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val replayed = ShardFormat.readManifest(path)
+    val replayed = stageAs.flatMap(ShardFormat.readBranch(path, _))
+      .orElse(ShardFormat.readManifest(path))
       .exists(_.streamCommits.get(queryId).exists(_ >= epochId))
     if (replayed) {
       // recovery re-ran an epoch the table already holds: drop its output
@@ -707,9 +728,6 @@ class GraftShardBatchWrite(
       if (isTruncate) (Nil, 0, Map.empty[String, Int])
       else current.map(m => (m.fieldIds, m.lastFieldId, m.aliases))
         .getOrElse((Nil, 0, Map.empty[String, Int]))
-    require(stageAs.isEmpty || streamEpoch.isEmpty,
-      "graftshard: a streaming sink cannot stage to a branch — its " +
-        "exactly-once epoch bookkeeping must live on the live chain")
     val publishManifest: ShardFormat.Manifest => Unit = stageAs match {
       // staged: published as a BRANCH pointer (vN+1 content, live
       // pointer untouched); publish_branch re-validates the base under

@@ -117,6 +117,10 @@ object ShardFormat {
         DateType => true
     case dt: DecimalType => dt.precision <= 18 // stored as the unscaled long
     case ArrayType(FloatType, _) => true
+    // token-id sequences — the tokenized-corpus column of a training
+    // pipeline (and any per-row id list). Same cell shape as the
+    // embedding column: count + packed elements, no element bitmap.
+    case ArrayType(IntegerType | LongType, _) => true
     case _ => false
   }
 
@@ -983,6 +987,8 @@ object ShardFormat {
     case TimestampNTZType => 9
     case DateType => 10
     case _: DecimalType => 11 // (precision, scale) bytes follow the tag
+    case ArrayType(IntegerType, _) => 12
+    case ArrayType(LongType, _) => 13
     case other => throw new IllegalStateException(s"unreachable: $other")
   }
   private def typeOfTag(tag: Byte): DataType = tag match {
@@ -992,6 +998,8 @@ object ShardFormat {
     case 8 => TimestampType
     case 9 => TimestampNTZType
     case 10 => DateType
+    case 12 => ArrayType(IntegerType, containsNull = false)
+    case 13 => ArrayType(LongType, containsNull = false)
     // tag 11 (decimal) never reaches here: its (precision, scale)
     // bytes are consumed at the header-parse sites
     case other => throw new java.io.IOException(s"graftshard: unknown type tag $other")
@@ -1162,7 +1170,8 @@ object ShardFormat {
   /** Length of the cell starting at `p` (raw encoding). */
   private def cellLen(raw: Array[Byte], p: Int, dt: DataType): Int = dt match {
     case StringType | BinaryType => 4 + readIntBE(raw, p)
-    case ArrayType(FloatType, _) => 4 + 4 * readIntBE(raw, p)
+    case ArrayType(FloatType | IntegerType, _) => 4 + 4 * readIntBE(raw, p)
+    case ArrayType(LongType, _) => 4 + 8 * readIntBE(raw, p)
     case other => cellWidth(other)
   }
 
@@ -1528,6 +1537,30 @@ object ShardFormat {
                 values.writeFloat(arr.getFloat(j)); j += 1
               }
               groupBytes += 4L + 4L * n
+            case ArrayType(IntegerType, _) =>
+              val arr = row.getArray(i)
+              val n = arr.numElements()
+              values.writeInt(n)
+              var j = 0
+              while (j < n) {
+                if (arr.isNullAt(j)) throw new IllegalArgumentException(
+                  s"graftshard: null element in int array column '${fields(i).name}' — " +
+                    "the record format stores no element bitmap; coalesce or drop null elements first")
+                values.writeInt(arr.getInt(j)); j += 1
+              }
+              groupBytes += 4L + 4L * n
+            case ArrayType(LongType, _) =>
+              val arr = row.getArray(i)
+              val n = arr.numElements()
+              values.writeInt(n)
+              var j = 0
+              while (j < n) {
+                if (arr.isNullAt(j)) throw new IllegalArgumentException(
+                  s"graftshard: null element in long array column '${fields(i).name}' — " +
+                    "the record format stores no element bitmap; coalesce or drop null elements first")
+                values.writeLong(arr.getLong(j)); j += 1
+              }
+              groupBytes += 4L + 8L * n
             case dt => throw new IllegalStateException(s"unreachable: $dt")
           }
         }
@@ -1760,6 +1793,11 @@ object ShardFormat {
     /** One `array<float>` cell (the embedding-column shape). `v` is a
       * shared scratch buffer — consume `[off, off+len)` before returning. */
     def putFloats(slot: Int, row: Int, v: Array[Float], off: Int, len: Int): Unit
+    /** One `array<int>` cell (token-id sequences). Same scratch-buffer
+      * contract as [[putFloats]]. */
+    def putInts(slot: Int, row: Int, v: Array[Int], off: Int, len: Int): Unit
+    /** One `array<long>` cell. Same scratch-buffer contract as [[putFloats]]. */
+    def putLongs(slot: Int, row: Int, v: Array[Long], off: Int, len: Int): Unit
 
     /** Offer THIS batch's dictionary for `slot` (a string column whose
       * chunk was stored codec-2 and kept encoded): entry k's bytes are
@@ -2212,6 +2250,41 @@ object ShardFormat {
             r += 1
           }
           true
+        case ArrayType(IntegerType, _) =>
+          // token-id columns: same per-cell tight loop as embeddings
+          var k = 0; r = 0
+          while (r < n) {
+            if (k < nNulls && bulkNullRows(k) == r) { sink.putNull(s, r); k += 1 }
+            else {
+              val len = readInt4BE(chunk, p); p += 4
+              if (intScratch.length < len) intScratch = new Array[Int](len)
+              var j = 0
+              while (j < len) {
+                intScratch(j) = readInt4BE(chunk, p)
+                p += 4; j += 1
+              }
+              sink.putInts(s, r, intScratch, 0, len)
+            }
+            r += 1
+          }
+          true
+        case ArrayType(LongType, _) =>
+          var k = 0; r = 0
+          while (r < n) {
+            if (k < nNulls && bulkNullRows(k) == r) { sink.putNull(s, r); k += 1 }
+            else {
+              val len = readInt4BE(chunk, p); p += 4
+              if (longScratch.length < len) longScratch = new Array[Long](len)
+              var j = 0
+              while (j < len) {
+                longScratch(j) = readLongBE(chunk, p)
+                p += 8; j += 1
+              }
+              sink.putLongs(s, r, longScratch, 0, len)
+            }
+            r += 1
+          }
+          true
         case StringType | BinaryType =>
           // variable-width cells served DIRECT from the chunk buffer —
           // no per-cell byte[] allocation, no stream; putBytes copies
@@ -2491,12 +2564,26 @@ object ShardFormat {
           var j = 0
           while (j < len) { floatScratch(j) = d.readFloat(); j += 1 }
           sink.putFloats(s, r, floatScratch, 0, len)
+        case ArrayType(IntegerType, _) =>
+          val len = d.readInt()
+          if (intScratch.length < len) intScratch = new Array[Int](len)
+          var j = 0
+          while (j < len) { intScratch(j) = d.readInt(); j += 1 }
+          sink.putInts(s, r, intScratch, 0, len)
+        case ArrayType(LongType, _) =>
+          val len = d.readInt()
+          if (longScratch.length < len) longScratch = new Array[Long](len)
+          var j = 0
+          while (j < len) { longScratch(j) = d.readLong(); j += 1 }
+          sink.putLongs(s, r, longScratch, 0, len)
         case other => throw new IllegalStateException(
           s"graftshard: nextBatch over unsupported column type ${other.sql} " +
             s"('${field.name}') — the scan must refuse columnar reads for it")
       }
-    // reused across cells of the batch decode's array<float> columns
+    // reused across cells of the batch decode's array columns
     private var floatScratch: Array[Float] = Array.emptyFloatArray
+    private var intScratch: Array[Int] = Array.emptyIntArray
+    private var longScratch: Array[Long] = Array.emptyLongArray
 
     private def nextV3(values: Array[Any]): Boolean = {
       if (gRow >= gRows && !loadGroup()) return false
@@ -2650,6 +2737,18 @@ object ShardFormat {
           var j = 0
           while (j < n) { a(j) = d.readFloat(); j += 1 }
           new GenericArrayData(a)
+        case ArrayType(IntegerType, _) =>
+          val n = d.readInt()
+          val a = new Array[Int](n)
+          var j = 0
+          while (j < n) { a(j) = d.readInt(); j += 1 }
+          new GenericArrayData(a)
+        case ArrayType(LongType, _) =>
+          val n = d.readInt()
+          val a = new Array[Long](n)
+          var j = 0
+          while (j < n) { a(j) = d.readLong(); j += 1 }
+          new GenericArrayData(a)
         case other => throw new IllegalStateException(s"unreachable: $other (${field.name})")
       }
 
@@ -2673,7 +2772,9 @@ object ShardFormat {
             case IntegerType | FloatType => in.skipFully(4)
             case BooleanType => in.skipFully(1)
             case StringType | BinaryType => in.skipFully(in.readInt().toLong)
-            case ArrayType(FloatType, _) => in.skipFully(in.readInt().toLong * 4)
+            case ArrayType(FloatType | IntegerType, _) =>
+              in.skipFully(in.readInt().toLong * 4)
+            case ArrayType(LongType, _) => in.skipFully(in.readInt().toLong * 8)
             case dt => throw new IllegalStateException(s"unreachable: $dt")
           }
         }

@@ -196,7 +196,81 @@ class GraftShardWapSpec extends AnyFunSuite {
     assert(GraftShardMaintenance.dropBranch(dir, "b2"))
   }
 
-  test("refusals: streaming cannot stage; unknown branch read names the available ones") {
+  test("streaming WAP: epochs stage on a branch, live stays invisible, publish folds the replay guard") {
+    val dir = tmp()
+    val ckpt = Files.createTempDirectory("graft_wap_stream_ckpt").toString
+    // live base the stream must NOT touch while staging
+    spark.range(0, 10).select(col("id"), (col("id") * 2L).as("v"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(dir)
+    val liveV = ShardFormat.readManifest(dir).get.version
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    def runOnce(): Unit = {
+      val q = mem.toDF().select(col("value").as("id"), (col("value") * 2L).as("v"))
+        .writeStream.format("graftshard")
+        .option("path", dir).option("checkpointLocation", ckpt)
+        .option("stageAs", "ingest")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+      q.exception.foreach(throw _)
+    }
+
+    // epoch 1 stages; live pointer, version, and row count untouched
+    mem.addData(100L until 130L: _*)
+    runOnce()
+    assert(spark.read.format("graftshard").load(dir).count() == 10)
+    assert(ShardFormat.readManifest(dir).get.version == liveV)
+    val b1 = ShardFormat.readBranch(dir, "ingest").get
+    assert(b1.streamCommits.size == 1, s"epoch must be recorded ON THE BRANCH: $b1")
+    assert(spark.read.format("graftshard").option("branch", "ingest")
+      .load(dir).count() == 40)
+
+    // epoch 2 ACCUMULATES on the same branch (multi-commit WAP), and
+    // the branch replay guard advances
+    mem.addData(130L until 150L: _*)
+    runOnce()
+    assert(spark.read.format("graftshard").load(dir).count() == 10)
+    val b2 = ShardFormat.readBranch(dir, "ingest").get
+    assert(b2.streamCommits.head._2 > b1.streamCommits.head._2,
+      s"branch must carry the advanced epoch: $b2 vs $b1")
+    assert(spark.read.format("graftshard").option("branch", "ingest")
+      .load(dir).count() == 60)
+
+    // a replayed epoch against the BRANCH is dropped (crash between
+    // sink commit and checkpoint write)
+    val (queryId, lastEpoch) = b2.streamCommits.head
+    val orphan = "replayed-staged-epoch.shard"
+    val w = new ShardFormat.ShardWriter(new java.io.File(dir, orphan), b2.schema)
+    w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](999L, 999L)))
+    val (bytes, rows, stats, allNull) = w.finish()
+    val sw = new graft.sources.v2.GraftShardStreamingWrite(dir, queryId,
+      new graft.sources.v2.GraftShardBatchWrite(dir, b2.schema, None, None,
+        stageAs = Some("ingest")), Some("ingest"))
+    sw.commit(lastEpoch, Array(graft.sources.v2.ShardCommitMessage(
+      Seq(ShardFormat.FileEntry(orphan, bytes, rows, stats, allNull, None)))))
+    assert(!new java.io.File(dir, orphan).exists(),
+      "replayed staged epoch's file must be deleted")
+    assert(ShardFormat.readBranch(dir, "ingest").get == b2,
+      "branch manifest must be untouched by the replay")
+
+    // publish folds the staged epochs into ONE live commit, replay
+    // guard included — a restarted stream never replays published work
+    val published = GraftShardMaintenance.publishBranch(dir, "ingest")
+    assert(published == liveV + 1)
+    assert(spark.read.format("graftshard").load(dir).count() == 60)
+    val live = ShardFormat.readManifest(dir).get
+    assert(live.streamCommits.get(queryId).contains(lastEpoch),
+      s"publish must fold the epoch guard into live: $live")
+
+    // restart over the same checkpoint with nothing new: live unchanged
+    runOnce()
+    assert(spark.read.format("graftshard").load(dir).count() == 60)
+  }
+
+  test("refusals: unknown branch read names the available ones; branch+versionAsOf ambiguous") {
     val dir = tmp()
     spark.range(0, 5).select(col("id"), col("id").as("v"))
       .coalesce(1).write.format("graftshard").mode("overwrite").save(dir)
