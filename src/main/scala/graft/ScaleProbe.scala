@@ -589,6 +589,31 @@ object ScaleProbe {
         f"columnar=$eCol%6.2f ratio=${eRow / eCol}%5.2f")
       println(f"PROBE-COLREAD-MOR rows=8M dead=25%% row=$mRow%6.2f " +
         f"columnar=$mCol%6.2f ratio=${mRow / mCol}%5.2f")
+      // TOKEN-ARRAY scan (round 14: array<int>/array<long> at rest —
+      // the tokenized-corpus column): project id + a ~32-token id
+      // sequence, reduce size + an element, columnar vs row. The batch
+      // path decodes each cell with one tight loop into appendInts;
+      // the row path pays a stream read per ELEMENT.
+      val tdir = "/tmp/graft_colread_probe_tok"
+      spark.range(0, 1000000L).select(col("id"),
+        org.apache.spark.sql.functions.array(
+          (0 until 32).map(j => ((col("id") + j) % 50000).cast("int")): _*).as("toks"))
+        .repartition(8)
+        .write.format("graftshard").mode("overwrite").save(tdir)
+      def timeTok(columnar: Boolean): Double = {
+        val t0 = System.nanoTime()
+        val df = spark.read.format("graftshard")
+          .option("columnarRead", columnar.toString).load(tdir)
+        require(df.select(size(col("toks")).as("n"),
+          element_at(col("toks"), 16).as("x"))
+          .agg(sum("n"), sum("x")).collect().nonEmpty)
+        (System.nanoTime() - t0) / 1e9
+      }
+      timeTok(columnar = true)
+      val tRow = math.min(timeTok(false), timeTok(false))
+      val tCol = math.min(timeTok(true), timeTok(true))
+      println(f"PROBE-COLREAD-TOKARR rows=1M toks=32 row=$tRow%6.2f " +
+        f"columnar=$tCol%6.2f ratio=${tRow / tCol}%5.2f")
       spark.stop()
       return
     }

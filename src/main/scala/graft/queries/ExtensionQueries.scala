@@ -2129,6 +2129,105 @@ object ExtensionQueries {
     }
   }
 
+  /** INCREMENTAL ROLLUP MAINTENANCE over the change feed (round 14):
+    * the reason a 100 TB lake has CDF at all — a materialized
+    * aggregate is paid for ONCE with a full pass, then every
+    * downstream refresh applies only the day's delta: inserts add,
+    * deletes subtract (signed aggregation), a full-outer join folds
+    * the delta into the materialized state, groups that empty out
+    * drop. The gate materializes a per-lang rollup of a base table,
+    * mutates the base (an append + a merge-on-read DELETE), maintains
+    * the rollup from `changesFrom` alone — REQUIRED in-query: the
+    * delta feed is strictly smaller than the table, so the refresh
+    * provably never rescans the corpus — and must equal the full
+    * recompute byte for byte (the oracle replays the final state). */
+  private def x81(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureGraftCatalog(s, dir)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x81")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x81.docs")
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+    docs.where(col("doc_id") % 3 === 0).repartitionByRange(4, col("doc_id"))
+      .writeTo(s"$cat.x81.docs").using("graftshard").create()
+    val tableDir = s"${s.conf.get(s"spark.sql.catalog.$cat.warehouse")}/x81/docs"
+    val v0 = graft.sources.v2.ShardFormat.readManifest(tableDir).get.version
+    // the one full pass: materialize the rollup as of v0
+    val mv = Q.tmpArtifactPath("x81_mv", dir) +
+      s"_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.table(s"$cat.x81.docs").groupBy("lang")
+      .agg(sum("n_chars").as("chars"), count(lit(1)).as("n_docs"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(mv)
+    // a day of ingestion: new docs land, a slice is retracted
+    docs.where(col("doc_id") % 3 === 1).repartitionByRange(4, col("doc_id"))
+      .writeTo(s"$cat.x81.docs").append()
+    s.conf.set("spark.graftshard.rowLevel.mode", "merge-on-read")
+    try s.sql(s"DELETE FROM $cat.x81.docs WHERE doc_id % 7 = 0")
+    finally s.conf.unset("spark.graftshard.rowLevel.mode")
+    // the refresh touches ONLY the delta
+    val changes = s.read.format("graftshard")
+      .option("changesFrom", v0).load(tableDir)
+    val nChanges = changes.count()
+    val nTable = s.table(s"$cat.x81.docs").count()
+    require(nChanges > 0 && nChanges < nTable,
+      s"x81: the delta feed ($nChanges rows) must be strictly smaller " +
+        s"than the table ($nTable rows) — else the refresh rescanned")
+    val sgn = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val delta = changes.groupBy("lang").agg(
+      sum(col("n_chars") * sgn).as("d_chars"),
+      sum(sgn).as("d_docs"))
+    s.read.format("graftshard").load(mv)
+      .join(delta, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("chars"), lit(0L)) + coalesce(col("d_chars"), lit(0L))).as("chars"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L))).as("n_docs"))
+      .where(col("n_docs") > 0)
+  }
+
+  /** RETROACTIVE BLOOM BACKFILL (round 14): `CALL system.analyze(...,
+    * blooms => true)` — the index counterpart of the stats backfill.
+    * A table created with NO bloom configuration gets per-file sidecars
+    * built in the same distributed pass, and the proof the skip is REAL
+    * is physical: one shard file is OVERWRITTEN WITH GARBAGE after the
+    * backfill, and point lookups for values provably absent from it
+    * (its id parity — both files' ranges fully overlap, so min/max
+    * stats can never prune) must return byte-exact results WITHOUT
+    * opening it (opening throws on the magic). At 100 TB this is
+    * "enable needle-in-haystack reads on an existing corpus" without
+    * the data rewrite that was the only remedy before. */
+  private def x80(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x80", dir) +
+      s"_${java.util.UUID.randomUUID().toString.take(8)}"
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"),
+        concat(lit("k:"), col("doc_id")).as("doc_key"))
+    docs.where(col("doc_id") % 2 === 1).coalesce(1)
+      .write.format("graftshard").mode("overwrite").save(out)
+    docs.where(col("doc_id") % 2 === 0).coalesce(1)
+      .write.format("graftshard").mode("append").save(out)
+    val m0 = graft.sources.v2.ShardFormat.readManifest(out).get
+    require(m0.bloomColumns.isEmpty && m0.files.forall(_.bloom.isEmpty),
+      "x80: the table must start bloom-less")
+    val r = graft.sources.v2.GraftShardMaintenance.analyze(
+      s, out, Seq("doc_id", "doc_key"), blooms = true)
+    require(r.bloomFiles == m0.files.size,
+      s"x80: every file needs a backfilled sidecar, got ${r.bloomFiles}")
+    val m1 = graft.sources.v2.ShardFormat.readManifest(out).get
+    require(m1.files.map(_.name).toSet == m0.files.map(_.name).toSet &&
+      m1.files.forall(_.bloom.isDefined) &&
+      m1.bloomColumns == Seq("doc_id", "doc_key"),
+      "x80: backfill must be sidecars + manifest only")
+    // physical skip proof: garbage the ODD file; every probe below is
+    // for EVEN ids, so the backfilled blooms must keep it closed
+    val odd = m0.files.head.name
+    val os = new java.io.FileOutputStream(new java.io.File(out, odd))
+    try os.write("NOTASHRD".getBytes("US-ASCII")) finally os.close()
+    val t = s.read.format("graftshard").load(out)
+    t.where(col("doc_id").isin(0L, 2L, 42L, 256L, 498L))
+      .select("doc_id", "lang", "n_chars")
+      .unionAll(t.where(col("doc_key").isin("k:100", "k:222"))
+        .select("doc_id", "lang", "n_chars"))
+  }
+
   /** TOKEN-ID SEQUENCES AT REST (round 14): the tokenize-and-store
     * pipeline — a deterministic per-word tokenizer over `documents`
     * produces one `array<int>` id sequence (and an `array<long>`
@@ -6073,6 +6172,26 @@ object ExtensionQueries {
       FROM documents d
       JOIN (SELECT lang, SUM(n_chars::BIGINT)::BIGINT AS lang_chars
             FROM documents GROUP BY lang) l USING (lang)""")),
+    // incremental rollup maintenance: materialize once, refresh from
+    // the change feed's signed delta alone (required in-query: the
+    // delta is strictly smaller than the table), equals full recompute
+    Q("x81_shard_incremental_rollup", x81, Some("""
+      SELECT lang, SUM(n_chars::BIGINT)::BIGINT AS chars,
+             COUNT(*)::BIGINT AS n_docs
+      FROM documents
+      WHERE doc_id % 3 IN (0, 1) AND doc_id % 7 <> 0
+      GROUP BY lang""")),
+
+    // retroactive bloom backfill: analyze(blooms) builds sidecars for
+    // a bloom-less table, then a garbaged shard file proves the skip
+    // physically (probes for its absent parity never open it)
+    Q("x80_shard_analyze_blooms", x80, Some("""
+      SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM documents
+      WHERE doc_id IN (0, 2, 42, 256, 498)
+      UNION ALL
+      SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM documents
+      WHERE doc_id IN (100, 222)""")),
+
     // token-id sequences at rest: array<int>/array<long> tokenizer
     // output written to the lake across codecs, read back columnar
     // (required in-plan), per-doc aggregates replayed from the text

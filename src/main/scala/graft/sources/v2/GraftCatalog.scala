@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFu
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.Scan
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** `GraftCatalog` — a V2 catalog plugin over a warehouse directory of
@@ -636,19 +636,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           ProcedureParameter.in("table", StringType)
             .comment("'namespace.table' to analyze").build(),
           ProcedureParameter.in("columns", StringType)
-            .comment("comma-separated columns to sketch (NDV + KLL)").build()),
+            .comment("comma-separated columns to sketch (NDV + KLL)").build(),
+          ProcedureParameter.in("blooms", BooleanType)
+            .defaultValue("false")
+            .comment("also backfill per-file bloom sidecars for the columns")
+            .build()),
         StructType(Seq(
           StructField("files_analyzed", LongType, nullable = false),
           StructField("columns", StringType, nullable = false),
-          StructField("new_version", LongType, nullable = false)))) { in =>
+          StructField("new_version", LongType, nullable = false),
+          StructField("bloom_files", LongType, nullable = false)))) { in =>
         val cols = in.getUTF8String(1).toString.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq
+        val blooms = !in.isNullAt(2) && in.getBoolean(2)
         val r = GraftShardMaintenance.analyze(
           org.apache.spark.sql.SparkSession.active,
-          procTableDir(in.getUTF8String(0).toString), cols)
+          procTableDir(in.getUTF8String(0).toString), cols, blooms)
         Seq(Array[Any](r.filesAnalyzed.toLong,
           org.apache.spark.unsafe.types.UTF8String.fromString(
-            r.columns.mkString(",")), r.newVersion))
+            r.columns.mkString(",")), r.newVersion, r.bloomFiles.toLong))
       }
       case "expire_snapshots" => procedure(
         "expire_snapshots",

@@ -516,7 +516,8 @@ object GraftShardMaintenance {
   final case class AnalyzeReport(
       filesAnalyzed: Int,
       columns: Seq[String],
-      newVersion: Long)
+      newVersion: Long,
+      bloomFiles: Int = 0)
 
   /** `CALL system.analyze` — RETROACTIVE statistics backfill: computes
     * per-file NDV (HLL) and, for integral-physical columns, KLL
@@ -533,11 +534,23 @@ object GraftShardMaintenance {
     * lock: files compacted/deleted during the pass drop out, files
     * added during it stay un-sketched until their own write path (the
     * property is live from this commit on). Re-running overwrites the
-    * targeted columns' sketches (idempotent). */
+    * targeted columns' sketches (idempotent).
+    *
+    * `blooms = true` ALSO backfills per-file bloom sidecars for the
+    * target columns — retroactive point-lookup skipping on an existing
+    * corpus, the index counterpart of the stats backfill. Each task
+    * writes (or MERGES into, via tmp + atomic rename — a concurrent
+    * reader always sees a complete sidecar) the file's fixed-name
+    * `.bloom` sidecar; entries land under CURRENT column names, which
+    * the read side's alias mapping passes through unchanged, and
+    * existing entries that resolve to a re-analyzed column are
+    * replaced, never duplicated. `bloomColumns` is recorded so future
+    * writes build their own filters. */
   def analyze(
       spark: SparkSession,
       dir: String,
-      columns: Seq[String]): AnalyzeReport = {
+      columns: Seq[String],
+      blooms: Boolean = false): AnalyzeReport = {
     require(columns.nonEmpty, "graftshard: analyze needs at least one column")
     val m0 = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
       s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
@@ -564,7 +577,7 @@ object GraftShardMaintenance {
     // one task per file: open through the ordinary partition reader
     // (column-pruned, NO delete vectors — sketches are physical like
     // the writer's), fold each value into the accumulators, serialize
-    val results: Map[String, (Map[String, String], Map[String, String])] =
+    val results: Map[String, (Map[String, String], Map[String, String], Option[String])] =
       spark.sparkContext.parallelize(names, math.max(1, names.size))
         .map { case (name, seq) =>
           val r = new GraftShardPartitionReader(
@@ -575,6 +588,9 @@ object GraftShardMaintenance {
             case LongType | IntegerType => Some(new ShardFormat.KllAcc)
             case _ => None
           }.toArray
+          val blm =
+            if (blooms) colNames.map(_ => new ShardFormat.BloomAcc).toArray
+            else Array.empty[ShardFormat.BloomAcc]
           try {
             while (r.next()) {
               val row = r.get()
@@ -584,16 +600,24 @@ object GraftShardMaintenance {
                   case LongType =>
                     val v = row.getLong(i)
                     ndv(i).add(v); kll(i).foreach(_.add(v))
+                    if (blooms) blm(i).add(ShardFormat.bloomHashLong(v))
                   case IntegerType =>
                     val v = row.getInt(i).toLong
                     ndv(i).add(v); kll(i).foreach(_.add(v))
+                    if (blooms) blm(i).add(ShardFormat.bloomHashLong(v))
                   case StringType =>
-                    ndv(i).add(row.getUTF8String(i).getBytes)
+                    val b = row.getUTF8String(i).getBytes
+                    ndv(i).add(b)
+                    if (blooms) blm(i).add(ShardFormat.bloomHashBytes(b))
                   case BinaryType =>
-                    ndv(i).add(row.getBinary(i))
+                    val b = row.getBinary(i)
+                    ndv(i).add(b)
+                    if (blooms) blm(i).add(ShardFormat.bloomHashBytes(b))
                   case _: org.apache.spark.sql.types.DecimalType =>
                     val (p, sc) = decs(i).get
-                    ndv(i).add(row.getDecimal(i, p, sc).toUnscaledLong)
+                    val v = row.getDecimal(i, p, sc).toUnscaledLong
+                    ndv(i).add(v)
+                    if (blooms) blm(i).add(ShardFormat.bloomHashLong(v))
                   case other => throw new IllegalStateException(
                     s"graftshard: analyze over unexpected physical type $other")
                 }
@@ -605,23 +629,57 @@ object GraftShardMaintenance {
           val kllOut = colNames.zip(kll).collect {
             case (c, Some(acc)) => c -> acc.serialize()
           }.toMap
-          name -> (ndvOut, kllOut)
+          // bloom sidecar: merge with any existing entries (write-time
+          // or prior analyze), replacing ones that resolve to a column
+          // re-analyzed now; tmp + rename keeps concurrent reads whole
+          val sidecar: Option[String] =
+            if (!blooms) None
+            else {
+              val built = colNames.zip(blm).flatMap { case (c, acc) =>
+                acc.build(ShardFormat.BloomFpp).map(c -> _)
+              }
+              val side = new File(dir, name + ".bloom")
+              val existing =
+                if (side.exists()) ShardFormat.readBloomSidecar(side).toSeq
+                else Nil
+              val replaced = colNames
+                .map(c => resolve.aliases.getOrElse(c, c)).toSet ++ colNames
+              val kept = existing.filterNot { case (n, _) =>
+                replaced.contains(resolve.aliases.getOrElse(n, n)) || replaced.contains(n)
+              }
+              val merged = kept ++ built
+              if (merged.isEmpty) None
+              else {
+                // the tmp name ENDS IN .bloom so a crash-stranded one is
+                // ordinary (unreferenced) vacuum garbage
+                val tmpF = new File(dir, name + s".tmp-$seq.bloom")
+                ShardFormat.writeBloomSidecar(tmpF, merged)
+                if (!tmpF.renameTo(side)) throw new java.io.IOException(
+                  s"graftshard: analyze could not publish bloom sidecar $side")
+                Some(side.getName)
+              }
+            }
+          name -> (ndvOut, kllOut, sidecar)
         }.collect().toMap
     ShardFormat.withCommitLock(dir) {
       val m = ShardFormat.readManifest(dir).getOrElse(throw new IllegalStateException(
         s"graftshard: table at '$dir' vanished during analyze"))
       val updated = m.files.map { fe =>
-        results.get(fe.name).fold(fe) { case (ndv, kll) =>
-          fe.copy(ndv = fe.ndv ++ ndv, kll = fe.kll ++ kll)
+        results.get(fe.name).fold(fe) { case (ndv, kll, sidecar) =>
+          fe.copy(ndv = fe.ndv ++ ndv, kll = fe.kll ++ kll,
+            bloom = sidecar.orElse(fe.bloom))
         }
       }
       ShardFormat.writeManifest(dir, m.copy(
         files = updated,
         ndvColumns = (m.ndvColumns ++ colNames).distinct,
+        bloomColumns =
+          if (blooms) (m.bloomColumns ++ colNames).distinct else m.bloomColumns,
         version = m.version + 1,
         createdAtMs = System.currentTimeMillis(),
         operation = "alter"))
-      AnalyzeReport(results.size, colNames, m.version + 1)
+      AnalyzeReport(results.size, colNames, m.version + 1,
+        bloomFiles = results.values.count(_._3.isDefined))
     }
   }
 

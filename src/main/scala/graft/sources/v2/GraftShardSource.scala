@@ -883,7 +883,18 @@ class GraftShardScan(
 
   override def filterAttributes(): Array[NamedReference] =
     if (agg.isDefined || groupedSpec.isDefined) Array.empty
-    else fullSchema.fields.filter(f => ShardFormat.statsEligible(f.dataType))
+    // the REQUIRED (pruned) fields, not fullSchema: Spark resolves
+    // these against the scan's OUTPUT (PartitionPruning.
+    // getFilterableTableScan → V2ExpressionUtils.resolveRefs), so a
+    // stats-eligible column the projection dropped would throw
+    // "Unable to resolve" at plan time — and a runtime filter on a
+    // non-output column could never be delivered anyway. Metadata
+    // columns (_shard_file/_pos) are excluded: they are in `required`
+    // but not in the table schema, and a runtime filter on them has
+    // no manifest stats to prune with.
+    else required.fields
+      .filter(f => fullSchema.fields.exists(_.name == f.name) &&
+        ShardFormat.statsEligible(f.dataType))
       .map(f => Expressions.column(f.name))
 
   override def filter(filters: Array[Filter]): Unit =

@@ -283,4 +283,55 @@ class GraftShardNdvSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("not in table schema"))
   }
+
+  test("ANALYZE blooms=true backfills sidecars: retroactive point-lookup skipping (corrupt-file proof)") {
+    val dir = tmp()
+    // parity layout with fully overlapping ranges, created with NO
+    // bloom/ndv configuration — only a backfilled bloom can prune
+    spark.range(0, 500).select((col("id") * 2 + 1).as("id"))
+      .select(col("id"), concat(lit("doc-"), col("id")).as("key"), (col("id") * 3).as("v"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(dir)
+    spark.range(0, 500).select((col("id") * 2).as("id"))
+      .select(col("id"), concat(lit("doc-"), col("id")).as("key"), (col("id") * 3).as("v"))
+      .coalesce(1).write.format("graftshard").mode("append").save(dir)
+    val before = ShardFormat.readManifest(dir).get
+    assert(before.bloomColumns.isEmpty && before.files.forall(_.bloom.isEmpty))
+
+    val r = graft.sources.v2.GraftShardMaintenance.analyze(
+      spark, dir, Seq("id", "key"), blooms = true)
+    assert(r.filesAnalyzed == 2 && r.bloomFiles == 2, s"report: $r")
+    val after = ShardFormat.readManifest(dir).get
+    assert(after.bloomColumns.toSet == Set("id", "key"))
+    assert(after.files.forall(_.bloom.isDefined),
+      "every analyzed file must reference its backfilled sidecar")
+    assert(after.files.map(_.name).toSet == before.files.map(_.name).toSet,
+      "no data file changes")
+
+    // the property is live: an optionless append builds its own sidecar
+    spark.range(2000, 2010)
+      .select(col("id"), concat(lit("doc-"), col("id")).as("key"), (col("id") * 3).as("v"))
+      .coalesce(1).write.format("graftshard").mode("append").save(dir)
+    assert(ShardFormat.readManifest(dir).get.files.forall(_.bloom.isDefined))
+
+    // MERGE: a later id-only analyze rebuilds sidecars but keeps the
+    // key column's existing claims (merge, never a silent drop)
+    val r2 = graft.sources.v2.GraftShardMaintenance.analyze(
+      spark, dir, Seq("id"), blooms = true)
+    assert(r2.bloomFiles >= 2, s"re-analyze must rebuild sidecars: $r2")
+
+    // corrupt the odd file: lookups for values provably absent from it
+    // must never open it — only the backfilled bloom can prove that
+    // (the two files' id ranges fully overlap, so stats cannot)
+    val odd = after.files.find(_.name == before.files.head.name).get
+    val out = new java.io.FileOutputStream(new java.io.File(dir, odd.name))
+    try out.write("NOTASHRD".getBytes("US-ASCII")) finally out.close()
+    val rows = spark.read.format("graftshard").load(dir)
+      .where(col("id") === 500L).select("id", "v").collect()
+    assert(rows.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((500L, 1500L)))
+    // string probe: the key claims survived the id-only re-analyze
+    val srows = spark.read.format("graftshard").load(dir)
+      .where(col("key") === "doc-500").select("v").collect()
+    assert(srows.map(_.getLong(0)).toSeq == Seq(1500L),
+      "the key column's claims must survive a later id-only analyze")
+  }
 }

@@ -35,7 +35,11 @@ object GraftShardSourceProps extends Properties("GraftShardSource") {
     // (date), unscaled longs (decimal <= 18) behind their own tags
     StructField("c_ts", TimestampType, nullable = true),
     StructField("c_date", DateType, nullable = true),
-    StructField("c_dec", DecimalType(10, 3), nullable = true)))
+    StructField("c_dec", DecimalType(10, 3), nullable = true),
+    // round-14 token-array tier: tags 12/13 share the embedding cell
+    // layout; the law walks empty arrays, extremes, and null cells
+    StructField("c_toks", ArrayType(IntegerType, containsNull = false), nullable = true),
+    StructField("c_toks64", ArrayType(LongType, containsNull = false), nullable = true)))
 
   private def opt[A](g: Gen[A]): Gen[Any] =
     Gen.frequency(4 -> g.map(_.asInstanceOf[Any]), 1 -> Gen.const(null: Any))
@@ -74,11 +78,19 @@ object GraftShardSourceProps extends Properties("GraftShardSource") {
     Gen.chooseNum(-1000000L, 1000000L))
     .map(u => new java.math.BigDecimal(java.math.BigInteger.valueOf(u), 3))
 
+  private val toksGen = Gen.oneOf(
+    Gen.const(Seq.empty[Int]),
+    Gen.listOfN(5, intGen).map(_.toSeq))
+  private val toks64Gen = Gen.oneOf(
+    Gen.const(Seq.empty[Long]),
+    Gen.listOfN(3, longGen).map(_.toSeq))
+
   private val rowGen: Gen[Row] = for {
     l <- opt(longGen); i <- opt(intGen); d <- opt(doubleGen); f <- opt(floatGen)
     b <- opt(Gen.oneOf(true, false)); s <- opt(strGen); bin <- opt(binGen)
     v <- opt(vecGen); ts <- opt(tsGen); dt <- opt(dateGen); dec <- opt(decGen)
-  } yield Row(l, i, d, f, b, s, bin, v, ts, dt, dec)
+    tk <- opt(toksGen); tk64 <- opt(toks64Gen)
+  } yield Row(l, i, d, f, b, s, bin, v, ts, dt, dec, tk, tk64)
 
   private val dfGen = Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, rowGen))
   // chunk codec mode randomized per write: the dict and deflate encoders
@@ -102,7 +114,10 @@ object GraftShardSourceProps extends Properties("GraftShardSource") {
     // temporal/decimal by string: stable across the boxed flavors
     Option(r.get(8)).map(_.toString).orNull,
     Option(r.get(9)).map(_.toString).orNull,
-    Option(r.get(10)).map(_.toString).orNull)
+    Option(r.get(10)).map(_.toString).orNull,
+    // integer arrays are exact — elementwise by value
+    Option(r.get(11)).map(_.asInstanceOf[scala.collection.Seq[Int]].toSeq).orNull,
+    Option(r.get(12)).map(_.asInstanceOf[scala.collection.Seq[Long]].toSeq).orNull)
 
   private val dirBase =
     s"${System.getProperty("java.io.tmpdir")}/graft_shardprops_${ProcessHandle.current().pid()}"

@@ -227,6 +227,35 @@ class GraftShardSourceSpec extends AnyFunSuite {
       s"expected a runtime filter on the graftshard scan:\n$planStr")
   }
 
+  test("runtime-filter attributes are a SUBSET of the scan output: a pruned stats-eligible column never breaks DPP planning") {
+    val dir = tmp()
+    spark.range(0, 100).select(col("id").as("k"),
+      (col("id") * 7).as("chars"), (col("id") % 5).as("n"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(dir)
+    val t = spark.read.format("graftshard").load(dir)
+    // projection drops `chars`; the reported filter attributes must
+    // drop it too — PartitionPruning resolves them against the scan
+    // OUTPUT (V2ExpressionUtils.resolveRefs) and used to throw
+    // "Unable to resolve chars given [k,n]" when fullSchema leaked
+    val proj = t.select("k", "n")
+    val srf = scanOf(proj, "subset").scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    assert(srf.filterAttributes().map(_.describe()).toSeq == Seq("k", "n"))
+    // the full x81-shaped plan: full-outer join + count() (prunes
+    // everything but the join key and the filter column) must PLAN
+    val delta = Seq((1L, 10L), (2L, -3L)).toDF("k", "d")
+    val q = t.join(delta, Seq("k"), "full_outer")
+      .select(col("k"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("d"), lit(0L))).as("total"))
+      .where(col("total") > 0)
+    assert(q.count() >= 1)
+    // metadata columns in the projection never surface as filter attrs
+    val meta = t.select(col("_pos"), col("k"))
+    val srfM = scanOf(meta, "meta").scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    assert(srfM.filterAttributes().map(_.describe()).toSeq == Seq("k"))
+  }
+
   test("streaming read: appended shard batches arrive incrementally, exactly once") {
     val dir = tmp()
     Seq((1L, "a"), (2L, "b")).toDF("id", "s")
