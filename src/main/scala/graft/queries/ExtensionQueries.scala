@@ -2129,6 +2129,46 @@ object ExtensionQueries {
     }
   }
 
+  /** DECIMAL SUM PUSHDOWN (round 14): the billing aggregate — `SUM` of
+    * a money column per key — answered from the MANIFEST ALONE. The
+    * writer already records exact per-file unscaled sums (unscaled
+    * arithmetic IS decimal arithmetic at the column's fixed scale);
+    * the scan now serves `sum(decimal(p<=18,s))` as Spark's own result
+    * type decimal(p+10, s), accumulating in BigInteger (no
+    * long-overflow ceiling; a decision-time guard proves the total
+    * and every partition group fit p+10 digits). The proof is
+    * physical: every shard file is DELETED after planning and the
+    * answer must still come back — zero file opens, the revenue
+    * dashboard query at 100 TB for the cost of a manifest read. */
+  private def x82(s: SparkSession, dir: String): DataFrame = {
+    val out = Q.tmpArtifactPath("x82", dir) +
+      s"_${java.util.UUID.randomUUID().toString.take(8)}"
+    val priced = table(s, dir, "lineitem").select(
+      (col("l_orderkey") % 5).as("bucket"),
+      ((col("l_orderkey") * 9176L + col("l_partkey") * 13L +
+        col("l_quantity").cast("long") * 7L) % 100000L).as("cents"))
+      .select(col("bucket"),
+        // exact decimal construction via the string face (x77's idiom)
+        expr("CAST(CONCAT(CAST(cents DIV 100 AS STRING), '.', " +
+          "LPAD(CAST(cents % 100 AS STRING), 2, '0')) AS DECIMAL(12,2))")
+          .as("price"))
+    priced.repartition(col("bucket"))
+      .write.format("graftshard").option("partitionKey", "bucket")
+      .mode("overwrite").save(out)
+    def q = s.read.format("graftshard").load(out)
+      .groupBy("bucket").agg(sum(col("price")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(col("bucket"),
+        expr("CAST(sum_price * 100 AS BIGINT)").as("cents_sum"), col("n"))
+    require(q.queryExecution.executedPlan.toString.contains("pushedAggregates"),
+      s"x82: the decimal sum must push to the scan:\n${q.queryExecution.executedPlan}")
+    // physical zero-file-open proof: the data files go away, the
+    // manifest answers anyway
+    Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".shard")).foreach(f => f.delete(): Unit)
+    q
+  }
+
   /** INCREMENTAL ROLLUP MAINTENANCE over the change feed (round 14):
     * the reason a 100 TB lake has CDF at all — a materialized
     * aggregate is paid for ONCE with a full pass, then every
@@ -6172,6 +6212,17 @@ object ExtensionQueries {
       FROM documents d
       JOIN (SELECT lang, SUM(n_chars::BIGINT)::BIGINT AS lang_chars
             FROM documents GROUP BY lang) l USING (lang)""")),
+    // decimal SUM pushdown: per-key money sums from the manifest's
+    // unscaled per-file sums (required in-plan: pushedAggregates;
+    // physical proof: data files deleted after planning, answer
+    // survives), byte-exact in cents space
+    Q("x82_shard_decimal_sum_pushdown", x82, Some("""
+      SELECT l_orderkey % 5 AS bucket,
+             SUM((l_orderkey * 9176 + l_partkey * 13 +
+                  CAST(l_quantity AS BIGINT) * 7) % 100000)::BIGINT AS cents_sum,
+             COUNT(*)::BIGINT AS n
+      FROM lineitem GROUP BY 1""")),
+
     // incremental rollup maintenance: materialize once, refresh from
     // the change feed's signed delta alone (required in-query: the
     // delta is strictly smaller than the table), equals full recompute

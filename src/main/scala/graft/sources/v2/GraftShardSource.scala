@@ -602,6 +602,40 @@ class GraftShardScanBuilder(
                     Math.addExact(a, fe.sums.getOrElse(cn, 0L))))
                 })
             }
+            .orElse(columnName(sm.column).flatMap { cn =>
+              // DECIMAL SUM: per-file sums are exact UNSCALED longs
+              // (unscaled order and arithmetic ARE decimal arithmetic
+              // at the column's fixed scale), totals accumulate in
+              // BigInteger — no long-overflow ceiling — and answer as
+              // Spark's own sum result type, decimal(p+10, s). The
+              // decision-time guard proves the total and every
+              // partition group fit p+10 digits, so the evaluator can
+              // never overflow what the type can carry.
+              colType(cn).collect { case d: DecimalType if d.precision <= 18 => d }
+                .filter(_ => m.files.forall(fe =>
+                  fe.sums.contains(cn) || fe.allNull.contains(cn)))
+                .filter { d =>
+                  val rp = math.min(38, d.precision + 10)
+                  def fits(fes: Seq[ShardFormat.FileEntry]): Boolean =
+                    fes.foldLeft(java.math.BigInteger.ZERO)((a, fe) =>
+                      a.add(java.math.BigInteger.valueOf(fe.sums.getOrElse(cn, 0L))))
+                      .abs.toString.length <= rp
+                  fits(m.files) && m.files.groupBy(_.partition).values.forall(fits)
+                }
+                .map { d =>
+                  val rt = DecimalType(math.min(38, d.precision + 10), d.scale)
+                  (StructField(s"sum($cn)", rt, nullable = true),
+                    (fes: Seq[ShardFormat.FileEntry]) => {
+                      if (fes.forall(fe => !fe.stats.contains(cn))) null
+                      else {
+                        val total = fes.foldLeft(java.math.BigInteger.ZERO)((a, fe) =>
+                          a.add(java.math.BigInteger.valueOf(fe.sums.getOrElse(cn, 0L))))
+                        Decimal(new java.math.BigDecimal(total, d.scale),
+                          rt.precision, rt.scale)
+                      }
+                    })
+                }
+            })
         case _ => None
       }
 

@@ -40,6 +40,7 @@ object GraftShardMaintenanceProps extends Properties("GraftShardMaintenance") {
   private final case class CompactOp(scoped: Boolean) extends Op
   private final case class Rollback(pick: Int) extends Op
   private case object ExpireVacuum extends Op
+  private final case class Analyze(blooms: Boolean) extends Op // round-14 backfill
 
   private val opGen: Gen[Op] = Gen.frequency(
     5 -> Gen.chooseNum(1, 10).map(Append(_)),
@@ -48,7 +49,8 @@ object GraftShardMaintenanceProps extends Properties("GraftShardMaintenance") {
     2 -> Gen.chooseNum(1, 8).map(Rewrite(_)),
     2 -> Gen.oneOf(true, false).map(CompactOp(_)),
     3 -> Gen.chooseNum(0, 100).map(Rollback(_)),
-    1 -> Gen.const(ExpireVacuum))
+    1 -> Gen.const(ExpireVacuum),
+    2 -> Gen.oneOf(true, false).map(Analyze(_)))
 
   private val seqGen: Gen[List[Op]] = for {
     n <- Gen.chooseNum(6, 14)
@@ -153,6 +155,25 @@ object GraftShardMaintenanceProps extends Properties("GraftShardMaintenance") {
           val retained = ShardFormat.listVersions(dir).toSet
           snaps = snaps.view.filterKeys(retained).toMap
           check("expire+vacuum")
+        case Analyze(blooms) =>
+          if (manifest().exists(_.files.isEmpty)) Prop.passed
+          else {
+            // retroactive backfill mid-walk: metadata-only (model
+            // unchanged), composes with every later op — appends
+            // inherit the property, compaction regenerates sketches,
+            // a rollback to a pre-analyze version restores stat-less
+            // state, vacuum keeps referenced sidecars
+            GraftShardMaintenance.analyze(spark, dir, Seq("id", "k", "v"), blooms)
+            record()
+            // a bloom-backfilled point lookup must stay SOUND: every
+            // model row remains findable through the sidecar probe
+            val probe = model.headOption.forall { case (id, _, v) =>
+              spark.table(tbl).where(col("id") === id)
+                .collect().exists(_.getLong(2) == v)
+            }
+            if (!probe) println(s"MAINT-PROPS ANALYZE PROBE FAIL ops=$ops")
+            (probe: Prop) && check(s"analyze($blooms)")
+          }
       }
       results.foldLeft(Prop.passed)(_ && _)
     }

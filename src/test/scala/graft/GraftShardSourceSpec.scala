@@ -815,6 +815,41 @@ class GraftShardSourceSpec extends AnyFunSuite {
       "overflowing sum must refuse the pushdown")
   }
 
+  test("SUM pushdown over decimals: unscaled sums answer as decimal(p+10,s) from the manifest alone") {
+    val dir = tmp()
+    spark.range(0, 1000)
+      .select((col("id") % 7).as("k"),
+        expr("CAST(id * 0.25 AS DECIMAL(12,2))").as("amt"),
+        when(col("id") % 3 =!= 0, expr("CAST(id * 0.5 AS DECIMAL(10,2))")).as("maybe"))
+      .repartition(col("k"))
+      .write.format("graftshard").option("partitionKey", "k")
+      .mode("overwrite").save(dir)
+    def agg() = spark.read.format("graftshard").load(dir)
+      .groupBy("k").agg(sum(col("amt")).as("s"), sum(col("maybe")).as("sm"))
+    val plan = agg().queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAggregates"), s"decimal sum must push:\n$plan")
+    val expect = (0L until 1000L).groupBy(_ % 7).map { case (k, ids) =>
+      k -> ((BigDecimal(ids.map(_ * 25).sum, 2), // id*0.25 at scale 2
+        BigDecimal(ids.filter(_ % 3 != 0).map(_ * 50).sum, 2)))
+    }
+    val got = agg().collect().map { r =>
+      r.getLong(0) -> ((BigDecimal(r.getDecimal(1)), BigDecimal(r.getDecimal(2))))
+    }.toMap
+    assert(got == expect, s"got $got")
+    // the result type is Spark's own sum type: decimal(p+10, s)
+    assert(agg().schema("s").dataType ==
+      org.apache.spark.sql.types.DecimalType(22, 2))
+    // answered with ZERO file opens
+    Option(new File(dir).listFiles()).get
+      .filter(_.getName.endsWith(".shard")).foreach(_.delete())
+    assert(agg().collect().length == 7, "decimal sum must come from the manifest alone")
+    // global (ungrouped) decimal sum pushes too
+    val g = spark.read.format("graftshard").load(dir).agg(sum(col("amt")))
+    assert(g.queryExecution.executedPlan.toString.contains("pushedAggregates"))
+    assert(BigDecimal(g.collect().head.getDecimal(0)) ==
+      BigDecimal((0L until 1000L).map(_ * 25).sum, 2))
+  }
+
   test("limit pushdown: LIMIT n plans only the files that cover n rows") {
     val dir = tmp()
     spark.range(0, 1000).withColumn("payload", concat(lit("row"), col("id")))
