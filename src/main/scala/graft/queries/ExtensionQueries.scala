@@ -2129,6 +2129,50 @@ object ExtensionQueries {
     }
   }
 
+  /** STRING-BUCKETED STORAGE-PARTITIONED JOIN (round 14): the dedup
+    * REGISTRY layout at its natural key — a URL/fingerprint STRING,
+    * which identity partitioning cannot hold (manifest partition
+    * values are longs) but hash bucketing can: string keys hash
+    * through the same `stringKeyRaw` the SQL-visible `bucket` overload
+    * evaluates, so the writer's placement and Spark's co-partitioning
+    * agree and a registry-vs-incoming join on the RAW STRING KEY plans
+    * with ZERO exchange (required in-plan). At 100 TB this is the
+    * every-batch dedup probe costing a co-located merge instead of
+    * shuffling the registry. */
+  private def x83(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureGraftCatalog(s, dir)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.x83")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x83.registry")
+    s.sql(s"DROP TABLE IF EXISTS $cat.x83.incoming")
+    val docs = table(s, dir, "documents")
+      .select(concat(lit("k:"), col("doc_id")).as("doc_key"),
+        col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    s.sql(s"""CREATE TABLE $cat.x83.registry (doc_key STRING, first_seen BIGINT)
+      USING graftshard PARTITIONED BY (bucket(8, doc_key))""")
+    s.sql(s"""CREATE TABLE $cat.x83.incoming (doc_key STRING, n_chars BIGINT)
+      USING graftshard PARTITIONED BY (bucket(8, doc_key))""")
+    docs.where(col("doc_id") % 2 === 0).select(col("doc_key"), col("doc_id").as("first_seen"))
+      .writeTo(s"$cat.x83.registry").append()
+    docs.select(col("doc_key"), col("n_chars"))
+      .writeTo(s"$cat.x83.incoming").append()
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val before = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val q = s.table(s"$cat.x83.incoming")
+        .join(s.table(s"$cat.x83.registry"), "doc_key")
+        .select(col("doc_key"), col("n_chars"), col("first_seen"))
+      val plan = q.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"x83: the string-bucket-aligned registry probe must not shuffle:\n$plan")
+      q.localCheckpoint(eager = true)
+    } finally before.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
   /** DECIMAL SUM PUSHDOWN (round 14): the billing aggregate — `SUM` of
     * a money column per key — answered from the MANIFEST ALONE. The
     * writer already records exact per-file unscaled sums (unscaled
@@ -6212,6 +6256,17 @@ object ExtensionQueries {
       FROM documents d
       JOIN (SELECT lang, SUM(n_chars::BIGINT)::BIGINT AS lang_chars
             FROM documents GROUP BY lang) l USING (lang)""")),
+    // string-bucketed SPJ: the dedup-registry probe joins incoming
+    // docs against the registry on the RAW string key with zero
+    // exchange (required in-plan), byte-exact
+    Q("x83_shard_string_bucket_join", x83, Some("""
+      SELECT 'k:' || CAST(d.doc_id AS VARCHAR) AS doc_key,
+             d.n_chars::BIGINT AS n_chars,
+             r.doc_id::BIGINT AS first_seen
+      FROM documents d
+      JOIN (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) r
+        ON d.doc_id = r.doc_id""")),
+
     // decimal SUM pushdown: per-key money sums from the manifest's
     // unscaled per-file sums (required in-plan: pushedAggregates;
     // physical proof: data files deleted after planning, answer

@@ -192,7 +192,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         val refs = t.arguments.collect { case r: NamedReference => r }
         if (ns.length != 1 || refs.length != 1) unsupported(Seq(t))
         require(ns(0) > 0, s"graftshard: bucket needs n > 0, got ${ns(0)}")
-        Some(ShardFormat.BucketPart(ns(0), keyColumn(refs(0).fieldNames.toSeq)))
+        // bucket admits STRING keys too (hash-bucketed through
+        // ShardFormat.stringKeyRaw) — the dedup-registry layout keyed
+        // by URL / fingerprint; identity stays integral-only (the
+        // manifest partition value IS the key there)
+        val bf = column(refs(0).fieldNames.toSeq)
+        require(bf.dataType == LongType ||
+            bf.dataType == org.apache.spark.sql.types.IntegerType ||
+            bf.dataType == org.apache.spark.sql.types.StringType,
+          s"graftshard: bucket column '${bf.name}' must be long/int/string, " +
+            s"got ${bf.dataType.sql}")
+        Some(ShardFormat.BucketPart(ns(0), bf.name))
       case other => unsupported(other)
     }
     // TBLPROPERTIES ('compression' = 'deflate'): recorded in the
@@ -821,8 +831,9 @@ object GraftBucketFunction extends UnboundFunction {
     inputType.fields(1).dataType match {
       case LongType => BucketLongFunction
       case IntegerType => BucketIntFunction
+      case org.apache.spark.sql.types.StringType => BucketStringFunction
       case dt => throw new UnsupportedOperationException(
-        s"bucket: unsupported key type ${dt.sql} (long/int)")
+        s"bucket: unsupported key type ${dt.sql} (long/int/string)")
     }
   }
 }
@@ -837,6 +848,23 @@ object BucketLongFunction extends ScalarFunction[Integer] {
   override def produceResult(input: InternalRow): Integer =
     ShardFormat.bucketOf(input.getLong(1), input.getInt(0))
   def invoke(numBuckets: Int, key: Long): Int = ShardFormat.bucketOf(key, numBuckets)
+}
+
+/** String keys hash through [[ShardFormat.stringKeyRaw]] — the same
+  * bytes-hash the writer uses to place rows, so Spark's co-shuffle of
+  * an unkeyed join side lands every row in the right bucket. */
+object BucketStringFunction extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(IntegerType, org.apache.spark.sql.types.StringType)
+  override def resultType(): org.apache.spark.sql.types.DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graftshard.bucket"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer =
+    ShardFormat.bucketOf(
+      ShardFormat.stringKeyRaw(input.getUTF8String(1).getBytes), input.getInt(0))
+  def invoke(numBuckets: Int, key: org.apache.spark.unsafe.types.UTF8String): Int =
+    ShardFormat.bucketOf(ShardFormat.stringKeyRaw(key.getBytes), numBuckets)
 }
 
 /** The SQL-visible half of [[ShardFormat.transformValue]] — one

@@ -489,16 +489,19 @@ object GraftShardMaintenance {
               f.dataType == org.apache.spark.sql.types.TimestampNTZType,
             s"graftshard: $u() partitioning needs a timestamp column, " +
               s"'$c' is ${f.dataType.sql}")
-        case other =>
+        case ShardFormat.BucketPart(n, c) =>
+          require(n > 0, s"graftshard: bucket needs n > 0, got $n")
+          // bucket admits string keys (hashed to the raw long)
+          require(f.dataType == org.apache.spark.sql.types.LongType ||
+              f.dataType == org.apache.spark.sql.types.IntegerType ||
+              f.dataType == org.apache.spark.sql.types.StringType,
+            s"graftshard: bucket column '$c' must be long/int/string, " +
+              s"got ${f.dataType.sql}")
+        case _ =>
           require(f.dataType == org.apache.spark.sql.types.LongType ||
               f.dataType == org.apache.spark.sql.types.IntegerType,
             s"graftshard: partition column '${sp.column}' must be integral " +
               s"(long/int), got ${f.dataType.sql}")
-          other match {
-            case ShardFormat.BucketPart(n, _) =>
-              require(n > 0, s"graftshard: bucket needs n > 0, got $n")
-            case _ => ()
-          }
       }
     }
     val cleared = m.files.count(_.partition.isDefined)

@@ -34,7 +34,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * read side report `KeyGroupedPartitioning` and plan joins/group-bys
   * on the key with zero exchange ([[GraftShardScan]]). The key column
   * must be integral and non-null (a clear task-side error names the
-  * column otherwise). Writer memory is one ~1 MiB buffer per open key
+  * column otherwise); bucket layouts also admit STRING keys, hashed to
+  * their raw long. Writer memory is one ~1 MiB buffer per open key
   * per task — `df.repartition(col)` first so each task sees few keys;
   * that is the same contract as Spark's own dynamic partition writes.
   */
@@ -94,6 +95,13 @@ class GraftShardWriteBuilder(path: String, info: LogicalWriteInfo)
               f.dataType == org.apache.spark.sql.types.TimestampNTZType,
             s"graftshard: partitionTransform '$u' needs a timestamp column, " +
               s"'$c' is ${f.dataType.sql}")
+        case ShardFormat.BucketPart(_, c) =>
+          // bucket admits strings: the key HASHES to its raw long, so
+          // the manifest's partition value stays integral
+          require(f.dataType == LongType || f.dataType == IntegerType ||
+              f.dataType == org.apache.spark.sql.types.StringType,
+            s"graftshard: bucket column '$c' must be long/int/string, " +
+              s"got ${f.dataType.sql}")
         case _ =>
           require(f.dataType == LongType || f.dataType == IntegerType,
             s"graftshard: partition key column '${sp.column}' must be integral (long/int), " +
@@ -860,11 +868,14 @@ class GraftShardKeyedDataWriter(
   require(maxOpenWriters >= 1,
     s"graftshard: maxOpenWriters must be >= 1, got $maxOpenWriters")
   private val keyIdx = schema.fieldIndex(spec.column)
-  // timestamps arrive as micros longs in InternalRow — the long path
-  private val keyIsLong = {
+  // timestamps arrive as micros longs in InternalRow — the long path;
+  // string bucket keys hash to their raw long (stringKeyRaw)
+  private val keyKind: Int = {
     val dt = schema.fields(keyIdx).dataType
-    dt == LongType || dt == org.apache.spark.sql.types.TimestampType ||
-      dt == org.apache.spark.sql.types.TimestampNTZType
+    if (dt == LongType || dt == org.apache.spark.sql.types.TimestampType ||
+      dt == org.apache.spark.sql.types.TimestampNTZType) 0
+    else if (dt == org.apache.spark.sql.types.StringType) 2
+    else 1 // int
   }
   private val attempt = java.util.UUID.randomUUID().toString.take(8)
   private val writers =
@@ -891,7 +902,11 @@ class GraftShardKeyedDataWriter(
     if (record.isNullAt(keyIdx)) throw new IllegalArgumentException(
       s"graftshard: null value in partitionKey column '${spec.column}' — " +
         "key-partitioned tables require a non-null key on every row")
-    val raw = if (keyIsLong) record.getLong(keyIdx) else record.getInt(keyIdx).toLong
+    val raw = keyKind match {
+      case 0 => record.getLong(keyIdx)
+      case 2 => ShardFormat.stringKeyRaw(record.getUTF8String(keyIdx).getBytes)
+      case _ => record.getInt(keyIdx).toLong
+    }
     val key = ShardFormat.partitionValueOf(spec, raw)
     val w = writers.get(key) match {
       case Some(entry) =>

@@ -912,6 +912,17 @@ object ShardFormat {
   def bucketOf(key: Long, numBuckets: Int): Int =
     java.lang.Math.floorMod(key, numBuckets.toLong).toInt
 
+  /** Raw key of a STRING bucket column: the same 64-bit byte hash the
+    * blooms use, fed through [[bucketOf]]. One definition shared by
+    * the writer (placing rows) and [[GraftCatalog]]'s SQL-visible
+    * `bucket` string overload (Spark evaluates it to co-shuffle the
+    * unkeyed side of a join) — a drifted reimplementation would
+    * silently mis-join. String keys are the dedup-registry shape
+    * (URL, doc fingerprint, content hash) where identity partitioning
+    * is impossible (manifest partition values are longs) but hash
+    * bucketing is exactly right. */
+  def stringKeyRaw(utf8: Array[Byte]): Long = bloomHashBytes(utf8)
+
   /** Morton (Z-order) interleave for 2-D clustering: bit-interleaves
     * the low 32 bits of each key (clamped to [0, 2^32) — ids, bucket
     * ids, timestamps-in-seconds all fit; values outside saturate, which

@@ -121,6 +121,53 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("STRING-bucketed SPJ: dedup-registry shape joins on the url with zero exchange") {
+    withBucketing {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.strspj")
+      spark.sql("""CREATE TABLE graftcat.strspj.a (url STRING, va BIGINT)
+        USING graftshard PARTITIONED BY (bucket(8, url))""")
+      spark.sql("""CREATE TABLE graftcat.strspj.b (url STRING, vb BIGINT)
+        USING graftshard PARTITIONED BY (bucket(8, url))""")
+      spark.sql("""INSERT INTO graftcat.strspj.a
+        SELECT concat('https://ex.com/', id), id * 2 FROM range(0, 200)""")
+      spark.sql("""INSERT INTO graftcat.strspj.b
+        SELECT concat('https://ex.com/', id), id * 5 FROM range(100, 300)""")
+      // every file carries exactly one bucket id; the writer's placement
+      // agrees with the SQL-visible bucket(8, url) overload
+      val m = ShardFormat.readManifest(s"$warehouse/strspj/a").get
+      assert(m.partitioning.contains(ShardFormat.BucketPart(8, "url")))
+      assert(m.files.forall(_.partition.isDefined))
+      val placed = spark.sql(
+        """SELECT url, graftcat.system.bucket(8, url) AS b
+           FROM graftcat.strspj.a""").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toMap
+      val byFile = spark.read.format("graftshard")
+        .load(s"$warehouse/strspj/a")
+        .select(col("url"), col("_shard_file")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val filePart = m.files.map(fe => fe.name -> fe.partition.get).toMap
+      assert(byFile.forall { case (url, f) => filePart(f) == placed(url).toLong },
+        "rows must sit in the file of their SQL-visible bucket")
+      // the join on the raw string key: zero exchange
+      val joined = spark.sql(
+        """SELECT a.url, va, vb FROM graftcat.strspj.a a
+           JOIN graftcat.strspj.b b ON a.url = b.url""")
+      val rows = joined.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(rows.sorted.toSeq ==
+        (100L until 200L).map(i => (s"https://ex.com/$i", i * 2, i * 5)).sorted)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"string-bucket-aligned join on the url must not shuffle:\n$plan")
+      // refusal: identity partitioning stays integral-only
+      val e = intercept[Exception] {
+        spark.sql("""CREATE TABLE graftcat.strspj.bad (url STRING, v BIGINT)
+          USING graftshard PARTITIONED BY (url)""")
+      }
+      assert(e.getMessage.contains("must be integral"), e.getMessage)
+    }
+  }
+
   test("one-sided bucketed join co-shuffles the unbucketed side BY OUR FUNCTION") {
     withBucketing {
       val shuffleKey = "spark.sql.sources.v2.bucketing.shuffle.enabled"
