@@ -646,7 +646,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           ProcedureParameter.in("table", StringType)
             .comment("'namespace.table' to analyze").build(),
           ProcedureParameter.in("columns", StringType)
-            .comment("comma-separated columns to sketch (NDV + KLL)").build(),
+            .defaultValue("'*'")
+            .comment("comma-separated columns to sketch (NDV + KLL); '*' = all eligible")
+            .build(),
           ProcedureParameter.in("blooms", BooleanType)
             .defaultValue("false")
             .comment("also backfill per-file bloom sidecars for the columns")

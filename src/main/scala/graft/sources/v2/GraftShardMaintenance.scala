@@ -557,7 +557,18 @@ object GraftShardMaintenance {
     require(columns.nonEmpty, "graftshard: analyze needs at least one column")
     val m0 = ShardFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
       s"graftshard: no ${ShardFormat.ManifestName} under '$dir' — not a graftshard table"))
-    val targets = columns.map { c =>
+    // '*' = every eligible column — "just analyze the table": the
+    // no-schema-knowledge spelling an orchestrator wants. Explicit
+    // names still validate strictly (a typo must fail, not no-op).
+    val named =
+      if (columns == Seq("*"))
+        m0.schema.fields.filter(f => ShardFormat.ndvEligible(f.dataType))
+          .map(_.name).toSeq
+      else columns
+    require(named.nonEmpty,
+      s"graftshard: analyze('*') found no eligible column in " +
+        m0.schema.fieldNames.mkString("(", ", ", ")"))
+    val targets = named.map { c =>
       val f = m0.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"graftshard: analyze column '$c' not in table schema " +

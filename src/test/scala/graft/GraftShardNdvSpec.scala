@@ -282,6 +282,10 @@ class GraftShardNdvSpec extends AnyFunSuite {
       graft.sources.v2.GraftShardMaintenance.analyze(spark, dir, Seq("nope"))
     }
     assert(e.getMessage.contains("not in table schema"))
+    // '*' expands to every eligible column (the no-schema-knowledge
+    // spelling; the SQL procedure defaults `columns` to it)
+    val rStar = graft.sources.v2.GraftShardMaintenance.analyze(spark, dir, Seq("*"))
+    assert(rStar.columns.toSet == Set("id", "user", "amt"), s"star: $rStar")
   }
 
   test("ANALYZE blooms=true backfills sidecars: retroactive point-lookup skipping (corrupt-file proof)") {
