@@ -270,6 +270,45 @@ class GraftShardWapSpec extends AnyFunSuite {
     assert(spark.read.format("graftshard").load(dir).count() == 60)
   }
 
+  test("streaming WAP: dropping the staging branch discards its epochs BY DESIGN; later data re-forks") {
+    val dir = tmp()
+    val ckpt = Files.createTempDirectory("graft_wap_drop_ckpt").toString
+    spark.range(0, 10).select(col("id"), (col("id") * 2L).as("v"))
+      .coalesce(1).write.format("graftshard").mode("overwrite").save(dir)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    def runOnce(): Unit = {
+      val q = mem.toDF().select(col("value").as("id"), (col("value") * 2L).as("v"))
+        .writeStream.format("graftshard")
+        .option("path", dir).option("checkpointLocation", ckpt)
+        .option("stageAs", "ingest")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      q.exception.foreach(throw _)
+    }
+    mem.addData(100L until 120L: _*)
+    runOnce()
+    assert(spark.read.format("graftshard").option("branch", "ingest")
+      .load(dir).count() == 30)
+    // the audit said no: drop the branch — its epochs are GONE (the
+    // checkpoint counts them committed, so they will not re-emit)
+    assert(GraftShardMaintenance.dropBranch(dir, "ingest"))
+    runOnce() // nothing new: must not resurrect the dropped epoch
+    assert(ShardFormat.readBranch(dir, "ingest").forall(_.files.size == 1),
+      "an idle restart must not re-stage the dropped data")
+    assert(spark.read.format("graftshard").load(dir).count() == 10)
+    // NEW data re-forks from live and stages cleanly
+    mem.addData(200L until 210L: _*)
+    runOnce()
+    val b = ShardFormat.readBranch(dir, "ingest").get
+    assert(spark.read.format("graftshard").option("branch", "ingest")
+      .load(dir).collect().map(_.getLong(0)).sorted.toSeq ==
+      ((0L until 10L) ++ (200L until 210L)),
+      s"the re-fork carries live + the new epoch only: $b")
+    GraftShardMaintenance.publishBranch(dir, "ingest")
+    assert(spark.read.format("graftshard").load(dir).count() == 20)
+  }
+
   test("refusals: unknown branch read names the available ones; branch+versionAsOf ambiguous") {
     val dir = tmp()
     spark.range(0, 5).select(col("id"), col("id").as("v"))
