@@ -194,6 +194,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("one-sided STRING-bucketed join co-shuffles the parquet side by our string hash") {
+    withBucketing {
+      val shuffleKey = "spark.sql.sources.v2.bucketing.shuffle.enabled"
+      val before = spark.conf.getOption(shuffleKey)
+      spark.conf.set(shuffleKey, "true")
+      try {
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.stroneside")
+        spark.sql("""CREATE TABLE graftcat.stroneside.fact (url STRING, v BIGINT)
+          USING graftshard PARTITIONED BY (bucket(8, url))""")
+        spark.sql("""INSERT INTO graftcat.stroneside.fact
+          SELECT concat('u', id), id * 7 FROM range(0, 160)""")
+        val deltaDir = warehouse + "/_strdelta_parquet"
+        spark.range(0, 160).select(concat(lit("u"), col("id")).as("url"),
+          (col("id") % 3).as("tag"))
+          .write.mode("overwrite").parquet(deltaDir)
+        val delta = spark.read.parquet(deltaDir)
+        val joined = spark.table("graftcat.stroneside.fact").join(delta, "url")
+        // row-level correctness THROUGH the keyed shuffle: Spark
+        // evaluated BucketStringFunction on the parquet side, so a
+        // drifted hash would misroute rows and lose matches
+        assert(joined.count() == 160)
+        val plan = joined.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        assert("Exchange".r.findAllIn(plan).size == 1, plan)
+        assert(plan.contains("Exchange keygroupedpartitioning"), plan)
+      } finally before.fold(spark.conf.unset(shuffleKey))(spark.conf.set(shuffleKey, _))
+    }
+  }
+
   test("bucket function: SQL-visible values agree with the writer's placement") {
     // bind for long and int keys; negative keys land in [0, n)
     val longFn = GraftBucketFunction.bind(StructType(Seq(
