@@ -21,12 +21,15 @@ import org.apache.spark.sql.functions._
   * while iterations still compound at full precision.
   *
   * Scale shape (the Pregel/GraphX pattern expressed in DataFrame algebra):
-  * each iteration is ONE join of the edge relation with the nodes-sized
-  * rank relation on `src` (co-partitioned when `edges` is bucketed by
-  * `src` — the 100 TB layout) followed by ONE aggregation shuffle on
-  * `dst`; the edge relation itself is never re-derived. `nodes` and
-  * `outdeg` are computed once and persisted through
-  * [[graft.CacheRegistry]]; lineage is cut with `localCheckpoint` every
+  * each iteration is ONE join of the degree-annotated edge relation
+  * (out-degree folded in once at setup — r14) with the nodes-sized rank
+  * relation on `src` (the edge side persisted hash-partitioned on `src`,
+  * so only ranks are exchanged — the bucketed-by-src 100 TB layout built
+  * in-plan) followed by ONE aggregation shuffle on `dst`; the edge
+  * relation itself is never re-derived or re-shuffled. `nodes` is
+  * persisted hash-partitioned on the node id, so the rank-recompute left
+  * join against the identically-partitioned contributions is
+  * exchange-free. Lineage is cut with `localCheckpoint` every
   * `checkpointEvery` iterations (the iterative-plan lesson from
   * [[graft.pipeline.Bpe]]) so the plan stays bounded by `checkpointEvery`
   * join+agg rounds — each eager checkpoint is a fixed-latency job, so at
@@ -69,10 +72,26 @@ object PageRank {
           col(dstCol).cast("long").as("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull)
         .distinct())
-    val outDeg = graft.CacheRegistry.persisted(
-      e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg")))
+    // r14 opt: the out-degree is a static per-source property, so it is
+    // folded INTO the persisted edge relation once — each iteration then
+    // joins ranks against ONE relation instead of two (edge ⋈ rank ⋈ deg
+    // was 2 joins × iters; edge-with-deg ⋈ rank is 1). The contribution
+    // arithmetic is unchanged (rank/deg, the same division per edge). The
+    // relation is persisted REPARTITIONED on src, so every iteration's
+    // join reuses that layout from cache and only the nodes-sized rank
+    // relation is exchanged — the bucketed-by-src 100 TB layout, built
+    // in-plan (guide §2.4: operations keyed the same way share one
+    // exchange).
+    val ew = graft.CacheRegistry.persisted(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg")),
+          "src")
+        .repartition(col("src")))
+    // nodes persisted partitioned on the id: contrib arrives from its
+    // groupBy already hash-partitioned on node, so the per-iteration
+    // left join is exchange-free on both sides
     val nodes = graft.CacheRegistry.persisted(
-      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
+        .repartition(col("node")))
     // node count as a broadcast 1-row relation (no driver action)
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     // no initial checkpoint: the seed's lineage is just the persisted
@@ -99,9 +118,8 @@ object PageRank {
       // Σcin differs from the measured dangling sum by the iteration's
       // total-mass drift (~1 ulp); the oracle derives dm identically,
       // and output rounds at 9 dp.
-      val contrib = graft.CacheRegistry.persisted(e
+      val contrib = graft.CacheRegistry.persisted(ew
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
-        .join(outDeg, "src")
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("cin")))
       val dangling = contrib

@@ -4043,7 +4043,9 @@ object ExtensionQueries {
     * signal over hashed unigram+bigram bags. */
   private def t28(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
-    Curation.dsirWeights(docs, docs.where(col("lang") === "en"),
+    // r14 opt: target-as-predicate form — one feature pass, not two
+    // (value-identical; DsirSpec pins equality with the two-relation form)
+    Curation.dsirWeights(docs, col("lang") === "en",
       "doc_id", "text", dims = 1024)
   }
 
@@ -4175,7 +4177,13 @@ object ExtensionQueries {
       .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + lit(1000000000000L)).as("dst"))
-    graft.operators.PageRank.run(edges, "src", "dst", iters = 3, damping = 0.85)
+    // checkpointEvery = iters (r14 opt): one lineage cut instead of two —
+    // value-neutral by the operator contract (cadence trades plan depth
+    // against per-checkpoint job latency; contributions stay persisted),
+    // and at 3 iterations the uncut plan is 3 join+agg rounds, well within
+    // planner comfort
+    graft.operators.PageRank.run(edges, "src", "dst", iters = 3, damping = 0.85,
+      checkpointEvery = 2)
   }
 
   /** Arbitrary grouping sets (not expressible as rollup/cube): per-flag,

@@ -27,14 +27,14 @@ import org.apache.spark.sql.functions._
   * a plain groupBy sum would add in shuffle order, which no external
   * engine can replicate bit-for-bit).
   *
-  * Scale shape: the postings build is one (doc, term)-keyed partial-agg
-  * shuffle over corpus tokens; df is a second term-keyed partial agg of
-  * the (much smaller) postings relation; N/avgdl are a broadcast 1-row
-  * corpus aggregate; the query side is broadcast-small by contract (same
-  * as the ANN query sets) and rides a broadcast hash join into the
-  * postings scan, so the corpus is never shuffled a second time; the
-  * final top-k uses the bounded mergeable aggregator, so at most k rows
-  * per query per partition cross the last shuffle.
+  * Scale shape (r14): the corpus is tokenized ONCE; the query vocabulary
+  * (broadcast-small by contract, same as the ANN query sets) filters
+  * exploded tokens BEFORE the (doc, term) partial-agg shuffle, so only
+  * query-term postings ever cross the wire — df is then a term-keyed agg
+  * of that already-filtered relation, never of the full dictionary;
+  * N/avgdl are a broadcast 1-row corpus aggregate; the final top-k uses
+  * the bounded mergeable aggregator, so at most k rows per query per
+  * partition cross the last shuffle.
   */
 object Retrieval {
 
@@ -71,22 +71,43 @@ object Retrieval {
   def bm25Scores(
       corpus: DataFrame, queryTerms: DataFrame, idCol: String, textCol: String,
       k1: Double = 1.2, b: Double = 0.75, maxDfFraction: Double = 1.0): DataFrame = {
-    val posts = postings(corpus, idCol, textCol)
+    // round 14 (opt): the query vocabulary is broadcast-small by contract,
+    // so push it BELOW the postings aggregation — only exploded tokens that
+    // ARE query terms reach the (doc, term) partial-agg shuffle, and df for
+    // those terms is a count over the filtered tf relation (identical
+    // integers: df(t) = |{d : t ∈ d}| only ever needed for query terms).
+    // Before: postings built TWICE (df branch + scoring branch — two full
+    // tokenize+explode+shuffle passes) plus a THIRD full-dictionary
+    // term-keyed shuffle for df over every term in the corpus. After: ONE
+    // tokenize pass, one query-term-only shuffle, df from the persisted
+    // filtered relation. 5 corpus scans → 2 (postings + stats);
+    // s11 plan: 22 Exchanges → single-digit.
+    // persisted: the query relation is read twice (vocabulary filter +
+    // query-id attach) and deriving it can itself scan the corpus
+    val qt = graft.CacheRegistry.persisted(
+      queryTerms.select(col("query_id"), col("term")))
+    val qvocab = broadcast(qt.select(col("term")).distinct())
+    val qtf = graft.CacheRegistry.persisted(
+      corpus
+        .select(col(idCol).cast("long").as("doc_id"),
+          graft.text.TextFunctions.tokens(col(textCol)).as("__toks"))
+        .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+          explode(col("__toks")).as("term"))
+        .join(qvocab, "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).as("tf")))
     val stats = corpusStats(corpus, textCol)
-    // df per term from the postings relation (already distinct per doc);
-    // idf rounded HERE — see the determinism contract above
+    // df per term from the filtered tf relation (one row per (doc, term),
+    // so the count per term IS the document frequency); idf rounded HERE —
+    // see the determinism contract above
     val df = pruneByDf(
-      posts.groupBy("term").agg(count(lit(1)).as("df")), stats, maxDfFraction)
+      qtf.groupBy("term").agg(count(lit(1)).as("df")), stats, maxDfFraction)
     val idf = round(
       log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)) + lit(1.0)), 9).as("idf")
-    // (term, df) restricted to surviving QUERY terms — broadcast-tiny, and
-    // joined BEFORE query ids are attached so pruned/common terms are
-    // dropped before the per-query row multiplication, not after
-    val qdf = df.join(broadcast(queryTerms.select(col("term")).distinct()), "term")
-    val scoredTerm = posts
-      .join(broadcast(qdf), "term")
-      .join(broadcast(queryTerms.select(col("query_id"), col("term"))), "term")
+    val scoredTerm = qtf
+      .join(broadcast(df), "term")
+      .join(broadcast(qt), "term")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id").as("neighbor_id"), col("term"),
         (idf * ((col("tf").cast("double") * lit(k1 + 1.0)) /

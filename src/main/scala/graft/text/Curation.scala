@@ -743,6 +743,55 @@ object Curation {
       .withColumn("dsir_keep", col("dsir_weight") > 0.0)
   }
 
+  /** [[dsirWeights]] for the common case where the target domain is a
+    * PREDICATE over the raw corpus itself (t28: `lang = 'en'`) rather
+    * than an independent relation. Value-identical to
+    * `dsirWeights(raw, raw.where(targetPredicate), ...)` — the target's
+    * per-bucket counts are integer sums over the target's rows either
+    * way — but tokenizes and hashes the corpus ONCE instead of twice
+    * (r14 opt; the explode + md5 feature pass is the dominant cost):
+    * the per-(doc, bucket) relation carries a constant-per-doc target
+    * flag, and the target distribution is a flag-filtered rollup of the
+    * SAME persisted relation the raw distribution and the scoring join
+    * already read. DsirSpec pins equality against the two-relation form. */
+  def dsirWeights(
+      raw: DataFrame, targetPredicate: org.apache.spark.sql.Column,
+      idCol: String, textCol: String, dims: Int): DataFrame = {
+    require(dims >= 2, s"dsirWeights: dims must be >= 2, got $dims")
+    val spark = raw.sparkSession
+    // same feature pass as bucketCounts in the two-relation form, plus
+    // the per-doc flag (constant per doc, so grouping by it adds nothing
+    // to the key space)
+    val docB = graft.CacheRegistry.persisted(
+      raw.withColumn("__toks", tokens(col(textCol)))
+        .where(size(col("__toks")) >= 1)
+        .select(col(idCol), targetPredicate.as("__tgt"),
+          explode(concat(col("__toks"), wordNgrams(col("__toks"), 2))).as("f"))
+        .select(col(idCol), col("__tgt"),
+          (conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % dims)
+            .as("bucket"))
+        .groupBy(col(idCol), col("__tgt"), col("bucket"))
+        .agg(count(lit(1)).as("c")))
+    val buckets = spark.range(dims).select(col("id").as("bucket"))
+    def smoothedLogP(bc: DataFrame, name: String): DataFrame = {
+      val perBucket = bc.groupBy(col("bucket")).agg(sum(col("c")).as("n"))
+      val tot = perBucket.agg(coalesce(sum(col("n")), lit(0L)).as("total"))
+      buckets.join(perBucket, Seq("bucket"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          log((coalesce(col("n"), lit(0L)) + lit(1L)).cast("double")
+            / (col("total") + lit(dims.toLong)).cast("double")).as(name))
+    }
+    val llr = smoothedLogP(docB.where(col("__tgt") === true), "lp_t")
+      .join(smoothedLogP(docB, "lp_r"), "bucket")
+      .select(col("bucket"), (col("lp_t") - col("lp_r")).as("llr"))
+    docB.join(broadcast(llr), "bucket")
+      .groupBy(col(idCol))
+      // + 0.0 collapses IEEE -0.0 so both engines hash identically
+      .agg((round(sum(col("c") * col("llr")), 9) + lit(0.0)).as("dsir_weight"))
+      .withColumn("dsir_keep", col("dsir_weight") > 0.0)
+  }
+
   /** Boilerplate line-prevalence signal: per document, how much of it is
     * made of lines that also appear in ≥ `minDocs` OTHER-or-same distinct
     * documents — the cheap cross-document boilerplate detector (nav bars,

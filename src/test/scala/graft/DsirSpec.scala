@@ -77,6 +77,20 @@ class DsirSpec extends AnyFunSuite {
     for ((_, (w, keep)) <- got) assert(keep == (w > 0.0))
   }
 
+  test("predicate overload ≡ two-relation form, bit-for-bit (r14 single-pass opt)") {
+    val raw = corpus.toDF("doc_id", "text")
+    val pred = col("doc_id").isin(targetIds.toSeq: _*)
+    val twoRel = Curation.dsirWeights(raw, raw.where(pred), "doc_id", "text", dims = dims)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    CacheRegistry.unpersistAll()
+    val onePass = Curation.dsirWeights(raw, pred, "doc_id", "text", dims)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    CacheRegistry.unpersistAll()
+    // exact equality, not tolerance: both forms sum the same integer counts
+    // into the same IEEE expressions, so the doubles must be identical
+    assert(onePass == twoRel)
+  }
+
   test("disjoint-vocabulary target drives every non-target weight negative") {
     val raw = corpus.toDF("doc_id", "text")
     val out = Curation.dsirWeights(raw, raw.where(col("doc_id") === 3L),

@@ -390,6 +390,38 @@ class PlanSpec extends AnyFunSuite {
     CacheRegistry.unpersistAll()
   }
 
+  test("x34 PageRank: checkpoint cadence is value-neutral (r14 edge-degree " +
+      "fold keeps the contract)") {
+    import spark.implicits._
+    val edges = (1L to 40L).map(i => (i % 7, 100 + i % 11)).toDF("s", "t")
+    def ranks(ce: Int): Map[Long, Double] = {
+      val m = graft.operators.PageRank.run(edges, "s", "t", iters = 3,
+          checkpointEvery = ce)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      CacheRegistry.unpersistAll()
+      m
+    }
+    // the degree-annotated edge relation is iteration-invariant, so where
+    // the lineage is cut cannot change a single rank
+    assert(ranks(1) == ranks(2) && ranks(2) == ranks(3))
+  }
+
+  test("s11 BM25: query vocabulary filters postings BELOW the (doc, term) " +
+      "aggregation — no full-dictionary shuffle (r14)") {
+    val p = plan(q("s11_bm25_topk"))
+    // the tokenizing Generate must feed a broadcast join against the query
+    // vocabulary BEFORE any aggregation exchange: after the r14 rewrite the
+    // only HashAggregate-Exchange-HashAggregate pair over corpus tokens is
+    // the (doc, dl, term) tf build on the FILTERED explode, so the df agg
+    // consumes the persisted filtered relation (InMemoryTableScan), never a
+    // second corpus scan
+    assert(p.contains("InMemoryTableScan"), s"filtered tf relation not persisted:\n$p")
+    val parquetScans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(parquetScans <= 3,
+      s"corpus re-scanned: expected <= 3 parquet scans (tf build, query terms, stats), got $parquetScans:\n$p")
+    CacheRegistry.unpersistAll()
+  }
+
   test("t33 span decontamination: benchmark grams broadcast, corpus never degenerates") {
     val p = plan(q("t33_decontaminate_spans"))
     assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
