@@ -119,6 +119,83 @@ case class WinnowFingerprints(child: Expression, kgram: Int, window: Int)
     copy(child = newChild)
 }
 
+/** Global minimum window-hash document fingerprint as ONE codegen'd
+  * expression (r14): md5-hash every `window`-char substring, return the
+  * lexicographically smallest hex digest — the value
+  * `array_min(transform(sequence(1, len-window+1), i -> md5(substr(text,
+  * i, window))))` computes, without the per-position interpreted lambda
+  * dispatch, Column-machinery md5, and substring allocation of the HOF
+  * form (the [[WinnowFingerprints]] lesson applied to
+  * [[graft.text.TextFunctions.minHashFingerprint]] / t4). Digests are
+  * compared as raw bytes — unsigned byte order equals the lexicographic
+  * order of the lowercase-hex rendering — and only the final minimum is
+  * hex-rendered. ASCII payloads hash straight from the UTF-8 bytes with
+  * zero per-position allocation; multibyte text falls back to per-window
+  * `substring` so the hashed bytes are exactly what `substr` would
+  * produce. Returns null when the text is shorter than `window` chars
+  * (the HOF form's caller filters those rows out first).
+  */
+case class MinWindowMd5(child: Expression, window: Int)
+    extends UnaryExpression {
+
+  require(window >= 1, "MinWindowMd5: window >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_min_window_md5"
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Called from both interpreted eval and generated code. */
+  def minHash(t: UTF8String): UTF8String = {
+    val nChars = t.numChars()
+    val nGrams = nChars - window + 1
+    if (nGrams < 1) return null
+    val md = MessageDigest.getInstance("MD5")
+    val ascii = t.numBytes() == nChars
+    val bytes = if (ascii) t.getBytes else null
+    var min: Array[Byte] = null
+    var i = 0
+    while (i < nGrams) {
+      if (ascii) md.update(bytes, i, window)
+      else md.update(t.substring(i, i + window).getBytes)
+      val d = md.digest()
+      if (min == null || java.util.Arrays.compareUnsigned(d, min) < 0) min = d
+      i += 1
+    }
+    val hex = new Array[Byte](32)
+    var b = 0
+    while (b < 16) {
+      hex(2 * b) = hexDigits((min(b) >> 4) & 0xf).toByte
+      hex(2 * b + 1) = hexDigits(min(b) & 0xf).toByte
+      b += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+
+  override protected def nullSafeEval(t: Any): Any =
+    minHash(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minWindowMd5", this, classOf[MinWindowMd5].getName)
+    nullSafeCodeGen(ctx, ev, t => {
+      s"""
+         |${ev.value} = $ref.minHash($t);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinWindowMd5 =
+    copy(child = newChild)
+}
+
 /** Aho-Corasick multi-pattern matcher (Aho & Corasick 1975) as ONE
   * codegen'd expression: count every occurrence of every pattern
   * (all start positions, overlapping included) in a single pass over the
@@ -342,6 +419,11 @@ object TextExpressionFunctions {
     * order; null when shorter than `kgram` chars. */
   def winnowFingerprints(text: Column, kgram: Int, window: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), kgram, window))
+
+  /** Lexicographically smallest md5 hex digest over every `window`-char
+    * substring of `text`; null when shorter than `window` chars. */
+  def minWindowMd5(text: Column, window: Int): Column =
+    ColumnBridge.column(MinWindowMd5(ColumnBridge.expression(text), window))
 
   /** struct(total_hits, matched) of Aho-Corasick matches of `patterns`
     * in `text` — every start position counted, overlapping included. */

@@ -114,16 +114,22 @@ object Bpe {
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
       val m = math.min(batchSize, nMerges - merges.size)
+      // r14 opt: untyped groupBy+sum instead of groupByKey/reduceGroups —
+      // the codegen'd hash aggregate with map-side partial combine, where
+      // the typed path round-trips every (pair, n) row through the serde
+      // (the measured t21 lesson, NOTES.md r4). Integer sums and the same
+      // (count desc, left, right) total order, so the merge list is
+      // unchanged (BpeSpec pins trainMerges ≡ trainMergesLocal); orderBy+
+      // limit stays the per-partition TakeOrderedAndProject.
       val top = words
         .flatMap { case (syms, n) =>
           syms.iterator.sliding(2).withPartial(false)
-            .map(p => ((p.head, p(1)), n))
+            .map(p => (p.head, p(1), n))
         }
-        .groupByKey(_._1)
-        .mapValues(_._2).reduceGroups(_ + _)
-        .map { case (pair, n) => (pair._1, pair._2, n) }
-        .orderBy(col("_3").desc, col("_1"), col("_2"))
+        .groupBy(col("_1"), col("_2")).agg(sum(col("_3")).as("n"))
+        .orderBy(col("n").desc, col("_1"), col("_2"))
         .limit(m + 1) // the (m+1)-th row is the bound when no conflict is in view
+        .as[(String, String, Long)]
         .collect()
       if (top.isEmpty) exhausted = true // no adjacent pairs left anywhere
       else {

@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -25,8 +27,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: like BPE, training runs over the DISTINCT-WORD relation
   * (vocab-sized, not corpus-sized) — one corpus shuffle builds it, then
-  * each EM round is one broadcast-model `mapPartitions` pass over the
-  * words plus a piece-keyed integer partial-agg; the model itself (seed
+  * each EM round is ONE broadcast-model `mapPartitions` pass over the
+  * words whose model-sized integer count table aggregates partition-
+  * locally and merges driver-side with exact Long adds (no per-round
+  * Exchange — r14); the model itself (seed
   * vocabulary, ≤ a few 100k pieces) is driver/broadcast-sized, the same
   * justification as the IVF quantizer and the BPE merge table. Encoding
   * is a broadcast-model narrow pass, no shuffle.
@@ -225,9 +229,24 @@ object UnigramLm {
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .as[(String, Long)]
     val wordsCk = words.toDF().localCheckpoint().as[(String, Long)]
+    // r14 opt: E-step count tables are INTEGER sums of model-sized maps —
+    // partition-local hash maps merged with exact Long adds are
+    // bit-identical to the groupBy+collect they replace (integer addition
+    // is order-free), and drop the per-EM-iteration Exchange: every E-step
+    // is now ONE narrow stage over the checkpointed word relation. The
+    // merged result stays model-sized (in-model pieces only), so the
+    // driver holds O(vocab), same as the collect before.
     def sumCounts(contrib: Dataset[(String, Long)]): Map[String, Long] =
-      contrib.groupBy(col("_1")).agg(sum(col("_2")).as("c"))
-        .as[(String, Long)].collect().toMap
+      contrib.rdd.mapPartitions { it =>
+        val m = new java.util.HashMap[String, Long]()
+        it.foreach { case (p, n) =>
+          m.merge(p, n, (a, b) => a + b)
+        }
+        Iterator(m)
+      }.fold(new java.util.HashMap[String, Long]()) { (a, b) =>
+        b.forEach((p, n) => a.merge(p, n, (x, y) => x + y))
+        a
+      }.asScala.toMap
     // Distributed seed selection: aggregate the (corpus-scale) substring
     // counts once, take top-seedSize by (count desc, piece asc) — a total
     // order, pieces being the distinct groupBy key — union ALL single-char

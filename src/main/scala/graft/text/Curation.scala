@@ -253,25 +253,39 @@ object Curation {
         val bw = spark.sparkContext.broadcast(w.clone())
         try {
           val bb = b
-          // dim -1 carries the bias gradient through the same aggregate.
-          // The per-row JVM work stays typed (sigmoid over the sparse
-          // pairs), but the aggregation drops to the untyped Column path:
-          // groupBy("dim").agg(sum) is a codegen'd hash aggregate with
-          // map-side partial combine, where groupByKey/reduceGroups
-          // round-trips every (dim, grad) pair through the serde per row
-          // (measured 3.7 -> 3.3 s on t21 at sf0.1; see NOTES.md r4)
-          val grads = feats.flatMap { case (y, fp) =>
-            var dot = bb
-            fp.foreach { case (d, c) => dot += bw.value(d) * c }
-            val g = 1.0 / (1.0 + math.exp(-dot)) - y
-            fp.iterator.map { case (d, c) => (d, g * c) } ++ Iterator((-1, g))
+          // r14 opt: the gradient is a dense dims+1 vector (slot `dims`
+          // carries the bias), so each epoch aggregates it partition-
+          // locally into one Array[Double] and merges the 32 partition
+          // vectors driver-side — ONE narrow stage per epoch where the
+          // previous groupBy("dim")+collect paid an Exchange and a
+          // 65-row shuffle every epoch (itself already 10% faster than
+          // the groupByKey/serde form it replaced — NOTES.md r4). Float
+          // note: per-partition then in-partition-order summation is a
+          // different (still deterministic, partitioning-fixed)
+          // accumulation order than the hash aggregate's — trained
+          // weights move by ULPs; t21's gate is rows-only and
+          // CurationSpec pins convergence laws, not bit weights.
+          val dims1 = dims + 1
+          val grads = feats.rdd.mapPartitions { it =>
+            val acc = new Array[Double](dims1)
+            it.foreach { case (y, fp) =>
+              var dot = bb
+              fp.foreach { case (d, c) => dot += bw.value(d) * c }
+              val g = 1.0 / (1.0 + math.exp(-dot)) - y
+              fp.foreach { case (d, c) => acc(d) += g * c }
+              acc(dims1 - 1) += g
+            }
+            Iterator(acc)
+          }.fold(new Array[Double](dims1)) { (a, p) =>
+            var i = 0
+            while (i < dims1) { a(i) += p(i); i += 1 }
+            a
           }
-            .toDF("dim", "grad")
-            .groupBy("dim").agg(org.apache.spark.sql.functions.sum("grad").as("g"))
-            .collect().map(r => (r.getInt(0), r.getDouble(1)))
-          grads.foreach { case (d, g) =>
-            if (d < 0) b -= lr * g / n
-            else w(d) -= lr * (g / n + l2 * w(d))
+          b -= lr * grads(dims1 - 1) / n
+          var d = 0
+          while (d < dims) {
+            w(d) -= lr * (grads(d) / n + l2 * w(d))
+            d += 1
           }
         } finally bw.destroy()
         e += 1

@@ -104,9 +104,14 @@ object TextFunctions {
   /** Rolling-hash document fingerprint (winnowing-lite): hash every
     * `window`-char substring, keep the minimum hash. Identical texts ⇒
     * identical fingerprints; near-identical texts collide with high
-    * probability. Caller ensures `length(text) >= window`. */
-  def minHashFingerprint(text: Column, window: Int): Column = {
-    val starts = sequence(lit(1), length(text) - lit(window - 1))
-    array_min(transform(starts, i => md5(text.substr(i, lit(window)))))
-  }
+    * probability. Caller ensures `length(text) >= window`.
+    *
+    * r14: ONE codegen'd pass ([[graft.functions.MinWindowMd5]]) —
+    * bit-identical to the HOF form
+    * `array_min(transform(sequence(1, len-window+1), i -> md5(substr)))`
+    * (TextFunctionsSpec pins the equality), without its per-position
+    * interpreted lambda + Column-md5 + substring copies — the
+    * [[graft.functions.WinnowFingerprints]] lesson. */
+  def minHashFingerprint(text: Column, window: Int): Column =
+    graft.functions.TextExpressionFunctions.minWindowMd5(text, window)
 }

@@ -16,6 +16,27 @@ class TextSpec extends AnyFunSuite {
     assert(out == Seq("a b c", "b c d"))
   }
 
+  test("minHashFingerprint: compiled MinWindowMd5 ≡ the HOF formulation, " +
+      "bit-for-bit (r14)") {
+    // ASCII, multibyte (é and an astral emoji — exercises the substring
+    // fallback), exact-window-length, and a repetitive string
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "café con leche y más café 😀 para todos hoy",
+      "0123456789abcdef",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaa")
+    val w = 16
+    val df = texts.toDF("text").where(length(col("text")) >= w)
+    val hof = df.select(
+      array_min(transform(
+        sequence(lit(1), length(col("text")) - lit(w - 1)),
+        i => md5(col("text").substr(i, lit(w))))).as("fp"))
+      .collect().map(_.getString(0)).toSeq
+    val compiled = df.select(TextFunctions.minHashFingerprint(col("text"), w).as("fp"))
+      .collect().map(_.getString(0)).toSeq
+    assert(compiled == hof)
+  }
+
   test("jaccard: identical sets = 1.0, disjoint = 0.0") {
     val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("c", "d"))).toDF("x", "y", "z")
     val r = df.select(
