@@ -45,14 +45,21 @@ object PlanDump {
       // Timed run = Bench's regime exactly: caches cleared, then fn
       // APPLICATION inside the timed region (several operators do eager
       // work — localCheckpoint iterations, registry/table writes — at
-      // construction), then the noop sink.
-      CacheRegistry.unpersistAll()
-      graft.queries.ExtensionQueries.clearArtifactCaches()
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      val el = (System.nanoTime() - t0) / 1e9
-      println(f"PLANDUMP $name%-40s $el%8.3f s -> $outDir/${name}_$tag.txt")
+      // construction), then the noop sink. This host carries roving
+      // 10-30x drag spikes (NOTES.md), so PLANDUMP_REPS (default 3)
+      // repeats each timing and the MIN is the signal — the least-dragged
+      // observation is the closest to the query's true cost.
+      val reps = sys.env.getOrElse("PLANDUMP_REPS", "3").toInt
+      val els = (1 to reps).map { _ =>
+        CacheRegistry.unpersistAll()
+        graft.queries.ExtensionQueries.clearArtifactCaches()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val el = els.min
+      println(f"PLANDUMP $name%-40s min $el%8.3f s of ${els.map(e => f"$e%.2f").mkString("/")} -> $outDir/${name}_$tag.txt")
       spark.sparkContext.setJobDescription(null)
     }
     spark.stop()

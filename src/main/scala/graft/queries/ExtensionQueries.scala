@@ -4177,11 +4177,13 @@ object ExtensionQueries {
       .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + lit(1000000000000L)).as("dst"))
-    // checkpointEvery = iters (r14 opt): one lineage cut instead of two —
-    // value-neutral by the operator contract (cadence trades plan depth
-    // against per-checkpoint job latency; contributions stay persisted),
-    // and at 3 iterations the uncut plan is 3 join+agg rounds, well within
-    // planner comfort
+    // checkpointEvery = 2: measured optimum at iters = 3. Cadence is
+    // value-neutral by the operator contract (PlanSpec pins it), so it is
+    // pure tuning: every-1 paid one eager materialization job per
+    // iteration (~35% slower), and every-3 (tried in the r14 optimization
+    // pass) let the final action plan the whole uncut 3-round tree —
+    // broadcast-building the dangling/teleport subtrees of every round
+    // serially in one job — and measured ~2x slower than every-2.
     graft.operators.PageRank.run(edges, "src", "dst", iters = 3, damping = 0.85,
       checkpointEvery = 2)
   }
