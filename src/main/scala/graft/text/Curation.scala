@@ -318,15 +318,24 @@ object Curation {
   def lmPerplexity(
       df: DataFrame, idCol: String, textCol: String, alpha: Double = 0.1): DataFrame = {
     val toks = col("__toks")
-    // bigram OCCURRENCES (non-distinct) with their context word
-    val bg = df.withColumn("__toks", tokens(col(textCol)))
+    // r14 opt: tokenize ONCE and persist the token-array relation — the
+    // bigram stream (read twice: cb training and scoring) and the unigram
+    // stream (a third tokenize pass before) all derive from it. The cache
+    // holds one array row per doc instead of the id-carrying bigram
+    // stream it replaces — fewer bytes cached, two regex passes dropped,
+    // same streams row-for-row (guide §1.2: don't recompute).
+    val tokRel = graft.CacheRegistry.persisted(
+      df.withColumn("__toks", tokens(col(textCol))).select(col(idCol), toks))
+    // bigram OCCURRENCES (non-distinct) with their context word —
+    // recomputed from the cached token relation at each read (explode off
+    // cache is cheaper than caching the exploded stream)
+    val bg = tokRel
       .where(size(toks) >= 2)
       .select(col(idCol), explode(transform(sequence(lit(1), size(toks) - 1), i =>
         struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2")))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .transform(graft.CacheRegistry.persisted(_)) // model training AND scoring read the bigram stream
     val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast("double").as("cb"))
-    val un = df.withColumn("__toks", tokens(col(textCol)))
+    val un = tokRel
       .select(explode(toks).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).cast("double").as("cu"))
       .transform(graft.CacheRegistry.persisted(_)) // read twice: unigram join and the V count
@@ -370,18 +379,26 @@ object Curation {
       alpha: Double = 0.4): DataFrame = {
     def withToks(d: DataFrame) = d.withColumn("__toks", tokens(col(textCol)))
     val t = col("__toks")
-    def gramStream(d: DataFrame, n: Int, extra: Column*): DataFrame =
-      withToks(d).where(size(t) >= n)
+    def gramsOf(d: DataFrame, n: Int, extra: Column*): DataFrame =
+      d.where(size(t) >= n)
         .select((extra :+ explode(transform(sequence(lit(1), size(t) - (n - 1)), i =>
           struct((1 to n).map(o => element_at(t, i + lit(o - 1)).as(s"w$o")): _*)))
           .as("g")): _*)
         .select((extra ++ (1 to n).map(o => col(s"g.w$o").as(s"w$o"))): _*)
+    def gramStream(d: DataFrame, n: Int, extra: Column*): DataFrame =
+      gramsOf(withToks(d), n, extra: _*)
+    // r14 opt: the three count tables each exploded their own gram stream
+    // off a FRESH tokenize of the training corpus — tokenize once, persist
+    // the token-array relation, and derive all three streams from the
+    // cache (same rows, two regex passes and two corpus scans dropped;
+    // guide §1.2)
+    val trainToks = graft.CacheRegistry.persisted(withToks(train).select(t))
     val uni = graft.CacheRegistry.persisted(
-      gramStream(train, 1).groupBy("w1").agg(count(lit(1)).as("c1")))
+      gramsOf(trainToks, 1).groupBy("w1").agg(count(lit(1)).as("c1")))
     val stats = uni.agg(sum(col("c1")).as("__n"), count(lit(1)).as("__v"))
     val bi = graft.CacheRegistry.persisted(
-      gramStream(train, 2).groupBy("w1", "w2").agg(count(lit(1)).as("c2")))
-    val tri = gramStream(train, 3).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      gramsOf(trainToks, 2).groupBy("w1", "w2").agg(count(lit(1)).as("c2")))
+    val tri = gramsOf(trainToks, 3).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
     val a = lit(alpha)
     val score =
       when(col("c3").isNotNull,
