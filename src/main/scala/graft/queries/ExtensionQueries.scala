@@ -109,10 +109,22 @@ object ExtensionQueries {
     * retained doc per near-dup cluster is the highest-quality member
     * (quality = text length here), ties toward the smaller id. */
   private def d15(s: SparkSession, dir: String): DataFrame = {
-    val corpus = mutatedCorpus(s, dir)
+    // r14 opt: the quality side needs only (doc_id, length(text)) — fed
+    // from the UN-fanned corpus with the length projected before any
+    // exchange, so document text never rides a shuffle for it (the old
+    // form passed the fanned corpus, whose repartition shipped full text
+    // only to have its length taken upstream of the join). The LSH side
+    // keeps the fan-out — that is where the single-row-group corpus
+    // needs parallelism. q per doc_id is unchanged, so the keep-best
+    // selection is value-identical.
+    val d = table(s, dir, "documents").select("doc_id", "text")
+    val mutated = d.unionAll(d.where(col("doc_id") % 5 === 0).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
     Dedup.keepBestPerCluster(
-      corpus.withColumn("q", length(col("text")).cast("long")), "doc_id", "q",
-      Dedup.minhashLsh(corpus, "doc_id", "text",
+      mutated.select(col("doc_id"), length(col("text")).cast("long").as("q")),
+      "doc_id", "q",
+      Dedup.minhashLsh(fanOut(s, mutated), "doc_id", "text",
         shingleN = 3, k = 12, bands = 4, rows = 3, threshold = 0.5))
   }
 
