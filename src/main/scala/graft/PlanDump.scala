@@ -49,7 +49,10 @@ object PlanDump {
       // 10-30x drag spikes (NOTES.md), so PLANDUMP_REPS (default 3)
       // repeats each timing and the MIN is the signal — the least-dragged
       // observation is the closest to the query's true cost.
-      val reps = sys.env.getOrElse("PLANDUMP_REPS", "3").toInt
+      // clamped: PLANDUMP_REPS=0 would make els.min throw (ADVICE r14).
+      // Rep 1 is Bench-cold; later reps run with warm page cache/JIT, so
+      // the printed per-rep list keeps the first observation visible.
+      val reps = math.max(1, sys.env.getOrElse("PLANDUMP_REPS", "3").toInt)
       val els = (1 to reps).map { _ =>
         CacheRegistry.unpersistAll()
         graft.queries.ExtensionQueries.clearArtifactCaches()

@@ -587,44 +587,38 @@ object Dedup {
   def canonicalize(
       pairs: DataFrame, maxIter: Int = 20,
       checkpointer: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
-    // r14 opt (guide §2.4, the PageRank loop shape): the edge relation is
-    // the loop's bulk and is STATIC, so it is persisted hash-partitioned
-    // on `src` once — every propagation join reuses that layout from
-    // cache. Labels are persisted per round: a persist PRESERVES the
-    // groupBy's hash(id) partitioning where the old eager localCheckpoint
-    // erased it to UnknownPartitioning and forced every round to
-    // re-exchange both join sides (5 Exchanges/round → 2). Lineage is
-    // still cut with `checkpointer` every CutEvery rounds (and label-min
-    // convergence typically lands in 2-3), so plan depth stays bounded
-    // while most rounds skip the extra materialization job. The cadence
-    // is 2, not higher: between cuts each round's logical plan embeds the
-    // previous round's THREE times (propagate, jump, union), so plan-tree
-    // size grows 3^k between cuts — at 2 the analyzer sees at most ~9
-    // copies of the base, and min-label convergence typically lands in
-    // 2-3 rounds anyway. Label
-    // iterates are exact integer mins — identical under any plan — so the
-    // rewrite is value-neutral (CanonicalizeSpec pins union-find
-    // equality).
-    val CutEvery = 2
-    // the construction-time checkpoint stays: it truncates the PAIRS
-    // lineage (often a large LSH plan) to a LogicalRDD so each round's
-    // analysis works over a tiny base tree; the repartition + persist
-    // ABOVE the cut is what restores a recognized hash(src) layout on the
-    // cached blocks (the checkpoint alone reports UnknownPartitioning)
-    val edges = graft.CacheRegistry.persisted(
-      checkpointer(
-        pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-          .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-          .distinct())
-        .repartition(col("src")))
-    var labels = graft.CacheRegistry.persisted(
+    // r15: RESTORED to the round-13 loop shape — one eager checkpoint per
+    // round, no persisted/repartitioned edge relation, no persisted label
+    // iterates. Round 14 rewrote this loop around a hash(src)-persisted
+    // edge relation (persist preserves partitioning, checkpoint every 2)
+    // on a per-round-exchange argument; it measured SLOWER at bench SF in
+    // every run — the builder's own A/B (d15 3.21→3.87 s), the r14 driver
+    // (d15 2.94→7.57 s, d6 2.47→4.96 s at both core counts), and an r15
+    // quiet-host re-check (cut-round single-materialization variant:
+    // d6 3.09→3.66, d15 4.34→4.77 min-of-3). Min-label convergence lands
+    // in 2-3 rounds (pointer jumping: O(log diameter)), so the setup jobs
+    // (checkpoint materialization + repartition exchange + cache write)
+    // never amortize — at ANY scale the loop runs too few rounds for a
+    // cached layout to pay for itself, and each round's relations are
+    // labels-sized, far below the edge relation the layout was meant to
+    // spare. Label iterates are exact integer mins — identical under any
+    // plan — so the restore is value-neutral (CanonicalizeSpec pins
+    // union-find equality). Nothing persists, so a composed pipeline
+    // calling canonicalize repeatedly accumulates no dead cache (ADVICE
+    // r14); the eager per-round checkpoint also keeps plan depth at ONE
+    // round regardless of iteration count.
+    val edges = checkpointer(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
+    var labels = checkpointer(
       edges.select(col("src").as("id")).distinct()
         .withColumn("lab", col("id")))
     // Labels only ever DECREASE under min-propagation, so Σlab (exact, as
     // decimal — no overflow at any corpus size) strictly decreases iff any
-    // label changed: convergence is one cheap aggregate per round — the
-    // same action that materializes the round's persisted labels, so the
-    // check costs no extra pass.
+    // label changed: convergence is one cheap aggregate per round — over
+    // blocks the eager checkpoint just materialized, so the check costs a
+    // scan of executor-local cache, not a recompute.
     def labSum(df: DataFrame): java.math.BigDecimal = {
       // sum over an empty frame is null → zero (empty graph = converged)
       val s = df.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
@@ -633,10 +627,6 @@ object Dedup {
     var prevSum = labSum(labels)
     var iter = 0
     var converged = false
-    // labels persisted since the last lineage cut: released together once
-    // the cut materializes (nothing references them past that point), so
-    // live cache stays bounded by CutEvery relations
-    val stale = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (!converged && iter < maxIter) {
       val viaEdges = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("lab"))
@@ -644,18 +634,14 @@ object Dedup {
       val byId = labels.select(col("id").as("__jid"), col("lab").as("__jlab"))
       val viaJump = labels.join(byId, labels("lab") === col("__jid"))
         .select(col("id"), col("__jlab").as("lab"))
-      var next = viaEdges.unionAll(viaJump).unionAll(labels)
-        .groupBy("id").agg(min("lab").as("lab"))
-      iter += 1
-      val atCut = iter % CutEvery == 0
-      if (atCut) next = checkpointer(next)
-      next = graft.CacheRegistry.persisted(next)
+      val next = checkpointer(
+        viaEdges.unionAll(viaJump).unionAll(labels)
+          .groupBy("id").agg(min("lab").as("lab")))
       val nextSum = labSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      stale += labels
       labels = next
-      if (atCut) { stale.foreach(_.unpersist()); stale.clear() }
+      iter += 1
     }
     labels.select(col("id"), col("lab").as("canonical_id"))
   }

@@ -67,31 +67,34 @@ object PageRank {
       s"PageRank: damping must be in [0, 1], got $damping")
     require(checkpointEvery >= 1,
       s"PageRank: checkpointEvery must be >= 1, got $checkpointEvery")
-    val e = graft.CacheRegistry.persisted(
+    // r14 folded the static out-degree INTO the persisted edge relation so
+    // each iteration joins ranks against ONE relation instead of two — but
+    // built it as a second join over a separately-persisted edge relation
+    // plus an explicit repartition(src): three cached relations and four
+    // setup exchanges, which the r14 driver measured as a NET LOSS at
+    // bench SF (x34 5.6 → 9.5 s). r15: the fold is ONE window count —
+    // the distinct's exchange is hash(src,dst), then WindowExec's required
+    // hash(src) distribution adds exactly one more, and that SAME
+    // hash(src) layout is what every iteration's join reuses from the
+    // cache (guide §2.4: operations keyed the same way share one
+    // exchange). Net: 2 setup exchanges and ONE cached edge relation
+    // instead of 4 and three; deg is the same exact integer count per
+    // src, cast once; no second join, no separate edge persist, no
+    // repartition.
+    val ew = graft.CacheRegistry.persisted(
       edges.select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull)
-        .distinct())
-    // r14 opt: the out-degree is a static per-source property, so it is
-    // folded INTO the persisted edge relation once — each iteration then
-    // joins ranks against ONE relation instead of two (edge ⋈ rank ⋈ deg
-    // was 2 joins × iters; edge-with-deg ⋈ rank is 1). The contribution
-    // arithmetic is unchanged (rank/deg, the same division per edge). The
-    // relation is persisted REPARTITIONED on src, so every iteration's
-    // join reuses that layout from cache and only the nodes-sized rank
-    // relation is exchanged — the bucketed-by-src 100 TB layout, built
-    // in-plan (guide §2.4: operations keyed the same way share one
-    // exchange).
-    val ew = graft.CacheRegistry.persisted(
-      e.join(e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg")),
-          "src")
-        .repartition(col("src")))
-    // nodes persisted partitioned on the id: contrib arrives from its
-    // groupBy already hash-partitioned on node, so the per-iteration
-    // left join is exchange-free on both sides
+        .distinct()
+        .withColumn("deg", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
+          .cast("double")))
+    // nodes persisted partitioned on the id (the distinct's own hash(node)
+    // exchange — no explicit repartition, r14's was redundant): contrib
+    // arrives from its groupBy already hash-partitioned on node, so the
+    // per-iteration left join is exchange-free on both sides
     val nodes = graft.CacheRegistry.persisted(
-      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
-        .repartition(col("node")))
+      ew.select(col("src").as("node")).union(ew.select(col("dst"))).distinct())
     // node count as a broadcast 1-row relation (no driver action)
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     // no initial checkpoint: the seed's lineage is just the persisted
@@ -142,6 +145,13 @@ object PageRank {
         pendingContribs.clear()
       }
     }
+    // the final checkpoint (i == iters) cut the returned relation's
+    // lineage, so the setup caches are unreferenced — release them now
+    // (§5 bounded caching: a pipeline composing several run() calls must
+    // not accumulate edge caches; under an identity checkpointer this
+    // merely forfeits a cache, the lineage recomputes correctly).
+    // iters == 0 returns the uncut seed, which still reads `nodes`.
+    if (iters > 0) { ew.unpersist(); nodes.unpersist() }
     // + 0.0 collapses IEEE -0.0 so both engines hash identically
     ranks.select(col("node"), (round(col("rank"), 9) + lit(0.0)).as("pagerank"))
   }

@@ -204,12 +204,47 @@ object Sources {
   /** Bucketed table sink: pre-shuffles by `bucketCols` so equi-joins and
     * aggregations on those keys skip their shuffle entirely (the
     * co-located-join strategy for repeated 100 TB joins). Requires a
-    * table name (bucketing metadata lives in the catalog). */
+    * table name (bucketing metadata lives in the catalog).
+    *
+    * File-count contract (r15): `bucketBy.saveAsTable` emits one file per
+    * bucket PER WRITE TASK holding that bucket's rows, so a child whose
+    * partitioning is unrelated to the bucket key fans out to up to
+    * tasks × buckets files, multiplying every later registry scan's open
+    * cost. The fix is CONDITIONAL (r14 measured an unconditional
+    * `repartition(buckets, key)` at +1.3–2.6 s per registry gate): peek at
+    * the child's physical output partitioning, and skip the exchange when
+    * it is already hash on exactly the bucket columns (same order — the
+    * bucket id is order-sensitive murmur3) with a partition count n where
+    * buckets % n == 0 — then bucket = pmod(h, buckets) refines
+    * task = pmod(h, n), every bucket lands whole inside one task, and the
+    * write emits exactly `buckets` files with no extra exchange (the
+    * 32-core registry-gate path, and the 8-core driver rerun: 32 % 8 == 0).
+    * AQE coalescing merges whole reducer partitions, so it cannot split a
+    * bucket across tasks once the shuffle key is aligned. */
   def writeBucketed(
       df: DataFrame, table: String, buckets: Int, bucketCols: Seq[String],
-      mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode)
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan // initial plan only — nothing executes here
+      case p => p
+    }
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    val attrs = bucketCols.map(c => plan.output.find(a => resolver(a.name, c)))
+    val aligned = plan.outputPartitioning match {
+      case h: HashPartitioning =>
+        h.numPartitions > 0 && buckets % h.numPartitions == 0 &&
+        h.expressions.length == attrs.length && attrs.forall(_.isDefined) &&
+        h.expressions.zip(attrs).forall { case (e, a) => e.semanticEquals(a.get) }
+      case _ => false
+    }
+    val toWrite =
+      if (aligned) df
+      else df.repartition(buckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+    toWrite.write.mode(mode)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+  }
 }

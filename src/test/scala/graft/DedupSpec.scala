@@ -295,6 +295,40 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("writeBucketed: file count stays <= buckets when shuffle partitions are misaligned") {
+    // buckets = 4, shuffle partitions = 3: 4 % 3 != 0, so without the
+    // conditional repartition each of the 3 aggregate tasks writes a file
+    // for every bucket it holds rows of (up to 12 files); the r15 peek
+    // must detect the misalignment and add the exchange so each bucket
+    // lands whole inside one task (<= 4 files, one per non-empty bucket).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      Dedup.buildExactRegistry(docs, "doc_id", "text", "graft_test_freg", buckets = 4)
+      def files(t: String): Int = {
+        val loc = new java.io.File(new java.net.URI(
+          spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(t)).location.toString))
+        loc.listFiles().count(f => f.getName.endsWith(".parquet"))
+      }
+      val misaligned = spark.table("graft_test_freg")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(files("graft_test_freg") <= 4,
+        s"misaligned write fanned out: ${files("graft_test_freg")} files for 4 buckets")
+      // aligned build (partitions divide buckets) produces the same claims
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      Dedup.buildExactRegistry(docs, "doc_id", "text", "graft_test_freg2", buckets = 4)
+      val aligned = spark.table("graft_test_freg2")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(files("graft_test_freg2") <= 4)
+      assert(misaligned == aligned, "claims depend on shuffle-partition count")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_test_freg")
+      spark.sql("DROP TABLE IF EXISTS graft_test_freg2")
+    }
+  }
+
   test("registries: empty corpus and empty increments are well-defined") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
