@@ -60,6 +60,8 @@ object Bench {
           -1.0
       }
     }
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> timeQuery(name, "sweep")
     }
@@ -175,13 +177,37 @@ object Bench {
         pass += 1
       }
     }
+    // r15 (the r14 verdict's measurement-trust item): a MIN-OF-N pass for
+    // the slowest cohort. The ratio-gated retime above only fires for
+    // queries already over 1.5x best_known; the slowest queries carry the
+    // most absolute drag even when under the gate, and one extra cold rep
+    // each bounds their noise at ~seconds of added sweep. Off with
+    // SPARK_GRAFT_MINOF_REPS=0. Reporting-only, like the retime pass: the
+    // headline `value` stays the raw sweep total.
+    val MINOF_COHORT = sys.env.get("SPARK_GRAFT_MINOF_COHORT").map(_.toInt).getOrElse(8)
+    val MINOF_REPS = sys.env.get("SPARK_GRAFT_MINOF_REPS").map(_.toInt).getOrElse(1)
+    if (MINOF_REPS > 0 && MINOF_COHORT > 0) {
+      val cohort = corrected.toSeq.filter(_._2 > 0).sortBy(-_._2).take(MINOF_COHORT)
+      for ((name, _) <- cohort; r <- 1 to MINOF_REPS) {
+        val t = timeQuery(name, s"minof-$r")
+        allRetimed += (name -> t)
+        val cur = corrected(name)
+        if (t >= 0 && cur >= 0 && t < cur) corrected(name) = t
+      }
+    }
+    // drag indicator (r15): how many queries still read over RETIME_RATIO x
+    // their all-time best after every retime — the host-contention
+    // signature the r14 verdict had to reconstruct by hand — plus the OS
+    // load average bracketing the sweep, emitted in-band in both lines.
+    val stillDragged = corrected.count { case (k, v) =>
+      val p = baseline.getOrElse(k, -1.0); v > 0 && p > 0 && v / p > RETIME_RATIO }
     if (!clean) {
-      val still = corrected.count { case (k, v) =>
-        val p = baseline.getOrElse(k, -1.0); v > 0 && p > 0 && v / p > RETIME_RATIO }
-      System.err.println(s"[bench] retime rounds exhausted with $still queries " +
+      System.err.println(s"[bench] retime rounds exhausted with $stillDragged queries " +
         s"still over ${RETIME_RATIO}x best_known — floored_total below is the " +
         "drag-immune estimate")
     }
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // best retime per query, for the snapshot's retimed map
     val retimed = allRetimed.groupBy(_._1).toSeq.map { case (k, vs) =>
       val ok = vs.map(_._2).filter(_ >= 0)
@@ -229,7 +255,7 @@ object Bench {
     val bk = newBest.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","corrected_total":$correctedTotal,"floored_total":$flooredTotal,"consumer":"noop-sink","queries":$qs,"retimed":$rt,"corrected_queries":$cq,"best_known":$bk,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","corrected_total":$correctedTotal,"floored_total":$flooredTotal,"n_drag_suspects":$stillDragged,"load_start":$loadStart,"load_end":$loadEnd,"consumer":"noop-sink","queries":$qs,"retimed":$rt,"corrected_queries":$cq,"best_known":$bk,"sf":"$sfDir"}"""
     // The driver's log capture keeps only the LAST ~2000 chars of output,
     // so a 172-query map printed to stdout gets decapitated and the
     // driver's JSON parse fails (BENCH_r01..r08 all carry parsed:null).
@@ -252,7 +278,7 @@ object Bench {
     val rtCompact = retimed.sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","corrected_total":${fmt(correctedTotal)},"floored_total":${fmt(flooredTotal)},"n_queries":${results.size},"n_failed":$nFailed,"n_retimed":${retimed.size},"consumer":"noop-sink (r10+: full materialization; count()-era totals are smaller, not comparable)","queries":$top,"retimed_worst":$rtCompact,"sf":"$sfDir","note":"queries = slowest 20 of ${results.size}; floored_total = drag-immune (per-query cap best_known*1.5); full maps in $outPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","corrected_total":${fmt(correctedTotal)},"floored_total":${fmt(flooredTotal)},"n_queries":${results.size},"n_failed":$nFailed,"n_retimed":${retimed.size},"n_drag_suspects":$stillDragged,"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"consumer":"noop-sink (r10+: full materialization; count()-era totals are smaller, not comparable)","queries":$top,"retimed_worst":$rtCompact,"sf":"$sfDir","note":"queries = slowest 20 of ${results.size}; floored_total = drag-immune (per-query cap best_known*1.5); full maps in $outPath"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))

@@ -34,7 +34,23 @@ object PlanDump {
       CacheRegistry.unpersistAll()
       graft.queries.ExtensionQueries.clearArtifactCaches()
       spark.sparkContext.setJobDescription(s"plandump: $name")
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      // loop-iteration tap (r15): operators note() each round's frame
+      // before its action; collect those plans into <query>_<tag>_loop.txt
+      // so per-round Exchange counts are verifiable (checkpointed loops
+      // otherwise dump as a bare scan of the final RDD)
+      val loopPlans = new StringBuilder
+      PlanProbe.sink = (tag, d) => {
+        loopPlans ++= s"== $tag ==\n"
+        loopPlans ++= d.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        loopPlans ++= "\n"
+      }
+      val df = try SparkEntry.queries(name)(spark, sfDir)
+        finally PlanProbe.sink = null
+      if (loopPlans.nonEmpty)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$outDir/${name}_${tag}_loop.txt"),
+          loopPlans.toString.getBytes("UTF-8"))
       // the formatted string BEFORE execution (initial AQE plan), as
       // explain() prints it
       val planTxt = df.queryExecution.explainString(

@@ -634,9 +634,10 @@ object Dedup {
       val byId = labels.select(col("id").as("__jid"), col("lab").as("__jlab"))
       val viaJump = labels.join(byId, labels("lab") === col("__jid"))
         .select(col("id"), col("__jlab").as("lab"))
-      val next = checkpointer(
-        viaEdges.unionAll(viaJump).unionAll(labels)
-          .groupBy("id").agg(min("lab").as("lab")))
+      val preCut = viaEdges.unionAll(viaJump).unionAll(labels)
+        .groupBy("id").agg(min("lab").as("lab"))
+      graft.PlanProbe.note(s"canonicalize round ${iter + 1} (pre-checkpoint)", preCut)
+      val next = checkpointer(preCut)
       val nextSum = labSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

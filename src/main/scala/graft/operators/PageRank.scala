@@ -137,6 +137,7 @@ object PageRank {
               + col("dm") / col("n_nodes"))).as("rank"))
       pendingContribs += contrib
       i += 1
+      graft.PlanProbe.note(s"pagerank iter $i (pre-checkpoint)", ranks)
       if (i % checkpointEvery == 0 || i == iters) {
         ranks = checkpointer(ranks)
         // safe even under an identity checkpointer (tests): unpersist

@@ -228,7 +228,24 @@ object UnigramLm {
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .as[(String, Long)]
-    val wordsCk = words.toDF().localCheckpoint().as[(String, Long)]
+    val wordsCkRaw = words.toDF().localCheckpoint().as[(String, Long)]
+    // r15: training is ~20 SEQUENTIAL driver-paced jobs over this
+    // vocab-sized relation, so per-job task-launch overhead — not data —
+    // is the floor (the r14 driver measured p19 FASTER at 8 cores than
+    // 32). Right-size the relation once: ~20k words per partition, capped
+    // at the session parallelism — scale-adaptive, so a real vocabulary
+    // still fans out to every core while a bench-scale one stops paying
+    // 19 × 32 mostly-empty task launches. The count() runs over blocks
+    // the eager checkpoint just materialized; coalesce is narrow (no
+    // shuffle) and partitioning never changes results: E-step counts are
+    // exact integer sums (order-free), spec-pinned == trainLocal.
+    val wordsCk = {
+      val nWords = wordsCkRaw.count()
+      val nPart = math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong, nWords / 20000L + 1L)).toInt
+      if (nPart < wordsCkRaw.rdd.getNumPartitions) wordsCkRaw.coalesce(nPart)
+      else wordsCkRaw
+    }
     // r14 opt: E-step count tables are INTEGER sums of model-sized maps —
     // partition-local hash maps merged with exact Long adds are
     // bit-identical to the groupBy+collect they replace (integer addition
@@ -261,8 +278,9 @@ object UnigramLm {
       try {
         val top = substrCounts.orderBy(col("c").desc, col("_1").asc).limit(seedSize)
         val singles = substrCounts.where(length(col("_1")) === 1)
-        top.union(singles).distinct()
-          .as[(String, Long)].collect().toMap
+        val sel = top.union(singles).distinct()
+        graft.PlanProbe.note("unigram seed selection", sel)
+        sel.as[(String, Long)].collect().toMap
       } finally substrCounts.unpersist()
     }
     def eStep(logp: collection.Map[String, Double]): Map[String, Long] = {
@@ -270,7 +288,11 @@ object UnigramLm {
       try sumCounts(wordsCk.mapPartitions(_.flatMap { case (w, n) =>
         emContrib(w, n, b.value, maxPieceLen)
       }))
-      finally b.destroy()
+      // async unpersist, not the (blocking) destroy: the E-step action is
+      // complete, nothing reads the broadcast again — no reason to hold
+      // ~20 sequential rounds hostage to a cleanup RPC round-trip each
+      // (r15; driver-side metadata is reclaimed by the ContextCleaner)
+      finally b.unpersist(blocking = false)
     }
     loop(seedCounts, eStep, vocabSize, maxRounds, emIters, keepFrac)
   }

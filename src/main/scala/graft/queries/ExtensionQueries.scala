@@ -46,12 +46,19 @@ object ExtensionQueries {
 
   /** documents ∪ mutated copies — the shared near-dup corpus for
     * d3/d4/d6/d8 and the decontamination family. */
-  private def mutatedCorpus(s: SparkSession, dir: String): DataFrame = {
+  /** The shared near-dup test corpus BEFORE fan-out: documents plus a
+    * lightly-mutated copy of every %5 doc (ids above the corpus range).
+    * The mutation is defined ONCE here so d15's split faces cannot
+    * silently drift from d6's corpus (ADVICE r14). */
+  private def mutatedCorpusRaw(s: SparkSession, dir: String): DataFrame = {
     val d = table(s, dir, "documents").select("doc_id", "text")
-    fanOut(s, d.unionAll(d.where(col("doc_id") % 5 === 0).select(
+    d.unionAll(d.where(col("doc_id") % 5 === 0).select(
       (col("doc_id") + 1000000L).as("doc_id"),
-      regexp_replace(col("text"), "^[^ ]+ ", "").as("text"))))
+      regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
   }
+
+  private def mutatedCorpus(s: SparkSession, dir: String): DataFrame =
+    fanOut(s, mutatedCorpusRaw(s, dir))
 
   private val corpusSql = """corpus AS (
       SELECT doc_id, text FROM documents
@@ -116,11 +123,9 @@ object ExtensionQueries {
     // only to have its length taken upstream of the join). The LSH side
     // keeps the fan-out — that is where the single-row-group corpus
     // needs parallelism. q per doc_id is unchanged, so the keep-best
-    // selection is value-identical.
-    val d = table(s, dir, "documents").select("doc_id", "text")
-    val mutated = d.unionAll(d.where(col("doc_id") % 5 === 0).select(
-      (col("doc_id") + 1000000L).as("doc_id"),
-      regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
+    // selection is value-identical. r15: both sides derive from the
+    // SHARED mutatedCorpusRaw (ADVICE r14 — the mutation is defined once).
+    val mutated = mutatedCorpusRaw(s, dir)
     Dedup.keepBestPerCluster(
       mutated.select(col("doc_id"), length(col("text")).cast("long").as("q")),
       "doc_id", "q",
@@ -1065,18 +1070,34 @@ object ExtensionQueries {
       "st12: the source must be days(ts)-partitioned")
     // size the cap for ~3 epochs regardless of how many days the SF spans
     val cap = math.max(1, (srcManifest.files.size + 2) / 3)
-    val q = s.readStream.format("graftshard")
-      .option("maxFilesPerTrigger", cap.toString).load(src)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        // FLOOR before the cast: Spark's double->bigint cast truncates
-        // while DuckDB's rounds — floor is the shared exact semantics
-        sum(expr("CAST(FLOOR(value * 1000000) AS BIGINT)")).as("value_micros"))
-      .select(unix_micros(col("window.start")).as("win_start"),
-        col("event_type"), col("n_events"), col("value_micros"))
-      .writeStream.format("graftshard").outputMode("complete")
-      .option("path", dst).option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    // r15 (guide §5/§6 inside each epoch): the hourly-dashboard state is
+    // tiny at ANY corpus scale (hours × event types), but every epoch
+    // pays one state-store load + delta-commit + task launch PER state
+    // partition — at the session's 32 shuffle partitions that is 96
+    // state commits for ~3k groups across 3 epochs, and the per-epoch
+    // fixed cost IS this query's floor. Scope the stream's state
+    // partitioning to the dashboard shape (8; state partition count is
+    // pinned by the first epoch's checkpoint, so it must be set before
+    // start) and restore the session conf right after the stream ends.
+    // Value-neutral: counts and exact integer sums are partition-
+    // invariant, and the epoch/replay gate below is unchanged.
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufConf)
+    s.conf.set(shufConf, math.min(8, prevShuf.toInt).max(1).toString)
+    val q = try {
+      s.readStream.format("graftshard")
+        .option("maxFilesPerTrigger", cap.toString).load(src)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          // FLOOR before the cast: Spark's double->bigint cast truncates
+          // while DuckDB's rounds — floor is the shared exact semantics
+          sum(expr("CAST(FLOOR(value * 1000000) AS BIGINT)")).as("value_micros"))
+        .select(unix_micros(col("window.start")).as("win_start"),
+          col("event_type"), col("n_events"), col("value_micros"))
+        .writeStream.format("graftshard").outputMode("complete")
+        .option("path", dst).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    } finally s.conf.set(shufConf, prevShuf)
     q.awaitTermination(180000)
     q.exception.foreach(throw _)
     val epochs = graft.sources.v2.ShardFormat.readManifest(dst).get

@@ -659,7 +659,15 @@ object Curation {
     // through the exact path, whose empty join produces the same schema
     if (nKeys == 0) return decontaminate(corpus, benchmark, idCol, textCol, n)
     val bf = bench.stat.bloomFilter(col("ng"), nKeys, fpp)
-    val confirm = if (broadcastConfirm) broadcast(bench) else bench
+    // r15: without a hint, Catalyst sized the BLOOM-FILTERED corpus
+    // stream below the broadcast threshold and built the join on IT
+    // (BuildLeft over the corpus side, r15 plan dump) — locally harmless,
+    // but exactly the plan that OOMs at 100 TB: the corpus-derived side
+    // must never be the build side. SHUFFLE_HASH on the benchmark side
+    // pins the honest shape — both sides exchange on the uniform md5 key,
+    // the benchmark partition builds the hash table, the corpus stream
+    // only ever streams (guide §3.1: pick the strategy deliberately).
+    val confirm = if (broadcastConfirm) broadcast(bench) else bench.hint("shuffle_hash")
     distinctNgramHashes(corpus, textCol, n, col(idCol))
       .where(graft.functions.SketchFunctions.bloomMightContain(col("ng"), bf))
       .join(confirm, "ng")

@@ -60,18 +60,18 @@ class CanonicalizeSpec extends AnyFunSuite {
     assert(labels.size == 200 && labels.values.forall(_ == 1000L))
   }
 
-  test("canonicalize: lineage-cut cadence is value-neutral (r14 persisted " +
-      "hash(src) edge layout keeps the contract)") {
-    // the r14 rewrite persists edges hash-partitioned on src and persists
-    // labels per round (cutting lineage only every CutEvery rounds);
-    // label iterates are exact integer mins, so WHERE the cut lands — or
-    // whether it happens at all (identity checkpointer) — cannot change a
-    // single label. An 8-node path needs ~4 rounds, enough to cross a cut
-    // boundary while keeping the NO-cut variant's plan bounded (each
-    // uncut round embeds the previous round's tree three times, so a long
-    // path under `identity` grows the tree 3^rounds — the reason the
-    // production default keeps a real checkpointer).
-    val pairs = (500L until 507L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+  test("canonicalize: the checkpointer is value-neutral (identity == " +
+      "eager localCheckpoint)") {
+    // label iterates are exact integer mins, so whether lineage is cut
+    // every round (the production default) or never (identity) cannot
+    // change a single label. A 5-node path needs ~3 rounds — enough to
+    // exercise multi-round identity lineage while keeping the uncut
+    // variant's plan bounded: each uncut round embeds the previous
+    // round's tree THREE times (propagate/jump/union), so tree size is
+    // 3^rounds and a longer path turns this test into a Catalyst
+    // planning soak (r15: the previous 8-node path spent 52 s of the
+    // suite in the analyzer alone).
+    val pairs = (500L until 504L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     def labels(ck: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
       val m = Dedup.canonicalize(pairs, maxIter = 12, checkpointer = ck)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -81,7 +81,7 @@ class CanonicalizeSpec extends AnyFunSuite {
     val viaDefault = labels(_.localCheckpoint())
     val viaIdentity = labels(identity)
     assert(viaDefault == viaIdentity)
-    assert(viaDefault.size == 8 && viaDefault.values.forall(_ == 500L))
+    assert(viaDefault.size == 5 && viaDefault.values.forall(_ == 500L))
   }
 
   test("dropNearDuplicates keeps canonical members and untouched rows") {

@@ -23,6 +23,10 @@ import graft.sources.v2.ShardFormat
   * lock is detected and stolen from (pid-liveness, no manual cleanup),
   * and a live foreign holder genuinely BLOCKS this process's commit
   * rather than being ignored. */
+// Tagged Slow (r15): forked-JVM lease soak with real sleeps (child
+// pauses up to 4 s mid-commit); run via `sbt testSlow`, excluded from
+// the default budgeted gate.
+@org.scalatest.tags.Slow
 class GraftShardProcessLockSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
